@@ -1,38 +1,1002 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+LLM-pipeline extensions) onto the driver's synthetic tables;
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Cross-engine
+float determinism: currency-like sums use the exact-cents idiom
+(``sum(cast(round(x*100) as bigint))/100.0`` — identical per-row doubles
+→ identical integer sums in any order); similarity scores are rounded to
+6 decimals BEFORE ranking so tie-breaks agree.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.functions.keys import concat_key, quartile_bucket, sort_key
+from cancer_survival_etl_spark.functions.text import null_keeping_neq
+from cancer_survival_etl_spark.llm.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cancer_survival_etl_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk
+from cancer_survival_etl_spark.llm.textstats import (
+    doc_fingerprint,
+    language_guess,
+    quality_score,
+    token_stats,
+)
+from cancer_survival_etl_spark.operators.filters import not_all_of
+from cancer_survival_etl_spark.operators.percentile import percentile_disc_by
+from cancer_survival_etl_spark.operators.rank import rank_quartile
+from cancer_survival_etl_spark.operators.reshape import melt
+from cancer_survival_etl_spark.operators.union import duplicate_rows_as, union_stack
+from cancer_survival_etl_spark.sources.catalog import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _money_sum(col: Column) -> Column:
+    """Exact cross-engine SUM of a currency-like double: per-row cents are
+    deterministic, integer sums are order-independent."""
+    return F.sum(F.round(col * 100).cast("long")) / F.lit(100.0)
+
+
+_MONEY_SQL = "sum(cast(round({x} * 100) as bigint)) / 100.0"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: supplier revenue league table per region (the reference's
+# benchmarking_rank shape — SURVEY §2.11 #7 — on the star schema).
+# --------------------------------------------------------------------------
+
+def supplier_rank_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank suppliers within their region by lineitem revenue; attach the
+    rank of each region's focus supplier (min suppkey network-wide is
+    arbitrary — we focus supplier #1's analog: the min suppkey per region)
+    and quartile-bucket every supplier.
+
+    Operators exercised: scan → broadcast joins (dims) → agg → window
+    RANK desc → groupBy count → left join → CASE quartile
+    (reference: docs/reporting_rank.sql:5-51).
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    dim = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    revenue = (
+        lineitem.groupBy("l_suppkey")
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    per_supplier = revenue.join(F.broadcast(dim), revenue.l_suppkey == dim.s_suppkey).select(
+        F.col("r_name").alias("region_name"),
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("revenue"),
+    )
+    w = Window.partitionBy("region_name").orderBy(
+        F.col("revenue").desc(), F.col("supplier_id")
+    )
+    ranked = per_supplier.select(
+        "region_name",
+        "supplier_id",
+        "revenue",
+        F.rank().over(w).alias("rank_val"),
+    )
+    base = per_supplier.groupBy("region_name").agg(
+        F.count(F.lit(1)).alias("rank_base")
+    )
+    return (
+        ranked.join(F.broadcast(base), "region_name")
+        .select(
+            "region_name",
+            "supplier_id",
+            "revenue",
+            "rank_val",
+            "rank_base",
+            quartile_bucket("rank_val", "rank_base").alias("quartile"),
+        )
+    )
+
+
+_SUPPLIER_RANK_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey, {_MONEY_SQL.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem GROUP BY l_suppkey
+),
+per_supplier AS (
+    SELECT r_name AS region_name, s_suppkey AS supplier_id, revenue
+    FROM revenue
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+),
+ranked AS (
+    SELECT region_name, supplier_id, revenue,
+           RANK() OVER (PARTITION BY region_name ORDER BY revenue DESC, supplier_id) AS rank_val
+    FROM per_supplier
+),
+base AS (
+    SELECT region_name, count(*) AS rank_base FROM per_supplier GROUP BY region_name
+)
+SELECT ranked.region_name, supplier_id, revenue, rank_val, rank_base,
+       CASE
+           WHEN rank_val IS NULL THEN NULL
+           WHEN rank_base < 4 THEN '-'
+           WHEN CAST(rank_val AS DOUBLE) / rank_base < 0.25 THEN '1st'
+           WHEN CAST(rank_val AS DOUBLE) / rank_base < 0.5 THEN '2nd'
+           WHEN CAST(rank_val AS DOUBLE) / rank_base < 0.75 THEN '3rd'
+           ELSE '4th'
+       END AS quartile
+FROM ranked JOIN base ON ranked.region_name = base.region_name
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return supplier_rank_quartile(spark, SF0001)
 
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# --------------------------------------------------------------------------
+
+def q_filter_disjunctive(spark, sf_dir):
+    """P1: equality OR set-membership filter (reference: src/main.py:121-124)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == "BUILDING") | F.col("c_nationkey").isin(1, 3, 5)
+    ).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
+def q_membership_flags(spark, sf_dir):
+    """P2+P7: derived boolean flags (reference: src/main.py:127, 235-236)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.col("s_nationkey").isin(0, 2, 4).alias("is_core"),
+        (F.col("s_acctbal") > 5000).alias("high_balance"),
+    )
+
+
+def q_null_semantics(spark, sf_dir):
+    """P3+P5: null-test flag + null-KEEPING != (pandas ~(a==b) semantics;
+    reference: src/main.py:130-131, 153). Nulls synthesized via nullif."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("lang_n"))
+    return d.filter(null_keeping_neq("lang_n", "fr")).select(
+        "doc_id", "lang_n", F.col("lang_n").isNotNull().alias("has_lang")
+    )
+
+
+def q_negated_conjunctive(spark, sf_dir):
+    """P4: drop rows matching a conjunction (reference: src/main.py:144-146)."""
+    li = _t(spark, sf_dir, "lineitem")
+    kept = not_all_of(
+        li,
+        F.col("l_returnflag") == "R",
+        F.col("l_linestatus") == "F",
+        F.col("l_quantity") < 10,
+    )
+    return kept.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def q_projection_rename(spark, sf_dir):
+    """P6+P10: ordered keep-list projection with display renames
+    (reference: src/main.py:156-212, docs/reporting_adult4.sql:25-43)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_size") < 15).select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("retail_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar functions
+# --------------------------------------------------------------------------
+
+def q_string_surgery(spark, sf_dir):
+    """F1/F3/F7 string ops: literal replace, split-head + trim, case folds
+    (reference: src/main.py:149-150, 257-260)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim(F.split(F.col("p_type"), " ").getItem(0)).alias("type_head"),
+        F.expr("replace(p_brand, 'BRAND_', 'B')").alias("brand_short"),
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.substring(F.col("p_name"), 1, 4).alias("name_prefix"),
+    )
+
+
+def q_concat_key(spark, sf_dir):
+    """F9/J2: synthetic concat key with int→string rendering
+    (reference: docs/reporting_rank.sql:8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            concat_key("l_returnflag", "l_linestatus", "l_linenumber").alias("join_key")
+        )
+        .groupBy("join_key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_case_sort_keys(spark, sf_dir):
+    """F8: CASE sort keys + threshold bucketing
+    (reference: docs/reporting_index.sql:26-39, docs/reporting_rank.sql:38-45)."""
+    o = _t(spark, sf_dir, "orders")
+    banded = o.select(
+        sort_key("o_orderpriority", {"1-URGENT": 1}, 2).alias("sort_priority"),
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+    )
+    return banded.groupBy("sort_priority", "price_band").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+def q_left_join_const(spark, sf_dir):
+    """J1: LEFT join with a constant predicate on the right side — filter
+    belongs in ON semantics (reference: docs/reporting_rank.sql:47-51)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("c_custkey").alias("n_building"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+def q_groupby_all_max(spark, sf_dir):
+    """A1: MAX over full-dimension groups — GROUP BY ALL
+    (reference: docs/reporting_index_best_ca.sql:33,42)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.max("c_acctbal").alias("max_acctbal")
+    )
+
+
+def q_count_per_group(spark, sf_dir):
+    """A2: COUNT(1) rank denominator (reference: docs/reporting_rank.sql:20-30)."""
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.filter(F.col("s_acctbal").isNotNull())
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("rank_base"))
+    )
+
+
+def q_minmax_benchmark(spark, sf_dir):
+    """A3: MAX/MIN best/worst per group
+    (reference: docs/reporting_benchmarking_standard.sql:45-62)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("best"),
+        F.min("o_totalprice").alias("worst"),
+    )
+
+
+def q_percentile_disc(spark, sf_dir):
+    """A4: exact discrete percentiles per group
+    (reference: docs/reporting_benchmarking_standard.sql:64-92)."""
+    o = _t(spark, sf_dir, "orders")
+    return percentile_disc_by(o, ["o_orderpriority"], "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# §2.5 window functions
+# --------------------------------------------------------------------------
+
+def q_rank_window(spark, sf_dir):
+    """W1: RANK() desc per partition (reference: docs/reporting_rank.sql:10)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rank_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 set operations
+# --------------------------------------------------------------------------
+
+def q_union_best_scaffold(spark, sf_dir):
+    """U1+P9+A1: base rows ∪ synthetic 'best' rows with literal/NULL
+    scaffolding (reference: docs/reporting_index.sql:41-48 +
+    docs/reporting_index_best_ca.sql:23-38)."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_name").alias("area_name"),
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(False).alias("is_synthetic"),
+        F.col("c_custkey").cast("long").alias("source_id"),
+    )
+    best = (
+        c.filter(F.col("c_nationkey") != 1)
+        .groupBy("c_mktsegment")
+        .agg(F.max("c_acctbal").alias("c_acctbal"))
+        .select(
+            F.lit("Best Other Customer").alias("area_name"),
+            "c_mktsegment",
+            "c_acctbal",
+            F.lit(True).alias("is_synthetic"),
+            F.lit(None).cast("long").alias("source_id"),
+        )
+    )
+    return union_stack([base, best])
+
+
+def q_row_duplication(spark, sf_dir):
+    """U3: filtered-copy + overwrite + append (Persons generalization —
+    reference: src/main.py:98-105, 137-141)."""
+    e = _t(spark, sf_dir, "events")
+    dup = duplicate_rows_as(
+        e, F.col("event_type") == "purchase", {"event_type": F.lit("purchase_all")}
+    )
+    return dup.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money_sum(F.col("value")).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 reshaping
+# --------------------------------------------------------------------------
+
+def q_unpivot(spark, sf_dir):
+    """R1: wide→long melt (reference: src/main.py:298-327)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        _money_sum(F.col("val")).alias("total"),
+    )
+
+
+def q_pivot_sum(spark, sf_dir):
+    """R2: long→wide pivot with fixed value list
+    (reference: docs/reporting_benchmarking_standard.sql:94-97)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wide = (
+        cents.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .sum("cents")
+    )
+    return wide.select(
+        "o_orderpriority",
+        (F.col("O") / 100.0).alias("status_o"),
+        (F.col("F") / 100.0).alias("status_f"),
+        (F.col("P") / 100.0).alias("status_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Composite analytics (the reference's view-stack shapes on the star schema)
+# --------------------------------------------------------------------------
+
+def q_benchmark_standards(spark, sf_dir):
+    """U2+A3+A4+R2: the 7-way benchmark-standards union, pivoted
+    (reference: docs/reporting_benchmarking_standard.sql). Standards over
+    order totals per priority: overall avg best/worst/quartiles across
+    nations' averages."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority", "c_nationkey")
+        .agg(_money_sum(F.col("o_totalprice")).alias("nation_total"))
+    )
+
+    def named(df, standard):
+        return df.select(
+            "o_orderpriority", F.lit(standard).alias("standard"), "val"
+        )
+
+    best = named(
+        per_nation.groupBy("o_orderpriority").agg(F.max("nation_total").alias("val")),
+        "Best",
+    )
+    worst = named(
+        per_nation.groupBy("o_orderpriority").agg(F.min("nation_total").alias("val")),
+        "Worst",
+    )
+
+    def quantile(p, name):
+        return named(
+            per_nation.groupBy("o_orderpriority").agg(
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY nation_total)"
+                ).alias("val")
+            ),
+            name,
+        )
+
+    long = union_stack(
+        [best, worst, quantile(0.25, "Q1"), quantile(0.5, "Q2"), quantile(0.75, "Q3")]
+    )
+    wide = long.groupBy("o_orderpriority").pivot(
+        "standard", ["Best", "Worst", "Q1", "Q2", "Q3"]
+    ).sum("val")
+    return wide.select(
+        "o_orderpriority",
+        F.col("Best").alias("best"),
+        F.col("Worst").alias("worst"),
+        F.col("Q1").alias("q1"),
+        F.col("Q2").alias("q2"),
+        F.col("Q3").alias("q3"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the scan+agg throughput workhorse. Partial
+    aggregation map-side; one shuffle of 4 rows per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: multi-join star query — dims broadcast, one shuffle
+    on the fact's join key, partial aggs before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_supplier_rank_quartile(spark, sf_dir):
+    return supplier_rank_quartile(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped event analytics (beyond-reference)
+# --------------------------------------------------------------------------
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-day event-time windows (batch plan of the streaming
+    shape; see cancer_survival_etl_spark.streaming.windows)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based session windows per user (session_window) — aggregated to
+    per-user session stats. No simple ANSI equivalent → rows-only check."""
+    from cancer_survival_etl_spark.streaming.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    sess = sessionize(e, gap="30 minutes")
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline extensions (north star: dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy on md5(text)."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (4 hashes over 5-char shingles) — the LSH
+    building block; md5-deterministic, oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, "text", "doc_id", num_hashes=4, shingle_k=5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash 32-bit fingerprints (rows-only: bit-vote arithmetic has no
+    compact ANSI equivalent)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", bits=32)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Token-3-gram Jaccard near-dup pairs, blocked by lang."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.05, block_col="lang"
+    )
+
+
+def q_ann_brute_force(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 5 vectors as queries."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return brute_force_topk(e, queries, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-5 (rows-only: bucket membership
+    is engine-internal)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(e, queries, k=5)
+
+
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens, distinct, subword estimate."""
+    d = _t(spark, sf_dir, "documents")
+    stats = token_stats(d)
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "n_subwords_est",
+        "mean_token_len",
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio, diversity, composite score."""
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id", "stopword_ratio", "token_diversity", "quality"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-based language ID vs the labeled lang — confusion counts."""
+    d = _t(spark, sf_dir, "documents")
+    guessed = language_guess(d)
+    return guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 digest (rolling hash is pinned by
+    pytest; md5 is the oracle-checked half)."""
+    d = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(d).select("doc_id", "md5_fingerprint")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary-payload decode plumbing (mapInPandas, deterministic fake
+    codec) — rows-only (Python kernel has no SQL equivalent)."""
+    from cancer_survival_etl_spark.llm.multimodal import (
+        attach_binary_payload,
+        decode_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = decode_features(attach_binary_payload(d))
+    return feats.select("item_id", "n_bytes", "checksum", "width", "height")
+
+
+# --------------------------------------------------------------------------
+# Contract surface
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "p1_filter_disjunctive": q_filter_disjunctive,
+        "p2_membership_flags": q_membership_flags,
+        "p3_null_semantics": q_null_semantics,
+        "p4_negated_conjunctive": q_negated_conjunctive,
+        "p6_projection_rename": q_projection_rename,
+        "f_string_surgery": q_string_surgery,
+        "f_concat_key": q_concat_key,
+        "f_case_sort_keys": q_case_sort_keys,
+        "j1_left_join_const": q_left_join_const,
+        "a1_groupby_all_max": q_groupby_all_max,
+        "a2_count_per_group": q_count_per_group,
+        "a3_minmax_benchmark": q_minmax_benchmark,
+        "a4_percentile_disc": q_percentile_disc,
+        "w1_rank_window": q_rank_window,
+        "u1_union_best_scaffold": q_union_best_scaffold,
+        "u3_row_duplication": q_row_duplication,
+        "r1_unpivot": q_unpivot,
+        "r2_pivot_sum": q_pivot_sum,
+        "benchmark_standards": q_benchmark_standards,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "supplier_rank_quartile": q_supplier_rank_quartile,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+_STOPWORDS_SQL = "('the','a','and','of','to','in','is','for','on','with')"
+
+_LANG_HITS = {
+    "de": "('der','die','und')",
+    "en": "('the','and','of')",
+    "es": "('el','los','que')",
+    "fr": "('le','la','et')",
+    "zh": "('de','shi','le')",
+}
+
+
+def _lang_id_sql() -> str:
+    hit_cols = ",\n        ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN {m})) AS hits_{lang}"
+        for lang, m in _LANG_HITS.items()
+    )
+    g = "greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh)"
+    case = (
+        f"CASE WHEN {g} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN hits_{lang} = {g} THEN '{lang}'" for lang in sorted(_LANG_HITS)
+        )
+        + " END"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT lang, {hit_cols}
+        FROM documents
+    )
+    SELECT lang, {case} AS lang_guess, count(*) AS n_docs
+    FROM scored GROUP BY 1, 2
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    minhash_cols = ",\n        ".join(
+        f"list_min(list_transform("
+        f"generate_series(1, greatest(length(text) - 4, 1)), "
+        f"i -> md5('{i}|' || substring(text, i, 5)))) AS minhash_{i}"
+        for i in range(4)
+    )
+    return {
+        "p1_filter_disjunctive": """
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING' OR c_nationkey IN (1, 3, 5)
+        """,
+        "p2_membership_flags": """
+            SELECT s_suppkey,
+                   s_nationkey IN (0, 2, 4) AS is_core,
+                   s_acctbal > 5000 AS high_balance
+            FROM supplier
+        """,
+        "p3_null_semantics": """
+            SELECT doc_id, nullif(lang, 'en') AS lang_n,
+                   nullif(lang, 'en') IS NOT NULL AS has_lang
+            FROM documents
+            WHERE nullif(lang, 'en') != 'fr' OR nullif(lang, 'en') IS NULL
+        """,
+        "p4_negated_conjunctive": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+            FROM lineitem
+            WHERE NOT (coalesce(l_returnflag = 'R' AND l_linestatus = 'F'
+                                AND l_quantity < 10, FALSE))
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "p6_projection_rename": """
+            SELECT p_partkey AS part_id, p_name AS part_name,
+                   p_brand AS brand, p_retailprice AS retail_price
+            FROM part WHERE p_size < 15
+        """,
+        "f_string_surgery": """
+            SELECT p_partkey,
+                   trim(split_part(p_type, ' ', 1)) AS type_head,
+                   replace(p_brand, 'BRAND_', 'B') AS brand_short,
+                   lower(p_name) AS name_lower,
+                   substring(p_name, 1, 4) AS name_prefix
+            FROM part
+        """,
+        "f_concat_key": """
+            SELECT l_returnflag || l_linestatus || CAST(l_linenumber AS VARCHAR)
+                       AS join_key,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1
+        """,
+        "f_case_sort_keys": """
+            SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 1 ELSE 2 END
+                       AS sort_priority,
+                   CASE WHEN o_totalprice < 100000 THEN 'low'
+                        WHEN o_totalprice < 300000 THEN 'mid'
+                        ELSE 'high' END AS price_band,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "j1_left_join_const": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   count(c_custkey) AS n_building
+            FROM orders
+            LEFT JOIN customer
+              ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+            GROUP BY o_orderpriority
+        """,
+        "a1_groupby_all_max": """
+            SELECT c_mktsegment, c_nationkey, max(c_acctbal) AS max_acctbal
+            FROM customer GROUP BY ALL
+        """,
+        "a2_count_per_group": """
+            SELECT s_nationkey, count(*) AS rank_base
+            FROM supplier WHERE s_acctbal IS NOT NULL
+            GROUP BY s_nationkey
+        """,
+        "a3_minmax_benchmark": """
+            SELECT o_orderpriority, max(o_totalprice) AS best,
+                   min(o_totalprice) AS worst
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "a4_percentile_disc": """
+            SELECT o_orderpriority,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+                   percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "w1_rank_window": """
+            SELECT s_suppkey, s_nationkey, s_acctbal,
+                   RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+                       AS rank_val
+            FROM supplier
+        """,
+        "u1_union_best_scaffold": """
+            SELECT c_name AS area_name, c_mktsegment, c_acctbal,
+                   FALSE AS is_synthetic, c_custkey AS source_id
+            FROM customer WHERE c_nationkey = 1
+            UNION ALL
+            SELECT 'Best Other Customer' AS area_name, c_mktsegment,
+                   max(c_acctbal) AS c_acctbal, TRUE AS is_synthetic,
+                   NULL AS source_id
+            FROM customer WHERE c_nationkey != 1
+            GROUP BY c_mktsegment
+        """,
+        "u3_row_duplication": f"""
+            WITH unioned AS (
+                SELECT event_type, value FROM events
+                UNION ALL
+                SELECT 'purchase_all' AS event_type, value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT event_type, count(*) AS n_events,
+                   {_MONEY_SQL.format(x='value')} AS total_value
+            FROM unioned GROUP BY event_type
+        """,
+        "r1_unpivot": f"""
+            WITH long AS (
+                SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+                UNION ALL
+                SELECT 'l_discount' AS metric, l_discount AS val FROM lineitem
+            )
+            SELECT metric, count(*) AS n_vals,
+                   {_MONEY_SQL.format(x='val')} AS total
+            FROM long GROUP BY metric
+        """,
+        "r2_pivot_sum": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'O'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0
+                       AS status_o,
+                   sum(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0
+                       AS status_f,
+                   sum(CASE WHEN o_orderstatus = 'P'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0
+                       AS status_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "benchmark_standards": f"""
+            WITH per_nation AS (
+                SELECT o_orderpriority, c_nationkey,
+                       {_MONEY_SQL.format(x='o_totalprice')} AS nation_total
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY o_orderpriority, c_nationkey
+            )
+            SELECT o_orderpriority,
+                   max(nation_total) AS best,
+                   min(nation_total) AS worst,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY nation_total) AS q1,
+                   percentile_disc(0.5)  WITHIN GROUP (ORDER BY nation_total) AS q2,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY nation_total) AS q3
+            FROM per_nation GROUP BY o_orderpriority
+        """,
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_MONEY_SQL.format(x='l_quantity')} AS sum_qty,
+                   {_MONEY_SQL.format(x='l_extendedprice')} AS sum_base_price,
+                   {_MONEY_SQL.format(x='l_extendedprice * (1 - l_discount)')}
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": f"""
+            SELECT r_name, n_name,
+                   {_MONEY_SQL.format(x='l_extendedprice * (1 - l_discount)')}
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "supplier_rank_quartile": _SUPPLIER_RANK_SQL,
+        "events_tumbling": f"""
+            SELECT date_trunc('day', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   {_MONEY_SQL.format(x='value')} AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id,
+                   count(*) AS dupe_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash": f"""
+            SELECT doc_id,
+        {minhash_cols}
+            FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+                SELECT doc_id, lang,
+                       list_distinct(
+                           list_transform(
+                               generate_series(1, greatest(
+                                   len(string_split(text, ' ')) - 2, 1)),
+                               i -> concat_ws(' ',
+                                   string_split(text, ' ')[i],
+                                   string_split(text, ' ')[i + 1],
+                                   string_split(text, ' ')[i + 2])
+                           )
+                       ) AS g
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE
+                         / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE,
+                         6) AS jaccard
+            FROM grams a JOIN grams b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.g, b.g))::DOUBLE
+                        / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE,
+                        6) >= 0.05
+        """,
+        "ann_brute_force": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                           AS cosine
+                FROM embeddings e JOIN q ON e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id)
+                           AS rank_val
+                FROM scored
+            )
+            SELECT * FROM ranked WHERE rank_val <= 5
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                       AS n_distinct_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+                   round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                         / len(string_split(text, ' '))::DOUBLE, 6)
+                       AS mean_token_len
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split(text, ' '))::DOUBLE AS n_tokens,
+                       len(list_filter(string_split(text, ' '),
+                           x -> x IN {_STOPWORDS_SQL}))::DOUBLE AS stop_hits,
+                       len(list_distinct(string_split(text, ' ')))::DOUBLE
+                           AS n_distinct
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(stop_hits / n_tokens, 6) AS stopword_ratio,
+                   round(n_distinct / n_tokens, 6) AS token_diversity,
+                   round((least(stop_hits / n_tokens * 5, 1.0)
+                          + n_distinct / n_tokens
+                          + CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                                 THEN 1.0 ELSE 0.5 END) / 3, 6) AS quality
+            FROM t
+        """,
+        "lang_id": _lang_id_sql(),
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS md5_fingerprint FROM documents
+        """,
+    }

@@ -1,0 +1,76 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collection). One warmup of a trivial action first so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from cancer_survival_etl_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "supplier_rank_quartile",
+    "a4_percentile_disc",
+    "w1_rank_window",
+    "r2_pivot_sum",
+    "benchmark_standards",
+    "events_tumbling",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "ann_brute_force",
+    "text_quality",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warmup: touch the fact table so first-query numbers are query cost,
+    # not JVM spin-up
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

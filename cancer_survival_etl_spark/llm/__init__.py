@@ -1,0 +1,32 @@
+"""LLM training-data pipeline operators (beyond-reference extensions).
+
+Designed for 100 TB corpora: everything is expression-level (JVM,
+codegen) or Arrow-batched; nothing collects to the driver. Determinism
+everywhere — hashes are md5-based so results are reproducible across
+engines and runs (and oracle-checkable in DuckDB).
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    near_dup_buckets,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import brute_force_topk, lsh_bucketed_topk, normalize_embeddings
+from .textstats import doc_fingerprint, language_guess, quality_score, token_stats
+
+__all__ = [
+    "brute_force_topk",
+    "doc_fingerprint",
+    "exact_dedup",
+    "language_guess",
+    "lsh_bucketed_topk",
+    "minhash_signatures",
+    "near_dup_buckets",
+    "ngram_jaccard_pairs",
+    "normalize_embeddings",
+    "quality_score",
+    "simhash",
+    "token_stats",
+]

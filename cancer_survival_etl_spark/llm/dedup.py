@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, MinHash/LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+- exact:   one hash-shuffle on a 16-byte digest (never on the raw text).
+- minhash: signatures are per-row expressions (no shuffle); banding turns
+  the quadratic pair problem into a groupBy on band keys — only
+  same-bucket candidates ever meet.
+- simhash: per-row 64-bit fingerprint; near-dup = same fingerprint (or
+  small Hamming distance within buckets).
+- n-gram Jaccard: exact verification for candidate pairs out of LSH —
+  array intersection/union, JVM-side.
+
+Determinism: every hash is md5 (content-derived) — reproducible across
+runs, partitionings, and engines (DuckDB md5 matches for oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact text — hash-groupBy dedup.
+
+    The shuffle key is md5(text): constant-width, skew-free, and the
+    comparison never moves full documents. Returns (id, fingerprint,
+    dupe_count) for the kept representative of every distinct text.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dupe_count"),
+        )
+    )
+
+
+def char_shingles(text_col: str, k: int = 5) -> Column:
+    """All k-char shingles of a string as an array (positional, overlapping)."""
+    c = F.col(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature over character shingles.
+
+    hash_i(doc) = min over shingles of md5(i ∥ shingle) — i.e. ``num_hashes``
+    independent permutation approximations, all computed in one pass as
+    pure expressions (no UDF, no shuffle). Docs sharing any hash_i agree
+    on a uniformly-random shingle ⇒ P(match) ≈ Jaccard similarity.
+    """
+    shingles = char_shingles(text_col, shingle_k)
+
+    # nb: unary lambda required — a second (defaulted) parameter would be
+    # bound to F.transform's array-index argument.
+    def seeded_md5(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    sig_cols = [
+        F.array_min(F.transform(shingles, seeded_md5(i))).alias(f"minhash_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def near_dup_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: group docs whose signature agrees on ALL hashes of any
+    band. Returns (band, band_key, ids, bucket_size) for buckets with >1 doc
+    — the candidate near-duplicate sets.
+
+    Scale: one shuffle keyed on (band, 16-byte band digest); bucket sizes
+    are the only quadratic surface and are bounded by tuning bands×rows.
+    """
+    hash_cols = [c for c in sigs.columns if c.startswith("minhash_")]
+    assert len(hash_cols) >= bands * rows_per_band, "not enough hashes for banding"
+    band_frames = []
+    for b in range(bands):
+        cols = hash_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_frames.append(
+            sigs.select(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                F.col(id_col),
+            )
+        )
+    stacked = band_frames[0]
+    for bf in band_frames[1:]:
+        stacked = stacked.unionByName(bf)
+    return (
+        stacked.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("bucket_size"),
+        )
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity for document pairs.
+
+    Inverted-index plan (the scalable shape): explode distinct n-grams,
+    self-equi-join on (block, gram) so only pairs sharing ≥1 gram are ever
+    materialized, count shared grams per pair, then
+    ``J = shared / (|A| + |B| - shared)``. Identical results to all-pairs
+    Jaccard for any threshold > 0 (zero-overlap pairs have J = 0), but the
+    work is proportional to posting-list sizes, not block².
+
+    ``block_col`` (e.g. lang/source) additionally partitions the join key
+    — at corpus scale combine with a stopgram cut (drop ultra-frequent
+    grams) to bound the hottest posting lists.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    block = F.col(block_col) if block_col else F.lit(1)
+    base = df.select(
+        block.alias("_block"),
+        F.col(id_col),
+        grams.alias("_grams"),
+        F.size(grams).alias("_ng"),
+    )
+    postings = base.select(
+        "_block", id_col, "_ng", F.explode("_grams").alias("_gram")
+    )
+    a = postings.select(
+        "_block",
+        "_gram",
+        F.col(id_col).alias("id_a"),
+        F.col("_ng").alias("_na"),
+    )
+    b = postings.select(
+        "_block",
+        "_gram",
+        F.col(id_col).alias("id_b"),
+        F.col("_ng").alias("_nb"),
+    )
+    shared = (
+        a.join(b, ["_block", "_gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    jaccard = F.col("_shared").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_shared")
+    ).cast("double")
+    return (
+        shared.select("id_a", "id_b", F.round(jaccard, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash fingerprint from whitespace tokens.
+
+    Each token votes ±1 on ``bits`` positions using bits of
+    md5(token); the fingerprint's bit b is 1 iff the sum is positive.
+    Near-duplicates share fingerprints (or differ in few bits). Pure
+    expressions: explode → two shuffle-free maps + one groupBy(id).
+
+    32 bits keeps the bit-extraction in cheap integer ops (md5 prefix →
+    conv to bigint); extendable by fingerprinting two md5 halves.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    # 32-bit token hash from the md5 hex prefix.
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+    votes = tokens.select(
+        F.col(id_col),
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{b}")
+            for b in range(bits)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(
+        *[F.sum(f"_b{b}").alias(f"_s{b}") for b in range(bits)]
+    )
+    fingerprint = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_s{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(2**b).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,166 @@
+"""Tests for the LLM-pipeline extension operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.llm.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    near_dup_buckets,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cancer_survival_etl_spark.llm.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample,
+)
+from cancer_survival_etl_spark.llm.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    normalize_embeddings,
+)
+from cancer_survival_etl_spark.llm.textstats import (
+    doc_fingerprint,
+    language_guess,
+    quality_score,
+    token_stats,
+)
+
+import pytest
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),       # near dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "le chat et le chien et la maison"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "text", "doc_id").toPandas()
+    assert len(out) == 4  # 5 docs, one exact pair
+    dup = out[out["dupe_count"] == 2]
+    assert len(dup) == 1 and dup.iloc[0]["doc_id"] == 0  # min id kept
+
+
+def test_minhash_identical_docs_share_signatures(docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8).toPandas()
+    s = sigs.set_index("doc_id")
+    assert (s.loc[0] == s.loc[1]).all()  # exact dups → identical sigs
+    shared02 = (s.loc[0] == s.loc[2]).sum()
+    shared03 = (s.loc[0] == s.loc[3]).sum()
+    assert shared02 > shared03  # near-dup shares more than unrelated
+
+
+def test_near_dup_buckets(spark, docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    buckets = near_dup_buckets(sigs, "doc_id", bands=4, rows_per_band=2).toPandas()
+    # docs 0 and 1 must co-bucket in every band; 0/2 in at least one
+    pairs = set()
+    for ids in buckets["ids"]:
+        ids = list(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_ngram_jaccard(docs):
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    pdf = out.toPandas().set_index(["id_a", "id_b"])
+    assert pdf.loc[(0, 1), "jaccard"] == 1.0
+    assert 0.3 <= pdf.loc[(0, 2), "jaccard"] < 1.0
+    assert (0, 3) not in pdf.index
+
+
+def test_simhash(docs):
+    out = simhash(docs, "text", "doc_id", bits=32).toPandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    h02 = bin(int(out.loc[0, "simhash"]) ^ int(out.loc[2, "simhash"])).count("1")
+    h03 = bin(int(out.loc[0, "simhash"]) ^ int(out.loc[3, "simhash"])).count("1")
+    assert h02 < h03  # near dup closer in Hamming space
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_topk(emb, emb.filter("vec_id = 0"), k=3).toPandas()
+    assert list(out.sort_values("rank_val")["neighbor_id"]) == [1, 2, 3]
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=5).toPandas()
+    approx = lsh_bucketed_topk(emb, q, k=5, num_planes=4, num_tables=4).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_normalize_embeddings(spark):
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = normalize_embeddings(emb).collect()[0]["embedding"]
+    assert abs(out[0] - 0.6) < 1e-12 and abs(out[1] - 0.8) < 1e-12
+
+
+def test_token_stats_and_quality(docs):
+    ts = token_stats(docs).toPandas().set_index("doc_id")
+    assert ts.loc[0, "n_tokens"] == 9
+    assert ts.loc[0, "n_distinct_tokens"] == 8  # 'the' twice
+    qs = quality_score(docs).toPandas()
+    assert ((qs["quality"] >= 0) & (qs["quality"] <= 1)).all()
+
+
+def test_language_guess(docs):
+    out = language_guess(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_guess"] == "en"
+    assert out.loc[4, "lang_guess"] == "fr"
+
+
+def test_doc_fingerprint_deterministic(docs):
+    a = doc_fingerprint(docs).toPandas().set_index("doc_id")
+    b = doc_fingerprint(docs).toPandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(a, b)
+    assert a.loc[0, "md5_fingerprint"] == a.loc[1, "md5_fingerprint"]
+    assert a.loc[0, "rolling_hash"] == a.loc[1, "rolling_hash"]
+    assert a.loc[0, "rolling_hash"] != a.loc[3, "rolling_hash"]
+
+
+def test_multimodal_decode_plumbing(docs):
+    payloads = attach_binary_payload(docs, "text", "doc_id")
+    feats = decode_features(payloads).toPandas().set_index("item_id")
+    assert len(feats) == len(DOCS)
+    assert feats.loc[0, "checksum"] == feats.loc[1, "checksum"]
+    assert feats.loc[0, "n_bytes"] == len(DOCS[0][1])
+    assert len(feats.loc[0, "feature"]) == 8
+    # real decode is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_features(payloads, real_decode=True)
+
+
+def test_frame_sample_expansion(docs):
+    payloads = attach_binary_payload(docs, "text", "doc_id")
+    frames = frame_sample(payloads, every_n_bytes=16).toPandas()
+    d0 = frames[frames["item_id"] == 0]
+    expected = (len(DOCS[0][1]) + 15) // 16
+    assert len(d0) == expected
+    assert list(d0["frame_no"]) == list(range(expected))

@@ -1,0 +1,68 @@
+"""Batch-shape tests for the streaming window operators, plus a real
+Structured Streaming run of the same plan."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.sources.catalog import load_table
+from cancer_survival_etl_spark.streaming.windows import (
+    sessionize,
+    sliding_counts,
+    tumbling_agg,
+)
+
+
+def test_tumbling_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(e, "1 day").toPandas()
+    total = out["n_events"].sum()
+    assert total == e.count()
+    # every window start is midnight UTC
+    assert (pd.to_datetime(out["window_start"]).dt.hour == 0).all()
+
+
+def test_sliding_counts_double_count(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    tumb = tumbling_agg(e, "1 day").toPandas()["n_events"].sum()
+    slid = sliding_counts(e, "2 days", "1 day").toPandas()["n_events"].sum()
+    assert slid == 2 * tumb  # each event lands in exactly 2 sliding buckets
+
+
+def test_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, gap="30 minutes").toPandas()
+    assert s["n_events"].sum() == e.count()
+    assert (s["session_end"] > s["session_start"]).all()
+
+
+def test_streaming_plan_runs(spark, sf_dir, tmp_path):
+    """The SAME tumbling_agg body on a readStream source — proves the
+    batch/streaming unification claim."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+    )
+    # rate source: map to events shape, run one micro-batch to memory sink
+    shaped = stream.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 5).cast("string").alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )
+    agg = tumbling_agg(shaped, "1 minute", watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumb_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # append mode emits only closed windows; the run completing without
+    # error is the contract under test
+    assert spark.sql("SELECT * FROM tumb_test").columns == [
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+    ]
