@@ -24,7 +24,11 @@ from cancer_survival_etl_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from cancer_survival_etl_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk
+from cancer_survival_etl_spark.llm.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from cancer_survival_etl_spark.llm.textstats import (
     doc_fingerprint,
     language_guess,
@@ -590,6 +594,14 @@ def q_ann_brute_force(spark, sf_dir):
     return brute_force_topk(e, queries, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF cell-pruned cosine top-5: deterministic seed centroids, probe
+    the 2 nearest cells — the partition-pruned ANN shape."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, queries, k=5, n_centroids=8, nprobe=2)
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate cosine top-5 (rows-only: bucket membership
     is engine-internal)."""
@@ -683,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -727,10 +740,14 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # hash_i = min over 5-char shingles of hex slice i of md5(shingle)
+    # (one digest feeds four 32-bit hash functions — mirrors
+    # llm.dedup.minhash_signatures exactly).
     minhash_cols = ",\n        ".join(
         f"list_min(list_transform("
         f"generate_series(1, greatest(length(text) - 4, 1)), "
-        f"i -> md5('{i}|' || substring(text, i, 5)))) AS minhash_{i}"
+        f"i -> substring(md5(substring(text, i, 5)), {i * 8 + 1}, 8))) "
+        f"AS minhash_{i}"
         for i in range(4)
     )
     return {
@@ -964,6 +981,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT * FROM ranked WHERE rank_val <= 5
+        """,
+        "ann_ivf": """
+            WITH cen AS (
+                SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            corpus_assign AS (
+                SELECT neighbor_id, nv, centroid_id FROM (
+                    SELECT e.vec_id AS neighbor_id,
+                           e.embedding::DOUBLE[] AS nv, cen.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_cosine_similarity(
+                                   e.embedding::DOUBLE[], cen.cv), 6) DESC,
+                                   cen.centroid_id) AS r
+                    FROM embeddings e CROSS JOIN cen
+                ) t WHERE r = 1
+            ),
+            probes AS (
+                SELECT query_id, qv, centroid_id FROM (
+                    SELECT q.vec_id AS query_id,
+                           q.embedding::DOUBLE[] AS qv, cen.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(list_cosine_similarity(
+                                   q.embedding::DOUBLE[], cen.cv), 6) DESC,
+                                   cen.centroid_id) AS r
+                    FROM embeddings q CROSS JOIN cen WHERE q.vec_id < 5
+                ) t WHERE r <= 2
+            ),
+            scored AS (
+                SELECT DISTINCT p.query_id, c.neighbor_id,
+                       round(list_cosine_similarity(c.nv, p.qv), 6) AS cosine
+                FROM corpus_assign c JOIN probes p USING (centroid_id)
+                WHERE p.query_id != c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank_val FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id)
+                           AS rank_val
+                FROM scored
+            ) t WHERE rank_val <= 5
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -13,13 +13,19 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import brute_force_topk, lsh_bucketed_topk, normalize_embeddings
+from .similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+    normalize_embeddings,
+)
 from .textstats import doc_fingerprint, language_guess, quality_score, token_stats
 
 __all__ = [
     "brute_force_topk",
     "doc_fingerprint",
     "exact_dedup",
+    "ivf_topk",
     "language_guess",
     "lsh_bucketed_topk",
     "minhash_signatures",

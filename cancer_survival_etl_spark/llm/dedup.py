@@ -55,23 +55,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature over character shingles.
 
-    hash_i(doc) = min over shingles of md5(i ∥ shingle) — i.e. ``num_hashes``
-    independent permutation approximations, all computed in one pass as
-    pure expressions (no UDF, no shuffle). Docs sharing any hash_i agree
-    on a uniformly-random shingle ⇒ P(match) ≈ Jaccard similarity.
+    hash_i(doc) = min over shingles of an 8-hex-char slice of
+    md5(seed ∥ shingle): one md5 digest yields FOUR independent 32-bit
+    hash functions (hex slices), so ``num_hashes`` hashes cost
+    ``ceil(num_hashes / 4)`` digests per shingle — the md5 is the hot
+    loop at corpus scale. All pure expressions (no UDF, no shuffle);
+    docs agreeing on hash_i share a uniformly-random shingle ⇒
+    P(match) ≈ Jaccard similarity.
     """
     shingles = char_shingles(text_col, shingle_k)
 
-    # nb: unary lambda required — a second (defaulted) parameter would be
+    # Materialize one md5 array per seed group as a named intermediate
+    # column, then slice it four ways. The multi-referenced non-cheap
+    # alias stops Catalyst's CollapseProject from inlining (and hence
+    # re-evaluating) the digest array per signature column.
+    # nb: unary lambdas required — a second (defaulted) parameter would be
     # bound to F.transform's array-index argument.
-    def seeded_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+    def digest_array(seed: int):
+        if seed == 0:
+            return F.transform(shingles, lambda s: F.md5(s))
+        return F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+        )
 
+    def hex_slice(part: int):
+        return lambda h: F.substring(h, part * 8 + 1, 8)
+
+    n_groups = (num_hashes + 3) // 4
+    staged = df.select(
+        F.col(id_col),
+        *[digest_array(g).alias(f"_digests_{g}") for g in range(n_groups)],
+    )
     sig_cols = [
-        F.array_min(F.transform(shingles, seeded_md5(i))).alias(f"minhash_{i}")
+        F.array_min(
+            F.transform(F.col(f"_digests_{i // 4}"), hex_slice(i % 4))
+        ).alias(f"minhash_{i}")
         for i in range(num_hashes)
     ]
-    return df.select(F.col(id_col), *sig_cols)
+    return staged.select(F.col(id_col), *sig_cols)
 
 
 def near_dup_buckets(

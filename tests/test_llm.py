@@ -19,6 +19,7 @@ from cancer_survival_etl_spark.llm.multimodal import (
 )
 from cancer_survival_etl_spark.llm.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
     normalize_embeddings,
 )
@@ -112,6 +113,22 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=5).toPandas()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # every IVF hit's cosine must agree with the exact scores
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_ivf", "_bf")
+    )
+    assert (merged["cosine_ivf"] == merged["cosine_bf"]).all()
 
 
 def test_normalize_embeddings(spark):

@@ -1,0 +1,104 @@
+"""Tests for sources: catalog, sinks, file routing, excel shim."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.sources.catalog import (
+    TPCH_TABLES,
+    load_table,
+    load_tables,
+    register_views,
+)
+from cancer_survival_etl_spark.sources.excel import pandas_to_df
+from cancer_survival_etl_spark.sources.files import list_data_files, route_by_prefix
+from cancer_survival_etl_spark.sources.sinks import overwrite_table, stamp_audit
+
+
+def test_load_tables_all_present(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == set(TPCH_TABLES)
+    for name, df in tables.items():
+        assert df.count() > 0, name
+
+
+def test_events_nanos_to_timestamp(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"].startswith("timestamp")
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    register_views(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n > 0
+
+
+def test_overwrite_table_stamps_and_partitions(spark, sf_dir, tmp_path):
+    """S9 truncate-and-replace sink + S11 audit stamp + partition layout."""
+    out = str(tmp_path / "dest")
+    src = load_table(spark, sf_dir, "nation")
+    overwrite_table(src, out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert "_TIMESTAMP" in back.columns
+    assert back.filter(F.col("_TIMESTAMP").isNull()).count() == 0
+    # hive-style partition dirs on the analytical key
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
+    # truncate-and-replace: second write replaces, not appends
+    overwrite_table(src.limit(3), out)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_pandas_to_df_nan_becomes_null(spark):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1.0, np.nan], "b": ["x", None]})
+    df = pandas_to_df(spark, pdf)
+    rows = df.orderBy("b").collect()
+    # NaN/None → real Spark NULLs, never the string "null"
+    # (reference: src/utils/database_util.py:30)
+    assert rows[0].a is None or rows[1].a is None
+    assert {r.b for r in rows} == {"x", None}
+
+
+def test_list_and_route_files(tmp_path):
+    for name in ["Index_2020.xlsx", "adult_2016_2020.xlsx", "readme.txt", "other.xlsx"]:
+        (tmp_path / name).write_text("x")
+    files = list_data_files(str(tmp_path))
+    assert [os.path.basename(f) for f in files] == [
+        "Index_2020.xlsx",
+        "adult_2016_2020.xlsx",
+        "other.xlsx",
+    ]
+    skipped = []
+    routed = route_by_prefix(
+        files,
+        {"Index": lambda p: "index", "adult": lambda p: "adult"},
+        on_unmatched=skipped.append,
+    )
+    assert [(os.path.basename(p), r) for p, r in routed] == [
+        ("Index_2020.xlsx", "index"),
+        ("adult_2016_2020.xlsx", "adult"),
+    ]
+    assert [os.path.basename(s) for s in skipped] == ["other.xlsx"]
+
+
+def test_excel_shim_without_engine(spark, tmp_path):
+    """Without an Excel engine the shim must fail with the documented
+    NotImplementedError, not an obscure pandas ImportError."""
+    from cancer_survival_etl_spark.sources.excel import excel_sheet_to_df
+
+    fake = tmp_path / "book.xlsx"
+    fake.write_bytes(b"not really a workbook")
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl available; shim exercises the real path")
+    except ImportError:
+        pass
+    with pytest.raises((NotImplementedError, ValueError)):
+        excel_sheet_to_df(spark, str(fake), "Table 5", skiprows=10)
