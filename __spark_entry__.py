@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from cancer_survival_etl_spark.functions.keys import concat_key, quartile_bucket, sort_key
 from cancer_survival_etl_spark.functions.text import null_keeping_neq
 from cancer_survival_etl_spark.llm.dedup import (
+    embedding_cosine_pairs,
     exact_dedup,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -39,7 +40,14 @@ from cancer_survival_etl_spark.operators.filters import not_all_of
 from cancer_survival_etl_spark.operators.percentile import percentile_disc_by
 from cancer_survival_etl_spark.operators.rank import rank_quartile
 from cancer_survival_etl_spark.operators.reshape import melt
+from cancer_survival_etl_spark.operators.skew import salted_agg, salted_join
 from cancer_survival_etl_spark.operators.union import duplicate_rows_as, union_stack
+from cancer_survival_etl_spark.operators.windows import (
+    lag_delta,
+    ntile_bucket,
+    running_sum,
+    topk_per_group,
+)
 from cancer_survival_etl_spark.sources.catalog import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -520,6 +528,97 @@ def q_supplier_rank_quartile(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# General window analytics + skew mitigation (beyond-reference)
+# --------------------------------------------------------------------------
+
+def q_win_lag_delta(spark, sf_dir):
+    """LAG delta per user over event time (operators.windows.lag_delta);
+    (ts, event_id) is a total order so the delta is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    d = lag_delta(e, ["user_id"], ["ts", "event_id"], "value", alias="_raw_delta")
+    return d.select(
+        "event_id", "user_id", F.round("_raw_delta", 6).alias("delta")
+    )
+
+
+def q_win_running_sum(spark, sf_dir):
+    """Cumulative customer spend over order history — exact-cents so the
+    prefix sums hash-match cross-engine."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    r = running_sum(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], "_cents", "_run_cents"
+    )
+    return r.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("_run_cents") / 100.0).alias("running_total"),
+    )
+
+
+def q_win_topk(spark, sf_dir):
+    """Top-3 order-price tiers per priority via dense_rank (ties kept →
+    deterministic as a set; the scalable per-group ORDER BY + LIMIT)."""
+    o = _t(spark, sf_dir, "orders")
+    top = topk_per_group(
+        o, ["o_orderpriority"], F.col("o_totalprice").desc(), k=3
+    )
+    return top.select("o_orderkey", "o_orderpriority", "o_totalprice", "rank_val")
+
+
+def q_win_ntile(spark, sf_dir):
+    """NTILE(4) account-balance quartiles per nation (s_suppkey breaks
+    ties → deterministic)."""
+    s = _t(spark, sf_dir, "supplier")
+    b = ntile_bucket(s, ["s_nationkey"], ["s_acctbal", "s_suppkey"], 4)
+    return b.select("s_suppkey", "s_nationkey", "s_acctbal", "bucket")
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation on the 3-value l_returnflag key (a
+    deliberately hot key) — must equal the direct groupBy the oracle runs."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_qty_cents", F.round(F.col("l_quantity") * 100).cast("long")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "_sum_cents": ("_qty_cents", "sum"),
+            "n_rows": ("_qty_cents", "count"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        (F.col("_sum_cents") / 100.0).alias("sum_qty"),
+        "n_rows",
+        "max_qty",
+    )
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Salted fact↔dim equi-join (the broadcast-ineligible skew shape),
+    re-aggregated to revenue per nation — must equal the plain join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("_rev_cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        (F.sum("_rev_cents") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming-shaped event analytics (beyond-reference)
 # --------------------------------------------------------------------------
 
@@ -585,6 +684,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.05, block_col="lang"
     )
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at threshold 0.35 (the synthetic
+    embeddings top out ~0.51 pairwise cosine, so 0.35 keeps a real tail).
+    Rounded-then-thresholded so the pair set is engine-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.35)
 
 
 def q_ann_brute_force(spark, sf_dir):
@@ -688,11 +795,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "supplier_rank_quartile": q_supplier_rank_quartile,
+        "win_lag_delta": q_win_lag_delta,
+        "win_running_sum": q_win_running_sum,
+        "win_topk": q_win_topk,
+        "win_ntile": q_win_ntile,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
@@ -921,6 +1035,58 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, n_name
         """,
         "supplier_rank_quartile": _SUPPLIER_RANK_SQL,
+        "win_lag_delta": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+            FROM events
+        """,
+        "win_running_sum": """
+            SELECT o_orderkey, o_custkey,
+                   sum(cast(round(o_totalprice * 100) as bigint)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) / 100.0 AS running_total
+            FROM orders
+        """,
+        "win_topk": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice, rank_val FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       dense_rank() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC) AS rank_val
+                FROM orders
+            ) t WHERE rank_val <= 3
+        """,
+        "win_ntile": """
+            SELECT s_suppkey, s_nationkey, s_acctbal,
+                   ntile(4) OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal, s_suppkey) AS bucket
+            FROM supplier
+        """,
+        "skew_salted_agg": """
+            SELECT l_returnflag,
+                   sum(cast(round(l_quantity * 100) as bigint)) / 100.0 AS sum_qty,
+                   count(*) AS n_rows,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "skew_salted_join": f"""
+            SELECT s_nationkey,
+                   {_MONEY_SQL.format(x='l_extendedprice * (1 - l_discount)')}
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        """,
         "events_tumbling": f"""
             SELECT date_trunc('day', ts) AS window_start, event_type,
                    count(*) AS n_events,

@@ -235,3 +235,50 @@ def simhash(
         term = bit * F.lit(2**b).cast("long")
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    every pair with round(cosine, 6) >= threshold and id_a < id_b.
+
+    JVM-side arithmetic throughout (zip_with + aggregate folds — no
+    Python in the hot path). Rounded to 6 decimals BEFORE thresholding
+    so cross-engine float noise can't flip a pair in or out.
+
+    Scale path: the bare form is a quadratic self-join — fine for a
+    blocked partition, wrong for a whole 100 TB corpus. Pass
+    ``block_col`` (e.g. an LSH hyperplane bucket from
+    similarity.hyperplane_bucket, an IVF cell, or a shard key) to make
+    the join equi- on the block, which Spark executes as a shuffle
+    hash/sort-merge join per block instead of a broadcast-nested-loop
+    over everything.
+    """
+    from cancer_survival_etl_spark.llm.similarity import _dot, _norm
+
+    blocks = [block_col] if block_col else []
+    a = df.select(
+        *blocks,
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = df.select(
+        *blocks,
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    pairs = a.join(b, on=blocks, how="inner").filter(cond) if blocks else a.join(b, cond)
+    cosine = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        6,
+    )
+    return (
+        pairs.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

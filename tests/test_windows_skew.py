@@ -1,0 +1,156 @@
+"""Window analytics (operators.windows) and skew mitigation
+(operators.skew): semantic pins against hand-computed expectations and
+direct-plan equivalence (salted == unsalted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.llm.dedup import embedding_cosine_pairs
+from cancer_survival_etl_spark.operators.skew import salted_agg, salted_join
+from cancer_survival_etl_spark.operators.windows import (
+    lag_delta,
+    ntile_bucket,
+    running_sum,
+    topk_per_group,
+)
+
+
+def _seq_df(spark):
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 2, 13.0),
+        ("a", 3, 12.0),
+        ("b", 1, 5.0),
+        ("b", 2, 5.0),
+    ]
+    return spark.createDataFrame(rows, ["grp", "seq", "val"])
+
+
+def test_lag_delta_first_row_null(spark):
+    out = {
+        (r["grp"], r["seq"]): r["delta"]
+        for r in lag_delta(_seq_df(spark), ["grp"], ["seq"], "val").collect()
+    }
+    assert out[("a", 1)] is None
+    assert out[("a", 2)] == 3.0
+    assert out[("a", 3)] == -1.0
+    assert out[("b", 2)] == 0.0
+
+
+def test_running_sum_is_prefix_sum(spark):
+    out = {
+        (r["grp"], r["seq"]): r["running_total"]
+        for r in running_sum(_seq_df(spark), ["grp"], ["seq"], "val").collect()
+    }
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 3)] == 35.0
+    assert out[("b", 2)] == 10.0
+
+
+def test_topk_dense_rank_keeps_ties(spark):
+    rows = [("g", i, v) for i, v in enumerate([9.0, 9.0, 7.0, 5.0, 1.0])]
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    top = topk_per_group(df, ["grp"], F.col("score").desc(), k=2).collect()
+    # both 9.0s are rank 1, the 7.0 is rank 2 → 3 rows for k=2
+    assert sorted(r["score"] for r in top) == [7.0, 9.0, 9.0]
+
+    exact = topk_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id")], k=2,
+        rank_fn=F.row_number,
+    ).collect()
+    assert sorted((r["score"], r["id"]) for r in exact) == [(9.0, 0), (9.0, 1)]
+
+
+def test_ntile_bucket_sizes(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(10)], ["grp", "id", "v"]
+    )
+    out = ntile_bucket(df, ["grp"], ["v", "id"], 4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    # 10 rows into 4 tiles → 3,3,2,2 with the larger tiles first
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+    # ordering respected: bucket 1 holds the smallest values
+    b1 = sorted(r["v"] for r in out if r["bucket"] == 1)
+    assert b1 == [0.0, 1.0, 2.0]
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "total": ("l_quantity", "sum"),
+            "n": ("l_quantity", "count"),
+            "lo": ("l_quantity", "min"),
+            "hi": ("l_quantity", "max"),
+        },
+        salt_buckets=4,
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total"),
+        F.count("l_quantity").alias("n"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+    )
+    s = {r["l_returnflag"]: r for r in salted.collect()}
+    d = {r["l_returnflag"]: r for r in direct.collect()}
+    assert s.keys() == d.keys()
+    for k in d:
+        assert s[k]["n"] == d[k]["n"]
+        assert s[k]["lo"] == d[k]["lo"]
+        assert s[k]["hi"] == d[k]["hi"]
+        assert abs(s[k]["total"] - d[k]["total"]) < 1e-6
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    salted = (
+        salted_join(li, sup, "suppkey", salt_buckets=4)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plain = (
+        li.join(sup, "suppkey")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r["s_nationkey"], r["n"]) for r in salted.collect()} == {
+        (r["s_nationkey"], r["n"]) for r in plain.collect()
+    }
+
+
+def test_embedding_cosine_pairs_semantics(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),      # identical to 0 → cosine 1.0
+        (2, [0.0, 1.0]),      # orthogonal to 0/1 → cosine 0.0
+        (3, [1.0, 1.0]),      # cos 0.707107 vs 0/1/2
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(df, threshold=0.5).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 3)] == got[(1, 3)] == got[(2, 3)] == 0.707107
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_embedding_cosine_pairs_blocked_only_within_block(spark):
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [1.0, 0.0], "x"),
+        (2, [1.0, 0.0], "y"),  # identical but different block → never paired
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "blk"])
+    got = embedding_cosine_pairs(df, threshold=0.5, block_col="blk").collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
