@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cancer_survival_etl_spark.operators.partitioning import fan_out
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact text — hash-groupBy dedup.
@@ -82,7 +84,7 @@ def minhash_signatures(
         return lambda h: F.substring(h, part * 8 + 1, 8)
 
     n_groups = (num_hashes + 3) // 4
-    staged = df.select(
+    staged = fan_out(df).select(
         F.col(id_col),
         *[digest_array(g).alias(f"_digests_{g}") for g in range(n_groups)],
     )
@@ -164,7 +166,7 @@ def ngram_jaccard_pairs(
         )
     )
     block = F.col(block_col) if block_col else F.lit(1)
-    base = df.select(
+    base = fan_out(df).select(
         block.alias("_block"),
         F.col(id_col),
         grams.alias("_grams"),
@@ -213,7 +215,7 @@ def simhash(
     32 bits keeps the bit-extraction in cheap integer ops (md5 prefix →
     conv to bigint); extendable by fingerprinting two md5 halves.
     """
-    tokens = df.select(
+    tokens = fan_out(df).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
     )
@@ -262,6 +264,7 @@ def embedding_cosine_pairs(
     from cancer_survival_etl_spark.llm.similarity import _dot, _norm
 
     blocks = [block_col] if block_col else []
+    df = fan_out(df)
     a = df.select(
         *blocks,
         F.col(id_col).alias("id_a"),

@@ -65,9 +65,13 @@ def decode_features(
     """Arrow-batched decode/feature-extraction over binary payloads.
 
     ``mapInPandas``: executors stream column batches through Python — no
-    row-at-a-time pickling, no driver collection; partition count (and
-    hence decode parallelism) is inherited from the input.
+    row-at-a-time pickling, no driver collection. Decode parallelism is
+    the partition count, so narrow inputs are fanned out first (the
+    Python kernel, not the scan, is the cost at scale).
     """
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    df = fan_out(df)
     if real_decode:
         raise NotImplementedError(
             "real image/audio decode requires codec libraries not present "

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cancer_survival_etl_spark.operators.partitioning import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -58,7 +60,7 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine, rank_val). Excludes
     self-matches. Ties broken by neighbor id for determinism.
     """
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
@@ -131,7 +133,7 @@ def ivf_topk(
             .select(f"{prefix}_id", f"_{prefix}v", "centroid_id")
         )
 
-    cells = assign(corpus, "neighbor", 1)
+    cells = assign(fan_out(corpus), "neighbor", 1)
     probes = assign(queries, "query", nprobe)
     cand = cells.join(F.broadcast(probes), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -220,7 +222,7 @@ def lsh_bucketed_topk(
             out = out.unionByName(fr)
         return out
 
-    cb = with_buckets(corpus, "neighbor")
+    cb = with_buckets(fan_out(corpus), "neighbor")
     qb = with_buckets(queries, "query")
     cand = cb.join(F.broadcast(qb), ["table_id", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -66,3 +66,53 @@ def test_streaming_plan_runs(spark, sf_dir, tmp_path):
         "n_events",
         "sum_value",
     ]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState over a real micro-batch run: final per-user
+    totals must equal the batch groupBy on the same rows."""
+    from cancer_survival_etl_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_batch,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    )
+    shaped = stream.select(
+        (F.col("value") % 3).alias("user_id"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )
+    q = (
+        running_user_totals(shaped)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) AS n_events,
+                  max_by(sum_value, n_events) AS sum_value,
+                  max_by(max_value, n_events) AS max_value
+           FROM stateful_test GROUP BY user_id"""
+    ).toPandas()
+    assert set(out.columns) == {"user_id", "n_events", "sum_value", "max_value"}
+    if len(out):  # rate source produced rows (it always does w/ availableNow>=1s)
+        # rebuild the same input as a batch frame for the analog check
+        total_rows = int(out["n_events"].sum())
+        batch = spark.range(total_rows).select(
+            (F.col("id") % 3).alias("user_id"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+        expect = {
+            r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+            for r in running_user_totals_batch(batch).collect()
+        }
+        got = {
+            int(r.user_id): (int(r.n_events), float(r.sum_value), float(r.max_value))
+            for r in out.itertuples()
+        }
+        assert got == expect
