@@ -619,6 +619,53 @@ def q_skew_salted_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Data quality + sketches (beyond-reference)
+# --------------------------------------------------------------------------
+
+def q_quality_dup_grains(spark, sf_dir):
+    """Grain-violation finder (operators.quality.duplicate_grains) — the
+    executable form of the reference's archive-DDL PRIMARY KEYs."""
+    from cancer_survival_etl_spark.operators.quality import duplicate_grains
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_grains(li, ["l_orderkey"])
+
+
+def q_quality_profile(spark, sf_dir):
+    """Single-pass column profiler (deterministic subset: null counts,
+    min/max, row count — approx_distinct omitted for oracle exactness)."""
+    from cancer_survival_etl_spark.operators.quality import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_quantity", "l_returnflag", "l_linenumber"]).select(
+        "column",
+        "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        "min_value",
+        "max_value",
+        "n_rows",
+    )
+
+
+def q_sketch_approx_distinct(spark, sf_dir):
+    """HLL++ distinct customers per priority (rows-only: HLL estimates
+    are engine-specific by contract; pytest pins the error bound)."""
+    from cancer_survival_etl_spark.operators.sketches import approx_distinct_by
+
+    o = _t(spark, sf_dir, "orders")
+    return approx_distinct_by(o, ["o_orderpriority"], "o_custkey", rsd=0.05)
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Greenwald-Khanna quantiles per status (rows-only: GK picks
+    engine-specific representatives; pytest pins rank error)."""
+    from cancer_survival_etl_spark.operators.sketches import approx_quantiles_by
+
+    o = _t(spark, sf_dir, "orders")
+    return approx_quantiles_by(o, ["o_orderstatus"], "o_totalprice")
+
+
+# --------------------------------------------------------------------------
 # Streaming-shaped event analytics (beyond-reference)
 # --------------------------------------------------------------------------
 
@@ -801,6 +848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_ntile": q_win_ntile,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
+        "quality_dup_grains": q_quality_dup_grains,
+        "quality_profile": q_quality_profile,
+        "sketch_approx_distinct": q_sketch_approx_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
@@ -1035,6 +1086,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, n_name
         """,
         "supplier_rank_quartile": _SUPPLIER_RANK_SQL,
+        "quality_dup_grains": """
+            SELECT l_orderkey, count(*) AS n_rows
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "quality_profile": """
+            SELECT 'l_quantity' AS "column",
+                   count(*) - count(l_quantity) AS n_null,
+                   round((count(*) - count(l_quantity))::DOUBLE / count(*), 6)
+                       AS null_rate,
+                   min(l_quantity)::VARCHAR AS min_value,
+                   max(l_quantity)::VARCHAR AS max_value,
+                   count(*) AS n_rows
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*) - count(l_returnflag),
+                   round((count(*) - count(l_returnflag))::DOUBLE / count(*), 6),
+                   min(l_returnflag), max(l_returnflag), count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', count(*) - count(l_linenumber),
+                   round((count(*) - count(l_linenumber))::DOUBLE / count(*), 6),
+                   min(l_linenumber)::VARCHAR, max(l_linenumber)::VARCHAR,
+                   count(*)
+            FROM lineitem
+        """,
         "win_lag_delta": """
             SELECT event_id, user_id,
                    round(value - lag(value) OVER (

@@ -1,0 +1,83 @@
+"""Data-quality checks: grain uniqueness and column profiling.
+
+The reference's only machine-checkable correctness contracts are the
+archive DDL's composite PRIMARY KEYs (reference:
+docs/archive/create_index.sql:20-21, docs/archive/create_adult4.sql:
+19-21) — Snowflake doesn't enforce them and Spark has no PK either, so
+the engine exposes them as executable assertions instead.
+
+Both helpers are single-aggregation plans: one shuffle on the grain
+(uniqueness), or one shuffle-free partial-agg pass (profile) — safe to
+run inline at the end of a 100 TB load job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class GrainViolation(AssertionError):
+    pass
+
+
+def duplicate_grains(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Grain cells with more than one row — empty iff ``keys`` is a key."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def assert_unique_grain(
+    df: DataFrame, keys: Sequence[str], sample: int = 5
+) -> None:
+    """Raise GrainViolation (with example cells) if ``keys`` doesn't
+    uniquely identify rows."""
+    dups = duplicate_grains(df, keys).limit(sample).collect()
+    if dups:
+        raise GrainViolation(
+            f"grain {list(keys)} violated; examples: "
+            + "; ".join(str(r.asDict()) for r in dups)
+        )
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-column profile: null count/rate, approx distinct, min/max.
+
+    One aggregation over the data (all columns in a single pass — NOT a
+    loop of per-column jobs); returns one row per column. min/max are
+    cast to string so heterogeneous column types fit one schema.
+    """
+    cols = list(cols or df.columns)
+    total = F.count(F.lit(1))
+    aggs = [total.alias("_total")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            F.approx_count_distinct(c).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into one row per column
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_nulls_{c}").alias("n_null"),
+                (F.col(f"_nulls_{c}") / F.col("_total")).alias("null_rate"),
+                F.col(f"_dist_{c}").alias("approx_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+                F.col("_total").alias("n_rows"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

@@ -1,0 +1,96 @@
+"""Sketch aggregations (error-bound pins vs exact answers) and
+data-quality checks (grain uniqueness, column profiling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.operators.quality import (
+    GrainViolation,
+    assert_unique_grain,
+    duplicate_grains,
+    profile_columns,
+)
+from cancer_survival_etl_spark.operators.sketches import (
+    approx_distinct_by,
+    approx_quantiles_by,
+    frequent_items,
+)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    approx = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in approx_distinct_by(
+            o, ["o_orderpriority"], "o_custkey", rsd=0.05
+        ).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["exact"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.15 * exact[k])
+
+
+def test_approx_quantiles_bounded_rank_error(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = approx_quantiles_by(
+        o, ["o_orderstatus"], "o_totalprice", (0.5,), accuracy=10_000
+    ).collect()
+    for r in got:
+        grp = o.filter(F.col("o_orderstatus") == r["o_orderstatus"])
+        n = grp.count()
+        rank = grp.filter(F.col("o_totalprice") <= r["p50"]).count()
+        # within 1/accuracy + slack of the target rank
+        assert abs(rank / n - 0.5) < 0.01 + 10_000 / max(n, 1) / 10_000
+
+
+def test_frequent_items_never_undercounts(spark):
+    df = spark.range(20_000).select((F.col("id") % 10).alias("v"))
+    out = {
+        r["value"]: r["est_count"]
+        for r in frequent_items(df, "v", candidates=[0, 5, 9]).collect()
+    }
+    for v in [0, 5, 9]:
+        assert out[v] >= 2000          # CMS never undercounts
+        assert out[v] <= 2000 + 0.001 * 20_000 * 5  # eps*N envelope (x5 slack)
+
+
+def test_frequent_items_string_values(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 3, ["v"]
+    )
+    out = {
+        r["value"]: r["est_count"]
+        for r in frequent_items(df, "v", candidates=["a", "b"]).collect()
+    }
+    assert out["a"] >= 30 and out["b"] >= 3
+
+
+def test_grain_uniqueness(spark, sf_dir):
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    # s_suppkey is unique in the synthetic data — must hold
+    assert_unique_grain(s, ["s_suppkey"])
+    # nationkey alone is NOT a key — must raise with examples
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(GrainViolation) as e:
+        assert_unique_grain(li, ["l_orderkey"])
+    assert "l_orderkey" in str(e.value)
+    assert duplicate_grains(li, ["l_orderkey"]).count() > 0
+
+
+def test_profile_columns_single_pass(spark, sf_dir):
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    prof = {r["column"]: r for r in profile_columns(s, ["s_suppkey", "s_name"]).collect()}
+    n = s.count()
+    assert prof["s_suppkey"]["n_rows"] == n
+    assert prof["s_suppkey"]["n_null"] == 0
+    assert int(prof["s_suppkey"]["min_value"]) == 0
+    # approx_distinct of a unique key ~ row count
+    assert abs(prof["s_suppkey"]["approx_distinct"] - n) <= max(3, 0.1 * n)
