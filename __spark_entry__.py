@@ -736,9 +736,12 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs at threshold 0.35 (the synthetic
     embeddings top out ~0.51 pairwise cosine, so 0.35 keeps a real tail).
-    Rounded-then-thresholded so the pair set is engine-exact."""
+    Blocked-matmul strategy (Arrow bundles + BLAS); pytest pins it equal
+    to the expression form, the oracle pins both to DuckDB."""
+    from cancer_survival_etl_spark.llm.dedup import embedding_cosine_pairs_matmul
+
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, "embedding", "vec_id", threshold=0.35)
+    return embedding_cosine_pairs_matmul(e, "embedding", "vec_id", threshold=0.35)
 
 
 def q_ann_brute_force(spark, sf_dir):

@@ -35,6 +35,11 @@ HEADLINE = [
     "ann_brute_force",
     "text_quality",
     "lang_id",
+    "win_running_sum",
+    "skew_salted_agg",
+    "dedup_embedding",
+    "sketch_approx_distinct",
+    "quality_profile",
 ]
 
 

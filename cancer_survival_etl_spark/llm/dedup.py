@@ -264,24 +264,119 @@ def embedding_cosine_pairs(
     from cancer_survival_etl_spark.llm.similarity import _dot, _norm
 
     blocks = [block_col] if block_col else []
-    df = fan_out(df)
-    a = df.select(
+    # L2-normalize ONCE per row (O(n·d)) so the pairwise step is a bare
+    # dot product — naively putting norms in the pair expression costs
+    # O(n²·d) extra and dominates the whole operator.
+    v = F.col(vec_col).cast("array<double>")
+    nv = _norm(v)
+    normed = fan_out(df).select(
         *blocks,
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: x / nv).alias("_v"),
     )
-    b = df.select(
-        *blocks,
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("_vb"),
+    a = normed.select(
+        *blocks, F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = normed.select(
+        *blocks, F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
     )
     cond = F.col("id_a") < F.col("id_b")
     pairs = a.join(b, on=blocks, how="inner").filter(cond) if blocks else a.join(b, cond)
-    cosine = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
-        6,
-    )
+    cosine = F.round(_dot(F.col("_va"), F.col("_vb")), 6)
     return (
         pairs.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_cosine_pairs_matmul(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via blocked numpy matmul — same
+    contract as ``embedding_cosine_pairs``, different physical strategy.
+
+    The corpus is split into ``n_blocks`` bundles (collect_list per
+    block); every block *pair* (upper triangle incl. diagonal) becomes
+    one task whose Python worker runs a single BLAS matmul over the two
+    bundles and emits only pairs over threshold. Arrow moves O(n·d)
+    vector data per block pair; the O(n²·d) arithmetic runs at matmul
+    speed instead of per-element expression interpretation — the
+    vectorized-Pandas-UDF path for when the expression form is the
+    bottleneck.
+
+    Scale: choose n_blocks so a bundle (~n/B vectors × d doubles) fits
+    worker memory; B(B+1)/2 tasks spread across the cluster. Cosine is
+    rounded to 6 decimals before thresholding (same determinism contract
+    as the expression form; float64 matmul vs sequential fold differ
+    ~1e-15, far inside the rounding).
+    """
+    import pandas as pd
+
+    from cancer_survival_etl_spark.llm.similarity import _norm
+
+    v = F.col(vec_col).cast("array<double>")
+    nrm = _norm(v)
+    normed = fan_out(df).select(
+        (F.crc32(F.col(id_col).cast("string")) % n_blocks).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: x / nrm).alias("_v"),
+    )
+    bundles = normed.groupBy("_blk").agg(
+        F.collect_list("_id").alias("_ids"),
+        F.collect_list("_v").alias("_vs"),
+    )
+    left = bundles.select(
+        F.col("_blk").alias("_bi"),
+        F.col("_ids").alias("_ids_a"),
+        F.col("_vs").alias("_vs_a"),
+    )
+    right = bundles.select(
+        F.col("_blk").alias("_bj"),
+        F.col("_ids").alias("_ids_b"),
+        F.col("_vs").alias("_vs_b"),
+    )
+    grid = left.join(right, F.col("_bi") <= F.col("_bj"))
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for bi, bj, raw_ids_a, raw_vs_a, raw_ids_b, raw_vs_b in zip(
+                pdf["_bi"], pdf["_bj"],
+                pdf["_ids_a"], pdf["_vs_a"], pdf["_ids_b"], pdf["_vs_b"],
+            ):
+                ids_a = np.asarray(raw_ids_a, dtype=np.int64)
+                ids_b = np.asarray(raw_ids_b, dtype=np.int64)
+                va = np.array([np.asarray(x) for x in raw_vs_a])
+                vb = np.array([np.asarray(x) for x in raw_vs_b])
+                sims = np.round(va @ vb.T, 6)
+                ia, ib = np.nonzero(sims >= threshold)
+                ka, kb = ids_a[ia], ids_b[ib]
+                if bi == bj:
+                    # diagonal block: every pair appears twice — keep one
+                    keep = ka < kb
+                    ka, kb = ka[keep], kb[keep]
+                    cos = sims[ia, ib][keep]
+                else:
+                    # cross block: each pair appears once — orient only
+                    cos = sims[ia, ib]
+                    swap = ka > kb
+                    ka, kb = np.where(swap, kb, ka), np.where(swap, ka, kb)
+                out_a.append(ka)
+                out_b.append(kb)
+                out_c.append(cos)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return grid.mapInPandas(score, schema="id_a long, id_b long, cosine double")

@@ -145,6 +145,22 @@ def test_embedding_cosine_pairs_semantics(spark):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_embedding_matmul_strategy_equals_expression(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.dedup import embedding_cosine_pairs_matmul
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    expr = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs(e, threshold=0.3).collect()
+    }
+    mm = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs_matmul(e, threshold=0.3, n_blocks=4).collect()
+    }
+    assert expr == mm and len(expr) > 0
+
+
 def test_embedding_cosine_pairs_blocked_only_within_block(spark):
     rows = [
         (0, [1.0, 0.0], "x"),
