@@ -55,12 +55,18 @@ def main() -> None:
     # not JVM spin-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Two passes, keep the per-query min: one-off JIT/GC/page-cache noise
+    # on a shared machine otherwise dominates sub-second queries.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(passes):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            took = round(time.time() - t0, 3)
+            if name not in timings or took < timings[name]:
+                timings[name] = took
 
     total = round(sum(timings.values()), 3)
     print(
