@@ -68,3 +68,46 @@ def test_unpivot_is_narrow(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         long.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_fan_out_noop_on_wide_input(spark, sf_dir):
+    """fan_out must not insert a shuffle when the input already has
+    >= defaultParallelism partitions — the 100 TB no-op guarantee."""
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert fan_out(wide) is wide          # untouched, not just equal
+    narrow = d.coalesce(1)
+    assert (
+        fan_out(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted explain shows each node in the tree AND the detail list;
+    # count unique node ids
+    return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+
+
+def test_window_queries_single_exchange(spark, sf_dir):
+    """Window analytics must shuffle exactly once (on the partition key)."""
+    for q in ["win_lag_delta", "win_ntile"]:
+        p = _plan(spark, sf_dir, q)
+        assert _n_exchanges(p) == 1, f"{q}: expected 1 exchange\n{p}"
+
+
+def test_salted_agg_two_stage(spark, sf_dir):
+    """Salted aggregation is exactly two shuffles: (key, salt) then key."""
+    p = _plan(spark, sf_dir, "skew_salted_agg")
+    assert _n_exchanges(p) == 2, p
+
+
+def test_embedding_matmul_no_row_level_cartesian(spark, sf_dir):
+    """The matmul strategy's join is over block bundles (<= n_blocks^2
+    rows), never a row-level cartesian of the corpus."""
+    p = _plan(spark, sf_dir, "dedup_embedding")
+    # one pythonMapInArrow/mapInPandas node does the scoring
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p
