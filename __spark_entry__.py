@@ -688,6 +688,15 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding 2-day/1-day event-time windows — each event lands in
+    exactly 2 buckets (epoch-aligned slide)."""
+    from cancer_survival_etl_spark.streaming.windows import sliding_counts
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_counts(e, "2 days", "1 day")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based session windows per user (session_window) — aggregated to
     per-user session stats. No simple ANSI equivalent → rows-only check."""
@@ -856,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_approx_distinct": q_sketch_approx_distinct,
         "sketch_quantiles": q_sketch_quantiles,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1171,6 +1181,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    {_MONEY_SQL.format(x='value')} AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH expanded AS (
+                SELECT date_trunc('day', ts) AS window_start, event_type
+                FROM events
+                UNION ALL
+                SELECT date_trunc('day', ts) - INTERVAL 1 DAY, event_type
+                FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM expanded GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id,

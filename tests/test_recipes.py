@@ -204,3 +204,32 @@ def test_processed_adult4_filter(spark, adult4_out):
     assert (non_ncl["STANDARDISATION_TYPE"] == "Age-standardised").all()
     assert (non_ncl["SURVIVAL_METRIC"] == "Net Survival").all()
     assert "JOIN_KEY" in pa.columns and "SORT_GENDER" in pa.columns
+
+
+def test_sql_view_layer(spark, index_out, adult4_out):
+    """The registered view stack answers plain spark.sql queries with the
+    same results as the DataFrame plans (the reference's dashboard-facing
+    surface — layered Snowflake views)."""
+    from cancer_survival_etl_spark.plans.views import register_reporting_views
+
+    names = register_reporting_views(spark, index_out, adult4_out)
+    assert "published_rank" in names and "reporting_index" in names
+
+    via_sql = spark.sql(
+        "SELECT JOIN_KEY, Quartile FROM published_rank ORDER BY JOIN_KEY"
+    ).collect()
+    via_df = (
+        benchmarking_rank(adult4_out, published=True)
+        .select("JOIN_KEY", "Quartile")
+        .orderBy("JOIN_KEY")
+        .collect()
+    )
+    assert via_sql == via_df
+
+    # views compose: a dashboard-style ad-hoc join over two stacks
+    n = spark.sql(
+        """SELECT count(*) AS n
+           FROM published_rank r
+           JOIN reporting_benchmarking_standard b USING (JOIN_KEY)"""
+    ).first()["n"]
+    assert n > 0
