@@ -142,6 +142,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity for document pairs.
 
@@ -155,6 +156,12 @@ def ngram_jaccard_pairs(
     ``block_col`` (e.g. lang/source) additionally partitions the join key
     — at corpus scale combine with a stopgram cut (drop ultra-frequent
     grams) to bound the hottest posting lists.
+
+    ``hash_grams`` replaces the variable-length gram string with its
+    xxhash64 before the shuffle — constant 8-byte join keys instead of
+    full n-gram text. A collision inflates one pair's shared-gram count
+    by 1; P(any collision) ≈ G²/2⁶⁵ for G distinct grams — negligible
+    below ~10⁹ grams per block; set False for the exact-string join.
     """
     toks = F.split(F.col(text_col), " ")
     grams = F.array_distinct(
@@ -175,6 +182,10 @@ def ngram_jaccard_pairs(
     postings = base.select(
         "_block", id_col, "_ng", F.explode("_grams").alias("_gram")
     )
+    if hash_grams:
+        postings = postings.select(
+            "_block", id_col, "_ng", F.xxhash64("_gram").alias("_gram")
+        )
     a = postings.select(
         "_block",
         "_gram",
