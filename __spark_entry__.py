@@ -734,6 +734,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(d, "text", "doc_id", bits=32)
 
 
+def q_dedup_lsh_pipeline(spark, sf_dir):
+    """Composed near-dup flow: MinHash → LSH banding → candidate pairs →
+    exact n-gram-Jaccard verify (rows-only: banding is engine-internal;
+    pytest pins end-to-end behavior on planted duplicates)."""
+    from cancer_survival_etl_spark.llm.dedup import near_dup_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_pipeline(d, "text", "doc_id", jaccard_threshold=0.2)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Token-3-gram Jaccard near-dup pairs, blocked by lang."""
     d = _t(spark, sf_dir, "documents")
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,

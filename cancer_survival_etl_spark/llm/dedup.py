@@ -391,3 +391,68 @@ def embedding_cosine_pairs_matmul(
                 )
 
     return grid.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+
+
+def _token_ngrams(text_col: str, n: int) -> Column:
+    """Distinct whitespace-token n-grams of a string as an array."""
+    toks = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def near_dup_pipeline(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-duplicate detection: MinHash signatures → LSH
+    banding → candidate pairs → exact n-gram-Jaccard verification.
+
+    The composed shape that scales: candidate generation is the banding
+    groupBy (work ∝ corpus size), and the exact quadratic verification
+    runs ONLY inside buckets (work ∝ Σ bucket²; bounded by tuning
+    bands × rows_per_band for the similarity floor you want to catch).
+    Returns (id_a, id_b, jaccard) for verified pairs.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    buckets = near_dup_buckets(sigs, id_col, bands, rows_per_band)
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.filter(
+                F.transform(
+                    ids, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                ),
+                lambda s: s.getField("id_a") < s.getField("id_b"),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
+        .distinct()  # the same pair can surface from several bands
+    )
+    grams = fan_out(df).select(
+        F.col(id_col).alias("_gid"), _token_ngrams(text_col, ngram_n).alias("_g")
+    )
+    a = grams.select(F.col("_gid").alias("id_a"), F.col("_g").alias("_ga"))
+    b = grams.select(F.col("_gid").alias("id_b"), F.col("_g").alias("_gb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

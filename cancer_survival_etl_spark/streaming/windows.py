@@ -88,7 +88,29 @@ def sessionize(
     )
 
 
-def stream_from_events_dir(spark, path: str, schema) -> DataFrame:
-    """readStream wiring for a parquet events directory — demonstrates the
-    streaming entry; tests exercise the batch path of the same plans."""
-    return spark.readStream.schema(schema).parquet(path)
+def stream_from_events_dir(
+    spark, path: str, schema=None, glob: str = "events.parquet"
+) -> DataFrame:
+    """readStream over a parquet events directory — the real lake entry
+    for the streaming plans (tests run it with an availableNow trigger).
+
+    Streaming sources need an explicit schema; by default it is derived
+    from one batch read of the same files. Handles the testdata quirk of
+    TIMESTAMP(NANOS) columns (illegal for Spark) the same way the batch
+    catalog does: read as long nanos, truncate to microsecond timestamps.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(os.path.join(path, glob)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(path)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return src

@@ -181,3 +181,30 @@ def test_frame_sample_expansion(docs):
     expected = (len(DOCS[0][1]) + 15) // 16
     assert len(d0) == expected
     assert list(d0["frame_no"]) == list(range(expected))
+
+
+def test_near_dup_pipeline_end_to_end(spark):
+    """MinHash → banding → candidates → exact verify finds the planted
+    near-duplicate pair and nothing across unrelated docs."""
+    from cancer_survival_etl_spark.llm.dedup import near_dup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (0, base),
+        (1, near),                      # near-dup of 0
+        (2, base),                      # exact dup of 0
+        (3, "completely different text about spark query planning"),
+        (4, "unrelated words forming another distinct document body"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pipeline(
+            df, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 2) in got and got[(0, 2)] == 1.0     # exact dup
+    assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0  # near dup
+    assert (1, 2) in got                             # transitively near
+    assert all(a not in (3, 4) and b not in (3, 4) for a, b in got)

@@ -116,3 +116,32 @@ def test_stateful_running_totals(spark, tmp_path):
             for r in out.itertuples()
         }
         assert got == expect
+
+
+def test_file_stream_matches_batch(spark, sf_dir):
+    """readStream over the real events parquet, one availableNow pass,
+    complete-mode tumbling agg — must equal the batch plan exactly."""
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    src = stream_from_events_dir(spark, sf_dir)
+    q = (
+        tumbling_agg(src, "1 day")
+        .writeStream.format("memory")
+        .queryName("file_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM file_stream_test").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_agg(batch, "1 day").collect()
+    }
+    assert got == expect and len(got) > 0
