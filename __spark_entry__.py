@@ -778,6 +778,18 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, queries, k=5, n_centroids=8, nprobe=2)
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with trained (distributed Lloyd) centroids — rows-only: the
+    iterative refinement has no compact ANSI equivalent; pytest pins
+    recall vs brute force."""
+    from cancer_survival_etl_spark.llm.similarity import kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    cen = kmeans_centroids(e, k=8, iters=2)
+    return ivf_topk(e, queries, k=5, nprobe=2, centroids=cen)
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate cosine top-5 (rows-only: bucket membership
     is engine-internal)."""
@@ -885,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_lsh": q_ann_lsh,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,

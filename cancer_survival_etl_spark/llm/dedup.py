@@ -143,6 +143,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     block_col: str | None = None,
     hash_grams: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity for document pairs.
 
@@ -162,6 +163,14 @@ def ngram_jaccard_pairs(
     full n-gram text. A collision inflates one pair's shared-gram count
     by 1; P(any collision) ≈ G²/2⁶⁵ for G distinct grams — negligible
     below ~10⁹ grams per block; set False for the exact-string join.
+
+    ``max_doc_freq`` is the stopgram cut: grams occurring in more than
+    that many documents (per block) are dropped before the join —
+    bounding every posting list, hence the worst-case pair fan-out, at
+    corpus scale. Dropped grams still count toward |A| and |B| but not
+    toward shared, so reported Jaccard is a conservative UNDER-estimate
+    for affected pairs (near-dup recall at a given threshold can only
+    shrink, never produce false positives).
     """
     toks = F.split(F.col(text_col), " ")
     grams = F.array_distinct(
@@ -185,6 +194,16 @@ def ngram_jaccard_pairs(
     if hash_grams:
         postings = postings.select(
             "_block", id_col, "_ng", F.xxhash64("_gram").alias("_gram")
+        )
+    if max_doc_freq is not None:
+        freq = postings.groupBy("_block", "_gram").agg(
+            F.count(F.lit(1)).alias("_dfreq")
+        )
+        postings = (
+            postings.join(
+                freq.filter(F.col("_dfreq") <= max_doc_freq),
+                ["_block", "_gram"],
+            ).drop("_dfreq")
         )
     a = postings.select(
         "_block",

@@ -84,6 +84,70 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd) for the IVF cell layout.
+
+    Init = the first ``k`` vectors by id (deterministic, reproducible).
+    Per iteration: assign every vector to its max-cosine centroid
+    (broadcast join + row_number argmax — one shuffle), then recompute
+    each centroid as the element-wise mean of its members via
+    posexplode → groupBy (centroid, dim) → avg → rebuild array. The
+    per-iteration shuffle is O(n·d) rows of (id, dim, value) — the
+    standard distributed Lloyd shape; centroids stay tiny and broadcast.
+
+    Returns (centroid_id, _cenv) ready for ``ivf_topk(centroids=...)``.
+    """
+    cen = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("_cenv"),
+    )
+    vecs = fan_out(corpus).select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_vv"),
+    )
+    for _ in range(iters):
+        cos = F.round(
+            _dot(F.col("_vv"), F.col("_cenv"))
+            / (_norm(F.col("_vv")) * _norm(F.col("_cenv"))),
+            6,
+        )
+        w = Window.partitionBy("_vid").orderBy(
+            cos.desc(), F.col("centroid_id")
+        )
+        assigned = (
+            vecs.join(F.broadcast(cen), how="cross")
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("centroid_id", "_vv")
+        )
+        cen = (
+            assigned.select(
+                "centroid_id", F.posexplode("_vv").alias("_dim", "_x")
+            )
+            .groupBy("centroid_id", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_dim", "_m"))
+                ).alias("_pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("_pairs"), lambda p: p.getField("_m")).alias(
+                    "_cenv"
+                ),
+            )
+        )
+    return cen
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,25 +156,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_centroids`` cells by nearest centroid, probe only the query's
     ``nprobe`` nearest cells.
 
-    Centroid choice here is deterministic (the first ``n_centroids``
-    vectors by id) so results are reproducible and oracle-checkable; a
-    production build would k-means them — the *query* path (assign →
-    probe → cell-pruned scan) is identical either way. At 100 TB the
-    cell id becomes a parquet partition column: probing = partition
-    pruning, and each query touches nprobe/n_centroids of the data.
+    Default centroid choice is deterministic (the first ``n_centroids``
+    vectors by id) so results are reproducible and oracle-checkable;
+    pass ``centroids=kmeans_centroids(corpus, ...)`` for trained cells
+    — the *query* path (assign → probe → cell-pruned scan) is identical
+    either way. At 100 TB the cell id becomes a parquet partition
+    column: probing = partition pruning, and each query touches
+    nprobe/n_centroids of the data.
 
     Scores are rounded to 6 decimals before every argmax/rank so
     tie-breaks are engine-stable.
     """
-    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).cast("array<double>").alias("_cenv"),
-    )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("_cenv"),
+        )
 
     def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
         """Rank ``df``'s vectors against all centroids, keep the top

@@ -208,3 +208,61 @@ def test_near_dup_pipeline_end_to_end(spark):
     assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0  # near dup
     assert (1, 2) in got                             # transitively near
     assert all(a not in (3, 4) and b not in (3, 4) for a, b in got)
+
+
+def test_ivf_kmeans_centroids(spark, sf_dir):
+    """Trained IVF cells: k-means converges to k valid centroids and the
+    probe path keeps recall at least in the seed-centroid ballpark."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = kmeans_centroids(e, k=4, iters=2)
+    rows = cen.collect()
+    assert len(rows) <= 4 and all(len(r["_cenv"]) == 64 for r in rows)
+
+    q = e.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, k=3).collect()
+    }
+    km = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(e, q, k=3, nprobe=2, centroids=cen).collect()
+    }
+    assert len(km & truth) / len(truth) >= 0.3  # nprobe=2 of 4 cells
+
+
+def test_ngram_stopgram_cut(spark):
+    """max_doc_freq drops ubiquitous grams: Jaccard only shrinks (never
+    grows), and a gram shared by every doc stops generating pairs."""
+    from cancer_survival_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    common = "alpha beta gamma"          # 3-gram present in every doc
+    rows = [
+        (0, f"{common} one two three"),
+        (1, f"{common} one two four"),
+        (2, f"{common} five six seven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.01, max_doc_freq=2
+        ).collect()
+    }
+    assert set(cut) <= set(full)
+    for pair, j in cut.items():
+        assert j <= full[pair]
+    # docs 0/2 share ONLY the ubiquitous grams -> pair disappears after cut
+    assert (0, 2) in full and (0, 2) not in cut
+    # docs 0/1 still share non-ubiquitous grams
+    assert (0, 1) in cut
