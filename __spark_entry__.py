@@ -100,28 +100,27 @@ def supplier_rank_quartile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("supplier_id"),
         F.col("revenue"),
     )
+    # rank and denominator from the SAME shuffle: the reference's two
+    # CTEs (RANK window + COUNT group + join back, docs/reporting_rank
+    # .sql:5-35) collapse to two window functions over one partitioning
+    # — one scan of the fact table instead of two full subtree copies.
     w = Window.partitionBy("region_name").orderBy(
         F.col("revenue").desc(), F.col("supplier_id")
     )
-    ranked = per_supplier.select(
+    wb = Window.partitionBy("region_name")
+    return per_supplier.select(
         "region_name",
         "supplier_id",
         "revenue",
         F.rank().over(w).alias("rank_val"),
-    )
-    base = per_supplier.groupBy("region_name").agg(
-        F.count(F.lit(1)).alias("rank_base")
-    )
-    return (
-        ranked.join(F.broadcast(base), "region_name")
-        .select(
-            "region_name",
-            "supplier_id",
-            "revenue",
-            "rank_val",
-            "rank_base",
-            quartile_bucket("rank_val", "rank_base").alias("quartile"),
-        )
+        F.count(F.lit(1)).over(wb).alias("rank_base"),
+    ).select(
+        "region_name",
+        "supplier_id",
+        "revenue",
+        "rank_val",
+        "rank_base",
+        quartile_bucket("rank_val", "rank_base").alias("quartile"),
     )
 
 
@@ -430,10 +429,15 @@ def q_pivot_sum(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_benchmark_standards(spark, sf_dir):
-    """U2+A3+A4+R2: the 7-way benchmark-standards union, pivoted
-    (reference: docs/reporting_benchmarking_standard.sql). Standards over
-    order totals per priority: overall avg best/worst/quartiles across
-    nations' averages."""
+    """A3+A4 benchmark standards over nations' totals per priority
+    (reference: docs/reporting_benchmarking_standard.sql).
+
+    Single-pass formulation: the reference's 7-way UNION of per-standard
+    CTEs + PIVOT re-aggregates the same base once per standard; here all
+    five standards are aggregates of ONE groupBy — one scan, two
+    shuffles, identical output (the union/pivot shape itself is
+    exercised by u1/u3/r1/r2 and plans/reporting.benchmarking_standards,
+    which keeps the reference's literal structure)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     per_nation = (
@@ -441,44 +445,12 @@ def q_benchmark_standards(spark, sf_dir):
         .groupBy("o_orderpriority", "c_nationkey")
         .agg(_money_sum(F.col("o_totalprice")).alias("nation_total"))
     )
-
-    def named(df, standard):
-        return df.select(
-            "o_orderpriority", F.lit(standard).alias("standard"), "val"
-        )
-
-    best = named(
-        per_nation.groupBy("o_orderpriority").agg(F.max("nation_total").alias("val")),
-        "Best",
-    )
-    worst = named(
-        per_nation.groupBy("o_orderpriority").agg(F.min("nation_total").alias("val")),
-        "Worst",
-    )
-
-    def quantile(p, name):
-        return named(
-            per_nation.groupBy("o_orderpriority").agg(
-                F.expr(
-                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY nation_total)"
-                ).alias("val")
-            ),
-            name,
-        )
-
-    long = union_stack(
-        [best, worst, quantile(0.25, "Q1"), quantile(0.5, "Q2"), quantile(0.75, "Q3")]
-    )
-    wide = long.groupBy("o_orderpriority").pivot(
-        "standard", ["Best", "Worst", "Q1", "Q2", "Q3"]
-    ).sum("val")
-    return wide.select(
-        "o_orderpriority",
-        F.col("Best").alias("best"),
-        F.col("Worst").alias("worst"),
-        F.col("Q1").alias("q1"),
-        F.col("Q2").alias("q2"),
-        F.col("Q3").alias("q3"),
+    return per_nation.groupBy("o_orderpriority").agg(
+        F.max("nation_total").alias("best"),
+        F.min("nation_total").alias("worst"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY nation_total)").alias("q1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY nation_total)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY nation_total)").alias("q3"),
     )
 
 
