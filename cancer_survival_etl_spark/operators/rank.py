@@ -41,18 +41,29 @@ def rank_quartile(
     """
     nonnull = df.filter(F.col(measure_col).isNotNull())
 
+    # Everything derives from ONE windowed pass over one shuffle on the
+    # key: rank, denominator (COUNT over the partition), and a
+    # row_number picking a single spine row per group. The reference's
+    # separate COUNT CTE (docs/reporting_rank.sql:20-30) would be a
+    # second scan subtree; here the spine and focus branches share the
+    # same exchange (Catalyst reuse).
     w = Window.partitionBy(key_col).orderBy(F.col(measure_col).desc())
+    w_total = Window.partitionBy(key_col)
+    w_one = Window.partitionBy(key_col).orderBy(
+        F.col(measure_col).desc(), F.col(entity_col)
+    )
     ranked = nonnull.select(
         F.col(key_col),
         F.col(entity_col),
         F.col(measure_col).alias("measure"),
         F.rank().over(w).alias("rank_val"),
+        F.count(F.lit(1)).over(w_total).alias("rank_base"),
+        F.row_number().over(w_one).alias("_rn"),
     )
 
-    base = nonnull.groupBy(key_col).agg(F.count(F.lit(1)).alias("rank_base"))
-
-    focus_rank = ranked.filter(focus).drop(entity_col)
-    joined = base.join(focus_rank, key_col, "left")
+    spine = ranked.filter(F.col("_rn") == 1).select(key_col, "rank_base")
+    focus_rank = ranked.filter(focus).select(key_col, "measure", "rank_val")
+    joined = spine.join(focus_rank, key_col, "left")
 
     return joined.select(
         key_col,
