@@ -706,6 +706,17 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(d, "text", "doc_id", bits=32)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming near-dups via pigeonhole chunk blocking
+    (rows-only: bit-vote fingerprints are engine-internal; pytest pins
+    the blocking against brute-force Hamming truth)."""
+    from cancer_survival_etl_spark.llm.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash(d, "text", "doc_id", bits=32)
+    return simhash_near_dups(sigs, "doc_id", max_hamming=3)
+
+
 def q_dedup_lsh_pipeline(spark, sf_dir):
     """Composed near-dup flow: MinHash → LSH banding → candidate pairs →
     exact n-gram-Jaccard verify (rows-only: banding is engine-internal;
@@ -864,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
         "ngram_jaccard": q_ngram_jaccard,

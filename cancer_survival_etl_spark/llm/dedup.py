@@ -475,3 +475,64 @@ def near_dup_pipeline(
         joined.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def simhash_near_dups(
+    sigs: DataFrame,
+    id_col: str,
+    fingerprint_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, without any
+    all-pairs comparison.
+
+    Pigeonhole blocking: split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` chunks — two fingerprints within Hamming
+    distance ``max_hamming`` MUST agree exactly on at least one chunk.
+    Candidates come from an equi-join on (chunk index, chunk value);
+    verification is one ``bit_count(a XOR b)`` per candidate. Both
+    sides are JVM integer ops; the shuffle key is a (int, int) pair.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = (bits + n_chunks - 1) // n_chunks
+    fp = F.col(fingerprint_col)
+    chunked = sigs.select(
+        F.col(id_col),
+        fp,
+        *[
+            (
+                F.shiftright(fp, i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            ).alias(f"_chunk_{i}")
+            for i in range(n_chunks)
+        ],
+    )
+    frames = [
+        chunked.select(
+            F.lit(i).alias("_ci"),
+            F.col(f"_chunk_{i}").alias("_cv"),
+            F.col(id_col),
+            fp.alias("_fp"),
+        )
+        for i in range(n_chunks)
+    ]
+    stacked = frames[0]
+    for fr in frames[1:]:
+        stacked = stacked.unionByName(fr)
+    a = stacked.select(
+        "_ci", "_cv", F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa")
+    )
+    b = stacked.select(
+        "_ci", "_cv", F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb")
+    )
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        a.join(b, ["_ci", "_cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several chunks
+    )

@@ -266,3 +266,34 @@ def test_ngram_stopgram_cut(spark):
     assert (0, 2) in full and (0, 2) not in cut
     # docs 0/1 still share non-ubiquitous grams
     assert (0, 1) in cut
+
+
+def test_simhash_near_dups_pigeonhole(spark):
+    """Hamming blocking finds all pairs within the bound (vs a brute-force
+    check) and none beyond it."""
+    from cancer_survival_etl_spark.llm.dedup import simhash, simhash_near_dups
+
+    base = "spark engines shuffle data between stages for joins and aggs"
+    rows = [
+        (0, base),
+        (1, base),                                   # hamming 0
+        (2, base.replace("joins", "maps")),          # tiny edit
+        (3, "an entirely different corpus about cooking pasta at home"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = simhash(df, "text", "doc_id", bits=32)
+    fps = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(sigs, "doc_id", max_hamming=6).collect()
+    }
+    # brute-force truth
+    import itertools
+
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h <= 6:
+            assert got[(a, b)] == h, (a, b)
+        else:
+            assert (a, b) not in got
+    assert got[(0, 1)] == 0  # identical docs
