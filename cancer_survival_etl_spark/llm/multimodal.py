@@ -121,3 +121,54 @@ def frame_sample(
     return df.mapInPandas(
         sample, schema="item_id long, frame_no int, frame_crc long, frame_bytes int"
     )
+
+
+def resize_payload(
+    df: DataFrame,
+    target_width: int = 32,
+    target_height: int = 32,
+    real_resize: bool = False,
+) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads — same contract shape
+    as ``decode_features``: the Spark-side plumbing (schema, batching,
+    fan-out) is real; the pixel kernel is the deterministic fake
+    (payload scaled to a byte budget proportional to the target area,
+    re-digested), since no codec library exists in this environment.
+    ``real_resize=True`` marks where a PIL/ffmpeg kernel drops in.
+    """
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    df = fan_out(df)
+    if real_resize:
+        raise NotImplementedError(
+            "real resize requires codec libraries not present in this "
+            "environment (PIL/ffmpeg); use real_resize=False for the "
+            "deterministic fake"
+        )
+    budget = max(target_width * target_height // 8, 1)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                scaled = payload[:budget]
+                out.append(
+                    (
+                        int(item_id),
+                        target_width,
+                        target_height,
+                        len(scaled),
+                        int(zlib.crc32(scaled)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "width", "height", "n_bytes", "checksum",
+                ],
+            )
+
+    return df.mapInPandas(
+        resize_batches,
+        schema="item_id long, width int, height int, n_bytes long, checksum long",
+    )

@@ -297,3 +297,19 @@ def test_simhash_near_dups_pigeonhole(spark):
         else:
             assert (a, b) not in got
     assert got[(0, 1)] == 0  # identical docs
+
+
+def test_resize_payload_plumbing(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    out = resize_payload(attach_binary_payload(d), 32, 32).collect()
+    assert len(out) == 20
+    assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+    assert all(r["n_bytes"] <= 32 * 32 // 8 for r in out)
+    with pytest.raises(NotImplementedError):
+        resize_payload(attach_binary_payload(d), real_resize=True)
