@@ -660,6 +660,28 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each click event enriched with the user's latest
+    preceding (or simultaneous) purchase value. Right side pre-aggregated
+    to one row per (user, ts) so the match is deterministic on both
+    engines; DuckDB's native ASOF JOIN is the oracle."""
+    from cancer_survival_etl_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], ts_col="ts",
+        value_cols=["purchase_value"],
+    ).select("user_id", "event_id", "ts", "purchase_value", "matched_ts")
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding 2-day/1-day event-time windows — each event lands in
     exactly 2 buckets (epoch-aligned slide)."""
@@ -871,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1189,6 +1212,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    {_MONEY_SQL.format(x='value')} AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof": """
+            WITH l AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT user_id, ts, round(max(value), 6) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT l.user_id, l.event_id, l.ts,
+                   r.purchase_value, r.ts AS matched_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_sliding": """
             WITH expanded AS (

@@ -1,0 +1,85 @@
+"""As-of (most-recent-match) join — an operator Spark lacks natively.
+
+For each left row, attach the right row with the greatest timestamp
+≤ the left row's timestamp within the same key group (the time-series
+enrichment join: trades→quotes, events→latest state).
+
+Implementation is the scalable union-tag-carry shape, NOT a range join:
+union both sides tagged, one shuffle on the key, sort by (ts, side)
+within partitions, and carry the last non-null right payload forward
+with ``last(..., ignorenulls=True)`` over an unbounded-preceding frame.
+Cost = one shuffle + one sort of |L|+|R| rows — same asymptotics as any
+windowed aggregation, with no quadratic candidate generation and no
+per-row probe. (A broadcast-range-join alternative only wins when the
+right side is tiny; this form is the 100 TB default.)
+
+Right rows sharing (key, ts) would make "the" match ambiguous — callers
+should pre-aggregate the right side to one row per (key, ts); the
+driver query and oracle both do (DuckDB's native ASOF JOIN is the
+oracle, so tie semantics must be deterministic on both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    matched_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """LEFT as-of join: every left row, plus ``value_cols`` (and the
+    matching timestamp as ``matched_ts_alias``) from the latest right
+    row with ``right.ts_col <= left.ts_col`` per ``on`` group; NULLs
+    where no right row precedes.
+
+    A right row at exactly the left timestamp DOES match (<=), which is
+    why the right side sorts before the left side on timestamp ties.
+    """
+    on = list(on)
+    left_cols = [c for c in left.columns if c not in on]
+    l_tagged = left.select(
+        *on,
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right (side 0) sorts before left (side 1) at equal timestamps so an
+    # exactly-simultaneous right row is visible to the left row (<=).
+    order_ts = F.coalesce(F.col(ts_col), F.col("_r_ts"))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(order_ts, F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
+            for c in value_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_carried_ts"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *on,
+        *left_cols,
+        *[F.col(f"_carried_{c}").alias(c) for c in value_cols],
+        F.col("_carried_ts").alias(matched_ts_alias),
+    )

@@ -170,3 +170,33 @@ def test_embedding_cosine_pairs_blocked_only_within_block(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "blk"])
     got = embedding_cosine_pairs(df, threshold=0.5, block_col="blk").collect()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built cases: picks the LATEST preceding right row, matches at
+    equal timestamps (<=), NULLs when nothing precedes, left rows never
+    dropped or duplicated."""
+    from datetime import datetime
+
+    from cancer_survival_etl_spark.operators.asof import asof_join
+
+    ts = lambda s: datetime.fromisoformat(f"2024-01-0{s}")
+    left = spark.createDataFrame(
+        [(1, 100, ts("5")), (1, 101, ts("2")), (2, 200, ts("3"))],
+        ["user_id", "event_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("1"), 10.0), (1, ts("3"), 30.0), (1, ts("5"), 50.0),
+         (2, ts("4"), 99.0)],
+        ["user_id", "ts", "val"],
+    )
+    out = {
+        r["event_id"]: (r["val"], r["matched_ts"])
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts", value_cols=["val"]
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[100] == (50.0, ts("5"))   # equal-ts right row matches
+    assert out[101] == (10.0, ts("1"))   # latest preceding, not later ones
+    assert out[200] == (None, None)      # right row is in the future
