@@ -682,6 +682,28 @@ def q_events_asof(spark, sf_dir):
     ).select("user_id", "event_id", "ts", "purchase_value", "matched_ts")
 
 
+def q_events_range_join(spark, sf_dir):
+    """Bucketized interval join: every (click, purchase-in-preceding-day)
+    pair per user — the equi-join formulation of a range predicate."""
+    from cancer_survival_etl_spark.operators.asof import range_join_preceding
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = range_join_preceding(clicks, purchases, ["user_id"], "ts", 86400)
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("r_ts").alias("purchase_ts"),
+        F.round("r_value", 6).alias("purchase_value"),
+    )
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding 2-day/1-day event-time windows — each event lands in
     exactly 2 buckets (epoch-aligned slide)."""
@@ -894,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1227,6 +1250,16 @@ def oracle_sql() -> dict[str, str]:
                    r.purchase_value, r.ts AS matched_ts
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_range_join": """
+            SELECT l.user_id, l.event_id, l.ts,
+                   r.ts AS purchase_ts, round(r.value, 6) AS purchase_value
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'click') l
+            JOIN (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id
+             AND r.ts > l.ts - INTERVAL 1 DAY AND r.ts <= l.ts
         """,
         "events_sliding": """
             WITH expanded AS (

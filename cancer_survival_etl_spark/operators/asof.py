@@ -83,3 +83,54 @@ def asof_join(
         *[F.col(f"_carried_{c}").alias(c) for c in value_cols],
         F.col("_carried_ts").alias(matched_ts_alias),
     )
+
+
+def range_join_preceding(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    window_seconds: int,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: all right rows with ``left.ts - window < right.ts
+    <= left.ts`` per key group (e.g. "purchases in the hour before each
+    click").
+
+    Naively this is an inequality join — Spark would pick a
+    broadcast-nested-loop and die at scale. Bucketization makes it an
+    equi-join: both sides bucket timestamps by the window width; a left
+    row's matches can only live in its own or the previous bucket, so
+    the left side explodes to exactly 2 (key, bucket) probes and the
+    range predicate is applied AFTER the equi-join as a cheap filter.
+    Shuffle is O(|L|·2 + |R|) rows on constant-width keys.
+
+    Right columns (except the keys) come back prefixed with
+    ``right_prefix``.
+    """
+    on = list(on)
+    bucket_of = lambda col: F.floor(
+        F.unix_timestamp(F.col(col)) / F.lit(window_seconds)
+    )
+    l = left.select(
+        *on,
+        *[c for c in left.columns if c not in on],
+        F.explode(
+            F.array(bucket_of(ts_col), bucket_of(ts_col) - 1)
+        ).alias("_bucket"),
+    )
+    r = right.select(
+        *on,
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in on
+        ],
+        bucket_of(ts_col).alias("_bucket"),
+    )
+    # NB bucket_of(ts_col) on the right resolves against right's columns
+    # because it is built inside this select.
+    joined = l.join(r, [*on, "_bucket"])
+    rt = F.col(f"{right_prefix}{ts_col}")
+    lo = F.col(ts_col) - F.expr(f"INTERVAL {window_seconds} SECOND")
+    return joined.filter((rt > lo) & (rt <= F.col(ts_col))).drop("_bucket")

@@ -200,3 +200,33 @@ def test_asof_join_semantics(spark):
     assert out[100] == (50.0, ts("5"))   # equal-ts right row matches
     assert out[101] == (10.0, ts("1"))   # latest preceding, not later ones
     assert out[200] == (None, None)      # right row is in the future
+
+
+def test_range_join_preceding_semantics(spark):
+    """Bucket-boundary cases: matches strictly inside (lt - w, lt],
+    including a right row in the PREVIOUS bucket; excludes future rows
+    and rows exactly w old."""
+    from datetime import datetime, timedelta
+
+    from cancer_survival_etl_spark.operators.asof import range_join_preceding
+
+    t0 = datetime.fromisoformat("2024-01-01 10:00:00")
+    s = lambda sec: t0 + timedelta(seconds=sec)
+    left = spark.createDataFrame([(1, 100, s(0))], ["k", "eid", "ts"])
+    right = spark.createDataFrame(
+        [
+            (1, s(0), "same-instant"),        # included (<=)
+            (1, s(-30), "in-window"),         # included
+            (1, s(-60), "exactly-w-old"),     # excluded (strict >)
+            (1, s(-59), "prev-bucket-edge"),  # included, lives in bucket-1
+            (1, s(10), "future"),             # excluded
+        ],
+        ["k", "ts", "tag"],
+    )
+    got = {
+        r["r_tag"]
+        for r in range_join_preceding(
+            left, right, ["k"], "ts", window_seconds=60
+        ).collect()
+    }
+    assert got == {"same-instant", "in-window", "prev-bucket-edge"}
