@@ -825,6 +825,20 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(e, queries, k=5)
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic content-hash train/val/test split — per-split doc
+    counts (row-stable under repartitioning; oracle recomputes the same
+    md5 thresholds)."""
+    from cancer_survival_etl_spark.llm.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", train=0.8, val=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens, distinct, subword estimate."""
     d = _t(spark, sf_dir, "documents")
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_lsh": q_ann_lsh,
+        "dataset_split": q_dataset_split,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1369,6 +1384,17 @@ def oracle_sql() -> dict[str, str]:
                            AS rank_val
                 FROM scored
             ) t WHERE rank_val <= 5
+        """,
+        "dataset_split": """
+            SELECT CASE
+                       WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'cccc'
+                           THEN 'train'
+                       WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'e666'
+                           THEN 'val'
+                       ELSE 'test'
+                   END AS split,
+                   count(*) AS n_docs, min(doc_id) AS min_id
+            FROM documents GROUP BY 1
         """,
         "text_token_stats": """
             SELECT doc_id,

@@ -313,3 +313,43 @@ def test_resize_payload_plumbing(spark, sf_dir):
     assert all(r["n_bytes"] <= 32 * 32 // 8 for r in out)
     with pytest.raises(NotImplementedError):
         resize_payload(attach_binary_payload(d), real_resize=True)
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from cancer_survival_etl_spark.llm.sampling import hash_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    # row-stable: identical assignment under a different partitioning
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    frac = {k: v / 10_000 for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # salt re-rolls without changing proportions
+    c = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", salt="exp2").collect()
+    }
+    assert c != a
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.sampling import stratified_sample
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    langs = sorted(totals)
+    fractions = {langs[0]: 0.2, langs[1]: 1.0}  # others default to 0
+    out = stratified_sample(d, "lang", fractions)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert set(got) <= {langs[0], langs[1]}
+    assert got.get(langs[1], 0) == totals[langs[1]]          # keep-all stratum
+    assert 0 < got.get(langs[0], 0) < totals[langs[0]]       # downsampled
