@@ -591,6 +591,63 @@ def q_skew_salted_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Relational breadth (beyond-reference: join types, multi-level aggs, top-k)
+# --------------------------------------------------------------------------
+
+def q_semi_join(spark, sf_dir):
+    """LEFT SEMI: customers with at least one urgent order — existence
+    check without row multiplication (the EXISTS shape; at scale the
+    probe side shuffles once and emits each left row at most once)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def q_anti_join(spark, sf_dir):
+    """LEFT ANTI: customers with no urgent order (NOT EXISTS) —
+    aggregated per nation so the result is compact."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orderless"))
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP (priority, status): subtotals at every prefix level plus
+    the grand total — one pass, Spark expands the grouping sets
+    map-side. NULL group markers match ANSI semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+def q_global_topk(spark, sf_dir):
+    """Global ORDER BY + LIMIT: the 50 priciest orders. Spark executes
+    TakeOrderedAndProject — per-partition top-k then a driver merge of
+    k-row heaps, never a full global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # Data quality + sketches (beyond-reference)
 # --------------------------------------------------------------------------
 
@@ -923,6 +980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_ntile": q_win_ntile,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup_agg": q_rollup_agg,
+        "global_topk": q_global_topk,
         "quality_dup_grains": q_quality_dup_grains,
         "quality_profile": q_quality_profile,
         "sketch_approx_distinct": q_sketch_approx_distinct,
@@ -1168,6 +1229,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, n_name
         """,
         "supplier_rank_quartile": _SUPPLIER_RANK_SQL,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT c_nationkey, count(*) AS n_orderless
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+        """,
+        "rollup_agg": f"""
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   {_MONEY_SQL.format(x='o_totalprice')} AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "global_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 50
+        """,
         "quality_dup_grains": """
             SELECT l_orderkey, count(*) AS n_rows
             FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1

@@ -111,3 +111,17 @@ def test_embedding_matmul_no_row_level_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "dedup_embedding")
     # one pythonMapInArrow/mapInPandas node does the scoring
     assert "MapInPandas" in p or "ArrowEvalPython" in p, p
+
+
+def test_global_topk_no_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (partial
+    per-partition top-k), never a global Sort + Exchange of all rows."""
+    p = _plan(spark, sf_dir, "global_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert _n_exchanges(p) == 0, p
+
+
+def test_semi_anti_joins_broadcast(spark, sf_dir):
+    for q in ["semi_join", "anti_join"]:
+        p = _plan(spark, sf_dir, q)
+        assert "SortMergeJoin" not in p, f"{q}\n{p}"
