@@ -145,3 +145,43 @@ def test_file_stream_matches_batch(spark, sf_dir):
         for r in tumbling_agg(batch, "1 day").collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_foreach_batch_sink_and_file_sink(spark, sf_dir, tmp_path):
+    """Stream the real events table through (a) the parquet file sink and
+    (b) a foreachBatch writer appending through batch code; both must
+    land every input row."""
+    from cancer_survival_etl_spark.streaming.sinks import (
+        foreach_batch_sink,
+        stream_append_parquet,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    src = stream_from_events_dir(spark, sf_dir)
+
+    q1 = stream_append_parquet(
+        src.select("event_id", "user_id", "value"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt1"),
+    ).trigger(availableNow=True).start()
+    q1.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_events
+
+    seen = []
+
+    def write_batch(batch_df, epoch_id):
+        seen.append((epoch_id, batch_df.count()))
+        batch_df.write.mode("append").parquet(str(tmp_path / "fb_out"))
+
+    q2 = foreach_batch_sink(
+        src.select("event_id", "value"),
+        write_batch,
+        str(tmp_path / "ckpt2"),
+        output_mode="append",
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert sum(n for _, n in seen) == n_events
+    assert spark.read.parquet(str(tmp_path / "fb_out")).count() == n_events
