@@ -40,6 +40,12 @@ HEADLINE = [
     "dedup_embedding",
     "sketch_approx_distinct",
     "quality_profile",
+    "events_asof",
+    "events_range_join",
+    "rollup_agg",
+    "global_topk",
+    "dataset_split",
+    "dedup_lsh_pipeline",
 ]
 
 

