@@ -233,3 +233,40 @@ def test_sql_view_layer(spark, index_out, adult4_out):
            JOIN reporting_benchmarking_standard b USING (JOIN_KEY)"""
     ).first()["n"]
     assert n > 0
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    """The main() analog: enumerate → route by prefix → recipe → sink,
+    with injected sheet loading (no Excel engine needed) — both
+    destinations produced, unmatched files warned, window parsed from
+    the adult filename."""
+    import warnings
+
+    from cancer_survival_etl_spark.pipeline import run_pipeline
+    from cancer_survival_etl_spark.sources.excel import pandas_to_df
+
+    for name in ["Index_2023.xlsx", "adult_2016_2020.xlsx", "stray.xlsx"]:
+        (tmp_path / name).touch()
+
+    sheets = {"Table 5": index_sheet(), "Table 4": adult_sheet()}
+
+    def load(sp, path, sheet_name, skiprows):
+        return pandas_to_df(sp, sheets[sheet_name])
+
+    sunk = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = run_pipeline(
+            spark,
+            str(tmp_path),
+            TARGETS,
+            sink=lambda df, table: sunk.setdefault(table, df),
+            load_sheet=load,
+            snapshot_date="March 2023",
+        )
+    assert set(out) == {"INDEX", "ADULT_4"} == set(sunk)
+    assert any("stray.xlsx" in str(x.message) for x in w)
+    adult = out["ADULT_4"].toPandas()
+    assert (adult["DATE_DIAGNOSIS_WINDOW"] == "2016-2020").all()
+    assert (adult["DATE_SNAPSHOT"] == "March 2023").all()
+    assert out["INDEX"].count() > 0
