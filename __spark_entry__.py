@@ -909,6 +909,14 @@ def q_text_token_stats(spark, sf_dir):
     )
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """Regex BPE-style pre-tokenizer counts (letters/digits/other runs)."""
+    from cancer_survival_etl_spark.llm.textstats import bpe_like_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_like_token_count(d).select("doc_id", "n_bpe_tokens")
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: stopword ratio, diversity, composite score."""
     d = _t(spark, sf_dir, "documents")
@@ -1006,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "dataset_split": q_dataset_split,
         "text_token_stats": q_text_token_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1494,6 +1503,12 @@ def oracle_sql() -> dict[str, str]:
                    round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
                          / len(string_split(text, ' '))::DOUBLE, 6)
                        AS mean_token_len
+            FROM documents
+        """,
+        "text_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS n_bpe_tokens
             FROM documents
         """,
         "text_quality": f"""

@@ -56,3 +56,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the Spark SQL surface."""
     for t in TPCH_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Generic lake-source reader: parquet (default), csv, json, orc —
+    one entry for format breadth. Explicit schema recommended for
+    csv/json at scale (schema inference reads the data twice)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

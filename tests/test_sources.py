@@ -102,3 +102,20 @@ def test_excel_shim_without_engine(spark, tmp_path):
         pass
     with pytest.raises((NotImplementedError, ValueError)):
         excel_sheet_to_df(spark, str(fake), "Table 5", skiprows=10)
+
+
+def test_read_source_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """Format breadth: the same table written as csv and json reads back
+    value-identical through read_source (explicit schema)."""
+    from cancer_survival_etl_spark.sources.catalog import load_table, read_source
+
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "csv"))
+    n.write.mode("overwrite").json(str(tmp_path / "json"))
+
+    expected = {tuple(r) for r in n.collect()}
+    for fmt in ["csv", "json"]:
+        back = read_source(
+            spark, str(tmp_path / fmt), fmt=fmt, schema=n.schema
+        )
+        assert {tuple(r) for r in back.select(n.columns).collect()} == expected
