@@ -125,3 +125,19 @@ def test_semi_anti_joins_broadcast(spark, sf_dir):
     for q in ["semi_join", "anti_join"]:
         p = _plan(spark, sf_dir, q)
         assert "SortMergeJoin" not in p, f"{q}\n{p}"
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """The as-of join is ONE shuffle (union both sides, window carry) —
+    never a range/nested-loop join."""
+    p = _plan(spark, sf_dir, "events_asof")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert _n_exchanges(p) <= 2, p  # key shuffle (+ pre-agg of right side)
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """Bucketization must turn the range predicate into a hash-joinable
+    equi-join — no nested-loop fallback."""
+    p = _plan(spark, sf_dir, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
