@@ -14,6 +14,7 @@ import io
 import re
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -141,3 +142,40 @@ def test_range_join_is_equi_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "events_range_join")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """overwrite_as_table(bucket_by=...) pre-pays the join shuffle at
+    write time: joining two tables bucketed+sorted on the same key must
+    produce a SortMergeJoin with ZERO exchanges (broadcast disabled to
+    force the issue)."""
+    from cancer_survival_etl_spark.sources.catalog import load_table
+    from cancer_survival_etl_spark.sources.sinks import overwrite_as_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    overwrite_as_table(li, "b_lineitem", bucket_by=(8, ["l_orderkey"]))
+    overwrite_as_table(o, "b_orders", bucket_by=(8, ["l_orderkey"]))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"), "l_orderkey"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p, p
+        assert _n_exchanges(p) == 0, p
+        # and the result is still correct
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
