@@ -771,8 +771,10 @@ def q_events_sliding(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
-    """Gap-based session windows per user (session_window) — aggregated to
-    per-user session stats. No simple ANSI equivalent → rows-only check."""
+    """Gap-based session windows per user (session_window) — aggregated
+    to per-user session stats. Oracle: gaps-and-islands SQL (an event
+    exactly gap-later still merges — boundary is strictly greater,
+    verified against session_window's end-inclusive overlap rule)."""
     from cancer_survival_etl_spark.streaming.windows import sessionize
 
     e = _t(spark, sf_dir, "events")
@@ -1348,6 +1350,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    {_MONEY_SQL.format(x='value')} AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ordered
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ),
+            per_session AS (
+                SELECT user_id, sid, count(*) AS cnt
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(cnt) AS max_session_events
+            FROM per_session GROUP BY user_id
         """,
         "events_asof": """
             WITH l AS (
