@@ -1035,6 +1035,30 @@ _LANG_HITS = {
 }
 
 
+def _simhash_sql(bits: int = 32) -> str:
+    # Mirrors llm.dedup.simhash exactly: 32-bit token hash = first 8 hex
+    # chars of md5(token); per-bit ±1 votes; fingerprint bit = sum > 0.
+    vote_cols = ",\n        ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS hv
+        FROM tok
+    ),
+    votes AS (SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
 def _lang_id_sql() -> str:
     hit_cols = ",\n        ".join(
         f"len(list_filter(string_split(text, ' '), t -> t IN {m})) AS hits_{lang}"
@@ -1424,6 +1448,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
         {minhash_cols}
             FROM documents
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": f"""
+            WITH s AS ({_simhash_sql()})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ngram_jaccard": """
             WITH grams AS (
