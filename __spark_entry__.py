@@ -1059,6 +1059,115 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
+def _lsh_bucket_sql(table: int, num_planes: int = 6) -> str:
+    # Mirrors llm.similarity.hyperplane_bucket: plane component r(p, d) =
+    # md5-prefix of "table_p_d" as 32-bit uniform in [-1, 1); bucket bit
+    # p = sign of the projection.
+    bits = []
+    for p in range(num_planes):
+        proj = (
+            "list_sum(list_transform(generate_series(0, len(v) - 1), "
+            "d -> v[d + 1] * (CAST(concat('0x', substring(md5("
+            f"concat_ws('_', '{table}', '{p}', d::VARCHAR)), 1, 8)) "
+            "AS BIGINT) / 2147483648.0 - 1.0)))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {2**p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ann_lsh_sql(num_tables: int = 2, k: int = 5) -> str:
+    per_table = "\n            UNION ALL\n".join(
+        f"""
+            SELECT vec_id, v, {t} AS table_id,
+                   {_lsh_bucket_sql(t)} AS bucket
+            FROM e"""
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS ({per_table}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.v, q.v), 6) AS cosine
+        FROM bucketed c
+        JOIN (SELECT * FROM bucketed WHERE vec_id < 5) q
+          USING (table_id, bucket)
+        WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank_val FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id)
+                   AS rank_val
+        FROM cand
+    ) t WHERE rank_val <= {k}
+    """
+
+
+def _lsh_pipeline_sql(
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 2,
+    rows_per_band: int = 4,
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    # Mirrors llm.dedup.near_dup_pipeline: minhash sigs → banding →
+    # candidate pairs → exact token-n-gram Jaccard verify.
+    def hash_expr(i: int) -> str:
+        prefix = "" if i // 4 == 0 else f"'{i // 4}|' || "
+        return (
+            f"list_min(list_transform("
+            f"generate_series(1, greatest(length(text) - {shingle_k - 1}, 1)), "
+            f"i -> substring(md5({prefix}substring(text, i, {shingle_k})), "
+            f"{(i % 4) * 8 + 1}, 8))) AS h{i}"
+        )
+
+    sig_cols = ",\n               ".join(hash_expr(i) for i in range(num_hashes))
+    band_rows = "\n            UNION ALL\n".join(
+        f"""
+            SELECT doc_id, {b} AS band,
+                   md5(concat_ws('|', {', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))}))
+                       AS band_key
+            FROM sigs"""
+        for b in range(bands)
+    )
+    g = (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len(string_split(text, ' ')) - {ngram_n - 1}, 1)), "
+        "i -> concat_ws(' ', "
+        + ", ".join(f"string_split(text, ' ')[i + {j}]" for j in range(ngram_n))
+        + ")))"
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM documents
+    ),
+    banded AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    grams AS (SELECT doc_id, {g} AS gset FROM documents)
+    SELECT id_a, id_b,
+           round(len(list_intersect(ga.gset, gb.gset))::DOUBLE
+                 / len(list_distinct(list_concat(ga.gset, gb.gset)))::DOUBLE,
+                 6) AS jaccard
+    FROM cand
+    JOIN grams ga ON ga.doc_id = id_a
+    JOIN grams gb ON gb.doc_id = id_b
+    WHERE round(len(list_intersect(ga.gset, gb.gset))::DOUBLE
+                / len(list_distinct(list_concat(ga.gset, gb.gset)))::DOUBLE,
+                6) >= {threshold}
+    """
+
+
 def _lang_id_sql() -> str:
     hit_cols = ",\n        ".join(
         f"len(list_filter(string_split(text, ' '), t -> t IN {m})) AS hits_{lang}"
@@ -1556,6 +1665,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, min(doc_id) AS min_id
             FROM documents GROUP BY 1
         """,
+        "ann_lsh": _ann_lsh_sql(),
+        "dedup_lsh_pipeline": _lsh_pipeline_sql(threshold=0.2),
         "text_token_stats": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
