@@ -957,6 +957,249 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Relational breadth: multi-dimensional grouping, set ops, subqueries,
+# string aggregation, window frames, lateral explode (beyond-reference)
+# --------------------------------------------------------------------------
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE (priority, status): all 2^2 grouping combinations in one
+    pass — Spark expands grouping sets map-side, so the fact table is
+    scanned once regardless of how many combinations the cube emits.
+    GROUPING flags disambiguate 'NULL because subtotal' from data NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((flag,status),(flag),()) — the general
+    form ROLLUP/CUBE compile to; one scan, one expanded shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        _money_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT (distinct): customers who ordered in both 1995 and
+    1996. Spark plans this as a left-semi aggregate join — one shuffle
+    per side on the compared columns."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    return y95.intersect(y96)
+
+
+def q_set_except(spark, sf_dir):
+    """EXCEPT (distinct): customers who ordered in 1995 but never in
+    1996 — churn-style set difference, planned as left-anti."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    return y95.subtract(y96)
+
+
+def q_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subquery: orders priced above their customer's
+    average. Catalyst decorrelates to an aggregate + equi-join (one
+    shuffle on o_custkey), never a per-row subquery execution. Exact
+    cents keep the avg deterministic cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM corr_orders o
+        WHERE cast(round(o.o_totalprice * 100) as bigint) > (
+            SELECT sum(cast(round(i.o_totalprice * 100) as bigint))
+                   / count(*)
+            FROM corr_orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg): nations per
+    region as a sorted CSV. collect_list + array_sort + concat_ws is
+    the deterministic Spark spelling — sort inside the row, not the
+    shuffle, so partial aggregation still applies."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+def q_win_percent_rank(spark, sf_dir):
+    """PERCENT_RANK + CUME_DIST per market segment over account balance
+    (unique order key → both are deterministic; rounded before output)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_win_range_frame(spark, sf_dir):
+    """RANGE frame over a value axis: each customer's trailing-30-day
+    spend. The frame is defined on days-since-epoch (RANGE BETWEEN 30
+    PRECEDING), so same-day peers aggregate together regardless of row
+    order — deterministic where a ROWS frame would not be."""
+    o = _t(spark, sf_dir, "orders")
+    withday = o.withColumn(
+        "order_day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return withday.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("trailing_30d"),
+    )
+
+
+def q_win_first_last(spark, sf_dir):
+    """FIRST_VALUE / NTH_VALUE / LAST_VALUE with an explicit full-frame:
+    per-nation best, runner-up, and worst supplier by balance. The
+    UNBOUNDED FOLLOWING frame is the classic last_value trap — the
+    default frame stops at CURRENT ROW."""
+    s = _t(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.first_value(F.col("s_suppkey")).over(w).alias("top_supplier"),
+        F.nth_value(F.col("s_suppkey"), 2).over(w).alias("runner_up"),
+        F.last_value(F.col("s_suppkey")).over(w).alias("bottom_supplier"),
+    )
+
+
+def q_lateral_explode(spark, sf_dir):
+    """Lateral explode with ordinality (posexplode): documents →
+    (doc_id, pos, token) — the tokenize-to-rows primitive every corpus
+    pipeline starts from. Narrow (no shuffle); output partitioning
+    inherits from the fanned-out input."""
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+
+
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregation: COUNT_IF / filtered SUM / exact COUNT
+    DISTINCT per return flag — one shuffle carries all three (distinct
+    via Spark's expand + two-phase aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        (
+            F.sum(F.when(F.col("l_discount") > 0.05, cents).otherwise(F.lit(0)))
+            / F.lit(100.0)
+        ).alias("discounted_base"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data text curation: repetition, PII, vocabulary
+# --------------------------------------------------------------------------
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: dup-token ratio, top-token and
+    top-bigram fractions (llm.textstats.repetition_stats)."""
+    from cancer_survival_etl_spark.llm.textstats import repetition_stats
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return repetition_stats(d).select(
+        "doc_id", "dup_token_ratio", "top_token_frac", "top_bigram_frac"
+    )
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scan + redaction over a deterministically augmented corpus
+    (the synthetic documents carry no PII, so emails/phones are injected
+    as a pure function of doc_id — both engines compute the same text,
+    making detection AND redaction oracle-checkable)."""
+    from cancer_survival_etl_spark.llm.textstats import pii_scan
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scan(aug).select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by frequency (wordcount with
+    map-side partial aggregation + TakeOrderedAndProject)."""
+    from cancer_survival_etl_spark.llm.textstats import token_frequencies
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return (
+        token_frequencies(d)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -993,6 +1236,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets_agg": q_grouping_sets,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "correlated_scalar": q_correlated_scalar,
+        "string_agg_group": q_string_agg,
+        "win_percent_rank": q_win_percent_rank,
+        "win_range_frame": q_win_range_frame,
+        "win_first_last": q_win_first_last,
+        "lateral_explode": q_lateral_explode,
+        "conditional_agg": q_conditional_agg,
         "global_topk": q_global_topk,
         "quality_dup_grains": q_quality_dup_grains,
         "quality_profile": q_quality_profile,
@@ -1020,6 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "vocab_topk": q_vocab_topk,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1189,6 +1446,39 @@ def _lang_id_sql() -> str:
     SELECT lang, {case} AS lang_guess, count(*) AS n_docs
     FROM scored GROUP BY 1, 2
     """
+
+
+# Same augmentation + patterns as q_text_pii / llm.textstats.pii_scan.
+# DuckDB regexp_replace needs the 'g' flag — Spark's replaces all matches
+# by default. The patterns stay in the Java∩RE2 regex subset.
+def _text_pii_sql() -> str:
+    from cancer_survival_etl_spark.llm.textstats import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || (CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-123-4567' ELSE '' END) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS n_phones,
+           md5(regexp_replace(
+               regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+               '{PHONE_PATTERN}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """
+
+
+_TEXT_PII_SQL = _text_pii_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1706,5 +1996,139 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprint": """
             SELECT doc_id, md5(text) AS md5_fingerprint FROM documents
+        """,
+        "cube_agg": f"""
+            SELECT o_orderpriority, o_orderstatus,
+                   GROUPING(o_orderpriority) AS g_priority,
+                   GROUPING(o_orderstatus) AS g_status,
+                   count(*) AS n_orders,
+                   {_MONEY_SQL.format(x='o_totalprice')} AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "grouping_sets_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING(l_returnflag) AS g_flag,
+                   GROUPING(l_linestatus) AS g_status,
+                   count(*) AS n_rows,
+                   {_MONEY_SQL.format(x='l_quantity')} AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "set_intersect": """
+            SELECT o_custkey AS cust_id FROM orders
+            WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey AS cust_id FROM orders
+            WHERE year(o_orderdate) = 1996
+        """,
+        "set_except": """
+            SELECT o_custkey AS cust_id FROM orders
+            WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT o_custkey AS cust_id FROM orders
+            WHERE year(o_orderdate) = 1996
+        """,
+        "correlated_scalar": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o
+            WHERE cast(round(o.o_totalprice * 100) as bigint) > (
+                SELECT sum(cast(round(i.o_totalprice * 100) as bigint))
+                       / count(*)
+                FROM orders i WHERE i.o_custkey = o.o_custkey
+            )
+        """,
+        "string_agg_group": """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "win_percent_rank": """
+            SELECT c_custkey, c_mktsegment,
+                   round(percent_rank() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+                   round(cume_dist() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey), 6) AS cume
+            FROM customer
+        """,
+        "win_range_frame": """
+            SELECT o_orderkey, o_custkey,
+                   datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                            o_orderdate) AS order_day,
+                   sum(cast(round(o_totalprice * 100) as bigint)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY datediff('day',
+                                         TIMESTAMP '1970-01-01 00:00:00',
+                                         o_orderdate)
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+                   ) / 100.0 AS trailing_30d
+            FROM orders
+        """,
+        "win_first_last": """
+            SELECT s_suppkey, s_nationkey, s_acctbal,
+                   first_value(s_suppkey) OVER w AS top_supplier,
+                   nth_value(s_suppkey, 2) OVER w AS runner_up,
+                   last_value(s_suppkey) OVER w AS bottom_supplier
+            FROM supplier
+            WINDOW w AS (PARTITION BY s_nationkey
+                         ORDER BY s_acctbal DESC, s_suppkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        """,
+        "lateral_explode": """
+            SELECT doc_id, u.pos, u.token
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(string_split(text, ' '))),
+                           i -> {'pos': i - 1,
+                                 'token': string_split(text, ' ')[i]})) AS u
+                FROM documents WHERE doc_id < 100
+            )
+        """,
+        "conditional_agg": """
+            SELECT l_returnflag,
+                   count_if(l_quantity > 25) AS n_big,
+                   sum(CASE WHEN l_discount > 0.05
+                       THEN cast(round(l_extendedprice * 100) as bigint)
+                       ELSE 0 END) / 100.0 AS discounted_base,
+                   count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "text_repetition": """
+            WITH s AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n,
+                       list_transform(
+                           generate_series(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' '
+                                || string_split(text, ' ')[i + 1]) AS bigrams
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(1 - len(list_distinct(toks))::DOUBLE / n, 6)
+                       AS dup_token_ratio,
+                   round(list_max(list_transform(list_distinct(toks),
+                       d -> len(list_filter(toks, x -> x = d))))::DOUBLE / n, 6)
+                       AS top_token_frac,
+                   CASE WHEN n >= 2 THEN
+                       round(list_max(list_transform(list_distinct(bigrams),
+                           d -> len(list_filter(bigrams, x -> x = d))))::DOUBLE
+                           / (n - 1), 6)
+                   END AS top_bigram_frac
+            FROM s
+        """,
+        "text_pii": _TEXT_PII_SQL,
+        "vocab_topk": """
+            SELECT t AS token, count(*) AS n_occurrences
+            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            GROUP BY t
+            ORDER BY n_occurrences DESC, token
+            LIMIT 50
         """,
     }

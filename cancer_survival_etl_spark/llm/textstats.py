@@ -121,6 +121,87 @@ def doc_fingerprint(
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-token
+    ratio, most-common-token fraction, and most-common-bigram fraction
+    (Rae et al. 2021 §A1.1's repetition filters, token-granular).
+
+    Pure array expressions — O(tokens × distinct) per row inside
+    whole-stage codegen, zero shuffle. Documents are short relative to
+    their vocabulary, so this beats an explode → groupBy → join-back
+    (which would shuffle the whole corpus twice) at any scale.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("double")
+    distinct = F.array_distinct(toks)
+
+    def top_count(arr: Column, uniq: Column) -> Column:
+        return F.array_max(
+            F.transform(uniq, lambda d: F.size(F.filter(arr, lambda t: t == d)))
+        ).cast("double")
+
+    # nb: F.sequence(1, n-1) auto-steps DOWNWARD when n == 1 — guard the
+    # bigram list explicitly or single-token docs produce [1, 0] indices.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    )
+    return df.select(
+        "*",
+        F.round(1 - F.size(distinct) / n, 6).alias("dup_token_ratio"),
+        F.round(top_count(toks, distinct) / n, 6).alias("top_token_frac"),
+        F.round(
+            top_count(bigrams, F.array_distinct(bigrams)) / (n - 1), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: per-document counts of email-like and
+    phone-like matches, plus the redacted text (matches replaced with
+    typed placeholders). Patterns are kept to the regex subset Java and
+    RE2 share, so the same scan runs on any engine. One regexp pass per
+    pattern, all JVM-side."""
+    col = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token frequency table (vocabulary building): explode →
+    groupBy(token). Spark runs the count partially map-side, so the
+    shuffle carries one row per (partition × distinct token), not one per
+    token occurrence — the classic wordcount shape that scales linearly
+    with executors."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
 def bpe_like_token_count(
     df: DataFrame, text_col: str = "text", alias: str = "n_bpe_tokens"
 ) -> DataFrame:

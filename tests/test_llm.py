@@ -356,3 +356,64 @@ def test_stratified_sample_fractions(spark, sf_dir):
     assert set(got) <= {langs[0], langs[1]}
     assert got.get(langs[1], 0) == totals[langs[1]]          # keep-all stratum
     assert 0 < got.get(langs[0], 0) < totals[langs[0]]       # downsampled
+
+
+def test_repetition_stats_semantics(spark):
+    from cancer_survival_etl_spark.llm.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),            # one token repeated
+            (1, "a b c d"),            # all distinct
+            (2, "a b a b a"),          # dominant bigram "a b" (2 of 4)
+            (3, "solo"),               # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(df).collect()
+    }
+    assert out[0]["dup_token_ratio"] == 0.75
+    assert out[0]["top_token_frac"] == 1.0
+    assert out[0]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_token_ratio"] == 0.0
+    assert out[1]["top_token_frac"] == 0.25
+    assert out[2]["top_token_frac"] == 0.6            # 'a' 3 of 5
+    assert out[2]["top_bigram_frac"] == 0.5           # 'a b' 2 of 4
+    assert out[3]["dup_token_ratio"] == 0.0
+    assert out[3]["top_bigram_frac"] is None          # guarded, not [1,0]
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from cancer_survival_etl_spark.llm.textstats import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at jo.smith+x@example.co.uk or 555-123-4567 ok"),
+            (1, "no pii here"),
+            (2, "two mails a@b.io c@d.org one phone 111 222-3333"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+    assert "<EMAIL>" in out[0]["redacted"] and "<PHONE>" in out[0]["redacted"]
+    assert "example.co.uk" not in out[0]["redacted"]
+    assert out[1]["n_emails"] == 0 and out[1]["redacted"] == "no pii here"
+    assert out[2]["n_emails"] == 2
+    # mixed separators allowed: "111 222-3333" is ddd[- ]ddd[- ]dddd
+    assert out[2]["n_phones"] == 1
+
+
+def test_token_frequencies_wordcount(spark):
+    from cancer_survival_etl_spark.llm.textstats import token_frequencies
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b a")], "doc_id long, text string"
+    )
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in token_frequencies(df).collect()
+    }
+    assert got == {"a": 3, "b": 2}
