@@ -956,6 +956,44 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.select("item_id", "n_bytes", "checksum", "width", "height")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: SimHash Hamming pairs → connected components
+    (iterative min-label propagation, operators.graph) → canonical doc
+    per cluster. The oracle closes the same pair graph with a recursive
+    CTE — component ids (min reachable doc) match exactly."""
+    from cancer_survival_etl_spark.llm.dedup import dedup_clusters, simhash_near_dups
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    sigs = simhash(d, "text", "doc_id", bits=32)
+    pairs = simhash_near_dups(sigs, "doc_id", max_hamming=3)
+    return dedup_clusters(d, pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE s AS ({_simhash_sql()}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.u
+    )
+    SELECT u AS doc_id, min(lab) AS cluster_id,
+           min(lab) = u AS is_canonical
+    FROM reach GROUP BY u
+    """
+
+
 # --------------------------------------------------------------------------
 # Relational breadth: multi-dimensional grouping, set ops, subqueries,
 # string aggregation, window frames, lateral explode (beyond-reference)
@@ -1263,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
@@ -2124,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "text_pii": _TEXT_PII_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

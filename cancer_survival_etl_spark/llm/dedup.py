@@ -547,3 +547,31 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can agree on several chunks
     )
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup clustering: close the pair graph into components and
+    elect one canonical document (min id) per cluster — the decision
+    step that pair-producing detectors (LSH verify, SimHash Hamming,
+    embedding cosine) feed at the end of every dedup pipeline.
+
+    ``pairs`` carries (id_a, id_b) near-dup edges; ``docs`` supplies the
+    full corpus so untouched documents come back as their own singleton
+    cluster. Returns (id, cluster_id, is_canonical); downstream dedup is
+    ``filter(is_canonical)``.
+    """
+    from cancer_survival_etl_spark.operators.graph import connected_components
+
+    comps = connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        nodes=docs.select(F.col(id_col).alias("id_a")),
+    )
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -1,0 +1,83 @@
+"""Distributed connected components — the clustering step that turns
+near-duplicate PAIRS into dedup DECISIONS (one canonical doc per
+component of the similarity graph).
+
+Spark-first shape: iterative min-label propagation over DataFrames.
+Each round is one equi-join shuffle on node id (AQE handles skewed hub
+nodes); labels converge in O(graph diameter) rounds — near-dup clusters
+are shallow (a dup of a dup of a dup is rare past a few hops), so in
+practice 3-5 rounds. ``localCheckpoint`` truncates the lineage each
+round, the standard guard against iterative-plan blowup.
+
+At 100 TB the same loop holds: the working set is (node, label) pairs —
+two longs per node — never documents; each round's shuffle is bounded
+by edge count. For adversarial deep-chain graphs, swap the propagation
+step for alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — same join primitive,
+O(log^2 n) rounds; the API contract here doesn't change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``edges`` is an undirected pair list (one row per edge, either
+    orientation). ``nodes`` optionally supplies the full vertex set (one
+    column named ``src``) so isolated vertices appear as singleton
+    components; otherwise the vertex set is derived from the edges.
+
+    Returns (node, component) where component = min reachable node id —
+    deterministic, content-independent of partitioning, and therefore
+    oracle-checkable against a recursive-SQL transitive closure.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    vertex = sym.select("u")
+    if nodes is not None:
+        vertex = vertex.unionByName(nodes.select(F.col(src).alias("u")))
+    # eager checkpoint: truncates lineage so the per-round self-joins
+    # (labels derives from sym) don't trip ambiguous-column analysis,
+    # and round N's plan doesn't re-derive rounds 1..N-1.
+    labels = (
+        vertex.distinct().select("u", F.col("u").alias("component"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # each node offers its label to every neighbor; keep the min of
+        # (own label, best offer). One shuffle for the join, one for the
+        # min-aggregate — both keyed on node id.
+        offers = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .select(F.col("e.u").alias("u"), F.col("l.component").alias("component"))
+        )
+        new_labels = (
+            labels.unionByName(offers)
+            .groupBy("u")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "u"
+            )
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), "component")

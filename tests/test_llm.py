@@ -417,3 +417,34 @@ def test_token_frequencies_wordcount(spark):
         for r in token_frequencies(df).collect()
     }
     assert got == {"a": 3, "b": 2}
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    from cancer_survival_etl_spark.llm.dedup import dedup_clusters
+    from cancer_survival_etl_spark.operators.graph import connected_components
+
+    # triangle {1,2,3}, pair {5,6}, 6-node chain 10..15 (diameter 5 →
+    # needs several propagation rounds), isolated node 9 via `nodes`
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (5, 6)]
+        + [(i, i + 1) for i in range(10, 15)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(9,)], "id_a long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 5, 6, 9]], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(docs, pairs).collect()
+    canon = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    assert canon == [1, 5, 9]
+    assert all(r["cluster_id"] <= r["doc_id"] for r in out)
