@@ -994,6 +994,94 @@ def _dedup_clusters_sql() -> str:
     """
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 play the
+    held-out eval set; every other doc is scored by how many of its
+    distinct token 3-grams appear anywhere in the eval set. Eval grams
+    are broadcast (benchmarks are small) — the corpus side never
+    shuffles."""
+    from cancer_survival_etl_spark.llm.curation import contamination
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination(train, ev, "text", "doc_id", n=3)
+
+
+_DECONTAM_SQL = """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS g
+        FROM tok, unnest(generate_series(1,
+                 greatest(len(t) - 2, 1))) AS s(i)
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           count(*) AS n_grams,
+           count(ev.g) AS n_contaminated,
+           round(count(ev.g)::DOUBLE / count(*), 6) AS contamination_ratio,
+           count(ev.g) > 0 AS is_contaminated
+    FROM tr LEFT JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+"""
+
+
+def q_text_chunk(spark, sf_dir):
+    """Context-window chunking: split each doc into consecutive 32-token
+    chunks (id, chunk_id, chunk_text, n_tokens). Narrow transform — no
+    shuffle; fan_out supplies the parallelism the 1-partition parquet
+    lacks."""
+    from cancer_survival_etl_spark.llm.curation import chunk_documents
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return chunk_documents(d, "text", "doc_id", chunk_size=32)
+
+
+_CHUNK_SQL = """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(t[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text,
+           len(t[i * 32 + 1 : i * 32 + 32]) AS n_tokens
+    FROM tok, unnest(generate_series(0, (len(t) - 1) // 32)) AS s(i)
+"""
+
+
+def q_text_pack_bins(spark, sf_dir):
+    """Sequence packing: global running token offset in doc_id order →
+    512-token bin assignment. Uses the two-phase distributed prefix sum
+    (operators/windows.global_prefix_sum), not a single-task global
+    window — the oracle's naive OVER (ORDER BY) form is what it
+    replaces at scale."""
+    from cancer_survival_etl_spark.llm.curation import pack_bins
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_bins(d, "text", "doc_id", budget=512)
+
+
+_PACK_BINS_SQL = """
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS start_offset,
+           (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) // 512)::BIGINT AS bin_id
+    FROM sized
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational breadth: multi-dimensional grouping, set ops, subqueries,
 # string aggregation, window frames, lateral explode (beyond-reference)
@@ -1302,6 +1390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
         "dedup_clusters": q_dedup_clusters,
+        "text_decontaminate": q_text_decontaminate,
+        "text_chunk": q_text_chunk,
+        "text_pack_bins": q_text_pack_bins,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
@@ -2164,6 +2255,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii": _TEXT_PII_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "text_decontaminate": _DECONTAM_SQL,
+        "text_chunk": _CHUNK_SQL,
+        "text_pack_bins": _PACK_BINS_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -1,0 +1,145 @@
+"""Corpus curation for training-data pipelines: benchmark
+decontamination, context-window chunking, and sequence packing.
+
+Beyond-reference extensions (the reference — a small NHS ETL stack,
+see SURVEY.md — has no corpus operators; these follow the shapes a
+pretraining data pipeline needs at 100 TB).
+
+Scale notes
+-----------
+- Decontamination joins the corpus's exploded n-grams against the
+  *benchmark* gram set. Benchmarks are small (thousands of docs), so
+  the eval side is distinct-ed and broadcast: the big side streams
+  through a map-side hash join with zero shuffle of the corpus grams.
+- Grams are joined on ``xxhash64`` of the gram string (8 bytes instead
+  of a variable-length shuffle key); the hash never reaches output.
+- Chunking is a pure narrow transform (split → sequence → explode):
+  no shuffle at all; parallelism is whatever the scan provides (callers
+  on few-partition inputs should ``fan_out`` first).
+- Packing needs a *global* prefix sum, which a naive
+  ``Window.orderBy`` computes on ONE task. ``global_prefix_sum`` in
+  operators/windows.py does it in two phases (range partition → local
+  cumsum + tiny per-partition offset broadcast), so packing scales to
+  any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.llm.dedup import _token_ngrams
+from cancer_survival_etl_spark.operators.windows import global_prefix_sum
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct token ``n``-grams also occur anywhere in ``eval_df`` (the
+    benchmark/eval corpus).
+
+    Returns (id, n_grams, n_contaminated, contamination_ratio,
+    is_contaminated); the downstream filter is
+    ``filter(~is_contaminated)`` (strict) or a ratio threshold (loose).
+
+    Documents shorter than ``n`` tokens contribute one truncated gram
+    (their full text), matching ``_token_ngrams``'s floor of 1 — a
+    short doc identical to a benchmark string is still contamination.
+    """
+    grams = train.select(
+        id_col, F.explode(_token_ngrams(text_col, n)).alias("_gram")
+    ).select(id_col, F.xxhash64("_gram").alias("_gk"))
+    ev = (
+        eval_df.select(F.explode(_token_ngrams(text_col, n)).alias("_gram"))
+        .select(F.xxhash64("_gram").alias("_gk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hits = grams.join(F.broadcast(ev), "_gk", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_grams"), 6
+            ).alias("contamination_ratio"),
+            (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+) -> DataFrame:
+    """Split each document's whitespace tokens into consecutive
+    ``chunk_size``-token chunks: (id, chunk_id, chunk_text, n_tokens).
+
+    The context-window shaping step of a pretraining pipeline. Pure
+    narrow transform — tokens never leave their partition; the last
+    chunk of each document is short (no padding here; see
+    ``pack_bins`` for budget-packing whole documents instead).
+    """
+    toks = F.split(F.col(text_col), " ")
+    c = F.lit(chunk_size)
+    with_chunks = df.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / c))
+        ).alias("chunk_id"),
+        toks.alias("_toks"),
+    )
+    piece = F.slice(
+        F.col("_toks"), (F.col("chunk_id") * c + 1).cast("int"), chunk_size
+    )
+    return with_chunks.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+) -> DataFrame:
+    """Sequence packing: concatenate documents in ``id_col`` order and
+    assign each to the ``budget``-token bin where it *starts* —
+    (id, n_tokens, start_offset, bin_id).
+
+    This is the streaming-concatenation packing used to fill fixed-size
+    training contexts (a doc may straddle a boundary; the chunker above
+    handles intra-doc splitting). The global running offset comes from
+    ``global_prefix_sum`` — two-phase, no single-task window — so the
+    plan survives a 100× scale-up where ``Window.orderBy()`` (no
+    partitionBy) would serialize the whole corpus through one core.
+    """
+    sized = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    with_off = global_prefix_sum(
+        sized, order_col=id_col, value_col="n_tokens", alias="start_offset"
+    )
+    return with_off.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / F.lit(budget)).alias("bin_id"),
+    )

