@@ -1,0 +1,102 @@
+"""Streaming ingest hygiene: watermarked exact dedup, stream-static
+enrichment, stream-stream interval joins.
+
+The streaming half of the corpus-curation surface (llm/dedup.py is the
+batch half): a training-data pipeline ingesting a document/event feed
+needs at-least-once sources collapsed to effectively-once rows *on the
+way in*, dimension enrichment without restarting the stream, and
+bounded-state correlation of two feeds.
+
+Scale/state notes:
+- ``dropDuplicatesWithinWatermark`` keys the state store by the dedup
+  columns and evicts entries once the watermark passes — state is
+  bounded by (key arrival rate × watermark delay), not by stream
+  lifetime. That is the only safe exact-dedup shape on an unbounded
+  stream; plain ``dropDuplicates`` on a stream grows state forever.
+- Stream-static joins re-read the static side per micro-batch and
+  broadcast it when small — dimension updates are picked up without
+  restarting the query, and the stream side never shuffles.
+- Stream-stream joins buffer BOTH sides in the state store; the
+  watermarks plus the time-range predicate are what let Spark discard
+  buffered rows. Omitting either side's watermark is an unbounded-state
+  bug, so this wrapper makes them required arguments.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Effectively-once rows from an at-least-once feed: drop any row
+    whose ``key_cols`` were already seen within the watermark horizon.
+
+    Duplicates separated by more than the watermark delay are NOT
+    caught (their state was evicted) — that is the contract of bounded
+    state; pick the delay to cover the source's redelivery window and
+    let the batch-side exact_dedup sweep the long tail.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a stream with a static dimension (stream-static join).
+
+    The static side is re-evaluated each micro-batch — a dim table
+    updated in place is picked up live. ``broadcast_dim`` pins the
+    map-side hash join so the stream never shuffles; leave it True
+    unless the dimension is genuinely executor-memory-large.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(d, keys, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+) -> DataFrame:
+    """Correlate two streams on a key within a time interval:
+    right.ts ∈ [left.ts - lower, left.ts + upper].
+
+    Both watermarks are mandatory (they bound the join state); the
+    interval predicate is what lets the state store evict buffered rows
+    from either side once the other side's watermark passes the window.
+    """
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond)

@@ -185,3 +185,117 @@ def test_foreach_batch_sink_and_file_sink(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     assert sum(n for _, n in seen) == n_events
     assert spark.read.parquet(str(tmp_path / "fb_out")).count() == n_events
+
+
+def test_streaming_exact_dedup(spark, sf_dir, tmp_path):
+    """An at-least-once feed (the events stream unioned with itself =
+    every row delivered twice) collapses back to exactly the distinct
+    event_ids under dropDuplicatesWithinWatermark."""
+    from cancer_survival_etl_spark.streaming.dedup import streaming_exact_dedup
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    src = stream_from_events_dir(spark, sf_dir)
+    doubled = src.unionByName(stream_from_events_dir(spark, sf_dir))
+    q = (
+        streaming_exact_dedup(doubled, ["event_id"], watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+        "FROM dedup_stream_test"
+    ).collect()[0]
+    want = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert (got["n"], got["d"]) == (want, want)
+
+
+def test_stream_static_enrich(spark, sf_dir):
+    """Stream-static left join against a broadcast dimension: every
+    event lands exactly once, every event is enriched."""
+    from cancer_survival_etl_spark.streaming.dedup import stream_static_enrich
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg_"), F.col("user_id") % 3))
+    )
+    src = stream_from_events_dir(spark, sf_dir)
+    q = (
+        stream_static_enrich(src, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(segment) AS enriched "
+        "FROM enrich_stream_test"
+    ).collect()[0]
+    n = events.count()
+    assert (got["n"], got["enriched"]) == (n, n)
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Two copies of the events feed joined on user_id within
+    [ts, ts+5min): the streaming result must equal the batch interval
+    join of the same tables."""
+    from cancer_survival_etl_spark.streaming.dedup import (
+        stream_stream_interval_join,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    keep = F.col("user_id") < 3  # bound the pair count
+    left = stream_from_events_dir(spark, sf_dir).filter(keep)
+    right = (
+        stream_from_events_dir(spark, sf_dir)
+        .filter(keep)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("user_id_r"),
+            "ts",
+        )
+        .withColumnRenamed("user_id_r", "user_id")
+    )
+    joined = stream_stream_interval_join(
+        left.select("event_id", "user_id", "ts"),
+        right,
+        key="user_id",
+        lower="0 seconds",
+        upper="5 minutes",
+    ).select("event_id", "r_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n FROM ss_join_test").collect()[0]["n"]
+
+    e = load_table(spark, sf_dir, "events").filter(keep)
+    a, b = e.alias("a"), e.alias("b")
+    want = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 minutes")),
+        )
+        .count()
+    )
+    assert got == want and got > 0
