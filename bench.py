@@ -46,6 +46,9 @@ HEADLINE = [
     "global_topk",
     "dataset_split",
     "dedup_lsh_pipeline",
+    "text_decontaminate",
+    "text_chunk",
+    "text_pack_bins",
 ]
 
 

@@ -54,6 +54,7 @@ def connected_components(
         vertex.distinct().select("u", F.col("u").alias("component"))
     ).localCheckpoint(eager=True)
 
+    prev_sum = None
     for _ in range(max_iter):
         # each node offers its label to every neighbor; keep the min of
         # (own label, best offer). One shuffle for the join, one for the
@@ -63,21 +64,39 @@ def connected_components(
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
             .select(F.col("e.u").alias("u"), F.col("l.component").alias("component"))
         )
-        new_labels = (
+        half = (
             labels.unionByName(offers)
             .groupBy("u")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: follow one extra hop (component <- its own
+        # label). Neighbor propagation alone needs O(diameter) rounds;
+        # with the shortcut, label distance-to-root halves each round —
+        # O(log diameter), the difference between 25 and 5 shuffles on
+        # an adversarial chain. Labels are node ids, so every component
+        # value has a row in `half`; the join is a plain equi-join.
+        new_labels = (
+            half.alias("x")
+            .join(
+                half.select(
+                    F.col("u").alias("component"),
+                    F.col("component").alias("_c2"),
+                ).alias("y"),
+                "component",
+            )
+            .select("u", F.col("_c2").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "_old"), "u"
-            )
-            .filter(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # convergence probe: per-node labels only ever decrease, so the
+        # label total is strictly monotone until fixpoint — one cheap
+        # aggregate on the just-checkpointed 2-column frame instead of
+        # an old-vs-new join. decimal(38) keeps the total exact at any
+        # node count.
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("u").alias("node"), "component")
