@@ -1066,6 +1066,72 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_bins(d, "text", "doc_id", budget=512)
 
 
+def q_text_boilerplate(spark, sf_dir):
+    """Corpus boilerplate mining: token 4-grams present in >= 3 distinct
+    documents (C4-style blocklist). One explode + count; map-side
+    partial agg collapses hot spans before the shuffle."""
+    from cancer_survival_etl_spark.llm.curation import boilerplate_spans
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return boilerplate_spans(d, "text", "doc_id", n=4, min_docs=3)
+
+
+_BOILERPLATE_SQL = """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[i], t[i + 1], t[i + 2], t[i + 3]) AS span
+        FROM tok, unnest(generate_series(1,
+                 greatest(len(t) - 3, 1))) AS s(i)
+    )
+    SELECT span, count(*) AS n_docs
+    FROM grams GROUP BY span HAVING count(*) >= 3
+"""
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Per-document top-3 keywords by tf-idf. Document frequencies are
+    broadcast (Heaps'-law vocab stays small relative to the corpus);
+    score rounded to 6 dp BEFORE row_number so ranking is deterministic
+    across engines despite last-ulp ln() differences."""
+    from cancer_survival_etl_spark.llm.curation import tfidf_topk
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return tfidf_topk(d, "text", "doc_id", k=3)
+
+
+_TFIDF_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+               round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rank_val FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rank_val
+        FROM scored
+    ) WHERE rank_val <= 3
+"""
+
+
 _PACK_BINS_SQL = """
     WITH sized AS (
         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
@@ -1393,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunk": q_text_chunk,
         "text_pack_bins": q_text_pack_bins,
+        "text_boilerplate": q_text_boilerplate,
+        "text_tfidf": q_text_tfidf,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
@@ -2258,6 +2326,8 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAM_SQL,
         "text_chunk": _CHUNK_SQL,
         "text_pack_bins": _PACK_BINS_SQL,
+        "text_boilerplate": _BOILERPLATE_SQL,
+        "text_tfidf": _TFIDF_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

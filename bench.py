@@ -49,6 +49,8 @@ HEADLINE = [
     "text_decontaminate",
     "text_chunk",
     "text_pack_bins",
+    "text_boilerplate",
+    "text_tfidf",
 ]
 
 

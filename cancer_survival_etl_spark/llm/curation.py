@@ -143,3 +143,77 @@ def pack_bins(
         "start_offset",
         F.floor(F.col("start_offset") / F.lit(budget)).alias("bin_id"),
     )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate mining (the C4/RefinedWeb cleaning
+    step): token ``n``-grams that occur in at least ``min_docs``
+    DISTINCT documents — headers, footers, license blurbs, navigation
+    chrome. Returns (span, n_docs); downstream cleaners strip or
+    down-weight documents dominated by blocklisted spans (feed this to
+    ``contamination`` as the eval side to score coverage per doc).
+
+    One explode + one count per distinct (doc, span) — ``_token_ngrams``
+    already dedups within a document, so ``count(*)`` IS the document
+    frequency. Map-side partial aggregation collapses the popular spans
+    (the ones we're after) before the shuffle.
+    """
+    grams = df.select(
+        F.explode(_token_ngrams(text_col, n)).alias("span")
+    )
+    return (
+        grams.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf:
+    score = tf × ln(N / df), round(6) BEFORE ranking (ln differs in the
+    last ulp across engines; ranking on the rounded score is what makes
+    the result deterministic and oracle-checkable), ties broken by
+    token. Returns (id, token, tf, df, tfidf, rank_val).
+
+    ``broadcast_vocab`` ships the document-frequency table map-side —
+    right for natural-language vocabularies (Heaps' law keeps distinct
+    tokens millions, not billions, even at corpus scale); flip it off
+    for token-id spaces wider than executor memory and the same plan
+    runs as a shuffle join.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = (
+        toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = F.broadcast(dfreq) if broadcast_vocab else dfreq
+    scored = tf.join(vocab, "token").select(
+        id_col,
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return scored.withColumn(
+        "rank_val", F.row_number().over(w)
+    ).filter(F.col("rank_val") <= k)

@@ -82,3 +82,49 @@ def test_global_prefix_sum_matches_single_window(spark):
     }
     # plan shape: no global single-partition sort of the data side
     assert "ps" in got.columns and got.count() == 257
+
+
+def test_boilerplate_spans_doc_frequency(spark):
+    from cancer_survival_etl_spark.llm.curation import boilerplate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s x"),
+            (2, "y p q r s"),
+            (3, "p q r s"),
+            (4, "a b c d"),
+            (5, "p q r s p q r s"),  # repeats within doc count once
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["span"]: r["n_docs"]
+        for r in boilerplate_spans(df, n=4, min_docs=3).collect()
+    }
+    assert got["p q r s"] == 4
+    assert "a b c d" not in got
+
+
+def test_tfidf_topk_scores_and_ranking(spark):
+    import math
+
+    from cancer_survival_etl_spark.llm.curation import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common other"),
+            (3, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # "common" is in all 3 docs: ln(3/3)=0 — never the top keyword
+    top1 = {d: sorted(rs, key=lambda r: r["rank_val"])[0] for d, rs in by_doc.items()}
+    assert top1[1]["token"] == "rare"
+    assert top1[1]["tfidf"] == round(2 * math.log(3.0 / 1.0), 6)
+    assert top1[3]["token"] == "unique"
+    assert all(len(rs) <= 2 for rs in by_doc.values())
