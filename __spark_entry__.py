@@ -1066,6 +1066,32 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_bins(d, "text", "doc_id", budget=512)
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style cascading rollup: minute partials → hour → day,
+    each level re-aggregating the previous level's partials (raw events
+    scanned once). The oracle aggregates raw events straight to day —
+    equality IS the lossless-cascade property. Money sums ride as
+    integer cents through every level."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cascading_rollup,
+        finish_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    day = cascading_rollup(e, levels=("1 minute", "1 hour", "1 day"))[-1]
+    return finish_rollup(day)
+
+
+_EVENTS_ROLLUP_SQL = f"""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           min(value) AS min_value, max(value) AS max_value,
+           {_MONEY_SQL.format(x="value")} AS sum_value,
+           round({_MONEY_SQL.format(x="value")} / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+"""
+
+
 def q_text_boilerplate(spark, sf_dir):
     """Corpus boilerplate mining: token 4-grams present in >= 3 distinct
     documents (C4-style blocklist). One explode + count; map-side
@@ -1459,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunk": q_text_chunk,
         "text_pack_bins": q_text_pack_bins,
+        "events_rollup": q_events_rollup,
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2326,6 +2353,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAM_SQL,
         "text_chunk": _CHUNK_SQL,
         "text_pack_bins": _PACK_BINS_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
         "text_boilerplate": _BOILERPLATE_SQL,
         "text_tfidf": _TFIDF_SQL,
         "vocab_topk": """

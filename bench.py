@@ -51,6 +51,7 @@ HEADLINE = [
     "text_pack_bins",
     "text_boilerplate",
     "text_tfidf",
+    "events_rollup",
 ]
 
 

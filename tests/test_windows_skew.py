@@ -230,3 +230,39 @@ def test_range_join_preceding_semantics(spark):
         ).collect()
     }
     assert got == {"same-instant", "in-window", "prev-bucket-edge"}
+
+
+def test_cascading_rollup_lossless_at_every_level(spark, sf_dir):
+    """Each cascade level must equal aggregating raw events directly at
+    that resolution — the decomposable-aggregate property."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cascading_rollup,
+        finish_rollup,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    levels = ("1 minute", "1 hour", "1 day")
+    cascade = cascading_rollup(e, levels=levels)
+    for duration, lvl in zip(levels, cascade):
+        direct = (
+            e.groupBy(F.window("ts", duration).alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "*")
+            .drop("w")
+        )
+        key = lambda r: (r["window_start"], r["event_type"])
+        got = {key(r): (r["n_events"], r["sum_cents"], r["min_value"], r["max_value"]) for r in lvl.collect()}
+        want = {key(r): (r["n_events"], r["sum_cents"], r["min_value"], r["max_value"]) for r in direct.collect()}
+        assert got == want and len(got) > 0
+
+    day = finish_rollup(cascade[-1])
+    row = day.limit(1).collect()[0]
+    assert abs(row["avg_value"] - round(row["sum_value"] / row["n_events"], 6)) < 1e-9
