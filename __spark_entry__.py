@@ -1066,6 +1066,28 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_bins(d, "text", "doc_id", budget=512)
 
 
+def q_zorder_values(spark, sf_dir):
+    """Morton z-values for (l_partkey, l_suppkey) — the interleave
+    expression behind operators/layout.zorder_layout (multi-dimensional
+    file/row-group pruning). Pure codegen bit math; the layout pass
+    itself is repartitionByRange(z) (pinned in test_layout.py)."""
+    from cancer_survival_etl_spark.operators.layout import zvalue
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_partkey", "l_suppkey", zvalue(["l_partkey", "l_suppkey"]).alias("zval")
+    )
+
+
+_ZORDER_SQL = """
+    SELECT l_partkey, l_suppkey,
+           list_sum(list_transform(generate_series(0, 15), i ->
+               (((l_partkey >> i) & 1) << (2 * i))
+               + (((l_suppkey >> i) & 1) << (2 * i + 1))))::BIGINT AS zval
+    FROM lineitem
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style cascading rollup: minute partials → hour → day,
     each level re-aggregating the previous level's partials (raw events
@@ -1485,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunk": q_text_chunk,
         "text_pack_bins": q_text_pack_bins,
+        "zorder_values": q_zorder_values,
         "events_rollup": q_events_rollup,
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
@@ -2353,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAM_SQL,
         "text_chunk": _CHUNK_SQL,
         "text_pack_bins": _PACK_BINS_SQL,
+        "zorder_values": _ZORDER_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "text_boilerplate": _BOILERPLATE_SQL,
         "text_tfidf": _TFIDF_SQL,

@@ -1,0 +1,87 @@
+"""Data layout for multi-dimensional pruning: Z-order (Morton curve)
+clustering.
+
+A 100 TB lake is only fast if scans can SKIP data. Partitioning prunes
+on one column hierarchy; Z-ordering interleaves the bits of several
+columns into one sort key so that range-partitioning on it co-locates
+rows that are close in EVERY dimension at once. Parquet row-group and
+file min/max statistics then prune multi-column box predicates the way
+Delta/Iceberg `OPTIMIZE ZORDER BY` does — but the operator is plain
+DataFrame code: derive z, `repartitionByRange(z)`, write.
+
+The z-value is a pure JVM-side expression (aggregate over a bit
+sequence — no UDF), so the layout pass is one range shuffle over the
+data, exactly the cost of any global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue(cols: Sequence[str | Column], bits: int = 16) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` bits of each column
+    (columns must already be non-negative integers of bounded range —
+    rank/bucketize first for arbitrary domains; the interleave itself
+    must stay order-preserving per dimension).
+
+    Bit i of column j lands at output bit ``i * n_cols + j``. Built as
+    a fold over ``sequence(0, bits-1)`` — whole-stage-codegen'd, no
+    Python.
+    """
+    ncols = len(cols)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    # shiftleft/shiftright via call_function: the SQL forms take column
+    # shift amounts (the Python wrappers only accept ints)
+    sl = lambda x, n: F.call_function("shiftleft", x, n)
+    sr = lambda x, n: F.call_function("shiftright", x, n)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + sum(
+            (
+                sl(sr(c.cast("long"), i) % 2, i * ncols + F.lit(j))
+                for j, c in enumerate(cs)
+            ),
+            start=F.lit(0).cast("long"),
+        ),
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    z_col: str = "_z",
+) -> DataFrame:
+    """Cluster ``df`` for multi-dimensional locality: add the z-value,
+    range-partition on it, sort within partitions. Write the result
+    with any parquet sink and every partition/file carries tight min/max
+    ranges on ALL ``cols`` — multi-column box filters prune at file and
+    row-group granularity.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    withz = df.withColumn(z_col, zvalue(cols, bits=bits))
+    return withz.repartitionByRange(n, F.col(z_col)).sortWithinPartitions(
+        z_col
+    )
+
+
+def layout_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-partition min/max of each layout column — the same statistics
+    parquet would expose for pruning; used to *measure* clustering
+    quality (how many partitions a box predicate must touch) instead of
+    guessing it."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(*aggs)
+    )
