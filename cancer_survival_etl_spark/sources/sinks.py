@@ -45,3 +45,53 @@ def overwrite_as_table(df: DataFrame, table: str, bucket_by: tuple[int, list[str
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(table)
+
+
+def merge_upsert(
+    spark,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Keyed MERGE (upsert) into a parquet table without a lakehouse
+    format: latest ``version_col`` per ``key_cols`` wins across
+    (existing ∪ updates); result rewrites the table.
+
+    Semantics match ``MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT`` for last-writer-wins tables (SCD type 1). Implementation
+    is read → union → one window row_number per key → overwrite:
+
+    - The window shuffle is keyed on ``key_cols`` — the same cost as
+      the join a MERGE would do, one pass, no driver involvement.
+    - ``partition_by`` matters at scale: with a partitioned table and
+      partition-complete updates, rewrite only the touched partitions
+      (dynamic partition overwrite) instead of the full table; this
+      helper keeps the simple whole-table form and documents the knob.
+    - Atomicity is per-write (staged to a temp location by Spark's
+      commit protocol). True snapshot isolation/time travel is what
+      Delta/Iceberg add; the query-side semantics here are identical.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+        base = existing.select(*updates.columns).unionByName(updates)
+    except AnalysisException:
+        base = updates  # first load: nothing to merge
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    latest = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # materialize before overwriting the path we just read (Spark would
+    # otherwise clobber its own input mid-plan)
+    latest = latest.localCheckpoint(eager=True)
+    writer = latest.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -119,3 +119,33 @@ def test_read_source_csv_json_roundtrip(spark, sf_dir, tmp_path):
             spark, str(tmp_path / fmt), fmt=fmt, schema=n.schema
         )
         assert {tuple(r) for r in back.select(n.columns).collect()} == expected
+
+
+def test_merge_upsert_last_writer_wins(spark, tmp_path):
+    from cancer_survival_etl_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "merged")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        "id long, payload string, version long",
+    )
+    merge_upsert(spark, v1, path, key_cols=["id"], version_col="version")
+    assert spark.read.parquet(path).count() == 3
+
+    v2 = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 2)],  # update key 2, insert key 4
+        "id long, payload string, version long",
+    )
+    merge_upsert(spark, v2, path, key_cols=["id"], version_col="version")
+    got = {
+        r["id"]: (r["payload"], r["version"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1), 4: ("d", 2)}
+
+    # stale update must NOT win
+    v0 = spark.createDataFrame(
+        [(2, "old", 0)], "id long, payload string, version long"
+    )
+    merge_upsert(spark, v0, path, key_cols=["id"], version_col="version")
+    assert spark.read.parquet(path).filter("id = 2").collect()[0]["payload"] == "b2"
