@@ -1066,6 +1066,36 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_bins(d, "text", "doc_id", budget=512)
 
 
+def q_events_json_props(spark, sf_dir):
+    """Typed extraction from the events JSON properties bag: one
+    schema'd from_json parse per row (never per field — see
+    functions/semistructured.py), then a per-type aggregate over the
+    extracted value."""
+    from cancer_survival_etl_spark.functions.semistructured import (
+        parse_json_props,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    p = parse_json_props(e, "props", "k long")
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_EVENTS_JSON_SQL = """
+    WITH p AS (
+        SELECT event_type, (props::JSON ->> 'k')::BIGINT AS k FROM events
+    )
+    SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+           sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+    FROM p GROUP BY event_type
+"""
+
+
 def q_zorder_values(spark, sf_dir):
     """Morton z-values for (l_partkey, l_suppkey) — the interleave
     expression behind operators/layout.zorder_layout (multi-dimensional
@@ -1507,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunk": q_text_chunk,
         "text_pack_bins": q_text_pack_bins,
+        "events_json_props": q_events_json_props,
         "zorder_values": q_zorder_values,
         "events_rollup": q_events_rollup,
         "text_boilerplate": q_text_boilerplate,
@@ -2376,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAM_SQL,
         "text_chunk": _CHUNK_SQL,
         "text_pack_bins": _PACK_BINS_SQL,
+        "events_json_props": _EVENTS_JSON_SQL,
         "zorder_values": _ZORDER_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "text_boilerplate": _BOILERPLATE_SQL,

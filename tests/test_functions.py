@@ -103,3 +103,24 @@ def test_snapshot_date_parse():
 def test_diagnosis_window_from_filename():
     assert diagnosis_window_from_filename("adult_2016_2020.xlsx") == "2016-2020"
     assert diagnosis_window_from_filename("./data/adult_2015_2019.xlsx") == "2015-2019"
+
+
+def test_parse_json_props_typed_and_malformed(spark):
+    from cancer_survival_etl_spark.functions.semistructured import (
+        parse_json_props,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "extra": "x"}'),
+            (2, '{"k": null}'),
+            (3, "not json"),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    got = {
+        r["id"]: r["k"]
+        for r in parse_json_props(df, "props", "k long").collect()
+    }
+    assert got == {1: 7, 2: None, 3: None, 4: None}
