@@ -1066,6 +1066,40 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_bins(d, "text", "doc_id", budget=512)
 
 
+def q_dataset_mixture(spark, sf_dir):
+    """Corpus mixture reweighting: src0 downsampled to 0.5, src1
+    upsampled to 2.5 (copies 0..2 each kept with p=5/6), everything
+    else passes through. Hash-threshold Bernoulli per (copy, doc) —
+    deterministic, shuffle-free, row-stable (llm/sampling.py)."""
+    from cancer_survival_etl_spark.llm.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "source", {"src0": 0.5, "src1": 2.5}, "doc_id", salt="mix"
+    )
+    return out.select("doc_id", "source", F.col("rep").cast("long").alias("rep"))
+
+
+_MIXTURE_SQL = """
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 3
+                    ELSE 1 END AS n,
+               CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN 'd555'
+                    ELSE 'g' END AS thr
+        FROM documents
+    ),
+    copies AS (
+        SELECT doc_id, source, thr, i AS rep
+        FROM w, unnest(generate_series(0, n - 1)) AS s(i)
+    )
+    SELECT doc_id, source, rep
+    FROM copies
+    WHERE substr(md5('mix' || rep::VARCHAR || ':' || doc_id::VARCHAR),
+                 1, 4) < thr
+"""
+
+
 def q_events_json_props(spark, sf_dir):
     """Typed extraction from the events JSON properties bag: one
     schema'd from_json parse per row (never per field — see
@@ -1537,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunk": q_text_chunk,
         "text_pack_bins": q_text_pack_bins,
+        "dataset_mixture": q_dataset_mixture,
         "events_json_props": q_events_json_props,
         "zorder_values": q_zorder_values,
         "events_rollup": q_events_rollup,
@@ -2407,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": _DECONTAM_SQL,
         "text_chunk": _CHUNK_SQL,
         "text_pack_bins": _PACK_BINS_SQL,
+        "dataset_mixture": _MIXTURE_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "zorder_values": _ZORDER_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,

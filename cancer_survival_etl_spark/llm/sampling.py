@@ -58,3 +58,60 @@ def stratified_sample(
     class-rebalancing primitive for corpus curation. Per-row Bernoulli
     draw, no shuffle; exact fractions are approximate by contract."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weight_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_weight: float = 1.0,
+    alias: str = "rep",
+) -> DataFrame:
+    """Deterministic corpus mixture (re)weighting: per source s with
+    weight w, each row is emitted an expected w times — downsampling
+    (w < 1) drops rows, upsampling (w > 1) repeats them, keeping w = 1
+    sources byte-identical. The temperature-mixing step of pretraining
+    data assembly.
+
+    Per-copy keep decisions are md5(salt ∥ repeat-index ∥ id) hex-prefix
+    threshold tests — the same engine-portable, shuffle-free, row-stable
+    idiom as ``hash_split`` (a row's fate never depends on partitioning
+    or on other rows; re-runs and backfills agree; lexicographic
+    comparison of lowercase hex IS numeric comparison, so thresholds are
+    per-source string literals and no base conversion happens at all).
+    A row with weight w emits copies 0..ceil(w)-1, each kept with
+    probability w/ceil(w); the ``alias`` column carries the copy index
+    so downstream exact-dedup can distinguish intentional repeats.
+    """
+    import math
+
+    def params(w: float) -> tuple[int, str]:
+        n = max(int(math.ceil(w)), 1)
+        p = w / n
+        # "g" sorts above every hex char: p >= 1 keeps all copies
+        return n, ("g" if p >= 1.0 else _hex_threshold(p))
+
+    n_def, t_def = params(float(default_weight))
+    n_expr, thr_expr = F.lit(n_def), F.lit(t_def)
+    for k, v in weights.items():
+        n_k, t_k = params(float(v))
+        cond = F.col(weight_col) == k
+        n_expr = F.when(cond, F.lit(n_k)).otherwise(n_expr)
+        thr_expr = F.when(cond, F.lit(t_k)).otherwise(thr_expr)
+    rep = F.explode(F.sequence(F.lit(0), n_expr - 1)).alias(alias)
+    out = df.select("*", thr_expr.alias("_thr"), rep)
+    prefix = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col(alias).cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    return out.filter(prefix < F.col("_thr")).drop("_thr")

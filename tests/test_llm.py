@@ -448,3 +448,34 @@ def test_connected_components_and_dedup_clusters(spark):
     canon = sorted(r["doc_id"] for r in out if r["is_canonical"])
     assert canon == [1, 5, 9]
     assert all(r["cluster_id"] <= r["doc_id"] for r in out)
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    from cancer_survival_etl_spark.llm.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 3 == 0 else ("down" if i % 3 == 1 else "up"))
+         for i in range(3000)],
+        "doc_id long, source string",
+    )
+    weights = {"keep": 1.0, "down": 0.25, "up": 2.5}
+    out = mixture_sample(df, "source", weights, "doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # weight 1.0 sources pass through exactly
+    assert counts["keep"] == 1000
+    # expected 250 and 2500 — hash-Bernoulli, allow 4 sigma
+    assert abs(counts["down"] - 250) < 60
+    assert abs(counts["up"] - 2500) < 120
+    # upsampled rows carry distinct rep indices, bounded by ceil(w)
+    reps = out.filter("source = 'up'").select("rep").distinct().collect()
+    assert {r["rep"] for r in reps} <= {0, 1, 2}
+    # deterministic: same call twice, identical rows
+    a = sorted((r["doc_id"], r["rep"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["rep"])
+        for r in mixture_sample(df, "source", weights, "doc_id").collect()
+    )
+    assert a == b
