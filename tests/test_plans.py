@@ -179,3 +179,40 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_decontaminate_and_tfidf_broadcast(spark, sf_dir):
+    """Corpus-side never shuffles against the small side: eval grams and
+    document frequencies must broadcast, never sort-merge."""
+    for q in ["text_decontaminate", "text_tfidf"]:
+        p = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in p, f"{q} lost its broadcast"
+        assert "SortMergeJoin" not in p, f"{q} fell back to sort-merge"
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """Chunking must stay a pure narrow transform: the only exchange is
+    fan_out's repartition of the 1-partition input, no aggregation."""
+    p = _plan(spark, sf_dir, "text_chunk")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+    assert "HashAggregate" not in p
+
+
+def test_rollup_cascade_single_scan(spark, sf_dir):
+    """The cascade rescans raw events exactly once; coarser levels
+    re-aggregate partials."""
+    p = _plan(spark, sf_dir, "events_rollup")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_zorder_values_no_shuffle(spark, sf_dir):
+    """The z-value is a pure per-row expression — no exchange at all."""
+    p = _plan(spark, sf_dir, "zorder_values")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p  # stays JVM-side
+
+
+def test_mixture_sample_no_shuffle(spark, sf_dir):
+    """Mixture sampling is explode + filter — shuffle-free by design."""
+    p = _plan(spark, sf_dir, "dataset_mixture")
+    assert "Exchange" not in p, p
