@@ -1066,6 +1066,27 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_bins(d, "text", "doc_id", budget=512)
 
 
+def q_tokenizer_bpe(spark, sf_dir):
+    """End-to-end BPE tokenizer: distributed word histogram → driver
+    merge loop over the bounded vocabulary (the HuggingFace/
+    SentencePiece architecture — NOT one Spark job per merge) →
+    Arrow-batched corpus encode with the merge table broadcast.
+    Rows-only: the iterative merge learning has no ANSI equivalent;
+    pytest pins the classic Sennrich example and driver/executor
+    encode agreement."""
+    from cancer_survival_etl_spark.llm.bpe import (
+        bpe_encode,
+        train_bpe_merges,
+        word_histogram,
+    )
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    hist = [(r["word"], r["n"]) for r in word_histogram(d).collect()]
+    merges = train_bpe_merges(hist, n_merges=50)
+    return bpe_encode(d, merges).select("doc_id", "n_words", "n_tokens")
+
+
 def q_dataset_mixture(spark, sf_dir):
     """Corpus mixture reweighting: src0 downsampled to 0.5, src1
     upsampled to 2.5 (copies 0..2 each kept with p=5/6), everything
@@ -1571,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunk": q_text_chunk,
         "text_pack_bins": q_text_pack_bins,
+        "tokenizer_bpe": q_tokenizer_bpe,
         "dataset_mixture": q_dataset_mixture,
         "events_json_props": q_events_json_props,
         "zorder_values": q_zorder_values,

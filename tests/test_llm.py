@@ -479,3 +479,40 @@ def test_mixture_sample_deterministic_and_weighted(spark):
         for r in mixture_sample(df, "source", weights, "doc_id").collect()
     )
     assert a == b
+
+
+def test_bpe_train_and_encode_classic_example(spark):
+    """The Sennrich toy corpus: merges must follow pair frequency with
+    deterministic tie-breaks, and the distributed encode must agree
+    with the driver-side encoder."""
+    from cancer_survival_etl_spark.llm.bpe import (
+        bpe_encode,
+        encode_word,
+        train_bpe_merges,
+        word_histogram,
+    )
+
+    hist = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe_merges(hist, n_merges=10)
+    # "es" (9) then "est" (9) then "est</w>" (9) are the classic first merges
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    assert encode_word("newest", merges[:3])[-1] == "est</w>"
+    # unseen word falls back to finer pieces, never fails
+    assert "".join(encode_word("tallest", merges)).replace("</w>", "") == "tallest"
+
+    df = spark.createDataFrame(
+        [(i, "low low lower newest widest") for i in range(8)],
+        "doc_id long, text string",
+    )
+    hist_df = word_histogram(df)
+    got_hist = {r["word"]: r["n"] for r in hist_df.collect()}
+    assert got_hist == {"low": 16, "lower": 8, "newest": 8, "widest": 8}
+
+    enc = bpe_encode(df, merges).collect()
+    assert len(enc) == 8
+    row = enc[0]
+    want = [t for w in "low low lower newest widest".split() for t in encode_word(w, merges)]
+    assert row["tokens"] == want
+    assert row["n_words"] == 5 and row["n_tokens"] == len(want)
