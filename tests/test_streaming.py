@@ -299,3 +299,67 @@ def test_stream_stream_interval_join(spark, sf_dir):
         .count()
     )
     assert got == want and got > 0
+
+
+def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: each micro-batch's partial
+    day-level rollup is merge-upserted into a parquet rollup table
+    keyed on (window_start, event_type). After the run, the maintained
+    table must equal the batch rollup of the full feed — the streaming
+    analog of operators/timeseries.cascading_rollup."""
+    from cancer_survival_etl_spark.operators.timeseries import cascading_rollup
+    from cancer_survival_etl_spark.sources.catalog import load_table
+    from cancer_survival_etl_spark.sources.sinks import merge_upsert
+    from cancer_survival_etl_spark.streaming.sinks import foreach_batch_sink
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    path = str(tmp_path / "rollup_table")
+
+    def maintain(batch_df, epoch_id):
+        partial = cascading_rollup(batch_df, levels=("1 day",))[0]
+        # re-aggregate against what's already in the table: merge by
+        # summing decomposable partials, expressed as union + groupBy
+        # inside the upsert's version semantics (epoch as version).
+        try:
+            existing = batch_df.sparkSession.read.parquet(path)
+            merged = (
+                existing.drop("_version")
+                .unionByName(partial)
+                .groupBy("window_start", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        except Exception:
+            merged = partial
+        merge_upsert(
+            batch_df.sparkSession,
+            merged.withColumn("_version", F.lit(epoch_id).cast("long")),
+            path,
+            key_cols=["window_start", "event_type"],
+            version_col="_version",
+        )
+
+    src = stream_from_events_dir(spark, sf_dir)
+    q = foreach_batch_sink(
+        src, maintain, str(tmp_path / "ckpt"), output_mode="append"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(path).collect()
+    }
+    full = cascading_rollup(
+        load_table(spark, sf_dir, "events"), levels=("1 day",)
+    )[0]
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in full.collect()
+    }
+    assert got == want and len(got) > 0
