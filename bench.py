@@ -52,6 +52,10 @@ HEADLINE = [
     "text_boilerplate",
     "text_tfidf",
     "events_rollup",
+    "events_json_props",
+    "dataset_mixture",
+    "zorder_values",
+    "tokenizer_bpe",
 ]
 
 
