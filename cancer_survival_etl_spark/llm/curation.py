@@ -198,11 +198,19 @@ def tfidf_topk(
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()
-    dfreq = (
-        toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # tf is one row per doc×token — orders of magnitude below the raw
+    # postings. Checkpointing it makes BOTH consumers (the probe side
+    # and the document-frequency aggregate) read the materialized
+    # partials instead of re-running scan+explode+shuffle; Catalyst's
+    # exchange reuse can't be relied on here because per-side
+    # join-null filters get pushed to different depths.
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    n_docs = df.count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     vocab = F.broadcast(dfreq) if broadcast_vocab else dfreq
     scored = tf.join(vocab, "token").select(
         id_col,
