@@ -102,3 +102,87 @@ def test_null_keeping_neq_matches_pandas_model(spark, vals):
     # pandas ~(series == 'y'): keeps NaN rows AND rows != 'y'
     expect = {i for i, v in rows if v is None or v != "y"}
     assert kept == expect
+
+
+@settings(**_EXAMPLES)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_chunking_partitions_tokens_exactly(spark, docs, chunk_size):
+    """Chunks reassemble to the original text, sizes are chunk_size
+    except the last, and chunk ids are dense from 0."""
+    from cancer_survival_etl_spark.llm.curation import chunk_documents
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=chunk_size).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert " ".join(c["chunk_text"] for c in chunks) == " ".join(toks)
+        sizes = [c["n_tokens"] for c in chunks]
+        assert all(s == chunk_size for s in sizes[:-1])
+        assert 1 <= sizes[-1] <= chunk_size
+
+
+@settings(**_EXAMPLES)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=64
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+def test_pack_bins_offsets_are_exclusive_prefix_sums(spark, sizes, budget):
+    """start_offset is the exclusive prefix sum in id order; bin ids are
+    non-decreasing and consistent with offsets."""
+    from cancer_survival_etl_spark.llm.curation import pack_bins
+
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["bin_id"])
+        for r in pack_bins(df, budget=budget).collect()
+    }
+    acc = 0
+    for i, n in enumerate(sizes):
+        assert got[i] == (n, acc, acc // budget)
+        acc += n
+
+
+@settings(**_EXAMPLES)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    )
+)
+def test_zvalue_interleave_model(spark, points):
+    """z equals the bit-interleave reference model for arbitrary points
+    (8-bit domain)."""
+    from cancer_survival_etl_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(points, "x long, y long")
+    rows = df.select("x", "y", zvalue(["x", "y"], bits=8).alias("z")).collect()
+    for r in rows:
+        want = sum(
+            (((r["x"] >> i) & 1) << (2 * i)) + (((r["y"] >> i) & 1) << (2 * i + 1))
+            for i in range(8)
+        )
+        assert r["z"] == want
