@@ -1,0 +1,113 @@
+"""End-to-end corpus curation: the ``main()`` of a training-data run,
+composed from the operators in this package as ONE lazy chain per
+stage — the Spark analog of a Dolma/RefinedWeb/FineWeb-style recipe.
+
+Stage order follows practice (cheap row-local filters first, corpus
+joins later, so expensive stages see the smallest surviving corpus):
+
+  1. exact dedup            (hash groupBy — removes byte-identical)
+  2. quality + repetition   (row-local expressions, no shuffle)
+  3. near-dup clustering    (SimHash pairs → connected components →
+                             keep canonical docs)
+  4. decontamination        (drop docs overlapping the eval set)
+  5. mixture reweighting    (per-source down/up-sampling)
+  6. train/val/test split   (hash threshold, row-stable)
+
+Every stage is also independently available; this function is the
+composition contract plus per-stage survivor accounting (the numbers a
+data card reports).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.llm.curation import contamination
+from cancer_survival_etl_spark.llm.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    simhash,
+    simhash_near_dups,
+)
+from cancer_survival_etl_spark.llm.sampling import hash_split, mixture_sample
+from cancer_survival_etl_spark.llm.textstats import (
+    quality_score,
+    repetition_stats,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    max_top_token_frac: float = 0.5,
+    max_hamming: int = 3,
+    decontam_n: int = 3,
+    mixture: dict[str, float] | None = None,
+    source_col: str = "source",
+    salt: str = "",
+) -> tuple[DataFrame, list[tuple[str, DataFrame]]]:
+    """Run the full curation recipe; returns (curated, stages) where
+    ``stages`` is [(stage_name, surviving DataFrame)] for accounting
+    (count each lazily — or just the final one — as the caller
+    chooses; nothing here forces a job).
+
+    The output carries the split assignment and, when ``mixture`` is
+    given, the repeat index of upsampled copies.
+    """
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # exact_dedup returns only (fingerprint, id, dupe_count); join the
+    # surviving ids back to carry full rows forward
+    keep = exact_dedup(docs, text_col, id_col).select(id_col)
+    d = docs.join(keep, id_col)
+    stages.append(("exact_dedup", d))
+
+    q = quality_score(d, text_col)
+    r = repetition_stats(q, text_col)
+    d = (
+        r.filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("top_token_frac") <= max_top_token_frac)
+        )
+        .select(*d.columns)
+    )
+    stages.append(("quality_filter", d))
+
+    sigs = simhash(d, text_col, id_col, bits=32)
+    pairs = simhash_near_dups(sigs, id_col, max_hamming=max_hamming)
+    clusters = dedup_clusters(d, pairs, id_col)
+    d = d.join(
+        clusters.filter(F.col("is_canonical")).select(id_col), id_col
+    )
+    stages.append(("near_dedup", d))
+
+    if eval_docs is not None:
+        contam = contamination(d, eval_docs, text_col, id_col, n=decontam_n)
+        clean_ids = contam.filter(~F.col("is_contaminated")).select(id_col)
+        d = d.join(clean_ids, id_col)
+        stages.append(("decontaminated", d))
+
+    if mixture:
+        d = mixture_sample(d, source_col, mixture, id_col, salt=salt)
+        stages.append(("mixture", d))
+
+    d = hash_split(d, id_col, salt=salt)
+    stages.append(("split", d))
+    return d, stages
+
+
+def stage_counts(stages: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Survivor accounting as a single unioned plan: (stage, n_rows) —
+    one job, stage subtrees shared where Catalyst can."""
+    spark = stages[0][1].sparkSession
+    counts = None
+    for name, df in stages:
+        c = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("stage"), "n_rows"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts

@@ -41,12 +41,26 @@ def connected_components(
     deterministic, content-independent of partitioning, and therefore
     oracle-checkable against a recursive-SQL transitive closure.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the edge list ONCE, before any self-union: every round
+    # joins sym, so un-checkpointed edges would re-derive the whole
+    # upstream pair-generation plan (SimHash, LSH verify, ...) per
+    # iteration — and self-unioning a non-leaf plan that also shares
+    # lineage with the caller's `nodes` trips Spark's union-constraint
+    # rewrite (NoSuchElementException on an attribute id). A leaf
+    # checkpoint sidesteps both.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     vertex = sym.select("u")
     if nodes is not None:
-        vertex = vertex.unionByName(nodes.select(F.col(src).alias("u")))
+        # same detachment for the caller-supplied vertex set: a complex
+        # nodes plan (joins/filters) unioned against sym re-triggers the
+        # constraint-rewrite bug, and the id column is tiny anyway
+        vertex = vertex.unionByName(
+            nodes.select(F.col(src).alias("u")).localCheckpoint(eager=True)
+        )
     # eager checkpoint: truncates lineage so the per-round self-joins
     # (labels derives from sym) don't trip ambiguous-column analysis,
     # and round N's plan doesn't re-derive rounds 1..N-1.
@@ -64,10 +78,16 @@ def connected_components(
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
             .select(F.col("e.u").alias("u"), F.col("l.component").alias("component"))
         )
+        # checkpoint before the pointer-doubling SELF-join below:
+        # self-joining a plan that contains this union trips Spark's
+        # union-constraint rewrite (NoSuchElementException on an
+        # attribute id) once upstream lineage is non-trivial, and the
+        # leaf also stops the join from evaluating the union twice.
         half = (
             labels.unionByName(offers)
             .groupBy("u")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         # pointer doubling: follow one extra hop (component <- its own
         # label). Neighbor propagation alone needs O(diameter) rounds;
@@ -75,7 +95,9 @@ def connected_components(
         # O(log diameter), the difference between 25 and 5 shuffles on
         # an adversarial chain. Labels are node ids, so every component
         # value has a row in `half`; the join is a plain equi-join.
-        new_labels = (
+        # (half is a leaf, so this join's lineage stays constant-depth
+        # across rounds — no further checkpoint needed here)
+        labels = (
             half.alias("x")
             .join(
                 half.select(
@@ -85,9 +107,7 @@ def connected_components(
                 "component",
             )
             .select("u", F.col("_c2").alias("component"))
-            .localCheckpoint(eager=True)
         )
-        labels = new_labels
         # convergence probe: per-node labels only ever decrease, so the
         # label total is strictly monotone until fixpoint — one cheap
         # aggregate on the just-checkpointed 2-column frame instead of

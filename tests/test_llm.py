@@ -516,3 +516,44 @@ def test_bpe_train_and_encode_classic_example(spark):
     want = [t for w in "low low lower newest widest".split() for t in encode_word(w, merges)]
     assert row["tokens"] == want
     assert row["n_words"] == 5 and row["n_tokens"] == len(want)
+
+
+def test_curate_corpus_end_to_end(spark):
+    from cancer_survival_etl_spark.llm.pipeline import (
+        curate_corpus,
+        stage_counts,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (0, base + " v0", "web"),
+            (1, base + " v0", "web"),            # exact dup of 0
+            (2, base + " v2 slight change", "web"),  # near-dup of 0 (SimHash)
+            (3, "spam spam spam spam spam spam spam spam spam spam", "web"),  # repetition
+            (4, "completely different words about ships and stars and maps and winds tonight", "wiki"),
+            (5, "held out benchmark sentence that must stay unique in eval only here", "wiki"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "about ships and stars and maps")], "doc_id long, text string"
+    )
+    curated, stages = curate_corpus(
+        docs.filter("doc_id < 5"),
+        eval_docs=eval_docs,
+        mixture={"web": 1.0, "wiki": 1.0},
+    )
+    ids = {r["doc_id"] for r in curated.collect()}
+    assert 1 not in ids          # exact dup dropped (min id 0 kept)
+    assert 3 not in ids          # repetition filter
+    assert 4 not in ids          # decontaminated against eval set
+    assert 0 in ids              # canonical survivor
+    got = dict(
+        (r["stage"], r["n_rows"]) for r in stage_counts(stages).collect()
+    )
+    assert got["input"] == 5
+    assert got["exact_dedup"] == 4
+    assert got["split"] == len(ids)
+    # split column present and valued
+    assert {r["split"] for r in curated.collect()} <= {"train", "val", "test"}
