@@ -1066,6 +1066,23 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_bins(d, "text", "doc_id", budget=512)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The full curation recipe as one composition (llm/pipeline.py):
+    exact dedup → quality/repetition filters → SimHash near-dup
+    clustering → decontamination vs the doc_id%20==0 eval slice →
+    train/val/test split. Rows-only: each constituent stage is
+    oracle-checked by its own query; this entry pins the composition
+    end-to-end."""
+    from cancer_survival_etl_spark.llm.pipeline import curate_corpus
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    curated, _ = curate_corpus(train, eval_docs=ev)
+    return curated.select("doc_id", "source", "split")
+
+
 def q_tokenizer_bpe(spark, sf_dir):
     """End-to-end BPE tokenizer: distributed word histogram → driver
     merge loop over the bounded vocabulary (the HuggingFace/
@@ -1592,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_chunk": q_text_chunk,
         "text_pack_bins": q_text_pack_bins,
+        "corpus_curation": q_corpus_curation,
         "tokenizer_bpe": q_tokenizer_bpe,
         "dataset_mixture": q_dataset_mixture,
         "events_json_props": q_events_json_props,

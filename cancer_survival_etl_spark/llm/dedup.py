@@ -212,6 +212,12 @@ def ngram_jaccard_pairs(
                 ["_block", "_gram"],
             ).drop("_dfreq")
         )
+    # materialize the narrow postings once: the self-join below would
+    # otherwise evaluate scan → n-gram transform → explode → hash TWICE
+    # (exchange reuse can't be relied on across the two sides' differing
+    # pushed null-filters), and the per-row gram transform dominates the
+    # cost. Postings are 4 fixed-width columns — tiny next to documents.
+    postings = postings.localCheckpoint(eager=False)
     a = postings.select(
         "_block",
         "_gram",
