@@ -95,3 +95,45 @@ def merge_upsert(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files (the lake-maintenance pass that keeps
+    scan parallelism sane — thousands of KB-files cost a task each and
+    drown the driver in listing/metadata; row-group statistics also
+    improve when rows consolidate).
+
+    File count = ceil(bytes / target); ``sort_within_by`` optionally
+    re-sorts rows inside each output file so min/max pruning stays
+    tight after compaction (pair with operators/layout.zorder_layout
+    for the multi-column case). Returns the number of output files.
+    Uses coalesce (no shuffle) when shrinking; repartition when the
+    input has too FEW partitions to reach the target.
+    """
+    import math
+    import os
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    shaped = (
+        df.coalesce(n_files)
+        if df.rdd.getNumPartitions() >= n_files
+        else df.repartition(n_files)
+    )
+    if sort_within_by:
+        shaped = shaped.sortWithinPartitions(*sort_within_by)
+    shaped = shaped.localCheckpoint(eager=True)  # read before overwrite
+    shaped.write.mode("overwrite").parquet(path)
+    return n_files

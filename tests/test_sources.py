@@ -149,3 +149,21 @@ def test_merge_upsert_last_writer_wins(spark, tmp_path):
     )
     merge_upsert(spark, v0, path, key_cols=["id"], version_col="version")
     assert spark.read.parquet(path).filter("id = 2").collect()[0]["payload"] == "b2"
+
+
+def test_compact_parquet_reduces_files_and_keeps_rows(spark, tmp_path):
+    from cancer_survival_etl_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") % 97)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    n = compact_parquet(spark, path, target_file_mb=128, sort_within_by=["id"])
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after <= 2
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(i % 97 for i in range(10_000))
