@@ -172,3 +172,26 @@ def resize_payload(
         resize_batches,
         schema="item_id long, width int, height int, n_bytes long, checksum long",
     )
+
+
+def media_near_dups(
+    decoded: DataFrame,
+    id_col: str = "item_id",
+    feature_col: str = "feature",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Perceptual near-duplicate detection over decoded media features
+    (the image/audio analog of text near-dup): cosine similarity of the
+    feature vectors, reusing the embedding dedup machinery — same
+    normalize-once, same blocked-join shape, same round-before-filter
+    determinism. With a real decoder the feature is CLIP/pHash-style;
+    here it is the deterministic fake, so the PIPELINE is real and
+    tested while the kernel stays stubbed.
+    """
+    from cancer_survival_etl_spark.llm.dedup import embedding_cosine_pairs
+
+    vecs = decoded.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(feature_col).alias("embedding"),
+    )
+    return embedding_cosine_pairs(vecs, "embedding", "vec_id", threshold=threshold)

@@ -557,3 +557,20 @@ def test_curate_corpus_end_to_end(spark):
     assert got["split"] == len(ids)
     # split column present and valued
     assert {r["split"] for r in curated.collect()} <= {"train", "val", "test"}
+
+
+def test_media_near_dups_find_duplicate_payloads(spark):
+    """Items 0 and 1 share identical bytes → identical fake features →
+    cosine 1.0; unrelated payloads stay below threshold."""
+    from cancer_survival_etl_spark.llm.multimodal import (
+        attach_binary_payload,
+        decode_features,
+        media_near_dups,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    feats = decode_features(attach_binary_payload(docs, "text", "doc_id"))
+    pairs = media_near_dups(feats, threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert all({a, b} != {0, 3} for a, b in got)
