@@ -474,13 +474,30 @@ def near_dup_pipeline(
             ),
         )
     )
+    # checkpoint the (small) candidate list: it feeds three consumers
+    # below (the id set and both join probes) and its minhash+banding
+    # subtree must not re-run per consumer
     cand = (
         buckets.select(F.explode(pair_arr).alias("_p"))
         .select("_p.id_a", "_p.id_b")
         .distinct()  # the same pair can surface from several bands
+        .localCheckpoint(eager=False)
     )
-    grams = fan_out(df).select(
-        F.col(id_col).alias("_gid"), _token_ngrams(text_col, ngram_n).alias("_g")
+    # verification grams are computed ONLY for documents that appear in
+    # some candidate pair — O(candidates), not O(corpus): join the raw
+    # text to the needed-id set BEFORE the n-gram transform, then
+    # materialize the small gram table once for both pair sides.
+    needed = (
+        cand.select(F.col("id_a").alias("_gid"))
+        .unionByName(cand.select(F.col("id_b").alias("_gid")))
+        .distinct()
+    )
+    grams = (
+        fan_out(df)
+        .select(F.col(id_col).alias("_gid"), F.col(text_col).alias("_vtext"))
+        .join(needed, "_gid")
+        .select("_gid", _token_ngrams("_vtext", ngram_n).alias("_g"))
+        .localCheckpoint(eager=False)
     )
     a = grams.select(F.col("_gid").alias("id_a"), F.col("_g").alias("_ga"))
     b = grams.select(F.col("_gid").alias("id_b"), F.col("_g").alias("_gb"))
