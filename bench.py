@@ -75,6 +75,14 @@ def main() -> None:
     # on a shared machine otherwise dominates sub-second queries.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
+
+    def drop_persisted() -> None:
+        # several operators localCheckpoint narrow shared frames;
+        # without explicit release the blocks accumulate across the 35
+        # queries and storage-memory pressure bleeds into later timings
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     for _ in range(passes):
         for name in HEADLINE:
             fn = qs[name]
@@ -83,6 +91,7 @@ def main() -> None:
             took = round(time.time() - t0, 3)
             if name not in timings or took < timings[name]:
                 timings[name] = took
+            drop_persisted()
 
     total = round(sum(timings.values()), 3)
     print(
