@@ -77,3 +77,38 @@ def layout_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .groupBy("_pid")
         .agg(*aggs)
     )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    relative_error: float = 0.001,
+    suffix: str = "_bkt",
+) -> DataFrame:
+    """Map arbitrary numeric columns onto the bounded integer domain
+    ``[0, 2^bits)`` that ``zvalue`` needs, equi-DEPTH (quantile) rather
+    than equi-width: skewed distributions still fill the Morton grid
+    uniformly, which is what makes the z-curve's locality useful.
+
+    One ``approxQuantile`` pass (Greenwald-Khanna, driver-collected
+    split points — 2^bits numbers per column, bounded by the bit
+    budget not the data) then a pure expression per row: bucket =
+    #splits ≤ value. Monotone per column, so z-order on the buckets
+    preserves each dimension's ordering.
+    """
+    n_buckets = 1 << bits
+    out = df
+    for c in cols:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        splits = df.stat.approxQuantile(c, probs, relative_error)
+        # drop duplicate split points (heavy ties) — buckets then merge
+        uniq = sorted(set(splits))
+        arr = F.lit(uniq) if uniq else F.array().cast("array<double>")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.size(
+                F.filter(arr, lambda s: s <= F.col(c).cast("double"))
+            ).cast("long"),
+        )
+    return out

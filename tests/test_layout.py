@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from cancer_survival_etl_spark.operators.layout import (
     layout_stats,
+    quantile_bucketize,
     zorder_layout,
     zvalue,
 )
@@ -53,3 +54,26 @@ def test_zorder_layout_prunes_boxes_better_than_linear(spark):
 
     assert l_touched == len(l_stats)  # x-sort can't prune on y
     assert z_touched < l_touched / 2  # z-order prunes most partitions
+
+
+def test_quantile_bucketize_equidepth_and_monotone(spark):
+    """Skewed doubles land in near-equal-depth buckets; bucket ids are
+    monotone in the raw value; bucketized z-order feeds zvalue."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.random() ** 4 * 1000.0, float(rnd.randint(0, 10))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, skewed double, coarse double")
+    b = quantile_bucketize(df, ["skewed"], bits=3)  # 8 buckets
+    counts = [
+        r["n"]
+        for r in b.groupBy("skewed_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) < 2 * min(counts)  # near-equal depth despite skew
+    # monotone: sort by value, bucket ids must be non-decreasing
+    ordered = [r["skewed_bkt"] for r in b.orderBy("skewed").collect()]
+    assert ordered == sorted(ordered)
+    # composes with zvalue
+    z = b.select(zvalue(["skewed_bkt", "skewed_bkt"], bits=3).alias("z")).collect()
+    assert all(r["z"] >= 0 for r in z)
