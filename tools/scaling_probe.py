@@ -1,0 +1,78 @@
+"""Corpus-amplification scaling probe: time selected operators at 1x /
+4x / 8x the sf0.01 documents table (id-shifted unioned copies, so
+dedup-style ops see real extra cardinality, not repeated ids).
+
+Marginal cost per additional document — not the absolute second count —
+is the number that extrapolates to corpus scale; job overhead dominates
+the absolute numbers at these sizes. Results are pasted into SCALE.md.
+
+Usage: python tools/scaling_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.llm.curation import (
+    chunk_documents,
+    contamination,
+    pack_bins,
+)
+from cancer_survival_etl_spark.operators.partitioning import fan_out
+from cancer_survival_etl_spark.session import get_spark
+from cancer_survival_etl_spark.sources.catalog import load_table
+
+
+def amplify(docs, factor: int):
+    out = docs
+    n = docs.count()
+    for i in range(1, factor):
+        out = out.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        )
+    return fan_out(out).localCheckpoint(eager=True)
+
+
+def best_of(k, fn):
+    best = None
+    for _ in range(k):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        t = time.time() - t0
+        best = t if best is None or t < best else best
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("scaling_probe")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+
+    ops = {
+        "chunk": lambda d: chunk_documents(d, chunk_size=32),
+        "decontam": lambda d: contamination(d, ev, n=3),
+        "pack_bins": lambda d: pack_bins(d, budget=512),
+    }
+    for factor in (1, 4, 8):
+        d = amplify(docs, factor)
+        n = d.count()
+        row = [f"{factor}x ({n} docs)"]
+        for name, op in ops.items():
+            row.append(f"{name} {best_of(2, lambda: op(d)):.2f}s")
+        print("  ".join(row))
+        # release this factor's checkpointed corpus (and any frames the
+        # ops materialized) before the next amplification — accumulated
+        # blocks otherwise bleed storage pressure into later timings
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+
+if __name__ == "__main__":
+    main()
