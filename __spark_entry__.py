@@ -1430,6 +1430,39 @@ def q_win_range_frame(spark, sf_dir):
     )
 
 
+def q_win_distinct_count(spark, sf_dir):
+    """Running DISTINCT count over a window — Spark has no
+    COUNT(DISTINCT) OVER, so the idiom is size(collect_set() OVER):
+    per event_type in (ts, event_id) order, how many distinct users
+    have been seen so far. State is the per-partition distinct set —
+    bounded by key cardinality, not row count."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
+            "n_distinct_users"
+        ),
+    )
+
+
+_WIN_DISTINCT_SQL = """
+    SELECT event_id, event_type,
+           count(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_distinct_users
+    FROM events
+"""
+
+
 def q_win_first_last(spark, sf_dir):
     """FIRST_VALUE / NTH_VALUE / LAST_VALUE with an explicit full-frame:
     per-nation best, runner-up, and worst supplier by balance. The
@@ -1586,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_agg_group": q_string_agg,
         "win_percent_rank": q_win_percent_rank,
         "win_range_frame": q_win_range_frame,
+        "win_distinct_count": q_win_distinct_count,
         "win_first_last": q_win_first_last,
         "lateral_explode": q_lateral_explode,
         "conditional_agg": q_conditional_agg,
@@ -2423,6 +2457,7 @@ def oracle_sql() -> dict[str, str]:
                    ) / 100.0 AS trailing_30d
             FROM orders
         """,
+        "win_distinct_count": _WIN_DISTINCT_SQL,
         "win_first_last": """
             SELECT s_suppkey, s_nationkey, s_acctbal,
                    first_value(s_suppkey) OVER w AS top_supplier,
