@@ -124,3 +124,29 @@ def test_parse_json_props_typed_and_malformed(spark):
         for r in parse_json_props(df, "props", "k long").collect()
     }
     assert got == {1: 7, 2: None, 3: None, 4: None}
+
+
+def test_chunk_text_udtf_matches_expression_chunker(spark):
+    from cancer_survival_etl_spark.functions.table_functions import (
+        register_table_functions,
+    )
+    from cancer_survival_etl_spark.llm.curation import chunk_documents
+
+    register_table_functions(spark)
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM udtf_docs d, "
+            "LATERAL chunk_text(d.text, 2) c"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df.filter("text IS NOT NULL"), chunk_size=2).collect()
+    }
+    assert got == want
+    assert (3, 0) not in got  # null text yields no rows

@@ -167,3 +167,39 @@ def test_compact_parquet_reduces_files_and_keeps_rows(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 10_000
     assert out.agg(F.sum("v")).collect()[0][0] == sum(i % 97 for i in range(10_000))
+
+
+def test_custom_datasource_partitioned_and_deterministic(spark):
+    from cancer_survival_etl_spark.sources.custom_datasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows_per_partition", 250)
+        .option("num_partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one task per InputPartition
+    assert df.count() == 1000
+    assert df.select("event_id").distinct().count() == 1000
+    assert df.schema.fieldNames() == [
+        "event_id", "ts", "user_id", "event_type", "value",
+    ]
+    # deterministic across reads: same seed → identical content hash
+    a = df.agg(F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))).collect()[0][0]
+    b = (
+        spark.read.format("synthetic_events")
+        .option("rows_per_partition", 250)
+        .option("num_partitions", 4)
+        .load()
+        .agg(F.sum(F.xxhash64("event_id", "ts", "user_id", "event_type", "value").cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
+    assert a == b
+    # composes with the engine's operators like any native source
+    from cancer_survival_etl_spark.operators.timeseries import cascading_rollup
+
+    day = cascading_rollup(df, levels=("1 day",))[0]
+    assert day.agg(F.sum("n_events")).collect()[0][0] == 1000
