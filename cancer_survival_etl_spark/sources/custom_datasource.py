@@ -25,7 +25,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -97,3 +102,46 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _EventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _EventsStreamReader(self.options)
+
+
+class _EventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: offsets are plain event-id
+    watermarks; each micro-batch deterministically generates the next
+    ``rows_per_batch`` events, and ``readBetweenOffsets`` regenerates
+    any committed range bit-identically — which is what makes the
+    source replayable (exactly-once with a checkpointed sink)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"next_id": 0}
+
+    def _gen(self, start: int, end: int):
+        import datetime as dt
+        import random
+
+        base = dt.datetime(2026, 1, 1)
+        for eid in range(start, end):
+            rnd = random.Random((self.seed << 20) ^ eid)
+            yield (
+                eid,
+                base + dt.timedelta(seconds=rnd.randint(0, 86_400 * 30)),
+                rnd.randint(0, 499),
+                _TYPES[rnd.randint(0, len(_TYPES) - 1)],
+                round(rnd.random() * 100, 2),
+            )
+
+    def read(self, start: dict):
+        # materialized list, not a generator: the runner's prefetch
+        # cache shallow-copies the returned iterator
+        s = start["next_id"]
+        e = s + self.rows_per_batch
+        return list(self._gen(s, e)), {"next_id": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._gen(start["next_id"], end["next_id"]))

@@ -363,3 +363,34 @@ def test_streaming_rollup_maintenance(spark, sf_dir, tmp_path):
         for r in full.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_custom_datasource_streams_deterministically(spark, tmp_path):
+    """The registered Python DataSource also serves readStream: an
+    availableNow run drains whole micro-batches with contiguous,
+    duplicate-free event ids."""
+    from cancer_survival_etl_spark.sources.custom_datasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 50)
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("custom_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d, "
+        "min(event_id) AS lo, max(event_id) AS hi FROM custom_stream_test"
+    ).collect()[0]
+    assert got["n"] > 0 and got["n"] == got["d"]          # no duplicates
+    assert (got["lo"], got["hi"]) == (0, got["n"] - 1)    # contiguous
