@@ -1190,6 +1190,84 @@ _ZORDER_SQL = """
 """
 
 
+def q_stats_zscore(spark, sf_dir):
+    """Per-type z-score of event values — mean/stddev derived from
+    EXACT integer cent moments (order-independent sums), so the result
+    is reproducible at any parallelism and hash-matches the oracle's
+    identical final expression. Built-in stddev can't do either."""
+    from cancer_survival_etl_spark.operators.stats import zscore_by
+
+    e = _t(spark, sf_dir, "events")
+    return zscore_by(
+        e, ["event_type"], "value", keep_cols=["event_id"]
+    ).select("event_id", "event_type", "value", "zscore")
+
+
+_ZSCORE_SQL = """
+    WITH m AS (
+        SELECT event_type, count(*) AS n,
+               sum(cast(round(value * 100) AS BIGINT)) AS s1,
+               sum(cast(round(value * 100) AS BIGINT)
+                   * cast(round(value * 100) AS BIGINT)) AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN m.n >= 2 AND
+                     (m.n::DOUBLE * m.s2::DOUBLE - m.s1::DOUBLE * m.s1::DOUBLE)
+                         / (m.n::DOUBLE * (m.n::DOUBLE - 1)) > 0
+                THEN round(
+                    (e.value - (m.s1::DOUBLE / m.n::DOUBLE / 100.0))
+                    / (sqrt((m.n::DOUBLE * m.s2::DOUBLE
+                             - m.s1::DOUBLE * m.s1::DOUBLE)
+                            / (m.n::DOUBLE * (m.n::DOUBLE - 1))) / 100.0),
+                    6)
+           END AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+"""
+
+
+def q_stats_corr(spark, sf_dir):
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    from exact integer co-moments (n, Σx, Σy, Σx², Σy², Σxy) — the
+    reproducible distributed-correlation shape."""
+    from cancer_survival_etl_spark.operators.stats import corr_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_exact(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+        x_is_cents=False,
+        y_is_cents=True,
+    )
+
+
+_CORR_SQL = """
+    WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(l_quantity::BIGINT) AS sx,
+               sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+               sum(l_quantity::BIGINT * l_quantity::BIGINT) AS sxx,
+               sum(cast(round(l_extendedprice * 100) AS BIGINT)
+                   * cast(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+               sum(l_quantity::BIGINT
+                   * cast(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_rows,
+           CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                 AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                THEN round(
+                    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                    6)
+           END AS pearson_r
+    FROM m
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style cascading rollup: minute partials → hour → day,
     each level re-aggregating the previous level's partials (raw events
@@ -1648,6 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mixture": q_dataset_mixture,
         "events_json_props": q_events_json_props,
         "zorder_values": q_zorder_values,
+        "stats_zscore": q_stats_zscore,
+        "stats_corr": q_stats_corr,
         "events_rollup": q_events_rollup,
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
@@ -2520,6 +2600,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mixture": _MIXTURE_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "zorder_values": _ZORDER_SQL,
+        "stats_zscore": _ZSCORE_SQL,
+        "stats_corr": _CORR_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "text_boilerplate": _BOILERPLATE_SQL,
         "text_tfidf": _TFIDF_SQL,

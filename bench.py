@@ -52,6 +52,7 @@ HEADLINE = [
     "text_boilerplate",
     "text_tfidf",
     "events_rollup",
+    "stats_zscore",
     "events_json_props",
     "dataset_mixture",
     "zorder_values",

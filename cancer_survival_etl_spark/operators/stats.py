@@ -1,0 +1,123 @@
+"""Moment-based statistics that are EXACT across engines.
+
+Floating-point aggregation is order-dependent (partial aggregation
+trees differ between engines and between runs at different
+parallelism), so ``stddev``/``corr`` built-ins can't hash-match an
+oracle — and at 100 TB they can't even match themselves run-to-run.
+The fix is the same idea as the exact-cents money sum: accumulate
+INTEGER moments (Σx, Σx² in cents/cents², both order-independent),
+then derive variance/correlation from the exact moments in one final
+double expression — deterministic at any parallelism, any engine.
+
+Overflow budget: Σx² in cents² of a double ≤ ~10⁶ cents is ≤ 10¹² per
+row; a long holds ~9.2×10¹⁸ — fine to ~10⁶ rows per group. Past that,
+accumulate in decimal(38,0) (also order-independent) — the helpers
+take a ``wide=True`` flag for it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100).cast("long")
+
+
+def _acc(col: Column, wide: bool) -> Column:
+    return col.cast("decimal(38,0)") if wide else col
+
+
+def zscore_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    keep_cols: Sequence[str] = (),
+    wide: bool = False,
+) -> DataFrame:
+    """Per-group z-score of a currency-like double: sample mean and
+    stddev derived from exact integer moments (n, Σcents, Σcents²),
+    broadcast back onto the rows, score rounded to 6 dp.
+
+    Two passes over the rows but ONE shuffle tree: the moment aggregate
+    is map-side-combined partials (3 numbers per group), the join back
+    is a broadcast of #groups rows. Groups with n < 2 or zero variance
+    get NULL z."""
+    g = list(group_cols)
+    c = _cents(F.col(value_col))
+    moments = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(c, wide)).alias("_s1"),
+        F.sum(_acc(c * c, wide)).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (n * s2 - s1 * s1) / (n * (n - 1))  # cents²
+    stddev = F.sqrt(var) / 100.0
+    mean = s1 / n / 100.0
+    stats = moments.select(
+        *g,
+        mean.alias("_mean"),
+        F.when((F.col("_n") >= 2) & (var > 0), stddev).alias("_sd"),
+    )
+    out_cols = list(keep_cols) or [
+        c_ for c_ in df.columns if c_ not in g and c_ != value_col
+    ]
+    return (
+        df.join(F.broadcast(stats), g)
+        .select(
+            *g,
+            *out_cols,
+            value_col,
+            F.round(
+                (F.col(value_col) - F.col("_mean")) / F.col("_sd"), 6
+            ).alias("zscore"),
+        )
+    )
+
+
+def corr_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    x_is_cents: bool = True,
+    y_is_cents: bool = True,
+    wide: bool = True,
+) -> DataFrame:
+    """Per-group Pearson correlation from exact integer co-moments
+    (n, Σx, Σy, Σx², Σy², Σxy) — the distributed-correlation shape
+    that is reproducible at any parallelism. Columns that are already
+    integers pass ``*_is_cents=False`` to skip the cents scaling
+    (scaling cancels out of r anyway; it only affects overflow).
+    Groups with degenerate variance get NULL r."""
+    g = list(group_cols)
+    x = _cents(F.col(x_col)) if x_is_cents else F.col(x_col).cast("long")
+    y = _cents(F.col(y_col)) if y_is_cents else F.col(y_col).cast("long")
+    m = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(x, wide)).alias("_sx"),
+        F.sum(_acc(y, wide)).alias("_sy"),
+        F.sum(_acc(x * x, wide)).alias("_sxx"),
+        F.sum(_acc(y * y, wide)).alias("_syy"),
+        F.sum(_acc(x * y, wide)).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return m.select(
+        *g,
+        F.col("_n").alias("n_rows"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), 6),
+        ).alias("pearson_r"),
+    )

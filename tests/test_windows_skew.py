@@ -266,3 +266,37 @@ def test_cascading_rollup_lossless_at_every_level(spark, sf_dir):
     day = finish_rollup(cascade[-1])
     row = day.limit(1).collect()[0]
     assert abs(row["avg_value"] - round(row["sum_value"] / row["n_events"], 6)) < 1e-9
+
+
+def test_zscore_by_matches_python_reference(spark):
+    import statistics
+
+    from cancer_survival_etl_spark.operators.stats import zscore_by
+
+    vals = [10.25, 12.50, 9.75, 11.00, 13.25, 8.50]
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)] + [(99, "solo", 5.0)],
+        "id long, grp string, v double",
+    )
+    got = {r["id"]: r["zscore"] for r in zscore_by(df, ["grp"], "v").collect()}
+    mean, sd = statistics.mean(vals), statistics.stdev(vals)
+    for i, v in enumerate(vals):
+        assert abs(got[i] - round((v - mean) / sd, 6)) <= 1e-6
+    assert got[99] is None  # n < 2 → no z
+
+
+def test_corr_exact_matches_python_reference(spark):
+    import statistics
+
+    from cancer_survival_etl_spark.operators.stats import corr_exact
+
+    xs = [1, 2, 3, 4, 5, 6]
+    ys = [2.0, 4.1, 5.9, 8.2, 9.9, 12.1]
+    df = spark.createDataFrame(
+        [( "g", float(x), y) for x, y in zip(xs, ys)],
+        "grp string, x double, y double",
+    )
+    [row] = corr_exact(df, ["grp"], "x", "y").collect()
+    want = statistics.correlation([float(x) for x in xs], ys)
+    assert abs(row["pearson_r"] - want) < 1e-4
+    assert row["n_rows"] == 6
