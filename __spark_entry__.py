@@ -1190,6 +1190,48 @@ _ZORDER_SQL = """
 """
 
 
+def q_quality_expectations(spark, sf_dir):
+    """Declarative expectations over lineitem (Deequ/dbt-tests shape):
+    every rule is a conditional count in ONE aggregation pass — 50
+    rules still cost one scan."""
+    from cancer_survival_etl_spark.operators.quality import expect_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return expect_rules(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_unit_range": F.col("l_discount").between(0.0, 1.0),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+_EXPECT_SQL = """
+    WITH t AS (
+        SELECT count(*) AS n,
+            count(CASE WHEN NOT coalesce(l_quantity > 0, FALSE)
+                  THEN 1 END) AS v1,
+            count(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                  THEN 1 END) AS v2,
+            count(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 1.0,
+                  FALSE) THEN 1 END) AS v3,
+            count(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'),
+                  FALSE) THEN 1 END) AS v4
+        FROM lineitem
+    )
+    SELECT 'qty_positive' AS rule, n AS n_rows, v1 AS n_violations,
+           round((n - v1) / n::DOUBLE, 6) AS pass_rate FROM t
+    UNION ALL
+    SELECT 'price_positive', n, v2, round((n - v2) / n::DOUBLE, 6) FROM t
+    UNION ALL
+    SELECT 'discount_unit_range', n, v3, round((n - v3) / n::DOUBLE, 6) FROM t
+    UNION ALL
+    SELECT 'returnflag_domain', n, v4, round((n - v4) / n::DOUBLE, 6) FROM t
+"""
+
+
 def q_stats_zscore(spark, sf_dir):
     """Per-type z-score of event values — mean/stddev derived from
     EXACT integer cent moments (order-independent sums), so the result
@@ -1726,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mixture": q_dataset_mixture,
         "events_json_props": q_events_json_props,
         "zorder_values": q_zorder_values,
+        "quality_expectations": q_quality_expectations,
         "stats_zscore": q_stats_zscore,
         "stats_corr": q_stats_corr,
         "events_rollup": q_events_rollup,
@@ -2600,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mixture": _MIXTURE_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "zorder_values": _ZORDER_SQL,
+        "quality_expectations": _EXPECT_SQL,
         "stats_zscore": _ZSCORE_SQL,
         "stats_corr": _CORR_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,

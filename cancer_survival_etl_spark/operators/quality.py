@@ -81,3 +81,43 @@ def profile_columns(
         ]
     )
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def expect_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative data expectations (the Deequ / dbt-tests shape): each
+    rule is a boolean Column that must hold per row; returns one row
+    per rule — (rule, n_rows, n_violations, pass_rate) — computed in a
+    SINGLE aggregation pass (each rule is a conditional count, so 50
+    rules still cost one scan and a 1-row-per-group shuffle).
+
+    NULL rule results count as violations (unknown is not a pass) —
+    write rules null-safely (`isNotNull() & ...`) when nulls are legal.
+
+    Usage:
+        expect_rules(li, {
+            "qty_positive": F.col("l_quantity") > 0,
+            "date_ordered": F.col("l_shipdate") <= F.col("l_receiptdate"),
+        })
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(
+                f"_v_{name}"
+            )
+        )
+    row = df.agg(*aggs)
+    per_rule = None
+    for name in rules:
+        one = row.select(
+            F.lit(name).alias("rule"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v_{name}").alias("n_violations"),
+            F.round(
+                (F.col("_n") - F.col(f"_v_{name}"))
+                / F.col("_n").cast("double"),
+                6,
+            ).alias("pass_rate"),
+        )
+        per_rule = one if per_rule is None else per_rule.unionByName(one)
+    return per_rule

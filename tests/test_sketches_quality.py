@@ -94,3 +94,27 @@ def test_profile_columns_single_pass(spark, sf_dir):
     assert int(prof["s_suppkey"]["min_value"]) == 0
     # approx_distinct of a unique key ~ row count
     assert abs(prof["s_suppkey"]["approx_distinct"] - n) <= max(3, 0.1 * n)
+
+
+def test_expect_rules_single_pass_counts(spark):
+    from cancer_survival_etl_spark.operators.quality import expect_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, None, "a"), (4, 7.0, None)],
+        "id long, amount double, tag string",
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["pass_rate"])
+        for r in expect_rules(
+            df,
+            {
+                "amount_positive": F.col("amount") > 0,
+                "tag_not_null": F.col("tag").isNotNull(),
+                "id_unique_range": F.col("id").between(1, 4),
+            },
+        ).collect()
+    }
+    # NULL amount counts as violation; -5 violates
+    assert out["amount_positive"] == (2, 0.5)
+    assert out["tag_not_null"] == (1, 0.75)
+    assert out["id_unique_range"] == (0, 1.0)
