@@ -216,3 +216,10 @@ def test_mixture_sample_no_shuffle(spark, sf_dir):
     """Mixture sampling is explode + filter — shuffle-free by design."""
     p = _plan(spark, sf_dir, "dataset_mixture")
     assert "Exchange" not in p, p
+
+
+def test_pack_bins_uses_distributed_prefix_sum(spark, sf_dir):
+    """The packing offset must come from the two-phase mapInPandas
+    cumsum, never a data-side global window (single task at scale)."""
+    p = _plan(spark, sf_dir, "text_pack_bins")
+    assert "MapInPandas" in p, p
