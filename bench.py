@@ -53,6 +53,9 @@ HEADLINE = [
     "text_tfidf",
     "events_rollup",
     "stats_zscore",
+    "stats_corr",
+    "quality_expectations",
+    "win_distinct_count",
     "events_json_props",
     "dataset_mixture",
     "zorder_values",
