@@ -300,3 +300,35 @@ def test_corr_exact_matches_python_reference(spark):
     want = statistics.correlation([float(x) for x in xs], ys)
     assert abs(row["pearson_r"] - want) < 1e-4
     assert row["n_rows"] == 6
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """With one hot key and broadcast disabled, AQE must mark the
+    sort-merge join skew-handled (OptimizeSkewedJoin) under the same
+    session confs the engine ships — the runtime half of the skew
+    story (operators/skew.py salting is the planned half)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 == 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(F.col("id").alias("k"))
+        joined = big.join(small, "k")
+        joined.collect()  # same execution AQE finalizes
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
