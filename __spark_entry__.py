@@ -1190,6 +1190,37 @@ _ZORDER_SQL = """
 """
 
 
+_INFER_W = [((i * 37) % 101 - 50) / 1000.0 for i in range(64)]
+
+
+def q_model_score(spark, sf_dir):
+    """Classifier-based curation scoring (FineWeb-Edu-style quality
+    filter) as FUSED SQL expressions: logistic linear model over the
+    embedding column — dot product via zip_with/aggregate, zero Python
+    in the row path, score rounded 6dp before the threshold
+    (llm/inference.py)."""
+    from cancer_survival_etl_spark.llm.inference import linear_score
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return linear_score(e, "embedding", _INFER_W, bias=0.1).select(
+        "vec_id", "label", "score"
+    )
+
+
+def _model_score_sql() -> str:
+    w = "[" + ", ".join(str(x) for x in _INFER_W) + "]"
+    return f"""
+        SELECT vec_id, label,
+               round(1.0 / (1.0 + exp(-(
+                   list_sum(list_transform(generate_series(1, 64),
+                       i -> embedding[i]::DOUBLE * ({w}::DOUBLE[])[i]))
+                   + 0.1))), 6) AS score
+        FROM embeddings
+    """
+
+
 def q_quality_expectations(spark, sf_dir):
     """Declarative expectations over lineitem (Deequ/dbt-tests shape):
     every rule is a conditional count in ONE aggregation pass — 50
@@ -1778,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mixture": q_dataset_mixture,
         "events_json_props": q_events_json_props,
         "zorder_values": q_zorder_values,
+        "model_score": q_model_score,
         "quality_expectations": q_quality_expectations,
         "stats_zscore": q_stats_zscore,
         "stats_corr": q_stats_corr,
@@ -2653,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mixture": _MIXTURE_SQL,
         "events_json_props": _EVENTS_JSON_SQL,
         "zorder_values": _ZORDER_SQL,
+        "model_score": _model_score_sql(),
         "quality_expectations": _EXPECT_SQL,
         "stats_zscore": _ZSCORE_SQL,
         "stats_corr": _CORR_SQL,

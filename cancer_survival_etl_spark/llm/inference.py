@@ -1,0 +1,66 @@
+"""Model inference as pure SQL expressions (operator-fusion style —
+cf. "ML Inference Pipeline Execution Using Pure SQL Based on Operator
+Fusion", ICDE 2025): linear / logistic scoring over embedding columns
+compiled into Catalyst expressions, so classifier-based corpus
+filtering (the FineWeb-Edu / quality-classifier curation step) runs
+inside whole-stage codegen with zero Python in the row path.
+
+The weight vector is a broadcast literal (models of this family are
+KB-scale); the dot product is ``aggregate(zip_with(...))`` — no UDF,
+no Arrow round-trip, pushdown and pruning untouched. For real
+transformer-based scorers the shape changes to a Pandas-UDF batch
+(see llm/multimodal.py for the template); the linear head after any
+frozen encoder still belongs here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_literal(vec_col: str | Column, weights: Sequence[float]) -> Column:
+    """⟨x, w⟩ with a literal weight vector, as a fused expression."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    w = F.lit([float(x) for x in weights])
+    return F.aggregate(
+        F.zip_with(c, w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def linear_score(
+    df: DataFrame,
+    vec_col: str,
+    weights: Sequence[float],
+    bias: float = 0.0,
+    logistic: bool = True,
+    alias: str = "score",
+) -> DataFrame:
+    """Score every row with a (logistic) linear model over its embedding:
+    score = σ(⟨x, w⟩ + b), rounded to 6 dp BEFORE any downstream
+    rank/threshold (exp() differs in the last ulp across engines — the
+    same determinism idiom as tf-idf's ln).
+    """
+    z = dot_literal(vec_col, weights) + F.lit(float(bias))
+    s = 1.0 / (1.0 + F.exp(-z)) if logistic else z
+    return df.withColumn(alias, F.round(s, 6))
+
+
+def classifier_filter(
+    df: DataFrame,
+    vec_col: str,
+    weights: Sequence[float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The curation step itself: keep rows the classifier scores at or
+    above ``threshold`` (educational-quality filtering à la
+    FineWeb-Edu). Pure filter over the fused score — predicate shows
+    up in the plan like any other, composable with every operator."""
+    return linear_score(df, vec_col, weights, bias).filter(
+        F.col("score") >= threshold
+    )

@@ -574,3 +574,27 @@ def test_media_near_dups_find_duplicate_payloads(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in got
     assert all({a, b} != {0, 3} for a, b in got)
+
+
+def test_linear_score_and_classifier_filter(spark):
+    import math
+
+    from cancer_survival_etl_spark.llm.inference import (
+        classifier_filter,
+        linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-2.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    w = [2.0, -1.0]
+    got = {
+        r["id"]: r["score"]
+        for r in linear_score(df, "embedding", w, bias=0.5).collect()
+    }
+    for i, x in [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-2.0, 0.0])]:
+        z = sum(a * b for a, b in zip(x, w)) + 0.5
+        assert abs(got[i] - round(1 / (1 + math.exp(-z)), 6)) <= 1e-6
+    kept = {r["id"] for r in classifier_filter(df, "embedding", w, 0.5).collect()}
+    assert kept == {1}  # sigmoid(2.5)=.92 passes; sigmoid(-0.5)=.38 and sigmoid(-3.5)=.03 fail
