@@ -19,10 +19,35 @@ from .similarity import (
     lsh_bucketed_topk,
     normalize_embeddings,
 )
+from .bpe import bpe_encode, train_bpe_merges, word_histogram
+from .curation import (
+    boilerplate_spans,
+    chunk_documents,
+    contamination,
+    pack_bins,
+    tfidf_topk,
+)
+from .inference import classifier_filter, linear_score
+from .pipeline import curate_corpus
+from .sampling import hash_split, mixture_sample, stratified_sample
 from .textstats import doc_fingerprint, language_guess, quality_score, token_stats
 
 __all__ = [
+    "boilerplate_spans",
+    "bpe_encode",
     "brute_force_topk",
+    "chunk_documents",
+    "classifier_filter",
+    "contamination",
+    "curate_corpus",
+    "hash_split",
+    "linear_score",
+    "mixture_sample",
+    "pack_bins",
+    "stratified_sample",
+    "tfidf_topk",
+    "train_bpe_merges",
+    "word_histogram",
     "doc_fingerprint",
     "exact_dedup",
     "ivf_topk",
