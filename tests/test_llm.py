@@ -598,3 +598,20 @@ def test_linear_score_and_classifier_filter(spark):
         assert abs(got[i] - round(1 / (1 + math.exp(-z)), 6)) <= 1e-6
     kept = {r["id"] for r in classifier_filter(df, "embedding", w, 0.5).collect()}
     assert kept == {1}  # sigmoid(2.5)=.92 passes; sigmoid(-0.5)=.38 and sigmoid(-3.5)=.03 fail
+
+
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """A 100-node chain has diameter 99: plain min-label propagation
+    needs ~99 rounds, pointer doubling must finish within ~log2(99)+2.
+    max_iter=10 is the budget that proves the claim."""
+    from cancer_survival_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert len(got) == 101
+    assert set(got.values()) == {0}  # single component, min label 0
