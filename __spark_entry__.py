@@ -322,6 +322,34 @@ def q_percentile_disc(spark, sf_dir):
     return percentile_disc_by(o, ["o_orderpriority"], "o_totalprice")
 
 
+def q_percentile_cont(spark, sf_dir):
+    """Interpolating sibling of A4: PERCENTILE_CONT per group (linear
+    interpolation between adjacent order statistics; Spark ≥3.4 native
+    WITHIN GROUP syntax). round(6) both sides — the interpolation
+    arithmetic is the only float in play."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.expr("percentile_cont(0.25) within group (order by o_totalprice)"), 6
+        ).alias("p25"),
+        F.round(
+            F.expr("percentile_cont(0.5) within group (order by o_totalprice)"), 6
+        ).alias("p50"),
+        F.round(
+            F.expr("percentile_cont(0.75) within group (order by o_totalprice)"), 6
+        ).alias("p75"),
+    )
+
+
+_PERCENTILE_CONT_SQL = """
+    SELECT o_orderpriority,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p25,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p75
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.5 window functions
 # --------------------------------------------------------------------------
@@ -1754,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_count_per_group": q_count_per_group,
         "a3_minmax_benchmark": q_minmax_benchmark,
         "a4_percentile_disc": q_percentile_disc,
+        "a4b_percentile_cont": q_percentile_cont,
         "w1_rank_window": q_rank_window,
         "u1_union_best_scaffold": q_union_best_scaffold,
         "u3_row_duplication": q_row_duplication,
@@ -2127,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
                    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
             FROM orders GROUP BY o_orderpriority
         """,
+        "a4b_percentile_cont": _PERCENTILE_CONT_SQL,
         "w1_rank_window": """
             SELECT s_suppkey, s_nationkey, s_acctbal,
                    RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)

@@ -84,26 +84,33 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_size: int = 64,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Split each document's whitespace tokens into consecutive
-    ``chunk_size``-token chunks: (id, chunk_id, chunk_text, n_tokens).
+    """Split each document's whitespace tokens into ``chunk_size``-token
+    chunks: (id, chunk_id, chunk_text, n_tokens). ``stride`` (default =
+    ``chunk_size``, i.e. non-overlapping) sets the hop between chunk
+    starts — stride < chunk_size gives the overlapping windows
+    retrieval indexes use so no answer span straddles a boundary.
 
     The context-window shaping step of a pretraining pipeline. Pure
     narrow transform — tokens never leave their partition; the last
     chunk of each document is short (no padding here; see
     ``pack_bins`` for budget-packing whole documents instead).
     """
+    hop = stride or chunk_size
+    if not 1 <= hop <= chunk_size:
+        raise ValueError("stride must be in [1, chunk_size]")
     toks = F.split(F.col(text_col), " ")
-    c = F.lit(chunk_size)
+    s = F.lit(hop)
     with_chunks = df.select(
         id_col,
         F.explode(
-            F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / c))
+            F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / s))
         ).alias("chunk_id"),
         toks.alias("_toks"),
     )
     piece = F.slice(
-        F.col("_toks"), (F.col("chunk_id") * c + 1).cast("int"), chunk_size
+        F.col("_toks"), (F.col("chunk_id") * s + 1).cast("int"), chunk_size
     )
     return with_chunks.select(
         id_col,

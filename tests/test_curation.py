@@ -128,3 +128,14 @@ def test_tfidf_topk_scores_and_ranking(spark):
     assert top1[1]["tfidf"] == round(2 * math.log(3.0 / 1.0), 6)
     assert top1[3]["token"] == "unique"
     assert all(len(rs) <= 2 for rs in by_doc.values())
+
+
+def test_chunk_documents_overlapping_stride(spark):
+    df = spark.createDataFrame([(1, "t0 t1 t2 t3 t4")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_size=3, stride=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_text"] for r in rows] == ["t0 t1 t2", "t2 t3 t4", "t4"]
+    # every token appears in some chunk; consecutive chunks overlap by 1
+    assert [r["n_tokens"] for r in rows] == [3, 3, 1]
