@@ -101,8 +101,11 @@ def curate_corpus(
 
 
 def stage_counts(stages: list[tuple[str, DataFrame]]) -> DataFrame:
-    """Survivor accounting as a single unioned plan: (stage, n_rows) —
-    one job, stage subtrees shared where Catalyst can."""
+    """Survivor accounting as one unioned plan: (stage, n_rows) in a
+    single job submission. Stage N's subtree contains stage N-1's, so
+    counting every stage re-executes shared prefixes — fine for a
+    data-card report run once; for routine monitoring count only the
+    final stage, or checkpoint intermediate stages first."""
     spark = stages[0][1].sparkSession
     counts = None
     for name, df in stages:

@@ -106,7 +106,10 @@ def expect_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
                 f"_v_{name}"
             )
         )
-    row = df.agg(*aggs)
+    # checkpoint the 1-row moment frame: each per-rule select below is a
+    # union branch, and without a leaf here the full-table aggregate
+    # would re-execute once PER RULE
+    row = df.agg(*aggs).localCheckpoint(eager=False)
     per_rule = None
     for name in rules:
         one = row.select(
