@@ -35,3 +35,30 @@ def test_entry_stable_schema_across_sf(spark, sf_dir):
         s2 = qs[name](spark, "/root/testdata/sf0.01").schema
         assert s1 == s2, name
     assert len(cols) > 0
+
+
+def test_oracle_column_alignment_full_surface(spark):
+    """The t2 gate hashes values under SORTED COLUMN NAMES — a Spark
+    alias that drifts from its oracle's AS name fails even with
+    identical values. This meta-test checks name alignment for EVERY
+    oracle-checked query without executing values: DuckDB plans the
+    oracle (LIMIT 0), Spark only builds the plan."""
+    import duckdb
+
+    from cancer_survival_etl_spark.sources.catalog import TPCH_TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        duck_cols = sorted(
+            con.sql(f"SELECT * FROM ({sql}) q LIMIT 0").columns
+        )
+        spark_cols = sorted(qs[name](spark, sf).columns)
+        if duck_cols != spark_cols:
+            bad.append((name, spark_cols, duck_cols))
+    assert not bad, bad
