@@ -322,6 +322,49 @@ def q_percentile_disc(spark, sf_dir):
     return percentile_disc_by(o, ["o_orderpriority"], "o_totalprice")
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join (customer segment filter →
+    broadcast; orders⋈lineitem shuffle on orderkey), revenue per order,
+    global top-10 — TakeOrderedAndProject, never a full sort. Exact
+    cents for the revenue sum; round-before-rank keeps the top-10
+    cutoff deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           {_MONEY_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")}
+               AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+"""
+
+
 def q_percentile_cont(spark, sf_dir):
     """Interpolating sibling of A4: PERCENTILE_CONT per group (linear
     interpolation between adjacent order statistics; Spark ≥3.4 native
@@ -1783,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_minmax_benchmark": q_minmax_benchmark,
         "a4_percentile_disc": q_percentile_disc,
         "a4b_percentile_cont": q_percentile_cont,
+        "shipping_priority": q_shipping_priority,
         "w1_rank_window": q_rank_window,
         "u1_union_best_scaffold": q_union_best_scaffold,
         "u3_row_duplication": q_row_duplication,
@@ -2157,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "a4b_percentile_cont": _PERCENTILE_CONT_SQL,
+        "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "w1_rank_window": """
             SELECT s_suppkey, s_nationkey, s_acctbal,
                    RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)

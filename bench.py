@@ -56,6 +56,7 @@ HEADLINE = [
     "stats_corr",
     "quality_expectations",
     "win_distinct_count",
+    "shipping_priority",
     "events_json_props",
     "dataset_mixture",
     "zorder_values",
