@@ -35,6 +35,11 @@ def zvalue(cols: Sequence[str | Column], bits: int = 16) -> Column:
     ``F.aggregate`` fold over a sequence costs ~4× more per row).
     """
     ncols = len(cols)
+    if bits * ncols > 63:
+        raise ValueError(
+            f"zvalue needs bits*ncols <= 63 (got {bits}*{ncols}); "
+            "lower bits or bucketize coarser"
+        )
     cs = [(F.col(c) if isinstance(c, str) else c).cast("long") for c in cols]
     terms = [
         F.shiftleft(F.shiftright(c, i) % 2, i * ncols + j)

@@ -77,3 +77,10 @@ def test_quantile_bucketize_equidepth_and_monotone(spark):
     # composes with zvalue
     z = b.select(zvalue(["skewed_bkt", "skewed_bkt"], bits=3).alias("z")).collect()
     assert all(r["z"] >= 0 for r in z)
+
+
+def test_zvalue_rejects_bit_overflow(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        zvalue(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
