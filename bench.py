@@ -57,6 +57,7 @@ HEADLINE = [
     "quality_expectations",
     "win_distinct_count",
     "shipping_priority",
+    "model_score",
     "events_json_props",
     "dataset_mixture",
     "zorder_values",
