@@ -765,6 +765,156 @@ def q_sketch_quantiles(spark, sf_dir):
     return approx_quantiles_by(o, ["o_orderstatus"], "o_totalprice")
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch per priority — the deterministic, oracle-
+    checkable counterpart of q_sketch_approx_distinct: md5 is the same
+    digest on every engine, so the k-th order statistic (and hence the
+    estimate) matches DuckDB bit-exactly."""
+    from cancer_survival_etl_spark.operators.sketches import kmv_distinct_by
+
+    o = _t(spark, sf_dir, "orders")
+    return kmv_distinct_by(o, ["o_orderpriority"], "o_custkey", k=64)
+
+
+def q_sketch_sample_quantiles(spark, sf_dir):
+    """Deterministic-sample quantiles per status: bottom-256 rows by
+    md5(o_orderkey) form an engine-portable uniform sample; exact
+    PERCENTILE_DISC over it is bit-exact cross-engine (answers are real
+    data values — no interpolation float drift)."""
+    from cancer_survival_etl_spark.operators.sketches import (
+        hash_sample_quantiles_by,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return hash_sample_quantiles_by(
+        o, ["o_orderstatus"], "o_totalprice", "o_orderkey", k=256
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H composite shapes (Q13/Q18/Q21/Q22 adapted to the testdata schema)
+# --------------------------------------------------------------------------
+
+def q_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers (the LEFT join's raison d'être).
+    Scale shape: aggregate orders FIRST (map-side combine shrinks the
+    fact side to one row per customer), then a single join on custkey
+    and a cheap second aggregate on the tiny count domain — vs the
+    textbook join-then-count which shuffles every order row."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.join(cnt, c.c_custkey == cnt.o_custkey, "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    enriched with customer name. HAVING on the pre-aggregated fact side
+    (map-side combine, then the filter kills ~99% of groups BEFORE any
+    join); both remaining joins are on already-aggregated singletons.
+    Exact cents for the quantity sum."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(_money_sum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+    )
+
+
+def q_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who alone shipped late on multi-
+    supplier finalized orders) re-planned Spark-first: the textbook
+    EXISTS + NOT-EXISTS pair is two extra lineitem self-joins (three
+    scans, three shuffles); here one conditional aggregate per order —
+    countDistinct suppliers, countDistinct LATE suppliers, and (when
+    unique) the late supplier id — answers both quantifiers in a single
+    lineitem pass. 'Late' = shipped >60 days after order date."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    stats = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        stats.join(F.broadcast(s), stats.late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers in selected nations with above-average
+    balance and no HIGH-VALUE order (>400k — every synthetic customer
+    has some order, so the textbook 'no orders at all' is degenerate
+    here). Scalar-subquery average (exact-cents sum / count — the
+    division order is mirrored in the oracle so the double threshold is
+    bit-identical), broadcast to every row, then LEFT ANTI join against
+    the filtered orders (no distinct needed — anti join tolerates
+    duplicate keys, and the >400k filter pushes to the orders scan)."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    )
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            (_money_sum(F.col("c_acctbal"))) / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming-shaped event analytics (beyond-reference)
 # --------------------------------------------------------------------------
@@ -1862,6 +2012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_profile": q_quality_profile,
         "sketch_approx_distinct": q_sketch_approx_distinct,
         "sketch_quantiles": q_sketch_quantiles,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_sample_quantiles": q_sketch_sample_quantiles,
+        "custdist": q_custdist,
+        "big_orders": q_big_orders,
+        "suppliers_kept_waiting": q_suppliers_kept_waiting,
+        "idle_rich_customers": q_idle_rich_customers,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
@@ -2202,6 +2358,110 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a4b_percentile_cont": _PERCENTILE_CONT_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "sketch_kmv_distinct": """
+            WITH pairs AS (
+                SELECT DISTINCT o_orderpriority,
+                       CAST(concat('0x', substring(md5(o_custkey::VARCHAR), 1, 15))
+                            AS BIGINT) AS hv
+                FROM orders
+            ),
+            ranked AS (
+                SELECT o_orderpriority, hv,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY hv) AS rn
+                FROM pairs
+            ),
+            agg AS (
+                SELECT o_orderpriority, count(*) AS n,
+                       max(CASE WHEN rn = 64 THEN hv END) AS hk
+                FROM ranked GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   round(CASE WHEN n < 64 THEN n::DOUBLE
+                              ELSE 63.0 * 1152921504606846976.0 / hk END,
+                         6) AS kmv_distinct
+            FROM agg
+        """,
+        "sketch_sample_quantiles": """
+            WITH ranked AS (
+                SELECT o_orderstatus, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY md5(o_orderkey::VARCHAR),
+                                                   o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT o_orderstatus,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+                   percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+            FROM ranked WHERE rn <= 256
+            GROUP BY o_orderstatus
+        """,
+        "custdist": """
+            WITH cnt AS (
+                SELECT o_custkey, count(*) AS n FROM orders
+                WHERE o_orderpriority <> '1-URGENT'
+                GROUP BY o_custkey
+            ),
+            per_cust AS (
+                SELECT coalesce(cnt.n, 0) AS c_count
+                FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.o_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "big_orders": f"""
+            WITH big AS (
+                SELECT l_orderkey,
+                       {_MONEY_SQL.format(x='l_quantity')} AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING {_MONEY_SQL.format(x='l_quantity')} > 250
+            )
+            SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   big.sum_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "suppliers_kept_waiting": """
+            WITH lo AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+            ),
+            stats AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                           AS n_late,
+                       max(CASE WHEN late THEN l_suppkey END) AS late_supp
+                FROM lo GROUP BY l_orderkey
+            )
+            SELECT s.s_name, count(*) AS numwait
+            FROM stats JOIN supplier s ON s.s_suppkey = stats.late_supp
+            WHERE stats.n_supp > 1 AND stats.n_late = 1
+            GROUP BY s.s_name
+        """,
+        "idle_rich_customers": f"""
+            WITH sel AS (
+                SELECT * FROM customer
+                WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            ),
+            ab AS (
+                SELECT ({_MONEY_SQL.format(x='c_acctbal')}) / count(*) AS ab
+                FROM sel WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey AS cntry, count(*) AS numcust,
+                   {_MONEY_SQL.format(x='c_acctbal')} AS totacctbal
+            FROM sel
+            WHERE c_acctbal > (SELECT ab FROM ab)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = sel.c_custkey
+                                AND o.o_totalprice > 400000)
+            GROUP BY c_nationkey
+        """,
         "w1_rank_window": """
             SELECT s_suppkey, s_nationkey, s_acctbal,
                    RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)

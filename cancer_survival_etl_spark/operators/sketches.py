@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,6 +56,90 @@ def approx_quantiles_by(
         for p in probabilities
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    alias: str = "kmv_distinct",
+) -> DataFrame:
+    """K-minimum-values distinct sketch — the DETERMINISTIC sibling of
+    HLL++ (``approx_distinct_by``), reproducible across engines and
+    therefore oracle-checkable bit-exactly.
+
+    Hash each distinct value to a 60-bit uniform via md5 (content-
+    derived — the same digest on any engine), keep the k smallest per
+    group, and estimate ``|distinct| ≈ (k-1) / h_(k)`` where ``h_(k)``
+    is the k-th order statistic normalized to (0, 1].  Groups with
+    fewer than k distinct hashes report the exact count (the sketch IS
+    the full distinct set there).  Expected relative error
+    ``≈ 1/sqrt(k-2)`` (~13% at k=64).
+
+    Scale shape: one exchange for the distinct (map-side combine — a
+    partition's duplicate values collapse before the wire), then a
+    per-group sort whose output partitioning the final aggregate
+    reuses.  At 100 TB the refinement is an object-style KMV aggregator
+    keeping only k minima per partition; the md5→rank formulation here
+    keeps the result engine-portable, which HLL registers can never be.
+    """
+    hv = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pairs = df.select(*group_cols, hv.alias("_hv")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_hv")
+    ranked = pairs.withColumn("_rn", F.row_number().over(w))
+    # (k-1) * 2^60: ≤6 significant bits — exact as a double, so the
+    # single division below is the only rounding (mirrors the oracle).
+    scale = float(k - 1) * float(1 << 60)
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(F.lit(scale) / F.col("_hk"))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.when(F.col("_rn") == k, F.col("_hv"))).alias("_hk"),
+        )
+        .select(*group_cols, F.round(est, 6).alias(alias))
+    )
+
+
+def hash_sample_quantiles_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quantiles over a DETERMINISTIC uniform sample: the k rows whose
+    ``md5(key)`` sorts lowest per group (md5 of a unique key is a
+    uniform draw, so bottom-k-by-hash IS a simple random sample — but
+    unlike ``TABLESAMPLE`` it is identical on every engine, run, and
+    partitioning), then exact PERCENTILE_DISC over the sample.
+
+    Rank error ~ O(1/sqrt(k)); the answer is always a real data value.
+    Scale shape: one window sort per group over a narrow (hash, value)
+    projection; rows beyond rank k are dropped before the percentile
+    aggregate, capping its per-group buffer at k regardless of data
+    size — the property that makes exact percentile_disc viable again
+    at 100 TB.
+    """
+    from cancer_survival_etl_spark.operators.percentile import (
+        percentile_disc_by,
+    )
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    sampled = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return percentile_disc_by(sampled, group_cols, value_col, percentiles)
 
 
 def frequent_items(

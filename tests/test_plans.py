@@ -223,3 +223,30 @@ def test_pack_bins_uses_distributed_prefix_sum(spark, sf_dir):
     cumsum, never a data-side global window (single task at scale)."""
     p = _plan(spark, sf_dir, "text_pack_bins")
     assert "MapInPandas" in p, p
+
+
+def test_suppliers_kept_waiting_single_lineitem_pass(spark, sf_dir):
+    # Q21's EXISTS + NOT EXISTS would be three lineitem scans; the
+    # conditional-aggregate reformulation must keep it to ONE.
+    p = _plan(spark, sf_dir, "suppliers_kept_waiting")
+    # Location: lines appear once per scan node (details section only).
+    li_scans = re.findall(r"Location: .*lineitem\.parquet", p)
+    assert len(li_scans) == 1, p
+
+
+def test_custdist_aggregates_before_join(spark, sf_dir):
+    # Orders must be reduced to one row per customer BEFORE the join
+    # with customer (partial aggregate below the join in the plan).
+    p = _plan(spark, sf_dir, "custdist")
+    # Children get lower node ids than parents: an aggregate id below
+    # the join id proves the agg sits under the join (broadcast or SMJ).
+    joins = [
+        int(m)
+        for m in re.findall(
+            r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+            r"[^(]*\((\d+)\)",
+            p,
+        )
+    ]
+    aggs = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    assert joins and aggs and min(aggs) < min(joins), p

@@ -118,3 +118,80 @@ def test_expect_rules_single_pass_counts(spark):
     assert out["amount_positive"] == (2, 0.5)
     assert out["tag_not_null"] == (1, 0.75)
     assert out["id_unique_range"] == (0, 1.0)
+
+
+def test_kmv_distinct_within_error_bound(spark, sf_dir):
+    # KMV expected relative error ~ 1/sqrt(k-2) (~13% at k=64); pin 3x.
+    from cancer_survival_etl_spark.operators.sketches import kmv_distinct_by
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {
+        r["o_orderpriority"]: r["kmv_distinct"]
+        for r in kmv_distinct_by(
+            o, ["o_orderpriority"], "o_custkey", k=64
+        ).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["exact"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for key in exact:
+        assert abs(got[key] - exact[key]) <= max(3, 0.40 * exact[key]), (
+            key,
+            got[key],
+            exact[key],
+        )
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    # Fewer than k distinct values -> the sketch IS the distinct set.
+    from cancer_survival_etl_spark.operators.sketches import kmv_distinct_by
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 17).alias("v")
+    )
+    got = {
+        r["g"]: r["kmv_distinct"]
+        for r in kmv_distinct_by(df, ["g"], "v", k=64).collect()
+    }
+    assert got == {0: 17.0, 1: 17.0, 2: 17.0}
+
+
+def test_hash_sample_quantiles_bounded_rank_error(spark, sf_dir):
+    from cancer_survival_etl_spark.operators.sketches import (
+        hash_sample_quantiles_by,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = hash_sample_quantiles_by(
+        o, ["o_orderstatus"], "o_totalprice", "o_orderkey", k=256
+    ).collect()
+    for r in got:
+        grp = o.filter(F.col("o_orderstatus") == r["o_orderstatus"])
+        n = grp.count()
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            rank = grp.filter(F.col("o_totalprice") <= r[col]).count()
+            # sampling rank error ~ sqrt(p(1-p)/k): 3 sigma + small-n slack
+            tol = 3 * (p * (1 - p) / 256) ** 0.5 + 3 / max(n, 1)
+            assert abs(rank / n - p) < tol, (r["o_orderstatus"], col)
+
+
+def test_hash_sample_is_deterministic_across_partitionings(spark, sf_dir):
+    from cancer_survival_etl_spark.operators.sketches import (
+        hash_sample_quantiles_by,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = hash_sample_quantiles_by(
+        o, ["o_orderstatus"], "o_totalprice", "o_orderkey"
+    ).collect()
+    b = hash_sample_quantiles_by(
+        o.repartition(7, "o_orderkey"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        "o_orderkey",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
