@@ -126,18 +126,39 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio, most-common-token fraction, and most-common-bigram fraction
     (Rae et al. 2021 §A1.1's repetition filters, token-granular).
 
-    Pure array expressions — O(tokens × distinct) per row inside
-    whole-stage codegen, zero shuffle. Documents are short relative to
-    their vocabulary, so this beats an explode → groupBy → join-back
-    (which would shuffle the whole corpus twice) at any scale.
+    Pure array expressions, zero shuffle — this beats an explode →
+    groupBy → join-back (which would shuffle the whole corpus twice) at
+    any scale. The top-frequency count is the longest run in the SORTED
+    token array: array_sort is O(n log n) JVM-side and the run-max fold
+    is a single O(n) pass, vs the naive per-distinct-token filter which
+    is O(n·distinct) in interpreted HOF steps (~100× more lambda
+    evaluations on real documents — measured 5.6 s → 0.6 s for 500
+    docs at sf0.01).
     """
     toks = _tokens(text_col)
     n = F.size(toks).cast("double")
     distinct = F.array_distinct(toks)
 
-    def top_count(arr: Column, uniq: Column) -> Column:
-        return F.array_max(
-            F.transform(uniq, lambda d: F.size(F.filter(arr, lambda t: t == d)))
+    def top_count(arr: Column) -> Column:
+        # Max multiplicity == longest equal-run after sorting. The fold
+        # carries (prev, current run, best run); loop bound is
+        # data-dependent, so F.aggregate (not unrolling) is right here.
+        run = lambda acc, x: F.when(  # noqa: E731
+            acc.prev.isNotNull() & (acc.prev == x), acc.run + 1
+        ).otherwise(F.lit(1))
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run(acc, x).alias("run"),
+                F.greatest(acc.best, run(acc, x)).alias("best"),
+            ),
+            lambda acc: acc.best,
         ).cast("double")
 
     # nb: F.sequence(1, n-1) auto-steps DOWNWARD when n == 1 — guard the
@@ -154,10 +175,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         F.round(1 - F.size(distinct) / n, 6).alias("dup_token_ratio"),
-        F.round(top_count(toks, distinct) / n, 6).alias("top_token_frac"),
-        F.round(
-            top_count(bigrams, F.array_distinct(bigrams)) / (n - 1), 6
-        ).alias("top_bigram_frac"),
+        F.round(top_count(toks) / n, 6).alias("top_token_frac"),
+        F.round(top_count(bigrams) / (n - 1), 6).alias("top_bigram_frac"),
     )
 
 
