@@ -62,6 +62,11 @@ HEADLINE = [
     "dataset_mixture",
     "zorder_values",
     "tokenizer_bpe",
+    "custdist",
+    "big_orders",
+    "suppliers_kept_waiting",
+    "sketch_kmv_distinct",
+    "text_repetition",
 ]
 
 
