@@ -111,6 +111,10 @@ def stream_from_events_dir(
         .option("pathGlobFilter", glob)
         .parquet(path)
     )
-    if dict(src.dtypes).get("ts") == "bigint":
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks demand TIMESTAMP (with local tz); testdata stores NTZ.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
