@@ -924,6 +924,358 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: orders in one quarter that had at least one
+    late-shipped line (>30 days after order date), counted by priority.
+    The EXISTS compiles to a LEFT SEMI join — lineitem never widens the
+    orders side, and the quarter filter on orders pushes to its scan so
+    the semi join's build input is one quarter, not seven years."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-and-aggregate revenue forecast — one
+    year of shipments, a discount band, small quantities. No join, no
+    window: the whole query is a predicate set that must reach the
+    parquet scan (PushedFilters on all three columns) and a single
+    exact-cents partial+final sum. The canonical pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue")
+        )
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    The nation filter is pushed INTO the supplier and customer dims
+    before they touch the fact table (each dim shrinks ~12.5× at the
+    scan), so the two fact joins carry only candidate rows; the
+    cross-pair predicate that needs both sides runs after. Nation is
+    25 rows — always broadcast; supplier/customer joins are left to
+    AQE (shuffle at 100 TB, where a 10M-row dim no longer
+    broadcasts)."""
+    pair = ("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold to
+    EUROPE customers, by order year. Both the numerator and the
+    denominator come out of ONE aggregate (conditional cents sum over
+    the same joined rows) — no second pass, no self-join. The share is
+    a double ratio of two integer cent sums, rounded to 6, so the
+    oracle matches bit-for-bit."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol_cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_num"),
+            F.sum(vol_cents).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Global top-k compiles to TakeOrderedAndProject (per-
+    partition heaps + driver merge of 20×P rows — never a full sort);
+    ties broken by custkey so the cutoff is deterministic. The quarter
+    filter lands on the orders scan and the R-flag filter on the
+    lineitem scan BEFORE the orderkey shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: the synthetic schema has no
+    l_shipmode, so l_linestatus stands in as the carrier class): for
+    late-shipped 1996 lines, how many came from critical- vs normal-
+    priority orders. One joined pass, two conditional counts — the
+    CASE pair is a single aggregate, not two filtered subqueries."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: percent of one month's revenue that came from
+    PROMO parts. Numerator and denominator from one conditional
+    aggregate over the month's lineitem⋈part rows; the month filter
+    cuts the fact side to ~1.5% before the partkey join (AQE turns it
+    into a broadcast here; at 100 TB part outgrows the threshold and
+    the same plan degrades gracefully to shuffle). 100×num/den on
+    integer cent sums, round(6)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))
+            ).alias("_num"),
+            F.sum(rev_cents).alias("_den"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("_num") / F.col("_den"), 6).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) whose one-quarter revenue equals
+    the maximum. The scalar-subquery max is a 1-row aggregate broadcast
+    back onto the per-supplier revenue table — no window over the whole
+    table, no second scan of lineitem (the revenue subplan feeds both
+    the max and the equality probe). Equality on exact-cents revenue
+    is safe cross-engine. The per-supplier aggregate (one row per
+    supplier — orders of magnitude below the fact table at any SF) is
+    checkpointed so BOTH consumers read it instead of re-scanning
+    lineitem; without it the max branch and the probe branch each
+    rebuild the whole subplan (two fact scans)."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue if small-quantity orders (below
+    20% of the part's average quantity) for one brand were dropped.
+    The textbook correlated per-part average is an aggregate-then-
+    self-join (two passes over the brand's lineitems); here a single
+    window over l_partkey computes the threshold in the SAME shuffle
+    that the filter then consumes — one pass, one exchange. The
+    threshold arithmetic (0.2 × cents/100/count) is mirrored verbatim
+    in the oracle."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#7"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        (
+            F.lit(0.2)
+            * (F.sum(qty_cents).over(w) / F.lit(100.0) / F.count(F.lit(1)).over(w))
+        ).alias("_thr"),
+    )
+    return joined.filter(F.col("l_quantity") < F.col("_thr")).agg(
+        (
+            _money_sum(F.col("l_extendedprice")) / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+def q_disjunctive_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from three OR'd (brand, size-range,
+    quantity-range) conjunct groups. The quantity disjunction stays on
+    the lineitem scan (Catalyst extracts `l_quantity BETWEEN 1 AND 35`
+    as a common pushable bound) and the brand/size disjunction on the
+    part scan; the cross-side pairing resolves after the partkey
+    join. Probes OR-of-ANDs predicate handling end to end."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming-shaped event analytics (beyond-reference)
 # --------------------------------------------------------------------------
@@ -2027,6 +2379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "suppliers_kept_waiting": q_suppliers_kept_waiting,
         "idle_rich_customers": q_idle_rich_customers,
+        "order_priority_check": q_order_priority_check,
+        "forecast_revenue": q_forecast_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "returned_items": q_returned_items,
+        "shipmode_priority": q_shipmode_priority,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
@@ -2470,6 +2832,147 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = sel.c_custkey
                                 AND o.o_totalprice > 400000)
             GROUP BY c_nationkey
+        """,
+        "order_priority_check": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "forecast_revenue": f"""
+            SELECT {_MONEY_SQL.format(x='l_extendedprice * l_discount')}
+                       AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 10
+        """,
+        "volume_shipping": f"""
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   {_MONEY_SQL.format(x='l.l_extendedprice * (1 - l.l_discount)')}
+                       AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+              AND nc.n_name IN ('NATION_1', 'NATION_2')
+              AND ns.n_name <> nc.n_name
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+        """,
+        "market_share": """
+            SELECT year(o.o_orderdate) AS o_year,
+                   round(
+                     sum(CASE WHEN ns.n_name = 'NATION_3'
+                         THEN cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
+                         ELSE 0 END)
+                     / sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)),
+                     6) AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE p.p_type = 'PROMO'
+              AND r.r_name = 'EUROPE'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY year(o.o_orderdate)
+        """,
+        "returned_items": f"""
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   {_MONEY_SQL.format(x='l.l_extendedprice * (1 - l.l_discount)')}
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "shipmode_priority": """
+            SELECT l.l_linestatus,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY l.l_linestatus
+        """,
+        "promo_revenue": """
+            SELECT round(
+                     100.0
+                     * sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
+                           ELSE 0 END)
+                     / sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)),
+                     6) AS promo_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       {_MONEY_SQL.format(x='l_extendedprice * (1 - l_discount)')}
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "small_qty_revenue": f"""
+            WITH w AS (
+                SELECT l.l_quantity, l.l_extendedprice,
+                       0.2 * (sum(cast(round(l.l_quantity * 100) as bigint))
+                                  OVER (PARTITION BY l.l_partkey)
+                              / 100.0
+                              / count(*) OVER (PARTITION BY l.l_partkey))
+                           AS thr
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#7'
+            )
+            SELECT {_MONEY_SQL.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+            FROM w WHERE l_quantity < thr
+        """,
+        "disjunctive_brand_revenue": f"""
+            SELECT {_MONEY_SQL.format(x='l.l_extendedprice * (1 - l.l_discount)')}
+                       AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 15)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 25)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+                   AND l.l_quantity BETWEEN 20 AND 35)
         """,
         "w1_rank_window": """
             SELECT s_suppkey, s_nationkey, s_acctbal,

@@ -67,6 +67,16 @@ HEADLINE = [
     "suppliers_kept_waiting",
     "sketch_kmv_distinct",
     "text_repetition",
+    "order_priority_check",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "shipmode_priority",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "disjunctive_brand_revenue",
 ]
 
 

@@ -250,3 +250,54 @@ def test_custdist_aggregates_before_join(spark, sf_dir):
     ]
     aggs = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
     assert joins and aggs and min(aggs) < min(joins), p
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    # Q6 shape is a pure pushdown probe: every predicate (date range,
+    # discount band, quantity cap) must reach the parquet scan.
+    p = _plan(spark, sf_dir, "forecast_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    li = [f for f in pushed if "l_shipdate" in f]
+    assert li, pushed
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in li[0], li[0]
+    # only the 4 referenced columns leave the scan
+    schemas = [s for s in re.findall(r"ReadSchema: (\S+)", p) if "l_quantity" in s]
+    assert schemas and schemas[0].count(":") == 4, schemas
+
+
+def test_order_priority_check_semi_join_single_scans(spark, sf_dir):
+    # Q4's EXISTS must run as ONE semi join: one orders scan (with the
+    # quarter filter pushed) and one lineitem scan, never an
+    # aggregate-distinct + inner-join expansion.
+    p = _plan(spark, sf_dir, "order_priority_check")
+    assert len(re.findall(r"Location: .*lineitem\.parquet", p)) == 1, p
+    assert len(re.findall(r"Location: .*orders\.parquet", p)) == 1, p
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("o_orderdate" in f and "GreaterThanOrEqual" in f for f in pushed)
+
+
+def test_returned_items_topk_no_full_sort(spark, sf_dir):
+    # Global top-20 compiles to TakeOrderedAndProject (partition heaps
+    # + driver merge), never a total-order Sort.
+    p = _plan(spark, sf_dir, "returned_items")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_small_qty_revenue_window_single_pass(spark, sf_dir):
+    # Q17's per-part threshold must come from a window over the SAME
+    # shuffle the filter consumes — one lineitem scan, no agg-then-
+    # self-join second pass.
+    p = _plan(spark, sf_dir, "small_qty_revenue")
+    assert len(re.findall(r"Location: .*lineitem\.parquet", p)) == 1, p
+    assert "Window" in p, p
+
+
+def test_disjunctive_brand_revenue_or_pushdown(spark, sf_dir):
+    # Q19 shape: Catalyst must split the OR-of-ANDs into per-side
+    # residuals — the quantity disjunction lands on the lineitem scan
+    # and the brand/size disjunction on the part scan.
+    p = _plan(spark, sf_dir, "disjunctive_brand_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("l_quantity" in f and "Or(" in f for f in pushed), pushed
+    assert any("p_brand" in f and "Or(" in f for f in pushed), pushed
