@@ -1367,6 +1367,43 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Per-user hourly grid with forward-filled last observation —
+    the gapfill/locf shape (operators/timeseries.gap_fill_ffill). Grid
+    rows come from each user's own bounds via sequence+explode (narrow
+    after a bounds aggregate), the fill from a per-user window; never
+    a global calendar cross-join or a global sort."""
+    from cancer_survival_etl_spark.operators.timeseries import gap_fill_ffill
+
+    e = _t(spark, sf_dir, "events")
+    return gap_fill_ffill(e, "user_id", "ts", "value", "1 hour")
+
+
+def q_events_scd2(spark, sf_dir):
+    """Type-2 SCD history build: collapse each user's event stream into
+    runs of equal event_type with (valid_from, valid_to] intervals —
+    gaps-and-islands over ONE per-user partitioning
+    (operators/timeseries.scd2_history)."""
+    from cancer_survival_etl_spark.operators.timeseries import scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_history(e, "user_id", "ts", "event_type", "event_id")
+
+
+def q_dataset_stratified(spark, sf_dir):
+    """Deterministic per-language downsampling by md5-prefix threshold
+    (llm/sampling.stratified_hash_sample) — row-stable under any
+    partitioning, so the sampled corpus is reproducible and the oracle
+    can replay the exact keep/drop decisions."""
+    from cancer_survival_etl_spark.llm.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "zh": 0.5, "fr": 1.0, "es": 0.75, "de": 0.1}
+    return stratified_hash_sample(d, "lang", fractions, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline extensions (north star: dedup / similarity / text analysis)
 # --------------------------------------------------------------------------
@@ -2394,6 +2431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_sessionize": q_events_sessionize,
+        "events_gap_fill": q_events_gap_fill,
+        "events_scd2": q_events_scd2,
+        "dataset_stratified": q_dataset_stratified,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -3201,6 +3241,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_sessions,
                    max(cnt) AS max_session_events
             FROM per_session GROUP BY user_id
+        """,
+        "events_gap_fill": """
+            WITH obs AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                       max(struct_pack(ts := ts, eid := event_id,
+                                       v := value)).v AS obs
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT user_id, min(date_trunc('hour', ts)) AS lo,
+                       max(date_trunc('hour', ts)) AS hi
+                FROM events GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS bucket_ts
+                FROM bounds
+            )
+            SELECT g.user_id, g.bucket_ts,
+                   last_value(o.obs IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value,
+                   o.obs IS NOT NULL AS is_observed
+            FROM grid g LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.bucket_ts = o.bucket_ts
+        """,
+        "events_scd2": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            runs AS (
+                SELECT user_id, ts, event_type,
+                       sum(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS _run
+                FROM flagged
+            ),
+            hist AS (
+                SELECT user_id, _run, min(event_type) AS event_type,
+                       min(ts) AS valid_from, count(*) AS n_events
+                FROM runs GROUP BY user_id, _run
+            )
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS valid_to,
+                   n_events
+            FROM hist
+        """,
+        "dataset_stratified": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substring(md5('' || cast(doc_id AS varchar)), 1, 4) <
+                  CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000'
+                            WHEN 'fr' THEN 'g'    WHEN 'es' THEN 'c000'
+                            WHEN 'de' THEN '1999' ELSE 'g' END
         """,
         "events_asof": """
             WITH l AS (

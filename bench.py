@@ -77,6 +77,9 @@ HEADLINE = [
     "top_supplier",
     "small_qty_revenue",
     "disjunctive_brand_revenue",
+    "events_gap_fill",
+    "events_scd2",
+    "dataset_stratified",
 ]
 
 

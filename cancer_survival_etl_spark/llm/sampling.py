@@ -115,3 +115,30 @@ def mixture_sample(
         4,
     )
     return out.filter(prefix < F.col("_thr")).drop("_thr")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic sibling of ``stratified_sample``: per-stratum
+    downsampling by md5-prefix threshold instead of a seeded Bernoulli
+    draw. A row's fate depends only on (salt, id) — row-stable under
+    repartitioning, backfills, and engine changes, so the sampled
+    corpus is REPRODUCIBLE (and oracle-checkable) rather than merely
+    statistically right. The per-stratum threshold is a string literal
+    picked by one CASE chain — a single codegen'd filter expression,
+    no shuffle, no RNG state.
+    """
+    thr = F.lit("g" if default_fraction >= 1.0 else _hex_threshold(default_fraction))
+    for k, v in fractions.items():
+        t = "g" if float(v) >= 1.0 else _hex_threshold(float(v))
+        thr = F.when(F.col(strata_col) == k, F.lit(t)).otherwise(thr)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    return df.filter(prefix < thr)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,121 @@ def finish_rollup(level: DataFrame) -> DataFrame:
             F.col("sum_cents") / F.lit(100.0) / F.col("n_events"), 6
         ).alias("avg_value"),
     ).drop("sum_cents")
+
+
+def gap_fill_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed grid and forward-fill
+    the holes (the TimescaleDB ``time_bucket_gapfill`` + ``locf``
+    shape): one row per ``key`` per ``step`` between that key's first
+    and last observation, carrying the most recent observed value.
+    Returns (key, bucket_ts, value, is_observed).
+
+    Within a bucket the surviving observation is the LAST by (ts,
+    tie-breaker id) — ``max_by`` over a struct, deterministic under any
+    partitioning. The grid is generated per key from its own bounds
+    (``sequence`` + ``explode`` — narrow after the bounds aggregate,
+    never a global calendar cross-join), so a key active for a day
+    costs 24 rows, not the corpus's full span. The forward fill is
+    ``last(value, ignorenulls)`` over the per-key window — state stays
+    inside one partition; no global scan order is assumed.
+
+    Scale: two shuffles (bounds agg + the grid⋈observed join; the fill
+    window reuses the join's (key) clustering at most one more
+    exchange). Grid size is Σ_key span/step — bounded by wall-clock
+    span, not event count, so a 100× event scale-up with the same time
+    span grows only the observed side.
+    """
+    bucket = F.date_trunc("hour" if step == "1 hour" else "day", F.col(ts_col))
+    observed = (
+        df.select(
+            key_col,
+            bucket.alias("bucket_ts"),
+            F.struct(ts_col, tiebreak_col, value_col).alias("_tv"),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(F.max("_tv").alias("_last"))
+        .select(key_col, "bucket_ts", F.col(f"_last.{value_col}").alias("_obs"))
+    )
+    grid = (
+        df.groupBy(key_col)
+        .agg(
+            F.min(bucket).alias("_lo"),
+            F.max(bucket).alias("_hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, [key_col, "bucket_ts"], "left")
+        .select(
+            key_col,
+            "bucket_ts",
+            F.last("_obs", ignorenulls=True).over(w).alias(value_col),
+            F.col("_obs").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Collapse an event stream into a type-2 slowly-changing-dimension
+    history: one row per RUN of consecutive equal ``attr`` values per
+    key — (key, attr, valid_from, valid_to, n_events), ``valid_to``
+    NULL on the current (open) row. The gaps-and-islands build every
+    warehouse dimension-load performs.
+
+    Three windows over ONE partitioning (key, ordered by ts then the
+    unique tie-breaker — a total order, so run boundaries are
+    deterministic): lag to flag changes, running sum of flags to number
+    the runs, then a per-run aggregate and a lead for the close-out
+    timestamp. One shuffle; run state never leaves its key partition.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    chg = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col))
+    ).cast("int")
+    runs = df.select(
+        key_col,
+        ts_col,
+        attr_col,
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_run"),
+    )
+    # every attr value in a run is equal by construction; min() is the
+    # engine-portable way to say "the value" (first() is order-dependent)
+    hist = runs.groupBy(key_col, "_run").agg(
+        F.min(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return hist.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

@@ -332,3 +332,77 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_gap_fill_ffill_grid_and_carry(spark):
+    from datetime import datetime
+
+    from cancer_survival_etl_spark.operators.timeseries import gap_fill_ffill
+
+    rows = [
+        # user 1: observations at hours 0 and 3 -> grid 0..3, carry 10.0
+        (1, datetime(2024, 1, 1, 0, 15), 1, 10.0),
+        (1, datetime(2024, 1, 1, 3, 5), 2, 40.0),
+        # same bucket twice: later ts wins
+        (1, datetime(2024, 1, 1, 3, 50), 3, 41.0),
+        # user 2: single observation -> one grid row
+        (2, datetime(2024, 1, 1, 7, 1), 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {
+        (r.user_id, r.bucket_ts.hour): (r.value, r.is_observed)
+        for r in gap_fill_ffill(df).collect()
+    }
+    assert out[(1, 0)] == (10.0, True)
+    assert out[(1, 1)] == (10.0, False)  # hole carried forward
+    assert out[(1, 2)] == (10.0, False)
+    assert out[(1, 3)] == (41.0, True)  # in-bucket last by ts
+    assert out[(2, 7)] == (7.0, True)
+    assert len(out) == 5
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    from datetime import datetime
+
+    from cancer_survival_etl_spark.operators.timeseries import scd2_history
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        (1, t(0), 1, "a"),
+        (1, t(1), 2, "a"),  # same run
+        (1, t(2), 3, "b"),  # change
+        (1, t(3), 4, "a"),  # a again = NEW run, not merged with the first
+        (2, t(0), 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    hist = sorted(
+        scd2_history(df).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    assert [(r.user_id, r.event_type, r.n_events) for r in hist] == [
+        (1, "a", 2), (1, "b", 1), (1, "a", 1), (2, "x", 1),
+    ]
+    # valid_to chains to the next run's valid_from; open row is NULL
+    assert hist[0].valid_to == hist[1].valid_from
+    assert hist[1].valid_to == hist[2].valid_from
+    assert hist[2].valid_to is None and hist[3].valid_to is None
+
+
+def test_stratified_hash_sample_deterministic_and_bounded(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.sampling import stratified_hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"en": 0.25, "de": 1.0}
+    a = stratified_hash_sample(d, "lang", fr, "doc_id", default_fraction=0.5)
+    b = stratified_hash_sample(
+        d.repartition(17), "lang", fr, "doc_id", default_fraction=0.5
+    )
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # row-stable under repartitioning
+    counts = {r.lang: r.n for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == base["de"]  # fraction 1.0 keeps everything
+    assert 0.1 < counts["en"] / base["en"] < 0.4  # ~0.25
+    for lang in set(base) - {"en", "de"}:  # default 0.5
+        assert 0.3 < counts.get(lang, 0) / base[lang] < 0.7
