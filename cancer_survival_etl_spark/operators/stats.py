@@ -121,3 +121,82 @@ def corr_exact(
             F.round(cov / F.sqrt(vx * vy), 6),
         ).alias("pearson_r"),
     )
+
+
+def regression_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    x_is_cents: bool = True,
+    y_is_cents: bool = True,
+    wide: bool = True,
+) -> DataFrame:
+    """Per-group simple OLS (slope, intercept, n) from the same exact
+    integer co-moments as ``corr_exact`` — the distributed regression
+    that reproduces at any parallelism. slope_scaled = (nΣxy − ΣxΣy) /
+    (nΣxx − Σx²) over the integer-scaled columns, then rescaled back
+    to natural units (×x-scale/y-scale); the intercept is mean_y −
+    slope·mean_x in natural units. Degenerate x-variance → NULLs.
+
+    One aggregate, map-side combined (5 numbers per group); no second
+    pass, no join. The final arithmetic is a fixed double expression
+    mirrored verbatim by the oracle, so results are bit-stable."""
+    g = list(group_cols)
+    xs = 100.0 if x_is_cents else 1.0
+    ys = 100.0 if y_is_cents else 1.0
+    x = _cents(F.col(x_col)) if x_is_cents else F.col(x_col).cast("long")
+    y = _cents(F.col(y_col)) if y_is_cents else F.col(y_col).cast("long")
+    m = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(x, wide)).alias("_sx"),
+        F.sum(_acc(y, wide)).alias("_sy"),
+        F.sum(_acc(x * x, wide)).alias("_sxx"),
+        F.sum(_acc(x * y, wide)).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, sxy = F.col("_sxx").cast("double"), F.col("_sxy").cast("double")
+    vx = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / vx * F.lit(xs) / F.lit(ys)
+    intercept = sy / n / F.lit(ys) - slope * (sx / n / F.lit(xs))
+    return m.select(
+        *g,
+        F.col("_n").alias("n_rows"),
+        F.when(vx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(vx > 0, F.round(intercept, 6)).alias("intercept"),
+    )
+
+
+def histogram_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Per-group equi-width histogram with FIXED bounds — (group, bin,
+    bin_lo, n). Values clamp into the edge bins (no out-of-range
+    bucket), the binning expression is pure arithmetic (identical in
+    any engine — no reliance on a width_bucket builtin's edge
+    conventions), and the whole thing is one map-side-combinable
+    aggregate over at most #groups × bins cells. Fixed bounds are what
+    make histograms MERGEABLE across partitions, days, and clusters —
+    data-dependent bounds would need a pre-pass and break cascade
+    merges."""
+    g = list(group_cols)
+    w = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w))
+    bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+    return (
+        df.select(*g, bin_id.alias("bin"))
+        .groupBy(*g, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *g,
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"),
+            "n",
+        )
+    )
