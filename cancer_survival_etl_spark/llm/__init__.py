@@ -29,7 +29,7 @@ from .curation import (
 )
 from .inference import classifier_filter, linear_score
 from .pipeline import curate_corpus
-from .sampling import hash_split, mixture_sample, stratified_sample
+from .sampling import hash_split, mixture_sample, stratified_hash_sample
 from .textstats import doc_fingerprint, language_guess, quality_score, token_stats
 
 __all__ = [
@@ -44,7 +44,7 @@ __all__ = [
     "linear_score",
     "mixture_sample",
     "pack_bins",
-    "stratified_sample",
+    "stratified_hash_sample",
     "tfidf_topk",
     "train_bpe_merges",
     "word_histogram",

@@ -131,6 +131,8 @@ def regression_by(
     x_is_cents: bool = True,
     y_is_cents: bool = True,
     wide: bool = True,
+    x_scale: int | None = None,
+    y_scale: int | None = None,
 ) -> DataFrame:
     """Per-group simple OLS (slope, intercept, n) from the same exact
     integer co-moments as ``corr_exact`` — the distributed regression
@@ -141,12 +143,34 @@ def regression_by(
 
     One aggregate, map-side combined (5 numbers per group); no second
     pass, no join. The final arithmetic is a fixed double expression
-    mirrored verbatim by the oracle, so results are bit-stable."""
+    mirrored verbatim by the oracle, so results are bit-stable.
+
+    The co-moments are EXACT integer sums, so every input column must
+    be integer-scaled: cents columns via ``x_is_cents``/``y_is_cents``
+    (×100), other fractional columns via an explicit ``x_scale``/
+    ``y_scale`` (value is multiplied by the scale, rounded to long,
+    and the slope/intercept are rescaled back — exact when the column
+    has ≤ log10(scale) fractional digits). With neither, the column is
+    cast straight to long and fractional digits are TRUNCATED —
+    integers-only, same contract as ``corr_exact`` (but unlike the
+    correlation, truncation here changes slope/intercept, so pass a
+    scale for any fractional column)."""
     g = list(group_cols)
-    xs = 100.0 if x_is_cents else 1.0
-    ys = 100.0 if y_is_cents else 1.0
-    x = _cents(F.col(x_col)) if x_is_cents else F.col(x_col).cast("long")
-    y = _cents(F.col(y_col)) if y_is_cents else F.col(y_col).cast("long")
+
+    def scaled(col_name, is_cents, scale):
+        if is_cents and scale is not None:
+            raise ValueError("pass either *_is_cents or *_scale, not both")
+        if is_cents:
+            return _cents(F.col(col_name)), 100.0
+        if scale is not None:
+            return (
+                F.round(F.col(col_name) * F.lit(scale)).cast("long"),
+                float(scale),
+            )
+        return F.col(col_name).cast("long"), 1.0
+
+    x, xs = scaled(x_col, x_is_cents, x_scale)
+    y, ys = scaled(y_col, y_is_cents, y_scale)
     m = df.groupBy(*g).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(_acc(x, wide)).alias("_sx"),
@@ -184,11 +208,20 @@ def histogram_by(
     aggregate over at most #groups × bins cells. Fixed bounds are what
     make histograms MERGEABLE across partitions, days, and clusters —
     data-dependent bounds would need a pre-pass and break cascade
-    merges."""
+    merges.
+
+    NULL values land in a NULL-bin row (bin IS NULL, bin_lo NULL) —
+    the missing-value count rides along instead of being silently
+    dropped; filter ``bin IS NOT NULL`` if you only want the grid."""
     g = list(group_cols)
     w = (hi - lo) / bins
     raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w))
-    bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+    # the isNotNull guard matters: least/greatest SKIP nulls in Spark,
+    # so without it a NULL value would silently clamp into bin 0
+    bin_id = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)),
+    ).cast("long")
     return (
         df.select(*g, bin_id.alias("bin"))
         .groupBy(*g, "bin")

@@ -115,8 +115,25 @@ def gap_fill_ffill(
     exchange). Grid size is Σ_key span/step — bounded by wall-clock
     span, not event count, so a 100× event scale-up with the same time
     span grows only the observed side.
+
+    ``step`` must be a single whole unit ('1 minute', '1 hour',
+    '1 day', '1 week') — the observed-side bucket is ``date_trunc`` of
+    the SAME unit the grid steps by; a fractional step (e.g.
+    '15 minutes') would need a modular bucket expression and is
+    rejected rather than silently day-truncated.
     """
-    bucket = F.date_trunc("hour" if step == "1 hour" else "day", F.col(ts_col))
+    step_trunc = {
+        "1 minute": "minute",
+        "1 hour": "hour",
+        "1 day": "day",
+        "1 week": "week",
+    }
+    if step not in step_trunc:
+        raise ValueError(
+            f"gap_fill_ffill: unsupported step {step!r}; "
+            f"expected one of {sorted(step_trunc)}"
+        )
+    bucket = F.date_trunc(step_trunc[step], F.col(ts_col))
     observed = (
         df.select(
             key_col,
@@ -195,7 +212,11 @@ def scd2_history(
         F.min(ts_col).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    # _run as tie-breaker: two runs can share valid_from when an attr
+    # change lands on an identical timestamp (run detection broke the
+    # tie by the unique tiebreak_col, so _run preserves true event
+    # order); without it the lead() assignment is nondeterministic.
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "_run")
     return hist.select(
         key_col,
         attr_col,

@@ -24,19 +24,20 @@ def excel_sheet_to_df(
 ) -> DataFrame:
     """Read one sheet of a workbook into a Spark DataFrame.
 
-    Raises a clear error if no pandas Excel engine (openpyxl/xlrd) is
-    installed — tests exercise the pipeline through pandas-DataFrame
-    fixtures instead, via :func:`pandas_to_df`.
+    Prefers ``pd.read_excel`` (full-fidelity, when an engine such as
+    openpyxl is installed); otherwise falls back to the vendored
+    stdlib reader (:mod:`.xlsx` — zipfile + SpreadsheetML XML), which
+    covers the grid-of-strings/numbers/blanks subset the reference's
+    workbooks use.
     """
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet_name, skiprows=skiprows)
-    except ImportError as exc:  # no openpyxl in this environment
-        raise NotImplementedError(
-            "No pandas Excel engine available; feed the pipeline a pandas "
-            "DataFrame fixture via pandas_to_df instead"
-        ) from exc
+    except ImportError:  # no openpyxl in this environment
+        from .xlsx import read_xlsx_sheet
+
+        pdf = read_xlsx_sheet(path, sheet_name, skiprows=skiprows)
     return pandas_to_df(spark, pdf, schema=schema)
 
 

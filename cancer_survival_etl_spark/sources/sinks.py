@@ -1,9 +1,20 @@
 """Table sinks (SURVEY §2.1 S9-S11).
 
 The reference's truncate → bulk-append → rollback-on-failure dance
-(reference: src/utils/database_util.py:9-61) collapses to Spark's atomic
-per-table overwrite. The audit ``_TIMESTAMP`` (DDL default,
-docs/create_index.sql:19) is stamped at write time.
+(reference: src/utils/database_util.py:9-61) maps onto a staging-then-
+swap overwrite here: Spark's plain ``mode("overwrite")`` on an existing
+table/path DELETES the old data before computing the new (a mid-write
+failure leaves the destination dropped or empty — verified, round-2),
+so both sinks first materialize the full result into a staging
+table/directory and only then swap it in with metadata/rename ops.
+A compute or write failure therefore leaves the previous contents
+readable — the reference's ROLLBACK contract. (The swap itself is two
+catalog/rename steps, not one atomic op; a process crash exactly
+between them can leave the new data under the staging name, never
+both-halves-lost. For stronger guarantees use a lakehouse format.)
+
+The audit ``_TIMESTAMP`` (DDL default, docs/create_index.sql:19) is
+stamped at write time.
 """
 
 from __future__ import annotations
@@ -30,21 +41,57 @@ def overwrite_table(
     scan partition-pruned; for big fact tables partition by a low-
     cardinality column and rely on AQE for the rest.
     """
-    writer = stamp_audit(df).write.mode("overwrite").format(fmt)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(path)
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dest.getFileSystem(hconf)
+
+    def write_to(target: str) -> None:
+        writer = stamp_audit(df).write.mode("overwrite").format(fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(target)
+
+    if not fs.exists(dest):
+        write_to(path)
+        return
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__staging")
+    fs.delete(staging, True)
+    try:
+        write_to(staging.toString())
+    except Exception:
+        fs.delete(staging, True)
+        raise
+    fs.delete(dest, True)
+    fs.rename(staging, dest)
 
 
 def overwrite_as_table(df: DataFrame, table: str, bucket_by: tuple[int, list[str]] | None = None) -> None:
     """saveAsTable variant; ``bucket_by=(n, cols)`` co-locates later joins
     and aggregations on ``cols`` without a shuffle (hive-style bucketing).
     """
-    writer = stamp_audit(df).write.mode("overwrite")
-    if bucket_by:
-        n, cols = bucket_by
-        writer = writer.bucketBy(n, *cols).sortBy(*cols)
-    writer.saveAsTable(table)
+    spark = df.sparkSession
+
+    def write_to(target: str) -> None:
+        writer = stamp_audit(df).write.mode("overwrite")
+        if bucket_by:
+            n, cols = bucket_by
+            writer = writer.bucketBy(n, *cols).sortBy(*cols)
+        writer.saveAsTable(target)
+
+    if not spark.catalog.tableExists(table):
+        write_to(table)
+        return
+    staging = f"{table}__staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    try:
+        write_to(staging)
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        raise
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
 
 
 def merge_upsert(

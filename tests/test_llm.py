@@ -343,15 +343,17 @@ def test_hash_split_stable_and_proportional(spark):
     assert c != a
 
 
-def test_stratified_sample_fractions(spark, sf_dir):
-    from cancer_survival_etl_spark.llm.sampling import stratified_sample
+def test_stratified_hash_sample_fractions(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.sampling import stratified_hash_sample
     from cancer_survival_etl_spark.sources.catalog import load_table
 
     d = load_table(spark, sf_dir, "documents")
     totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
     langs = sorted(totals)
     fractions = {langs[0]: 0.2, langs[1]: 1.0}  # others default to 0
-    out = stratified_sample(d, "lang", fractions)
+    out = stratified_hash_sample(
+        d, "lang", fractions, "doc_id", default_fraction=0.0
+    )
     got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
     assert set(got) <= {langs[0], langs[1]}
     assert got.get(langs[1], 0) == totals[langs[1]]          # keep-all stratum

@@ -87,21 +87,147 @@ def test_list_and_route_files(tmp_path):
     assert [os.path.basename(s) for s in skipped] == ["other.xlsx"]
 
 
-def test_excel_shim_without_engine(spark, tmp_path):
-    """Without an Excel engine the shim must fail with the documented
-    NotImplementedError, not an obscure pandas ImportError."""
+def test_excel_shim_rejects_non_workbook(spark, tmp_path):
+    """A non-zip payload must fail loudly (BadZipFile/ValueError), not
+    silently produce an empty frame."""
+    import zipfile
+
     from cancer_survival_etl_spark.sources.excel import excel_sheet_to_df
 
     fake = tmp_path / "book.xlsx"
     fake.write_bytes(b"not really a workbook")
-    try:
-        import openpyxl  # noqa: F401
-
-        pytest.skip("openpyxl available; shim exercises the real path")
-    except ImportError:
-        pass
-    with pytest.raises((NotImplementedError, ValueError)):
+    with pytest.raises((zipfile.BadZipFile, ValueError)):
         excel_sheet_to_df(spark, str(fake), "Table 5", skiprows=10)
+
+
+def _pdf_to_grid(pdf, junk_rows: int) -> list[list]:
+    """Fixture pandas frame -> xlsx grid with N junk header rows (the
+    publication-workbook shape the reference's skiprows skip)."""
+    import numpy as np
+
+    def plain(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    junk = [[f"Publication note {i}"] if i % 3 else [] for i in range(junk_rows)]
+    header = [str(c) for c in pdf.columns]
+    data = [[plain(v) for v in row] for row in pdf.itertuples(index=False)]
+    return junk + [header] + data
+
+
+def test_xlsx_roundtrip_types_and_skiprows(tmp_path):
+    """write_xlsx -> read_xlsx_sheet reproduces strings, ints, floats,
+    NaN-for-blank, and honors skiprows over blank junk rows (blank
+    physical rows still count, as in pd.read_excel)."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.sources.xlsx import (
+        read_xlsx_sheet,
+        write_xlsx,
+    )
+
+    grid = [
+        ["junk title"],
+        [],  # blank physical row — must still count toward skiprows
+        ["more junk"],
+        ["name", "n", "score", "flag"],
+        ["alpha", 1, 1.5, True],
+        ["beta", 2, None, False],
+        ["gamma (é&<>)", 3, 2.25, True],
+    ]
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, {"Table X": grid, "Other": [["a"], [1]]})
+    pdf = read_xlsx_sheet(path, "Table X", skiprows=3)
+    assert list(pdf.columns) == ["name", "n", "score", "flag"]
+    assert pdf["name"].tolist() == ["alpha", "beta", "gamma (é&<>)"]
+    assert pdf["n"].dtype == "int64" and pdf["n"].tolist() == [1, 2, 3]
+    assert pdf["score"].dtype == "float64"
+    assert pdf["score"][0] == 1.5 and np.isnan(pdf["score"][1])
+    assert pdf["flag"].tolist() == [True, False, True]
+    with pytest.raises(KeyError):
+        read_xlsx_sheet(path, "Missing")
+
+
+def test_xlsx_end_to_end_pipeline(spark, tmp_path):
+    """The verdict-#5 closure: actual .xlsx fixture files -> default
+    Excel loader (vendored stdlib reader) -> recipes -> real overwrite
+    sink, matching the DataFrame-fixture golden path, with the
+    snapshot date parsed from the workbook's Notes sheet like the
+    reference does."""
+    import pandas as pd
+
+    from cancer_survival_etl_spark.functions.text import snapshot_date_parse
+    from cancer_survival_etl_spark.pipeline import run_pipeline
+    from cancer_survival_etl_spark.plans.process_adult4 import process_adult4
+    from cancer_survival_etl_spark.plans.process_index import process_index
+    from cancer_survival_etl_spark.sources.xlsx import (
+        read_xlsx_rows,
+        write_xlsx,
+    )
+    from tests.fixtures import TARGETS, adult_sheet, index_sheet
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_xlsx(
+        str(data_dir / "Index_2023.xlsx"),
+        {"Table 5": _pdf_to_grid(index_sheet(), junk_rows=10)},
+    )
+    notes_grid = [[] for _ in range(10)] + [
+        ["Survival estimates as at March 2023 (final)"]
+    ]
+    write_xlsx(
+        str(data_dir / "adult_2016_2020.xlsx"),
+        {
+            "Table 4": _pdf_to_grid(adult_sheet(), junk_rows=9),
+            "Notes and definitions": notes_grid,
+        },
+    )
+
+    # snapshot date from the Notes sheet, as the reference parses it
+    first_cell = next(
+        cells[min(cells)]
+        for rownum, cells in read_xlsx_rows(
+            str(data_dir / "adult_2016_2020.xlsx"), "Notes and definitions"
+        )
+        if rownum > 10
+    )
+    snapshot = snapshot_date_parse(first_cell)
+    assert snapshot == "March 2023"
+
+    sunk: dict[str, int] = {}
+    out = run_pipeline(
+        spark,
+        str(data_dir),
+        TARGETS,
+        sink=lambda df, table: sunk.setdefault(table, df.count()),
+        snapshot_date=snapshot,
+    )
+    assert set(out) == {"INDEX", "ADULT_4"}
+    assert sunk["INDEX"] > 0 and sunk["ADULT_4"] > 0
+
+    def canon(df):
+        pdf = df.toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+    golden_index = process_index(
+        spark.createDataFrame(index_sheet()), TARGETS
+    )
+    golden_adult = process_adult4(
+        spark.createDataFrame(adult_sheet()),
+        TARGETS,
+        diagnosis_window="2016-2020",
+        snapshot_date="March 2023",
+    )
+    pd.testing.assert_frame_equal(
+        canon(out["INDEX"]), canon(golden_index), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        canon(out["ADULT_4"]), canon(golden_adult), check_dtype=False
+    )
 
 
 def test_read_source_csv_json_roundtrip(spark, sf_dir, tmp_path):
@@ -203,3 +329,67 @@ def test_custom_datasource_partitioned_and_deterministic(spark):
 
     day = cascading_rollup(df, levels=("1 day",))[0]
     assert day.agg(F.sum("n_events")).collect()[0][0] == 1000
+
+
+def test_overwrite_as_table_failure_keeps_previous(spark):
+    """Reference rollback contract (database_util.py:50-56): a failed
+    replace leaves the previous table readable. Plain Spark
+    mode(overwrite).saveAsTable drops the old table BEFORE computing
+    the new one — the staging-then-swap sink must not."""
+    from cancer_survival_etl_spark.sources.sinks import overwrite_as_table
+
+    spark.sql("DROP TABLE IF EXISTS t_atomic")
+    spark.sql("DROP TABLE IF EXISTS t_atomic__staging")
+    v1 = spark.range(5).select(F.col("id"), F.lit("v1").alias("tag"))
+    overwrite_as_table(v1, "t_atomic")
+    assert spark.table("t_atomic").count() == 5
+
+    poison = spark.range(5).select(
+        F.col("id"),
+        F.expr(
+            "CASE WHEN id = 3 THEN raise_error('poison') ELSE 'v2' END"
+        ).alias("tag"),
+    )
+    with pytest.raises(Exception, match="poison"):
+        overwrite_as_table(poison, "t_atomic")
+    # previous contents intact, no staging leftovers
+    assert spark.table("t_atomic").count() == 5
+    assert set(
+        r.tag for r in spark.table("t_atomic").select("tag").collect()
+    ) == {"v1"}
+    assert not spark.catalog.tableExists("t_atomic__staging")
+
+    # a successful replace still goes through (staging swapped in)
+    v2 = spark.range(3).select(F.col("id"), F.lit("v2").alias("tag"))
+    overwrite_as_table(v2, "t_atomic")
+    assert spark.table("t_atomic").count() == 3
+    assert not spark.catalog.tableExists("t_atomic__staging")
+    spark.sql("DROP TABLE t_atomic")
+
+
+def test_overwrite_table_path_failure_keeps_previous(spark, tmp_path):
+    """Path-variant of the rollback contract: a poisoned overwrite
+    leaves the previous parquet directory readable."""
+    from cancer_survival_etl_spark.sources.sinks import overwrite_table
+
+    path = str(tmp_path / "t_atomic_path")
+    v1 = spark.range(4).select(F.col("id"), F.lit("v1").alias("tag"))
+    overwrite_table(v1, path)
+    assert spark.read.parquet(path).count() == 4
+
+    poison = spark.range(4).select(
+        F.col("id"),
+        F.expr(
+            "CASE WHEN id = 2 THEN raise_error('poison') ELSE 'v2' END"
+        ).alias("tag"),
+    )
+    with pytest.raises(Exception, match="poison"):
+        overwrite_table(poison, path)
+    got = spark.read.parquet(path)
+    assert got.count() == 4
+    assert set(r.tag for r in got.select("tag").collect()) == {"v1"}
+    assert not os.path.exists(path + "__staging")
+
+    v2 = spark.range(2).select(F.col("id"), F.lit("v2").alias("tag"))
+    overwrite_table(v2, path)
+    assert spark.read.parquet(path).count() == 2

@@ -406,3 +406,101 @@ def test_stratified_hash_sample_deterministic_and_bounded(spark, sf_dir):
     assert 0.1 < counts["en"] / base["en"] < 0.4  # ~0.25
     for lang in set(base) - {"en", "de"}:  # default 0.5
         assert 0.3 < counts.get(lang, 0) / base[lang] < 0.7
+
+
+def test_gap_fill_rejects_fractional_step(spark):
+    import pytest
+
+    from cancer_survival_etl_spark.operators.timeseries import gap_fill_ffill
+
+    df = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 1, 1.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    with pytest.raises(ValueError, match="15 minutes"):
+        gap_fill_ffill(df, step="15 minutes")
+    # supported single-unit steps pass validation
+    gap_fill_ffill(df, step="1 day").collect()
+
+
+def test_scd2_same_timestamp_change_deterministic(spark):
+    """Two runs sharing valid_from (attr change at an identical ts):
+    the close-out lead orders by (valid_from, _run), so the earlier
+    run (by event order) closes at the shared timestamp and the later
+    one stays open — deterministically, matching the oracle."""
+    from datetime import datetime
+
+    from cancer_survival_etl_spark.operators.timeseries import scd2_history
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "a"), (1, t0, 2, "b")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    for _ in range(3):  # stable across repeated runs
+        hist = sorted(scd2_history(df).collect(), key=lambda r: r.event_type)
+        assert [(r.event_type, r.valid_to) for r in hist] == [
+            ("a", t0),
+            ("b", None),
+        ]
+
+
+def test_funnel_stages_strict_order(spark):
+    from datetime import datetime
+
+    from cancer_survival_etl_spark.operators.timeseries import funnel_stages
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        # user 1: full funnel in order
+        (1, t(0), 1, "view"), (1, t(1), 2, "click"), (1, t(2), 3, "purchase"),
+        # user 2: purchase BEFORE click -> purchase stage not reached
+        (2, t(0), 4, "view"), (2, t(1), 5, "purchase"), (2, t(2), 6, "click"),
+        # user 3: click with NO prior view -> nothing past stage 1
+        (3, t(0), 7, "click"), (3, t(1), 8, "view"),
+        # user 4: click at the SAME ts as view -> strictly-after fails
+        (4, t(0), 9, "view"), (4, t(0), 10, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {r.user_id: r for r in funnel_stages(df).collect()}
+    assert (out[1].t_view, out[1].t_click, out[1].t_purchase) == (t(0), t(1), t(2))
+    assert out[2].t_click == t(2) and out[2].t_purchase is None
+    assert out[3].t_view == t(1) and out[3].t_click is None
+    assert out[4].t_view == t(0) and out[4].t_click is None
+
+
+def test_regression_by_scale_factor_exact(spark):
+    """ADVICE round 1: fractional y without a scale silently truncates
+    (slope 2.0); with y_scale=10 the fit is exact (slope 2.05)."""
+    from cancer_survival_etl_spark.operators.stats import regression_by
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.1)], ["k", "x", "y"]
+    )
+    row = regression_by(
+        df, ["k"], "x", "y", x_is_cents=False, y_is_cents=False, y_scale=10
+    ).collect()[0]
+    assert row.slope == 2.05
+    assert row.intercept == round(4.033333333333333 - 2.05 * 2.0, 6)
+    # degenerate x variance -> NULL slope/intercept, n_rows intact
+    deg = spark.createDataFrame([("g", 1.0, 1.0), ("g", 1.0, 2.0)], ["k", "x", "y"])
+    drow = regression_by(
+        deg, ["k"], "x", "y", x_is_cents=False, y_is_cents=False
+    ).collect()[0]
+    assert drow.slope is None and drow.intercept is None and drow.n_rows == 2
+
+
+def test_histogram_by_clamp_and_null_bin(spark):
+    from cancer_survival_etl_spark.operators.stats import histogram_by
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.0), ("g", 9.9), ("g", 25.0), ("g", 999.0),
+         ("g", None)],
+        ["k", "v"],
+    )
+    out = {
+        (r.bin): (r.bin_lo, r.n)
+        for r in histogram_by(df, ["k"], "v", lo=0.0, hi=100.0, bins=10).collect()
+    }
+    assert out[0] == (0.0, 3)   # -5 clamps into bin 0; 0.0 and 9.9 land there
+    assert out[2] == (20.0, 1)
+    assert out[9] == (90.0, 1)  # 999 clamps into the top bin
+    assert out[None] == (None, 1)  # NULL value -> NULL-bin row, documented
