@@ -1327,6 +1327,208 @@ def q_disjunctive_brand_revenue(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp table — the supply relation
+    is distilled from lineitem): for STANDARD size-15 parts, the
+    EUROPE supplier(s) offering the minimum cost. The correlated
+    min-per-part subquery is a window min over the SAME l_partkey
+    exchange the equality filter consumes — one shuffle, not
+    aggregate-then-self-join. Part filter (3 rows) and the
+    region-pruned supplier dim are broadcast into the supply aggregate
+    before the window, so the windowed relation is already minimal."""
+    supply = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("_cost_cents")
+        )
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(r, n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "_cost_cents")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("_mc", F.min("_cost_cents").over(w))
+        .filter(F.col("_cost_cents") == F.col("_mc"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("_cost_cents") / F.lit(100.0)).alias("cost"),
+        )
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: supply cost proxied as 60% of
+    p_retailprice — no partsupp): profit on 'gear' parts by supplier
+    nation and order year. Profit rides as one integer-cents
+    expression (revenue cents − cost cents × qty) through a single
+    aggregate; part/supplier/nation broadcast, the orders join is the
+    only fact-fact shuffle and AQE owns its strategy at scale."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount_cents = (
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        - F.round(F.col("p_retailprice") * 60).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(amount_cents) / F.lit(100.0)).alias("profit")
+        )
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose inventory value (from the three
+    focus nations' suppliers) exceeds 0.2% of the total. The global
+    threshold is a 1-row aggregate of the SAME checkpointed
+    per-part value table, broadcast back for the filter — the value
+    subplan runs once, not twice (the naive formulation re-scans the
+    fact for the scalar subquery)."""
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_19", "NATION_20", "NATION_13")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("_vc")
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = v.agg(F.sum("_vc").alias("_tc"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(
+            F.col("_vc").cast("double")
+            > F.col("_tc").cast("double") * F.lit(0.002)
+        )
+        .select("l_partkey", (F.col("_vc") / F.lit(100.0)).alias("value"))
+    )
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) for non-Brand#1 parts in five sizes, excluding negative-
+    balance ('complaint') suppliers. The part↔supplier relation is
+    distilled once from lineitem (distinct pair — the only wide
+    shuffle); part filter broadcast; the exclusion is a broadcast
+    ANTI join, never a NOT IN subquery rescan."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 15, 25, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in two focus nations who shipped
+    more than 30 units of some STANDARD part during 1996 — a nested
+    semi-join chain (part semi→ lineitem agg → semi→ supplier), each
+    stage shrinking before the next join; no distinct-then-IN
+    materialization on the driver."""
+    std = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    heavy = (
+        li.join(F.broadcast(std), li.l_partkey == std.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_19", "NATION_20")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return s.join(
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 # --------------------------------------------------------------------------
 # Streaming-shaped event analytics (beyond-reference)
 # --------------------------------------------------------------------------
@@ -2625,6 +2827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "supplier_part_counts": q_supplier_part_counts,
+        "excess_suppliers": q_excess_suppliers,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -3025,6 +3232,83 @@ def oracle_sql() -> dict[str, str]:
                    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
             FROM ranked WHERE rn <= 256
             GROUP BY o_orderstatus
+        """,
+        "min_cost_supplier": """
+            WITH supply AS (
+                SELECT l_partkey, l_suppkey,
+                       min(cast(round(l_extendedprice * 100) as bigint))
+                           AS cost_cents
+                FROM lineitem GROUP BY 1, 2
+            ),
+            eligible AS (
+                SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name,
+                       sp.cost_cents
+                FROM supply sp
+                JOIN part p ON p.p_partkey = sp.l_partkey
+                JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'
+                  AND p.p_size = 15 AND p.p_type = 'STANDARD'
+            )
+            SELECT p_partkey, s_name, s_acctbal, n_name,
+                   cost_cents / 100.0 AS cost
+            FROM eligible
+            QUALIFY cost_cents = min(cost_cents) OVER (PARTITION BY p_partkey)
+        """,
+        "product_profit": """
+            SELECT n.n_name, year(o.o_orderdate) AS o_year,
+                   sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) as bigint)
+                       - cast(round(p.p_retailprice * 60) as bigint)
+                         * cast(l.l_quantity as bigint)) / 100.0 AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%gear%'
+            GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        "important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(cast(round(l_extendedprice * 100) as bigint)) AS vc
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name IN ('NATION_19', 'NATION_20', 'NATION_13')
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, vc / 100.0 AS value
+            FROM v
+            WHERE vc::DOUBLE > (SELECT sum(vc) FROM v)::DOUBLE * 0.002
+        """,
+        "supplier_part_counts": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT ps.l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part p ON p.p_partkey = ps.l_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND p.p_size IN (1, 5, 15, 25, 35)
+              AND ps.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "excess_suppliers": """
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name IN ('NATION_19', 'NATION_20')
+              AND s.s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem l
+                  WHERE l.l_partkey IN (
+                        SELECT p_partkey FROM part
+                        WHERE p_type = 'STANDARD')
+                    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING sum(l_quantity) > 30)
         """,
         "custdist": """
             WITH cnt AS (

@@ -89,6 +89,11 @@ HEADLINE = [
     "top_supplier",
     "small_qty_revenue",
     "disjunctive_brand_revenue",
+    "min_cost_supplier",
+    "product_profit",
+    "important_parts",
+    "supplier_part_counts",
+    "excess_suppliers",
     "events_gap_fill",
     "events_scd2",
     "dataset_stratified",

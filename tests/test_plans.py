@@ -301,3 +301,28 @@ def test_disjunctive_brand_revenue_or_pushdown(spark, sf_dir):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
     assert any("l_quantity" in f and "Or(" in f for f in pushed), pushed
     assert any("p_brand" in f and "Or(" in f for f in pushed), pushed
+
+
+def test_min_cost_supplier_single_window_exchange(spark, sf_dir):
+    # Q2 shape: the correlated per-part min must be a Window over the
+    # single supply aggregate — one lineitem scan, no aggregate-then-
+    # self-join, dims broadcast.
+    p = _plan(spark, sf_dir, "min_cost_supplier")
+    assert len(re.findall(r"Location: .*lineitem\.parquet", p)) == 1, p
+    assert "Window" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_excess_suppliers_semi_joins(spark, sf_dir):
+    # Q20 shape: both stages must be semi joins (no distinct-list
+    # materialization) and the part/nation prunes broadcast.
+    p = _plan(spark, sf_dir, "excess_suppliers")
+    assert "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_product_profit_broadcast_dims(spark, sf_dir):
+    # Q9 shape: part/supplier/nation all broadcast; the only non-
+    # broadcast join may be lineitem⋈orders (AQE's call at scale).
+    p = _plan(spark, sf_dir, "product_profit")
+    assert p.count("BroadcastHashJoin") >= 2, p
