@@ -1327,6 +1327,28 @@ def q_disjunctive_brand_revenue(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Span-level duplicate detection (Lee et al. substring-dedup
+    granularity): maximal runs of 8-token shingles shared by ≥2 docs.
+    Spark hashes shingles to 8-byte keys for the posting shuffle; the
+    oracle joins on the raw gram strings — identical results absent a
+    64-bit collision."""
+    from cancer_survival_etl_spark.llm.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, "text", "doc_id", k=8, min_docs=2)
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column (per-dimension
+    min/max codes) — long-form (vec_id, dim, code) output so every
+    code is oracle-checked scalar-by-scalar."""
+    from cancer_survival_etl_spark.llm.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return quantize_embeddings(e)
+
+
 def q_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (adapted: no partsupp table — the supply relation
     is distilled from lineitem): for STANDARD size-15 parts, the
@@ -2827,6 +2849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "dedup_spans": q_dedup_spans,
+        "embedding_quantize": q_embedding_quantize,
         "min_cost_supplier": q_min_cost_supplier,
         "product_profit": q_product_profit,
         "important_parts": q_important_parts,
@@ -3232,6 +3256,57 @@ def oracle_sql() -> dict[str, str]:
                    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
             FROM ranked WHERE rn <= 256
             GROUP BY o_orderstatus
+        """,
+        "dedup_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, i - 1 AS pos,
+                       concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                 t[i+4], t[i+5], t[i+6], t[i+7]) AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(t) - 7, 0)))
+                         AS u(i)
+            ),
+            dup AS (
+                SELECT g FROM (
+                    SELECT g, count(DISTINCT doc_id) AS nd
+                    FROM sh GROUP BY g
+                ) x WHERE nd >= 2
+            ),
+            marked AS (
+                SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (g)
+            ),
+            runs AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+                FROM marked
+            )
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 7 AS span_end,
+                   count(*) AS n_shingles
+            FROM runs GROUP BY doc_id, grp
+        """,
+        "embedding_quantize": """
+            WITH flat AS (
+                SELECT vec_id, u.i - 1 AS dim,
+                       (embedding::DOUBLE[])[u.i] AS v
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS u(i)
+                WHERE vec_id < 100
+            ),
+            stats AS (
+                SELECT dim, min(v) AS lo, max(v) AS hi
+                FROM flat GROUP BY dim
+            )
+            SELECT f.vec_id, f.dim,
+                   CASE WHEN s.hi > s.lo
+                        THEN CAST(round((f.v - s.lo) / (s.hi - s.lo) * 254)
+                                  AS INT) - 127
+                        ELSE 0 END AS code
+            FROM flat f JOIN stats s ON f.dim = s.dim
         """,
         "min_cost_supplier": """
             WITH supply AS (

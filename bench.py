@@ -89,6 +89,8 @@ HEADLINE = [
     "top_supplier",
     "small_qty_revenue",
     "disjunctive_brand_revenue",
+    "dedup_spans",
+    "embedding_quantize",
     "min_cost_supplier",
     "product_profit",
     "important_parts",

@@ -16,7 +16,7 @@ runs, partitionings, and engines (DuckDB md5 matches for oracles).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cancer_survival_etl_spark.operators.partitioning import fan_out
@@ -597,4 +597,77 @@ def dedup_clusters(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Span-level (substring) duplicate detection: maximal runs of
+    k-token shingles that occur in ≥ ``min_docs`` distinct documents —
+    the train-set dedup granularity of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", public arXiv
+    2107.06499): document-level dedup misses the boilerplate paragraph
+    pasted into thousands of otherwise-unique pages; span-level finds
+    exactly the repeated region, so the cut can excise it (or drop the
+    doc) without discarding unique text.
+
+    Plan (all built-ins): posexplode k-shingles → distinct-doc count
+    per shingle (one groupBy on the hashed shingle) → keep duplicated
+    shingles → gaps-and-islands merge of consecutive duplicated
+    positions per doc (pos − row_number() island key, one window over
+    the doc partition). Returns (id, span_start, span_end, n_shingles)
+    with token positions, span_end inclusive of the shingle tail.
+
+    Scale: the shingle posting table is the only wide object — with
+    ``hash_shingles`` each posting is (8-byte hash, id, pos); the
+    duplicated-shingle filter drops the unique tail (the overwhelming
+    majority of a natural corpus) BEFORE the window, so the island
+    merge touches only rows that are already evidence of duplication.
+    The paper's suffix-array formulation is a global sort the cluster
+    can't partition cleanly; the shingle formulation is
+    embarrassingly parallel and finds every duplicated span of length
+    ≥ k (shorter overlaps are below the resolution — the standard
+    recall/size trade).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - (k - 1)
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — docs shorter than
+    # k tokens must produce an empty shingle array, not bogus grams
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = fan_out(df).select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_g")
+    )
+    if hash_shingles:
+        base = base.withColumn("_g", F.xxhash64("_g"))
+    dup = (
+        base.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    marked = base.join(dup, "_g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = marked.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("_grp")
     )

@@ -617,3 +617,51 @@ def test_connected_components_log_rounds_on_deep_chain(spark):
     }
     assert len(got) == 101
     assert set(got.values()) == {0}  # single component, min label 0
+
+
+def test_duplicate_spans_finds_planted_span(spark):
+    from cancer_survival_etl_spark.llm.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token planted span
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, "b1 " + shared + " b2 b3 b4 b5"),
+        (3, " ".join(f"u{i}" for i in range(20))),  # unique doc
+        (4, "short doc"),  # below k tokens -> no shingles at all
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.n_shingles)
+        for r in duplicate_spans(df, k=8, min_docs=2).collect()
+    }
+    # doc 1: span tokens 3..12 -> shingle positions 3,4,5 (k=8)
+    assert out[1] == (3, 12, 3)
+    # doc 2: span tokens 1..10 -> shingle positions 1,2,3
+    assert out[2] == (1, 10, 3)
+    assert 3 not in out and 4 not in out
+    # hashed and raw-string shingles agree
+    raw = {
+        r.doc_id: (r.span_start, r.span_end, r.n_shingles)
+        for r in duplicate_spans(
+            df, k=8, min_docs=2, hash_shingles=False
+        ).collect()
+    }
+    assert raw == out
+
+
+def test_quantize_embeddings_codes_and_degenerate_dim(spark):
+    from cancer_survival_etl_spark.llm.similarity import quantize_embeddings
+
+    rows = [
+        (0, [0.0, 5.0, 1.0]),
+        (1, [1.0, 5.0, 3.0]),
+        (2, [2.0, 5.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r.vec_id, r.dim): r.code for r in quantize_embeddings(df).collect()}
+    # dim 0 spans [0,2]: codes -127, 0, 127
+    assert (out[(0, 0)], out[(1, 0)], out[(2, 0)]) == (-127, 0, 127)
+    # dim 1 is constant -> degenerate, codes 0
+    assert {out[(i, 1)] for i in range(3)} == {0}
+    # dim 2 spans [1,3]: midpoint 2.0 -> 0
+    assert (out[(0, 2)], out[(1, 2)], out[(2, 2)]) == (-127, 127, 0)
