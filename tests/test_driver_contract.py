@@ -62,3 +62,20 @@ def test_oracle_column_alignment_full_surface(spark):
         if duck_cols != spark_cols:
             bad.append((name, spark_cols, duck_cols))
     assert not bad, bad
+
+
+def test_correctness_window_composition():
+    """The driver adjudicates the FIRST 50 queries() entries. Round-2
+    policy: every window slot must be oracle-checked except the two
+    declared rows-only flagships — a reorder that silently pushes an
+    oracle-checked query out for an uncheckable one is a regression."""
+    qs = list(entrymod.queries())
+    osql = entrymod.oracle_sql()
+    window = qs[:50]
+    rows_only_allowed = {"tokenizer_bpe", "multimodal_decode"}
+    missing = [k for k in window if k not in osql]
+    assert set(missing) <= rows_only_allowed, missing
+    # the round-1 red rows must sit inside the checked window
+    for must in ["conditional_agg", "sketch_approx_distinct",
+                 "sketch_quantiles", "volume_shipping"]:
+        assert must in window, must
