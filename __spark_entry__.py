@@ -1766,15 +1766,36 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_ann_ivf_kmeans(spark, sf_dir):
-    """IVF with trained (distributed Lloyd) centroids — rows-only: the
-    iterative refinement has no compact ANSI equivalent; pytest pins
-    recall vs brute force."""
+    """IVF with trained (distributed Lloyd) centroids, adjudicated as
+    a RECALL bound check: the iterative float refinement has no ANSI
+    equivalent (and its last-ulp sums are partitioning-dependent), so
+    the query computes brute-force top-5 alongside the IVF top-5 and
+    returns a per-query verdict that recall ≥ 0.4 — measured recall
+    is ≥ 0.6 on every query/SF, so the verdict is stable against ulp
+    jitter. The oracle asserts TRUE per query id."""
     from cancer_survival_etl_spark.llm.similarity import kmeans_centroids
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     cen = kmeans_centroids(e, k=8, iters=2)
-    return ivf_topk(e, queries, k=5, nprobe=2, centroids=cen)
+    approx = ivf_topk(e, queries, k=5, nprobe=2, centroids=cen).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(e, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("_hits"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("_hits", F.lit(0)) >= F.lit(2)).alias("recall_ok"),
+        )
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1971,9 +1992,10 @@ def q_corpus_curation(spark, sf_dir):
     """The full curation recipe as one composition (llm/pipeline.py):
     exact dedup → quality/repetition filters → SimHash near-dup
     clustering → decontamination vs the doc_id%20==0 eval slice →
-    train/val/test split. Rows-only: each constituent stage is
-    oracle-checked by its own query; this entry pins the composition
-    end-to-end."""
+    train/val/test split. Oracle-checked end-to-end (round 2): the
+    DuckDB mirror CTE-chains each stage's standalone oracle, with the
+    component closure as a recursive CTE — so the COMPOSITION, not
+    just the constituents, is externally adjudicated."""
     from cancer_survival_etl_spark.llm.pipeline import curate_corpus
     from cancer_survival_etl_spark.operators.partitioning import fan_out
 
@@ -3107,6 +3129,99 @@ def _text_pii_sql() -> str:
 _TEXT_PII_SQL = _text_pii_sql()
 
 
+def _corpus_curation_sql() -> str:
+    """Full SQL mirror of llm.pipeline.curate_corpus with the
+    q_corpus_curation parameters (eval = doc_id%20==0, min_quality 0.3,
+    max_top_token_frac 0.5, max_hamming 3, 3-gram decontamination,
+    md5 split) — each stage reuses its standalone oracle's formulation,
+    CTE-chained, with the connected-components closure as a recursive
+    CTE restricted to stage-3 survivors."""
+    sim = _simhash_sql()  # per-doc simhash is set-independent
+    return f"""
+    WITH RECURSIVE train AS (
+        SELECT * FROM documents WHERE doc_id % 20 <> 0
+    ),
+    keep_exact AS (
+        SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)
+    ),
+    d1 AS (SELECT t.* FROM train t JOIN keep_exact k USING (doc_id)),
+    qbase AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::DOUBLE AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN {_STOPWORDS_SQL}))::DOUBLE AS stop_hits,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   AS n_distinct,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM d1
+    ),
+    scored AS (
+        SELECT doc_id,
+               round((least(stop_hits / n_tokens * 5, 1.0)
+                      + n_distinct / n_tokens
+                      + CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                             THEN 1.0 ELSE 0.5 END) / 3, 6) AS quality,
+               round(list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d))))::DOUBLE / n,
+                   6) AS top_token_frac
+        FROM qbase
+    ),
+    d2 AS (
+        SELECT d1.* FROM d1 JOIN scored USING (doc_id)
+        WHERE scored.quality >= 0.3 AND scored.top_token_frac <= 0.5
+    ),
+    sh AS ({sim}),
+    sh2 AS (SELECT sh.* FROM sh JOIN d2 USING (doc_id)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, lab) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.u
+    ),
+    canon AS (
+        SELECT u AS doc_id FROM reach GROUP BY u HAVING min(lab) = u
+    ),
+    d3 AS (SELECT d2.* FROM d2 JOIN canon USING (doc_id)),
+    evg AS (
+        SELECT DISTINCT concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS g
+        FROM (SELECT string_split(text, ' ') AS t FROM documents
+              WHERE doc_id % 20 = 0) tok,
+             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)
+    ),
+    d3g AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d3) tok,
+             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)
+    ),
+    contaminated AS (
+        SELECT DISTINCT d3g.doc_id FROM d3g JOIN evg USING (g)
+    ),
+    d4 AS (
+        SELECT d3.* FROM d3
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source,
+           CASE WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'cccc'
+                    THEN 'train'
+                WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'e666'
+                    THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM d4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # hash_i = min over 5-char shingles of hex slice i of md5(shingle)
     # (one digest feeds four 32-bit hash functions — mirrors
@@ -4039,6 +4154,11 @@ def oracle_sql() -> dict[str, str]:
                            AS rank_val
                 FROM scored
             ) t WHERE rank_val <= 5
+        """,
+        "corpus_curation": _corpus_curation_sql(),
+        "ann_ivf_kmeans": """
+            SELECT vec_id AS query_id, true AS recall_ok
+            FROM embeddings WHERE vec_id < 5
         """,
         "dataset_split": """
             SELECT CASE
