@@ -1327,6 +1327,60 @@ def q_disjunctive_brand_revenue(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic fixed-size weighted sampling (Efraimidis-Spirakis
+    A-ES with md5-derived randomness): top-20 docs per lang by
+    u^(1/n_chars) priority — longer docs proportionally likelier,
+    sample row-stable across engines/partitionings, hence
+    oracle-checkable (the oracle recomputes the identical
+    priorities)."""
+    from cancer_survival_etl_spark.llm.sampling import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_hash_sample(
+        d, "n_chars", "doc_id", k=20, group_cols=("lang",)
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Keyed snapshot reconciliation: orders vs a derived second
+    snapshot (keys %97 deleted, totalprice bumped for %13, priority
+    rewritten for %31, %101 re-keyed as additions) → per-key
+    added/removed/changed rows with the exact changed-column list.
+    One full-outer join on the key; unchanged majority dropped before
+    the output."""
+    from cancer_survival_etl_spark.operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    modified = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 31 == 0, F.lit("5-LOW"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    additions = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return snapshot_diff(
+        o,
+        modified.unionByName(additions),
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 def q_dedup_spans(spark, sf_dir):
     """Span-level duplicate detection (Lee et al. substring-dedup
     granularity): maximal runs of 8-token shingles shared by ≥2 docs.
@@ -2871,6 +2925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "weighted_sample": q_weighted_sample,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_spans": q_dedup_spans,
         "embedding_quantize": q_embedding_quantize,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3371,6 +3427,72 @@ def oracle_sql() -> dict[str, str]:
                    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
             FROM ranked WHERE rn <= 256
             GROUP BY o_orderstatus
+        """,
+        "weighted_sample": """
+            WITH h AS (
+                SELECT doc_id, lang, n_chars,
+                       (CAST(concat('0x', substring(md5(doc_id::VARCHAR),
+                                                    1, 15)) AS BIGINT) + 1)
+                           / 1152921504606846976.0 AS u
+                FROM documents WHERE n_chars > 0
+            ),
+            ranked AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+                       ) AS rn
+                FROM h
+            )
+            SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       o_orderpriority
+                FROM orders
+            ),
+            new AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN round(o_totalprice * 1.1, 2)
+                            ELSE o_totalprice END AS o_totalprice,
+                       CASE WHEN o_orderkey % 31 = 0 THEN '5-LOW'
+                            ELSE o_orderpriority END AS o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_orderstatus,
+                       o_totalprice, o_orderpriority
+                FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            j AS (
+                SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                       o.o_orderkey IS NOT NULL AS in_old,
+                       n.o_orderkey IS NOT NULL AS in_new,
+                       o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                           AS d_status,
+                       o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                           AS d_price,
+                       o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                           AS d_prio
+                FROM old o FULL OUTER JOIN new n
+                  ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN d_status OR d_price OR d_prio THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN in_old AND in_new
+                             AND (d_status OR d_price OR d_prio)
+                        THEN concat_ws(',',
+                             CASE WHEN d_status THEN 'o_orderstatus' END,
+                             CASE WHEN d_price THEN 'o_totalprice' END,
+                             CASE WHEN d_prio THEN 'o_orderpriority' END)
+                        ELSE '' END AS changed_cols
+            FROM j
+            WHERE NOT (in_old AND in_new
+                       AND NOT (d_status OR d_price OR d_prio))
         """,
         "dedup_spans": """
             WITH toks AS (

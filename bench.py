@@ -91,6 +91,8 @@ HEADLINE = [
     "disjunctive_brand_revenue",
     "dedup_spans",
     "embedding_quantize",
+    "snapshot_diff",
+    "weighted_sample",
     "min_cost_supplier",
     "product_profit",
     "important_parts",

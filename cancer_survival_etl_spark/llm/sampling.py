@@ -9,6 +9,8 @@ expression, no shuffle, identical on any engine that can md5.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,3 +133,53 @@ def stratified_hash_sample(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
     )
     return df.filter(prefix < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement, deterministic:
+    Efraimidis-Spirakis A-ES (public algorithm, Inf. Proc. Letters
+    2006) with hash-derived randomness — each row gets priority
+    ``u^(1/w)`` where ``u`` is its md5-uniform in (0, 1], and the k
+    highest priorities per group are the sample. Inclusion probability
+    is proportional to weight, and because ``u`` depends only on
+    (salt, id), the sample is row-stable under repartitioning,
+    backfills, and engines — same contract as the uniform
+    ``stratified_hash_sample``, with weights.
+
+    Rows with non-positive weight are excluded. One window sort per
+    group over a narrow projection — at corpus scale this is the same
+    shape as bottom-k-by-hash; for very hot groups pre-filter with a
+    per-partition top-k before the global window.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(
+        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    ).orderBy(F.desc("_pri"), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_pri", "_rn")
+    )

@@ -504,3 +504,54 @@ def test_histogram_by_clamp_and_null_bin(spark):
     assert out[2] == (20.0, 1)
     assert out[9] == (90.0, 1)  # 999 clamps into the top bin
     assert out[None] == (None, 1)  # NULL value -> NULL-bin row, documented
+
+
+def test_snapshot_diff_statuses_and_changed_cols(spark):
+    from cancer_survival_etl_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 21.0),        # both columns changed
+         (3, "c", 30.0),        # NULL -> value counts as change
+         (5, "e", 50.0)],       # added; 4 removed
+        ["k", "s", "v"],
+    )
+    out = {r.k: (r.status, r.changed_cols)
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out[2] == ("changed", "s,v")
+    assert out[3] == ("changed", "v")
+    assert out[4] == ("removed", "")
+    assert out[5] == ("added", "")
+    assert 1 not in out  # unchanged filtered by default
+    full = snapshot_diff(old, new, ["k"], include_unchanged=True)
+    assert full.filter(F.col("status") == "unchanged").count() == 1
+
+
+def test_weighted_hash_sample_properties(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.sampling import weighted_hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = weighted_hash_sample(d, "n_chars", "doc_id", k=20, group_cols=("lang",))
+    b = weighted_hash_sample(
+        d.repartition(17), "n_chars", "doc_id", k=20, group_cols=("lang",)
+    )
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # row-stable under repartitioning
+    sizes = {r.lang: r.n for r in
+             a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 20 for n in sizes.values())  # exactly k per group
+    # weight bias: sampled docs skew longer than the population
+    pop_avg = d.agg(F.avg("n_chars")).collect()[0][0]
+    samp_avg = a.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_avg > pop_avg
+    # re-salting re-rolls the sample
+    c = weighted_hash_sample(
+        d, "n_chars", "doc_id", k=20, group_cols=("lang",), salt="x"
+    )
+    ids_c = sorted(r.doc_id for r in c.select("doc_id").collect())
+    assert ids_c != ids_a
