@@ -55,10 +55,24 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 20 == 0)
 
+    from cancer_survival_etl_spark.llm.dedup import duplicate_spans
+    from cancer_survival_etl_spark.operators.diff import snapshot_diff
+
+    def diff_modified(d):
+        new = d.filter(F.col("doc_id") % 17 != 0).withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.col("n_chars") + 1
+            ).otherwise(F.col("n_chars")),
+        )
+        return snapshot_diff(d, new, ["doc_id"], ["n_chars", "lang"])
+
     ops = {
         "chunk": lambda d: chunk_documents(d, chunk_size=32),
         "decontam": lambda d: contamination(d, ev, n=3),
         "pack_bins": lambda d: pack_bins(d, budget=512),
+        "dup_spans": lambda d: duplicate_spans(d, k=8, min_docs=2),
+        "snap_diff": diff_modified,
     }
     for factor in (1, 4, 8):
         d = amplify(docs, factor)
