@@ -1403,6 +1403,57 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings(e)
 
 
+def q_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 proper: revenue from ASIA-nation customers served by a
+    supplier in the SAME nation — the cross-fact equality
+    (c_nationkey = s_nationkey) that distinguishes Q5 from a plain
+    star rollup. Customer and supplier both pre-joined to the
+    region-pruned nation dim (each shrinks ~5× before touching a
+    fact); the nationkey equality resolves after the orders join with
+    a plain column filter — no extra shuffle."""
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_nationkey").alias("_c_nat"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_nationkey").alias("_s_nat"), "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("_c_nat") == F.col("_s_nat"))
+        .groupBy("n_name")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
 def q_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (adapted: no partsupp table — the supply relation
     is distilled from lineitem): for STANDARD size-15 parts, the
@@ -2929,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_spans": q_dedup_spans,
         "embedding_quantize": q_embedding_quantize,
+        "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
         "product_profit": q_product_profit,
         "important_parts": q_important_parts,
@@ -3544,6 +3596,22 @@ def oracle_sql() -> dict[str, str]:
                                   AS INT) - 127
                         ELSE 0 END AS code
             FROM flat f JOIN stats s ON f.dim = s.dim
+        """,
+        "local_supplier_revenue": f"""
+            SELECT n.n_name,
+                   {_MONEY_SQL.format(x='l.l_extendedprice * (1 - l.l_discount)')}
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+                         AND c.c_nationkey = s.s_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
         """,
         "min_cost_supplier": """
             WITH supply AS (
