@@ -1403,6 +1403,62 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings(e)
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-3-iteration PageRank over the customer↔supplier trade
+    graph (distinct pairs from orders⋈lineitem; supplier ids offset by
+    1e6 into their own node range). Deterministic: fixed iterations +
+    end-rounding to 9 decimals swallow partition-order float jitter,
+    so the unrolled-CTE oracle matches exactly."""
+    from cancer_survival_etl_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("v"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    prev = "r0"
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+            r{i} AS (
+                SELECT e.v AS node,
+                       0.15 / any_value(nn.n)
+                       + 0.85 * sum({prev}.rank / deg.d) AS rank
+                FROM e
+                JOIN {prev} ON {prev}.node = e.u
+                JOIN deg ON deg.u = e.u
+                CROSS JOIN nn
+                GROUP BY e.v
+            )""")
+        prev = f"r{i}"
+    return f"""
+    WITH base_edges AS (
+        SELECT DISTINCT o.o_custkey AS u,
+               l.l_suppkey + 1000000 AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+        SELECT u, v FROM base_edges
+        UNION
+        SELECT v AS u, u AS v FROM base_edges
+    ),
+    deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    r0 AS (SELECT u AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn),
+    {','.join(iter_ctes)}
+    SELECT node, round(rank, 9) AS rank FROM {prev}
+    """
+
+
 def q_local_supplier_revenue(spark, sf_dir):
     """TPC-H Q5 proper: revenue from ASIA-nation customers served by a
     supplier in the SAME nation — the cross-fact equality
@@ -2980,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_spans": q_dedup_spans,
         "embedding_quantize": q_embedding_quantize,
+        "graph_pagerank": q_graph_pagerank,
         "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
         "product_profit": q_product_profit,
@@ -3597,6 +3654,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS code
             FROM flat f JOIN stats s ON f.dim = s.dim
         """,
+        "graph_pagerank": _pagerank_sql(3),
         "local_supplier_revenue": f"""
             SELECT n.n_name,
                    {_MONEY_SQL.format(x='l.l_extendedprice * (1 - l.l_discount)')}

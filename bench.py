@@ -93,6 +93,7 @@ HEADLINE = [
     "embedding_quantize",
     "snapshot_diff",
     "weighted_sample",
+    "graph_pagerank",
     "local_supplier_revenue",
     "min_cost_supplier",
     "product_profit",

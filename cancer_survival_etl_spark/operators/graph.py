@@ -120,3 +120,71 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("u").alias("node"), "component")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 3,
+    damping: float = 0.85,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DataFrame edge list — the
+    canonical iterative graph analytic, in pure joins/aggregates (the
+    Pregel message round IS one equi-join + one groupBy-sum here).
+
+    ``r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u)/outdeg(u)``, starting
+    from the uniform 1/N, for exactly ``iters`` rounds — fixed
+    iteration count (not convergence-tested) keeps the result
+    deterministic and cross-engine checkable; rank is rounded to 9
+    decimals at the END so partition-order float jitter (~1e-18)
+    cannot surface. ``symmetrize`` unions both edge orientations,
+    which also removes dangling nodes (every node then has outdegree
+    ≥ 1, so no rank mass leaks).
+
+    Scale: per round, one shuffle keyed on src for the contribution
+    join and one on dst for the sum — the working set is (node, rank)
+    pairs, never payloads; hub skew is AQE's problem (skew-join on).
+    Lineage is checkpoint-truncated each round, the standard guard
+    for iterative DataFrame plans. O(iters) rounds total, each
+    bounded by edge count — the same plan at 10^12 edges.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = deg.select(F.col("u").alias("node"))
+    n_nodes = nodes.count()  # one scalar; the loop below stays lazy
+    base = F.lit((1.0 - damping) / n_nodes)
+
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    )
+    contrib_edges = e.join(
+        deg, "u"
+    ).select("u", "v", "_deg").localCheckpoint(eager=False)
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(
+                ranks, contrib_edges.u == ranks.node
+            )
+            .select("v", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.v, "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

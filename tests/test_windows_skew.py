@@ -555,3 +555,21 @@ def test_weighted_hash_sample_properties(spark, sf_dir):
     )
     ids_c = sorted(r.doc_id for r in c.select("doc_id").collect())
     assert ids_c != ids_a
+
+
+def test_pagerank_path_graph(spark):
+    from cancer_survival_etl_spark.operators.graph import pagerank
+
+    # path 1-2-3: the middle node accumulates the most rank; total
+    # rank mass stays 1 (symmetrized graph has no dangling leak)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    out = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] > out[1] == out[3]
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # row-stable under repartitioning (fixed iters + end rounding)
+    out2 = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(7), iters=3).collect()
+    }
+    assert out == out2
