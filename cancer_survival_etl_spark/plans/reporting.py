@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.keys import concat_key, sort_key
+from ..functions.keys import concat_key, sort_key, typed_null_literals
 from ..operators.rank import rank_quartile
 from ..operators.reshape import pivot_fixed
 from ..operators.union import union_stack
@@ -64,13 +64,17 @@ def index_best_ca(index: DataFrame) -> DataFrame:
             "STANDARDISATION_TYPE",
             "YEAR_OF_DIAGNOSIS",
             "YEARS_SINCE_DIAGNOSIS",
-            F.lit(None).cast("long").alias("PATIENT_NUMBERS"),
+            *typed_null_literals([("PATIENT_NUMBERS", "long")]),
             "SURVIVAL_PERCENT",
-            F.lit(None).cast("double").alias("LOWER_CI"),
-            F.lit(None).cast("double").alias("UPPER_CI"),
-            F.lit(None).cast("double").alias("PRECISION"),
-            F.lit(None).cast("double").alias("STANDARD_ERROR"),
-            F.lit(None).cast("boolean").alias("IS_DATA_SUBTITUTED"),
+            *typed_null_literals(
+                [
+                    ("LOWER_CI", "double"),
+                    ("UPPER_CI", "double"),
+                    ("PRECISION", "double"),
+                    ("STANDARD_ERROR", "double"),
+                    ("IS_DATA_SUBTITUTED", "boolean"),
+                ]
+            ),
         )
     )
 
