@@ -394,3 +394,50 @@ def test_custom_datasource_streams_deterministically(spark, tmp_path):
     ).collect()[0]
     assert got["n"] > 0 and got["n"] == got["d"]          # no duplicates
     assert (got["lo"], got["hi"]) == (0, got["n"] - 1)    # contiguous
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: run an availableNow pass, stop,
+    add more input files (overlapping half the old ids), restart with
+    the SAME checkpoint — the file source must skip already-processed
+    files and the dedup state store must suppress cross-restart
+    duplicates, so the sink ends with exactly the distinct ids."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+
+    def add_input(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("event_id"), F.lit(1.0).alias("value")
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add_input(0, 1000)
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 1000
+
+    add_input(500, 1500)  # 500 duplicates + 500 genuinely new
+    run_once()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 1500  # dups suppressed by restored state
+    assert got.select("event_id").distinct().count() == 1500
