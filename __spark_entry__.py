@@ -1403,6 +1403,32 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings(e)
 
 
+def q_multimodal_headers(spark, sf_dir):
+    """REAL multimodal metadata extraction (not the stubbed pixel
+    decode): synthesize valid PNG byte headers per doc (magic + IHDR
+    with doc-derived dimensions, built via hex→unhex expressions),
+    then parse format/width/height back OUT of the raw bytes with the
+    stdlib mapInPandas kernel. The oracle computes the dimensions
+    arithmetically — a hash match proves the binary round-trip and
+    the Python-side header parse are both exact."""
+    from cancer_survival_etl_spark.llm.multimodal import image_header_info
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = (F.col("doc_id") % 512 + 1).cast("int")
+    h = (F.col("doc_id") % 384 + 16).cast("int")
+    hex_hdr = F.concat(
+        F.lit("89504E470D0A1A0A"),          # PNG magic
+        F.lit("0000000D49484452"),          # IHDR length + type
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+    )
+    payloads = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.unhex(hex_hdr).alias("payload"),
+    )
+    return image_header_info(payloads)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-3-iteration PageRank over the customer↔supplier trade
     graph (distinct pairs from orders⋈lineitem; supplier ids offset by
@@ -3036,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_spans": q_dedup_spans,
         "embedding_quantize": q_embedding_quantize,
+        "multimodal_headers": q_multimodal_headers,
         "graph_pagerank": q_graph_pagerank,
         "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3653,6 +3680,14 @@ def oracle_sql() -> dict[str, str]:
                                   AS INT) - 127
                         ELSE 0 END AS code
             FROM flat f JOIN stats s ON f.dim = s.dim
+        """,
+        "multimodal_headers": """
+            SELECT doc_id AS item_id,
+                   'png' AS format,
+                   CAST(doc_id % 512 + 1 AS INT) AS width,
+                   CAST(doc_id % 384 + 16 AS INT) AS height,
+                   CAST(24 AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id < 200
         """,
         "graph_pagerank": _pagerank_sql(3),
         "local_supplier_revenue": f"""

@@ -94,6 +94,7 @@ HEADLINE = [
     "snapshot_diff",
     "weighted_sample",
     "graph_pagerank",
+    "multimodal_headers",
     "local_supplier_revenue",
     "min_cost_supplier",
     "product_profit",

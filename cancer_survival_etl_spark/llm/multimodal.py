@@ -195,3 +195,79 @@ def media_near_dups(
         F.col(feature_col).alias("embedding"),
     )
     return embedding_cosine_pairs(vecs, "embedding", "vec_id", threshold=threshold)
+
+
+def _parse_image_header(payload) -> tuple:
+    """REAL (stdlib-only) container-header parse for PNG / GIF / JPEG:
+    format + pixel dimensions from the raw bytes — no codec library
+    involved, so unlike the pixel-decode path this is not stubbed.
+    Returns (format, width, height) or (None, None, None)."""
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return "png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return "gif", w, h
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return "jpeg", w, h
+            i += 2 + seglen
+    return None, None, None
+
+
+HEADER_SCHEMA = (
+    "item_id long, format string, width int, height int, n_bytes long"
+)
+
+
+def image_header_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-header metadata extraction over binary payloads —
+    the REAL half of the multimodal story (header fields need no codec
+    library): Arrow-batched ``mapInPandas``, executors stream binary
+    column batches through the stdlib parser; parallelism = partition
+    count (fan_out first for narrow inputs).
+
+    Scale note: header parsing touches the first KB of each payload —
+    with a columnar lake format the payload column's pages stream
+    through, but a production variant should store header fields as
+    separate columns at ingest so this query never reads the blobs at
+    all; this operator IS that ingest step.
+    """
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    df = fan_out(df)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, ns = [], [], [], []
+            for payload in pdf[payload_col]:
+                f, w, h = _parse_image_header(payload)
+                fmts.append(f)
+                ws.append(w)
+                hs.append(h)
+                ns.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes": ns,
+                }
+            )
+
+    return df.mapInPandas(parse, schema=HEADER_SCHEMA)

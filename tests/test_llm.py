@@ -665,3 +665,29 @@ def test_quantize_embeddings_codes_and_degenerate_dim(spark):
     assert {out[(i, 1)] for i in range(3)} == {0}
     # dim 2 spans [1,3]: midpoint 2.0 -> 0
     assert (out[(0, 2)], out[(1, 2)], out[(2, 2)]) == (-127, 127, 0)
+
+
+def test_image_header_parse_real_formats(spark):
+    """The header parser is REAL (stdlib, no codec libs): valid PNG,
+    GIF, and JPEG byte sequences yield their true dimensions; garbage
+    yields NULLs."""
+    from cancer_survival_etl_spark.llm.multimodal import image_header_info
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big"))
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    jpeg = (b"\xff\xd8"                       # SOI
+            + b"\xff\xe0\x00\x04\x4a\x46"     # APP0 segment (len 4)
+            + b"\xff\xc0\x00\x0b\x08"         # SOF0, len 11, precision
+            + (600).to_bytes(2, "big")        # height
+            + (800).to_bytes(2, "big")        # width
+            + b"\x03")
+    rows = [(1, bytearray(png)), (2, bytearray(gif)),
+            (3, bytearray(jpeg)), (4, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = {r.item_id: (r.format, r.width, r.height)
+           for r in image_header_info(df).collect()}
+    assert out[1] == ("png", 640, 480)
+    assert out[2] == ("gif", 320, 200)
+    assert out[3] == ("jpeg", 800, 600)
+    assert out[4] == (None, None, None)

@@ -326,3 +326,26 @@ def test_product_profit_broadcast_dims(spark, sf_dir):
     # broadcast join may be lineitem⋈orders (AQE's call at scale).
     p = _plan(spark, sf_dir, "product_profit")
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """AQE's misestimate insurance: a join whose small side is only
+    KNOWN small after a selective filter executes must finish as a
+    BroadcastHashJoin in the final adaptive plan even when the static
+    threshold is too low to pick it up front."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # static threshold too small for the unfiltered estimate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderkey") % 1000 == 0  # tiny at runtime
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
