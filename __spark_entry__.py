@@ -1429,6 +1429,45 @@ def q_multimodal_headers(spark, sf_dir):
     return image_header_info(payloads)
 
 
+def _wav_bytes(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
+    """Minimal valid PCM WAV (RIFF + fmt + data) for the audio-header
+    driver query — same construction as the unit test."""
+    data_len = n_frames * channels * (bits // 8)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + data_len.to_bytes(4, "little") + b"\x00" * data_len
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio metadata extraction: docs alternate between two
+    valid PCM WAV payloads (stereo 16-bit 8 kHz / mono 8-bit 4 kHz,
+    100 frames each — built as hex literals, decoded with unhex);
+    the stdlib RIFF-walk kernel parses channels/rate/bits/duration
+    back out. The oracle states the expected fields arithmetically —
+    a hash match proves the end-to-end binary path."""
+    from cancer_survival_etl_spark.llm.multimodal import audio_header_info
+
+    wav_a = _wav_bytes(2, 8000, 16, 100)
+    wav_b = _wav_bytes(1, 4000, 8, 100)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(wav_a.hex()))
+    ).otherwise(F.unhex(F.lit(wav_b.hex())))
+    payloads = d.select(
+        F.col("doc_id").alias("item_id"), payload.alias("payload")
+    )
+    return audio_header_info(payloads)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-3-iteration PageRank over the customer↔supplier trade
     graph (distinct pairs from orders⋈lineitem; supplier ids offset by
@@ -3063,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_headers": q_multimodal_headers,
+        "multimodal_audio": q_multimodal_audio,
         "graph_pagerank": q_graph_pagerank,
         "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3680,6 +3720,21 @@ def oracle_sql() -> dict[str, str]:
                                   AS INT) - 127
                         ELSE 0 END AS code
             FROM flat f JOIN stats s ON f.dim = s.dim
+        """,
+        "multimodal_audio": """
+            SELECT doc_id AS item_id, 'wav' AS format,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+                       AS channels,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 4000 END
+                        AS INT) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INT)
+                       AS bits_per_sample,
+                   CAST(100 AS BIGINT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 12.5 ELSE 25.0 END
+                        AS DOUBLE) AS duration_ms,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 444 ELSE 144 END
+                        AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id < 200
         """,
         "multimodal_headers": """
             SELECT doc_id AS item_id,

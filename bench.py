@@ -95,6 +95,7 @@ HEADLINE = [
     "weighted_sample",
     "graph_pagerank",
     "multimodal_headers",
+    "multimodal_audio",
     "local_supplier_revenue",
     "min_cost_supplier",
     "product_profit",

@@ -691,3 +691,35 @@ def test_image_header_parse_real_formats(spark):
     assert out[2] == ("gif", 320, 200)
     assert out[3] == ("jpeg", 800, 600)
     assert out[4] == (None, None, None)
+
+
+def test_audio_header_parse_real_wav(spark):
+    """The WAV parser is REAL: a valid RIFF/WAVE byte sequence yields
+    its true channel count, sample rate, bit depth, and duration."""
+    from cancer_survival_etl_spark.llm.multimodal import audio_header_info
+
+    def wav(channels, rate, bits, n_frames):
+        data_len = n_frames * channels * (bits // 8)
+        fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + (1).to_bytes(2, "little")          # PCM
+               + channels.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * channels * bits // 8).to_bytes(4, "little")
+               + (channels * bits // 8).to_bytes(2, "little")
+               + bits.to_bytes(2, "little"))
+        data = b"data" + data_len.to_bytes(4, "little") + b"\x00" * data_len
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    rows = [
+        (1, bytearray(wav(2, 44100, 16, 44100))),   # 1 s stereo CD audio
+        (2, bytearray(wav(1, 16000, 8, 8000))),     # 0.5 s mono 8-bit
+        (3, bytearray(b"RIFF....not wave")),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = {r.item_id: r for r in audio_header_info(df).collect()}
+    assert (out[1].format, out[1].channels, out[1].sample_rate,
+            out[1].bits_per_sample, out[1].n_frames,
+            out[1].duration_ms) == ("wav", 2, 44100, 16, 44100, 1000.0)
+    assert (out[2].channels, out[2].duration_ms) == (1, 500.0)
+    assert out[3].format is None and out[3].channels is None
