@@ -1468,6 +1468,59 @@ def q_multimodal_audio(spark, sf_dir):
     return audio_header_info(payloads)
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical normalization (lower, punct→space, whitespace
+    collapse) ahead of exact dedup: per-doc md5 of the normalized
+    text plus its length — the fingerprint that collapses trivial
+    formatting variants. Pure codegen expressions; oracle mirrors the
+    regex chain (Java and RE2 agree on the ASCII classes used)."""
+    from cancer_survival_etl_spark.llm.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    n = normalize_text(d, "text", strip_punct=True)
+    return n.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        F.length("norm_text").alias("norm_len"),
+    )
+
+
+def _mp4_bytes(timescale: int, duration: int) -> bytes:
+    """Minimal valid ISO-BMFF (ftyp + moov/mvhd v0) for the video-
+    header driver query — same construction as the unit test."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    mvhd_body = (
+        bytes([0, 0, 0, 0])
+        + (0).to_bytes(4, "big")
+        + (0).to_bytes(4, "big")
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+    )
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", box(b"mvhd", mvhd_body)
+    )
+
+
+def q_multimodal_video(spark, sf_dir):
+    """REAL video metadata extraction: docs alternate between two
+    valid MP4 payloads (1000-unit timescale / 2.5 s and 90 kHz /
+    0.5 s), parsed back with the stdlib ISO-BMFF box walk; oracle
+    states the expectation arithmetically."""
+    from cancer_survival_etl_spark.llm.multimodal import video_header_info
+
+    mp4_a = _mp4_bytes(1000, 2500)
+    mp4_b = _mp4_bytes(90_000, 45_000)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(mp4_a.hex()))
+    ).otherwise(F.unhex(F.lit(mp4_b.hex())))
+    return video_header_info(
+        d.select(F.col("doc_id").alias("item_id"), payload.alias("payload"))
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-3-iteration PageRank over the customer↔supplier trade
     graph (distinct pairs from orders⋈lineitem; supplier ids offset by
@@ -3103,6 +3156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "multimodal_headers": q_multimodal_headers,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "text_normalize": q_text_normalize,
         "graph_pagerank": q_graph_pagerank,
         "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3720,6 +3775,30 @@ def oracle_sql() -> dict[str, str]:
                                   AS INT) - 127
                         ELSE 0 END AS code
             FROM flat f JOIN stats s ON f.dim = s.dim
+        """,
+        "text_normalize": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(lower(text),
+                                          '[^\\w\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, md5(norm_text) AS norm_md5,
+                   CAST(length(norm_text) AS INT) AS norm_len
+            FROM n
+        """,
+        "multimodal_video": """
+            SELECT doc_id AS item_id, 'mp4' AS format,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END
+                        AS INT) AS timescale,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2500 ELSE 45000 END
+                        AS BIGINT) AS duration_units,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2500.0 ELSE 500.0 END
+                        AS DOUBLE) AS duration_ms,
+                   CAST(60 AS BIGINT) AS n_bytes
+            FROM documents WHERE doc_id < 200
         """,
         "multimodal_audio": """
             SELECT doc_id AS item_id, 'wav' AS format,

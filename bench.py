@@ -96,6 +96,8 @@ HEADLINE = [
     "graph_pagerank",
     "multimodal_headers",
     "multimodal_audio",
+    "multimodal_video",
+    "text_normalize",
     "local_supplier_revenue",
     "min_cost_supplier",
     "product_profit",

@@ -239,3 +239,34 @@ def bpe_like_token_count(
         .cast("long")
         .alias(alias),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lower: bool = True,
+    strip_punct: bool = False,
+    collapse_ws: bool = True,
+    alias: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization for dedup keys and matching:
+    lowercase, optional punctuation→space (ASCII ``[^\\w\\s]`` — the
+    Java and RE2 regex engines agree on this class, so the result is
+    engine-portable), whitespace collapse + trim. Pure built-in
+    expressions inside codegen — the normalization that should run
+    BEFORE md5-based exact dedup so trivial formatting variants
+    collapse to one fingerprint.
+
+    Deliberately NOT Unicode NFC/casefold: Spark has no built-in
+    normalizer, and a Python UDF in this hot path would cost 10-100×;
+    at corpus scale run ICU normalization once at ingest (outside the
+    engine) and keep the hot path ASCII-deterministic.
+    """
+    c = F.col(text_col)
+    if lower:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^\w\s]", " ")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(alias, c)

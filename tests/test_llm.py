@@ -723,3 +723,60 @@ def test_audio_header_parse_real_wav(spark):
             out[1].duration_ms) == ("wav", 2, 44100, 16, 44100, 1000.0)
     assert (out[2].channels, out[2].duration_ms) == (1, 500.0)
     assert out[3].format is None and out[3].channels is None
+
+
+def test_video_header_parse_real_mp4(spark):
+    """The MP4 parser is REAL: a valid ftyp+moov/mvhd box sequence
+    yields its true timescale and duration (v0 and v1 boxes)."""
+    from cancer_survival_etl_spark.llm.multimodal import video_header_info
+
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    def mp4(timescale, duration, version=0):
+        if version == 0:
+            mvhd_body = (bytes([0, 0, 0, 0])          # version+flags
+                         + (0).to_bytes(4, "big")      # creation
+                         + (0).to_bytes(4, "big")      # modification
+                         + timescale.to_bytes(4, "big")
+                         + duration.to_bytes(4, "big"))
+        else:
+            mvhd_body = (bytes([1, 0, 0, 0])
+                         + (0).to_bytes(8, "big")
+                         + (0).to_bytes(8, "big")
+                         + timescale.to_bytes(4, "big")
+                         + duration.to_bytes(8, "big"))
+        return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+                + box(b"moov", box(b"mvhd", mvhd_body)))
+
+    rows = [
+        (1, bytearray(mp4(1000, 2500))),            # 2.5 s, v0
+        (2, bytearray(mp4(90000, 450000, version=1))),  # 5 s, v1
+        (3, bytearray(b"\x00\x00\x00\x08free")),    # not an mp4
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = {r.item_id: r for r in video_header_info(df).collect()}
+    assert (out[1].format, out[1].timescale, out[1].duration_ms) == (
+        "mp4", 1000, 2500.0)
+    assert (out[2].timescale, out[2].duration_ms) == (90000, 5000.0)
+    assert out[3].format is None
+
+
+def test_normalize_text_semantics(spark):
+    from cancer_survival_etl_spark.llm.textstats import normalize_text
+
+    rows = [(1, "  Hello,   WORLD!  "), (2, "a\tb\nc"), (3, "nochange")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.norm_text
+        for r in normalize_text(df, strip_punct=True).collect()
+    }
+    assert out[1] == "hello world"
+    assert out[2] == "a b c"
+    assert out[3] == "nochange"
+    # punctuation preserved when strip_punct=False
+    keep = {
+        r.doc_id: r.norm_text
+        for r in normalize_text(df, strip_punct=False).collect()
+    }
+    assert keep[1] == "hello, world!"
