@@ -2210,6 +2210,175 @@ def q_text_decontaminate(spark, sf_dir):
     return contamination(train, ev, "text", "doc_id", n=3)
 
 
+def q_web_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup over a deterministic crawl-style URL derived
+    per document (mixed-case scheme/host, www prefix, default vs
+    explicit port, tracking params, shuffled param order, fragment —
+    every rule ``canonicalize_url`` implements gets exercised by one of
+    the two URL shapes). Docs sharing (source, lang, doc_id % 50)
+    collapse to one canonical form → dupe_count > 1.
+    Operator: ``llm/web.py`` ``canonicalize_url`` / ``url_dedup`` —
+    pure regexp+array expressions, no UDF, one hash-groupBy."""
+    from cancer_survival_etl_spark.llm.web import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 50).cast("string")
+    even = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/docs/"),
+        F.col("lang"),
+        F.lit("/p"),
+        bucket,
+        F.lit("/?b=2&utm_source=feed&a=1#frag"),
+    )
+    odd = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com:8080/docs/"),
+        F.col("lang"),
+        F.lit("/p"),
+        bucket,
+        F.lit("?gclid=xyz"),
+    )
+    with_url = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd).alias("url"),
+    )
+    return url_dedup(with_url, "url", "doc_id")
+
+
+_WEB_URL_SQL = """
+    WITH with_url AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'HTTPS://WWW.' || source || '.Example.COM:443/docs/'
+                         || lang || '/p' || (doc_id % 50)
+                         || '/?b=2&utm_source=feed&a=1#frag'
+                    ELSE 'http://' || source || '.example.com:8080/docs/'
+                         || lang || '/p' || (doc_id % 50) || '?gclid=xyz'
+               END AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+          lower(regexp_extract(url,
+                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_extract(
+            regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '([^@]*)$', 1) AS hostport,
+          regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+          regexp_extract(url, '\\?([^#]*)', 1) AS q
+        FROM with_url
+    ),
+    canon AS (
+        SELECT doc_id, scheme,
+          regexp_replace(lower(regexp_replace(hostport, ':\\d+$', '')),
+                         '^www\\.', '') AS host,
+          regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+          CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+               ELSE regexp_replace(path0, '/+$', '') END AS path,
+          list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+                 AND substr(p, 1, 6) <> 'fbclid'
+                 AND substr(p, 1, 5) <> 'gclid'
+                 AND substr(p, 1, 4) <> 'ref=')) AS params
+        FROM parts
+    )
+    SELECT canonical_url, host, min(doc_id) AS doc_id,
+           count(*) AS dupe_count
+    FROM (
+        SELECT doc_id, host,
+          scheme || '://' || host ||
+          CASE WHEN port = '' OR port = (CASE scheme
+                    WHEN 'http' THEN '80'
+                    WHEN 'https' THEN '443' ELSE '' END)
+               THEN '' ELSE ':' || port END ||
+          path ||
+          CASE WHEN len(params) = 0 THEN ''
+               ELSE '?' || array_to_string(params, '&') END
+          AS canonical_url
+        FROM canon
+    )
+    GROUP BY canonical_url, host
+"""
+
+
+def q_text_fuzzy_decontaminate(spark, sf_dir):
+    """FUZZY benchmark decontamination: docs with doc_id % 5 == 0 play
+    the eval set; MinHash-LSH cross-banding (4 hashes, 2 bands × 2
+    rows) finds train docs whose signature collides with some eval doc,
+    then exact token-3-gram Jaccard verifies each candidate pair.
+    Catches paraphrased benchmark leakage the exact n-gram check in
+    ``text_decontaminate`` misses. Eval band keys and grams broadcast;
+    the corpus side is never shuffled or quadratic.
+    Operator: ``llm/curation.py`` ``fuzzy_contamination`` (builds on
+    ``llm/dedup.py`` ``minhash_signatures`` / ``band_keys_long``)."""
+    from cancer_survival_etl_spark.llm.curation import fuzzy_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 5 == 0)
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    return fuzzy_contamination(
+        train, ev, "text", "doc_id", jaccard_threshold=0.5
+    )
+
+
+_FUZZY_DECONTAM_SQL = """
+    WITH sides AS (
+        SELECT doc_id, text, doc_id % 5 = 0 AS is_eval FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, is_eval,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5(substring(text, i, 5)), 1, 8))) AS h0,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5(substring(text, i, 5)), 9, 8))) AS h1,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5(substring(text, i, 5)), 17, 8))) AS h2,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5(substring(text, i, 5)), 25, 8))) AS h3
+        FROM sides
+    ),
+    bandkeys AS (
+        SELECT doc_id, is_eval, 0 AS band,
+               md5(concat_ws('|', h0, h1)) AS band_key FROM sigs
+        UNION ALL
+        SELECT doc_id, is_eval, 1, md5(concat_ws('|', h2, h3)) FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        FROM bandkeys t JOIN bandkeys e
+          ON t.band = e.band AND t.band_key = e.band_key
+        WHERE NOT t.is_eval AND e.is_eval
+    ),
+    grams AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i + 1],
+                 string_split(text, ' ')[i + 2]))) AS g
+        FROM sides
+        WHERE doc_id IN (SELECT train_id FROM cand
+                         UNION SELECT eval_id FROM cand)
+    )
+    SELECT c.train_id, c.eval_id,
+           round(len(list_intersect(gt.g, ge.g))::DOUBLE /
+                 len(list_distinct(list_concat(gt.g, ge.g))), 6) AS jaccard
+    FROM cand c
+    JOIN grams gt ON c.train_id = gt.doc_id
+    JOIN grams ge ON c.eval_id = ge.doc_id
+    WHERE len(list_intersect(gt.g, ge.g))::DOUBLE /
+          len(list_distinct(list_concat(gt.g, ge.g))) >= 0.5
+"""
+
+
 _DECONTAM_SQL = """
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -3158,6 +3327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "text_normalize": q_text_normalize,
+        "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
+        "web_url_dedup": q_web_url_dedup,
         "graph_pagerank": q_graph_pagerank,
         "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3789,6 +3960,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(norm_text) AS INT) AS norm_len
             FROM n
         """,
+        "text_fuzzy_decontaminate": _FUZZY_DECONTAM_SQL,
+        "web_url_dedup": _WEB_URL_SQL,
         "multimodal_video": """
             SELECT doc_id AS item_id, 'mp4' AS format,
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END

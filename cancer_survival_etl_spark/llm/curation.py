@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cancer_survival_etl_spark.llm.dedup import _token_ngrams
+from cancer_survival_etl_spark.llm.dedup import (
+    _token_ngrams,
+    band_keys_long,
+    minhash_signatures,
+)
+from cancer_survival_etl_spark.operators.partitioning import fan_out
 from cancer_survival_etl_spark.operators.windows import global_prefix_sum
 
 
@@ -76,6 +81,83 @@ def contamination(
             ).alias("contamination_ratio"),
             (F.col("n_contaminated") > 0).alias("is_contaminated"),
         )
+    )
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle_k: int = 5,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: near-duplicate matches BETWEEN
+    the training corpus and the eval/benchmark corpus — catches
+    paraphrased or lightly-edited benchmark leakage that the exact
+    n-gram ``contamination`` check misses.
+
+    MinHash-LSH cross-banding generates candidates (train docs whose
+    signature agrees with some eval doc on all hashes of any band),
+    then exact token-n-gram Jaccard verifies each candidate pair.
+    Returns (train_id, eval_id, jaccard) for pairs ≥ threshold; the
+    downstream filter is an anti-join of the corpus against the
+    distinct train_ids.
+
+    Scale shape: the corpus side streams through signature computation
+    (pure expressions, no shuffle) and ONE equi-join on (band,
+    band_key). The eval side is small by definition (benchmarks are
+    thousands of docs), so its band keys and verification grams are
+    broadcast — the 100 TB side is never shuffled and never quadratic:
+    verification work is O(candidate pairs), bounded by the LSH catch
+    curve (s* ≈ (1/bands)^(1/rows_per_band) ≈ 0.71 at the default
+    2×2).
+    """
+    sig_t = minhash_signatures(train, text_col, id_col, num_hashes, shingle_k)
+    sig_e = minhash_signatures(
+        eval_df, text_col, id_col, num_hashes, shingle_k
+    )
+    bt = band_keys_long(sig_t, id_col, bands, rows_per_band).withColumnRenamed(
+        id_col, "train_id"
+    )
+    be = band_keys_long(sig_e, id_col, bands, rows_per_band).withColumnRenamed(
+        id_col, "eval_id"
+    )
+    # the same pair can agree on several bands → distinct; checkpoint:
+    # the candidate list feeds the needed-id set and the verify probe,
+    # and its md5-heavy subtree must not re-run per consumer
+    cand = (
+        bt.join(F.broadcast(be), ["band", "band_key"])
+        .select("train_id", "eval_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    needed_t = cand.select(F.col("train_id").alias("_gid")).distinct()
+    grams_t = (
+        fan_out(train)
+        .select(F.col(id_col).alias("_gid"), F.col(text_col).alias("_t"))
+        .join(needed_t, "_gid")
+        .select(
+            F.col("_gid").alias("train_id"),
+            _token_ngrams("_t", ngram_n).alias("_ga"),
+        )
+    )
+    grams_e = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        _token_ngrams(text_col, ngram_n).alias("_gb"),
+    )
+    joined = cand.join(grams_t, "train_id").join(
+        F.broadcast(grams_e), "eval_id"
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_union("_ga", "_gb"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return joined.select("train_id", "eval_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
 
 

@@ -110,11 +110,37 @@ def near_dup_buckets(
     Scale: one shuffle keyed on (band, 16-byte band digest); bucket sizes
     are the only quadratic surface and are bounded by tuning bands×rows.
     """
-    hash_cols = [c for c in sigs.columns if c.startswith("minhash_")]
-    assert len(hash_cols) >= bands * rows_per_band, "not enough hashes for banding"
     # One struct per band, exploded from a single pass — a per-band
     # union would re-evaluate the md5-heavy signature subtree once per
     # band (measured 4x the cost at bands=4).
+    stacked = band_keys_long(sigs, id_col, bands, rows_per_band)
+    return (
+        stacked.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("bucket_size"),
+        )
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+def band_keys_long(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 2,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Long-format LSH band keys: (id, band, band_key), one row per
+    document per band. The join-ready shape for CROSS-corpus banding —
+    ``near_dup_buckets`` groups buckets within ONE corpus; matching two
+    corpora (train vs benchmark) instead equi-joins each side's band
+    keys, so the keys must be rows, not collected buckets.
+
+    Same single-pass explode as ``near_dup_buckets`` (one evaluation of
+    the md5-heavy signature subtree regardless of band count).
+    """
+    hash_cols = [c for c in sigs.columns if c.startswith("minhash_")]
+    assert len(hash_cols) >= bands * rows_per_band, "not enough hashes for banding"
     band_structs = F.array(
         *[
             F.struct(
@@ -129,16 +155,12 @@ def near_dup_buckets(
             for b in range(bands)
         ]
     )
-    stacked = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(band_structs).alias("_b")
-    ).select(F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"), F.col(id_col))
-    return (
-        stacked.groupBy("band", "band_key")
-        .agg(
-            F.sort_array(F.collect_list(id_col)).alias("ids"),
-            F.count(F.lit(1)).alias("bucket_size"),
-        )
-        .filter(F.col("bucket_size") > 1)
+    ).select(
+        F.col("_b.band").alias("band"),
+        F.col("_b.band_key").alias("band_key"),
+        F.col(id_col),
     )
 
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from cancer_survival_etl_spark.llm.curation import (
     chunk_documents,
     contamination,
+    fuzzy_contamination,
     pack_bins,
 )
 from cancer_survival_etl_spark.operators.windows import global_prefix_sum
@@ -35,6 +36,40 @@ def test_contamination_short_doc_truncated_gram(spark):
     ev = spark.createDataFrame([(2, "hello")], "doc_id long, text string")
     [r] = contamination(train, ev, n=3).collect()
     assert (r["n_grams"], r["n_contaminated"]) == (1, 1)
+
+
+def test_fuzzy_contamination_catches_paraphrase_and_skips_disjoint(spark):
+    # train doc 1 is a light edit of eval doc 100 (one word changed at
+    # the end — MinHash signatures over 5-char shingles collide on at
+    # least one band with high probability for ~0.9 shingle-Jaccard);
+    # train doc 2 shares nothing with the eval side.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(1, base + " today"), (2, "completely unrelated text here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, base + " tonight")], "doc_id long, text string"
+    )
+    rows = fuzzy_contamination(
+        train, ev, jaccard_threshold=0.3
+    ).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in rows] == [(1, 100)]
+    # 3-gram Jaccard of the pair: 11 grams each, 10 shared, union 12
+    assert abs(rows[0]["jaccard"] - 10 / 12) < 1e-5
+
+
+def test_fuzzy_contamination_identical_doc_full_jaccard(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    [r] = fuzzy_contamination(train, ev).collect()
+    assert (r["train_id"], r["eval_id"], r["jaccard"]) == (1, 9, 1.0)
 
 
 def test_chunk_documents_sizes_and_reassembly(spark):
