@@ -2308,8 +2308,9 @@ _WEB_URL_SQL = """
 
 def q_text_fuzzy_decontaminate(spark, sf_dir):
     """FUZZY benchmark decontamination: docs with doc_id % 5 == 0 play
-    the eval set; MinHash-LSH cross-banding (4 hashes, 2 bands × 2
-    rows) finds train docs whose signature collides with some eval doc,
+    the eval set; MinHash-LSH cross-banding (8 hashes, 2 bands × 4
+    rows, s* ≈ 0.84) finds train docs whose signature collides with
+    some eval doc on every hash of a band,
     then exact token-3-gram Jaccard verifies each candidate pair.
     Catches paraphrased benchmark leakage the exact n-gram check in
     ``text_decontaminate`` misses. Eval band keys and grams broadcast;
@@ -2331,6 +2332,9 @@ _FUZZY_DECONTAM_SQL = """
         SELECT doc_id, text, doc_id % 5 = 0 AS is_eval FROM documents
     ),
     sigs AS (
+        -- 8 hash functions from TWO md5 digests per shingle (seed
+        -- group 0: md5(s); group 1: md5('1|' || s)), four 8-hex
+        -- slices each — mirrors minhash_signatures(num_hashes=8)
         SELECT doc_id, is_eval,
           list_min(list_transform(
             generate_series(1, greatest(length(text) - 4, 1)),
@@ -2343,14 +2347,27 @@ _FUZZY_DECONTAM_SQL = """
             i -> substring(md5(substring(text, i, 5)), 17, 8))) AS h2,
           list_min(list_transform(
             generate_series(1, greatest(length(text) - 4, 1)),
-            i -> substring(md5(substring(text, i, 5)), 25, 8))) AS h3
+            i -> substring(md5(substring(text, i, 5)), 25, 8))) AS h3,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5('1|' || substring(text, i, 5)), 1, 8))) AS h4,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5('1|' || substring(text, i, 5)), 9, 8))) AS h5,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5('1|' || substring(text, i, 5)), 17, 8))) AS h6,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 4, 1)),
+            i -> substring(md5('1|' || substring(text, i, 5)), 25, 8))) AS h7
         FROM sides
     ),
     bandkeys AS (
         SELECT doc_id, is_eval, 0 AS band,
-               md5(concat_ws('|', h0, h1)) AS band_key FROM sigs
+               md5(concat_ws('|', h0, h1, h2, h3)) AS band_key FROM sigs
         UNION ALL
-        SELECT doc_id, is_eval, 1, md5(concat_ws('|', h2, h3)) FROM sigs
+        SELECT doc_id, is_eval, 1,
+               md5(concat_ws('|', h4, h5, h6, h7)) FROM sigs
     ),
     cand AS (
         SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id

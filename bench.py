@@ -56,6 +56,8 @@ HEADLINE = [
     "dataset_split",
     "dedup_lsh_pipeline",
     "text_decontaminate",
+    "text_fuzzy_decontaminate",
+    "web_url_dedup",
     "text_chunk",
     "text_pack_bins",
     "text_boilerplate",

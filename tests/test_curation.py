@@ -51,8 +51,11 @@ def test_fuzzy_contamination_catches_paraphrase_and_skips_disjoint(spark):
     ev = spark.createDataFrame(
         [(100, base + " tonight")], "doc_id long, text string"
     )
+    # 4 bands × 2 rows (s* = 0.5) so the single-word edit reliably
+    # collides on some band; the default 2×4 targets ~0.84 shingle
+    # similarity and is exercised by the oracle-checked driver query
     rows = fuzzy_contamination(
-        train, ev, jaccard_threshold=0.3
+        train, ev, bands=4, rows_per_band=2, jaccard_threshold=0.3
     ).collect()
     assert [(r["train_id"], r["eval_id"]) for r in rows] == [(1, 100)]
     # 3-gram Jaccard of the pair: 11 grams each, 10 shared, union 12
