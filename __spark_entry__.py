@@ -3246,6 +3246,113 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_dataset_cap_per_key(spark, sf_dir):
+    """Per-key document cap (C4-style per-host/per-source quota): keep
+    at most 3 docs per (lang, source), chosen by deterministic
+    md5(doc_id) priority so the kept subset is row-stable across runs
+    and engines. Runs the two-phase salted shape (salt_buckets=4) —
+    the configuration that survives one Zipf mega-key at 100×.
+    Operator: ``llm/sampling.py`` ``cap_per_key``."""
+    from cancer_survival_etl_spark.llm.sampling import cap_per_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return cap_per_key(
+        d, ["lang", "source"], cap=3, id_col="doc_id", salt_buckets=4
+    )
+
+
+def q_corpus_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit per corpus: log-log OLS of token frequency vs
+    rank (slope ≈ -1 on natural text; a flat slope flags synthetic or
+    templated corpora — a cheap corpus-health metric). Composes
+    ``token_frequencies`` (wordcount shape) → global rank via the
+    TWO-PHASE ``global_prefix_sum`` (a ``Window.orderBy()`` with no
+    partition would serialize the vocabulary through one task; the
+    prefix-count form range-partitions it instead — rank = exclusive
+    count of predecessors + 1 on a composite (−freq, token) sort key)
+    → round(ln, 6) → exact-integer-moment ``regression_by`` at scale
+    1e6. Ranking touches ~|vocabulary| rows (Heaps-bounded), not the
+    corpus. Round-before-moments is what makes the fit bit-stable
+    across engines."""
+    from cancer_survival_etl_spark.llm.textstats import token_frequencies
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+    from cancer_survival_etl_spark.operators.stats import regression_by
+    from cancer_survival_etl_spark.operators.windows import global_prefix_sum
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    freq = token_frequencies(d)
+    # ascending string key ≡ (n_occurrences DESC, token ASC): zero-pad
+    # the complement so lexicographic order matches numeric order
+    ord_key = F.concat(
+        F.lpad(
+            (F.lit(10**12) - F.col("n_occurrences")).cast("string"),
+            13,
+            "0",
+        ),
+        F.lit("|"),
+        F.col("token"),
+    )
+    keyed = freq.select(
+        ord_key.alias("_ord"),
+        F.col("n_occurrences"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = global_prefix_sum(keyed, "_ord", "_one", alias="_nbefore")
+    logs = ranked.select(
+        F.round(
+            F.log((F.col("_nbefore") + 1).cast("double")), 6
+        ).alias("log_rank"),
+        F.round(F.log(F.col("n_occurrences").cast("double")), 6).alias(
+            "log_freq"
+        ),
+    )
+    return regression_by(
+        logs,
+        [],
+        "log_rank",
+        "log_freq",
+        x_is_cents=False,
+        y_is_cents=False,
+        x_scale=1_000_000,
+        y_scale=1_000_000,
+    )
+
+
+_ZIPF_SQL = """
+    WITH freq AS (
+        SELECT t AS token, count(*) AS n_occurrences
+        FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT round(ln(row_number() OVER (
+                   ORDER BY n_occurrences DESC, token)), 6) AS log_rank,
+               round(ln(n_occurrences), 6) AS log_freq
+        FROM freq
+    ),
+    scaled AS (
+        SELECT CAST(round(log_rank * 1000000) AS BIGINT) AS x,
+               CAST(round(log_freq * 1000000) AS BIGINT) AS y
+        FROM ranked
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM scaled
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy)::DOUBLE /
+                 (n * sxx - sx * sx)::DOUBLE
+                 * 1000000.0 / 1000000.0, 6) AS slope,
+           round(sy::DOUBLE / n / 1000000.0
+                 - (n * sxy - sx * sy)::DOUBLE /
+                   (n * sxx - sx * sx)::DOUBLE
+                   * 1000000.0 / 1000000.0
+                   * (sx::DOUBLE / n / 1000000.0), 6) AS intercept
+    FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3346,6 +3453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
         "web_url_dedup": q_web_url_dedup,
+        "dataset_cap_per_key": q_dataset_cap_per_key,
+        "corpus_zipf_fit": q_corpus_zipf_fit,
         "graph_pagerank": q_graph_pagerank,
         "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3979,6 +4088,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fuzzy_decontaminate": _FUZZY_DECONTAM_SQL,
         "web_url_dedup": _WEB_URL_SQL,
+        "dataset_cap_per_key": """
+            SELECT doc_id, lang, source, keep_rank FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS keep_rank
+                FROM documents
+            )
+            WHERE keep_rank <= 3
+        """,
+        "corpus_zipf_fit": _ZIPF_SQL,
         "multimodal_video": """
             SELECT doc_id AS item_id, 'mp4' AS format,
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END

@@ -183,3 +183,47 @@ def weighted_hash_sample(
         .filter(F.col("_rn") <= k)
         .drop("_pri", "_rn")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    id_col: str,
+    salt_buckets: int | None = None,
+    rank_alias: str = "keep_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, deterministically — the
+    C4-style per-host page cap (and per-source / per-language quota)
+    of web-corpus curation. Priority is ``md5(id)`` with the id as a
+    tiebreak, so the kept subset is uniform over the key's rows and
+    row-stable across runs, repartitionings, and engines. The kept
+    rows carry their 1-based ``rank_alias``.
+
+    Scale: one window shuffle keyed on ``key_cols``. Hosts are
+    Zipf-distributed, so ONE mega-host can dominate a partition;
+    ``salt_buckets`` enables the two-phase shape: phase 1 caps within
+    (key, id % salt_buckets) — the mega-key's rows sort in
+    ``salt_buckets`` parallel groups, each keeping its local top-cap,
+    a strict superset of the global top-cap — and phase 2 runs the
+    exact cap on the ≤ cap × salt_buckets survivors per key. Identical
+    output, per-task work bounded by cap × salt_buckets instead of the
+    mega-key's row count.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    pri = F.md5(F.col(id_col).cast("string"))
+    out = df
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*keys, salt).orderBy(pri, F.col(id_col))
+        out = (
+            out.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= cap)
+            .drop("_rn1")
+        )
+    w2 = Window.partitionBy(*keys).orderBy(pri, F.col(id_col))
+    return out.withColumn(rank_alias, F.row_number().over(w2)).filter(
+        F.col(rank_alias) <= cap
+    )

@@ -573,3 +573,32 @@ def test_pagerank_path_graph(spark):
         for r in pagerank(edges.repartition(7), iters=3).collect()
     }
     assert out == out2
+
+
+def test_cap_per_key_exact_and_salted_identical(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.sampling import cap_per_key
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    plain = cap_per_key(d, ["lang"], cap=5, id_col="doc_id")
+    salted = cap_per_key(d, ["lang"], cap=5, id_col="doc_id", salt_buckets=4)
+    rows_p = sorted((r.lang, r.doc_id, r.keep_rank) for r in plain.collect())
+    rows_s = sorted((r.lang, r.doc_id, r.keep_rank) for r in salted.collect())
+    # two-phase salted cap must return EXACTLY the unsalted result
+    assert rows_p == rows_s
+    # cap enforced, ranks are 1..k per key
+    per_key: dict = {}
+    for lang, _doc, rank in rows_p:
+        per_key.setdefault(lang, []).append(rank)
+    for lang, ranks in per_key.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    # row-stable under repartitioning
+    rows_r = sorted(
+        (r.lang, r.doc_id, r.keep_rank)
+        for r in cap_per_key(
+            d.repartition(13), ["lang"], cap=5, id_col="doc_id"
+        ).collect()
+    )
+    assert rows_r == rows_p
