@@ -3318,6 +3318,62 @@ def q_corpus_zipf_fit(spark, sf_dir):
     )
 
 
+def q_dataset_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: SimHash near-dup pairs →
+    connected components → md5-threshold split keyed on the CLUSTER id
+    — every near-duplicate of a document lands in the same split, so
+    paraphrases can never straddle train/validation. The end-to-end
+    composition a pretraining data pipeline runs before writing
+    splits. Operators: ``llm/dedup.py`` ``simhash_near_dups`` /
+    ``dedup_clusters`` + ``llm/sampling.py`` ``leakage_safe_split``."""
+    from cancer_survival_etl_spark.llm.dedup import (
+        dedup_clusters,
+        simhash_near_dups,
+    )
+    from cancer_survival_etl_spark.llm.sampling import leakage_safe_split
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    sigs = simhash(d, "text", "doc_id", bits=32)
+    pairs = simhash_near_dups(sigs, "doc_id", max_hamming=3)
+    clusters = dedup_clusters(d, pairs)
+    return leakage_safe_split(d.select("doc_id"), clusters)
+
+
+def _leakage_split_sql() -> str:
+    # thresholds: first 4 md5 hex chars uniform over [0, 16^4);
+    # 'cccc' = floor(0.8 * 65536), 'e666' = floor(0.9 * 65536) —
+    # mirrors sampling._hex_threshold
+    return f"""
+    WITH RECURSIVE s AS ({_simhash_sql()}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'cccc' THEN 'train'
+                WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """
+
+
 _ZIPF_SQL = """
     WITH freq AS (
         SELECT t AS token, count(*) AS n_occurrences
@@ -3455,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": q_web_url_dedup,
         "dataset_cap_per_key": q_dataset_cap_per_key,
         "corpus_zipf_fit": q_corpus_zipf_fit,
+        "dataset_leakage_safe_split": q_dataset_leakage_safe_split,
         "graph_pagerank": q_graph_pagerank,
         "local_supplier_revenue": q_local_supplier_revenue,
         "min_cost_supplier": q_min_cost_supplier,
@@ -4100,6 +4157,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE keep_rank <= 3
         """,
         "corpus_zipf_fit": _ZIPF_SQL,
+        "dataset_leakage_safe_split": _leakage_split_sql(),
         "multimodal_video": """
             SELECT doc_id AS item_id, 'mp4' AS format,
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END

@@ -227,3 +227,38 @@ def cap_per_key(
     return out.withColumn(rank_alias, F.row_number().over(w2)).filter(
         F.col(rank_alias) <= cap
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "",
+    alias: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the near-dup CLUSTER id, not
+    the document id: every member of a cluster hashes to the SAME
+    split, so a paraphrase of a training document can never land in
+    validation — the eval-leakage failure mode ``hash_split`` alone
+    has once near-duplicates exist. The standard composition is
+    detector pairs → ``dedup_clusters`` → this.
+
+    ``clusters`` carries (id_col, cluster_col) — e.g. the output of
+    ``llm/dedup.py::dedup_clusters``. One equi-join on the id (both
+    sides hash-partitioned on it; broadcast if the cluster map is
+    small), then the same shuffle-free md5-threshold expression as
+    ``hash_split`` applied to the cluster id. Singleton clusters get
+    their own id, so non-duplicated docs split exactly like
+    ``hash_split`` with the cluster id as key.
+    """
+    keyed = df.join(
+        clusters.select(
+            F.col(id_col), F.col(cluster_col).alias("_ckey")
+        ),
+        id_col,
+    )
+    out = hash_split(keyed, "_ckey", train, val, salt, alias)
+    return out.drop("_ckey")

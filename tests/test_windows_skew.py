@@ -602,3 +602,39 @@ def test_cap_per_key_exact_and_salted_identical(spark, sf_dir):
         ).collect()
     )
     assert rows_r == rows_p
+
+
+def test_leakage_safe_split_coassigns_clusters(spark):
+    from cancer_survival_etl_spark.llm.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0,1,2} together, {10,11} together, rest singletons
+    cluster_of = {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+    clusters = spark.createDataFrame(
+        [(i, cluster_of.get(i, i)) for i in range(200)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(docs, clusters).collect()
+    }
+    assert len(got) == 200
+    # every cluster member shares one split
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    # singletons match plain hash_split keyed on their own id
+    plain = {
+        r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()
+    }
+    for i in range(20, 200):
+        assert got[i] == plain[i]
+    # rough 80/10/10 over 200 ids
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert c["train"] > 120 and c["val"] > 5 and c["test"] > 5
