@@ -2960,6 +2960,182 @@ _PACK_BINS_SQL = """
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 documents per query over the documents table — sparse
+    retrieval with Lucene's non-negative idf. Per-term contributions are
+    rounded to 6 dp and summed in exact integer micro-units so the score
+    (and hence the ranking) is partition- and engine-independent."""
+    from cancer_survival_etl_spark.llm.retrieval import bm25_topk
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    qs = spark.createDataFrame(
+        [(1, "spark query filter"), (2, "hash join merge"),
+         (3, "window sort stream")],
+        "query_id int, query_text string",
+    )
+    return bm25_topk(d, qs, k=10)
+
+
+_BM25_SQL = """
+    WITH queries(query_id, query_text) AS (
+        SELECT * FROM (VALUES
+            (1, 'spark query filter'), (2, 'hash join merge'),
+            (3, 'window sort stream'))
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qterms AS (
+        SELECT query_id,
+               unnest(list_distinct(string_split(query_text, ' '))) AS tok
+        FROM queries
+    ),
+    dfreq AS (
+        SELECT tok, count(*) AS df FROM tf
+        WHERE tok IN (SELECT tok FROM qterms)
+        GROUP BY tok
+    ),
+    hits AS (
+        SELECT q.query_id, t.doc_id,
+               CAST(round(
+                   (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * ((t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))))
+                   * 1000000.0, 0) AS BIGINT) AS term_micro
+        FROM tf t
+        JOIN qterms q ON t.tok = q.tok
+        JOIN dfreq d ON t.tok = d.tok
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT query_id, doc_id, sum(term_micro) AS score_micro
+        FROM hits GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id
+               ) AS rank_val
+        FROM scored
+    )
+    SELECT query_id, doc_id, score_micro / 1000000.0 AS score, rank_val
+    FROM ranked WHERE rank_val <= 10
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    """CCNet-style corpus-fit scoring: add-1 smoothed bigram LM trained
+    on the full corpus, English documents scored by average negative
+    log-likelihood per bigram (low = in-domain). Per-gram nll is micro-
+    unit-exact so the aggregate is order-free across engines."""
+    from cancer_survival_etl_spark.llm.retrieval import ngram_lm_score
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return ngram_lm_score(
+        d.filter(F.col("lang") == "en"), d, n=2, alpha=1.0
+    )
+
+
+_LM_SCORE_SQL = """
+    WITH lmpos AS (
+        SELECT l, unnest(range(1, len(l))) AS i
+        FROM (SELECT string_split(text, ' ') AS l FROM documents)
+    ),
+    lmbg AS (
+        SELECT l[i] || ' ' || l[i + 1] AS gram, l[i] AS ctx FROM lmpos
+    ),
+    cg AS (SELECT gram, count(*) AS cg FROM lmbg GROUP BY gram),
+    cc AS (SELECT ctx, count(*) AS cc FROM lmbg GROUP BY ctx),
+    v AS (SELECT count(DISTINCT l[i + 1]) + 1 AS v FROM lmpos),
+    evb AS (
+        SELECT doc_id, l[i] || ' ' || l[i + 1] AS gram, l[i] AS ctx
+        FROM (
+            SELECT doc_id, l, unnest(range(1, len(l))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents WHERE lang = 'en')
+        )
+    ),
+    scored AS (
+        SELECT e.doc_id, count(*) AS n_ngrams,
+               sum(CAST(round(
+                   (- ln((coalesce(cg.cg, 0) + 1.0)
+                         / (coalesce(cc.cc, 0) + CAST(v.v AS DOUBLE))))
+                   * 1000000.0, 0) AS BIGINT)) AS sum_micro
+        FROM evb e
+        LEFT JOIN cg ON e.gram = cg.gram
+        LEFT JOIN cc ON e.ctx = cc.ctx
+        CROSS JOIN v
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_ngrams, 0) AS n_ngrams,
+           CASE WHEN coalesce(s.n_ngrams, 0) > 0
+                THEN round(s.sum_micro / 1000000.0 / s.n_ngrams, 6)
+           END AS avg_nll
+    FROM (SELECT doc_id FROM documents WHERE lang = 'en') d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram bucket
+    distributions for target (English docs) vs the raw pool, per-doc
+    log-likelihood-ratio weight. Bucket hash is the engine-portable
+    md5-prefix idiom; log-ratios are rounded then micro-unit-summed."""
+    from cancer_survival_etl_spark.llm.retrieval import dsir_importance
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return dsir_importance(
+        d, d.filter(F.col("lang") == "en"), n_buckets=4096, alpha=1.0
+    )
+
+
+_DSIR_SQL = """
+    WITH sb AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                   % 4096 AS b
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    tb AS (
+        SELECT CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                   % 4096 AS b
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE lang = 'en')
+    ),
+    ct AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+    cs AS (SELECT b, count(*) AS cs FROM sb GROUP BY b),
+    nt AS (SELECT count(*) AS nt FROM tb),
+    ns AS (SELECT count(*) AS ns FROM sb),
+    lam AS (
+        SELECT coalesce(cs.b, ct.b) AS b,
+               round(ln(((coalesce(ct.ct, 0) + 1.0)
+                         / (nt.nt + 1.0 * 4096))
+                        / ((coalesce(cs.cs, 0) + 1.0)
+                           / (ns.ns + 1.0 * 4096))), 6) AS lam
+        FROM cs FULL JOIN ct ON cs.b = ct.b
+        CROSS JOIN nt CROSS JOIN ns
+    )
+    SELECT sb.doc_id, count(*) AS n_feats,
+           sum(CAST(round(lam.lam * 1000000.0, 0) AS BIGINT))
+               / 1000000.0 AS weight
+    FROM sb JOIN lam ON sb.b = lam.b
+    GROUP BY sb.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational breadth: multi-dimensional grouping, set ops, subqueries,
 # string aggregation, window frames, lateral explode (beyond-reference)
@@ -3519,6 +3695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "supplier_part_counts": q_supplier_part_counts,
         "excess_suppliers": q_excess_suppliers,
+        "bm25_topk": q_bm25_topk,
+        "lm_score": q_lm_score,
+        "dsir_weights": q_dsir_weights,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5147,6 +5326,9 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "text_boilerplate": _BOILERPLATE_SQL,
         "text_tfidf": _TFIDF_SQL,
+        "bm25_topk": _BM25_SQL,
+        "lm_score": _LM_SCORE_SQL,
+        "dsir_weights": _DSIR_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -109,6 +109,9 @@ HEADLINE = [
     "events_gap_fill",
     "events_scd2",
     "dataset_stratified",
+    "bm25_topk",
+    "lm_score",
+    "dsir_weights",
 ]
 
 REGRESSION_RATIO = 1.5

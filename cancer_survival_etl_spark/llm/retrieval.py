@@ -1,0 +1,316 @@
+"""Sparse retrieval and corpus-fit scoring for training-data pipelines:
+BM25 top-k search, add-alpha n-gram language-model scoring (CCNet-style
+quality signal), and DSIR hashed-n-gram importance weighting.
+
+Beyond-reference extensions (the reference — a small NHS ETL stack, see
+SURVEY.md — has no retrieval operators; these follow published public
+designs: Robertson/Sparck-Jones BM25 with Lucene's non-negative idf,
+CCNet's LM-perplexity bucketing [Wenzek et al. 2020], and DSIR
+[Xie et al. 2023] hashed-n-gram importance resampling).
+
+Scale notes
+-----------
+- BM25: the corpus side is reduced to term-frequency postings
+  (doc, token, tf) — ONE shuffle of the corpus tokens, reused for both
+  document length and document frequency. The query set is tiny by
+  definition (a retrieval batch), so its distinct terms are broadcast
+  and the postings stream through a map-side semi-join BEFORE the
+  document-frequency aggregate: df is computed only for terms some
+  query mentions, never for the full vocabulary. Per-query top-k is a
+  window over (query_id), which AQE splits per query key — no global
+  sort.
+- LM scoring: the model is (n-1-gram, n-gram) count tables from the
+  reference corpus. Natural-language vocabularies are Heaps-bounded, so
+  both tables broadcast (a 10^5-vocab bigram table observed in real
+  corpora is ~10^7 rows max, far under executor memory); flip
+  ``broadcast_model=False`` and the same plan runs as shuffle joins.
+  Scoring streams the corpus once: explode positional n-grams, two
+  hash joins, one groupBy(doc).
+- DSIR: feature space is HASHED to ``n_buckets`` (the whole point of
+  the published design — the model is a fixed-width vector independent
+  of vocabulary size). Bucket stats for target and source are two
+  tiny aggregates (≤ n_buckets rows) joined into one broadcast
+  log-ratio table; per-doc weights are one groupBy(doc) over bucket
+  counts. Nothing in the plan grows with vocabulary.
+
+Float determinism (the repo's oracle contract): every per-term /
+per-gram partial is rounded to 6 decimals and widened to an exact
+integer micro-unit (×10^6, bigint) BEFORE the additive aggregate, so
+sums are order-free and bit-identical across engines and partitionings
+— same idiom as the exact-cents money sums. Logs are taken on
+identically-constructed expressions and rounded before the widening.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _micro(x: Column) -> Column:
+    """Exact order-free additive unit: round to 6 dp, widen to bigint."""
+    return F.round(x * F.lit(1000000.0), 0).cast("long")
+
+
+def _portable_bucket(token: Column, n_buckets: int) -> Column:
+    """Engine-portable stable hash bucket: first 8 hex chars of md5 →
+    32-bit int → mod. Mirrors the DuckDB idiom
+    ``CAST(concat('0x', substring(md5(t),1,8)) AS BIGINT) % B``."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def _positional_ngrams(text_col: str, n: int) -> Column:
+    """ALL token n-grams in order (duplicates kept — this is a language
+    model's event stream, not a dedup set). Empty array for docs with
+    fewer than ``n`` tokens."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly.
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` documents per query.
+
+    Lucene's non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    the standard tf saturation ``tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+    Repeated query terms count once (bag-of-words query, set semantics —
+    the common search-engine contract). Returns
+    (query_id, doc_id, score, rank_val), rank ties broken by doc_id.
+
+    Determinism: each term's contribution is rounded to 6 dp and summed
+    in exact integer micro-units, so the score is independent of join
+    order and partitioning; ranking happens on the exact sum.
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    )
+    # (doc, token, tf) postings: the single corpus-wide shuffle, reused
+    # for dl, df, and the probe side. Checkpoint so the three consumers
+    # read materialized partials instead of re-running scan+explode.
+    tf = (
+        toks.groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    qterms = queries.select(
+        query_id_col,
+        F.explode(
+            F.array_distinct(F.split(F.col(query_text_col), " "))
+        ).alias("_tok"),
+    )
+    # df only for terms some query mentions: semi-join postings against
+    # the broadcast query-term set BEFORE the df aggregate.
+    qvocab = F.broadcast(qterms.select("_tok").distinct())
+    dfreq = (
+        tf.join(qvocab, "_tok", "left_semi")
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "_tok")
+        .join(F.broadcast(dfreq), "_tok")
+        .join(dl, id_col)
+        .select(
+            query_id_col, id_col, _micro(idf * tfnorm).alias("_term_micro")
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = hits.groupBy(query_id_col, id_col).agg(
+        F.sum("_term_micro").alias("_score_micro")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_score_micro"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("_score_micro") / F.lit(1000000.0)).alias("score"),
+            "rank_val",
+        )
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    alpha: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """CCNet-style corpus-fit scoring: train an add-``alpha`` smoothed
+    token ``n``-gram LM on ``lm_docs`` (the reference corpus) and score
+    every document in ``docs`` by average negative log-likelihood per
+    n-gram — low = in-domain fluent text, high = noise/outliers.
+    Perplexity is ``exp(avg_nll)``, monotone in the returned score.
+
+    p(w_n | w_1..w_{n-1}) = (c(gram) + α) / (c(context) + α·V), with
+    V = distinct context count in the LM corpus (+1 for unseen). Unseen
+    contexts back off to the uniform α/(α·V) floor.
+
+    Returns (id, n_ngrams, avg_nll); docs shorter than ``n`` tokens get
+    n_ngrams = 0 and NULL avg_nll.
+    """
+    grams_lm = lm_docs.select(
+        F.explode(_positional_ngrams(text_col, n)).alias("_gram")
+    ).withColumn(
+        "_ctx", F.substring_index(F.col("_gram"), " ", n - 1) if n > 1 else F.lit("")
+    )
+    gram_counts = grams_lm.groupBy("_gram").agg(
+        F.count(F.lit(1)).alias("_cg")
+    )
+    ctx_counts = grams_lm.groupBy("_ctx").agg(F.count(F.lit(1)).alias("_cc"))
+    vocab = grams_lm.select(
+        F.substring_index(F.col("_gram"), " ", -1).alias("_w")
+    ).distinct()
+    v = vocab.count() + 1  # +1 for the unseen-token mass
+
+    gmodel = F.broadcast(gram_counts) if broadcast_model else gram_counts
+    cmodel = F.broadcast(ctx_counts) if broadcast_model else ctx_counts
+
+    ev = docs.select(
+        id_col, F.explode(_positional_ngrams(text_col, n)).alias("_gram")
+    ).withColumn(
+        "_ctx", F.substring_index(F.col("_gram"), " ", n - 1) if n > 1 else F.lit("")
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("_cg"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("_cc"), F.lit(0)) + F.lit(alpha * v))
+    )
+    scored = (
+        ev.join(gmodel, "_gram", "left")
+        .join(cmodel, "_ctx", "left")
+        .select(id_col, _micro(nll).alias("_nll_micro"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("_nll_micro").alias("_sum_micro"),
+        )
+    )
+    base = docs.select(id_col).join(scored, id_col, "left")
+    return base.select(
+        id_col,
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        F.when(
+            F.coalesce(F.col("n_ngrams"), F.lit(0)) > 0,
+            F.round(
+                F.col("_sum_micro")
+                / F.lit(1000000.0)
+                / F.col("n_ngrams"),
+                6,
+            ),
+        ).alias("avg_nll"),
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights: hash every token of ``docs`` (the raw pool) and
+    ``target`` (the wanted distribution, e.g. curated text) into
+    ``n_buckets``, fit add-``alpha`` smoothed bucket distributions
+    p_target and p_source, and weight each raw document by its
+    log-likelihood ratio  Σ_b c_doc[b]·ln(p_target[b]/p_source[b]).
+
+    High weight = looks like the target. Compose with
+    ``weighted_hash_sample`` (Gumbel-style deterministic resampling) to
+    realize the published resampling step.
+
+    Returns (id, n_feats, weight): weight is the per-doc log-ratio sum
+    in exact micro-units / 10^6; n_feats the token count.
+    """
+    def buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+        ).select(_portable_bucket(F.col("_tok"), n_buckets).alias("_b"))
+
+    tgt = buckets(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    n_tgt = int(tgt.agg(F.sum("_ct")).collect()[0][0] or 0)
+    src = buckets(docs).groupBy("_b").agg(F.count(F.lit(1)).alias("_cs"))
+    n_src = int(src.agg(F.sum("_cs")).collect()[0][0] or 0)
+
+    # One broadcast log-ratio table, λ[b] rounded to 6 dp (micro-exact
+    # downstream). Buckets unseen on a side get the smoothing floor.
+    lam = (
+        src.join(tgt, "_b", "full")
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha))
+                        / F.lit(n_tgt + alpha * n_buckets)
+                    )
+                    / (
+                        (F.coalesce(F.col("_cs"), F.lit(0)) + F.lit(alpha))
+                        / F.lit(n_src + alpha * n_buckets)
+                    )
+                ),
+                6,
+            ).alias("_lam"),
+        )
+    )
+    doc_feats = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    ).select(id_col, _portable_bucket(F.col("_tok"), n_buckets).alias("_b"))
+    return (
+        doc_feats.join(F.broadcast(lam), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(
+                F.round(F.col("_lam") * F.lit(1000000.0), 0).cast("long")
+            ).alias("_w_micro"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            (F.col("_w_micro") / F.lit(1000000.0)).alias("weight"),
+        )
+    )
