@@ -3136,6 +3136,175 @@ _DSIR_SQL = """
 """
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Two-stage hybrid retrieval: BM25 candidate generation (top-50)
+    then dense cosine re-rank over candidates only, fused by
+    reciprocal-rank fusion — rank-based, so the fused score is exact
+    across engines. The dense stage never scans the full embedding
+    table."""
+    from cancer_survival_etl_spark.llm.retrieval import hybrid_search
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    e = _t(spark, sf_dir, "embeddings")
+    qdefs = spark.createDataFrame(
+        [(1, "spark query filter", 7), (2, "hash join merge", 11),
+         (3, "window sort stream", 42)],
+        "query_id int, query_text string, qvec_id long",
+    )
+    qs = qdefs.join(
+        e.select(F.col("vec_id").alias("qvec_id"),
+                 F.col("embedding").alias("query_vec")),
+        "qvec_id",
+    ).select("query_id", "query_text", "query_vec")
+    return hybrid_search(d, e, qs, k=10, n_candidates=50)
+
+
+_HYBRID_SQL = """
+    WITH queries(query_id, query_text, qvec_id) AS (
+        SELECT * FROM (VALUES
+            (1, 'spark query filter', 7), (2, 'hash join merge', 11),
+            (3, 'window sort stream', 42))
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qterms AS (
+        SELECT query_id,
+               unnest(list_distinct(string_split(query_text, ' '))) AS tok
+        FROM queries
+    ),
+    dfreq AS (
+        SELECT tok, count(*) AS df FROM tf
+        WHERE tok IN (SELECT tok FROM qterms)
+        GROUP BY tok
+    ),
+    hits AS (
+        SELECT q.query_id, t.doc_id,
+               CAST(round(
+                   (ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * ((t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))))
+                   * 1000000.0, 0) AS BIGINT) AS term_micro
+        FROM tf t
+        JOIN qterms q ON t.tok = q.tok
+        JOIN dfreq d ON t.tok = d.tok
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s
+    ),
+    cand AS (
+        SELECT query_id, doc_id, bm25_rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sum(term_micro) DESC, doc_id
+                   ) AS bm25_rank
+            FROM hits GROUP BY query_id, doc_id
+        ) WHERE bm25_rank <= 50
+    ),
+    qv AS (
+        SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+        FROM queries q JOIN embeddings e ON e.vec_id = q.qvec_id
+    ),
+    dense AS (
+        SELECT c.query_id, c.doc_id, c.bm25_rank,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], qv.qv), 6) DESC, c.doc_id
+               ) AS dense_rank
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.doc_id
+        JOIN qv ON qv.query_id = c.query_id
+    ),
+    fused AS (
+        SELECT query_id, doc_id, bm25_rank, dense_rank,
+               round(1.0 / (60 + bm25_rank)
+                     + 1.0 / (60 + dense_rank), 9) AS rrf_score
+        FROM dense
+    )
+    SELECT query_id, doc_id, bm25_rank, dense_rank, rrf_score, rank_val
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+        ) AS rank_val FROM fused
+    ) WHERE rank_val <= 10
+"""
+
+
+def q_record_linkage(spark, sf_dir):
+    """Entity resolution: blocked fuzzy customer-name pairs (block on
+    nation, Levenshtein ≤ 2 after the length-difference pre-filter) —
+    the non-quadratic record-linkage shape."""
+    from cancer_survival_etl_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey"], max_distance=2
+    )
+
+
+_LINKAGE_SQL = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS distance,
+           round(1.0 - levenshtein(a.c_name, b.c_name)
+                 / greatest(length(a.c_name), length(b.c_name)),
+                 6) AS similarity
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 2
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: merge a delta batch's agg
+    state into the base state (never rescanning the base) and prove it
+    equals the from-scratch aggregate — the oracle IS the full
+    recompute. Money summed as exact cents so the merged sum is
+    bit-identical to the recomputed one."""
+    from cancer_survival_etl_spark.operators.incremental import (
+        agg_state,
+        incremental_update,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    delta = o.filter(F.col("o_orderkey") % 7 == 0)
+    keys = ["o_orderstatus", "o_orderpriority"]
+    return incremental_update(
+        agg_state(base, keys, "cents"), delta, keys, "cents"
+    )
+
+
+_INCREMENTAL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(cents) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_val,
+           min(cents) AS min_val, max(cents) AS max_val
+    FROM (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational breadth: multi-dimensional grouping, set ops, subqueries,
 # string aggregation, window frames, lateral explode (beyond-reference)
@@ -3698,6 +3867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "lm_score": q_lm_score,
         "dsir_weights": q_dsir_weights,
+        "hybrid_search": q_hybrid_search,
+        "record_linkage": q_record_linkage,
+        "incremental_agg": q_incremental_agg,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5329,6 +5501,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "lm_score": _LM_SCORE_SQL,
         "dsir_weights": _DSIR_SQL,
+        "hybrid_search": _HYBRID_SQL,
+        "record_linkage": _LINKAGE_SQL,
+        "incremental_agg": _INCREMENTAL_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

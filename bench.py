@@ -112,6 +112,9 @@ HEADLINE = [
     "bm25_topk",
     "lm_score",
     "dsir_weights",
+    "hybrid_search",
+    "record_linkage",
+    "incremental_agg",
 ]
 
 REGRESSION_RATIO = 1.5

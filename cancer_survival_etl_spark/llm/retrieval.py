@@ -169,6 +169,95 @@ def bm25_topk(
     )
 
 
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_candidates: int = 100,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 candidate generation, dense
+    cosine re-rank over the candidates only, reciprocal-rank fusion
+    (RRF, Cormack et al. 2009: score = 1/(rrf_k + sparse_rank) +
+    1/(rrf_k + dense_rank)).
+
+    RRF is the fusion rule precisely BECAUSE it is rank-based: the two
+    retrieval scores live on incomparable scales, and ranks are exact
+    integers, so the fused score is two IEEE divisions and one add —
+    bit-identical across engines, no weight tuning, no float-sum
+    ordering concerns. Final ties broken by doc id.
+
+    Scale: BM25 narrows the corpus to ``n_candidates`` docs per query
+    BEFORE any dense work, so the embedding join touches only
+    |queries|·n_candidates rows — the standard two-stage
+    retrieve-then-rerank architecture; the dense side never scans the
+    full embedding table.
+
+    ``queries`` must carry (query_id, query_text, query_vec).
+    Returns (query_id, doc_id, bm25_rank, dense_rank, rrf_score,
+    rank_val).
+    """
+    from pyspark.sql import Window
+
+    sparse = bm25_topk(
+        docs,
+        queries,
+        text_col=text_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        k=n_candidates,
+    ).select(
+        query_id_col, id_col, F.col("rank_val").alias("bm25_rank")
+    )
+    emb = embeddings.select(
+        F.col(vec_id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("_dv"),
+    )
+    qv = queries.select(
+        query_id_col, F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    cand = sparse.join(emb, id_col).join(F.broadcast(qv), query_id_col)
+    dot = F.aggregate(
+        F.zip_with("_dv", "_qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cosine = F.round(dot / (norm(F.col("_dv")) * norm(F.col("_qv"))), 6)
+    wd = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_cos"), F.asc(id_col)
+    )
+    ranked = (
+        cand.withColumn("_cos", cosine)
+        .withColumn("dense_rank", F.row_number().over(wd))
+        .select(query_id_col, id_col, "bm25_rank", "dense_rank")
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank"))
+        + F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")),
+        9,
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        ranked.withColumn("rrf_score", rrf)
+        .withColumn("rank_val", F.row_number().over(wf))
+        .filter(F.col("rank_val") <= k)
+    )
+
+
 def ngram_lm_score(
     docs: DataFrame,
     lm_docs: DataFrame,

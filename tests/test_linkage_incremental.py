@@ -1,0 +1,114 @@
+"""Record linkage (blocked fuzzy pairs), incremental aggregate
+maintenance, and hybrid retrieval fusion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.operators.incremental import (
+    agg_state,
+    incremental_update,
+    merge_agg_state,
+)
+from cancer_survival_etl_spark.operators.linkage import (
+    block_profile,
+    blocked_fuzzy_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        (1, "jon smith", "uk"),
+        (2, "john smith", "uk"),   # dist 1 from jon smith
+        (3, "johnny smith", "uk"),  # dist 3 from jon, 2 from john
+        (4, "john smith", "us"),   # exact name, different block
+        (5, "completely different", "uk"),
+    ]
+    return spark.createDataFrame(rows, "id long, name string, country string")
+
+
+def test_blocked_fuzzy_pairs_distances_and_blocking(spark, people):
+    got = {
+        (r.id_a, r.id_b): (r.distance, r.similarity)
+        for r in blocked_fuzzy_pairs(
+            people, "id", "name", ["country"], max_distance=2
+        ).collect()
+    }
+    assert got[(1, 2)][0] == 1          # jon/john
+    assert got[(2, 3)][0] == 2          # john/jane
+    assert (1, 3) not in got            # dist 3 > threshold
+    assert (2, 4) not in got            # same name, different block
+    assert (1, 5) not in got            # length pre-filter kills it
+    assert got[(1, 2)][1] == pytest.approx(1 - 1 / 10, abs=1e-6)
+
+
+def test_block_profile_pair_surface(spark, people):
+    prof = {r.country: (r.n_records, r.n_pairs)
+            for r in block_profile(people, ["country"]).collect()}
+    assert prof["uk"] == (4, 6)
+    assert prof["us"] == (1, 0)
+
+
+def test_incremental_update_equals_full_recompute(spark):
+    rows = [(i, "g%d" % (i % 3), (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, val long")
+    base = df.filter("id % 5 != 0")
+    delta = df.filter("id % 5 = 0")
+    merged = incremental_update(
+        agg_state(base, ["grp"], "val"), delta, ["grp"], "val"
+    )
+    full = agg_state(df, ["grp"], "val")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_agg_state_handles_disjoint_keys_and_associativity(spark):
+    a = spark.createDataFrame([(1, "x", 5)], "id long, grp string, val long")
+    b = spark.createDataFrame([(2, "y", 7)], "id long, grp string, val long")
+    c = spark.createDataFrame(
+        [(3, "x", 1), (4, "y", 9)], "id long, grp string, val long"
+    )
+    sa, sb, sc = (agg_state(d, ["grp"], "val") for d in (a, b, c))
+    left = merge_agg_state(merge_agg_state(sa, sb, ["grp"]), sc, ["grp"])
+    right = merge_agg_state(sa, merge_agg_state(sb, sc, ["grp"]), ["grp"])
+    assert sorted(map(tuple, left.collect())) == sorted(
+        map(tuple, right.collect())
+    )
+    got = {r.grp: (r.cnt, r.sum_val, r.min_val, r.max_val)
+           for r in left.collect()}
+    assert got["x"] == (2, 6, 1, 5)
+    assert got["y"] == (2, 16, 7, 9)
+
+
+def test_hybrid_search_fuses_sparse_and_dense(spark):
+    from cancer_survival_etl_spark.llm.retrieval import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta delta"),
+         (2, "unrelated words entirely"), (3, "alpha epsilon zeta")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(1, "alpha beta", [1.0, 0.0])],
+        "query_id int, query_text string, query_vec array<float>",
+    )
+    rows = hybrid_search(docs, emb, qs, k=4, n_candidates=4).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # doc 2 shares no query term: BM25 never surfaces it as a candidate
+    assert 2 not in by_doc
+    # doc 0 is top in BOTH rankings -> top fused
+    top = min(rows, key=lambda r: r.rank_val)
+    assert top.doc_id == 0 and top.bm25_rank == 1 and top.dense_rank == 1
+    # fused score is the exact RRF of the two integer ranks
+    for r in rows:
+        assert r.rrf_score == pytest.approx(
+            round(1 / (60 + r.bm25_rank) + 1 / (60 + r.dense_rank), 9),
+            abs=1e-12,
+        )
