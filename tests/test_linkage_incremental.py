@@ -51,6 +51,50 @@ def test_block_profile_pair_surface(spark, people):
     assert prof["us"] == (1, 0)
 
 
+def test_fuzzy_pair_algorithms_agree_on_insert_delete_edits(spark):
+    """The three candidate-generation strategies (quadratic block,
+    PassJoin segment index, SymSpell delete variants) must produce
+    IDENTICAL pair sets — exercised with substitutions, insertions,
+    and deletions at both supported distances."""
+    from cancer_survival_etl_spark.operators.linkage import (
+        segment_fuzzy_pairs,
+        symdelete_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "annabelle", "x"),
+        (2, "anabelle", "x"),    # deletion (dist 1)
+        (3, "annabella", "x"),   # substitution (dist 1)
+        (4, "annabellle", "x"),  # insertion (dist 1)
+        (5, "anabela", "x"),     # dist 3 from annabelle
+        (6, "zzzzzzzzz", "x"),
+        (7, "annabelle", "y"),   # other block
+        (8, "ann", "x"),         # much shorter
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, country string")
+    for k in (1, 2):
+        base = sorted(map(tuple, blocked_fuzzy_pairs(
+            df, "id", "name", ["country"], k).collect()))
+        seg = sorted(map(tuple, segment_fuzzy_pairs(
+            df, "id", "name", ["country"], k).collect()))
+        sym = sorted(map(tuple, symdelete_fuzzy_pairs(
+            df, "id", "name", ["country"], k).collect()))
+        assert base == seg == sym
+        assert base  # non-vacuous: at least one pair at each k
+    ids_k1 = {(r[0], r[1]) for r in blocked_fuzzy_pairs(
+        df, "id", "name", ["country"], 1).collect()}
+    assert ids_k1 == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_symdelete_rejects_unsupported_distance(spark, people):
+    from cancer_survival_etl_spark.operators.linkage import (
+        symdelete_fuzzy_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        symdelete_fuzzy_pairs(people, "id", "name", ["country"], 3)
+
+
 def test_incremental_update_equals_full_recompute(spark):
     rows = [(i, "g%d" % (i % 3), (i * 37) % 101) for i in range(200)]
     df = spark.createDataFrame(rows, "id long, grp string, val long")
