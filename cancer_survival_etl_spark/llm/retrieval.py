@@ -111,11 +111,14 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).localCheckpoint(
+        eager=False
+    )
+    # corpus stats stay a LAZY one-row frame cross-joined broadcast —
+    # no driver collect, no extra pass over the postings
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    )
 
     qterms = queries.select(
         query_id_col,
@@ -133,18 +136,19 @@ def bm25_topk(
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     hits = (
         tf.join(F.broadcast(qterms), "_tok")
         .join(F.broadcast(dfreq), "_tok")
         .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
         .select(
             query_id_col, id_col, _micro(idf * tfnorm).alias("_term_micro")
         )
@@ -282,17 +286,29 @@ def ngram_lm_score(
     """
     grams_lm = lm_docs.select(
         F.explode(_positional_ngrams(text_col, n)).alias("_gram")
-    ).withColumn(
-        "_ctx", F.substring_index(F.col("_gram"), " ", n - 1) if n > 1 else F.lit("")
     )
-    gram_counts = grams_lm.groupBy("_gram").agg(
-        F.count(F.lit(1)).alias("_cg")
+    # ONE pass over the LM corpus: the gram histogram. Context counts
+    # and vocabulary both derive from it (Heaps-bounded rows), so
+    # training never re-scans the corpus.
+    gram_counts = (
+        grams_lm.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_cg"))
+        .localCheckpoint(eager=False)
     )
-    ctx_counts = grams_lm.groupBy("_ctx").agg(F.count(F.lit(1)).alias("_cc"))
-    vocab = grams_lm.select(
-        F.substring_index(F.col("_gram"), " ", -1).alias("_w")
-    ).distinct()
-    v = vocab.count() + 1  # +1 for the unseen-token mass
+    ctx_of = (
+        F.substring_index(F.col("_gram"), " ", n - 1) if n > 1 else F.lit("")
+    )
+    ctx_counts = gram_counts.groupBy(ctx_of.alias("_ctx")).agg(
+        F.sum("_cg").alias("_cc")
+    )
+    # +1 for the unseen-token mass; stays a lazy one-row frame
+    vsize = (
+        gram_counts.select(
+            F.substring_index(F.col("_gram"), " ", -1).alias("_w")
+        )
+        .distinct()
+        .agg((F.count(F.lit(1)) + F.lit(1)).alias("_v"))
+    )
 
     gmodel = F.broadcast(gram_counts) if broadcast_model else gram_counts
     cmodel = F.broadcast(ctx_counts) if broadcast_model else ctx_counts
@@ -304,11 +320,12 @@ def ngram_lm_score(
     )
     nll = -F.log(
         (F.coalesce(F.col("_cg"), F.lit(0)) + F.lit(alpha))
-        / (F.coalesce(F.col("_cc"), F.lit(0)) + F.lit(alpha * v))
+        / (F.coalesce(F.col("_cc"), F.lit(0)) + F.lit(alpha) * F.col("_v"))
     )
     scored = (
         ev.join(gmodel, "_gram", "left")
         .join(cmodel, "_ctx", "left")
+        .crossJoin(F.broadcast(vsize))
         .select(id_col, _micro(nll).alias("_nll_micro"))
         .groupBy(id_col)
         .agg(
@@ -359,26 +376,41 @@ def dsir_importance(
             F.explode(F.split(F.col(text_col), " ")).alias("_tok")
         ).select(_portable_bucket(F.col("_tok"), n_buckets).alias("_b"))
 
-    tgt = buckets(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
-    n_tgt = int(tgt.agg(F.sum("_ct")).collect()[0][0] or 0)
-    src = buckets(docs).groupBy("_b").agg(F.count(F.lit(1)).alias("_cs"))
-    n_src = int(src.agg(F.sum("_cs")).collect()[0][0] or 0)
+    # Bucket histograms are ≤ n_buckets rows; totals derive from them
+    # as lazy one-row frames — no driver collect, each corpus scanned
+    # exactly once.
+    tgt = (
+        buckets(target)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .localCheckpoint(eager=False)
+    )
+    src = (
+        buckets(docs)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cs"))
+        .localCheckpoint(eager=False)
+    )
+    nt = tgt.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+    ns = src.agg(F.coalesce(F.sum("_cs"), F.lit(0)).alias("_ns"))
 
     # One broadcast log-ratio table, λ[b] rounded to 6 dp (micro-exact
     # downstream). Buckets unseen on a side get the smoothing floor.
     lam = (
         src.join(tgt, "_b", "full")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
         .select(
             "_b",
             F.round(
                 F.log(
                     (
                         (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha))
-                        / F.lit(n_tgt + alpha * n_buckets)
+                        / (F.col("_nt") + F.lit(alpha * n_buckets))
                     )
                     / (
                         (F.coalesce(F.col("_cs"), F.lit(0)) + F.lit(alpha))
-                        / F.lit(n_src + alpha * n_buckets)
+                        / (F.col("_ns") + F.lit(alpha * n_buckets))
                     )
                 ),
                 6,
