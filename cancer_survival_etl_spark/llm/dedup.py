@@ -225,14 +225,57 @@ def ngram_jaccard_pairs(
             "_block", id_col, "_ng", F.xxhash64("_gram").alias("_gram")
         )
     if max_doc_freq is not None:
-        freq = postings.groupBy("_block", "_gram").agg(
-            F.count(F.lit(1)).alias("_dfreq")
+        # With the stopgram cut every surviving posting list is ≤
+        # max_doc_freq entries, so pairs can be generated IN-ARRAY from
+        # one groupBy — no doc-freq join-back, no posting self-join, no
+        # second shuffle. Lists of 1 produce no pairs and are dropped
+        # with the over-frequent ones in the same filter. One shuffle
+        # (the gram groupBy) replaces the self-join plan's three.
+        lists = (
+            postings.groupBy("_block", "_gram")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("_id"),
+                            F.col("_ng").alias("_n"),
+                        )
+                    )
+                ).alias("_l")
+            )
+            .filter(
+                (F.size("_l") >= 2) & (F.size("_l") <= max_doc_freq)
+            )
         )
-        postings = (
-            postings.join(
-                freq.filter(F.col("_dfreq") <= max_doc_freq),
-                ["_block", "_gram"],
-            ).drop("_dfreq")
+        sz = F.size("_l")
+        combos = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), sz - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, sz),
+                    lambda j: F.struct(
+                        F.element_at(F.col("_l"), i)["_id"].alias("id_a"),
+                        F.element_at(F.col("_l"), j)["_id"].alias("id_b"),
+                        F.element_at(F.col("_l"), i)["_n"].alias("_na"),
+                        F.element_at(F.col("_l"), j)["_n"].alias("_nb"),
+                    ),
+                ),
+            )
+        )
+        shared = (
+            lists.select(F.explode(combos).alias("_p"))
+            .select("_p.id_a", "_p.id_b", "_p._na", "_p._nb")
+            .groupBy("id_a", "id_b", "_na", "_nb")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+        jaccard = F.col("_shared").cast("double") / (
+            F.col("_na") + F.col("_nb") - F.col("_shared")
+        ).cast("double")
+        return (
+            shared.select(
+                "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
     # materialize the narrow postings once: the self-join below would
     # otherwise evaluate scan → n-gram transform → explode → hash TWICE
