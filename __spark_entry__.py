@@ -3136,6 +3136,99 @@ _DSIR_SQL = """
 """
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Rolling-MAD robust anomaly detection per user over event values
+    (cents-exact): flag when |value − rolling median| > 3 × rolling MAD.
+    All-integer order statistics (med2/dev2/mad4 encoding), so the flag
+    is bit-exact on any engine — no float epsilon."""
+    from cancer_survival_etl_spark.operators.timeseries import anomaly_mad
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return anomaly_mad(
+        e, "user_id", "ts", "cents", "event_id", window_size=25, k=3
+    )
+
+
+_ANOMALY_SQL = """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    win AS (
+        SELECT user_id, ts, event_id, cents,
+               list_sort(list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS arr
+        FROM e
+    ),
+    m AS (
+        SELECT *, len(arr) AS n_window,
+               arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2] AS med2
+        FROM win
+    ),
+    d AS (
+        SELECT *,
+               list_sort(list_transform(arr, x -> abs(x * 2 - med2)))
+                   AS darr,
+               abs(cents * 2 - med2) AS dev2
+        FROM m
+    )
+    SELECT user_id, ts, event_id, cents, n_window, med2, dev2,
+           darr[(len(darr) + 1) // 2] + darr[(len(darr) + 2) // 2] AS mad4,
+           (n_window >= 25 AND
+            (dev2 * 2) > (3 * (darr[(len(darr) + 1) // 2]
+                               + darr[(len(darr) + 2) // 2])))
+               AS is_anomaly
+    FROM d
+"""
+
+
+def q_stats_psi_drift(spark, sf_dir):
+    """PSI drift between two order cohorts' price-bucket distributions
+    (model-monitoring statistic). Laplace-smoothed over the union of
+    observed buckets; per-bucket contributions rounded to 6 dp."""
+    from cancer_survival_etl_spark.operators.stats import psi_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 50000).alias("price_bucket"),
+    )
+    ref = o.filter(F.col("o_orderkey") % 3 != 0)
+    cur = o.filter(F.col("o_orderkey") % 3 == 0)
+    return psi_drift(ref, cur, "price_bucket", alpha=0.5)
+
+
+_PSI_SQL = """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+        FROM orders
+    ),
+    r AS (SELECT bucket, count(*) AS n_ref FROM o
+          WHERE o_orderkey % 3 <> 0 GROUP BY bucket),
+    c AS (SELECT bucket, count(*) AS n_cur FROM o
+          WHERE o_orderkey % 3 = 0 GROUP BY bucket),
+    j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket, n_ref, n_cur
+          FROM r FULL JOIN c ON r.bucket = c.bucket),
+    nr AS (SELECT count(*) AS nr FROM o WHERE o_orderkey % 3 <> 0),
+    nc AS (SELECT count(*) AS nc FROM o WHERE o_orderkey % 3 = 0),
+    nb AS (SELECT count(*) AS nb FROM j)
+    SELECT bucket,
+           coalesce(n_ref, 0) AS n_ref,
+           coalesce(n_cur, 0) AS n_cur,
+           round(((coalesce(n_cur, 0) + 0.5) / (nc.nc + 0.5 * nb.nb)
+                  - (coalesce(n_ref, 0) + 0.5) / (nr.nr + 0.5 * nb.nb))
+                 * ln(((coalesce(n_cur, 0) + 0.5) / (nc.nc + 0.5 * nb.nb))
+                      / ((coalesce(n_ref, 0) + 0.5)
+                         / (nr.nr + 0.5 * nb.nb))), 6) AS psi_contrib
+    FROM j CROSS JOIN nr CROSS JOIN nc CROSS JOIN nb
+"""
+
+
 def q_hybrid_search(spark, sf_dir):
     """Two-stage hybrid retrieval: BM25 candidate generation (top-50)
     then dense cosine re-rank over candidates only, fused by
@@ -3873,6 +3966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "record_linkage": q_record_linkage,
         "incremental_agg": q_incremental_agg,
+        "events_anomaly": q_events_anomaly,
+        "stats_psi_drift": q_stats_psi_drift,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5507,6 +5602,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _HYBRID_SQL,
         "record_linkage": _LINKAGE_SQL,
         "incremental_agg": _INCREMENTAL_SQL,
+        "events_anomaly": _ANOMALY_SQL,
+        "stats_psi_drift": _PSI_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -115,6 +115,8 @@ HEADLINE = [
     "hybrid_search",
     "record_linkage",
     "incremental_agg",
+    "events_anomaly",
+    "stats_psi_drift",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -233,3 +233,56 @@ def histogram_by(
             "n",
         )
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    bucket_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index drift detection between a reference
+    and a current snapshot of a bucketed feature:
+    PSI = Σ_b (p_cur[b] − p_ref[b]) · ln(p_cur[b] / p_ref[b]) — the
+    standard model-monitoring statistic (> 0.25 ≈ major shift).
+
+    Laplace-``alpha`` smoothing over the UNION of observed buckets
+    keeps one-sided buckets finite: p = (n_b + α) / (N + α·B), with B
+    the distinct bucket count across both snapshots — computed lazily
+    (one-row cross join), never collected. Per-bucket contributions are
+    rounded to 6 dp; the caller sums them (exact micro-units) for the
+    headline number.
+
+    Scale: two bucket histograms (map-side combined, ≤ B rows each),
+    one full-outer join on bucket, one broadcast of the three scalar
+    frames. Nothing scales with row count but the two scans.
+    """
+    r = ref.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    c = cur.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    joined = r.join(c, "bucket", "full_outer").localCheckpoint(eager=False)
+    nr = ref.agg(F.count(F.lit(1)).alias("_nr"))
+    nc = cur.agg(F.count(F.lit(1)).alias("_nc"))
+    nb = joined.agg(F.count(F.lit(1)).alias("_nb"))
+    p_ref = (F.coalesce("n_ref", F.lit(0)) + F.lit(alpha)) / (
+        F.col("_nr") + F.lit(alpha) * F.col("_nb")
+    )
+    p_cur = (F.coalesce("n_cur", F.lit(0)) + F.lit(alpha)) / (
+        F.col("_nc") + F.lit(alpha) * F.col("_nb")
+    )
+    return (
+        joined.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.round(
+                (p_cur - p_ref) * F.log(p_cur / p_ref), 6
+            ).alias("psi_contrib"),
+        )
+    )

@@ -288,3 +288,93 @@ def funnel_stages(
     return df.groupBy(key_col).agg(folded.alias("_f")).select(
         key_col, *[F.col(f"_f.{nm}").alias(nm) for nm in names]
     )
+
+
+def anomaly_mad(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak_col: str,
+    window_size: int = 25,
+    k: int = 3,
+) -> DataFrame:
+    """Robust rolling-window anomaly detection: flag a point when its
+    deviation from the rolling MEDIAN exceeds ``k`` × the rolling MAD
+    (median absolute deviation) — the standard outlier rule that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers it is
+    trying to find.
+
+    EXACT integer arithmetic end-to-end (``value_col`` must be integral,
+    e.g. cents): med2 = sum of the two middle order statistics
+    (= 2·median exactly, odd or even n), dev2 = |2·value − med2|
+    (= 2·|value − median|), mad4 = med2 of the dev2 array (= 4·MAD).
+    The flag is ``2·dev2 > k·mad4`` ⇔ |value − median| > k·MAD — all
+    bigint compares, bit-identical on any engine, no float epsilon.
+
+    Scale: one window per key ordered by (ts, tiebreak); the collected
+    window is ``window_size`` values (a constant), so per-row state is
+    bounded and the whole operator is one shuffle on the key. Rows with
+    fewer than ``window_size`` points so far (warm-up) are never
+    flagged (``is_anomaly`` false; ``n_window`` tells you why).
+    Returns input keys plus (n_window, med2, dev2, mad4, is_anomaly).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_tiebreak_col))
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+
+    def med2(a):
+        n = F.size(a)
+        lo = F.element_at(a, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(a, ((n + 2) / 2).cast("int"))
+        return lo + hi
+
+    out = df.select(
+        key_col,
+        ts_col,
+        order_tiebreak_col,
+        value_col,
+        arr.alias("_arr"),
+    )
+    out = out.select(
+        key_col,
+        ts_col,
+        order_tiebreak_col,
+        value_col,
+        F.size("_arr").alias("n_window"),
+        med2(F.col("_arr")).alias("med2"),
+        F.col("_arr").alias("_arr"),
+    )
+    dev_arr = F.array_sort(
+        F.transform(
+            F.col("_arr"),
+            lambda x: F.abs(x * 2 - F.col("med2")),
+        )
+    )
+    out = out.select(
+        key_col,
+        ts_col,
+        order_tiebreak_col,
+        value_col,
+        "n_window",
+        "med2",
+        med2(dev_arr).alias("mad4"),
+        (F.abs(F.col(value_col) * 2 - F.col("med2")) ).alias("dev2"),
+    )
+    flag = (F.col("n_window") >= window_size) & (
+        (F.col("dev2") * 2) > (F.lit(k) * F.col("mad4"))
+    )
+    return out.select(
+        key_col,
+        ts_col,
+        order_tiebreak_col,
+        value_col,
+        "n_window",
+        "med2",
+        "dev2",
+        "mad4",
+        flag.alias("is_anomaly"),
+    )

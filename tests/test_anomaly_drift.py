@@ -1,0 +1,77 @@
+"""Rolling-MAD anomaly detection and PSI drift detection."""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.operators.stats import psi_drift
+from cancer_survival_etl_spark.operators.timeseries import anomaly_mad
+
+
+def test_anomaly_mad_matches_python_reference(spark):
+    vals = [10, 11, 12, 10, 11, 100, 12, 11, 10, 11, 9, 12, 50, 11]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, t long, v long"
+    )
+    got = {r.t: r for r in anomaly_mad(
+        df, "k", "t", "v", "t", window_size=5, k=3).collect()}
+    for i, v in enumerate(vals):
+        w = sorted(vals[max(0, i - 4): i + 1])
+        med = statistics.median(w)
+        mad = statistics.median(sorted(abs(x - med) for x in w))
+        r = got[i]
+        assert r.med2 == int(2 * med)
+        assert r.mad4 == int(4 * mad)
+        assert r.dev2 == abs(2 * v - int(2 * med))
+        expected = len(w) >= 5 and abs(v - med) > 3 * mad
+        assert r.is_anomaly == expected, (i, v)
+    # the two injected spikes are the only flags
+    assert {t for t, r in got.items() if r.is_anomaly} == {5, 12}
+
+
+def test_anomaly_mad_constant_series_never_flags(spark):
+    df = spark.createDataFrame(
+        [(1, i, 7) for i in range(30)], "k long, t long, v long"
+    )
+    rows = anomaly_mad(df, "k", "t", "v", "t", window_size=5, k=3).collect()
+    assert all(not r.is_anomaly for r in rows)
+    assert all(r.mad4 == 0 for r in rows)
+
+
+def test_anomaly_mad_keys_are_independent(spark):
+    rows = [(1, i, 10) for i in range(10)] + [(2, i, 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    out = anomaly_mad(df, "k", "t", "v", "t", window_size=5, k=3)
+    # neither key sees the other's level as anomalous
+    assert all(not r.is_anomaly for r in out.collect())
+
+
+def test_psi_drift_matches_python_reference(spark):
+    ref_rows = [(i, i % 5) for i in range(300)]
+    cur_rows = [(i, (i * 7) % 6) for i in range(200)]  # bucket 5 appears
+    ref = spark.createDataFrame(ref_rows, "id long, b long")
+    cur = spark.createDataFrame(cur_rows, "id long, b long")
+    got = {r.bucket: r for r in psi_drift(ref, cur, "b", alpha=0.5).collect()}
+    n_ref, n_cur = {}, {}
+    for _, b in ref_rows:
+        n_ref[b] = n_ref.get(b, 0) + 1
+    for _, b in cur_rows:
+        n_cur[b] = n_cur.get(b, 0) + 1
+    buckets = set(n_ref) | set(n_cur)
+    nb, nr, nc = len(buckets), len(ref_rows), len(cur_rows)
+    for b in buckets:
+        pr = (n_ref.get(b, 0) + 0.5) / (nr + 0.5 * nb)
+        pc = (n_cur.get(b, 0) + 0.5) / (nc + 0.5 * nb)
+        assert got[b].n_ref == n_ref.get(b, 0)
+        assert got[b].n_cur == n_cur.get(b, 0)
+        assert got[b].psi_contrib == pytest.approx(
+            round((pc - pr) * math.log(pc / pr), 6), abs=1e-9
+        )
+    # identical distributions -> PSI ~ 0
+    same = psi_drift(ref, ref, "b", alpha=0.5)
+    total = same.agg(F.sum("psi_contrib")).collect()[0][0]
+    assert total == pytest.approx(0.0, abs=1e-6)
