@@ -441,3 +441,129 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 1500  # dups suppressed by restored state
     assert got.select("event_id").distinct().count() == 1500
+
+
+def test_transform_with_state_ema_spikes(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas over a real micro-batch run:
+    the final per-user emission (EMA, spike count) must equal the
+    batch fold of the full history in (ts, event_id) order —
+    batching-independence is the contract the processor documents."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        running_ema_batch,
+        running_ema_spikes,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_ema_spikes(src, alpha=0.2, spike_ratio=2.0)
+            .writeStream.format("memory")
+            .queryName("tws_ema_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) AS n_events,
+                  max_by(ema, n_events) AS ema,
+                  max_by(last_value, n_events) AS last_value,
+                  max_by(n_spikes, n_events) AS n_spikes
+           FROM tws_ema_test GROUP BY user_id"""
+    ).toPandas()
+    assert len(out) > 0
+    batch_events = load_table(spark, sf_dir, "events")
+    expect = running_ema_batch(batch_events, alpha=0.2, spike_ratio=2.0)
+    got = {
+        int(r.user_id): (int(r.n_events), r.ema, r.last_value, int(r.n_spikes))
+        for r in out.itertuples()
+    }
+    want = {
+        int(r.user_id): (int(r.n_events), r.ema, r.last_value, int(r.n_spikes))
+        for r in expect.itertuples()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        gn, ge, gl, gs = got[uid]
+        wn, we, wl, ws = want[uid]
+        assert (gn, gs) == (wn, ws), uid
+        assert abs(ge - we) < 1e-9 and abs(gl - wl) < 1e-9, uid
+
+
+def test_ema_processor_logic_matches_batch_reference(spark, sf_dir):
+    """Pin EmaSpikeProcessor's fold directly (fake state handle, no
+    streaming runtime — the sandbox lacks protobuf for the state-server
+    protocol): feeding the per-user history in two arbitrary slices
+    must reproduce the batch reference exactly, including the
+    cumulative spike count — the batching-independence contract."""
+    import pandas as pd
+
+    from cancer_survival_etl_spark.streaming.tws import (
+        EmaSpikeProcessor,
+        running_ema_batch,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    events = load_table(spark, sf_dir, "events")
+    expect = running_ema_batch(events, alpha=0.2, spike_ratio=2.0)
+    pdf = (
+        events.select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, grp in list(pdf.groupby("user_id"))[:10]:
+        proc = EmaSpikeProcessor(alpha=0.2, spike_ratio=2.0)
+        proc._state = FakeState()
+        cut = max(1, len(grp) // 3)
+        out = None
+        # shuffle each slice's row order: the processor must re-sort
+        for chunk in (grp.iloc[:cut], grp.iloc[cut:]):
+            if len(chunk) == 0:
+                continue
+            shuffled = chunk.sample(frac=1.0, random_state=42)
+            out = list(
+                proc.handleInputRows((uid,), iter([shuffled]), None)
+            )[-1]
+        want = expect[expect.user_id == uid].iloc[0]
+        assert int(out["n_events"].iloc[0]) == int(want.n_events)
+        assert abs(float(out["ema"].iloc[0]) - want.ema) < 1e-12
+        assert int(out["n_spikes"].iloc[0]) == int(want.n_spikes)
+        assert abs(float(out["last_value"].iloc[0]) - want.last_value) < 1e-12
