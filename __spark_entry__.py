@@ -2418,6 +2418,44 @@ _DECONTAM_SQL = """
 """
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Decontamination via a pure-DataFrame Bloom prefilter + exact
+    verify — the eval-set-too-big-to-broadcast configuration. Output is
+    identical to the exact operator (the filter only prunes; no false
+    negatives), so the oracle is the exact contamination SQL."""
+    from cancer_survival_etl_spark.llm.curation import bloom_decontaminate
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(
+        train, ev, "text", "doc_id", n=3, n_bits=1 << 18, k=4
+    )
+
+
+_BLOOM_DECONTAM_SQL = """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS g
+        FROM tok, unnest(generate_series(1,
+                 greatest(len(t) - 2, 1))) AS s(i)
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+    SELECT tr.doc_id,
+           count(*) AS n_grams,
+           count(ev.g) AS n_contaminated,
+           round(count(ev.g)::DOUBLE / count(*), 6) AS contamination_ratio,
+           count(ev.g) > 0 AS is_contaminated
+    FROM tr LEFT JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+"""
+
+
 def q_text_chunk(spark, sf_dir):
     """Context-window chunking: split each doc into consecutive 32-token
     chunks (id, chunk_id, chunk_text, n_tokens). Narrow transform — no
@@ -3968,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "events_anomaly": q_events_anomaly,
         "stats_psi_drift": q_stats_psi_drift,
+        "bloom_decontaminate": q_bloom_decontaminate,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5604,6 +5643,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg": _INCREMENTAL_SQL,
         "events_anomaly": _ANOMALY_SQL,
         "stats_psi_drift": _PSI_SQL,
+        "bloom_decontaminate": _BLOOM_DECONTAM_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

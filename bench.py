@@ -117,6 +117,7 @@ HEADLINE = [
     "incremental_agg",
     "events_anomaly",
     "stats_psi_drift",
+    "bloom_decontaminate",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -84,6 +84,107 @@ def contamination(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """``contamination`` for eval sets too large to broadcast exactly:
+    a Bloom-filter prefilter built in PURE DataFrame ops, followed by an
+    exact verify — output is IDENTICAL to ``contamination`` (the filter
+    only prunes; no false negatives by construction), which is what the
+    oracle checks.
+
+    Build: each eval gram sets ``k`` bit positions (independent
+    xxhash64 seeds); the filter is the ``bit_or`` aggregate of 64-bit
+    words keyed by word index — ≤ n_bits/64 rows total (a 1-Gbit
+    filter is 16M rows ≈ 256 MB, broadcastable where the raw gram set
+    is not; the gram set itself would be TBs at that point). Probe:
+    corpus grams explode their k (word, mask) probes, hash-join the
+    broadcast word table, and survive only if ALL k bits are set.
+    Exact verify: only the bloom-positive grams (true matches +
+    ~(1−e^{−kn/m})^k false-positive rate of the corpus gram volume)
+    enter the shuffle join against the deduped 8-byte eval hash set.
+    The corpus never shuffles its raw grams anywhere.
+    """
+    n_words = n_bits // 64
+
+    def positions(grams: DataFrame) -> DataFrame:
+        probes = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda i: F.pmod(F.xxhash64("_gk", i), F.lit(n_bits)),
+            )
+        )
+        return grams.select("*", probes.alias("_pos")).select(
+            "*",
+            (F.col("_pos") / 64).cast("long").alias("_word"),
+            # pyspark's shiftleft() only takes a literal shift — the
+            # column-shift form needs the SQL expression
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_mask"),
+        )
+
+    ev = eval_df.select(
+        F.explode(_token_ngrams(text_col, n)).alias("_gram")
+    ).select(F.xxhash64("_gram").alias("_gk"))
+    ev_hashes = ev.distinct().localCheckpoint(eager=False)
+    bloom = (
+        positions(ev_hashes)
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+        .localCheckpoint(eager=False)
+    )
+
+    grams = train.select(
+        id_col, F.explode(_token_ngrams(text_col, n)).alias("_gram")
+    ).select(id_col, F.xxhash64("_gram").alias("_gk"))
+    probed = (
+        positions(grams)
+        .join(F.broadcast(bloom), "_word", "left")
+        .select(
+            id_col,
+            "_gk",
+            (
+                F.col("_bits").isNotNull()
+                & (
+                    F.col("_bits").bitwiseAND(F.col("_mask"))
+                    == F.col("_mask")
+                )
+            ).cast("int").alias("_hit"),
+        )
+        .groupBy(id_col, "_gk")
+        .agg(F.sum("_hit").alias("_hits"))
+    )
+    candidates = probed.filter(F.col("_hits") == k).select(id_col, "_gk")
+    verified = candidates.join(
+        ev_hashes.withColumn("_match", F.lit(1)), "_gk", "left"
+    )
+    per_doc_matches = verified.groupBy(id_col).agg(
+        F.count("_match").alias("n_contaminated")
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(per_doc_matches, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination_ratio"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def fuzzy_contamination(
     train: DataFrame,
     eval_df: DataFrame,

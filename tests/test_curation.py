@@ -177,3 +177,26 @@ def test_chunk_documents_overlapping_stride(spark):
     assert [r["chunk_text"] for r in rows] == ["t0 t1 t2", "t2 t3 t4", "t4"]
     # every token appears in some chunk; consecutive chunks overlap by 1
     assert [r["n_tokens"] for r in rows] == [3, 3, 1]
+
+
+def test_bloom_decontaminate_identical_to_exact(spark, sf_dir):
+    """The Bloom prefilter must be output-invisible: identical results
+    to the exact operator even with a deliberately SATURATED tiny
+    filter (every false positive must die in the exact verify), and
+    with a roomy filter (false negatives impossible by construction)."""
+    from cancer_survival_etl_spark.llm.curation import (
+        bloom_decontaminate,
+        contamination,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter("doc_id % 5 != 0")
+    ev = d.filter("doc_id % 5 = 0")
+    exact = sorted(map(tuple, contamination(train, ev, n=3).collect()))
+    roomy = sorted(map(tuple, bloom_decontaminate(
+        train, ev, n=3, n_bits=1 << 18, k=4).collect()))
+    saturated = sorted(map(tuple, bloom_decontaminate(
+        train, ev, n=3, n_bits=1 << 9, k=2).collect()))
+    assert exact == roomy == saturated
+    assert len(exact) > 0
