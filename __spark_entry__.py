@@ -2456,6 +2456,51 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_hierarchy_closure(spark, sf_dir):
+    """Ancestor closure of the customer→nation→region hierarchy via
+    pointer doubling (log-depth self-join rounds). Oracle is DuckDB's
+    WITH RECURSIVE walk of the same parent table — same triples."""
+    from cancer_survival_etl_spark.operators.graph import ancestor_closure
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        (F.col("c_nationkey") + F.lit(1_000_000)).alias("parent"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + F.lit(1_000_000)).alias("node"),
+        (F.col("n_regionkey") + F.lit(2_000_000)).alias("parent"),
+    )
+    r = _t(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + F.lit(2_000_000)).alias("node"),
+        F.lit(None).cast("long").alias("parent"),
+    )
+    parents = c.unionByName(n).unionByName(r)
+    return ancestor_closure(parents, "node", "parent", max_depth=8)
+
+
+_HIERARCHY_SQL = """
+    WITH RECURSIVE parents AS (
+        SELECT c_custkey AS node, c_nationkey + 1000000 AS parent
+        FROM customer
+        UNION ALL
+        SELECT n_nationkey + 1000000 AS node,
+               n_regionkey + 2000000 AS parent
+        FROM nation
+        UNION ALL
+        SELECT r_regionkey + 2000000 AS node, NULL AS parent FROM region
+    ),
+    anc AS (
+        SELECT node, parent AS ancestor, 1 AS depth
+        FROM parents WHERE parent IS NOT NULL
+        UNION ALL
+        SELECT a.node, p.parent AS ancestor, a.depth + 1 AS depth
+        FROM anc a JOIN parents p ON a.ancestor = p.node
+        WHERE p.parent IS NOT NULL AND a.depth < 8
+    )
+    SELECT node, ancestor, depth FROM anc
+"""
+
+
 def q_text_chunk(spark, sf_dir):
     """Context-window chunking: split each doc into consecutive 32-token
     chunks (id, chunk_id, chunk_text, n_tokens). Narrow transform — no
@@ -4007,6 +4052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "stats_psi_drift": q_stats_psi_drift,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "hierarchy_closure": q_hierarchy_closure,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5644,6 +5690,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": _ANOMALY_SQL,
         "stats_psi_drift": _PSI_SQL,
         "bloom_decontaminate": _BLOOM_DECONTAM_SQL,
+        "hierarchy_closure": _HIERARCHY_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -118,6 +118,7 @@ HEADLINE = [
     "events_anomaly",
     "stats_psi_drift",
     "bloom_decontaminate",
+    "hierarchy_closure",
 ]
 
 REGRESSION_RATIO = 1.5

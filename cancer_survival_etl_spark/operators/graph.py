@@ -197,3 +197,57 @@ def pagerank(
                 .localCheckpoint(eager=False)
             )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def ancestor_closure(
+    parents: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Transitive ancestor closure of a parent-pointer hierarchy
+    (org charts, BOMs, category trees): (node, ancestor, depth) for
+    every ancestor up to ``max_depth`` levels above the node.
+
+    Pointer DOUBLING, not level-at-a-time walking: round i joins the
+    closure-so-far with itself, so paths up to 2^i are covered after i
+    rounds — ceil(log2(max_depth)) self-joins instead of max_depth
+    (a 64-deep BOM needs 6 rounds, not 64). In a tree every (node,
+    ancestor) pair has a unique path, but a length-d path splits as
+    d1+d2 in several ways, so each round dedupes on the full triple.
+    Rows with NULL parent are roots and simply emit nothing.
+
+    Scale: each round is one equi-join of (node, ancestor, depth)
+    triples — the closure's own size (Σ node depths) bounds the work;
+    lineage is checkpoint-truncated per round like every iterative
+    plan in this repo.
+    """
+    direct = (
+        parents.filter(F.col(parent_col).isNotNull())
+        .select(
+            F.col(id_col).alias("node"),
+            F.col(parent_col).alias("ancestor"),
+            F.lit(1).alias("depth"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    closure = direct
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        hop = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                F.col("a.ancestor") == F.col("b.node"),
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.ancestor").alias("ancestor"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+            .filter(F.col("depth") <= max_depth)
+        )
+        closure = (
+            closure.unionByName(hop).distinct().localCheckpoint(eager=False)
+        )
+    return closure

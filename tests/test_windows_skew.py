@@ -638,3 +638,30 @@ def test_leakage_safe_split_coassigns_clusters(spark):
 
     c = Counter(got.values())
     assert c["train"] > 120 and c["val"] > 5 and c["test"] > 5
+
+
+def test_ancestor_closure_deep_chain_and_forest(spark):
+    """Pointer doubling must produce exactly the (node, ancestor, depth)
+    triples of a recursive walk — exercised on a 9-deep chain (needing
+    multiple doubling rounds), a branching tree, and a disjoint root."""
+    from cancer_survival_etl_spark.operators.graph import ancestor_closure
+
+    rows = [(i, i + 1) for i in range(1, 9)]          # chain 1->2->...->9
+    rows += [(20, 22), (21, 22), (22, None), (9, None)]  # small tree+roots
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = sorted(
+        (r.node, r.ancestor, r.depth)
+        for r in ancestor_closure(df, max_depth=16).collect()
+    )
+    want = []
+    parent = dict((n, p) for n, p in rows if p is not None)
+    for n, _ in rows:
+        a, d = parent.get(n), 1
+        while a is not None:
+            want.append((n, a, d))
+            a, d = parent.get(a), d + 1
+    assert got == sorted(want)
+    # max_depth truncates: depth-2 cap on the 9-chain
+    capped = ancestor_closure(df, max_depth=2).collect()
+    assert max(r.depth for r in capped) == 2
+    assert all(r.depth <= 2 for r in capped)
