@@ -2456,6 +2456,29 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle: dense 0-based epoch
+    positions as the rank of md5(id) — reproducible training order on
+    any engine/partitioning; two-phase prefix count, no single-task
+    global window."""
+    from cancer_survival_etl_spark.llm.sampling import corpus_shuffle
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return corpus_shuffle(d, "doc_id", salt="epoch1").select(
+        "doc_id", "lang", "shuffle_pos"
+    )
+
+
+_CORPUS_SHUFFLE_SQL = """
+    SELECT doc_id, lang,
+           row_number() OVER (
+               ORDER BY md5('epoch1' || doc_id::VARCHAR)
+           ) - 1 AS shuffle_pos
+    FROM documents
+"""
+
+
 def q_hierarchy_closure(spark, sf_dir):
     """Ancestor closure of the customer→nation→region hierarchy via
     pointer doubling (log-depth self-join rounds). Oracle is DuckDB's
@@ -4053,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_psi_drift": q_stats_psi_drift,
         "bloom_decontaminate": q_bloom_decontaminate,
         "hierarchy_closure": q_hierarchy_closure,
+        "corpus_shuffle": q_corpus_shuffle,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5691,6 +5715,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_psi_drift": _PSI_SQL,
         "bloom_decontaminate": _BLOOM_DECONTAM_SQL,
         "hierarchy_closure": _HIERARCHY_SQL,
+        "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

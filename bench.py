@@ -119,6 +119,7 @@ HEADLINE = [
     "stats_psi_drift",
     "bloom_decontaminate",
     "hierarchy_closure",
+    "corpus_shuffle",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -262,3 +262,37 @@ def leakage_safe_split(
     )
     out = hash_split(keyed, "_ckey", train, val, salt, alias)
     return out.drop("_ckey")
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training reproducibility:
+    every row gets a stable pseudo-random ``shuffle_pos`` (0-based,
+    dense, total) — the order a sequential trainer would read the
+    corpus in. Position = rank of md5(salt‖id), so the permutation is a
+    pure function of (salt, id): re-running on a backfilled or
+    repartitioned corpus reproduces byte-identical epoch order, and a
+    new ``salt`` is a fresh epoch permutation. The engine's own
+    ``rand()``/``repartition`` shuffles are partition-order-dependent
+    and can never make that promise.
+
+    Scale: rank is the repo's two-phase global prefix count
+    (range-partition on the hash + per-partition cumsum + one tiny
+    offset broadcast) — no single-task global window, one shuffle
+    total. The md5 key is dropped from the output.
+    """
+    from cancer_survival_etl_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    keyed = df.withColumn(
+        "_shuffle_key",
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(
+        keyed, "_shuffle_key", "_one", alias="shuffle_pos"
+    )
+    return ranked.drop("_shuffle_key", "_one")

@@ -665,3 +665,22 @@ def test_ancestor_closure_deep_chain_and_forest(spark):
     capped = ancestor_closure(df, max_depth=2).collect()
     assert max(r.depth for r in capped) == 2
     assert all(r.depth <= 2 for r in capped)
+
+
+def test_corpus_shuffle_dense_deterministic_and_salted(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.sampling import corpus_shuffle
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.shuffle_pos
+         for r in corpus_shuffle(d, "doc_id", "s1").collect()}
+    # dense total 0..n-1 permutation
+    assert sorted(a.values()) == list(range(len(a)))
+    # reproducible under repartitioning
+    b = {r.doc_id: r.shuffle_pos
+         for r in corpus_shuffle(d.repartition(13), "doc_id", "s1").collect()}
+    assert a == b
+    # a different salt is a different permutation (same support)
+    c = {r.doc_id: r.shuffle_pos
+         for r in corpus_shuffle(d, "doc_id", "s2").collect()}
+    assert sorted(c.values()) == sorted(a.values()) and a != c
