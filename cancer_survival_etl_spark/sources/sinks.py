@@ -184,3 +184,38 @@ def compact_parquet(
     shaped = shaped.localCheckpoint(eager=True)  # read before overwrite
     shaped.write.mode("overwrite").parquet(path)
     return n_files
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 8,
+    sort_cols=None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write — the lake-side half of co-located joins.
+
+    Both sides of a recurring fact-fact join written with the SAME
+    (bucket columns, bucket count) join WITHOUT any runtime exchange:
+    Spark matches bucket files one-to-one, so the shuffle is paid once
+    at write time instead of on every query — at 100 TB the recurring
+    join is the dominant cost and this is the standard cure (pinned by
+    `test_layout.py::test_bucketed_join_needs_no_exchange`).
+    ``sort_cols`` additionally sorts within buckets, upgrading the
+    join's local strategy to a zipper merge and keeping min/max file
+    stats tight.
+
+    Bucketed tables must go through ``saveAsTable`` (the bucket
+    metadata lives in the session catalog, not the parquet files).
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, cols[0], *cols[1:])
+    )
+    if sort_cols:
+        s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(s[0], *s[1:])
+    w.saveAsTable(table)

@@ -84,3 +84,39 @@ def test_zvalue_rejects_bit_overflow(spark):
 
     with pytest.raises(ValueError, match="bits"):
         zvalue(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO shuffle exchanges — the write-once/join-free
+    contract bucketing exists for. (Broadcast disabled so the test
+    can't pass via the broadcast path.)"""
+    from cancer_survival_etl_spark.sources.catalog import load_table
+    from cancer_survival_etl_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "bt_orders", "o_orderkey", n_buckets=4,
+                   sort_cols="o_orderkey")
+    write_bucketed(lineitem, "bt_lineitem", "l_orderkey", n_buckets=4,
+                   sort_cols="l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_orders").join(
+            spark.table("bt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        n_rows = j.count()
+        assert n_rows > 0
+        # join itself introduces no exchange; the only exchange allowed
+        # is the one for the final groupBy aggregation
+        join_section = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_section, join_section[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
