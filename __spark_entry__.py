@@ -3968,8 +3968,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reach — every dedup/ANN/text/events/sketch/stats query — plus the
     # two round-1 defects (conditional_agg oracle cast,
     # volume_shipping vacuous nation pair). Queries past position 50
-    # are either green-in-r01 or queued for the round-3 window (the
-    # remaining TPC-H tranche).
+    # are either green-in-r01 or queued for the round-3 window.
+    # ROUND-3 WINDOW CANDIDATES (all parity-green locally via
+    # tools/check_parity.py, never yet driver-adjudicated): the TPC-H
+    # tranche custdist..excess_suppliers, and the late-round-2 ops
+    # bm25_topk, lm_score, dsir_weights, hybrid_search, record_linkage,
+    # incremental_agg, events_anomaly, stats_psi_drift,
+    # bloom_decontaminate, hierarchy_closure, corpus_shuffle,
+    # text_normalize.. multimodal_* tranche.
     return {
         # -- round-1 red rows, fixed this round -------------------------
         "conditional_agg": q_conditional_agg,
