@@ -60,6 +60,15 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
+        # long-lived sessions compile thousands of whole-stage-codegen
+        # classes (one per plan stage); JDK17's default 240 MB code
+        # cache fills, the JIT stops compiling, and late queries run
+        # interpreted 1.5-2x slower — the classic codegen-heavy
+        # workload tuning (Spark docs recommend raising it)
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
