@@ -2456,6 +2456,34 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus heavy-hitter tokens WITHOUT a full-vocabulary shuffle:
+    per-partition Misra-Gries summaries generate candidates, a
+    broadcast semi-join + one small groupBy computes exact counts —
+    output is the exact heavy-hitter set (deterministic despite the
+    sketch), which is what the plain GROUP BY/HAVING oracle checks."""
+    from cancer_survival_etl_spark.operators.sketches import heavy_hitters
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", threshold_fraction=0.005)
+
+
+_HEAVY_HITTERS_SQL = """
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS v FROM documents
+    ),
+    n AS (SELECT count(*) AS n_rows_total FROM t)
+    SELECT v AS value, n.n_rows_total, count(*) AS exact_count
+    FROM t CROSS JOIN n
+    GROUP BY v, n.n_rows_total
+    HAVING count(*) > 0.005 * n.n_rows_total
+"""
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic global corpus shuffle: dense 0-based epoch
     positions as the rank of md5(id) — reproducible training order on
@@ -4083,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "hierarchy_closure": q_hierarchy_closure,
         "corpus_shuffle": q_corpus_shuffle,
+        "heavy_hitters": q_heavy_hitters,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5722,6 +5751,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": _BLOOM_DECONTAM_SQL,
         "hierarchy_closure": _HIERARCHY_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

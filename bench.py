@@ -120,6 +120,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "hierarchy_closure",
     "corpus_shuffle",
+    "heavy_hitters",
 ]
 
 REGRESSION_RATIO = 1.5

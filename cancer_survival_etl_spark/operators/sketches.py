@@ -184,3 +184,102 @@ def frequent_items(
         [(v, int(probe(v))) for v in candidates],
         schema=f"value {'bigint' if isinstance(candidates[0], int) else 'string'}, est_count bigint",
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold_fraction: float = 0.001,
+    summary_size: int | None = None,
+) -> DataFrame:
+    """All values occurring in more than ``threshold_fraction`` of rows,
+    with their EXACT counts — without ever shuffling the full value
+    histogram.
+
+    Two passes, same discipline as the Bloom decontaminator
+    (approximate candidate generation + exact verify = deterministic,
+    oracle-checkable output):
+
+    1. Per-partition Misra-Gries summaries of ``summary_size``
+       (default 2/threshold) counters, merged on the driver. The MG
+       guarantee survives merging: any value with global frequency >
+       threshold appears in the merged summary, so candidates ⊇ true
+       heavy hitters (plus some near-misses). The summary is
+       O(partitions × summary_size) — never vocabulary-sized, never a
+       shuffle.
+    2. Candidates (a tiny set) broadcast back; the corpus streams
+       through a map-side semi-join filter and ONE small groupBy
+       computes exact counts; the threshold filter on exact counts
+       makes the output independent of partitioning and of MG's
+       arbitrary evictions.
+
+    Returns (value, n_rows_total, exact_count) for values with
+    exact_count > threshold_fraction × n_rows_total. ``vocab_topk``
+    (full histogram) is the small-vocab sibling; this is the path when
+    the value space itself is too wide to shuffle.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    k = summary_size or max(8, int(2.0 / threshold_fraction))
+    if k < 1.0 / threshold_fraction:
+        # below this the MG retention guarantee (freq > n/k survives)
+        # no longer covers the threshold — candidates could miss a true
+        # heavy hitter and the exact verify can't resurrect them
+        raise ValueError(
+            f"summary_size={k} < 1/threshold_fraction="
+            f"{1.0 / threshold_fraction:.0f}: MG guarantee would not "
+            "cover the threshold"
+        )
+    src = df.select(F.col(value_col).cast("string").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v, c in pdf["_v"].value_counts().items():
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < k:
+                    counters[v] = c
+                else:
+                    # decrement-all by the min surplus, vectorized over
+                    # the batch's whole residual is overkill here: the
+                    # classic one-at-a-time decrement amortizes fine
+                    # because value_counts already collapsed the batch
+                    dec = min(c, min(counters.values()))
+                    counters = {
+                        key: cnt - dec
+                        for key, cnt in counters.items()
+                        if cnt - dec > 0
+                    }
+                    if c - dec > 0:
+                        counters[v] = c - dec
+        yield pd.DataFrame(
+            {"_v": list(counters), "_c": list(counters.values())}
+        )
+
+    summaries = src.mapInPandas(mg_partition, "_v string, _c long")
+    # merged summary is O(partitions × k) rows; it never leaves the
+    # cluster — candidates go back as a broadcast semi-join, and the
+    # total row count rides along as a lazy one-row cross join
+    cand = summaries.groupBy("_v").agg(F.sum("_c").alias("_mg")).select(
+        "_v"
+    ).localCheckpoint(eager=False)
+    totals = src.agg(F.count(F.lit(1)).alias("n_rows_total"))
+    exact = (
+        src.join(F.broadcast(cand), "_v", "left_semi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("exact_count")
+            > F.lit(float(threshold_fraction)) * F.col("n_rows_total")
+        )
+    )
+    return exact.select(
+        F.col("_v").alias("value"), "n_rows_total", "exact_count"
+    )

@@ -195,3 +195,35 @@ def test_hash_sample_is_deterministic_across_partitionings(spark, sf_dir):
         "o_orderkey",
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_heavy_hitters_exact_output_and_guarantee(spark):
+    """MG candidate generation + exact verify must return EXACTLY the
+    items above threshold with exact counts — on a skewed stream
+    split across many partitions, including with the minimum legal
+    summary size."""
+    from cancer_survival_etl_spark.operators.sketches import heavy_hitters
+    import pytest
+    from pyspark.sql import functions as F
+
+    # 3 heavy values (3000/2000/1000 of 6600) + 600 singletons
+    rows = (["a"] * 3000 + ["b"] * 2000 + ["c"] * 1000
+            + [f"x{i}" for i in range(600)])
+    df = spark.createDataFrame(
+        [(v,) for v in rows], "v string"
+    ).repartition(16)
+    got = {
+        r.value: (r.n_rows_total, r.exact_count)
+        for r in heavy_hitters(df, "v", threshold_fraction=0.1).collect()
+    }
+    assert got == {"a": (6600, 3000), "b": (6600, 2000), "c": (6600, 1000)}
+    # minimum legal summary size still exact (guarantee margin = 0+)
+    tight = {
+        r.value: r.exact_count
+        for r in heavy_hitters(
+            df, "v", threshold_fraction=0.1, summary_size=10
+        ).collect()
+    }
+    assert tight == {"a": 3000, "b": 2000, "c": 1000}
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", threshold_fraction=0.1, summary_size=5)
