@@ -2456,6 +2456,42 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_events_cohort(spark, sf_dir):
+    """Weekly cohort retention matrix over the events stream: users
+    grouped by first-active week, tracked by distinct-active weeks at
+    each offset. Calendar weeks via date_trunc — stable across engines."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts", period="week")
+
+
+_COHORT_SQL = """
+    WITH active AS (
+        SELECT DISTINCT user_id AS k, date_trunc('week', ts) AS p
+        FROM events
+    ),
+    firsts AS (SELECT k, min(p) AS cohort FROM active GROUP BY k),
+    sizes AS (
+        SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort
+    ),
+    m AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, a.p) / 7 AS BIGINT)
+                   AS period_offset,
+               a.k
+        FROM active a JOIN firsts f ON a.k = f.k
+    )
+    SELECT m.cohort AS cohort_period, m.period_offset,
+           count(*) AS n_active, s.cohort_size,
+           round(count(*)::DOUBLE / s.cohort_size, 6) AS retention_ratio
+    FROM m JOIN sizes s ON m.cohort = s.cohort
+    GROUP BY m.cohort, m.period_offset, s.cohort_size
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Corpus heavy-hitter tokens WITHOUT a full-vocabulary shuffle:
     per-partition Misra-Gries summaries generate candidates, a
@@ -4112,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_closure": q_hierarchy_closure,
         "corpus_shuffle": q_corpus_shuffle,
         "heavy_hitters": q_heavy_hitters,
+        "events_cohort": q_events_cohort,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5752,6 +5789,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchy_closure": _HIERARCHY_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "events_cohort": _COHORT_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -121,6 +121,7 @@ HEADLINE = [
     "hierarchy_closure",
     "corpus_shuffle",
     "heavy_hitters",
+    "events_cohort",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -378,3 +378,64 @@ def anomaly_mad(
         "mad4",
         flag.alias("is_anomaly"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period
+    (their cohort), tracked by how many are still active N periods
+    later — the standard product-analytics table.
+
+    Returns (cohort_period, period_offset, n_active, cohort_size,
+    retention_ratio): of the ``cohort_size`` users whose first activity
+    fell in ``cohort_period``, ``n_active`` were active again exactly
+    ``period_offset`` periods later (offset 0 = the cohort period
+    itself, ratio 1.0 by construction). Ratio rounded to 6 dp.
+
+    Scale: first-activity is one groupBy(key); activity periods dedupe
+    to one row per (key, period); the matrix agg groups a frame whose
+    size is at most (#users × active periods) — all narrow fixed-width
+    rows, shuffles keyed on user id. ``date_trunc`` gives calendar
+    periods, so cohorts are stable across runs and engines.
+    """
+    trunc = F.date_trunc(period, F.col(ts_col))
+    active = (
+        df.select(F.col(key_col).alias("_k"), trunc.alias("_p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = active.groupBy("_k").agg(F.min("_p").alias("_cohort"))
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    # offset in whole periods: for week, integer days/7 of the gap
+    per_days = {"week": 7, "day": 1, "month": None}[period]
+    if per_days is None:
+        offset = (
+            (F.year("_p") - F.year("_cohort")) * 12
+            + (F.month("_p") - F.month("_cohort"))
+        ).cast("long")
+    else:
+        offset = (
+            F.datediff(F.col("_p"), F.col("_cohort")) / per_days
+        ).cast("long")
+    matrix = (
+        active.join(first, "_k")
+        .select("_cohort", offset.alias("period_offset"), "_k")
+        .groupBy("_cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "_cohort")
+    )
+    return matrix.select(
+        F.col("_cohort").alias("cohort_period"),
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size"), 6
+        ).alias("retention_ratio"),
+    )

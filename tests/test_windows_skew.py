@@ -684,3 +684,38 @@ def test_corpus_shuffle_dense_deterministic_and_salted(spark, sf_dir):
     c = {r.doc_id: r.shuffle_pos
          for r in corpus_shuffle(d, "doc_id", "s2").collect()}
     assert sorted(c.values()) == sorted(a.values()) and a != c
+
+
+def test_cohort_retention_matrix_semantics(spark):
+    """Hand-built cohorts: offset-0 ratio is 1.0 by construction,
+    retention counts match the per-user activity map, and a user's
+    multiple events in one week count once."""
+    import datetime as dt
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # cohort W0: users 1,2 -- user1 active W0,W1,W2; user2 W0,W2
+        (1, base), (1, base + dt.timedelta(days=1)),      # dup in-week
+        (1, base + dt.timedelta(days=8)),
+        (1, base + dt.timedelta(days=15)),
+        (2, base), (2, base + dt.timedelta(days=16)),
+        # cohort W1: user 3 active W1 only
+        (3, base + dt.timedelta(days=7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_period.date(), r.period_offset):
+            (r.n_active, r.cohort_size, r.retention_ratio)
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    w0 = base.date()
+    w1 = (base + dt.timedelta(days=7)).date()
+    assert got[(w0, 0)] == (2, 2, 1.0)
+    assert got[(w0, 1)] == (1, 2, 0.5)   # only user1 active in W1
+    assert got[(w0, 2)] == (2, 2, 1.0)   # both active in W2
+    assert got[(w1, 0)] == (1, 1, 1.0)
+    assert len(got) == 4
