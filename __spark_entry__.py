@@ -2456,6 +2456,35 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_events_attribution(spark, sf_dir):
+    """First/last-touch attribution for purchase conversions in one
+    window pass — deterministic total order via (ts, event_id)."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        touch_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        e, "user_id", "ts", "event_type", "event_id", "purchase"
+    )
+
+
+_ATTRIBUTION_SQL = """
+    SELECT user_id, ts, event_id, first_touch, last_touch FROM (
+        SELECT user_id, ts, event_id, event_type,
+               first_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS) OVER w
+                   AS first_touch,
+               last_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS) OVER w
+                   AS last_touch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE event_type = 'purchase'
+"""
+
+
 def q_events_cohort(spark, sf_dir):
     """Weekly cohort retention matrix over the events stream: users
     grouped by first-active week, tracked by distinct-active weeks at
@@ -4149,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "heavy_hitters": q_heavy_hitters,
         "events_cohort": q_events_cohort,
+        "events_attribution": q_events_attribution,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5790,6 +5820,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "events_cohort": _COHORT_SQL,
+        "events_attribution": _ATTRIBUTION_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

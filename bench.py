@@ -122,6 +122,7 @@ HEADLINE = [
     "corpus_shuffle",
     "heavy_hitters",
     "events_cohort",
+    "events_attribution",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -439,3 +439,47 @@ def cohort_retention(
             F.col("n_active") / F.col("cohort_size"), 6
         ).alias("retention_ratio"),
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """First-touch / last-touch attribution: for every conversion
+    event, which touchpoint type opened the journey and which one
+    closed it — the two standard marketing-credit rules, in ONE window
+    pass.
+
+    Each key's events are scanned in (ts, tiebreak) order; non-
+    conversion events are the touches. A conversion row reports
+    ``first_touch`` (first touch ever before or at it) and
+    ``last_touch`` (most recent touch before or at it); both NULL for
+    a conversion with no preceding touch. Total order via the unique
+    tie-breaker makes same-timestamp behaviour deterministic and
+    engine-portable.
+
+    Scale: one shuffle on the key, running state is two values per
+    row — no conversions×touches join, no per-key quadratic surface.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    return (
+        df.select(
+            key_col,
+            ts_col,
+            tiebreak_col,
+            type_col,
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        )
+        .filter(F.col(type_col) == conversion_type)
+        .drop(type_col)
+    )

@@ -719,3 +719,35 @@ def test_cohort_retention_matrix_semantics(spark):
     assert got[(w0, 2)] == (2, 2, 1.0)   # both active in W2
     assert got[(w1, 0)] == (1, 1, 1.0)
     assert len(got) == 4
+
+
+def test_touch_attribution_first_and_last(spark):
+    import datetime as dt
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0 + 0 * s, 1, "ad"),
+        (1, t0 + 1 * s, 2, "email"),
+        (1, t0 + 2 * s, 3, "purchase"),   # first=ad last=email
+        (1, t0 + 3 * s, 4, "social"),
+        (1, t0 + 4 * s, 5, "purchase"),   # first=ad last=social
+        (2, t0 + 0 * s, 6, "purchase"),   # no touches -> NULLs
+        (3, t0 + 0 * s, 7, "ad"),
+        (3, t0 + 0 * s, 8, "purchase"),   # same-ts: touch id 7 < conv id 8
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {r.event_id: (r.first_touch, r.last_touch)
+           for r in touch_attribution(df).collect()}
+    assert got == {
+        3: ("ad", "email"),
+        5: ("ad", "social"),
+        6: (None, None),
+        8: ("ad", "ad"),
+    }
