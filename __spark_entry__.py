@@ -2456,6 +2456,51 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_stats_chi_square(spark, sf_dir):
+    """Chi-square association + Cramér's V between order status and
+    priority — micro-unit-exact cell contributions, one contingency
+    groupBy, margins derived from the table itself."""
+    from cancer_survival_etl_spark.operators.stats import chi_square_assoc
+
+    o = _t(spark, sf_dir, "orders")
+    return chi_square_assoc(o, "o_orderstatus", "o_orderpriority")
+
+
+_CHI_SQUARE_SQL = """
+    WITH obs AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY a, b
+    ),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY b),
+    tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               count(DISTINCT a) AS na, count(DISTINCT b) AS nb
+        FROM obs
+    ),
+    cells AS (
+        SELECT CAST(round(
+                   round((obs.o - CAST(ra.ra AS DOUBLE) * cb.cb / tot.n)
+                         * (obs.o - CAST(ra.ra AS DOUBLE) * cb.cb / tot.n)
+                         / (CAST(ra.ra AS DOUBLE) * cb.cb / tot.n), 6)
+                   * 1000000.0, 0) AS BIGINT) AS micro,
+               tot.n, tot.na, tot.nb
+        FROM obs
+        JOIN ra ON obs.a = ra.a
+        JOIN cb ON obs.b = cb.b
+        CROSS JOIN tot
+    )
+    SELECT n, na AS n_a, nb AS n_b,
+           CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+           CAST(sum(micro) AS BIGINT) / 1000000.0 AS chi2,
+           round(sqrt((CAST(sum(micro) AS BIGINT) / 1000000.0)
+                      / (n * least(na - 1, nb - 1))), 6) AS cramers_v
+    FROM cells GROUP BY n, na, nb
+"""
+
+
 def q_events_attribution(spark, sf_dir):
     """First/last-touch attribution for purchase conversions in one
     window pass — deterministic total order via (ts, event_id)."""
@@ -4179,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "events_cohort": q_events_cohort,
         "events_attribution": q_events_attribution,
+        "stats_chi_square": q_stats_chi_square,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5821,6 +5867,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "events_cohort": _COHORT_SQL,
         "events_attribution": _ATTRIBUTION_SQL,
+        "stats_chi_square": _CHI_SQUARE_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -123,6 +123,7 @@ HEADLINE = [
     "heavy_hitters",
     "events_cohort",
     "events_attribution",
+    "stats_chi_square",
 ]
 
 REGRESSION_RATIO = 1.5

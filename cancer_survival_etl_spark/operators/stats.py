@@ -286,3 +286,79 @@ def psi_drift(
             ).alias("psi_contrib"),
         )
     )
+
+
+def chi_square_assoc(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of association between two categorical columns,
+    plus Cramér's V effect size — the standard screen for redundant /
+    entangled features and segmentation drift.
+
+    One row out: (n, n_a, n_b, dof, chi2, cramers_v). Per-cell
+    contributions (O−E)²/E are rounded to 6 dp and summed in exact
+    integer micro-units (order-free, engine-identical); expected counts
+    are computed with an explicitly sequenced CAST(R AS DOUBLE)·C/N so
+    both engines evaluate the identical float expression.
+
+    Scale: the contingency table is one groupBy(a, b) — at most
+    |A|·|B| rows; margins are two aggregates of THAT table (never a
+    second corpus scan); the scalar totals ride along as broadcast
+    one-row frames.
+    """
+    obs = (
+        df.select(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint(eager=False)
+    )
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = obs.agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct("_a").alias("_na"),
+        F.count_distinct("_b").alias("_nb"),
+    )
+    e = F.col("_ra").cast("double") * F.col("_cb") / F.col("_n")
+    contrib = F.round(
+        (F.col("_o") - e) * (F.col("_o") - e) / e, 6
+    )
+    cells = (
+        obs.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.round(contrib * F.lit(1000000.0), 0).cast("long")).alias(
+                "_micro"
+            ),
+            "_n",
+            "_na",
+            "_nb",
+        )
+    )
+    agg = cells.groupBy("_n", "_na", "_nb").agg(
+        F.sum("_micro").alias("_chi_micro")
+    )
+    chi2 = F.col("_chi_micro") / F.lit(1000000.0)
+    dof = (F.col("_na") - 1) * (F.col("_nb") - 1)
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("_n")
+            * F.least(F.col("_na") - 1, F.col("_nb") - 1)
+        )
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        dof.cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )

@@ -75,3 +75,43 @@ def test_psi_drift_matches_python_reference(spark):
     same = psi_drift(ref, ref, "b", alpha=0.5)
     total = same.agg(F.sum("psi_contrib")).collect()[0][0]
     assert total == pytest.approx(0.0, abs=1e-6)
+
+
+def test_chi_square_matches_python_reference(spark):
+    """Pin chi2 and Cramér's V against a direct Python computation on a
+    contingency table with real association."""
+    from cancer_survival_etl_spark.operators.stats import chi_square_assoc
+
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 30
+        + [("z", "p")] * 20 + [("z", "q")] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_assoc(df, "a", "b").collect()[0]
+    n = len(rows)
+    counts = {}
+    for a, b in rows:
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    ras = {a: sum(c for (x, _), c in counts.items() if x == a)
+           for a in "xyz"}
+    cbs = {b: sum(c for (_, y), c in counts.items() if y == b)
+           for b in "pq"}
+    micro = 0
+    for (a, b), o in counts.items():
+        e = ras[a] * cbs[b] / n
+        micro += round(round((o - e) * (o - e) / e, 6) * 1e6)
+    chi2 = micro / 1e6
+    assert (r.n, r.n_a, r.n_b, r.dof) == (n, 3, 2, 2)
+    assert r.chi2 == pytest.approx(chi2, abs=1e-9)
+    assert r.cramers_v == pytest.approx(
+        round(math.sqrt(chi2 / (n * 1)), 6), abs=1e-9
+    )
+    # independence -> chi2 ~ 0
+    indep = spark.createDataFrame(
+        [("u", "p")] * 10 + [("u", "q")] * 10
+        + [("v", "p")] * 20 + [("v", "q")] * 20,
+        "a string, b string",
+    )
+    r0 = chi_square_assoc(indep, "a", "b").collect()[0]
+    assert r0.chi2 == pytest.approx(0.0, abs=1e-6)
