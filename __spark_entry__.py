@@ -2456,6 +2456,77 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream:
+    P(next event type | current), exact count ratios, margins derived
+    from the pair counts — no second scan."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", "ts", "event_type", "event_id")
+
+
+_TRANSITIONS_SQL = """
+    WITH steps AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, to_type, count(*) AS n_steps
+        FROM steps WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    margins AS (
+        SELECT from_type, CAST(sum(n_steps) AS BIGINT) AS out_total
+        FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n_steps,
+           round(p.n_steps / CAST(m.out_total AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN margins m ON p.from_type = m.from_type
+"""
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Pre-shuffle skew diagnosis: the 20 hottest l_suppkey values in
+    lineitem with row share and ×-uniform load factor. The top-n cut is
+    TakeOrderedAndProject, never a global row_number window."""
+    from cancer_survival_etl_spark.operators.quality import (
+        key_skew_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey", top_n=20)
+
+
+_KEY_SKEW_SQL = """
+    WITH hist AS (
+        SELECT l_suppkey, count(*) AS n_rows FROM lineitem
+        GROUP BY l_suppkey
+    ),
+    totals AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+               count(*) AS n_keys
+        FROM hist
+    )
+    SELECT l_suppkey, rank_val, n_rows,
+           round(n_rows / CAST(total AS DOUBLE), 6) AS row_share,
+           round(n_rows / (CAST(total AS DOUBLE) / n_keys), 6)
+               AS x_uniform
+    FROM (
+        SELECT h.*, t.total, t.n_keys,
+               row_number() OVER (
+                   ORDER BY n_rows DESC, l_suppkey
+               ) AS rank_val
+        FROM hist h CROSS JOIN totals t
+    ) WHERE rank_val <= 20
+"""
+
+
 def q_stats_chi_square(spark, sf_dir):
     """Chi-square association + Cramér's V between order status and
     priority — micro-unit-exact cell contributions, one contingency
@@ -4225,6 +4296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort": q_events_cohort,
         "events_attribution": q_events_attribution,
         "stats_chi_square": q_stats_chi_square,
+        "events_transitions": q_events_transitions,
+        "key_skew_profile": q_key_skew_profile,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5868,6 +5941,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort": _COHORT_SQL,
         "events_attribution": _ATTRIBUTION_SQL,
         "stats_chi_square": _CHI_SQUARE_SQL,
+        "events_transitions": _TRANSITIONS_SQL,
+        "key_skew_profile": _KEY_SKEW_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

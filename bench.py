@@ -124,6 +124,8 @@ HEADLINE = [
     "events_cohort",
     "events_attribution",
     "stats_chi_square",
+    "events_transitions",
+    "key_skew_profile",
 ]
 
 REGRESSION_RATIO = 1.5

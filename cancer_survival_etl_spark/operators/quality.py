@@ -124,3 +124,60 @@ def expect_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         )
         per_rule = one if per_rule is None else per_rule.unionByName(one)
     return per_rule
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols,
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-shuffle skew diagnosis for a prospective join/agg key: the
+    ``top_n`` hottest key values with their share of all rows and the
+    multiple of a perfectly uniform key's load. A top key carrying
+    1000× the mean is the one that stalls a 1000-executor stage at
+    99 % complete — find it BEFORE the shuffle, then reach for
+    ``operators/skew.py`` salting or AQE skew-join.
+
+    One groupBy on the key (the histogram you were about to shuffle
+    anyway, minus the payload), margins from the histogram itself.
+    Deterministic: ties in the ranking break by key value. The top-n
+    cut is ``orderBy().limit()`` — Spark's TakeOrderedAndProject
+    (per-partition heads merged on the driver), NOT a global
+    row_number window, so the profile works on key spaces of any
+    cardinality; only the ≤ top_n survivors see a window.
+    """
+    from pyspark.sql import Window
+
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hist = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
+    totals = hist.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    order = [F.desc("n_rows"), *[F.asc(c) for c in cols]]
+    top = (
+        hist.crossJoin(F.broadcast(totals))
+        .orderBy(*order)
+        .limit(top_n)
+    )
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank_val", F.row_number().over(w))
+        .select(
+            *cols,
+            "rank_val",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias(
+                "row_share"
+            ),
+            F.round(
+                F.col("n_rows")
+                / (F.col("_total") / F.col("_n_keys")),
+                6,
+            ).alias("x_uniform"),
+        )
+    )

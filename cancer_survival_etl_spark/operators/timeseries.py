@@ -483,3 +483,51 @@ def touch_attribution(
         .filter(F.col(type_col) == conversion_type)
         .drop(type_col)
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of an event stream: for
+    every observed (from_type → to_type) step within a key's timeline,
+    the count and the conditional probability P(to | from) — the
+    navigation/behavior model behind next-step prediction and funnel
+    drop-off analysis.
+
+    One lead() window per key in deterministic (ts, tiebreak) order,
+    one groupBy on the (from, to) pair, margins derived from the pair
+    counts themselves (no second scan). Probabilities are exact
+    count ratios rounded to 6 dp. Terminal events (no successor) drop
+    out of the matrix; they are the row margin minus outgoing count.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    steps = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_steps"))
+        .localCheckpoint(eager=False)
+    )
+    margins = steps.groupBy("from_type").agg(
+        F.sum("n_steps").alias("_out_total")
+    )
+    return (
+        steps.join(F.broadcast(margins), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_steps",
+            F.round(
+                F.col("n_steps") / F.col("_out_total"), 6
+            ).alias("prob"),
+        )
+    )

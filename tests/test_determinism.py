@@ -1,0 +1,105 @@
+"""Partitioning-independence battery: the repo's core determinism
+claim is that every oracle-checked query returns BIT-IDENTICAL results
+regardless of physical layout. Run a representative set of the
+late-round operators against the same data under three adversarial
+layouts (1 partition, 64 partitions, range-partitioned by an unrelated
+column) and require exact equality — floats included, because every
+additive float path is micro-unit-exact by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cancer_survival_etl_spark.sources.catalog import load_table
+
+
+def _layouts(df):
+    return [
+        df.coalesce(1),
+        df.repartition(64),
+        df.repartitionByRange(7, F.col(df.columns[-1])),
+    ]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+OPS = {}
+
+
+def _register(name):
+    def deco(fn):
+        OPS[name] = fn
+        return fn
+    return deco
+
+
+@_register("bm25")
+def _bm25(spark, docs):
+    from cancer_survival_etl_spark.llm.retrieval import bm25_topk
+
+    qs = spark.createDataFrame(
+        [(1, "spark query filter"), (2, "hash join merge")],
+        "query_id int, query_text string",
+    )
+    return bm25_topk(docs, qs, k=10)
+
+
+@_register("dsir")
+def _dsir(spark, docs):
+    from cancer_survival_etl_spark.llm.retrieval import dsir_importance
+
+    return dsir_importance(
+        docs, docs.filter("lang = 'en'"), n_buckets=512
+    )
+
+
+@_register("lm_score")
+def _lm(spark, docs):
+    from cancer_survival_etl_spark.llm.retrieval import ngram_lm_score
+
+    return ngram_lm_score(docs.filter("lang = 'en'"), docs, n=2)
+
+
+@_register("ngram_jaccard_stopgram")
+def _ngram(spark, docs):
+    from cancer_survival_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.05,
+        block_col="lang", max_doc_freq=4,
+    )
+
+
+@_register("heavy_hitters")
+def _hh(spark, docs):
+    from cancer_survival_etl_spark.operators.sketches import heavy_hitters
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", threshold_fraction=0.005)
+
+
+@_register("symdelete_linkage")
+def _link(spark, docs):
+    from cancer_survival_etl_spark.operators.linkage import (
+        symdelete_fuzzy_pairs,
+    )
+
+    named = docs.select(
+        "doc_id", F.substring("text", 1, 12).alias("name"),
+        "lang",
+    )
+    return symdelete_fuzzy_pairs(named, "doc_id", "name", ["lang"], 1)
+
+
+@pytest.mark.parametrize("name", sorted(OPS))
+def test_partitioning_independence(spark, sf_dir, name):
+    docs = load_table(spark, sf_dir, "documents")
+    results = [
+        _rows(OPS[name](spark, layout)) for layout in _layouts(docs)
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0, f"{name} vacuous at {sf_dir}"

@@ -751,3 +751,46 @@ def test_touch_attribution_first_and_last(spark):
         6: (None, None),
         8: ("ad", "ad"),
     }
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    import datetime as dt
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0 + 0 * s, 1, "a"), (1, t0 + 1 * s, 2, "b"),
+        (1, t0 + 2 * s, 3, "a"), (1, t0 + 3 * s, 4, "c"),
+        (2, t0 + 0 * s, 5, "a"), (2, t0 + 1 * s, 6, "b"),
+        (3, t0 + 0 * s, 7, "z"),  # lone event: no transitions
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {(r.from_type, r.to_type): (r.n_steps, r.prob)
+           for r in transition_matrix(df).collect()}
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_key_skew_profile_ranks_and_factors(spark):
+    from cancer_survival_etl_spark.operators.quality import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 90 + [("warm",)] * 9 + [("cold",)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = [(r.k, r.rank_val, r.n_rows, r.row_share, r.x_uniform)
+           for r in key_skew_profile(df, "k", top_n=2)
+           .orderBy("rank_val").collect()]
+    # 3 keys, 100 rows: uniform = 100/3 rows per key
+    assert got[0] == ("hot", 1, 90, 0.9, round(90 / (100 / 3), 6))
+    assert got[1] == ("warm", 2, 9, 0.09, round(9 / (100 / 3), 6))
+    assert len(got) == 2
