@@ -2456,6 +2456,74 @@ _BLOOM_DECONTAM_SQL = """
 """
 
 
+def q_corpus_ccnet_buckets(spark, sf_dir):
+    """CCNet's curation step end-to-end: score English docs under the
+    corpus bigram LM, then split into head/middle/tail perplexity
+    terciles (ntile over (avg_nll, doc_id) — total order, so the
+    bucketing is deterministic). head = most in-domain text."""
+    from pyspark.sql import Window
+
+    from cancer_survival_etl_spark.llm.retrieval import ngram_lm_score
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    scored = ngram_lm_score(
+        d.filter(F.col("lang") == "en"), d, n=2, alpha=1.0
+    ).filter(F.col("n_ngrams") > 0)
+    w = Window.orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    tier = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "avg_nll",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier
+        ).alias("bucket"),
+    )
+
+
+_CCNET_BUCKETS_SQL = """
+    WITH lmpos AS (
+        SELECT l, unnest(range(1, len(l))) AS i
+        FROM (SELECT string_split(text, ' ') AS l FROM documents)
+    ),
+    lmbg AS (
+        SELECT l[i] || ' ' || l[i + 1] AS gram, l[i] AS ctx FROM lmpos
+    ),
+    cg AS (SELECT gram, count(*) AS cg FROM lmbg GROUP BY gram),
+    cc AS (SELECT ctx, count(*) AS cc FROM lmbg GROUP BY ctx),
+    v AS (SELECT count(DISTINCT l[i + 1]) + 1 AS v FROM lmpos),
+    evb AS (
+        SELECT doc_id, l[i] || ' ' || l[i + 1] AS gram, l[i] AS ctx
+        FROM (
+            SELECT doc_id, l, unnest(range(1, len(l))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents WHERE lang = 'en')
+        )
+    ),
+    scored AS (
+        SELECT e.doc_id, count(*) AS n_ngrams,
+               sum(CAST(round(
+                   (- ln((coalesce(cg.cg, 0) + 1.0)
+                         / (coalesce(cc.cc, 0) + CAST(v.v AS DOUBLE))))
+                   * 1000000.0, 0) AS BIGINT)) AS sum_micro
+        FROM evb e
+        LEFT JOIN cg ON e.gram = cg.gram
+        LEFT JOIN cc ON e.ctx = cc.ctx
+        CROSS JOIN v
+        GROUP BY e.doc_id
+    ),
+    nll AS (
+        SELECT doc_id,
+               round(sum_micro / 1000000.0 / n_ngrams, 6) AS avg_nll
+        FROM scored WHERE n_ngrams > 0
+    )
+    SELECT doc_id, avg_nll,
+           (['head', 'middle', 'tail'])[
+               ntile(3) OVER (ORDER BY avg_nll, doc_id)] AS bucket
+    FROM nll
+"""
+
+
 def q_events_transitions(spark, sf_dir):
     """First-order Markov transition matrix of the event stream:
     P(next event type | current), exact count ratios, margins derived
@@ -4298,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_chi_square": q_stats_chi_square,
         "events_transitions": q_events_transitions,
         "key_skew_profile": q_key_skew_profile,
+        "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -5943,6 +6012,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_chi_square": _CHI_SQUARE_SQL,
         "events_transitions": _TRANSITIONS_SQL,
         "key_skew_profile": _KEY_SKEW_SQL,
+        "corpus_ccnet_buckets": _CCNET_BUCKETS_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -126,6 +126,7 @@ HEADLINE = [
     "stats_chi_square",
     "events_transitions",
     "key_skew_profile",
+    "corpus_ccnet_buckets",
 ]
 
 REGRESSION_RATIO = 1.5
