@@ -356,3 +356,126 @@ def quantize_embeddings(
     return flat.join(F.broadcast(stats), "dim").select(
         id_col, "dim", code.alias("code")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize an IVF index as a PARTITIONED parquet lake: vectors
+    written under ``path/vectors/cell=<id>/`` (one partition directory
+    per IVF cell) plus the tiny centroid table at ``path/centroids``.
+
+    This is the piece that turns ANN probing into PARTITION PRUNING on
+    a real lake: ``query_ivf_index`` reads only the probed cells'
+    directories — at 100 TB of embeddings a nprobe/n_centroids probe
+    touches exactly that fraction of the files, enforced by the scan's
+    PartitionFilters (pinned by test via ``inputFiles()``). Build cost
+    is one assign (broadcast centroids + per-row argmax) and one
+    partitioned write.
+    """
+    cen = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("_cenv"),
+        )
+    )
+    vecs = fan_out(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    cos = F.round(
+        _dot(F.col("vec"), F.col("_cenv"))
+        / (_norm(F.col("vec")) * _norm(F.col("_cenv"))),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        cos.desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vecs.join(F.broadcast(cen), how="cross")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "vec", F.col("centroid_id").alias("cell"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    cen.select(
+        "centroid_id", F.col("_cenv").alias("vec")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` cosine neighbours from a persisted IVF index, reading
+    ONLY the probed cells (partition pruning, not a full scan).
+
+    The probe set is the union of every query's ``nprobe`` nearest
+    centroids — collected (it is ≤ |queries|·nprobe ints) and pushed
+    into the scan as a partition filter; per-query cell assignment then
+    restricts candidates so a query only scores against ITS cells.
+    Returns (query_id, neighbor_id, cosine, rank_val) — identical
+    contract (and, with the same centroids, identical results) to the
+    in-memory ``ivf_topk``.
+    """
+    cen = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "centroid_id", F.col("vec").alias("_cenv")
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    qcos = F.round(
+        _dot(F.col("_qv"), F.col("_cenv"))
+        / (_norm(F.col("_qv")) * _norm(F.col("_cenv"))),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        qcos.desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(cen, how="cross")
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", F.col("centroid_id").alias("cell"))
+        .localCheckpoint(eager=True)  # tiny; also fixes the probe set
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(cells)  # -> PartitionFilters: only probed dirs
+    )
+    cos = F.round(
+        _dot(F.col("vec"), F.col("_qv"))
+        / (_norm(F.col("vec")) * _norm(F.col("_qv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        vectors.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
+    )

@@ -780,3 +780,52 @@ def test_normalize_text_semantics(spark):
         for r in normalize_text(df, strip_punct=False).collect()
     }
     assert keep[1] == "hello, world!"
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches_inmemory(
+    spark, sf_dir, tmp_path
+):
+    """build_ivf_index + query_ivf_index: (a) results identical to the
+    in-memory ivf_topk with the same seed centroids, (b) the probe scan
+    reads ONLY the probed cells' files — partition pruning observed via
+    inputFiles(), the 100 TB contract."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_centroids=8)
+
+    got = query_ivf_index(spark, path, queries, k=5, nprobe=2)
+    want = ivf_topk(e, queries, k=5, n_centroids=8, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the index is physically partitioned by cell...
+    import os
+
+    cells = sorted(
+        d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")
+    )
+    assert len(cells) > 2
+    # ...and a cell filter lands in the scan's PartitionFilters (file
+    # pruning), not PushedFilters (row filtering inside files)
+    import contextlib
+    import io
+
+    pruned = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin([0, 1])
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "cell" in m[0] and "IN(0,1" in m[0].replace(" ", ""), plan
