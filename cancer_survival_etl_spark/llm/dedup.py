@@ -736,3 +736,109 @@ def duplicate_spans(
         )
         .drop("_grp")
     )
+
+
+def build_band_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle_k: int = 5,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's MinHash-LSH band keys as a parquet
+    index — the piece that makes dedup INCREMENTAL: once the corpus's
+    (band, band_key, id) rows are on disk, a new ingest batch is
+    checked by probing the index, never by re-mining the corpus.
+
+    Index size is #docs × bands fixed-width rows (hashes, no text).
+    ``mode='append'`` is the ingest loop: probe the delta, then append
+    its keys so the next batch sees it.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    keys = band_keys_long(sigs, id_col, bands, rows_per_band)
+    keys.write.mode(mode).parquet(path)
+
+
+def probe_band_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle_k: int = 5,
+    bands: int = 2,
+    rows_per_band: int = 2,
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of an ingest batch against the INDEXED corpus:
+    the delta's band keys equi-join the persisted index (work ∝ delta
+    size + bucket collisions — the corpus is touched only to fetch the
+    TEXT of candidate partners), candidates are verified with exact
+    token-n-gram Jaccard, pairs ≥ ``threshold`` survive.
+
+    Returns (new_id, corpus_id, jaccard). Self-matches (a delta doc
+    already indexed under the same id) are excluded. This is the
+    standard streaming-corpus dedup loop: probe → decide →
+    ``build_band_index(mode='append')`` the keepers.
+    """
+    idx = spark.read.parquet(path).select(
+        "band", "band_key", F.col(id_col).alias("_old_id")
+    )
+    sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k
+    )
+    probe = band_keys_long(sigs, id_col, bands, rows_per_band).select(
+        "band", "band_key", F.col(id_col).alias("_new_id")
+    )
+    cand = (
+        probe.join(idx, ["band", "band_key"])
+        .filter(F.col("_new_id") != F.col("_old_id"))
+        .select("_new_id", "_old_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # fetch gram sets ONLY for docs that appear in some candidate pair
+    new_grams = (
+        new_docs.join(
+            cand.select(F.col("_new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("_new_id"),
+            _token_ngrams(text_col, ngram_n).alias("_ga"),
+        )
+    )
+    old_grams = (
+        corpus.join(
+            F.broadcast(
+                cand.select(F.col("_old_id").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("_old_id"),
+            _token_ngrams(text_col, ngram_n).alias("_gb"),
+        )
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        cand.join(new_grams, "_new_id")
+        .join(old_grams, "_old_id")
+        .select(
+            F.col("_new_id").alias("new_id"),
+            F.col("_old_id").alias("corpus_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -829,3 +829,50 @@ def test_persisted_ivf_index_prunes_partitions_and_matches_inmemory(
     plan = buf.getvalue()
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and "cell" in m[0] and "IN(0,1" in m[0].replace(" ", ""), plan
+
+
+def test_band_index_incremental_probe(spark, sf_dir, tmp_path):
+    """Persisted LSH band index: a delta batch containing a near-dup of
+    an indexed doc and a novel doc — the probe finds exactly the dup
+    pair (verified Jaccard), and appending the delta makes the next
+    probe see it as corpus."""
+    from cancer_survival_etl_spark.llm.dedup import (
+        build_band_index,
+        probe_band_index,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 400")
+    path = str(tmp_path / "band_index")
+    build_band_index(corpus, path)
+
+    # delta: a verbatim copy of doc 7 (new id) + an unrelated new doc
+    dup = corpus.filter("doc_id = 7").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(100001, "totally novel content zzz qqq vvv www "
+                  "unlike anything indexed before xyzzy")],
+        "doc_id long, text string",
+    )
+    delta = dup.unionByName(novel)
+
+    hits = probe_band_index(
+        spark, path, delta, corpus, threshold=0.5
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in hits} == {(100007, 7)}
+    assert all(r.jaccard == 1.0 for r in hits)
+
+    # ingest loop: append delta keys; a re-probe of the dup now ALSO
+    # matches itself-as-corpus sibling via the appended keys
+    build_band_index(delta, path, mode="append")
+    corpus2 = corpus.select("doc_id", "text").unionByName(delta)
+    again = probe_band_index(
+        spark, path, dup.select((F.col("doc_id") + 1).alias("doc_id"), "text"),
+        corpus2, threshold=0.5,
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in again} == {
+        (100008, 7), (100008, 100007)
+    }
