@@ -2524,6 +2524,41 @@ _CCNET_BUCKETS_SQL = """
 """
 
 
+def q_events_pattern(spark, sf_dir):
+    """CEP pattern detection: every contiguous view→click→purchase
+    run per user with each step within 2 days — k−1 chained leads over
+    one keyed window, pattern length a static plan property. (The
+    synthetic stream averages ~11 h between a user's events, so the
+    2-day gap keeps the match set non-vacuous at every SF.)"""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        pattern_matches,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return pattern_matches(
+        e, ["view", "click", "purchase"], max_step_gap="2 days"
+    )
+
+
+_PATTERN_SQL = """
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 1) OVER w AS ts1,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts AS match_start_ts, ts2 AS match_end_ts,
+           event_id AS start_id
+    FROM s
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts1 <= ts + INTERVAL 2 DAY
+      AND ts2 <= ts1 + INTERVAL 2 DAY
+"""
+
+
 def q_events_transitions(spark, sf_dir):
     """First-order Markov transition matrix of the event stream:
     P(next event type | current), exact count ratios, margins derived
@@ -4367,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "key_skew_profile": q_key_skew_profile,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
+        "events_pattern": q_events_pattern,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6013,6 +6049,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": _TRANSITIONS_SQL,
         "key_skew_profile": _KEY_SKEW_SQL,
         "corpus_ccnet_buckets": _CCNET_BUCKETS_SQL,
+        "events_pattern": _PATTERN_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

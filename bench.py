@@ -127,6 +127,7 @@ HEADLINE = [
     "events_transitions",
     "key_skew_profile",
     "corpus_ccnet_buckets",
+    "events_pattern",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -531,3 +531,67 @@ def transition_matrix(
             ).alias("prob"),
         )
     )
+
+
+def pattern_matches(
+    df: DataFrame,
+    pattern: Sequence[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_step_gap: str | None = None,
+) -> DataFrame:
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE /
+    complex-event-processing shape): every occurrence of
+    ``pattern = [t1, t2, ..., tk]`` as CONSECUTIVE events in a key's
+    timeline, optionally requiring each step to follow within
+    ``max_step_gap`` (e.g. ``'30 minutes'``).
+
+    Matches are CONTIGUOUS: the k events are adjacent in the stream
+    (no other event interleaves) — the strict CEP match, expressed as
+    k−1 chained ``lead()`` columns over one (ts, tiebreak)-ordered
+    window: one shuffle on the key, no self-joins, no quadratic
+    surface; pattern length is a static plan property, not data.
+    (For the skip-till-next-match semantics over non-adjacent events,
+    compose ``funnel_stages`` — first completion — or filter the
+    stream to the pattern's types first and run this on the remnant.)
+
+    Returns (key, match_start_ts, match_end_ts, start_id) — one row
+    per match; overlapping matches all reported.
+    """
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    cols = [
+        df[c] for c in (key_col, ts_col, tiebreak_col, type_col)
+    ]
+    steps = df.select(
+        *cols,
+        *[
+            F.lead(type_col, i).over(w).alias(f"_t{i}")
+            for i in range(1, k)
+        ],
+        *[
+            F.lead(ts_col, i).over(w).alias(f"_ts{i}")
+            for i in range(1, k)
+        ],
+    )
+    cond = F.col(type_col) == pattern[0]
+    for i in range(1, k):
+        cond = cond & (F.col(f"_t{i}") == pattern[i])
+        if max_step_gap is not None:
+            prev = F.col(ts_col) if i == 1 else F.col(f"_ts{i-1}")
+            cond = cond & (
+                F.col(f"_ts{i}")
+                <= prev + F.expr(f"interval {max_step_gap}")
+            )
+    return steps.filter(cond).select(
+        key_col,
+        F.col(ts_col).alias("match_start_ts"),
+        F.col(f"_ts{k-1}").alias("match_end_ts"),
+        F.col(tiebreak_col).alias("start_id"),
+    )

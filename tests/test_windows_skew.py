@@ -794,3 +794,37 @@ def test_key_skew_profile_ranks_and_factors(spark):
     assert got[0] == ("hot", 1, 90, 0.9, round(90 / (100 / 3), 6))
     assert got[1] == ("warm", 2, 9, 0.09, round(9 / (100 / 3), 6))
     assert len(got) == 2
+
+
+def test_pattern_matches_contiguous_and_gapped(spark):
+    import datetime as dt
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        pattern_matches,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0 + 0 * m, 1, "a"), (1, t0 + 1 * m, 2, "b"),
+        (1, t0 + 2 * m, 3, "c"),                       # match at id 1
+        (1, t0 + 3 * m, 4, "a"), (1, t0 + 4 * m, 5, "x"),
+        (1, t0 + 5 * m, 6, "b"), (1, t0 + 6 * m, 7, "c"),  # interleaved: no
+        (2, t0 + 0 * m, 8, "a"), (2, t0 + 90 * m, 9, "b"),
+        (2, t0 + 91 * m, 10, "c"),                     # gap 90m on step 1
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    no_gap = pattern_matches(df, ["a", "b", "c"]).collect()
+    assert {(r.user_id, r.start_id) for r in no_gap} == {(1, 1), (2, 8)}
+    gapped = pattern_matches(
+        df, ["a", "b", "c"], max_step_gap="30 minutes"
+    ).collect()
+    assert {(r.user_id, r.start_id) for r in gapped} == {(1, 1)}
+    r = [x for x in no_gap if x.start_id == 1][0]
+    assert (r.match_start_ts, r.match_end_ts) == (t0, t0 + 2 * m)
+    with pytest.raises(ValueError):
+        pattern_matches(df, ["a"])
