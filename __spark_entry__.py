@@ -2524,6 +2524,37 @@ _CCNET_BUCKETS_SQL = """
 """
 
 
+def q_stats_winsorize(spark, sf_dir):
+    """Per-event-type winsorization of event values at the exact
+    [5th, 95th] discrete percentiles (cents-exact clip bounds)."""
+    from cancer_survival_etl_spark.operators.stats import winsorize_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return winsorize_by(e, "event_type", "cents", 0.05, 0.95)
+
+
+_WINSORIZE_SQL = """
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               quantile_disc(cents, 0.05) AS lo,
+               quantile_disc(cents, 0.95) AS hi
+        FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents,
+           least(greatest(e.cents, b.lo), b.hi) AS value_winsorized,
+           (e.cents < b.lo OR e.cents > b.hi) AS was_clipped
+    FROM e JOIN b ON e.event_type = b.event_type
+"""
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -4403,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "events_pattern": q_events_pattern,
+        "stats_winsorize": q_stats_winsorize,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6050,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": _KEY_SKEW_SQL,
         "corpus_ccnet_buckets": _CCNET_BUCKETS_SQL,
         "events_pattern": _PATTERN_SQL,
+        "stats_winsorize": _WINSORIZE_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -128,6 +128,7 @@ HEADLINE = [
     "key_skew_profile",
     "corpus_ccnet_buckets",
     "events_pattern",
+    "stats_winsorize",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -362,3 +362,45 @@ def chi_square_assoc(
         chi2.alias("chi2"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+def winsorize_by(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lower_pct, upper_pct] exact discrete percentiles — the standard
+    outlier-taming step before feature scaling or loss-weighted
+    training (clip, don't drop: row count and joins stay intact).
+
+    Returns the input plus (value_winsorized, was_clipped). Exact
+    ``percentile_disc`` bounds (engine-portable — no interpolation
+    ambiguity), computed once per group and broadcast back; the clip
+    itself is a pure projection. One aggregate + one broadcast join.
+    """
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    bounds = df.groupBy(*cols).agg(
+        F.expr(
+            f"percentile_disc({lower_pct}) WITHIN GROUP "
+            f"(ORDER BY {value_col})"
+        ).alias("_lo"),
+        F.expr(
+            f"percentile_disc({upper_pct}) WITHIN GROUP "
+            f"(ORDER BY {value_col})"
+        ).alias("_hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), cols)
+        .select(
+            "*",
+            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias(
+                "value_winsorized"
+            ),
+            ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -115,3 +115,19 @@ def test_chi_square_matches_python_reference(spark):
     )
     r0 = chi_square_assoc(indep, "a", "b").collect()[0]
     assert r0.chi2 == pytest.approx(0.0, abs=1e-6)
+
+
+def test_winsorize_by_clips_at_exact_percentiles(spark):
+    from cancer_survival_etl_spark.operators.stats import winsorize_by
+
+    vals = list(range(1, 101))  # 1..100 per group
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = {r.id: (r.value_winsorized, r.was_clipped)
+           for r in winsorize_by(df, "grp", "v", 0.05, 0.95).collect()}
+    # percentile_disc(0.05) of 1..100 = 5; (0.95) = 95
+    assert out[0] == (5, True)      # v=1 clipped up
+    assert out[99] == (95, True)    # v=100 clipped down
+    assert out[49] == (50, False)   # middle untouched
+    n_clipped = sum(1 for v, c in out.values() if c)
+    assert n_clipped == 4 + 5       # v in {1..4} and {96..100}
