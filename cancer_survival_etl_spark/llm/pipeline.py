@@ -114,3 +114,58 @@ def stage_counts(stages: list[tuple[str, DataFrame]]) -> DataFrame:
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts
+
+
+def materialize_epochs(
+    docs: DataFrame,
+    path: str,
+    n_epochs: int = 2,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Write the actual training shards: for each epoch, a fresh
+    deterministic global permutation of the corpus (``corpus_shuffle``
+    with an epoch salt), sequence-packed into fixed ``seq_len`` bins
+    in that order (``pack_bins``'s two-phase global prefix sum over
+    the shuffled positions), landed as parquet partitioned by
+    ``epoch`` — the `epoch=N/` directory IS the trainer's read unit,
+    and re-running the job reproduces byte-identical shard contents
+    (every stage is a pure function of (salt, id)).
+
+    Returns the manifest DataFrame (epoch, bin_id, n_docs, n_tokens)
+    read back from the written shards — the data card's shard table.
+
+    Scale: per epoch one range-partition shuffle (the permutation/
+    prefix sum) + one write; epochs are independent (loop is driver-
+    side orchestration only, not a growing plan).
+    """
+    from cancer_survival_etl_spark.llm.curation import pack_bins
+    from cancer_survival_etl_spark.llm.sampling import corpus_shuffle
+
+    spark = docs.sparkSession
+    for epoch in range(n_epochs):
+        shuffled = corpus_shuffle(
+            docs, id_col, salt=f"{salt}epoch{epoch}"
+        )
+        packed = pack_bins(
+            shuffled,
+            text_col=text_col,
+            id_col="shuffle_pos",
+            budget=seq_len,
+        )
+        (
+            packed.withColumn("epoch", F.lit(epoch))
+            .write.mode("append" if epoch else "overwrite")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+    shards = spark.read.parquet(path)
+    return (
+        shards.groupBy("epoch", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
