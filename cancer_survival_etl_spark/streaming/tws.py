@@ -32,7 +32,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import (
-    BooleanType,
     DoubleType,
     LongType,
     StructField,
