@@ -103,3 +103,92 @@ def test_partitioning_independence(spark, sf_dir, name):
     ]
     assert results[0] == results[1] == results[2]
     assert len(results[0]) > 0, f"{name} vacuous at {sf_dir}"
+
+
+EVENT_OPS = {}
+
+
+def _eregister(name):
+    def deco(fn):
+        EVENT_OPS[name] = fn
+        return fn
+    return deco
+
+
+@_eregister("anomaly_mad")
+def _anom(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.timeseries import anomaly_mad
+
+    e = events.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return anomaly_mad(e, "user_id", "ts", "cents", "event_id", 25, 3)
+
+
+@_eregister("cohort")
+def _coh(spark, events):
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    return cohort_retention(events, "user_id", "ts", "week")
+
+
+@_eregister("attribution")
+def _attr(spark, events):
+    from cancer_survival_etl_spark.operators.timeseries import (
+        touch_attribution,
+    )
+
+    return touch_attribution(events)
+
+
+@_eregister("transitions")
+def _trans(spark, events):
+    from cancer_survival_etl_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    return transition_matrix(events)
+
+
+@_eregister("pattern")
+def _pat(spark, events):
+    from cancer_survival_etl_spark.operators.timeseries import (
+        pattern_matches,
+    )
+
+    return pattern_matches(
+        events, ["view", "click", "purchase"], max_step_gap="2 days"
+    )
+
+
+@_eregister("winsorize")
+def _wins(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import winsorize_by
+
+    e = events.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return winsorize_by(e, "event_type", "cents", 0.05, 0.95)
+
+
+@pytest.mark.parametrize("name", sorted(EVENT_OPS))
+def test_event_ops_partitioning_independence(spark, sf_dir, name):
+    events = load_table(spark, sf_dir, "events")
+    results = [
+        _rows(EVENT_OPS[name](spark, layout))
+        for layout in (
+            events.coalesce(1),
+            events.repartition(64),
+            events.repartitionByRange(7, F.col("event_id")),
+        )
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0, f"{name} vacuous at {sf_dir}"
