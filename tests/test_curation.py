@@ -236,3 +236,39 @@ def test_materialize_epochs_reproducible_shards(spark, sf_dir, tmp_path):
     a = shards[key].sort_values(key).reset_index(drop=True)
     b = again[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cli_curate_and_shards_end_to_end(spark, sf_dir, tmp_path):
+    """The CLI surface drives the library pipeline: curate a corpus
+    against a disjoint eval set, then materialize shards from the
+    curated output — both emit one JSON report line."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from cancer_survival_etl_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "curate",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+        ])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["input"] == 500
+    assert 0 < report["written"] <= report["input"]
+
+    shards = str(tmp_path / "shards")
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = main([
+            "shards", "--input", out, "--output", shards,
+            "--epochs", "2", "--seq-len", "512", "--salt", "t",
+        ])
+    assert rc == 0
+    rep2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert rep2["epochs"] == 2 and rep2["bins"] > 0
+    assert spark.read.parquet(shards).count() == 2 * report["written"]
