@@ -2524,6 +2524,67 @@ _CCNET_BUCKETS_SQL = """
 """
 
 
+def q_events_journeys(spark, sf_dir):
+    """Skip-till-next-match CEP: every non-overlapping
+    view→…→click→…→purchase journey per user, noise events skipped —
+    one sorted-array fold per key; the oracle replays the same greedy
+    state machine as a recursive CTE."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        journey_matches,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return journey_matches(e, ["view", "click", "purchase"])
+
+
+_JOURNEYS_SQL = """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS pos
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, 0 AS pos, 0 AS stage,
+               CAST(NULL AS TIMESTAMP) AS start_ts,
+               CAST(NULL AS BIGINT) AS start_id,
+               CAST(NULL AS TIMESTAMP) AS emit_start_ts,
+               CAST(NULL AS BIGINT) AS emit_start_id,
+               CAST(NULL AS TIMESTAMP) AS emit_end_ts,
+               FALSE AS emit
+        FROM (SELECT DISTINCT user_id FROM ev)
+        UNION ALL
+        SELECT e.user_id, e.pos,
+               CASE WHEN w.stage = 0 AND e.event_type = 'view' THEN 1
+                    WHEN w.stage = 1 AND e.event_type = 'click' THEN 2
+                    WHEN w.stage = 2 AND e.event_type = 'purchase' THEN 0
+                    ELSE w.stage END,
+               CASE WHEN w.stage = 0 AND e.event_type = 'view' THEN e.ts
+                    WHEN w.stage = 2 AND e.event_type = 'purchase'
+                        THEN CAST(NULL AS TIMESTAMP)
+                    ELSE w.start_ts END,
+               CASE WHEN w.stage = 0 AND e.event_type = 'view'
+                        THEN e.event_id
+                    WHEN w.stage = 2 AND e.event_type = 'purchase'
+                        THEN CAST(NULL AS BIGINT)
+                    ELSE w.start_id END,
+               CASE WHEN w.stage = 2 AND e.event_type = 'purchase'
+                    THEN w.start_ts END,
+               CASE WHEN w.stage = 2 AND e.event_type = 'purchase'
+                    THEN w.start_id END,
+               CASE WHEN w.stage = 2 AND e.event_type = 'purchase'
+                    THEN e.ts END,
+               (w.stage = 2 AND e.event_type = 'purchase')
+        FROM walk w
+        JOIN ev e ON e.user_id = w.user_id AND e.pos = w.pos + 1
+    )
+    SELECT user_id, emit_start_ts AS match_start_ts,
+           emit_start_id AS start_id, emit_end_ts AS match_end_ts
+    FROM walk WHERE emit
+"""
+
+
 def q_stats_winsorize(spark, sf_dir):
     """Per-event-type winsorization of event values at the exact
     [5th, 95th] discrete percentiles (cents-exact clip bounds)."""
@@ -4435,6 +4496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "events_pattern": q_events_pattern,
         "stats_winsorize": q_stats_winsorize,
+        "events_journeys": q_events_journeys,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6083,6 +6145,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_ccnet_buckets": _CCNET_BUCKETS_SQL,
         "events_pattern": _PATTERN_SQL,
         "stats_winsorize": _WINSORIZE_SQL,
+        "events_journeys": _JOURNEYS_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -129,6 +129,7 @@ HEADLINE = [
     "corpus_ccnet_buckets",
     "events_pattern",
     "stats_winsorize",
+    "events_journeys",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -595,3 +595,107 @@ def pattern_matches(
         F.col(f"_ts{k-1}").alias("match_end_ts"),
         F.col(tiebreak_col).alias("start_id"),
     )
+
+
+def journey_matches(
+    df: DataFrame,
+    pattern: Sequence[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Skip-till-next-match CEP: ALL non-overlapping completions of
+    ``pattern`` per key, unrelated events skipped — the greedy journey
+    semantics ("every view→…→purchase conversion, however much noise
+    sits between the steps"). ``pattern_matches`` is the strict
+    contiguous sibling; ``funnel_stages`` reports only the FIRST
+    completion.
+
+    Same single-shuffle sorted-array fold as the funnel: collect each
+    key's events in (ts, tiebreak) total order and run the stage
+    machine once in a JVM-side ``aggregate`` — state is (stage,
+    journey start, completed list). A completion resets the machine,
+    which is exactly the non-overlapping guarantee. Per-key event
+    counts bound the array (same caveat as funnel_stages).
+
+    Returns one row per completed journey: (key, match_start_ts,
+    start_id, match_end_ts).
+    """
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    ts_type = dict(df.dtypes)[ts_col]
+    id_type = dict(df.dtypes)[tiebreak_col]
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("k"),
+                F.col(type_col).alias("y"),
+            )
+        )
+    )
+    zero = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast(ts_type).alias("start_t"),
+        F.lit(None).cast(id_type).alias("start_k"),
+        F.array().cast(
+            f"array<struct<st:{ts_type},sk:{id_type},en:{ts_type}>>"
+        ).alias("done"),
+    )
+
+    def step(acc, e):
+        # one WHEN-chain per stage value — pattern length is a static
+        # plan property, so this unrolls to k branches
+        advance = F.lit(False)
+        for i, p in enumerate(pattern):
+            advance = F.when(
+                (acc["stage"] == i) & (e["y"] == p), F.lit(True)
+            ).otherwise(advance)
+        new_stage = F.when(
+            advance, (acc["stage"] + 1) % k
+        ).otherwise(acc["stage"])
+        starting = advance & (acc["stage"] == 0)
+        completing = advance & (acc["stage"] == k - 1)
+        new_start_t = F.when(starting, e["t"]).otherwise(
+            F.when(completing, F.lit(None).cast(ts_type)).otherwise(
+                acc["start_t"]
+            )
+        )
+        new_start_k = F.when(starting, e["k"]).otherwise(
+            F.when(completing, F.lit(None).cast(id_type)).otherwise(
+                acc["start_k"]
+            )
+        )
+        new_done = F.when(
+            completing,
+            F.concat(
+                acc["done"],
+                F.array(
+                    F.struct(
+                        acc["start_t"].alias("st"),
+                        acc["start_k"].alias("sk"),
+                        e["t"].alias("en"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["done"])
+        return F.struct(
+            new_stage.alias("stage"),
+            new_start_t.alias("start_t"),
+            new_start_k.alias("start_k"),
+            new_done.alias("done"),
+        )
+
+    folded = (
+        df.groupBy(key_col)
+        .agg(F.aggregate(evs, zero, step).alias("_m"))
+        .select(key_col, F.explode("_m.done").alias("_j"))
+    )
+    return folded.select(
+        key_col,
+        F.col("_j.st").alias("match_start_ts"),
+        F.col("_j.sk").alias("start_id"),
+        F.col("_j.en").alias("match_end_ts"),
+    )

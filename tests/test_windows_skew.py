@@ -828,3 +828,40 @@ def test_pattern_matches_contiguous_and_gapped(spark):
     assert (r.match_start_ts, r.match_end_ts) == (t0, t0 + 2 * m)
     with pytest.raises(ValueError):
         pattern_matches(df, ["a"])
+
+
+def test_journey_matches_skip_till_next_and_nonoverlap(spark):
+    import datetime as dt
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        journey_matches,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0 + 0 * m, 1, "view"), (1, t0 + 1 * m, 2, "error"),
+        (1, t0 + 2 * m, 3, "click"),
+        (1, t0 + 3 * m, 4, "view"),       # ignored mid-journey
+        (1, t0 + 4 * m, 5, "purchase"),   # journey 1 completes
+        (1, t0 + 5 * m, 6, "click"),      # skipped: machine is at stage 0
+        (1, t0 + 6 * m, 7, "view"), (1, t0 + 7 * m, 8, "click"),
+        (1, t0 + 8 * m, 9, "purchase"),   # journey 2
+        (2, t0, 10, "purchase"),          # never starts
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = [
+        (r.user_id, r.start_id, r.match_start_ts, r.match_end_ts)
+        for r in journey_matches(df, ["view", "click", "purchase"])
+        .orderBy("match_start_ts").collect()
+    ]
+    assert got == [
+        (1, 1, t0, t0 + 4 * m),
+        (1, 7, t0 + 6 * m, t0 + 8 * m),
+    ]
+    with pytest.raises(ValueError):
+        journey_matches(df, ["view"])
