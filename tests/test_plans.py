@@ -335,8 +335,10 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     threshold is too low to pick it up front."""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        # static threshold too small for the unfiltered estimate
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        # static threshold too small for the unfiltered estimate, but
+        # comfortably ABOVE the ~2-row runtime broadcast (1KB sat right
+        # at the serialized-relation size and flaked under load)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4KB")
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
             F.col("o_orderkey") % 1000 == 0  # tiny at runtime
