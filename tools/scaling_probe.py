@@ -67,12 +67,33 @@ def main() -> None:
         )
         return snapshot_diff(d, new, ["doc_id"], ["n_chars", "lang"])
 
+    from cancer_survival_etl_spark.llm.curation import bloom_decontaminate
+    from cancer_survival_etl_spark.llm.retrieval import (
+        bm25_topk,
+        dsir_importance,
+        ngram_lm_score,
+    )
+
+    bm25_queries = spark.createDataFrame(
+        [(1, "spark query filter"), (2, "hash join merge"),
+         (3, "window sort stream")],
+        "query_id int, query_text string",
+    )
     ops = {
         "chunk": lambda d: chunk_documents(d, chunk_size=32),
         "decontam": lambda d: contamination(d, ev, n=3),
         "pack_bins": lambda d: pack_bins(d, budget=512),
         "dup_spans": lambda d: duplicate_spans(d, k=8, min_docs=2),
         "snap_diff": diff_modified,
+        "bm25": lambda d: bm25_topk(d, bm25_queries, k=10),
+        "lm": lambda d: ngram_lm_score(d.filter("lang = 'en'"), d, n=2),
+        "dsir": lambda d: dsir_importance(
+            d, d.filter("lang = 'en'"), n_buckets=4096
+        ),
+        "bloom": lambda d: bloom_decontaminate(
+            d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0"),
+            n=3, n_bits=1 << 18, k=4,
+        ),
     }
     for factor in (1, 4, 8):
         d = amplify(docs, factor)
