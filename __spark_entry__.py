@@ -2616,6 +2616,109 @@ _WINSORIZE_SQL = """
 """
 
 
+def q_stats_robust_scale(spark, sf_dir):
+    """Fused winsorize + robust scale per event type: clip to the exact
+    [5th, 95th] discrete percentiles, then center/scale by median and
+    IQR — five order statistics from ONE aggregate, one broadcast join
+    (`operators/stats.py::robust_scale_by`)."""
+    from cancer_survival_etl_spark.operators.stats import robust_scale_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return robust_scale_by(e, "event_type", "cents", 0.05, 0.95)
+
+
+_ROBUST_SCALE_SQL = """
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               quantile_disc(cents, 0.05) AS lo,
+               quantile_disc(cents, 0.95) AS hi,
+               quantile_disc(cents, 0.25) AS q1,
+               quantile_disc(cents, 0.5)  AS med,
+               quantile_disc(cents, 0.75) AS q3
+        FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents,
+           least(greatest(e.cents, b.lo), b.hi) AS value_winsorized,
+           (e.cents < b.lo OR e.cents > b.hi) AS was_clipped,
+           CASE WHEN b.q3 - b.q1 != 0 THEN
+               round((least(greatest(e.cents, b.lo), b.hi) - b.med)::DOUBLE
+                     / (b.q3 - b.q1), 6)
+           END AS value_scaled
+    FROM e JOIN b ON e.event_type = b.event_type
+"""
+
+
+def q_ann_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-5: 64-dim vectors → 8 subspaces ×
+    16-centroid codebooks (deterministic seed codebooks, iters=0, so
+    the whole train→encode→ADC pipeline is engine-portable); queries
+    score the corpus from its byte codes and an m×k distance table
+    only (`llm/similarity.py::pq_topk_adc`)."""
+    from cancer_survival_etl_spark.llm.similarity import pq_topk_adc
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk_adc(
+        e, e.filter(F.col("vec_id") < 5), k=5, m=8, sub_dim=8, n_codes=16
+    )
+
+
+_PQ_ADC_SQL = """
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    sv AS (
+        SELECT vec_id, dim // 8 AS sub, dim % 8 AS sdim, val FROM flat
+    ),
+    cb AS (
+        SELECT sub, vec_id AS centroid_id, sdim, val AS cval
+        FROM sv WHERE vec_id < 16
+    ),
+    dists AS (
+        SELECT s.vec_id, s.sub, c.centroid_id,
+               round(sum((s.val - c.cval) * (s.val - c.cval)), 6) AS d2
+        FROM sv s JOIN cb c ON s.sub = c.sub AND s.sdim = c.sdim
+        GROUP BY s.vec_id, s.sub, c.centroid_id
+    ),
+    codes AS (
+        SELECT vec_id, sub, centroid_id AS code FROM (
+            SELECT vec_id, sub, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, centroid_id) AS r
+            FROM dists
+        ) t WHERE r = 1
+    ),
+    qtab AS (
+        SELECT vec_id AS query_id, sub, centroid_id AS code, d2
+        FROM dists WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(sum(q.d2), 6) AS adist2
+        FROM codes c JOIN qtab q ON c.sub = q.sub AND c.code = q.code
+        WHERE c.vec_id != q.query_id
+        GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adist2, rank_val FROM (
+        SELECT query_id, neighbor_id, adist2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist2 ASC, neighbor_id)
+                   AS rank_val
+        FROM scored
+    ) t WHERE rank_val <= 5
+"""
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -4497,6 +4600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pattern": q_events_pattern,
         "stats_winsorize": q_stats_winsorize,
         "events_journeys": q_events_journeys,
+        "stats_robust_scale": q_stats_robust_scale,
+        "ann_pq_adc": q_ann_pq_adc,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6146,6 +6251,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pattern": _PATTERN_SQL,
         "stats_winsorize": _WINSORIZE_SQL,
         "events_journeys": _JOURNEYS_SQL,
+        "stats_robust_scale": _ROBUST_SCALE_SQL,
+        "ann_pq_adc": _PQ_ADC_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

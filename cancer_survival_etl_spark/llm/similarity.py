@@ -358,6 +358,251 @@ def quantize_embeddings(
     )
 
 
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length arrays, as a
+    sequential JVM fold (deterministic addend order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Split each vector into ``m`` contiguous ``sub_dim``-wide
+    subvectors → long form (id, sub, subv). The explode is ×m on row
+    count but each row carries only 1/m of the payload — total bytes
+    are unchanged, and the long form is what PQ's per-subspace
+    codebook join wants."""
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(
+        *[F.slice(v, i * sub_dim + 1, sub_dim) for i in range(m)]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(subs).alias("sub", "subv"),
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: one ``k``-centroid codebook per
+    subspace — the Jégou et al. PQ layout that compresses a D-dim float
+    vector to ``m`` byte codes (here 64 doubles → 8 codes, a 64×
+    shrink) while keeping distances computable from an m×k lookup
+    table.
+
+    Init is deterministic (subvectors of the first ``k`` vectors by
+    id), so with ``iters=0`` the whole PQ pipeline is reproducible on
+    any engine and oracle-checkable; ``iters>0`` runs per-subspace
+    Lloyd rounds (assign by squared-L2 argmin, recompute element-wise
+    means) — every subspace trains in the SAME distributed pass, so an
+    iteration is one assign shuffle + one mean shuffle regardless of
+    ``m``.
+
+    Returns (sub, centroid_id, _cbv) — m·k tiny rows, always
+    broadcast downstream.
+    """
+    cb = pq_subvectors(
+        corpus.filter(F.col(id_col) < k), m, sub_dim, id_col, vec_col
+    ).select(
+        "sub", F.col("vec_id").alias("centroid_id"), F.col("subv").alias("_cbv")
+    )
+    if iters:
+        subv = pq_subvectors(
+            fan_out(corpus), m, sub_dim, id_col, vec_col
+        )
+        for _ in range(iters):
+            d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+            w = Window.partitionBy("vec_id", "sub").orderBy(
+                d2.asc(), F.col("centroid_id")
+            )
+            assigned = (
+                subv.join(F.broadcast(cb), "sub")
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("sub", "centroid_id", "subv")
+            )
+            cb = (
+                assigned.select(
+                    "sub",
+                    "centroid_id",
+                    F.posexplode("subv").alias("_dim", "_x"),
+                )
+                .groupBy("sub", "centroid_id", "_dim")
+                .agg(F.avg("_x").alias("_mean"))
+                .groupBy("sub", "centroid_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("_dim", "_mean"))
+                    ).alias("_pairs")
+                )
+                .select(
+                    "sub",
+                    "centroid_id",
+                    F.transform(
+                        F.col("_pairs"), lambda p: p.getField("_mean")
+                    ).alias("_cbv"),
+                )
+            )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook indices → (vec_id, sub,
+    code): per subspace, the squared-L2-argmin centroid (distance
+    rounded to 6 dp before the argmin, ties by centroid id — engine-
+    stable). One broadcast join + one window; the output is the
+    compressed corpus that ships to ADC search at ~1 byte/component
+    instead of 4-8."""
+    subv = pq_subvectors(fan_out(corpus), m, sub_dim, id_col, vec_col)
+    d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        d2.asc(), F.col("centroid_id")
+    )
+    return (
+        subv.join(F.broadcast(codebooks), "sub")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "sub", F.col("centroid_id").alias("code"))
+    )
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-``k``: score every corpus vector
+    against each query using ONLY its PQ codes and the query's m×k
+    distance table — the uncompressed corpus is never touched at query
+    time.
+
+    Pipeline: distance table = queries' subvectors × codebooks (m·k
+    rows per query — broadcast); each (vec, sub) code row picks its
+    table cell by (query, sub, code) equi-join; per-(query, neighbor)
+    approx dist² = Σ over the m subspaces (each addend pre-rounded to
+    6 dp, the total re-rounded — engine-stable). Rank ascending, ties
+    by neighbor id.
+
+    Scale: codes are the fact (n·m fixed-width rows); the broadcast
+    table join is narrow; the only shuffle is the (query, neighbor)
+    sum — n·|queries| rows of 3 numbers. Compose with the IVF cell
+    layout (encode per cell, probe then ADC) for the IVF-PQ shape
+    where the scan itself prunes. Returns (query_id, neighbor_id,
+    adist2, rank_val).
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m, sub_dim, n_codes, iters, id_col, vec_col
+        )
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, m, sub_dim, id_col, vec_col)
+    qsub = pq_subvectors(
+        queries, m, sub_dim, id_col, vec_col, out_id="query_id"
+    )
+    table = qsub.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("centroid_id").alias("code"),
+        F.round(_dist2(F.col("subv"), F.col("_cbv")), 6).alias("_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+        .withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production two-stage ANN
+    serving shape (FAISS ``IndexPQ`` + refine): ADC over the byte
+    codes selects ``shortlist`` candidates per query (cheap — the
+    corpus is scanned compressed), then ONLY those candidates' full
+    vectors are fetched and exactly cosine-ranked for the final
+    ``k``. Quantization error affects the shortlist boundary, not the
+    returned ordering, so recall is governed by shortlist/k, not by
+    codebook resolution.
+
+    Scale: stage 1 touches n·m byte-code rows; stage 2 touches
+    |queries|·shortlist full vectors — the expensive exact math runs
+    on a candidate set 10⁴-10⁶× smaller than the corpus. Returns
+    (query_id, neighbor_id, cosine, rank_val) — same contract as
+    ``brute_force_topk``.
+    """
+    cand = pq_topk_adc(
+        corpus, queries, shortlist, m, sub_dim, n_codes, iters,
+        id_col, vec_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cos = _dot(F.col("_cv"), F.col("_qv")) / (
+        _norm(F.col("_cv")) * _norm(F.col("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -404,3 +404,68 @@ def winsorize_by(
         )
         .drop("_lo", "_hi")
     )
+
+
+def robust_scale_by(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    clip_lower: float = 0.05,
+    clip_upper: float = 0.95,
+) -> DataFrame:
+    """Fused per-group winsorize + robust scale: clip ``value_col`` to
+    its group's [clip_lower, clip_upper] exact discrete percentiles,
+    then center/scale the clipped value by the group's median and IQR
+    — ``(clip(v) − median) / (q3 − q1)`` — the sklearn RobustScaler
+    recipe, outlier-tamed first so a single wild row cannot blow up
+    the scaled feature.
+
+    FUSED: all five order statistics (clip lo/hi, q1, median, q3) come
+    from ONE ``percentile_disc`` aggregate over one scan — not the
+    naive winsorize-aggregate-then-scale-aggregate double pass. The
+    tiny per-group stats frame broadcasts back; the clip+scale is a
+    pure projection. Groups with zero IQR (constant-valued after
+    clipping) yield NULL ``value_scaled`` rather than an Inf.
+
+    Exact ``percentile_disc`` (a real data value, no interpolation)
+    keeps the bounds engine-portable; the scaled value is rounded to
+    6 dp. Returns the input plus (value_winsorized, was_clipped,
+    value_scaled).
+
+    Scale: one map-side-combinable aggregate + one broadcast join —
+    identical shuffle shape to ``winsorize_by`` alone; the fusion is
+    free. Skewed group sizes only affect the aggregate's sort buffers
+    (percentile_disc is implemented as a per-group sort in Spark);
+    for million-row groups prefer approx quantiles or the
+    hash-sample sibling in ``operators/sketches.py``.
+    """
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def pct(p, alias):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias(alias)
+
+    bounds = df.groupBy(*cols).agg(
+        pct(clip_lower, "_lo"),
+        pct(clip_upper, "_hi"),
+        pct(0.25, "_q1"),
+        pct(0.5, "_med"),
+        pct(0.75, "_q3"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    iqr = F.col("_q3") - F.col("_q1")
+    return (
+        df.join(F.broadcast(bounds), cols)
+        .select(
+            "*",
+            clipped.alias("value_winsorized"),
+            ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+            F.when(
+                iqr != 0,
+                F.round((clipped - F.col("_med")) / iqr, 6),
+            ).alias("value_scaled"),
+        )
+        .drop("_lo", "_hi", "_q1", "_med", "_q3")
+    )

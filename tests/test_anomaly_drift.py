@@ -131,3 +131,24 @@ def test_winsorize_by_clips_at_exact_percentiles(spark):
     assert out[49] == (50, False)   # middle untouched
     n_clipped = sum(1 for v, c in out.values() if c)
     assert n_clipped == 4 + 5       # v in {1..4} and {96..100}
+
+
+def test_robust_scale_by_fused_clip_and_scale(spark):
+    from cancer_survival_etl_spark.operators.stats import robust_scale_by
+
+    vals = list(range(1, 101))  # 1..100
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = {r.id: r for r in robust_scale_by(df, "grp", "v", 0.05, 0.95).collect()}
+    # clip bounds 5/95 (as winsorize_by), median 50, IQR = 75 - 25 = 50
+    assert out[0].value_winsorized == 5 and out[0].was_clipped
+    assert out[0].value_scaled == pytest.approx((5 - 50) / 50, abs=1e-6)
+    assert out[49].value_scaled == pytest.approx(0.0, abs=1e-6)
+    assert out[99].value_scaled == pytest.approx((95 - 50) / 50, abs=1e-6)
+    # degenerate IQR -> NULL scaled, winsorized still defined
+    const = spark.createDataFrame(
+        [("c", i, 7) for i in range(10)], "grp string, id long, v long"
+    )
+    got = robust_scale_by(const, "grp", "v").collect()
+    assert all(r.value_scaled is None for r in got)
+    assert all(r.value_winsorized == 7 for r in got)

@@ -179,6 +179,19 @@ def _wins(spark, events):
     return winsorize_by(e, "event_type", "cents", 0.05, 0.95)
 
 
+@_eregister("robust_scale")
+def _rscale(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import robust_scale_by
+
+    e = events.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return robust_scale_by(e, "event_type", "cents", 0.05, 0.95)
+
+
 @pytest.mark.parametrize("name", sorted(EVENT_OPS))
 def test_event_ops_partitioning_independence(spark, sf_dir, name):
     events = load_table(spark, sf_dir, "events")

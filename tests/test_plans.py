@@ -334,11 +334,16 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     BroadcastHashJoin in the final adaptive plan even when the static
     threshold is too low to pick it up front."""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_rt = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
     try:
-        # static threshold too small for the unfiltered estimate, but
-        # comfortably ABOVE the ~2-row runtime broadcast (1KB sat right
-        # at the serialized-relation size and flaked under load)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4KB")
+        # static threshold too small for ANY side up front, runtime
+        # (adaptive) threshold far above the ~2-row broadcast — the
+        # conversion decision no longer sits near the serialized size
+        # of the filtered relation (4KB flaked there under load)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB"
+        )
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
             F.col("o_orderkey") % 1000 == 0  # tiny at runtime
@@ -351,3 +356,9 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_rt is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_rt
+            )
