@@ -32,8 +32,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -171,4 +173,164 @@ def running_ema_batch(
     return pd.DataFrame(
         out,
         columns=["user_id", "n_events", "ema", "last_value", "n_spikes"],
+    )
+
+
+SS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("item", LongType()),
+        StructField("count_est", LongType()),
+        StructField("err_bound", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+_SS_STATE_SCHEMA = StructType(
+    [
+        StructField("n_total", LongType()),
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+    ]
+)
+
+
+class SpaceSavingProcessor(StatefulProcessor):
+    """Streaming Space-Saving heavy hitters (Metwally et al.): per key
+    (e.g. per event type), track at most ``capacity`` candidate items
+    with the classic guarantees — ``count_est ≥ true ≥ count_est −
+    err_bound`` for every tracked item, and ANY item whose true
+    frequency exceeds ``n_total / capacity`` is guaranteed tracked.
+    State is a fixed-capacity struct-of-arrays (bounded regardless of
+    stream length or item cardinality — the point of the sketch).
+
+    Rows are folded in (ts, tiebreak) order within each batch, and the
+    fold is a pure left fold, so consecutive micro-batches of an
+    ordered stream reproduce the single-pass batch result exactly —
+    the same batching-independence contract as ``EmaSpikeProcessor``.
+    Eviction picks the (count, item)-smallest tracked entry; the
+    replacement inherits its count (+1) as ``err_bound`` — every
+    tie-break is total, so the summary is deterministic.
+    """
+
+    def __init__(
+        self,
+        capacity: int = 8,
+        item_col: str = "user_id",
+        ts_col: str = "ts",
+        tiebreak_col: str = "event_id",
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._capacity = int(capacity)
+        self._item_col = item_col
+        self._ts_col = ts_col
+        self._tiebreak_col = tiebreak_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "ss", _SS_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    @staticmethod
+    def fold(counters: dict, n_total: int, xs, capacity: int):
+        """The Space-Saving step for a sequence of items; ``counters``
+        maps item → [count, err] and is mutated in place."""
+        for x in xs:
+            n_total += 1
+            if x in counters:
+                counters[x][0] += 1
+            elif len(counters) < capacity:
+                counters[x] = [1, 0]
+            else:
+                evict = min(counters, key=lambda i: (counters[i][0], i))
+                m = counters.pop(evict)[0]
+                counters[x] = [m + 1, m]
+        return n_total
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n_total, items, counts, errs = self._state.get()
+            counters = {
+                int(i): [int(c), int(e)]
+                for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            n_total, counters = 0, {}
+        for pdf in rows:
+            pdf = pdf.sort_values([self._ts_col, self._tiebreak_col])
+            n_total = self.fold(
+                counters,
+                n_total,
+                (int(x) for x in pdf[self._item_col]),
+                self._capacity,
+            )
+        tracked = sorted(counters)
+        self._state.update(
+            (
+                n_total,
+                tracked,
+                [counters[i][0] for i in tracked],
+                [counters[i][1] for i in tracked],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "item": tracked,
+                "count_est": [counters[i][0] for i in tracked],
+                "err_bound": [counters[i][1] for i in tracked],
+                "n_total": n_total,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_heavy_hitters(
+    events: DataFrame,
+    capacity: int = 8,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-event-type Space-Saving heavy hitters over
+    (event_type, ts, event_id, user_id) via
+    ``transformWithStateInPandas`` — update-mode output; each
+    micro-batch emission is the key's full current summary (at most
+    ``capacity`` rows), so the latest emission per key IS the sketch."""
+    return events.select(
+        "event_type", "ts", "event_id", "user_id"
+    ).groupBy("event_type").transformWithStateInPandas(
+        SpaceSavingProcessor(capacity=capacity, ttl_ms=ttl_ms),
+        outputStructType=SS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def space_saving_batch(
+    events: DataFrame, capacity: int = 8
+) -> pd.DataFrame:
+    """Batch reference for ``running_heavy_hitters``'s END STATE: the
+    same Space-Saving fold over each type's full history in (ts,
+    event_id) order. Pins the streaming processor in tests."""
+    pdf = (
+        events.select("event_type", "ts", "event_id", "user_id")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    out = []
+    for et, grp in pdf.groupby("event_type"):
+        counters: dict = {}
+        n_total = SpaceSavingProcessor.fold(
+            counters, 0, (int(x) for x in grp["user_id"]), capacity
+        )
+        for i in sorted(counters):
+            out.append((et, i, counters[i][0], counters[i][1], n_total))
+    return pd.DataFrame(
+        out,
+        columns=["event_type", "item", "count_est", "err_bound", "n_total"],
     )

@@ -567,3 +567,147 @@ def test_ema_processor_logic_matches_batch_reference(spark, sf_dir):
         assert abs(float(out["ema"].iloc[0]) - want.ema) < 1e-12
         assert int(out["n_spikes"].iloc[0]) == int(want.n_spikes)
         assert abs(float(out["last_value"].iloc[0]) - want.last_value) < 1e-12
+
+
+def test_space_saving_processor_matches_batch_reference(spark, sf_dir):
+    """Pin SpaceSavingProcessor's fold (fake state handle): feeding a
+    type's history in consecutive slices — each slice's rows shuffled —
+    must reproduce the batch single-pass summary exactly."""
+    from cancer_survival_etl_spark.streaming.tws import (
+        SpaceSavingProcessor,
+        space_saving_batch,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    events = load_table(spark, sf_dir, "events")
+    expect = space_saving_batch(events, capacity=8)
+    pdf = (
+        events.select("event_type", "ts", "event_id", "user_id")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    for et, grp in list(pdf.groupby("event_type")):
+        proc = SpaceSavingProcessor(capacity=8)
+        proc._state = FakeState()
+        cut = max(1, len(grp) // 3)
+        out = None
+        for chunk in (grp.iloc[:cut], grp.iloc[cut:]):
+            if len(chunk) == 0:
+                continue
+            shuffled = chunk.sample(frac=1.0, random_state=7)
+            out = list(
+                proc.handleInputRows((et,), iter([shuffled]), None)
+            )[-1]
+        want = expect[expect.event_type == et].reset_index(drop=True)
+        got = out.reset_index(drop=True)
+        assert list(got["item"]) == list(want["item"]), et
+        assert list(got["count_est"]) == list(want["count_est"]), et
+        assert list(got["err_bound"]) == list(want["err_bound"]), et
+        assert (got["n_total"] == want["n_total"]).all(), et
+
+
+def test_space_saving_guarantees_vs_exact_counts(spark, sf_dir):
+    """The sketch's published guarantees against the exact per-type
+    user counts: est ≥ true ≥ est − err for every tracked item, and
+    every item with true count > n_total/capacity is tracked."""
+    from cancer_survival_etl_spark.streaming.tws import space_saving_batch
+
+    events = load_table(spark, sf_dir, "events")
+    cap = 8
+    summary = space_saving_batch(events, capacity=cap)
+    exact = (
+        events.groupBy("event_type", "user_id")
+        .count()
+        .toPandas()
+        .set_index(["event_type", "user_id"])["count"]
+    )
+    for r in summary.itertuples():
+        true = int(exact.get((r.event_type, r.item), 0))
+        assert r.count_est >= true >= r.count_est - r.err_bound, r
+    for (et, uid), true in exact.items():
+        n_total = int(
+            summary[summary.event_type == et]["n_total"].iloc[0]
+        )
+        if true > n_total / cap:
+            assert (
+                (summary.event_type == et) & (summary.item == uid)
+            ).any(), (et, uid, true)
+
+
+def test_transform_with_state_space_saving(spark, sf_dir, tmp_path):
+    """End-to-end transformWithStateInPandas run of the Space-Saving
+    processor: the last emission per event type equals the batch fold
+    of the full ordered history (protobuf-gated like the EMA test)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        running_heavy_hitters,
+        space_saving_batch,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_heavy_hitters(src, capacity=8)
+            .writeStream.format("memory")
+            .queryName("tws_ss_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.sql(
+        """SELECT event_type, item,
+                  max_by(count_est, n_total) AS count_est,
+                  max_by(err_bound, n_total) AS err_bound,
+                  max(n_total) AS n_total
+           FROM tws_ss_test GROUP BY event_type, item"""
+    ).toPandas()
+    events = load_table(spark, sf_dir, "events")
+    expect = space_saving_batch(events, capacity=8)
+    # compare final summaries per type: the last emission holds the
+    # full summary, so restrict to rows present at the final n_total
+    for et, want in expect.groupby("event_type"):
+        got = out[out.event_type == et]
+        final_n = int(want["n_total"].iloc[0])
+        got = got[got.n_total == final_n]
+        gmap = {int(r.item): (int(r.count_est), int(r.err_bound))
+                for r in got.itertuples()}
+        wmap = {int(r.item): (int(r.count_est), int(r.err_bound))
+                for r in want.itertuples()}
+        assert gmap == wmap, et
