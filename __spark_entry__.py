@@ -2719,6 +2719,56 @@ _PQ_ADC_SQL = """
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: embedding-cluster-blocked semantic dedup — assign to
+    seed centroids, cosine pairs only within a cell, connected
+    components, keep min id (`llm/dedup.py::semantic_dedup`). The
+    0.35 threshold is where the synthetic near-orthogonal embeddings
+    have non-vacuous mass at every SF (real text embeddings run
+    ~0.95)."""
+    from cancer_survival_etl_spark.llm.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_centroids=8, threshold=0.35)
+
+
+_SEMANTIC_DEDUP_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, cen.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, cen.cv),
+                                      6) DESC, cen.cid) AS r
+            FROM e CROSS JOIN cen
+        ) t WHERE r = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM assign a JOIN assign b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    sym AS (
+        SELECT ia AS u, ib AS v FROM pairs
+        UNION ALL
+        SELECT ib AS u, ia AS v FROM pairs
+    ),
+    reach(u, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.u
+    )
+    SELECT r.u AS vec_id, a.cid AS cell, min(r.lab) AS dup_group,
+           min(r.lab) = r.u AS is_kept
+    FROM reach r JOIN assign a ON a.vec_id = r.u
+    GROUP BY r.u, a.cid
+"""
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -4602,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_journeys": q_events_journeys,
         "stats_robust_scale": q_stats_robust_scale,
         "ann_pq_adc": q_ann_pq_adc,
+        "dedup_semantic": q_dedup_semantic,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6253,6 +6304,7 @@ def oracle_sql() -> dict[str, str]:
         "events_journeys": _JOURNEYS_SQL,
         "stats_robust_scale": _ROBUST_SCALE_SQL,
         "ann_pq_adc": _PQ_ADC_SQL,
+        "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -130,6 +130,9 @@ HEADLINE = [
     "events_pattern",
     "stats_winsorize",
     "events_journeys",
+    "stats_robust_scale",
+    "ann_pq_adc",
+    "dedup_semantic",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -842,3 +842,99 @@ def probe_band_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.35,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus, compare pairs ONLY
+    within a cluster, drop all but one of each cosine-connected group.
+    The cluster blocking is what makes semantic dedup tractable: the
+    quadratic surface is Σ cell², not corpus², and cells shrink as
+    k grows (the paper runs k≈50k on LAION-scale corpora; cosine
+    thresholds there sit near 0.95+ — on synthetic near-orthogonal
+    vectors the interesting mass is much lower, so the threshold is a
+    parameter, not a constant).
+
+    Deterministic end-to-end with ``iters=0`` (seed centroids = first
+    ``n_centroids`` vectors, assignment by round-6 cosine argmax, ties
+    by centroid id) — the whole pipeline is oracle-checkable;
+    ``iters>0`` upgrades the blocking to trained Lloyd cells without
+    touching the downstream semantics.
+
+    Pipeline: assign → within-cell pairs ≥ threshold
+    (``embedding_cosine_pairs`` with the cell as ``block_col``) →
+    connected components (pointer doubling) → keep min id per group.
+    Returns (id, cell, dup_group, is_kept); dedup downstream is
+    ``filter(is_kept)``.
+    """
+    from cancer_survival_etl_spark.llm.similarity import (
+        _dot,
+        _norm,
+        kmeans_centroids,
+    )
+    from cancer_survival_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    if iters:
+        cen = kmeans_centroids(
+            embeddings, k=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cen = embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("_cenv"),
+        )
+    v = F.col(vec_col).cast("array<double>")
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_cenv"))
+        / (_norm(F.col("_v")) * _norm(F.col("_cenv"))),
+        6,
+    )
+    w = Window.partitionBy("_id").orderBy(cos.desc(), F.col("centroid_id"))
+    assigned = (
+        fan_out(embeddings)
+        .select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .join(F.broadcast(cen), how="cross")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_v").alias(vec_col),
+            F.col("centroid_id").alias("_cell"),
+        )
+    )
+    # the pair step re-normalizes once per row; candidate surface is
+    # within-cell only (equi-join on _cell)
+    pairs = embedding_cosine_pairs(
+        assigned, vec_col=vec_col, id_col=id_col,
+        threshold=threshold, block_col="_cell",
+    )
+    comps = connected_components(
+        pairs, "id_a", "id_b",
+        nodes=assigned.select(F.col(id_col).alias("id_a")),
+    )
+    return (
+        assigned.select(id_col, F.col("_cell").alias("cell"))
+        .join(
+            comps.select(
+                F.col("node").alias(id_col),
+                F.col("component").alias("dup_group"),
+            ),
+            id_col,
+        )
+        .select(
+            id_col,
+            "cell",
+            "dup_group",
+            (F.col(id_col) == F.col("dup_group")).alias("is_kept"),
+        )
+    )

@@ -949,3 +949,22 @@ def test_pq_rerank_recall_vs_brute_force(spark, sf_dir):
         exact, on=["query_id", "neighbor_id"], suffixes=("_pq", "_bf")
     )
     assert (merged["cosine_pq"] == merged["cosine_bf"]).all()
+
+
+def test_semantic_dedup_groups_are_intra_cell_min_id(spark, sf_dir):
+    from cancer_survival_etl_spark.llm.dedup import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(e, n_centroids=8, threshold=0.35).toPandas()
+    assert len(out) == e.count()  # nothing lost, singletons included
+    # keep rule: representative iff it IS the group min id
+    assert ((out.vec_id == out.dup_group) == out.is_kept).all()
+    grp = out.groupby("dup_group")
+    assert (grp["vec_id"].min() == grp["vec_id"].min().index).all()
+    # edges only form within a cell, so a dup group never spans cells
+    assert grp["cell"].nunique().eq(1).all()
+    # non-vacuous at every SF: some group has >1 member
+    assert (grp.size() > 1).any()
+    # a tighter threshold can only drop fewer documents
+    tight = semantic_dedup(e, n_centroids=8, threshold=0.45).toPandas()
+    assert (~tight.is_kept).sum() <= (~out.is_kept).sum()
