@@ -724,3 +724,157 @@ def query_ivf_index(
         .withColumn("rank_val", F.row_number().over(w))
         .filter(F.col("rank_val") <= k)
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize an IVF-PQ index (the FAISS ``IndexIVFPQ`` layout, as
+    a parquet lake): the cell-partitioned full vectors and centroid
+    table of ``build_ivf_index``, PLUS per-vector PQ codes written
+    under ``path/codes/cell=<id>/`` and the codebooks at
+    ``path/codebooks``.
+
+    This composes the two pruning levers: a query's probe prunes to
+    nprobe/n_centroids of the FILES (partition filter), and within the
+    probed cells the scan reads the byte codes (m longs/vector here;
+    bytes in a packed layout) instead of the full vectors — the
+    full-precision lake is touched only for the final shortlist
+    re-rank. Codebooks are trained on the whole corpus (standard: one
+    shared codebook set, residual-free flavor)."""
+    build_ivf_index(
+        corpus, path, n_centroids, id_col, vec_col, centroids
+    )
+    cb = pq_train(corpus, m, sub_dim, n_codes, pq_iters, id_col, vec_col)
+    cells = (
+        # reuse the persisted assignment so codes land in the SAME
+        # cell directories as their vectors
+        corpus.sparkSession.read.parquet(f"{path}/vectors")
+        .select("vec_id", "cell")
+    )
+    codes = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+    codes.join(cells, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    cb.select("sub", "centroid_id", F.col("_cbv").alias("vec")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebooks")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    m: int = 16,
+    sub_dim: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` cosine neighbours from a persisted IVF-PQ index:
+    probe → ADC over ONLY the probed cells' code files → exact re-rank
+    of the shortlist against ONLY those cells' full vectors. Both scans
+    carry the probe set as a partition filter; the full-precision reads
+    are |queries|·shortlist rows, not the corpus.
+
+    Returns (query_id, neighbor_id, cosine, rank_val) — the exact
+    cosine for every returned pair (re-rank), so scores are directly
+    comparable to ``brute_force_topk``."""
+    cen = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "centroid_id", F.col("vec").alias("_cenv")
+        )
+    )
+    cb = F.broadcast(
+        spark.read.parquet(f"{path}/codebooks").select(
+            "sub", F.col("centroid_id").alias("code"),
+            F.col("vec").alias("_cbv"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    qcos = F.round(
+        _dot(F.col("_qv"), F.col("_cenv"))
+        / (_norm(F.col("_qv")) * _norm(F.col("_cenv"))),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        qcos.desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(cen, how="cross")
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", F.col("centroid_id").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    # ADC distance table for each query from its subvectors
+    qsub = probes.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_qv"), i * sub_dim + 1, sub_dim)
+                    for i in range(m)
+                ]
+            )
+        ).alias("sub", "_qsv"),
+    )
+    table = qsub.join(cb, "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "code",
+        F.round(_dist2(F.col("_qsv"), F.col("_cbv")), 6).alias("_d2"),
+    )
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells)  # -> PartitionFilters
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adist2").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        codes.join(F.broadcast(table), ["cell", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+        .withColumn("_sl", F.row_number().over(wa))
+        .filter(F.col("_sl") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(cells)
+    ).select(F.col("vec_id").alias("neighbor_id"), "vec")
+    cos = F.round(
+        _dot(F.col("vec"), F.col("_qv"))
+        / (_norm(F.col("vec")) * _norm(F.col("_qv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(vectors, "neighbor_id")
+        .join(
+            F.broadcast(probes.select("query_id", "_qv").dropDuplicates(["query_id"])),
+            "query_id",
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
+    )

@@ -968,3 +968,47 @@ def test_semantic_dedup_groups_are_intra_cell_min_id(spark, sf_dir):
     # a tighter threshold can only drop fewer documents
     tight = semantic_dedup(e, n_centroids=8, threshold=0.45).toPandas()
     assert (~tight.is_kept).sum() <= (~out.is_kept).sum()
+
+
+def test_persisted_ivfpq_index_prunes_and_recalls(spark, sf_dir, tmp_path):
+    """build_ivfpq_index + query_ivfpq_index: the codes lake is
+    cell-partitioned and the probe lands in PartitionFilters; the
+    probe→ADC→re-rank chain recalls the probed-cell IVF result (the
+    shortlist covers the cells, so IVF-PQ equals plain persisted IVF
+    at this scale) and returns exact cosines."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        query_ivf_index,
+        query_ivfpq_index,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(e, path, n_centroids=8, m=16, sub_dim=4, pq_iters=1)
+
+    import os
+
+    assert sorted(
+        d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")
+    ), "codes not cell-partitioned"
+
+    got = query_ivfpq_index(
+        spark, path, queries, k=5, nprobe=2, shortlist=1000, m=16, sub_dim=4
+    ).toPandas()
+    want = query_ivf_index(spark, path, queries, k=5, nprobe=2).toPandas()
+    # with an uncut shortlist the re-rank sees every probed-cell vector
+    # → identical to the persisted IVF query, exact cosines included
+    g = got.sort_values(["query_id", "rank_val"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "rank_val"]).reset_index(drop=True)
+    assert (g[["query_id", "neighbor_id", "cosine"]].values
+            == w[["query_id", "neighbor_id", "cosine"]].values).all()
+
+    # a realistic shortlist keeps high recall vs the same IVF result
+    short = query_ivfpq_index(
+        spark, path, queries, k=5, nprobe=2, shortlist=50, m=16, sub_dim=4
+    ).toPandas()
+    e_set = set(map(tuple, w[["query_id", "neighbor_id"]].values))
+    s_set = set(map(tuple, short[["query_id", "neighbor_id"]].values))
+    assert len(e_set & s_set) / len(e_set) >= 0.6
