@@ -2769,6 +2769,41 @@ _SEMANTIC_DEDUP_SQL = """
 """
 
 
+def q_ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for 10 anchors, the 3 most
+    cosine-similar corpus vectors with a DIFFERENT label
+    (`llm/similarity.py::hard_negative_mining`) — exact brute-force
+    contract; at scale the same selection runs over an ANN
+    shortlist."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        hard_negative_mining,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(e, e.filter(F.col("vec_id") < 10), k=3)
+
+
+_HARD_NEG_SQL = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               round(list_cosine_similarity(c.v, a.v), 6) AS cosine
+        FROM e c JOIN e a ON a.label != c.label
+        WHERE a.vec_id < 10
+    )
+    SELECT anchor_id, anchor_label, neighbor_id, neighbor_label,
+           cosine, rank_val
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank_val
+        FROM scored
+    ) t WHERE rank_val <= 3
+"""
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -4653,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_robust_scale": q_stats_robust_scale,
         "ann_pq_adc": q_ann_pq_adc,
         "dedup_semantic": q_dedup_semantic,
+        "ann_hard_negatives": q_ann_hard_negatives,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6305,6 +6341,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_robust_scale": _ROBUST_SCALE_SQL,
         "ann_pq_adc": _PQ_ADC_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
+        "ann_hard_negatives": _HARD_NEG_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

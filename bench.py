@@ -133,6 +133,7 @@ HEADLINE = [
     "stats_robust_scale",
     "ann_pq_adc",
     "dedup_semantic",
+    "ann_hard_negatives",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -878,3 +878,60 @@ def query_ivfpq_index(
         .withColumn("rank_val", F.row_number().over(w))
         .filter(F.col("rank_val") <= k)
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor, the ``k``
+    corpus vectors MOST cosine-similar to it among those with a
+    DIFFERENT label — the mining step that turns a labeled embedding
+    table into (anchor, hard-negative) training pairs. Easy negatives
+    (random different-label rows) teach a model nothing; the hardest
+    ones define the decision boundary.
+
+    Brute-force form: one broadcast of the anchor set against the
+    corpus — exact, the right baseline and the oracle-checkable
+    contract. At 100 TB mine from an ANN shortlist instead: take
+    ``pq_rerank_topk``/``query_ivfpq_index`` candidates at k' ≫ k and
+    keep the top-k different-label rows — same downstream contract.
+
+    Returns (anchor_id, anchor_label, neighbor_id, neighbor_label,
+    cosine, rank_val); ranks rounded-cosine desc, ties by neighbor id.
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cos = _dot(F.col("_cv"), F.col("_qv")) / (
+        _norm(F.col("_cv")) * _norm(F.col("_qv"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(a),
+            F.col("anchor_label") != F.col("neighbor_label"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
+    )

@@ -1012,3 +1012,25 @@ def test_persisted_ivfpq_index_prunes_and_recalls(spark, sf_dir, tmp_path):
     e_set = set(map(tuple, w[["query_id", "neighbor_id"]].values))
     s_set = set(map(tuple, short[["query_id", "neighbor_id"]].values))
     assert len(e_set & s_set) / len(e_set) >= 0.6
+
+
+def test_hard_negative_mining_cross_label_topk(spark):
+    from cancer_survival_etl_spark.llm.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label as 0 — never a negative
+        (2, [0.9, 0.2], 1),    # hardest cross-label for 0
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negative_mining(
+        emb, emb.filter("vec_id = 0"), k=2
+    ).toPandas().sort_values("rank_val")
+    assert list(out["neighbor_id"]) == [2, 3]
+    assert (out["neighbor_label"] != 0).all()
