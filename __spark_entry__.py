@@ -2804,6 +2804,116 @@ _HARD_NEG_SQL = """
 """
 
 
+def q_stats_ols_multi(spark, sf_dir):
+    """In-engine closed-form model training: per event type, fit
+    cents ≈ b0 + b1·hour + b2·day-of-month by the normal equations on
+    exact integer co-moments, solved with Cramer's rule in one fixed
+    double expression (`operators/stats.py::ols2_by`) — one
+    map-side-combined aggregate IS the whole training run."""
+    from cancer_survival_etl_spark.operators.stats import ols2_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("x1"),
+        F.dayofmonth("ts").alias("x2"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ols2_by(e, "event_type", "x1", "x2", "cents")
+
+
+_OLS_MULTI_SQL = """
+    WITH e AS (
+        SELECT event_type,
+               hour(ts) AS x1, day(ts) AS x2,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS _n,
+               sum(x1) AS _s1, sum(x2) AS _s2, sum(y) AS _sy,
+               sum(x1 * x1) AS _s11, sum(x2 * x2) AS _s22,
+               sum(x1 * x2) AS _s12,
+               sum(x1 * y) AS _s1y, sum(x2 * y) AS _s2y
+        FROM e GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, _n AS n_rows,
+               _n::DOUBLE AS n, _s1::DOUBLE AS s1, _s2::DOUBLE AS s2,
+               _sy::DOUBLE AS sy, _s11::DOUBLE AS s11,
+               _s22::DOUBLE AS s22, _s12::DOUBLE AS s12,
+               _s1y::DOUBLE AS s1y, _s2y::DOUBLE AS s2y
+        FROM m
+    )
+    SELECT event_type, n_rows,
+           CASE WHEN abs(det) > 1e-9 THEN round(det0 / det, 6) END AS b0,
+           CASE WHEN abs(det) > 1e-9 THEN round(det1 / det, 6) END AS b1,
+           CASE WHEN abs(det) > 1e-9 THEN round(det2 / det, 6) END AS b2
+    FROM (
+        SELECT event_type, n_rows,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS det,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) AS det1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) AS det2
+        FROM d
+    ) t
+"""
+
+
+def q_stats_auc(spark, sf_dir):
+    """Exact per-event-type ROC-AUC of `value` as a score for the
+    deterministic label user_id % 2 == 0 — Mann-Whitney rank sums
+    with average-rank tie handling (`operators/stats.py::auc_by`),
+    the model-eval step downstream of `model_score`."""
+    from cancer_survival_etl_spark.operators.stats import auc_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("label"),
+    )
+    return auc_by(e, "event_type", "score", "label")
+
+
+_AUC_SQL = """
+    WITH r AS (
+        SELECT event_type, value AS s,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS y,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn
+        FROM events
+    ),
+    a AS (
+        SELECT event_type, y,
+               avg(rn) OVER (PARTITION BY event_type, s) AS ar
+        FROM r
+    ),
+    g AS (
+        SELECT event_type,
+               sum(CASE WHEN y = 1 THEN ar END) AS rpos,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg
+        FROM a GROUP BY event_type
+    )
+    SELECT event_type, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               round((rpos - n_pos * (n_pos + 1) / 2.0)
+                     / (n_pos::DOUBLE * n_neg), 6)
+           END AS auc
+    FROM g
+"""
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -4689,6 +4799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": q_ann_pq_adc,
         "dedup_semantic": q_dedup_semantic,
         "ann_hard_negatives": q_ann_hard_negatives,
+        "stats_ols_multi": q_stats_ols_multi,
+        "stats_auc": q_stats_auc,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6342,6 +6454,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": _PQ_ADC_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "ann_hard_negatives": _HARD_NEG_SQL,
+        "stats_ols_multi": _OLS_MULTI_SQL,
+        "stats_auc": _AUC_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

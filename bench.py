@@ -134,6 +134,8 @@ HEADLINE = [
     "ann_pq_adc",
     "dedup_semantic",
     "ann_hard_negatives",
+    "stats_ols_multi",
+    "stats_auc",
 ]
 
 REGRESSION_RATIO = 1.5

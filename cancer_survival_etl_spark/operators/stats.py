@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -468,4 +468,137 @@ def robust_scale_by(
             ).alias("value_scaled"),
         )
         .drop("_lo", "_hi", "_q1", "_med", "_q3")
+    )
+
+
+def ols2_by(
+    df: DataFrame,
+    group_cols,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    wide: bool = True,
+) -> DataFrame:
+    """Distributed two-feature OLS with intercept — a closed-form
+    in-engine model trainer: per group, fit y ≈ b0 + b1·x1 + b2·x2 by
+    the normal equations, solved with Cramer's rule on EXACT integer
+    co-moments. The moments (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2,
+    Σx1y, Σx2y) are order-independent integer sums — the whole
+    "training" is ONE map-side-combinable aggregate; the solve is a
+    fixed per-group double expression mirrored verbatim by the oracle,
+    so the learned weights are bit-stable at any parallelism.
+
+    Inputs must be integer-valued columns (pre-scale fractional
+    features the way ``regression_by`` documents). Singular systems
+    (collinear features, constant columns) yield NULL weights via the
+    det≈0 guard. Returns (group, n_rows, b0, b1, b2) rounded to 6 dp.
+
+    This is the d=2 instance of the general pattern: any fixed-d
+    linear model trains in one exact-moment aggregate + a broadcastable
+    d×d solve — no gradient iterations, no float accumulation drift,
+    no second data pass.
+    """
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(x1, wide)).alias("_s1"),
+        F.sum(_acc(x2, wide)).alias("_s2"),
+        F.sum(_acc(y, wide)).alias("_sy"),
+        F.sum(_acc(x1 * x1, wide)).alias("_s11"),
+        F.sum(_acc(x2 * x2, wide)).alias("_s22"),
+        F.sum(_acc(x1 * x2, wide)).alias("_s12"),
+        F.sum(_acc(x1 * y, wide)).alias("_s1y"),
+        F.sum(_acc(x2 * y, wide)).alias("_s2y"),
+    )
+    n = F.col("_n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("_s1", "_s2", "_sy"))
+    s11, s22, s12 = (
+        F.col(c).cast("double") for c in ("_s11", "_s22", "_s12")
+    )
+    s1y, s2y = F.col("_s1y").cast("double"), F.col("_s2y").cast("double")
+    # | n   s1   s2  |        | sy  s1  s2 |
+    # | s1  s11  s12 |  det;  | s1y s11 s12| -> b0 numerator, etc.
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = F.abs(det) > 1e-9
+    return m.select(
+        *g,
+        F.col("_n").alias("n_rows"),
+        F.when(ok, F.round(det0 / det, 6)).alias("b0"),
+        F.when(ok, F.round(det1 / det, 6)).alias("b1"),
+        F.when(ok, F.round(det2 / det, 6)).alias("b2"),
+    )
+
+
+def auc_by(
+    df: DataFrame,
+    group_cols,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC per group from the Mann-Whitney U statistic:
+    AUC = (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋), with ties
+    handled by AVERAGE rank — the textbook-exact value, not a
+    trapezoid approximation over thresholded buckets.
+
+    Rank machinery is integer-exact and engine-portable: row_number in
+    (score, then a deterministic arbitrary order) → average per
+    (group, score) tie class → sums. One sort-shuffle for the ranks,
+    one aggregate; no thresholds grid, no per-point curve
+    materialization. Groups missing a class return NULL (AUC is
+    undefined). Returns (group, n_pos, n_neg, auc) with auc rounded
+    to 6 dp — the model-eval step after ``model_score``-style scoring.
+    """
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    rn = F.row_number().over(
+        Window.partitionBy(*g).orderBy(F.col(score_col))
+    )
+    ranked = df.select(
+        *g,
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        rn.alias("_rn"),
+    )
+    # average rank within the (group, score) tie class — ties share it,
+    # which is what makes tied scores contribute exactly 1/2
+    avg_r = F.avg("_rn").over(
+        Window.partitionBy(*g, "_s")
+    )
+    ranked = ranked.select(*g, "_y", avg_r.alias("_ar"))
+    agg = ranked.groupBy(*g).agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_ar"))).alias("_rpos"),
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("n_neg"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = (F.col("_rpos") - npos * (npos + 1) / 2) / (npos * nneg)
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
+        ).alias("auc"),
     )

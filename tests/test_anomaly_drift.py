@@ -152,3 +152,58 @@ def test_robust_scale_by_fused_clip_and_scale(spark):
     got = robust_scale_by(const, "grp", "v").collect()
     assert all(r.value_scaled is None for r in got)
     assert all(r.value_winsorized == 7 for r in got)
+
+
+def test_ols2_by_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.stats import ols2_by
+
+    rows = [
+        ("g", x1, x2, 3 + 2 * x1 - 5 * x2 + (x1 * x2) % 7)
+        for x1 in range(10) for x2 in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y long")
+    out = ols2_by(df, "grp", "x1", "x2", "y").collect()[0]
+    X = np.array([[1, r[1], r[2]] for r in rows])
+    Y = np.array([r[3] for r in rows])
+    b = np.linalg.lstsq(X, Y, rcond=None)[0]
+    assert out.b0 == pytest.approx(b[0], abs=1e-6)
+    assert out.b1 == pytest.approx(b[1], abs=1e-6)
+    assert out.b2 == pytest.approx(b[2], abs=1e-6)
+    # collinear features -> singular -> NULL weights
+    col = spark.createDataFrame(
+        [("g", i, 2 * i, i) for i in range(10)],
+        "grp string, x1 long, x2 long, y long",
+    )
+    r = ols2_by(col, "grp", "x1", "x2", "y").collect()[0]
+    assert r.b0 is None and r.b1 is None and r.b2 is None
+
+
+def test_auc_by_exact_with_ties_and_degenerate(spark):
+    from cancer_survival_etl_spark.operators.stats import auc_by
+
+    pairs = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1),
+             (0.5, 0), (0.5, 1), (0.4, 0), (0.3, 0)]
+    df = spark.createDataFrame(
+        [("g", s, l) for s, l in pairs], "grp string, score double, label int"
+    )
+    got = auc_by(df, "grp", "score", "label").collect()[0]
+    pos = [s for s, l in pairs if l == 1]
+    neg = [s for s, l in pairs if l == 0]
+    want = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    assert got.auc == pytest.approx(want, abs=1e-6)
+    assert (got.n_pos, got.n_neg) == (4, 4)
+    # single-class group -> NULL (AUC undefined)
+    one = spark.createDataFrame(
+        [("h", 0.5, 1), ("h", 0.7, 1)], "grp string, score double, label int"
+    )
+    assert auc_by(one, "grp", "score", "label").collect()[0].auc is None
+    # perfect separation -> 1.0
+    perf = spark.createDataFrame(
+        [("p", 0.9, 1), ("p", 0.8, 1), ("p", 0.2, 0)],
+        "grp string, score double, label int",
+    )
+    assert auc_by(perf, "grp", "score", "label").collect()[0].auc == 1.0
