@@ -2914,6 +2914,78 @@ _AUC_SQL = """
 """
 
 
+def q_retrieval_diversify(spark, sf_dir):
+    """Category-capped diversification of a brute-force shortlist: top-5
+    per query by cosine but at most 2 per neighbor label — the "two
+    results per site" re-rank (`llm/retrieval.py::diversify_topk_cap`)."""
+    from cancer_survival_etl_spark.llm.retrieval import diversify_topk_cap
+    from cancer_survival_etl_spark.llm.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    shortlist = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("category"),
+        ),
+        "neighbor_id",
+    )
+    return diversify_topk_cap(
+        shortlist, k=5, cap=2, score_col="cosine"
+    )
+
+
+_DIVERSIFY_SQL = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id, cosine, category FROM (
+            SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(c.v, a.v), 6) AS cosine,
+                   c.label AS category,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(c.v, a.v), 6)
+                                DESC, c.vec_id) AS rn
+            FROM e c JOIN e a ON a.vec_id != c.vec_id
+            WHERE a.vec_id < 5
+        ) t WHERE rn <= 10
+    ),
+    capped AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id, category
+                      ORDER BY cosine DESC, neighbor_id) AS cat_rn
+        FROM shortlist
+    )
+    SELECT query_id, neighbor_id, category, cosine, rank_val FROM (
+        SELECT query_id, neighbor_id, category, cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank_val
+        FROM capped WHERE cat_rn <= 2
+    ) t WHERE rank_val <= 5
+"""
+
+
+def q_retrieval_mmr(spark, sf_dir):
+    """MMR diversified re-rank of a brute-force shortlist (rows-only:
+    the greedy fold's score arithmetic has no tractable ANSI mirror;
+    the selection is pinned against a Python greedy reference in
+    pytest)."""
+    from cancer_survival_etl_spark.llm.retrieval import mmr_rerank
+    from cancer_survival_etl_spark.llm.similarity import (
+        brute_force_topk,
+        normalize_embeddings,
+    )
+
+    e = normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    shortlist = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(shortlist, k=5, lam=0.7)
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -4801,6 +4873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         "stats_ols_multi": q_stats_ols_multi,
         "stats_auc": q_stats_auc,
+        "retrieval_diversify": q_retrieval_diversify,
+        "retrieval_mmr": q_retrieval_mmr,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6456,6 +6530,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_hard_negatives": _HARD_NEG_SQL,
         "stats_ols_multi": _OLS_MULTI_SQL,
         "stats_auc": _AUC_SQL,
+        "retrieval_diversify": _DIVERSIFY_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

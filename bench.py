@@ -136,6 +136,8 @@ HEADLINE = [
     "ann_hard_negatives",
     "stats_ols_multi",
     "stats_auc",
+    "retrieval_diversify",
+    "retrieval_mmr",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -43,7 +43,7 @@ identically-constructed expressions and rounded before the widening.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -433,5 +433,145 @@ def dsir_importance(
             id_col,
             "n_feats",
             (F.col("_w_micro") / F.lit(1000000.0)).alias("weight"),
+        )
+    )
+
+
+def diversify_topk_cap(
+    scored: DataFrame,
+    k: int = 5,
+    cap: int = 2,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    score_col: str = "score",
+    category_col: str = "category",
+) -> DataFrame:
+    """Category-capped result diversification: the top-``k`` items per
+    query by score, but never more than ``cap`` from one category —
+    the search-engine "at most two results per site" rule, and the
+    cheap high-recall sibling of MMR re-ranking.
+
+    Two stacked row_numbers over the same (query) clustering: rank
+    within (query, category) to apply the cap, then rank the
+    survivors. Both orderings carry the item id as a total-order
+    tie-break, so the selection is deterministic and engine-portable.
+    One shuffle; candidate lists are already per-query small (an ANN
+    shortlist), so the windows are cheap.
+
+    Returns (query, item, category, score, rank_val).
+    """
+    wc = Window.partitionBy(query_col, category_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col)
+    )
+    wq = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col)
+    )
+    return (
+        scored.withColumn("_cat_rn", F.row_number().over(wc))
+        .filter(F.col("_cat_rn") <= cap)
+        .withColumn("rank_val", F.row_number().over(wq))
+        .filter(F.col("rank_val") <= k)
+        .select(query_col, item_col, category_col, score_col, "rank_val")
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rel_col: str = "cosine",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein '98):
+    greedily build the result list by picking, at each step, the
+    candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected — relevance tempered by redundancy, the classic
+    diversified retrieval re-rank.
+
+    The greedy loop runs AT RUNTIME as one ``F.aggregate`` fold over
+    ``sequence(1, k)`` with state (selected list) — a constant-size
+    expression regardless of k. (The tempting alternative — unrolling
+    k chained selects — is a trap: CollapseProject inlines the
+    selection expression ~8× per step and the plan grows
+    exponentially; measured 2.3 MB of task binary by k=3.) Each step
+    filters chosen ids, scores the remainder with higher-order array
+    functions, and argmaxes on (round(score, 6), lowest id) via
+    array_sort — fully deterministic. One shuffle: the per-query
+    collect of an already-bounded ANN shortlist.
+
+    Candidate vectors must be pre-normalized if ``rel_col``/pairwise
+    dot are to be cosines. Returns (query, item, mmr_score, rank_val).
+    """
+    evs = F.collect_list(
+        F.struct(
+            F.col(item_col).alias("id"),
+            F.col(rel_col).cast("double").alias("rel"),
+            F.col(vec_col).alias("v"),
+        )
+    )
+    g = candidates.groupBy(query_col).agg(evs.alias("_cand"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    zero = F.array().cast(
+        "array<struct<id:long,score:double,v:array<double>>>"
+    )
+
+    def step(sel, _i):
+        remaining = F.filter(
+            F.col("_cand"),
+            lambda c: ~F.exists(sel, lambda s: s["id"] == c["id"]),
+        )
+        scored = F.transform(
+            remaining,
+            lambda c: F.struct(
+                F.round(
+                    F.lit(lam) * c["rel"]
+                    - F.when(
+                        F.size(sel) > 0,
+                        F.lit(1.0 - lam)
+                        * F.array_max(
+                            F.transform(sel, lambda s: dot(c["v"], s["v"]))
+                        ),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("score"),
+                (-c["id"]).alias("negid"),
+                c["id"].alias("id"),
+                c["v"].alias("v"),
+            ),
+        )
+        # argmax on (score, then LOWEST id): sort ascending and take last
+        best = F.element_at(F.array_sort(scored), -1)
+        return F.when(
+            F.size(remaining) > 0,
+            F.concat(
+                sel,
+                F.array(
+                    F.struct(
+                        best["id"].alias("id"),
+                        best["score"].alias("score"),
+                        best["v"].alias("v"),
+                    )
+                ),
+            ),
+        ).otherwise(sel)
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.lit(k)), zero, step)
+    return (
+        g.select(query_col, folded.alias("_sel"))
+        .select(query_col, F.posexplode("_sel").alias("_i", "_s"))
+        .select(
+            query_col,
+            F.col("_s.id").alias(item_col),
+            F.col("_s.score").alias("mmr_score"),
+            (F.col("_i") + 1).alias("rank_val"),
         )
     )

@@ -174,3 +174,82 @@ def test_dsir_importance_matches_python_reference(spark, docs_df):
     # English docs should look more target-like than the German doc
     per_tok = {i: got[i][1] / got[i][0] for i, _, _ in DOCS}
     assert per_tok[0] > per_tok[3]
+
+
+def test_diversify_topk_cap(spark):
+    from cancer_survival_etl_spark.llm.retrieval import diversify_topk_cap
+
+    rows = [
+        (1, 10, "a", 0.9), (1, 11, "a", 0.8), (1, 12, "a", 0.7),
+        (1, 20, "b", 0.6), (1, 21, "b", 0.5), (1, 30, "c", 0.4),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, category string, score double"
+    )
+    out = (
+        diversify_topk_cap(df, k=4, cap=2)
+        .toPandas().sort_values("rank_val")
+    )
+    # third 'a' (0.7) is capped out; survivors ranked by score
+    assert list(out["neighbor_id"]) == [10, 11, 20, 21]
+    assert list(out["rank_val"]) == [1, 2, 3, 4]
+
+
+def _mmr_reference(cands, k, lam):
+    sel = []
+    while len(sel) < min(k, len(cands)):
+        best = None
+        for cid, rel, v in cands:
+            if any(cid == s[0] for s in sel):
+                continue
+            red = max(
+                (sum(x * y for x, y in zip(v, sv)) for _, _, sv in sel),
+                default=None,
+            )
+            score = round(
+                lam * rel - ((1 - lam) * red if red is not None else 0.0), 6
+            )
+            if best is None or (score, -cid) > (best[1], -best[0]):
+                best = (cid, score, v)
+        sel.append(best)
+    return [(cid, score) for cid, score, _ in sel]
+
+
+def test_mmr_rerank_matches_greedy_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.llm.retrieval import mmr_rerank
+    from cancer_survival_etl_spark.llm.similarity import (
+        brute_force_topk,
+        normalize_embeddings,
+    )
+
+    emb = normalize_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    shortlist = brute_force_topk(emb, q, k=10).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "neighbor_id",
+    )
+    got = mmr_rerank(shortlist, k=5, lam=0.7).toPandas()
+    cand = shortlist.select(
+        "query_id", "neighbor_id", "cosine", "vec"
+    ).toPandas()
+    for qid, grp in cand.groupby("query_id"):
+        want = _mmr_reference(
+            [(int(r.neighbor_id), float(r.cosine), list(r.vec))
+             for r in grp.itertuples()],
+            5, 0.7,
+        )
+        g = got[got.query_id == qid].sort_values("rank_val")
+        assert list(g["neighbor_id"]) == [w[0] for w in want], qid
+        assert [round(s, 6) for s in g["mmr_score"]] == [
+            w[1] for w in want
+        ], qid
+    # every query returns exactly k rows and no duplicate items
+    assert got.groupby("query_id").size().eq(5).all()
+    assert not got.duplicated(["query_id", "neighbor_id"]).any()
