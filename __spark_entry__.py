@@ -2986,6 +2986,241 @@ def q_retrieval_mmr(spark, sf_dir):
     return mmr_rerank(shortlist, k=5, lam=0.7)
 
 
+def q_eval_calibration(spark, sf_dir):
+    """Reliability table of a deterministic pseudo-score against the
+    user-parity label — the calibration diagram input, exact integer
+    bin cuts (`llm/evals.py::calibration_bins`)."""
+    from cancer_survival_etl_spark.llm.evals import calibration_bins
+
+    e = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 100) / 100.0).alias("score"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("label"),
+    )
+    return calibration_bins(e, "score", "label", n_bins=10)
+
+
+_CALIBRATION_SQL = """
+    WITH e AS (
+        SELECT (event_id % 100) / 100.0 AS score,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS label
+        FROM events
+    )
+    SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+           count(*) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(label::DOUBLE), 6) AS frac_pos
+    FROM e GROUP BY 1
+"""
+
+
+def q_eval_ndcg(spark, sf_dir):
+    """NDCG@5 of the brute-force top-10 ranking with graded relevance
+    rel=2 when the neighbor shares the query's label else 0
+    (`llm/evals.py::ndcg_at_k`) — ranking-quality eval of a retrieval
+    stage, computed where the results live."""
+    from cancer_survival_etl_spark.llm.evals import ndcg_at_k
+    from cancer_survival_etl_spark.llm.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    labs = e.select("vec_id", "label")
+    ranked = (
+        brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+        .join(
+            labs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("_ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            labs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("_nl"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank_val",
+            F.when(F.col("_ql") == F.col("_nl"), 2)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    return ndcg_at_k(ranked, k=5)
+
+
+_NDCG_SQL = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ranked AS (
+        SELECT query_id, rank_val, rel FROM (
+            SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CASE WHEN a.label = c.label THEN 2 ELSE 0 END AS rel,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(c.v, a.v), 6)
+                                DESC, c.vec_id) AS rank_val
+            FROM e c JOIN e a ON a.vec_id != c.vec_id
+            WHERE a.vec_id < 5
+        ) t WHERE rank_val <= 10
+    ),
+    terms AS (
+        SELECT query_id,
+               CASE WHEN rank_val <= 5 THEN
+                   (pow(2.0, rel) - 1) / log2(rank_val::DOUBLE + 1)
+               ELSE 0.0 END AS dcg_term,
+               CASE WHEN ipos <= 5 THEN
+                   (pow(2.0, rel) - 1) / log2(ipos::DOUBLE + 1)
+               ELSE 0.0 END AS idcg_term
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, rank_val) AS ipos
+            FROM ranked
+        ) t
+    ),
+    agg AS (
+        SELECT query_id, round(sum(dcg_term), 6) AS dcg,
+               round(sum(idcg_term), 6) AS idcg
+        FROM terms GROUP BY query_id
+    )
+    SELECT query_id, dcg, idcg,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+    FROM agg
+"""
+
+
+def q_eval_kappa(spark, sf_dir):
+    """Cohen's κ between the event type and a deterministically-noised
+    copy of it (every 7th event relabeled 'view') — the
+    inter-annotator-agreement gate (`llm/evals.py::cohens_kappa`),
+    exact integer counts end-to-end."""
+    from cancer_survival_etl_spark.llm.evals import cohens_kappa
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("ra"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("view"))
+        .otherwise(F.col("event_type"))
+        .alias("rb"),
+    )
+    return cohens_kappa(e, "ra", "rb")
+
+
+_KAPPA_SQL = """
+    WITH e AS (
+        SELECT event_type AS ra,
+               CASE WHEN event_id % 7 = 0 THEN 'view'
+                    ELSE event_type END AS rb
+        FROM events
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM e
+    ),
+    marg AS (
+        SELECT CAST(sum(na * nb) AS BIGINT) AS cross_sum FROM (
+            SELECT c, CAST(sum(is_a) AS BIGINT) AS na,
+                   CAST(sum(1 - is_a) AS BIGINT) AS nb
+            FROM (
+                SELECT ra AS c, 1 AS is_a FROM e
+                UNION ALL
+                SELECT rb AS c, 0 AS is_a FROM e
+            ) u GROUP BY c
+        ) m
+    )
+    SELECT n AS n_items,
+           round(agree::DOUBLE / n, 6) AS p_observed,
+           round(cross_sum::DOUBLE / (n::DOUBLE * n), 6) AS p_expected,
+           CASE WHEN cross_sum::DOUBLE / (n::DOUBLE * n) < 1 THEN
+               round((agree::DOUBLE / n - cross_sum::DOUBLE / (n::DOUBLE * n))
+                     / (1 - cross_sum::DOUBLE / (n::DOUBLE * n)), 6)
+           END AS kappa
+    FROM tot, marg
+"""
+
+
+def q_eval_rouge(spark, sf_dir):
+    """ROUGE-2 between each document and its successor (clipped n-gram
+    counts, the official definition) — the text-overlap eval metric
+    run corpus-wide (`llm/evals.py::rouge_n`)."""
+    from cancer_survival_etl_spark.llm.evals import rouge_n
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("candidate")
+    ).join(
+        d.select(
+            (F.col("doc_id") - 1).alias("pair_id"),
+            F.col("text").alias("reference"),
+        ),
+        "pair_id",
+    )
+    return rouge_n(pairs, n=2)
+
+
+_ROUGE_SQL = """
+    WITH pairs AS (
+        SELECT c.doc_id AS pair_id, c.text AS candidate,
+               r.text AS reference
+        FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+    ),
+    ctoks AS (
+        SELECT pair_id,
+               unnest(regexp_split_to_array(trim(candidate), '\\s+')) AS tok,
+               generate_subscripts(
+                   regexp_split_to_array(trim(candidate), '\\s+'), 1
+               ) AS ord
+        FROM pairs
+    ),
+    rtoks AS (
+        SELECT pair_id,
+               unnest(regexp_split_to_array(trim(reference), '\\s+')) AS tok,
+               generate_subscripts(
+                   regexp_split_to_array(trim(reference), '\\s+'), 1
+               ) AS ord
+        FROM pairs
+    ),
+    cg AS (
+        SELECT a.pair_id, a.tok || ' ' || b.tok AS g, count(*) AS cc
+        FROM ctoks a JOIN ctoks b
+             ON a.pair_id = b.pair_id AND b.ord = a.ord + 1
+        GROUP BY a.pair_id, g
+    ),
+    rg AS (
+        SELECT a.pair_id, a.tok || ' ' || b.tok AS g, count(*) AS rc
+        FROM rtoks a JOIN rtoks b
+             ON a.pair_id = b.pair_id AND b.ord = a.ord + 1
+        GROUP BY a.pair_id, g
+    ),
+    per AS (
+        SELECT coalesce(cg.pair_id, rg.pair_id) AS pair_id,
+               CAST(sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS BIGINT)
+                   AS n_overlap,
+               CAST(sum(coalesce(cc, 0)) AS BIGINT) AS n_cand,
+               CAST(sum(coalesce(rc, 0)) AS BIGINT) AS n_ref
+        FROM cg FULL JOIN rg
+             ON cg.pair_id = rg.pair_id AND cg.g = rg.g
+        GROUP BY 1
+    )
+    SELECT pair_id, n_overlap, n_cand, n_ref,
+           CASE WHEN n_cand > 0
+                THEN round(n_overlap::DOUBLE / n_cand, 6) END AS rouge_p,
+           CASE WHEN n_ref > 0
+                THEN round(n_overlap::DOUBLE / n_ref, 6) END AS rouge_r,
+           CASE WHEN n_cand > 0 AND n_ref > 0 THEN
+               CASE WHEN n_overlap > 0 THEN
+                   round(2 * (n_overlap::DOUBLE / n_cand)
+                           * (n_overlap::DOUBLE / n_ref)
+                         / (n_overlap::DOUBLE / n_cand
+                            + n_overlap::DOUBLE / n_ref), 6)
+               ELSE 0.0 END
+           END AS rouge_f1
+    FROM per
+"""
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -4875,6 +5110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_auc": q_stats_auc,
         "retrieval_diversify": q_retrieval_diversify,
         "retrieval_mmr": q_retrieval_mmr,
+        "eval_calibration": q_eval_calibration,
+        "eval_ndcg": q_eval_ndcg,
+        "eval_kappa": q_eval_kappa,
+        "eval_rouge": q_eval_rouge,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6531,6 +6770,10 @@ def oracle_sql() -> dict[str, str]:
         "stats_ols_multi": _OLS_MULTI_SQL,
         "stats_auc": _AUC_SQL,
         "retrieval_diversify": _DIVERSIFY_SQL,
+        "eval_calibration": _CALIBRATION_SQL,
+        "eval_ndcg": _NDCG_SQL,
+        "eval_kappa": _KAPPA_SQL,
+        "eval_rouge": _ROUGE_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -138,6 +138,10 @@ HEADLINE = [
     "stats_auc",
     "retrieval_diversify",
     "retrieval_mmr",
+    "eval_calibration",
+    "eval_ndcg",
+    "eval_kappa",
+    "eval_rouge",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -1,0 +1,229 @@
+"""Model- and data-evaluation metrics, exact and engine-portable.
+
+Every metric here reduces to integer counts or deterministic rank
+positions plus ONE mirrored final double expression — the same
+exactness discipline as ``operators/stats.py`` — so evaluation runs
+distributed over the full corpus (no sampling, no sklearn on a
+driver-collected frame) and hash-matches an independent SQL engine.
+
+At 100 TB these are the metrics a training pipeline computes where
+the data lives: calibration of a quality/classifier score against
+observed labels, ranking quality of a retrieval stage, agreement
+between two annotator/model label columns, and n-gram overlap between
+generated and reference text. Each is one or two aggregates; nothing
+collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error inputs: scores in
+    [0, 1] cut into ``n_bins`` equal-width bins; per bin the count, the
+    mean score (rounded 6) and the observed positive rate (rounded 6).
+    |mean_score − frac_pos| weighted by n/total is ECE — derivable
+    downstream, kept un-aggregated here so the reliability DIAGRAM is
+    the output. Score exactly 1.0 lands in the top bin (the standard
+    clamp). One aggregate; bins are integers so bucketing is exact."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col(score_col)), 6).alias("mean_score"),
+            F.round(
+                F.avg(F.col(label_col).cast("int").cast("double")), 6
+            ).alias("frac_pos"),
+        )
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    rank_col: str = "rank_val",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k per query from an already-ranked result list with graded
+    relevance: DCG = Σ_{pos≤k} (2^rel − 1)/log2(pos+1), IDCG = the
+    same over the query's relevances sorted descending (ideal order),
+    NDCG = DCG/IDCG (NULL when IDCG = 0 — no relevant item).
+
+    The gain term is integer (2^rel − 1 for small integer grades); the
+    only float is the final division and log2, mirrored verbatim by
+    the oracle and rounded to 6. Two windows over one (query)
+    clustering: the given rank order and the ideal (rel desc, rank
+    asc) order. Returns (query, dcg, idcg, ndcg) with dcg/idcg rounded
+    to 6."""
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1
+    disc = F.log2(F.col(rank_col).cast("double") + 1)
+    ideal_pos = F.row_number().over(
+        Window.partitionBy(query_col).orderBy(
+            F.col(rel_col).desc(), F.col(rank_col)
+        )
+    )
+    per_row = ranked.select(
+        query_col,
+        F.when(F.col(rank_col) <= k, gain / disc)
+        .otherwise(F.lit(0.0))
+        .alias("_dcg_term"),
+        ideal_pos.alias("_ipos"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    ).select(
+        query_col,
+        "_dcg_term",
+        F.when(
+            F.col("_ipos") <= k,
+            (F.pow(F.lit(2.0), F.col("_rel")) - 1)
+            / F.log2(F.col("_ipos").cast("double") + 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_idcg_term"),
+    )
+    agg = per_row.groupBy(query_col).agg(
+        F.round(F.sum("_dcg_term"), 6).alias("dcg"),
+        F.round(F.sum("_idcg_term"), 6).alias("idcg"),
+    )
+    return agg.select(
+        query_col,
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+        ).alias("ndcg"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Inter-annotator agreement: Cohen's κ between two categorical
+    label columns — (p_o − p_e)/(1 − p_e) with observed agreement p_o
+    and chance agreement p_e = Σ_c P_a(c)·P_b(c). The data-quality
+    gate before trusting crowd/model labels.
+
+    Exact integer counts end-to-end: n, agreements, and per-class
+    marginals; the κ arithmetic is one mirrored double expression.
+    Two aggregates over one scan shape (total + per-class marginal),
+    joined on the (optional) group. κ is NULL when p_e = 1 (both
+    raters constant — agreement is undefined, not perfect). Returns
+    (group..., n_items, p_observed, p_expected, kappa), all rounded
+    to 6."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    tot = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((a == b).cast("long")).alias("_agree"),
+    )
+    marg = (
+        df.select(*g, a.alias("_c"), F.lit(1).alias("_is_a"))
+        .unionByName(df.select(*g, b.alias("_c"), F.lit(0).alias("_is_a")))
+        .groupBy(*g, "_c")
+        .agg(
+            F.sum(F.col("_is_a").cast("long")).alias("_na"),
+            F.sum((1 - F.col("_is_a")).cast("long")).alias("_nb"),
+        )
+        .groupBy(*g)
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_cross"))
+    )
+    joined = tot.join(marg, g) if g else tot.crossJoin(marg)
+    n = F.col("_n").cast("double")
+    po = F.col("_agree").cast("double") / n
+    pe = F.col("_cross").cast("double") / (n * n)
+    return joined.select(
+        *g,
+        F.col("_n").alias("n_items"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.when(pe < 1, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
+    )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N between candidate and reference text columns: n-gram
+    overlap recall/precision/F1 with CLIPPED counts (an n-gram matches
+    at most as often as it appears in the reference — the official
+    definition, not set intersection).
+
+    Token n-grams from whitespace tokenization; counts are exact
+    integers via an explode → per-(pair, gram) min(cand_count,
+    ref_count) → sum. Returns (pair_id, n_overlap, n_cand, n_ref,
+    rouge_p, rouge_r, rouge_f1) — ratios rounded to 6, NULL when a
+    side has no n-grams. Scale: ~doc_tokens rows per doc after
+    explode, grouped twice on (pair, gram) then (pair) — both
+    map-side combinable."""
+
+    def grams(col):
+        toks = F.split(F.trim(F.col(col)), r"\s+")
+        # sequence(0, -1) DESCENDS in Spark — an n-gram-less doc needs
+        # an explicit empty, not a reversed range
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    c = pairs.select(
+        F.col(id_col), F.explode(grams(cand_col)).alias("_g")
+    ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_cc"))
+    r = pairs.select(
+        F.col(id_col), F.explode(grams(ref_col)).alias("_g")
+    ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_rc"))
+    per = (
+        c.join(r, [id_col, "_g"], "full")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce("_cc", F.lit(0)), F.coalesce("_rc", F.lit(0))
+                )
+            ).alias("n_overlap"),
+            F.sum(F.coalesce("_cc", F.lit(0))).alias("n_cand"),
+            F.sum(F.coalesce("_rc", F.lit(0))).alias("n_ref"),
+        )
+    )
+    p = F.col("n_overlap") / F.col("n_cand")
+    rr = F.col("n_overlap") / F.col("n_ref")
+    return per.select(
+        id_col,
+        "n_overlap",
+        "n_cand",
+        "n_ref",
+        F.when(F.col("n_cand") > 0, F.round(p, 6)).alias("rouge_p"),
+        F.when(F.col("n_ref") > 0, F.round(rr, 6)).alias("rouge_r"),
+        F.when(
+            (F.col("n_cand") > 0) & (F.col("n_ref") > 0),
+            F.when(
+                F.col("n_overlap") > 0,
+                F.round(2 * p * rr / (p + rr), 6),
+            ).otherwise(F.lit(0.0)),
+        ).alias("rouge_f1"),
+    )

@@ -227,3 +227,73 @@ def test_heavy_hitters_exact_output_and_guarantee(spark):
     assert tight == {"a": 3000, "b": 2000, "c": 1000}
     with pytest.raises(ValueError):
         heavy_hitters(df, "v", threshold_fraction=0.1, summary_size=5)
+
+
+def test_calibration_bins_edges_and_rates(spark):
+    from cancer_survival_etl_spark.llm.evals import calibration_bins
+
+    cal = spark.createDataFrame(
+        [(0.05, 0), (0.15, 0), (0.95, 1), (1.0, 1), (0.55, 1), (0.52, 0)],
+        "score double, label int",
+    )
+    out = {r.bin: r for r in calibration_bins(cal, "score", "label").collect()}
+    assert out[9].n == 2          # 0.95 and the 1.0 clamp share the top bin
+    assert out[5].frac_pos == 0.5
+    assert out[0].mean_score == 0.05
+
+
+def test_ndcg_at_k_matches_manual(spark):
+    import math
+
+    from cancer_survival_etl_spark.llm.evals import ndcg_at_k
+
+    rows = [(1, 1, 3), (1, 2, 2), (1, 3, 3), (1, 4, 0), (1, 5, 1), (1, 6, 2)]
+    df = spark.createDataFrame(rows, "query_id long, rank_val int, rel int")
+    got = ndcg_at_k(df, k=5).collect()[0]
+    dcg = sum(
+        (2**r - 1) / math.log2(p + 1)
+        for p, r in [(1, 3), (2, 2), (3, 3), (4, 0), (5, 1)]
+    )
+    ideal = sorted([3, 2, 3, 0, 1, 2], reverse=True)[:5]
+    idcg = sum(
+        (2**r - 1) / math.log2(p + 2) for p, r in enumerate(ideal)
+    )
+    assert got.ndcg == pytest.approx(dcg / idcg, abs=1e-6)
+    # all-irrelevant query -> NULL (undefined), not 0/0
+    zero = spark.createDataFrame(
+        [(2, 1, 0), (2, 2, 0)], "query_id long, rank_val int, rel int"
+    )
+    assert ndcg_at_k(zero, k=5).collect()[0].ndcg is None
+
+
+def test_cohens_kappa_matches_manual_and_degenerate(spark):
+    from cancer_survival_etl_spark.llm.evals import cohens_kappa
+
+    lab = [("a", "a"), ("a", "a"), ("b", "b"), ("a", "b"), ("b", "a"), ("b", "b")]
+    kdf = spark.createDataFrame(lab, "ra string, rb string")
+    k = cohens_kappa(kdf, "ra", "rb").collect()[0]
+    n = len(lab)
+    po = sum(1 for x, y in lab if x == y) / n
+    pe = (3 / 6) * (3 / 6) + (3 / 6) * (3 / 6)
+    assert k.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+    # both raters constant -> p_e = 1 -> NULL kappa (undefined)
+    const = spark.createDataFrame(
+        [("x", "x")] * 4, "ra string, rb string"
+    )
+    assert cohens_kappa(const, "ra", "rb").collect()[0].kappa is None
+
+
+def test_rouge_n_clipped_counts(spark):
+    from cancer_survival_etl_spark.llm.evals import rouge_n
+
+    pr = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat lay on the mat"),
+         (2, "a a a", "a a"),       # clipping: bigram 'a a' x2 vs x1
+         (3, "x", "y z")],          # candidate has no bigrams
+        "pair_id long, candidate string, reference string",
+    )
+    out = {r.pair_id: r for r in rouge_n(pr, n=2).collect()}
+    assert (out[1].n_overlap, out[1].n_cand, out[1].n_ref) == (3, 5, 5)
+    assert out[1].rouge_f1 == 0.6
+    assert (out[2].n_overlap, out[2].n_cand, out[2].n_ref) == (1, 2, 1)
+    assert out[3].rouge_p is None and out[3].rouge_r == 0.0
