@@ -3221,6 +3221,191 @@ _ROUGE_SQL = """
 """
 
 
+def q_eval_bleu(spark, sf_dir):
+    """Sentence BLEU-2 (clipped precisions × brevity penalty) between
+    each document and its successor (`llm/evals.py::bleu_n`)."""
+    from cancer_survival_etl_spark.llm.evals import bleu_n
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("candidate")
+    ).join(
+        d.select(
+            (F.col("doc_id") - 1).alias("pair_id"),
+            F.col("text").alias("reference"),
+        ),
+        "pair_id",
+    )
+    return bleu_n(pairs, max_n=2)
+
+
+_BLEU_SQL = """
+    WITH pairs AS (
+        SELECT c.doc_id AS pair_id, c.text AS candidate,
+               r.text AS reference
+        FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+    ),
+    lens AS (
+        SELECT pair_id,
+               len(regexp_split_to_array(trim(candidate), '\\s+'))
+                   AS cand_len,
+               len(regexp_split_to_array(trim(reference), '\\s+'))
+                   AS ref_len
+        FROM pairs
+    ),
+    ctoks AS (
+        SELECT pair_id,
+               unnest(regexp_split_to_array(trim(candidate), '\\s+')) AS tok,
+               generate_subscripts(
+                   regexp_split_to_array(trim(candidate), '\\s+'), 1
+               ) AS ord
+        FROM pairs
+    ),
+    rtoks AS (
+        SELECT pair_id,
+               unnest(regexp_split_to_array(trim(reference), '\\s+')) AS tok,
+               generate_subscripts(
+                   regexp_split_to_array(trim(reference), '\\s+'), 1
+               ) AS ord
+        FROM pairs
+    ),
+    c1 AS (SELECT pair_id, tok AS g, count(*) AS cc
+           FROM ctoks GROUP BY 1, 2),
+    r1 AS (SELECT pair_id, tok AS g, count(*) AS rc
+           FROM rtoks GROUP BY 1, 2),
+    per1 AS (
+        SELECT coalesce(c1.pair_id, r1.pair_id) AS pair_id,
+               sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS ov,
+               sum(coalesce(cc, 0)) AS tot
+        FROM c1 FULL JOIN r1
+             ON c1.pair_id = r1.pair_id AND c1.g = r1.g
+        GROUP BY 1
+    ),
+    c2 AS (
+        SELECT a.pair_id, a.tok || ' ' || b.tok AS g, count(*) AS cc
+        FROM ctoks a JOIN ctoks b
+             ON a.pair_id = b.pair_id AND b.ord = a.ord + 1
+        GROUP BY 1, 2
+    ),
+    r2 AS (
+        SELECT a.pair_id, a.tok || ' ' || b.tok AS g, count(*) AS rc
+        FROM rtoks a JOIN rtoks b
+             ON a.pair_id = b.pair_id AND b.ord = a.ord + 1
+        GROUP BY 1, 2
+    ),
+    per2 AS (
+        SELECT coalesce(c2.pair_id, r2.pair_id) AS pair_id,
+               sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS ov,
+               sum(coalesce(cc, 0)) AS tot
+        FROM c2 FULL JOIN r2
+             ON c2.pair_id = r2.pair_id AND c2.g = r2.g
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT l.pair_id, l.cand_len, l.ref_len,
+               CASE WHEN coalesce(per1.tot, 0) > 0 THEN
+                   round(coalesce(per1.ov, 0)::DOUBLE / per1.tot, 6)
+               END AS p1,
+               CASE WHEN coalesce(per2.tot, 0) > 0 THEN
+                   round(coalesce(per2.ov, 0)::DOUBLE / per2.tot, 6)
+               END AS p2
+        FROM lens l
+        LEFT JOIN per1 ON per1.pair_id = l.pair_id
+        LEFT JOIN per2 ON per2.pair_id = l.pair_id
+    )
+    SELECT pair_id, cand_len, ref_len, p1, p2,
+           CASE WHEN cand_len > 0 AND ref_len > 0 THEN
+               CASE WHEN coalesce(p1, 0) > 0 AND coalesce(p2, 0) > 0 THEN
+                   round(least(1.0,
+                               exp(1.0 - ref_len::DOUBLE / cand_len))
+                         * pow(p1 * p2, 0.5), 6)
+               ELSE 0.0 END
+           END AS bleu
+    FROM p
+"""
+
+
+def q_eval_confusion(spark, sf_dir):
+    """Per-class precision/recall/F1 of the deterministically-noised
+    event-type labeling vs the original (`llm/evals.py::
+    confusion_stats`) — the multi-class classifier report from exact
+    confusion counts."""
+    from cancer_survival_etl_spark.llm.evals import confusion_stats
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("actual"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("view"))
+        .otherwise(F.col("event_type"))
+        .alias("predicted"),
+    )
+    return confusion_stats(e, "actual", "predicted")
+
+
+_CONFUSION_SQL = """
+    WITH e AS (
+        SELECT event_type AS actual,
+               CASE WHEN event_id % 7 = 0 THEN 'view'
+                    ELSE event_type END AS predicted
+        FROM events
+    ),
+    tp AS (SELECT actual AS label, count(*) AS n_correct
+           FROM e WHERE actual = predicted GROUP BY 1),
+    na AS (SELECT actual AS label, count(*) AS n_actual
+           FROM e GROUP BY 1),
+    np AS (SELECT predicted AS label, count(*) AS n_predicted
+           FROM e GROUP BY 1),
+    j AS (
+        SELECT coalesce(na.label, np.label) AS label,
+               coalesce(n_actual, 0) AS n_actual,
+               coalesce(n_predicted, 0) AS n_predicted,
+               coalesce(n_correct, 0) AS n_correct
+        FROM na FULL JOIN np ON na.label = np.label
+        LEFT JOIN tp ON tp.label = coalesce(na.label, np.label)
+    )
+    SELECT label, n_actual, n_predicted, n_correct,
+           CASE WHEN n_predicted > 0 THEN
+               round(n_correct::DOUBLE / n_predicted, 6) END AS precision,
+           CASE WHEN n_actual > 0 THEN
+               round(n_correct::DOUBLE / n_actual, 6) END AS recall,
+           CASE WHEN n_predicted > 0 AND n_actual > 0 THEN
+               CASE WHEN n_correct > 0 THEN
+                   round(2 * (n_correct::DOUBLE / n_predicted)
+                           * (n_correct::DOUBLE / n_actual)
+                         / (n_correct::DOUBLE / n_predicted
+                            + n_correct::DOUBLE / n_actual), 6)
+               ELSE 0.0 END
+           END AS f1
+    FROM j
+"""
+
+
+def q_dataset_group_kfold(spark, sf_dir):
+    """Leakage-safe GroupKFold over events grouped by user: fold =
+    md5(user) mod 5, every user's rows in exactly one fold
+    (`llm/evals.py::group_kfold`); output is the per-fold row/user
+    census."""
+    from cancer_survival_etl_spark.llm.evals import group_kfold
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        group_kfold(e, "user_id", n_folds=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_GROUP_KFOLD_SQL = """
+    SELECT CAST(CAST(concat('0x', substring(md5(user_id::VARCHAR), 1, 8))
+                     AS BIGINT) % 5 AS INT) AS fold,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+"""
+
+
 def q_events_pattern(spark, sf_dir):
     """CEP pattern detection: every contiguous view→click→purchase
     run per user with each step within 2 days — k−1 chained leads over
@@ -5114,6 +5299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ndcg": q_eval_ndcg,
         "eval_kappa": q_eval_kappa,
         "eval_rouge": q_eval_rouge,
+        "eval_bleu": q_eval_bleu,
+        "eval_confusion": q_eval_confusion,
+        "dataset_group_kfold": q_dataset_group_kfold,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -6774,6 +6962,9 @@ def oracle_sql() -> dict[str, str]:
         "eval_ndcg": _NDCG_SQL,
         "eval_kappa": _KAPPA_SQL,
         "eval_rouge": _ROUGE_SQL,
+        "eval_bleu": _BLEU_SQL,
+        "eval_confusion": _CONFUSION_SQL,
+        "dataset_group_kfold": _GROUP_KFOLD_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

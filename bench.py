@@ -142,6 +142,9 @@ HEADLINE = [
     "eval_ndcg",
     "eval_kappa",
     "eval_rouge",
+    "eval_bleu",
+    "eval_confusion",
+    "dataset_group_kfold",
 ]
 
 REGRESSION_RATIO = 1.5

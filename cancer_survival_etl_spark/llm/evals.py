@@ -227,3 +227,179 @@ def rouge_n(
             ).otherwise(F.lit(0.0)),
         ).alias("rouge_f1"),
     )
+
+
+def bleu_n(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 2,
+) -> DataFrame:
+    """Sentence-level BLEU-N: geometric mean of clipped n-gram
+    precisions for n = 1..``max_n``, times the brevity penalty
+    BP = min(1, exp(1 − ref_len/cand_len)) — the Papineni et al.
+    definition with the standard "zero if any precision is zero"
+    smoothing-free convention (report the zero; smoothing variants
+    belong upstream of the metric, not silently inside it).
+
+    Counts are the same clipped integers as ``rouge_n``; lengths are
+    token counts. The only floats are exp/log in one mirrored final
+    expression, rounded to 6. Returns (pair_id, cand_len, ref_len,
+    p1..p{max_n}, bleu)."""
+
+    def grams(col, n):
+        toks = F.split(F.trim(F.col(col)), r"\s+")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lens = pairs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(cand_col)), r"\s+")).alias("cand_len"),
+        F.size(F.split(F.trim(F.col(ref_col)), r"\s+")).alias("ref_len"),
+    )
+    out = lens
+    pcols = []
+    for n in range(1, max_n + 1):
+        c = pairs.select(
+            F.col(id_col), F.explode(grams(cand_col, n)).alias("_g")
+        ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_cc"))
+        r = pairs.select(
+            F.col(id_col), F.explode(grams(ref_col, n)).alias("_g")
+        ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_rc"))
+        per = (
+            c.join(r, [id_col, "_g"], "full")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.least(
+                        F.coalesce("_cc", F.lit(0)),
+                        F.coalesce("_rc", F.lit(0)),
+                    )
+                ).alias(f"_ov{n}"),
+                F.sum(F.coalesce("_cc", F.lit(0))).alias(f"_tot{n}"),
+            )
+        )
+        out = out.join(per, id_col, "left")
+        pcols.append(
+            F.when(
+                F.coalesce(F.col(f"_tot{n}"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col(f"_ov{n}"), F.lit(0))
+                    / F.col(f"_tot{n}").cast("double"),
+                    6,
+                ),
+            ).alias(f"p{n}")
+        )
+    out = out.select(id_col, "cand_len", "ref_len", *pcols)
+    prod = F.lit(1.0)
+    allpos = F.lit(True)
+    for n in range(1, max_n + 1):
+        prod = prod * F.col(f"p{n}")
+        allpos = allpos & (F.coalesce(F.col(f"p{n}"), F.lit(0.0)) > 0)
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(
+            F.lit(1.0)
+            - F.col("ref_len").cast("double")
+            / F.col("cand_len").cast("double")
+        ),
+    )
+    bleu = F.when(
+        (F.col("cand_len") > 0) & (F.col("ref_len") > 0),
+        F.when(
+            allpos,
+            F.round(
+                bp * F.pow(prod, F.lit(1.0 / max_n)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        id_col, "cand_len", "ref_len", *[f"p{n}" for n in range(1, max_n + 1)],
+        bleu.alias("bleu"),
+    )
+
+
+def confusion_stats(
+    df: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from exact confusion counts —
+    the multi-class classifier report, computed corpus-wide in two
+    aggregates (true-positive counts per class + the two marginals)
+    with one mirrored ratio expression. Classes appearing only in
+    actuals or only in predictions still get a row (the other side's
+    marginal is 0 → NULL precision or recall; F1 NULL unless both
+    defined). Returns (label, n_actual, n_predicted, n_correct,
+    precision, recall, f1), ratios rounded to 6."""
+    a, p = F.col(actual_col), F.col(predicted_col)
+    tp = (
+        df.filter(a == p)
+        .groupBy(a.alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    na = df.groupBy(a.alias("label")).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    np_ = df.groupBy(p.alias("label")).agg(
+        F.count(F.lit(1)).alias("n_predicted")
+    )
+    j = (
+        na.join(np_, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    prec = F.col("n_correct") / F.col("n_predicted").cast("double")
+    rec = F.col("n_correct") / F.col("n_actual").cast("double")
+    return j.select(
+        "label",
+        "n_actual",
+        "n_predicted",
+        "n_correct",
+        F.when(F.col("n_predicted") > 0, F.round(prec, 6)).alias("precision"),
+        F.when(F.col("n_actual") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(
+            (F.col("n_predicted") > 0)
+            & (F.col("n_actual") > 0),
+            F.when(
+                F.col("n_correct") > 0,
+                F.round(2 * prec * rec / (prec + rec), 6),
+            ).otherwise(F.lit(0.0)),
+        ).alias("f1"),
+    )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    n_folds: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: every row of a GROUP lands in
+    the same fold (fold = md5(group) mod k via the first 8 hex chars —
+    deterministic, engine-portable, no shuffle beyond a projection),
+    so group-correlated rows can never straddle train/validation — the
+    GroupKFold discipline that prevents the classic
+    duplicated-entity leak in CV estimates."""
+    h = F.conv(
+        F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.withColumn(fold_col, (h % n_folds).cast("int"))

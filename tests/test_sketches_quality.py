@@ -297,3 +297,61 @@ def test_rouge_n_clipped_counts(spark):
     assert out[1].rouge_f1 == 0.6
     assert (out[2].n_overlap, out[2].n_cand, out[2].n_ref) == (1, 2, 1)
     assert out[3].rouge_p is None and out[3].rouge_r == 0.0
+
+
+def test_bleu_n_matches_manual(spark):
+    import math
+
+    from cancer_survival_etl_spark.llm.evals import bleu_n
+
+    pr = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat lay on the mat"),
+         (2, "a a a", "a a"),
+         (3, "x", "y z")],
+        "pair_id long, candidate string, reference string",
+    )
+    out = {r.pair_id: r for r in bleu_n(pr, max_n=2).collect()}
+    # p1 = 5/6 (the:2 clipped, cat, on, mat), p2 = 3/5, BP = 1
+    assert out[1].bleu == pytest.approx(
+        math.sqrt((5 / 6) * (3 / 5)), abs=1e-6
+    )
+    # brevity penalty inactive when candidate longer than reference
+    assert out[2].bleu == pytest.approx(
+        math.sqrt((2 / 3) * (1 / 2)), abs=1e-6
+    )
+    # zero any-precision -> 0.0, not NULL
+    assert out[3].bleu == 0.0
+
+
+def test_confusion_stats_per_class(spark):
+    from cancer_survival_etl_spark.llm.evals import confusion_stats
+
+    cm = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")],
+        "actual string, predicted string",
+    )
+    out = {r.label: r for r in confusion_stats(cm, "actual", "predicted").collect()}
+    assert (out["b"].precision, out["b"].recall, out["b"].f1) == (
+        pytest.approx(2 / 3, abs=1e-6), 1.0, 0.8)
+    # never-predicted class: NULL precision, 0 recall, NULL f1
+    assert out["c"].precision is None and out["c"].recall == 0.0
+    assert out["c"].f1 is None
+
+
+def test_group_kfold_never_splits_a_group(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.llm.evals import group_kfold
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    kf = group_kfold(e, "user_id", n_folds=5)
+    worst = (
+        kf.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf"))
+        .collect()[0][0]
+    )
+    assert worst == 1
+    folds = kf.select("fold").distinct().collect()
+    assert all(0 <= r.fold < 5 for r in folds)
