@@ -334,3 +334,146 @@ def space_saving_batch(
         out,
         columns=["event_type", "item", "count_est", "err_bound", "n_total"],
     )
+
+
+CM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("item", LongType()),
+        StructField("count_est", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+_CM_STATE_SCHEMA = StructType(
+    [
+        StructField("n_total", LongType()),
+        StructField("counters", ArrayType(LongType())),
+    ]
+)
+
+
+def _cm_buckets(item: int, depth: int, width: int) -> list[int]:
+    """Deterministic md5-derived bucket per hash row — engine- and
+    session-independent (no Python hash randomization)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}|{item}".encode()).hexdigest()[:8], 16) % width
+        for j in range(depth)
+    ]
+
+
+class CountMinProcessor(StatefulProcessor):
+    """Streaming count-min sketch (Cormode & Muthukrishnan): per key, a
+    depth×width counter matrix answering point frequency queries with
+    the one-sided guarantee est ≥ true and est ≤ true + εn (ε = e/width)
+    with probability 1−(1/e)^depth. State is depth·width longs — FIXED
+    regardless of stream length or item cardinality, and updates are
+    pure counting, so the sketch is batching- AND order-independent
+    (stronger than the Space-Saving processor's ordered-fold contract).
+
+    Each micro-batch emits the current estimate for every item the
+    batch touched (the practical point-query contract — emit what
+    changed); the batch sibling ``count_min_batch`` replays the full
+    history for the end-state pin.
+    """
+
+    def __init__(
+        self,
+        depth: int = 4,
+        width: int = 64,
+        item_col: str = "user_id",
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._depth = int(depth)
+        self._width = int(width)
+        self._item_col = item_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "cm", _CM_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        d, w = self._depth, self._width
+        if self._state.exists():
+            n_total, counters = self._state.get()
+            counters = list(counters)
+        else:
+            n_total, counters = 0, [0] * (d * w)
+        touched = set()
+        for pdf in rows:
+            for x in pdf[self._item_col]:
+                x = int(x)
+                touched.add(x)
+                n_total += 1
+                for j, b in enumerate(_cm_buckets(x, d, w)):
+                    counters[j * w + b] += 1
+        self._state.update((n_total, counters))
+        items = sorted(touched)
+        ests = [
+            min(
+                counters[j * w + b]
+                for j, b in enumerate(_cm_buckets(x, d, w))
+            )
+            for x in items
+        ]
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "item": items,
+                "count_est": ests,
+                "n_total": n_total,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_count_min(
+    events: DataFrame,
+    depth: int = 4,
+    width: int = 64,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-event-type count-min point estimates via
+    ``transformWithStateInPandas`` — update mode; the latest emission
+    per (type, item) carries that item's current estimate."""
+    return events.select(
+        "event_type", "ts", "event_id", "user_id"
+    ).groupBy("event_type").transformWithStateInPandas(
+        CountMinProcessor(depth=depth, width=width, ttl_ms=ttl_ms),
+        outputStructType=CM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def count_min_batch(
+    events: DataFrame, depth: int = 4, width: int = 64
+) -> pd.DataFrame:
+    """Batch reference for ``running_count_min``'s end state: build the
+    sketch over each type's full history, emit every item's estimate."""
+    pdf = events.select("event_type", "user_id").toPandas()
+    out = []
+    for et, grp in pdf.groupby("event_type"):
+        counters = [0] * (depth * width)
+        n_total = 0
+        for x in grp["user_id"]:
+            n_total += 1
+            for j, b in enumerate(_cm_buckets(int(x), depth, width)):
+                counters[j * width + b] += 1
+        for x in sorted(set(int(v) for v in grp["user_id"])):
+            est = min(
+                counters[j * width + b]
+                for j, b in enumerate(_cm_buckets(x, depth, width))
+            )
+            out.append((et, x, est, n_total))
+    return pd.DataFrame(
+        out, columns=["event_type", "item", "count_est", "n_total"]
+    )

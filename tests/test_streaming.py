@@ -711,3 +711,121 @@ def test_transform_with_state_space_saving(spark, sf_dir, tmp_path):
         wmap = {int(r.item): (int(r.count_est), int(r.err_bound))
                 for r in want.itertuples()}
         assert gmap == wmap, et
+
+
+def test_count_min_processor_matches_batch_and_guarantees(spark, sf_dir):
+    """CountMinProcessor fold (fake state, arbitrary slicing/order —
+    the sketch is fully order-independent) equals the batch-built
+    sketch, and the classical guarantees hold vs exact counts:
+    est ≥ true and est ≤ true + ceil(e/width · n)."""
+    import math
+
+    from cancer_survival_etl_spark.streaming.tws import (
+        CountMinProcessor,
+        count_min_batch,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    events = load_table(spark, sf_dir, "events")
+    expect = count_min_batch(events, depth=4, width=64)
+    pdf = events.select("event_type", "ts", "event_id", "user_id").toPandas()
+    exact = (
+        events.groupBy("event_type", "user_id")
+        .count()
+        .toPandas()
+        .set_index(["event_type", "user_id"])["count"]
+    )
+    for et, grp in pdf.groupby("event_type"):
+        proc = CountMinProcessor(depth=4, width=64)
+        proc._state = FakeState()
+        cut = len(grp) // 2
+        out = {}
+        for chunk in (grp.iloc[:cut], grp.iloc[cut:]):
+            if len(chunk) == 0:
+                continue
+            shuffled = chunk.sample(frac=1.0, random_state=3)
+            res = list(
+                proc.handleInputRows((et,), iter([shuffled]), None)
+            )[-1]
+            for r in res.itertuples():
+                out[int(r.item)] = (int(r.count_est), int(r.n_total))
+        want = expect[expect.event_type == et]
+        n_total = int(want["n_total"].iloc[0])
+        eps_bound = math.ceil(math.e / 64 * n_total)
+        for r in want.itertuples():
+            est, _ = out[int(r.item)]
+            assert est == int(r.count_est), (et, r.item)
+            true = int(exact.loc[(et, r.item)])
+            assert est >= true, (et, r.item)
+            assert est <= true + eps_bound, (et, r.item, est, true)
+
+
+def test_transform_with_state_count_min(spark, sf_dir, tmp_path):
+    """End-to-end transformWithStateInPandas run of the count-min
+    processor (protobuf-gated): the latest emission per (type, item)
+    equals the batch-built sketch estimate."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        count_min_batch,
+        running_count_min,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_count_min(src, depth=4, width=64)
+            .writeStream.format("memory")
+            .queryName("tws_cm_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.sql(
+        """SELECT event_type, item,
+                  max_by(count_est, n_total) AS count_est
+           FROM tws_cm_test GROUP BY event_type, item"""
+    ).toPandas()
+    events = load_table(spark, sf_dir, "events")
+    expect = count_min_batch(events, depth=4, width=64)
+    got = {(r.event_type, int(r.item)): int(r.count_est)
+           for r in out.itertuples()}
+    want = {(r.event_type, int(r.item)): int(r.count_est)
+            for r in expect.itertuples()}
+    assert got == want
