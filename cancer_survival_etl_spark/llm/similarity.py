@@ -737,6 +737,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    residual: bool = False,
 ) -> None:
     """Materialize an IVF-PQ index (the FAISS ``IndexIVFPQ`` layout, as
     a parquet lake): the cell-partitioned full vectors and centroid
@@ -749,22 +750,42 @@ def build_ivfpq_index(
     probed cells the scan reads the byte codes (m longs/vector here;
     bytes in a packed layout) instead of the full vectors — the
     full-precision lake is touched only for the final shortlist
-    re-rank. Codebooks are trained on the whole corpus (standard: one
-    shared codebook set, residual-free flavor)."""
+    re-rank.
+
+    ``residual=True`` is the full FAISS formulation: codebooks are
+    trained on (and codes encode) the RESIDUAL v − centroid(cell), so
+    the m×k codebook spends its resolution on within-cell variation
+    instead of re-describing the coarse cell position — tighter codes
+    at the same bit budget. The query side must be built with the same
+    flag (it subtracts each probed cell's centroid from the query
+    before the distance table)."""
     build_ivf_index(
         corpus, path, n_centroids, id_col, vec_col, centroids
     )
-    cb = pq_train(corpus, m, sub_dim, n_codes, pq_iters, id_col, vec_col)
-    cells = (
-        # reuse the persisted assignment so codes land in the SAME
-        # cell directories as their vectors
-        corpus.sparkSession.read.parquet(f"{path}/vectors")
-        .select("vec_id", "cell")
+    assigned = corpus.sparkSession.read.parquet(f"{path}/vectors")
+    if residual:
+        cen = F.broadcast(
+            corpus.sparkSession.read.parquet(f"{path}/centroids").select(
+                F.col("centroid_id").alias("cell"),
+                F.col("vec").alias("_cenv"),
+            )
+        )
+        enc_input = assigned.join(cen, "cell").select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.col("vec"), F.col("_cenv"), lambda x, y: x - y
+            ).alias("vec"),
+        )
+    else:
+        enc_input = assigned
+    cb = pq_train(
+        enc_input, m, sub_dim, n_codes, pq_iters, "vec_id", "vec"
     )
-    codes = pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
-    codes.join(cells, "vec_id").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/codes")
+    codes = pq_encode(enc_input, cb, m, sub_dim, "vec_id", "vec")
+    codes.join(
+        enc_input.select("vec_id", "cell"), "vec_id"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     cb.select("sub", "centroid_id", F.col("_cbv").alias("vec")).write.mode(
         "overwrite"
     ).parquet(f"{path}/codebooks")
@@ -781,6 +802,7 @@ def query_ivfpq_index(
     sub_dim: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Top-``k`` cosine neighbours from a persisted IVF-PQ index:
     probe → ADC over ONLY the probed cells' code files → exact re-rank
@@ -822,14 +844,36 @@ def query_ivfpq_index(
         .localCheckpoint(eager=True)
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    # ADC distance table for each query from its subvectors
-    qsub = probes.select(
+    # ADC distance table for each query from its subvectors; with a
+    # residual index the query is first re-expressed relative to each
+    # probed cell's centroid (matching the codes' frame of reference)
+    if residual:
+        qres = probes.join(
+            F.broadcast(
+                spark.read.parquet(f"{path}/centroids").select(
+                    F.col("centroid_id").alias("cell"),
+                    F.col("vec").alias("_pcv"),
+                )
+            ),
+            "cell",
+        ).select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("_qv"), F.col("_pcv"), lambda x, y: x - y
+            ).alias("_tv"),
+        )
+    else:
+        qres = probes.select(
+            "query_id", "cell", F.col("_qv").alias("_tv")
+        )
+    qsub = qres.select(
         "query_id",
         "cell",
         F.posexplode(
             F.array(
                 *[
-                    F.slice(F.col("_qv"), i * sub_dim + 1, sub_dim)
+                    F.slice(F.col("_tv"), i * sub_dim + 1, sub_dim)
                     for i in range(m)
                 ]
             )

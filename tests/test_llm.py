@@ -1034,3 +1034,40 @@ def test_hard_negative_mining_cross_label_topk(spark):
     ).toPandas().sort_values("rank_val")
     assert list(out["neighbor_id"]) == [2, 3]
     assert (out["neighbor_label"] != 0).all()
+
+
+def test_ivfpq_residual_encoding_same_exact_contract(spark, sf_dir, tmp_path):
+    """Residual IVF-PQ (FAISS formulation): with an uncut shortlist the
+    probe→ADC→re-rank chain still equals the plain persisted IVF query
+    (re-rank is exact), and a realistic shortlist keeps recall — the
+    residual codes only move the shortlist boundary."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        query_ivf_index,
+        query_ivfpq_index,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq_res")
+    build_ivfpq_index(
+        e, path, n_centroids=8, m=16, sub_dim=4, pq_iters=1, residual=True
+    )
+    got = query_ivfpq_index(
+        spark, path, queries, k=5, nprobe=2, shortlist=1000,
+        m=16, sub_dim=4, residual=True,
+    ).toPandas()
+    want = query_ivf_index(spark, path, queries, k=5, nprobe=2).toPandas()
+    g = got.sort_values(["query_id", "rank_val"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "rank_val"]).reset_index(drop=True)
+    assert (g[["query_id", "neighbor_id", "cosine"]].values
+            == w[["query_id", "neighbor_id", "cosine"]].values).all()
+
+    short = query_ivfpq_index(
+        spark, path, queries, k=5, nprobe=2, shortlist=50,
+        m=16, sub_dim=4, residual=True,
+    ).toPandas()
+    e_set = set(map(tuple, w[["query_id", "neighbor_id"]].values))
+    s_set = set(map(tuple, short[["query_id", "neighbor_id"]].values))
+    assert len(e_set & s_set) / len(e_set) >= 0.6
