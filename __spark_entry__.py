@@ -2965,10 +2965,10 @@ _DIVERSIFY_SQL = """
 
 
 def q_retrieval_mmr(spark, sf_dir):
-    """MMR diversified re-rank of a brute-force shortlist (rows-only:
-    the greedy fold's score arithmetic has no tractable ANSI mirror;
-    the selection is pinned against a Python greedy reference in
-    pytest)."""
+    """MMR diversified re-rank of a brute-force shortlist — the greedy
+    fold is mirrored by a recursive-CTE oracle that replays the same
+    per-step argmax (round-6 score, lowest-id tiebreak), so even the
+    iterative selection is hash-checked."""
     from cancer_survival_etl_spark.llm.retrieval import mmr_rerank
     from cancer_survival_etl_spark.llm.similarity import (
         brute_force_topk,
@@ -3403,6 +3403,72 @@ _GROUP_KFOLD_SQL = """
            count(*) AS n_rows,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY 1
+"""
+
+
+_MMR_SQL = r"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(
+                   raw, x -> x / sqrt(list_inner_product(raw, raw))
+               ) AS v
+        FROM e
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, cosine, v FROM (
+            SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(c.v, a.v), 6) AS cosine,
+                   c.v,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(c.v, a.v), 6)
+                                DESC, c.vec_id) AS rn
+            FROM n c JOIN n a ON a.vec_id != c.vec_id
+            WHERE a.vec_id < 5
+        ) t WHERE rn <= 10
+    ),
+    rec AS (
+        SELECT query_id, 0 AS step,
+               CAST([] AS STRUCT(id BIGINT, score DOUBLE)[]) AS sel
+        FROM (SELECT DISTINCT query_id FROM cand)
+        UNION ALL
+        SELECT r.query_id, r.step + 1,
+               list_append(r.sel, (
+                   SELECT {'id': c.neighbor_id, 'score': round(
+                       0.7 * c.cosine
+                       - CASE WHEN len(r.sel) > 0 THEN 0.3 * (
+                           SELECT max(list_inner_product(c.v, s.v))
+                           FROM cand s
+                           WHERE s.query_id = c.query_id
+                             AND list_contains(
+                                 list_transform(r.sel, x -> x.id),
+                                 s.neighbor_id)
+                       ) ELSE 0.0 END, 6)}
+                   FROM cand c
+                   WHERE c.query_id = r.query_id
+                     AND NOT list_contains(
+                         list_transform(r.sel, x -> x.id), c.neighbor_id)
+                   ORDER BY round(
+                       0.7 * c.cosine
+                       - CASE WHEN len(r.sel) > 0 THEN 0.3 * (
+                           SELECT max(list_inner_product(c.v, s.v))
+                           FROM cand s
+                           WHERE s.query_id = c.query_id
+                             AND list_contains(
+                                 list_transform(r.sel, x -> x.id),
+                                 s.neighbor_id)
+                       ) ELSE 0.0 END, 6) DESC, c.neighbor_id ASC
+                   LIMIT 1
+               ))
+        FROM rec r WHERE r.step < 5
+    )
+    SELECT query_id, u.s.id AS neighbor_id, u.s.score AS mmr_score,
+           CAST(u.ord AS INT) AS rank_val
+    FROM (SELECT query_id, sel FROM rec WHERE step = 5) f,
+         LATERAL (SELECT unnest(sel) AS s,
+                         generate_subscripts(sel, 1) AS ord) u
 """
 
 
@@ -6965,6 +7031,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_bleu": _BLEU_SQL,
         "eval_confusion": _CONFUSION_SQL,
         "dataset_group_kfold": _GROUP_KFOLD_SQL,
+        "retrieval_mmr": _MMR_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
