@@ -2975,9 +2975,13 @@ def q_retrieval_mmr(spark, sf_dir):
         normalize_embeddings,
     )
 
-    e = normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    e = _t(spark, sf_dir, "embeddings")
+    en = normalize_embeddings(e)
+    # rel comes from the RAW-vector cosine (the same float path the
+    # ann_brute_force oracle pins); only the pairwise-redundancy term
+    # uses the pre-normalized vectors
     shortlist = brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10).join(
-        e.select(
+        en.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("vec"),
         ),
@@ -3420,51 +3424,57 @@ _MMR_SQL = r"""
     cand AS (
         SELECT query_id, neighbor_id, cosine, v FROM (
             SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(c.v, a.v), 6) AS cosine,
+                   round(list_cosine_similarity(c.raw, a.raw), 6) AS cosine,
                    c.v,
                    row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY round(list_cosine_similarity(c.v, a.v), 6)
+                       ORDER BY round(list_cosine_similarity(c.raw, a.raw), 6)
                                 DESC, c.vec_id) AS rn
-            FROM n c JOIN n a ON a.vec_id != c.vec_id
+            FROM (SELECT n.*, e.raw FROM n JOIN e USING (vec_id)) c
+            JOIN (SELECT n.*, e.raw FROM n JOIN e USING (vec_id)) a
+                 ON a.vec_id != c.vec_id
             WHERE a.vec_id < 5
         ) t WHERE rn <= 10
     ),
     rec AS (
         SELECT query_id, 0 AS step,
-               CAST([] AS STRUCT(id BIGINT, score DOUBLE)[]) AS sel
+               CAST([] AS STRUCT(id BIGINT, score BIGINT)[]) AS sel
         FROM (SELECT DISTINCT query_id FROM cand)
         UNION ALL
         SELECT r.query_id, r.step + 1,
                list_append(r.sel, (
-                   SELECT {'id': c.neighbor_id, 'score': round(
-                       0.7 * c.cosine
-                       - CASE WHEN len(r.sel) > 0 THEN 0.3 * (
-                           SELECT max(list_inner_product(c.v, s.v))
+                   SELECT {'id': c.neighbor_id, 'score':
+                       7 * CAST(round(c.cosine * 1e6) AS BIGINT)
+                       - CASE WHEN len(r.sel) > 0 THEN 3 * (
+                           SELECT max(CAST(round(
+                               list_inner_product(c.v, s.v) * 1e6
+                           ) AS BIGINT))
                            FROM cand s
                            WHERE s.query_id = c.query_id
                              AND list_contains(
                                  list_transform(r.sel, x -> x.id),
                                  s.neighbor_id)
-                       ) ELSE 0.0 END, 6)}
+                       ) ELSE 0 END}
                    FROM cand c
                    WHERE c.query_id = r.query_id
                      AND NOT list_contains(
                          list_transform(r.sel, x -> x.id), c.neighbor_id)
-                   ORDER BY round(
-                       0.7 * c.cosine
-                       - CASE WHEN len(r.sel) > 0 THEN 0.3 * (
-                           SELECT max(list_inner_product(c.v, s.v))
+                   ORDER BY
+                       7 * CAST(round(c.cosine * 1e6) AS BIGINT)
+                       - CASE WHEN len(r.sel) > 0 THEN 3 * (
+                           SELECT max(CAST(round(
+                               list_inner_product(c.v, s.v) * 1e6
+                           ) AS BIGINT))
                            FROM cand s
                            WHERE s.query_id = c.query_id
                              AND list_contains(
                                  list_transform(r.sel, x -> x.id),
                                  s.neighbor_id)
-                       ) ELSE 0.0 END, 6) DESC, c.neighbor_id ASC
+                       ) ELSE 0 END DESC, c.neighbor_id ASC
                    LIMIT 1
                ))
         FROM rec r WHERE r.step < 5
     )
-    SELECT query_id, u.s.id AS neighbor_id, u.s.score AS mmr_score,
+    SELECT query_id, u.s.id AS neighbor_id, u.s.score AS mmr_score_micro,
            CAST(u.ord AS INT) AS rank_val
     FROM (SELECT query_id, sel FROM rec WHERE step = 5) f,
          LATERAL (SELECT unnest(sel) AS s,

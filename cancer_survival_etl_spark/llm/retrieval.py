@@ -501,8 +501,16 @@ def mmr_rerank(
     array_sort — fully deterministic. One shuffle: the per-query
     collect of an already-bounded ANN shortlist.
 
-    Candidate vectors must be pre-normalized if ``rel_col``/pairwise
-    dot are to be cosines. Returns (query, item, mmr_score, rank_val).
+    Scoring is MICRO-UNIT EXACT: λ is quantized to tenths and the
+    step score is the INTEGER 10λ·rel_µ − (10−10λ)·sim_µ (µ = value
+    ×10⁶, already-rounded inputs are exact on that lattice) — no float
+    round of a product like 0.7×(6-dp value), which lands on decimal
+    half-way points ~10% of the time and splits engines that round
+    binary doubles (DuckDB) from engines that round the decimal
+    rendering (Spark's HALF_UP). Candidate vectors must be
+    pre-normalized if ``rel_col``/pairwise dot are to be cosines.
+    Returns (query, item, mmr_score_micro, rank_val); divide by 10⁷
+    for the conventional λ-weighted value.
     """
     evs = F.collect_list(
         F.struct(
@@ -520,8 +528,9 @@ def mmr_rerank(
             lambda acc, v: acc + v,
         )
 
+    lam10 = round(lam * 10)
     zero = F.array().cast(
-        "array<struct<id:long,score:double,v:array<double>>>"
+        "array<struct<id:long,score:bigint,v:array<double>>>"
     )
 
     def step(sel, _i):
@@ -532,16 +541,24 @@ def mmr_rerank(
         scored = F.transform(
             remaining,
             lambda c: F.struct(
-                F.round(
-                    F.lit(lam) * c["rel"]
-                    - F.when(
-                        F.size(sel) > 0,
-                        F.lit(1.0 - lam)
-                        * F.array_max(
-                            F.transform(sel, lambda s: dot(c["v"], s["v"]))
+                (
+                    F.lit(lam10)
+                    * F.round(c["rel"] * 1e6).cast("bigint")
+                    - F.coalesce(
+                        F.when(
+                            F.size(sel) > 0,
+                            F.lit(10 - lam10)
+                            * F.array_max(
+                                F.transform(
+                                    sel,
+                                    lambda s: F.round(
+                                        dot(c["v"], s["v"]) * 1e6
+                                    ).cast("bigint"),
+                                )
+                            ),
                         ),
-                    ).otherwise(F.lit(0.0)),
-                    6,
+                        F.lit(0).cast("bigint"),
+                    )
                 ).alias("score"),
                 (-c["id"]).alias("negid"),
                 c["id"].alias("id"),
@@ -571,7 +588,7 @@ def mmr_rerank(
         .select(
             query_col,
             F.col("_s.id").alias(item_col),
-            F.col("_s.score").alias("mmr_score"),
+            F.col("_s.score").alias("mmr_score_micro"),
             (F.col("_i") + 1).alias("rank_val"),
         )
     )

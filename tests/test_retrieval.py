@@ -196,6 +196,7 @@ def test_diversify_topk_cap(spark):
 
 
 def _mmr_reference(cands, k, lam):
+    lam10 = round(lam * 10)
     sel = []
     while len(sel) < min(k, len(cands)):
         best = None
@@ -203,11 +204,12 @@ def _mmr_reference(cands, k, lam):
             if any(cid == s[0] for s in sel):
                 continue
             red = max(
-                (sum(x * y for x, y in zip(v, sv)) for _, _, sv in sel),
+                (int(round(sum(x * y for x, y in zip(v, sv)) * 1e6))
+                 for _, _, sv in sel),
                 default=None,
             )
-            score = round(
-                lam * rel - ((1 - lam) * red if red is not None else 0.0), 6
+            score = lam10 * int(round(rel * 1e6)) - (
+                (10 - lam10) * red if red is not None else 0
             )
             if best is None or (score, -cid) > (best[1], -best[0]):
                 best = (cid, score, v)
@@ -247,7 +249,7 @@ def test_mmr_rerank_matches_greedy_reference(spark, sf_dir):
         )
         g = got[got.query_id == qid].sort_values("rank_val")
         assert list(g["neighbor_id"]) == [w[0] for w in want], qid
-        assert [round(s, 6) for s in g["mmr_score"]] == [
+        assert [int(s) for s in g["mmr_score_micro"]] == [
             w[1] for w in want
         ], qid
     # every query returns exactly k rows and no duplicate items
