@@ -2990,6 +2990,109 @@ def q_retrieval_mmr(spark, sf_dir):
     return mmr_rerank(shortlist, k=5, lam=0.7)
 
 
+def q_stats_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence of the event-type mix, even vs odd
+    event ids — the bounded, smoothing-free drift complement to PSI
+    (`operators/stats.py::js_divergence`)."""
+    from cancer_survival_etl_spark.operators.stats import js_divergence
+
+    e = _t(spark, sf_dir, "events")
+    return js_divergence(
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+
+
+_JS_DIVERGENCE_SQL = """
+    WITH r AS (
+        SELECT event_type AS b, count(*) AS nr FROM events
+        WHERE event_id % 2 = 0 GROUP BY 1
+    ),
+    c AS (
+        SELECT event_type AS b, count(*) AS nc FROM events
+        WHERE event_id % 2 = 1 GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE event_id % 2 = 0) AS tr,
+               (SELECT CAST(count(*) AS BIGINT) FROM events
+                WHERE event_id % 2 = 1) AS tc
+    ),
+    j AS (
+        SELECT coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+        FROM r FULL JOIN c ON r.b = c.b
+    )
+    SELECT tr AS n_ref, tc AS n_cur,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(sum(
+               CASE WHEN nr > 0 THEN
+                   (nr / tr::DOUBLE)
+                   * ln((nr / tr::DOUBLE)
+                        / ((nr / tr::DOUBLE + nc / tc::DOUBLE) / 2)) / 2
+               ELSE 0.0 END
+               + CASE WHEN nc > 0 THEN
+                   (nc / tc::DOUBLE)
+                   * ln((nc / tc::DOUBLE)
+                        / ((nr / tr::DOUBLE + nc / tc::DOUBLE) / 2)) / 2
+               ELSE 0.0 END
+           ), 6) AS jsd
+    FROM j, tot GROUP BY tr, tc
+"""
+
+
+def q_dedup_containment(spark, sf_dir):
+    """N-gram containment pairs (quote / sub-document detection):
+    either direction ≥ 0.5, lang-blocked inverted index
+    (`llm/dedup.py::ngram_containment_pairs`) — the asymmetric
+    sibling Jaccard misses when a short doc is embedded in a long
+    one."""
+    from cancer_survival_etl_spark.llm.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, block_col="lang"
+    )
+
+
+_CONTAINMENT_SQL = """
+    WITH grams AS (
+        SELECT doc_id, lang,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, greatest(
+                           len(string_split(text, ' ')) - 2, 1)),
+                       i -> concat_ws(' ',
+                           string_split(text, ' ')[i],
+                           string_split(text, ' ')[i + 1],
+                           string_split(text, ' ')[i + 2])
+                   )
+               ) AS g
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id, lang, len(g) AS ng, unnest(g) AS gram FROM grams
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared,
+               a.ng AS n_a, b.ng AS n_b
+        FROM posting a JOIN posting b
+          ON a.lang = b.lang AND a.gram = b.gram
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 4, 5
+    )
+    SELECT id_a, id_b, shared, n_a, n_b,
+           round(shared / n_a::DOUBLE, 6) AS contain_ab,
+           round(shared / n_b::DOUBLE, 6) AS contain_ba
+    FROM pairs
+    WHERE round(shared / n_a::DOUBLE, 6) >= 0.5
+       OR round(shared / n_b::DOUBLE, 6) >= 0.5
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -5378,6 +5481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_bleu": q_eval_bleu,
         "eval_confusion": q_eval_confusion,
         "dataset_group_kfold": q_dataset_group_kfold,
+        "stats_js_divergence": q_stats_js_divergence,
+        "dedup_containment": q_dedup_containment,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7042,6 +7147,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_confusion": _CONFUSION_SQL,
         "dataset_group_kfold": _GROUP_KFOLD_SQL,
         "retrieval_mmr": _MMR_SQL,
+        "stats_js_divergence": _JS_DIVERGENCE_SQL,
+        "dedup_containment": _CONTAINMENT_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -145,6 +145,8 @@ HEADLINE = [
     "eval_bleu",
     "eval_confusion",
     "dataset_group_kfold",
+    "stats_js_divergence",
+    "dedup_containment",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -938,3 +938,77 @@ def semantic_dedup(
             (F.col(id_col) == F.col("dup_group")).alias("is_kept"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """N-gram CONTAINMENT for document pairs — the asymmetric sibling
+    of ``ngram_jaccard_pairs``: c(A→B) = |grams(A) ∩ grams(B)| /
+    |grams(A)|. Jaccard misses a short document quoted inside a long
+    one (the union dilutes it); containment is exactly the
+    quote/sub-document detector. A pair is reported when EITHER
+    direction reaches ``threshold``.
+
+    Same inverted-index plan as the Jaccard operator (distinct grams →
+    posting join on (block, gram) → per-pair shared count → sizes from
+    the pair itself): work tracks posting-list sizes, never block².
+    Returns (id_a, id_b, shared, n_a, n_b, contain_ab, contain_ba)
+    with id_a < id_b and ratios rounded to 6.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    block = F.col(block_col) if block_col else F.lit(1)
+    base = fan_out(df).select(
+        block.alias("_block"),
+        F.col(id_col),
+        grams.alias("_grams"),
+        F.size(grams).alias("_ng"),
+    )
+    postings = base.select(
+        "_block", id_col, "_ng", F.explode("_grams").alias("_gram")
+    )
+    a = postings.select(
+        "_block",
+        F.col(id_col).alias("id_a"),
+        F.col("_ng").alias("n_a"),
+        "_gram",
+    )
+    b = postings.select(
+        "_block",
+        F.col(id_col).alias("id_b"),
+        F.col("_ng").alias("n_b"),
+        "_gram",
+    )
+    pairs = (
+        a.join(b, ["_block", "_gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cab = F.round(F.col("shared") / F.col("n_a"), 6)
+    cba = F.round(F.col("shared") / F.col("n_b"), 6)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared",
+        "n_a",
+        "n_b",
+        cab.alias("contain_ab"),
+        cba.alias("contain_ba"),
+    ).filter(
+        (F.col("contain_ab") >= threshold)
+        | (F.col("contain_ba") >= threshold)
+    )

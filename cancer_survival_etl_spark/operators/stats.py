@@ -602,3 +602,48 @@ def auc_by(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
         ).alias("auc"),
     )
+
+
+def js_divergence(
+    ref: DataFrame,
+    cur: DataFrame,
+    bucket_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two bucketed distributions:
+    JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with m = (p+q)/2 — the
+    symmetric, bounded (≤ ln 2) complement to ``psi_drift``: PSI blows
+    up on vanishing buckets (hence its smoothing knob); JSD needs no
+    smoothing because a bucket absent from one side contributes the
+    finite ½·q·ln 2.
+
+    Exact integer bucket counts; probabilities and the log expression
+    are one mirrored final double computation. Both inputs aggregate
+    to #buckets rows before the tiny full-outer join — two map-side-
+    combined scans, no row-level shuffle. Returns one row
+    (n_ref, n_cur, n_buckets, jsd) rounded to 6.
+    """
+    r = ref.groupBy(F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_nr")
+    )
+    c = cur.groupBy(F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    tr = ref.count()
+    tc = cur.count()
+    j = r.join(c, "_b", "full").select(
+        F.coalesce("_nr", F.lit(0)).alias("_nr"),
+        F.coalesce("_nc", F.lit(0)).alias("_nc"),
+    )
+    p = F.col("_nr").cast("double") / F.lit(float(tr))
+    q = F.col("_nc").cast("double") / F.lit(float(tc))
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("_nr") > 0, p * F.log(p / m) / 2).otherwise(F.lit(0.0))
+        + F.when(F.col("_nc") > 0, q * F.log(q / m) / 2).otherwise(F.lit(0.0))
+    )
+    return j.agg(
+        F.lit(tr).alias("n_ref"),
+        F.lit(tc).alias("n_cur"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.sum(term), 6).alias("jsd"),
+    )

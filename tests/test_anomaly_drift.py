@@ -207,3 +207,46 @@ def test_auc_by_exact_with_ties_and_degenerate(spark):
         "grp string, score double, label int",
     )
     assert auc_by(perf, "grp", "score", "label").collect()[0].auc == 1.0
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import js_divergence
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 4, "b string")
+    # identical distributions -> 0
+    r0 = js_divergence(a, a, "b").collect()[0]
+    assert r0.jsd == pytest.approx(0.0, abs=1e-9)
+    # disjoint supports -> ln 2 (the JSD maximum)
+    b = spark.createDataFrame([("z",)] * 10, "b string")
+    r1 = js_divergence(a, b, "b").collect()[0]
+    assert r1.jsd == pytest.approx(math.log(2), abs=1e-6)
+    assert r1.n_buckets == 3
+    # manual middle case
+    c = spark.createDataFrame([("x",)] * 4 + [("y",)] * 6, "b string")
+    p, q = [0.6, 0.4], [0.4, 0.6]
+    want = sum(
+        pi / 2 * math.log(pi / ((pi + qi) / 2))
+        + qi / 2 * math.log(qi / ((pi + qi) / 2))
+        for pi, qi in zip(p, q)
+    )
+    r2 = js_divergence(a, c, "b").collect()[0]
+    assert r2.jsd == pytest.approx(want, abs=1e-6)
+
+
+def test_ngram_containment_quote_detection(spark):
+    from cancer_survival_etl_spark.llm.dedup import ngram_containment_pairs
+
+    long_doc = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+    quote = "epsilon zeta eta theta iota kappa"  # verbatim inside long
+    rows = [(0, long_doc), (1, quote), (2, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_containment_pairs(df, "text", "doc_id", n=3, threshold=0.8)
+    got = {(r.id_a, r.id_b): (r.contain_ab, r.contain_ba) for r in out.collect()}
+    # every 3-gram of the quote appears in the long doc: c(B->A) = 1.0
+    assert (0, 1) in got and got[(0, 1)][1] == 1.0
+    # but Jaccard would be tiny — containment is the right detector
+    assert got[(0, 1)][0] < 0.5
+    assert (0, 2) not in got and (1, 2) not in got
