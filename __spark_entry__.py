@@ -3093,6 +3093,120 @@ _CONTAINMENT_SQL = """
 """
 
 
+def q_stats_cuped(spark, sf_dir):
+    """A/B experiment readout with CUPED variance reduction: variant =
+    user parity, metric = event value (cents-exact), covariate = a
+    deterministic per-user pre-period proxy; θ from pooled exact
+    co-moments (`operators/stats.py::cuped_lift`)."""
+    from cancer_survival_etl_spark.operators.stats import cuped_lift
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.col("value").alias("metric"),
+        (F.col("user_id") % 50).alias("covariate"),
+    )
+    return cuped_lift(
+        e, "variant", "metric", "covariate", covariate_is_cents=False
+    )
+
+
+_CUPED_SQL = """
+    WITH e AS (
+        SELECT user_id % 2 AS variant,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               user_id % 50 AS x
+        FROM events
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM e
+    ),
+    per AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+               sum(x) AS vx, sum(y) AS vy
+        FROM e GROUP BY variant
+    )
+    SELECT variant, n_units,
+           round(vy::DOUBLE / n_units / 100.0, 6) AS mean_raw,
+           round((vy::DOUBLE / n_units
+                  - coalesce(theta, 0.0)
+                    * (vx::DOUBLE / n_units - sx::DOUBLE / n)) / 100.0,
+                 6) AS mean_adjusted,
+           round(theta, 6) AS theta
+    FROM (
+        SELECT per.*, g.n, g.sx,
+               CASE WHEN g.n::DOUBLE * g.sxx - g.sx::DOUBLE * g.sx > 0
+                    THEN (g.n::DOUBLE * g.sxy - g.sx::DOUBLE * g.sy)
+                         / (g.n::DOUBLE * g.sxx - g.sx::DOUBLE * g.sx)
+               END AS theta
+        FROM per, g
+    ) t
+"""
+
+
+def q_linkage_golden(spark, sf_dir):
+    """Golden-record survivorship: collapse each user's events to one
+    record — most frequent event type (mode, value-tiebroken) and the
+    latest value by (ts, event_id)
+    (`operators/linkage.py::golden_record`)."""
+    from cancer_survival_etl_spark.operators.linkage import golden_record
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return golden_record(
+        e,
+        "user_id",
+        mode_cols=["event_type"],
+        latest_cols=["cents"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+_GOLDEN_SQL = """
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM e GROUP BY user_id
+    ),
+    latest AS (
+        SELECT user_id, cents FROM (
+            SELECT user_id, cents,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        ) t WHERE rn = 1
+    ),
+    base AS (
+        SELECT counts.user_id, n_members, latest.cents
+        FROM counts JOIN latest ON counts.user_id = latest.user_id
+    ),
+    m AS (
+        SELECT user_id, event_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type DESC) AS rn
+            FROM (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM e WHERE event_type IS NOT NULL
+                GROUP BY user_id, event_type
+            ) c
+        ) t WHERE rn = 1
+    )
+    SELECT base.user_id, n_members, m.event_type, base.cents
+    FROM base LEFT JOIN m ON base.user_id = m.user_id
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -5483,6 +5597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_group_kfold": q_dataset_group_kfold,
         "stats_js_divergence": q_stats_js_divergence,
         "dedup_containment": q_dedup_containment,
+        "stats_cuped": q_stats_cuped,
+        "linkage_golden": q_linkage_golden,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7149,6 +7265,8 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_mmr": _MMR_SQL,
         "stats_js_divergence": _JS_DIVERGENCE_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
+        "stats_cuped": _CUPED_SQL,
+        "linkage_golden": _GOLDEN_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -147,6 +147,8 @@ HEADLINE = [
     "dataset_group_kfold",
     "stats_js_divergence",
     "dedup_containment",
+    "stats_cuped",
+    "linkage_golden",
 ]
 
 REGRESSION_RATIO = 1.5

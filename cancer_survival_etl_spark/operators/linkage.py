@@ -344,3 +344,55 @@ def block_profile(
             ).cast("long").alias("n_pairs"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    mode_cols: Sequence[str] = (),
+    latest_cols: Sequence[str] = (),
+    ts_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Survivorship after entity resolution: collapse each linkage
+    cluster to ONE golden record — ``mode_cols`` survive by the most
+    frequent non-null value (ties broken by the value itself, so the
+    pick is deterministic on any engine), ``latest_cols`` by the value
+    on the cluster's most recent row (by ``ts_col``, ties by
+    ``tiebreak_col`` — a total order).
+
+    One aggregate per rule family over one (cluster) clustering:
+    mode = max_by over (count, value) pairs computed in a pre-group;
+    latest = max_by over the (ts, tiebreak) struct. No window over the
+    raw rows, no collect; output is #clusters rows. Returns (cluster,
+    n_members, <mode cols>, <latest cols>).
+    """
+    mode_cols = list(mode_cols)
+    latest_cols = list(latest_cols)
+    base = df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            F.max_by(
+                F.col(c),
+                F.struct(F.col(ts_col), F.col(tiebreak_col)),
+            ).alias(c)
+            for c in latest_cols
+        ],
+    )
+    out = base
+    for c in mode_cols:
+        mode_df = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(cluster_col, c)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy(cluster_col)
+            .agg(
+                F.max_by(
+                    F.col(c), F.struct(F.col("_cnt"), F.col(c))
+                ).alias(c)
+            )
+        )
+        out = out.join(mode_df, cluster_col, "left")
+    return out.select(
+        cluster_col, "n_members", *mode_cols, *latest_cols
+    )

@@ -647,3 +647,75 @@ def js_divergence(
         F.count(F.lit(1)).alias("n_buckets"),
         F.round(F.sum(term), 6).alias("jsd"),
     )
+
+
+def cuped_lift(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    metric_is_cents: bool = True,
+    covariate_is_cents: bool = True,
+    wide: bool = True,
+) -> DataFrame:
+    """Experiment readout with CUPED variance reduction (Deng et al.,
+    WSDM'13): per variant, the adjusted metric mean
+    ȳ_adj = ȳ − θ(x̄ − x̄_pool), with θ = cov(x, y)/var(x) estimated
+    on the POOLED population from its pre-experiment covariate — the
+    standard trick that removes covariate noise from the lift estimate
+    without biasing it (E[x] is variant-independent under proper
+    randomization).
+
+    Everything reduces to exact integer co-moments (global n, Σx, Σy,
+    Σxx, Σxy + per-variant n, Σx, Σy) — ONE scan, two map-side-
+    combined aggregates, and one mirrored final double expression, so
+    the readout is bit-stable at any parallelism. θ is NULL-guarded on
+    zero covariate variance (adjusted mean falls back to the raw
+    mean). Returns one row per variant: (variant, n_units, mean_raw,
+    mean_adjusted, theta) rounded to 6.
+    """
+    x = (
+        _cents(F.col(covariate_col))
+        if covariate_is_cents
+        else F.col(covariate_col).cast("long")
+    )
+    y = (
+        _cents(F.col(metric_col))
+        if metric_is_cents
+        else F.col(metric_col).cast("long")
+    )
+    g = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(x, wide)).alias("_sx"),
+        F.sum(_acc(y, wide)).alias("_sy"),
+        F.sum(_acc(x * x, wide)).alias("_sxx"),
+        F.sum(_acc(x * y, wide)).alias("_sxy"),
+    )
+    per = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(_acc(x, wide)).alias("_vx"),
+        F.sum(_acc(y, wide)).alias("_vy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, sxy = F.col("_sxx").cast("double"), F.col("_sxy").cast("double")
+    varx = n * sxx - sx * sx
+    theta = F.when(varx > 0, (n * sxy - sx * sy) / varx)
+    vn = F.col("n_units").cast("double")
+    y_div = 100.0 if metric_is_cents else 1.0
+    # θ carries units y-int per x-int, so the adjustment happens in
+    # integer units and ONLY the final y value is rendered (/100 for a
+    # cents metric)
+    mean_raw_i = F.col("_vy").cast("double") / vn
+    mean_x_i = F.col("_vx").cast("double") / vn
+    pool_x_i = sx / n
+    adj_i = mean_raw_i - F.coalesce(theta, F.lit(0.0)) * (
+        mean_x_i - pool_x_i
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_units",
+        F.round(mean_raw_i / y_div, 6).alias("mean_raw"),
+        F.round(adj_i / y_div, 6).alias("mean_adjusted"),
+        F.round(theta, 6).alias("theta"),
+    )

@@ -156,3 +156,59 @@ def test_hybrid_search_fuses_sparse_and_dense(spark):
             round(1 / (60 + r.bm25_rank) + 1 / (60 + r.dense_rank), 9),
             abs=1e-12,
         )
+
+
+def test_golden_record_mode_and_latest(spark):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.linkage import golden_record
+
+    rows = [
+        # cluster 1: 'a' x2 vs 'b' x1; latest value at t=3
+        (1, "a", 1, 10, 100),
+        (1, "a", 2, 11, 200),
+        (1, "b", 3, 12, 300),
+        # cluster 2: tie 'x' vs 'y' -> value tiebreak picks 'y'
+        (2, "x", 1, 20, 400),
+        (2, "y", 2, 21, 500),
+        # cluster 3: NULL mode values ignored
+        (3, None, 1, 30, 600),
+        (3, "z", 2, 31, 700),
+    ]
+    df = spark.createDataFrame(
+        rows, "cl long, cat string, ts long, eid long, val long"
+    )
+    out = {
+        r.cl: r
+        for r in golden_record(
+            df, "cl", mode_cols=["cat"], latest_cols=["val"],
+            ts_col="ts", tiebreak_col="eid",
+        ).collect()
+    }
+    assert out[1].cat == "a" and out[1].val == 300 and out[1].n_members == 3
+    assert out[2].cat == "y"          # tie broken by value, deterministic
+    assert out[3].cat == "z"          # NULL never survives
+
+
+def test_cuped_reduces_to_raw_with_flat_covariate(spark):
+    from cancer_survival_etl_spark.operators.stats import cuped_lift
+
+    # constant covariate -> zero variance -> theta NULL, adjusted = raw
+    rows = [(i % 2, float(i), 7) for i in range(20)]
+    df = spark.createDataFrame(rows, "variant int, metric double, cov long")
+    out = cuped_lift(
+        df, "variant", "metric", "cov", covariate_is_cents=False
+    ).collect()
+    for r in out:
+        assert r.theta is None
+        assert r.mean_adjusted == r.mean_raw
+    # perfectly-correlated covariate absorbs ALL the between-variant
+    # difference: both adjusted means collapse to the pooled mean
+    rows2 = [(i % 2, float(i), i) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "variant int, metric double, cov long")
+    out2 = cuped_lift(
+        df2, "variant", "metric", "cov", covariate_is_cents=False
+    ).collect()
+    pooled = sum(float(i) for i in range(20)) / 20
+    for r in out2:
+        assert r.mean_adjusted == pytest.approx(pooled, abs=1e-4)
