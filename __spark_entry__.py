@@ -3207,6 +3207,47 @@ _GOLDEN_SQL = """
 """
 
 
+def q_sketch_hll_rollup(spark, sf_dir):
+    """Mergeable HLL rollup: daily per-type sketches unioned to a
+    per-type total (`operators/sketches.py::hll_rollup/_merge`) —
+    adjudicated as exact distinct + a 5%-bound verdict on the merged
+    estimate (sketch bytes are engine-internal; the estimate at
+    lg_k=12 sits well inside 5% at every SF)."""
+    from cancer_survival_etl_spark.operators.sketches import (
+        hll_rollup,
+        hll_rollup_merge,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    daily = hll_rollup(e, ["event_type", "day"], "user_id")
+    merged = hll_rollup_merge(daily, "event_type")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(
+                F.col("distinct_estimate") - F.col("exact_distinct")
+            )
+            <= F.col("exact_distinct") * 0.05
+        ).alias("within_5pct"),
+    )
+
+
+_HLL_ROLLUP_SQL = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS within_5pct
+    FROM events GROUP BY event_type
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -5599,6 +5640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "stats_cuped": q_stats_cuped,
         "linkage_golden": q_linkage_golden,
+        "sketch_hll_rollup": q_sketch_hll_rollup,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7267,6 +7309,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _CONTAINMENT_SQL,
         "stats_cuped": _CUPED_SQL,
         "linkage_golden": _GOLDEN_SQL,
+        "sketch_hll_rollup": _HLL_ROLLUP_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -149,6 +149,7 @@ HEADLINE = [
     "dedup_containment",
     "stats_cuped",
     "linkage_golden",
+    "sketch_hll_rollup",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -283,3 +283,46 @@ def heavy_hitters(
     return exact.select(
         F.col("_v").alias("value"), "n_rows_total", "exact_count"
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup: per group, a Datasketches HLL
+    sketch of ``value_col`` (``hll_sketch_agg``) — the persistable
+    building block of the lakehouse "distinct users per (day, dim)"
+    table. Unlike a count-distinct column, sketches RE-AGGREGATE:
+    coarser rollups union the fine sketches (``hll_rollup_merge``)
+    without touching raw data — the same cascade contract as
+    ``timeseries.cascading_rollup``, for the one aggregate that
+    doesn't cascade exactly.
+
+    Register maxima are order-independent, so the estimate is stable
+    under any partitioning (pinned in tests). Returns group cols +
+    (hll_sketch binary, n_rows)."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*g).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_rollup_merge(
+    sketches: DataFrame,
+    group_cols,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Re-aggregate a sketch rollup to a coarser grain: union the
+    sketches per coarser group and estimate. Input is the (tiny)
+    sketch table, never raw data. Returns group cols +
+    (distinct_estimate, n_rows)."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return sketches.groupBy(*g).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(
+            "distinct_estimate"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    )

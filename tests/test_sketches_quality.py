@@ -355,3 +355,39 @@ def test_group_kfold_never_splits_a_group(spark, sf_dir):
     assert worst == 1
     folds = kf.select("fold").distinct().collect()
     assert all(0 <= r.fold < 5 for r in folds)
+
+
+def test_hll_rollup_merge_partitioning_independent(spark, sf_dir):
+    """The merged estimate equals the direct whole-table sketch (union
+    of fine sketches is lossless for HLL) and is identical at 1 vs 64
+    partitions; the sketch table re-aggregates without raw data."""
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.sketches import (
+        hll_rollup,
+        hll_rollup_merge,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    outs = []
+    for parts in (1, 64):
+        daily = hll_rollup(e.repartition(parts), ["event_type", "day"], "user_id")
+        merged = hll_rollup_merge(daily, "event_type").toPandas()
+        outs.append(
+            merged.sort_values("event_type").reset_index(drop=True)
+        )
+    assert (outs[0]["distinct_estimate"] == outs[1]["distinct_estimate"]).all()
+    direct = (
+        hll_rollup_merge(hll_rollup(e, "event_type", "user_id"), "event_type")
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    assert (outs[0]["distinct_estimate"] == direct["distinct_estimate"]).all()
+    exact = (
+        e.groupBy("event_type").agg(F.countDistinct("user_id").alias("x"))
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    err = (outs[0]["distinct_estimate"] - exact["x"]).abs() / exact["x"]
+    assert (err <= 0.05).all()
