@@ -3248,6 +3248,90 @@ _HLL_ROLLUP_SQL = """
 """
 
 
+def q_sketch_kll_rollup(spark, sf_dir):
+    """Mergeable KLL quantile rollup: daily per-type cents sketches
+    merged to a per-type median estimate; adjudicated by KLL's own
+    contract — the estimate's EXACT rank must sit within ±3.5% of 0.5
+    (rank error at k=200 is ~1.7%), computed in-query against the raw
+    data. Oracle asserts the verdict plus exact row counts."""
+    from cancer_survival_etl_spark.operators.sketches import (
+        kll_rollup,
+        kll_rollup_quantile,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    daily = kll_rollup(e, ["event_type", "day"], "cents")
+    est = kll_rollup_quantile(daily, "event_type", 0.5)
+    ranks = e.join(est.select("event_type", "q_estimate"), "event_type")
+    verdict = ranks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            (
+                F.sum(
+                    (F.col("cents") < F.col("q_estimate")).cast("long")
+                )
+                / F.count(F.lit(1))
+                <= 0.535
+            )
+            & (
+                F.sum(
+                    (F.col("cents") <= F.col("q_estimate")).cast("long")
+                )
+                / F.count(F.lit(1))
+                >= 0.465
+            )
+        ).alias("rank_ok"),
+    )
+    return verdict
+
+
+_KLL_ROLLUP_SQL = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           true AS rank_ok
+    FROM events GROUP BY event_type
+"""
+
+
+def q_sketch_theta_overlap(spark, sf_dir):
+    """Theta-sketch audience overlap: |users(view) ∩ users(purchase)|
+    estimated from two one-scan sketches; adjudicated against the
+    exact intersection (both populations are far below the sketch's
+    k=4096 retention, so the estimate is exact here — the 5% bound is
+    the scale contract)."""
+    from cancer_survival_etl_spark.operators.sketches import theta_overlap
+
+    e = _t(spark, sf_dir, "events")
+    est = theta_overlap(e, "event_type", "user_id", "view", "purchase")
+    va = e.filter(F.col("event_type") == "view").select("user_id")
+    vb = e.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = va.intersect(vb).agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    return est.crossJoin(exact).select(
+        "exact_overlap",
+        (
+            F.abs(F.col("overlap_est") - F.col("exact_overlap"))
+            <= F.greatest(
+                F.col("exact_overlap") * 0.05, F.lit(1.0)
+            )
+        ).alias("within_5pct"),
+    )
+
+
+_THETA_OVERLAP_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS exact_overlap, true AS within_5pct
+    FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ) t
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -5641,6 +5725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cuped": q_stats_cuped,
         "linkage_golden": q_linkage_golden,
         "sketch_hll_rollup": q_sketch_hll_rollup,
+        "sketch_kll_rollup": q_sketch_kll_rollup,
+        "sketch_theta_overlap": q_sketch_theta_overlap,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7310,6 +7396,8 @@ def oracle_sql() -> dict[str, str]:
         "stats_cuped": _CUPED_SQL,
         "linkage_golden": _GOLDEN_SQL,
         "sketch_hll_rollup": _HLL_ROLLUP_SQL,
+        "sketch_kll_rollup": _KLL_ROLLUP_SQL,
+        "sketch_theta_overlap": _THETA_OVERLAP_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -150,6 +150,8 @@ HEADLINE = [
     "stats_cuped",
     "linkage_golden",
     "sketch_hll_rollup",
+    "sketch_kll_rollup",
+    "sketch_theta_overlap",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -326,3 +326,72 @@ def hll_rollup_merge(
         ),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def kll_rollup(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable quantile rollup: per group, a Datasketches KLL sketch
+    of a bigint column — quantiles join distinct counts
+    (``hll_rollup``) in the set of aggregates that can live in a
+    materialized rollup table and RE-AGGREGATE to coarser grains
+    (exact percentiles can't: they need the raw data every time).
+    Returns group cols + (kll_sketch, n_rows)."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*g).agg(
+        F.kll_sketch_agg_bigint(value_col, F.lit(k)).alias("kll_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def kll_rollup_quantile(
+    sketches: DataFrame,
+    group_cols,
+    quantile: float = 0.5,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge a KLL rollup to a coarser grain and read a quantile off
+    the merged sketch — touches only the sketch table. KLL's guarantee
+    is on RANK error (~1.7% at k=200, two-sided), not value error; the
+    verdict queries check exactly that. Returns group cols +
+    (q_estimate, n_rows)."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return sketches.groupBy(*g).agg(
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_merge_agg_bigint(sketch_col), F.lit(quantile)
+        ).alias("q_estimate"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def theta_overlap(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    set_a: str,
+    set_b: str,
+) -> DataFrame:
+    """Set-intersection estimate via Theta sketches: |values(set_a) ∩
+    values(set_b)| without materializing either set — the audience-
+    overlap question ("users who did A and also B") that exact
+    COUNT(DISTINCT) answers only with a full self-join or two scans +
+    an exact intersect. Sketch per side from ONE scan, then
+    ``theta_intersection`` on the two 4KB summaries. Returns one row
+    (n_a_est, n_b_est, overlap_est) as doubles (Datasketches
+    estimates)."""
+    a = df.filter(F.col(set_col) == set_a).agg(
+        F.theta_sketch_agg(value_col).alias("_sa")
+    )
+    b = df.filter(F.col(set_col) == set_b).agg(
+        F.theta_sketch_agg(value_col).alias("_sb")
+    )
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.col("_sa")).alias("n_a_est"),
+        F.theta_sketch_estimate(F.col("_sb")).alias("n_b_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("_sa"), F.col("_sb"))
+        ).alias("overlap_est"),
+    )

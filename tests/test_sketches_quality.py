@@ -391,3 +391,41 @@ def test_hll_rollup_merge_partitioning_independent(spark, sf_dir):
     )
     err = (outs[0]["distinct_estimate"] - exact["x"]).abs() / exact["x"]
     assert (err <= 0.05).all()
+
+
+def test_kll_rollup_merge_rank_guarantee(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.sketches import (
+        kll_rollup,
+        kll_rollup_quantile,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    daily = kll_rollup(e, ["event_type", "day"], "cents")
+    for q in (0.25, 0.5, 0.9):
+        est = kll_rollup_quantile(daily, "event_type", q).toPandas()
+        raw = e.toPandas()
+        for r in est.itertuples():
+            vals = raw[raw.event_type == r.event_type]["cents"]
+            lo = (vals < r.q_estimate).mean()
+            hi = (vals <= r.q_estimate).mean()
+            assert lo <= q + 0.035 and hi >= q - 0.035, (r.event_type, q)
+
+
+def test_theta_overlap_small_sets_exact(spark):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.sketches import theta_overlap
+
+    t = spark.range(1000).select(
+        F.when(F.col("id") < 600, "A").otherwise("B").alias("s"),
+        (F.col("id") % 700).alias("u"),
+    )
+    r = theta_overlap(t, "s", "u", "A", "B").collect()[0]
+    # A = {0..599}, B = {600..699} ∪ {0..299} → overlap {0..299}
+    assert (r.n_a_est, r.n_b_est, r.overlap_est) == (600.0, 400.0, 300.0)
