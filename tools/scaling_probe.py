@@ -55,7 +55,10 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 20 == 0)
 
-    from cancer_survival_etl_spark.llm.dedup import duplicate_spans
+    from cancer_survival_etl_spark.llm.dedup import (
+        duplicate_spans,
+        ngram_containment_pairs,
+    )
     from cancer_survival_etl_spark.operators.diff import snapshot_diff
 
     def diff_modified(d):
@@ -94,7 +97,34 @@ def main() -> None:
             d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0"),
             n=3, n_bits=1 << 18, k=4,
         ),
+        "containment": lambda d: ngram_containment_pairs(
+            d, "text", "doc_id", n=3, threshold=0.5, block_col="lang"
+        ),
     }
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def amplify_emb(factor: int):
+        out = emb
+        n = emb.count()
+        for i in range(1, factor):
+            out = out.unionByName(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+            )
+        return fan_out(out).localCheckpoint(eager=True)
+
+    from cancer_survival_etl_spark.llm.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    for factor in (1, 4, 8):
+        e_amp = amplify_emb(factor)
+        cb = pq_train(e_amp, m=16, sub_dim=4, k=16, iters=0)
+        t = best_of(2, lambda: pq_encode(e_amp, cb, m=16, sub_dim=4))
+        print(f"pq_encode {factor}x ({e_amp.count()} vecs): {t:.2f}s")
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     for factor in (1, 4, 8):
         d = amplify(docs, factor)
         n = d.count()
