@@ -911,6 +911,10 @@ def semantic_dedup(
             F.col("_v").alias(vec_col),
             F.col("centroid_id").alias("_cell"),
         )
+        # three consumers (pair join, CC vertex set, final join-back)
+        # would each re-run the broadcast argmax — checkpoint the
+        # narrow assignment once (repo convention, SCALE.md)
+        .localCheckpoint(eager=False)
     )
     # the pair step re-normalizes once per row; candidate surface is
     # within-cell only (equi-join on _cell)
