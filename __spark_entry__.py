@@ -3332,6 +3332,67 @@ _THETA_OVERLAP_SQL = """
 """
 
 
+def q_stats_spearman(spark, sf_dir):
+    """Per-type Spearman rank correlation between a bucketed value (ties
+    guaranteed) and the user id — average-rank tie handling, doubled
+    ranks as exact integer moments
+    (`operators/stats.py::spearman_by`)."""
+    from cancer_survival_etl_spark.operators.stats import spearman_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("long") % 1000).alias("xb"),
+        F.col("user_id").alias("yv"),
+    )
+    return spearman_by(e, "event_type", "xb", "yv")
+
+
+_SPEARMAN_SQL = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) % 1000 AS xb,
+               user_id AS yv
+        FROM events
+    ),
+    rx AS (
+        SELECT event_type, xb, yv,
+               CAST(avg(rn) OVER (PARTITION BY event_type, xb) * 2
+                    AS BIGINT) AS r2x
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY xb) AS rn
+            FROM e
+        ) t
+    ),
+    ry AS (
+        SELECT event_type, r2x,
+               CAST(avg(rn) OVER (PARTITION BY event_type, yv) * 2
+                    AS BIGINT) AS r2y
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY yv) AS rn
+            FROM rx
+        ) t
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+               sum(r2x) AS sx, sum(r2y) AS sy,
+               sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy,
+               sum(r2x * r2y) AS sxy
+        FROM ry GROUP BY event_type
+    )
+    SELECT event_type, n_rows,
+           CASE WHEN n_rows::DOUBLE * sxx - sx::DOUBLE * sx > 0
+                 AND n_rows::DOUBLE * syy - sy::DOUBLE * sy > 0 THEN
+               round((n_rows::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / sqrt((n_rows::DOUBLE * sxx - sx::DOUBLE * sx)
+                            * (n_rows::DOUBLE * syy - sy::DOUBLE * sy)),
+                     6)
+           END AS spearman_rho
+    FROM m
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -5727,6 +5788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_rollup": q_sketch_hll_rollup,
         "sketch_kll_rollup": q_sketch_kll_rollup,
         "sketch_theta_overlap": q_sketch_theta_overlap,
+        "stats_spearman": q_stats_spearman,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7398,6 +7460,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_rollup": _HLL_ROLLUP_SQL,
         "sketch_kll_rollup": _KLL_ROLLUP_SQL,
         "sketch_theta_overlap": _THETA_OVERLAP_SQL,
+        "stats_spearman": _SPEARMAN_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

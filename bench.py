@@ -152,6 +152,7 @@ HEADLINE = [
     "sketch_hll_rollup",
     "sketch_kll_rollup",
     "sketch_theta_overlap",
+    "stats_spearman",
 ]
 
 REGRESSION_RATIO = 1.5

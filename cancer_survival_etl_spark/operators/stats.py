@@ -719,3 +719,63 @@ def cuped_lift(
         F.round(adj_i / y_div, 6).alias("mean_adjusted"),
         F.round(theta, 6).alias("theta"),
     )
+
+
+def spearman_by(
+    df: DataFrame,
+    group_cols,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — Pearson on AVERAGE ranks
+    (ties share their tie-class mean rank, the textbook-exact
+    treatment, not the no-ties shortcut formula). The monotone-
+    association complement to ``corr_exact``: immune to outliers and
+    to any monotone rescaling of either column.
+
+    Exactness: average ranks are multiples of ½, so DOUBLED ranks are
+    integers and the five co-moments are exact integer sums — the same
+    order-independent discipline as ``corr_exact``, with one mirrored
+    final double expression (the doubling cancels in the normalized
+    ratio). Two rank windows + one aggregate; NULL on degenerate
+    (constant) columns. Returns (group..., n_rows, spearman_rho)
+    rounded to 6."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def ranks2(col, alias):
+        rn = F.row_number().over(
+            Window.partitionBy(*g).orderBy(F.col(col))
+        )
+        avg_r = F.avg(rn).over(Window.partitionBy(*g, col))
+        return (avg_r * 2).cast("long").alias(alias)
+
+    ranked = df.select(*g, F.col(x_col), F.col(y_col)).select(
+        *g,
+        F.col(x_col),
+        F.col(y_col),
+        ranks2(x_col, "_rx"),
+    )
+    ranked = ranked.select(*g, "_rx", ranks2(y_col, "_ry"))
+    rx, ry = F.col("_rx"), F.col("_ry")
+    m = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(rx, True)).alias("_sx"),
+        F.sum(_acc(ry, True)).alias("_sy"),
+        F.sum(_acc(rx * rx, True)).alias("_sxx"),
+        F.sum(_acc(ry * ry, True)).alias("_syy"),
+        F.sum(_acc(rx * ry, True)).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return m.select(
+        *g,
+        F.col("_n").alias("n_rows"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias("spearman_rho"),
+    )

@@ -250,3 +250,32 @@ def test_ngram_containment_quote_detection(spark):
     # but Jaccard would be tiny — containment is the right detector
     assert got[(0, 1)][0] < 0.5
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_spearman_by_ties_and_monotone_invariance(spark):
+    import pandas as pd
+
+    from cancer_survival_etl_spark.operators.stats import spearman_by
+
+    rows = [("g", float(x), float((x * 7) % 13 + (x % 3)))
+            for x in range(50)] + [("g", 5.0, 99.0)]  # tie in x
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = spearman_by(df, "grp", "x", "y").collect()[0]
+    pdf = pd.DataFrame(rows, columns=["g", "x", "y"])
+    want = pdf["x"].rank().corr(pdf["y"].rank())  # pandas = average ties
+    assert got.spearman_rho == pytest.approx(want, abs=1e-6)
+    # monotone transform of y leaves rho unchanged
+    import math
+
+    df2 = spark.createDataFrame(
+        [(g, x, math.exp(y / 50)) for g, x, y in rows],
+        "grp string, x double, y double",
+    )
+    assert spearman_by(df2, "grp", "x", "y").collect()[0].spearman_rho == \
+        got.spearman_rho
+    # constant column -> NULL
+    const = spark.createDataFrame(
+        [("c", 1.0, float(i)) for i in range(5)],
+        "grp string, x double, y double",
+    )
+    assert spearman_by(const, "grp", "x", "y").collect()[0].spearman_rho is None
