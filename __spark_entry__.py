@@ -3393,6 +3393,171 @@ _SPEARMAN_SQL = """
 """
 
 
+def q_stats_welch(spark, sf_dir):
+    """Welch's t between the user-parity variants on cents-exact event
+    values — per-variant exact moments, one mirrored t/df expression
+    (`operators/stats.py::welch_ttest`)."""
+    from cancer_survival_etl_spark.operators.stats import welch_ttest
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        F.col("value").alias("metric"),
+    )
+    return welch_ttest(e, "variant", "metric")
+
+
+_WELCH_SQL = """
+    WITH e AS (
+        SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS n,
+               sum(y) AS s1, sum(y * y) AS s2
+        FROM e GROUP BY v
+    ),
+    ab AS (
+        SELECT
+            (SELECT v FROM m ORDER BY v LIMIT 1) AS variant_a,
+            (SELECT v FROM m ORDER BY v DESC LIMIT 1) AS variant_b
+    ),
+    j AS (
+        SELECT ab.variant_a, ab.variant_b,
+               ma.n AS n_a, ma.s1 AS s1a, ma.s2 AS s2a,
+               mb.n AS n_b, mb.s1 AS s1b, mb.s2 AS s2b
+        FROM ab JOIN m ma ON ma.v = ab.variant_a
+                JOIN m mb ON mb.v = ab.variant_b
+    )
+    SELECT variant_a, variant_b, n_a, n_b,
+           round(s1a::DOUBLE / n_a / 100.0, 6) AS mean_a,
+           round(s1b::DOUBLE / n_b / 100.0, 6) AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+               round((s1a::DOUBLE / n_a - s1b::DOUBLE / n_b)
+                     / sqrt(se2), 6) END AS t_stat,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+               round(se2 * se2 /
+                     ((va / n_a) * (va / n_a) / (n_a - 1)
+                      + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6)
+           END AS df
+    FROM (
+        SELECT *,
+               (s2a::DOUBLE - n_a * (s1a::DOUBLE / n_a)
+                              * (s1a::DOUBLE / n_a)) / (n_a - 1) AS va,
+               (s2b::DOUBLE - n_b * (s1b::DOUBLE / n_b)
+                              * (s1b::DOUBLE / n_b)) / (n_b - 1) AS vb
+        FROM j
+    ) t1,
+    LATERAL (SELECT va / n_a + vb / n_b AS se2) t2
+"""
+
+
+def q_stats_rank_sum(spark, sf_dir):
+    """Tie-corrected Mann-Whitney rank-sum z between the user-parity
+    variants (`operators/stats.py::rank_sum_test`) — the global rank
+    is a total sort by construction (a #rows-of-two-variants test
+    statistic, not a per-key operator)."""
+    from cancer_survival_etl_spark.operators.stats import rank_sum_test
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return rank_sum_test(e, "variant", "cents")
+
+
+_RANK_SUM_SQL = """
+    WITH e AS (
+        SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+               CAST(round(value * 100, 0) AS BIGINT) AS m
+        FROM events
+    ),
+    r AS (
+        SELECT v, m, avg(rn) OVER (PARTITION BY m) AS ar
+        FROM (SELECT *, row_number() OVER (ORDER BY m) AS rn FROM e) t
+    ),
+    ties AS (
+        SELECT sum(t * t * t - t) AS tie3 FROM (
+            SELECT CAST(count(*) AS BIGINT) AS t FROM e GROUP BY m
+        ) c
+    ),
+    per AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS n, sum(ar) AS rsum
+        FROM r GROUP BY v
+    ),
+    j AS (
+        SELECT
+            (SELECT v FROM per ORDER BY v LIMIT 1) AS variant_a,
+            (SELECT v FROM per ORDER BY v DESC LIMIT 1) AS variant_b,
+            (SELECT n FROM per ORDER BY v LIMIT 1) AS n_a,
+            (SELECT rsum FROM per ORDER BY v LIMIT 1) AS ra,
+            (SELECT n FROM per ORDER BY v DESC LIMIT 1) AS n_b,
+            (SELECT tie3 FROM ties) AS tie3
+    )
+    SELECT variant_a, variant_b, n_a, n_b,
+           round(u, 6) AS u_stat,
+           CASE WHEN var > 0 THEN
+               round((u - n_a::DOUBLE * n_b / 2) / sqrt(var), 6)
+           END AS z_stat
+    FROM (
+        SELECT *,
+               ra - n_a::DOUBLE * (n_a + 1) / 2 AS u,
+               n_a::DOUBLE * n_b / 12 *
+                   ((n_a::DOUBLE + n_b + 1)
+                    - tie3::DOUBLE
+                      / ((n_a::DOUBLE + n_b) * (n_a::DOUBLE + n_b - 1)))
+                   AS var
+        FROM j
+    ) t
+"""
+
+
+def q_stats_bh_adjust(spark, sf_dir):
+    """Benjamini-Hochberg FDR over a deterministic per-type p-value
+    frame (`operators/stats.py::bh_adjust`) — the multiple-testing
+    control for metric sweeps; suffix-min over one global sort of
+    #tests rows."""
+    from cancer_survival_etl_spark.operators.stats import bh_adjust
+
+    hyp = (
+        _t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.conv(F.substring(F.md5("event_type"), 1, 4), 16, 10)
+                .cast("long")
+                % 1000
+                / 1000.0
+            ).alias("p"),
+        )
+    )
+    return bh_adjust(hyp, "p", "event_type")
+
+
+_BH_SQL = """
+    WITH hyp AS (
+        SELECT event_type,
+               (CAST(concat('0x', substring(md5(event_type), 1, 4))
+                     AS BIGINT) % 1000) / 1000.0 AS p_value
+        FROM (SELECT DISTINCT event_type FROM events) t
+    ),
+    ranked AS (
+        SELECT event_type, p_value,
+               row_number() OVER (ORDER BY p_value, event_type) AS rk,
+               (SELECT count(*) FROM hyp) AS n
+        FROM hyp
+    )
+    SELECT event_type, p_value,
+           round(least(
+               min(p_value * n::DOUBLE / rk) OVER (
+                   ORDER BY rk ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING), 1.0), 9) AS adj_p
+    FROM ranked
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -5789,6 +5954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kll_rollup": q_sketch_kll_rollup,
         "sketch_theta_overlap": q_sketch_theta_overlap,
         "stats_spearman": q_stats_spearman,
+        "stats_welch": q_stats_welch,
+        "stats_rank_sum": q_stats_rank_sum,
+        "stats_bh_adjust": q_stats_bh_adjust,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7461,6 +7629,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kll_rollup": _KLL_ROLLUP_SQL,
         "sketch_theta_overlap": _THETA_OVERLAP_SQL,
         "stats_spearman": _SPEARMAN_SQL,
+        "stats_welch": _WELCH_SQL,
+        "stats_rank_sum": _RANK_SUM_SQL,
+        "stats_bh_adjust": _BH_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

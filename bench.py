@@ -153,6 +153,9 @@ HEADLINE = [
     "sketch_kll_rollup",
     "sketch_theta_overlap",
     "stats_spearman",
+    "stats_welch",
+    "stats_rank_sum",
+    "stats_bh_adjust",
 ]
 
 REGRESSION_RATIO = 1.5

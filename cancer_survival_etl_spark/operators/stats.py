@@ -779,3 +779,182 @@ def spearman_by(
             F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
         ).alias("spearman_rho"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    metric_is_cents: bool = True,
+    wide: bool = True,
+) -> DataFrame:
+    """Two-sample Welch's t-test between exactly two variants: t and
+    Welch-Satterthwaite df from per-variant exact integer moments —
+    the parametric A/B significance readout, one scan, bit-stable at
+    any parallelism (the test statistic is one mirrored double
+    expression over order-independent sums).
+
+    Expects exactly two variant values (the smaller sorts first as
+    variant_a). Sample variances use n−1; groups with n<2 or zero
+    variance on both sides yield NULL t. Returns one row: (variant_a,
+    variant_b, n_a, n_b, mean_a, mean_b, t_stat, df) rounded to 6.
+    """
+    y = (
+        _cents(F.col(metric_col))
+        if metric_is_cents
+        else F.col(metric_col).cast("long")
+    )
+    m = (
+        df.groupBy(F.col(variant_col).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(_acc(y, wide)).alias("_s1"),
+            F.sum(_acc(y * y, wide)).alias("_s2"),
+        )
+    )
+    a = m.orderBy("_v").limit(1).select(
+        F.col("_v").alias("variant_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_s1").alias("_s1a"),
+        F.col("_s2").alias("_s2a"),
+    )
+    b = m.orderBy(F.col("_v").desc()).limit(1).select(
+        F.col("_v").alias("variant_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_s1").alias("_s1b"),
+        F.col("_s2").alias("_s2b"),
+    )
+    j = a.crossJoin(b)
+    div = 100.0 if metric_is_cents else 1.0
+
+    def stats(n, s1, s2):
+        nn = F.col(n).cast("double")
+        m_ = F.col(s1).cast("double") / nn
+        var = (F.col(s2).cast("double") - nn * m_ * m_) / (nn - 1)
+        return m_, var
+
+    ma, va = stats("n_a", "_s1a", "_s2a")
+    mb, vb = stats("n_b", "_s1b", "_s2b")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / na) * (va / na) / (na - 1)
+        + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return j.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round(ma / div, 6).alias("mean_a"),
+        F.round(mb / div, 6).alias("mean_b"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6)).alias("df"),
+    )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Mann-Whitney/Wilcoxon rank-sum z between exactly two variants,
+    WITH the tie correction — the nonparametric A/B test that needs no
+    distributional assumption and shrugs off outliers (the companion
+    to ``welch_ttest``; ``auc_by`` reports the same U as an effect
+    size).
+
+    U from average ranks (integer-exact via the tie-class machinery),
+    σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))) over exact tie
+    counts, z = (U − n_a·n_b/2)/σ — one mirrored final expression.
+    NULL z when every value ties (σ = 0). Returns (variant_a,
+    variant_b, n_a, n_b, u_stat, z_stat) rounded to 6."""
+    rn = F.row_number().over(Window.orderBy(F.col(metric_col)))
+    ranked = df.select(
+        F.col(variant_col).alias("_v"),
+        F.col(metric_col).alias("_m"),
+        rn.alias("_rn"),
+    )
+    ranked = ranked.select(
+        "_v", "_m", F.avg("_rn").over(Window.partitionBy("_m")).alias("_ar")
+    )
+    ties = (
+        ranked.groupBy("_m")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tie3")
+        )
+    )
+    per = ranked.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_ar").alias("_rsum")
+    )
+    a = per.orderBy("_v").limit(1).select(
+        F.col("_v").alias("variant_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_rsum").alias("_ra"),
+    )
+    b = per.orderBy(F.col("_v").desc()).limit(1).select(
+        F.col("_v").alias("variant_b"), F.col("_n").alias("n_b")
+    )
+    j = a.crossJoin(b).crossJoin(ties)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("_ra") - na * (na + 1) / 2
+    var = na * nb / 12 * (
+        (n + 1) - F.col("_tie3").cast("double") / (n * (n - 1))
+    )
+    z = (u - na * nb / 2) / F.sqrt(var)
+    return j.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.when(var > 0, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    key_cols=(),
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a frame of p-values (one
+    row per hypothesis): adj_p_i = min_{j ≥ i} (p_(j) · n / j), capped
+    at 1 — the multiple-testing control every metric sweep needs
+    before declaring winners.
+
+    Rank by (p, key) for a total order, compute p·n/rank, then the
+    suffix-min via a backwards-unbounded window — two windows over one
+    global sort (the hypothesis frame is #tests rows, tiny by
+    construction; this is a post-aggregation operator, never applied
+    to raw data). Returns key cols + (p_value, adj_p) rounded to 9.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w_rank = Window.orderBy(F.col(p_col), *[F.col(k) for k in keys])
+    n = df.count()
+    ranked = df.select(
+        *keys,
+        F.col(p_col).alias("p_value"),
+        F.row_number().over(w_rank).alias("_rk"),
+    )
+    stepped = ranked.select(
+        *keys,
+        "p_value",
+        "_rk",
+        (F.col("p_value") * F.lit(float(n)) / F.col("_rk")).alias("_step"),
+    )
+    w_suffix = Window.orderBy("_rk").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return stepped.select(
+        *keys,
+        "p_value",
+        F.round(
+            F.least(F.min("_step").over(w_suffix), F.lit(1.0)), 9
+        ).alias("adj_p"),
+    )

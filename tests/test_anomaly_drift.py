@@ -279,3 +279,51 @@ def test_spearman_by_ties_and_monotone_invariance(spark):
         "grp string, x double, y double",
     )
     assert spearman_by(const, "grp", "x", "y").collect()[0].spearman_rho is None
+
+
+def test_welch_and_rank_sum_match_manual(spark):
+    import math
+    import statistics
+
+    from cancer_survival_etl_spark.operators.stats import (
+        rank_sum_test,
+        welch_ttest,
+    )
+
+    a = [1, 2, 3, 4, 5, 6, 7, 8]
+    b = [3, 4, 5, 6, 7, 8, 9, 11]
+    rows = [("A", float(v)) for v in a] + [("B", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "v string, m double")
+    w = welch_ttest(df, "v", "m", metric_is_cents=False).collect()[0]
+    ma, mb = sum(a) / 8, sum(b) / 8
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / 8 + vb / 8
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / 8) ** 2 / 7 + (vb / 8) ** 2 / 7)
+    assert w.t_stat == pytest.approx(t, abs=1e-6)
+    assert w.df == pytest.approx(dof, abs=1e-6)
+    r = rank_sum_test(df, "v", "m").collect()[0]
+    assert r.u_stat == 18.0  # hand-computed with average-rank ties
+    assert r.z_stat == pytest.approx(-1.476824, abs=1e-6)
+    # all-equal values: sigma = 0 -> NULL z
+    const = spark.createDataFrame(
+        [("A", 1.0)] * 3 + [("B", 1.0)] * 3, "v string, m double"
+    )
+    assert rank_sum_test(const, "v", "m").collect()[0].z_stat is None
+
+
+def test_bh_adjust_suffix_min_and_cap(spark):
+    from cancer_survival_etl_spark.operators.stats import bh_adjust
+
+    p = spark.createDataFrame(
+        [("m1", 0.01), ("m2", 0.02), ("m3", 0.04), ("m4", 0.5)],
+        "k string, p double",
+    )
+    out = {r.k: r.adj_p for r in bh_adjust(p, "p", "k").collect()}
+    # steps: .04, .04, .0533.., .5; suffix-min preserves monotonicity
+    assert out["m1"] == out["m2"] == 0.04
+    assert out["m3"] == pytest.approx(0.053333333, abs=1e-9)
+    assert out["m4"] == 0.5
+    # cap at 1
+    hi = spark.createDataFrame([("x", 0.9), ("y", 0.95)], "k string, p double")
+    assert all(r.adj_p <= 1.0 for r in bh_adjust(hi, "p", "k").collect())
