@@ -3558,6 +3558,44 @@ _BH_SQL = """
 """
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle census of the SimHash near-dup graph (pairs
+    within Hamming distance 3, the dedup_clusters edge set) — wedges
+    from canonicalized edges, closed by a membership probe
+    (`operators/graph.py::triangle_count`)."""
+    from cancer_survival_etl_spark.llm.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+    from cancer_survival_etl_spark.operators.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash(d, "text", "doc_id", bits=32)
+    pairs = simhash_near_dups(sigs, "doc_id", max_hamming=3)
+    return triangle_count(pairs, "id_a", "id_b")
+
+
+def _triangles_sql() -> str:
+    return f"""
+    WITH s AS ({_simhash_sql()}),
+    e AS (
+        SELECT a.doc_id AS ea, b.doc_id AS eb
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    w AS (
+        SELECT ab.ea AS x, ab.eb AS y, bc.eb AS z
+        FROM e ab JOIN e bc ON ab.eb = bc.ea
+    ),
+    closed AS (
+        SELECT 1 FROM w JOIN e ON w.x = e.ea AND w.z = e.eb
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles
+    """
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -5957,6 +5995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_welch": q_stats_welch,
         "stats_rank_sum": q_stats_rank_sum,
         "stats_bh_adjust": q_stats_bh_adjust,
+        "graph_triangles": q_graph_triangles,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7632,6 +7671,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_welch": _WELCH_SQL,
         "stats_rank_sum": _RANK_SUM_SQL,
         "stats_bh_adjust": _BH_SQL,
+        "graph_triangles": _triangles_sql(),
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

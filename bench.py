@@ -156,6 +156,7 @@ HEADLINE = [
     "stats_welch",
     "stats_rank_sum",
     "stats_bh_adjust",
+    "graph_triangles",
 ]
 
 REGRESSION_RATIO = 1.5

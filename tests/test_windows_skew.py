@@ -865,3 +865,20 @@ def test_journey_matches_skip_till_next_and_nonoverlap(spark):
     ]
     with pytest.raises(ValueError):
         journey_matches(df, ["view"])
+
+
+def test_triangle_count_known_graph(spark):
+    from cancer_survival_etl_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles... K4 has C(4,3)=4 triangles) plus a pendant edge
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 9), (9, 3)]  # duplicate + reversed dup collapses
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = triangle_count(df).collect()[0]
+    assert r.n_edges == 7          # 6 K4 edges + the pendant
+    assert r.n_triangles == 4      # the four K4 faces, each once
+    # triangle-free graph
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    assert triangle_count(path).collect()[0].n_triangles == 0
