@@ -5846,12 +5846,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # volume_shipping vacuous nation pair). Queries past position 50
     # are either green-in-r01 or queued for the round-3 window.
     # ROUND-3 WINDOW CANDIDATES (all parity-green locally via
-    # tools/check_parity.py, never yet driver-adjudicated): the TPC-H
-    # tranche custdist..excess_suppliers, and the late-round-2 ops
-    # bm25_topk, lm_score, dsir_weights, hybrid_search, record_linkage,
-    # incremental_agg, events_anomaly, stats_psi_drift,
-    # bloom_decontaminate, hierarchy_closure, corpus_shuffle,
-    # text_normalize.. multimodal_* tranche.
+    # tools/check_parity.py — full run at sf0.01: 0 failures — never
+    # yet driver-adjudicated): the TPC-H tranche
+    # custdist..excess_suppliers; retrieval (bm25_topk, lm_score,
+    # dsir_weights, hybrid_search, retrieval_diversify, retrieval_mmr);
+    # record_linkage + linkage_golden; incremental_agg; events_anomaly,
+    # stats_psi_drift + stats_js_divergence, stats_chi_square,
+    # stats_winsorize + stats_robust_scale, stats_ols_multi, stats_auc,
+    # stats_spearman, stats_cuped, stats_welch, stats_rank_sum,
+    # stats_bh_adjust; bloom_decontaminate, hierarchy_closure,
+    # corpus_shuffle, heavy_hitters, events_cohort/attribution/
+    # transitions/pattern/journeys, key_skew_profile,
+    # corpus_ccnet_buckets; ann_pq_adc, ann_hard_negatives,
+    # dedup_semantic, dedup_containment; the eval tranche
+    # (calibration/ndcg/kappa/rouge/bleu/confusion),
+    # dataset_group_kfold; sketch_hll/kll_rollup, sketch_theta_overlap;
+    # graph_triangles; text_normalize.. multimodal_* tranche.
     return {
         # -- round-1 red rows, fixed this round -------------------------
         "conditional_agg": q_conditional_agg,
