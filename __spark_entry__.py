@@ -3596,6 +3596,53 @@ def _triangles_sql() -> str:
     """
 
 
+def q_model_train_logistic(spark, sf_dir):
+    """In-engine classifier training: logistic GD on quality-score
+    features (stopword ratio et al.) predicting lang=='en', then
+    self-scored — verdict = training accuracy beats the majority-class
+    baseline (`llm/inference.py::logistic_train`; weights are
+    float-iterative and engine-internal, so the oracle adjudicates
+    exact counts + the accuracy verdict)."""
+    from cancer_survival_etl_spark.llm.inference import logistic_train
+    from cancer_survival_etl_spark.llm.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_score(d).select(
+        "doc_id",
+        F.col("stopword_ratio").alias("x1"),
+        (F.col("quality") * 1.0).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).localCheckpoint(eager=False)
+    w = logistic_train(feats, ["x1", "x2"], "y", lr=1.0, iters=25)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    scored = feats.select(
+        "y", ((z > 0).cast("int") == F.col("y")).cast("long").alias("ok")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("y").alias("n_positive"),
+        F.avg("ok").alias("_acc"),
+    )
+    base = F.greatest(
+        F.col("n_positive") / F.col("n_rows"),
+        1 - F.col("n_positive") / F.col("n_rows"),
+    )
+    return agg.select(
+        "n_rows",
+        F.col("n_positive").cast("long").alias("n_positive"),
+        (F.col("_acc") >= base).alias("beats_baseline"),
+    )
+
+
+_LOGISTIC_TRAIN_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive,
+           true AS beats_baseline
+    FROM documents
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6006,6 +6053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_rank_sum": q_stats_rank_sum,
         "stats_bh_adjust": q_stats_bh_adjust,
         "graph_triangles": q_graph_triangles,
+        "model_train_logistic": q_model_train_logistic,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7682,6 +7730,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_rank_sum": _RANK_SUM_SQL,
         "stats_bh_adjust": _BH_SQL,
         "graph_triangles": _triangles_sql(),
+        "model_train_logistic": _LOGISTIC_TRAIN_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

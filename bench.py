@@ -157,6 +157,7 @@ HEADLINE = [
     "stats_rank_sum",
     "stats_bh_adjust",
     "graph_triangles",
+    "model_train_logistic",
 ]
 
 REGRESSION_RATIO = 1.5

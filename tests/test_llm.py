@@ -1071,3 +1071,44 @@ def test_ivfpq_residual_encoding_same_exact_contract(spark, sf_dir, tmp_path):
     e_set = set(map(tuple, w[["query_id", "neighbor_id"]].values))
     s_set = set(map(tuple, short[["query_id", "neighbor_id"]].values))
     assert len(e_set & s_set) / len(e_set) >= 0.6
+
+
+def test_logistic_train_matches_numpy_and_partitioning(spark):
+    import numpy as np
+
+    from cancer_survival_etl_spark.llm.inference import logistic_train
+
+    rows = [
+        (float((i * 37) % 100) / 100, float((i * 61) % 100) / 100,
+         1 if ((i * 37) % 100) / 100 + ((i * 61) % 100) / 100 > 1.0 else 0)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y int")
+    w = logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=30)
+    X = np.array([[r[0], r[1]] for r in rows])
+    Y = np.array([r[2] for r in rows])
+    wr = np.zeros(3)
+    for _ in range(30):
+        z = wr[0] + X @ wr[1:]
+        resid = 1 / (1 + np.exp(-z)) - Y
+        g = np.round(
+            np.array(
+                [resid.sum(), (resid * X[:, 0]).sum(), (resid * X[:, 1]).sum()]
+            ) / 1000,
+            9,
+        )
+        wr = wr - g
+    assert w == [round(v, 9) for v in wr]  # bit-identical, incl. rounding
+    assert w == logistic_train(
+        df.repartition(64), ["x1", "x2"], "y", lr=1.0, iters=30
+    )
+    # the learned boundary actually separates the synthetic classes
+    from pyspark.sql import functions as F
+
+    acc = df.select(
+        (
+            (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+             + F.lit(w[2]) * F.col("x2") > 0).cast("int") == F.col("y")
+        ).cast("int").alias("ok")
+    ).agg(F.avg("ok")).collect()[0][0]
+    assert acc >= 0.85
