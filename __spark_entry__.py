@@ -3597,23 +3597,30 @@ def _triangles_sql() -> str:
 
 
 def q_model_train_logistic(spark, sf_dir):
-    """In-engine classifier training: logistic GD on quality-score
-    features (stopword ratio et al.) predicting lang=='en', then
-    self-scored — verdict = training accuracy beats the majority-class
-    baseline (`llm/inference.py::logistic_train`; weights are
-    float-iterative and engine-internal, so the oracle adjudicates
-    exact counts + the accuracy verdict)."""
+    """In-engine classifier training on a planted logistic ground
+    truth: y ~ Bernoulli(sigmoid(6(x1 - 0.5))) with md5-derived
+    deterministic noise, x2 a null feature — the trainer
+    (`llm/inference.py::logistic_train`, fused-aggregate GD) must
+    recover enough of the boundary to beat the majority baseline by
+    ≥ 5 points. Oracle adjudicates the exact planted label counts +
+    the verdict (weights are float-iterative, engine-internal)."""
     from cancer_survival_etl_spark.llm.inference import logistic_train
-    from cancer_survival_etl_spark.llm.textstats import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    feats = quality_score(d).select(
-        "doc_id",
-        F.col("stopword_ratio").alias("x1"),
-        (F.col("quality") * 1.0).alias("x2"),
-        (F.col("lang") == "en").cast("int").alias("y"),
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    x1 = (F.col("doc_id") % 100) / 100.0
+    x2 = (F.col("doc_id") * 7 % 100) / 100.0
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-6.0 * (x1 - 0.5)))
+    feats = d.select(
+        x1.alias("x1"),
+        x2.alias("x2"),
+        (u < sig).cast("int").alias("y"),
     ).localCheckpoint(eager=False)
-    w = logistic_train(feats, ["x1", "x2"], "y", lr=1.0, iters=25)
+    w = logistic_train(feats, ["x1", "x2"], "y", lr=1.0, iters=30)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     scored = feats.select(
         "y", ((z > 0).cast("int") == F.col("y")).cast("long").alias("ok")
@@ -3630,14 +3637,17 @@ def q_model_train_logistic(spark, sf_dir):
     return agg.select(
         "n_rows",
         F.col("n_positive").cast("long").alias("n_positive"),
-        (F.col("_acc") >= base).alias("beats_baseline"),
+        (F.col("_acc") >= base + 0.05).alias("beats_baseline"),
     )
 
 
 _LOGISTIC_TRAIN_SQL = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_positive,
+           CAST(sum(CASE WHEN
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0
+               < 1.0 / (1.0 + exp(-6.0 * ((doc_id % 100) / 100.0 - 0.5)))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
            true AS beats_baseline
     FROM documents
 """
