@@ -3653,6 +3653,87 @@ _LOGISTIC_TRAIN_SQL = """
 """
 
 
+def q_eval_isotonic(spark, sf_dir):
+    """Isotonic calibration (PAVA) of a planted miscalibrated scorer:
+    corpus → 20 exact (n, n_pos) bins in one aggregate, PAVA on the
+    bounded bin frame (`llm/evals.py::isotonic_calibrate`) — and the
+    ORACLE replays the pool-merge cascade itself via a recursive CTE,
+    so even the sequential fit is hash-checked (integer
+    cross-multiplied merge decisions; float only in the final
+    ratio)."""
+    from cancer_survival_etl_spark.llm.evals import isotonic_calibrate
+
+    e = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    s = (F.col("event_id") % 100) / 100.0
+    feats = e.select(
+        s.alias("score"),
+        (u < 0.2 + 0.6 * s).cast("int").alias("label"),
+    )
+    return isotonic_calibrate(feats, "score", "label", n_bins=20)
+
+
+_ISOTONIC_SQL = r"""
+    WITH RECURSIVE base AS (
+        SELECT CAST(least(floor(((event_id % 100) / 100.0) * 20), 19)
+                    AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN
+                   (CAST(concat('0x', substring(md5(event_id::VARCHAR),
+                                                1, 8)) AS BIGINT)
+                    % 1000000) / 1000000.0
+                   < 0.2 + 0.6 * ((event_id % 100) / 100.0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM events GROUP BY 1
+    ),
+    nb AS (SELECT CAST(count(*) AS INT) AS n_bins FROM base),
+    ordered AS (
+        SELECT *, row_number() OVER (ORDER BY bin) AS idx FROM base
+    ),
+    rec AS (
+        SELECT 0 AS i, 0 AS s,
+               CAST([] AS STRUCT(lo INT, hi INT, n BIGINT, p BIGINT)[])
+                   AS pools
+        UNION ALL
+        SELECT CASE WHEN viol THEN r.i ELSE r.i + 1 END,
+               r.s + 1,
+               CASE WHEN viol THEN
+                   list_append(r.pools[1:len(r.pools)-2],
+                       {'lo': r.pools[len(r.pools)-1].lo,
+                        'hi': r.pools[len(r.pools)].hi,
+                        'n':  r.pools[len(r.pools)-1].n
+                              + r.pools[len(r.pools)].n,
+                        'p':  r.pools[len(r.pools)-1].p
+                              + r.pools[len(r.pools)].p})
+               ELSE
+                   list_append(r.pools, (
+                       SELECT {'lo': o.bin, 'hi': o.bin,
+                               'n': o.n, 'p': o.n_pos}
+                       FROM ordered o WHERE o.idx = r.i + 1))
+               END
+        FROM rec r, nb,
+             LATERAL (SELECT len(r.pools) >= 2 AND
+                             r.pools[len(r.pools)-1].p
+                             * r.pools[len(r.pools)].n
+                             >= r.pools[len(r.pools)].p
+                               * r.pools[len(r.pools)-1].n
+                      AS viol) v
+        WHERE r.i < nb.n_bins OR viol
+    ),
+    final AS (SELECT pools FROM rec ORDER BY s DESC LIMIT 1)
+    SELECT o.bin, o.n, o.n_pos,
+           round(u.pl.p::DOUBLE / u.pl.n, 6) AS calibrated
+    FROM ordered o,
+         (SELECT unnest(pools) AS pl FROM final) u
+    WHERE u.pl.lo <= o.bin AND o.bin <= u.pl.hi
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6064,6 +6145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bh_adjust": q_stats_bh_adjust,
         "graph_triangles": q_graph_triangles,
         "model_train_logistic": q_model_train_logistic,
+        "eval_isotonic": q_eval_isotonic,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7741,6 +7823,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_bh_adjust": _BH_SQL,
         "graph_triangles": _triangles_sql(),
         "model_train_logistic": _LOGISTIC_TRAIN_SQL,
+        "eval_isotonic": _ISOTONIC_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -158,6 +158,7 @@ HEADLINE = [
     "stats_bh_adjust",
     "graph_triangles",
     "model_train_logistic",
+    "eval_isotonic",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -403,3 +403,60 @@ def group_kfold(
         F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
     return df.withColumn(fold_col, (h % n_folds).cast("int"))
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Isotonic calibration: fit the best monotone-non-decreasing map
+    from score to observed positive rate (pool-adjacent-violators) —
+    the non-parametric recalibration step when the reliability diagram
+    (``calibration_bins``) shows a miscalibrated but rank-faithful
+    scorer.
+
+    Distributed shape: the corpus collapses to ``n_bins`` exact
+    (n, n_pos) pairs in ONE aggregate; PAVA then runs driver-side on
+    that bounded frame (the algorithm is inherently sequential, but
+    its input is #bins rows by construction — never raw data) and the
+    fitted step function returns as a broadcastable frame. All pool
+    arithmetic is exact integers until the final ratio; equal-rate
+    plateaus merge deterministically. Returns (bin, n, n_pos,
+    calibrated) with calibrated rounded to 6, monotone by
+    construction.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    # PAVA: pools of (n, n_pos); merge while a pool's rate drops below
+    # its predecessor's (compare cross-multiplied integers — no float
+    # in the merge decision)
+    pools: list[list[int]] = []  # [bin_lo, bin_hi, n, n_pos]
+    for r in bins:
+        pools.append([r["bin"], r["bin"], r["n"], r["n_pos"]])
+        while len(pools) > 1 and (
+            pools[-2][3] * pools[-1][2] >= pools[-1][3] * pools[-2][2]
+        ):
+            lo, _, n1, p1 = pools[-2]
+            _, hi, n2, p2 = pools[-1]
+            pools[-2:] = [[lo, hi, n1 + n2, p1 + p2]]
+    out = []
+    for lo, hi, n, p in pools:
+        for r in bins:
+            if lo <= r["bin"] <= hi:
+                out.append((r["bin"], r["n"], r["n_pos"], round(p / n, 6)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "bin int, n bigint, n_pos bigint, calibrated double"
+    )

@@ -429,3 +429,28 @@ def test_theta_overlap_small_sets_exact(spark):
     r = theta_overlap(t, "s", "u", "A", "B").collect()[0]
     # A = {0..599}, B = {600..699} ∪ {0..299} → overlap {0..299}
     assert (r.n_a_est, r.n_b_est, r.overlap_est) == (600.0, 400.0, 300.0)
+
+
+def test_isotonic_calibrate_monotone_mass_and_violation_fix(spark):
+    from cancer_survival_etl_spark.llm.evals import isotonic_calibrate
+
+    rows = []
+    for i in range(2000):
+        s = (i % 100) / 100.0
+        p = 0.2 + 0.6 * s - (0.25 if 0.45 < s < 0.55 else 0)  # planted dip
+        y = 1 if ((i * 2654435761) % 1000) / 1000.0 < p else 0
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = (
+        isotonic_calibrate(df, "score", "label", n_bins=20)
+        .toPandas().sort_values("bin").reset_index(drop=True)
+    )
+    cal = list(out["calibrated"])
+    assert all(a <= b + 1e-12 for a, b in zip(cal, cal[1:]))  # monotone
+    # PAVA preserves total positive mass exactly
+    assert (out["calibrated"] * out["n"]).sum() == pytest.approx(
+        out["n_pos"].sum(), abs=1e-6
+    )
+    # the dip bins (9, 10) got pooled: same calibrated value
+    dip = out[out.bin.isin([9, 10])]["calibrated"]
+    assert dip.nunique() == 1
