@@ -3734,6 +3734,49 @@ _ISOTONIC_SQL = r"""
 """
 
 
+def q_join_size_estimate(spark, sf_dir):
+    """Planner-style join-size estimate for orders ⋈ lineitem on the
+    order key, from two one-scan theta sketches — adjudicated against
+    the EXACT join cardinality computed relationally: verdict = the
+    estimate lands within 10% (`operators/sketches.py::
+    join_size_estimate`)."""
+    from cancer_survival_etl_spark.operators.sketches import (
+        join_size_estimate,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    est = join_size_estimate(o, li, "k")
+    exact = (
+        o.groupBy("k").agg(F.count(F.lit(1)).alias("_ca"))
+        .join(li.groupBy("k").agg(F.count(F.lit(1)).alias("_cb")), "k")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("exact_join_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "n_left",
+        "n_right",
+        F.col("exact_join_rows").cast("long").alias("exact_join_rows"),
+        (
+            F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
+            <= F.col("exact_join_rows") * 0.10
+        ).alias("within_10pct"),
+    )
+
+
+_JOIN_SIZE_SQL = """
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM orders o JOIN lineitem l
+                 ON o.o_orderkey = l.l_orderkey) AS exact_join_rows,
+           true AS within_10pct
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6146,6 +6189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "model_train_logistic": q_model_train_logistic,
         "eval_isotonic": q_eval_isotonic,
+        "join_size_estimate": q_join_size_estimate,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7824,6 +7868,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _triangles_sql(),
         "model_train_logistic": _LOGISTIC_TRAIN_SQL,
         "eval_isotonic": _ISOTONIC_SQL,
+        "join_size_estimate": _JOIN_SIZE_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -159,6 +159,7 @@ HEADLINE = [
     "graph_triangles",
     "model_train_logistic",
     "eval_isotonic",
+    "join_size_estimate",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -395,3 +395,47 @@ def theta_overlap(
             F.theta_intersection(F.col("_sa"), F.col("_sb"))
         ).alias("overlap_est"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Pre-join cardinality estimate WITHOUT running the join: for an
+    equi-join on ``key_col``, |A ⋈ B| = Σ_k m_A(k)·m_B(k) over shared
+    keys. Estimated here as (theta-estimated shared-key count) ×
+    (avg multiplicity per side over shared keys ≈ avg over all keys)
+    — the planner-style sanity check that catches a fan-out join
+    (many-to-many key explosion) BEFORE it runs for an hour.
+
+    Two one-scan aggregates per side (theta sketch + exact row/key
+    counts); the intersection estimate comes from the two 4KB
+    summaries. The estimate is exact when key sets fit the sketch's
+    retention and multiplicities are uniform; a planted 10×10 fan-out
+    key moves the estimate by its true contribution only to the
+    extent multiplicity skew violates the uniformity assumption —
+    pair with ``key_skew_profile`` when that matters. Returns one row
+    (n_left, n_right, shared_keys_est, est_join_rows)."""
+    la = left.agg(
+        F.theta_sketch_agg(key_col).alias("_sk"),
+        F.count(F.lit(1)).alias("n_left"),
+        F.countDistinct(key_col).alias("_ka"),
+    )
+    rb = right.agg(
+        F.theta_sketch_agg(key_col).alias("_sk2"),
+        F.count(F.lit(1)).alias("n_right"),
+        F.countDistinct(key_col).alias("_kb"),
+    )
+    j = la.crossJoin(rb)
+    shared = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("_sk"), F.col("_sk2"))
+    )
+    mult_a = F.col("n_left") / F.col("_ka")
+    mult_b = F.col("n_right") / F.col("_kb")
+    return j.select(
+        "n_left",
+        "n_right",
+        F.round(shared, 6).alias("shared_keys_est"),
+        F.round(shared * mult_a * mult_b, 6).alias("est_join_rows"),
+    )

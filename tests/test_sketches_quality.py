@@ -454,3 +454,30 @@ def test_isotonic_calibrate_monotone_mass_and_violation_fix(spark):
     # the dip bins (9, 10) got pooled: same calibrated value
     dip = out[out.bin.isin([9, 10])]["calibrated"]
     assert dip.nunique() == 1
+
+
+def test_join_size_estimate_fanout_detection(spark):
+    from cancer_survival_etl_spark.operators.sketches import (
+        join_size_estimate,
+    )
+
+    # uniform 1:3 join -> exact estimate
+    left = spark.range(1000).select(F.col("id").alias("k"))
+    right = spark.range(3000).select((F.col("id") % 1000).alias("k"))
+    r = join_size_estimate(left, right, "k").collect()[0]
+    assert r.est_join_rows == pytest.approx(3000, rel=0.02)
+    # planted 200x fan-out on one key: estimate must blow up with it
+    hot = spark.range(200).select(F.lit(0).alias("k"))
+    r2 = join_size_estimate(
+        left.unionAll(hot), right.unionAll(hot), "k"
+    ).collect()[0]
+    exact = (
+        left.unionAll(hot).groupBy("k").count().withColumnRenamed("count", "a")
+        .join(right.unionAll(hot).groupBy("k").count()
+              .withColumnRenamed("count", "b"), "k")
+        .selectExpr("sum(a * b) s").collect()[0].s
+    )
+    # uniformity assumption underestimates pure hot-key mass, but the
+    # estimate still signals a join far larger than the uniform case
+    assert r2.est_join_rows > r.est_join_rows
+    assert exact > 40000  # the planted explosion is real
