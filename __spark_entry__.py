@@ -3777,6 +3777,30 @@ _JOIN_SIZE_SQL = """
 """
 
 
+def q_text_hashed_features(spark, sf_dir):
+    """Hashing-trick featurizer: md5-bucket bag-of-tokens counts in
+    long form (`llm/textstats.py::hashed_features`) — the
+    vocabulary-free input shape for the in-engine linear trainer."""
+    from cancer_survival_etl_spark.llm.textstats import hashed_features
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_features(d, "text", "doc_id", n_features=64)
+
+
+_HASHED_FEATURES_SQL = """
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+                % 64 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ) u
+    WHERE t != ''
+    GROUP BY 1, 2
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6190,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_train_logistic": q_model_train_logistic,
         "eval_isotonic": q_eval_isotonic,
         "join_size_estimate": q_join_size_estimate,
+        "text_hashed_features": q_text_hashed_features,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7869,6 +7894,7 @@ def oracle_sql() -> dict[str, str]:
         "model_train_logistic": _LOGISTIC_TRAIN_SQL,
         "eval_isotonic": _ISOTONIC_SQL,
         "join_size_estimate": _JOIN_SIZE_SQL,
+        "text_hashed_features": _HASHED_FEATURES_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -160,6 +160,7 @@ HEADLINE = [
     "model_train_logistic",
     "eval_isotonic",
     "join_size_estimate",
+    "text_hashed_features",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -270,3 +270,31 @@ def normalize_text(
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(alias, c)
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 64,
+) -> DataFrame:
+    """Hashing-trick bag-of-tokens featurizer (the fastText /
+    HashingVectorizer input shape): token → md5 bucket in
+    [0, n_features), counts per (doc, bucket) — long form, exact
+    integers, engine-portable (no vocabulary to build, no OOV).
+    Feeds ``llm/inference.py::logistic_train`` (pivot the needed
+    buckets to columns) and ``linear_score``. One explode + one
+    map-side-combinable groupBy; collisions are the accepted trade of
+    the trick and are identical on every engine."""
+    tok = F.explode(_tokens(text_col)).alias("_t")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10)
+        .cast("long")
+        % n_features
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), tok)
+        .filter(F.col("_t") != "")
+        .groupBy(id_col, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )

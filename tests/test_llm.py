@@ -1112,3 +1112,42 @@ def test_logistic_train_matches_numpy_and_partitioning(spark):
         ).cast("int").alias("ok")
     ).agg(F.avg("ok")).collect()[0][0]
     assert acc >= 0.85
+
+
+def test_hashed_features_plus_logistic_learns_token_rule(spark):
+    """End-to-end in-engine text classifier: hashing-trick features →
+    fused-aggregate logistic GD learns a token-presence rule from raw
+    text (the fastText-lite composition)."""
+    from cancer_survival_etl_spark.llm.inference import logistic_train
+    from cancer_survival_etl_spark.llm.textstats import hashed_features
+
+    # label = doc mentions 'alert'; text otherwise random filler
+    filler = ["lorem", "ipsum", "dolor", "sit", "amet", "sed", "eiusmod"]
+    rows = []
+    for i in range(400):
+        words = [filler[(i * 7 + j) % len(filler)] for j in range(10)]
+        y = 1 if i % 3 == 0 else 0
+        if y:
+            words[i % 10] = "alert"
+        rows.append((i, " ".join(words), y))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    n_feat = 16
+    feats = hashed_features(docs, "text", "doc_id", n_features=n_feat)
+    wide = (
+        feats.groupBy("doc_id")
+        .pivot("bucket", list(range(n_feat)))
+        .sum("n_tokens")
+        .na.fill(0)
+        .join(docs.select("doc_id", "y"), "doc_id")
+    )
+    cols = [str(b) for b in range(n_feat)]
+    w = logistic_train(wide, cols, "y", lr=1.0, iters=40)
+    from pyspark.sql import functions as F
+
+    z = F.lit(w[0])
+    for j, c in enumerate(cols):
+        z = z + F.lit(w[j + 1]) * F.col(c)
+    acc = wide.select(
+        ((z > 0).cast("int") == F.col("y")).cast("int").alias("ok")
+    ).agg(F.avg("ok")).collect()[0][0]
+    assert acc >= 0.95, acc  # the 'alert' bucket is fully informative
