@@ -35,6 +35,15 @@ def get_spark(
     ``local[N]`` with N from $SPARK_GRAFT_CPUS (default 32).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Spark 3.4+ getOrCreate() APPLIES builder SQL confs to an already-
+    # running session — so a library entry point calling get_spark()
+    # inside a host process (tests, notebooks) would silently stomp the
+    # host's shuffle partitioning and feature flags. Reuse an active
+    # session untouched; the full config applies only when this call
+    # actually creates the session.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))

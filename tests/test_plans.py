@@ -344,6 +344,15 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
         spark.conf.set(
             "spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB"
         )
+        # DynamicJoinSelection DEMOTES the broadcast when the small
+        # side's shuffle output is mostly-empty partitions (non-empty
+        # ratio < 0.2): ~6 rows over 32 shuffle partitions trips it,
+        # over 8 it doesn't — disable the demotion so the probe tests
+        # the conversion, not the partition-count regime
+        spark.conf.set(
+            "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin",
+            "0",
+        )
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
             F.col("o_orderkey") % 1000 == 0  # tiny at runtime
@@ -365,6 +374,9 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(
+            "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin"
+        )
         if old_rt is None:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
