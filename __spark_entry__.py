@@ -3801,6 +3801,81 @@ _HASHED_FEATURES_SQL = """
 """
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift between two corpus halves: shared
+    SQ8 quantization grid (per-dim min/max over the FULL set), then
+    Jensen-Shannon divergence over the (dim, code) bucket histograms —
+    composition of `quantize_embeddings` + `js_divergence`, the
+    model-input monitoring check before retraining on a refreshed
+    corpus."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        quantize_embeddings,
+    )
+    from cancer_survival_etl_spark.operators.stats import js_divergence
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings(e).select(
+        "vec_id",
+        F.concat_ws("|", F.col("dim"), F.col("code")).alias("bucket"),
+    )
+    return js_divergence(
+        codes.filter(F.col("vec_id") % 2 == 0),
+        codes.filter(F.col("vec_id") % 2 == 1),
+        "bucket",
+    )
+
+
+_EMBEDDING_DRIFT_SQL = """
+    WITH flat AS (
+        SELECT vec_id, u.i - 1 AS dim,
+               (embedding::DOUBLE[])[u.i] AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    stats AS (
+        SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim
+    ),
+    codes AS (
+        SELECT f.vec_id,
+               concat(f.dim, '|',
+                   CASE WHEN s.hi > s.lo
+                        THEN CAST(round((f.v - s.lo) / (s.hi - s.lo) * 254)
+                                  AS INT) - 127
+                        ELSE 0 END) AS bucket
+        FROM flat f JOIN stats s ON f.dim = s.dim
+    ),
+    r AS (SELECT bucket AS b, count(*) AS nr FROM codes
+          WHERE vec_id % 2 = 0 GROUP BY 1),
+    c AS (SELECT bucket AS b, count(*) AS nc FROM codes
+          WHERE vec_id % 2 = 1 GROUP BY 1),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM codes
+                WHERE vec_id % 2 = 0) AS tr,
+               (SELECT CAST(count(*) AS BIGINT) FROM codes
+                WHERE vec_id % 2 = 1) AS tc
+    ),
+    j AS (
+        SELECT coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+        FROM r FULL JOIN c ON r.b = c.b
+    )
+    SELECT tr AS n_ref, tc AS n_cur,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(sum(
+               CASE WHEN nr > 0 THEN
+                   (nr / tr::DOUBLE)
+                   * ln((nr / tr::DOUBLE)
+                        / ((nr / tr::DOUBLE + nc / tc::DOUBLE) / 2)) / 2
+               ELSE 0.0 END
+               + CASE WHEN nc > 0 THEN
+                   (nc / tc::DOUBLE)
+                   * ln((nc / tc::DOUBLE)
+                        / ((nr / tr::DOUBLE + nc / tc::DOUBLE) / 2)) / 2
+               ELSE 0.0 END
+           ), 6) AS jsd
+    FROM j, tot GROUP BY tr, tc
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6215,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_isotonic": q_eval_isotonic,
         "join_size_estimate": q_join_size_estimate,
         "text_hashed_features": q_text_hashed_features,
+        "embedding_drift": q_embedding_drift,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7895,6 +7971,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_isotonic": _ISOTONIC_SQL,
         "join_size_estimate": _JOIN_SIZE_SQL,
         "text_hashed_features": _HASHED_FEATURES_SQL,
+        "embedding_drift": _EMBEDDING_DRIFT_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -161,6 +161,7 @@ HEADLINE = [
     "eval_isotonic",
     "join_size_estimate",
     "text_hashed_features",
+    "embedding_drift",
 ]
 
 REGRESSION_RATIO = 1.5
