@@ -118,3 +118,35 @@ def stream_from_events_dir(
         # Watermarks demand TIMESTAMP (with local tz); testdata stores NTZ.
         src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
+
+
+def tumbling_distinct_users(
+    events: DataFrame,
+    duration: str = "1 day",
+    watermark: str | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per (tumbling window, event_type): HLL-estimated distinct users
+    — the streaming form of the mergeable distinct rollup
+    (``operators/sketches.py::hll_rollup``). Exact streaming
+    COUNT(DISTINCT) needs per-key state proportional to the user set;
+    the sketch caps state at 2^lg_k registers per group, and the SAME
+    aggregate works identically in batch (pinned in tests) because
+    ``hll_sketch_agg`` is just another partial-aggregable function to
+    Catalyst — batch ≡ streaming, the module's standing claim."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(lg_k))
+            ).alias("distinct_users_est"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "distinct_users_est",
+            "n_events",
+        )
+    )

@@ -829,3 +829,50 @@ def test_transform_with_state_count_min(spark, sf_dir, tmp_path):
     want = {(r.event_type, int(r.item)): int(r.count_est)
             for r in expect.itertuples()}
     assert got == want
+
+
+def test_tumbling_distinct_users_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Windowed HLL distinct: one availableNow streaming pass over the
+    real events parquet equals the batch plan exactly (sketch register
+    maxima are order-independent), and estimates sit within 5% of
+    exact windowed COUNT(DISTINCT)."""
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+        tumbling_distinct_users,
+    )
+
+    src = stream_from_events_dir(spark, sf_dir)
+    q = (
+        tumbling_distinct_users(src, "1 day")
+        .writeStream.format("memory")
+        .queryName("tumb_hll_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["distinct_users_est"], r["n_events"]
+        )
+        for r in spark.sql("SELECT * FROM tumb_hll_test").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    expect = {
+        (r["window_start"], r["event_type"]): (
+            r["distinct_users_est"], r["n_events"]
+        )
+        for r in tumbling_distinct_users(batch, "1 day").collect()
+    }
+    assert got == expect and len(got) > 0
+    exact = {
+        (r["ws"], r["event_type"]): r["x"]
+        for r in batch.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("x"))
+        .select(F.col("w.start").alias("ws"), "event_type", "x")
+        .collect()
+    }
+    for k, (est, _) in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), k
