@@ -186,3 +186,87 @@ def test_zvalue_interleave_model(spark, points):
             for i in range(8)
         )
         assert r["z"] == want
+
+
+@settings(**_EXAMPLES)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # score bucket (ties!)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_auc_by_matches_pairwise_definition(spark, pairs):
+    """auc_by (rank-sum form) must equal the pairwise probability
+    definition P(s⁺ > s⁻) + ½P(tie) for any tied/untied mix."""
+    from cancer_survival_etl_spark.operators.stats import auc_by
+
+    rows = [("g", float(s), int(y)) for s, y in pairs]
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    df = spark.createDataFrame(rows, "grp string, score double, label int")
+    got = auc_by(df, "grp", "score", "label").collect()[0]
+    if not pos or not neg:
+        assert got.auc is None
+        return
+    want = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    assert got.auc is not None and abs(got.auc - want) < 1e-6
+
+
+@settings(**_EXAMPLES)
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50),
+        min_size=3,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_spearman_extremes_on_monotone_data(spark, xs):
+    """Strictly increasing y(x) → ρ = 1; strictly decreasing → −1."""
+    from cancer_survival_etl_spark.operators.stats import spearman_by
+
+    inc = [("g", float(x), float(2 * x + 1)) for x in xs]
+    dec = [("g", float(x), float(-3 * x)) for x in xs]
+    for rows, want in ((inc, 1.0), (dec, -1.0)):
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        got = spearman_by(df, "grp", "x", "y").collect()[0]
+        assert got.spearman_rho == want
+
+
+@settings(**_EXAMPLES)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_rouge_precision_recall_duality(spark, texts):
+    """rouge_p(A→B) must equal rouge_r with the pair swapped — the
+    clipped-count overlap is symmetric, only the denominator flips."""
+    from cancer_survival_etl_spark.llm.evals import rouge_n
+
+    pairs = [(i, t, texts[(i + 1) % len(texts)]) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        pairs, "pair_id long, candidate string, reference string"
+    )
+    fwd = {r.pair_id: r for r in rouge_n(df, n=1).collect()}
+    swapped = df.select(
+        "pair_id",
+        F.col("reference").alias("candidate"),
+        F.col("candidate").alias("reference"),
+    )
+    rev = {r.pair_id: r for r in rouge_n(swapped, n=1).collect()}
+    for k in fwd:
+        assert (k in rev) == (k in fwd)
+        if k in rev:
+            assert fwd[k].n_overlap == rev[k].n_overlap
+            assert fwd[k].rouge_p == rev[k].rouge_r
+            assert fwd[k].rouge_r == rev[k].rouge_p
