@@ -192,6 +192,34 @@ def _rscale(spark, events):
     return robust_scale_by(e, "event_type", "cents", 0.05, 0.95)
 
 
+@_eregister("auc")
+def _auc(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import auc_by
+
+    e = events.select(
+        "event_type",
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("label"),
+    )
+    return auc_by(e, "event_type", "score", "label")
+
+
+@_eregister("spearman")
+def _spear(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import spearman_by
+
+    e = events.select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("long") % 1000).alias("xb"),
+        F.col("user_id").alias("yv"),
+    )
+    return spearman_by(e, "event_type", "xb", "yv")
+
+
 @pytest.mark.parametrize("name", sorted(EVENT_OPS))
 def test_event_ops_partitioning_independence(spark, sf_dir, name):
     events = load_table(spark, sf_dir, "events")
