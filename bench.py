@@ -167,13 +167,24 @@ HEADLINE = [
 REGRESSION_RATIO = 1.5
 
 
-def compare(timings: dict[str, float], baseline_path: str) -> None:
+def compare(
+    timings: dict[str, float],
+    baseline_path: str,
+    mins: dict[str, float] | None = None,
+) -> None:
     with open(baseline_path) as fh:
         doc = json.load(fh)
     # driver-recorded BENCH_r*.json wraps our emitted line under "parsed"
-    base = (doc.get("queries") or doc.get("parsed", {}).get("queries")) or {}
+    parsed = doc.get("parsed", doc)
+    base = (doc.get("queries") or parsed.get("queries")) or {}
+    # compare minima when both sides recorded them — medians flag
+    # ambient bursts as regressions on this box (verified; BASELINE.md)
+    base_min = doc.get("queries_min") or parsed.get("queries_min")
+    cur = timings
+    if base_min and mins:
+        base, cur = base_min, mins
     flagged = []
-    for name, took in sorted(timings.items()):
+    for name, took in sorted(cur.items()):
         prev = base.get(name)
         if prev is None or prev <= 0:
             continue
@@ -184,7 +195,7 @@ def compare(timings: dict[str, float], baseline_path: str) -> None:
             flagged.append((name, prev, took, ratio, "improved"))
     print(
         f"-- compare vs {baseline_path}: {len(flagged)} queries moved "
-        f">{REGRESSION_RATIO}x of {sum(1 for n in timings if n in base)} "
+        f">{REGRESSION_RATIO}x of {sum(1 for n in cur if n in base)} "
         "shared",
         file=sys.stderr,
     )
@@ -234,6 +245,7 @@ def main() -> None:
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
+    mins = {name: round(min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -242,12 +254,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query minima: the stable cross-round signal on a
+                # bursty shared box (medians inflate when a co-tenant
+                # burst lands mid-pass; minima reproduce run-to-run —
+                # see BASELINE.md measurements)
+                "queries_min": mins,
                 "sf": sf,
             }
         )
     )
     if baseline_path:
-        compare(timings, baseline_path)
+        compare(timings, baseline_path, mins)
     spark.stop()
 
 
