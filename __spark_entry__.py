@@ -3876,6 +3876,60 @@ _EMBEDDING_DRIFT_SQL = """
 """
 
 
+def q_stats_kendall(spark, sf_dir):
+    """Per-type Kendall's τ-b between the bucketed value and user id —
+    Knight's O(n log n) inversion count in an Arrow batch per group
+    (`operators/stats.py::kendall_tau_by`); the oracle pays the O(n²)
+    pair join the engine avoids, so the Pandas path is hash-checked
+    too."""
+    from cancer_survival_etl_spark.operators.stats import kendall_tau_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("long") % 1000).alias("xb"),
+        F.col("user_id").alias("yv"),
+    )
+    return kendall_tau_by(e, "event_type", "xb", "yv")
+
+
+_KENDALL_SQL = """
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) % 1000 AS x,
+               user_id AS y
+        FROM events
+    ),
+    p AS (
+        SELECT a.event_type,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                    THEN 1 ELSE 0 END AS con,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                    THEN 1 ELSE 0 END AS dis,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM e a JOIN e b
+             ON a.event_type = b.event_type AND a.event_id < b.event_id
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(con) AS BIGINT) AS con,
+               CAST(sum(dis) AS BIGINT) AS dis,
+               CAST(sum(tx) AS BIGINT) AS tx,
+               CAST(sum(ty) AS BIGINT) AS ty
+        FROM p GROUP BY event_type
+    ),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+          FROM e GROUP BY event_type)
+    SELECT n.event_type, n.n_rows,
+           CASE WHEN (n0 - tx) * (n0 - ty) > 0 THEN
+               round((con - dis)
+                     / sqrt((n0 - tx)::DOUBLE * (n0 - ty)), 6)
+           END AS tau_b
+    FROM m JOIN n ON m.event_type = n.event_type
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6291,6 +6345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "text_hashed_features": q_text_hashed_features,
         "embedding_drift": q_embedding_drift,
+        "stats_kendall": q_stats_kendall,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -7972,6 +8027,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": _JOIN_SIZE_SQL,
         "text_hashed_features": _HASHED_FEATURES_SQL,
         "embedding_drift": _EMBEDDING_DRIFT_SQL,
+        "stats_kendall": _KENDALL_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

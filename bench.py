@@ -162,6 +162,7 @@ HEADLINE = [
     "join_size_estimate",
     "text_hashed_features",
     "embedding_drift",
+    "stats_kendall",
 ]
 
 REGRESSION_RATIO = 1.5

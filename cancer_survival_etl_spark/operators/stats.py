@@ -958,3 +958,93 @@ def bh_adjust(
             F.least(F.min("_step").over(w_suffix), F.lit(1.0)), 9
         ).alias("adj_p"),
     )
+
+
+def _kendall_nc_minus_nd(xs, ys):
+    """Knight's O(n log n) algorithm: concordant − discordant for one
+    group. Sort by (x, y), then discordant pairs = inversions of the
+    y sequence counted by merge sort; tie corrections via run
+    lengths. Pure integer arithmetic — exact."""
+    import numpy as np
+
+    n = len(xs)
+    order = np.lexsort((ys, xs))
+    x = np.asarray(xs)[order]
+    y = np.asarray(ys)[order]
+
+    def tie_term(a):
+        _, counts = np.unique(a, return_counts=True)
+        return int((counts * (counts - 1) // 2).sum())
+
+    tot = n * (n - 1) // 2
+    ties_x = tie_term(x)
+    ties_y = tie_term(y)
+    ties_xy = tie_term(x.astype("int64") * (2**32) + y.astype("int64"))
+
+    # merge-sort inversion count over y (strict inversions only)
+    arr = y.astype("int64").tolist()
+    swaps = 0
+
+    def msort(a):
+        nonlocal swaps
+        if len(a) <= 1:
+            return a
+        mid = len(a) // 2
+        left, right = msort(a[:mid]), msort(a[mid:])
+        out, i, j = [], 0, 0
+        while i < len(left) and j < len(right):
+            if right[j] < left[i]:
+                swaps += len(left) - i
+                out.append(right[j]); j += 1
+            else:
+                out.append(left[i]); i += 1
+        out.extend(left[i:]); out.extend(right[j:])
+        return out
+
+    msort(arr)
+    return tot - ties_x - ties_y + ties_xy - 2 * swaps, tot, ties_x, ties_y
+
+
+def kendall_tau_by(
+    df: DataFrame,
+    group_cols,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Kendall's τ-b — the third rank-association measure
+    (with ``corr_exact`` and ``spearman_by``), with full tie
+    correction: τ_b = (C − D)/√((n₀−n₁)(n₀−n₂)).
+
+    C − D has no SQL-aggregate form (it is a pairwise order statistic),
+    so this is one of the repo's few deliberate Arrow paths: Knight's
+    O(n log n) merge-sort inversion count runs per group inside
+    ``applyInPandas`` — exact integer arithmetic end-to-end, so the
+    result is STILL hash-checked against an O(n²) relational oracle
+    (the oracle pays the quadratic pair join; the engine doesn't).
+    Inputs must be integer-valued. One shuffle on the group key;
+    per-group memory is the group's rows. NULL τ on degenerate
+    (all-tied) columns. Returns (group..., n_rows, tau_b) rounded
+    to 6."""
+    import pandas as pd
+
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ncd, tot, tx, ty = _kendall_nc_minus_nd(
+            pdf[x_col].astype("int64").values,
+            pdf[y_col].astype("int64").values,
+        )
+        denom2 = (tot - tx) * (tot - ty)
+        tau = round(ncd / (denom2**0.5), 6) if denom2 > 0 else None
+        return pd.DataFrame(
+            [[*pdf.iloc[0][g].tolist(), len(pdf), tau]],
+            columns=[*g, "n_rows", "tau_b"],
+        )
+
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*g).dtypes]
+        + ["n_rows long", "tau_b double"]
+    )
+    return df.select(*g, x_col, y_col).groupBy(*g).applyInPandas(
+        per_group, schema
+    )

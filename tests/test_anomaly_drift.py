@@ -327,3 +327,39 @@ def test_bh_adjust_suffix_min_and_cap(spark):
     # cap at 1
     hi = spark.createDataFrame([("x", 0.9), ("y", 0.95)], "k string, p double")
     assert all(r.adj_p <= 1.0 for r in bh_adjust(hi, "p", "k").collect())
+
+
+def test_kendall_tau_matches_brute_force_and_extremes(spark):
+    import itertools
+    import math
+    import random
+
+    from cancer_survival_etl_spark.operators.stats import kendall_tau_by
+
+    random.seed(7)
+    rows = [("g", random.randint(0, 10), random.randint(0, 10))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = kendall_tau_by(df, "grp", "x", "y").collect()[0]
+    con = dis = 0
+    n = len(rows)
+    tx = sum(1 for (_, xa, _), (_, xb, _) in itertools.combinations(rows, 2)
+             if xa == xb)
+    ty = sum(1 for (_, _, ya), (_, _, yb) in itertools.combinations(rows, 2)
+             if ya == yb)
+    for (_, xa, ya), (_, xb, yb) in itertools.combinations(rows, 2):
+        s = (xa - xb) * (ya - yb)
+        con += s > 0
+        dis += s < 0
+    n0 = n * (n - 1) // 2
+    want = (con - dis) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert got.tau_b == pytest.approx(want, abs=1e-6)
+    # strictly monotone -> ±1; all-tied -> NULL
+    inc = spark.createDataFrame(
+        [("m", i, 2 * i) for i in range(30)], "grp string, x long, y long"
+    )
+    assert kendall_tau_by(inc, "grp", "x", "y").collect()[0].tau_b == 1.0
+    const = spark.createDataFrame(
+        [("c", 1, i) for i in range(10)], "grp string, x long, y long"
+    )
+    assert kendall_tau_by(const, "grp", "x", "y").collect()[0].tau_b is None
