@@ -3930,6 +3930,68 @@ _KENDALL_SQL = """
 """
 
 
+def q_events_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users from merged daily HLL sketches
+    (`operators/sketches.py::rolling_distinct`): one raw scan for any
+    window length — adjudicated as exact per-window distinct (the
+    oracle pays the rescan-per-day the sketch path avoids) + a
+    5%-bound verdict on the estimate."""
+    from cancer_survival_etl_spark.operators.sketches import (
+        rolling_distinct,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    est = rolling_distinct(e, "ts", "user_id", window_days=7)
+    days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    u = e.select(
+        F.date_trunc("day", "ts").alias("_d"), "user_id"
+    ).distinct()
+    exact = (
+        days.join(
+            u,
+            (F.col("_d") <= F.col("day"))
+            & (F.col("_d") > F.col("day") - F.expr("interval 7 days")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_distinct",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= F.greatest(
+                F.col("exact_distinct") * 0.05, F.lit(1.0)
+            )
+        ).alias("within_5pct"),
+    )
+
+
+_ROLLING_DISTINCT_SQL = """
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ),
+    u AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    n AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS nr
+        FROM events GROUP BY 1
+    )
+    SELECT days.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_distinct,
+           (SELECT CAST(sum(nr) AS BIGINT) FROM n
+            WHERE n.day <= days.day
+              AND n.day > days.day - INTERVAL 7 DAY) AS n_rows,
+           true AS within_5pct
+    FROM days JOIN u
+         ON u.d <= days.day AND u.d > days.day - INTERVAL 7 DAY
+    GROUP BY days.day
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6346,6 +6408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_features": q_text_hashed_features,
         "embedding_drift": q_embedding_drift,
         "stats_kendall": q_stats_kendall,
+        "events_rolling_distinct": q_events_rolling_distinct,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -8028,6 +8091,7 @@ def oracle_sql() -> dict[str, str]:
         "text_hashed_features": _HASHED_FEATURES_SQL,
         "embedding_drift": _EMBEDDING_DRIFT_SQL,
         "stats_kendall": _KENDALL_SQL,
+        "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

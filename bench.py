@@ -163,6 +163,7 @@ HEADLINE = [
     "text_hashed_features",
     "embedding_drift",
     "stats_kendall",
+    "events_rolling_distinct",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -439,3 +439,47 @@ def join_size_estimate(
         F.round(shared, 6).alias("shared_keys_est"),
         F.round(shared * mult_a * mult_b, 6).alias("est_join_rows"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Rolling N-day distinct count (the "7-day active users" metric)
+    from MERGED DAILY SKETCHES: one day-level HLL aggregate over the
+    raw data, then each day unions its trailing window's sketches —
+    the raw table is scanned once regardless of window length, and
+    the rolling frame is #days × window rows of 4KB summaries.
+
+    Exact windowed COUNT(DISTINCT) cannot reuse daily partials
+    (distinct doesn't decompose); the classic exact alternative
+    rescans the fact table once per window position. Sketch register
+    maxima are order-independent, so the rolling estimate is stable
+    under any partitioning. Returns (day, distinct_est, n_rows) per
+    day with a FULL trailing window only after day ``window_days``
+    (leading days merge what exists — same convention as a rows
+    window)."""
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("_sk"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    a = daily.select(F.col("day").alias("_d"), "_sk", "_n")
+    joined = daily.select("day").join(
+        a,
+        (F.col("_d") <= F.col("day"))
+        & (
+            F.col("_d")
+            > F.col("day") - F.expr(f"interval {window_days} days")
+        ),
+    )
+    return joined.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias(
+            "distinct_est"
+        ),
+        F.sum("_n").alias("n_rows"),
+    )

@@ -481,3 +481,36 @@ def test_join_size_estimate_fanout_detection(spark):
     # estimate still signals a join far larger than the uniform case
     assert r2.est_join_rows > r.est_join_rows
     assert exact > 40000  # the planted explosion is real
+
+
+def test_rolling_distinct_matches_exact_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.sketches import (
+        rolling_distinct,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    est = rolling_distinct(e, "ts", "user_id", window_days=7).toPandas()
+    u = e.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    exact = (
+        days.join(
+            u,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") > F.col("day") - F.expr("interval 7 days")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .toPandas()
+    )
+    m = est.merge(exact, on="day")
+    assert len(m) == len(est) > 0
+    err = (m["distinct_est"] - m["x"]).abs() / m["x"].clip(lower=1)
+    assert (err <= 0.05).all()
+    # the estimate is monotone in window content: a day's rolling value
+    # is >= its single-day distinct estimate
+    single = rolling_distinct(e, "ts", "user_id", window_days=1).toPandas()
+    j = est.merge(single, on="day", suffixes=("_7", "_1"))
+    assert (j["distinct_est_7"] >= j["distinct_est_1"]).all()
