@@ -3992,6 +3992,35 @@ _ROLLING_DISTINCT_SQL = """
 """
 
 
+def q_dataset_temperature(spark, sf_dir):
+    """Multinomial temperature reweighting at T=2 over document
+    sources (`llm/sampling.py::temperature_weights`): q ∝ p^(1/2),
+    weight = q/p feeds `mixture_sample` — flattens toward rare
+    sources while preserving expected corpus size."""
+    from cancer_survival_etl_spark.llm.sampling import temperature_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_weights(d, "source", temperature=2.0)
+
+
+_TEMPERATURE_SQL = """
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT *, n_docs::DOUBLE / sum(n_docs) OVER () AS p,
+               pow(n_docs::DOUBLE / sum(n_docs) OVER (), 0.5) AS pq
+        FROM c
+    )
+    SELECT source, n_docs,
+           round(p, 6) AS p_natural,
+           round(pq / sum(pq) OVER (), 6) AS q_target,
+           round(pq / sum(pq) OVER () / p, 6) AS weight
+    FROM t
+"""
+
+
 def q_eval_calibration(spark, sf_dir):
     """Reliability table of a deterministic pseudo-score against the
     user-parity label — the calibration diagram input, exact integer
@@ -6409,6 +6438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "stats_kendall": q_stats_kendall,
         "events_rolling_distinct": q_events_rolling_distinct,
+        "dataset_temperature": q_dataset_temperature,
         # ==== green in CORRECTNESS_r01.json ============================
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
@@ -8092,6 +8122,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _EMBEDDING_DRIFT_SQL,
         "stats_kendall": _KENDALL_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
+        "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """
             SELECT t AS token, count(*) AS n_occurrences
             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

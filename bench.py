@@ -164,6 +164,7 @@ HEADLINE = [
     "embedding_drift",
     "stats_kendall",
     "events_rolling_distinct",
+    "dataset_temperature",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -296,3 +296,33 @@ def corpus_shuffle(
         keyed, "_shuffle_key", "_one", alias="shuffle_pos"
     )
     return ranked.drop("_shuffle_key", "_one")
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Multinomial temperature reweighting (the mT5/data-mixing rule):
+    sampling share q_s ∝ p_s^(1/T) — T > 1 flattens the mix toward
+    rare sources, T = 1 keeps natural proportions, T → ∞ approaches
+    uniform. ``weight`` = q_s/p_s is the per-row emission rate to feed
+    ``mixture_sample`` (expected corpus size preserved: Σ p·w = 1).
+
+    One count aggregate (#sources rows); the power/normalize step is a
+    window over that tiny frame. Returns (source, n_docs, p_natural,
+    q_target, weight), ratios rounded to 6."""
+    alpha = 1.0 / temperature
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(tot)
+    q = F.pow(p, F.lit(alpha)) / F.sum(F.pow(p, F.lit(alpha))).over(tot)
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(p, 6).alias("p_natural"),
+        F.round(q, 6).alias("q_target"),
+        F.round(q / p, 6).alias("weight"),
+    )

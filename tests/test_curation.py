@@ -272,3 +272,26 @@ def test_cli_curate_and_shards_end_to_end(spark, sf_dir, tmp_path):
     rep2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
     assert rep2["epochs"] == 2 and rep2["bins"] > 0
     assert spark.read.parquet(shards).count() == 2 * report["written"]
+
+
+def test_temperature_weights_flatten_and_preserve_mass(spark):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.llm.sampling import temperature_weights
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "source string")
+    w = {r.source: r for r in temperature_weights(df, "source", 2.0).collect()}
+    # T>1 flattens: rare source upweighted, dominant downweighted
+    assert w["small"].weight > 1.0 > w["big"].weight
+    # expected corpus size preserved: sum p * weight = sum q = 1
+    assert sum(r.p_natural * r.weight for r in w.values()) == \
+        pytest.approx(1.0, abs=1e-4)
+    # T=1 is the identity mix
+    w1 = {r.source: r for r in temperature_weights(df, "source", 1.0).collect()}
+    for r in w1.values():
+        assert r.weight == pytest.approx(1.0, abs=1e-6)
+    # T→∞ approaches uniform shares
+    winf = {r.source: r
+            for r in temperature_weights(df, "source", 1e9).collect()}
+    assert winf["small"].q_target == pytest.approx(0.5, abs=1e-3)
