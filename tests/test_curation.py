@@ -275,7 +275,7 @@ def test_cli_curate_and_shards_end_to_end(spark, sf_dir, tmp_path):
 
 
 def test_temperature_weights_flatten_and_preserve_mass(spark):
-    from pyspark.sql import functions as F
+    import pytest
 
     from cancer_survival_etl_spark.llm.sampling import temperature_weights
 
