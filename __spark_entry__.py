@@ -6264,92 +6264,19 @@ _ZIPF_SQL = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING: the driver's correctness gate
     # adjudicates the first 50 entries. Round 1 checked the reference-
-    # parity + relational tranche (all green in CORRECTNESS_r01.json);
-    # round 2 rotates the window onto everything round 1 could not
-    # reach — every dedup/ANN/text/events/sketch/stats query — plus the
-    # two round-1 defects (conditional_agg oracle cast,
-    # volume_shipping vacuous nation pair). Queries past position 50
-    # are either green-in-r01 or queued for the round-3 window.
-    # ROUND-3 WINDOW CANDIDATES (all parity-green locally via
-    # tools/check_parity.py — full run at sf0.01: 0 failures — never
-    # yet driver-adjudicated): the TPC-H tranche
-    # custdist..excess_suppliers; retrieval (bm25_topk, lm_score,
-    # dsir_weights, hybrid_search, retrieval_diversify, retrieval_mmr);
-    # record_linkage + linkage_golden; incremental_agg; events_anomaly,
-    # stats_psi_drift + stats_js_divergence, stats_chi_square,
-    # stats_winsorize + stats_robust_scale, stats_ols_multi, stats_auc,
-    # stats_spearman, stats_cuped, stats_welch, stats_rank_sum,
-    # stats_bh_adjust; bloom_decontaminate, hierarchy_closure,
-    # corpus_shuffle, heavy_hitters, events_cohort/attribution/
-    # transitions/pattern/journeys, key_skew_profile,
-    # corpus_ccnet_buckets; ann_pq_adc, ann_hard_negatives,
-    # dedup_semantic, dedup_containment; the eval tranche
-    # (calibration/ndcg/kappa/rouge/bleu/confusion),
-    # dataset_group_kfold; sketch_hll/kll_rollup, sketch_theta_overlap;
-    # graph_triangles; text_normalize.. multimodal_* tranche.
+    # parity + relational tranche; round 2 the dedup/ANN/text/events/
+    # sketch/stats tranche (48 green + 2 declared rows-only in
+    # CORRECTNESS_r02.json). ROUND 3 rotates the window onto the
+    # highest-priority never-adjudicated tranche per VERDICT.md item 1:
+    # the TPC-H queries, retrieval, linkage, incremental_agg,
+    # dedup_semantic, ann_pq_adc, corpus_curation, the eval tranche,
+    # the stats tranche, and sketch_hll_rollup. Everything in the
+    # window is oracle-checked (no rows-only entries this round) and
+    # parity-green locally via tools/check_parity.py at sf0.01.
+    # Positions 51+ hold the round-4 queue (remaining never-
+    # adjudicated queries), then the r02- and r01-green tranches.
     return {
-        # -- round-1 red rows, fixed this round -------------------------
-        "conditional_agg": q_conditional_agg,
-        "sketch_approx_distinct": q_sketch_approx_distinct,
-        "sketch_quantiles": q_sketch_quantiles,
-        # -- sketches (deterministic siblings) --------------------------
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "sketch_sample_quantiles": q_sketch_sample_quantiles,
-        # -- dedup ------------------------------------------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
-        "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        # -- similarity search ------------------------------------------
-        "ann_brute_force": q_ann_brute_force,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        # -- text analysis / curation -----------------------------------
-        "text_token_stats": q_text_token_stats,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "text_decontaminate": q_text_decontaminate,
-        "text_chunk": q_text_chunk,
-        "text_pack_bins": q_text_pack_bins,
-        "text_boilerplate": q_text_boilerplate,
-        "text_tfidf": q_text_tfidf,
-        "tokenizer_bpe": q_tokenizer_bpe,
-        "multimodal_decode": q_multimodal_decode,
-        # -- events / time-series ---------------------------------------
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_gap_fill": q_events_gap_fill,
-        "events_scd2": q_events_scd2,
-        "events_rollup": q_events_rollup,
-        "events_json_props": q_events_json_props,
-        "events_funnel": q_events_funnel,
-        # -- dataset assembly / scoring / stats -------------------------
-        "dataset_stratified": q_dataset_stratified,
-        "dataset_split": q_dataset_split,
-        "dataset_mixture": q_dataset_mixture,
-        "model_score": q_model_score,
-        "stats_zscore": q_stats_zscore,
-        "stats_corr": q_stats_corr,
-        "stats_regression": q_stats_regression,
-        "stats_histogram": q_stats_histogram,
-        "quality_expectations": q_quality_expectations,
-        "volume_shipping": q_volume_shipping,
-        # ==== position 51+: round-3 window queue =======================
-        "vocab_topk": q_vocab_topk,
-        "zorder_values": q_zorder_values,
-        "corpus_curation": q_corpus_curation,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        # ==== positions 1-50: ROUND-3 driver window (never adjudicated; all parity-green locally) ====
         "custdist": q_custdist,
         "big_orders": q_big_orders,
         "suppliers_kept_waiting": q_suppliers_kept_waiting,
@@ -6363,6 +6290,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "supplier_part_counts": q_supplier_part_counts,
+        "excess_suppliers": q_excess_suppliers,
+        "bm25_topk": q_bm25_topk,
+        "lm_score": q_lm_score,
+        "dsir_weights": q_dsir_weights,
+        "hybrid_search": q_hybrid_search,
+        "retrieval_diversify": q_retrieval_diversify,
+        "retrieval_mmr": q_retrieval_mmr,
+        "record_linkage": q_record_linkage,
+        "linkage_golden": q_linkage_golden,
+        "incremental_agg": q_incremental_agg,
+        "dedup_semantic": q_dedup_semantic,
+        "ann_pq_adc": q_ann_pq_adc,
+        "corpus_curation": q_corpus_curation,
+        "eval_calibration": q_eval_calibration,
+        "eval_ndcg": q_eval_ndcg,
+        "eval_kappa": q_eval_kappa,
+        "eval_rouge": q_eval_rouge,
+        "eval_bleu": q_eval_bleu,
+        "eval_confusion": q_eval_confusion,
+        "stats_psi_drift": q_stats_psi_drift,
+        "stats_js_divergence": q_stats_js_divergence,
+        "stats_chi_square": q_stats_chi_square,
+        "stats_ols_multi": q_stats_ols_multi,
+        "stats_auc": q_stats_auc,
+        "stats_spearman": q_stats_spearman,
+        "stats_kendall": q_stats_kendall,
+        "stats_welch": q_stats_welch,
+        "stats_rank_sum": q_stats_rank_sum,
+        "stats_bh_adjust": q_stats_bh_adjust,
+        "stats_cuped": q_stats_cuped,
+        "stats_winsorize": q_stats_winsorize,
+        "sketch_hll_rollup": q_sketch_hll_rollup,
+        # ==== positions 51+: round-4 window queue (never driver-adjudicated) ====
+        "vocab_topk": q_vocab_topk,
+        "zorder_values": q_zorder_values,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
         "dedup_spans": q_dedup_spans,
@@ -6377,69 +6345,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "dataset_leakage_safe_split": q_dataset_leakage_safe_split,
         "graph_pagerank": q_graph_pagerank,
-        "local_supplier_revenue": q_local_supplier_revenue,
-        "min_cost_supplier": q_min_cost_supplier,
-        "product_profit": q_product_profit,
-        "important_parts": q_important_parts,
-        "supplier_part_counts": q_supplier_part_counts,
-        "excess_suppliers": q_excess_suppliers,
-        "bm25_topk": q_bm25_topk,
-        "lm_score": q_lm_score,
-        "dsir_weights": q_dsir_weights,
-        "hybrid_search": q_hybrid_search,
-        "record_linkage": q_record_linkage,
-        "incremental_agg": q_incremental_agg,
         "events_anomaly": q_events_anomaly,
-        "stats_psi_drift": q_stats_psi_drift,
         "bloom_decontaminate": q_bloom_decontaminate,
         "hierarchy_closure": q_hierarchy_closure,
         "corpus_shuffle": q_corpus_shuffle,
         "heavy_hitters": q_heavy_hitters,
         "events_cohort": q_events_cohort,
         "events_attribution": q_events_attribution,
-        "stats_chi_square": q_stats_chi_square,
         "events_transitions": q_events_transitions,
         "key_skew_profile": q_key_skew_profile,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "events_pattern": q_events_pattern,
-        "stats_winsorize": q_stats_winsorize,
         "events_journeys": q_events_journeys,
         "stats_robust_scale": q_stats_robust_scale,
-        "ann_pq_adc": q_ann_pq_adc,
-        "dedup_semantic": q_dedup_semantic,
         "ann_hard_negatives": q_ann_hard_negatives,
-        "stats_ols_multi": q_stats_ols_multi,
-        "stats_auc": q_stats_auc,
-        "retrieval_diversify": q_retrieval_diversify,
-        "retrieval_mmr": q_retrieval_mmr,
-        "eval_calibration": q_eval_calibration,
-        "eval_ndcg": q_eval_ndcg,
-        "eval_kappa": q_eval_kappa,
-        "eval_rouge": q_eval_rouge,
-        "eval_bleu": q_eval_bleu,
-        "eval_confusion": q_eval_confusion,
         "dataset_group_kfold": q_dataset_group_kfold,
-        "stats_js_divergence": q_stats_js_divergence,
         "dedup_containment": q_dedup_containment,
-        "stats_cuped": q_stats_cuped,
-        "linkage_golden": q_linkage_golden,
-        "sketch_hll_rollup": q_sketch_hll_rollup,
         "sketch_kll_rollup": q_sketch_kll_rollup,
         "sketch_theta_overlap": q_sketch_theta_overlap,
-        "stats_spearman": q_stats_spearman,
-        "stats_welch": q_stats_welch,
-        "stats_rank_sum": q_stats_rank_sum,
-        "stats_bh_adjust": q_stats_bh_adjust,
         "graph_triangles": q_graph_triangles,
         "model_train_logistic": q_model_train_logistic,
         "eval_isotonic": q_eval_isotonic,
         "join_size_estimate": q_join_size_estimate,
         "text_hashed_features": q_text_hashed_features,
         "embedding_drift": q_embedding_drift,
-        "stats_kendall": q_stats_kendall,
         "events_rolling_distinct": q_events_rolling_distinct,
         "dataset_temperature": q_dataset_temperature,
-        # ==== green in CORRECTNESS_r01.json ============================
+        # ==== green in CORRECTNESS_r02.json ====
+        "conditional_agg": q_conditional_agg,
+        "sketch_approx_distinct": q_sketch_approx_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_sample_quantiles": q_sketch_sample_quantiles,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
+        "dedup_clusters": q_dedup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "text_token_stats": q_text_token_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "text_decontaminate": q_text_decontaminate,
+        "text_chunk": q_text_chunk,
+        "text_pack_bins": q_text_pack_bins,
+        "text_boilerplate": q_text_boilerplate,
+        "text_tfidf": q_text_tfidf,
+        "tokenizer_bpe": q_tokenizer_bpe,
+        "multimodal_decode": q_multimodal_decode,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_gap_fill": q_events_gap_fill,
+        "events_scd2": q_events_scd2,
+        "events_rollup": q_events_rollup,
+        "events_json_props": q_events_json_props,
+        "events_funnel": q_events_funnel,
+        "dataset_stratified": q_dataset_stratified,
+        "dataset_split": q_dataset_split,
+        "dataset_mixture": q_dataset_mixture,
+        "model_score": q_model_score,
+        "stats_zscore": q_stats_zscore,
+        "stats_corr": q_stats_corr,
+        "stats_regression": q_stats_regression,
+        "stats_histogram": q_stats_histogram,
+        "quality_expectations": q_quality_expectations,
+        "volume_shipping": q_volume_shipping,
+        # ==== green in CORRECTNESS_r01.json ====
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
         "p3_null_semantics": q_null_semantics,

@@ -65,17 +65,26 @@ def test_oracle_column_alignment_full_surface(spark):
 
 
 def test_correctness_window_composition():
-    """The driver adjudicates the FIRST 50 queries() entries. Round-2
-    policy: every window slot must be oracle-checked except the two
-    declared rows-only flagships — a reorder that silently pushes an
-    oracle-checked query out for an uncheckable one is a regression."""
+    """The driver adjudicates the FIRST 50 queries() entries. Round-3
+    policy: every window slot must be oracle-checked (no rows-only
+    entries — those were adjudicated in r02), and the window must
+    cover the VERDICT r2 item-1 priority tranche: TPC-H, retrieval,
+    linkage, incremental_agg, dedup_semantic, ann_pq_adc,
+    corpus_curation, evals, stats."""
     qs = list(entrymod.queries())
     osql = entrymod.oracle_sql()
     window = qs[:50]
-    rows_only_allowed = {"tokenizer_bpe", "multimodal_decode"}
     missing = [k for k in window if k not in osql]
-    assert set(missing) <= rows_only_allowed, missing
-    # the round-1 red rows must sit inside the checked window
-    for must in ["conditional_agg", "sketch_approx_distinct",
-                 "sketch_quantiles", "volume_shipping"]:
+    assert not missing, missing
+    # the judge-named priority queries must sit inside the window
+    for must in ["custdist", "excess_suppliers", "bm25_topk",
+                 "retrieval_mmr", "record_linkage", "linkage_golden",
+                 "incremental_agg", "dedup_semantic", "ann_pq_adc",
+                 "corpus_curation", "eval_rouge", "eval_bleu",
+                 "stats_kendall", "sketch_hll_rollup"]:
         assert must in window, must
+    # nothing already driver-green may occupy a window slot
+    already_green = {"conditional_agg", "volume_shipping",
+                     "pricing_summary", "dedup_exact", "ann_ivf",
+                     "events_funnel", "p1_filter_disjunctive"}
+    assert not (set(window) & already_green)
