@@ -1,6 +1,17 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line to stdout:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE SHORT JSON line to stdout
+(guaranteed < 2 KB — the driver's output capture truncated round 2's
+135-entry line, costing the round its official number):
+{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+ "n_queries": N, "queries": {top-10 heaviest only},
+ "detail": "BENCH_DETAIL.json"}
+
+The FULL per-query map (medians + minima for every headline query) is
+written to the BENCH_DETAIL.json sidecar, and per-query minima are
+folded monotonically into BENCH_MINIMA.json (keyed by sf — minima at
+different scale factors are not comparable). Minima are the stable
+cross-round signal on this bursty shared box (BASELINE.md); --compare
+prefers them over any single round's medians.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collection). One warmup of a trivial action first so JVM/codegen
@@ -10,9 +21,12 @@ robust to one-off JIT/GC/page-cache noise on a shared box, unlike min
 (which hides steady-state regressions) or mean (which a single stall
 poisons).
 
---compare PATH: diff per-query against a previous BENCH_r*.json and
-report >1.5x regressions/improvements to stderr (stdout stays the one
-JSON line the driver parses).
+--compare PATH: diff per-query against a previous benchmark document —
+a BENCH_DETAIL.json sidecar, a driver-recorded BENCH_r*.json (including
+ones whose "parsed" is null), or BENCH_MINIMA.json — and report >1.5x
+regressions/improvements to stderr (stdout stays the one JSON line the
+driver parses). With no PATH after --compare, defaults to
+BENCH_MINIMA.json next to this script.
 """
 
 from __future__ import annotations
@@ -168,21 +182,58 @@ HEADLINE = [
 ]
 
 REGRESSION_RATIO = 1.5
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+DETAIL_PATH = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+MINIMA_PATH = os.path.join(REPO_DIR, "BENCH_MINIMA.json")
+
+
+def _baseline_maps(doc: dict, sf_key: str) -> tuple[dict, dict | None]:
+    """Extract (queries, queries_min) from any benchmark document shape:
+    a bench.py stdout line, a BENCH_DETAIL.json sidecar, a driver
+    BENCH_r*.json wrapper (whose "parsed" may be null when the capture
+    window truncated the line — ADVICE r2), or a BENCH_MINIMA.json
+    ({"sf0.1": {name: sec}})."""
+    # "parsed" present-but-null must fall back to the top-level doc
+    parsed = doc.get("parsed") or doc
+    base = doc.get("queries") or parsed.get("queries") or {}
+    base_min = doc.get("queries_min") or parsed.get("queries_min")
+    if not base and not base_min and sf_key in doc:
+        # minima-file shape: per-sf maps of name -> min seconds
+        base_min = doc[sf_key]
+    return base, base_min
+
+
+def update_minima(mins: dict[str, float], sf_key: str) -> dict[str, float]:
+    """Fold this run's per-query minima into MINIMA_PATH monotonically
+    (only ever decreasing), keyed by sf. Returns the updated map."""
+    doc: dict[str, dict[str, float]] = {}
+    if os.path.exists(MINIMA_PATH):
+        try:
+            with open(MINIMA_PATH) as fh:
+                doc = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            doc = {}
+    cur = doc.setdefault(sf_key, {})
+    for name, took in mins.items():
+        prev = cur.get(name)
+        if prev is None or took < prev:
+            cur[name] = took
+    with open(MINIMA_PATH, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    return cur
 
 
 def compare(
     timings: dict[str, float],
     baseline_path: str,
     mins: dict[str, float] | None = None,
+    sf_key: str = "sf0.1",
 ) -> None:
     with open(baseline_path) as fh:
         doc = json.load(fh)
-    # driver-recorded BENCH_r*.json wraps our emitted line under "parsed"
-    parsed = doc.get("parsed", doc)
-    base = (doc.get("queries") or parsed.get("queries")) or {}
+    base, base_min = _baseline_maps(doc, sf_key)
     # compare minima when both sides recorded them — medians flag
     # ambient bursts as regressions on this box (verified; BASELINE.md)
-    base_min = doc.get("queries_min") or parsed.get("queries_min")
     cur = timings
     if base_min and mins:
         base, cur = base_min, mins
@@ -213,7 +264,11 @@ def main() -> None:
     args = sys.argv[1:]
     baseline_path = None
     if "--compare" in args:
-        baseline_path = args[args.index("--compare") + 1]
+        i = args.index("--compare")
+        if i + 1 < len(args) and not args[i + 1].startswith("-"):
+            baseline_path = args[i + 1]
+        else:
+            baseline_path = MINIMA_PATH
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -250,24 +305,62 @@ def main() -> None:
     }
     mins = {name: round(min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf_key = f"sf{sf}" if sf is not None else "sf?"
+
+    # Full per-query maps go to the sidecar — NOT stdout. Round 2's
+    # 135-entry stdout line (~3.6 KB) outgrew the driver's ~2.2 KB
+    # capture window and the round lost its official number.
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "sf": sf,
+                "passes": passes,
                 "queries": timings,
                 # per-query minima: the stable cross-round signal on a
                 # bursty shared box (medians inflate when a co-tenant
                 # burst lands mid-pass; minima reproduce run-to-run —
                 # see BASELINE.md measurements)
                 "queries_min": mins,
-                "sf": sf,
-            }
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
+    all_time_mins = update_minima(mins, sf_key)
+
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": top10,
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+    assert len(line) < 2000, f"stdout line {len(line)}B breaches capture window"
+    print(line)
     if baseline_path:
-        compare(timings, baseline_path, mins)
+        compare(timings, baseline_path, mins, sf_key)
+    else:
+        # always surface movement vs the all-time minima to stderr
+        flagged = sum(
+            1
+            for n, t in mins.items()
+            if n in all_time_mins and t > all_time_mins[n] * REGRESSION_RATIO
+        )
+        print(
+            f"-- {flagged} queries >{REGRESSION_RATIO}x above all-time "
+            f"minima ({MINIMA_PATH})",
+            file=sys.stderr,
+        )
     spark.stop()
 
 
