@@ -824,7 +824,12 @@ def welch_ttest(
         F.col("_s1").alias("_s1b"),
         F.col("_s2").alias("_s2b"),
     )
-    j = a.crossJoin(b)
+    # documented two-variant precondition: with 3+ variants the
+    # min/max-variant selection silently drops the middle ones, so the
+    # stats are gated NULL unless exactly 2 variants exist (lazy-safe:
+    # the count is a one-row aggregate folded into the expression)
+    nv = m.agg(F.count(F.lit(1)).alias("_nv"))
+    j = a.crossJoin(b).crossJoin(nv)
     div = 100.0 if metric_is_cents else 1.0
 
     def stats(n, s1, s2):
@@ -842,7 +847,12 @@ def welch_ttest(
         (va / na) * (va / na) / (na - 1)
         + (vb / nb) * (vb / nb) / (nb - 1)
     )
-    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    ok = (
+        (F.col("_nv") == 2)
+        & (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (se2 > 0)
+    )
     return j.select(
         "variant_a",
         "variant_b",
@@ -900,7 +910,12 @@ def rank_sum_test(
     b = per.orderBy(F.col("_v").desc()).limit(1).select(
         F.col("_v").alias("variant_b"), F.col("_n").alias("n_b")
     )
-    j = a.crossJoin(b).crossJoin(ties)
+    # documented two-variant precondition (see welch_ttest): with 3+
+    # variants the ranks and tie correction would silently cover ALL
+    # rows while U covers only the extreme variants — gate the stats
+    # NULL unless exactly 2 variants exist
+    nv = per.agg(F.count(F.lit(1)).alias("_nv"))
+    j = a.crossJoin(b).crossJoin(ties).crossJoin(nv)
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     n = na + nb
     u = F.col("_ra") - na * (na + 1) / 2
@@ -908,13 +923,14 @@ def rank_sum_test(
         (n + 1) - F.col("_tie3").cast("double") / (n * (n - 1))
     )
     z = (u - na * nb / 2) / F.sqrt(var)
+    two = F.col("_nv") == 2
     return j.select(
         "variant_a",
         "variant_b",
         "n_a",
         "n_b",
-        F.round(u, 6).alias("u_stat"),
-        F.when(var > 0, F.round(z, 6)).alias("z_stat"),
+        F.when(two, F.round(u, 6)).alias("u_stat"),
+        F.when(two & (var > 0), F.round(z, 6)).alias("z_stat"),
     )
 
 
@@ -960,49 +976,39 @@ def bh_adjust(
     )
 
 
-def _kendall_nc_minus_nd(xs, ys):
-    """Knight's O(n log n) algorithm: concordant − discordant for one
-    group. Sort by (x, y), then discordant pairs = inversions of the
-    y sequence counted by merge sort; tie corrections via run
-    lengths. Pure integer arithmetic — exact."""
+def _weighted_strict_inversions(xs, ys, ws) -> int:
+    """Σ w_i·w_j over pairs of cells with x_i < x_j AND y_i > y_j
+    (both strict) — the discordant-pair count when each cell carries
+    the multiplicity of a distinct (x, y) value. Lexsort by (x, y)
+    ascending, then count weighted strict inversions of the y sequence
+    with a vectorized merge pass (``np.searchsorted`` per level —
+    O(n log² n), no Python-level element loop). Pairs with equal x sit
+    y-ascending after the lexsort so they contribute nothing; pairs
+    with equal y fail the strict comparison. Pure integer arithmetic —
+    exact."""
     import numpy as np
 
-    n = len(xs)
     order = np.lexsort((ys, xs))
-    x = np.asarray(xs)[order]
-    y = np.asarray(ys)[order]
+    y = np.asarray(ys, dtype="int64")[order]
+    w = np.asarray(ws, dtype="int64")[order]
 
-    def tie_term(a):
-        _, counts = np.unique(a, return_counts=True)
-        return int((counts * (counts - 1) // 2).sum())
+    def rec(a, wt):
+        n = len(a)
+        if n < 2:
+            return 0, a, wt
+        m = n // 2
+        c1, la, lw = rec(a[:m], wt[:m])
+        c2, ra, rw = rec(a[m:], wt[m:])
+        # for each right element: total left weight strictly above it
+        pos = np.searchsorted(la, ra, side="right")
+        lpref = np.concatenate(([0], np.cumsum(lw)))
+        cross = int((rw * (lpref[-1] - lpref[pos])).sum())
+        mo = np.argsort(np.concatenate((la, ra)), kind="stable")
+        merged = np.concatenate((la, ra))[mo]
+        mw = np.concatenate((lw, rw))[mo]
+        return c1 + c2 + cross, merged, mw
 
-    tot = n * (n - 1) // 2
-    ties_x = tie_term(x)
-    ties_y = tie_term(y)
-    ties_xy = tie_term(x.astype("int64") * (2**32) + y.astype("int64"))
-
-    # merge-sort inversion count over y (strict inversions only)
-    arr = y.astype("int64").tolist()
-    swaps = 0
-
-    def msort(a):
-        nonlocal swaps
-        if len(a) <= 1:
-            return a
-        mid = len(a) // 2
-        left, right = msort(a[:mid]), msort(a[mid:])
-        out, i, j = [], 0, 0
-        while i < len(left) and j < len(right):
-            if right[j] < left[i]:
-                swaps += len(left) - i
-                out.append(right[j]); j += 1
-            else:
-                out.append(left[i]); i += 1
-        out.extend(left[i:]); out.extend(right[j:])
-        return out
-
-    msort(arr)
-    return tot - ties_x - ties_y + ties_xy - 2 * swaps, tot, ties_x, ties_y
+    return rec(y, w)[0]
 
 
 def kendall_tau_by(
@@ -1010,41 +1016,183 @@ def kendall_tau_by(
     group_cols,
     x_col: str,
     y_col: str,
+    num_buckets: int = 16,
 ) -> DataFrame:
     """Per-group Kendall's τ-b — the third rank-association measure
     (with ``corr_exact`` and ``spearman_by``), with full tie
     correction: τ_b = (C − D)/√((n₀−n₁)(n₀−n₂)).
 
     C − D has no SQL-aggregate form (it is a pairwise order statistic),
-    so this is one of the repo's few deliberate Arrow paths: Knight's
-    O(n log n) merge-sort inversion count runs per group inside
-    ``applyInPandas`` — exact integer arithmetic end-to-end, so the
-    result is STILL hash-checked against an O(n²) relational oracle
-    (the oracle pays the quadratic pair join; the engine doesn't).
-    Inputs must be integer-valued. One shuffle on the group key;
-    per-group memory is the group's rows. NULL τ on degenerate
-    (all-tied) columns. Returns (group..., n_rows, tau_b) rounded
-    to 6."""
+    but it DOES distribute — this is a two-phase bucketed
+    decomposition, not a one-task-per-group Arrow batch (a 100× hot
+    group must not land on a single core):
+
+    1. bucketize x and y with ``width_bucket`` over per-group min/max
+       (pure codegen, broadcast-joined bounds; equal values always
+       share a bucket, so cross-bucket inequalities are strict);
+    2. the discordant-pair count D then splits exactly into
+         D = Σ_grid  n_i·n_j          (xb_i < xb_j, yb_i > yb_j —
+                                       a product of bucket-cell counts,
+                                       one map-combined aggregate +
+                                       a ≤B²-cells-per-group self-join)
+           + Σ_xb  inv(rows in xb)    (same x-bucket)
+           + Σ_yb  inv(rows in yb) − Σ_(xb,yb) inv(rows in cell)
+                                      (same y-bucket, different xb)
+       where inv(·) is a vectorized Knight merge count
+       (``_weighted_strict_inversions``). The inv terms run as TWO
+       ``applyInPandas`` passes keyed on (group, bucket) — the
+       per-(xb, yb)-cell term is a sub-partition of the x-bucket task
+       and rides along in it — so the hottest group spreads over
+       num_buckets tasks, each holding ~1/num_buckets of its rows;
+    3. n₀ and the tie terms are exact run-length counts folded into
+       the same passes (x never spans x-buckets, y never spans
+       y-buckets; joint ties come from (x, y) run boundaries, never a
+       packed x·2³²+y key — no overflow/collision at any magnitude);
+    4. C − D = n₀ − ties_x − ties_y + ties_xy − 2D, τ-b in one final
+       expression over one row per group.
+
+    The whole operator is 2 full-data shuffles (the two bucket-keyed
+    Arrow passes) + 1 map-combined cell aggregate. ``width_bucket``
+    bounds assume value ranges are not pathologically skewed WITHIN a
+    group; balance only affects parallelism, never correctness.
+    Inputs must be integer-valued. Exact integer arithmetic
+    end-to-end, hash-checked against an O(n²) relational oracle (the
+    oracle pays the quadratic pair join; the engine doesn't). NULL τ
+    on degenerate (all-tied) columns. Returns (group..., n_rows,
+    tau_b) rounded to 6."""
+    import numpy as np
     import pandas as pd
 
     g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        ncd, tot, tx, ty = _kendall_nc_minus_nd(
-            pdf[x_col].astype("int64").values,
-            pdf[y_col].astype("int64").values,
+    base = df.select(*g, F.col(x_col).cast("long").alias("_x"),
+                     F.col(y_col).cast("long").alias("_y"))
+    bounds = base.groupBy(*g).agg(
+        F.min("_x").alias("_x0"), F.max("_x").alias("_x1"),
+        F.min("_y").alias("_y0"), F.max("_y").alias("_y1"),
+    )
+    bucketed = (
+        base.join(F.broadcast(bounds), g)
+        .select(
+            *g, "_x", "_y",
+            F.width_bucket("_x", "_x0", F.col("_x1") + 1,
+                           F.lit(num_buckets)).alias("xb"),
+            F.width_bucket("_y", "_y0", F.col("_y1") + 1,
+                           F.lit(num_buckets)).alias("yb"),
         )
-        denom2 = (tot - tx) * (tot - ty)
-        tau = round(ncd / (denom2**0.5), 6) if denom2 > 0 else None
+    )
+    bucketed = bucketed.localCheckpoint(eager=False)
+
+    # grid term: cross-bucket strict dominance is a pure product of
+    # bucket-cell counts (≤ num_buckets² cells per group)
+    grid = bucketed.groupBy(*g, "xb", "yb").agg(
+        F.count(F.lit(1)).alias("gw")
+    )
+    lo = grid.select(*g, F.col("xb").alias("xb1"),
+                     F.col("yb").alias("yb1"), F.col("gw").alias("gw1"))
+    hi = grid.select(*g, F.col("xb").alias("xb2"),
+                     F.col("yb").alias("yb2"), F.col("gw").alias("gw2"))
+    d_grid = (
+        lo.join(hi, g)
+        .where((F.col("xb1") < F.col("xb2")) & (F.col("yb1") > F.col("yb2")))
+        .groupBy(*g)
+        .agg(F.sum(F.col("gw1") * F.col("gw2")).alias("d_grid"))
+    )
+
+    g_schema = [f"{c} {t}" for c, t in df.select(*g).dtypes]
+
+    def _run_tie_pairs(starts, n):
+        # Σ c(c−1)/2 over run lengths delimited by `starts` bools
+        idx = np.flatnonzero(starts)
+        c = np.diff(np.concatenate((idx, [n])))
+        return int((c * (c - 1) // 2).sum())
+
+    def xb_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        # x values never span x-buckets, so the x-marginal and joint
+        # tie terms (and the group size) partition cleanly across
+        # x-bucket tasks and ride along with the inversion counts —
+        # no separate tie-aggregation shuffles. Same for the per-
+        # (xb, yb)-cell inversion term: a sub-partition of this task.
+        n = len(pdf)
+        ones = np.ones(n, dtype="int64")
+        x = pdf["_x"].values
+        y = pdf["_y"].values
+        inv = _weighted_strict_inversions(x, y, ones)
+        cell_inv = 0
+        for _, sub in pdf.groupby("yb", sort=False):
+            if len(sub) > 1:
+                cell_inv += _weighted_strict_inversions(
+                    sub["_x"].values, sub["_y"].values,
+                    np.ones(len(sub), dtype="int64"),
+                )
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        x_starts = np.concatenate(([True], xs[1:] != xs[:-1]))
+        xy_starts = x_starts.copy()
+        xy_starts[1:] |= ys[1:] != ys[:-1]
+        tx = _run_tie_pairs(x_starts, n)
+        txy = _run_tie_pairs(xy_starts, n)
         return pd.DataFrame(
-            [[*pdf.iloc[0][g].tolist(), len(pdf), tau]],
-            columns=[*g, "n_rows", "tau_b"],
+            [[*pdf.iloc[0][g].tolist(), inv, cell_inv, tx, txy, n]],
+            columns=[*g, "inv", "cell_inv", "tx", "txy", "n_part"],
         )
 
-    schema = ", ".join(
-        [f"{c} {t}" for c, t in df.select(*g).dtypes]
-        + ["n_rows long", "tau_b double"]
+    def yb_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        y = pdf["_y"].values
+        inv = _weighted_strict_inversions(
+            pdf["_x"].values, y, np.ones(n, dtype="int64")
+        )
+        ys = np.sort(y)
+        ty = _run_tie_pairs(
+            np.concatenate(([True], ys[1:] != ys[:-1])), n
+        )
+        return pd.DataFrame(
+            [[*pdf.iloc[0][g].tolist(), inv, ty]],
+            columns=[*g, "inv", "ty"],
+        )
+
+    d_x_side = (
+        bucketed.groupBy(*g, "xb")
+        .applyInPandas(
+            xb_pass,
+            ", ".join(g_schema + ["inv long", "cell_inv long", "tx long",
+                                  "txy long", "n_part long"]),
+        )
+        .groupBy(*g)
+        .agg(F.sum("inv").alias("d_xb"),
+             F.sum("cell_inv").alias("d_cell"),
+             F.sum("tx").alias("tx"),
+             F.sum("txy").alias("txy"),
+             F.sum("n_part").alias("n_rows"))
     )
-    return df.select(*g, x_col, y_col).groupBy(*g).applyInPandas(
-        per_group, schema
+    d_y_side = (
+        bucketed.groupBy(*g, "yb")
+        .applyInPandas(yb_pass, ", ".join(g_schema + ["inv long",
+                                                      "ty long"]))
+        .groupBy(*g)
+        .agg(F.sum("inv").alias("d_yb"), F.sum("ty").alias("ty"))
     )
+
+    joined = (
+        d_x_side.join(d_y_side, g)
+        .join(d_grid, g, "left")
+        .na.fill(0, ["d_grid"])
+    )
+    tot = (
+        (F.col("n_rows") * (F.col("n_rows") - F.lit(1))) / F.lit(2)
+    ).cast("long")
+    d = (
+        F.col("d_grid") + F.col("d_xb") + F.col("d_yb") - F.col("d_cell")
+    )
+    ncd = tot - F.col("tx") - F.col("ty") + F.col("txy") - F.lit(2) * d
+    denom2 = (tot - F.col("tx")) * (tot - F.col("ty"))
+    return joined.select(
+        *g,
+        "n_rows",
+        F.when(
+            denom2 > 0,
+            F.round(ncd / F.sqrt(denom2.cast("double")), 6),
+        ).alias("tau_b"),
+    )
+

@@ -43,6 +43,24 @@ def get_spark(
     # actually creates the session.
     active = SparkSession.getActiveSession()
     if active is not None:
+        # ...but a caller that EXPLICITLY asked for a specific config
+        # must not get the host session's settings silently: apply the
+        # runtime-safe SQL confs they passed, and warn about the rest.
+        if shuffle_partitions is not None:
+            active.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        for k, v in (extra_conf or {}).items():
+            try:
+                active.conf.set(k, v)
+            except Exception:
+                import warnings
+
+                warnings.warn(
+                    f"get_spark(): active session reused; static conf "
+                    f"{k!r} cannot be applied at runtime",
+                    stacklevel=2,
+                )
         return active
     builder = (
         SparkSession.builder.appName(app_name)

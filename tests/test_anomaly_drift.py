@@ -363,3 +363,38 @@ def test_kendall_tau_matches_brute_force_and_extremes(spark):
         [("c", 1, i) for i in range(10)], "grp string, x long, y long"
     )
     assert kendall_tau_by(const, "grp", "x", "y").collect()[0].tau_b is None
+
+
+def test_welch_and_rank_sum_null_stats_on_three_variants(spark):
+    """Two-variant precondition (ADVICE r2): with 3+ variants the
+    min/max selection drops middle variants, so the test statistics
+    must come back NULL rather than silently wrong."""
+    from cancer_survival_etl_spark.operators.stats import (
+        rank_sum_test,
+        welch_ttest,
+    )
+
+    rows = [(v, float(i % 7)) for v in ("a", "b", "c") for i in range(20)]
+    df = spark.createDataFrame(rows, "variant string, metric double")
+    w = welch_ttest(df, "variant", "metric").collect()[0]
+    assert w.t_stat is None and w.df is None
+    # the extreme variants are still reported (a, c) with their sizes
+    assert (w.variant_a, w.variant_b) == ("a", "c")
+    r = rank_sum_test(df, "variant", "metric").collect()[0]
+    assert r.u_stat is None and r.z_stat is None
+    # exactly two variants: stats present again
+    two = df.where(F.col("variant") != "c")
+    assert welch_ttest(two, "variant", "metric").collect()[0].t_stat is not None
+    assert rank_sum_test(two, "variant", "metric").collect()[0].z_stat is not None
+
+
+def test_get_spark_applies_explicit_conf_on_reuse(spark):
+    from cancer_survival_etl_spark.session import get_spark
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        s = get_spark("ignored", shuffle_partitions=13)
+        assert s is spark  # reused, not a new session
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -383,3 +383,39 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_rt
             )
+
+
+def test_kendall_no_single_task_per_group_stage(spark, sf_dir):
+    # VERDICT r2 item 4: the τ-b inversion passes must be keyed on
+    # (group, bucket) — a hot group spreads over num_buckets tasks
+    # instead of landing on one core as a single Arrow batch. Pin:
+    # every FlatMapGroupsInPandas sits above an exchange that hashes
+    # on a bucket column, never on the group column alone.
+    p = _plan(spark, sf_dir, "stats_kendall")
+    lines = p.splitlines()
+    # formatted explain: tree lines carry "NodeName (id)", detail
+    # blocks carry "(id) NodeName" + "Arguments: ...". Map each
+    # FlatMapGroupsInPandas to its direct child Exchange, then check
+    # that exchange hashes on a bucket column.
+    args_of: dict[str, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"\((\d+)\) Exchange", ln.strip())
+        if m:
+            cur = m.group(1)
+        elif cur and ln.strip().startswith("Arguments:"):
+            args_of[cur] = ln
+            cur = None
+    fmg_rows = [i for i, ln in enumerate(lines)
+                if re.search(r"FlatMapGroupsInPandas \(\d+\)", ln)]
+    assert len(fmg_rows) == 2, "kendall must have exactly 2 Arrow passes"
+    for i in fmg_rows:
+        # walk past the in-partition Sort to the feeding Exchange
+        child = None
+        for ln in lines[i + 1:i + 4]:
+            child = re.search(r"Exchange \((\d+)\)", ln)
+            if child:
+                break
+        assert child, lines[i + 1:i + 4]
+        keys = args_of[child.group(1)]
+        assert "xb" in keys or "yb" in keys, keys
