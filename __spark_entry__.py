@@ -4878,6 +4878,101 @@ def q_corpus_curation(spark, sf_dir):
     return curated.select("doc_id", "source", "split")
 
 
+# Pinned BPE merge table (learned once from the sf0.001 corpus with
+# llm/bpe.py::train_bpe_merges, then frozen) — makes the ENCODE pass a
+# deterministic fold adjudicable by a recursive-CTE oracle at any sf.
+_BPE_PINNED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+]
+
+
+def q_tokenizer_bpe_encode(spark, sf_dir):
+    """BPE ENCODE pass with the pinned merge table — unlike the
+    end-to-end `tokenizer_bpe` (whose iterative merge LEARNING has no
+    ANSI form), the encode with a fixed table is a deterministic
+    greedy fold per word, so the oracle replays it verbatim as a
+    DuckDB recursive CTE (the MMR/PAVA/journeys machinery): each step
+    merges the (lowest-rank, leftmost) adjacent pair until none
+    remains. Spark side is the production Arrow-batched
+    `llm/bpe.py::bpe_encode` (memoized per batch, merge table in the
+    closure)."""
+    from cancer_survival_etl_spark.llm.bpe import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode(d, _BPE_PINNED_MERGES).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    mlist = ", ".join(f"'{a}|{b}'" for a, b in _BPE_PINNED_MERGES)
+    # symbols only ever contain [a-z<>/] so '|' is a safe pair
+    # separator; rank*1e6+i picks (lowest rank, leftmost) exactly like
+    # llm/bpe.py::encode_word
+    return f"""
+    WITH RECURSIVE
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS lw
+        FROM documents
+    ),
+    words AS (SELECT DISTINCT unnest(lw) AS w FROM docs),
+    enc AS (
+        SELECT w, list_append(string_split(w, ''), '</w>') AS syms
+        FROM words
+        UNION ALL
+        SELECT w,
+               list_concat(list_concat(
+                   syms[1:bi-1],
+                   [syms[bi] || syms[bi+1]]),
+                   syms[bi+2:len(syms)]) AS syms
+        FROM (
+            SELECT w, syms,
+                   CAST(list_min(list_filter(
+                       list_transform(
+                           generate_series(1, len(syms) - 1),
+                           i -> list_position([{mlist}],
+                                    syms[i] || '|' || syms[i+1])
+                                * 1000000 + i),
+                       v -> v >= 1000000)) % 1000000 AS BIGINT) AS bi
+            FROM enc
+        ) WHERE bi IS NOT NULL
+    ),
+    done AS (
+        SELECT w, syms FROM (
+            SELECT w, syms,
+                   list_min(list_filter(
+                       list_transform(
+                           generate_series(1, len(syms) - 1),
+                           i -> list_position([{mlist}],
+                                    syms[i] || '|' || syms[i+1])),
+                       v -> v > 0)) AS anyr
+            FROM enc
+        ) WHERE anyr IS NULL
+    ),
+    docw AS (
+        SELECT doc_id, i, lw[i] AS w, len(lw) AS nw
+        FROM (SELECT doc_id, lw,
+                     unnest(generate_series(1, len(lw))) AS i
+              FROM docs)
+    )
+    SELECT d.doc_id,
+           CAST(max(d.nw) AS BIGINT) AS n_words,
+           CAST(sum(len(e.syms)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(e.syms, ' '), ' ' ORDER BY d.i)
+               AS tokens
+    FROM docw d JOIN done e ON d.w = e.w
+    GROUP BY d.doc_id
+"""
+
+
 def q_tokenizer_bpe(spark, sf_dir):
     """End-to-end BPE tokenizer: distributed word histogram → driver
     merge loop over the bounded vocabulary (the HuggingFace/
@@ -6325,9 +6420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_rank_sum": q_stats_rank_sum,
         "stats_bh_adjust": q_stats_bh_adjust,
         "stats_cuped": q_stats_cuped,
-        "stats_winsorize": q_stats_winsorize,
+        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "sketch_hll_rollup": q_sketch_hll_rollup,
         # ==== positions 51+: round-4 window queue (never driver-adjudicated) ====
+        "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -8104,6 +8200,7 @@ def oracle_sql() -> dict[str, str]:
         "text_hashed_features": _HASHED_FEATURES_SQL,
         "embedding_drift": _EMBEDDING_DRIFT_SQL,
         "stats_kendall": _KENDALL_SQL,
+        "tokenizer_bpe_encode": _bpe_encode_sql(),
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -90,6 +90,7 @@ HEADLINE = [
     "dataset_mixture",
     "zorder_values",
     "tokenizer_bpe",
+    "tokenizer_bpe_encode",
     "custdist",
     "big_orders",
     "suppliers_kept_waiting",

@@ -81,7 +81,8 @@ def test_correctness_window_composition():
                  "retrieval_mmr", "record_linkage", "linkage_golden",
                  "incremental_agg", "dedup_semantic", "ann_pq_adc",
                  "corpus_curation", "eval_rouge", "eval_bleu",
-                 "stats_kendall", "sketch_hll_rollup"]:
+                 "stats_kendall", "sketch_hll_rollup",
+                 "tokenizer_bpe_encode"]:
         assert must in window, must
     # nothing already driver-green may occupy a window slot
     already_green = {"conditional_agg", "volume_shipping",
