@@ -11,6 +11,7 @@ float determinism: currency-like sums use the exact-cents idiom
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -64,6 +65,17 @@ _MONEY_SQL = "sum(cast(round({x} * 100) as bigint)) / 100.0"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _exact_arm(sf_dir: str) -> bool:
+    """Bound-check sketch queries carry an EXACT adjudication arm (the
+    oracle's ground truth). That arm is the oracle's cost, not the
+    sketch's — at bench scale (sf > 0.01) it would dominate the timing
+    and misread as sketch cost (VERDICT r2 item 7), so it only runs at
+    adjudication scale. Unparseable sf_dir keeps the arm on (safe
+    default: correctness over speed)."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return m is None or float(m.group(1)) <= 0.011
 
 
 # --------------------------------------------------------------------------
@@ -760,6 +772,13 @@ def q_sketch_approx_distinct(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     approx = approx_distinct_by(o, ["o_orderpriority"], "o_custkey", rsd=0.05)
+    if not _exact_arm(sf_dir):
+        # bench scale: time the sketch, not its adjudicator
+        return approx.select(
+            "o_orderpriority",
+            F.lit(None).cast("long").alias("n_exact"),
+            F.lit(None).cast("boolean").alias("within_3rsd"),
+        )
     exact = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_exact")
     )
@@ -3225,6 +3244,13 @@ def q_sketch_hll_rollup(spark, sf_dir):
     )
     daily = hll_rollup(e, ["event_type", "day"], "user_id")
     merged = hll_rollup_merge(daily, "event_type")
+    if not _exact_arm(sf_dir):
+        # bench scale: time the sketch rollup, not its adjudicator
+        return merged.select(
+            "event_type",
+            F.lit(None).cast("long").alias("exact_distinct"),
+            F.lit(None).cast("boolean").alias("within_5pct"),
+        )
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -3942,6 +3968,15 @@ def q_events_rolling_distinct(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     est = rolling_distinct(e, "ts", "user_id", window_days=7)
+    if not _exact_arm(sf_dir):
+        # bench scale: time the one-scan sketch path, not the
+        # rescan-per-day exact adjudicator
+        return est.select(
+            "day",
+            F.lit(None).cast("long").alias("exact_distinct"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.lit(None).cast("boolean").alias("within_5pct"),
+        )
     days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
     u = e.select(
         F.date_trunc("day", "ts").alias("_d"), "user_id"
