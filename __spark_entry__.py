@@ -6167,6 +6167,57 @@ def q_conditional_agg(spark, sf_dir):
 # Training-data text curation: repetition, PII, vocabulary
 # --------------------------------------------------------------------------
 
+def q_text_suffix_repeat(spark, sf_dir):
+    """Longest internal repeated token span per document via a
+    per-doc suffix automaton (`llm/textstats.py::
+    longest_internal_repeat`) — the within-document complement of
+    `dedup_spans`, with no k-shingle length floor. Linear per doc,
+    shuffle-free mapInPandas; the oracle pays the quadratic pair-LCP
+    the automaton avoids, so both sides restrict to a doc sample
+    (doc_id % 25 == 0)."""
+    from cancer_survival_etl_spark.llm.textstats import (
+        longest_internal_repeat,
+    )
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    )
+    return longest_internal_repeat(d)
+
+
+_SUFFIX_REPEAT_SQL = """
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS lt
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    suf AS (
+        SELECT doc_id, lt, unnest(generate_series(1, len(lt))) AS i
+        FROM docs
+    ),
+    l AS (
+        SELECT a.doc_id,
+               coalesce(
+                   list_position(
+                       list_transform(
+                           generate_series(0, len(a.lt) - b.i),
+                           k -> a.lt[a.i + k] = a.lt[b.i + k]),
+                       false) - 1,
+                   len(a.lt) - b.i + 1) AS lcp
+        FROM suf a JOIN suf b
+             ON a.doc_id = b.doc_id AND a.i < b.i
+    )
+    SELECT d.doc_id,
+           CAST(len(d.lt) AS BIGINT) AS n_tokens,
+           CAST(coalesce(max(l.lcp), 0) AS BIGINT) AS max_repeat_len,
+           round(coalesce(max(l.lcp), 0)
+                 / greatest(len(d.lt), 1), 6) AS repeat_ratio
+    FROM docs d LEFT JOIN l ON d.doc_id = l.doc_id
+    GROUP BY d.doc_id, len(d.lt)
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: dup-token ratio, top-token and
     top-bigram fractions (llm.textstats.repetition_stats)."""
@@ -6458,6 +6509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "sketch_hll_rollup": q_sketch_hll_rollup,
         # ==== positions 51+: round-4 window queue (never driver-adjudicated) ====
+        "text_suffix_repeat": q_text_suffix_repeat,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8236,6 +8288,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _EMBEDDING_DRIFT_SQL,
         "stats_kendall": _KENDALL_SQL,
         "tokenizer_bpe_encode": _bpe_encode_sql(),
+        "text_suffix_repeat": _SUFFIX_REPEAT_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -298,3 +298,121 @@ def hashed_features(
         .groupBy(id_col, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+def longest_internal_repeat(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document longest repeated token span via a suffix automaton
+    — the WITHIN-document complement of ``llm/dedup.py::
+    duplicate_spans``. Cross-document span dedup works at k-shingle
+    resolution (spans shorter than k are invisible); internal
+    repetition has no such floor: the suffix automaton of one document
+    finds the longest token sequence occurring ≥ 2 times ANYWHERE in
+    that document, at any length ≥ 1, in linear time (Blumer et al.
+    1985 construction; the standard competitive-programming form).
+
+    The repeat length is the classic "longest repeated substring" =
+    max over automaton states with endpos-multiplicity ≥ 2 of
+    ``state.len`` (multiplicities accumulated up the suffix-link tree
+    in one topological pass). A high value relative to n_tokens is a
+    strong low-quality signal (template spam, copy-paste padding) that
+    ``repetition_stats``' fixed 2/3-gram counters under-read for long
+    periods.
+
+    Scale: per-document linear work and memory inside one Arrow batch
+    (``mapInPandas``) — embarrassingly parallel, no shuffle at all;
+    the output is 3 scalars per document. Exact, so it is adjudicated
+    against a quadratic pair-LCP oracle on a doc sample. Returns
+    (id, n_tokens, max_repeat_len, repeat_ratio)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_tokens", LongType()),
+            StructField("max_repeat_len", LongType()),
+        ]
+    )
+    narrowed = df.select(id_col, text_col)
+
+    def run(batches):
+        import pandas as pd
+
+        def lrs(tokens: list[str]) -> int:
+            # suffix automaton over the token sequence
+            # state: len, link, transitions dict, cnt (clone flag)
+            sa_len = [0]
+            sa_link = [-1]
+            sa_next = [{}]
+            sa_cnt = [0]
+            last = 0
+
+            def new_state(length, link, nxt, cnt):
+                sa_len.append(length)
+                sa_link.append(link)
+                sa_next.append(nxt)
+                sa_cnt.append(cnt)
+                return len(sa_len) - 1
+
+            for ch in tokens:
+                cur = new_state(sa_len[last] + 1, -1, {}, 1)
+                p = last
+                while p != -1 and ch not in sa_next[p]:
+                    sa_next[p][ch] = cur
+                    p = sa_link[p]
+                if p == -1:
+                    sa_link[cur] = 0
+                else:
+                    q = sa_next[p][ch]
+                    if sa_len[p] + 1 == sa_len[q]:
+                        sa_link[cur] = q
+                    else:
+                        clone = new_state(
+                            sa_len[p] + 1, sa_link[q], dict(sa_next[q]), 0
+                        )
+                        while p != -1 and sa_next[p].get(ch) == q:
+                            sa_next[p][ch] = clone
+                            p = sa_link[p]
+                        sa_link[q] = clone
+                        sa_link[cur] = clone
+                last = cur
+            # endpos multiplicities: accumulate up suffix links in
+            # order of decreasing len (a valid topological order)
+            order = sorted(range(1, len(sa_len)),
+                           key=lambda s: -sa_len[s])
+            cnt = list(sa_cnt)
+            best = 0
+            for s in order:
+                if cnt[s] >= 2 and sa_len[s] > best:
+                    best = sa_len[s]
+                if sa_link[s] > 0:
+                    cnt[sa_link[s]] += cnt[s]
+            return best
+
+        for pdf in batches:
+            ids, nt, mr = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in (text or "").split(" ") if t]
+                ids.append(rid)
+                nt.append(len(toks))
+                mr.append(lrs(toks) if toks else 0)
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": nt, "max_repeat_len": mr}
+            )
+
+    # ratio rounded JVM-side: Spark round() is HALF_UP like the
+    # oracle engine's round(); Python's round() is half-even and can
+    # drift on exact 7th-decimal-5 fractions (e.g. n_tokens = 128)
+    return narrowed.mapInPandas(run, schema).select(
+        id_col,
+        "n_tokens",
+        "max_repeat_len",
+        F.round(
+            F.col("max_repeat_len")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("repeat_ratio"),
+    )

@@ -1151,3 +1151,42 @@ def test_hashed_features_plus_logistic_learns_token_rule(spark):
         ((z > 0).cast("int") == F.col("y")).cast("int").alias("ok")
     ).agg(F.avg("ok")).collect()[0][0]
     assert acc >= 0.95, acc  # the 'alert' bucket is fully informative
+
+
+def test_longest_internal_repeat_matches_brute_force(spark):
+    import random
+
+    from cancer_survival_etl_spark.llm.textstats import (
+        longest_internal_repeat,
+    )
+
+    def brute(tokens):
+        n, best = len(tokens), 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                l = 0
+                while j + l < n and tokens[i + l] == tokens[j + l]:
+                    l += 1
+                best = max(best, l)
+        return best
+
+    random.seed(11)
+    rows = []
+    for d in range(30):
+        n = random.randint(0, 40)
+        toks = [random.choice("abcde") for _ in range(n)]
+        rows.append((d, " ".join(toks)))
+    # known cases: exact period-2 repetition, full duplication, empty
+    rows += [
+        (100, "x y x y x y"),       # "x y x y" repeats -> 4
+        (101, "a b c a b c"),       # "a b c" twice -> 3
+        (102, "unique tokens only here"),
+        (103, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.max_repeat_len)
+           for r in longest_internal_repeat(df).collect()}
+    for d, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        assert got[d] == (len(toks), brute(toks)), (d, text, got[d])
+    assert got[100][1] == 4 and got[101][1] == 3 and got[102][1] == 0
