@@ -5008,6 +5008,104 @@ def _bpe_encode_sql() -> str:
 """
 
 
+# Pinned unigram-LM piece costs (trained once on the sf0.001 corpus
+# with llm/unigram.py::train_unigram vocab_size=48 max_piece_len=5,
+# frozen via pinned_scores scale=1000) — integer Viterbi costs make
+# the encode a deterministic fold adjudicable at any sf.
+_UNIGRAM_PINNED_SCORES = {
+    "a": 3322, "agg": 3973, "al": 4032, "atch": 4019, "b": 2930,
+    "c": 4042, "colum": 3947, "d": 4003, "e": 3330, "f": 8158,
+    "fast": 4016, "filte": 4011, "g": 4041, "group": 3993, "h": 4019,
+    "hash": 4005, "i": 4041, "indow": 3949, "j": 8158, "join": 3991,
+    "k": 4019, "key": 3981, "l": 3336, "line": 3980, "m": 4032,
+    "mer": 4042, "merge": 3992, "n": 3947, "o": 4042, "order": 3950,
+    "ow": 4069, "p": 8158, "par": 4019, "part": 3962, "q": 8158,
+    "query": 3993, "r": 2926, "s": 2921, "scan": 3941, "slow": 4007,
+    "sort": 3951, "st": 4042, "t": 4019, "ta": 3337, "tream": 4009,
+    "u": 4042, "up": 7465, "v": 8158, "value": 3976, "vecto": 3996,
+    "w": 3949, "y": 8158,
+}
+_UNIGRAM_UNK_COST = 1_000_000
+
+
+def q_tokenizer_unigram_encode(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) ENCODE with the pinned integer
+    piece costs — min-cost Viterbi segmentation per word, ties broken
+    by fewest pieces then the lexicographically smallest joined piece
+    string (`llm/unigram.py::unigram_encode`). The oracle enumerates
+    EVERY segmentation of each distinct word as a recursive CTE
+    (pieces are bounded and words are short, so the lattice is small)
+    and picks the same (cost, n_pieces, joined) minimum — integer
+    costs sum exactly on both engines. Characters outside the pinned
+    table fall back to single-char UNK pieces at a pinned cost on
+    both sides."""
+    from cancer_survival_etl_spark.llm.unigram import unigram_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_encode(
+        d, _UNIGRAM_PINNED_SCORES, unk_cost=_UNIGRAM_UNK_COST
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens"),
+    )
+
+
+def _unigram_encode_sql() -> str:
+    vals = ", ".join(
+        f"('{p}', {s})" for p, s in sorted(_UNIGRAM_PINNED_SCORES.items())
+    )
+    return f"""
+    WITH RECURSIVE
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS lw
+        FROM documents
+    ),
+    words AS (SELECT DISTINCT unnest(lw) AS w FROM docs),
+    pinned(p, s) AS (VALUES {vals}),
+    allp AS (
+        SELECT p, s FROM pinned
+        UNION ALL
+        SELECT DISTINCT c, {_UNIGRAM_UNK_COST} FROM (
+            SELECT unnest(string_split(w, '')) AS c FROM words
+        ) WHERE c NOT IN (SELECT p FROM pinned)
+    ),
+    seg AS (
+        SELECT w, 0 AS pos, 0 AS score, '' AS path, 0 AS np FROM words
+        UNION ALL
+        SELECT seg.w, seg.pos + len(allp.p), seg.score + allp.s,
+               CASE WHEN seg.path = '' THEN allp.p
+                    ELSE seg.path || ' ' || allp.p END,
+               seg.np + 1
+        FROM seg JOIN allp
+             ON substring(seg.w, seg.pos + 1, len(allp.p)) = allp.p
+        WHERE seg.pos < len(seg.w)
+    ),
+    best AS (
+        SELECT w, path, np FROM (
+            SELECT w, path, np,
+                   row_number() OVER (
+                       PARTITION BY w ORDER BY score, np, path) AS rk
+            FROM seg WHERE pos = len(w)
+        ) WHERE rk = 1
+    ),
+    docw AS (
+        SELECT doc_id, i, lw[i] AS w, len(lw) AS nw
+        FROM (SELECT doc_id, lw,
+                     unnest(generate_series(1, len(lw))) AS i
+              FROM docs)
+    )
+    SELECT d.doc_id,
+           CAST(max(d.nw) AS BIGINT) AS n_words,
+           CAST(sum(b.np) AS BIGINT) AS n_tokens,
+           string_agg(b.path, ' ' ORDER BY d.i) AS tokens
+    FROM docw d JOIN best b ON d.w = b.w
+    GROUP BY d.doc_id
+"""
+
+
 def q_tokenizer_bpe(spark, sf_dir):
     """End-to-end BPE tokenizer: distributed word histogram → driver
     merge loop over the bounded vocabulary (the HuggingFace/
@@ -6510,6 +6608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_rollup": q_sketch_hll_rollup,
         # ==== positions 51+: round-4 window queue (never driver-adjudicated) ====
         "text_suffix_repeat": q_text_suffix_repeat,
+        "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8289,6 +8388,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_kendall": _KENDALL_SQL,
         "tokenizer_bpe_encode": _bpe_encode_sql(),
         "text_suffix_repeat": _SUFFIX_REPEAT_SQL,
+        "tokenizer_unigram_encode": _unigram_encode_sql(),
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -91,6 +91,7 @@ HEADLINE = [
     "zorder_values",
     "tokenizer_bpe",
     "tokenizer_bpe_encode",
+    "tokenizer_unigram_encode",
     "text_suffix_repeat",
     "custdist",
     "big_orders",
