@@ -3704,6 +3704,88 @@ def q_eval_isotonic(spark, sf_dir):
     return isotonic_calibrate(feats, "score", "label", n_bins=20)
 
 
+def q_eval_isotonic_unbinned(spark, sf_dir):
+    """UNBINNED isotonic regression over all 499 distinct quantized
+    scores — the fully distributed PAVA cascade (`llm/evals.py::
+    isotonic_fit`): bucketed local pool-merges re-merged over
+    shrinking rounds (pooling decisions are forced, so the cascade
+    reaches the sequential fixed point exactly). The oracle replays
+    one sequential PAVA pass over the same per-score cells as a
+    recursive CTE — integer cross-multiplied merge decisions, float
+    only in the final ratio."""
+    from cancer_survival_etl_spark.llm.evals import isotonic_fit
+
+    e = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    s = (F.col("event_id") % 499) / 499.0
+    feats = e.select(
+        s.alias("score"),
+        (u < 0.2 + 0.6 * s).cast("int").alias("label"),
+    )
+    return isotonic_fit(feats, "score", "label")
+
+
+_ISOTONIC_UNBINNED_SQL = r"""
+    WITH RECURSIVE base AS (
+        SELECT round((event_id % 499) / 499.0, 6) AS score,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN
+                   (CAST(concat('0x', substring(md5(event_id::VARCHAR),
+                                                1, 8)) AS BIGINT)
+                    % 1000000) / 1000000.0
+                   < 0.2 + 0.6 * ((event_id % 499) / 499.0)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM events GROUP BY 1
+    ),
+    nb AS (SELECT CAST(count(*) AS INT) AS n_cells FROM base),
+    ordered AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY score) AS INT) AS idx
+        FROM base
+    ),
+    rec AS (
+        SELECT 0 AS i, 0 AS s,
+               CAST([] AS STRUCT(lo INT, hi INT, n BIGINT, p BIGINT)[])
+                   AS pools
+        UNION ALL
+        SELECT CASE WHEN viol THEN r.i ELSE r.i + 1 END,
+               r.s + 1,
+               CASE WHEN viol THEN
+                   list_append(r.pools[1:len(r.pools)-2],
+                       {'lo': r.pools[len(r.pools)-1].lo,
+                        'hi': r.pools[len(r.pools)].hi,
+                        'n':  r.pools[len(r.pools)-1].n
+                              + r.pools[len(r.pools)].n,
+                        'p':  r.pools[len(r.pools)-1].p
+                              + r.pools[len(r.pools)].p})
+               ELSE
+                   list_append(r.pools, (
+                       SELECT {'lo': o.idx, 'hi': o.idx,
+                               'n': o.n, 'p': o.n_pos}
+                       FROM ordered o WHERE o.idx = r.i + 1))
+               END
+        FROM rec r, nb,
+             LATERAL (SELECT len(r.pools) >= 2 AND
+                             r.pools[len(r.pools)-1].p
+                             * r.pools[len(r.pools)].n
+                             >= r.pools[len(r.pools)].p
+                               * r.pools[len(r.pools)-1].n
+                      AS viol) v
+        WHERE r.i < nb.n_cells OR viol
+    ),
+    final AS (SELECT pools FROM rec ORDER BY s DESC LIMIT 1)
+    SELECT o.score, o.n, o.n_pos,
+           round(u.pl.p::DOUBLE / u.pl.n, 6) AS calibrated
+    FROM ordered o,
+         (SELECT unnest(pools) AS pl FROM final) u
+    WHERE u.pl.lo <= o.idx AND o.idx <= u.pl.hi
+"""
+
+
 _ISOTONIC_SQL = r"""
     WITH RECURSIVE base AS (
         SELECT CAST(least(floor(((event_id % 100) / 100.0) * 20), 19)
@@ -6609,6 +6691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== positions 51+: round-4 window queue (never driver-adjudicated) ====
         "text_suffix_repeat": q_text_suffix_repeat,
         "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
+        "eval_isotonic_unbinned": q_eval_isotonic_unbinned,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8389,6 +8472,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_encode": _bpe_encode_sql(),
         "text_suffix_repeat": _SUFFIX_REPEAT_SQL,
         "tokenizer_unigram_encode": _unigram_encode_sql(),
+        "eval_isotonic_unbinned": _ISOTONIC_UNBINNED_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -176,6 +176,7 @@ HEADLINE = [
     "graph_triangles",
     "model_train_logistic",
     "eval_isotonic",
+    "eval_isotonic_unbinned",
     "join_size_estimate",
     "text_hashed_features",
     "embedding_drift",

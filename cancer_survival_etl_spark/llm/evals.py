@@ -460,3 +460,112 @@ def isotonic_calibrate(
     return spark.createDataFrame(
         out, "bin int, n bigint, n_pos bigint, calibrated double"
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    precision: int = 6,
+    start_buckets: int = 64,
+    fan_in: int = 8,
+) -> DataFrame:
+    """UNBINNED isotonic regression — PAVA over every distinct
+    (quantized) score, not a fixed bin grid — fully distributed: no
+    driver-side pool loop, no single task holding the raw data
+    (the handoff item behind ``isotonic_calibrate``'s bounded-bins
+    design; VERDICT r2 §next/5-6 lineage).
+
+    Why this distributes: PAVA's pooling decisions are FORCED — any
+    adjacent violator pair must share a pool in the optimum — so
+    pooling a contiguous score range locally and re-merging the
+    surviving pool boundaries later reaches the same unique fixed
+    point as one sequential pass. The cascade:
+
+    1. collapse to exact integer cells per quantized score (one
+       map-combined aggregate; 10^precision bounds the state — 6 dp
+       scores give ≤ ~2M cells at ANY corpus size);
+    2. rounds of bucketed PAVA: range-bucket pools by score
+       (``width_bucket`` over the once-computed global bounds), run
+       the stack merge per bucket inside ``applyInPandas``, divide
+       the bucket count by ``fan_in``; after the 1-bucket round the
+       pools are the global optimum. Each round only ever SHRINKS the
+       frame, and the final single task scans surviving pools, not
+       raw rows. Merge decisions compare cross-multiplied integers —
+       no float ever decides a pool.
+
+    Returns one row per quantized score: (score, n, n_pos,
+    calibrated), calibrated = its pool's exact rate rounded to 6,
+    monotone non-decreasing by construction."""
+    import pandas as pd
+
+    cells = (
+        df.groupBy(F.round(F.col(score_col), precision).alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+    )
+    cells = cells.localCheckpoint(eager=False)
+    bounds = cells.agg(
+        F.min("score").alias("_lo"), F.max("score").alias("_hi")
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("lo")
+        pools: list[list] = []  # [lo, hi, n, p]
+        for lo, hi, n, p in zip(pdf["lo"], pdf["hi"], pdf["n"],
+                                pdf["n_pos"]):
+            pools.append([lo, hi, int(n), int(p)])
+            while len(pools) > 1 and (
+                pools[-2][3] * pools[-1][2]
+                >= pools[-1][3] * pools[-2][2]
+            ):
+                a, b = pools[-2], pools[-1]
+                pools[-2:] = [[a[0], b[1], a[2] + b[2], a[3] + b[3]]]
+        return pd.DataFrame(
+            pools, columns=["lo", "hi", "n", "n_pos"]
+        )
+
+    pools = cells.select(
+        F.col("score").alias("lo"),
+        F.col("score").alias("hi"),
+        "n",
+        "n_pos",
+    )
+    schema = "lo double, hi double, n long, n_pos long"
+    p = start_buckets
+    while True:
+        bucketed = pools.join(F.broadcast(bounds)).withColumn(
+            "_b",
+            F.width_bucket(
+                "lo", "_lo", F.col("_hi") + F.lit(1e-9), F.lit(p)
+            ),
+        )
+        pools = (
+            bucketed.groupBy("_b")
+            .applyInPandas(
+                lambda pdf: pava(pdf[["lo", "hi", "n", "n_pos"]]), schema
+            )
+        )
+        if p == 1:
+            break
+        p = max(1, p // fan_in)
+
+    rate = F.round(
+        F.col("n_pos_pool").cast("double") / F.col("n_pool"), 6
+    )
+    seg = pools.select(
+        "lo",
+        "hi",
+        F.col("n").alias("n_pool"),
+        F.col("n_pos").alias("n_pos_pool"),
+    )
+    return (
+        cells.join(
+            F.broadcast(seg),
+            (F.col("score") >= F.col("lo"))
+            & (F.col("score") <= F.col("hi")),
+        )
+        .select("score", "n", "n_pos", rate.alias("calibrated"))
+    )

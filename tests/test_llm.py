@@ -1236,3 +1236,42 @@ def test_unigram_encode_driver_executor_agreement(spark):
         words = [w for w in text.split(" ") if w]
         toks = [t for w in words for t in viterbi_segment(w, scores)[0]]
         assert got[d] == (len(words), len(toks), toks), (d, got[d], toks)
+
+
+def test_isotonic_fit_unbinned_matches_sequential_pava(spark):
+    import random
+
+    from cancer_survival_etl_spark.llm.evals import isotonic_fit
+
+    random.seed(5)
+    rows = [(round(random.randint(0, 300) / 300.0, 6),
+             1 if random.random() < 0.5 else 0) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "score double, label int")
+
+    # reference: one sequential PAVA over the exact per-score cells
+    cells = {}
+    for s, y in rows:
+        n, p = cells.get(s, (0, 0))
+        cells[s] = (n + 1, p + y)
+    pools = []
+    for s in sorted(cells):
+        n, p = cells[s]
+        pools.append([s, s, n, p])
+        while len(pools) > 1 and (
+            pools[-2][3] * pools[-1][2] >= pools[-1][3] * pools[-2][2]
+        ):
+            a, b = pools[-2], pools[-1]
+            pools[-2:] = [[a[0], b[1], a[2] + b[2], a[3] + b[3]]]
+    want = {}
+    for lo, hi, n, p in pools:
+        for s in sorted(cells):
+            if lo <= s <= hi:
+                want[s] = (cells[s][0], cells[s][1], round(p / n, 6))
+
+    got = {r.score: (r.n, r.n_pos, r.calibrated)
+           for r in isotonic_fit(df, "score", "label",
+                                 start_buckets=16, fan_in=4).collect()}
+    assert got == want
+    # monotone non-decreasing over scores
+    cal = [got[s][2] for s in sorted(got)]
+    assert cal == sorted(cal)
