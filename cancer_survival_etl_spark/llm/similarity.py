@@ -979,3 +979,142 @@ def hard_negative_mining(
         .withColumn("rank_val", F.row_number().over(w))
         .filter(F.col("rank_val") <= k)
     )
+
+
+def build_lsh_pq_index(
+    corpus: DataFrame,
+    path: str,
+    num_tables: int = 2,
+    num_planes: int = 6,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an EMBEDDING near-dup index with PQ codes riding in
+    the band rows — the embedding analog of ``llm/dedup.py::
+    build_band_index`` closing its handoff item (PQ codes in the
+    incremental band-index path): entries are (table_id, bucket,
+    vec_id, codes) where bucket is the hyperplane-LSH key and codes
+    are the vector's m byte-sized PQ indices, so a later probe
+    verifies candidates by ADC **on the index rows alone** — the raw
+    corpus vectors are never read at probe time (the text-index probe
+    still fetches candidate text; this one doesn't even do that).
+
+    ``mode='append'`` is the ingest loop: codebooks are READ from the
+    index (never retrained — appended codes must live in the same
+    code space) and only the delta's entries land. ``overwrite``
+    trains codebooks (deterministic with ``pq_iters=0``) and writes
+    them to ``path/codebooks``."""
+    spark = corpus.sparkSession
+    if mode == "append":
+        cb = spark.read.parquet(f"{path}/codebooks").select(
+            "sub", "centroid_id", F.col("vec").alias("_cbv")
+        )
+    else:
+        cb = pq_train(
+            corpus, m, sub_dim, n_codes, pq_iters, id_col, vec_col
+        )
+        cb.select(
+            "sub", "centroid_id", F.col("_cbv").alias("vec")
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes_wide = (
+        pq_encode(corpus, cb, m, sub_dim, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ).alias("_p")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("_p"), lambda p: p.getField("code")).alias(
+                "codes"
+            ),
+        )
+    )
+    tables = [
+        corpus.select(
+            F.lit(t).alias("table_id"),
+            hyperplane_bucket(vec_col, num_planes, t).alias("bucket"),
+            F.col(id_col),
+        )
+        for t in range(num_tables)
+    ]
+    entries = tables[0]
+    for t in tables[1:]:
+        entries = entries.unionByName(t)
+    entries.join(codes_wide, id_col).write.mode(mode).parquet(
+        f"{path}/entries"
+    )
+
+
+def probe_lsh_pq_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    threshold: float,
+    num_tables: int = 2,
+    num_planes: int = 6,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicates of an ingest delta against the indexed corpus,
+    verified WITHOUT touching any corpus vector: the delta's LSH
+    buckets equi-join the persisted entries (work ∝ delta + bucket
+    collisions), then each candidate's stored PQ codes are scored by
+    asymmetric distance against the delta vector's m×k table — the
+    ``pq_topk_adc`` arithmetic verbatim (per-cell distance rounded to
+    6 dp, the sum re-rounded), so the probe's adist2 is bit-identical
+    to the in-memory ADC on the same codebooks. Pairs with adist2 ≤
+    ``threshold`` survive. Returns (new_id, corpus_id, adist2)."""
+    cb = spark.read.parquet(f"{path}/codebooks").select(
+        "sub", F.col("centroid_id").alias("code"),
+        F.col("vec").alias("_cbv"),
+    )
+    idx = spark.read.parquet(f"{path}/entries")
+    probes = [
+        new_vecs.select(
+            F.lit(t).alias("table_id"),
+            hyperplane_bucket(vec_col, num_planes, t).alias("bucket"),
+            F.col(id_col).alias("_new_id"),
+        )
+        for t in range(num_tables)
+    ]
+    probe = probes[0]
+    for t in probes[1:]:
+        probe = probe.unionByName(t)
+    cand = (
+        probe.join(idx, ["table_id", "bucket"])
+        .filter(F.col("_new_id") != F.col(id_col))
+        .select("_new_id", F.col(id_col).alias("_old_id"), "codes")
+        .distinct()
+    )
+    qsub = pq_subvectors(
+        new_vecs, m, sub_dim, id_col, vec_col, out_id="_new_id"
+    )
+    table = qsub.join(F.broadcast(cb), "sub").select(
+        "_new_id",
+        "sub",
+        "code",
+        F.round(_dist2(F.col("subv"), F.col("_cbv")), 6).alias("_d2"),
+    )
+    return (
+        cand.select(
+            "_new_id", "_old_id", F.posexplode("codes").alias("sub", "code")
+        )
+        .join(table, ["_new_id", "sub", "code"])
+        .groupBy("_new_id", "_old_id")
+        .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+        .filter(F.col("adist2") <= threshold)
+        .select(
+            F.col("_new_id").alias("new_id"),
+            F.col("_old_id").alias("corpus_id"),
+            "adist2",
+        )
+    )

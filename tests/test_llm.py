@@ -1275,3 +1275,79 @@ def test_isotonic_fit_unbinned_matches_sequential_pava(spark):
     # monotone non-decreasing over scores
     cal = [got[s][2] for s in sorted(got)]
     assert cal == sorted(cal)
+
+
+def test_lsh_pq_index_probe_matches_in_memory_adc(spark, tmp_path):
+    """build_lsh_pq_index + probe_lsh_pq_index: candidates come from
+    persisted band rows, verification from the stored PQ codes alone —
+    and the adist2 is bit-identical to the in-memory ADC on the same
+    codebooks (pq_topk_adc arithmetic). Append keeps the code space:
+    codebooks are read back, never retrained."""
+    import random
+
+    from cancer_survival_etl_spark.llm.similarity import (
+        build_lsh_pq_index,
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+        probe_lsh_pq_index,
+    )
+
+    random.seed(21)
+    dim, m, sub_dim = 16, 4, 4
+
+    def vec():
+        return [round(random.uniform(-1, 1), 3) for _ in range(dim)]
+
+    base = [(i, vec()) for i in range(24)]
+    corpus = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "lshpq")
+    build_lsh_pq_index(corpus, path, m=m, sub_dim=sub_dim, n_codes=8)
+
+    # delta: near-copies of two corpus vectors + one far vector
+    delta_rows = [
+        (100, [v + 0.001 for v in base[3][1]]),
+        (101, [v - 0.001 for v in base[7][1]]),
+        (102, [5.0] * dim),
+    ]
+    delta = spark.createDataFrame(
+        delta_rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.adist2
+        for r in probe_lsh_pq_index(
+            spark, path, delta, threshold=0.5, m=m, sub_dim=sub_dim
+        ).collect()
+    }
+    assert any(k[0] == 100 and k[1] == 3 for k in got), got
+    assert any(k[0] == 101 and k[1] == 7 for k in got), got
+    assert not any(k[0] == 102 for k in got), got
+
+    # probe adist2 must equal the in-memory ADC on the same codebooks
+    cb = pq_train(corpus, m, sub_dim, 8)
+    codes = pq_encode(corpus, cb, m, sub_dim)
+    adc = {
+        (r.query_id, r.neighbor_id): r.adist2
+        for r in pq_topk_adc(
+            corpus, delta, k=24, m=m, sub_dim=sub_dim,
+            codebooks=cb, codes=codes,
+        ).collect()
+    }
+    for pair, d in got.items():
+        assert adc[pair] == d, (pair, d, adc[pair])
+
+    # append path: new corpus docs become probeable, code space stable
+    extra = spark.createDataFrame(
+        [(50, [v + 0.002 for v in base[3][1]])],
+        "vec_id long, embedding array<double>",
+    )
+    build_lsh_pq_index(extra, path, m=m, sub_dim=sub_dim, mode="append")
+    got2 = {
+        (r.new_id, r.corpus_id)
+        for r in probe_lsh_pq_index(
+            spark, path, delta, threshold=0.5, m=m, sub_dim=sub_dim
+        ).collect()
+    }
+    assert (100, 50) in got2 and set(got) <= got2, got2
