@@ -5853,6 +5853,63 @@ _DSIR_SQL = """
 """
 
 
+def q_events_cusum(spark, sf_dir):
+    """Two-sided CUSUM mean-shift chart per event type over the daily
+    cents series (`operators/timeseries.py::cusum_changepoints`):
+    the sequential max(0, S+y) recursion rewritten as prefix-sum minus
+    running-min — two window frames over one sort, no UDF — with
+    exact-integer deviations and alarms. The oracle mirrors the
+    window expressions verbatim."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoints(
+        e, "event_type", "ts", "value", k_slack_cents=25, h_cents=2000
+    )
+
+
+_CUSUM_SQL = """
+    WITH daily AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT *,
+               CAST(floor(
+                   sum(day_cents) OVER (PARTITION BY key)
+                   / (count(*) OVER (PARTITION BY key))::DOUBLE
+               ) AS BIGINT) AS mean_c
+        FROM daily
+    ),
+    p AS (
+        SELECT key, day, day_cents,
+               sum(day_cents - mean_c - 25) OVER w AS pp,
+               sum(day_cents - mean_c + 25) OVER w AS pn
+        FROM m
+        WINDOW w AS (PARTITION BY key ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+        SELECT key, day, day_cents,
+               pp - least(min(pp) OVER w, 0) AS cusum_pos,
+               greatest(max(pn) OVER w, 0) - pn AS cusum_neg
+        FROM p
+        WINDOW w AS (PARTITION BY key ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT key, day, day_cents,
+           CAST(cusum_pos AS BIGINT) AS cusum_pos,
+           CAST(cusum_neg AS BIGINT) AS cusum_neg,
+           cusum_pos > 2000 AS alarm_pos,
+           cusum_neg > 2000 AS alarm_neg
+    FROM s
+"""
+
+
 def q_events_anomaly(spark, sf_dir):
     """Rolling-MAD robust anomaly detection per user over event values
     (cents-exact): flag when |value − rolling median| > 3 × rolling MAD.
@@ -6692,6 +6749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_suffix_repeat": q_text_suffix_repeat,
         "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
         "eval_isotonic_unbinned": q_eval_isotonic_unbinned,
+        "events_cusum": q_events_cusum,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8473,6 +8531,7 @@ def oracle_sql() -> dict[str, str]:
         "text_suffix_repeat": _SUFFIX_REPEAT_SQL,
         "tokenizer_unigram_encode": _unigram_encode_sql(),
         "eval_isotonic_unbinned": _ISOTONIC_UNBINNED_SQL,
+        "events_cusum": _CUSUM_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -133,6 +133,7 @@ HEADLINE = [
     "record_linkage",
     "incremental_agg",
     "events_anomaly",
+    "events_cusum",
     "stats_psi_drift",
     "bloom_decontaminate",
     "hierarchy_closure",

@@ -699,3 +699,92 @@ def journey_matches(
         F.col("_j.sk").alias("start_id"),
         F.col("_j.en").alias("match_end_ts"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k_slack_cents: int = 0,
+    h_cents: int = 500,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection per key over a daily
+    series (Page 1954 — the classic sequential changepoint chart):
+    alarm when the cumulative deviation from the key's own mean drifts
+    past ``h`` in either direction, with per-step slack ``k``
+    absorbing in-control noise.
+
+    The textbook recursion S_t = max(0, S_{t-1} + y_t) looks
+    inherently sequential, but it has a closed window form: with
+    P_t = Σ_{j≤t} y_j, S_t = P_t − min_{j≤t} P_j — a running sum and
+    a running min, two frames over ONE sort. Both CUSUM sides and the
+    alarms are therefore pure window expressions (WholeStageCodegen,
+    no UDF), and the whole operator is one shuffle on the key with an
+    oracle that mirrors it verbatim.
+
+    EXACT integer arithmetic: the day's value sums to cents; the
+    key's reference is floor(total_cents / n_days) — one double
+    division per key over exact integer inputs, mirrored verbatim by
+    the oracle (bit-identical below 2⁵³ cents per key; past that,
+    switch the accumulators to decimal as in ``operators/stats.py``).
+    Deviations, slack, and the threshold comparisons are all bigint —
+    no float ever decides an alarm. Returns one row per (key, day):
+    (key, day, day_cents, cusum_pos, cusum_neg, alarm_pos,
+    alarm_neg) where cusum_* are the chart statistics in cents.
+
+    Scale: the daily collapse is a map-combined aggregate; the series
+    per key is #days rows (bounded by calendar, not corpus), so the
+    per-key window is small by construction — same shape as
+    ``events_rollup``."""
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "day_cents"
+            )
+        )
+    )
+    per_key = Window.partitionBy("key")
+    n_days = F.count(F.lit(1)).over(per_key)
+    total = F.sum("day_cents").over(per_key)
+    # exact per-key reference: floor of the mean in cents (integer)
+    mean_c = F.floor(total / n_days).cast("long")
+    stat = daily.select(
+        "key",
+        "day",
+        "day_cents",
+        (F.col("day_cents") - mean_c - F.lit(k_slack_cents)).alias("_yp"),
+        (F.col("day_cents") - mean_c + F.lit(k_slack_cents)).alias("_yn"),
+    )
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = stat.select(
+        "key",
+        "day",
+        "day_cents",
+        F.sum("_yp").over(w_cum).alias("_pp"),
+        F.sum("_yn").over(w_cum).alias("_pn"),
+    )
+    cusum_pos = F.col("_pp") - F.least(
+        F.min("_pp").over(w_cum), F.lit(0).cast("long")
+    )
+    cusum_neg = (
+        F.greatest(F.max("_pn").over(w_cum), F.lit(0).cast("long"))
+        - F.col("_pn")
+    )
+    return stepped.select(
+        "key",
+        "day",
+        "day_cents",
+        cusum_pos.alias("cusum_pos"),
+        cusum_neg.alias("cusum_neg"),
+        (cusum_pos > h_cents).alias("alarm_pos"),
+        (cusum_neg > h_cents).alias("alarm_neg"),
+    )

@@ -398,3 +398,36 @@ def test_get_spark_applies_explicit_conf_on_reuse(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The window form P_t - min(P_j) must equal the textbook
+    max(0, S + y) fold exactly, alarms included."""
+    import datetime
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # planted upward shift from day 10, downward from day 20
+    vals = [10.0] * 10 + [14.0] * 10 + [4.0] * 10
+    rows = [("a", base + datetime.timedelta(days=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r.day.day + (r.day.month - 1) * 31: r for r in
+           cusum_changepoints(df, "event_type", "ts", "value",
+                              k_slack_cents=50, h_cents=1500).collect()}
+
+    cents = [round(v * 100) for v in vals]
+    mean_c = sum(cents) // len(cents)
+    sp = sn = 0
+    for i, c in enumerate(cents):
+        sp = max(0, sp + c - mean_c - 50)
+        sn = max(0, sn + mean_c - c - 50)
+        r = out[i + 1]
+        assert (r.cusum_pos, r.cusum_neg) == (sp, sn), (i, sp, sn, r)
+        assert r.alarm_pos == (sp > 1500) and r.alarm_neg == (sn > 1500)
+    # the planted shifts actually fire
+    assert any(r.alarm_pos for r in out.values())
+    assert any(r.alarm_neg for r in out.values())
