@@ -1118,3 +1118,123 @@ def probe_lsh_pq_index(
             "adist2",
         )
     )
+
+
+def pq_pack_codes(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Pack long-form PQ codes (vec_id, sub, code) into ONE binary
+    cell per vector — byte i is subspace i's code (requires n_codes ≤
+    256, the standard PQ byte budget). This is the real
+    1-byte/component lake layout: a 64-dim float vector compressed by
+    m=16 PQ codes stores as a single 16-byte value, no per-subspace
+    row or array overhead. Returns (id, codes_bin)."""
+    return (
+        codes.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ).alias("_p")
+        )
+        .select(
+            id_col,
+            F.to_binary(
+                F.array_join(
+                    F.transform(
+                        F.col("_p"),
+                        lambda p: F.lpad(
+                            F.hex(p.getField("code")), 2, "0"
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("hex"),
+            ).alias("codes_bin"),
+        )
+    )
+
+
+def pq_topk_adc_packed(
+    packed: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-``k`` over the PACKED byte codes: the per-query m×k
+    distance tables are collected (|queries|·m·k doubles — broadcast
+    scale by construction) and every corpus row is scored for ALL
+    queries in one vectorized numpy gather per Arrow batch —
+    ``T[q, sub, C]`` summed over subspaces. No (sub, code) join, no
+    n·m row explosion: the corpus-side input is one narrow pass over
+    n packed rows, and the only shuffle is the final per-query top-k.
+
+    Arithmetic mirrors ``pq_topk_adc`` exactly (per-cell distance
+    rounded to 6 dp, the per-pair sum re-rounded) so the two paths are
+    interchangeable — pinned identical by test. Returns (query_id,
+    neighbor_id, adist2, rank_val)."""
+    import numpy as np
+    import pandas as pd
+
+    qsub = pq_subvectors(
+        queries, m, sub_dim, id_col, vec_col, out_id="query_id"
+    )
+    tbl_rows = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("centroid_id").alias("code"),
+            F.round(_dist2(F.col("subv"), F.col("_cbv")), 6).alias("_d2"),
+        )
+        .collect()
+    )
+    qids = sorted({r["query_id"] for r in tbl_rows})
+    qpos = {q: i for i, q in enumerate(qids)}
+    n_codes = 1 + max(r["code"] for r in tbl_rows)
+    table = np.zeros((len(qids), m, n_codes))
+    for r in tbl_rows:
+        table[qpos[r["query_id"]], r["sub"], r["code"]] = r["_d2"]
+    qid_arr = np.asarray(qids)
+
+    out_schema = (
+        f"{id_col} long, query_id long, adist2 double"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["codes_bin"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            # (q, rows): gather each subspace's cell, sum, re-round
+            d = np.zeros((len(qid_arr), len(pdf)))
+            for s in range(m):
+                d += table[:, s, C[:, s]]
+            d = d.round(6)
+            rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.tile(
+                        pdf[id_col].values, len(qid_arr)
+                    ),
+                    "query_id": np.repeat(qid_arr, rows),
+                    "adist2": d.reshape(-1),
+                }
+            )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        packed.select(id_col, "codes_bin")
+        .mapInPandas(score, out_schema)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adist2"
+        )
+        .withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
+    )

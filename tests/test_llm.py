@@ -1351,3 +1351,42 @@ def test_lsh_pq_index_probe_matches_in_memory_adc(spark, tmp_path):
         ).collect()
     }
     assert (100, 50) in got2 and set(got) <= got2, got2
+
+
+def test_packed_adc_matches_long_form_adc(spark):
+    """pq_pack_codes + pq_topk_adc_packed: the 1-byte/component packed
+    layout must reproduce the long-form join ADC exactly — same
+    neighbours, same adist2, same ranks."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        pq_encode,
+        pq_pack_codes,
+        pq_topk_adc,
+        pq_topk_adc_packed,
+        pq_train,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    m, sub_dim = 8, 8
+    cb = pq_train(emb, m, sub_dim, k=16)
+    codes = pq_encode(emb, cb, m, sub_dim)
+    packed = pq_pack_codes(codes)
+    # packed payload really is m bytes per vector
+    one = packed.limit(1).collect()[0]
+    assert len(one.codes_bin) == m
+
+    long_form = {
+        (r.query_id, r.neighbor_id): (r.adist2, r.rank_val)
+        for r in pq_topk_adc(
+            emb, queries, k=10, m=m, sub_dim=sub_dim,
+            codebooks=cb, codes=codes,
+        ).collect()
+    }
+    packed_form = {
+        (r.query_id, r.neighbor_id): (r.adist2, r.rank_val)
+        for r in pq_topk_adc_packed(
+            packed, queries, cb, k=10, m=m, sub_dim=sub_dim
+        ).collect()
+    }
+    assert packed_form == long_form

@@ -138,6 +138,79 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
+    # round-3 additions probe on the events table (kendall/cusum/
+    # isotonic operate on event-shaped series; suffix/unigram on docs)
+    from cancer_survival_etl_spark.llm.evals import isotonic_fit
+    from cancer_survival_etl_spark.llm.textstats import (
+        longest_internal_repeat,
+    )
+    from cancer_survival_etl_spark.llm.unigram import unigram_encode
+    from cancer_survival_etl_spark.operators.stats import kendall_tau_by
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+
+    def amplify_ev(factor: int):
+        out = events
+        n = events.count()
+        for i in range(1, factor):
+            out = out.unionByName(
+                events.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * n)
+                )
+            )
+        return fan_out(out).localCheckpoint(eager=True)
+
+    uni_scores = {c: 4000 for c in "abcdefghijklmnopqrstuvwxyz"}
+    for factor in (1, 4, 8):
+        e_amp = amplify_ev(factor)
+        n = e_amp.count()
+        feats = e_amp.select(
+            "event_type",
+            (F.round(F.col("value") * 100, 0).cast("long") % 1000).alias(
+                "xb"
+            ),
+            F.col("user_id").alias("yv"),
+        )
+        iso = e_amp.select(
+            ((F.col("event_id") % 499) / 499.0).alias("score"),
+            (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+        )
+        row = [f"{factor}x ({n} events)"]
+        row.append(
+            "kendall "
+            f"{best_of(2, lambda: kendall_tau_by(feats, 'event_type', 'xb', 'yv')):.2f}s"
+        )
+        row.append(
+            "cusum "
+            f"{best_of(2, lambda: cusum_changepoints(e_amp, 'event_type', 'ts', 'value')):.2f}s"
+        )
+        row.append(
+            "isotonic_unbinned "
+            f"{best_of(2, lambda: isotonic_fit(iso, 'score', 'label')):.2f}s"
+        )
+        print("  ".join(row))
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    for factor in (1, 4, 8):
+        d = amplify(docs, factor)
+        n = d.count()
+        row = [f"{factor}x ({n} docs)"]
+        row.append(
+            "suffix_repeat "
+            f"{best_of(2, lambda: longest_internal_repeat(d)):.2f}s"
+        )
+        row.append(
+            "unigram_encode "
+            f"{best_of(2, lambda: unigram_encode(d, uni_scores)):.2f}s"
+        )
+        print("  ".join(row))
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
 
 if __name__ == "__main__":
     main()
