@@ -100,3 +100,80 @@ def stream_stream_interval_join(
         )
     )
     return l.join(r, cond)
+
+
+def streaming_near_dup_probe(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    threshold: float,
+    num_tables: int = 2,
+    num_planes: int = 6,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The incremental embedding-dedup ingest loop as a STREAM: each
+    micro-batch of vectors is probed against the persisted LSH+PQ
+    entries lake (`llm/similarity.py::probe_lsh_pq_index` — ADC on
+    index rows, no corpus vector reads), matched pairs land under
+    ``pairs_path/epoch=<id>/``, and the batch's own entries are
+    appended so the NEXT micro-batch sees them. Returns the
+    ``writeStream`` builder (caller picks the trigger and starts it).
+
+    Exactly-once notes (the replay contract):
+    - pair output is written per-epoch with ``overwrite`` into the
+      epoch's own directory — a replayed micro-batch overwrites its
+      previous attempt instead of duplicating pairs (idempotent);
+    - the index append is NOT idempotent, but duplicate entry rows are
+      HARMLESS by construction: `probe_lsh_pq_index` distincts its
+      candidate pairs, so a replayed append only re-creates the same
+      candidates. State lives in the lake, not the state store — the
+      stream itself is stateless (foreachBatch only).
+    - codebooks must exist before the stream starts (an ``overwrite``
+      build on a seed corpus) — append mode never retrains, so every
+      epoch's codes share the code space.
+    """
+    from cancer_survival_etl_spark.llm.similarity import (
+        build_lsh_pq_index,
+        probe_lsh_pq_index,
+    )
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        pairs = probe_lsh_pq_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            threshold,
+            num_tables,
+            num_planes,
+            m,
+            sub_dim,
+            id_col,
+            vec_col,
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/epoch={epoch_id}"
+        )
+        build_lsh_pq_index(
+            batch_df,
+            index_path,
+            num_tables,
+            num_planes,
+            m,
+            sub_dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            mode="append",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )

@@ -876,3 +876,85 @@ def test_tumbling_distinct_users_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     for k, (est, _) in got.items():
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), k
+
+
+def test_streaming_near_dup_probe_ingest_loop(spark, tmp_path):
+    """Two micro-batches through the LSH+PQ ingest loop: batch 1's
+    near-copy of a seed vector is caught against the seed index; batch
+    2's near-copy of a BATCH-1 vector is caught because batch 1's
+    entries were appended — the stream sees its own past."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.llm.similarity import build_lsh_pq_index
+    from cancer_survival_etl_spark.streaming.dedup import (
+        streaming_near_dup_probe,
+    )
+
+    random.seed(33)
+    dim, m, sub_dim = 16, 4, 4
+
+    def vec():
+        return [round(random.uniform(-1, 1), 3) for _ in range(dim)]
+
+    seed = [(i, vec()) for i in range(20)]
+    corpus = spark.createDataFrame(
+        seed, "vec_id long, embedding array<double>"
+    )
+    index_path = str(tmp_path / "idx")
+    build_lsh_pq_index(corpus, index_path, m=m, sub_dim=sub_dim, n_codes=8)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # 101 sits near a codebook centroid (seed[2] is in the n_codes=8
+    # deterministic-init training prefix) so its stored codes
+    # reconstruct it tightly — the batch-2 ADC must clear the
+    # threshold on quantized distance, not luck
+    b1 = [(100, [v + 0.001 for v in seed[5][1]]),
+          (101, [v + 0.002 for v in seed[2][1]])]
+    spark.createDataFrame(
+        b1, "vec_id long, embedding array<double>"
+    ).write.parquet(str(in_dir / "b1"))
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir / "*"))
+    q = streaming_near_dup_probe(
+        stream,
+        index_path,
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+        m=m,
+        sub_dim=sub_dim,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got1 = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert (100, 5) in got1, got1
+
+    # batch 2 duplicates a batch-1 vector (101) — only catchable if the
+    # loop appended batch 1's entries
+    b2 = [(200, [v - 0.001 for v in b1[1][1]])]
+    spark.createDataFrame(
+        b2, "vec_id long, embedding array<double>"
+    ).write.parquet(str(in_dir / "b2"))
+    q = streaming_near_dup_probe(
+        stream,
+        index_path,
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+        m=m,
+        sub_dim=sub_dim,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    got2 = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert (200, 101) in got2, got2
