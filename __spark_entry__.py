@@ -6444,13 +6444,28 @@ _SUFFIX_REPEAT_SQL = """
                    len(a.lt) - b.i + 1) AS lcp
         FROM suf a JOIN suf b
              ON a.doc_id = b.doc_id AND a.i < b.i
+    ),
+    ds AS (
+        SELECT doc_id,
+               CAST(count(DISTINCT array_to_string(lt[i:j], ' '))
+                    AS BIGINT) AS n_distinct
+        FROM (
+            SELECT doc_id, lt, i,
+                   unnest(generate_series(i, len(lt))) AS j
+            FROM suf
+        )
+        GROUP BY doc_id
     )
     SELECT d.doc_id,
            CAST(len(d.lt) AS BIGINT) AS n_tokens,
            CAST(coalesce(max(l.lcp), 0) AS BIGINT) AS max_repeat_len,
+           CAST(coalesce(max(ds.n_distinct), 0) AS BIGINT)
+               AS distinct_substrings,
            round(coalesce(max(l.lcp), 0)
                  / greatest(len(d.lt), 1), 6) AS repeat_ratio
-    FROM docs d LEFT JOIN l ON d.doc_id = l.doc_id
+    FROM docs d
+    LEFT JOIN l ON d.doc_id = l.doc_id
+    LEFT JOIN ds ON d.doc_id = ds.doc_id
     GROUP BY d.doc_id, len(d.lt)
 """
 

@@ -324,9 +324,14 @@ def longest_internal_repeat(
 
     Scale: per-document linear work and memory inside one Arrow batch
     (``mapInPandas``) — embarrassingly parallel, no shuffle at all;
-    the output is 3 scalars per document. Exact, so it is adjudicated
-    against a quadratic pair-LCP oracle on a doc sample. Returns
-    (id, n_tokens, max_repeat_len, repeat_ratio)."""
+    the output is 4 scalars per document. Exact, so it is adjudicated
+    against a quadratic oracle (pair-LCP for the repeat, substring
+    explode for the distinct count) on a doc sample. Returns
+    (id, n_tokens, max_repeat_len, distinct_substrings,
+    repeat_ratio) — distinct_substrings is the exact number of
+    distinct non-empty token sequences in the document (states
+    contribute len − len(link) each), a repetition-mass complement
+    to the max length: n(n+1)/2 minus it is the repeated mass."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
@@ -334,6 +339,7 @@ def longest_internal_repeat(
             StructField(id_col, df.schema[id_col].dataType),
             StructField("n_tokens", LongType()),
             StructField("max_repeat_len", LongType()),
+            StructField("distinct_substrings", LongType()),
         ]
     )
     narrowed = df.select(id_col, text_col)
@@ -341,7 +347,7 @@ def longest_internal_repeat(
     def run(batches):
         import pandas as pd
 
-        def lrs(tokens: list[str]) -> int:
+        def lrs(tokens: list[str]) -> tuple[int, int]:
             # suffix automaton over the token sequence
             # state: len, link, transitions dict, cnt (clone flag)
             sa_len = [0]
@@ -380,27 +386,35 @@ def longest_internal_repeat(
                         sa_link[cur] = clone
                 last = cur
             # endpos multiplicities: accumulate up suffix links in
-            # order of decreasing len (a valid topological order)
+            # order of decreasing len (a valid topological order).
+            # distinct substrings ride along for free: each state
+            # represents exactly len(s) − len(link(s)) distinct
+            # sequences (the classic automaton identity)
             order = sorted(range(1, len(sa_len)),
                            key=lambda s: -sa_len[s])
             cnt = list(sa_cnt)
             best = 0
+            n_distinct = 0
             for s in order:
+                n_distinct += sa_len[s] - sa_len[max(sa_link[s], 0)]
                 if cnt[s] >= 2 and sa_len[s] > best:
                     best = sa_len[s]
                 if sa_link[s] > 0:
                     cnt[sa_link[s]] += cnt[s]
-            return best
+            return best, n_distinct
 
         for pdf in batches:
-            ids, nt, mr = [], [], []
+            ids, nt, mr, ds = [], [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in (text or "").split(" ") if t]
+                best, n_distinct = lrs(toks) if toks else (0, 0)
                 ids.append(rid)
                 nt.append(len(toks))
-                mr.append(lrs(toks) if toks else 0)
+                mr.append(best)
+                ds.append(n_distinct)
             yield pd.DataFrame(
-                {id_col: ids, "n_tokens": nt, "max_repeat_len": mr}
+                {id_col: ids, "n_tokens": nt, "max_repeat_len": mr,
+                 "distinct_substrings": ds}
             )
 
     # ratio rounded JVM-side: Spark round() is HALF_UP like the
@@ -410,6 +424,7 @@ def longest_internal_repeat(
         id_col,
         "n_tokens",
         "max_repeat_len",
+        "distinct_substrings",
         F.round(
             F.col("max_repeat_len")
             / F.greatest(F.col("n_tokens"), F.lit(1)),

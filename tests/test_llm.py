@@ -1183,13 +1183,21 @@ def test_longest_internal_repeat_matches_brute_force(spark):
         (102, "unique tokens only here"),
         (103, ""),
     ]
+    def brute_distinct(tokens):
+        return len({tuple(tokens[i:j]) for i in range(len(tokens))
+                    for j in range(i + 1, len(tokens) + 1)})
+
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.doc_id: (r.n_tokens, r.max_repeat_len)
+    got = {r.doc_id: (r.n_tokens, r.max_repeat_len, r.distinct_substrings)
            for r in longest_internal_repeat(df).collect()}
     for d, text in rows:
         toks = [t for t in text.split(" ") if t]
-        assert got[d] == (len(toks), brute(toks)), (d, text, got[d])
+        assert got[d] == (len(toks), brute(toks), brute_distinct(toks)), (
+            d, text, got[d])
     assert got[100][1] == 4 and got[101][1] == 3 and got[102][1] == 0
+    # sanity: a doc with all-unique tokens has n(n+1)/2 distinct substrings
+    n = got[102][0]
+    assert got[102][2] == n * (n + 1) // 2
 
 
 def test_unigram_trainer_hand_computed_em():
