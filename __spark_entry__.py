@@ -2022,6 +2022,93 @@ def q_dedup_lsh_pipeline(spark, sf_dir):
     return near_dup_pipeline(d, "text", "doc_id", jaccard_threshold=0.2)
 
 
+def q_dedup_lsh_quality(spark, sf_dir):
+    """2×2 confusion of the MinHash-LSH candidate generator vs exact
+    3-gram-Jaccard truth on a doc sample (`llm/dedup.py::
+    lsh_quality_report`) — the recall/precision readout that justifies
+    a banding config before a full run. Ground truth needs all pairs,
+    so both sides restrict to doc_id % 3 == 0 (the documented
+    tuning-sample contract; this residue keeps planted near-dup pairs
+    in the sample)."""
+    from cancer_survival_etl_spark.llm.dedup import lsh_quality_report
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return lsh_quality_report(d, threshold=0.2)
+
+
+def _lsh_quality_sql(
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 2,
+    rows_per_band: int = 4,
+    ngram_n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    # candidate side mirrors _lsh_pipeline_sql; truth side is the
+    # all-pairs exact Jaccard over the sample
+    def hash_expr(i: int) -> str:
+        prefix = "" if i // 4 == 0 else f"'{i // 4}|' || "
+        return (
+            f"list_min(list_transform("
+            f"generate_series(1, greatest(length(text) - {shingle_k - 1}, 1)), "
+            f"i -> substring(md5({prefix}substring(text, i, {shingle_k})), "
+            f"{(i % 4) * 8 + 1}, 8))) AS h{i}"
+        )
+
+    sig_cols = ",\n               ".join(
+        hash_expr(i) for i in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL\n".join(
+        f"""
+            SELECT doc_id, {b} AS band,
+                   md5(concat_ws('|', {', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))}))
+                       AS band_key
+            FROM sigs"""
+        for b in range(bands)
+    )
+    g = (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len(string_split(text, ' ')) - {ngram_n - 1}, 1)), "
+        "i -> concat_ws(' ', "
+        + ", ".join(
+            f"string_split(text, ' ')[i + {j}]" for j in range(ngram_n)
+        )
+        + ")))"
+    )
+    return f"""
+    WITH sample AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM sample
+    ),
+    banded AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    grams AS (SELECT doc_id, {g} AS gset FROM sample),
+    pairs AS (
+        SELECT ga.doc_id AS id_a, gb.doc_id AS id_b,
+               round(len(list_intersect(ga.gset, gb.gset))::DOUBLE
+                     / len(list_distinct(
+                           list_concat(ga.gset, gb.gset)))::DOUBLE,
+                     6) >= {threshold} AS is_duplicate
+        FROM grams ga JOIN grams gb ON ga.doc_id < gb.doc_id
+    )
+    SELECT coalesce(c.id_a IS NOT NULL, false) AS is_candidate,
+           p.is_duplicate,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    LEFT JOIN cand c ON p.id_a = c.id_a AND p.id_b = c.id_b
+    GROUP BY 1, 2
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Token-3-gram Jaccard near-dup pairs, blocked by lang, WITH the
     stopgram cut active (max_doc_freq=4): grams occurring in more than
@@ -6765,6 +6852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
         "eval_isotonic_unbinned": q_eval_isotonic_unbinned,
         "events_cusum": q_events_cusum,
+        "dedup_lsh_quality": q_dedup_lsh_quality,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8547,6 +8635,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_unigram_encode": _unigram_encode_sql(),
         "eval_isotonic_unbinned": _ISOTONIC_UNBINNED_SQL,
         "events_cusum": _CUSUM_SQL,
+        "dedup_lsh_quality": _lsh_quality_sql(),
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -69,6 +69,7 @@ HEADLINE = [
     "global_topk",
     "dataset_split",
     "dedup_lsh_pipeline",
+    "dedup_lsh_quality",
     "text_decontaminate",
     "text_fuzzy_decontaminate",
     "web_url_dedup",

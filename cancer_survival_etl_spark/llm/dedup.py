@@ -1016,3 +1016,73 @@ def ngram_containment_pairs(
         (F.col("contain_ab") >= threshold)
         | (F.col("contain_ba") >= threshold)
     )
+
+
+def lsh_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 2,
+    rows_per_band: int = 4,
+    ngram_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Measure, don't guess: the 2×2 confusion of the MinHash-LSH
+    candidate generator against exact n-gram-Jaccard ground truth —
+    (is_candidate, is_duplicate, n_pairs) over EVERY pair of the
+    input. Recall = cand∧dup / dup is the number that justifies a
+    banding configuration before a 100 TB run; precision bounds the
+    verify-stage bill.
+
+    This is an EVALUATION operator: ground truth needs all O(n²)
+    pairs, so run it on a documented sample of the corpus (the
+    tuning-run contract — same reason ``hard negatives`` and
+    ``ann_ivf`` carry recall verdicts). The candidate side is the
+    production banding (`band_keys_long`) unchanged; the truth side
+    computes exact token-n-gram Jaccard per pair with plain string
+    grams (no hashing) so an oracle can mirror it verbatim."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (ngram_n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(ngram_n)]
+            ),
+        )
+    )
+    gsets = df.select(F.col(id_col).alias("_id"), grams.alias("_g"))
+    a = gsets.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga"))
+    b = gsets.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (jac >= threshold).alias("is_duplicate"))
+    )
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    keys = band_keys_long(sigs, id_col, bands, rows_per_band)
+    cand = (
+        keys.select("band", "band_key", F.col(id_col).alias("id_a"))
+        .join(
+            keys.select("band", "band_key", F.col(id_col).alias("id_b")),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    return (
+        pairs.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(
+            F.coalesce(F.col("_c"), F.lit(False)).alias("is_candidate"),
+            "is_duplicate",
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1398,3 +1398,24 @@ def test_packed_adc_matches_long_form_adc(spark):
         ).collect()
     }
     assert packed_form == long_form
+
+
+def test_lsh_quality_report_confusion_cells(spark):
+    from cancer_survival_etl_spark.llm.dedup import lsh_quality_report
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    # unrelated docs: disjoint vocabularies → jaccard 0 between them
+    docs = [(i, " ".join(f"w{i}t{j}" for j in range(20)))
+            for i in range(10)]
+    docs.append((100, words))          # the template
+    docs.append((101, words + " phi")) # near-dup of 100
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.is_candidate, r.is_duplicate): r.n_pairs
+           for r in lsh_quality_report(df, threshold=0.5).collect()}
+    n = len(docs)
+    assert sum(out.values()) == n * (n - 1) // 2
+    # the planted near-dup pair is both a candidate and a duplicate
+    assert out.get((True, True), 0) >= 1
+    # the unrelated pairs are neither
+    assert out.get((False, False), 0) > 0
