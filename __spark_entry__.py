@@ -2022,6 +2022,82 @@ def q_dedup_lsh_pipeline(spark, sf_dir):
     return near_dup_pipeline(d, "text", "doc_id", jaccard_threshold=0.2)
 
 
+def q_embedding_matryoshka(spark, sf_dir):
+    """Matryoshka truncation quality (Kusupati et al. 2022, public
+    arXiv 2205.13147): top-k cosine neighbours computed on the FULL
+    embedding vs on its 16-dim PREFIX, reported as per-query overlap —
+    the readout for "can retrieval run on the cheap prefix?". Both
+    rankings are exact `brute_force_topk` runs (round-6 cosine, ties
+    by neighbor id), so the overlap adjudicates bit-exact."""
+    from cancer_survival_etl_spark.llm.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    k = 10
+    full = brute_force_topk(e, q, k=k)
+    trunc = lambda d: d.select(  # noqa: E731
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    pre = brute_force_topk(trunc(e), trunc(q), k=k)
+    hit = full.join(
+        pre.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_eff"))
+        .join(hit, "query_id", "left")
+        .na.fill(0, ["n_overlap"])
+        .select(
+            "query_id",
+            "k_eff",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.col("k_eff").cast("double"), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+_MATRYOSHKA_SQL = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    full_rank AS (
+        SELECT query_id, vec_id AS neighbor_id
+        FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                                DESC, e.vec_id) AS rk
+            FROM e JOIN q ON e.vec_id <> q.query_id
+        ) WHERE rk <= 10
+    ),
+    pre_rank AS (
+        SELECT query_id, vec_id AS neighbor_id
+        FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                           e.v[1:16], q.qv[1:16]), 6) DESC,
+                           e.vec_id) AS rk
+            FROM e JOIN q ON e.vec_id <> q.query_id
+        ) WHERE rk <= 10
+    )
+    SELECT f.query_id,
+           CAST(count(*) AS BIGINT) AS k_eff,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(p.neighbor_id) / count(*)::DOUBLE, 6)
+               AS overlap_frac
+    FROM full_rank f
+    LEFT JOIN pre_rank p
+           ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+    GROUP BY f.query_id
+"""
+
+
 def q_dedup_lsh_quality(spark, sf_dir):
     """2×2 confusion of the MinHash-LSH candidate generator vs exact
     3-gram-Jaccard truth on a doc sample (`llm/dedup.py::
@@ -6853,6 +6929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_isotonic_unbinned": q_eval_isotonic_unbinned,
         "events_cusum": q_events_cusum,
         "dedup_lsh_quality": q_dedup_lsh_quality,
+        "embedding_matryoshka": q_embedding_matryoshka,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8636,6 +8713,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_isotonic_unbinned": _ISOTONIC_UNBINNED_SQL,
         "events_cusum": _CUSUM_SQL,
         "dedup_lsh_quality": _lsh_quality_sql(),
+        "embedding_matryoshka": _MATRYOSHKA_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

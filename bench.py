@@ -111,6 +111,7 @@ HEADLINE = [
     "disjunctive_brand_revenue",
     "dedup_spans",
     "embedding_quantize",
+    "embedding_matryoshka",
     "snapshot_diff",
     "weighted_sample",
     "graph_pagerank",
