@@ -2022,6 +2022,51 @@ def q_dedup_lsh_pipeline(spark, sf_dir):
     return near_dup_pipeline(d, "text", "doc_id", jaccard_threshold=0.2)
 
 
+def q_tokenizer_vocab_coverage(spark, sf_dir):
+    """Pre-training vocab hygiene: per source, the fraction of word
+    occurrences the pinned unigram table cannot encode without UNK
+    fallback (a word needs every character covered by a single-char
+    piece — the coverage floor of `llm/unigram.py::train_unigram`).
+    Pure expressions derived from the SAME pinned constant on both
+    sides, so the report adjudicates bit-exact."""
+    chars = "".join(
+        sorted(p for p in _UNIGRAM_PINNED_SCORES if len(p) == 1)
+    )
+    oov = F.col("_w").rlike(f"[^{chars}]")
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    return words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(oov.cast("long")).alias("n_oov_words"),
+        F.round(
+            F.sum(oov.cast("long")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("oov_frac"),
+    )
+
+
+def _vocab_coverage_sql() -> str:
+    chars = "".join(
+        sorted(p for p in _UNIGRAM_PINNED_SCORES if len(p) == 1)
+    )
+    return f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN regexp_matches(w, '[^{chars}]')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words,
+           round(sum(CASE WHEN regexp_matches(w, '[^{chars}]')
+                     THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+               AS oov_frac
+    FROM words WHERE w <> '' GROUP BY source
+"""
+
+
 def q_embedding_matryoshka(spark, sf_dir):
     """Matryoshka truncation quality (Kusupati et al. 2022, public
     arXiv 2205.13147): top-k cosine neighbours computed on the FULL
@@ -6930,6 +6975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "embedding_matryoshka": q_embedding_matryoshka,
+        "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8714,6 +8760,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum": _CUSUM_SQL,
         "dedup_lsh_quality": _lsh_quality_sql(),
         "embedding_matryoshka": _MATRYOSHKA_SQL,
+        "tokenizer_vocab_coverage": _vocab_coverage_sql(),
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -93,6 +93,7 @@ HEADLINE = [
     "tokenizer_bpe",
     "tokenizer_bpe_encode",
     "tokenizer_unigram_encode",
+    "tokenizer_vocab_coverage",
     "text_suffix_repeat",
     "custdist",
     "big_orders",
