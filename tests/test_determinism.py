@@ -95,6 +95,36 @@ def _link(spark, docs):
     return symdelete_fuzzy_pairs(named, "doc_id", "name", ["lang"], 1)
 
 
+@_register("unigram_encode")
+def _uni(spark, docs):
+    from cancer_survival_etl_spark.llm.unigram import unigram_encode
+
+    scores = {c: 4000 for c in "abcdefghijklmnopqrstuvwxyz"}
+    return unigram_encode(docs, scores).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+
+
+@_register("suffix_repeat")
+def _suffix(spark, docs):
+    from cancer_survival_etl_spark.llm.textstats import (
+        longest_internal_repeat,
+    )
+
+    return longest_internal_repeat(docs)
+
+
+@_register("lsh_quality")
+def _lshq(spark, docs):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.llm.dedup import lsh_quality_report
+
+    return lsh_quality_report(
+        docs.filter(F.col("doc_id") % 3 == 0), threshold=0.2
+    )
+
+
 @pytest.mark.parametrize("name", sorted(OPS))
 def test_partitioning_independence(spark, sf_dir, name):
     docs = load_table(spark, sf_dir, "documents")
@@ -218,6 +248,43 @@ def _spear(spark, events):
         F.col("user_id").alias("yv"),
     )
     return spearman_by(e, "event_type", "xb", "yv")
+
+
+@_eregister("kendall")
+def _kendall(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import kendall_tau_by
+
+    e = events.select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("long") % 1000).alias("xb"),
+        F.col("user_id").alias("yv"),
+    )
+    return kendall_tau_by(e, "event_type", "xb", "yv")
+
+
+@_eregister("cusum")
+def _cusum(spark, events):
+    from cancer_survival_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(events, "event_type", "ts", "value",
+                              k_slack_cents=25, h_cents=2000)
+
+
+@_eregister("isotonic_unbinned")
+def _iso(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.llm.evals import isotonic_fit
+
+    e = events.select(
+        ((F.col("event_id") % 499) / 499.0).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return isotonic_fit(e, "score", "label")
 
 
 @pytest.mark.parametrize("name", sorted(EVENT_OPS))
