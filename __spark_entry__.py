@@ -1466,6 +1466,83 @@ def _wav_bytes(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def _wav_pcm_bytes(bits: int, mult: int, n: int = 64) -> bytes:
+    """Mono PCM WAV whose SAMPLES follow the deterministic formula
+    s_i = ((i·mult) mod 201) − 100 — so the oracle can compute the
+    decoded features from the formula while Spark decodes the bytes."""
+    rate = 8000
+    samples = [((i * mult) % 201) - 100 for i in range(n)]
+    if bits == 16:
+        data = b"".join(
+            s.to_bytes(2, "little", signed=True) for s in samples
+        )
+    else:
+        data = bytes(s + 128 for s in samples)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * bits // 8).to_bytes(4, "little")
+        + (bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def q_multimodal_pcm(spark, sf_dir):
+    """REAL PCM sample decode (`llm/multimodal.py::audio_pcm_features`
+    — an actual waveform decode, not the container header): docs
+    alternate between a 16-bit and an 8-bit mono WAV whose samples
+    follow s_i = ((i·mult) mod 201) − 100. Spark decodes the BYTES;
+    the oracle derives peak / Σs² / zero-crossings from the FORMULA
+    via generate_series — two independent routes to the same exact
+    integers."""
+    from cancer_survival_etl_spark.llm.multimodal import (
+        audio_pcm_features,
+    )
+
+    wav16 = _wav_pcm_bytes(16, 37)
+    wav8 = _wav_pcm_bytes(8, 53)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(wav16.hex()))
+    ).otherwise(F.unhex(F.lit(wav8.hex())))
+    payloads = d.select(
+        F.col("doc_id").alias("item_id"), payload.alias("payload")
+    )
+    return audio_pcm_features(payloads)
+
+
+_PCM_SQL = """
+    WITH stats AS (
+        SELECT m.mult, m.fmt,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(abs((i * m.mult) % 201 - 100)) AS BIGINT)
+                   AS peak,
+               CAST(sum(((i * m.mult) % 201 - 100)
+                        * ((i * m.mult) % 201 - 100)) AS BIGINT)
+                   AS sum_sq,
+               CAST(sum(CASE WHEN i > 0 AND
+                   (((i * m.mult) % 201 - 100 < 0)
+                    <> (((i - 1) * m.mult) % 201 - 100 < 0))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM (VALUES (37, 'pcm_s16le'), (53, 'pcm_u8')) m(mult, fmt),
+             generate_series(0, 63) t(i)
+        GROUP BY m.mult, m.fmt
+    )
+    SELECT d.doc_id AS item_id, s.fmt AS sample_fmt,
+           s.n_samples, s.peak, s.sum_sq, s.zero_crossings
+    FROM documents d
+    JOIN stats s ON s.mult = CASE WHEN d.doc_id % 2 = 0
+                                  THEN 37 ELSE 53 END
+    WHERE d.doc_id < 200
+"""
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL audio metadata extraction: docs alternate between two
     valid PCM WAV payloads (stereo 16-bit 8 kHz / mono 8-bit 4 kHz,
@@ -6976,6 +7053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "embedding_matryoshka": q_embedding_matryoshka,
         "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
+        "multimodal_pcm": q_multimodal_pcm,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8761,6 +8839,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_quality": _lsh_quality_sql(),
         "embedding_matryoshka": _MATRYOSHKA_SQL,
         "tokenizer_vocab_coverage": _vocab_coverage_sql(),
+        "multimodal_pcm": _PCM_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -118,6 +118,7 @@ HEADLINE = [
     "graph_pagerank",
     "multimodal_headers",
     "multimodal_audio",
+    "multimodal_pcm",
     "multimodal_video",
     "text_normalize",
     "local_supplier_revenue",

@@ -7,10 +7,14 @@ sees a pandas DataFrame of payloads, so the Spark-side contract
 (schema, batching, partitioning) is identical whether the inner function
 is a real codec or the deterministic fake used here.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this environment — the
-decode kernel is stubbed: ``decode_features(..., real_decode=True)``
-raises NotImplementedError; the default fake derives deterministic
-features from the bytes so tests pin the plumbing end-to-end.
+The COMPRESSED codecs (PIL/ffmpeg/librosa) are NOT in this environment,
+so the image decode kernel is stubbed: ``decode_features(...,
+real_decode=True)`` raises NotImplementedError and the default fake
+derives deterministic features from the bytes so tests pin the
+plumbing end-to-end. What needs no codec is REAL here: container-header
+parsing (PNG/JPEG/GIF/BMP, WAV, MP4) and full PCM waveform decode
+(``audio_pcm_features`` — samples, not just headers — oracle-checked
+against the generating formula and the stdlib ``wave`` writer).
 """
 
 from __future__ import annotations
@@ -425,3 +429,84 @@ def video_header_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(parse, schema=VIDEO_SCHEMA)
+
+
+def _decode_pcm(payload) -> tuple:
+    """REAL PCM sample decode, stdlib+numpy only (uncompressed PCM is
+    codec-free — this is an actual decode, not the deterministic
+    fake): RIFF-walk to fmt/data, then int16-LE or uint8 samples.
+    Returns (fmt, n_samples, peak, sum_sq, zero_crossings) with EXACT
+    integer features: peak = max |signed sample|, sum_sq = Σ s², and
+    zero crossings counted between the (≥0) and (<0) classes —
+    integer arithmetic end-to-end so an oracle can state the numbers
+    from the generating formula. Unsigned 8-bit samples center at
+    128 per the WAV spec. Malformed payloads yield NULL fields."""
+    import numpy as np
+
+    b = bytes(payload) if payload is not None else b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None, None, None)
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        clen = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if bits not in (8, 16) or data is None:
+        return (None, None, None, None, None)
+    if bits == 16:
+        s = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+            "int64"
+        )
+        fmt = "pcm_s16le"
+    else:
+        s = np.frombuffer(data, dtype=np.uint8).astype("int64") - 128
+        fmt = "pcm_u8"
+    neg = s < 0
+    zc = int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
+    return (
+        fmt,
+        int(len(s)),
+        int(np.abs(s).max()) if len(s) else 0,
+        int((s * s).sum()),
+        zc,
+    )
+
+
+def audio_pcm_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "item_id"
+) -> DataFrame:
+    """Exact PCM waveform features over binary WAV payloads — the
+    audio analog of ``image_header_info`` but one level deeper: the
+    SAMPLES are decoded, not just the container. Arrow-batched
+    ``mapInPandas``, one narrow pass, no shuffle; features are exact
+    integers (see ``_decode_pcm``) so the whole decode path is
+    hash-adjudicable. Returns (id, sample_fmt, n_samples, peak,
+    sum_sq, zero_crossings)."""
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    schema = (
+        f"{id_col} long, sample_fmt string, n_samples long, peak long, "
+        "sum_sq long, zero_crossings long"
+    )
+    narrowed = fan_out(df).select(id_col, payload_col)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_pcm(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "sample_fmt": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "peak": [r[2] for r in rows],
+                    "sum_sq": [r[3] for r in rows],
+                    "zero_crossings": [r[4] for r in rows],
+                }
+            )
+
+    return narrowed.mapInPandas(parse, schema)

@@ -1419,3 +1419,36 @@ def test_lsh_quality_report_confusion_cells(spark):
     assert out.get((True, True), 0) >= 1
     # the unrelated pairs are neither
     assert out.get((False, False), 0) > 0
+
+
+def test_audio_pcm_features_against_stdlib_wave_writer(spark, tmp_path):
+    """Independent pin: payloads written by the STDLIB wave module
+    (not our own synthesizer) decode to the struct-computed truth."""
+    import wave
+
+    from cancer_survival_etl_spark.llm.multimodal import audio_pcm_features
+
+    samples = [((i * 11) % 101) - 50 for i in range(48)]
+    p = tmp_path / "t.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+        )
+    payload = p.read_bytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a wav"))],
+        "item_id long, payload binary",
+    )
+    out = {r.item_id: r for r in audio_pcm_features(df).collect()}
+    r = out[1]
+    assert r.sample_fmt == "pcm_s16le"
+    assert r.n_samples == len(samples)
+    assert r.peak == max(abs(s) for s in samples)
+    assert r.sum_sq == sum(s * s for s in samples)
+    zc = sum(1 for a, b in zip(samples, samples[1:])
+             if (a < 0) != (b < 0))
+    assert r.zero_crossings == zc
+    assert out[2].sample_fmt is None  # malformed -> NULL fields
