@@ -1493,6 +1493,87 @@ def _wav_pcm_bytes(bits: int, mult: int, n: int = 64) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def _bmp_bytes(w: int, h: int, mult: int) -> bytes:
+    """Uncompressed 24-bit BMP whose pixel channels follow
+    r = (x·mult + y) % 256, g = (x + y·mult) % 256,
+    b = (x·y + mult) % 256 — formula-derivable by the oracle."""
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for yy in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for xx in range(w):
+            r = (xx * mult + yy) % 256
+            g = (xx + yy * mult) % 256
+            b = (xx * yy + mult) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pix = b"".join(rows)
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdr = (
+        b"BM"
+        + (14 + 40 + len(pix)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (14 + 40).to_bytes(4, "little")
+    )
+    return hdr + info + pix
+
+
+def q_multimodal_bmp(spark, sf_dir):
+    """REAL image pixel decode (`llm/multimodal.py::
+    image_pixel_features` — bytes to pixels, 24-bit uncompressed BMP
+    needs no codec): docs alternate between two formula-generated
+    bitmaps; Spark decodes the padded bottom-up BGR rows while the
+    oracle derives the channel sums from the pixel FORMULA via a
+    generate_series grid — two independent routes to the same exact
+    integers."""
+    from cancer_survival_etl_spark.llm.multimodal import (
+        image_pixel_features,
+    )
+
+    bmp_a = _bmp_bytes(13, 7, 3)   # odd width exercises row padding
+    bmp_b = _bmp_bytes(8, 5, 11)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(bmp_a.hex()))
+    ).otherwise(F.unhex(F.lit(bmp_b.hex())))
+    payloads = d.select(
+        F.col("doc_id").alias("item_id"), payload.alias("payload")
+    )
+    return image_pixel_features(payloads)
+
+
+_BMP_SQL = """
+    WITH stats AS (
+        SELECT m.mult, m.w, m.h,
+               CAST(sum((x * m.mult + y) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((x + y * m.mult) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((x * y + m.mult) % 256) AS BIGINT) AS sum_b
+        FROM (VALUES (3, 13, 7), (11, 8, 5)) m(mult, w, h),
+             generate_series(0, 12) tx(x),
+             generate_series(0, 6) ty(y)
+        WHERE x < m.w AND y < m.h
+        GROUP BY m.mult, m.w, m.h
+    )
+    SELECT d.doc_id AS item_id,
+           CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+           s.sum_r, s.sum_g, s.sum_b
+    FROM documents d
+    JOIN stats s ON s.mult = CASE WHEN d.doc_id % 2 = 0
+                                  THEN 3 ELSE 11 END
+    WHERE d.doc_id < 200
+"""
+
+
 def q_multimodal_pcm(spark, sf_dir):
     """REAL PCM sample decode (`llm/multimodal.py::audio_pcm_features`
     — an actual waveform decode, not the container header): docs
@@ -7054,6 +7135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_matryoshka": q_embedding_matryoshka,
         "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
         "multimodal_pcm": q_multimodal_pcm,
+        "multimodal_bmp": q_multimodal_bmp,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8840,6 +8922,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_matryoshka": _MATRYOSHKA_SQL,
         "tokenizer_vocab_coverage": _vocab_coverage_sql(),
         "multimodal_pcm": _PCM_SQL,
+        "multimodal_bmp": _BMP_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

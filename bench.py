@@ -119,6 +119,7 @@ HEADLINE = [
     "multimodal_headers",
     "multimodal_audio",
     "multimodal_pcm",
+    "multimodal_bmp",
     "multimodal_video",
     "text_normalize",
     "local_supplier_revenue",

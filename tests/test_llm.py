@@ -1452,3 +1452,45 @@ def test_audio_pcm_features_against_stdlib_wave_writer(spark, tmp_path):
              if (a < 0) != (b < 0))
     assert r.zero_crossings == zc
     assert out[2].sample_fmt is None  # malformed -> NULL fields
+
+
+def test_image_pixel_features_bmp_roundtrip(spark):
+    """Decode a hand-built 2x2 24-bit BMP (incl. row padding) and a
+    malformed payload; channel sums must match the pixels exactly."""
+    from cancer_survival_etl_spark.llm.multimodal import image_pixel_features
+
+    # pixels (x, y): (r, g, b) chosen distinct per channel
+    px = {(0, 0): (1, 2, 3), (1, 0): (4, 5, 6),
+          (0, 1): (7, 8, 9), (1, 1): (10, 11, 12)}
+    w, h = 2, 2
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for yy in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for xx in range(w):
+            r, g, b = px[(xx, yy)]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pix = b"".join(rows)
+    info = ((40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+            + b"\x00" * 16)
+    hdr = (b"BM" + (54 + len(pix)).to_bytes(4, "little")
+           + b"\x00" * 4 + (54).to_bytes(4, "little"))
+    payload = hdr + info + pix
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"PNG not bmp"))],
+        "item_id long, payload binary",
+    )
+    out = {r.item_id: r for r in image_pixel_features(df).collect()}
+    r = out[1]
+    assert (r.width, r.height) == (2, 2)
+    assert r.sum_r == sum(v[0] for v in px.values())
+    assert r.sum_g == sum(v[1] for v in px.values())
+    assert r.sum_b == sum(v[2] for v in px.values())
+    assert out[2].width is None
