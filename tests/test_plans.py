@@ -419,3 +419,30 @@ def test_kendall_no_single_task_per_group_stage(spark, sf_dir):
         assert child, lines[i + 1:i + 4]
         keys = args_of[child.group(1)]
         assert "xb" in keys or "yb" in keys, keys
+
+
+def test_isotonic_unbinned_buckets_before_arrow(spark, sf_dir):
+    # the PAVA cascade must feed its Arrow passes from bucket-keyed
+    # exchanges (hash on _b), never a single global partition of cells
+    p = _plan(spark, sf_dir, "eval_isotonic_unbinned")
+    assert "FlatMapGroupsInPandas" in p
+    assert re.search(r"hashpartitioning\(_b#", p), "lost bucket keying"
+    assert "SinglePartition" not in p.split("FlatMapGroupsInPandas")[0]
+
+
+def test_cusum_windows_partition_by_key(spark, sf_dir):
+    # both window frames must partition by the series key — a global
+    # (unpartitioned) window would serialize the whole table
+    p = _plan(spark, sf_dir, "events_cusum")
+    lines = p.splitlines()
+    specs = []
+    cur = False
+    for ln in lines:
+        if re.match(r"\(\d+\) Window", ln.strip()):
+            cur = True
+        elif cur and ln.strip().startswith("Arguments:"):
+            specs.append(ln)
+            cur = False
+    assert specs, p[:500]
+    for spec in specs:
+        assert re.search(r"windowspecdefinition\(key#", spec), spec
