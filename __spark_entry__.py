@@ -2306,12 +2306,19 @@ def q_dedup_lsh_quality(spark, sf_dir):
     3-gram-Jaccard truth on a doc sample (`llm/dedup.py::
     lsh_quality_report`) — the recall/precision readout that justifies
     a banding config before a full run. Ground truth needs all pairs,
-    so both sides restrict to doc_id % 3 == 0 (the documented
-    tuning-sample contract; this residue keeps planted near-dup pairs
-    in the sample)."""
+    so both sides restrict to a SCALE-INVARIANT sample: the modulus
+    grows with sf (3 at the sf0.01 adjudication scale — the residue
+    that keeps planted near-dup pairs in the sample — 30 at sf0.1),
+    holding the truth arm at ~170 docs / ~14k pairs no matter the
+    corpus size. The oracle mirrors the adjudication-scale modulus;
+    larger sfs only get timed, not adjudicated (same contract as the
+    sketch bound-check exact arms)."""
     from cancer_survival_etl_spark.llm.dedup import lsh_quality_report
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    mod = max(3, int(round(sf * 300)))
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % mod == 0)
     return lsh_quality_report(d, threshold=0.2)
 
 
