@@ -4373,6 +4373,28 @@ def q_stats_kendall(spark, sf_dir):
     return kendall_tau_by(e, "event_type", "xb", "yv")
 
 
+def q_stats_kendall_weighted(spark, sf_dir):
+    """Weighted Kendall τ-b over PRE-AGGREGATED cells: the events
+    collapse to distinct (type, x, y) cells with counts, and the
+    bucketed decomposition treats each cell as `count` duplicate
+    observations (`operators/stats.py::kendall_tau_by` weight_col).
+    The oracle is the SAME O(n²) raw-row pair join as `stats_kendall`
+    — weighted-on-cells must equal unweighted-on-raw bit-exactly,
+    which is precisely the aggregation-invariance a 100 TB run relies
+    on (shuffle distinct cells, not raw rows)."""
+    from cancer_survival_etl_spark.operators.stats import kendall_tau_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("long") % 1000).alias("xb"),
+        F.col("user_id").alias("yv"),
+    )
+    cells = e.groupBy("event_type", "xb", "yv").count()
+    return kendall_tau_by(
+        cells, "event_type", "xb", "yv", weight_col="count"
+    )
+
+
 _KENDALL_SQL = """
     WITH e AS (
         SELECT event_type, event_id,
@@ -7143,6 +7165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
         "multimodal_pcm": q_multimodal_pcm,
         "multimodal_bmp": q_multimodal_bmp,
+        "stats_kendall_weighted": q_stats_kendall_weighted,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8930,6 +8953,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_vocab_coverage": _vocab_coverage_sql(),
         "multimodal_pcm": _PCM_SQL,
         "multimodal_bmp": _BMP_SQL,
+        "stats_kendall_weighted": _KENDALL_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -187,6 +187,7 @@ HEADLINE = [
     "text_hashed_features",
     "embedding_drift",
     "stats_kendall",
+    "stats_kendall_weighted",
     "events_rolling_distinct",
     "dataset_temperature",
 ]

@@ -1017,6 +1017,7 @@ def kendall_tau_by(
     x_col: str,
     y_col: str,
     num_buckets: int = 16,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group Kendall's τ-b — the third rank-association measure
     (with ``corr_exact`` and ``spearman_by``), with full tie
@@ -1058,15 +1059,23 @@ def kendall_tau_by(
     Inputs must be integer-valued. Exact integer arithmetic
     end-to-end, hash-checked against an O(n²) relational oracle (the
     oracle pays the quadratic pair join; the engine doesn't). NULL τ
-    on degenerate (all-tied) columns. Returns (group..., n_rows,
-    tau_b) rounded to 6."""
+    on degenerate (all-tied) columns. With ``weight_col``, each row
+    counts as w duplicate observations (the pre-aggregated-cells
+    form — feed groupBy(x, y).count() output and get bit-identical
+    results to the raw rows at a fraction of the shuffle volume; the
+    Knight kernel and every tie/grid term are weight-aware). Returns
+    (group..., n_rows, tau_b) rounded to 6."""
     import numpy as np
     import pandas as pd
 
     g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
     base = df.select(*g, F.col(x_col).cast("long").alias("_x"),
-                     F.col(y_col).cast("long").alias("_y"))
+                     F.col(y_col).cast("long").alias("_y"),
+                     w_expr.alias("_w"))
     bounds = base.groupBy(*g).agg(
         F.min("_x").alias("_x0"), F.max("_x").alias("_x1"),
         F.min("_y").alias("_y0"), F.max("_y").alias("_y1"),
@@ -1074,7 +1083,7 @@ def kendall_tau_by(
     bucketed = (
         base.join(F.broadcast(bounds), g)
         .select(
-            *g, "_x", "_y",
+            *g, "_x", "_y", "_w",
             F.width_bucket("_x", "_x0", F.col("_x1") + 1,
                            F.lit(num_buckets)).alias("xb"),
             F.width_bucket("_y", "_y0", F.col("_y1") + 1,
@@ -1086,7 +1095,7 @@ def kendall_tau_by(
     # grid term: cross-bucket strict dominance is a pure product of
     # bucket-cell counts (≤ num_buckets² cells per group)
     grid = bucketed.groupBy(*g, "xb", "yb").agg(
-        F.count(F.lit(1)).alias("gw")
+        F.sum("_w").alias("gw")
     )
     lo = grid.select(*g, F.col("xb").alias("xb1"),
                      F.col("yb").alias("yb1"), F.col("gw").alias("gw1"))
@@ -1101,10 +1110,11 @@ def kendall_tau_by(
 
     g_schema = [f"{c} {t}" for c, t in df.select(*g).dtypes]
 
-    def _run_tie_pairs(starts, n):
-        # Σ c(c−1)/2 over run lengths delimited by `starts` bools
+    def _run_tie_pairs(starts, w):
+        # Σ c(c−1)/2 where c = weighted run size, runs delimited by
+        # `starts` bools over the sorted sequence
         idx = np.flatnonzero(starts)
-        c = np.diff(np.concatenate((idx, [n])))
+        c = np.add.reduceat(w, idx)
         return int((c * (c - 1) // 2).sum())
 
     def xb_pass(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1113,39 +1123,38 @@ def kendall_tau_by(
         # x-bucket tasks and ride along with the inversion counts —
         # no separate tie-aggregation shuffles. Same for the per-
         # (xb, yb)-cell inversion term: a sub-partition of this task.
-        n = len(pdf)
-        ones = np.ones(n, dtype="int64")
         x = pdf["_x"].values
         y = pdf["_y"].values
-        inv = _weighted_strict_inversions(x, y, ones)
+        w = pdf["_w"].values.astype("int64")
+        inv = _weighted_strict_inversions(x, y, w)
         cell_inv = 0
         for _, sub in pdf.groupby("yb", sort=False):
             if len(sub) > 1:
                 cell_inv += _weighted_strict_inversions(
                     sub["_x"].values, sub["_y"].values,
-                    np.ones(len(sub), dtype="int64"),
+                    sub["_w"].values.astype("int64"),
                 )
         order = np.lexsort((y, x))
-        xs, ys = x[order], y[order]
+        xs, ys, ws = x[order], y[order], w[order]
         x_starts = np.concatenate(([True], xs[1:] != xs[:-1]))
         xy_starts = x_starts.copy()
         xy_starts[1:] |= ys[1:] != ys[:-1]
-        tx = _run_tie_pairs(x_starts, n)
-        txy = _run_tie_pairs(xy_starts, n)
+        tx = _run_tie_pairs(x_starts, ws)
+        txy = _run_tie_pairs(xy_starts, ws)
+        n_part = int(w.sum())
         return pd.DataFrame(
-            [[*pdf.iloc[0][g].tolist(), inv, cell_inv, tx, txy, n]],
+            [[*pdf.iloc[0][g].tolist(), inv, cell_inv, tx, txy, n_part]],
             columns=[*g, "inv", "cell_inv", "tx", "txy", "n_part"],
         )
 
     def yb_pass(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
         y = pdf["_y"].values
-        inv = _weighted_strict_inversions(
-            pdf["_x"].values, y, np.ones(n, dtype="int64")
-        )
-        ys = np.sort(y)
+        w = pdf["_w"].values.astype("int64")
+        inv = _weighted_strict_inversions(pdf["_x"].values, y, w)
+        order = np.argsort(y, kind="stable")
+        ys, ws = y[order], w[order]
         ty = _run_tie_pairs(
-            np.concatenate(([True], ys[1:] != ys[:-1])), n
+            np.concatenate(([True], ys[1:] != ys[:-1])), ws
         )
         return pd.DataFrame(
             [[*pdf.iloc[0][g].tolist(), inv, ty]],

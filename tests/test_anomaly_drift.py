@@ -431,3 +431,23 @@ def test_cusum_matches_sequential_recursion(spark):
     # the planted shifts actually fire
     assert any(r.alarm_pos for r in out.values())
     assert any(r.alarm_neg for r in out.values())
+
+
+def test_kendall_weighted_cells_equal_raw_rows(spark):
+    """Feeding pre-aggregated (x, y, count) cells through weight_col
+    must reproduce the raw-row result exactly — n_rows included."""
+    import random
+
+    from cancer_survival_etl_spark.operators.stats import kendall_tau_by
+
+    random.seed(13)
+    rows = [("g", random.randint(0, 6), random.randint(0, 6))
+            for _ in range(300)]
+    raw = spark.createDataFrame(rows, "grp string, x long, y long")
+    cells = raw.groupBy("grp", "x", "y").count()
+    a = kendall_tau_by(raw, "grp", "x", "y").collect()[0]
+    b = kendall_tau_by(
+        cells, "grp", "x", "y", weight_col="count"
+    ).collect()[0]
+    assert (a.n_rows, a.tau_b) == (b.n_rows, b.tau_b)
+    assert a.n_rows == 300
