@@ -6248,6 +6248,61 @@ _DSIR_SQL = """
 """
 
 
+def q_events_seasonal(spark, sf_dir):
+    """Classical additive seasonal decomposition per event type
+    (`operators/timeseries.py::seasonal_decompose`, period 7): trend =
+    centered 7-day moving sum, seasonal index per weekday phase from
+    integer evidence, remainder in one mirrored double expression.
+    Incomplete windows get NULL trend/remainder and never pollute the
+    seasonal index — the oracle replays the same window/aggregate
+    chain."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_decompose(e, "event_type", "ts", "value", period=7)
+
+
+_SEASONAL_SQL = """
+    WITH daily AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT key, day,
+               CAST(floor(epoch(day) / 86400) AS BIGINT) % 7 AS phase,
+               day_cents,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(day_cents) OVER w END AS trend_sum
+        FROM daily
+        WINDOW w AS (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    s AS (
+        SELECT key, phase,
+               CAST(sum(7 * day_cents - trend_sum) AS BIGINT) AS s_num,
+               CAST(count(*) AS BIGINT) AS s_cnt
+        FROM t WHERE trend_sum IS NOT NULL
+        GROUP BY key, phase
+    )
+    SELECT t.key, t.day, t.phase, t.day_cents,
+           round(t.trend_sum::DOUBLE / 7 / 100.0, 6) AS trend,
+           CASE WHEN s.s_cnt IS NOT NULL THEN
+               round(s.s_num::DOUBLE / (7 * s.s_cnt::DOUBLE) / 100.0, 6)
+           END AS seasonal,
+           CASE WHEN t.trend_sum IS NOT NULL AND s.s_cnt IS NOT NULL THEN
+               round(t.day_cents::DOUBLE / 100.0
+                     - t.trend_sum::DOUBLE / 7 / 100.0
+                     - s.s_num::DOUBLE / (7 * s.s_cnt::DOUBLE) / 100.0,
+                     6)
+           END AS remainder
+    FROM t LEFT JOIN s ON t.key = s.key AND t.phase = s.phase
+"""
+
+
 def q_events_cusum(spark, sf_dir):
     """Two-sided CUSUM mean-shift chart per event type over the daily
     cents series (`operators/timeseries.py::cusum_changepoints`):
@@ -7166,6 +7221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pcm": q_multimodal_pcm,
         "multimodal_bmp": q_multimodal_bmp,
         "stats_kendall_weighted": q_stats_kendall_weighted,
+        "events_seasonal": q_events_seasonal,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -8954,6 +9010,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pcm": _PCM_SQL,
         "multimodal_bmp": _BMP_SQL,
         "stats_kendall_weighted": _KENDALL_SQL,
+        "events_seasonal": _SEASONAL_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

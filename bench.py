@@ -139,6 +139,7 @@ HEADLINE = [
     "incremental_agg",
     "events_anomaly",
     "events_cusum",
+    "events_seasonal",
     "stats_psi_drift",
     "bloom_decontaminate",
     "hierarchy_closure",

@@ -788,3 +788,102 @@ def cusum_changepoints(
         (cusum_pos > h_cents).alias("alarm_pos"),
         (cusum_neg > h_cents).alias("alarm_neg"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key (the
+    moving-average STL-lite: value = trend + seasonal + remainder)
+    with a FIXED period — the events-family readout for "is this
+    weekly pattern or real drift?" feeding ``anomaly_mad``/``cusum``.
+
+    Exactness discipline: all aggregated evidence stays INTEGER so the
+    result is bit-stable at any parallelism — trend is the centered
+    ``period``-day sum (not mean) of day-cents, the seasonal index
+    per (key, phase) is the integer sum of (period·x − trend_sum)
+    over complete windows with its own integer count, and only ONE
+    final double expression combines them:
+        remainder = x − trend_sum/p − s_num/(p·s_cnt)
+    mirrored verbatim by the oracle. Odd ``period`` required (the
+    centered window is ±(p−1)/2); days whose window is incomplete get
+    NULL trend/remainder and contribute nothing to the seasonal
+    index. Returns (key, day, phase, day_cents, trend, seasonal,
+    remainder) rounded to 6.
+    """
+    if period % 2 == 0:
+        raise ValueError("period must be odd (centered window)")
+    half = period // 2
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "day_cents"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    # dayofweek is locale-stable in Spark (1=Sunday); phase only needs
+    # to be a deterministic [0, period) bucket shared with the oracle
+    phase = (
+        F.floor(
+            F.unix_timestamp("day") / F.lit(86400)
+        ).cast("long") % period
+    ).alias("phase")
+    trended = daily.select(
+        "key",
+        "day",
+        phase,
+        "day_cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.sum("day_cents").over(w),
+        ).alias("trend_sum"),
+    )
+    trended = trended.localCheckpoint(eager=False)
+    seasonal = (
+        trended.filter(F.col("trend_sum").isNotNull())
+        .groupBy("key", "phase")
+        .agg(
+            F.sum(
+                F.lit(period) * F.col("day_cents") - F.col("trend_sum")
+            ).alias("s_num"),
+            F.count(F.lit(1)).alias("s_cnt"),
+        )
+    )
+    p = float(period)
+    trend = F.col("trend_sum").cast("double") / p / 100.0
+    seas = (
+        F.col("s_num").cast("double")
+        / (p * F.col("s_cnt").cast("double"))
+        / 100.0
+    )
+    x = F.col("day_cents").cast("double") / 100.0
+    return (
+        trended.join(F.broadcast(seasonal), ["key", "phase"], "left")
+        .select(
+            "key",
+            "day",
+            "phase",
+            "day_cents",
+            F.round(trend, 6).alias("trend"),
+            F.when(
+                F.col("s_cnt").isNotNull(), F.round(seas, 6)
+            ).alias("seasonal"),
+            F.when(
+                F.col("trend_sum").isNotNull() & F.col("s_cnt").isNotNull(),
+                F.round(x - trend - seas, 6),
+            ).alias("remainder"),
+        )
+    )

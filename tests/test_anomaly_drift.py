@@ -451,3 +451,45 @@ def test_kendall_weighted_cells_equal_raw_rows(spark):
     ).collect()[0]
     assert (a.n_rows, a.tau_b) == (b.n_rows, b.tau_b)
     assert a.n_rows == 300
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    """Pure weekly signal + linear trend: the decomposition must (a)
+    satisfy the additive identity exactly on complete-window days,
+    (b) recover the planted weekly shape ordering in the seasonal
+    index, and (c) NULL out incomplete boundary windows."""
+    import datetime
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    season = [10.0, -5.0, 0.0, 5.0, -10.0, 3.0, -3.0]
+    rows = []
+    for i in range(35):
+        v = 100.0 + 0.5 * i + season[i % 7]
+        rows.append(("a", base + datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r.day: r for r in
+           seasonal_decompose(df, "event_type", "ts", "value").collect()}
+    days = sorted(out)
+    # boundary: first/last 3 days have NULL trend and remainder
+    for d in days[:3] + days[-3:]:
+        assert out[d].trend is None and out[d].remainder is None
+    # additive identity on interior days (round-6 arithmetic)
+    for d in days[3:-3]:
+        r = out[d]
+        total = round(r.trend + r.seasonal + r.remainder, 5)
+        assert total == round(r.day_cents / 100.0, 5), (d, r)
+    # seasonal index preserves the planted ordering across phases
+    seas_by_phase = {}
+    for d in days[3:-3]:
+        seas_by_phase[out[d].phase] = out[d].seasonal
+    # the strongest phase must be the planted maximum (season[0]=10,
+    # which falls on day 0's phase), and all 7 phases must be present
+    top_phase = max(seas_by_phase, key=lambda p: seas_by_phase[p])
+    assert (top_phase - out[days[0]].phase) % 7 == 0
+    assert len(seas_by_phase) == 7
