@@ -6248,6 +6248,58 @@ _DSIR_SQL = """
 """
 
 
+def q_stats_theil_sen(spark, sf_dir):
+    """Theil-Sen robust daily trend per event type (`operators/
+    stats.py::theil_sen_by`): median pairwise slope + median residual
+    intercept over the calendar-bounded daily collapse — the
+    outlier-proof complement to `stats_regression`. Medians are the
+    lower-median VALUE (tie-order-proof); the oracle replays the pair
+    join and rank selection verbatim."""
+    from cancer_survival_etl_spark.operators.stats import theil_sen_by
+
+    e = _t(spark, sf_dir, "events")
+    return theil_sen_by(e, "event_type", "ts", "value")
+
+
+_THEIL_SEN_SQL = """
+    WITH daily AS (
+        SELECT event_type AS key,
+               CAST(floor(epoch(date_trunc('day', ts)) / 86400)
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.key,
+               (b.c - a.c)::DOUBLE / 100.0 / (b.d - a.d) AS s
+        FROM daily a JOIN daily b
+          ON a.key = b.key AND a.d < b.d
+    ),
+    med AS (
+        SELECT key, s AS slope FROM (
+            SELECT key, s,
+                   row_number() OVER (PARTITION BY key ORDER BY s) AS rk,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM slopes
+        ) WHERE rk = ceil(n / 2.0)
+    ),
+    resid AS (
+        SELECT d.key, m.slope,
+               d.c::DOUBLE / 100.0 - m.slope * d.d AS r
+        FROM daily d JOIN med m ON d.key = m.key
+    )
+    SELECT key, CAST(n AS BIGINT) AS n_days,
+           round(slope, 6) AS slope, round(r, 6) AS intercept
+    FROM (
+        SELECT key, slope, r,
+               row_number() OVER (PARTITION BY key ORDER BY r) AS rk,
+               count(*) OVER (PARTITION BY key) AS n
+        FROM resid
+    ) WHERE rk = ceil(n / 2.0)
+"""
+
+
 def q_events_seasonal(spark, sf_dir):
     """Classical additive seasonal decomposition per event type
     (`operators/timeseries.py::seasonal_decompose`, period 7): trend =
@@ -7222,6 +7274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp": q_multimodal_bmp,
         "stats_kendall_weighted": q_stats_kendall_weighted,
         "events_seasonal": q_events_seasonal,
+        "stats_theil_sen": q_stats_theil_sen,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -9011,6 +9064,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bmp": _BMP_SQL,
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
+        "stats_theil_sen": _THEIL_SEN_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

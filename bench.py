@@ -81,6 +81,7 @@ HEADLINE = [
     "stats_zscore",
     "stats_corr",
     "stats_regression",
+    "stats_theil_sen",
     "stats_histogram",
     "quality_expectations",
     "win_distinct_count",

@@ -1205,3 +1205,80 @@ def kendall_tau_by(
         ).alias("tau_b"),
     )
 
+
+
+def theil_sen_by(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend over the daily series: slope =
+    median of all pairwise day-to-day slopes, intercept = median of
+    (y − slope·day) — the estimator that shrugs off the outliers OLS
+    (``regression_by``) chases, with a 29.3% breakdown point.
+
+    Scale shape: the raw table collapses to one integer-cents row per
+    (key, day) first (map-combined), so the quadratic pair join runs
+    over CALENDAR-bounded series — #days² pairs per key, independent
+    of corpus row count; a year of data is ~66k pairs per key no
+    matter how many events back each day. Medians are the k-th
+    smallest value (k = ⌈n/2⌉, the lower median) picked by window
+    rank — tie order cannot change the selected VALUE, so the result
+    is engine- and partition-stable. Slopes are exact-cents
+    differences divided once; both medians round to 6.
+    Returns (key, n_days, slope, intercept)."""
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.floor(
+                F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+                / F.lit(86400)
+            ).cast("long").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("c")
+        )
+    )
+    daily = daily.localCheckpoint(eager=False)
+    a = daily.select("key", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("key", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    slopes = (
+        a.join(b, "key")
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "key",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.lit(100.0)
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("s"),
+        )
+    )
+    w_s = Window.partitionBy("key").orderBy("s")
+    med_slope = (
+        slopes.withColumn("_rk", F.row_number().over(w_s))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("key")))
+        .where(F.col("_rk") == F.ceil(F.col("_n") / 2))
+        .select("key", F.col("s").alias("slope"))
+    )
+    resid = daily.join(F.broadcast(med_slope), "key").select(
+        "key",
+        "slope",
+        (
+            F.col("c").cast("double") / F.lit(100.0)
+            - F.col("slope") * F.col("d").cast("double")
+        ).alias("r"),
+    )
+    w_r = Window.partitionBy("key").orderBy("r")
+    return (
+        resid.withColumn("_rk", F.row_number().over(w_r))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("key")))
+        .where(F.col("_rk") == F.ceil(F.col("_n") / 2))
+        .select(
+            "key",
+            F.col("_n").alias("n_days"),
+            F.round("slope", 6).alias("slope"),
+            F.round("r", 6).alias("intercept"),
+        )
+    )

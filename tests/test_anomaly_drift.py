@@ -493,3 +493,33 @@ def test_seasonal_decompose_recovers_planted_pattern(spark):
     top_phase = max(seas_by_phase, key=lambda p: seas_by_phase[p])
     assert (top_phase - out[days[0]].phase) % 7 == 0
     assert len(seas_by_phase) == 7
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A clean slope-2 line with one wild outlier: OLS bends, Theil-Sen
+    doesn't. Also checks the exact lower-median selection."""
+    import datetime
+
+    from cancer_survival_etl_spark.operators.stats import theil_sen_by
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(11):
+        v = 10.0 + 2.0 * i
+        if i == 5:
+            v = 500.0  # outlier
+        rows.append(("a", base + datetime.timedelta(days=i), v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    r = theil_sen_by(df, "event_type", "ts", "value").collect()[0]
+    assert r.n_days == 11
+    assert r.slope == 2.0  # median slope untouched by the outlier
+    # intercept: median of (y - 2*day_idx); day_idx is absolute epoch
+    # days, so verify via the residual definition rather than 10.0
+    d0 = int(base.timestamp() // 86400)
+    resid = sorted(
+        (10.0 + 2.0 * i if i != 5 else 500.0) - 2.0 * (d0 + i)
+        for i in range(11)
+    )
+    assert r.intercept == round(resid[5], 6)
