@@ -6248,6 +6248,55 @@ _DSIR_SQL = """
 """
 
 
+def q_stats_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend significance per event type
+    (`operators/stats.py::mann_kendall_by`) — the nonparametric
+    companion to `stats_theil_sen`: exact integer S and tie terms
+    over the calendar-bounded daily collapse, continuity-corrected z
+    in one mirrored expression."""
+    from cancer_survival_etl_spark.operators.stats import mann_kendall_by
+
+    e = _t(spark, sf_dir, "events")
+    return mann_kendall_by(e, "event_type", "ts", "value")
+
+
+_MANN_KENDALL_SQL = """
+    WITH daily AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.key,
+               CAST(sum(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.key = b.key AND a.day < b.day
+        GROUP BY a.key
+    ),
+    ties AS (
+        SELECT key,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie_term,
+               CAST(sum(t) AS BIGINT) AS n_days
+        FROM (SELECT key, c, count(*) AS t FROM daily GROUP BY key, c)
+        GROUP BY key
+    )
+    SELECT s.key, ties.n_days, s.s_stat,
+           CASE WHEN (n_days * (n_days - 1) * (2 * n_days + 5)
+                      - tie_term) / 18.0 > 0 THEN
+               round(CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE
+                          WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE
+                          ELSE 0.0 END
+                     / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
+                             - tie_term)::DOUBLE / 18.0), 6)
+           END AS z
+    FROM s JOIN ties ON s.key = ties.key
+"""
+
+
 def q_stats_theil_sen(spark, sf_dir):
     """Theil-Sen robust daily trend per event type (`operators/
     stats.py::theil_sen_by`): median pairwise slope + median residual
@@ -7275,6 +7324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kendall_weighted": q_stats_kendall_weighted,
         "events_seasonal": q_events_seasonal,
         "stats_theil_sen": q_stats_theil_sen,
+        "stats_mann_kendall": q_stats_mann_kendall,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -9065,6 +9115,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,
+        "stats_mann_kendall": _MANN_KENDALL_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -82,6 +82,7 @@ HEADLINE = [
     "stats_corr",
     "stats_regression",
     "stats_theil_sen",
+    "stats_mann_kendall",
     "stats_histogram",
     "quality_expectations",
     "win_distinct_count",

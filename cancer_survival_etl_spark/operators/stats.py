@@ -1282,3 +1282,76 @@ def theil_sen_by(
             F.round("r", 6).alias("intercept"),
         )
     )
+
+
+def mann_kendall_by(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Mann-Kendall trend test over the daily series — the
+    standard nonparametric "is there a monotone trend?" significance
+    readout that pairs with ``theil_sen_by``'s magnitude (MK tells you
+    whether, TS tells you how much).
+
+    S = Σ_{i<j} sign(x_j − x_i) over the time-ordered daily values,
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 with the tie
+    correction over value tie-runs, z = (S − sign(S)) / √Var (the
+    continuity-corrected normal approximation; z = 0 when S = 0).
+
+    Same scale shape as Theil-Sen: integer-cents daily collapse first,
+    so the pair join is calendar-bounded per key; S and the tie terms
+    are exact integers (map-combined aggregates), and z is one
+    mirrored double expression. NULL z when Var = 0 (all values
+    tied). Returns (key, n_days, s_stat, z) rounded to 6."""
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("c")
+        )
+    )
+    daily = daily.localCheckpoint(eager=False)
+    a = daily.select("key", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("key", F.col("day").alias("d2"), F.col("c").alias("c2"))
+    s = (
+        a.join(b, "key")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("key")
+        .agg(
+            F.sum(F.signum(F.col("c2") - F.col("c1")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    ties = (
+        daily.groupBy("key", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum("t").alias("n_days"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    return s.join(ties, "key").select(
+        "key",
+        "n_days",
+        "s_stat",
+        F.when(var_s > 0, F.round(z, 6)).alias("z"),
+    )

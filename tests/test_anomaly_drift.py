@@ -523,3 +523,35 @@ def test_theil_sen_robust_to_outlier(spark):
         for i in range(11)
     )
     assert r.intercept == round(resid[5], 6)
+
+
+def test_mann_kendall_hand_formula(spark):
+    import datetime
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import mann_kendall_by
+
+    base = datetime.datetime(2024, 5, 1)
+    vals = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 10.0]
+    rows = [("up", base + datetime.timedelta(days=i), v)
+            for i, v in enumerate(vals)]
+    rows += [("flat", base + datetime.timedelta(days=i), 2.0)
+             for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r.key: r for r in
+           mann_kendall_by(df, "event_type", "ts", "value").collect()}
+    c = [round(v * 100) for v in vals]
+    s_hand = sum(
+        (c[j] > c[i]) - (c[j] < c[i])
+        for i in range(len(c)) for j in range(i + 1, len(c))
+    )
+    n = len(c)
+    var = n * (n - 1) * (2 * n + 5) / 18.0  # no ties in vals
+    z_hand = round((s_hand - 1) / math.sqrt(var), 6)
+    r = out["up"]
+    assert (r.n_days, r.s_stat, r.z) == (n, s_hand, z_hand)
+    assert r.z > 2.0  # clear upward trend is significant
+    f = out["flat"]
+    assert f.s_stat == 0 and f.z is None  # all tied -> Var 0 -> NULL
