@@ -6248,6 +6248,113 @@ _DSIR_SQL = """
 """
 
 
+def q_quality_benford(spark, sf_dir):
+    """Benford first-digit screen over order totals per priority
+    (`operators/quality.py::benford_report`): exact string-based digit
+    extraction, integer counts, chi-square distance mirrored on every
+    row."""
+    from cancer_survival_etl_spark.operators.quality import benford_report
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_report(o, "o_totalprice", "o_orderpriority")
+
+
+_BENFORD_SQL = """
+    WITH d AS (
+        SELECT o_orderpriority,
+               substring(regexp_replace(
+                   CAST(CAST(abs(o_totalprice) AS DECIMAL(38,6))
+                        AS VARCHAR),
+                   '[.\-0]*', '', 'g'), 1, 1) AS digit
+        FROM orders
+    ),
+    hist AS (
+        SELECT o_orderpriority, digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM d WHERE digit <> '' GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT *,
+               sum(n_obs) OVER (PARTITION BY o_orderpriority) AS total,
+               log10(1 + 1.0 / CAST(digit AS INT)) AS benford
+        FROM hist
+    )
+    SELECT o_orderpriority, CAST(digit AS INT) AS digit, n_obs,
+           round(n_obs / total::DOUBLE, 6) AS obs_share,
+           round(benford, 6) AS benford_share,
+           round(sum((n_obs::DOUBLE - total * benford)
+                     * (n_obs::DOUBLE - total * benford)
+                     / (total * benford))
+                 OVER (PARTITION BY o_orderpriority), 6) AS chi2
+    FROM t
+"""
+
+
+def q_stats_gini(spark, sf_dir):
+    """Per-priority Gini concentration of order totals
+    (`operators/stats.py::gini_by`): tie-proof Σ i·x over one sorted
+    window pass, exact integer evidence, one mirrored expression."""
+    from cancer_survival_etl_spark.operators.stats import gini_by
+
+    o = _t(spark, sf_dir, "orders")
+    return gini_by(o, "o_orderpriority", "o_totalprice")
+
+
+_GINI_SQL = """
+    WITH ranked AS (
+        SELECT o_orderpriority AS key,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY round(o_totalprice * 100))
+                   AS i
+        FROM orders
+    ),
+    agg AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sx,
+               CAST(sum(i * c) AS BIGINT) AS six
+        FROM ranked GROUP BY key
+    )
+    SELECT key, n_rows,
+           CASE WHEN sx <> 0 THEN
+               round((2.0 * six - (n_rows + 1) * sx::DOUBLE)
+                     / (n_rows * sx::DOUBLE), 6)
+           END AS gini
+    FROM agg
+"""
+
+
+def q_stats_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the language mix
+    (`operators/stats.py::entropy_by`): exact integer category counts,
+    H and H/ln(k) in mirrored expressions."""
+    from cancer_survival_etl_spark.operators.stats import entropy_by
+
+    d = _t(spark, sf_dir, "documents")
+    return entropy_by(d, "source", "lang")
+
+
+_ENTROPY_SQL = """
+    WITH counts AS (
+        SELECT source AS key, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT key, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_categories,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
+        FROM counts GROUP BY key
+    )
+    SELECT key, n_rows, n_categories,
+           round(ln(n_rows::DOUBLE) - clogc / n_rows::DOUBLE, 6)
+               AS entropy,
+           CASE WHEN n_categories > 1 THEN
+               round((ln(n_rows::DOUBLE) - clogc / n_rows::DOUBLE)
+                     / ln(n_categories::DOUBLE), 6)
+           END AS entropy_norm
+    FROM agg
+"""
+
+
 def q_stats_mann_kendall(spark, sf_dir):
     """Mann-Kendall monotone-trend significance per event type
     (`operators/stats.py::mann_kendall_by`) — the nonparametric
@@ -7325,6 +7432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal": q_events_seasonal,
         "stats_theil_sen": q_stats_theil_sen,
         "stats_mann_kendall": q_stats_mann_kendall,
+        "quality_benford": q_quality_benford,
+        "stats_gini": q_stats_gini,
+        "stats_entropy": q_stats_entropy,
         "stats_winsorize": q_stats_winsorize,
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
@@ -9116,6 +9226,9 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,
         "stats_mann_kendall": _MANN_KENDALL_SQL,
+        "quality_benford": _BENFORD_SQL,
+        "stats_gini": _GINI_SQL,
+        "stats_entropy": _ENTROPY_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,
         "dataset_temperature": _TEMPERATURE_SQL,
         "vocab_topk": """

@@ -85,6 +85,9 @@ HEADLINE = [
     "stats_mann_kendall",
     "stats_histogram",
     "quality_expectations",
+    "quality_benford",
+    "stats_gini",
+    "stats_entropy",
     "win_distinct_count",
     "shipping_priority",
     "model_score",

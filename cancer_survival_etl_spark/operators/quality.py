@@ -181,3 +181,62 @@ def key_skew_profile(
             ).alias("x_uniform"),
         )
     )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    key_cols=(),
+) -> DataFrame:
+    """Benford's-law first-digit screen — the classic fabricated-data /
+    broken-feed detector for naturally scaled quantities: the observed
+    first-significant-digit distribution vs the Benford expectation
+    p(d) = log10(1 + 1/d), plus the chi-square distance carried on
+    every row (one number per key, duplicated per digit row for a
+    flat, oracle-friendly shape).
+
+    Digit extraction is string-based and exact (first char of the
+    absolute value's digits — no float log in the grouping); counts
+    are map-combined integers; shares and chi² are single mirrored
+    double expressions. Zero values carry no first digit and are
+    excluded. Returns (key..., digit, n_obs, obs_share,
+    benford_share, chi2)."""
+    import math
+
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    digits = F.regexp_replace(
+        F.abs(F.col(value_col)).cast("decimal(38,6)").cast("string"),
+        r"[.\-0]*",
+        "",
+    )
+    first = F.substring(digits, 1, 1)
+    base = df.select(*keys, first.alias("digit")).filter(
+        F.col("digit") != ""
+    )
+    hist = base.groupBy(*keys, "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    total = F.sum("n_obs").over(w)
+    benford = F.element_at(
+        F.array(*[
+            F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)
+        ]),
+        F.col("digit").cast("int"),
+    )
+    expected = total.cast("double") * benford
+    chi2 = F.sum(
+        (F.col("n_obs").cast("double") - expected) ** 2 / expected
+    ).over(w)
+    return hist.select(
+        *keys,
+        F.col("digit").cast("int").alias("digit"),
+        "n_obs",
+        F.round(F.col("n_obs") / total.cast("double"), 6).alias(
+            "obs_share"
+        ),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(chi2, 6).alias("chi2"),
+    )

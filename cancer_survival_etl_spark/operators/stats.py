@@ -1355,3 +1355,78 @@ def mann_kendall_by(
         "s_stat",
         F.when(var_s > 0, F.round(z, 6)).alias("z"),
     )
+
+
+def gini_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Gini coefficient over integer cents — the concentration
+    readout (revenue inequality, corpus source imbalance) that
+    ``key_skew_profile`` approximates with a top-n cut: G = (2·Σ i·x₍ᵢ₎
+    − (n+1)·Σx) / (n·Σx) over ascending-sorted values, 1-indexed.
+
+    Σ i·x₍ᵢ₎ is tie-proof (permuting equal values cannot change it),
+    so the row_number sort key needs no tiebreak column; all evidence
+    (Σx, Σ i·x, n) is exact integers from one windowed pass + one
+    map-combined aggregate, and G is a single mirrored double
+    expression. One shuffle on the key. NULL G when Σx = 0.
+    Returns (key, n_rows, gini) rounded to 6."""
+    c = F.round(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy("key").orderBy("c")
+    ranked = (
+        df.select(F.col(key_col).alias("key"), c.alias("c"))
+        .withColumn("_i", F.row_number().over(w))
+    )
+    agg = ranked.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c").alias("_sx"),
+        F.sum(F.col("_i") * F.col("c")).alias("_six"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    gini = (
+        (2.0 * F.col("_six").cast("double") - (n + 1) * sx) / (n * sx)
+    )
+    return agg.select(
+        "key",
+        "n_rows",
+        F.when(F.col("_sx") != 0, F.round(gini, 6)).alias("gini"),
+    )
+
+
+def entropy_by(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-key Shannon entropy (nats) of a categorical distribution —
+    the diversity readout for corpus mixes and label balance:
+    H = ln(n) − (1/n)·Σ c·ln(c) over exact integer category counts,
+    one map-combined aggregate tree and one mirrored double
+    expression. Also reports the normalized H/ln(k) (NULL when only
+    one category). Returns (key, n_rows, n_categories, entropy,
+    entropy_norm) rounded to 6."""
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), F.col(cat_col).alias("_cat")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy("key").agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(
+            F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))
+        ).alias("_clogc"),
+    )
+    n = F.col("n_rows").cast("double")
+    h = F.log(n) - F.col("_clogc") / n
+    return agg.select(
+        "key",
+        "n_rows",
+        "n_categories",
+        F.round(h, 6).alias("entropy"),
+        F.when(
+            F.col("n_categories") > 1,
+            F.round(h / F.log(F.col("n_categories").cast("double")), 6),
+        ).alias("entropy_norm"),
+    )

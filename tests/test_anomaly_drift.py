@@ -555,3 +555,47 @@ def test_mann_kendall_hand_formula(spark):
     assert r.z > 2.0  # clear upward trend is significant
     f = out["flat"]
     assert f.s_stat == 0 and f.z is None  # all tied -> Var 0 -> NULL
+
+
+def test_gini_and_entropy_known_distributions(spark):
+    from cancer_survival_etl_spark.operators.stats import (
+        entropy_by,
+        gini_by,
+    )
+
+    # perfectly equal values -> Gini 0; one-holder-takes-all -> (n-1)/n
+    rows = [("eq", 5.0)] * 8 + [("all", 0.0)] * 7 + [("all", 10.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    g = {r.key: r.gini for r in gini_by(df, "k", "v").collect()}
+    assert g["eq"] == 0.0
+    assert g["all"] == round((8 - 1) / 8, 6)
+    # uniform over 4 categories -> H = ln 4, norm 1; single cat -> 0
+    import math
+    rows2 = [("u", c) for c in "abcd" for _ in range(3)] + [("s", "x")] * 5
+    df2 = spark.createDataFrame(rows2, "k string, c string")
+    e = {r.key: (r.entropy, r.entropy_norm)
+         for r in entropy_by(df2, "k", "c").collect()}
+    assert e["u"] == (round(math.log(4), 6), 1.0)
+    assert e["s"] == (0.0, None)
+
+
+def test_benford_uniform_digits_fail_the_screen(spark):
+    from cancer_survival_etl_spark.operators.quality import benford_report
+
+    # values 1..9 uniformly -> obs_share 1/9 each, chi2 far from 0;
+    # a Benford-ish sample (1-heavy) scores much lower
+    rows = [("uni", float(d)) for d in range(1, 10) for _ in range(10)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = benford_report(df, "v", "k").collect()
+    assert len(out) == 9
+    assert all(r.obs_share == round(1 / 9, 6) for r in out)
+    chi2 = out[0].chi2
+    assert all(r.chi2 == chi2 for r in out) and chi2 > 15
+    # first-digit extraction handles decimals, negatives, leading zeros
+    tricky = spark.createDataFrame(
+        [("t", 0.042), ("t", -7.1), ("t", 300.0), ("t", 0.0)],
+        "k string, v double",
+    )
+    got = {r.digit: r.n_obs for r in
+           benford_report(tricky, "v", "k").collect()}
+    assert got == {4: 1, 7: 1, 3: 1}  # zero row excluded
