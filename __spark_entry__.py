@@ -6248,6 +6248,42 @@ _DSIR_SQL = """
 """
 
 
+def q_stats_trimmed_mean(spark, sf_dir):
+    """Per-priority 5% symmetric trimmed mean of order totals
+    (`operators/stats.py::trimmed_mean_by`): exact-cents rank cut,
+    integer kept-sum, one mirrored division — the robust location
+    complement to `stats_winsorize`'s clamping."""
+    from cancer_survival_etl_spark.operators.stats import trimmed_mean_by
+
+    o = _t(spark, sf_dir, "orders")
+    return trimmed_mean_by(o, "o_orderpriority", "o_totalprice", 0.05)
+
+
+_TRIMMED_MEAN_SQL = """
+    WITH ranked AS (
+        SELECT o_orderpriority AS key,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY round(o_totalprice * 100))
+                   AS i,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n,
+               CAST(floor(count(*) OVER (PARTITION BY o_orderpriority)
+                          * 0.05) AS BIGINT) AS k
+        FROM orders
+    )
+    SELECT key, CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(2 * max(k) AS BIGINT) AS n_trimmed,
+           CASE WHEN sum(CASE WHEN i > k AND i <= n - k
+                              THEN 1 ELSE 0 END) > 0 THEN
+               round(sum(CASE WHEN i > k AND i <= n - k
+                              THEN c END)::DOUBLE
+                     / sum(CASE WHEN i > k AND i <= n - k
+                                THEN 1 ELSE 0 END)::DOUBLE / 100.0, 6)
+           END AS trimmed_mean
+    FROM ranked GROUP BY key
+"""
+
+
 def q_quality_benford(spark, sf_dir):
     """Benford first-digit screen over order totals per priority
     (`operators/quality.py::benford_report`): exact string-based digit
@@ -7433,6 +7469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_theil_sen": q_stats_theil_sen,
         "stats_mann_kendall": q_stats_mann_kendall,
         "quality_benford": q_quality_benford,
+        "stats_trimmed_mean": q_stats_trimmed_mean,
         "stats_gini": q_stats_gini,
         "stats_entropy": q_stats_entropy,
         "stats_winsorize": q_stats_winsorize,
@@ -9227,6 +9264,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_theil_sen": _THEIL_SEN_SQL,
         "stats_mann_kendall": _MANN_KENDALL_SQL,
         "quality_benford": _BENFORD_SQL,
+        "stats_trimmed_mean": _TRIMMED_MEAN_SQL,
         "stats_gini": _GINI_SQL,
         "stats_entropy": _ENTROPY_SQL,
         "events_rolling_distinct": _ROLLING_DISTINCT_SQL,

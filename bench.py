@@ -88,6 +88,7 @@ HEADLINE = [
     "quality_benford",
     "stats_gini",
     "stats_entropy",
+    "stats_trimmed_mean",
     "win_distinct_count",
     "shipping_priority",
     "model_score",

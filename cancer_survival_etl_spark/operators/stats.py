@@ -1430,3 +1430,61 @@ def entropy_by(
             F.round(h / F.log(F.col("n_categories").cast("double")), 6),
         ).alias("entropy_norm"),
     )
+
+
+def trimmed_mean_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    trim_frac: float = 0.05,
+) -> DataFrame:
+    """Per-key symmetric trimmed mean — the robust location aggregate
+    every metric pipeline reaches for when ``winsorize_by`` (which
+    clamps) isn't wanted: drop the lowest and highest ⌊n·frac⌋
+    values, average the rest.
+
+    Exactness: rank by (value, then rank-stability is irrelevant —
+    equal values are interchangeable in both the cut and the sum),
+    k = floor(n·frac) computed from exact integers, the kept sum is
+    an exact integer-cents aggregate, and the mean divides once —
+    bit-stable at any parallelism and mirrored verbatim by the
+    oracle. One shuffle on the key. Returns (key, n_rows, n_trimmed,
+    trimmed_mean) rounded to 6; NULL mean if the trim empties the
+    key."""
+    c = F.round(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy("key").orderBy("c")
+    wk = Window.partitionBy("key")
+    ranked = (
+        df.select(F.col(key_col).alias("key"), c.alias("c"))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "_k", F.floor(F.col("_n") * F.lit(trim_frac)).cast("long")
+        )
+    )
+    kept = (F.col("_i") > F.col("_k")) & (
+        F.col("_i") <= F.col("_n") - F.col("_k")
+    )
+    return (
+        ranked.groupBy("key")
+        .agg(
+            F.max("_n").alias("n_rows"),
+            (F.lit(2) * F.max("_k")).alias("n_trimmed"),
+            F.sum(F.when(kept, F.col("c"))).alias("_s"),
+            F.sum(kept.cast("long")).alias("_m"),
+        )
+        .select(
+            "key",
+            "n_rows",
+            "n_trimmed",
+            F.when(
+                F.col("_m") > 0,
+                F.round(
+                    F.col("_s").cast("double")
+                    / F.col("_m").cast("double")
+                    / 100.0,
+                    6,
+                ),
+            ).alias("trimmed_mean"),
+        )
+    )

@@ -599,3 +599,26 @@ def test_benford_uniform_digits_fail_the_screen(spark):
     got = {r.digit: r.n_obs for r in
            benford_report(tricky, "v", "k").collect()}
     assert got == {4: 1, 7: 1, 3: 1}  # zero row excluded
+
+
+def test_trimmed_mean_drops_extremes_exactly(spark):
+    from cancer_survival_etl_spark.operators.stats import trimmed_mean_by
+
+    # 20 values: 1..18 plus two wild outliers; 5% trim drops exactly
+    # one from each end (k = floor(20*0.05) = 1)
+    vals = [float(v) for v in range(1, 19)] + [-1000.0, 1000.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "k string, v double"
+    )
+    r = trimmed_mean_by(df, "k", "v", 0.05).collect()[0]
+    assert (r.n_rows, r.n_trimmed) == (20, 2)
+    assert r.trimmed_mean == round(sum(range(1, 19)) / 18, 6)
+    # trim that empties the key -> NULL
+    tiny = spark.createDataFrame([("b", 1.0)], "k string, v double")
+    r2 = trimmed_mean_by(tiny, "k", "v", 0.5).collect()[0]
+    assert r2.trimmed_mean == 1.0  # k = floor(1*0.5) = 0, keeps the row
+    r3 = trimmed_mean_by(
+        spark.createDataFrame([("c", 1.0), ("c", 2.0)], "k string, v double"),
+        "k", "v", 0.5,
+    ).collect()[0]
+    assert r3.trimmed_mean is None  # k = 1 trims both rows
