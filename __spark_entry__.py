@@ -6295,7 +6295,7 @@ def q_quality_benford(spark, sf_dir):
     return benford_report(o, "o_totalprice", "o_orderpriority")
 
 
-_BENFORD_SQL = """
+_BENFORD_SQL = r"""
     WITH d AS (
         SELECT o_orderpriority,
                substring(regexp_replace(
@@ -7390,71 +7390,19 @@ _ZIPF_SQL = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING: the driver's correctness gate
-    # adjudicates the first 50 entries. Round 1 checked the reference-
-    # parity + relational tranche; round 2 the dedup/ANN/text/events/
-    # sketch/stats tranche (48 green + 2 declared rows-only in
-    # CORRECTNESS_r02.json). ROUND 3 rotates the window onto the
-    # highest-priority never-adjudicated tranche per VERDICT.md item 1:
-    # the TPC-H queries, retrieval, linkage, incremental_agg,
-    # dedup_semantic, ann_pq_adc, corpus_curation, the eval tranche,
-    # the stats tranche, and sketch_hll_rollup. Everything in the
-    # window is oracle-checked (no rows-only entries this round) and
-    # parity-green locally via tools/check_parity.py at sf0.01.
-    # Positions 51+ hold the round-4 queue (remaining never-
-    # adjudicated queries), then the r02- and r01-green tranches.
+    # adjudicates the first 50 entries. Rounds 1-3 adjudicated 147
+    # distinct queries (see CORRECTNESS_r0{1,2,3}.json). ROUND 4
+    # rotates the window onto the never-adjudicated tranche per
+    # VERDICT.md item 2, keeping shipmode_priority in-window so its
+    # oracle BIGINT-cast fix (r3 item 1) gets adjudicated. Positions
+    # 51+ hold the round-5 queue (remaining never-adjudicated
+    # queries plus this round's new additions), then the r01-r03
+    # green tranches. The legacy multimodal_decode rows-only stub is
+    # retired (VERDICT item 6): the real formula-oracled decodes are
+    # multimodal_pcm / multimodal_bmp.
     return {
-        # ==== positions 1-50: ROUND-3 driver window (never adjudicated; all parity-green locally) ====
-        "custdist": q_custdist,
-        "big_orders": q_big_orders,
-        "suppliers_kept_waiting": q_suppliers_kept_waiting,
-        "idle_rich_customers": q_idle_rich_customers,
-        "order_priority_check": q_order_priority_check,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "returned_items": q_returned_items,
+        # ==== positions 1-50: ROUND-4 driver window (never adjudicated except shipmode_priority; all parity-green locally) ====
         "shipmode_priority": q_shipmode_priority,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
-        "local_supplier_revenue": q_local_supplier_revenue,
-        "min_cost_supplier": q_min_cost_supplier,
-        "product_profit": q_product_profit,
-        "important_parts": q_important_parts,
-        "supplier_part_counts": q_supplier_part_counts,
-        "excess_suppliers": q_excess_suppliers,
-        "bm25_topk": q_bm25_topk,
-        "lm_score": q_lm_score,
-        "dsir_weights": q_dsir_weights,
-        "hybrid_search": q_hybrid_search,
-        "retrieval_diversify": q_retrieval_diversify,
-        "retrieval_mmr": q_retrieval_mmr,
-        "record_linkage": q_record_linkage,
-        "linkage_golden": q_linkage_golden,
-        "incremental_agg": q_incremental_agg,
-        "dedup_semantic": q_dedup_semantic,
-        "ann_pq_adc": q_ann_pq_adc,
-        "corpus_curation": q_corpus_curation,
-        "eval_calibration": q_eval_calibration,
-        "eval_ndcg": q_eval_ndcg,
-        "eval_kappa": q_eval_kappa,
-        "eval_rouge": q_eval_rouge,
-        "eval_bleu": q_eval_bleu,
-        "eval_confusion": q_eval_confusion,
-        "stats_psi_drift": q_stats_psi_drift,
-        "stats_js_divergence": q_stats_js_divergence,
-        "stats_chi_square": q_stats_chi_square,
-        "stats_ols_multi": q_stats_ols_multi,
-        "stats_auc": q_stats_auc,
-        "stats_spearman": q_stats_spearman,
-        "stats_kendall": q_stats_kendall,
-        "stats_welch": q_stats_welch,
-        "stats_rank_sum": q_stats_rank_sum,
-        "stats_bh_adjust": q_stats_bh_adjust,
-        "stats_cuped": q_stats_cuped,
-        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
-        "sketch_hll_rollup": q_sketch_hll_rollup,
-        # ==== positions 51+: round-4 window queue (never driver-adjudicated) ====
         "text_suffix_repeat": q_text_suffix_repeat,
         "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
         "eval_isotonic_unbinned": q_eval_isotonic_unbinned,
@@ -7504,6 +7452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_journeys": q_events_journeys,
         "stats_robust_scale": q_stats_robust_scale,
         "ann_hard_negatives": q_ann_hard_negatives,
+        # ==== positions 51+: round-5 window queue (never driver-adjudicated) ====
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -7516,7 +7465,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "events_rolling_distinct": q_events_rolling_distinct,
         "dataset_temperature": q_dataset_temperature,
-        # ==== green in CORRECTNESS_r02.json ====
+        # ==== green in CORRECTNESS_r01/r02/r03.json ====
+        "custdist": q_custdist,
+        "big_orders": q_big_orders,
+        "suppliers_kept_waiting": q_suppliers_kept_waiting,
+        "idle_rich_customers": q_idle_rich_customers,
+        "order_priority_check": q_order_priority_check,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "returned_items": q_returned_items,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "supplier_part_counts": q_supplier_part_counts,
+        "excess_suppliers": q_excess_suppliers,
+        "bm25_topk": q_bm25_topk,
+        "lm_score": q_lm_score,
+        "dsir_weights": q_dsir_weights,
+        "hybrid_search": q_hybrid_search,
+        "retrieval_diversify": q_retrieval_diversify,
+        "retrieval_mmr": q_retrieval_mmr,
+        "record_linkage": q_record_linkage,
+        "linkage_golden": q_linkage_golden,
+        "incremental_agg": q_incremental_agg,
+        "dedup_semantic": q_dedup_semantic,
+        "ann_pq_adc": q_ann_pq_adc,
+        "corpus_curation": q_corpus_curation,
+        "eval_calibration": q_eval_calibration,
+        "eval_ndcg": q_eval_ndcg,
+        "eval_kappa": q_eval_kappa,
+        "eval_rouge": q_eval_rouge,
+        "eval_bleu": q_eval_bleu,
+        "eval_confusion": q_eval_confusion,
+        "stats_psi_drift": q_stats_psi_drift,
+        "stats_js_divergence": q_stats_js_divergence,
+        "stats_chi_square": q_stats_chi_square,
+        "stats_ols_multi": q_stats_ols_multi,
+        "stats_auc": q_stats_auc,
+        "stats_spearman": q_stats_spearman,
+        "stats_kendall": q_stats_kendall,
+        "stats_welch": q_stats_welch,
+        "stats_rank_sum": q_stats_rank_sum,
+        "stats_bh_adjust": q_stats_bh_adjust,
+        "stats_cuped": q_stats_cuped,
+        "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
+        "sketch_hll_rollup": q_sketch_hll_rollup,
         "conditional_agg": q_conditional_agg,
         "sketch_approx_distinct": q_sketch_approx_distinct,
         "sketch_quantiles": q_sketch_quantiles,
@@ -7546,7 +7544,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
         "tokenizer_bpe": q_tokenizer_bpe,
-        "multimodal_decode": q_multimodal_decode,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
@@ -7567,7 +7564,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_histogram": q_stats_histogram,
         "quality_expectations": q_quality_expectations,
         "volume_shipping": q_volume_shipping,
-        # ==== green in CORRECTNESS_r01.json ====
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
         "p3_null_semantics": q_null_semantics,
@@ -8475,10 +8471,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shipmode_priority": """
             SELECT l.l_linestatus,
-                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
