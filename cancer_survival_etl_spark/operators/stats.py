@@ -737,33 +737,63 @@ def spearman_by(
     integers and the five co-moments are exact integer sums — the same
     order-independent discipline as ``corr_exact``, with one mirrored
     final double expression (the doubling cancels in the normalized
-    ratio). Two rank windows + one aggregate; NULL on degenerate
-    (constant) columns. Returns (group..., n_rows, spearman_rho)
-    rounded to 6."""
+    ratio). NULL on degenerate (constant) columns. Returns (group...,
+    n_rows, spearman_rho) rounded to 6.
+
+    SCALE SHAPE: per-group tie-averaged ranks depend only on the
+    per-group VALUE HISTOGRAM — doubled rank of value v in group g is
+    2·(#values < v in g) + t_v + 1. The raw frame collapses to joint
+    (group, x, y) cells in one map-combined aggregate; each axis's
+    exclusive count prefix comes from ``grouped_prefix_sum`` (range-
+    partitioned on (group, value), so a hot group SPANS partitions
+    instead of serializing one task — the former
+    ``row_number().over(Window.partitionBy(g).orderBy(v))`` form put
+    each group's whole sort on a single core); ranks join back to the
+    joint cells on (group, value) and the five co-moments are
+    cell-count-weighted exact integer sums — bit-identical to the
+    per-row formulation at any parallelism."""
+    from .windows import grouped_prefix_sum
+
     g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    joint = df.groupBy(
+        *[F.col(c) for c in g],
+        F.col(x_col).alias("_xv"),
+        F.col(y_col).alias("_yv"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
 
-    def ranks2(col, alias):
-        rn = F.row_number().over(
-            Window.partitionBy(*g).orderBy(F.col(col))
+    def ranks2(value_alias, out_alias):
+        hist = joint.groupBy(*g, value_alias).agg(F.sum("_c").alias("_t"))
+        pref = grouped_prefix_sum(hist, g, value_alias, "_t", alias="_pref")
+        return pref.select(
+            *[F.col(k).alias(f"_g_{i}") for i, k in enumerate(g)],
+            F.col(value_alias).alias("_jv"),
+            (2 * F.col("_pref") + F.col("_t") + 1).alias(out_alias),
         )
-        avg_r = F.avg(rn).over(Window.partitionBy(*g, col))
-        return (avg_r * 2).cast("long").alias(alias)
 
-    ranked = df.select(*g, F.col(x_col), F.col(y_col)).select(
-        *g,
-        F.col(x_col),
-        F.col(y_col),
-        ranks2(x_col, "_rx"),
-    )
-    ranked = ranked.select(*g, "_rx", ranks2(y_col, "_ry"))
-    rx, ry = F.col("_rx"), F.col("_ry")
+    def nsjoin(left, rank_tab, value_alias):
+        # null-safe: NULL values and NULL group keys are real rank
+        # classes (window partitioning treated them as groups)
+        cond = F.col(value_alias).eqNullSafe(F.col("_jv"))
+        for i, k in enumerate(g):
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_g_{i}"))
+        return left.join(rank_tab, cond).drop(
+            "_jv", *[f"_g_{i}" for i in range(len(g))]
+        )
+
+    ranked = nsjoin(joint, ranks2("_xv", "_rx"), "_xv")
+    ranked = nsjoin(ranked, ranks2("_yv", "_ry"), "_yv")
+    rx, ry, cnt = F.col("_rx"), F.col("_ry"), F.col("_c")
+
+    def wsum(term):
+        return F.sum(cnt.cast("decimal(38,0)") * term)
+
     m = ranked.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(_acc(rx, True)).alias("_sx"),
-        F.sum(_acc(ry, True)).alias("_sy"),
-        F.sum(_acc(rx * rx, True)).alias("_sxx"),
-        F.sum(_acc(ry * ry, True)).alias("_syy"),
-        F.sum(_acc(rx * ry, True)).alias("_sxy"),
+        F.sum(cnt).alias("_n"),
+        wsum(rx).alias("_sx"),
+        wsum(ry).alias("_sy"),
+        wsum(rx * rx).alias("_sxx"),
+        wsum(ry * ry).alias("_syy"),
+        wsum(rx * ry).alias("_sxy"),
     )
     n = F.col("_n").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
@@ -880,27 +910,44 @@ def rank_sum_test(
     σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))) over exact tie
     counts, z = (U − n_a·n_b/2)/σ — one mirrored final expression.
     NULL z when every value ties (σ = 0). Returns (variant_a,
-    variant_b, n_a, n_b, u_stat, z_stat) rounded to 6."""
-    rn = F.row_number().over(Window.orderBy(F.col(metric_col)))
-    ranked = df.select(
-        F.col(variant_col).alias("_v"),
-        F.col(metric_col).alias("_m"),
-        rn.alias("_rn"),
+    variant_b, n_a, n_b, u_stat, z_stat) rounded to 6.
+
+    SCALE SHAPE: tie-averaged ranks depend only on the VALUE
+    HISTOGRAM, never on individual rows — the tie class at value v has
+    doubled average rank 2·(#values < v) + t_v + 1 (an exact integer).
+    So the raw frame collapses to per-(variant, value) cells in one
+    map-combined aggregate, the exclusive count prefix comes from the
+    two-phase distributed ``global_prefix_sum`` over the histogram
+    (one row per DISTINCT value), and rank sums are Σ cell·rank —
+    there is NO global single-partition sort window anywhere in the
+    plan (the former ``row_number().over(Window.orderBy(...))`` form
+    moved every row to one task; see test_plans.py's no-single-
+    partition-WindowExec pin). Doubled ranks keep everything integer-
+    exact: Σ c·(2·pref + t + 1) fits a long to ~3·10⁹ rows, and the
+    halved double is a sum of half-integers — bit-identical to the
+    per-row formulation at any parallelism."""
+    from .windows import global_prefix_sum
+
+    cells = df.groupBy(
+        F.col(variant_col).alias("_v"), F.col(metric_col).alias("_m")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    hist = cells.groupBy("_m").agg(F.sum("_c").alias("_t"))
+    pref = global_prefix_sum(hist, "_m", "_t", alias="_pref")
+    ranked = cells.join(pref, "_m").select(
+        "_v",
+        "_c",
+        (2 * F.col("_pref") + F.col("_t") + 1).alias("_ar2"),
     )
-    ranked = ranked.select(
-        "_v", "_m", F.avg("_rn").over(Window.partitionBy("_m")).alias("_ar")
-    )
-    ties = (
-        ranked.groupBy("_m")
-        .agg(F.count(F.lit(1)).alias("_t"))
-        .agg(
-            F.sum(
-                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-            ).alias("_tie3")
-        )
+    ties = hist.agg(
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie3")
     )
     per = ranked.groupBy("_v").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_ar").alias("_rsum")
+        F.sum("_c").alias("_n"),
+        (F.sum(F.col("_c") * F.col("_ar2")).cast("double") / 2).alias(
+            "_rsum"
+        ),
     )
     a = per.orderBy("_v").limit(1).select(
         F.col("_v").alias("variant_a"),

@@ -154,3 +154,87 @@ def global_prefix_sum(
             yield out
 
     return ranged.mapInPandas(cumsum, out_schema)
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alias: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE per-group running sum of ``value_col`` in ``order_col``
+    order (``SUM(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``, 0 for each group's first
+    row) — WITHOUT the hot-group-on-one-task window that form compiles
+    to: a group 100× bigger than the rest would serialize its whole
+    scan onto a single core.
+
+    Three-phase, fully distributed (no driver collect at all — the
+    sibling ``global_prefix_sum`` collects one row per partition; here
+    even that is replaced by a window over per-partition totals):
+
+      1. range-partition on ``(group..., order_col)`` — a hot group
+         SPANS many consecutive partitions instead of landing on one
+         task — then tag rows with ``spark_partition_id()``;
+      2. per-(partition, group) totals (≤ #groups + #partitions rows,
+         since each group occupies a contiguous partition span) get
+         their exclusive cross-partition carry from a window over
+         ``Window.partitionBy(group).orderBy(pid)`` — at most
+         #partitions rows per group, trivially small and itself spread
+         across groups;
+      3. join carries back on ``(pid, group)`` and finish with a
+         within-cell cumulative window over ``(pid, group)`` — each
+         window cell is bounded by a range-partition's share of the
+         group, never the whole group.
+
+    ``(group..., order_col)`` must be unique (it is the total order
+    within the group). Σ value per group must fit a long."""
+    g = list(group_cols)
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in g + [order_col]])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    carries = (
+        ranged.groupBy("_pid", *g)
+        .agg(F.sum(value_col).alias("_cell_tot"))
+        .withColumn(
+            "_carry",
+            F.coalesce(
+                F.sum("_cell_tot").over(
+                    Window.partitionBy(*g)
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_cell_tot")
+    )
+    w_cell = (
+        Window.partitionBy("_pid", *g)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # null-safe join: a NULL group key is a real group to window
+    # partitioning and groupBy, so the carry join must not drop it
+    c = carries.select(
+        F.col("_pid").alias("_cpid"),
+        *[F.col(k).alias(f"_cg_{i}") for i, k in enumerate(g)],
+        "_carry",
+    )
+    cond = F.col("_pid") == F.col("_cpid")
+    for i, k in enumerate(g):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_cg_{i}"))
+    return (
+        ranged.join(c, cond)
+        .withColumn(
+            alias,
+            F.coalesce(F.sum(value_col).over(w_cell), F.lit(0))
+            + F.col("_carry"),
+        )
+        .drop("_pid", "_carry", "_cpid", *[f"_cg_{i}" for i in range(len(g))])
+    )

@@ -264,6 +264,19 @@ def _kendall(spark, events):
     return kendall_tau_by(e, "event_type", "xb", "yv")
 
 
+@_eregister("rank_sum")
+def _ranksum(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import rank_sum_test
+
+    e = events.select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return rank_sum_test(e, "variant", "cents")
+
+
 @_eregister("cusum")
 def _cusum(spark, events):
     from cancer_survival_etl_spark.operators.timeseries import (
