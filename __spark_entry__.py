@@ -2187,22 +2187,10 @@ def q_tokenizer_vocab_coverage(spark, sf_dir):
     piece — the coverage floor of `llm/unigram.py::train_unigram`).
     Pure expressions derived from the SAME pinned constant on both
     sides, so the report adjudicates bit-exact."""
-    chars = "".join(
-        sorted(p for p in _UNIGRAM_PINNED_SCORES if len(p) == 1)
-    )
-    oov = F.col("_w").rlike(f"[^{chars}]")
+    from cancer_survival_etl_spark.llm.unigram import vocab_coverage
+
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "source",
-        F.explode(F.split(F.col("text"), " ")).alias("_w"),
-    ).filter(F.col("_w") != "")
-    return words.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(oov.cast("long")).alias("n_oov_words"),
-        F.round(
-            F.sum(oov.cast("long")) / F.count(F.lit(1)).cast("double"), 6
-        ).alias("oov_frac"),
-    )
+    return vocab_coverage(d, _UNIGRAM_PINNED_SCORES)
 
 
 def _vocab_coverage_sql() -> str:
@@ -2232,33 +2220,11 @@ def q_embedding_matryoshka(spark, sf_dir):
     the readout for "can retrieval run on the cheap prefix?". Both
     rankings are exact `brute_force_topk` runs (round-6 cosine, ties
     by neighbor id), so the overlap adjudicates bit-exact."""
-    from cancer_survival_etl_spark.llm.similarity import brute_force_topk
+    from cancer_survival_etl_spark.llm.similarity import matryoshka_overlap
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    k = 10
-    full = brute_force_topk(e, q, k=k)
-    trunc = lambda d: d.select(  # noqa: E731
-        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
-    )
-    pre = brute_force_topk(trunc(e), trunc(q), k=k)
-    hit = full.join(
-        pre.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
-    return (
-        full.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("k_eff"))
-        .join(hit, "query_id", "left")
-        .na.fill(0, ["n_overlap"])
-        .select(
-            "query_id",
-            "k_eff",
-            "n_overlap",
-            F.round(
-                F.col("n_overlap") / F.col("k_eff").cast("double"), 6
-            ).alias("overlap_frac"),
-        )
-    )
+    return matryoshka_overlap(e, q, prefix_dim=16, k=10)
 
 
 _MATRYOSHKA_SQL = """
@@ -5474,14 +5440,23 @@ def _bpe_encode_sql() -> str:
         FROM (SELECT doc_id, lw,
                      unnest(generate_series(1, len(lw))) AS i
               FROM docs)
+    ),
+    agg AS (
+        SELECT d.doc_id,
+               sum(len(e.syms)) AS n_tokens,
+               string_agg(array_to_string(e.syms, ' '), ' ' ORDER BY d.i)
+                   AS tokens
+        FROM docw d JOIN done e ON d.w = e.w
+        GROUP BY d.doc_id
     )
-    SELECT d.doc_id,
-           CAST(max(d.nw) AS BIGINT) AS n_words,
-           CAST(sum(len(e.syms)) AS BIGINT) AS n_tokens,
-           string_agg(array_to_string(e.syms, ' '), ' ' ORDER BY d.i)
-               AS tokens
-    FROM docw d JOIN done e ON d.w = e.w
-    GROUP BY d.doc_id
+    -- LEFT JOIN from docs (ADVICE r3): an empty/whitespace-only text
+    -- has no docw rows, but the Spark side still emits its row with
+    -- n_words = n_tokens = 0 and empty tokens
+    SELECT docs.doc_id,
+           CAST(len(docs.lw) AS BIGINT) AS n_words,
+           CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(agg.tokens, '') AS tokens
+    FROM docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
 """
 
 
@@ -5573,13 +5548,22 @@ def _unigram_encode_sql() -> str:
         FROM (SELECT doc_id, lw,
                      unnest(generate_series(1, len(lw))) AS i
               FROM docs)
+    ),
+    agg AS (
+        SELECT d.doc_id,
+               sum(b.np) AS n_tokens,
+               string_agg(b.path, ' ' ORDER BY d.i) AS tokens
+        FROM docw d JOIN best b ON d.w = b.w
+        GROUP BY d.doc_id
     )
-    SELECT d.doc_id,
-           CAST(max(d.nw) AS BIGINT) AS n_words,
-           CAST(sum(b.np) AS BIGINT) AS n_tokens,
-           string_agg(b.path, ' ' ORDER BY d.i) AS tokens
-    FROM docw d JOIN best b ON d.w = b.w
-    GROUP BY d.doc_id
+    -- LEFT JOIN from docs (ADVICE r3): an empty/whitespace-only text
+    -- has no docw rows, but the Spark side still emits its row with
+    -- n_words = n_tokens = 0 and empty tokens
+    SELECT docs.doc_id,
+           CAST(len(docs.lw) AS BIGINT) AS n_words,
+           CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(agg.tokens, '') AS tokens
+    FROM docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
 """
 
 

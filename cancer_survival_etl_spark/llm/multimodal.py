@@ -448,17 +448,22 @@ def _decode_pcm(payload) -> tuple:
     b = bytes(payload) if payload is not None else b""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return (None, None, None, None, None)
-    pos, bits, data = 12, None, None
+    pos, bits, data, ftag = 12, None, None, None
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         clen = int.from_bytes(b[pos + 4:pos + 8], "little")
         body = b[pos + 8:pos + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
+            ftag = int.from_bytes(body[0:2], "little")
             bits = int.from_bytes(body[14:16], "little")
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)
-    if bits not in (8, 16) or data is None:
+    # wFormatTag must be 1 (integer PCM): IEEE-float (3) / ADPCM etc.
+    # payloads share the 8/16 bits-per-sample values but are NOT
+    # integer samples — misdecoding them silently would violate the
+    # malformed/non-PCM NULL contract (ADVICE r3)
+    if ftag != 1 or bits not in (8, 16) or data is None:
         return (None, None, None, None, None)
     if bits == 16:
         s = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(

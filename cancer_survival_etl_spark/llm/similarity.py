@@ -1238,3 +1238,43 @@ def pq_topk_adc_packed(
         .withColumn("rank_val", F.row_number().over(w))
         .filter(F.col("rank_val") <= k)
     )
+
+
+def matryoshka_overlap(
+    emb: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka truncation quality (Kusupati et al. 2022, arXiv
+    2205.13147): top-k cosine neighbours computed on the FULL embedding
+    vs on its ``prefix_dim``-dim PREFIX, reported as per-query overlap
+    — the readout for "can retrieval run on the cheap prefix?".
+
+    Both rankings are exact ``brute_force_topk`` runs (round-6 cosine,
+    ties broken by neighbor id), so the overlap is deterministic and
+    oracle-adjudicable. At scale, swap either arm for the IVF path —
+    the overlap join is per-query × k rows either way. Returns
+    (query_id, k_eff, n_overlap, overlap_frac)."""
+    trunc = lambda d: d.select(  # noqa: E731
+        "vec_id", F.slice(F.col("embedding"), 1, prefix_dim).alias("embedding")
+    )
+    full = brute_force_topk(emb, queries, k=k)
+    pre = brute_force_topk(trunc(emb), trunc(queries), k=k)
+    hit = full.join(
+        pre.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_eff"))
+        .join(hit, "query_id", "left")
+        .na.fill(0, ["n_overlap"])
+        .select(
+            "query_id",
+            "k_eff",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.col("k_eff").cast("double"), 6
+            ).alias("overlap_frac"),
+        )
+    )

@@ -224,3 +224,34 @@ def unigram_encode(
             )
 
     return narrowed.mapInPandas(encode, schema)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    scores: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocab hygiene report: the fraction of word occurrences
+    a unigram piece table cannot encode without UNK fallback. A word is
+    encodable iff every character is covered by a single-char piece —
+    the coverage floor ``train_unigram`` guarantees for its own corpus,
+    checked here against an arbitrary (e.g. pinned) table.
+
+    Pure JVM expressions (one explode + one aggregate, map-side
+    combined); the OOV test is a character-class regex built from the
+    table's single-char pieces, so the report is bit-exact across
+    engines. Returns (group, n_words, n_oov_words, oov_frac)."""
+    chars = "".join(sorted(p for p in scores if len(p) == 1))
+    oov = F.col("_w").rlike(f"[^{chars}]")
+    words = docs.select(
+        group_col,
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    return words.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(oov.cast("long")).alias("n_oov_words"),
+        F.round(
+            F.sum(oov.cast("long")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("oov_frac"),
+    )

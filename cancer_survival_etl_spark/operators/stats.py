@@ -1235,9 +1235,10 @@ def kendall_tau_by(
         .join(d_grid, g, "left")
         .na.fill(0, ["d_grid"])
     )
-    tot = (
-        (F.col("n_rows") * (F.col("n_rows") - F.lit(1))) / F.lit(2)
-    ).cast("long")
+    # integer division, not double `/`: n(n−1) exceeds 2^53 past ~134M
+    # weighted rows per group and the double round-trip would silently
+    # break the exact-integer-end-to-end contract (ADVICE r3)
+    tot = F.expr("n_rows * (n_rows - 1) DIV 2")
     d = (
         F.col("d_grid") + F.col("d_xb") + F.col("d_yb") - F.col("d_cell")
     )

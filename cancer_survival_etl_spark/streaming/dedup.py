@@ -132,6 +132,13 @@ def streaming_near_dup_probe(
       candidate pairs, so a replayed append only re-creates the same
       candidates. State lives in the lake, not the state store — the
       stream itself is stateless (foreachBatch only).
+    - REPLAY content idempotency: a batch replayed after a failure
+      between the index append and the checkpoint commit re-probes an
+      index that already contains the batch's OWN vectors, which would
+      surface extra intra-batch pairs the first attempt never saw. The
+      probe result is therefore anti-joined against the batch's own id
+      set (broadcast, one micro-batch of ids), so first-attempt and
+      replay attempts write the SAME pair set (ADVICE r3).
     - codebooks must exist before the stream starts (an ``overwrite``
       build on a seed corpus) — append mode never retrains, so every
       epoch's codes share the code space.
@@ -157,6 +164,10 @@ def streaming_near_dup_probe(
             id_col,
             vec_col,
         )
+        # drop corpus-side hits that are this batch's own (replayed)
+        # entries — keeps the pair set identical across replay attempts
+        own = batch_df.select(F.col(id_col).alias("corpus_id")).distinct()
+        pairs = pairs.join(F.broadcast(own), "corpus_id", "left_anti")
         pairs.write.mode("overwrite").parquet(
             f"{pairs_path}/epoch={epoch_id}"
         )

@@ -1454,6 +1454,37 @@ def test_audio_pcm_features_against_stdlib_wave_writer(spark, tmp_path):
     assert out[2].sample_fmt is None  # malformed -> NULL fields
 
 
+def test_audio_pcm_rejects_non_pcm_format_tag(spark):
+    """A WAV whose fmt chunk declares IEEE float (wFormatTag=3) with
+    16 bits per sample must yield NULLs, not a silent integer
+    misdecode (ADVICE r3)."""
+    from cancer_survival_etl_spark.llm.multimodal import audio_pcm_features
+
+    def wav(ftag: int) -> bytes:
+        data = b"\x01\x00\xff\x7f"  # two 16-bit samples
+        fmt = (
+            ftag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        chunks = (
+            b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        return (
+            b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+            + b"WAVE" + chunks
+        )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(1))), (3, bytearray(wav(3)))],
+        "item_id long, payload binary",
+    )
+    out = {r.item_id: r for r in audio_pcm_features(df).collect()}
+    assert out[1].sample_fmt == "pcm_s16le" and out[1].n_samples == 2
+    assert out[3].sample_fmt is None and out[3].n_samples is None
+
+
 def test_image_pixel_features_bmp_roundtrip(spark):
     """Decode a hand-built 2x2 24-bit BMP (incl. row padding) and a
     malformed payload; channel sums must match the pixels exactly."""

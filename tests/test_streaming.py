@@ -958,3 +958,66 @@ def test_streaming_near_dup_probe_ingest_loop(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     }
     assert (200, 101) in got2, got2
+
+
+def test_streaming_near_dup_probe_replay_idempotent(spark, tmp_path):
+    """Replay contract (ADVICE r3): a micro-batch re-run AFTER its
+    index append landed (failure between append and checkpoint commit)
+    must write the SAME pair set — the probe anti-joins the batch's
+    own ids, so self-hits against its replayed entries never appear."""
+    import random
+
+    from cancer_survival_etl_spark.llm.similarity import build_lsh_pq_index
+    from cancer_survival_etl_spark.streaming.dedup import (
+        streaming_near_dup_probe,
+    )
+
+    random.seed(44)
+    dim, m, sub_dim = 16, 4, 4
+
+    def vec():
+        return [round(random.uniform(-1, 1), 3) for _ in range(dim)]
+
+    seed = [(i, vec()) for i in range(20)]
+    corpus = spark.createDataFrame(
+        seed, "vec_id long, embedding array<double>"
+    )
+    index_path = str(tmp_path / "idx")
+    build_lsh_pq_index(corpus, index_path, m=m, sub_dim=sub_dim, n_codes=8)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # the batch contains an internal near-pair (100 ≈ 101): on a
+    # replayed attempt the index already holds both, and without the
+    # anti-join the probe would emit (100, 101)/(101, 100) self-hits
+    base = [v + 0.001 for v in seed[2][1]]
+    b1 = [(100, base), (101, [v + 0.001 for v in base])]
+    spark.createDataFrame(
+        b1, "vec_id long, embedding array<double>"
+    ).write.parquet(str(in_dir / "b1"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(in_dir / "*"))
+        q = streaming_near_dup_probe(
+            stream,
+            index_path,
+            str(tmp_path / "pairs"),
+            ckpt,
+            threshold=0.5,
+            m=m,
+            sub_dim=sub_dim,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        return {
+            (r.new_id, r.corpus_id)
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+
+    first = run(str(tmp_path / "ckpt1"))
+    # simulate the replay: a FRESH checkpoint reprocesses the same
+    # files as epoch 0 while the index already holds batch entries
+    replay = run(str(tmp_path / "ckpt2"))
+    assert first == replay, (first, replay)
+    assert all(c < 100 for _, c in replay), replay
