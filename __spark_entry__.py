@@ -3014,6 +3014,146 @@ _ROBUST_SCALE_SQL = """
 """
 
 
+def q_ann_ivfpq_percell(spark, sf_dir):
+    """Full local-codebook IVFPQ (FAISS IVFPQ-with-residual refinement,
+    per-cell codebooks): coarse cells from the 8 lowest-id vectors,
+    residual encoding, EACH CELL training its own 8x8 codebook on its
+    8 lowest-id residuals, nprobe=2 ADC with the query re-expressed
+    per probed cell, exact cosine re-rank of the 20-shortlist
+    (`llm/similarity.py::ivfpq_topk_percell`). Deterministic seeds +
+    round-6 score discipline end-to-end, so the whole
+    train->assign->encode->probe->ADC->re-rank stack adjudicates
+    bit-exact. The persisted sibling (`build_ivfpq_index(per_cell=
+    True)`) writes the same artifacts as a partition-pruned lake."""
+    from cancer_survival_etl_spark.llm.similarity import ivfpq_topk_percell
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_percell(
+        e, e.filter(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=2,
+        shortlist=20, m=8, sub_dim=8, n_codes=8,
+    )
+
+
+_IVFPQ_PERCELL_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.centroid_id) AS rk
+            FROM e CROSS JOIN cen c
+        ) WHERE rk = 1
+    ),
+    flat AS (
+        SELECT e.vec_id, cl.cell,
+               generate_subscripts(e.v, 1) - 1 AS dim,
+               unnest(e.v) AS val
+        FROM e JOIN cells cl ON e.vec_id = cl.vec_id
+    ),
+    cenflat AS (
+        SELECT centroid_id AS cell,
+               generate_subscripts(cv, 1) - 1 AS dim,
+               unnest(cv) AS cval
+        FROM cen
+    ),
+    sv AS (
+        SELECT f.vec_id, f.cell, f.dim // 8 AS sub, f.dim % 8 AS sdim,
+               f.val - cf.cval AS val
+        FROM flat f
+        JOIN cenflat cf ON f.cell = cf.cell AND f.dim = cf.dim
+    ),
+    seeds AS (
+        SELECT vec_id, cell, rk - 1 AS centroid_id FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY vec_id) AS rk
+            FROM cells
+        ) WHERE rk <= 8
+    ),
+    cb AS (
+        SELECT s.cell, v.sub, s.centroid_id, v.sdim, v.val AS cbval
+        FROM seeds s
+        JOIN sv v ON s.vec_id = v.vec_id
+    ),
+    dists AS (
+        SELECT s.vec_id, s.cell, s.sub, c.centroid_id,
+               round(sum((s.val - c.cbval) * (s.val - c.cbval)), 6) AS d2
+        FROM sv s
+        JOIN cb c ON s.cell = c.cell AND s.sub = c.sub
+                 AND s.sdim = c.sdim
+        GROUP BY s.vec_id, s.cell, s.sub, c.centroid_id
+    ),
+    codes AS (
+        SELECT vec_id, cell, sub, centroid_id AS code FROM (
+            SELECT vec_id, cell, sub, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, centroid_id) AS r
+            FROM dists
+        ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, c.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6)
+                                DESC, c.centroid_id) AS rk
+            FROM q CROSS JOIN cen c
+        ) WHERE rk <= 2
+    ),
+    qflat AS (
+        SELECT q.query_id, p.cell,
+               generate_subscripts(q.qv, 1) - 1 AS dim,
+               unnest(q.qv) AS val
+        FROM q JOIN probes p ON q.query_id = p.query_id
+    ),
+    qsv AS (
+        SELECT qf.query_id, qf.cell, qf.dim // 8 AS sub,
+               qf.dim % 8 AS sdim, qf.val - cf.cval AS val
+        FROM qflat qf
+        JOIN cenflat cf ON qf.cell = cf.cell AND qf.dim = cf.dim
+    ),
+    qtab AS (
+        SELECT s.query_id, s.cell, s.sub, c.centroid_id AS code,
+               round(sum((s.val - c.cbval) * (s.val - c.cbval)), 6) AS d2
+        FROM qsv s
+        JOIN cb c ON s.cell = c.cell AND s.sub = c.sub
+                 AND s.sdim = c.sdim
+        GROUP BY s.query_id, s.cell, s.sub, c.centroid_id
+    ),
+    adc AS (
+        SELECT t.query_id, co.vec_id AS neighbor_id,
+               round(sum(t.d2), 6) AS adist2
+        FROM codes co
+        JOIN qtab t ON co.cell = t.cell AND co.sub = t.sub
+                   AND co.code = t.code
+        WHERE co.vec_id <> t.query_id
+        GROUP BY t.query_id, co.vec_id
+    ),
+    sl AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist2 ASC, neighbor_id) AS r
+            FROM adc
+        ) WHERE r <= 20
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank_val AS INT) AS rank_val
+    FROM (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_cosine_similarity(e.v, q.qv), 6) AS cosine,
+               row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                            DESC, s.neighbor_id) AS rank_val
+        FROM sl s
+        JOIN e ON e.vec_id = s.neighbor_id
+        JOIN q ON q.query_id = s.query_id
+    ) WHERE rank_val <= 5
+"""
+
+
 def q_ann_pq_adc(spark, sf_dir):
     """Product-quantization ADC top-5: 64-dim vectors → 8 subspaces ×
     16-centroid codebooks (deterministic seed codebooks, iters=0, so
@@ -7437,6 +7577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_robust_scale": q_stats_robust_scale,
         "ann_hard_negatives": q_ann_hard_negatives,
         # ==== positions 51+: round-5 window queue (never driver-adjudicated) ====
+        "ann_ivfpq_percell": q_ann_ivfpq_percell,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -9198,6 +9339,7 @@ def oracle_sql() -> dict[str, str]:
         "events_journeys": _JOURNEYS_SQL,
         "stats_robust_scale": _ROBUST_SCALE_SQL,
         "ann_pq_adc": _PQ_ADC_SQL,
+        "ann_ivfpq_percell": _IVFPQ_PERCELL_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "ann_hard_negatives": _HARD_NEG_SQL,
         "stats_ols_multi": _OLS_MULTI_SQL,

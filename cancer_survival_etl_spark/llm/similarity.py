@@ -738,6 +738,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     residual: bool = False,
+    per_cell: bool = False,
 ) -> None:
     """Materialize an IVF-PQ index (the FAISS ``IndexIVFPQ`` layout, as
     a parquet lake): the cell-partitioned full vectors and centroid
@@ -758,7 +759,13 @@ def build_ivfpq_index(
     instead of re-describing the coarse cell position — tighter codes
     at the same bit budget. The query side must be built with the same
     flag (it subtracts each probed cell's centroid from the query
-    before the distance table)."""
+    before the distance table).
+
+    ``per_cell=True`` goes one refinement further: each cell trains
+    its OWN codebook (``pq_train_per_cell``) instead of sharing one —
+    the codebooks lake gains a ``cell`` column and the query side's
+    distance-table join becomes (cell, sub)-keyed. Combine with
+    ``residual=True`` for the full local-codebook IVFPQ."""
     build_ivf_index(
         corpus, path, n_centroids, id_col, vec_col, centroids
     )
@@ -779,6 +786,19 @@ def build_ivfpq_index(
         )
     else:
         enc_input = assigned
+    if per_cell:
+        enc_input = enc_input.localCheckpoint(eager=True)
+        cb = pq_train_per_cell(
+            enc_input, m, sub_dim, n_codes, pq_iters, "vec_id", "vec"
+        )
+        codes = pq_encode_per_cell(enc_input, cb, m, sub_dim, "vec_id", "vec")
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/codes"
+        )
+        cb.select(
+            "cell", "sub", "centroid_id", F.col("_cbv").alias("vec")
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        return
     cb = pq_train(
         enc_input, m, sub_dim, n_codes, pq_iters, "vec_id", "vec"
     )
@@ -803,6 +823,7 @@ def query_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    per_cell: bool = False,
 ) -> DataFrame:
     """Top-``k`` cosine neighbours from a persisted IVF-PQ index:
     probe → ADC over ONLY the probed cells' code files → exact re-rank
@@ -818,9 +839,10 @@ def query_ivfpq_index(
             "centroid_id", F.col("vec").alias("_cenv")
         )
     )
+    cb_cols = (["cell"] if per_cell else []) + ["sub"]
     cb = F.broadcast(
         spark.read.parquet(f"{path}/codebooks").select(
-            "sub", F.col("centroid_id").alias("code"),
+            *cb_cols, F.col("centroid_id").alias("code"),
             F.col("vec").alias("_cbv"),
         )
     )
@@ -879,7 +901,7 @@ def query_ivfpq_index(
             )
         ).alias("sub", "_qsv"),
     )
-    table = qsub.join(cb, "sub").select(
+    table = qsub.join(cb, cb_cols).select(
         "query_id",
         "cell",
         "sub",
@@ -1277,4 +1299,247 @@ def matryoshka_overlap(
                 F.col("n_overlap") / F.col("k_eff").cast("double"), 6
             ).alias("overlap_frac"),
         )
+    )
+
+
+def pq_train_per_cell(
+    assigned: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """PER-CELL product-quantization codebooks: every IVF cell trains
+    its OWN m×k codebook on the vectors (typically residuals) assigned
+    to it — FAISS's local-codebook IVFPQ refinement. A shared codebook
+    must describe the whole corpus's within-cell variation with one
+    m×k budget; per-cell books spend the same per-vector bits on each
+    cell's local distribution, so quantization error drops wherever
+    cells are genuinely distinct clusters.
+
+    Init is deterministic — the subvectors of each cell's ``k``
+    lowest-id vectors, ``centroid_id`` = the seed's rank in the cell
+    (0-based) — so ``iters=0`` is engine-portable and oracle-checkable;
+    ``iters>0`` runs Lloyd per (cell, sub) group, ALL cells and
+    subspaces in one distributed pass per round (an iteration is one
+    broadcast-assign + one mean aggregate regardless of #cells·m).
+
+    Returns (cell, sub, centroid_id, _cbv) — #cells·m·k rows; small
+    enough to broadcast for moderate cell counts, and a keyed
+    (cell, sub) join either way."""
+    wseed = Window.partitionBy(cell_col).orderBy(F.col(id_col))
+    seeds = (
+        assigned.select(cell_col, id_col, vec_col)
+        .withColumn("_sr", F.row_number().over(wseed))
+        .filter(F.col("_sr") <= k)
+    )
+    cb = pq_subvectors(seeds, m, sub_dim, id_col, vec_col).join(
+        seeds.select(F.col(id_col), cell_col, (F.col("_sr") - 1).alias(
+            "centroid_id")),
+        id_col,
+    ).select(cell_col, "sub", "centroid_id", F.col("subv").alias("_cbv"))
+    if iters:
+        subv = pq_subvectors(
+            fan_out(assigned), m, sub_dim, id_col, vec_col
+        ).join(assigned.select(id_col, cell_col), id_col)
+        for _ in range(iters):
+            d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+            w = Window.partitionBy("vec_id", "sub").orderBy(
+                d2.asc(), F.col("centroid_id")
+            )
+            assigned_sub = (
+                subv.join(F.broadcast(cb), [cell_col, "sub"])
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select(cell_col, "sub", "centroid_id", "subv")
+            )
+            cb = (
+                assigned_sub.select(
+                    cell_col,
+                    "sub",
+                    "centroid_id",
+                    F.posexplode("subv").alias("_dim", "_x"),
+                )
+                .groupBy(cell_col, "sub", "centroid_id", "_dim")
+                .agg(F.avg("_x").alias("_mean"))
+                .groupBy(cell_col, "sub", "centroid_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("_dim", "_mean"))
+                    ).alias("_pairs")
+                )
+                .select(
+                    cell_col,
+                    "sub",
+                    "centroid_id",
+                    F.transform(
+                        F.col("_pairs"), lambda p: p.getField("_mean")
+                    ).alias("_cbv"),
+                )
+            )
+    return cb
+
+
+def pq_encode_per_cell(
+    assigned: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Encode each vector against ITS OWN cell's codebook → (vec_id,
+    cell, sub, code). Same round-6-then-argmin tie discipline as
+    ``pq_encode``; the codebook join is keyed (cell, sub), so a
+    vector only ever sees its cell's m×k entries."""
+    subv = pq_subvectors(
+        fan_out(assigned), m, sub_dim, id_col, vec_col
+    ).join(assigned.select(id_col, cell_col), id_col)
+    d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        d2.asc(), F.col("centroid_id")
+    )
+    return (
+        subv.join(F.broadcast(codebooks), [cell_col, "sub"])
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", cell_col, "sub", F.col("centroid_id").alias("code"))
+    )
+
+
+def ivfpq_topk_percell(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-memory IVFPQ with RESIDUAL encoding and PER-CELL codebooks —
+    the full FAISS IVFPQ refinement stack as one deterministic
+    DataFrame pipeline (cells and codebook seeds are id-deterministic,
+    every score rounded to 6 dp before argmin/rank), so the whole
+    train→assign→encode→probe→ADC→re-rank path adjudicates bit-exact
+    against a SQL oracle.
+
+    Pipeline: coarse cells = round-6 cosine argmax against the first
+    ``n_centroids`` vectors; residual r = v − centroid(cell); per-cell
+    m×``n_codes`` codebooks from each cell's ``n_codes`` lowest-id
+    residuals; ADC probes the query's ``nprobe`` best cells with the
+    query re-expressed relative to EACH probed cell's centroid; exact
+    cosine re-rank of the ``shortlist``. The persisted sibling
+    (``build_ivfpq_index(per_cell=True)``) writes the same artifacts
+    as a partition-pruned lake. Returns (query_id, neighbor_id,
+    cosine, rank_val)."""
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("_cenv"),
+    )
+
+    def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
+        ).join(F.broadcast(centroids), how="cross")
+        cos = F.round(
+            _dot(F.col(f"_{prefix}v"), F.col("_cenv"))
+            / (_norm(F.col(f"_{prefix}v")) * _norm(F.col("_cenv"))),
+            6,
+        )
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            cos.desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= keep)
+            .select(
+                f"{prefix}_id",
+                f"_{prefix}v",
+                F.col("centroid_id").alias("cell"),
+                F.col("_cenv"),
+            )
+        )
+
+    cells = assign(fan_out(corpus), "neighbor", 1)
+    resid = cells.select(
+        F.col("neighbor_id").alias("vec_id"),
+        "cell",
+        F.zip_with(
+            F.col("_neighborv"), F.col("_cenv"), lambda x, y: x - y
+        ).alias("vec"),
+    ).localCheckpoint(eager=True)
+    cb = pq_train_per_cell(resid, m, sub_dim, n_codes)
+    codes = pq_encode_per_cell(resid, cb, m, sub_dim)
+
+    probes = assign(queries, "query", nprobe)
+    qres = probes.select(
+        "query_id",
+        "_queryv",
+        "cell",
+        F.zip_with(
+            F.col("_queryv"), F.col("_cenv"), lambda x, y: x - y
+        ).alias("_tv"),
+    )
+    qsub = qres.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_tv"), i * sub_dim + 1, sub_dim)
+                    for i in range(m)
+                ]
+            )
+        ).alias("sub", "_qsv"),
+    )
+    table = qsub.join(F.broadcast(cb), ["cell", "sub"]).select(
+        "query_id",
+        "cell",
+        "sub",
+        F.col("centroid_id").alias("code"),
+        F.round(_dist2(F.col("_qsv"), F.col("_cbv")), 6).alias("_d2"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adist2").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        codes.join(F.broadcast(table), ["cell", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("_d2"), 6).alias("adist2"))
+        .withColumn("_sl", F.row_number().over(wa))
+        .filter(F.col("_sl") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cos = F.round(
+        _dot(F.col("_nv"), F.col("_qv"))
+        / (_norm(F.col("_nv")) * _norm(F.col("_qv"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(full, "neighbor_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank_val", F.row_number().over(w))
+        .filter(F.col("rank_val") <= k)
     )

@@ -1525,3 +1525,110 @@ def test_image_pixel_features_bmp_roundtrip(spark):
     assert r.sum_g == sum(v[1] for v in px.values())
     assert r.sum_b == sum(v[2] for v in px.values())
     assert out[2].width is None
+
+
+def test_ivfpq_per_cell_codebooks_persisted_and_tighter(spark, sf_dir, tmp_path):
+    """per_cell=True: (a) the codebooks lake carries a cell column and
+    the persisted query path returns the exact result of the in-memory
+    `ivfpq_topk_percell` contract (uncut shortlist → equals persisted
+    IVF, exact cosines); (b) per-cell residual codebooks quantize a
+    clustered corpus at LEAST as tightly as one shared residual
+    codebook (total ADC self-distortion over identity queries)."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        build_ivfpq_index,
+        query_ivf_index,
+        query_ivfpq_index,
+    )
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq_pc")
+    build_ivfpq_index(
+        e, path, n_centroids=8, m=16, sub_dim=4, pq_iters=1,
+        residual=True, per_cell=True,
+    )
+
+    import os
+
+    assert sorted(
+        d for d in os.listdir(f"{path}/codes") if d.startswith("cell=")
+    ), "codes not cell-partitioned"
+    cb = spark.read.parquet(f"{path}/codebooks")
+    assert "cell" in cb.columns, cb.columns
+    # every populated cell trained its own book
+    code_cells = {
+        r.cell for r in spark.read.parquet(f"{path}/codes")
+        .select("cell").distinct().collect()
+    }
+    cb_cells = {r.cell for r in cb.select("cell").distinct().collect()}
+    assert code_cells <= cb_cells
+
+    got = query_ivfpq_index(
+        spark, path, queries, k=5, nprobe=2, shortlist=100000,
+        m=16, sub_dim=4, residual=True, per_cell=True,
+    ).toPandas()
+    want = query_ivf_index(spark, path, queries, k=5, nprobe=2).toPandas()
+    g = got.sort_values(["query_id", "rank_val"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "rank_val"]).reset_index(drop=True)
+    assert (g[["query_id", "neighbor_id", "cosine"]].values
+            == w[["query_id", "neighbor_id", "cosine"]].values).all()
+
+
+def test_per_cell_codebooks_reduce_distortion_on_clustered_data(spark):
+    """On data with genuinely distinct clusters, per-cell codebooks
+    must reconstruct residuals at lower (or equal) total squared error
+    than ONE shared codebook of the same m x k budget — the entire
+    point of the FAISS local-codebook refinement."""
+    import random
+
+    from cancer_survival_etl_spark.llm.similarity import (
+        pq_encode,
+        pq_encode_per_cell,
+        pq_train,
+        pq_train_per_cell,
+    )
+
+    random.seed(7)
+    dim, m, sub_dim, k = 8, 2, 4, 4
+    # two tight clusters with very different within-cluster geometry
+    rows = []
+    for i in range(40):
+        cell = i % 2
+        base = [10.0 * cell] * dim
+        spread = 0.1 if cell == 0 else 3.0
+        rows.append(
+            (i, cell,
+             [round(b + random.uniform(-spread, spread), 3) for b in base])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, cell int, vec array<double>")
+
+    def distortion(codes, books):
+        import numpy as np
+
+        bk = {}
+        for r in books.collect():
+            key = (r["cell"], r["sub"], r["centroid_id"]) \
+                if "cell" in books.columns else (r["sub"], r["centroid_id"])
+            bk[key] = np.array(r["_cbv"])
+        vecs = {(r.vec_id): np.array(r.vec) for r in df.collect()}
+        cells = {r.vec_id: r.cell for r in df.collect()}
+        tot = 0.0
+        for r in codes.collect():
+            sv = vecs[r.vec_id][r.sub * sub_dim:(r.sub + 1) * sub_dim]
+            key = (cells[r.vec_id], r.sub, r.code) \
+                if "cell" in books.columns else (r.sub, r.code)
+            tot += float(((sv - bk[key]) ** 2).sum())
+        return tot
+
+    shared_cb = pq_train(df, m, sub_dim, k, iters=2, vec_col="vec")
+    shared_codes = pq_encode(df, shared_cb, m, sub_dim, vec_col="vec")
+    local_cb = pq_train_per_cell(df, m, sub_dim, k, iters=2)
+    local_codes = pq_encode_per_cell(df, local_cb, m, sub_dim)
+
+    d_shared = distortion(shared_codes, shared_cb)
+    d_local = distortion(local_codes, local_cb)
+    assert d_local <= d_shared, (d_local, d_shared)
+    # and strictly better here: the shared book must split its k
+    # centroids across two incompatible distributions
+    assert d_local < 0.9 * d_shared, (d_local, d_shared)
