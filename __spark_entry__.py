@@ -5508,6 +5508,107 @@ _BPE_PINNED_MERGES = [
 ]
 
 
+_BPE_BYTES_PINNED_MERGES = [
+    ("\u0120", "s"), ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("\u0120", "a"), ("\u0120", "v"),
+    ("a", "s"), ("\u0120", "c"), ("m", "er"), ("a", "t"), ("\u0120", "f"),
+    ("\u0120", "t"), ("\u0120", "b"), ("a", "n"), ("c", "an"),
+    ("lu", "m"), ("lum", "n"), ("o", "lumn"), ("d", "ow"), ("in", "dow"),
+]
+
+
+def q_tokenizer_bpe_bytes_encode(spark, sf_dir):
+    """BYTE-level BPE encode (GPT-2 formulation) with a pinned merge
+    table trained once on the sf0.001 corpus: pre-tokens carry their
+    leading space as the mapped byte 'Ġ' (U+0120) instead of an
+    end-of-word sentinel, merges apply (lowest-rank, leftmost) with
+    NO sentinel append (`llm/bpe.py::bpe_encode_bytes`). The corpus
+    is printable ASCII, where the GPT-2 byte↔unicode table is the
+    identity on every non-space character — so the oracle replays the
+    same fold as a recursive CTE over 'Ġ'-prefixed words."""
+    from cancer_survival_etl_spark.llm.bpe import bpe_encode_bytes
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode_bytes(d, _BPE_BYTES_PINNED_MERGES).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens"),
+    )
+
+
+def _bpe_bytes_encode_sql() -> str:
+    mlist = ", ".join(
+        f"'{a}|{b}'" for a, b in _BPE_BYTES_PINNED_MERGES
+    )
+    # symbols only ever contain [a-z\u0120] so '|' is a safe pair
+    # separator; rank*1e6+i picks (lowest rank, leftmost) exactly like
+    # llm/bpe.py::encode_pretoken
+    return f"""
+    WITH RECURSIVE
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS lw
+        FROM documents
+    ),
+    pretoks AS (
+        SELECT doc_id, i,
+               CASE WHEN i = 1 THEN lw[i]
+                    ELSE '\u0120' || lw[i] END AS w,
+               len(lw) AS nw
+        FROM (SELECT doc_id, lw,
+                     unnest(generate_series(1, len(lw))) AS i
+              FROM docs)
+    ),
+    words AS (SELECT DISTINCT w FROM pretoks),
+    enc AS (
+        SELECT w, string_split(w, '') AS syms FROM words
+        UNION ALL
+        SELECT w,
+               list_concat(list_concat(
+                   syms[1:bi-1],
+                   [syms[bi] || syms[bi+1]]),
+                   syms[bi+2:len(syms)]) AS syms
+        FROM (
+            SELECT w, syms,
+                   CAST(list_min(list_filter(
+                       list_transform(
+                           generate_series(1, len(syms) - 1),
+                           i -> list_position([{mlist}],
+                                    syms[i] || '|' || syms[i+1])
+                                * 1000000 + i),
+                       v -> v >= 1000000)) % 1000000 AS BIGINT) AS bi
+            FROM enc
+        ) WHERE bi IS NOT NULL
+    ),
+    done AS (
+        SELECT w, syms FROM (
+            SELECT w, syms,
+                   list_min(list_filter(
+                       list_transform(
+                           generate_series(1, len(syms) - 1),
+                           i -> list_position([{mlist}],
+                                    syms[i] || '|' || syms[i+1])),
+                       v -> v > 0)) AS anyr
+            FROM enc
+        ) WHERE anyr IS NULL
+    ),
+    agg AS (
+        SELECT p.doc_id,
+               sum(len(e.syms)) AS n_tokens,
+               string_agg(array_to_string(e.syms, ' '), ' ' ORDER BY p.i)
+                   AS tokens
+        FROM pretoks p JOIN done e ON p.w = e.w
+        GROUP BY p.doc_id
+    )
+    SELECT docs.doc_id,
+           CAST(len(docs.lw) AS BIGINT) AS n_words,
+           CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(agg.tokens, '') AS tokens
+    FROM docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
+"""
+
+
 def q_tokenizer_bpe_encode(spark, sf_dir):
     """BPE ENCODE pass with the pinned merge table — unlike the
     end-to-end `tokenizer_bpe` (whose iterative merge LEARNING has no
@@ -7578,6 +7679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         # ==== positions 51+: round-5 window queue (never driver-adjudicated) ====
         "ann_ivfpq_percell": q_ann_ivfpq_percell,
+        "tokenizer_bpe_bytes_encode": q_tokenizer_bpe_bytes_encode,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -9372,6 +9474,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _EMBEDDING_DRIFT_SQL,
         "stats_kendall": _KENDALL_SQL,
         "tokenizer_bpe_encode": _bpe_encode_sql(),
+        "tokenizer_bpe_bytes_encode": _bpe_bytes_encode_sql(),
         "text_suffix_repeat": _SUFFIX_REPEAT_SQL,
         "tokenizer_unigram_encode": _unigram_encode_sql(),
         "eval_isotonic_unbinned": _ISOTONIC_UNBINNED_SQL,

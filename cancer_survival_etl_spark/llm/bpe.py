@@ -160,3 +160,203 @@ def bpe_encode(
             )
 
     return narrowed.mapInPandas(encode, schema)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔printable-unicode bijection (Radford et al. 2019,
+    public ``encoder.py`` algorithm): printable ASCII and two Latin-1
+    ranges map to themselves; every other byte value maps to 256+n —
+    so arbitrary UTF-8 BYTES become a reversible string of printable
+    code points that the string-pair merge machinery can chew on.
+    Space (0x20) lands on 'Ġ' (U+0120), the familiar GPT-2 marker."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def byte_pretokenize(text: str) -> list[str]:
+    """Byte-level pre-tokenization, GPT-2 leading-space convention:
+    the document splits into words, each word AFTER the first carries
+    the space that preceded it (mapped to 'Ġ') — whitespace is vocab,
+    not a discarded delimiter, so detokenization is lossless. Runs of
+    spaces collapse like the word-level pipeline's split (simplified
+    vs the full GPT-2 regex, which also isolates digits/punct)."""
+    table = bytes_to_unicode()
+    words = [w for w in (text or "").split(" ") if w]
+    out = []
+    for i, w in enumerate(words):
+        raw = (" " + w) if i > 0 else w
+        out.append("".join(table[b] for b in raw.encode("utf-8")))
+    return out
+
+
+def byte_word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed byte-level pre-token histogram — the byte-level
+    sibling of ``word_histogram`` (same single-pass, map-side-combined
+    shape; output bounded by vocabulary). Non-initial words key
+    separately from initial ones ('Ġword' vs 'word'), exactly like
+    GPT-2's vocabulary."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("word", StringType()), StructField("n", LongType())]
+    )
+    narrowed = df.select(text_col)
+
+    def hist(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                for tok in byte_pretokenize(text):
+                    counts[tok] = counts.get(tok, 0) + 1
+        yield pd.DataFrame(
+            {"word": list(counts), "n": list(counts.values())}
+        )
+
+    return (
+        narrowed.mapInPandas(hist, schema)
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def train_bpe_merges_bytes(
+    histogram: list[tuple[str, int]] | dict[str, int],
+    n_merges: int,
+) -> list[tuple[str, str]]:
+    """Byte-level BPE merge learning: identical merge loop to
+    ``train_bpe_merges`` but over byte-mapped pre-tokens (histogram
+    keys already carry the 'Ġ' convention from
+    ``byte_word_histogram``) and with NO end-of-word marker — GPT-2's
+    formulation, where word boundaries live in the leading-space
+    bytes instead of a sentinel symbol."""
+    items = histogram.items() if isinstance(histogram, dict) else histogram
+    words: dict[tuple[str, ...], int] = {}
+    for w, n in items:
+        words[tuple(w)] = words.get(tuple(w), 0) + int(n)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+    return merges
+
+
+def encode_pretoken(
+    pretoken: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Apply byte-level merges to one mapped pre-token: start from its
+    code points (each one mapped byte), repeatedly merge the
+    (lowest-rank, leftmost) adjacent pair — the GPT-2 encode, no
+    end-of-word sentinel."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(pretoken)
+    while len(syms) > 1:
+        pairs = [
+            (ranks.get((a, b), float("inf")), i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+        ]
+        rank, i = min(pairs)
+        if rank == float("inf"):
+            break
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def bpe_encode_bytes(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-level BPE corpus encode — the GPT-2 sibling of
+    ``bpe_encode``: byte-mapped pre-tokens (leading-space 'Ġ'
+    convention) through the rank-greedy merge fold, Arrow-batched
+    ``mapInPandas`` with the merge table in the closure and per-batch
+    pre-token memoization. Returns (id, n_words, n_tokens, tokens)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_words", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("tokens", ArrayType(StringType())),
+        ]
+    )
+    narrowed = df.select(id_col, text_col)
+
+    def encode(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(tok: str) -> list[str]:
+            got = cache.get(tok)
+            if got is None:
+                got = cache[tok] = encode_pretoken(tok, merges)
+            return got
+
+        for pdf in batches:
+            ids, n_words, n_tokens, tokens = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                pretoks = byte_pretokenize(text)
+                toks = [t for p in pretoks for t in enc(p)]
+                ids.append(rid)
+                n_words.append(len(pretoks))
+                n_tokens.append(len(toks))
+                tokens.append(toks)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
+                    "tokens": tokens,
+                }
+            )
+
+    return narrowed.mapInPandas(encode, schema)

@@ -1632,3 +1632,66 @@ def test_per_cell_codebooks_reduce_distortion_on_clustered_data(spark):
     # and strictly better here: the shared book must split its k
     # centroids across two incompatible distributions
     assert d_local < 0.9 * d_shared, (d_local, d_shared)
+
+
+def test_bytes_to_unicode_bijection_and_gpt2_space():
+    from cancer_survival_etl_spark.llm.bpe import bytes_to_unicode
+
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256  # bijection
+    assert table[ord(" ")] == "Ġ"      # the GPT-2 'Ġ'
+    for ch in "azAZ09!~":                   # printable ASCII fixed
+        assert table[ord(ch)] == ch
+
+
+def test_byte_bpe_roundtrip_lossless(spark):
+    """Byte-level BPE keeps whitespace in-vocab: concatenating the
+    tokens and inverting the byte table reproduces the exact input
+    (single-spaced), which the </w>-sentinel word-level variant cannot
+    do."""
+    from cancer_survival_etl_spark.llm.bpe import (
+        bpe_encode_bytes,
+        byte_pretokenize,
+        bytes_to_unicode,
+        train_bpe_merges_bytes,
+    )
+
+    texts = ["low lower lowest", "new newer newest widget", "x"]
+    hist: dict[str, int] = {}
+    for t in texts:
+        for p in byte_pretokenize(t):
+            hist[p] = hist.get(p, 0) + 1
+    merges = train_bpe_merges_bytes(hist, 10)
+    assert merges, "no merges learned"
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    inv = {v: k for k, v in bytes_to_unicode().items()}
+    for r in bpe_encode_bytes(df, merges).collect():
+        joined = "".join(r.tokens)
+        raw = bytes(inv[c] for c in joined).decode("utf-8")
+        assert raw == texts[r.doc_id], (raw, texts[r.doc_id])
+        assert r.n_tokens == len(r.tokens)
+
+
+def test_byte_bpe_histogram_matches_driver_count(spark):
+    """byte_word_histogram (distributed) == driver pretokenize count,
+    and non-initial words key separately under the 'Ġ' prefix."""
+    from cancer_survival_etl_spark.llm.bpe import (
+        byte_pretokenize,
+        byte_word_histogram,
+    )
+
+    texts = ["low low lower", "low  lower", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want: dict[str, int] = {}
+    for t in texts:
+        for p in byte_pretokenize(t):
+            want[p] = want.get(p, 0) + 1
+    got = {r.word: r.n for r in byte_word_histogram(df).collect()}
+    assert got == want
+    assert "low" in got and "Ġlow" in got  # initial vs continued
