@@ -1574,6 +1574,182 @@ _BMP_SQL = """
 """
 
 
+def _ppm_bytes(w: int, h: int, mult: int) -> bytes:
+    """Binary PPM (P6) whose pixel channels follow the same formulas
+    as `_bmp_bytes` — r = (x*mult + y) % 256, g = (x + y*mult) % 256,
+    b = (x*y + mult) % 256 — formula-derivable by the oracle. Header
+    carries a comment line to exercise the parser."""
+    head = f"P6\n# synthetic {mult}\n{w} {h}\n255\n".encode()
+    pix = bytearray()
+    for yy in range(h):  # top-down, unpadded RGB
+        for xx in range(w):
+            pix += bytes((
+                (xx * mult + yy) % 256,
+                (xx + yy * mult) % 256,
+                (xx * yy + mult) % 256,
+            ))
+    return head + bytes(pix)
+
+
+def _gif_lzw_uncompressed(indices: list, mcs: int) -> bytes:
+    """GIF LZW stream that never lets the decoder's table reach the
+    next code-width boundary (a CLEAR every 2^mcs - 2 literal codes) —
+    the classic 'uncompressed GIF' technique: every standard decoder
+    inflates it, and the encoder needs no string table. LSB-first
+    packing at constant width mcs+1."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    cap = (1 << mcs) - 2
+    codes = []
+    i = 0
+    while i < len(indices):
+        codes.append(clear)
+        run = indices[i:i + cap]
+        codes.extend(run)
+        i += len(run)
+    codes.append(end)
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(w: int, h: int, mult: int, n_colors: int = 8) -> bytes:
+    """GIF87a with a global palette following palette[i] =
+    ((i*mult) % 256, (i + mult) % 256, (i*i + mult) % 256) and pixel
+    index (x + y) % n_colors — channel sums formula-derivable by the
+    oracle. The index stream is real LZW (uncompressed technique)."""
+    bits = max(1, (n_colors - 1).bit_length())
+    flags = 0x80 | (bits - 1)
+    hdr = (
+        b"GIF87a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes((flags, 0, 0))
+    )
+    pal = bytearray()
+    for i in range(2 << (bits - 1)):
+        pal += bytes((
+            (i * mult) % 256, (i + mult) % 256, (i * i + mult) % 256
+        ))
+    desc = (
+        b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    )
+    idx = [(x + y) % n_colors for y in range(h) for x in range(w)]
+    mcs = max(2, bits)
+    lzw = _gif_lzw_uncompressed(idx, mcs)
+    blocks = bytearray((mcs,))
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    blocks += b"\x00"
+    return hdr + bytes(pal) + desc + bytes(blocks) + b"\x3b"
+
+
+def q_multimodal_ppm(spark, sf_dir):
+    """REAL binary-PPM (P6) pixel decode (`llm/multimodal.py::
+    image_ppm_features`): docs alternate between two formula-generated
+    images (one with a header comment line); Spark parses the ASCII
+    header and sums the RGB triples while the oracle derives the same
+    exact integers from the pixel formula via a generate_series
+    grid."""
+    from cancer_survival_etl_spark.llm.multimodal import (
+        image_ppm_features,
+    )
+
+    ppm_a = _ppm_bytes(13, 7, 5)
+    ppm_b = _ppm_bytes(9, 6, 17)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(ppm_a.hex()))
+    ).otherwise(F.unhex(F.lit(ppm_b.hex())))
+    payloads = d.select(
+        F.col("doc_id").alias("item_id"), payload.alias("payload")
+    )
+    return image_ppm_features(payloads)
+
+
+_PPM_SQL = """
+    WITH stats AS (
+        SELECT m.mult, m.w, m.h,
+               CAST(sum((x * m.mult + y) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((x + y * m.mult) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((x * y + m.mult) % 256) AS BIGINT) AS sum_b
+        FROM (VALUES (5, 13, 7), (17, 9, 6)) m(mult, w, h),
+             generate_series(0, 12) tx(x),
+             generate_series(0, 6) ty(y)
+        WHERE x < m.w AND y < m.h
+        GROUP BY m.mult, m.w, m.h
+    )
+    SELECT d.doc_id AS item_id,
+           CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+           CAST(255 AS BIGINT) AS maxval,
+           s.sum_r, s.sum_g, s.sum_b
+    FROM documents d
+    JOIN stats s ON s.mult = CASE WHEN d.doc_id % 2 = 0
+                                  THEN 5 ELSE 17 END
+    WHERE d.doc_id < 200
+"""
+
+
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode — actual LZW decompression, stdlib-only
+    (`llm/multimodal.py::image_gif_features`): docs alternate between
+    two formula-generated palettes/index patterns; Spark inflates the
+    index stream and sums palette channels while the oracle derives
+    the same exact integers from palette[(x+y) % 8] formulas via a
+    generate_series grid — the compression round-trips bit-exact or
+    nothing matches."""
+    from cancer_survival_etl_spark.llm.multimodal import (
+        image_gif_features,
+    )
+
+    gif_a = _gif_bytes(14, 9, 7)
+    gif_b = _gif_bytes(11, 6, 23)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(gif_a.hex()))
+    ).otherwise(F.unhex(F.lit(gif_b.hex())))
+    payloads = d.select(
+        F.col("doc_id").alias("item_id"), payload.alias("payload")
+    )
+    return image_gif_features(payloads)
+
+
+_GIF_SQL = """
+    WITH stats AS (
+        SELECT m.mult, m.w, m.h,
+               CAST(sum((((x + y) % 8) * m.mult) % 256) AS BIGINT)
+                   AS sum_r,
+               CAST(sum(((x + y) % 8 + m.mult) % 256) AS BIGINT)
+                   AS sum_g,
+               CAST(sum((((x + y) % 8) * ((x + y) % 8) + m.mult) % 256)
+                    AS BIGINT) AS sum_b
+        FROM (VALUES (7, 14, 9), (23, 11, 6)) m(mult, w, h),
+             generate_series(0, 13) tx(x),
+             generate_series(0, 8) ty(y)
+        WHERE x < m.w AND y < m.h
+        GROUP BY m.mult, m.w, m.h
+    )
+    SELECT d.doc_id AS item_id,
+           CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS n_colors,
+           s.sum_r, s.sum_g, s.sum_b
+    FROM documents d
+    JOIN stats s ON s.mult = CASE WHEN d.doc_id % 2 = 0
+                                  THEN 7 ELSE 23 END
+    WHERE d.doc_id < 200
+"""
+
+
 def q_multimodal_pcm(spark, sf_dir):
     """REAL PCM sample decode (`llm/multimodal.py::audio_pcm_features`
     — an actual waveform decode, not the container header): docs
@@ -7680,6 +7856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== positions 51+: round-5 window queue (never driver-adjudicated) ====
         "ann_ivfpq_percell": q_ann_ivfpq_percell,
         "tokenizer_bpe_bytes_encode": q_tokenizer_bpe_bytes_encode,
+        "multimodal_ppm": q_multimodal_ppm,
+        "multimodal_gif": q_multimodal_gif,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -9484,6 +9662,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_vocab_coverage": _vocab_coverage_sql(),
         "multimodal_pcm": _PCM_SQL,
         "multimodal_bmp": _BMP_SQL,
+        "multimodal_ppm": _PPM_SQL,
+        "multimodal_gif": _GIF_SQL,
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,

@@ -1695,3 +1695,105 @@ def test_byte_bpe_histogram_matches_driver_count(spark):
     got = {r.word: r.n for r in byte_word_histogram(df).collect()}
     assert got == want
     assert "low" in got and "Ġlow" in got  # initial vs continued
+
+
+def test_ppm_decode_header_comments_and_malformed(spark):
+    from cancer_survival_etl_spark.llm.multimodal import image_ppm_features
+
+    # 2x2 with a comment line; pixels RGB = (10,20,30),(1,2,3),...
+    px = [(10, 20, 30), (1, 2, 3), (40, 50, 60), (7, 8, 9)]
+    body = b"".join(bytes(p) for p in px)
+    good = b"P6\n# hello\n2 2\n255\n" + body
+    short = b"P6\n2 2\n255\n" + body[:5]
+    notppm = b"P5\n2 2\n255\n" + body
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(short)),
+         (3, bytearray(notppm))],
+        "item_id long, payload binary",
+    )
+    out = {r.item_id: r for r in image_ppm_features(df).collect()}
+    r = out[1]
+    assert (r.width, r.height, r.maxval) == (2, 2, 255)
+    assert r.sum_r == sum(p[0] for p in px)
+    assert r.sum_g == sum(p[1] for p in px)
+    assert r.sum_b == sum(p[2] for p in px)
+    assert out[2].width is None and out[3].width is None
+
+
+def _greedy_lzw_gif(indices, mcs):
+    """Independent REAL greedy LZW compressor (string table, width
+    growth, no mid-stream clears) — validates the decoder against a
+    second implementation, exercising the width-growth and
+    code==len(table) branches the uncompressed technique never hits."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    next_code = end + 1
+    table = {(i,): i for i in range(clear)}
+    cur = ()
+    emitted = [(clear, width)]
+    for sym in indices:
+        cand = cur + (sym,)
+        if cand in table:
+            cur = cand
+        else:
+            emitted.append((table[cur], width))
+            table[cand] = next_code
+            next_code += 1
+            # decoder grows width when ITS table (one entry behind the
+            # encoder's until the next code arrives) reaches 2^width
+            if next_code > (1 << width) and width < 12:
+                width += 1
+            cur = (sym,)
+    if cur:
+        emitted.append((table[cur], width))
+    emitted.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for c, w in emitted:
+        acc |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_decoder_against_independent_compressor():
+    from cancer_survival_etl_spark.llm.multimodal import _gif_lzw_decode
+
+    # repetitive pattern → real compression with table growth
+    idx = [(i // 3) % 4 for i in range(500)]
+    data = _greedy_lzw_gif(idx, 2)
+    got = _gif_lzw_decode(data, 2, len(idx))
+    assert got == idx
+    # kwkwk pattern exercises the code == len(table) branch
+    idx2 = [0, 1, 0, 1, 0, 1, 0, 1, 0]
+    got2 = _gif_lzw_decode(_greedy_lzw_gif(idx2, 2), 2, len(idx2))
+    assert got2 == idx2
+
+
+def test_gif_decode_features_and_malformed(spark):
+    from cancer_survival_etl_spark.llm.multimodal import image_gif_features
+
+    import __spark_entry__ as entry
+
+    gif = entry._gif_bytes(6, 4, 7)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"GIF87a trunc")),
+         (3, bytearray(b"not a gif"))],
+        "item_id long, payload binary",
+    )
+    out = {r.item_id: r for r in image_gif_features(df).collect()}
+    r = out[1]
+    assert (r.width, r.height, r.n_colors) == (6, 4, 8)
+    want_r = sum((((x + y) % 8) * 7) % 256
+                 for y in range(4) for x in range(6))
+    want_g = sum(((x + y) % 8 + 7) % 256
+                 for y in range(4) for x in range(6))
+    want_b = sum((((x + y) % 8) ** 2 + 7) % 256
+                 for y in range(4) for x in range(6))
+    assert (r.sum_r, r.sum_g, r.sum_b) == (want_r, want_g, want_b)
+    assert out[2].width is None and out[3].width is None
