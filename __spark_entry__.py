@@ -4133,6 +4133,186 @@ _WELCH_SQL = """
 """
 
 
+def q_stats_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between the user-parity
+    variants (`operators/stats.py::ks_test`) — the empirical CDFs
+    step only at distinct values, so D comes from an integer max over
+    the value histogram (multi-column two-phase prefix sum, no global
+    sort window)."""
+    from cancer_survival_etl_spark.operators.stats import ks_test
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ks_test(e, "variant", "cents")
+
+
+_KS_SQL = """
+    WITH e AS (
+        SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+               CAST(round(value * 100, 0) AS BIGINT) AS m
+        FROM events
+    ),
+    per AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY v
+    ),
+    names AS (
+        SELECT (SELECT v FROM per ORDER BY v LIMIT 1) AS variant_a,
+               (SELECT v FROM per ORDER BY v DESC LIMIT 1) AS variant_b,
+               (SELECT n FROM per ORDER BY v LIMIT 1) AS n_a,
+               (SELECT n FROM per ORDER BY v DESC LIMIT 1) AS n_b,
+               (SELECT count(*) FROM per) AS nv
+    ),
+    hist AS (
+        SELECT e.m,
+               CAST(sum(CASE WHEN e.v = nm.variant_a THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN e.v = nm.variant_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM e, names nm GROUP BY e.m
+    ),
+    cum AS (
+        SELECT m,
+               sum(ca) OVER (ORDER BY m) AS cum_a,
+               sum(cb) OVER (ORDER BY m) AS cum_b
+        FROM hist
+    ),
+    scored AS (
+        SELECT c.m, abs(c.cum_a * nm.n_b - c.cum_b * nm.n_a) AS d
+        FROM cum c, names nm
+    ),
+    top AS (
+        SELECT max(d) AS dint,
+               min(m) FILTER (WHERE d = (SELECT max(d) FROM scored))
+                   AS d_location
+        FROM scored
+    )
+    SELECT nm.variant_a, nm.variant_b, nm.n_a, nm.n_b,
+           CASE WHEN nm.nv = 2 THEN
+               round(t.dint::DOUBLE / (nm.n_a::DOUBLE * nm.n_b), 6)
+           END AS d_stat,
+           CASE WHEN nm.nv = 2 THEN t.d_location END AS d_location,
+           CASE WHEN nm.nv = 2 THEN
+               round((t.dint::DOUBLE / (nm.n_a::DOUBLE * nm.n_b))
+                     * sqrt(nm.n_a::DOUBLE * nm.n_b
+                            / (nm.n_a::DOUBLE + nm.n_b)), 6)
+           END AS ks_z
+    FROM names nm, top t
+"""
+
+
+def q_stats_mutual_info(spark, sf_dir):
+    """Mutual information + marginal entropies + NMI between
+    event_type and a derived user cohort
+    (`operators/stats.py::mutual_information`) — per-cell p·ln terms
+    on the 1e-9 lattice summed as exact integer nano-units, the
+    chi_square_assoc discipline."""
+    from cancer_survival_etl_spark.operators.stats import (
+        mutual_information,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).cast("string").alias("cohort"),
+    )
+    return mutual_information(e, "event_type", "cohort")
+
+
+_MUTUAL_INFO_SQL = """
+    WITH obs AS (
+        SELECT event_type AS x, CAST(user_id % 4 AS VARCHAR) AS y,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, CAST(sum(o) AS BIGINT) AS rx FROM obs GROUP BY x),
+    cy AS (SELECT y, CAST(sum(o) AS BIGINT) AS cy FROM obs GROUP BY y),
+    tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT x) AS BIGINT) AS nx,
+               CAST(count(DISTINCT y) AS BIGINT) AS ny
+        FROM obs
+    ),
+    mi AS (
+        SELECT CAST(sum(CAST(round(
+                   (o.o::DOUBLE / t.n)
+                   * ln(o.o::DOUBLE * t.n / (r.rx::DOUBLE * c.cy))
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS mi_nano
+        FROM obs o
+        JOIN rx r ON o.x = r.x
+        JOIN cy c ON o.y = c.y
+        CROSS JOIN tot t
+    ),
+    hx AS (
+        SELECT CAST(sum(CAST(round(
+                   -(r.rx::DOUBLE / t.n) * ln(r.rx::DOUBLE / t.n)
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS hx_nano
+        FROM rx r CROSS JOIN tot t
+    ),
+    hy AS (
+        SELECT CAST(sum(CAST(round(
+                   -(c.cy::DOUBLE / t.n) * ln(c.cy::DOUBLE / t.n)
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS hy_nano
+        FROM cy c CROSS JOIN tot t
+    )
+    SELECT t.n, t.nx AS n_x, t.ny AS n_y,
+           round(m.mi_nano / 1e9, 6) AS mi_nats,
+           round(h1.hx_nano / 1e9, 6) AS h_x,
+           round(h2.hy_nano / 1e9, 6) AS h_y,
+           CASE WHEN h1.hx_nano > 0 AND h2.hy_nano > 0 THEN
+               round((m.mi_nano / 1e9)
+                     / sqrt((h1.hx_nano / 1e9) * (h2.hy_nano / 1e9)), 6)
+           END AS nmi
+    FROM tot t, mi m, hx h1, hy h2
+"""
+
+
+def q_eval_pr_auc(spark, sf_dir):
+    """Precision-recall AUC by the step rule at distinct-score
+    thresholds (`operators/stats.py::pr_auc`) — value scores vs the
+    deterministic user-parity label; per-threshold terms on the 1e-9
+    lattice summed as exact nano-units, cumulative counts from one
+    multi-column prefix-sum pass."""
+    from cancer_survival_etl_spark.operators.stats import pr_auc
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("label"),
+    )
+    return pr_auc(e, "score", "label")
+
+
+_PR_AUC_SQL = """
+    WITH hist AS (
+        SELECT value AS s,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS tot
+        FROM events GROUP BY value
+    ),
+    cum AS (
+        SELECT s, pos, tot,
+               sum(pos) OVER (ORDER BY s DESC) AS cum_pos,
+               sum(tot) OVER (ORDER BY s DESC) AS cum_tot
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(sum(tot) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS npos
+        FROM hist
+    )
+    SELECT t.n, t.npos AS n_pos,
+           CASE WHEN t.npos > 0 THEN
+               round(sum(CAST(round(
+                   (c.pos::DOUBLE / t.npos)
+                   * (c.cum_pos::DOUBLE / c.cum_tot) * 1e9, 0)
+                   AS BIGINT)) / 1e9, 6)
+           END AS pr_auc
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n, t.npos
+"""
+
+
 def q_stats_rank_sum(spark, sf_dir):
     """Tie-corrected Mann-Whitney rank-sum z between the user-parity
     variants (`operators/stats.py::rank_sum_test`) — the global rank
@@ -7858,6 +8038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_bytes_encode": q_tokenizer_bpe_bytes_encode,
         "multimodal_ppm": q_multimodal_ppm,
         "multimodal_gif": q_multimodal_gif,
+        "stats_ks": q_stats_ks,
+        "stats_mutual_info": q_stats_mutual_info,
+        "eval_pr_auc": q_eval_pr_auc,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -9664,6 +9847,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bmp": _BMP_SQL,
         "multimodal_ppm": _PPM_SQL,
         "multimodal_gif": _GIF_SQL,
+        "stats_ks": _KS_SQL,
+        "stats_mutual_info": _MUTUAL_INFO_SQL,
+        "eval_pr_auc": _PR_AUC_SQL,
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,

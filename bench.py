@@ -98,6 +98,7 @@ HEADLINE = [
     "zorder_values",
     "tokenizer_bpe",
     "tokenizer_bpe_encode",
+    "tokenizer_bpe_bytes_encode",
     "tokenizer_unigram_encode",
     "tokenizer_vocab_coverage",
     "text_suffix_repeat",
@@ -126,6 +127,8 @@ HEADLINE = [
     "multimodal_audio",
     "multimodal_pcm",
     "multimodal_bmp",
+    "multimodal_ppm",
+    "multimodal_gif",
     "multimodal_video",
     "text_normalize",
     "local_supplier_revenue",
@@ -162,6 +165,10 @@ HEADLINE = [
     "events_journeys",
     "stats_robust_scale",
     "ann_pq_adc",
+    "ann_ivfpq_percell",
+    "stats_ks",
+    "stats_mutual_info",
+    "eval_pr_auc",
     "dedup_semantic",
     "ann_hard_negatives",
     "stats_ols_multi",

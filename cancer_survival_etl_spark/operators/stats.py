@@ -1536,3 +1536,238 @@ def trimmed_mean_by(
             ).alias("trimmed_mean"),
         )
     )
+
+
+def ks_test(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between exactly two variants:
+    D = max_x |F_a(x) − F_b(x)| — the distribution-shape complement to
+    ``rank_sum_test`` (which only sees location): detects variance and
+    shape shifts a rank test misses. Also reports the KS z-scale
+    statistic D·√(n_a·n_b/(n_a+n_b)) and the location achieving D.
+
+    INTEGER-EXACT: the empirical CDFs step only at distinct values, so
+    D_int = max over the VALUE HISTOGRAM of
+    |cum_a·n_b − cum_b·n_a| is a pure integer max (exact to n_a·n_b ~
+    9·10¹⁸) and D = D_int/(n_a·n_b) is one final division — order-
+    independent, engine-identical, any parallelism.
+
+    SCALE SHAPE: one map-combined histogram aggregate, then BOTH
+    variants' cumulative counts from a single multi-column
+    ``global_prefix_sum`` pass (one shuffle over #distinct-value rows,
+    no single-task window), then bounded one-row reductions. The raw
+    frame is touched once. Two-variant gate as in ``welch_ttest``.
+    Returns (variant_a, variant_b, n_a, n_b, d_stat, d_location,
+    ks_z) rounded to 6."""
+    from .windows import global_prefix_sum
+
+    cells = df.groupBy(
+        F.col(variant_col).alias("_v"), F.col(metric_col).alias("_m")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    per = cells.groupBy("_v").agg(F.sum("_c").alias("_n"))
+    a = per.orderBy("_v").limit(1).select(
+        F.col("_v").alias("variant_a"), F.col("_n").alias("n_a")
+    )
+    b = per.orderBy(F.col("_v").desc()).limit(1).select(
+        F.col("_v").alias("variant_b"), F.col("_n").alias("n_b")
+    )
+    nv = per.agg(F.count(F.lit(1)).alias("_nv"))
+    names = a.crossJoin(b).crossJoin(nv)
+    hist = (
+        cells.crossJoin(F.broadcast(names.select("variant_a", "variant_b")))
+        .groupBy("_m")
+        .agg(
+            F.sum(
+                F.when(F.col("_v") == F.col("variant_a"), F.col("_c"))
+                .otherwise(F.lit(0))
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col("_v") == F.col("variant_b"), F.col("_c"))
+                .otherwise(F.lit(0))
+            ).alias("_cb"),
+        )
+    )
+    pref = global_prefix_sum(hist, "_m", ["_ca", "_cb"], ["_pa", "_pb"])
+    scored = pref.crossJoin(F.broadcast(names.select("n_a", "n_b")))
+    diff = F.abs(
+        (F.col("_pa") + F.col("_ca")) * F.col("n_b")
+        - (F.col("_pb") + F.col("_cb")) * F.col("n_a")
+    )
+    dmax = scored.select(diff.alias("_d"), "_m").agg(
+        F.max("_d").alias("_dint")
+    )
+    loc = (
+        scored.select(diff.alias("_d"), "_m")
+        .crossJoin(F.broadcast(dmax))
+        .filter(F.col("_d") == F.col("_dint"))
+        .agg(F.min("_m").alias("d_location"))
+    )
+    j = names.crossJoin(dmax).crossJoin(loc)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.col("_dint").cast("double") / (na * nb)
+    z = d * F.sqrt(na * nb / (na + nb))
+    two = F.col("_nv") == 2
+    return j.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.when(two, F.round(d, 6)).alias("d_stat"),
+        F.when(two, F.col("d_location")).alias("d_location"),
+        F.when(two, F.round(z, 6)).alias("ks_z"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    both marginal entropies and the normalized MI
+    (MI/√(H_x·H_y)) — the feature-selection / redundancy screen that
+    ``chi_square_assoc`` approximates linearly; MI captures ANY
+    dependence. One row out: (n, n_x, n_y, mi_nats, h_x, h_y, nmi).
+
+    Exactness discipline (same as ``chi_square_assoc``): each cell's
+    contribution p·ln(p/(p_x·p_y)) is an explicitly sequenced float
+    expression mirrored in the oracle, rounded onto a 10⁻⁹ lattice and
+    summed as exact integer nano-units — order-free at any
+    parallelism. NULL nmi when either marginal entropy is 0.
+
+    SCALE SHAPE: the contingency table is one groupBy(x, y) — at most
+    |X|·|Y| rows; margins are aggregates of THAT table, never a second
+    corpus scan; scalar totals ride along as broadcast one-row
+    frames."""
+    obs = (
+        df.select(
+            F.col(x_col).cast("string").alias("_x"),
+            F.col(y_col).cast("string").alias("_y"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint(eager=False)
+    )
+    rx = obs.groupBy("_x").agg(F.sum("_o").alias("_rx"))
+    cy = obs.groupBy("_y").agg(F.sum("_o").alias("_cy"))
+    tot = obs.agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct("_x").alias("_nx"),
+        F.count_distinct("_y").alias("_ny"),
+    )
+    n = F.col("_n").cast("double")
+    mi_term = (
+        (F.col("_o").cast("double") / n)
+        * F.log(
+            F.col("_o").cast("double") * n
+            / (F.col("_rx").cast("double") * F.col("_cy"))
+        )
+    )
+    nano = lambda c: F.round(c * F.lit(1e9), 0).cast("long")  # noqa: E731
+    mi = (
+        obs.join(F.broadcast(rx), "_x")
+        .join(F.broadcast(cy), "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(nano(mi_term).alias("_mt"), "_n", "_nx", "_ny")
+        .groupBy("_n", "_nx", "_ny")
+        .agg(F.sum("_mt").alias("_mi_nano"))
+    )
+    hx_term = -(F.col("_rx").cast("double") / n) * F.log(
+        F.col("_rx").cast("double") / n
+    )
+    hy_term = -(F.col("_cy").cast("double") / n) * F.log(
+        F.col("_cy").cast("double") / n
+    )
+    hx = (
+        rx.crossJoin(F.broadcast(tot.select("_n")))
+        .select(nano(hx_term).alias("_ht"))
+        .agg(F.sum("_ht").alias("_hx_nano"))
+    )
+    hy = (
+        cy.crossJoin(F.broadcast(tot.select("_n")))
+        .select(nano(hy_term).alias("_ht"))
+        .agg(F.sum("_ht").alias("_hy_nano"))
+    )
+    j = mi.crossJoin(hx).crossJoin(hy)
+    mi_d = F.col("_mi_nano") / F.lit(1e9)
+    hx_d = F.col("_hx_nano") / F.lit(1e9)
+    hy_d = F.col("_hy_nano") / F.lit(1e9)
+    return j.select(
+        F.col("_n").alias("n"),
+        F.col("_nx").alias("n_x"),
+        F.col("_ny").alias("n_y"),
+        F.round(mi_d, 6).alias("mi_nats"),
+        F.round(hx_d, 6).alias("h_x"),
+        F.round(hy_d, 6).alias("h_y"),
+        F.when(
+            (F.col("_hx_nano") > 0) & (F.col("_hy_nano") > 0),
+            F.round(mi_d / F.sqrt(hx_d * hy_d), 6),
+        ).alias("nmi"),
+    )
+
+
+def pr_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision-recall AUC by the step rule at distinct-score
+    thresholds (ties collapse into one threshold — the deterministic,
+    engine-portable convention): AP = Σ_t (ΔR_t)·P_t with thresholds
+    descending, P from cumulative counts. The right headline metric
+    when positives are rare and ROC-AUC (``auc_by``) looks deceptively
+    good.
+
+    SCALE SHAPE: the raw frame collapses to the SCORE HISTOGRAM
+    (pos, tot per distinct score) in one map-combined aggregate; both
+    cumulative counts come from a single multi-column
+    ``global_prefix_sum`` over descending score (one shuffle over
+    #distinct-score rows, no single-task window). Per-threshold terms
+    are rounded onto a 10⁻⁹ lattice and summed as exact integer
+    nano-units — order-free. Returns one row (n, n_pos, pr_auc);
+    NULL pr_auc when no positives."""
+    from .windows import global_prefix_sum
+
+    hist = (
+        df.select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(F.sum("_y").alias("_pos"), F.count(F.lit(1)).alias("_tot"))
+        .withColumn("_negs", -F.col("_s"))
+    )
+    pref = global_prefix_sum(
+        hist, "_negs", ["_pos", "_tot"], ["_ppos", "_ptot"]
+    )
+    tot = hist.agg(
+        F.sum("_tot").alias("_n"), F.sum("_pos").alias("_npos")
+    )
+    cum_pos = (F.col("_ppos") + F.col("_pos")).cast("double")
+    cum_tot = (F.col("_ptot") + F.col("_tot")).cast("double")
+    # ANSI-safe: with zero positives the quotient is never consumed
+    # (pr_auc is gated NULL), but the division still must not throw
+    term = F.when(
+        F.col("_npos") > 0,
+        (F.col("_pos").cast("double") / F.col("_npos"))
+        * (cum_pos / cum_tot),
+    ).otherwise(F.lit(0.0))
+    nano = F.round(term * F.lit(1e9), 0).cast("long")
+    agg = (
+        pref.crossJoin(F.broadcast(tot))
+        .select(nano.alias("_t"), "_n", "_npos")
+        .groupBy("_n", "_npos")
+        .agg(F.sum("_t").alias("_ap_nano"))
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.col("_npos").alias("n_pos"),
+        F.when(
+            F.col("_npos") > 0,
+            F.round(F.col("_ap_nano") / F.lit(1e9), 6),
+        ).alias("pr_auc"),
+    )

@@ -86,8 +86,8 @@ def ntile_bucket(
 def global_prefix_sum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    alias: str = "prefix_sum",
+    value_col: str | Sequence[str],
+    alias: str | Sequence[str] = "prefix_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE global running sum of ``value_col`` in ``order_col``
@@ -118,8 +118,18 @@ def global_prefix_sum(
     see that range partitions already align with pid), while the Arrow
     pass preserves partitioning and order and does the cumsum in one
     ``numpy.cumsum`` per batch.
+
+    ``value_col``/``alias`` accept lists to scan SEVERAL columns in the
+    same single shuffle + single Arrow pass (e.g. both variants' counts
+    for a KS statistic) — one totals collect carries a tuple per
+    partition instead of a scalar.
     """
     from pyspark.sql.types import LongType, StructField, StructType
+
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    aliases = [alias] if isinstance(alias, str) else list(alias)
+    if len(vcols) != len(aliases):
+        raise ValueError("value_col and alias lists must align")
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
@@ -128,15 +138,17 @@ def global_prefix_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
-    offsets, acc = {}, 0
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vcols)]
+    ).collect()
+    offsets, acc = {}, [0] * len(vcols)
     for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
-        acc += r["_t"] or 0
+        offsets[r["_pid"]] = tuple(acc)
+        acc = [a + (r[f"_t{i}"] or 0) for i, a in enumerate(acc)]
 
     out_schema = StructType(
         [f for f in ranged.schema.fields if f.name != "_pid"]
-        + [StructField(alias, LongType())]
+        + [StructField(a, LongType()) for a in aliases]
     )
     cols = [f.name for f in ranged.schema.fields if f.name != "_pid"]
 
@@ -146,11 +158,14 @@ def global_prefix_sum(
             if len(pdf) == 0:
                 continue
             if carry is None:
-                carry = offsets.get(int(pdf["_pid"].iloc[0]), 0)
-            vals = pdf[value_col].to_numpy()
+                carry = list(
+                    offsets.get(int(pdf["_pid"].iloc[0]), (0,) * len(vcols))
+                )
             out = pdf[cols].copy()
-            out[alias] = vals.cumsum() - vals + carry
-            carry += int(vals.sum())
+            for i, (v, a) in enumerate(zip(vcols, aliases)):
+                vals = pdf[v].to_numpy()
+                out[a] = vals.cumsum() - vals + carry[i]
+                carry[i] += int(vals.sum())
             yield out
 
     return ranged.mapInPandas(cumsum, out_schema)

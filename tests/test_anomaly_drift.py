@@ -622,3 +622,103 @@ def test_trimmed_mean_drops_extremes_exactly(spark):
         "k", "v", 0.5,
     ).collect()[0]
     assert r3.trimmed_mean is None  # k = 1 trims both rows
+
+
+def test_ks_test_matches_manual_and_degenerate(spark):
+    import itertools
+
+    from cancer_survival_etl_spark.operators.stats import ks_test
+
+    a = [1, 2, 2, 3, 7]
+    b = [2, 5, 5, 8]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "v string, m long")
+    r = ks_test(df, "v", "m").collect()[0]
+    # manual D over the pooled support
+    support = sorted(set(a) | set(b))
+    best, loc = -1, None
+    for x in support:
+        fa = sum(1 for t in a if t <= x) / len(a)
+        fb = sum(1 for t in b if t <= x) / len(b)
+        d = abs(fa - fb)
+        if d > best + 1e-12:
+            best, loc = d, x
+    assert r.variant_a == "a" and r.variant_b == "b"
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert r.d_stat == pytest.approx(best, abs=1e-6)
+    assert r.d_location == loc
+    want_z = best * (len(a) * len(b) / (len(a) + len(b))) ** 0.5
+    assert r.ks_z == pytest.approx(want_z, abs=1e-6)
+
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "v string, m long"
+    )
+    assert ks_test(same, "v", "m").collect()[0].d_stat == 0.0
+
+    # three variants -> NULL stats
+    three = spark.createDataFrame(
+        rows + [("c", 1)], "v string, m long"
+    )
+    r3 = ks_test(three, "v", "m").collect()[0]
+    assert r3.d_stat is None and r3.ks_z is None
+
+
+def test_mutual_information_manual_and_extremes(spark):
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        mutual_information,
+    )
+
+    # deterministic relation: y = x  =>  MI = H(X), NMI = 1
+    rows = [(c, c) for c in "aabbbcc"]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    n = len(rows)
+    from collections import Counter
+
+    px = Counter(c for c, _ in rows)
+    h = -sum((k / n) * math.log(k / n) for k in px.values())
+    assert r.mi_nats == pytest.approx(h, abs=1e-6)
+    assert r.h_x == pytest.approx(h, abs=1e-6)
+    assert r.nmi == pytest.approx(1.0, abs=1e-6)
+
+    # independent uniform -> MI = 0 exactly (product cells)
+    indep = [(x, y) for x in "ab" for y in "cd" for _ in range(3)]
+    df2 = spark.createDataFrame(indep, "x string, y string")
+    r2 = mutual_information(df2, "x", "y").collect()[0]
+    assert r2.mi_nats == pytest.approx(0.0, abs=1e-6)
+
+    # constant column -> zero entropy -> NULL nmi
+    const = spark.createDataFrame(
+        [("a", "z"), ("b", "z")], "x string, y string"
+    )
+    assert mutual_information(const, "x", "y").collect()[0].nmi is None
+
+
+def test_pr_auc_manual_and_extremes(spark):
+    from cancer_survival_etl_spark.operators.stats import pr_auc
+
+    # scores with a tie block; step AP over distinct thresholds
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.7, 0), (0.6, 1), (0.5, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    # thresholds desc: 0.9 (1/1 pos, P=1), 0.8 (P=1/2), 0.7 (2 rows,
+    # 1 pos, cum 2/4), 0.6 (3/5), 0.5 (3/6)
+    npos = 3
+    want = (1 / npos) * (1 / 1) + (1 / npos) * (2 / 4) + (1 / npos) * (3 / 5)
+    r = pr_auc(df, "score", "label").collect()[0]
+    assert r.n == 6 and r.n_pos == 3
+    assert r.pr_auc == pytest.approx(want, abs=1e-6)
+
+    # perfect separation -> AP = 1
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, label int"
+    )
+    assert pr_auc(perfect, "score", "label").collect()[0].pr_auc == 1.0
+
+    # no positives -> NULL
+    nopos = spark.createDataFrame(
+        [(0.9, 0), (0.1, 0)], "score double, label int"
+    )
+    assert pr_auc(nopos, "score", "label").collect()[0].pr_auc is None

@@ -264,6 +264,46 @@ def _kendall(spark, events):
     return kendall_tau_by(e, "event_type", "xb", "yv")
 
 
+@_eregister("ks")
+def _ks(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import ks_test
+
+    e = events.select(
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ks_test(e, "variant", "cents")
+
+
+@_eregister("mutual_info")
+def _mi(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import (
+        mutual_information,
+    )
+
+    e = events.select(
+        "event_type", (F.col("user_id") % 4).cast("string").alias("cohort")
+    )
+    return mutual_information(e, "event_type", "cohort")
+
+
+@_eregister("pr_auc")
+def _prauc(spark, events):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import pr_auc
+
+    e = events.select(
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("label"),
+    )
+    return pr_auc(e, "score", "label")
+
+
 @_eregister("rank_sum")
 def _ranksum(spark, events):
     from pyspark.sql import functions as F
