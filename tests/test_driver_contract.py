@@ -65,27 +65,38 @@ def test_oracle_column_alignment_full_surface(spark):
 
 
 def test_correctness_window_composition():
-    """The driver adjudicates the FIRST 50 queries() entries. Round-3
-    policy: every window slot must be oracle-checked (no rows-only
-    entries — those were adjudicated in r02), and the window must
-    cover the VERDICT r2 item-1 priority tranche: TPC-H, retrieval,
-    linkage, incremental_agg, dedup_semantic, ann_pq_adc,
-    corpus_curation, evals, stats."""
+    """The driver adjudicates the FIRST 50 queries() entries. Round-4
+    policy (VERDICT r3 items 1-2): every window slot oracle-checked,
+    the window holds shipmode_priority (its oracle's BIGINT-cast fix
+    needs adjudication — the round's only red row) plus the
+    never-driver-adjudicated tranche; nothing already driver-GREEN
+    occupies a slot."""
+    import json
+    import os
+
     qs = list(entrymod.queries())
     osql = entrymod.oracle_sql()
     window = qs[:50]
     missing = [k for k in window if k not in osql]
     assert not missing, missing
-    # the judge-named priority queries must sit inside the window
-    for must in ["custdist", "excess_suppliers", "bm25_topk",
-                 "retrieval_mmr", "record_linkage", "linkage_golden",
-                 "incremental_agg", "dedup_semantic", "ann_pq_adc",
-                 "corpus_curation", "eval_rouge", "eval_bleu",
-                 "stats_kendall", "sketch_hll_rollup",
-                 "tokenizer_bpe_encode"]:
+    assert "shipmode_priority" in window
+    # judge-named round-4 priority queries must sit inside the window
+    for must in ["graph_pagerank", "multimodal_pcm",
+                 "multimodal_bmp", "bloom_decontaminate",
+                 "hierarchy_closure", "heavy_hitters",
+                 "ann_ivf_kmeans", "ann_hard_negatives",
+                 "stats_kendall_weighted", "text_suffix_repeat",
+                 "tokenizer_unigram_encode"]:
         assert must in window, must
-    # nothing already driver-green may occupy a window slot
-    already_green = {"conditional_agg", "volume_shipping",
-                     "pricing_summary", "dedup_exact", "ann_ivf",
-                     "events_funnel", "p1_filter_disjunctive"}
-    assert not (set(window) & already_green)
+    # nothing already driver-green may occupy a window slot (the one
+    # exception is shipmode_priority, red in r03)
+    green = set()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rnd in ("01", "02", "03"):
+        p = os.path.join(here, f"CORRECTNESS_r{rnd}.json")
+        with open(p) as fh:
+            for name, row in json.load(fh).items():
+                if row.get("hash_match"):
+                    green.add(name)
+    overlap = set(window) & green
+    assert overlap <= {"shipmode_priority"}, overlap
