@@ -4133,6 +4133,64 @@ _WELCH_SQL = """
 """
 
 
+def q_stats_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for the mean event value
+    (`operators/stats.py::bootstrap_ci`): replica weights from
+    md5(salt || b || id) against the pinned Poisson(1) hex lattice, so
+    the oracle replays the identical resampling and the interval
+    adjudicates bit-exact."""
+    from cancer_survival_etl_spark.operators.stats import bootstrap_ci
+
+    e = _t(spark, sf_dir, "events")
+    return bootstrap_ci(e, "event_id", "value", n_replicas=64)
+
+
+def _bootstrap_ci_sql() -> str:
+    from cancer_survival_etl_spark.operators.stats import (
+        POISSON1_HEX_THRESHOLDS,
+    )
+
+    wexpr = " + ".join(
+        f"CASE WHEN substring(md5('' || b || ':' || id8), 1, 8)"
+        f" >= '{t}' THEN 1 ELSE 0 END"
+        for t in POISSON1_HEX_THRESHOLDS
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(event_id AS VARCHAR) AS id8,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events
+    ),
+    rep AS (
+        SELECT id8, c, b, CAST({wexpr} AS BIGINT) AS w
+        FROM base, generate_series(0, 63) r(b)
+    ),
+    per AS (
+        SELECT b, CAST(sum(w * c) AS BIGINT) AS s,
+               CAST(sum(w) AS BIGINT) AS m
+        FROM rep GROUP BY b
+    ),
+    means AS (
+        SELECT s::DOUBLE / m / 100.0 AS mb FROM per WHERE m > 0
+    ),
+    ci AS (
+        SELECT quantile_disc(mb, 0.025) AS lo,
+               quantile_disc(mb, 0.975) AS hi
+        FROM means
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sc
+        FROM base
+    )
+    SELECT f.n, CAST(64 AS INT) AS n_replicas,
+           round(f.sc::DOUBLE / f.n / 100.0, 6) AS mean,
+           round(ci.lo, 6) AS ci_lo,
+           round(ci.hi, 6) AS ci_hi
+    FROM tot f, ci
+"""
+
+
 def q_stats_ks(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov D between the user-parity
     variants (`operators/stats.py::ks_test`) — the empirical CDFs
@@ -8041,6 +8099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ks": q_stats_ks,
         "stats_mutual_info": q_stats_mutual_info,
         "eval_pr_auc": q_eval_pr_auc,
+        "stats_bootstrap_ci": q_stats_bootstrap_ci,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -9850,6 +9909,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_ks": _KS_SQL,
         "stats_mutual_info": _MUTUAL_INFO_SQL,
         "eval_pr_auc": _PR_AUC_SQL,
+        "stats_bootstrap_ci": _bootstrap_ci_sql(),
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,

@@ -169,6 +169,7 @@ HEADLINE = [
     "stats_ks",
     "stats_mutual_info",
     "eval_pr_auc",
+    "stats_bootstrap_ci",
     "dedup_semantic",
     "ann_hard_negatives",
     "stats_ols_multi",

@@ -1771,3 +1771,90 @@ def pr_auc(
             F.round(F.col("_ap_nano") / F.lit(1e9), 6),
         ).alias("pr_auc"),
     )
+
+
+# Poisson(1) CDF thresholds on the md5 8-hex-digit lattice
+# (floor(P(X<=k) * 16^8) for k = 0..6; residual mass -> weight 7).
+# Pinned so the Spark operator and any SQL oracle derive the IDENTICAL
+# replica weights from the identical hash bytes.
+POISSON1_HEX_THRESHOLDS = (
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71",
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 64,
+    alpha: float = 0.05,
+    salt: str = "",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean, with
+    DETERMINISTIC Poisson resampling: replica b gives row i the weight
+    w = Poisson(1)-inverse-CDF(u) where u is the md5(salt ∥ b ∥ id)
+    hex prefix — the standard Poisson bootstrap (each bootstrap draw's
+    multinomial row count converges to independent Poisson(1) at
+    scale), made reproducible on any engine because the "randomness"
+    is a pure per-(row, replica) hash expression against the pinned
+    ``POISSON1_HEX_THRESHOLDS`` lattice (the ``hash_split`` idiom).
+
+    SCALE SHAPE: one ×B narrow explode (id, cents, b — the documented
+    cost of any bootstrap), map-side-combined exact integer sums per
+    replica → B rows, percentile_disc over the B replica means (B
+    rows, driver-trivial). No per-row Python, no rand() partition-
+    order dependence anywhere. Groups with zero total weight (only
+    possible on tiny inputs) drop from the percentile. Returns one
+    row (n, n_replicas, mean, ci_lo, ci_hi) rounded to 6; the CI is
+    the (α/2, 1−α/2) percentile-disc pair of replica means."""
+    cents = _cents(F.col(value_col))
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"), cents.alias("_c")
+    )
+    rep = base.select(
+        "_id", "_c",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("_b"),
+    )
+    prefix = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt), F.col("_b").cast("string"), F.lit(":"),
+                F.col("_id"),
+            )
+        ),
+        1,
+        8,
+    )
+    w = sum(
+        (prefix >= F.lit(t)).cast("long")
+        for t in POISSON1_HEX_THRESHOLDS
+    )
+    per = rep.select("_b", "_c", w.alias("_w")).groupBy("_b").agg(
+        F.sum(F.col("_w") * F.col("_c")).alias("_s"),
+        F.sum("_w").alias("_m"),
+    )
+    means = per.filter(F.col("_m") > 0).select(
+        (F.col("_s").cast("double") / F.col("_m") / 100.0).alias("_mb")
+    )
+    lo, hi = alpha / 2, 1 - alpha / 2
+    ci = means.agg(
+        F.expr(
+            f"percentile_disc({lo}) WITHIN GROUP (ORDER BY _mb)"
+        ).alias("_lo"),
+        F.expr(
+            f"percentile_disc({hi}) WITHIN GROUP (ORDER BY _mb)"
+        ).alias("_hi"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_c").alias("_sc")
+    )
+    return full.crossJoin(ci).select(
+        "n",
+        F.lit(n_replicas).alias("n_replicas"),
+        F.round(F.col("_sc").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean"
+        ),
+        F.round(F.col("_lo"), 6).alias("ci_lo"),
+        F.round(F.col("_hi"), 6).alias("ci_hi"),
+    )

@@ -722,3 +722,47 @@ def test_pr_auc_manual_and_extremes(spark):
         [(0.9, 0), (0.1, 0)], "score double, label int"
     )
     assert pr_auc(nopos, "score", "label").collect()[0].pr_auc is None
+
+
+def test_bootstrap_ci_brackets_mean_and_deterministic(spark):
+    from cancer_survival_etl_spark.operators.stats import bootstrap_ci
+
+    rows = [(i, 10.0 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    r = bootstrap_ci(df, "event_id", "value", n_replicas=64).collect()[0]
+    true_mean = sum(v for _, v in rows) / len(rows)
+    assert r.n == 400 and r.n_replicas == 64
+    assert r.mean == pytest.approx(true_mean, abs=1e-6)
+    # percentile CI must bracket the point estimate and be reasonably
+    # tight for a 400-row sample of a bounded variable
+    assert r.ci_lo <= r.mean <= r.ci_hi
+    assert (r.ci_hi - r.ci_lo) < 1.0
+
+    # identical numbers at any partitioning (md5-deterministic)
+    r2 = bootstrap_ci(
+        df.repartition(17), "event_id", "value", n_replicas=64
+    ).collect()[0]
+    assert (r.ci_lo, r.ci_hi, r.mean) == (r2.ci_lo, r2.ci_hi, r2.mean)
+
+
+def test_bootstrap_poisson_weights_mean_one(spark):
+    """The pinned hex lattice must actually induce Poisson(1)-ish
+    weights: mean weight ~ 1, var ~ 1 over many (row, replica)
+    draws."""
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import (
+        POISSON1_HEX_THRESHOLDS,
+    )
+
+    df = spark.range(3000).select(F.col("id").cast("string").alias("_id"))
+    prefix = F.substring(F.md5(F.col("_id")), 1, 8)
+    w = sum(
+        (prefix >= F.lit(t)).cast("long")
+        for t in POISSON1_HEX_THRESHOLDS
+    )
+    got = df.select(w.alias("w")).agg(
+        F.avg("w").alias("m"), F.var_pop("w").alias("v")
+    ).collect()[0]
+    assert got.m == pytest.approx(1.0, abs=0.07)
+    assert got.v == pytest.approx(1.0, abs=0.15)
