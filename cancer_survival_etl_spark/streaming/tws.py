@@ -477,3 +477,178 @@ def count_min_batch(
     return pd.DataFrame(
         out, columns=["event_type", "item", "count_est", "n_total"]
     )
+
+
+GK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_total", LongType()),
+        StructField("n_tuples", LongType()),
+        StructField("p50", DoubleType()),
+        StructField("p95", DoubleType()),
+        StructField("p99", DoubleType()),
+    ]
+)
+
+_GK_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("vs", ArrayType(DoubleType())),
+        StructField("gs", ArrayType(LongType())),
+        StructField("ds", ArrayType(LongType())),
+    ]
+)
+
+
+class GkQuantileProcessor(StatefulProcessor):
+    """Streaming per-key quantiles via a Greenwald-Khanna summary —
+    the DETERMINISTIC mergeless quantile sketch (no compaction coin
+    flips, unlike KLL): per key, a sorted list of (v, g, Δ) tuples
+    maintaining the invariant g_i + Δ_i ≤ 2εn, which guarantees every
+    φ-quantile answer is within rank εn of exact. State is
+    O((1/ε)·log(εn)) tuples — logarithmic in stream length — vs
+    unbounded exact buffering.
+
+    Like Space-Saving (and unlike count-min), the summary is an
+    ORDERED fold: the batch sibling ``gk_quantile_batch`` replays the
+    identical (ts, event_id)-ordered history for the end-state pin,
+    and the ε-rank guarantee holds for ANY order. Each micro-batch
+    emits the key's current (n, #tuples, p50/p95/p99)."""
+
+    def __init__(
+        self,
+        eps: float = 0.01,
+        value_col: str = "value",
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._eps = float(eps)
+        self._value_col = value_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "gk", _GK_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    @staticmethod
+    def fold(summary: list, n: int, values, eps: float) -> int:
+        """Insert ``values`` into the (v, g, d) tuple list in order,
+        compressing every ⌊1/(2ε)⌋ inserts; returns the new n."""
+        import bisect
+
+        period = max(1, int(1.0 / (2.0 * eps)))
+        vs_key = [t[0] for t in summary]
+        for v in values:
+            v = float(v)
+            i = bisect.bisect_right(vs_key, v)
+            d = int(2.0 * eps * n) if 0 < i < len(summary) else 0
+            summary.insert(i, [v, 1, d])
+            vs_key.insert(i, v)
+            n += 1
+            if n % period == 0:
+                thresh = 2.0 * eps * n
+                j = len(summary) - 2
+                while j >= 1:
+                    g, gn, dn = (
+                        summary[j][1],
+                        summary[j + 1][1],
+                        summary[j + 1][2],
+                    )
+                    if g + gn + dn <= thresh:
+                        summary[j + 1][1] = g + gn
+                        del summary[j]
+                        del vs_key[j]
+                    j -= 1
+        return n
+
+    @staticmethod
+    def query(summary: list, n: int, phi: float, eps: float) -> float:
+        """First v whose r_max exceeds ⌈φn⌉ + εn, stepped back one —
+        the textbook GK answer, within rank εn of exact."""
+        if not summary:
+            return float("nan")
+        import math
+
+        r = max(1, math.ceil(phi * n))
+        bound = r + eps * n
+        rmin = 0
+        for i, (v, g, d) in enumerate(summary):
+            rmin += g
+            if rmin + d > bound:
+                return summary[max(0, i - 1)][0]
+        return summary[-1][0]
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, vs, gs, ds = self._state.get()
+            summary = [[float(v), int(g), int(d)]
+                       for v, g, d in zip(vs, gs, ds)]
+        else:
+            n, summary = 0, []
+        for pdf in rows:
+            n = self.fold(summary, n, pdf[self._value_col], self._eps)
+        self._state.update(
+            (
+                n,
+                [t[0] for t in summary],
+                [t[1] for t in summary],
+                [t[2] for t in summary],
+            )
+        )
+        q = lambda p: self.query(summary, n, p, self._eps)  # noqa: E731
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_total": [n],
+                "n_tuples": [len(summary)],
+                "p50": [q(0.5)],
+                "p95": [q(0.95)],
+                "p99": [q(0.99)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_gk_quantiles(
+    events: DataFrame,
+    eps: float = 0.01,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-event-type GK quantiles via
+    ``transformWithStateInPandas`` — update mode; the latest emission
+    per type carries its current p50/p95/p99 within rank εn."""
+    return events.select(
+        "event_type", "ts", "event_id", "value"
+    ).groupBy("event_type").transformWithStateInPandas(
+        GkQuantileProcessor(eps=eps, ttl_ms=ttl_ms),
+        outputStructType=GK_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def gk_quantile_batch(
+    events: DataFrame, eps: float = 0.01
+) -> pd.DataFrame:
+    """Batch reference for ``running_gk_quantiles``'s END STATE: the
+    same GK fold over each type's full history in (ts, event_id)
+    order. Pins the streaming processor in tests."""
+    pdf = (
+        events.select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    out = []
+    for et, grp in pdf.groupby("event_type"):
+        summary: list = []
+        n = GkQuantileProcessor.fold(summary, 0, grp["value"], eps)
+        q = lambda p: GkQuantileProcessor.query(summary, n, p, eps)  # noqa: E731
+        out.append((et, n, len(summary), q(0.5), q(0.95), q(0.99)))
+    return pd.DataFrame(
+        out,
+        columns=["event_type", "n_total", "n_tuples", "p50", "p95", "p99"],
+    )

@@ -1021,3 +1021,135 @@ def test_streaming_near_dup_probe_replay_idempotent(spark, tmp_path):
     replay = run(str(tmp_path / "ckpt2"))
     assert first == replay, (first, replay)
     assert all(c < 100 for _, c in replay), replay
+
+
+def test_gk_quantile_processor_matches_batch_and_guarantee(spark, sf_dir):
+    """GkQuantileProcessor fold (fake state, batch-sliced) equals the
+    batch-built summary, state stays logarithmic, and every reported
+    quantile is within rank εn of exact."""
+    import math
+
+    from cancer_survival_etl_spark.streaming.tws import (
+        GkQuantileProcessor,
+        gk_quantile_batch,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    eps = 0.01
+    events = load_table(spark, sf_dir, "events")
+    expect = gk_quantile_batch(events, eps=eps).set_index("event_type")
+    pdf = (
+        events.select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    for et, grp in pdf.groupby("event_type"):
+        proc = GkQuantileProcessor(eps=eps)
+        proc._state = FakeState()
+        cut = len(grp) // 3
+        last = None
+        for chunk in (grp.iloc[:cut], grp.iloc[cut:2 * cut],
+                      grp.iloc[2 * cut:]):
+            if len(chunk) == 0:
+                continue
+            last = list(
+                proc.handleInputRows((et,), iter([chunk]), None)
+            )[-1].iloc[0]
+        want = expect.loc[et]
+        assert int(last["n_total"]) == int(want["n_total"])
+        assert float(last["p50"]) == float(want["p50"])
+        assert float(last["p95"]) == float(want["p95"])
+        assert float(last["p99"]) == float(want["p99"])
+        # state bound ~ (1/2ε)·log₂(2εn): logarithmic in stream length
+        # (at small n the summary necessarily holds a big fraction)
+        n = int(last["n_total"])
+        bound = (1 / (2 * eps)) * (math.log2(max(2.0, 2 * eps * n)) + 1)
+        assert int(last["n_tuples"]) <= bound, (n, int(last["n_tuples"]))
+        # guarantee: reported quantile within rank eps*n of exact
+        exact_sorted = sorted(grp["value"])
+        for phi in (0.5, 0.95, 0.99):
+            v = float(last[f"p{int(phi * 100)}"])
+            rank = sum(1 for x in exact_sorted if x <= v)
+            target = max(1, math.ceil(phi * n))
+            assert abs(rank - target) <= eps * n + 1, (et, phi)
+
+
+def test_transform_with_state_gk_quantiles(spark, sf_dir, tmp_path):
+    """End-to-end transformWithStateInPandas run of the GK quantile
+    processor (protobuf-gated): final per-type emission carries the
+    full count and every quantile satisfies the ε-rank guarantee vs
+    exact — which holds for ANY arrival order, so the pin does not
+    depend on the stream's delivery order."""
+    import math
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        running_gk_quantiles,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    eps = 0.02
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_gk_quantiles(src, eps=eps)
+            .writeStream.format("memory")
+            .queryName("tws_gk_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_gk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.sql(
+        """SELECT event_type, max_by(p50, n_total) AS p50,
+                  max_by(p95, n_total) AS p95,
+                  max_by(p99, n_total) AS p99,
+                  max(n_total) AS n_total
+           FROM tws_gk_test GROUP BY event_type"""
+    ).toPandas()
+    events = load_table(spark, sf_dir, "events").toPandas()
+    for r in out.itertuples():
+        vals = sorted(
+            events[events.event_type == r.event_type]["value"]
+        )
+        n = len(vals)
+        assert int(r.n_total) == n
+        for phi, v in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            rank = sum(1 for x in vals if x <= v)
+            target = max(1, math.ceil(phi * n))
+            assert abs(rank - target) <= eps * n + 1, (r.event_type, phi)
