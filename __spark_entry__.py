@@ -2537,6 +2537,58 @@ def _lsh_quality_sql(
 """
 
 
+def q_corpus_source_overlap(spark, sf_dir):
+    """Source-pair content overlap matrix (`llm/dedup.py::
+    source_overlap_matrix`): Jaccard + containment of per-source
+    distinct token-3-gram sets — the corpus-composition diagnostic
+    that catches two crawls being the same feed. Exact integer set
+    sizes; the pair join fans out per gram by #sources only."""
+    from cancer_survival_etl_spark.llm.dedup import source_overlap_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap_matrix(d, "text", "source", n=3)
+
+
+_SOURCE_OVERLAP_SQL = """
+    WITH grams AS (
+        SELECT source,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, greatest(
+                           len(string_split(text, ' ')) - 2, 1)),
+                       i -> concat_ws(' ',
+                           string_split(text, ' ')[i],
+                           string_split(text, ' ')[i + 1],
+                           string_split(text, ' ')[i + 2])
+                   )
+               ) AS g
+        FROM documents
+    ),
+    gsets AS (
+        SELECT DISTINCT source AS s, unnest(g) AS gram FROM grams
+    ),
+    sizes AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS sz FROM gsets GROUP BY s
+    ),
+    inter AS (
+        SELECT a.s AS source_a, b.s AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM gsets a JOIN gsets b
+          ON a.gram = b.gram AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT i.source_a, i.source_b,
+           sa.sz AS n_grams_a, sb.sz AS n_grams_b, i.n_shared,
+           round(i.n_shared::DOUBLE
+                 / (sa.sz + sb.sz - i.n_shared), 6) AS jaccard,
+           round(i.n_shared::DOUBLE / least(sa.sz, sb.sz), 6)
+               AS containment
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.s
+    JOIN sizes sb ON i.source_b = sb.s
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Token-3-gram Jaccard near-dup pairs, blocked by lang, WITH the
     stopgram cut active (max_doc_freq=4): grams occurring in more than
@@ -8100,6 +8152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mutual_info": q_stats_mutual_info,
         "eval_pr_auc": q_eval_pr_auc,
         "stats_bootstrap_ci": q_stats_bootstrap_ci,
+        "corpus_source_overlap": q_corpus_source_overlap,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -9910,6 +9963,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_mutual_info": _MUTUAL_INFO_SQL,
         "eval_pr_auc": _PR_AUC_SQL,
         "stats_bootstrap_ci": _bootstrap_ci_sql(),
+        "corpus_source_overlap": _SOURCE_OVERLAP_SQL,
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,

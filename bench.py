@@ -170,6 +170,7 @@ HEADLINE = [
     "stats_mutual_info",
     "eval_pr_auc",
     "stats_bootstrap_ci",
+    "corpus_source_overlap",
     "dedup_semantic",
     "ann_hard_negatives",
     "stats_ols_multi",

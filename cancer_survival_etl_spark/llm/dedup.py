@@ -1086,3 +1086,78 @@ def lsh_quality_report(
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap BETWEEN SOURCES: for every source pair,
+    the Jaccard and containment of their distinct token-n-gram sets —
+    the corpus-composition diagnostic that tells you two "different"
+    crawls are actually the same feed (dedup them jointly, or one is
+    redundant) before you spend an epoch on both.
+
+    SCALE SHAPE: per-source gram sets collapse doc-level volume to
+    (source, gram) DISTINCT rows in one map-combined aggregate — gram
+    cardinality, not corpus size. The pair join is a self-equi-join on
+    gram with source_a < source_b: per-gram fan-out is bounded by
+    #sources² (sources are a handful by construction — this is a
+    SOURCE-level matrix, not a doc-level one), so the join output is
+    ≤ grams · S². Sizes broadcast back. Returns (source_a, source_b,
+    n_grams_a, n_grams_b, n_shared, jaccard, containment) rounded 6.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    gsets = (
+        fan_out(df)
+        .select(F.col(group_col).alias("_g"), F.explode(grams).alias("_gram"))
+        .distinct()
+    )
+    sizes = gsets.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+    a = gsets.select(F.col("_g").alias("source_a"), "_gram")
+    b = gsets.select(F.col("_g").alias("source_b"), "_gram")
+    inter = (
+        a.join(b, "_gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("_g").alias("source_a"), F.col("_sz").alias("n_grams_a")
+    )
+    sb = sizes.select(
+        F.col("_g").alias("source_b"), F.col("_sz").alias("n_grams_b")
+    )
+    shared = F.col("n_shared").cast("double")
+    union = (
+        F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_grams_a",
+            "n_grams_b",
+            "n_shared",
+            F.round(shared / union, 6).alias("jaccard"),
+            F.round(
+                shared
+                / F.least(F.col("n_grams_a"), F.col("n_grams_b")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -1797,3 +1797,26 @@ def test_gif_decode_features_and_malformed(spark):
                  for y in range(4) for x in range(6))
     assert (r.sum_r, r.sum_g, r.sum_b) == (want_r, want_g, want_b)
     assert out[2].width is None and out[3].width is None
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    from cancer_survival_etl_spark.llm.dedup import source_overlap_matrix
+
+    rows = [
+        (1, "a b c d", "s1"),     # grams: abc, bcd
+        (2, "a b c e", "s1"),     # + abce-grams: abc, bce
+        (3, "a b c d", "s2"),     # same as doc 1
+        (4, "x y z w", "s3"),     # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(df, "text", "source", n=3).collect()
+    }
+    # s1 grams: {a b c, b c d, b c e}; s2: {a b c, b c d}; s3: {x y z, y z w}
+    r = out[("s1", "s2")]
+    assert (r.n_grams_a, r.n_grams_b, r.n_shared) == (3, 2, 2)
+    assert r.jaccard == pytest.approx(2 / 3, abs=1e-6)
+    assert r.containment == 1.0
+    # disjoint pairs produce NO row (inner join on shared grams)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
