@@ -4243,6 +4243,114 @@ def _bootstrap_ci_sql() -> str:
 """
 
 
+def q_stats_ks_by(spark, sf_dir):
+    """Per-event-type KS distribution-shift screen
+    (`operators/stats.py::ks_test_by`): same integer-exact histogram
+    max as stats_ks, cumulative counts from the multi-column
+    grouped_prefix_sum (hot groups span partitions)."""
+    from cancer_survival_etl_spark.operators.stats import ks_test_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("string").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ks_test_by(e, "event_type", "variant", "cents")
+
+
+_KS_BY_SQL = """
+    WITH e AS (
+        SELECT event_type AS g, CAST(user_id % 2 AS VARCHAR) AS v,
+               CAST(round(value * 100, 0) AS BIGINT) AS m
+        FROM events
+    ),
+    arms AS (
+        SELECT min(v) AS variant_a, max(v) AS variant_b,
+               count(DISTINCT v) AS nv
+        FROM e
+    ),
+    hist AS (
+        SELECT e.g, e.m,
+               CAST(sum(CASE WHEN e.v = a.variant_a THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN e.v = a.variant_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM e, arms a GROUP BY e.g, e.m
+    ),
+    cum AS (
+        SELECT g, m,
+               sum(ca) OVER (PARTITION BY g ORDER BY m) AS cum_a,
+               sum(cb) OVER (PARTITION BY g ORDER BY m) AS cum_b
+        FROM hist
+    ),
+    per AS (
+        SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b
+        FROM hist GROUP BY g
+    ),
+    top AS (
+        SELECT c.g, max(abs(c.cum_a * p.n_b - c.cum_b * p.n_a)) AS dint
+        FROM cum c JOIN per p ON c.g = p.g
+        GROUP BY c.g
+    )
+    SELECT p.g AS event_type, a.variant_a, a.variant_b, p.n_a, p.n_b,
+           CASE WHEN a.nv = 2 AND p.n_a > 0 AND p.n_b > 0 THEN
+               round(t.dint::DOUBLE / (p.n_a::DOUBLE * p.n_b), 6)
+           END AS d_stat,
+           CASE WHEN a.nv = 2 AND p.n_a > 0 AND p.n_b > 0 THEN
+               round((t.dint::DOUBLE / (p.n_a::DOUBLE * p.n_b))
+                     * sqrt(p.n_a::DOUBLE * p.n_b
+                            / (p.n_a::DOUBLE + p.n_b)), 6)
+           END AS ks_z
+    FROM per p JOIN top t ON p.g = t.g CROSS JOIN arms a
+"""
+
+
+def q_eval_pr_auc_by(spark, sf_dir):
+    """Per-event-type PR-AUC (`operators/stats.py::pr_auc_by`) — the
+    per-slice eval readout; cumulative counts from the multi-column
+    grouped_prefix_sum, per-threshold terms on the 1e-9 lattice."""
+    from cancer_survival_etl_spark.operators.stats import pr_auc_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("label"),
+    )
+    return pr_auc_by(e, "event_type", "score", "label")
+
+
+_PR_AUC_BY_SQL = """
+    WITH hist AS (
+        SELECT event_type AS g, value AS s,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS tot
+        FROM events GROUP BY event_type, value
+    ),
+    cum AS (
+        SELECT g, s, pos, tot,
+               sum(pos) OVER (PARTITION BY g ORDER BY s DESC) AS cum_pos,
+               sum(tot) OVER (PARTITION BY g ORDER BY s DESC) AS cum_tot
+        FROM hist
+    ),
+    tot AS (
+        SELECT g, CAST(sum(tot) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS npos
+        FROM hist GROUP BY g
+    )
+    SELECT t.g AS event_type, t.n, t.npos AS n_pos,
+           CASE WHEN t.npos > 0 THEN
+               round(sum(CAST(round(
+                   (c.pos::DOUBLE / t.npos)
+                   * (c.cum_pos::DOUBLE / c.cum_tot) * 1e9, 0)
+                   AS BIGINT)) / 1e9, 6)
+           END AS pr_auc
+    FROM cum c JOIN tot t ON c.g = t.g
+    GROUP BY t.g, t.n, t.npos
+"""
+
+
 def q_stats_ks(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov D between the user-parity
     variants (`operators/stats.py::ks_test`) — the empirical CDFs
@@ -8153,6 +8261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_pr_auc": q_eval_pr_auc,
         "stats_bootstrap_ci": q_stats_bootstrap_ci,
         "corpus_source_overlap": q_corpus_source_overlap,
+        "stats_ks_by": q_stats_ks_by,
+        "eval_pr_auc_by": q_eval_pr_auc_by,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -9964,6 +10074,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_pr_auc": _PR_AUC_SQL,
         "stats_bootstrap_ci": _bootstrap_ci_sql(),
         "corpus_source_overlap": _SOURCE_OVERLAP_SQL,
+        "stats_ks_by": _KS_BY_SQL,
+        "eval_pr_auc_by": _PR_AUC_BY_SQL,
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,

@@ -171,6 +171,8 @@ HEADLINE = [
     "eval_pr_auc",
     "stats_bootstrap_ci",
     "corpus_source_overlap",
+    "stats_ks_by",
+    "eval_pr_auc_by",
     "dedup_semantic",
     "ann_hard_negatives",
     "stats_ols_multi",

@@ -1858,3 +1858,138 @@ def bootstrap_ci(
         F.round(F.col("_lo"), 6).alias("ci_lo"),
         F.round(F.col("_hi"), 6).alias("ci_hi"),
     )
+
+
+def pr_auc_by(
+    df: DataFrame,
+    group_cols,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group precision-recall AUC — the grouped sibling of
+    ``pr_auc`` (same step rule at distinct-score thresholds, ties
+    collapsed), for per-slice model evaluation (per language, per
+    source, per segment).
+
+    SCALE SHAPE: per-(group, score) histogram in one map-combined
+    aggregate, then BOTH cumulative counts from one multi-column
+    ``grouped_prefix_sum`` pass (range-partitioned on (group, -score):
+    a hot group's threshold scan SPANS partitions — no per-group
+    single-task sort window). Per-threshold terms on the 1e-9 lattice
+    summed as exact integer nano-units. Returns (group..., n, n_pos,
+    pr_auc) — NULL pr_auc for groups with no positives."""
+    from .windows import grouped_prefix_sum
+
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    hist = (
+        df.select(
+            *g,
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy(*g, "_s")
+        .agg(F.sum("_y").alias("_pos"), F.count(F.lit(1)).alias("_tot"))
+        .withColumn("_negs", -F.col("_s"))
+    )
+    pref = grouped_prefix_sum(
+        hist, g, "_negs", ["_pos", "_tot"], ["_ppos", "_ptot"]
+    )
+    tot = hist.groupBy(*g).agg(
+        F.sum("_tot").alias("_n"), F.sum("_pos").alias("_npos")
+    )
+    joined = pref.join(F.broadcast(tot), g)
+    cum_pos = (F.col("_ppos") + F.col("_pos")).cast("double")
+    cum_tot = (F.col("_ptot") + F.col("_tot")).cast("double")
+    term = F.when(
+        F.col("_npos") > 0,
+        (F.col("_pos").cast("double") / F.col("_npos"))
+        * (cum_pos / cum_tot),
+    ).otherwise(F.lit(0.0))
+    nano = F.round(term * F.lit(1e9), 0).cast("long")
+    agg = (
+        joined.select(*g, nano.alias("_t"), "_n", "_npos")
+        .groupBy(*g, "_n", "_npos")
+        .agg(F.sum("_t").alias("_ap_nano"))
+    )
+    return agg.select(
+        *g,
+        F.col("_n").alias("n"),
+        F.col("_npos").alias("n_pos"),
+        F.when(
+            F.col("_npos") > 0,
+            F.round(F.col("_ap_nano") / F.lit(1e9), 6),
+        ).alias("pr_auc"),
+    )
+
+
+def ks_test_by(
+    df: DataFrame,
+    group_cols,
+    variant_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov D — the grouped sibling
+    of ``ks_test`` (same integer-exact histogram max), for per-slice
+    distribution-shift screens. Variant labels are global min/max of
+    ``variant_col`` (the two-arm contract); groups where both arms are
+    present get D and KS z, one-armed groups get NULLs.
+
+    SCALE SHAPE: per-(group, value) two-arm histogram, both cumulative
+    counts from one multi-column ``grouped_prefix_sum`` (hot groups
+    span partitions), integer max per group. Returns (group...,
+    variant_a, variant_b, n_a, n_b, d_stat, ks_z) rounded to 6."""
+    from .windows import grouped_prefix_sum
+
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    base = df.select(
+        *g,
+        F.col(variant_col).alias("_v"),
+        F.col(metric_col).alias("_m"),
+    )
+    arms = base.select("_v").distinct().agg(
+        F.min("_v").alias("variant_a"),
+        F.max("_v").alias("variant_b"),
+        F.count(F.lit(1)).alias("_nv"),
+    )
+    hist = (
+        base.crossJoin(F.broadcast(arms))
+        .groupBy(*g, "_m")
+        .agg(
+            F.sum(
+                F.when(F.col("_v") == F.col("variant_a"), 1).otherwise(0)
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col("_v") == F.col("variant_b"), 1).otherwise(0)
+            ).alias("_cb"),
+        )
+    )
+    pref = grouped_prefix_sum(
+        hist, g, "_m", ["_ca", "_cb"], ["_pa", "_pb"]
+    )
+    per = hist.groupBy(*g).agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    joined = pref.join(F.broadcast(per), g)
+    diff = F.abs(
+        (F.col("_pa") + F.col("_ca")) * F.col("n_b")
+        - (F.col("_pb") + F.col("_cb")) * F.col("n_a")
+    )
+    agg = (
+        joined.select(*g, diff.alias("_d"), "n_a", "n_b")
+        .groupBy(*g, "n_a", "n_b")
+        .agg(F.max("_d").alias("_dint"))
+        .crossJoin(F.broadcast(arms))
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ok = (F.col("_nv") == 2) & (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d = F.when(ok, F.col("_dint").cast("double") / (na * nb))
+    z = d * F.sqrt(na * nb / (na + nb))
+    return agg.select(
+        *g,
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d_stat"),
+        F.round(z, 6).alias("ks_z"),
+    )

@@ -175,8 +175,8 @@ def grouped_prefix_sum(
     df: DataFrame,
     group_cols: Sequence[str],
     order_col: str,
-    value_col: str,
-    alias: str = "prefix_sum",
+    value_col: str | Sequence[str],
+    alias: str | Sequence[str] = "prefix_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE per-group running sum of ``value_col`` in ``order_col``
@@ -205,30 +205,37 @@ def grouped_prefix_sum(
          group, never the whole group.
 
     ``(group..., order_col)`` must be unique (it is the total order
-    within the group). Σ value per group must fit a long."""
+    within the group). Σ value per group must fit a long.
+
+    ``value_col``/``alias`` accept lists to scan several columns in
+    the same shuffle + window passes (the ``global_prefix_sum``
+    multi-column contract)."""
     g = list(group_cols)
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    aliases = [alias] if isinstance(alias, str) else list(alias)
+    if len(vcols) != len(aliases):
+        raise ValueError("value_col and alias lists must align")
+
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in g + [order_col]])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    carries = (
-        ranged.groupBy("_pid", *g)
-        .agg(F.sum(value_col).alias("_cell_tot"))
-        .withColumn(
-            "_carry",
-            F.coalesce(
-                F.sum("_cell_tot").over(
-                    Window.partitionBy(*g)
-                    .orderBy("_pid")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("_cell_tot")
+    w_carry = (
+        Window.partitionBy(*g)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    carries = ranged.groupBy("_pid", *g).agg(
+        *[F.sum(v).alias(f"_ct_{i}") for i, v in enumerate(vcols)]
+    )
+    for i in range(len(vcols)):
+        carries = carries.withColumn(
+            f"_carry_{i}",
+            F.coalesce(F.sum(f"_ct_{i}").over(w_carry), F.lit(0)),
+        )
+    carries = carries.drop(*[f"_ct_{i}" for i in range(len(vcols))])
     w_cell = (
         Window.partitionBy("_pid", *g)
         .orderBy(order_col)
@@ -239,17 +246,21 @@ def grouped_prefix_sum(
     c = carries.select(
         F.col("_pid").alias("_cpid"),
         *[F.col(k).alias(f"_cg_{i}") for i, k in enumerate(g)],
-        "_carry",
+        *[f"_carry_{i}" for i in range(len(vcols))],
     )
     cond = F.col("_pid") == F.col("_cpid")
     for i, k in enumerate(g):
         cond = cond & F.col(k).eqNullSafe(F.col(f"_cg_{i}"))
-    return (
-        ranged.join(c, cond)
-        .withColumn(
-            alias,
-            F.coalesce(F.sum(value_col).over(w_cell), F.lit(0))
-            + F.col("_carry"),
+    out = ranged.join(c, cond)
+    for i, (v, a) in enumerate(zip(vcols, aliases)):
+        out = out.withColumn(
+            a,
+            F.coalesce(F.sum(v).over(w_cell), F.lit(0))
+            + F.col(f"_carry_{i}"),
         )
-        .drop("_pid", "_carry", "_cpid", *[f"_cg_{i}" for i in range(len(g))])
+    return out.drop(
+        "_pid",
+        "_cpid",
+        *[f"_carry_{i}" for i in range(len(vcols))],
+        *[f"_cg_{i}" for i in range(len(g))],
     )

@@ -766,3 +766,42 @@ def test_bootstrap_poisson_weights_mean_one(spark):
     ).collect()[0]
     assert got.m == pytest.approx(1.0, abs=0.07)
     assert got.v == pytest.approx(1.0, abs=0.15)
+
+
+def test_grouped_ks_and_pr_auc_match_global_per_group(spark):
+    """The grouped siblings must reproduce the global operators run
+    group-by-group, including one-armed/no-positive NULL gates."""
+    from cancer_survival_etl_spark.operators.stats import (
+        ks_test,
+        ks_test_by,
+        pr_auc,
+        pr_auc_by,
+    )
+
+    rows = []
+    for gi, grp in enumerate(["g1", "g2", "g3"]):
+        for i in range(60):
+            variant = str(i % 2) if grp != "g3" else "0"  # g3 one-armed
+            rows.append((grp, variant, float((i * (gi + 3)) % 17),
+                         i, 1 if (i * 7) % 3 == 0 and grp != "g3" else 0))
+    df = spark.createDataFrame(
+        rows, "grp string, variant string, metric double, rid long, label int"
+    )
+
+    got_ks = {r.grp: r for r in ks_test_by(
+        df, "grp", "variant", "metric").collect()}
+    for grp in ("g1", "g2"):
+        sub = df.filter(F.col("grp") == grp)
+        want = ks_test(sub, "variant", "metric").collect()[0]
+        assert got_ks[grp].d_stat == want.d_stat, grp
+        assert got_ks[grp].ks_z == want.ks_z, grp
+    assert got_ks["g3"].d_stat is None  # one-armed group
+
+    got_ap = {r.grp: r for r in pr_auc_by(
+        df, "grp", "metric", "label").collect()}
+    for grp in ("g1", "g2"):
+        sub = df.filter(F.col("grp") == grp)
+        want = pr_auc(sub, "metric", "label").collect()[0]
+        assert got_ap[grp].pr_auc == want.pr_auc, grp
+        assert got_ap[grp].n_pos == want.n_pos, grp
+    assert got_ap["g3"].pr_auc is None  # no positives
