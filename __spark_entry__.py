@@ -2781,6 +2781,63 @@ def _dedup_clusters_sql() -> str:
     """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-best near-dup collapse (`llm/dedup.py::
+    cluster_representatives`): SimHash Hamming pairs -> connected
+    components -> per cluster, keep the LONGEST document (n_chars,
+    ties -> lowest id) — the curation decision that retains the
+    cleanest copy. Per-cluster argmax is one max(struct) aggregate,
+    never a sort window, so a mega-cluster reduces in parallel."""
+    from cancer_survival_etl_spark.llm.dedup import (
+        cluster_representatives,
+        dedup_clusters,
+        simhash_near_dups,
+    )
+    from cancer_survival_etl_spark.operators.partitioning import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    sigs = simhash(d, "text", "doc_id", bits=32)
+    pairs = simhash_near_dups(sigs, "doc_id", max_hamming=3)
+    clusters = dedup_clusters(d, pairs)
+    return cluster_representatives(d, clusters, "n_chars")
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+    WITH RECURSIVE s AS ({_simhash_sql()}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY u
+    ),
+    ranked AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_id,
+           CAST(n_chars AS BIGINT) AS rep_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1
+    """
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 20 == 0 play the
     held-out eval set; every other doc is scored by how many of its
@@ -8263,6 +8320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_overlap": q_corpus_source_overlap,
         "stats_ks_by": q_stats_ks_by,
         "eval_pr_auc_by": q_eval_pr_auc_by,
+        "dedup_keep_best": q_dedup_keep_best,
         "dataset_group_kfold": q_dataset_group_kfold,
         "dedup_containment": q_dedup_containment,
         "sketch_kll_rollup": q_sketch_kll_rollup,
@@ -10076,6 +10134,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_source_overlap": _SOURCE_OVERLAP_SQL,
         "stats_ks_by": _KS_BY_SQL,
         "eval_pr_auc_by": _PR_AUC_BY_SQL,
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "stats_kendall_weighted": _KENDALL_SQL,
         "events_seasonal": _SEASONAL_SQL,
         "stats_theil_sen": _THEIL_SEN_SQL,

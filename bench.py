@@ -173,6 +173,7 @@ HEADLINE = [
     "corpus_source_overlap",
     "stats_ks_by",
     "eval_pr_auc_by",
+    "dedup_keep_best",
     "dedup_semantic",
     "ann_hard_negatives",
     "stats_ols_multi",

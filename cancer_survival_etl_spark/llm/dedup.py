@@ -1161,3 +1161,41 @@ def source_overlap_matrix(
             ).alias("containment"),
         )
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST dedup decision: per near-dup cluster, elect the
+    highest-quality document (ties → lowest id) instead of
+    ``dedup_clusters``'s min-id canonical — the curation step that
+    keeps the cleanest copy of each duplicated page rather than an
+    arbitrary one.
+
+    SCALE SHAPE: one aggregate of ``max(struct(quality, -id))`` per
+    cluster — map-side combined, no per-cluster sort window, so a
+    mega-cluster (the viral page duplicated everywhere) reduces in
+    parallel instead of serializing one task. Returns (cluster_id,
+    rep_id, rep_quality, cluster_size)."""
+    joined = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("negid"),
+        )
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(best.alias("_best"), F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            "cluster_id",
+            (-F.col("_best.negid")).alias("rep_id"),
+            F.col("_best.q").alias("rep_quality"),
+            "cluster_size",
+        )
+    )

@@ -1820,3 +1820,23 @@ def test_source_overlap_matrix_hand_computed(spark):
     assert r.containment == 1.0
     # disjoint pairs produce NO row (inner join on shared grams)
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_cluster_representatives_keep_best(spark):
+    from cancer_survival_etl_spark.llm.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7)],
+        "doc_id long, quality long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r.cluster_id: r for r in cluster_representatives(
+        docs, clusters, "quality").collect()}
+    # cluster 1: quality tie 50/50 between ids 2, 3 -> lowest id wins
+    assert out[1].rep_id == 2 and out[1].rep_quality == 50
+    assert out[1].cluster_size == 3
+    # singleton keeps itself
+    assert out[4].rep_id == 4 and out[4].cluster_size == 1
