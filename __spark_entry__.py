@@ -3102,24 +3102,35 @@ _BLOOM_DECONTAM_SQL = """
 def q_corpus_ccnet_buckets(spark, sf_dir):
     """CCNet's curation step end-to-end: score English docs under the
     corpus bigram LM, then split into head/middle/tail perplexity
-    terciles (ntile over (avg_nll, doc_id) — total order, so the
-    bucketing is deterministic). head = most in-domain text."""
-    from pyspark.sql import Window
+    terciles over (avg_nll, doc_id) — a total order, so the bucketing
+    is deterministic. head = most in-domain text.
 
+    The tercile assignment uses the distributed ``global_ntile``
+    (two-phase prefix-sum rank + NTILE arithmetic), NOT an
+    unpartitioned ``ntile().over(Window.orderBy(...))``: the scored
+    frame is one row per document, so the global-window form would
+    sort the whole corpus on a single task at scale (the
+    rank_sum_test defect class, VERDICT r3 #2)."""
     from cancer_survival_etl_spark.llm.retrieval import ngram_lm_score
     from cancer_survival_etl_spark.operators.partitioning import fan_out
+    from cancer_survival_etl_spark.operators.windows import global_ntile
 
     d = fan_out(_t(spark, sf_dir, "documents"))
     scored = ngram_lm_score(
         d.filter(F.col("lang") == "en"), d, n=2, alpha=1.0
     ).filter(F.col("n_ngrams") > 0)
-    w = Window.orderBy(F.asc("avg_nll"), F.asc("doc_id"))
-    tier = F.ntile(3).over(w)
-    return scored.select(
+    tiled = global_ntile(
+        scored.select("doc_id", "avg_nll"),
+        ["avg_nll", "doc_id"],
+        3,
+        alias="_tier",
+    )
+    return tiled.select(
         "doc_id",
         "avg_nll",
         F.element_at(
-            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tier
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("_tier"),
         ).alias("bucket"),
     )
 

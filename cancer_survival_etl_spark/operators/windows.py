@@ -83,6 +83,70 @@ def ntile_bucket(
     return df.select("*", F.ntile(n).over(w).alias(alias))
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    alias: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order_cols)`` — corpus-wide tercile/
+    decile bucketing (e.g. CCNet head/middle/tail) — WITHOUT the
+    single-task global window that form compiles to: on a per-document
+    frame the unpartitioned window moves the whole corpus to one core.
+
+    Each row's 1-based global rank comes from the two-phase
+    distributed prefix sum over a count-1 column (one range shuffle +
+    per-partition Arrow cumsum + one offset row per partition; see
+    ``global_prefix_sum``). The tile is then a pure expression of
+    (rank, total): with n rows and k tiles SQL NTILE gives the first
+    ``n % k`` tiles ``ceil(n/k)`` rows and the rest ``floor(n/k)`` —
+    reproduced exactly in integer arithmetic below. The total row
+    count joins in as a broadcast one-row aggregate, so the plan stays
+    lazy and adds no data-sized shuffle beyond the range partition.
+
+    ``order_cols`` must be a total order (unique tie-breaker last) or
+    tile assignment at the edges is nondeterministic."""
+    ocols = list(order_cols)
+    ranked = global_prefix_sum(
+        df.withColumn("_nt_ord", F.struct(*[F.col(c) for c in ocols]))
+        .withColumn("_nt_one", F.lit(1)),
+        "_nt_ord",
+        "_nt_one",
+        "_nt_rank0",
+        num_partitions=num_partitions,
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_nt_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("_nt_r", F.col("_nt_rank0") + F.lit(1))
+        .withColumn("_nt_base", F.expr(f"_nt_n DIV {int(n_tiles)}"))
+        .withColumn("_nt_rem", F.expr(f"_nt_n % {int(n_tiles)}"))
+        .withColumn(
+            alias,
+            F.when(
+                F.col("_nt_r")
+                <= F.col("_nt_rem") * (F.col("_nt_base") + F.lit(1)),
+                F.expr("(_nt_r - 1) DIV (_nt_base + 1) + 1"),
+            )
+            .otherwise(
+                # greatest() guards the DIV when n < k (base = 0);
+                # that branch is unreachable then (cutoff = n >= r)
+                # but ANSI mode would still evaluate the division
+                F.expr(
+                    "_nt_rem + (_nt_r - 1 - _nt_rem * (_nt_base + 1))"
+                    " DIV greatest(_nt_base, 1) + 1"
+                )
+            )
+            .cast("int"),
+        )
+        .drop(
+            "_nt_ord", "_nt_one", "_nt_rank0", "_nt_r",
+            "_nt_n", "_nt_base", "_nt_rem",
+        )
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_col: str,

@@ -114,6 +114,18 @@ def _suffix(spark, docs):
     return longest_internal_repeat(docs)
 
 
+@_register("global_ntile")
+def _gntile(spark, docs):
+    from cancer_survival_etl_spark.operators.windows import global_ntile
+
+    return global_ntile(
+        docs.select("doc_id", F.length("text").alias("n")),
+        ["n", "doc_id"],
+        3,
+        alias="tile",
+    )
+
+
 @_register("lsh_quality")
 def _lshq(spark, docs):
     from pyspark.sql import functions as F

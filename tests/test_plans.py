@@ -512,3 +512,45 @@ def test_spearman_no_per_group_raw_sort_window(spark, sf_dir):
             # an aggregate (the per-(pid, group) totals), not a scan
             below = "\n".join(lines[i + 1:i + 12])
             assert "HashAggregate" in below or "_pid" in below, below
+
+
+def test_plan_lint_catches_and_clears(spark, sf_dir):
+    """The lint tool's detector: a raw-row global window IS flagged
+    (the rank_sum defect class), a post-aggregation global window is
+    NOT, and the repo's own prefix-sum stats queries lint clean."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import Window
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint", os.path.join(here, "tools", "plan_lint.py")
+    )
+    pl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pl)
+
+    e = entrymod._t(spark, sf_dir, "events")
+    bad = e.select(
+        "event_id", F.row_number().over(Window.orderBy("value")).alias("rn")
+    )
+    assert any(
+        v[1] == "SP-WINDOW"
+        for v in pl.lint_query("bad", pl.formatted_plan(bad))
+    )
+
+    agg = e.groupBy("event_type").count()
+    ok = agg.select(
+        "*",
+        F.sum("count").over(
+            Window.orderBy("event_type").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("run"),
+    )
+    assert pl.lint_query("ok", pl.formatted_plan(ok)) == []
+
+    for q in ("stats_rank_sum", "stats_spearman", "stats_ks",
+              "stats_ks_by", "eval_pr_auc", "corpus_ccnet_buckets"):
+        plan = pl.formatted_plan(entrymod.queries()[q](spark, sf_dir))
+        assert pl.lint_query(q, plan) == [], q

@@ -77,6 +77,33 @@ def test_ntile_bucket_sizes(spark):
     assert b1 == [0.0, 1.0, 2.0]
 
 
+def test_global_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+
+    from cancer_survival_etl_spark.operators.windows import global_ntile
+
+    # cover n % k == 0, n % k != 0, and n < k
+    for n_rows, k in [(12, 3), (10, 4), (2, 5)]:
+        df = spark.createDataFrame(
+            [(i, float((i * 7) % n_rows)) for i in range(n_rows)],
+            ["id", "v"],
+        )
+        want = {
+            (r["id"], r["t"])
+            for r in df.select(
+                "id",
+                F.ntile(k)
+                .over(Window.orderBy("v", "id"))
+                .alias("t"),
+            ).collect()
+        }
+        got = {
+            (r["id"], r["tile"])
+            for r in global_ntile(df, ["v", "id"], k).collect()
+        }
+        assert got == want, (n_rows, k)
+
+
 def test_salted_agg_equals_direct(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     salted = salted_agg(
