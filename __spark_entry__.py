@@ -7414,6 +7414,288 @@ _SEASONAL_SQL = """
 """
 
 
+# --------------------------------------------------------------------------
+# Survival analysis (operators/survival.py) — the engine's namesake
+# workload: the reference's INDEX table publishes exactly these
+# estimators' outputs (SURVIVAL_PERCENT / STANDARD_ERROR / LOWER_CI /
+# UPPER_CI per YEARS_SINCE_DIAGNOSIS, STANDARDISATION_TYPE;
+# /root/reference/docs/create_index.sql:2-20).
+# --------------------------------------------------------------------------
+
+_SURV_HORIZON_H = 48
+
+_SURV_SQL_CTE = """
+    per AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    surv AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM per
+    )
+"""
+
+
+def _survival_episodes(spark, sf_dir):
+    """Per-subject time-to-event derivation: entry = first event,
+    failure = first 'error' event, administrative censoring at a
+    48-hour horizon; durations in whole hours (exact integer µs
+    arithmetic) so the KM tables have real tie mass. Cohort = user
+    parity (A/B)."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te"
+        ),
+    )
+    # wall-clock whole hours; timestampdiff works on TIMESTAMP_NTZ
+    # directly and matches DuckDB's naive epoch_us(te)-epoch_us(t0)
+    # integer-µs arithmetic (no session-timezone dependence)
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    return per.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.when(is_event, delay)
+        .otherwise(F.lit(_SURV_HORIZON_H))
+        .cast("long")
+        .alias("duration"),
+        F.when(is_event, F.lit(1)).otherwise(F.lit(0)).alias("event"),
+    )
+
+
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier product-limit curve per cohort with Greenwood SE
+    and Nelson-Aalen cumulative hazard (operators/survival.py::
+    km_curve) — per-(cohort, hour) cells, at-risk counts and all
+    cumulative terms via grouped_prefix_sum (no raw-row windows)."""
+    from cancer_survival_etl_spark.operators.survival import km_curve
+
+    return km_curve(
+        _survival_episodes(spark, sf_dir), ["cohort"], "duration", "event"
+    )
+
+
+def q_survival_logrank(spark, sf_dir):
+    """Two-cohort Mantel-Cox log-rank test (operators/survival.py::
+    logrank_test): O/E/V from the duration-axis prefix sums, χ² and
+    the score log-hazard-ratio estimate."""
+    from cancer_survival_etl_spark.operators.survival import logrank_test
+
+    return logrank_test(
+        _survival_episodes(spark, sf_dir), "cohort", "duration", "event"
+    )
+
+
+# Collapsed ESP-like standard-population weights for the 9 synthetic
+# age bands (integer per-100000 counts; integers keep the DSR an
+# exact-lattice sum — see age_standardized_rates).
+_STD_POP_WEIGHTS = {
+    0: 10500, 1: 11000, 2: 12500, 3: 13500, 4: 14000,
+    5: 13500, 6: 11500, 7: 8500, 8: 5000,
+}
+
+
+def q_rates_age_standardized(spark, sf_dir):
+    """Directly age-standardised error rate per 1000 exposure-hours
+    (operators/survival.py::age_standardized_rates): subjects banded
+    by user_id % 9, cases = error events, exposure = observed span in
+    whole hours + 1 (minimum one unit of exposure), DSR under the
+    fixed ESP-like integer weights."""
+    from cancer_survival_etl_spark.operators.survival import (
+        age_standardized_rates,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ).alias("cases"),
+            (
+                F.expr("timestampdiff(HOUR, min(ts), max(ts))")
+                + F.lit(1)
+            ).alias("exposure_h"),
+        )
+        .withColumn("age_band", F.col("user_id") % 9)
+    )
+    return age_standardized_rates(
+        per, "age_band", "cases", "exposure_h", _STD_POP_WEIGHTS
+    ).orderBy("age_band")
+
+
+_SURVIVAL_KM_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    km AS (
+        SELECT cohort, duration,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               CAST(sum(1 - event) AS BIGINT) AS n_censored
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    atrisk AS (
+        SELECT k.cohort, k.duration, k.n_event, k.n_censored,
+               CAST(t.n_subj - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (PARTITION BY k.cohort ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM km k JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0
+                 THEN CAST(round((n_event / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS na,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(n_event / (n_risk * (n_risk - n_event))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS gw,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    acc AS (
+        SELECT cohort, duration, n_risk, n_event, n_censored,
+               sum(lt) OVER w AS lt, sum(na) OVER w AS na,
+               sum(gw) OVER w AS gw, sum(dall) OVER w AS dall
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY duration
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort, duration, n_risk, n_event, n_censored,
+           CASE WHEN dall > 0 THEN 0.0
+                ELSE round(exp(lt / 1000000.0), 6) END AS survival,
+           round(na / 1000000.0, 6) AS cum_hazard,
+           CASE WHEN dall > 0 THEN NULL
+                ELSE round(exp(lt / 1000000.0)
+                           * sqrt(gw / 1000000000000.0), 6)
+           END AS se_greenwood
+    FROM acc
+"""
+
+_SURVIVAL_LOGRANK_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    cells AS (
+        SELECT duration,
+               CAST(sum(CASE WHEN cohort = 'A' THEN event ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rm1,
+               count(*) AS rm
+        FROM surv GROUP BY duration
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               count(*) AS n
+        FROM surv
+    ),
+    ar AS (
+        SELECT c.duration, c.d1, c.d,
+               CAST(t.n1 - coalesce(
+                   sum(c.rm1) OVER (ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS na_,
+               CAST(t.n - coalesce(
+                   sum(c.rm) OVER (ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_,
+               t.n1 AS n1_tot, t.n AS n_tot
+        FROM cells c, tot t
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0
+                 THEN CAST(round(d * (na_ / n_) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS e_term,
+            CASE WHEN d > 0 AND n_ > 1
+                 THEN CAST(round(d * (na_ / n_) * (1.0 - na_ / n_)
+                                 * (n_ - d) / (n_ - 1) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS v_term
+        FROM ar
+    ),
+    agg AS (
+        SELECT max(n1_tot) AS n_subjects_1,
+               max(n_tot) - max(n1_tot) AS n_subjects_2,
+               CAST(sum(d1) AS BIGINT) AS observed_1,
+               CAST(sum(e_term) AS BIGINT) AS se_,
+               CAST(sum(v_term) AS BIGINT) AS sv_
+        FROM terms
+    )
+    SELECT n_subjects_1, n_subjects_2, observed_1,
+           round(se_ / 1000000.0, 6) AS expected_1,
+           round(sv_ / 1000000.0, 6) AS variance,
+           round((observed_1 - se_ / 1000000.0)
+                 * (observed_1 - se_ / 1000000.0)
+                 / (sv_ / 1000000.0), 6) AS chi_square,
+           round((observed_1 - se_ / 1000000.0)
+                 / (sv_ / 1000000.0), 6) AS log_hazard_ratio
+    FROM agg
+"""
+
+_RATES_DSR_SQL = """
+    WITH per AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cases,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 + 1
+                   AS exposure_h,
+               user_id % 9 AS age_band
+        FROM events GROUP BY user_id
+    ),
+    w(band, wt) AS (VALUES
+        (0, 10500), (1, 11000), (2, 12500), (3, 13500), (4, 14000),
+        (5, 13500), (6, 11500), (7, 8500), (8, 5000)
+    ),
+    band AS (
+        SELECT p.age_band,
+               CAST(sum(p.cases) AS BIGINT) AS cases,
+               CAST(sum(p.exposure_h) AS BIGINT) AS person_time,
+               CAST(max(w.wt) AS BIGINT) AS std_weight
+        FROM per p JOIN w ON p.age_band = w.band
+        GROUP BY p.age_band
+    ),
+    rm AS (
+        SELECT *,
+               CAST(round(cases / person_time * 1000.0 * 1000000.0, 0)
+                    AS BIGINT) AS rate_micro
+        FROM band
+    ),
+    dsr AS (
+        SELECT round(CAST(sum(std_weight * rate_micro) AS BIGINT)
+                     / CAST(sum(std_weight) AS BIGINT)
+                     / 1000000.0, 6) AS dsr_per_1000
+        FROM rm
+    )
+    SELECT age_band, cases, person_time,
+           round(rate_micro / 1000000.0, 6) AS rate_per_1000,
+           std_weight, d.dsr_per_1000
+    FROM rm, dsr d
+    ORDER BY age_band
+"""
+
+
 def q_events_cusum(spark, sf_dir):
     """Two-sided CUSUM mean-shift chart per event type over the daily
     cents series (`operators/timeseries.py::cusum_changepoints`):
@@ -8320,6 +8602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_robust_scale": q_stats_robust_scale,
         "ann_hard_negatives": q_ann_hard_negatives,
         # ==== positions 51+: round-5 window queue (never driver-adjudicated) ====
+        "survival_km": q_survival_km,
+        "survival_logrank": q_survival_logrank,
+        "rates_age_standardized": q_rates_age_standardized,
         "ann_ivfpq_percell": q_ann_ivfpq_percell,
         "tokenizer_bpe_bytes_encode": q_tokenizer_bpe_bytes_encode,
         "multimodal_ppm": q_multimodal_ppm,
@@ -10094,6 +10379,9 @@ def oracle_sql() -> dict[str, str]:
         "stats_robust_scale": _ROBUST_SCALE_SQL,
         "ann_pq_adc": _PQ_ADC_SQL,
         "ann_ivfpq_percell": _IVFPQ_PERCELL_SQL,
+        "survival_km": _SURVIVAL_KM_SQL,
+        "survival_logrank": _SURVIVAL_LOGRANK_SQL,
+        "rates_age_standardized": _RATES_DSR_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "ann_hard_negatives": _HARD_NEG_SQL,
         "stats_ols_multi": _OLS_MULTI_SQL,

@@ -1,0 +1,315 @@
+"""Survival analysis: Kaplan-Meier product-limit curves with Greenwood
+standard errors and Nelson-Aalen cumulative hazard, the two-group
+log-rank test, and directly age-standardised event rates.
+
+This family is the engine's namesake workload: the reference repo
+(ncl-cancer-alliance/cancer_survival_etl) publishes survival-index
+tables whose columns are exactly these estimators' outputs —
+SURVIVAL_PERCENT / STANDARD_ERROR / LOWER_CI / UPPER_CI per
+YEARS_SINCE_DIAGNOSIS with a STANDARDISATION_TYPE column
+(/root/reference/docs/create_index.sql:2-20) — scraped pre-computed
+from the national publication. Here the estimators themselves run
+in-engine over raw time-to-event data, in the repo's scale shapes:
+
+* the input collapses FIRST to per-(group, time) death/censor cells
+  (#cells bounded by #subjects, usually far fewer), so no estimator
+  ever windows raw rows;
+* at-risk counts come from one ``grouped_prefix_sum`` pass over the
+  cells, and log-survival products, Greenwood variance sums and
+  Nelson-Aalen hazards from a second multi-column pass — hot groups
+  span range partitions, nothing lands on a single task (the
+  rank_sum_test defect class this repo engineered out, VERDICT r3);
+* every continuous quantity is a sum of per-cell terms rounded on a
+  fixed micro-lattice (the repo's exact-adjudication idiom:
+  ``CAST(round(x * 1e6, 0) AS BIGINT)``), so results hash-match the
+  DuckDB oracle bit-for-bit.
+
+At 100 TB: the only data-sized operations are the two groupBys that
+build subjects and cells (ordinary hash aggregates with map-side
+combine). Everything downstream runs on the cell table, whose size is
+#distinct (group, time) pairs — bounded by cohort counts, not event
+volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import global_prefix_sum, grouped_prefix_sum
+
+
+def _micro(x: Column) -> Column:
+    """The repo's exact-adjudication lattice: round to 1e-6 and carry
+    as an integer so distributed sums are order-independent."""
+    return F.round(x * F.lit(1000000.0), 0).cast("long")
+
+
+def _pico(x: Column) -> Column:
+    """Finer 1e-12 lattice for the Greenwood terms d/(n(n-d)), which
+    are individually tiny but sum to the variance of log S."""
+    return F.round(x * F.lit(1000000000000.0), 0).cast("long")
+
+
+def km_curve(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier product-limit estimate per group.
+
+    ``df`` is one row per subject: an integer ``duration_col`` (time
+    units since entry — the caller picks the granularity; coarser
+    units mean more ties and fewer cells) and ``event_col`` ∈ {0, 1}
+    (1 = the event occurred at ``duration``, 0 = censored there).
+
+    Returns one row per (group, duration) cell:
+
+    * ``n_risk``    subjects still at risk entering that time,
+    * ``n_event`` / ``n_censored`` counts at that time,
+    * ``survival``  S(t) = Π_{t' ≤ t, deaths} (1 − d/n) — inclusive,
+    * ``cum_hazard``  Nelson-Aalen Σ d/n (inclusive),
+    * ``se_greenwood``  S(t)·sqrt(Σ d/(n(n−d))) — NULL from the point
+      the curve hits exactly zero (Greenwood is undefined there).
+
+    The product is evaluated as exp of a prefix sum of micro-lattice
+    log terms; a parallel prefix count of d == n cells pins S = 0
+    exactly once everyone at risk dies (where the log term would be
+    −∞). Two ``grouped_prefix_sum`` passes over the cell table — the
+    at-risk pass feeds the term pass — and no other shuffles beyond
+    the two aggregates.
+    """
+    g = list(group_cols)
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(*g, duration_col).agg(
+        F.sum(ev).alias("n_event"),
+        F.sum(F.lit(1) - ev).alias("n_censored"),
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    cells = (
+        cells.join(totals, g)
+        .withColumn("_rm", F.col("n_event") + F.col("n_censored"))
+    )
+    cells = grouped_prefix_sum(cells, g, duration_col, "_rm", "_rm_before")
+    d = F.col("n_event")
+    n = F.col("_n_subj") - F.col("_rm_before")
+    cells = (
+        cells.withColumn("n_risk", n)
+        .withColumn(
+            "_lt",
+            F.when(
+                (d > 0) & (d < F.col("n_risk")),
+                _micro(F.log(F.lit(1.0) - d / F.col("n_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_na",
+            F.when(d > 0, _micro(d / F.col("n_risk")))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_gw",
+            F.when(
+                (d > 0) & (d < F.col("n_risk")),
+                _pico(d / (F.col("n_risk") * (F.col("n_risk") - d))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d > 0) & (d == F.col("n_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_rm", "_rm_before")
+    )
+    cells = grouped_prefix_sum(
+        cells,
+        g,
+        duration_col,
+        ["_lt", "_na", "_gw", "_dall"],
+        ["_lt0", "_na0", "_gw0", "_dall0"],
+    )
+    lt = F.col("_lt0") + F.col("_lt")        # inclusive prefix sums
+    na = F.col("_na0") + F.col("_na")
+    gw = F.col("_gw0") + F.col("_gw")
+    dall = F.col("_dall0") + F.col("_dall")
+    s_raw = F.exp(lt / F.lit(1000000.0))
+    return (
+        cells.withColumn(
+            "survival",
+            F.when(dall > 0, F.lit(0.0)).otherwise(F.round(s_raw, 6)),
+        )
+        .withColumn("cum_hazard", F.round(na / F.lit(1000000.0), 6))
+        .withColumn(
+            "se_greenwood",
+            F.when(dall > 0, F.lit(None).cast("double")).otherwise(
+                F.round(
+                    s_raw
+                    * F.sqrt(gw / F.lit(1000000000000.0)),
+                    6,
+                )
+            ),
+        )
+        .select(
+            *g, duration_col, "n_risk", "n_event", "n_censored",
+            "survival", "cum_hazard", "se_greenwood",
+        )
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Two-group log-rank test (Mantel-Cox).
+
+    ``group_col`` must take exactly two values; the lexicographically
+    smaller one is "group 1" (deterministic orientation). At every
+    distinct event time t with d_t total deaths, n_t total at risk and
+    n1_t at risk in group 1:
+
+        O1 = Σ d1_t                       (exact integer)
+        E1 = Σ d_t · n1_t / n_t           (micro-lattice sum)
+        V  = Σ d_t (n1_t/n_t)(1 − n1_t/n_t)(n_t − d_t)/(n_t − 1)
+
+    and χ² = (O1 − E1)² / V with 1 df; ln HR ≈ (O1 − E1)/V is the
+    usual score estimate. Times where only one subject remains
+    (n_t = 1) contribute zero variance by convention.
+
+    Scale shape: collapse to per-duration cells with per-group
+    death/removal counts (conditional aggregate), one multi-column
+    ``global_prefix_sum`` over the duration axis for both groups'
+    at-risk counts, then a single scalar aggregate. The prefix-sum
+    frame is #distinct durations — bounded by cohort size.
+    """
+    gvals = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(f"logrank_test needs exactly 2 groups, got {gvals}")
+    g1 = gvals[0]
+    is1 = (F.col(group_col) == F.lit(g1)).cast("long")
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(duration_col).agg(
+        F.sum(ev * is1).alias("d1"),
+        F.sum(ev).alias("d"),
+        F.sum(is1).alias("rm1"),
+        F.count(F.lit(1)).alias("rm"),
+    )
+    tot = df.agg(
+        F.sum(is1).alias("_n1"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cells = global_prefix_sum(
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
+    ).crossJoin(F.broadcast(tot))
+    n1 = F.col("_n1") - F.col("rm1_before")
+    n = F.col("_n") - F.col("rm_before")
+    d = F.col("d")
+    p1 = n1 / n
+    e_term = F.when(d > 0, _micro(d * p1)).otherwise(F.lit(0).cast("long"))
+    v_term = F.when(
+        (d > 0) & (n > 1),
+        _micro(d * p1 * (F.lit(1.0) - p1) * (n - d) / (n - F.lit(1))),
+    ).otherwise(F.lit(0).cast("long"))
+    out = cells.agg(
+        F.max("_n1").alias("n_subjects_1"),
+        (F.max("_n") - F.max("_n1")).alias("n_subjects_2"),
+        F.sum("d1").alias("observed_1"),
+        F.round(F.sum(e_term) / F.lit(1000000.0), 6).alias("expected_1"),
+        F.round(F.sum(v_term) / F.lit(1000000.0), 6).alias("variance"),
+        (F.sum("d1") - F.sum(e_term) / F.lit(1000000.0)).alias("_oe"),
+        (F.sum(v_term) / F.lit(1000000.0)).alias("_v"),
+    )
+    return out.select(
+        "n_subjects_1",
+        "n_subjects_2",
+        "observed_1",
+        "expected_1",
+        "variance",
+        F.round(F.col("_oe") * F.col("_oe") / F.col("_v"), 6).alias(
+            "chi_square"
+        ),
+        F.round(F.col("_oe") / F.col("_v"), 6).alias("log_hazard_ratio"),
+    )
+
+
+def age_standardized_rates(
+    df: DataFrame,
+    band_col: str,
+    case_col: str,
+    time_col: str,
+    std_weights: dict,
+) -> DataFrame:
+    """Directly age-standardised event rate (the reference INDEX
+    table's STANDARDISATION_TYPE = direct; create_index.sql:9).
+
+    ``df`` is one row per subject with an age-band key, an integer
+    case count and an integer person-time (any unit; rates come back
+    per 1000 units). ``std_weights`` maps band → INTEGER
+    standard-population weight (e.g. the European Standard Population
+    per-100000 band counts) — integer weights keep the weighted sum
+    an exact long (weight × micro-lattice rate), so the DSR is
+    order-independent under any partitioning; float weights would
+    make the distributed double sum nondeterministic.
+
+    Per band: crude rate = Σcases / Σtime · 1000. The DSR is the
+    weight-averaged band rate, attached to every band row (the
+    one-row aggregate joins back as a broadcast, keeping the plan
+    lazy). Bands absent from ``std_weights`` get weight 0.
+
+    One hash aggregate over subjects (#bands rows out), then
+    arithmetic — nothing here scales with event volume.
+    """
+    if any(int(w) != w for w in std_weights.values()):
+        raise ValueError("std_weights must be integers (exact-sum contract)")
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, w in std_weights.items()
+            for x in (k, int(w))
+        ]
+    )
+    per = (
+        df.groupBy(band_col)
+        .agg(
+            F.sum(F.col(case_col).cast("long")).alias("cases"),
+            F.sum(F.col(time_col).cast("long")).alias("person_time"),
+        )
+        .withColumn(
+            "std_weight",
+            F.coalesce(wmap[F.col(band_col)], F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_rate_micro",
+            _micro(
+                F.col("cases") / F.col("person_time") * F.lit(1000.0)
+            ),
+        )
+    )
+    dsr = per.agg(
+        F.round(
+            F.sum(F.col("std_weight") * F.col("_rate_micro"))
+            / F.sum("std_weight")
+            / F.lit(1000000.0),
+            6,
+        ).alias("dsr_per_1000")
+    )
+    return (
+        per.crossJoin(F.broadcast(dsr))
+        .select(
+            band_col,
+            "cases",
+            "person_time",
+            F.round(F.col("_rate_micro") / F.lit(1000000.0), 6).alias(
+                "rate_per_1000"
+            ),
+            "std_weight",
+            "dsr_per_1000",
+        )
+    )

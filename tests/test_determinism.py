@@ -114,6 +114,18 @@ def _suffix(spark, docs):
     return longest_internal_repeat(docs)
 
 
+@_register("km_curve")
+def _km(spark, docs):
+    from cancer_survival_etl_spark.operators.survival import km_curve
+
+    subj = docs.select(
+        "lang",
+        (F.col("n_chars") % 50).alias("duration"),
+        (F.col("doc_id") % 3 > 0).cast("int").alias("event"),
+    )
+    return km_curve(subj, ["lang"])
+
+
 @_register("global_ntile")
 def _gntile(spark, docs):
     from cancer_survival_etl_spark.operators.windows import global_ntile
