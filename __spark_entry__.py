@@ -7537,6 +7537,25 @@ def q_rates_age_standardized(spark, sf_dir):
     ).orderBy("age_band")
 
 
+def q_survival_index(spark, sf_dir):
+    """The reference INDEX table computed in-engine: survival percent
+    with Greenwood SE and log-log 95% CI per cohort at fixed periods
+    since entry (8-hour blocks 1..6 — the YEARS_SINCE_DIAGNOSIS
+    analog at this corpus' time scale), patient numbers per cohort
+    (operators/survival.py::survival_at_horizons over km_curve)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        survival_at_horizons,
+    )
+
+    km = km_curve(
+        _survival_episodes(spark, sf_dir), ["cohort"], "duration", "event"
+    )
+    return survival_at_horizons(
+        km, ["cohort"], {p: 8 * p for p in range(1, 7)}
+    )
+
+
 _SURVIVAL_KM_SQL = f"""
     WITH {_SURV_SQL_CTE},
     km AS (
@@ -7652,6 +7671,52 @@ _SURVIVAL_LOGRANK_SQL = f"""
            round((observed_1 - se_ / 1000000.0)
                  / (sv_ / 1000000.0), 6) AS log_hazard_ratio
     FROM agg
+"""
+
+_SURVIVAL_INDEX_SQL = f"""
+    WITH kmfull AS ({_SURVIVAL_KM_SQL}),
+    hz(period, h) AS (VALUES
+        ('1', 8), ('2', 16), ('3', 24), ('4', 32), ('5', 40), ('6', 48)
+    ),
+    tot AS (
+        SELECT cohort, CAST(max(n_risk) AS BIGINT) AS patient_numbers
+        FROM kmfull GROUP BY cohort
+    ),
+    best AS (
+        SELECT k.cohort, z.period, max(k.duration) AS d
+        FROM kmfull k JOIN hz z ON k.duration <= z.h
+        GROUP BY k.cohort, z.period
+    ),
+    bestv AS (
+        SELECT b.cohort, b.period, k.survival AS s, k.se_greenwood AS se
+        FROM best b
+        JOIN kmfull k ON k.cohort = b.cohort AND k.duration = b.d
+    ),
+    grid AS (
+        SELECT t.cohort, t.patient_numbers, z.period,
+               CAST(z.h AS BIGINT) AS horizon
+        FROM tot t CROSS JOIN hz z
+    ),
+    j AS (
+        SELECT g.cohort, g.period, g.horizon, g.patient_numbers,
+               coalesce(v.s, 1.0) AS s,
+               CASE WHEN v.cohort IS NULL THEN 0.0 ELSE v.se END AS se
+        FROM grid g
+        LEFT JOIN bestv v ON g.cohort = v.cohort AND g.period = v.period
+    )
+    SELECT cohort, period, horizon, patient_numbers,
+           round(s * 100, 6) AS survival_percent,
+           CASE WHEN se IS NOT NULL
+                THEN round(se * 100, 6) END AS standard_error,
+           CASE WHEN s > 0 AND s < 1 AND se IS NOT NULL
+                THEN round(pow(s, exp(1.96 * (se / (s * abs(ln(s))))))
+                           * 100, 6)
+           END AS lower_ci,
+           CASE WHEN s > 0 AND s < 1 AND se IS NOT NULL
+                THEN round(pow(s, exp(-1.96 * (se / (s * abs(ln(s))))))
+                           * 100, 6)
+           END AS upper_ci
+    FROM j
 """
 
 _RATES_DSR_SQL = """
@@ -8603,6 +8668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         # ==== positions 51+: round-5 window queue (never driver-adjudicated) ====
         "survival_km": q_survival_km,
+        "survival_index": q_survival_index,
         "survival_logrank": q_survival_logrank,
         "rates_age_standardized": q_rates_age_standardized,
         "ann_ivfpq_percell": q_ann_ivfpq_percell,
@@ -10380,6 +10446,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": _PQ_ADC_SQL,
         "ann_ivfpq_percell": _IVFPQ_PERCELL_SQL,
         "survival_km": _SURVIVAL_KM_SQL,
+        "survival_index": _SURVIVAL_INDEX_SQL,
         "survival_logrank": _SURVIVAL_LOGRANK_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,

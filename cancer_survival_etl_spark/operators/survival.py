@@ -159,6 +159,91 @@ def km_curve(
     )
 
 
+def survival_at_horizons(
+    km: DataFrame,
+    group_cols: Sequence[str],
+    horizons: dict,
+    duration_col: str = "duration",
+) -> DataFrame:
+    """Period-survival table: S(t) read off a ``km_curve`` output at
+    fixed horizons, with log-log (complementary log-log) 95%
+    confidence intervals — the exact column semantics of the
+    reference's INDEX table (PATIENT_NUMBERS / SURVIVAL_PERCENT /
+    STANDARD_ERROR / LOWER_CI / UPPER_CI per YEARS_SINCE_DIAGNOSIS;
+    /root/reference/docs/create_index.sql:10-17), computed in-engine
+    instead of scraped pre-computed.
+
+    ``horizons`` maps period label → horizon time (same units as the
+    KM durations). S at a horizon is the curve's value at the largest
+    cell time ≤ horizon (S = 1, SE = 0 before the first cell). The
+    log-log CI transforms θ = ln(−ln S): lower/upper =
+    S^exp(±1.96·se/(S·|ln S|)), undefined (NULL) at S ∈ {0, 1} —
+    the standard used by national cancer-survival publications.
+
+    Scale shape: the KM cell table cross-joins a broadcast
+    #horizons-row literal frame, one max(struct) aggregate per
+    (group, period) picks the last cell at or before each horizon
+    (durations are unique per group, so the lexicographic struct max
+    is the argmax), and the per-group patient totals come from the
+    same cells (max n_risk = cohort size). Work ∝ #cells ×
+    #horizons; nothing scales with subject count.
+
+    All outputs are derived from km_curve's already-rounded survival
+    and SE through mirrored expressions, so the table adjudicates
+    bit-exact. Percent scaling matches the reference's published
+    units.
+    """
+    g = list(group_cols)
+    spark = km.sparkSession
+    hz = spark.createDataFrame(
+        sorted((str(p), int(h)) for p, h in horizons.items()),
+        "period string, _h long",
+    )
+    cells = km.crossJoin(F.broadcast(hz)).filter(
+        F.col(duration_col) <= F.col("_h")
+    )
+    best = cells.groupBy(*g, "period", "_h").agg(
+        F.max(
+            F.struct(
+                F.col(duration_col).alias("_d"),
+                F.col("survival").alias("_s"),
+                F.col("se_greenwood").alias("_se"),
+            )
+        ).alias("_b")
+    )
+    totals = km.groupBy(*g).agg(F.max("n_risk").alias("patient_numbers"))
+    grid = totals.crossJoin(F.broadcast(hz))
+    j = grid.join(best, g + ["period", "_h"], "left")
+    s = F.coalesce(F.col("_b._s"), F.lit(1.0))
+    se = F.when(F.col("_b").isNull(), F.lit(0.0)).otherwise(
+        F.col("_b._se")
+    )
+    se_theta = se / (s * F.abs(F.log(s)))
+    ci_ok = (s > 0) & (s < 1) & se.isNotNull()
+    return j.select(
+        *g,
+        "period",
+        F.col("_h").alias("horizon"),
+        "patient_numbers",
+        F.round(s * 100, 6).alias("survival_percent"),
+        F.when(se.isNotNull(), F.round(se * 100, 6)).otherwise(
+            F.lit(None).cast("double")
+        ).alias("standard_error"),
+        F.when(
+            ci_ok,
+            F.round(
+                F.pow(s, F.exp(F.lit(1.96) * se_theta)) * 100, 6
+            ),
+        ).alias("lower_ci"),
+        F.when(
+            ci_ok,
+            F.round(
+                F.pow(s, F.exp(F.lit(-1.96) * se_theta)) * 100, 6
+            ),
+        ).alias("upper_ci"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     group_col: str,

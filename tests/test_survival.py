@@ -148,6 +148,46 @@ def test_age_standardized_rates_exact(spark):
         age_standardized_rates(df, "band", "cases", "t", {0: 1.5})
 
 
+def test_survival_at_horizons_loglog_ci(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        survival_at_horizons,
+    )
+
+    df = spark.createDataFrame(
+        [("6mp", t, e) for t, e in SIX_MP],
+        "cohort string, duration long, event int",
+    )
+    km = km_curve(df, ["cohort"])
+    out = {
+        r.period: r
+        for r in survival_at_horizons(
+            km, ["cohort"], {"w10": 10, "w25": 25, "pre": 5}
+        ).collect()
+    }
+    assert set(out) == {"w10", "w25", "pre"}
+    # before the first event time: S = 100%, SE = 0, CI undefined
+    pre = out["pre"]
+    assert (pre.survival_percent, pre.standard_error) == (100.0, 0.0)
+    assert pre.lower_ci is None and pre.upper_ci is None
+    assert pre.patient_numbers == len(SIX_MP)
+    # at w10 the curve's last cell <= 10 is t=10; replicate the CI
+    ref = km_reference(SIX_MP)
+    last = max(t for t in ref if t <= 10)
+    _, _, _, s, _, se = ref[last]
+    assert out["w10"].survival_percent == round(s * 100, 6)
+    se_theta = se / (s * abs(math.log(s)))
+    assert out["w10"].lower_ci == pytest.approx(
+        round(s ** math.exp(1.96 * se_theta) * 100, 6), abs=1e-9
+    )
+    assert out["w10"].upper_ci == pytest.approx(
+        round(s ** math.exp(-1.96 * se_theta) * 100, 6), abs=1e-9
+    )
+    assert out["w10"].lower_ci < out["w10"].survival_percent
+    assert out["w10"].upper_ci > out["w10"].survival_percent
+    # published 6-MP S(10) ≈ 75.3% (63.3% .. 90.0%-ish band)
+    assert 50 < out["w10"].lower_ci < out["w25"].upper_ci <= 100
+
+
 def test_km_all_die_at_first_time(spark):
     df = spark.createDataFrame(
         [("g", 5, 1), ("g", 5, 1)], "cohort string, duration long, event int"
