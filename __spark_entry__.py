@@ -6450,6 +6450,112 @@ def _unigram_encode_sql() -> str:
 """
 
 
+# Pinned WordPiece vocabulary (trained once on the sf0.001 corpus with
+# llm/wordpiece.py::train_wordpiece vocab_size=80 — likelihood-gain
+# merges, lexicographic tie-break) — frozen so the greedy encode is a
+# deterministic pure function adjudicable at any sf.
+_WORDPIECE_PINNED_VOCAB = [
+    "##a", "##b", "##bl", "##c", "##ch", "##ct", "##cto", "##d", "##e",
+    "##g", "##h", "##i", "##in", "##k", "##l", "##ll", "##lu", "##lum",
+    "##lumn", "##m", "##n", "##o", "##oin", "##olumn", "##ow", "##p",
+    "##r", "##s", "##sh", "##st", "##t", "##tch", "##u", "##up", "##us",
+    "##w", "##y", "[UNK]", "a", "ag", "agg", "b", "bi", "big", "c",
+    "column", "cus", "cust", "d", "f", "fi", "fil", "filt", "g", "h",
+    "j", "join", "k", "l", "li", "lin", "m", "o", "p", "q", "qu", "r",
+    "row", "s", "sc", "sl", "slow", "sp", "t", "th", "v", "w", "wi",
+    "win", "wind",
+]
+
+
+def q_tokenizer_wordpiece_encode(spark, sf_dir):
+    """WordPiece ENCODE with the pinned vocabulary — greedy
+    longest-match-first per word with '##' continuation prefixes and
+    whole-word [UNK] fallback (llm/wordpiece.py::wordpiece_encode).
+    The oracle precomputes the deterministic jump table (longest
+    matching piece per (word, position) — a plain join + argmax, no
+    search) and replays the greedy walk as a linear recursive CTE;
+    dead-ended walks never reach the word's end and LEFT-JOIN back as
+    [UNK], exactly the BERT convention."""
+    from cancer_survival_etl_spark.llm.wordpiece import wordpiece_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_encode(d, _WORDPIECE_PINNED_VOCAB).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens"),
+    )
+
+
+def _wordpiece_encode_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in sorted(_WORDPIECE_PINNED_VOCAB))
+    return f"""
+    WITH RECURSIVE
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS lw
+        FROM documents
+    ),
+    words AS (SELECT DISTINCT unnest(lw) AS w FROM docs),
+    vocab(p) AS (VALUES {vals}),
+    pos AS (
+        SELECT w, unnest(generate_series(0, len(w) - 1)) AS pos
+        FROM words
+    ),
+    jump AS (
+        SELECT w, pos, max(el) AS el
+        FROM (
+            SELECT s.w, s.pos,
+                   CASE WHEN v.p LIKE '##%' THEN len(v.p) - 2
+                        ELSE len(v.p) END AS el
+            FROM pos s JOIN vocab v ON
+                 (s.pos = 0 AND v.p NOT LIKE '##%'
+                  AND substring(s.w, 1, len(v.p)) = v.p)
+              OR (s.pos > 0 AND v.p LIKE '##%'
+                  AND substring(s.w, s.pos + 1, len(v.p) - 2)
+                      = substring(v.p, 3))
+        ) GROUP BY w, pos
+    ),
+    walk AS (
+        SELECT w, 0 AS pos, '' AS path, 0 AS np FROM words
+        UNION ALL
+        SELECT wk.w, wk.pos + j.el,
+               CASE WHEN wk.path = ''
+                    THEN substring(wk.w, wk.pos + 1, j.el)
+                    ELSE wk.path || ' ##'
+                         || substring(wk.w, wk.pos + 1, j.el) END,
+               wk.np + 1
+        FROM walk wk JOIN jump j ON wk.w = j.w AND wk.pos = j.pos
+        WHERE wk.pos < len(wk.w)
+    ),
+    done AS (SELECT w, path, np FROM walk WHERE pos = len(w)),
+    seg AS (
+        SELECT words.w,
+               coalesce(d.path, '[UNK]') AS path,
+               coalesce(d.np, 1) AS np
+        FROM words LEFT JOIN done d ON words.w = d.w
+    ),
+    docw AS (
+        SELECT doc_id, i, lw[i] AS w
+        FROM (SELECT doc_id, lw,
+                     unnest(generate_series(1, len(lw))) AS i
+              FROM docs)
+    ),
+    agg AS (
+        SELECT d.doc_id,
+               sum(b.np) AS n_tokens,
+               string_agg(b.path, ' ' ORDER BY d.i) AS tokens
+        FROM docw d JOIN seg b ON d.w = b.w
+        GROUP BY d.doc_id
+    )
+    SELECT docs.doc_id,
+           CAST(len(docs.lw) AS BIGINT) AS n_words,
+           CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(agg.tokens, '') AS tokens
+    FROM docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
+"""
+
+
 def q_tokenizer_bpe(spark, sf_dir):
     """End-to-end BPE tokenizer: distributed word histogram → driver
     merge loop over the bounded vocabulary (the HuggingFace/
@@ -8671,6 +8777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_index": q_survival_index,
         "survival_logrank": q_survival_logrank,
         "rates_age_standardized": q_rates_age_standardized,
+        "tokenizer_wordpiece_encode": q_tokenizer_wordpiece_encode,
         "ann_ivfpq_percell": q_ann_ivfpq_percell,
         "tokenizer_bpe_bytes_encode": q_tokenizer_bpe_bytes_encode,
         "multimodal_ppm": q_multimodal_ppm,
@@ -10449,6 +10556,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_index": _SURVIVAL_INDEX_SQL,
         "survival_logrank": _SURVIVAL_LOGRANK_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,
+        "tokenizer_wordpiece_encode": _wordpiece_encode_sql(),
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "ann_hard_negatives": _HARD_NEG_SQL,
         "stats_ols_multi": _OLS_MULTI_SQL,

@@ -114,6 +114,18 @@ def _suffix(spark, docs):
     return longest_internal_repeat(docs)
 
 
+@_register("wordpiece_encode")
+def _wp(spark, docs):
+    from cancer_survival_etl_spark.llm.wordpiece import wordpiece_encode
+
+    vocab = ["[UNK]"] + [c for c in "abcdefghijklm"] + [
+        "##" + c for c in "abcdefghijklmnopqrstuvwxyz"
+    ]
+    return wordpiece_encode(docs, vocab).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+
+
 @_register("km_curve")
 def _km(spark, docs):
     from cancer_survival_etl_spark.operators.survival import km_curve

@@ -1645,6 +1645,51 @@ def test_bytes_to_unicode_bijection_and_gpt2_space():
         assert table[ord(ch)] == ch
 
 
+def test_wordpiece_trainer_hand_example():
+    from cancer_survival_etl_spark.llm.wordpiece import train_wordpiece
+
+    # {"abab": 4, "ab": 2}: units abab=[a,##b,##a,##b], ab=[a,##b]
+    # pairs (a,##b)=6 (##b,##a)=4 (##a,##b)=4; units a=6 ##b=10 ##a=4
+    # scores 6/60 = 4/40 = 4/40 = 0.1 → three-way tie, smallest pair
+    # lexicographically is (##a,##b) → merge to ##ab; next round ties
+    # (a,##b)=6/60 and (##b,##ab)=4/40 again → (##b,##ab) → ##bab.
+    v = train_wordpiece({"abab": 4, "ab": 2}, 6)
+    assert v == sorted(["[UNK]", "a", "##a", "##b", "##ab", "##bab"])
+    # converges when no pairs remain, even below vocab_size
+    v2 = train_wordpiece({"abab": 4, "ab": 2}, 50)
+    assert "abab" in v2 and "ab" in v2
+    assert train_wordpiece({"abab": 4, "ab": 2}, 50) == v2  # deterministic
+
+
+def test_wordpiece_greedy_encode_and_unk(spark):
+    from cancer_survival_etl_spark.llm.wordpiece import (
+        wordpiece_encode,
+        wordpiece_word,
+    )
+
+    vocab = {"[UNK]", "un", "want", "##want", "##ed", "wa", "##nt", "a"}
+    # longest-match-first: "unwanted" → un ##want ##ed (not un wa...)
+    assert wordpiece_word("unwanted", frozenset(vocab)) == [
+        "un", "##want", "##ed",
+    ]
+    # greedy dead-end → whole-word UNK even though a shorter first
+    # piece would have segmented: "wants" has no ##s continuation
+    assert wordpiece_word("wants", frozenset(vocab)) == ["[UNK]"]
+    assert wordpiece_word("", frozenset(vocab)) == []
+    assert wordpiece_word("x" * 300, frozenset(vocab)) == ["[UNK]"]
+    df = spark.createDataFrame(
+        [(1, "unwanted a wants"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in wordpiece_encode(df, vocab).collect()
+    }
+    assert rows[1].tokens == ["un", "##want", "##ed", "a", "[UNK]"]
+    assert (rows[1].n_words, rows[1].n_tokens) == (3, 5)
+    assert (rows[2].n_words, rows[2].tokens) == (0, [])
+    assert (rows[3].n_words, rows[3].tokens) == (0, [])
+
+
 def test_byte_bpe_roundtrip_lossless(spark):
     """Byte-level BPE keeps whitespace in-vocab: concatenating the
     tokens and inverting the byte table reproduces the exact input
