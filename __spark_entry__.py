@@ -2622,6 +2622,24 @@ def q_ann_brute_force(spark, sf_dir):
     return brute_force_topk(e, queries, k=5)
 
 
+def q_ann_binary_hamming(spark, sf_dir):
+    """Binary-quantization ANN (RaBitQ/BQ family): 1-bit sign
+    quantization against per-dim mid-range thresholds packed 64
+    dims/long, Hamming-distance scan (bit_count of xor — 32× fewer
+    bytes than the float scan), shortlist 20, exact-cosine rerank to
+    top-5 (`llm/similarity.py::binary_hamming_topk`). Thresholds use
+    exact min/max (not a float mean), so quantization is
+    deterministic and the oracle mirrors it bit-for-bit per
+    dimension."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        binary_hamming_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return binary_hamming_topk(e, queries, k=5, rerank=20)
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF cell-pruned cosine top-5: deterministic seed centroids, probe
     the 2 nearest cells — the partition-pruned ANN shape."""
@@ -8778,6 +8796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_logrank": q_survival_logrank,
         "rates_age_standardized": q_rates_age_standardized,
         "tokenizer_wordpiece_encode": q_tokenizer_wordpiece_encode,
+        "ann_binary_hamming": q_ann_binary_hamming,
         "ann_ivfpq_percell": q_ann_ivfpq_percell,
         "tokenizer_bpe_bytes_encode": q_tokenizer_bpe_bytes_encode,
         "multimodal_ppm": q_multimodal_ppm,
@@ -10557,6 +10576,58 @@ def oracle_sql() -> dict[str, str]:
         "survival_logrank": _SURVIVAL_LOGRANK_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,
         "tokenizer_wordpiece_encode": _wordpiece_encode_sql(),
+        "ann_binary_hamming": """
+            WITH le AS (
+                SELECT vec_id, embedding::DOUBLE[] AS le FROM embeddings
+            ),
+            flat AS (
+                SELECT vec_id, unnest(range(0, len(le))) AS dim, le
+                FROM le
+            ),
+            fv AS (SELECT vec_id, dim, le[dim + 1] AS v FROM flat),
+            thr AS (
+                SELECT dim, (min(v) + max(v)) / 2.0 AS thr
+                FROM fv GROUP BY dim
+            ),
+            bits AS (
+                SELECT fv.vec_id, fv.dim,
+                       CASE WHEN fv.v > t.thr THEN 1 ELSE 0 END AS b
+                FROM fv JOIN thr t ON fv.dim = t.dim
+            ),
+            q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+            hd AS (
+                SELECT q.qid AS query_id, nb.vec_id AS neighbor_id,
+                       CAST(sum(CASE WHEN nb.b <> qb.b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS hamming
+                FROM q
+                JOIN bits qb ON qb.vec_id = q.qid
+                JOIN bits nb ON nb.dim = qb.dim AND nb.vec_id <> q.qid
+                GROUP BY 1, 2
+            ),
+            short AS (
+                SELECT query_id, neighbor_id, hamming FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY hamming, neighbor_id) AS r
+                    FROM hd
+                ) WHERE r <= 20
+            ),
+            rr AS (
+                SELECT s.query_id, s.neighbor_id, s.hamming,
+                       round(list_cosine_similarity(ne.le, qe.le), 6)
+                           AS cosine
+                FROM short s
+                JOIN le ne ON ne.vec_id = s.neighbor_id
+                JOIN le qe ON qe.vec_id = s.query_id
+            )
+            SELECT query_id, neighbor_id, hamming, cosine, rank_val
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank_val
+                FROM rr
+            ) WHERE rank_val <= 5
+        """,
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "ann_hard_negatives": _HARD_NEG_SQL,
         "stats_ols_multi": _OLS_MULTI_SQL,

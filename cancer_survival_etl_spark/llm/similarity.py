@@ -358,6 +358,153 @@ def quantize_embeddings(
     )
 
 
+def binary_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """1-bit binary quantization: per-dimension mid-range threshold
+    ((min+max)/2 — min/max are exact and deterministic, unlike a
+    distributed float mean), bit = component > threshold, packed 64
+    dimensions per long word → (id, bits array<long>). 32× smaller
+    than float32 — the memory-bandwidth-bound scan format behind
+    modern binary-quantization ANN (RaBitQ/BQ family): Hamming
+    distance on packed words approximates angular order well enough
+    to shortlist, exact cosine reranks (``binary_hamming_topk``).
+
+    Plan: one explode to (id, dim, value), one #dims-row aggregate
+    broadcast back (the ``quantize_embeddings`` shape), then a
+    bit_or aggregate packs words — bit_or, not sum, so bit 63 never
+    overflows the long. Scale: everything map-side combined; the
+    packed index is #rows × (dims/64) longs.
+    """
+    flat = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim", "_v"
+        ),
+    )
+    stats = flat.groupBy("dim").agg(
+        ((F.min("_v") + F.max("_v")) / F.lit(2.0)).alias("_thr")
+    )
+    words = (
+        flat.join(F.broadcast(stats), "dim")
+        .select(
+            id_col,
+            F.expr("dim DIV 64").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(_v > _thr AS BIGINT),"
+                " CAST(dim % 64 AS INT))"
+            ).alias("_bitval"),
+        )
+        .groupBy(id_col, "_w")
+        .agg(F.expr("bit_or(_bitval)").alias("_word"))
+    )
+    return words.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_w"), F.col("_word")))
+            ),
+            lambda s: s.getField("_word"),
+        ).alias("bits")
+    )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN: SCAN on packed sign bits (Hamming
+    distance = Σ bit_count(xor(word_a, word_b)) — whole-stage-codegen
+    integer ops over 64× fewer bytes than the float scan), shortlist
+    ``rerank`` per query (ties by neighbor id), then exact-cosine
+    VERIFY on the shortlist only, top ``k``.
+
+    Both sides quantize against the same corpus-derived thresholds
+    (queries drawn from the corpus id space are excluded from their
+    own result). Returns (query_id, neighbor_id, hamming, cosine,
+    rank_val).
+
+    Scale: the scan is a broadcast nested loop over Q × N packed
+    rows — the format exists precisely to make that scan cheap; the
+    rerank joins fetch only rerank × Q float vectors. At larger Q,
+    bucket the bit index (e.g. by leading word) exactly like the LSH
+    path.
+    """
+    bits = binary_quantize(
+        corpus.unionByName(queries).dropDuplicates([id_col]),
+        vec_col,
+        id_col,
+    )
+    qb = queries.select(F.col(id_col).alias("query_id")).join(
+        bits.select(
+            F.col(id_col).alias("query_id"), F.col("bits").alias("_qb")
+        ),
+        "query_id",
+    )
+    nb = corpus.select(F.col(id_col).alias("neighbor_id")).join(
+        bits.select(
+            F.col(id_col).alias("neighbor_id"), F.col("bits").alias("_nb")
+        ),
+        "neighbor_id",
+    )
+    hd = F.aggregate(
+        F.zip_with(
+            F.col("_nb"),
+            F.col("_qb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        nb.join(
+            F.broadcast(qb), F.col("query_id") != F.col("neighbor_id")
+        )
+        .select("query_id", "neighbor_id", hd.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .drop("_r")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cos = _dot(F.col("_cv"), F.col("_qv")) / (
+        _norm(F.col("_cv")) * _norm(F.col("_qv"))
+    )
+    reranked = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank_val", F.row_number().over(w2))
+        .filter(F.col("rank_val") <= k)
+    )
+
+
 def _dist2(a: Column, b: Column) -> Column:
     """Squared L2 distance between two equal-length arrays, as a
     sequential JVM fold (deterministic addend order)."""

@@ -1645,6 +1645,81 @@ def test_bytes_to_unicode_bijection_and_gpt2_space():
         assert table[ord(ch)] == ch
 
 
+def test_binary_quantize_packing_and_sign_bit(spark):
+    from cancer_survival_etl_spark.llm.similarity import binary_quantize
+
+    # 70 dims → two words; vectors chosen so dim 63 (the long's sign
+    # bit) and dim 69 are set for id 0: thresholds are (min+max)/2 of
+    # {0, 1} = 0.5, so bit = (v == 1).
+    import random
+
+    rng = random.Random(7)
+    vecs = {
+        i: [float(rng.randint(0, 1)) for _ in range(70)] for i in range(4)
+    }
+    vecs[0][63] = 1.0
+    vecs[1][63] = 0.0
+    vecs[0][69] = 1.0
+    # make every dim non-degenerate (some 0 and some 1 present)
+    for d in range(70):
+        vals = {vecs[i][d] for i in range(4)}
+        if vals == {0.0}:
+            vecs[3][d] = 1.0
+        elif vals == {1.0}:
+            vecs[3][d] = 0.0
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r.bits for r in binary_quantize(df).collect()}
+    for i in range(4):
+        want_words = [0, 0]
+        for d in range(70):
+            if vecs[i][d] == 1.0:
+                want_words[d // 64] |= 1 << (d % 64)
+        # python ints are unbounded; fold to signed 64-bit like the JVM
+        want = [
+            w - (1 << 64) if w >= (1 << 63) else w for w in want_words
+        ]
+        assert got[i] == want, i
+    # id 0 has bit 63 set → first word is negative (sign bit exercised)
+    assert got[0][0] < 0 <= got[1][0]
+
+
+def test_binary_hamming_topk_recall_and_exclusion(spark):
+    from cancer_survival_etl_spark.llm.similarity import (
+        binary_hamming_topk,
+        brute_force_topk,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    centers = [[10.0 * ((c >> b) & 1) - 5.0 for b in range(16)]
+               for c in range(4)]
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        rows.append((i, [v + rng.uniform(-1, 1) for v in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 3)
+    got = binary_hamming_topk(df, qs, k=5, rerank=30).collect()
+    truth = brute_force_topk(df, qs, k=5).collect()
+    got_sets = {}
+    for r in got:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert r.neighbor_id != r.query_id
+    truth_sets = {}
+    for r in truth:
+        truth_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # strong cluster structure → the Hamming shortlist recovers the
+    # exact top-5 (same-cluster points differ in ~0 sign bits)
+    recall = sum(
+        len(got_sets[q] & truth_sets[q]) / 5 for q in truth_sets
+    ) / len(truth_sets)
+    assert recall >= 0.8, recall
+    assert all(len(s) == 5 for s in got_sets.values())
+
+
 def test_wordpiece_trainer_hand_example():
     from cancer_survival_etl_spark.llm.wordpiece import train_wordpiece
 
