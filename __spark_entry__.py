@@ -7885,6 +7885,346 @@ _RATES_DSR_SQL = """
 """
 
 
+def q_survival_cox(spark, sf_dir):
+    """Distributed Cox proportional-hazards regression (Breslow ties,
+    Newton-Raphson on the partial likelihood — operators/survival.py::
+    cox_ph) on a planted exponential-hazard cohort: h(t|x) =
+    h0·exp(1.2·x1 − 0.5·x2) with md5-derived deterministic uniforms,
+    administrative censoring at t = 1.5 and durations rounded to 1 dp
+    for real tie mass. The oracle adjudicates the exact planted cohort
+    counts (n_rows, n_events — replayed in DuckDB from the same md5
+    planting) plus the coefficient-recovery verdicts; β itself is
+    float-iterative and engine-internal but BIT-identical under any
+    partitioning (nano-lattice sums, pinned in tests/test_survival.py).
+    Extends the reference's published-survival surface (KM/log-rank,
+    src/sql/*.sql) with the regression the registry lacked."""
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    x1 = (F.col("doc_id") % 12) / 12.0
+    x2 = (F.col("doc_id") * 7 % 10) / 10.0
+    t = -F.log(u) / F.exp(1.2 * x1 - 0.5 * x2)
+    cohort = d.select(
+        x1.alias("x1"),
+        x2.alias("x2"),
+        F.round(F.least(t, F.lit(1.5)), 1).alias("duration"),
+        (t <= 1.5).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    beta = cox_ph(cohort, ["x1", "x2"], iters=5)
+    return cohort.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event").cast("long").alias("n_events"),
+    ).select(
+        "n_rows",
+        "n_events",
+        F.lit(abs(beta[0] - 1.2) < 0.5).alias("beta_x1_recovered"),
+        F.lit(abs(beta[1] + 0.5) < 0.5).alias("beta_x2_recovered"),
+    )
+
+
+_SURVIVAL_COX_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN
+               -ln((CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8))
+                         AS BIGINT) % 1000000) / 1000000.0 + 0.000001)
+               / exp(1.2 * (doc_id % 12) / 12.0
+                     - 0.5 * (doc_id * 7 % 10) / 10.0) <= 1.5
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           true AS beta_x1_recovered,
+           true AS beta_x2_recovered
+    FROM documents
+"""
+
+
+def q_survival_cif(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence under competing risks
+    (operators/survival.py::cif_competing_risks): first 'error'
+    (cause 1) competes with first 'purchase' (cause 2) per user,
+    earlier wins (exact-µs tie → cause 1), administrative censoring at
+    the 48-hour horizon, cohort = user parity. The crude-probability
+    companion to the reference's net-survival INDEX table. Oracle
+    mirrors the three prefix passes as SQL windows over the same
+    cells — bit-exact through the micro-lattice."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cif_competing_risks,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te1"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("te2"),
+    )
+    one_first = F.col("te1").isNotNull() & (
+        F.col("te2").isNull() | (F.col("te1") <= F.col("te2"))
+    )
+    per = per.select(
+        "user_id",
+        "t0",
+        F.when(one_first, F.col("te1")).otherwise(F.col("te2")).alias("te"),
+        F.when(one_first, F.lit(1))
+        .when(F.col("te2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("cz"),
+    )
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    subj = per.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.when(is_event, delay)
+        .otherwise(F.lit(_SURV_HORIZON_H))
+        .cast("long")
+        .alias("duration"),
+        F.when(is_event, F.col("cz")).otherwise(F.lit(0)).alias("cause"),
+    )
+    return cif_competing_risks(subj, ["cohort"], [1, 2])
+
+
+_SURVIVAL_CIF_SQL = """
+    WITH per0 AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te1,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS te2
+        FROM events GROUP BY user_id
+    ),
+    per AS (
+        SELECT user_id, t0,
+               CASE WHEN te1 IS NOT NULL AND (te2 IS NULL OR te1 <= te2)
+                    THEN te1 ELSE te2 END AS te,
+               CASE WHEN te1 IS NOT NULL AND (te2 IS NULL OR te1 <= te2)
+                    THEN 1
+                    WHEN te2 IS NOT NULL THEN 2 ELSE 0 END AS cz
+        FROM per0
+    ),
+    surv AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN cz ELSE 0 END AS cause
+        FROM per
+    ),
+    cells AS (
+        SELECT cohort, duration,
+               CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+               CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d2,
+               count(*) AS rm
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    ar AS (
+        SELECT c.cohort, c.duration, c.d, c.d1, c.d2,
+               CAST(t.n_subj - coalesce(
+                   sum(c.rm) OVER (PARTITION BY c.cohort ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+        FROM cells c JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round(ln(1.0 - d / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS dall
+        FROM ar
+    ),
+    acc AS (
+        SELECT *,
+               coalesce(sum(lt) OVER wx, 0) AS lt0,
+               coalesce(sum(dall) OVER wx, 0) AS dall0
+        FROM terms
+        WINDOW wx AS (PARTITION BY cohort ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    tk AS (
+        SELECT *,
+            CASE WHEN dall0 + dall > 0 THEN 0.0
+                 ELSE round(exp((lt0 + lt) / 1000000.0), 6)
+            END AS survival_allcause,
+            CASE WHEN d1 > 0
+                 THEN CAST(round(
+                     (CASE WHEN dall0 > 0 THEN 0.0
+                           ELSE exp(lt0 / 1000000.0) END)
+                     * d1 / n_risk * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS t1,
+            CASE WHEN d2 > 0
+                 THEN CAST(round(
+                     (CASE WHEN dall0 > 0 THEN 0.0
+                           ELSE exp(lt0 / 1000000.0) END)
+                     * d2 / n_risk * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS t2
+        FROM acc
+    ),
+    cum AS (
+        SELECT *,
+               sum(t1) OVER wi AS c1, sum(t2) OVER wi AS c2
+        FROM tk
+        WINDOW wi AS (PARTITION BY cohort ORDER BY duration
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort, duration, CAST(1 AS BIGINT) AS cause, n_risk,
+           d1 AS n_event, survival_allcause,
+           round(c1 / 1000000.0, 6) AS cif
+    FROM cum
+    UNION ALL
+    SELECT cohort, duration, CAST(2 AS BIGINT) AS cause, n_risk,
+           d2 AS n_event, survival_allcause,
+           round(c2 / 1000000.0, 6) AS cif
+    FROM cum
+"""
+
+
+# Synthetic background life table: per-hour expected hazard by band in
+# 1e-6 units, rising with band — integers keep every at-risk-weighted
+# sum an exact long (see relative_survival_ederer2's contract).
+_RELSURV_HAZARDS = {b: 1500 + 700 * b for b in range(9)}
+
+
+def q_survival_relative(spark, sf_dir):
+    """Relative survival with Ederer II expected survival
+    (operators/survival.py::relative_survival_ederer2) — the estimator
+    behind the reference's published net-survival INDEX table, run
+    in-engine: observed all-cause KM over the user-parity cohorts
+    divided by expected survival under a band-indexed (user_id % 9)
+    integer micro-hazard life table, hour grid 1..48. The oracle
+    mirrors the band at-risk prefix pass, the expected log-survival
+    accumulation and the KM argmax read-off as SQL windows —
+    bit-exact through the micro-lattice."""
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer2,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te"
+        ),
+    )
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    subj = per.select(
+        (F.col("user_id") % 9).alias("band"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.when(is_event, delay)
+        .otherwise(F.lit(_SURV_HORIZON_H))
+        .cast("long")
+        .alias("duration"),
+        F.when(is_event, F.lit(1)).otherwise(F.lit(0)).alias("event"),
+    )
+    return relative_survival_ederer2(
+        subj, ["cohort"], "band", _RELSURV_HAZARDS, horizon=_SURV_HORIZON_H
+    )
+
+
+_RELSURV_SQL = f"""
+    WITH kmfull AS ({{km}}),
+    perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, band
+    ),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    rmb AS (
+        SELECT cohort, band, duration AS s, count(*) AS rm
+        FROM survb GROUP BY cohort, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.band, n.nb_tot, h.s, coalesce(r.rm, 0) AS rm
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN rmb r
+          ON r.cohort = n.cohort AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, band ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    pers AS (
+        SELECT n.cohort, n.s,
+               CAST(sum(n.nbv * z.lam) AS BIGINT) AS lam_micro,
+               CAST(sum(n.nbv) AS BIGINT) AS nn
+        FROM nb n JOIN hzm z ON n.band = z.band
+        GROUP BY n.cohort, n.s
+    ),
+    lt AS (
+        SELECT *,
+            CASE WHEN s > 0 AND nn > 0
+                      AND lam_micro / 1000000.0 / nn < 1
+                 THEN CAST(round(ln(1.0 - lam_micro / 1000000.0 / nn)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS ltv
+        FROM pers
+    ),
+    expd AS (
+        SELECT cohort, s AS hour, nn AS n_risk,
+               round(exp(sum(ltv) OVER (PARTITION BY cohort ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) / 1000000.0), 6)
+                   AS survival_expected
+        FROM lt
+    ),
+    best AS (
+        SELECT k.cohort, h.s AS hour, max(k.duration) AS d
+        FROM kmfull k JOIN hours h ON k.duration <= h.s
+        WHERE h.s > 0
+        GROUP BY k.cohort, h.s
+    ),
+    obs AS (
+        SELECT b.cohort, b.hour, k.survival AS sobs
+        FROM best b
+        JOIN kmfull k ON k.cohort = b.cohort AND k.duration = b.d
+    )
+    SELECT e.cohort, e.hour, e.n_risk,
+           coalesce(o.sobs, 1.0) AS survival_observed,
+           e.survival_expected,
+           round(coalesce(o.sobs, 1.0) / e.survival_expected, 6)
+               AS relative_survival
+    FROM expd e
+    LEFT JOIN obs o ON o.cohort = e.cohort AND o.hour = e.hour
+    WHERE e.hour > 0
+"""
+
+
 def q_events_cusum(spark, sf_dir):
     """Two-sided CUSUM mean-shift chart per event type over the daily
     cents series (`operators/timeseries.py::cusum_changepoints`):
@@ -8794,6 +9134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": q_survival_km,
         "survival_index": q_survival_index,
         "survival_logrank": q_survival_logrank,
+        "survival_cox": q_survival_cox,
+        "survival_cif": q_survival_cif,
+        "survival_relative": q_survival_relative,
         "rates_age_standardized": q_rates_age_standardized,
         "tokenizer_wordpiece_encode": q_tokenizer_wordpiece_encode,
         "ann_binary_hamming": q_ann_binary_hamming,
@@ -10574,6 +10917,9 @@ def oracle_sql() -> dict[str, str]:
         "survival_km": _SURVIVAL_KM_SQL,
         "survival_index": _SURVIVAL_INDEX_SQL,
         "survival_logrank": _SURVIVAL_LOGRANK_SQL,
+        "survival_cox": _SURVIVAL_COX_SQL,
+        "survival_cif": _SURVIVAL_CIF_SQL,
+        "survival_relative": _RELSURV_SQL.format(km=_SURVIVAL_KM_SQL),
         "rates_age_standardized": _RATES_DSR_SQL,
         "tokenizer_wordpiece_encode": _wordpiece_encode_sql(),
         "ann_binary_hamming": """

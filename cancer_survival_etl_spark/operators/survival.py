@@ -398,3 +398,400 @@ def age_standardized_rates(
             "dsr_per_1000",
         )
     )
+
+
+def cif_competing_risks(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    causes: Sequence[int],
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under competing
+    risks — the estimator national cancer registries publish next to
+    the KM index when deaths from other causes compete with the cancer
+    of interest (the reference's INDEX table is net survival;
+    /root/reference/docs/create_index.sql:2-20 — CIF is its
+    crude-probability companion).
+
+    ``df`` is one row per subject: an integer ``duration_col`` and
+    ``cause_col`` ∈ {0} ∪ ``causes`` (0 = censored, k = failed from
+    cause k at ``duration``). At every time t with all-cause deaths
+    d(t), at-risk n(t) and cause-k deaths d_k(t):
+
+        CIF_k(t) = Σ_{s ≤ t}  S(s−) · d_k(s) / n(s)
+
+    with S(s−) the ALL-CAUSE Kaplan-Meier left limit. Unlike
+    1 − KM_k(t) (which treats competing failures as censoring and
+    overestimates), Σ_k CIF_k(t) + S(t) = 1 exactly at every event
+    time when nobody is censored — pinned in tests.
+
+    Returns one row per (group, duration, cause): ``n_risk``,
+    ``n_event`` (that cause's deaths at t), ``survival_allcause``
+    (inclusive KM S(t)) and ``cif``.
+
+    Scale shape: identical to ``km_curve`` — collapse to per-(group,
+    time) cells with per-cause conditional counts (one hash aggregate,
+    #cells bounded by cohort size × |causes|), then THREE
+    ``grouped_prefix_sum`` passes over the cell table (at-risk → log-S
+    left limits → CIF partial sums, each pass feeding the next), a
+    final unpivot to long (cause, cif) form via ``stack``. All
+    continuous terms ride the micro-lattice, so the table adjudicates
+    bit-exact; no raw-row window anywhere.
+    """
+    g = list(group_cols)
+    causes = [int(k) for k in causes]
+    cz = F.col(cause_col).cast("long")
+    cells = df.groupBy(*g, duration_col).agg(
+        F.sum((cz > 0).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_rm"),
+        *[
+            F.sum((cz == F.lit(k)).cast("long")).alias(f"_d_{k}")
+            for k in causes
+        ],
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    cells = cells.join(totals, g)
+    cells = grouped_prefix_sum(cells, g, duration_col, "_rm", "_rm0")
+    d = F.col("_d")
+    n = F.col("_n_subj") - F.col("_rm0")
+    cells = (
+        cells.withColumn("n_risk", n)
+        .withColumn(
+            "_lt",
+            F.when(
+                (d > 0) & (d < F.col("n_risk")),
+                _micro(F.log(F.lit(1.0) - d / F.col("n_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d > 0) & (d == F.col("n_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_rm", "_rm0")
+    )
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    # S(t−): exclusive prefix = the left limit; S(t): inclusive
+    s_left = F.when(F.col("_dall0") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt0") / F.lit(1000000.0))
+    )
+    s_incl = F.when(
+        F.col("_dall0") + F.col("_dall") > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0))
+    )
+    cells = cells.withColumn("_s_incl", F.round(s_incl, 6))
+    for k in causes:
+        dk = F.col(f"_d_{k}")
+        cells = cells.withColumn(
+            f"_t_{k}",
+            F.when(
+                dk > 0, _micro(s_left * dk / F.col("n_risk"))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    cells = grouped_prefix_sum(
+        cells,
+        g,
+        duration_col,
+        [f"_t_{k}" for k in causes],
+        [f"_t0_{k}" for k in causes],
+    )
+    for k in causes:
+        cells = cells.withColumn(
+            f"_cif_{k}",
+            F.round(
+                (F.col(f"_t0_{k}") + F.col(f"_t_{k}"))
+                / F.lit(1000000.0),
+                6,
+            ),
+        )
+    stack_expr = "stack({n}, {args}) as (cause, n_event, cif)".format(
+        n=len(causes),
+        args=", ".join(
+            f"{k}L, _d_{k}, _cif_{k}" for k in causes
+        ),
+    )
+    return cells.select(
+        *g,
+        duration_col,
+        "n_risk",
+        F.col("_s_incl").alias("survival_allcause"),
+        F.expr(stack_expr),
+    ).select(
+        *g, duration_col, "cause", "n_risk", "n_event",
+        "survival_allcause", "cif",
+    )
+
+
+def relative_survival_ederer2(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Relative survival with Ederer II expected survival — the
+    estimator behind the reference's published net-survival INDEX
+    table (STANDARDISATION_TYPE / SURVIVAL_PERCENT per
+    YEARS_SINCE_DIAGNOSIS; /root/reference/docs/create_index.sql:2-20):
+    observed all-cause KM divided by the cohort's expected survival
+    under external background-population hazards.
+
+    ``hazard_micro_by_band`` maps demographic band → INTEGER expected
+    hazard per time unit in 1e-6 units (the life-table analog of
+    ``age_standardized_rates``' integer-weight contract): band at-risk
+    counts × integer micro-hazards are exact longs, so every
+    distributed sum is order-independent and the table adjudicates
+    bit-exact.
+
+    Ederer II: at each integer time s = 1..horizon the expected hazard
+    of the cohort is the at-risk-weighted band mean
+    λ̄(s) = Σ_b n_b(s)·λ_b / n(s) (n_b(s) = subjects of band b with
+    duration ≥ s — the survivors' mix, re-weighted as the cohort
+    ages); S*(h) = Π_{s ≤ h} (1 − λ̄(s)), and relative survival
+    R(h) = S_obs(h) / S*(h).
+
+    Returns one row per (group, hour 1..horizon): ``n_risk`` (observed
+    at-risk entering the hour), ``survival_observed`` (KM, inclusive),
+    ``survival_expected`` and ``relative_survival``.
+
+    Scale shape: one hash aggregate collapses subjects to per-(group,
+    band, duration) removal cells; everything downstream runs on the
+    broadcast-sized grid (groups × bands × horizon rows): one
+    ``grouped_prefix_sum`` for band at-risk counts, a second for the
+    expected log-survival accumulation, and the observed curve joins
+    in from ``km_curve`` cells via the same broadcast argmax used by
+    ``survival_at_horizons``. Nothing downstream of the two
+    aggregates scales with subject count.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    g = list(group_cols)
+    spark = df.sparkSession
+    horizon = int(horizon)
+
+    # per-(group, band, duration) removal cells — the only data-sized
+    # aggregate besides km_curve's
+    rmb = df.groupBy(*g, band_col, duration_col).agg(
+        F.count(F.lit(1)).alias("_rm")
+    )
+    nbt = df.groupBy(*g, band_col).agg(F.count(F.lit(1)).alias("_nb_tot"))
+
+    hours = spark.range(0, horizon + 1).select(
+        F.col("id").cast("long").alias("_s")
+    )
+    grid = (
+        nbt.crossJoin(F.broadcast(hours))
+        .join(
+            rmb.withColumnRenamed(duration_col, "_s"),
+            g + [band_col, "_s"],
+            "left",
+        )
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.lit(0)))
+    )
+    grid = grouped_prefix_sum(
+        grid, g + [band_col], "_s", "_rm", "_rm0"
+    ).withColumn("_nb", F.col("_nb_tot") - F.col("_rm0"))
+
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    grid = grid.withColumn(
+        "_lam_micro",
+        F.col("_nb") * F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast(
+            "long"
+        ),
+    )
+    per_s = grid.groupBy(*g, "_s").agg(
+        F.sum("_lam_micro").alias("_lam"),
+        F.sum("_nb").alias("_n"),
+    )
+    lam_bar = F.col("_lam") / F.lit(1000000.0) / F.col("_n")
+    per_s = per_s.withColumn(
+        "_lt",
+        F.when(
+            (F.col("_s") > 0) & (F.col("_n") > 0) & (lam_bar < 1),
+            _micro(F.log(F.lit(1.0) - lam_bar)),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    per_s = grouped_prefix_sum(per_s, g, "_s", "_lt", "_lt0")
+    expected = per_s.filter(F.col("_s") > 0).select(
+        *g,
+        F.col("_s").alias("hour"),
+        F.col("_n").alias("n_risk"),
+        F.round(
+            F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0)), 6
+        ).alias("survival_expected"),
+    )
+
+    km = km_curve(df, g, duration_col, event_col)
+    hrs = hours.filter(F.col("_s") > 0).withColumnRenamed("_s", "hour")
+    obs_cells = km.crossJoin(F.broadcast(hrs)).filter(
+        F.col(duration_col) <= F.col("hour")
+    )
+    best = obs_cells.groupBy(*g, "hour").agg(
+        F.max(
+            F.struct(
+                F.col(duration_col).alias("_d"),
+                F.col("survival").alias("_sv"),
+            )
+        ).alias("_b")
+    )
+    out = expected.join(best, g + ["hour"], "left").withColumn(
+        "survival_observed", F.coalesce(F.col("_b._sv"), F.lit(1.0))
+    )
+    return out.select(
+        *g,
+        "hour",
+        "n_risk",
+        "survival_observed",
+        "survival_expected",
+        F.round(
+            F.col("survival_observed") / F.col("survival_expected"), 6
+        ).alias("relative_survival"),
+    )
+
+
+def cox_ph(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 8,
+) -> list[float]:
+    """Distributed Cox proportional-hazards regression (Breslow ties),
+    Newton-Raphson on the partial likelihood. Returns [β_1, ..., β_p].
+
+    Each iteration is two bounded passes, nothing iterative ever
+    runs per-row on the driver:
+
+      1. collapse subjects to per-duration cells carrying the event
+         count d_t, the event-feature sums s_t, and the risk-mass
+         moments A0 = Σ exp(xβ), A1_j = Σ x_j exp(xβ),
+         A2_jk = Σ x_j x_k exp(xβ) of subjects LEAVING at t — every
+         moment rounded per subject onto the 1e-9 nano-lattice and
+         summed as exact longs (one hash aggregate, map-side
+         combined);
+      2. risk-set suffix sums S·_t = totals − exclusive prefix via
+         ONE multi-column ``global_prefix_sum`` over the duration
+         axis (the cell table is #distinct durations — bounded by
+         cohort size), then per-event-time gradient/information
+         contributions, themselves nano-rounded and summed exactly
+         into p + p(p+1)/2 scalars.
+
+    The driver holds only β and the p×p information matrix (numpy
+    solve, p is small); β is rounded to 9 dp per iteration. Because
+    every distributed sum is an exact integer sum of per-row
+    roundings, the learned coefficients are BIT-IDENTICAL under any
+    partitioning — the same contract as ``llm/inference.py::
+    logistic_train``, pinned in tests at 1 vs 32 partitions.
+
+    gradient  g_j = Σ_{t: d_t>0} (s_tj − d_t · S1_tj / S0_t)
+    information I_jk = Σ d_t (S2_tjk/S0_t − (S1_tj/S0_t)(S1_tk/S0_t))
+    update    β ← β + I⁻¹ g
+    """
+    import numpy as np
+
+    feats = list(feature_cols)
+    p = len(feats)
+    beta = [0.0] * p
+    nano = F.lit(1000000000.0)
+
+    for _ in range(iters):
+        xb = F.lit(0.0)
+        for j, c in enumerate(feats):
+            xb = xb + F.lit(beta[j]) * F.col(c).cast("double")
+        r = F.exp(xb)
+        ev = F.col(event_col).cast("long")
+        aggs = [
+            F.sum(ev).alias("d_t"),
+            F.sum(F.round(r * nano, 0).cast("long")).alias("a0"),
+        ]
+        for j, c in enumerate(feats):
+            x = F.col(c).cast("double")
+            aggs.append(
+                F.sum(
+                    ev * F.round(x * nano, 0).cast("long")
+                ).alias(f"s{j}")
+            )
+            aggs.append(
+                F.sum(F.round(r * x * nano, 0).cast("long")).alias(f"a1_{j}")
+            )
+        for j in range(p):
+            for k in range(j, p):
+                xj = F.col(feats[j]).cast("double")
+                xk = F.col(feats[k]).cast("double")
+                aggs.append(
+                    F.sum(
+                        F.round(r * xj * xk * nano, 0).cast("long")
+                    ).alias(f"a2_{j}_{k}")
+                )
+        cells = df.groupBy(duration_col).agg(*aggs)
+
+        vcols = (
+            ["a0"]
+            + [f"a1_{j}" for j in range(p)]
+            + [f"a2_{j}_{k}" for j in range(p) for k in range(j, p)]
+        )
+        pre = global_prefix_sum(
+            cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
+        )
+        tot = cells.agg(
+            *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
+        )
+        pre = pre.crossJoin(F.broadcast(tot))
+
+        def suffix(v):
+            # risk set at t = everyone leaving at or after t
+            return F.col(f"_tot_{v}") - F.col(f"_pre_{v}")
+
+        s0 = suffix("a0")
+        d_t = F.col("d_t")
+        out_aggs = []
+        for j in range(p):
+            term = (
+                F.col(f"s{j}") / nano
+                - d_t * (suffix(f"a1_{j}") / s0)
+            )
+            out_aggs.append(
+                F.sum(
+                    F.when(
+                        d_t > 0, F.round(term * nano, 0).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias(f"g{j}")
+            )
+        for j in range(p):
+            for k in range(j, p):
+                term = d_t * (
+                    suffix(f"a2_{j}_{k}") / s0
+                    - (suffix(f"a1_{j}") / s0)
+                    * (suffix(f"a1_{k}") / s0)
+                )
+                out_aggs.append(
+                    F.sum(
+                        F.when(
+                            d_t > 0,
+                            F.round(term * nano, 0).cast("long"),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias(f"i{j}_{k}")
+                )
+        row = pre.agg(*out_aggs).collect()[0]
+        g = np.array([row[f"g{j}"] / 1e9 for j in range(p)])
+        info = np.zeros((p, p))
+        for j in range(p):
+            for k in range(j, p):
+                info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
+        step = np.linalg.solve(info, g)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    return beta

@@ -195,3 +195,240 @@ def test_km_all_die_at_first_time(spark):
     r = km_curve(df, ["cohort"]).collect()[0]
     assert (r.n_risk, r.n_event, r.survival) == (2, 2, 0.0)
     assert r.se_greenwood is None
+
+
+def _cox_reference(X, dur, ev, iters):
+    """Sequential Newton-Raphson on the Breslow partial likelihood —
+    the textbook per-event-time loop the distributed operator must
+    reproduce (to the nano-lattice)."""
+    import numpy as np
+
+    p = X.shape[1]
+    b = np.zeros(p)
+    times = sorted({t for t, e in zip(dur, ev) if e})
+    dur = np.asarray(dur)
+    ev = np.asarray(ev)
+    for _ in range(iters):
+        r = np.exp(X @ b)
+        g = np.zeros(p)
+        info = np.zeros((p, p))
+        for tt in times:
+            risk = dur >= tt
+            dead = (dur == tt) & (ev == 1)
+            d = dead.sum()
+            s0 = r[risk].sum()
+            s1 = (r[risk, None] * X[risk]).sum(axis=0)
+            s2 = (
+                r[risk, None, None] * X[risk, :, None] * X[risk, None, :]
+            ).sum(axis=0)
+            g += X[dead].sum(axis=0) - d * s1 / s0
+            info += d * (s2 / s0 - np.outer(s1 / s0, s1 / s0))
+        b = b + np.linalg.solve(info, g)
+    return b
+
+
+def test_cox_ph_matches_sequential_reference(spark):
+    """Distributed Cox (Breslow ties) vs the sequential reference on a
+    deterministic hash-planted cohort with heavy duration ties."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    rows = []
+    for i in range(240):
+        h = (i * 2654435761) % 2**32
+        x1 = (i % 12) / 12.0
+        x2 = ((i * 7) % 10) / 10.0
+        u = (h % 100000) / 100000.0 + 1e-6
+        t = -math.log(u) / math.exp(1.2 * x1 - 0.5 * x2)
+        dur = round(min(t, 1.5), 1)  # 1dp → real tie mass
+        rows.append((x1, x2, dur, int(t <= 1.5)))
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, duration double, event int"
+    )
+    got = cox_ph(df, ["x1", "x2"], iters=6)
+    X = np.array([[r[0], r[1]] for r in rows])
+    ref = _cox_reference(
+        X, [r[2] for r in rows], [r[3] for r in rows], iters=6
+    )
+    assert got == pytest.approx(list(ref), abs=1e-6)
+    # the hazard signs planted are recovered
+    assert got[0] > 0.5 and got[1] < 0.0
+
+
+def test_cox_ph_partitioning_independent(spark):
+    """β must be BIT-identical at 1 vs 32 partitions — every
+    distributed sum is an exact long sum of per-row nano-roundings."""
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    rows = []
+    for i in range(150):
+        x = (i % 15) / 15.0
+        u = ((i * 2654435761) % 99991) / 99991.0 + 1e-6
+        t = -math.log(u) / math.exp(1.0 * x)
+        rows.append((x, round(min(t, 2.0), 1), int(t <= 2.0)))
+    df = spark.createDataFrame(rows, "x1 double, duration double, event int")
+    b1 = cox_ph(df.repartition(1), ["x1"], iters=5)
+    b32 = cox_ph(df.repartition(32), ["x1"], iters=5)
+    assert b1 == b32
+
+
+def _aj_reference(rows, causes):
+    """Sequential Aalen-Johansen CIF: per event time, S(t-) * d_k/n
+    accumulated — the textbook loop the distributed operator must
+    reproduce (to the micro-lattice)."""
+    times = sorted({d for d, _ in rows})
+    n_total = len(rows)
+    out = {}  # time -> (n_risk, {k: d_k}, S_incl, {k: cif})
+    s = 1.0
+    cif = dict.fromkeys(causes, 0.0)
+    removed = 0
+    for t in times:
+        at = [c for d, c in rows if d == t]
+        n = n_total - removed
+        d_all = sum(1 for c in at if c > 0)
+        for k in causes:
+            dk = sum(1 for c in at if c == k)
+            if dk:
+                cif[k] += s * dk / n
+        s = 0.0 if d_all == n else s * (1 - d_all / n)
+        removed += len(at)
+        out[t] = (n, {k: sum(1 for c in at if c == k) for k in causes},
+                  s, dict(cif))
+    return out
+
+
+def test_cif_matches_sequential_reference(spark):
+    """Distributed AJ vs the sequential loop on a tie-heavy planted
+    cohort with two competing causes and interleaved censoring."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cif_competing_risks,
+    )
+
+    rows = []
+    for i in range(90):
+        d = (i * 7) % 12 + 1
+        c = [0, 1, 2, 1, 2, 1][(i * 5) % 6]
+        rows.append(("A", d, c))
+    df = spark.createDataFrame(rows, "cohort string, duration long, cause int")
+    got = {
+        (r.duration, r.cause): r
+        for r in cif_competing_risks(df, ["cohort"], [1, 2]).collect()
+    }
+    ref = _aj_reference([(d, c) for _, d, c in rows], [1, 2])
+    assert len(got) == len(ref) * 2
+    for t, (n, dk, s, cif) in ref.items():
+        for k in (1, 2):
+            r = got[(t, k)]
+            assert r.n_risk == n and r.n_event == dk[k]
+            assert r.survival_allcause == pytest.approx(s, abs=2e-6)
+            assert r.cif == pytest.approx(cif[k], abs=2e-6)
+
+
+def test_cif_plus_survival_is_one_without_censoring(spark):
+    """With no censoring, sum_k CIF_k(t) + S(t) = 1 at every event
+    time — the identity 1-KM-per-cause breaks and AJ preserves."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cif_competing_risks,
+    )
+
+    rows = [("A", (i % 7) + 1, 1 + (i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "cohort string, duration long, cause int")
+    wide = (
+        cif_competing_risks(df, ["cohort"], [1, 2])
+        .groupBy("duration", "survival_allcause")
+        .agg(F.sum("cif").alias("cif_sum"))
+        .collect()
+    )
+    assert len(wide) == 7
+    for r in wide:
+        assert r.cif_sum + r.survival_allcause == pytest.approx(1.0, abs=5e-6)
+
+
+def _ederer2_reference(rows, hz_micro, horizon):
+    """Sequential Ederer II: per hour, at-risk-weighted band hazard
+    mean accumulated into expected survival; observed KM stepped at
+    event times. rows = (band, duration, event)."""
+    sstar, out = 1.0, {}
+    # observed KM on the same integer grid
+    s_obs, removed = 1.0, 0
+    n_total = len(rows)
+    km_at = {}
+    for t in sorted({d for _, d, _ in rows}):
+        at = [(b, d, e) for b, d, e in rows if d == t]
+        n = n_total - removed
+        d_ev = sum(e for _, _, e in at)
+        if d_ev:
+            s_obs *= 1 - d_ev / n
+        removed += len(at)
+        km_at[t] = s_obs
+    for h in range(1, horizon + 1):
+        nb = {}
+        for b, d, _ in rows:
+            if d >= h:
+                nb[b] = nb.get(b, 0) + 1
+        n = sum(nb.values())
+        if n:
+            lam = sum(c * hz_micro[b] for b, c in nb.items()) / 1e6 / n
+            sstar *= 1 - lam
+        obs = 1.0
+        for t, s in km_at.items():
+            if t <= h:
+                obs = s
+        out[h] = (n, obs, sstar)
+    return out
+
+
+def test_relative_survival_ederer2_matches_reference(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer2,
+    )
+
+    hz = {0: 2000, 1: 5000, 2: 9000}  # per-hour hazards in 1e-6 units
+    rows = []
+    for i in range(120):
+        band = i % 3
+        d = (i * 11) % 9 + (i % 2)  # durations 0..9, tie-heavy
+        e = 1 if (i * 7) % 3 == 0 else 0
+        rows.append(("A", band, d, e))
+    df = spark.createDataFrame(
+        rows, "cohort string, band int, duration long, event int"
+    )
+    got = {
+        r.hour: r
+        for r in relative_survival_ederer2(
+            df, ["cohort"], "band", hz, horizon=9
+        ).collect()
+    }
+    ref = _ederer2_reference([(b, d, e) for _, b, d, e in rows], hz, 9)
+    assert len(got) == 9
+    for h, (n, obs, sstar) in ref.items():
+        r = got[h]
+        assert r.n_risk == n
+        assert r.survival_observed == pytest.approx(obs, abs=2e-6)
+        assert r.survival_expected == pytest.approx(sstar, abs=2e-6)
+        assert r.relative_survival == pytest.approx(
+            obs / sstar, abs=5e-6
+        )
+
+
+def test_relative_survival_closed_form_no_events(spark):
+    """One band, hazard λ, nobody dies or leaves before the horizon:
+    S* = (1−λ)^h exactly on the lattice and R = 1/S*."""
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer2,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 0, 6, 0)] * 40, "cohort string, band int, duration long, event int"
+    )
+    got = relative_survival_ederer2(
+        df, ["cohort"], "band", {0: 10000}, horizon=6
+    ).collect()
+    for r in got:
+        assert r.survival_observed == 1.0
+        assert r.survival_expected == pytest.approx(
+            (1 - 0.01) ** r.hour, abs=2e-6
+        )
+    with pytest.raises(ValueError):
+        relative_survival_ederer2(df, ["cohort"], "band", {0: 0.5}, 6)
