@@ -3680,6 +3680,72 @@ _OLS_MULTI_SQL = """
 """
 
 
+def q_stats_ridge(spark, sf_dir):
+    """L2-regularized in-engine model training: the same per-event-type
+    cents ≈ b0 + b1·hour + b2·day fit as `stats_ols_multi` but through
+    the penalized normal equations (X'X + λ·diag(0,1,1))β = X'y with
+    integer λ = 10000 (`operators/stats.py::ridge2_by`) — in moment
+    space the penalty is two integer additions, so training remains
+    ONE map-side-combined aggregate and the solve a fixed expression
+    the oracle mirrors verbatim."""
+    from cancer_survival_etl_spark.operators.stats import ridge2_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("x1"),
+        F.dayofmonth("ts").alias("x2"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ridge2_by(e, "event_type", "x1", "x2", "cents", lam=10000)
+
+
+_RIDGE_SQL = """
+    WITH e AS (
+        SELECT event_type,
+               hour(ts) AS x1, day(ts) AS x2,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS _n,
+               sum(x1) AS _s1, sum(x2) AS _s2, sum(y) AS _sy,
+               sum(x1 * x1) AS _s11, sum(x2 * x2) AS _s22,
+               sum(x1 * x2) AS _s12,
+               sum(x1 * y) AS _s1y, sum(x2 * y) AS _s2y
+        FROM e GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, _n AS n_rows,
+               _n::DOUBLE AS n, _s1::DOUBLE AS s1, _s2::DOUBLE AS s2,
+               _sy::DOUBLE AS sy, (_s11 + 10000)::DOUBLE AS s11,
+               (_s22 + 10000)::DOUBLE AS s22, _s12::DOUBLE AS s12,
+               _s1y::DOUBLE AS s1y, _s2y::DOUBLE AS s2y
+        FROM m
+    )
+    SELECT event_type, n_rows,
+           CASE WHEN abs(det) > 1e-9 THEN round(det0 / det, 6) END AS b0,
+           CASE WHEN abs(det) > 1e-9 THEN round(det1 / det, 6) END AS b1,
+           CASE WHEN abs(det) > 1e-9 THEN round(det2 / det, 6) END AS b2
+    FROM (
+        SELECT event_type, n_rows,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS det,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) AS det1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) AS det2
+        FROM d
+    ) t
+"""
+
+
 def q_stats_auc(spark, sf_dir):
     """Exact per-event-type ROC-AUC of `value` as a score for the
     deterministic label user_id % 2 == 0 — Mann-Whitney rank sums
@@ -4016,6 +4082,71 @@ _GOLDEN_SQL = """
     )
     SELECT base.user_id, n_members, m.event_type, base.cents
     FROM base LEFT JOIN m ON base.user_id = m.user_id
+"""
+
+
+def q_sketch_countmin(spark, sf_dir):
+    """Count-Min sketch rollup + point queries, adjudicated BIT-EXACT
+    end to end — the registry's only fully-hash-checked sketch: the
+    depth×width counter table uses content-derived md5 bucketing
+    (`operators/sketches.py::countmin_rollup/_estimate`), so DuckDB
+    rebuilds the identical sketch and reads the identical estimates.
+    Probe set = every 37th user; output pins exact count, CM estimate,
+    and the never-underestimates guarantee per key."""
+    from cancer_survival_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cm = countmin_rollup(e, "user_id", depth=4, width=512)
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("user_id") % 37 == 0)
+    )
+    est = countmin_estimate(
+        cm, exact.select("user_id"), "user_id", depth=4, width=512
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_cnt")).alias(
+            "never_underestimates"
+        ),
+    )
+
+
+_COUNTMIN_SQL = """
+    WITH cells AS (
+        SELECT d.j,
+               CAST(concat('0x', substring(
+                   md5(d.j::VARCHAR || ':' || e.user_id::VARCHAR), 1, 12))
+                   AS BIGINT) % 512 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events e CROSS JOIN range(0, 4) d(j)
+        GROUP BY d.j, bucket
+    ),
+    probes AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY user_id HAVING user_id % 37 = 0
+    ),
+    est AS (
+        SELECT p.user_id, p.exact_cnt,
+               min(coalesce(c.cnt, 0)) AS cm_estimate
+        FROM probes p
+        CROSS JOIN range(0, 4) d(j)
+        LEFT JOIN cells c
+          ON c.j = d.j
+         AND c.bucket = CAST(concat('0x', substring(
+                 md5(d.j::VARCHAR || ':' || p.user_id::VARCHAR), 1, 12))
+                 AS BIGINT) % 512
+        GROUP BY p.user_id, p.exact_cnt
+    )
+    SELECT user_id, exact_cnt, cm_estimate,
+           cm_estimate >= exact_cnt AS never_underestimates
+    FROM est
 """
 
 
@@ -9205,6 +9336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_js_divergence": q_stats_js_divergence,
         "stats_chi_square": q_stats_chi_square,
         "stats_ols_multi": q_stats_ols_multi,
+        "stats_ridge": q_stats_ridge,
         "stats_auc": q_stats_auc,
         "stats_spearman": q_stats_spearman,
         "stats_kendall": q_stats_kendall,
@@ -9214,6 +9346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cuped": q_stats_cuped,
         "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "sketch_hll_rollup": q_sketch_hll_rollup,
+        "sketch_countmin": q_sketch_countmin,
         "conditional_agg": q_conditional_agg,
         "sketch_approx_distinct": q_sketch_approx_distinct,
         "sketch_quantiles": q_sketch_quantiles,
@@ -10977,6 +11110,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _SEMANTIC_DEDUP_SQL,
         "ann_hard_negatives": _HARD_NEG_SQL,
         "stats_ols_multi": _OLS_MULTI_SQL,
+        "stats_ridge": _RIDGE_SQL,
         "stats_auc": _AUC_SQL,
         "retrieval_diversify": _DIVERSIFY_SQL,
         "eval_calibration": _CALIBRATION_SQL,
@@ -10992,6 +11126,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_cuped": _CUPED_SQL,
         "linkage_golden": _GOLDEN_SQL,
         "sketch_hll_rollup": _HLL_ROLLUP_SQL,
+        "sketch_countmin": _COUNTMIN_SQL,
         "sketch_kll_rollup": _KLL_ROLLUP_SQL,
         "sketch_theta_overlap": _THETA_OVERLAP_SQL,
         "stats_spearman": _SPEARMAN_SQL,

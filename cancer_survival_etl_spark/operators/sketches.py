@@ -483,3 +483,110 @@ def rolling_distinct(
         ),
         F.sum("_n").alias("n_rows"),
     )
+
+
+def countmin_hash(key: "F.Column", j: int, width: int) -> "F.Column":
+    """Row j's Count-Min bucket for a key: the top 48 bits of
+    md5("<j>:<key>") mod width — content-derived, engine-portable
+    (DuckDB computes the identical bucket from the identical string),
+    and uniform per row because the row index is INSIDE the hash
+    input."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(width)
+    )
+
+
+def countmin_rollup(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch as a mergeable rollup table: ``depth`` rows of
+    ``width`` counters; every input row adds its weight to one bucket
+    per row. Point estimate = min over rows (``countmin_estimate``) —
+    never an underestimate, over by at most ~N/width per row with
+    independent hashing (Cormode-Muthukrishnan bounds).
+
+    Unlike the repo's HLL/KLL/Theta rollups (binary Datasketches blobs,
+    rows-only adjudication), the CM table is PLAIN INTEGERS under
+    content-derived md5 hashing — the whole sketch, and every estimate
+    read from it, adjudicates bit-exact against a SQL oracle.
+
+    Scale shape: one hash aggregate over (row_index, bucket) — the ×
+    ``depth`` row expansion happens map-side via an inline explode and
+    combines into at most depth × width cells per partition before the
+    shuffle, so shuffle payload is sketch-sized, not data-sized. The
+    cell table re-aggregates: shard sketches merge by summing cells
+    on (j, bucket) — the same cascade contract as ``hll_rollup``.
+
+    Returns (j, bucket, cnt) — depth × width rows at most (empty
+    buckets are implicit zeros).
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast(
+        "long"
+    )
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                countmin_hash(key, j, width).alias("bucket"),
+            )
+            for j in range(int(depth))
+        ]
+    )
+    return (
+        df.select(w.alias("_w"), F.explode(pairs).alias("_c"))
+        .groupBy(F.col("_c.j").alias("j"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    cm: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query a ``countmin_rollup`` table: for each probe key,
+    the estimate is min over sketch rows of that row's bucket counter
+    (0 if the bucket is empty — the key was never inserted and nothing
+    collided into its cell).
+
+    The sketch is depth × width cells — broadcast it; each probe
+    expands to ``depth`` (j, bucket) lookups map-side, left-joins the
+    broadcast cells, and a min-aggregate per key folds them back. Work
+    ∝ #probes × depth with no shuffle of the probe side beyond the
+    final per-key min.
+
+    Returns (key, cm_estimate).
+    """
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                countmin_hash(key, j, width).alias("bucket"),
+            )
+            for j in range(int(depth))
+        ]
+    )
+    exploded = probes.select(
+        key.alias(key_col), F.explode(pairs).alias("_c")
+    ).select(key_col, F.col("_c.j").alias("j"), F.col("_c.bucket").alias("bucket"))
+    joined = exploded.join(F.broadcast(cm), ["j", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+            "cm_estimate"
+        )
+    )

@@ -551,6 +551,89 @@ def ols2_by(
     )
 
 
+def ridge2_by(
+    df: DataFrame,
+    group_cols,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    lam: int,
+    wide: bool = True,
+) -> DataFrame:
+    """Distributed two-feature RIDGE regression with an unpenalized
+    intercept — ``ols2_by``'s L2-regularized sibling, and the same
+    scale shape: the whole training run is ONE map-side-combinable
+    aggregate of exact integer co-moments, then a fixed per-group
+    double expression (Cramer's rule).
+
+    Solves the penalized normal equations (X'X + λD)β = X'y with
+    D = diag(0, 1, 1) over raw (uncentered) features: slope
+    coefficients shrink toward 0 as λ grows, the intercept absorbs the
+    mean. In moment space the penalty is just two integer additions —
+    s11 → s11 + λ and s22 → s22 + λ — so with an INTEGER ``lam`` the
+    solve stays a deterministic expression the oracle mirrors verbatim
+    (float λ would break the exact-moment hash contract the same way
+    float DSR weights would; rejected).
+
+    Because the penalty makes the matrix strictly diagonally dominant
+    for λ > 0, ridge also repairs ``ols2_by``'s NULL-on-collinear
+    edge: duplicate features get identical (finite) split weights
+    instead of a singular system. det≈0 guard retained for λ = 0.
+    Returns (group, n_rows, b0, b1, b2) rounded to 6 dp.
+    """
+    if int(lam) != lam or lam < 0:
+        raise ValueError("lam must be a non-negative integer")
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(x1, wide)).alias("_s1"),
+        F.sum(_acc(x2, wide)).alias("_s2"),
+        F.sum(_acc(y, wide)).alias("_sy"),
+        F.sum(_acc(x1 * x1, wide)).alias("_s11"),
+        F.sum(_acc(x2 * x2, wide)).alias("_s22"),
+        F.sum(_acc(x1 * x2, wide)).alias("_s12"),
+        F.sum(_acc(x1 * y, wide)).alias("_s1y"),
+        F.sum(_acc(x2 * y, wide)).alias("_s2y"),
+    )
+    n = F.col("_n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("_s1", "_s2", "_sy"))
+    s11 = (F.col("_s11") + F.lit(int(lam))).cast("double")
+    s22 = (F.col("_s22") + F.lit(int(lam))).cast("double")
+    s12 = F.col("_s12").cast("double")
+    s1y, s2y = F.col("_s1y").cast("double"), F.col("_s2y").cast("double")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = F.abs(det) > 1e-9
+    return m.select(
+        *g,
+        F.col("_n").alias("n_rows"),
+        F.when(ok, F.round(det0 / det, 6)).alias("b0"),
+        F.when(ok, F.round(det1 / det, 6)).alias("b1"),
+        F.when(ok, F.round(det2 / det, 6)).alias("b2"),
+    )
+
+
 def auc_by(
     df: DataFrame,
     group_cols,

@@ -180,6 +180,41 @@ def test_ols2_by_matches_numpy_lstsq(spark):
     assert r.b0 is None and r.b1 is None and r.b2 is None
 
 
+def test_ridge2_by_matches_numpy_and_shrinks(spark):
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.stats import ridge2_by
+
+    rows = [
+        ("g", x1, x2, 3 + 2 * x1 - 5 * x2 + (x1 * x2) % 7)
+        for x1 in range(10) for x2 in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x1 long, x2 long, y long")
+    X = np.array([[1, r[1], r[2]] for r in rows])
+    Y = np.array([r[3] for r in rows])
+    for lam in (0, 50, 5000):
+        out = ridge2_by(df, "grp", "x1", "x2", "y", lam=lam).collect()[0]
+        A = X.T @ X + lam * np.diag([0, 1, 1])
+        b = np.linalg.solve(A, X.T @ Y)
+        assert out.b0 == pytest.approx(b[0], abs=1e-6), lam
+        assert out.b1 == pytest.approx(b[1], abs=1e-6), lam
+        assert out.b2 == pytest.approx(b[2], abs=1e-6), lam
+    # slopes shrink monotonically toward 0 as lam grows
+    b_small = ridge2_by(df, "grp", "x1", "x2", "y", lam=10).collect()[0]
+    b_big = ridge2_by(df, "grp", "x1", "x2", "y", lam=100000).collect()[0]
+    assert abs(b_big.b1) < abs(b_small.b1)
+    assert abs(b_big.b2) < abs(b_small.b2)
+    # collinear features: ridge (lam>0) resolves what OLS can't
+    col = spark.createDataFrame(
+        [("g", i, 2 * i, 3 * i) for i in range(10)],
+        "grp string, x1 long, x2 long, y long",
+    )
+    r = ridge2_by(col, "grp", "x1", "x2", "y", lam=10).collect()[0]
+    assert r.b1 is not None and r.b2 is not None
+    with pytest.raises(ValueError):
+        ridge2_by(df, "grp", "x1", "x2", "y", lam=0.5)
+
+
 def test_auc_by_exact_with_ties_and_degenerate(spark):
     from cancer_survival_etl_spark.operators.stats import auc_by
 

@@ -514,3 +514,55 @@ def test_rolling_distinct_matches_exact_window(spark, sf_dir):
     single = rolling_distinct(e, "ts", "user_id", window_days=1).toPandas()
     j = est.merge(single, on="day", suffixes=("_7", "_1"))
     assert (j["distinct_est_7"] >= j["distinct_est_1"]).all()
+
+
+def test_countmin_never_underestimates_and_is_exact_when_wide(spark):
+    from cancer_survival_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_rollup,
+    )
+
+    rows = [(f"k{i % 50}",) for i in range(1000)]  # each key 20×
+    df = spark.createDataFrame(rows, "k string")
+    probes = df.distinct()
+    # narrow sketch: guaranteed ≥ exact
+    cm = countmin_rollup(df, "k", depth=4, width=16)
+    est = {r.k: r.cm_estimate for r in
+           countmin_estimate(cm, probes, "k", depth=4, width=16).collect()}
+    assert all(v >= 20 for v in est.values())
+    # wide sketch: 50 keys over 4×4096 cells — collisions in all 4 rows
+    # for the same key are (50/4096)^4-improbable; min recovers exact
+    cm_w = countmin_rollup(df, "k", depth=4, width=4096)
+    est_w = {r.k: r.cm_estimate for r in
+             countmin_estimate(cm_w, probes, "k", depth=4, width=4096)
+             .collect()}
+    assert all(v == 20 for v in est_w.values())
+
+
+def test_countmin_merges_and_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.sketches import (
+        countmin_rollup,
+    )
+
+    rows = [(i, f"k{i % 7}", i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, k string, w long")
+    whole = countmin_rollup(df, "k", depth=3, width=64, weight_col="w")
+    h1 = countmin_rollup(
+        df.filter("i % 2 = 0"), "k", depth=3, width=64, weight_col="w"
+    )
+    h2 = countmin_rollup(
+        df.filter("i % 2 = 1"), "k", depth=3, width=64, weight_col="w"
+    )
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.j, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.j, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b
+    # total mass per sketch row = total weight
+    tot = sum(v for (j, _), v in a.items() if j == 0)
+    assert tot == sum(w for _, _, w in rows)
