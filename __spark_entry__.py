@@ -8230,6 +8230,32 @@ _SURVIVAL_CIF_SQL = """
 _RELSURV_HAZARDS = {b: 1500 + 700 * b for b in range(9)}
 
 
+def _banded_episodes(spark, sf_dir):
+    """The survival cohort of `_survival_episodes` plus the
+    demographic band (user_id % 9) the life-table estimators key
+    their expected hazards on."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te"
+        ),
+    )
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    return per.select(
+        (F.col("user_id") % 9).alias("band"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.when(is_event, delay)
+        .otherwise(F.lit(_SURV_HORIZON_H))
+        .cast("long")
+        .alias("duration"),
+        F.when(is_event, F.lit(1)).otherwise(F.lit(0)).alias("event"),
+    )
+
+
 def q_survival_relative(spark, sf_dir):
     """Relative survival with Ederer II expected survival
     (operators/survival.py::relative_survival_ederer2) — the estimator
@@ -8244,29 +8270,125 @@ def q_survival_relative(spark, sf_dir):
         relative_survival_ederer2,
     )
 
-    e = _t(spark, sf_dir, "events")
-    per = e.groupBy("user_id").agg(
-        F.min("ts").alias("t0"),
-        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
-            "te"
-        ),
-    )
-    delay = F.expr("timestampdiff(HOUR, t0, te)")
-    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
-    subj = per.select(
-        (F.col("user_id") % 9).alias("band"),
-        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
-        .otherwise(F.lit("B"))
-        .alias("cohort"),
-        F.when(is_event, delay)
-        .otherwise(F.lit(_SURV_HORIZON_H))
-        .cast("long")
-        .alias("duration"),
-        F.when(is_event, F.lit(1)).otherwise(F.lit(0)).alias("event"),
-    )
     return relative_survival_ederer2(
-        subj, ["cohort"], "band", _RELSURV_HAZARDS, horizon=_SURV_HORIZON_H
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
     )
+
+
+def q_survival_net_pp(spark, sf_dir):
+    """Pohar Perme net survival (operators/survival.py::
+    net_survival_pohar_perme): each subject inverse-weighted by their
+    own expected survival under the band-indexed micro-hazard life
+    table — the unbiased estimator national publications moved to,
+    next to the Ederer II ratio (`survival_relative`) on the same
+    cohort. Oracle mirrors the weighted grid sums and the Λ_E
+    accumulation window — bit-exact through the micro/pico
+    lattices."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+    )
+
+    return net_survival_pohar_perme(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_NET_PP_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, band
+    ),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    cellsb AS (
+        SELECT cohort, band, duration AS s, count(*) AS rm,
+               CAST(sum(event) AS BIGINT) AS dv
+        FROM survb GROUP BY cohort, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.band, n.nb_tot, h.s,
+               coalesce(r.rm, 0) AS rm, coalesce(r.dv, 0) AS dv
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN cellsb r
+          ON r.cohort = n.cohort AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, band ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    wgt AS (
+        SELECT n.cohort, n.s, n.nbv, n.dv, z.lam,
+               pow(1.0 - z.lam / 1000000.0, -n.s) AS w
+        FROM nb n JOIN hzm z ON n.band = z.band
+    ),
+    terms AS (
+        SELECT cohort, s, nbv,
+               CAST(round(dv * w * 1000000.0, 0) AS BIGINT) AS wd,
+               CAST(round(nbv * w * 1000000.0, 0) AS BIGINT) AS wn,
+               CAST(round(nbv * w * (lam / 1000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS we
+        FROM wgt
+    ),
+    pers AS (
+        SELECT cohort, s,
+               CAST(sum(wd) AS BIGINT) AS num1,
+               CAST(sum(we) AS BIGINT) AS num2,
+               CAST(sum(wn) AS BIGINT) AS den,
+               CAST(sum(nbv) AS BIGINT) AS n
+        FROM terms GROUP BY cohort, s
+    ),
+    le AS (
+        SELECT *,
+            CASE WHEN s > 0 AND den > 0
+                 THEN CAST(round(
+                     (num1 / 1000000.0 - num2 / 1000000000000.0)
+                     / (den / 1000000.0) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lev
+        FROM pers
+    ),
+    acc AS (
+        SELECT cohort, s, n,
+               sum(lev) OVER (PARTITION BY cohort ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) / 1000000.0
+                   AS cum
+        FROM le
+    )
+    SELECT cohort, s AS hour, n AS n_risk,
+           round(cum, 6) AS excess_cum_hazard,
+           round(exp(-cum), 6) AS net_survival_pp
+    FROM acc WHERE s > 0
+"""
 
 
 _RELSURV_SQL = f"""
@@ -9268,6 +9390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cox": q_survival_cox,
         "survival_cif": q_survival_cif,
         "survival_relative": q_survival_relative,
+        "survival_net_pp": q_survival_net_pp,
         "rates_age_standardized": q_rates_age_standardized,
         "tokenizer_wordpiece_encode": q_tokenizer_wordpiece_encode,
         "ann_binary_hamming": q_ann_binary_hamming,
@@ -11053,6 +11176,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox": _SURVIVAL_COX_SQL,
         "survival_cif": _SURVIVAL_CIF_SQL,
         "survival_relative": _RELSURV_SQL.format(km=_SURVIVAL_KM_SQL),
+        "survival_net_pp": _NET_PP_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,
         "tokenizer_wordpiece_encode": _wordpiece_encode_sql(),
         "ann_binary_hamming": """

@@ -663,6 +663,126 @@ def relative_survival_ederer2(
     )
 
 
+def net_survival_pohar_perme(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Pohar Perme net survival — the unbiased net-survival estimator
+    national cancer publications moved to (Perme-Stare-Estève 2012),
+    and the estimator class behind the reference's INDEX table
+    (/root/reference/docs/create_index.sql:2-20): each subject is
+    inverse-weighted by their own expected survival w_i(s) =
+    1/S*_i(s), so long-lived demographic bands don't dominate the tail
+    the way the unweighted Ederer II ratio lets them.
+
+    Discrete-hour formulation with band-constant integer micro-hazards
+    (same life-table contract as ``relative_survival_ederer2``):
+    S*_b(s) = (1 − λ_b)^s, w_b(s) = S*_b(s)^{-1}, and per hour
+    s = 1..horizon the excess-hazard increment is
+
+        dΛ_E(s) = [Σ_b d_b(s)·w_b(s) − Σ_b n_b(s)·w_b(s)·λ_b]
+                  / Σ_b n_b(s)·w_b(s)
+
+    (weighted observed deaths minus weighted expected deaths over the
+    weighted at-risk mass; d_b(s) = cause-agnostic deaths at s in band
+    b, n_b(s) = band at-risk entering s). Net survival
+    S_PP(h) = exp(−Σ_{s ≤ h} dΛ_E(s)).
+
+    Returns one row per (group, hour 1..horizon): unweighted
+    ``n_risk``, ``excess_cum_hazard`` and ``net_survival_pp``.
+
+    Scale shape: identical to Ederer II — one hash aggregate to
+    per-(group, band, duration) removal/death cells, then the
+    broadcast-sized (groups × bands × horizon) grid: one
+    ``grouped_prefix_sum`` for band at-risk counts, per-hour weighted
+    sums collapse the band axis (micro/pico lattice → exact longs),
+    and a second ``grouped_prefix_sum`` accumulates Λ_E. Nothing
+    downstream of the cell aggregate scales with subject count.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    g = list(group_cols)
+    spark = df.sparkSession
+    horizon = int(horizon)
+
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(*g, band_col, duration_col).agg(
+        F.count(F.lit(1)).alias("_rm"),
+        F.sum(ev).alias("_dv"),
+    )
+    nbt = df.groupBy(*g, band_col).agg(F.count(F.lit(1)).alias("_nb_tot"))
+
+    hours = spark.range(0, horizon + 1).select(
+        F.col("id").cast("long").alias("_s")
+    )
+    grid = (
+        nbt.crossJoin(F.broadcast(hours))
+        .join(
+            cells.withColumnRenamed(duration_col, "_s"),
+            g + [band_col, "_s"],
+            "left",
+        )
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.lit(0)))
+        .withColumn("_dv", F.coalesce(F.col("_dv"), F.lit(0)))
+    )
+    grid = grouped_prefix_sum(
+        grid, g + [band_col], "_s", "_rm", "_rm0"
+    ).withColumn("_nb", F.col("_nb_tot") - F.col("_rm0"))
+
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    # w_b(s) = (1 - λ_b)^(-s): pure function of (band, s) — mirrored
+    # verbatim by the oracle
+    w = F.pow(
+        F.lit(1.0) - lam / F.lit(1000000.0), -F.col("_s").cast("double")
+    )
+    grid = (
+        grid.withColumn("_wd", _micro(F.col("_dv") * w))
+        .withColumn("_wn", _micro(F.col("_nb") * w))
+        .withColumn(
+            "_we", _pico(F.col("_nb") * w * (lam / F.lit(1000000.0)))
+        )
+    )
+    per_s = grid.groupBy(*g, "_s").agg(
+        F.sum("_wd").alias("_num1"),
+        F.sum("_we").alias("_num2"),
+        F.sum("_wn").alias("_den"),
+        F.sum("_nb").alias("_n"),
+    )
+    lam_e = (
+        F.col("_num1") / F.lit(1000000.0)
+        - F.col("_num2") / F.lit(1000000000000.0)
+    ) / (F.col("_den") / F.lit(1000000.0))
+    per_s = per_s.withColumn(
+        "_le",
+        F.when(
+            (F.col("_s") > 0) & (F.col("_den") > 0), _micro(lam_e)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    per_s = grouped_prefix_sum(per_s, g, "_s", "_le", "_le0")
+    cum = (F.col("_le0") + F.col("_le")) / F.lit(1000000.0)
+    return per_s.filter(F.col("_s") > 0).select(
+        *g,
+        F.col("_s").alias("hour"),
+        F.col("_n").alias("n_risk"),
+        F.round(cum, 6).alias("excess_cum_hazard"),
+        F.round(F.exp(-cum), 6).alias("net_survival_pp"),
+    )
+
+
 def cox_ph(
     df: DataFrame,
     feature_cols: Sequence[str],

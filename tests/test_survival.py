@@ -432,3 +432,87 @@ def test_relative_survival_closed_form_no_events(spark):
         )
     with pytest.raises(ValueError):
         relative_survival_ederer2(df, ["cohort"], "band", {0: 0.5}, 6)
+
+
+def _pp_reference(rows, hz_micro, horizon):
+    """Sequential Pohar Perme on the discrete hour grid.
+    rows = (band, duration, event)."""
+    out, cum = {}, 0.0
+    for h in range(1, horizon + 1):
+        num1 = num2 = den = 0.0
+        n = 0
+        for b, d, e in rows:
+            lam = hz_micro[b] / 1e6
+            w = (1 - lam) ** (-h)
+            if d >= h:
+                n += 1
+                den += w
+                num2 += w * lam
+            if d == h and e == 1:
+                num1 += w
+        if den > 0:
+            cum += (num1 - num2) / den
+        out[h] = (n, cum)
+    return out
+
+
+def test_pohar_perme_matches_sequential_reference(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+    )
+
+    hz = {0: 3000, 1: 8000}
+    rows = []
+    for i in range(100):
+        band = i % 2
+        d = (i * 13) % 8 + 1
+        e = 1 if (i * 3) % 4 == 0 else 0
+        rows.append(("A", band, d, e))
+    df = spark.createDataFrame(
+        rows, "cohort string, band int, duration long, event int"
+    )
+    got = {
+        r.hour: r
+        for r in net_survival_pohar_perme(
+            df, ["cohort"], "band", hz, horizon=8
+        ).collect()
+    }
+    ref = _pp_reference([(b, d, e) for _, b, d, e in rows], hz, 8)
+    assert len(got) == 8
+    for h, (n, cum) in ref.items():
+        r = got[h]
+        assert r.n_risk == n
+        assert r.excess_cum_hazard == pytest.approx(cum, abs=5e-6)
+        assert r.net_survival_pp == pytest.approx(
+            math.exp(-cum), abs=5e-6
+        )
+
+
+def test_pohar_perme_zero_hazard_reduces_to_nelson_aalen(spark):
+    """With a zero life table the PP weights are 1 and the excess
+    hazard is exactly the all-cause Nelson-Aalen increment, so
+    S_PP = exp(-NA cumulative hazard) from km_curve."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        net_survival_pohar_perme,
+    )
+
+    rows = [("A", 0, (i * 11) % 6 + 1, 1 if i % 3 == 0 else 0)
+            for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "cohort string, band int, duration long, event int"
+    )
+    pp = {
+        r.hour: r.net_survival_pp
+        for r in net_survival_pohar_perme(
+            df, ["cohort"], "band", {0: 0}, horizon=6
+        ).collect()
+    }
+    na = {
+        r.duration: r.cum_hazard
+        for r in km_curve(df, ["cohort"]).collect()
+    }
+    cum = 0.0
+    for h in range(1, 7):
+        cum = na.get(h, cum)
+        assert pp[h] == pytest.approx(math.exp(-cum), abs=5e-6)
