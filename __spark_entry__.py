@@ -2389,6 +2389,68 @@ def _vocab_coverage_sql() -> str:
 """
 
 
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA of the embeddings table (llm/similarity.py::
+    pca_fit): exact-lattice 64×64 covariance from ONE shuffle-free
+    Arrow pass (gram_exact — the data never moves after the scan),
+    driver-side eigh. Adjudication: exact n_rows + the trace on the
+    per-dimension micro-lattice (integer sum the oracle reproduces
+    from the same per-row roundings), plus spectral verdicts — full
+    eigenvalue sum equals the trace, eigenpair residuals vanish,
+    components orthonormal (the spectrum itself is engine-internal
+    float but deterministic across partitionings by the gram
+    contract)."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.llm.similarity import pca_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n, w, comps, C = pca_fit(emb, "embedding", dim=64, k=64)
+    var_micro = [int(round(C[i, i] * 1e6)) for i in range(64)]
+    trace_micro = sum(var_micro)
+    eig_ok = abs(sum(w) - trace_micro / 1e6) < 1e-3
+    M = np.array(comps)
+    resid = max(
+        float(np.abs(C @ v - lam * v).max()) for lam, v in zip(w, comps)
+    )
+    ortho = float(np.abs(M @ M.T - np.eye(len(comps))).max())
+    return spark.createDataFrame(
+        [(n, trace_micro, bool(eig_ok), resid < 1e-8, ortho < 1e-9)],
+        "n_rows long, trace_micro long, eig_sum_matches_trace boolean,"
+        " residuals_ok boolean, components_orthonormal boolean",
+    )
+
+
+_PCA_SQL = """
+    WITH dims AS (SELECT i FROM range(1, 65) t(i)),
+    cells AS (
+        SELECT d.i,
+               sum(CAST(round(CAST(e.embedding[d.i] AS DOUBLE)
+                              * CAST(e.embedding[d.i] AS DOUBLE)
+                              * 1000000000.0, 0) AS BIGINT)) AS gii,
+               sum(CAST(round(CAST(e.embedding[d.i] AS DOUBLE)
+                              * 1000000000.0, 0) AS BIGINT)) AS si,
+               count(*) AS n
+        FROM embeddings e CROSS JOIN dims d
+        GROUP BY d.i
+    ),
+    pv AS (
+        SELECT CAST(round((gii / 1000000000.0 / n
+                           - (si / 1000000000.0 / n)
+                             * (si / 1000000000.0 / n)) * 1000000.0, 0)
+                    AS BIGINT) AS var_micro,
+               n
+        FROM cells
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(var_micro) AS BIGINT) AS trace_micro,
+           true AS eig_sum_matches_trace,
+           true AS residuals_ok,
+           true AS components_orthonormal
+    FROM pv
+"""
+
+
 def q_embedding_matryoshka(spark, sf_dir):
     """Matryoshka truncation quality (Kusupati et al. 2022, public
     arXiv 2205.13147): top-k cosine neighbours computed on the FULL
@@ -9340,6 +9402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "embedding_matryoshka": q_embedding_matryoshka,
+        "embedding_pca": q_embedding_pca,
         "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
         "multimodal_pcm": q_multimodal_pcm,
         "multimodal_bmp": q_multimodal_bmp,
@@ -11272,6 +11335,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum": _CUSUM_SQL,
         "dedup_lsh_quality": _lsh_quality_sql(),
         "embedding_matryoshka": _MATRYOSHKA_SQL,
+        "embedding_pca": _PCA_SQL,
         "tokenizer_vocab_coverage": _vocab_coverage_sql(),
         "multimodal_pcm": _PCM_SQL,
         "multimodal_bmp": _BMP_SQL,

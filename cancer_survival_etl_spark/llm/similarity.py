@@ -1690,3 +1690,125 @@ def ivfpq_topk_percell(
         .withColumn("rank_val", F.row_number().over(w))
         .filter(F.col("rank_val") <= k)
     )
+
+
+def gram_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact second-moment (Gram) statistics of an embedding column in
+    ONE shuffle-free pass: per partition, an Arrow-batched kernel
+    lattice-rounds every row's outer-product upper triangle onto the
+    1e-9 nano grid and sums the resulting int64s; the tiny partials
+    (≤ dim(dim+1)/2 + dim + 1 rows per partition) hash-aggregate to
+    global cells. Because rounding happens PER ROW before any sum,
+    the totals are bit-identical under any partitioning — the same
+    contract as the repo's exact-moment regressions.
+
+    Returns (i, j, v): v = Σ round(x_i·x_j·1e9) for 0 ≤ i ≤ j < dim,
+    plus first-moment rows (i, -1) with Σ round(x_i·1e9) and the count
+    row (-1, -1). This is the whole data-touching step of PCA: at
+    100 TB the scan is the cost; everything after runs on ≤ 2145
+    numbers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim) if dim is not None else len(
+        df.select(vec_col).first()[0]
+    )
+    iu = np.triu_indices(d)
+
+    def part(batches):
+        acc = np.zeros(len(iu[0]), dtype=np.int64)
+        acc1 = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            n += X.shape[0]
+            # chunk the n×d×d outer products to bound memory
+            for lo in range(0, X.shape[0], 1024):
+                B = X[lo:lo + 1024]
+                outer = B[:, :, None] * B[:, None, :]
+                acc += (
+                    np.rint(outer[:, iu[0], iu[1]] * 1e9)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                acc1 += np.rint(B * 1e9).astype(np.int64).sum(axis=0)
+        out = pd.DataFrame(
+            {
+                "i": np.concatenate([iu[0], np.arange(d), [-1]]),
+                "j": np.concatenate([iu[1], -np.ones(d, int), [-1]]),
+                "v": np.concatenate([acc, acc1, [n]]),
+            }
+        )
+        yield out.astype({"i": "int32", "j": "int32", "v": "int64"})
+
+    partials = df.select(vec_col).mapInPandas(part, "i int, j int, v long")
+    return partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k: int = 8,
+):
+    """Distributed PCA: exact-lattice covariance from ``gram_exact``
+    (one data pass), then a driver-side symmetric eigendecomposition of
+    the dim×dim matrix (numpy.linalg.eigh — dim is small by contract;
+    the DATA never moves). Because the Gram cells are bit-identical
+    under any partitioning, the covariance — and hence the
+    eigenspectrum — is deterministic across runs and cluster layouts.
+
+    Returns (n_rows, eigenvalues desc [k], components [k × dim] with a
+    deterministic sign convention: each component's
+    largest-|coordinate| entry is positive, covariance matrix).
+    """
+    import numpy as np
+
+    cells = {(r.i, r.j): r.v for r in gram_exact(df, vec_col, dim).collect()}
+    n = int(cells[(-1, -1)])
+    d = int(dim) if dim is not None else (
+        max(i for i, _ in cells) + 1
+    )
+    m = np.array([cells[(i, -1)] for i in range(d)], dtype=np.float64)
+    m = m / 1e9 / n
+    G = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            G[i, j] = G[j, i] = cells[(i, j)] / 1e9
+    C = G / n - np.outer(m, m)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = V[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+    return n, [float(w[i]) for i in order], comps, C
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto fitted components — the dimensionality
+    reduction step (64 → k floats per row). Components ride along as
+    an array-of-arrays literal (broadcast by Catalyst as part of the
+    plan); each output coordinate is one JVM-side zip_with/aggregate
+    dot product, no Python in the hot path."""
+    comp_lits = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in components
+    ]
+    vec = F.col(vec_col)
+    return df.withColumn(
+        out_col, F.array(*[_dot(vec, c) for c in comp_lits])
+    )

@@ -1960,3 +1960,48 @@ def test_cluster_representatives_keep_best(spark):
     assert out[1].cluster_size == 3
     # singleton keeps itself
     assert out[4].rep_id == 4 and out[4].cluster_size == 1
+
+
+def test_pca_matches_numpy_and_partition_independent(spark):
+    import numpy as np
+
+    from cancer_survival_etl_spark.llm.similarity import (
+        gram_exact,
+        pca_fit,
+        pca_project,
+    )
+
+    rng_rows = []
+    for i in range(300):
+        # planted 2-factor structure in 6 dims + deterministic noise
+        a = ((i * 37) % 100) / 50.0 - 1.0
+        b = ((i * 61) % 100) / 50.0 - 1.0
+        noise = [(((i * p) % 7) - 3) / 30.0 for p in (11, 13, 17, 19, 23, 29)]
+        v = [3 * a + noise[0], 3 * a + noise[1], 2 * b + noise[2],
+             2 * b + noise[3], noise[4], noise[5]]
+        rng_rows.append((i, v))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    n, w, comps, C_fit = pca_fit(df, "embedding", dim=6, k=3)
+    X = np.array([v for _, v in rng_rows])
+    C = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(C_fit, C, atol=1e-8)
+    w_ref = np.sort(np.linalg.eigvalsh(C))[::-1][:3]
+    assert n == 300
+    assert w == pytest.approx(list(w_ref), abs=1e-6)
+    # components diagonalize: residual ||Cv - wv|| tiny, orthonormal
+    for lam, v in zip(w, comps):
+        assert np.linalg.norm(C @ v - lam * v) < 1e-6
+    M = np.array(comps)
+    assert np.allclose(M @ M.T, np.eye(3), atol=1e-9)
+    # exact gram: bit-identical at 1 vs 32 partitions
+    g1 = {(r.i, r.j): r.v for r in
+          gram_exact(df.repartition(1), "embedding", 6).collect()}
+    g32 = {(r.i, r.j): r.v for r in
+           gram_exact(df.repartition(32), "embedding", 6).collect()}
+    assert g1 == g32
+    # projection reproduces numpy X @ v per component
+    proj = {r.vec_id: r.pca for r in
+            pca_project(df, comps, "embedding").collect()}
+    P_ref = X @ M.T
+    for i, _ in rng_rows[:20]:
+        assert proj[i] == pytest.approx(list(P_ref[i]), abs=1e-9)
