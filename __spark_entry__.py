@@ -5011,6 +5011,63 @@ _LOGISTIC_TRAIN_SQL = """
 """
 
 
+def q_model_train_quantile(spark, sf_dir):
+    """In-engine quantile-regression training (llm/inference.py::
+    quantile_train): fit the conditional P90 line on a planted
+    exponential-noise model y = 2 + 3x + Exp(1) (md5-derived
+    deterministic uniforms). The true τ=0.9 quantile line is
+    y = (2 − ln 0.1) + 3x ≈ 4.3026 + 3x — slope UNCHANGED by the
+    noise, intercept shifted by the noise's own P90: exactly what the
+    pinball loss must find and squared loss cannot. Oracle adjudicates
+    the exact planted cohort (n_rows + integer-lattice Σy) and the
+    recovery verdicts (weights float-iterative, engine-internal,
+    partition-independent by the 9-dp gradient lattice)."""
+    from cancer_survival_etl_spark.llm.inference import quantile_train
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    x = (F.col("doc_id") % 100) / 50.0
+    y = F.lit(2.0) + F.lit(3.0) * x - F.log(F.lit(1.0) - u * 0.999999)
+    feats = d.select(
+        x.alias("x"), y.alias("y")
+    ).localCheckpoint(eager=False)
+    w = quantile_train(feats, ["x"], "y", tau=0.9, lr=4.0, iters=60)
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("y") * 1000000.0, 0).cast("long")).alias(
+            "sum_y_micro"
+        ),
+    )
+    q90_true = 2.0 + 2.302585092994046  # 2 − ln(0.1)
+    return agg.select(
+        "n_rows",
+        "sum_y_micro",
+        F.lit(abs(w[1] - 3.0) < 0.4).alias("slope_recovered"),
+        F.lit(abs(w[0] - q90_true) < 0.4).alias("intercept_at_p90"),
+    )
+
+
+_QUANTILE_TRAIN_SQL = """
+    WITH f AS (
+        SELECT 2.0 + 3.0 * ((doc_id % 100) / 50.0)
+               - ln(1.0 - ((CAST(concat('0x',
+                     substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                     % 1000000) / 1000000.0) * 0.999999) AS y
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(y * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+               AS sum_y_micro,
+           true AS slope_recovered,
+           true AS intercept_at_p90
+    FROM f
+"""
+
+
 def q_eval_isotonic(spark, sf_dir):
     """Isotonic calibration (PAVA) of a planted miscalibrated scorer:
     corpus → 20 exact (n, n_pos) bins in one aggregate, PAVA on the
@@ -8286,6 +8343,56 @@ _SURVIVAL_CIF_SQL = """
 """
 
 
+_CONDSURV_PAIRS = [(8, 16), (8, 24), (8, 48), (16, 32), (24, 48)]
+
+
+def q_survival_conditional(spark, sf_dir):
+    """Conditional survival CS(t|s) = S(t)/S(s) read off the in-engine
+    KM curve at fixed horizon pairs (operators/survival.py::
+    conditional_survival) — the survivors'-outlook companion to the
+    period-survival index. Oracle mirrors the broadcast argmax
+    read-off and the guarded ratio bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_survival,
+        km_curve,
+    )
+
+    km = km_curve(_survival_episodes(spark, sf_dir), ["cohort"])
+    return conditional_survival(km, ["cohort"], _CONDSURV_PAIRS)
+
+
+_CONDSURV_SQL = """
+    WITH kmfull AS ({km}),
+    pts(p) AS (VALUES (8), (16), (24), (32), (48)),
+    best AS (
+        SELECT k.cohort, z.p, max(k.duration) AS d
+        FROM kmfull k JOIN pts z ON k.duration <= z.p
+        GROUP BY k.cohort, z.p
+    ),
+    bestv AS (
+        SELECT b.cohort, b.p, k.survival AS s
+        FROM best b
+        JOIN kmfull k ON k.cohort = b.cohort AND k.duration = b.d
+    ),
+    at AS (
+        SELECT c.cohort, z.p, coalesce(v.s, 1.0) AS s
+        FROM (SELECT DISTINCT cohort FROM kmfull) c
+        CROSS JOIN pts z
+        LEFT JOIN bestv v ON v.cohort = c.cohort AND v.p = z.p
+    ),
+    prs(sp, tp) AS (VALUES (8, 16), (8, 24), (8, 48), (16, 32), (24, 48))
+    SELECT a1.cohort, CAST(pr.sp AS BIGINT) AS since,
+           CAST(pr.tp AS BIGINT) AS until,
+           a1.s AS survival_at_since,
+           a2.s AS survival_at_until,
+           CASE WHEN a1.s > 0 THEN round(a2.s / a1.s, 6) END
+               AS conditional_survival
+    FROM prs pr
+    JOIN at a1 ON a1.p = pr.sp
+    JOIN at a2 ON a2.p = pr.tp AND a2.cohort = a1.cohort
+"""
+
+
 # Synthetic background life table: per-hour expected hazard by band in
 # 1e-6 units, rising with band — integers keep every at-risk-weighted
 # sum an exact long (see relative_survival_ederer2's contract).
@@ -9454,6 +9561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cif": q_survival_cif,
         "survival_relative": q_survival_relative,
         "survival_net_pp": q_survival_net_pp,
+        "survival_conditional": q_survival_conditional,
         "rates_age_standardized": q_rates_age_standardized,
         "tokenizer_wordpiece_encode": q_tokenizer_wordpiece_encode,
         "ann_binary_hamming": q_ann_binary_hamming,
@@ -9475,6 +9583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_overlap": q_sketch_theta_overlap,
         "graph_triangles": q_graph_triangles,
         "model_train_logistic": q_model_train_logistic,
+        "model_train_quantile": q_model_train_quantile,
         "eval_isotonic": q_eval_isotonic,
         "join_size_estimate": q_join_size_estimate,
         "text_hashed_features": q_text_hashed_features,
@@ -11240,6 +11349,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_cif": _SURVIVAL_CIF_SQL,
         "survival_relative": _RELSURV_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_net_pp": _NET_PP_SQL,
+        "survival_conditional": _CONDSURV_SQL.format(km=_SURVIVAL_KM_SQL),
         "rates_age_standardized": _RATES_DSR_SQL,
         "tokenizer_wordpiece_encode": _wordpiece_encode_sql(),
         "ann_binary_hamming": """
@@ -11322,6 +11432,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_bh_adjust": _BH_SQL,
         "graph_triangles": _triangles_sql(),
         "model_train_logistic": _LOGISTIC_TRAIN_SQL,
+        "model_train_quantile": _QUANTILE_TRAIN_SQL,
         "eval_isotonic": _ISOTONIC_SQL,
         "join_size_estimate": _JOIN_SIZE_SQL,
         "text_hashed_features": _HASHED_FEATURES_SQL,

@@ -113,3 +113,55 @@ def logistic_train(
             for wj, gj in zip(w, grads)
         ]
     return [round(wj, 9) for wj in w]
+
+
+def quantile_train(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: str,
+    tau: float = 0.5,
+    lr: float = 4.0,
+    iters: int = 60,
+    h0: float = 2.0,
+) -> list[float]:
+    """In-engine quantile-regression training: fit the conditional
+    τ-quantile line y_τ(x) = b0 + w·x — the robust companion to
+    ``logistic_train`` for skewed targets (latency tails, cost P90s)
+    where the conditional MEAN misleads. Returns [b0, w_1, ..., w_d].
+
+    Raw pinball subgradients are piecewise-constant (they see only
+    residual SIGNS), so plain subgradient descent crawls at O(1/√T);
+    this trainer instead descends the CONVOLUTION-SMOOTHED check loss
+    (the "conquer" estimator of smoothed quantile regression):
+    ∂/∂z ≈ σ((z − y)/h) − τ with kernel width h = max(h0/(t+1), 1e-3)
+    annealed per iteration, which restores smooth-gradient convergence
+    while the shrinking h removes the smoothing bias.
+
+    Each iteration is ONE distributed aggregate, the same fused-JVM
+    shape as ``logistic_train``: grad_j = Σ x_j·(σ((z−y)/h) − τ) / n;
+    the driver holds only d+1 scalars. Gradient components are
+    rounded to 9 dp before the update, so the learned weights are
+    bit-identical at any partitioning (same determinism contract,
+    pinned in tests).
+    """
+    feats = list(feature_cols)
+    w = [0.0] * (len(feats) + 1)
+    n = df.count()
+    y = F.col(y_col).cast("double")
+    for t in range(iters):
+        h = max(h0 / (t + 1.0), 1e-3)
+        z = F.lit(w[0])
+        for j, c in enumerate(feats):
+            z = z + F.lit(w[j + 1]) * F.col(c).cast("double")
+        s = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(z - y) / F.lit(h)))
+            - F.lit(float(tau))
+        )
+        aggs = [F.sum(s).alias("g0")] + [
+            F.sum(s * F.col(c).cast("double")).alias(f"g{j + 1}")
+            for j, c in enumerate(feats)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        grads = [round(row[f"g{j}"] / n, 9) for j in range(len(w))]
+        w = [round(wj - lr * gj, 9) for wj, gj in zip(w, grads)]
+    return [round(wj, 9) for wj in w]

@@ -244,6 +244,76 @@ def survival_at_horizons(
     )
 
 
+def conditional_survival(
+    km: DataFrame,
+    group_cols: Sequence[str],
+    pairs: Sequence[tuple],
+    duration_col: str = "duration",
+) -> DataFrame:
+    """Conditional survival CS(t|s) = S(t)/S(s) — "given alive at s,
+    the probability of reaching t" — the companion table registries
+    publish next to the period-survival index (the reference's INDEX
+    shape at /root/reference/docs/create_index.sql:10-17 conditioned
+    on survivors; conditional 5-year survival in the national
+    publications).
+
+    ``pairs`` is a list of (s, t) horizon pairs, t > s. S at each
+    point is read off a ``km_curve`` output at the largest cell time
+    ≤ the point (S = 1 before the first cell) — the same broadcast
+    argmax as ``survival_at_horizons``, one pass for the union of all
+    distinct points. CS is NULL where S(s) = 0 (nobody alive to
+    condition on).
+
+    Work ∝ #cells × #distinct points, nothing subject-sized. Ratios
+    of km_curve's already-rounded values, re-rounded to 6 dp — the
+    oracle mirrors the expressions bit-exact.
+    """
+    g = list(group_cols)
+    spark = km.sparkSession
+    pts = sorted({int(x) for st in pairs for x in st})
+    ptf = spark.createDataFrame([(p,) for p in pts], "_pt long")
+    cells = km.crossJoin(F.broadcast(ptf)).filter(
+        F.col(duration_col) <= F.col("_pt")
+    )
+    best = cells.groupBy(*g, "_pt").agg(
+        F.max(
+            F.struct(
+                F.col(duration_col).alias("_d"),
+                F.col("survival").alias("_s"),
+            )
+        ).alias("_b")
+    )
+    totals = km.select(*g).distinct()
+    grid = totals.crossJoin(F.broadcast(ptf))
+    at = grid.join(best, g + ["_pt"], "left").select(
+        *g, "_pt", F.coalesce(F.col("_b._s"), F.lit(1.0)).alias("_s")
+    )
+    prf = spark.createDataFrame(
+        sorted((int(s), int(t)) for s, t in pairs), "_s_pt long, _t_pt long"
+    )
+    j = (
+        at.withColumnRenamed("_pt", "_s_pt")
+        .withColumnRenamed("_s", "_s_at_s")
+        .join(F.broadcast(prf), "_s_pt")
+        .join(
+            at.withColumnRenamed("_pt", "_t_pt")
+            .withColumnRenamed("_s", "_s_at_t"),
+            g + ["_t_pt"],
+        )
+    )
+    return j.select(
+        *g,
+        F.col("_s_pt").alias("since"),
+        F.col("_t_pt").alias("until"),
+        F.col("_s_at_s").alias("survival_at_since"),
+        F.col("_s_at_t").alias("survival_at_until"),
+        F.when(
+            F.col("_s_at_s") > 0,
+            F.round(F.col("_s_at_t") / F.col("_s_at_s"), 6),
+        ).alias("conditional_survival"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     group_col: str,

@@ -2005,3 +2005,44 @@ def test_pca_matches_numpy_and_partition_independent(spark):
     P_ref = X @ M.T
     for i, _ in rng_rows[:20]:
         assert proj[i] == pytest.approx(list(P_ref[i]), abs=1e-9)
+
+
+def test_quantile_train_recovers_planted_quantile_line(spark):
+    """Pinball-loss GD on y = 1 + 2x + Exp(1) noise: the tau-quantile
+    line keeps the slope and shifts the intercept by -ln(1-tau);
+    squared loss would land on the mean (+1.0) instead. Also pins the
+    partitioning-independence contract and the numpy mirror of the
+    same rounded-gradient schedule."""
+    import math
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.llm.inference import quantile_train
+
+    rows = []
+    for i in range(400):
+        x = (i % 100) / 50.0
+        u = ((i * 2654435761) % 99991) / 99991.0
+        rows.append((x, 1.0 + 2.0 * x - math.log(1.0 - u * 0.999999)))
+    df = spark.createDataFrame(rows, "x double, y double")
+    w = quantile_train(df, ["x"], "y", tau=0.9, lr=4.0, iters=60)
+    assert abs(w[1] - 2.0) < 0.2
+    assert abs(w[0] - (1.0 - math.log(0.1))) < 0.2
+    # bit-identical at 1 vs 32 partitions
+    w1 = quantile_train(df.repartition(1), ["x"], "y", 0.9, 4.0, 15)
+    w32 = quantile_train(df.repartition(32), ["x"], "y", 0.9, 4.0, 15)
+    assert w1 == w32
+    # numpy mirror of the same smoothed schedule reproduces the
+    # weights exactly (the 9-dp gradient lattice absorbs sum order)
+    X = np.array([r[0] for r in rows])
+    Y = np.array([r[1] for r in rows])
+    wv = [0.0, 0.0]
+    n = len(rows)
+    for t in range(15):
+        h = max(2.0 / (t + 1.0), 1e-3)
+        z = wv[0] + wv[1] * X
+        s = 1.0 / (1.0 + np.exp(-(z - Y) / h)) - 0.9
+        g0 = round(float(np.sum(s)) / n, 9)
+        g1 = round(float(np.sum(s * X)) / n, 9)
+        wv = [round(wv[0] - 4.0 * g0, 9), round(wv[1] - 4.0 * g1, 9)]
+    assert w1 == [round(wv[0], 9), round(wv[1], 9)]

@@ -516,3 +516,47 @@ def test_pohar_perme_zero_hazard_reduces_to_nelson_aalen(spark):
     for h in range(1, 7):
         cum = na.get(h, cum)
         assert pp[h] == pytest.approx(math.exp(-cum), abs=5e-6)
+
+
+def test_conditional_survival_ratio_and_edges(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_survival,
+        km_curve,
+    )
+
+    rows = [("A", d, e) for d, e in SIX_MP]
+    # cohort where everyone dies at t=2: S(s)=0 from s=2 → NULL CS
+    rows += [("B", 2, 1), ("B", 2, 1)]
+    df = spark.createDataFrame(rows, "cohort string, duration long, event int")
+    km = km_curve(df, ["cohort"])
+    s_at = {}
+    for r in km.collect():
+        s_at.setdefault(r.cohort, []).append((r.duration, r.survival))
+
+    def s_read(c, p):
+        best = 1.0
+        for d, s in sorted(s_at[c]):
+            if d <= p:
+                best = s
+        return best
+
+    got = conditional_survival(
+        km, ["cohort"], [(1, 6), (6, 16), (10, 35), (2, 3)]
+    ).collect()
+    assert len(got) == 8  # 4 pairs × 2 cohorts
+    for r in got:
+        ss, st = s_read(r.cohort, r.since), s_read(r.cohort, r.until)
+        assert r.survival_at_since == pytest.approx(ss, abs=1e-9)
+        assert r.survival_at_until == pytest.approx(st, abs=1e-9)
+        if ss > 0:
+            assert r.conditional_survival == pytest.approx(
+                round(st / ss, 6), abs=1e-9
+            )
+        else:
+            assert r.conditional_survival is None
+    # cohort B conditioned at s=2 (S=0) yields NULL
+    b = [r for r in got if r.cohort == "B" and r.since == 2][0]
+    assert b.conditional_survival is None
+    # before the first cell S=1: cohort B at since=1
+    b1 = [r for r in got if r.cohort == "B" and r.since == 1][0]
+    assert b1.survival_at_since == 1.0
