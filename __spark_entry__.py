@@ -8647,6 +8647,142 @@ _RELSURV_SQL = f"""
 """
 
 
+# ICSS-like integer standardisation weights over 3 age classes
+# (class = band // 3) — integer by standardized_net_survival's
+# exact-sum contract.
+_NET_STD_WEIGHTS = {0: 30000, 1: 45000, 2: 25000}
+
+
+def q_survival_net_std(spark, sf_dir):
+    """Age-STANDARDISED net survival (operators/survival.py::
+    standardized_net_survival) — the reference INDEX table's actual
+    published quantity (STANDARDISATION_TYPE; create_index.sql:9):
+    Pohar Perme per age class (band // 3), ICSS-style integer-weight
+    mix per hour. Oracle re-runs the whole weighted-grid pipeline
+    keyed by (cohort, class) and folds with the same integer
+    weights — bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        standardized_net_survival,
+    )
+
+    subj = _banded_episodes(spark, sf_dir).withColumn(
+        "agegrp", (F.col("band") / 3).cast("int")
+    )
+    return standardized_net_survival(
+        subj,
+        ["cohort"],
+        "agegrp",
+        _NET_STD_WEIGHTS,
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_NET_STD_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CAST((user_id % 9) // 3 AS INT) AS agegrp,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, agegrp, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, agegrp, band
+    ),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    cellsb AS (
+        SELECT cohort, agegrp, band, duration AS s, count(*) AS rm,
+               CAST(sum(event) AS BIGINT) AS dv
+        FROM survb GROUP BY cohort, agegrp, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.agegrp, n.band, n.nb_tot, h.s,
+               coalesce(r.rm, 0) AS rm, coalesce(r.dv, 0) AS dv
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN cellsb r
+          ON r.cohort = n.cohort AND r.agegrp = n.agegrp
+         AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, agegrp, band
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    wgt AS (
+        SELECT n.cohort, n.agegrp, n.s, n.nbv, n.dv, z.lam,
+               pow(1.0 - z.lam / 1000000.0, -n.s) AS w
+        FROM nb n JOIN hzm z ON n.band = z.band
+    ),
+    terms AS (
+        SELECT cohort, agegrp, s, nbv,
+               CAST(round(dv * w * 1000000.0, 0) AS BIGINT) AS wd,
+               CAST(round(nbv * w * 1000000.0, 0) AS BIGINT) AS wn,
+               CAST(round(nbv * w * (lam / 1000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS we
+        FROM wgt
+    ),
+    pers AS (
+        SELECT cohort, agegrp, s,
+               CAST(sum(wd) AS BIGINT) AS num1,
+               CAST(sum(we) AS BIGINT) AS num2,
+               CAST(sum(wn) AS BIGINT) AS den,
+               CAST(sum(nbv) AS BIGINT) AS n
+        FROM terms GROUP BY cohort, agegrp, s
+    ),
+    le AS (
+        SELECT *,
+            CASE WHEN s > 0 AND den > 0
+                 THEN CAST(round(
+                     (num1 / 1000000.0 - num2 / 1000000000000.0)
+                     / (den / 1000000.0) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lev
+        FROM pers
+    ),
+    acc AS (
+        SELECT cohort, agegrp, s, n,
+               sum(lev) OVER (PARTITION BY cohort, agegrp ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) / 1000000.0
+                   AS cum
+        FROM le
+    ),
+    pp AS (
+        SELECT cohort, agegrp, s AS hour, n,
+               CAST(round(round(exp(-cum), 6) * 1000000.0, 0) AS BIGINT)
+                   AS s_micro
+        FROM acc WHERE s > 0
+    ),
+    wts(agegrp, w) AS (VALUES
+        {", ".join(f"({k}, {v})" for k, v in _NET_STD_WEIGHTS.items())}
+    )
+    SELECT p.cohort, p.hour,
+           CAST(sum(p.n) AS BIGINT) AS n_risk,
+           round(CAST(sum(z.w * p.s_micro) AS BIGINT)
+                 / CAST(sum(z.w) AS BIGINT) / 1000000.0, 6)
+               AS net_survival_std
+    FROM pp p JOIN wts z ON p.agegrp = z.agegrp
+    GROUP BY p.cohort, p.hour
+"""
+
+
 def q_events_cusum(spark, sf_dir):
     """Two-sided CUSUM mean-shift chart per event type over the daily
     cents series (`operators/timeseries.py::cusum_changepoints`):
@@ -9562,6 +9698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_relative": q_survival_relative,
         "survival_net_pp": q_survival_net_pp,
         "survival_conditional": q_survival_conditional,
+        "survival_net_std": q_survival_net_std,
         "rates_age_standardized": q_rates_age_standardized,
         "tokenizer_wordpiece_encode": q_tokenizer_wordpiece_encode,
         "ann_binary_hamming": q_ann_binary_hamming,
@@ -11350,6 +11487,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_relative": _RELSURV_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_net_pp": _NET_PP_SQL,
         "survival_conditional": _CONDSURV_SQL.format(km=_SURVIVAL_KM_SQL),
+        "survival_net_std": _NET_STD_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,
         "tokenizer_wordpiece_encode": _wordpiece_encode_sql(),
         "ann_binary_hamming": """

@@ -853,6 +853,82 @@ def net_survival_pohar_perme(
     )
 
 
+def standardized_net_survival(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    class_col: str,
+    class_weights: dict,
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Age-standardised net survival — the reference INDEX table's
+    actual published quantity (SURVIVAL_PERCENT under
+    STANDARDISATION_TYPE with age-standardisation weights;
+    /root/reference/docs/create_index.sql:9): Pohar Perme net survival
+    estimated separately per standardisation class, then combined as
+    the weight-averaged mix S_std(h) = Σ_a w_a·S_a(h) / Σ_a w_a (ICSS
+    convention), so a cohort's published curve doesn't drift with its
+    own age composition.
+
+    ``class_weights`` maps class → INTEGER standard weight (the ICSS
+    analog of ``age_standardized_rates``' contract): PP's 6-dp-rounded
+    class curves × integer weights are exact micro-lattice longs, so
+    the standardised curve hash-adjudicates bit-exact. Classes absent
+    from a group at some hour simply drop out of that group's mix
+    (weights renormalize over present classes — both sides mirror
+    this).
+
+    Returns one row per (group, hour): ``n_risk`` (unweighted total),
+    ``net_survival_std``. Scale shape: exactly
+    ``net_survival_pohar_perme`` with (group × class) keys — the grid
+    grows by #classes, still broadcast-sized — plus one #classes-fold
+    aggregate back to the group grain.
+    """
+    if any(int(w) != w for w in class_weights.values()):
+        raise ValueError("class_weights must be integers (exact-sum)")
+    g = list(group_cols)
+    pp = net_survival_pohar_perme(
+        df,
+        g + [class_col],
+        band_col,
+        hazard_micro_by_band,
+        horizon,
+        duration_col,
+        event_col,
+    )
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, w in class_weights.items()
+            for x in (k, int(w))
+        ]
+    )
+    pp = pp.withColumn(
+        "_w", F.coalesce(wmap[F.col(class_col)], F.lit(0)).cast("long")
+    ).withColumn(
+        "_s_micro",
+        F.round(F.col("net_survival_pp") * F.lit(1000000.0), 0).cast(
+            "long"
+        ),
+    )
+    return (
+        pp.groupBy(*g, "hour")
+        .agg(
+            F.sum("n_risk").alias("n_risk"),
+            F.round(
+                F.sum(F.col("_w") * F.col("_s_micro"))
+                / F.sum("_w")
+                / F.lit(1000000.0),
+                6,
+            ).alias("net_survival_std"),
+        )
+        .select(*g, "hour", "n_risk", "net_survival_std")
+    )
+
+
 def cox_ph(
     df: DataFrame,
     feature_cols: Sequence[str],

@@ -560,3 +560,52 @@ def test_conditional_survival_ratio_and_edges(spark):
     # before the first cell S=1: cohort B at since=1
     b1 = [r for r in got if r.cohort == "B" and r.since == 1][0]
     assert b1.survival_at_since == 1.0
+
+
+def test_standardized_net_survival_weighted_mix(spark):
+    """S_std = weighted mean of per-class PP curves on the micro
+    lattice; verified against composing the two public operators by
+    hand, plus the integer-weight contract."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+        standardized_net_survival,
+    )
+
+    hz = {0: 2000, 1: 6000}
+    rows = []
+    for i in range(120):
+        band = i % 2
+        cls = i % 3
+        d = (i * 7) % 6 + 1
+        e = 1 if (i * 5) % 3 == 0 else 0
+        rows.append(("A", cls, band, d, e))
+    df = spark.createDataFrame(
+        rows, "cohort string, agegrp int, band int, duration long, event int"
+    )
+    weights = {0: 30000, 1: 45000, 2: 25000}
+    got = {
+        r.hour: r
+        for r in standardized_net_survival(
+            df, ["cohort"], "agegrp", weights, "band", hz, horizon=6
+        ).collect()
+    }
+    per = net_survival_pohar_perme(
+        df, ["cohort", "agegrp"], "band", hz, horizon=6
+    ).collect()
+    by_hour = {}
+    for r in per:
+        by_hour.setdefault(r.hour, []).append(
+            (weights[r.agegrp], round(r.net_survival_pp * 1e6), r.n_risk)
+        )
+    assert len(got) == 6
+    for h, parts in by_hour.items():
+        wsum = sum(w for w, _, _ in parts)
+        expect = round(
+            sum(w * s for w, s, _ in parts) / wsum / 1e6, 6
+        )
+        assert got[h].net_survival_std == pytest.approx(expect, abs=1e-9)
+        assert got[h].n_risk == sum(n for _, _, n in parts)
+    with pytest.raises(ValueError):
+        standardized_net_survival(
+            df, ["cohort"], "agegrp", {0: 0.5}, "band", hz, 6
+        )
