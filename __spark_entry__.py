@@ -2743,6 +2743,52 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
+def q_ann_pca_topk(spark, sf_dir):
+    """PCA-shortlisted ANN (llm/similarity.py::pca_shortlist_topk):
+    scan in the 32-dim projected space (half the arithmetic), exact
+    rerank of a 100-candidate shortlist. Adjudicated like
+    `ann_ivf_kmeans` — a recall verdict per query (the components are
+    float-iterative, engine-internal): the synthetic embeddings have a
+    deliberately FLAT spectrum (32 components capture only ~57-65% of
+    variance), the hard case for spectral shortlisting — measured
+    recall@10 is 0.4-1.0 per query across SFs, so the verdict pins
+    recall ≥ 0.2 with margin. The oracle asserts TRUE per query."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        pca_fit,
+        pca_shortlist_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    _, _, comps, _ = pca_fit(e, "embedding", dim=64, k=32)
+    approx = pca_shortlist_topk(
+        e, queries, comps, k=10, shortlist=100
+    ).select("query_id", "neighbor_id")
+    exact = brute_force_topk(e, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("_hits", F.lit(0)) >= F.lit(2)).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_PCA_SQL = """
+    SELECT vec_id AS query_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate cosine top-5 (rows-only: bucket membership
     is engine-internal)."""
@@ -9661,6 +9707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_pca_topk": q_ann_pca_topk,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
         "dedup_spans": q_dedup_spans,
@@ -11254,6 +11301,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, true AS recall_ok
             FROM embeddings WHERE vec_id < 5
         """,
+        "ann_pca_topk": _ANN_PCA_SQL,
         "dataset_split": """
             SELECT CASE
                        WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'cccc'

@@ -1812,3 +1812,60 @@ def pca_project(
     return df.withColumn(
         out_col, F.array(*[_dot(vec, c) for c in comp_lits])
     )
+
+
+def pca_shortlist_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    components,
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via PCA-reduced shortlisting: scan in the k'-dim projected
+    space (components from ``pca_fit`` — here the 64-dim dot products
+    shrink 4× at k' = 16), keep a ``shortlist`` of candidates per
+    query, then exact-cosine rerank ONLY the shortlist in the original
+    space. The matryoshka-truncation sibling for embeddings that
+    weren't trained front-loaded: PCA packs maximum variance into the
+    leading projected coordinates regardless of training recipe.
+
+    Recall comes from variance captured: candidates missed are those
+    whose similarity lives in the discarded (64−k')-dim residual.
+    Returns (query_id, neighbor_id, cosine, rank_val) like
+    ``brute_force_topk``. Scale shape: the reduced scan is the same
+    broadcast-join scan with k'/dim of the arithmetic (at 100 TB, a
+    narrower column to read if the projection is materialized); the
+    rerank touches #queries × shortlist rows only.
+    """
+    red_c = pca_project(corpus, components, vec_col, "_pca").select(
+        id_col, "_pca"
+    )
+    red_q = pca_project(queries, components, vec_col, "_pca").select(
+        id_col, "_pca"
+    )
+    cand = brute_force_topk(
+        red_c, red_q, k=shortlist, id_col=id_col, vec_col="_pca"
+    ).select("query_id", "neighbor_id")
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    qfull = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    j = cand.join(full, "neighbor_id").join(F.broadcast(qfull), "query_id")
+    cos = _dot(F.col("_cv"), F.col("_qv")) / (
+        _norm(F.col("_cv")) * _norm(F.col("_qv"))
+    )
+    scored = j.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank_val", F.row_number().over(w)
+    ).filter(F.col("rank_val") <= k)

@@ -2046,3 +2046,35 @@ def test_quantile_train_recovers_planted_quantile_line(spark):
         g1 = round(float(np.sum(s * X)) / n, 9)
         wv = [round(wv[0] - 4.0 * g0, 9), round(wv[1] - 4.0 * g1, 9)]
     assert w1 == [round(wv[0], 9), round(wv[1], 9)]
+
+
+def test_pca_shortlist_topk_exact_when_full_rank(spark):
+    """With ALL components kept the projection is an isometry, so the
+    PCA shortlist ranking must equal brute force exactly; with a tiny
+    shortlist the output is still exact-cosine-ranked over candidates."""
+    from cancer_survival_etl_spark.llm.similarity import (
+        brute_force_topk,
+        pca_fit,
+        pca_shortlist_topk,
+    )
+
+    rows = []
+    for i in range(80):
+        v = [(((i * p) % 13) - 6) / 6.0 for p in (3, 5, 7, 11)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, _, comps, _ = pca_fit(df, "embedding", dim=4, k=4)
+    q = df.filter("vec_id < 3")
+    a = pca_shortlist_topk(df, q, comps, k=5, shortlist=80).collect()
+    b = brute_force_topk(df, q, k=5).collect()
+    key = lambda r: (r.query_id, r.rank_val)
+    assert sorted([(r.query_id, r.rank_val, r.neighbor_id, r.cosine)
+                   for r in a]) == \
+           sorted([(r.query_id, r.rank_val, r.neighbor_id, r.cosine)
+                   for r in b])
+    # reranked cosines are TRUE cosines even when the shortlist prunes
+    small = pca_shortlist_topk(df, q, comps[:2], k=3, shortlist=10)
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in
+                 brute_force_topk(df, q, k=79).collect()}
+    for r in small.collect():
+        assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
