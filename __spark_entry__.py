@@ -3854,6 +3854,111 @@ _RIDGE_SQL = """
 """
 
 
+def q_stats_kruskal(spark, sf_dir):
+    """Tie-corrected Kruskal-Wallis H across the three user_id % 3
+    variants (`operators/stats.py::kruskal_wallis`) — the k-group
+    rank test on the same histogram-rank machinery as
+    `stats_rank_sum`: no single-partition sort window anywhere."""
+    from cancer_survival_etl_spark.operators.stats import kruskal_wallis
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).cast("string").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return kruskal_wallis(e, "variant", "cents")
+
+
+_KRUSKAL_SQL = """
+    WITH e AS (
+        SELECT CAST(user_id % 3 AS VARCHAR) AS g,
+               CAST(round(value * 100, 0) AS BIGINT) AS m
+        FROM events
+    ),
+    r AS (
+        SELECT g, m, avg(rn) OVER (PARTITION BY m) AS ar
+        FROM (SELECT *, row_number() OVER (ORDER BY m) AS rn FROM e) t
+    ),
+    ties AS (
+        SELECT sum(t * t * t - t) AS tie3 FROM (
+            SELECT CAST(count(*) AS BIGINT) AS t FROM e GROUP BY m
+        ) c
+    ),
+    per AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n, sum(ar) AS rsum
+        FROM r GROUP BY g
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               sum(rsum * rsum / n) AS rr
+        FROM per
+    )
+    SELECT k_groups, n_total,
+           CASE WHEN n_total > 1 THEN round(h, 6) END AS h_stat,
+           CASE WHEN n_total > 1 AND den > 0
+                THEN round(h / den, 6) END AS h_stat_corrected,
+           k_groups - 1 AS dof
+    FROM (
+        SELECT *,
+               12.0 / (n_total::DOUBLE * (n_total + 1)) * rr
+                   - 3 * (n_total::DOUBLE + 1) AS h,
+               1.0 - (SELECT tie3 FROM ties)::DOUBLE
+                   / (n_total::DOUBLE * n_total * n_total - n_total)
+                   AS den
+        FROM agg
+    ) t
+"""
+
+
+def q_stats_anova(spark, sf_dir):
+    """One-way ANOVA F + η² of cents across event types
+    (`operators/stats.py::anova_oneway`) — exact integer group
+    moments, one map-combined aggregate IS the whole test."""
+    from cancer_survival_etl_spark.operators.stats import anova_oneway
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return anova_oneway(e, "g", "cents")
+
+
+_ANOVA_SQL = """
+    WITH e AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100, 0) AS BIGINT) AS m
+        FROM events
+    ),
+    per AS (
+        SELECT g, count(*) AS n, sum(m) AS s, sum(m * m) AS q
+        FROM e GROUP BY g
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(s) AS BIGINT) AS st,
+               CAST(sum(q) AS BIGINT) AS qt,
+               sum(s::DOUBLE * s::DOUBLE / n) AS sg2
+        FROM per
+    )
+    SELECT k_groups, n_total,
+           CASE WHEN k_groups > 1 AND n_total > k_groups AND ssw > 0
+                THEN round((ssb / (k_groups::DOUBLE - 1))
+                           / (ssw / (n_total::DOUBLE - k_groups)), 6)
+           END AS f_stat,
+           CASE WHEN ssb + ssw > 0
+                THEN round(ssb / (ssb + ssw), 6) END AS eta_squared,
+           k_groups - 1 AS dof_between,
+           n_total - k_groups AS dof_within
+    FROM (
+        SELECT *,
+               sg2 - st::DOUBLE * st::DOUBLE / n_total AS ssb,
+               qt::DOUBLE - sg2 AS ssw
+        FROM agg
+    ) t
+"""
+
+
 def q_stats_auc(spark, sf_dir):
     """Exact per-event-type ROC-AUC of `value` as a score for the
     deterministic label user_id % 2 == 0 — Mann-Whitney rank sums
@@ -8829,6 +8934,87 @@ _NET_STD_SQL = f"""
 """
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade per document (llm/curation.py::
+    readability_scores) — regex-defined counts, pure JVM expressions,
+    oracle mirrors verbatim."""
+    from cancer_survival_etl_spark.llm.curation import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
+_READABILITY_SQL = """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS BIGINT) AS w,
+               greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT), 1) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS vg
+        FROM documents
+    ),
+    k AS (SELECT doc_id, w, s, greatest(vg, w) AS sy FROM c)
+    SELECT doc_id, w AS n_words, s AS n_sentences,
+           CASE WHEN w > 0 THEN sy END AS n_syllables,
+           CASE WHEN w > 0 THEN
+               round(206.835 - 1.015 * (w::DOUBLE / s)
+                     - 84.6 * (sy::DOUBLE / w), 4) END AS flesch_ease,
+           CASE WHEN w > 0 THEN
+               round(0.39 * (w::DOUBLE / s)
+                     + 11.8 * (sy::DOUBLE / w) - 15.59, 4)
+           END AS fk_grade
+    FROM k
+"""
+
+
+def q_events_rfm(spark, sf_dir):
+    """RFM customer segmentation (operators/timeseries.py::
+    rfm_segmentation): recency/frequency/monetary quintiles per user,
+    scored with the DISTRIBUTED ntile (two-phase prefix-sum rank, no
+    single-task NTILE window), folded to segment cells. Deterministic
+    tie-breaks make the oracle's SQL NTILE reproduce the identical
+    assignment — bit-exact."""
+    from cancer_survival_etl_spark.operators.timeseries import (
+        rfm_segmentation,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return rfm_segmentation(e, "user_id", "ts", "value", n_tiles=5)
+
+
+_RFM_SQL = """
+    WITH per AS (
+        SELECT user_id AS user_key, max(ts) AS last_ts,
+               count(*) AS freq,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id
+    ),
+    anch AS (SELECT max(CAST(ts AS DATE)) AS day_max FROM events),
+    px AS (
+        SELECT p.*,
+               date_diff('day', CAST(p.last_ts AS DATE), a.day_max)
+                   AS rec_days
+        FROM per p, anch a
+    ),
+    sc AS (
+        SELECT *,
+            CAST(6 - ntile(5) OVER (ORDER BY rec_days, user_key) AS INT)
+                AS r_score,
+            CAST(ntile(5) OVER (ORDER BY freq, user_key) AS INT)
+                AS f_score,
+            CAST(ntile(5) OVER (ORDER BY cents, user_key) AS INT)
+                AS m_score
+        FROM px
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM sc GROUP BY r_score, f_score, m_score
+"""
+
+
 def q_events_cusum(spark, sf_dir):
     """Two-sided CUSUM mean-shift chart per event type over the daily
     cents series (`operators/timeseries.py::cusum_changepoints`):
@@ -9746,6 +9932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_net_pp": q_survival_net_pp,
         "survival_conditional": q_survival_conditional,
         "survival_net_std": q_survival_net_std,
+        "events_rfm": q_events_rfm,
+        "text_readability": q_text_readability,
         "rates_age_standardized": q_rates_age_standardized,
         "tokenizer_wordpiece_encode": q_tokenizer_wordpiece_encode,
         "ann_binary_hamming": q_ann_binary_hamming,
@@ -9816,6 +10004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_chi_square": q_stats_chi_square,
         "stats_ols_multi": q_stats_ols_multi,
         "stats_ridge": q_stats_ridge,
+        "stats_kruskal": q_stats_kruskal,
+        "stats_anova": q_stats_anova,
         "stats_auc": q_stats_auc,
         "stats_spearman": q_stats_spearman,
         "stats_kendall": q_stats_kendall,
@@ -11536,6 +11726,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_net_pp": _NET_PP_SQL,
         "survival_conditional": _CONDSURV_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_net_std": _NET_STD_SQL,
+        "events_rfm": _RFM_SQL,
+        "text_readability": _READABILITY_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,
         "tokenizer_wordpiece_encode": _wordpiece_encode_sql(),
         "ann_binary_hamming": """
@@ -11594,6 +11786,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_hard_negatives": _HARD_NEG_SQL,
         "stats_ols_multi": _OLS_MULTI_SQL,
         "stats_ridge": _RIDGE_SQL,
+        "stats_kruskal": _KRUSKAL_SQL,
+        "stats_anova": _ANOVA_SQL,
         "stats_auc": _AUC_SQL,
         "retrieval_diversify": _DIVERSIFY_SQL,
         "eval_calibration": _CALIBRATION_SQL,

@@ -424,3 +424,55 @@ def tfidf_topk(
     return scored.withColumn(
         "rank_val", F.row_number().over(w)
     ).filter(F.col("rank_val") <= k)
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic curation signal for audience targeting and quality
+    bucketing (pairs with ``llm/textstats``' length/stopword ratios):
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Counts are REGEX-DEFINED so the scores are engine-portable (the
+    oracle reproduces them exactly): words = `[a-z]+` runs of the
+    lowercased text, sentences = `[.!?]+` runs (min 1 — a fragment is
+    one sentence), syllables = `[aeiouy]+` vowel groups (min 1 per
+    word enforced globally, the standard heuristic's floor). Pure
+    JVM expressions — no UDF, shuffle-free, scales with the scan.
+    NULL scores for wordless documents.
+    """
+    low = F.lower(F.col(text_col))
+    words = F.regexp_count(low, F.lit("[a-z]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1)
+    )
+    syll = F.greatest(
+        F.regexp_count(low, F.lit("[aeiouy]+")), words
+    )
+    wps = words.cast("double") / sents
+    spw = syll.cast("double") / words
+    has = words > 0
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        F.when(has, syll).cast("long").alias("n_syllables"),
+        F.when(
+            has,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+                4,
+            ),
+        ).alias("flesch_ease"),
+        F.when(
+            has,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+            ),
+        ).alias("fk_grade"),
+    )

@@ -551,6 +551,130 @@ def ols2_by(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group generalization of
+    ``rank_sum_test`` (one-way ANOVA on ranks): does ANY of k variants
+    shift the metric's distribution, with no normality assumption.
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H_corrected = H / (1 − Σ(t³−t)/(N³−N))    (tie correction)
+
+    χ²-distributed with k−1 df under H₀.
+
+    SCALE SHAPE: identical to ``rank_sum_test`` — tie-averaged ranks
+    depend only on the value histogram, so the raw frame collapses to
+    per-(group, value) cells in one map-combined aggregate, the
+    exclusive count prefix rides the two-phase ``global_prefix_sum``
+    over DISTINCT values, and each group's rank sum is Σ c·(doubled
+    rank)/2 — exact half-integers, no single-partition sort window
+    anywhere (plan-linted). Returns one row: (k_groups, n_total,
+    h_stat, h_stat_corrected, df) — NULLs when every value ties
+    (correction denominator 0) or N < 2.
+    """
+    from .windows import global_prefix_sum
+
+    cells = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(metric_col).alias("_m")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    hist = cells.groupBy("_m").agg(F.sum("_c").alias("_t"))
+    pref = global_prefix_sum(hist, "_m", "_t", alias="_pref")
+    ranked = cells.join(pref, "_m").select(
+        "_g",
+        "_c",
+        (2 * F.col("_pref") + F.col("_t") + 1).alias("_ar2"),
+    )
+    per = ranked.groupBy("_g").agg(
+        F.sum("_c").alias("_n"),
+        (F.sum(F.col("_c") * F.col("_ar2")).cast("double") / 2).alias(
+            "_rsum"
+        ),
+    )
+    ties = hist.agg(
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie3")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("_n").alias("n_total"),
+        F.sum(F.col("_rsum") * F.col("_rsum") / F.col("_n")).alias(
+            "_rr"
+        ),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = F.lit(12.0) / (n * (n + 1)) * F.col("_rr") - 3 * (n + 1)
+    denom = F.lit(1.0) - F.col("_tie3").cast("double") / (n * n * n - n)
+    ok = (F.col("n_total") > 1) & (denom > 0)
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.when(F.col("n_total") > 1, F.round(h, 6)).alias("h_stat"),
+        F.when(ok, F.round(h / denom, 6)).alias("h_stat_corrected"),
+        (F.col("k_groups") - 1).alias("dof"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    wide: bool = True,
+) -> DataFrame:
+    """One-way ANOVA F test on EXACT integer moments — the parametric
+    companion to ``kruskal_wallis`` (and the k-group generalization of
+    ``welch_ttest``'s pooled form): per group (n, Σx, Σx²) in one
+    map-combined aggregate, then
+
+        SSB = Σ_g S_g²/n_g − S²/N,   SSW = Σ_g Q_g − Σ_g S_g²/n_g
+        F = (SSB/(k−1)) / (SSW/(N−k)),   η² = SSB/SST
+
+    Inputs must be integer-valued (pre-scale to cents like
+    ``regression_by``); the group moments are order-independent longs,
+    so the statistic hash-adjudicates bit-exact. One aggregate over
+    the data + one #groups-row fold — nothing else. Returns
+    (k_groups, n_total, f_stat, eta_squared, dof_between, dof_within),
+    NULL F where SSW = 0 or dof degenerate.
+    """
+    x = F.col(metric_col).cast("long")
+    per = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(x, wide)).alias("_s"),
+        F.sum(_acc(x * x, wide)).alias("_q"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("_n").alias("n_total"),
+        F.sum("_s").alias("_st"),
+        F.sum("_q").alias("_qt"),
+        F.sum(
+            F.col("_s").cast("double")
+            * F.col("_s").cast("double")
+            / F.col("_n")
+        ).alias("_sg2"),
+    )
+    n = F.col("n_total").cast("double")
+    k = F.col("k_groups").cast("double")
+    ssb = F.col("_sg2") - F.col("_st").cast("double") * F.col(
+        "_st"
+    ).cast("double") / n
+    ssw = F.col("_qt").cast("double") - F.col("_sg2")
+    sst = ssb + ssw
+    ok = (F.col("k_groups") > 1) & (F.col("n_total") > F.col("k_groups"))
+    fstat = (ssb / (k - 1)) / (ssw / (n - k))
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.when(ok & (ssw > 0), F.round(fstat, 6)).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_squared"),
+        (F.col("k_groups") - 1).alias("dof_between"),
+        (F.col("n_total") - F.col("k_groups")).alias("dof_within"),
+    )
+
+
 def ridge2_by(
     df: DataFrame,
     group_cols,

@@ -840,3 +840,108 @@ def test_grouped_ks_and_pr_auc_match_global_per_group(spark):
         assert got_ap[grp].pr_auc == want.pr_auc, grp
         assert got_ap[grp].n_pos == want.n_pos, grp
     assert got_ap["g3"].pr_auc is None  # no positives
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    """H with tie correction vs a sequential implementation of the
+    textbook formula on a planted 3-group frame with heavy ties."""
+    from cancer_survival_etl_spark.operators.stats import kruskal_wallis
+
+    rows = []
+    for i in range(240):
+        g = f"g{i % 3}"
+        m = ((i * 7) % 10) + (i % 3)  # group-shifted, tie-heavy
+        rows.append((g, m))
+    df = spark.createDataFrame(rows, "g string, m long")
+    got = kruskal_wallis(df, "g", "m").collect()[0]
+
+    # sequential reference
+    vals = sorted(set(m for _, m in rows))
+    below, t_of = {}, {}
+    c = 0
+    for v in vals:
+        t = sum(1 for _, m in rows if m == v)
+        below[v], t_of[v] = c, t
+        c += t
+    n = len(rows)
+    rsums, ns = {}, {}
+    for g, m in rows:
+        ar = below[m] + (t_of[m] + 1) / 2
+        rsums[g] = rsums.get(g, 0) + ar
+        ns[g] = ns.get(g, 0) + 1
+    h = 12 / (n * (n + 1)) * sum(
+        r * r / ns[g] for g, r in rsums.items()
+    ) - 3 * (n + 1)
+    tie3 = sum(t ** 3 - t for t in t_of.values())
+    hc = h / (1 - tie3 / (n ** 3 - n))
+    assert got.k_groups == 3 and got.n_total == 240 and got.dof == 2
+    assert got.h_stat == pytest.approx(h, abs=1e-6)
+    assert got.h_stat_corrected == pytest.approx(hc, abs=1e-6)
+    # all-ties degenerate: corrected NULL
+    const = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)] * 4, "g string, m long"
+    )
+    r = kruskal_wallis(const, "g", "m").collect()[0]
+    assert r.h_stat_corrected is None
+
+
+def test_anova_oneway_matches_numpy(spark):
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.stats import anova_oneway
+
+    rows = [(f"g{i % 4}", (i * 13) % 29 + 3 * (i % 4)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, m long")
+    got = anova_oneway(df, "g", "m").collect()[0]
+    groups = {}
+    for g, m in rows:
+        groups.setdefault(g, []).append(m)
+    arrs = [np.array(v, float) for v in groups.values()]
+    allv = np.concatenate(arrs)
+    ssb = sum(len(a) * (a.mean() - allv.mean()) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    k, n = len(arrs), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.f_stat == pytest.approx(f, abs=1e-6)
+    assert got.eta_squared == pytest.approx(ssb / (ssb + ssw), abs=1e-6)
+    assert (got.dof_between, got.dof_within) == (3, 196)
+    # zero within-variance -> NULL F
+    z = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 2)] * 5, "g string, m long"
+    )
+    assert anova_oneway(z, "g", "m").collect()[0].f_stat is None
+
+
+def test_rfm_segmentation_quintiles_and_mass(spark):
+    """RFM scores reproduce SQL NTILE allocation deterministically;
+    segment mass conserves users and cents; high scores mean
+    recent/frequent/big."""
+    import datetime
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        rfm_segmentation,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for u in range(50):
+        n_ev = 1 + (u % 10)           # frequency rises with u % 10
+        for j in range(n_ev):
+            rows.append(
+                (u, base + datetime.timedelta(days=u % 20, hours=j),
+                 float(u))             # monetary rises with u
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    seg = rfm_segmentation(df, "user_id", "ts", "value", n_tiles=5)
+    got = seg.collect()
+    assert sum(r.n_users for r in got) == 50
+    assert sum(r.total_cents for r in got) == sum(
+        round(v * 100) for _, _, v in rows
+    )
+    assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+               and 1 <= r.m_score <= 5 for r in got)
+    # user 49: most monetary (value 49) -> must sit in m_score 5;
+    # users with u % 20 == 19 are most recent -> r_score 5 exists
+    m5 = [r for r in got if r.m_score == 5]
+    assert sum(r.n_users for r in m5) == 10  # exactly one quintile
+    assert any(r.r_score == 5 for r in got)

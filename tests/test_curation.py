@@ -295,3 +295,33 @@ def test_temperature_weights_flatten_and_preserve_mass(spark):
     winf = {r.source: r
             for r in temperature_weights(df, "source", 1e9).collect()}
     assert winf["small"].q_target == pytest.approx(0.5, abs=1e-3)
+
+
+def test_readability_scores_hand_example(spark):
+    import pytest
+
+    from cancer_survival_etl_spark.llm.curation import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+        (2, "Incomprehensibility notwithstanding, perseverance prevails."),
+        (3, "12345 --- !!!"),               # wordless -> NULL scores
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences) == (6, 2)
+    # vowel groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert r1.n_syllables == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert r1.flesch_ease == pytest.approx(
+        round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    )
+    assert r1.fk_grade == pytest.approx(
+        round(0.39 * wps + 11.8 * spw - 15.59, 4)
+    )
+    # long-word doc grades much harder than the simple one
+    assert got[2].fk_grade > r1.fk_grade + 5
+    r3 = got[3]
+    assert r3.n_words == 0 and r3.flesch_ease is None
+    assert r3.fk_grade is None and r3.n_syllables is None
