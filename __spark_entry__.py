@@ -5219,6 +5219,56 @@ _QUANTILE_TRAIN_SQL = """
 """
 
 
+def q_eval_platt(spark, sf_dir):
+    """Platt scaling — the parametric calibration companion to
+    `eval_isotonic`: fit P(y=1|s) = σ(a·s + b) by the fused-aggregate
+    logistic trainer (llm/inference.py::logistic_train) on a planted
+    sigmoid ground truth σ(6s − 3), md5-derived labels. Oracle
+    adjudicates the exact planted label counts + the (a, b) recovery
+    verdicts (weights engine-internal, partition-independent)."""
+    from cancer_survival_etl_spark.llm.inference import logistic_train
+
+    e = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    s = (F.col("event_id") % 100) / 100.0
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-(6.0 * s - 3.0)))
+    feats = e.select(
+        s.alias("score"), (u < sig).cast("int").alias("y")
+    ).localCheckpoint(eager=False)
+    w = logistic_train(feats, ["score"], "y", lr=5.0, iters=100)
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("y").cast("long").alias("n_positive"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_positive",
+        F.lit(abs(w[1] - 6.0) < 1.0).alias("slope_recovered"),
+        F.lit(abs(w[0] + 3.0) < 0.8).alias("bias_recovered"),
+    )
+
+
+_PLATT_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN
+               (CAST(concat('0x', substring(md5(event_id::VARCHAR), 1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0
+               < 1.0 / (1.0 + exp(-(6.0 * ((event_id % 100) / 100.0)
+                                    - 3.0)))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           true AS slope_recovered,
+           true AS bias_recovered
+    FROM events
+"""
+
+
 def q_eval_isotonic(spark, sf_dir):
     """Isotonic calibration (PAVA) of a planted miscalibrated scorer:
     corpus → 20 exact (n, n_pos) bins in one aggregate, PAVA on the
@@ -8494,6 +8544,74 @@ _SURVIVAL_CIF_SQL = """
 """
 
 
+def q_survival_actuarial(spark, sf_dir):
+    """Actuarial life table in 8-hour intervals (operators/
+    survival.py::actuarial_life_table): the classical grouped-interval
+    estimator with the half-censoring correction n' = n − c/2 —
+    published by registries before product-limit methods. Oracle
+    mirrors the interval cells, effective-risk arithmetic and
+    micro-lattice log-survival accumulation bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        actuarial_life_table,
+    )
+
+    return actuarial_life_table(
+        _survival_episodes(spark, sf_dir),
+        ["cohort"],
+        interval_width=8,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_ACTUARIAL_SQL = f"""
+    WITH {{cte}},
+    cells AS (
+        SELECT cohort, least(duration // 8, 6) AS iv,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               CAST(sum(1 - event) AS BIGINT) AS n_censored
+        FROM surv GROUP BY cohort, iv
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    ar AS (
+        SELECT c.*, CAST(t.n_subj - coalesce(
+                   sum(c.n_event + c.n_censored) OVER
+                       (PARTITION BY c.cohort ORDER BY c.iv
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_enter
+        FROM cells c JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            n_enter::DOUBLE - n_censored / 2.0 AS neff,
+            CASE WHEN n_event > 0
+                      AND n_event < n_enter::DOUBLE - n_censored / 2.0
+                 THEN CAST(round(ln(1.0 - n_event /
+                          (n_enter::DOUBLE - n_censored / 2.0))
+                          * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0
+                      AND n_event >= n_enter::DOUBLE - n_censored / 2.0
+                 THEN 1 ELSE 0 END AS dall
+        FROM ar
+    ),
+    acc AS (
+        SELECT *,
+               sum(lt) OVER wi AS lt_c, sum(dall) OVER wi AS dall_c
+        FROM terms
+        WINDOW wi AS (PARTITION BY cohort ORDER BY iv
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort,
+           CAST(iv * 8 AS BIGINT) AS interval_start,
+           CAST((iv + 1) * 8 AS BIGINT) AS interval_end,
+           n_enter, n_event, n_censored,
+           round(neff, 2) AS effective_risk,
+           CASE WHEN dall_c > 0 THEN 0.0
+                ELSE round(exp(lt_c / 1000000.0), 6) END AS survival
+    FROM acc
+"""
+
+
 _CONDSURV_PAIRS = [(8, 16), (8, 24), (8, 48), (16, 32), (24, 48)]
 
 
@@ -9877,7 +9995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "dedup_lsh_quality": q_dedup_lsh_quality,
         "embedding_matryoshka": q_embedding_matryoshka,
-        "embedding_pca": q_embedding_pca,
         "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
         "multimodal_pcm": q_multimodal_pcm,
         "multimodal_bmp": q_multimodal_bmp,
@@ -9893,7 +10010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "zorder_values": q_zorder_values,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "ann_pca_topk": q_ann_pca_topk,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
         "dedup_spans": q_dedup_spans,
@@ -9927,11 +10043,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_index": q_survival_index,
         "survival_logrank": q_survival_logrank,
         "survival_cox": q_survival_cox,
+        "embedding_pca": q_embedding_pca,
+        "ann_pca_topk": q_ann_pca_topk,
         "survival_cif": q_survival_cif,
         "survival_relative": q_survival_relative,
         "survival_net_pp": q_survival_net_pp,
         "survival_conditional": q_survival_conditional,
         "survival_net_std": q_survival_net_std,
+        "survival_actuarial": q_survival_actuarial,
         "events_rfm": q_events_rfm,
         "text_readability": q_text_readability,
         "rates_age_standardized": q_rates_age_standardized,
@@ -9956,6 +10075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "model_train_logistic": q_model_train_logistic,
         "model_train_quantile": q_model_train_quantile,
+        "eval_platt": q_eval_platt,
         "eval_isotonic": q_eval_isotonic,
         "join_size_estimate": q_join_size_estimate,
         "text_hashed_features": q_text_hashed_features,
@@ -11726,6 +11846,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_net_pp": _NET_PP_SQL,
         "survival_conditional": _CONDSURV_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_net_std": _NET_STD_SQL,
+        "survival_actuarial": _ACTUARIAL_SQL.format(cte=_SURV_SQL_CTE),
         "events_rfm": _RFM_SQL,
         "text_readability": _READABILITY_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,
@@ -11813,6 +11934,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _triangles_sql(),
         "model_train_logistic": _LOGISTIC_TRAIN_SQL,
         "model_train_quantile": _QUANTILE_TRAIN_SQL,
+        "eval_platt": _PLATT_SQL,
         "eval_isotonic": _ISOTONIC_SQL,
         "join_size_estimate": _JOIN_SIZE_SQL,
         "text_hashed_features": _HASHED_FEATURES_SQL,

@@ -244,6 +244,90 @@ def survival_at_horizons(
     )
 
 
+def actuarial_life_table(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    interval_width: int,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Actuarial (life-table) survival — the classical interval
+    estimator registries published before product-limit methods, and
+    still the standard when only grouped follow-up counts exist: time
+    is cut into fixed intervals [0,w), [w,2w), …; within each interval
+    with d deaths, c censored and n entering, the effective at-risk is
+    n' = n − c/2 (censoring assumed uniform over the interval — the
+    actuarial half-correction) and conditional survival is 1 − d/n';
+    S multiplies across intervals.
+
+    Returns one row per (group, interval): ``interval_start``/``_end``,
+    ``n_enter``, ``n_event``, ``n_censored``, ``effective_risk``
+    (2 dp), ``survival`` (cumulative, 6 dp — exact 0 pinned when an
+    interval kills everyone at risk).
+
+    Scale shape: ``km_curve``'s exactly — one hash aggregate to
+    per-(group, interval) cells (even FEWER cells than KM: bounded by
+    horizon/width), one ``grouped_prefix_sum`` for entries, a second
+    for the micro-lattice log-survival accumulation.
+    """
+    g = list(group_cols)
+    w = int(interval_width)
+    iv = F.least(
+        (F.col(duration_col).cast("long") / w).cast("long"),
+        F.lit(int(horizon) // w),
+    )
+    ev = F.col(event_col).cast("long")
+    cells = df.select(*g, iv.alias("_iv"), ev.alias("_e")).groupBy(
+        *g, "_iv"
+    ).agg(
+        F.sum("_e").alias("n_event"),
+        F.sum(F.lit(1) - F.col("_e")).alias("n_censored"),
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    cells = cells.join(totals, g).withColumn(
+        "_rm", F.col("n_event") + F.col("n_censored")
+    )
+    cells = grouped_prefix_sum(cells, g, "_iv", "_rm", "_rm0")
+    n_enter = F.col("_n_subj") - F.col("_rm0")
+    neff = n_enter.cast("double") - F.col("n_censored") / F.lit(2.0)
+    d = F.col("n_event")
+    cells = (
+        cells.withColumn("n_enter", n_enter)
+        .withColumn("_neff", neff)
+        .withColumn(
+            "_lt",
+            F.when(
+                (d > 0) & (d < F.col("_neff")),
+                _micro(F.log(F.lit(1.0) - d / F.col("_neff"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d > 0) & (d >= F.col("_neff")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    cells = grouped_prefix_sum(
+        cells, g, "_iv", ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    s = F.when(
+        F.col("_dall0") + F.col("_dall") > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0))
+    )
+    return cells.select(
+        *g,
+        (F.col("_iv") * w).alias("interval_start"),
+        ((F.col("_iv") + 1) * w).alias("interval_end"),
+        "n_enter",
+        "n_event",
+        "n_censored",
+        F.round(F.col("_neff"), 2).alias("effective_risk"),
+        F.round(s, 6).alias("survival"),
+    )
+
+
 def conditional_survival(
     km: DataFrame,
     group_cols: Sequence[str],

@@ -609,3 +609,46 @@ def test_standardized_net_survival_weighted_mix(spark):
         standardized_net_survival(
             df, ["cohort"], "agegrp", {0: 0.5}, "band", hz, 6
         )
+
+
+def test_actuarial_life_table_hand_computation(spark):
+    """Actuarial estimator on the 6-MP arm in 10-week intervals vs the
+    textbook n' = n - c/2 computation."""
+    from cancer_survival_etl_spark.operators.survival import (
+        actuarial_life_table,
+    )
+
+    df = spark.createDataFrame(
+        [("A", d, e) for d, e in SIX_MP],
+        "cohort string, duration long, event int",
+    )
+    got = {
+        r.interval_start: r
+        for r in actuarial_life_table(
+            df, ["cohort"], interval_width=10, horizon=40
+        ).collect()
+    }
+    # sequential reference
+    n = len(SIX_MP)
+    s = 1.0
+    ref = {}
+    for iv in range(5):
+        at = [(d, e) for d, e in SIX_MP
+              if min(d // 10, 4) == iv]
+        dth = sum(e for _, e in at)
+        cen = len(at) - dth
+        neff = n - cen / 2.0
+        if dth > 0 and dth < neff:
+            s *= 1 - dth / neff
+        elif dth > 0:
+            s = 0.0
+        ref[iv * 10] = (n, dth, cen, neff, s)
+        n -= len(at)
+    for start, (ne, dth, cen, neff, s) in ref.items():
+        if start not in got:
+            assert dth == 0 and cen == 0
+            continue
+        r = got[start]
+        assert (r.n_enter, r.n_event, r.n_censored) == (ne, dth, cen)
+        assert r.effective_risk == pytest.approx(round(neff, 2))
+        assert r.survival == pytest.approx(s, abs=2e-6)
