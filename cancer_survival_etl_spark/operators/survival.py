@@ -1013,6 +1013,152 @@ def standardized_net_survival(
     )
 
 
+def person_time_cells(
+    df: DataFrame,
+    x_col: str,
+    band_col: str,
+    hazard_micro_by_band: dict,
+    interval_width: int,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Person-time split for excess-hazard (relative-survival)
+    regression — the grouped-data layout of Dickman et al.'s Poisson
+    formulation: follow-up is cut into fixed intervals and each
+    subject contributes its overlap as exposure; expected (background)
+    deaths per cell come from the integer micro-hazard life table.
+
+    Exposure convention: a subject observed for D integer hours
+    contributes y_j = clip(min(D+1, horizon) − j·w, 0, w) to interval
+    j — the +1 guarantees ≥ 1 unit of exposure (the same floor as
+    ``age_standardized_rates``), so a death at hour 0 still has
+    person-time to sit in. The death lands in interval D // w.
+
+    Returns one row per (x, interval): ``n_events`` (exact long),
+    ``person_time`` (exact long — integer hours), ``expected_micro``
+    (exact long: Σ_band λ_band·y, in 1e-6 deaths). ALL columns are
+    exact integers — the cell table hash-adjudicates bit-exact, and it
+    is the ONLY data-sized computation: everything downstream
+    (``excess_hazard_fit``) runs on ≤ #x-patterns × #intervals rows.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    w = int(interval_width)
+    hz = int(horizon)
+    n_iv = hz // w
+    spark = df.sparkSession
+    ivs = spark.range(0, n_iv).select(F.col("id").alias("_j"))
+    d = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("long")
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    base = df.select(
+        F.col(x_col).alias("x"),
+        F.coalesce(hmap[F.col(band_col)], F.lit(0))
+        .cast("long")
+        .alias("_lam"),
+        d.alias("_d"),
+        ev.alias("_e"),
+    )
+    j = base.crossJoin(F.broadcast(ivs))
+    y = F.greatest(
+        F.least(
+            F.least(F.col("_d") + 1, F.lit(hz)) - F.col("_j") * w,
+            F.lit(w).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+    death_here = (
+        (F.col("_e") == 1)
+        & ((F.col("_d") / w).cast("long") == F.col("_j"))
+    ).cast("long")
+    return (
+        j.select(
+            "x",
+            F.col("_j").alias("interval"),
+            y.alias("_y"),
+            death_here.alias("_dh"),
+            (F.col("_lam") * y).alias("_em"),
+        )
+        .groupBy("x", "interval")
+        .agg(
+            F.sum("_dh").alias("n_events"),
+            F.sum("_y").alias("person_time"),
+            F.sum("_em").alias("expected_micro"),
+        )
+    )
+
+
+def excess_hazard_fit(
+    cells: DataFrame,
+    n_intervals: int,
+    iters: int = 40,
+    step_clip: float = 1.0,
+):
+    """Fit the Estève/Dickman excess-hazard model on a
+    ``person_time_cells`` table: observed deaths in cell c are
+    Poisson with mean μ_c = d*_c + exp(α_{j(c)} + β·x_c)·y_c —
+    background deaths d* plus a proportional excess hazard,
+    piecewise-constant over intervals (α_j) and log-linear in the
+    covariate (β). This is THE regression modern registries fit to
+    estimate net survival by stage/deprivation/age (Dickman et al.
+    2004's grouped Poisson formulation of Estève's ML).
+
+    Newton-Raphson with analytic gradient/Hessian runs ON THE DRIVER:
+    the cell table is #x-patterns × #intervals rows by construction
+    (the data-sized work already happened in ``person_time_cells``),
+    so collecting it is the scale-correct move — same contract as
+    ``pca_fit``'s 64×64 eigh. Per-component steps are clipped to
+    ±``step_clip`` (Newton on sparse cells overshoots; clipping is the
+    deterministic safeguard — unlike line search it needs no extra
+    likelihood evaluations). Deterministic: cells are exact integers,
+    rows sorted, the NR arithmetic fixed-order numpy. Returns
+    (alphas[j], beta).
+    """
+    import numpy as np
+
+    # fixed row order → fixed float-sum order → bit-identical fit
+    # under any partitioning of the upstream cell aggregate
+    rows = sorted(cells.collect(), key=lambda r: (r.x, r.interval))
+    J = int(n_intervals)
+    C = len(rows)
+    dvec = np.array([r.n_events for r in rows], dtype=np.float64)
+    yvec = np.array([r.person_time for r in rows], dtype=np.float64)
+    dstar = np.array(
+        [r.expected_micro for r in rows], dtype=np.float64
+    ) / 1e6
+    xs = np.array([float(r.x) for r in rows])
+    jidx = np.array([int(r.interval) for r in rows])
+    Z = np.zeros((C, J + 1))
+    Z[np.arange(C), jidx] = 1.0
+    Z[:, J] = xs
+    theta = np.zeros(J + 1)
+    theta[:J] = -5.0  # sane excess-hazard starting point (per hour)
+    for _ in range(iters):
+        eta = Z @ theta
+        E = np.exp(eta) * yvec
+        mu = dstar + E
+        ok = mu > 0
+        r1 = np.where(ok, dvec / np.where(ok, mu, 1.0) - 1.0, 0.0)
+        g = Z.T @ (r1 * E)
+        wdiag = np.where(
+            ok, r1 * E - dvec * E * E / np.where(ok, mu * mu, 1.0), 0.0
+        )
+        H = (Z * wdiag[:, None]).T @ Z
+        step = np.linalg.solve(H, g)
+        step = np.clip(step, -step_clip, step_clip)
+        theta = np.round(theta - step, 9)
+    return [float(t) for t in theta[:J]], float(theta[J])
+
+
 def cox_ph(
     df: DataFrame,
     feature_cols: Sequence[str],

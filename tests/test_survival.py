@@ -652,3 +652,53 @@ def test_actuarial_life_table_hand_computation(spark):
         assert (r.n_enter, r.n_event, r.n_censored) == (ne, dth, cen)
         assert r.effective_risk == pytest.approx(round(neff, 2))
         assert r.survival == pytest.approx(s, abs=2e-6)
+
+
+def test_excess_hazard_regression_recovers_planted_beta(spark):
+    """Person-time cells match a sequential split exactly; the
+    Estève/Dickman Poisson fit recovers the planted excess log-hazard
+    ratio and the flat baseline."""
+    from cancer_survival_etl_spark.operators.survival import (
+        excess_hazard_fit,
+        person_time_cells,
+    )
+
+    N, H, w, J = 3000, 48, 8, 6
+    lam_micro = {0: 3000, 1: 7000}
+    rows = []
+    for i in range(N):
+        band = i % 2
+        lam_b = lam_micro[band] / 1e6
+        x = (i // 2) % 2
+        exc = math.exp(-5.0 + 0.8 * x)
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / (lam_b + exc)
+        d = int(min(t, H))
+        e = 1 if t < H else 0
+        rows.append((x, band, d, e))
+    df = spark.createDataFrame(
+        rows, "x int, band int, duration long, event int"
+    )
+    cells = person_time_cells(df, "x", "band", lam_micro, w, H)
+    # sequential reference cells
+    ref = {}
+    for x, band, d, e in rows:
+        for j in range(J):
+            y = max(min(min(d + 1, H) - j * w, w), 0)
+            dh = 1 if (e == 1 and d // w == j) else 0
+            c = ref.setdefault((x, j), [0, 0, 0])
+            c[0] += dh
+            c[1] += y
+            c[2] += lam_micro[band] * y
+    got = {(r.x, r.interval): (r.n_events, r.person_time,
+                               r.expected_micro)
+           for r in cells.collect()}
+    assert got == {k: tuple(v) for k, v in ref.items()}
+    alphas, beta = excess_hazard_fit(cells, n_intervals=J)
+    assert abs(beta - 0.8) < 0.15
+    assert all(abs(a + 5.0) < 0.3 for a in alphas)
+    # partitioning independence of the whole pipeline
+    cells32 = person_time_cells(
+        df.repartition(32), "x", "band", lam_micro, w, H
+    )
+    assert excess_hazard_fit(cells32, J) == (alphas, beta)
