@@ -5105,6 +5105,58 @@ def _triangles_sql() -> str:
     """
 
 
+def q_graph_kcore(spark, sf_dir):
+    """2-core of the SimHash near-dup graph (operators/graph.py::
+    k_core): iterative degree peel to the fixpoint under the
+    bounded-round contract — the dense near-dup families left after
+    stripping pendant chains. The oracle UNROLLS the same peel rounds
+    (peeling is monotone, so post-fixpoint rounds are no-ops) —
+    bit-exact node set + in-core degrees."""
+    from cancer_survival_etl_spark.llm.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+    from cancer_survival_etl_spark.operators.graph import k_core
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash(d, "text", "doc_id", bits=32)
+    pairs = simhash_near_dups(sigs, "doc_id", max_hamming=3)
+    return k_core(pairs, 2, "id_a", "id_b", max_rounds=12)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 12) -> str:
+    parts = [
+        f"WITH s AS MATERIALIZED ({_simhash_sql()}),",
+        """
+    r0 AS MATERIALIZED (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM r{i - 1}
+            UNION ALL SELECT v FROM r{i - 1}
+        ) t GROUP BY node
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    r{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM r{i - 1} e
+        WHERE e.u IN (SELECT node FROM k{i})
+          AND e.v IN (SELECT node FROM k{i})
+    )""")
+    parts.append(f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM r{rounds}
+          UNION ALL SELECT v FROM r{rounds}) t
+    GROUP BY node HAVING count(*) >= {k}
+    """)
+    return "".join(parts)
+
+
 def q_model_train_logistic(spark, sf_dir):
     """In-engine classifier training on a planted logistic ground
     truth: y ~ Bernoulli(sigmoid(6(x1 - 0.5))) with md5-derived
@@ -10165,6 +10217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kll_rollup": q_sketch_kll_rollup,
         "sketch_theta_overlap": q_sketch_theta_overlap,
         "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
         "model_train_logistic": q_model_train_logistic,
         "model_train_quantile": q_model_train_quantile,
         "eval_platt": q_eval_platt,
@@ -12025,6 +12078,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_rank_sum": _RANK_SUM_SQL,
         "stats_bh_adjust": _BH_SQL,
         "graph_triangles": _triangles_sql(),
+        "graph_kcore": _kcore_sql(),
         "model_train_logistic": _LOGISTIC_TRAIN_SQL,
         "model_train_quantile": _QUANTILE_TRAIN_SQL,
         "eval_platt": _PLATT_SQL,

@@ -291,3 +291,60 @@ def triangle_count(
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition at a fixed k: iteratively peel nodes of
+    degree < k until the survivor set is stable — the standard dense-
+    subgraph extractor (spam rings, tight near-dup families, community
+    nuclei). Returns (node, core_degree) for the k-core members, with
+    degree measured inside the core (≥ k by the fixpoint property).
+
+    BOUNDED-ROUND CONTRACT: at most ``max_rounds`` peels, stopping
+    early at the fixpoint (one scalar count per round crosses the
+    driver — the same probe discipline as ``connected_components``).
+    Peeling is monotone, so any graph whose peel depth ≤ max_rounds
+    reaches the exact k-core, and extra rounds are no-ops — which is
+    what lets a non-recursive oracle UNROLL the same rounds and match
+    bit-exact. Near-dup graphs peel in a handful of rounds; raise
+    max_rounds for pathological chains.
+
+    Scale shape per round: one explode + hash aggregate for degrees,
+    two semi-joins to filter edges — all keyed shuffles on node id; an
+    eager checkpoint per round keeps lineage constant-depth.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    prev_n = None
+    for _ in range(int(max_rounds)):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur_n = keep.count()
+        if cur_n == prev_n:
+            break
+        prev_n = cur_n
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return deg.filter(F.col("core_degree") >= k)

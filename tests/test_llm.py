@@ -2078,3 +2078,26 @@ def test_pca_shortlist_topk_exact_when_full_rank(spark):
                  brute_force_topk(df, q, k=79).collect()}
     for r in small.collect():
         assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_k_core_peels_to_the_clique(spark):
+    from cancer_survival_etl_spark.operators.graph import k_core
+
+    # 4-clique {0,1,2,3} + a tail 3-4-5-6 + a triangle {7,8,9}
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5), (5, 6),
+             (7, 8), (8, 9), (7, 9)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    core3 = {r.node: r.core_degree for r in k_core(df, 3).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    core2 = {r.node: r.core_degree for r in k_core(df, 2).collect()}
+    # 2-core: clique + triangle survive, the open tail peels away
+    assert set(core2) == {0, 1, 2, 3, 7, 8, 9}
+    assert core2[7] == core2[8] == core2[9] == 2
+    # k above max degree: empty
+    assert k_core(df, 5).count() == 0
+    # pure path has no 2-core
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    assert k_core(path, 2).count() == 0
