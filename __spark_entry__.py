@@ -8755,6 +8755,115 @@ _ACTUARIAL_SQL = f"""
 """
 
 
+def q_survival_median(spark, sf_dir):
+    """Median survival time per cohort (operators/survival.py::
+    median_survival): smallest event time with KM S ≤ 0.5, NULL when
+    not reached within the 48-hour follow-up — the headline number
+    registries quote beside the index table. Oracle mirrors the
+    argmin read-off."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        median_survival,
+    )
+
+    km = km_curve(_survival_episodes(spark, sf_dir), ["cohort"])
+    return median_survival(km, ["cohort"])
+
+
+_SURVIVAL_MEDIAN_SQL = """
+    WITH kmfull AS ({km}),
+    crossed AS (
+        SELECT cohort, duration, survival
+        FROM kmfull WHERE survival <= 0.5
+    ),
+    best AS (SELECT cohort, min(duration) AS d FROM crossed GROUP BY cohort),
+    bv AS (
+        SELECT b.cohort, b.d, k.survival
+        FROM best b
+        JOIN kmfull k ON k.cohort = b.cohort AND k.duration = b.d
+    ),
+    tot AS (
+        SELECT cohort, CAST(max(n_risk) AS BIGINT) AS n_subjects
+        FROM kmfull GROUP BY cohort
+    )
+    SELECT t.cohort, t.n_subjects,
+           v.d AS median_time,
+           v.survival AS survival_at_median,
+           v.cohort IS NOT NULL AS median_reached
+    FROM tot t LEFT JOIN bv v ON v.cohort = t.cohort
+"""
+
+
+def q_rates_ratio(spark, sf_dir):
+    """Two-group incidence-rate-ratio test (operators/survival.py::
+    rate_ratio_test): error rate per exposure-hour, parity cohorts,
+    Wald z on ln RR with 1/d₁ + 1/d₂ variance and normal 95% CI —
+    the epidemiologist's A/B test for event RATES. Exact integer
+    case/time sums; one mirrored expression."""
+    from cancer_survival_etl_spark.operators.survival import (
+        rate_ratio_test,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "cases"
+        ),
+        (
+            F.expr("timestampdiff(HOUR, min(ts), max(ts))") + F.lit(1)
+        ).alias("exposure_h"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        "cases",
+        "exposure_h",
+    )
+    return rate_ratio_test(per, "cohort", "cases", "exposure_h")
+
+
+_RATES_RATIO_SQL = """
+    WITH per AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cases,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 + 1
+                   AS exposure_h
+        FROM events GROUP BY user_id
+    ),
+    gp AS (
+        SELECT g, CAST(sum(cases) AS BIGINT) AS d,
+               CAST(sum(exposure_h) AS BIGINT) AS y
+        FROM per GROUP BY g
+    ),
+    j AS (
+        SELECT
+            (SELECT g FROM gp ORDER BY g LIMIT 1) AS group_1,
+            (SELECT d FROM gp ORDER BY g LIMIT 1) AS cases_1,
+            (SELECT y FROM gp ORDER BY g LIMIT 1) AS time_1,
+            (SELECT g FROM gp ORDER BY g DESC LIMIT 1) AS group_2,
+            (SELECT d FROM gp ORDER BY g DESC LIMIT 1) AS cases_2,
+            (SELECT y FROM gp ORDER BY g DESC LIMIT 1) AS time_2,
+            (SELECT count(*) FROM gp) AS nv
+    )
+    SELECT group_1, group_2, cases_1, time_1, cases_2, time_2,
+           CASE WHEN ok THEN round(rr, 6) END AS rate_ratio,
+           CASE WHEN ok THEN round(ln(rr) / se, 6) END AS z_stat,
+           CASE WHEN ok THEN round(rr * exp(-1.96 * se), 6) END
+               AS rr_lower95,
+           CASE WHEN ok THEN round(rr * exp(1.96 * se), 6) END
+               AS rr_upper95
+    FROM (
+        SELECT *,
+               (cases_1::DOUBLE / time_1) / (cases_2::DOUBLE / time_2)
+                   AS rr,
+               sqrt(1.0 / cases_1 + 1.0 / cases_2) AS se,
+               nv = 2 AND cases_1 > 0 AND cases_2 > 0 AS ok
+        FROM j
+    ) t
+"""
+
+
 _CONDSURV_PAIRS = [(8, 16), (8, 24), (8, 48), (16, 32), (24, 48)]
 
 
@@ -10195,6 +10304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_net_std": q_survival_net_std,
         "survival_actuarial": q_survival_actuarial,
         "survival_excess_model": q_survival_excess_model,
+        "survival_median": q_survival_median,
+        "rates_ratio": q_rates_ratio,
         "events_rfm": q_events_rfm,
         "text_readability": q_text_readability,
         "rates_age_standardized": q_rates_age_standardized,
@@ -11993,6 +12104,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_net_std": _NET_STD_SQL,
         "survival_actuarial": _ACTUARIAL_SQL.format(cte=_SURV_SQL_CTE),
         "survival_excess_model": _EXCESS_MODEL_SQL,
+        "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
+        "rates_ratio": _RATES_RATIO_SQL,
         "events_rfm": _RFM_SQL,
         "text_readability": _READABILITY_SQL,
         "rates_age_standardized": _RATES_DSR_SQL,

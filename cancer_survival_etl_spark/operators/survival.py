@@ -398,6 +398,106 @@ def conditional_survival(
     )
 
 
+def median_survival(
+    km: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str = "duration",
+) -> DataFrame:
+    """Median survival time per group — the single number registries
+    quote beside the index table: the smallest event time where the
+    KM curve reaches S ≤ 0.5 (the standard convention; NULL when the
+    curve never falls that far, i.e. median not reached within
+    follow-up).
+
+    Pure cell arithmetic on a ``km_curve`` output: one filtered
+    min-struct argmin per group plus a cohort-size read-off. Returns
+    (group, n_subjects, median_time, survival_at_median,
+    median_reached).
+    """
+    g = list(group_cols)
+    crossed = km.filter(F.col("survival") <= 0.5)
+    best = crossed.groupBy(*g).agg(
+        F.min(
+            F.struct(
+                F.col(duration_col).alias("_d"),
+                F.col("survival").alias("_s"),
+            )
+        ).alias("_b")
+    )
+    totals = km.groupBy(*g).agg(F.max("n_risk").alias("n_subjects"))
+    j = totals.join(best, g, "left")
+    return j.select(
+        *g,
+        "n_subjects",
+        F.col("_b._d").alias("median_time"),
+        F.col("_b._s").alias("survival_at_median"),
+        F.col("_b").isNotNull().alias("median_reached"),
+    )
+
+
+def rate_ratio_test(
+    df: DataFrame,
+    group_col: str,
+    case_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Two-group incidence-rate-ratio test on person-time data — the
+    epidemiologist's A/B test for event RATES (errors per
+    exposure-hour) rather than means: rate ratio RR = (d₁/y₁)/(d₂/y₂),
+    Wald z on ln RR with variance 1/d₁ + 1/d₂, normal-approx 95% CI.
+
+    ``group_col`` must take exactly two values (lexicographically
+    smaller = group 1, the ``logrank_test`` orientation). One exact
+    integer aggregate per group (Σcases, Σtime) IS the whole test;
+    the statistic is one mirrored expression. NULL z/CI when either
+    group has zero events (ln RR variance undefined). Returns one
+    row: (group_1, group_2, cases_1/2 (exact), time_1/2 (exact),
+    rate_ratio, z_stat, rr_lower95, rr_upper95) rounded to 6 dp.
+    """
+    per = (
+        df.groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.sum(F.col(case_col).cast("long")).alias("_d"),
+            F.sum(F.col(time_col).cast("long")).alias("_y"),
+        )
+    )
+    a = per.orderBy("_g").limit(1).select(
+        F.col("_g").alias("group_1"),
+        F.col("_d").alias("cases_1"),
+        F.col("_y").alias("time_1"),
+    )
+    b = per.orderBy(F.col("_g").desc()).limit(1).select(
+        F.col("_g").alias("group_2"),
+        F.col("_d").alias("cases_2"),
+        F.col("_y").alias("time_2"),
+    )
+    nv = per.agg(F.count(F.lit(1)).alias("_nv"))
+    j = a.crossJoin(b).crossJoin(F.broadcast(nv))
+    d1, y1 = F.col("cases_1").cast("double"), F.col("time_1").cast("double")
+    d2, y2 = F.col("cases_2").cast("double"), F.col("time_2").cast("double")
+    rr = (d1 / y1) / (d2 / y2)
+    se = F.sqrt(1 / d1 + 1 / d2)
+    ok = (F.col("_nv") == 2) & (F.col("cases_1") > 0) & (
+        F.col("cases_2") > 0
+    )
+    return j.select(
+        "group_1",
+        "group_2",
+        "cases_1",
+        "time_1",
+        "cases_2",
+        "time_2",
+        F.when(ok, F.round(rr, 6)).alias("rate_ratio"),
+        F.when(ok, F.round(F.log(rr) / se, 6)).alias("z_stat"),
+        F.when(ok, F.round(rr * F.exp(-1.96 * se), 6)).alias(
+            "rr_lower95"
+        ),
+        F.when(ok, F.round(rr * F.exp(1.96 * se), 6)).alias(
+            "rr_upper95"
+        ),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     group_col: str,

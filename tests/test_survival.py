@@ -702,3 +702,49 @@ def test_excess_hazard_regression_recovers_planted_beta(spark):
         df.repartition(32), "x", "band", lam_micro, w, H
     )
     assert excess_hazard_fit(cells32, J) == (alphas, beta)
+
+
+def test_median_survival_and_rate_ratio(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        median_survival,
+        rate_ratio_test,
+    )
+
+    # placebo arm crosses 0.5 at t=8 (S=0.381); 6-MP arm never does
+    rows = [("mp", d, e) for d, e in SIX_MP] + [
+        ("pl", d, e) for d, e in PLACEBO
+    ]
+    df = spark.createDataFrame(rows, "cohort string, duration long, event int")
+    km = km_curve(df, ["cohort"])
+    med = {r.cohort: r for r in median_survival(km, ["cohort"]).collect()}
+    assert med["pl"].median_reached and med["pl"].median_time == 8
+    assert med["pl"].survival_at_median == pytest.approx(0.380952, abs=1e-6)
+    # the published 6-MP median: 23 weeks (S first ≤ 0.5 there, 0.448)
+    assert med["mp"].median_reached and med["mp"].median_time == 23
+    assert med["mp"].survival_at_median == pytest.approx(0.448, abs=1e-3)
+    assert med["mp"].n_subjects == 21
+    # heavy censoring: median never reached -> NULLs
+    cen = spark.createDataFrame(
+        [("c", 5, 1)] + [("c", 9, 0)] * 9,
+        "cohort string, duration long, event int",
+    )
+    mc = median_survival(km_curve(cen, ["cohort"]), ["cohort"]).collect()[0]
+    assert not mc.median_reached and mc.median_time is None
+
+    # rate ratio on planted person-time: A 10 cases/100h, B 5/200h
+    pt = spark.createDataFrame(
+        [("A", 10, 100), ("B", 5, 200)], "g string, cases long, t long"
+    )
+    r = rate_ratio_test(pt, "g", "cases", "t").collect()[0]
+    rr = (10 / 100) / (5 / 200)
+    se = math.sqrt(1 / 10 + 1 / 5)
+    assert r.rate_ratio == pytest.approx(rr, abs=1e-6)
+    assert r.z_stat == pytest.approx(round(math.log(rr) / se, 6), abs=1e-9)
+    assert r.rr_lower95 == pytest.approx(rr * math.exp(-1.96 * se), abs=1e-5)
+    # zero-event group -> NULL stats, exact counts still emitted
+    z = spark.createDataFrame(
+        [("A", 0, 100), ("B", 5, 200)], "g string, cases long, t long"
+    )
+    rz = rate_ratio_test(z, "g", "cases", "t").collect()[0]
+    assert rz.rate_ratio is None and rz.cases_1 == 0
