@@ -9670,6 +9670,68 @@ _LINKAGE_SQL = """
 """
 
 
+def q_events_cdc_apply(spark, sf_dir):
+    """CDC feed applied onto a base snapshot (operators/
+    incremental.py::cdc_apply — the lakehouse MERGE kernel):
+    base = per-user cents totals over the event_id % 4 == 0 slice;
+    the remaining events replay as a mutation feed (signup → I,
+    error → D, else U) ordered by event_id, last-writer-wins with
+    deterministic op-rank tie-breaks. One union + max_by aggregate —
+    no per-key sort window. Oracle mirrors with a windowed argmax."""
+    from cancer_survival_etl_spark.operators.incremental import cdc_apply
+
+    e = _t(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_id") % 4 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    changes = e.filter(F.col("event_id") % 4 != 0).select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return cdc_apply(base, changes, ["user_id"], "seq")
+
+
+_CDC_APPLY_SQL = """
+    WITH base AS (
+        SELECT user_id,
+               CAST(NULL AS BIGINT) AS seq, 'I' AS op,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_id % 4 = 0 GROUP BY user_id
+    ),
+    changes AS (
+        SELECT user_id, event_id AS seq,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D'
+                    ELSE 'U' END AS op,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_id % 4 <> 0
+    ),
+    u AS (
+        SELECT user_id, coalesce(seq, -4611686018427387904) AS s,
+               op, cents
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM changes) t
+    ),
+    w AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY s DESC, op DESC) AS rn
+        FROM u
+    )
+    SELECT user_id, cents FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental aggregate maintenance: merge a delta batch's agg
     state into the base state (never rescanning the base) and prove it
@@ -10366,6 +10428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "linkage_golden": q_linkage_golden,
         "incremental_agg": q_incremental_agg,
+        "events_cdc_apply": q_events_cdc_apply,
         "dedup_semantic": q_dedup_semantic,
         "ann_pq_adc": q_ann_pq_adc,
         "corpus_curation": q_corpus_curation,
@@ -12075,6 +12138,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _HYBRID_SQL,
         "record_linkage": _LINKAGE_SQL,
         "incremental_agg": _INCREMENTAL_SQL,
+        "events_cdc_apply": _CDC_APPLY_SQL,
         "events_anomaly": _ANOMALY_SQL,
         "stats_psi_drift": _PSI_SQL,
         "bloom_decontaminate": _BLOOM_DECONTAM_SQL,

@@ -88,3 +88,58 @@ def incremental_update(
     """One maintenance cycle: aggregate the delta's raw rows, merge into
     the existing state. The base table is never touched."""
     return merge_agg_state(state, agg_state(delta_rows, keys, value_col), keys)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture feed onto a base snapshot —
+    last-writer-wins upsert/delete, the lakehouse MERGE kernel:
+    ``changes`` carries one row per mutation with ``op_col`` ∈
+    {'I','U','D'} and a totally-ordered ``seq_col`` (ties broken by
+    the op's lexicographic rank D < I < U — deletes lose to a
+    same-sequence re-insert, deterministic by construction). Base rows
+    participate as sequence −∞ inserts, so a key absent from the feed
+    survives unchanged and a key deleted then re-inserted keeps the
+    latest image.
+
+    One shuffle: union base+changes, hash-aggregate ``max_by`` per key
+    on (seq, op-rank) — no per-key sort window, no driver loop. Hot
+    keys cost one combiner cell each (max_by is map-side combinable).
+    Rows whose winning op is 'D' drop out. Returns the post-apply
+    snapshot with the base's value columns.
+    """
+    keys = list(key_cols)
+    vals = [c for c in base.columns if c not in keys]
+    b = base.select(
+        *keys,
+        F.lit("I").alias("_op"),
+        F.lit(None).cast("long").alias("_seq"),
+        *[F.col(c) for c in vals],
+    )
+    c = changes.select(
+        *keys,
+        F.col(op_col).alias("_op"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        *[F.col(v) for v in vals],
+    )
+    u = b.unionByName(c)
+    # NULL seq (base rows) sorts below every change: coalesce to MIN
+    ordkey = F.struct(
+        F.coalesce(F.col("_seq"), F.lit(-(2**62)).cast("long")).alias(
+            "s"
+        ),
+        F.col("_op").alias("o"),
+    )
+    winner = u.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col("_op").alias("o"), *[F.col(v) for v in vals]),
+            ordkey,
+        ).alias("_w")
+    )
+    out = winner.filter(F.col("_w.o") != "D")
+    return out.select(*keys, *[F.col(f"_w.{v}").alias(v) for v in vals])

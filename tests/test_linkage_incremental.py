@@ -212,3 +212,33 @@ def test_cuped_reduces_to_raw_with_flat_covariate(spark):
     pooled = sum(float(i) for i in range(20)) / 20
     for r in out2:
         assert r.mean_adjusted == pytest.approx(pooled, abs=1e-4)
+
+
+def test_cdc_apply_last_writer_wins_and_deletes(spark):
+    from cancer_survival_etl_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 10, 111),   # update k=1
+            (1, "U", 20, 122),   # later update wins
+            (2, "D", 15, 0),     # delete k=2
+            (4, "I", 5, 444),    # brand-new key
+            (5, "I", 7, 555),    # insert then delete -> gone
+            (5, "D", 9, 0),
+            (6, "D", 3, 0),      # delete then re-insert -> back
+            (6, "I", 4, 666),
+            (7, "D", 8, 0),      # same-seq D vs U: U wins (op rank)
+            (7, "U", 8, 777),
+        ],
+        "k long, op string, seq long, v long",
+    )
+    got = {r.k: r.v for r in
+           cdc_apply(base, changes, ["k"], "seq").collect()}
+    assert got == {1: 122, 3: 300, 4: 444, 6: 666, 7: 777}
+    # empty change feed: snapshot unchanged
+    empty = changes.filter("k < 0")
+    same = {r.k: r.v for r in cdc_apply(base, empty, ["k"], "seq").collect()}
+    assert same == {1: 100, 2: 200, 3: 300}
