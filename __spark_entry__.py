@@ -8794,6 +8794,80 @@ _SURVIVAL_MEDIAN_SQL = """
 """
 
 
+def q_survival_rmst(spark, sf_dir):
+    """Restricted mean survival time at τ = 24 h (operators/
+    survival.py::rmst): area under the KM curve by summation by parts
+    — τ·S(τ) + Σ tᵢ·(S(tᵢ⁻) − S(tᵢ)) — no window over cells, one
+    per-group fold. The model-free effect measure reported when
+    hazards aren't proportional. Oracle mirrors the drop terms and
+    the S(τ) read-off bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import rmst
+
+    return rmst(_survival_episodes(spark, sf_dir), ["cohort"], tau=24)
+
+
+_RMST_SQL = """
+    WITH {cte},
+    cells AS (
+        SELECT cohort, duration,
+               CAST(sum(event) AS BIGINT) AS d, count(*) AS rm
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    ar AS (
+        SELECT c.*, t.n_subj,
+               CAST(t.n_subj - coalesce(
+                   sum(c.rm) OVER (PARTITION BY c.cohort
+                       ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+        FROM cells c JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round(ln(1.0 - d / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS dall
+        FROM ar
+    ),
+    acc AS (
+        SELECT *,
+               coalesce(sum(lt) OVER wx, 0) AS lt0,
+               coalesce(sum(dall) OVER wx, 0) AS dall0
+        FROM terms
+        WINDOW wx AS (PARTITION BY cohort ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sv AS (
+        SELECT *,
+            CASE WHEN dall0 > 0 THEN 0.0
+                 ELSE round(exp(lt0 / 1000000.0), 6) END AS s_left,
+            CASE WHEN dall0 + dall > 0 THEN 0.0
+                 ELSE round(exp((lt0 + lt) / 1000000.0), 6)
+            END AS s_incl
+        FROM acc
+    ),
+    agg AS (
+        SELECT cohort,
+               CAST(max(n_subj) AS BIGINT) AS n_subjects,
+               CAST(sum(CASE WHEN duration <= 24 AND d > 0
+                        THEN CAST(round(duration * (s_left - s_incl)
+                                        * 1000000.0, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS drops,
+               max(CASE WHEN duration <= 24 THEN duration END) AS dmax
+        FROM sv GROUP BY cohort
+    )
+    SELECT a.cohort, a.n_subjects,
+           round(coalesce(v.s_incl, 1.0), 6) AS survival_at_tau,
+           round(24.0 * coalesce(v.s_incl, 1.0)
+                 + a.drops / 1000000.0, 6) AS rmst
+    FROM agg a
+    LEFT JOIN sv v ON v.cohort = a.cohort AND v.duration = a.dmax
+"""
+
+
 def q_rates_ratio(spark, sf_dir):
     """Two-group incidence-rate-ratio test (operators/survival.py::
     rate_ratio_test): error rate per exposure-hour, parity cohorts,
@@ -10367,6 +10441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_actuarial": q_survival_actuarial,
         "survival_excess_model": q_survival_excess_model,
         "survival_median": q_survival_median,
+        "survival_rmst": q_survival_rmst,
         "rates_ratio": q_rates_ratio,
         "events_rfm": q_events_rfm,
         "text_readability": q_text_readability,
@@ -12169,6 +12244,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_actuarial": _ACTUARIAL_SQL.format(cte=_SURV_SQL_CTE),
         "survival_excess_model": _EXCESS_MODEL_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
+        "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "rates_ratio": _RATES_RATIO_SQL,
         "events_rfm": _RFM_SQL,
         "text_readability": _READABILITY_SQL,

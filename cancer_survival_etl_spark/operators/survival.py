@@ -435,6 +435,101 @@ def median_survival(
     )
 
 
+def rmst(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    tau: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Restricted mean survival time — the area under the KM curve up
+    to horizon τ, the modern model-free alternative registries and
+    trialists report when hazards aren't proportional (mean survival
+    time gained per subject within τ, in the duration's units).
+
+    Uses summation by parts so NO window over cells is needed:
+    ∫₀^τ S dt = τ·S(τ) + Σ_{tᵢ ≤ τ} tᵢ·(S(tᵢ⁻) − S(tᵢ)) — the drop
+    at each event time is S(left limit) − S(inclusive), both already
+    available from ONE ``grouped_prefix_sum`` pass as the exclusive
+    and inclusive micro-lattice log sums; S(τ) is the lexicographic
+    struct-max read-off among cells ≤ τ. Everything folds in a single
+    per-group aggregate over the cell table; drop terms ride the
+    micro lattice so the result hash-adjudicates bit-exact.
+
+    Returns (group, n_subjects, survival_at_tau, rmst) — rmst ≤ τ,
+    equal to τ iff nobody dies before it.
+    """
+    g = list(group_cols)
+    tau = int(tau)
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(*g, duration_col).agg(
+        F.sum(ev).alias("_d"),
+        F.count(F.lit(1)).alias("_rm"),
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    cells = cells.join(totals, g)
+    cells = grouped_prefix_sum(cells, g, duration_col, "_rm", "_rm0")
+    d = F.col("_d")
+    n = F.col("_n_subj") - F.col("_rm0")
+    cells = (
+        cells.withColumn("n_risk", n)
+        .withColumn(
+            "_lt",
+            F.when(
+                (d > 0) & (d < F.col("n_risk")),
+                _micro(F.log(F.lit(1.0) - d / F.col("n_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d > 0) & (d == F.col("n_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    s_left = F.when(F.col("_dall0") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("_lt0") / F.lit(1000000.0)), 6)
+    )
+    s_incl = F.when(
+        F.col("_dall0") + F.col("_dall") > 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0)), 6
+        )
+    )
+    t = F.col(duration_col).cast("double")
+    in_tau = F.col(duration_col) <= tau
+    drop_term = F.when(
+        in_tau & (d > 0), _micro(t * (s_left - s_incl))
+    ).otherwise(F.lit(0).cast("long"))
+    agg = cells.withColumn("_dt", drop_term).groupBy(*g).agg(
+        F.max("_n_subj").alias("n_subjects"),
+        F.sum("_dt").alias("_drops"),
+        F.max(
+            F.when(
+                in_tau,
+                F.struct(
+                    F.col(duration_col).alias("_d"),
+                    s_incl.alias("_s"),
+                ),
+            )
+        ).alias("_at_tau"),
+    )
+    s_tau = F.coalesce(F.col("_at_tau._s"), F.lit(1.0))
+    return agg.select(
+        *g,
+        "n_subjects",
+        F.round(s_tau, 6).alias("survival_at_tau"),
+        F.round(
+            F.lit(float(tau)) * s_tau
+            + F.col("_drops") / F.lit(1000000.0),
+            6,
+        ).alias("rmst"),
+    )
+
+
 def rate_ratio_test(
     df: DataFrame,
     group_col: str,

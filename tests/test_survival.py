@@ -748,3 +748,50 @@ def test_median_survival_and_rate_ratio(spark):
     )
     rz = rate_ratio_test(z, "g", "cases", "t").collect()[0]
     assert rz.rate_ratio is None and rz.cases_1 == 0
+
+
+def test_rmst_matches_step_integration(spark):
+    """RMST vs direct step integration of the sequential KM curve on
+    both trial arms, plus the no-deaths identity rmst = tau."""
+    from cancer_survival_etl_spark.operators.survival import rmst
+
+    rows = [("mp", d, e) for d, e in SIX_MP] + [
+        ("pl", d, e) for d, e in PLACEBO
+    ]
+    df = spark.createDataFrame(rows, "cohort string, duration long, event int")
+    tau = 20
+    got = {r.cohort: r for r in rmst(df, ["cohort"], tau).collect()}
+
+    def ref_rmst(arm):
+        # sequential KM with 6-dp rounding (the operator's lattice)
+        times = sorted({d for d, _ in arm})
+        n, s, removed = len(arm), 1.0, 0
+        steps = []  # (time, S after)
+        for t in times:
+            at = [(d, e) for d, e in arm if d == t]
+            dth = sum(e for _, e in at)
+            nr = n - removed
+            if dth:
+                s = round(s * (1 - dth / nr), 6)
+            removed += len(at)
+            steps.append((t, s))
+        area, prev_t, prev_s = 0.0, 0, 1.0
+        for t, s in steps:
+            if t > tau:
+                break
+            area += prev_s * (t - prev_t)
+            prev_t, prev_s = t, s
+        area += prev_s * (tau - prev_t)
+        return area, prev_s
+
+    for arm_name, arm in (("mp", SIX_MP), ("pl", PLACEBO)):
+        area, s_tau = ref_rmst(arm)
+        r = got[arm_name]
+        assert r.survival_at_tau == pytest.approx(s_tau, abs=2e-6)
+        assert r.rmst == pytest.approx(area, abs=5e-5), arm_name
+    # censoring-only cohort: S==1 throughout, rmst == tau exactly
+    cen = spark.createDataFrame(
+        [("c", 9, 0)] * 8, "cohort string, duration long, event int"
+    )
+    rc = rmst(cen, ["cohort"], 15).collect()[0]
+    assert rc.rmst == 15.0 and rc.survival_at_tau == 1.0
