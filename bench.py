@@ -209,6 +209,22 @@ HEADLINE = [
     "stats_kendall_weighted",
     "events_rolling_distinct",
     "dataset_temperature",
+    # round-4 session additions: the survival flagship family +
+    # the new exact-oracle operators
+    "survival_km",
+    "survival_cif",
+    "survival_net_std",
+    "survival_excess_model",
+    "survival_rmst",
+    "events_rfm",
+    "events_cdc_apply",
+    "embedding_pca",
+    "ann_pca_topk",
+    "sketch_countmin",
+    "stats_kruskal",
+    "stats_anova",
+    "text_readability",
+    "graph_kcore",
 ]
 
 REGRESSION_RATIO = 1.5
