@@ -4005,6 +4005,39 @@ _AUC_SQL = """
 """
 
 
+def q_stats_cliffs(spark, sf_dir):
+    """Cliff's delta effect size per event type — the nonparametric
+    magnitude companion to the rank tests (δ = P(X>Y) − P(X<Y) =
+    2·AUC − 1, identically the Mann-Whitney rank-biserial r): how BIG
+    the parity groups' value separation is, where `stats_rank_sum`
+    only says it exists. Rides the exact tie-aware AUC machinery
+    (`operators/stats.py::auc_by`); oracle mirrors the rounding
+    sequence."""
+    from cancer_survival_etl_spark.operators.stats import auc_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("label"),
+    )
+    a = auc_by(e, "event_type", "score", "label")
+    return a.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "auc",
+        F.round(2 * F.col("auc") - 1, 6).alias("cliffs_delta"),
+    )
+
+
+_CLIFFS_SQL = f"""
+    WITH base AS ({_AUC_SQL})
+    SELECT event_type, n_pos, n_neg, auc,
+           round(2 * auc - 1, 6) AS cliffs_delta
+    FROM base
+"""
+
+
 def q_retrieval_diversify(spark, sf_dir):
     """Category-capped diversification of a brute-force shortlist: top-5
     per query by cosine but at most 2 per neighbor label — the "two
@@ -10520,6 +10553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ridge": q_stats_ridge,
         "stats_kruskal": q_stats_kruskal,
         "stats_anova": q_stats_anova,
+        "stats_cliffs": q_stats_cliffs,
         "stats_auc": q_stats_auc,
         "stats_spearman": q_stats_spearman,
         "stats_kendall": q_stats_kendall,
@@ -12308,6 +12342,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_ridge": _RIDGE_SQL,
         "stats_kruskal": _KRUSKAL_SQL,
         "stats_anova": _ANOVA_SQL,
+        "stats_cliffs": _CLIFFS_SQL,
         "stats_auc": _AUC_SQL,
         "retrieval_diversify": _DIVERSIFY_SQL,
         "eval_calibration": _CALIBRATION_SQL,
