@@ -8901,6 +8901,61 @@ _RMST_SQL = """
 """
 
 
+def q_survival_diff(spark, sf_dir):
+    """Absolute survival difference A − B at fixed horizons with Wald
+    95% CI and number-needed-to-treat (operators/survival.py::
+    survival_difference) — the clinician-facing readout beside the
+    log-rank p. Oracle mirrors the per-arm argmax read-offs and the
+    independent-arm Greenwood combination bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        survival_difference,
+    )
+
+    km = km_curve(_survival_episodes(spark, sf_dir), ["cohort"])
+    return survival_difference(km, "cohort", [8, 16, 24, 32, 48])
+
+
+_SURV_DIFF_SQL = """
+    WITH kmfull AS ({km}),
+    hz(h) AS (VALUES (8), (16), (24), (32), (48)),
+    best AS (
+        SELECT k.cohort, z.h, max(k.duration) AS d
+        FROM kmfull k JOIN hz z ON k.duration <= z.h
+        GROUP BY k.cohort, z.h
+    ),
+    bv AS (
+        SELECT b.cohort, b.h, k.survival AS s, k.se_greenwood AS se
+        FROM best b
+        JOIN kmfull k ON k.cohort = b.cohort AND k.duration = b.d
+    ),
+    a1 AS (
+        SELECT z.h, coalesce(v.s, 1.0) AS s1,
+               CASE WHEN v.s IS NULL THEN 0.0 ELSE v.se END AS e1
+        FROM hz z LEFT JOIN bv v ON v.h = z.h AND v.cohort = 'A'
+    ),
+    a2 AS (
+        SELECT z.h, coalesce(v.s, 1.0) AS s2,
+               CASE WHEN v.s IS NULL THEN 0.0 ELSE v.se END AS e2
+        FROM hz z LEFT JOIN bv v ON v.h = z.h AND v.cohort = 'B'
+    )
+    SELECT CAST(a1.h AS BIGINT) AS horizon,
+           'A' AS group_1, 'B' AS group_2,
+           a1.s1 AS s_1, a2.s2 AS s_2,
+           round(a1.s1 - a2.s2, 6) AS diff,
+           CASE WHEN ok THEN round(a1.s1 - a2.s2 - 1.96 * se, 6) END
+               AS diff_lower95,
+           CASE WHEN ok THEN round(a1.s1 - a2.s2 + 1.96 * se, 6) END
+               AS diff_upper95,
+           CASE WHEN ok AND abs(a1.s1 - a2.s2) > 0
+                THEN round(1 / abs(a1.s1 - a2.s2), 6) END AS nnt
+    FROM a1
+    JOIN a2 ON a1.h = a2.h,
+    LATERAL (SELECT sqrt(e1 * e1 + e2 * e2) AS se,
+                    e1 IS NOT NULL AND e2 IS NOT NULL AS ok) t
+"""
+
+
 def q_rates_ratio(spark, sf_dir):
     """Two-group incidence-rate-ratio test (operators/survival.py::
     rate_ratio_test): error rate per exposure-hour, parity cohorts,
@@ -10475,6 +10530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_excess_model": q_survival_excess_model,
         "survival_median": q_survival_median,
         "survival_rmst": q_survival_rmst,
+        "survival_diff": q_survival_diff,
         "rates_ratio": q_rates_ratio,
         "events_rfm": q_events_rfm,
         "text_readability": q_text_readability,
@@ -12279,6 +12335,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_excess_model": _EXCESS_MODEL_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
+        "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),
         "rates_ratio": _RATES_RATIO_SQL,
         "events_rfm": _RFM_SQL,
         "text_readability": _READABILITY_SQL,

@@ -530,6 +530,87 @@ def rmst(
     )
 
 
+def survival_difference(
+    km: DataFrame,
+    group_col: str,
+    horizons: Sequence[int],
+    duration_col: str = "duration",
+) -> DataFrame:
+    """Absolute survival difference between two groups at fixed
+    horizons, with a Wald 95% CI and the number-needed-to-treat —
+    the clinician-facing readout next to the log-rank p:
+    Δ(t) = S₁(t) − S₂(t), SE = √(se₁² + se₂²) (independent-arm
+    Greenwood), NNT = 1/|Δ| (NULL when Δ = 0 or either SE is
+    undefined).
+
+    ``group_col`` must take exactly two values; the lexicographically
+    smaller is group 1 (``logrank_test``'s orientation). S and SE at
+    each horizon are the usual broadcast argmax read-offs of a
+    ``km_curve`` output (S = 1, SE = 0 before the first cell). Work ∝
+    #cells × #horizons. Returns one row per horizon: (horizon,
+    group_1, group_2, s_1, s_2, diff, diff_lower95, diff_upper95,
+    nnt).
+    """
+    spark = km.sparkSession
+    hz = spark.createDataFrame(
+        [(int(h),) for h in sorted(set(horizons))], "horizon long"
+    )
+    gvals = [
+        r[0]
+        for r in km.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(
+            f"survival_difference needs exactly 2 groups, got {gvals}"
+        )
+    cells = km.crossJoin(F.broadcast(hz)).filter(
+        F.col(duration_col) <= F.col("horizon")
+    )
+    best = cells.groupBy(group_col, "horizon").agg(
+        F.max(
+            F.struct(
+                F.col(duration_col).alias("_d"),
+                F.col("survival").alias("_s"),
+                F.col("se_greenwood").alias("_se"),
+            )
+        ).alias("_b")
+    )
+
+    def arm(gval, tag):
+        side = best.filter(F.col(group_col) == F.lit(gval)).select(
+            "horizon",
+            F.col("_b._s").alias(f"_s{tag}"),
+            F.col("_b._se").alias(f"_e{tag}"),
+        )
+        return hz.join(side, "horizon", "left").select(
+            "horizon",
+            F.coalesce(F.col(f"_s{tag}"), F.lit(1.0)).alias(f"_s{tag}"),
+            F.when(
+                F.col(f"_s{tag}").isNull(), F.lit(0.0)
+            ).otherwise(F.col(f"_e{tag}")).alias(f"_e{tag}"),
+        )
+
+    j = arm(gvals[0], "1").join(arm(gvals[1], "2"), "horizon")
+    diff = F.col("_s1") - F.col("_s2")
+    se = F.sqrt(
+        F.col("_e1") * F.col("_e1") + F.col("_e2") * F.col("_e2")
+    )
+    ok = F.col("_e1").isNotNull() & F.col("_e2").isNotNull()
+    return j.select(
+        "horizon",
+        F.lit(gvals[0]).alias("group_1"),
+        F.lit(gvals[1]).alias("group_2"),
+        F.col("_s1").alias("s_1"),
+        F.col("_s2").alias("s_2"),
+        F.round(diff, 6).alias("diff"),
+        F.when(ok, F.round(diff - 1.96 * se, 6)).alias("diff_lower95"),
+        F.when(ok, F.round(diff + 1.96 * se, 6)).alias("diff_upper95"),
+        F.when(
+            ok & (F.abs(diff) > 0), F.round(1 / F.abs(diff), 6)
+        ).alias("nnt"),
+    )
+
+
 def rate_ratio_test(
     df: DataFrame,
     group_col: str,

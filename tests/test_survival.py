@@ -795,3 +795,47 @@ def test_rmst_matches_step_integration(spark):
     )
     rc = rmst(cen, ["cohort"], 15).collect()[0]
     assert rc.rmst == 15.0 and rc.survival_at_tau == 1.0
+
+
+def test_survival_difference_ci_and_nnt(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        survival_difference,
+    )
+
+    rows = [("mp", d, e) for d, e in SIX_MP] + [
+        ("pl", d, e) for d, e in PLACEBO
+    ]
+    df = spark.createDataFrame(rows, "cohort string, duration long, event int")
+    km = km_curve(df, ["cohort"])
+    got = {r.horizon: r
+           for r in survival_difference(km, "cohort", [5, 10, 23]).collect()}
+    ref = {c: km_reference(arm) for c, arm in
+           (("mp", SIX_MP), ("pl", PLACEBO))}
+
+    def at(c, h):
+        cells = [t for t in ref[c] if t <= h]
+        if not cells:
+            return 1.0, 0.0
+        _, _, _, s, _, se = ref[c][max(cells)]
+        return s, se
+
+    for h in (5, 10, 23):
+        s1, e1 = at("mp", h)
+        s2, e2 = at("pl", h)
+        r = got[h]
+        assert (r.group_1, r.group_2) == ("mp", "pl")
+        assert r.s_1 == pytest.approx(s1) and r.s_2 == pytest.approx(s2)
+        assert r.diff == pytest.approx(round(s1 - s2, 6))
+        if e1 is not None and e2 is not None:
+            se = math.sqrt(e1 * e1 + e2 * e2)
+            assert r.diff_lower95 == pytest.approx(
+                round(s1 - s2 - 1.96 * se, 6), abs=1e-9)
+            assert r.nnt == pytest.approx(round(1 / abs(s1 - s2), 6))
+    # placebo S(23)=0 -> its Greenwood SE is NULL -> CI/NNT NULL
+    assert got[23].diff_lower95 is None and got[23].nnt is None
+    with pytest.raises(ValueError):
+        survival_difference(
+            km_curve(df.withColumn("cohort", F.lit("x")), ["cohort"]),
+            "cohort", [5],
+        )
