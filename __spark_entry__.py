@@ -10451,70 +10451,21 @@ _ZIPF_SQL = """
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING IS LOAD-BEARING: the driver's correctness gate
-    # adjudicates the first 50 entries. Rounds 1-3 adjudicated 147
-    # distinct queries (see CORRECTNESS_r0{1,2,3}.json). ROUND 4
-    # rotates the window onto the never-adjudicated tranche per
-    # VERDICT.md item 2, keeping shipmode_priority in-window so its
-    # oracle BIGINT-cast fix (r3 item 1) gets adjudicated. Positions
-    # 51+ hold the round-5 queue (remaining never-adjudicated
-    # queries plus this round's new additions), then the r01-r03
-    # green tranches. The legacy multimodal_decode rows-only stub is
-    # retired (VERDICT item 6): the real formula-oracled decodes are
-    # multimodal_pcm / multimodal_bmp.
     return {
-        # ==== positions 1-50: ROUND-4 driver window (never adjudicated except shipmode_priority; all parity-green locally) ====
-        "shipmode_priority": q_shipmode_priority,
-        "text_suffix_repeat": q_text_suffix_repeat,
-        "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
-        "eval_isotonic_unbinned": q_eval_isotonic_unbinned,
-        "events_cusum": q_events_cusum,
-        "dedup_lsh_quality": q_dedup_lsh_quality,
-        "embedding_matryoshka": q_embedding_matryoshka,
-        "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
-        "multimodal_pcm": q_multimodal_pcm,
-        "multimodal_bmp": q_multimodal_bmp,
-        "stats_kendall_weighted": q_stats_kendall_weighted,
-        "events_seasonal": q_events_seasonal,
-        "stats_theil_sen": q_stats_theil_sen,
-        "stats_mann_kendall": q_stats_mann_kendall,
-        "quality_benford": q_quality_benford,
-        "stats_trimmed_mean": q_stats_trimmed_mean,
-        "stats_gini": q_stats_gini,
-        "stats_entropy": q_stats_entropy,
+    # ORDERING IS LOAD-BEARING: the driver's correctness gate
+    # adjudicates the first 50 entries. Rounds 1-4 adjudicated 196
+    # distinct queries (CORRECTNESS_r0{1..4}.json; 193 hash-green).
+    # ROUND 5 window = the two r04 red rows re-staged first (the
+    # percentile_disc dtype fix, VERDICT r04 item 1) + the first 48
+    # of the 55 never-adjudicated queries (survival family leads,
+    # VERDICT item 3). The 7-query overflow rides at positions 51+
+    # together with this round's new additions, then the r01-r04
+    # green tranches.
+        # ==== positions 1-50: ROUND-5 driver window ====
+        # 1-2: r04 red rows, dtype fix applied — re-adjudicate
         "stats_winsorize": q_stats_winsorize,
-        "vocab_topk": q_vocab_topk,
-        "zorder_values": q_zorder_values,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "weighted_sample": q_weighted_sample,
-        "snapshot_diff": q_snapshot_diff,
-        "dedup_spans": q_dedup_spans,
-        "embedding_quantize": q_embedding_quantize,
-        "multimodal_headers": q_multimodal_headers,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "text_normalize": q_text_normalize,
-        "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
-        "web_url_dedup": q_web_url_dedup,
-        "dataset_cap_per_key": q_dataset_cap_per_key,
-        "corpus_zipf_fit": q_corpus_zipf_fit,
-        "dataset_leakage_safe_split": q_dataset_leakage_safe_split,
-        "graph_pagerank": q_graph_pagerank,
-        "events_anomaly": q_events_anomaly,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "hierarchy_closure": q_hierarchy_closure,
-        "corpus_shuffle": q_corpus_shuffle,
-        "heavy_hitters": q_heavy_hitters,
-        "events_cohort": q_events_cohort,
-        "events_attribution": q_events_attribution,
-        "events_transitions": q_events_transitions,
-        "key_skew_profile": q_key_skew_profile,
-        "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
-        "events_pattern": q_events_pattern,
-        "events_journeys": q_events_journeys,
         "stats_robust_scale": q_stats_robust_scale,
-        "ann_hard_negatives": q_ann_hard_negatives,
-        # ==== positions 51+: round-5 window queue (never driver-adjudicated) ====
+        # 3-50: never-adjudicated tranche (survival family first)
         "survival_km": q_survival_km,
         "survival_index": q_survival_index,
         "survival_logrank": q_survival_logrank,
@@ -10563,8 +10514,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_features": q_text_hashed_features,
         "embedding_drift": q_embedding_drift,
         "events_rolling_distinct": q_events_rolling_distinct,
+        # ==== positions 51+: r06 queue (never adjudicated overflow + round-5 additions) ====
         "dataset_temperature": q_dataset_temperature,
-        # ==== green in CORRECTNESS_r01/r02/r03.json ====
+        "events_cdc_apply": q_events_cdc_apply,
+        "stats_ridge": q_stats_ridge,
+        "stats_kruskal": q_stats_kruskal,
+        "stats_anova": q_stats_anova,
+        "stats_cliffs": q_stats_cliffs,
+        "sketch_countmin": q_sketch_countmin,
+        # ==== adjudicated green in CORRECTNESS_r01-r04 ====
+        "shipmode_priority": q_shipmode_priority,
+        "text_suffix_repeat": q_text_suffix_repeat,
+        "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
+        "eval_isotonic_unbinned": q_eval_isotonic_unbinned,
+        "events_cusum": q_events_cusum,
+        "dedup_lsh_quality": q_dedup_lsh_quality,
+        "embedding_matryoshka": q_embedding_matryoshka,
+        "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
+        "multimodal_pcm": q_multimodal_pcm,
+        "multimodal_bmp": q_multimodal_bmp,
+        "stats_kendall_weighted": q_stats_kendall_weighted,
+        "events_seasonal": q_events_seasonal,
+        "stats_theil_sen": q_stats_theil_sen,
+        "stats_mann_kendall": q_stats_mann_kendall,
+        "quality_benford": q_quality_benford,
+        "stats_trimmed_mean": q_stats_trimmed_mean,
+        "stats_gini": q_stats_gini,
+        "stats_entropy": q_stats_entropy,
+        "vocab_topk": q_vocab_topk,
+        "zorder_values": q_zorder_values,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "weighted_sample": q_weighted_sample,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_spans": q_dedup_spans,
+        "embedding_quantize": q_embedding_quantize,
+        "multimodal_headers": q_multimodal_headers,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "text_normalize": q_text_normalize,
+        "text_fuzzy_decontaminate": q_text_fuzzy_decontaminate,
+        "web_url_dedup": q_web_url_dedup,
+        "dataset_cap_per_key": q_dataset_cap_per_key,
+        "corpus_zipf_fit": q_corpus_zipf_fit,
+        "dataset_leakage_safe_split": q_dataset_leakage_safe_split,
+        "graph_pagerank": q_graph_pagerank,
+        "events_anomaly": q_events_anomaly,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "hierarchy_closure": q_hierarchy_closure,
+        "corpus_shuffle": q_corpus_shuffle,
+        "heavy_hitters": q_heavy_hitters,
+        "events_cohort": q_events_cohort,
+        "events_attribution": q_events_attribution,
+        "events_transitions": q_events_transitions,
+        "key_skew_profile": q_key_skew_profile,
+        "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
+        "events_pattern": q_events_pattern,
+        "events_journeys": q_events_journeys,
+        "ann_hard_negatives": q_ann_hard_negatives,
         "custdist": q_custdist,
         "big_orders": q_big_orders,
         "suppliers_kept_waiting": q_suppliers_kept_waiting,
@@ -10592,7 +10598,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "linkage_golden": q_linkage_golden,
         "incremental_agg": q_incremental_agg,
-        "events_cdc_apply": q_events_cdc_apply,
         "dedup_semantic": q_dedup_semantic,
         "ann_pq_adc": q_ann_pq_adc,
         "corpus_curation": q_corpus_curation,
@@ -10606,10 +10611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_js_divergence": q_stats_js_divergence,
         "stats_chi_square": q_stats_chi_square,
         "stats_ols_multi": q_stats_ols_multi,
-        "stats_ridge": q_stats_ridge,
-        "stats_kruskal": q_stats_kruskal,
-        "stats_anova": q_stats_anova,
-        "stats_cliffs": q_stats_cliffs,
         "stats_auc": q_stats_auc,
         "stats_spearman": q_stats_spearman,
         "stats_kendall": q_stats_kendall,
@@ -10619,7 +10620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cuped": q_stats_cuped,
         "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "sketch_hll_rollup": q_sketch_hll_rollup,
-        "sketch_countmin": q_sketch_countmin,
         "conditional_agg": q_conditional_agg,
         "sketch_approx_distinct": q_sketch_approx_distinct,
         "sketch_quantiles": q_sketch_quantiles,

@@ -382,15 +382,21 @@ def winsorize_by(
     itself is a pure projection. One aggregate + one broadcast join.
     """
     cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # percentile_disc returns an ACTUAL data value but Spark renders
+    # the aggregate as DOUBLE regardless of input type; cast back to
+    # the value column's dtype (lossless — it IS a value of that
+    # column) so the clipped output keeps the input's type instead of
+    # silently widening integer columns to double.
+    vtype = df.schema[value_col].dataType
     bounds = df.groupBy(*cols).agg(
         F.expr(
             f"percentile_disc({lower_pct}) WITHIN GROUP "
             f"(ORDER BY {value_col})"
-        ).alias("_lo"),
+        ).cast(vtype).alias("_lo"),
         F.expr(
             f"percentile_disc({upper_pct}) WITHIN GROUP "
             f"(ORDER BY {value_col})"
-        ).alias("_hi"),
+        ).cast(vtype).alias("_hi"),
     )
     v = F.col(value_col)
     return (
@@ -440,11 +446,17 @@ def robust_scale_by(
     hash-sample sibling in ``operators/sketches.py``.
     """
     cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # Cast each order statistic back to the value column's dtype —
+    # percentile_disc picks a real data value but Spark widens the
+    # aggregate to DOUBLE; the cast is lossless and keeps
+    # value_winsorized typed like the input (the scaled value is a
+    # ratio and stays double regardless).
+    vtype = df.schema[value_col].dataType
 
     def pct(p, alias):
         return F.expr(
             f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
-        ).alias(alias)
+        ).cast(vtype).alias(alias)
 
     bounds = df.groupBy(*cols).agg(
         pct(clip_lower, "_lo"),

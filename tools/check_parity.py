@@ -32,6 +32,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _family(s: pd.Series) -> str:
+    """Coarse dtype family for render-hash parity: int / float / bool /
+    datetime / other. Nullable-int columns widen to float64 identically
+    in both Spark's toPandas and DuckDB's df(), so null-widening does
+    not false-positive this check."""
+    k = s.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "other"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_df) != len(duck_df):
@@ -45,6 +62,23 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     a, b = canon(spark_df), canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-FAMILY gate (VERDICT r04 item 2): the driver hashes
+        # RENDERED values, so a Spark DOUBLE 1234.0 vs an oracle
+        # BIGINT 1234 is a red row even though the float compare
+        # below passes. Flag any numeric-family mismatch (int vs
+        # float vs bool) before coercing — this is the class that
+        # shipped shipmode_priority (r03) and winsorize (r04) red.
+        fam_a = _family(av)
+        fam_b = _family(bv)
+        if (
+            fam_a != fam_b
+            and fam_a in ("int", "float", "bool")
+            and fam_b in ("int", "float", "bool")
+        ):
+            problems.append(
+                f"col {c}: dtype family spark={fam_a}({av.dtype}) "
+                f"duck={fam_b}({bv.dtype}) — driver render-hash would differ"
+            )
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float)
             bv = bv.astype(float)
