@@ -1418,21 +1418,133 @@ def excess_hazard_fit(
     Z[:, J] = xs
     theta = np.zeros(J + 1)
     theta[:J] = -5.0  # sane excess-hazard starting point (per hour)
+    theta = _excess_poisson_nr(
+        dvec, yvec, dstar, Z, theta, iters, step_clip
+    )
+    return [float(t) for t in theta[:J]], float(theta[J])
+
+
+def _excess_poisson_nr(dvec, yvec, dstar, Z, theta, iters, step_clip):
+    """Shared FISHER-SCORING core for excess-hazard Poisson models:
+    observed deaths d_c ~ Poisson(d*_c + exp(Z_c·θ)·y_c).
+
+    The log-likelihood d·ln(d* + e^η) − (d* + e^η) is NOT concave in η
+    (the background offset breaks GLM concavity — a known pitfall of
+    Estève-type excess models), so the observed-information Newton
+    step can walk toward a saddle and diverge (reproduced on planted
+    Weibull data: β marched to −50 with a vanishing gradient). The
+    EXPECTED information E[−∂²ℓ] = Zᵀ diag(E²/μ) Z is always positive
+    semidefinite, so scoring steps θ ← θ + I⁻¹g are ascent directions
+    throughout. Per-component step clip plus 9-dp rounding per
+    iteration keeps the trajectory deterministic given fixed row
+    order."""
+    import numpy as np
+
     for _ in range(iters):
         eta = Z @ theta
         E = np.exp(eta) * yvec
         mu = dstar + E
         ok = mu > 0
-        r1 = np.where(ok, dvec / np.where(ok, mu, 1.0) - 1.0, 0.0)
-        g = Z.T @ (r1 * E)
-        wdiag = np.where(
-            ok, r1 * E - dvec * E * E / np.where(ok, mu * mu, 1.0), 0.0
-        )
-        H = (Z * wdiag[:, None]).T @ Z
-        step = np.linalg.solve(H, g)
+        g = Z.T @ np.where(ok, (dvec / np.where(ok, mu, 1.0) - 1.0) * E, 0.0)
+        idiag = np.where(ok, E * E / np.where(ok, mu, 1.0), 0.0)
+        info = (Z * idiag[:, None]).T @ Z
+        step = np.linalg.solve(info, g)
         step = np.clip(step, -step_clip, step_clip)
-        theta = np.round(theta - step, 9)
-    return [float(t) for t in theta[:J]], float(theta[J])
+        theta = np.round(theta + step, 9)
+    return theta
+
+
+def rcs_basis(u, knots):
+    """Restricted cubic spline basis (Durrleman & Simon 1989): for
+    knots k_1 < … < k_K returns columns [u, b_1(u), …, b_{K-2}(u)]
+    where each b_j is the natural-spline-restricted cubic term —
+    linear beyond the boundary knots. This is the basis Royston &
+    Parmar (2002) use on the log-time axis of flexible parametric
+    survival models."""
+    import numpy as np
+
+    u = np.asarray(u, dtype=np.float64)
+    k = np.asarray(sorted(knots), dtype=np.float64)
+    K = len(k)
+    if K < 3:
+        return u[:, None]
+
+    def plus3(x):
+        return np.where(x > 0.0, x * x * x, 0.0)
+
+    lam = k[-1] - k[-2]
+    cols = [u]
+    for j in range(K - 2):
+        cols.append(
+            plus3(u - k[j])
+            - plus3(u - k[-2]) * (k[-1] - k[j]) / lam
+            + plus3(u - k[-1]) * (k[-2] - k[j]) / lam
+        )
+    return np.column_stack(cols)
+
+
+def flexible_excess_hazard_fit(
+    cells: DataFrame,
+    n_intervals: int,
+    interval_width: int,
+    knots: Sequence[float] | None = None,
+    iters: int = 60,
+    step_clip: float = 1.0,
+):
+    """Royston-Parmar-style FLEXIBLE PARAMETRIC excess-hazard model on
+    a ``person_time_cells`` table: the log excess hazard is a smooth
+    restricted-cubic-spline function of log time instead of
+    ``excess_hazard_fit``'s piecewise-constant interval dummies —
+
+        d_c ~ Poisson(d*_c + exp(γ₀ + s(ln t_c; γ) + β·x_c) · y_c)
+
+    with s() the RCS basis of ``rcs_basis`` evaluated at each cell's
+    interval midpoint. This is the Poisson-split formulation of the
+    flexible parametric (Royston & Parmar 2002) relative-survival
+    model per Crowther & Lambert 2014 ("A general framework for
+    parametric survival analysis", Stat Med): split follow-up finely,
+    fit Poisson with spline-of-log-time — the estimates converge to
+    the continuous-time flexible parametric MLE as the split narrows.
+    Registries publish exactly this model for smooth net-survival
+    curves by covariate (strs/stpm2 in Stata, rstpm2/flexsurv in R).
+
+    Same scale contract as ``excess_hazard_fit``: the ONLY data-sized
+    work already happened in ``person_time_cells``; the cell table is
+    #x-patterns × #intervals rows, so driver-collecting it and running
+    Newton-Raphson in numpy is the scale-correct reduction. The spline
+    basis is an exact lattice: midpoints (j+0.5)·w are fixed by the
+    interval grid, so Z is bit-identical under any partitioning.
+
+    Default knots: boundary at the first/last interval midpoints plus
+    one interior knot at the log-scale middle (K=3 → basis [1, u, b₁,
+    x] — 4 parameters). Returns (gammas, beta) where gammas are the
+    intercept + spline coefficients in basis order.
+    """
+    import numpy as np
+
+    w = int(interval_width)
+    J = int(n_intervals)
+    rows = sorted(cells.collect(), key=lambda r: (r.x, r.interval))
+    C = len(rows)
+    dvec = np.array([r.n_events for r in rows], dtype=np.float64)
+    yvec = np.array([r.person_time for r in rows], dtype=np.float64)
+    dstar = np.array(
+        [r.expected_micro for r in rows], dtype=np.float64
+    ) / 1e6
+    xs = np.array([float(r.x) for r in rows])
+    u = np.log((np.array([int(r.interval) for r in rows]) + 0.5) * w)
+    if knots is None:
+        lo = float(np.log(0.5 * w))
+        hi = float(np.log((J - 0.5) * w))
+        knots = [lo, (lo + hi) / 2.0, hi]
+    B = rcs_basis(u, knots)
+    Z = np.column_stack([np.ones(C), B, xs])
+    theta = np.zeros(Z.shape[1])
+    theta[0] = -5.0
+    theta = _excess_poisson_nr(
+        dvec, yvec, dstar, Z, theta, iters, step_clip
+    )
+    return [float(t) for t in theta[:-1]], float(theta[-1])
 
 
 def cox_ph(

@@ -839,3 +839,56 @@ def test_survival_difference_ci_and_nnt(spark):
             km_curve(df.withColumn("cohort", F.lit("x")), ["cohort"]),
             "cohort", [5],
         )
+
+
+def test_flexible_excess_hazard_recovers_planted_weibull(spark):
+    """Royston-Parmar-style RCS-on-log-time excess model: a planted
+    Weibull excess hazard ln lam_E = a + (k-1)*ln t + beta*x is exactly
+    log-linear in log time, so the spline fit must recover the slope
+    and covariate effect with ~zero cubic curvature, and the predicted
+    log-hazard curve must track truth at every cell midpoint."""
+    from cancer_survival_etl_spark.operators.survival import (
+        flexible_excess_hazard_fit,
+        person_time_cells,
+        rcs_basis,
+    )
+    import numpy as np
+
+    N, H, w, J = 4000, 48, 4, 12
+    k_shape, a0, beta_true = 1.5, -6.0, 0.8
+    c = math.exp(a0) / k_shape  # H_E(t) = c * t^k * e^(beta x)
+    lam_micro = {0: 3000, 1: 7000}
+    rows = []
+    for i in range(N):
+        band = i % 2
+        x = (i // 2) % 2
+        u1 = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0 + 1e-9
+        t_bg = -math.log(u1) / (lam_micro[band] / 1e6)
+        t_exc = (-math.log(u2) / (c * math.exp(beta_true * x))) ** (
+            1.0 / k_shape
+        )
+        t = min(t_bg, t_exc)
+        rows.append((x, band, int(min(t, H)), 1 if t < H else 0))
+    df = spark.createDataFrame(
+        rows, "x int, band int, duration long, event int"
+    )
+    cells = person_time_cells(df, "x", "band", lam_micro, w, H)
+    gammas, beta = flexible_excess_hazard_fit(cells, J, w)
+    assert abs(beta - beta_true) < 0.15
+    # predicted log-hazard at the cell midpoints vs planted truth
+    u = np.log((np.arange(J) + 0.5) * w)
+    lo, hi = float(np.log(0.5 * w)), float(np.log((J - 0.5) * w))
+    B = rcs_basis(u, [lo, (lo + hi) / 2.0, hi])
+    pred = gammas[0] + B @ np.asarray(gammas[1:])
+    # ln lam_E(t) = ln(c·k) + (k−1)·ln t = a0 + (k−1)·u
+    truth = a0 + (k_shape - 1.0) * u
+    assert float(np.max(np.abs(pred - truth))) < 0.2
+    # slope (linear RCS coefficient) recovers k-1; cubic term ~ 0
+    assert abs(gammas[1] - (k_shape - 1.0)) < 0.15
+    assert abs(gammas[2]) < 0.1
+    # bit-identical under repartitioning (driver fit on sorted cells)
+    cells32 = person_time_cells(
+        df.repartition(32), "x", "band", lam_micro, w, H
+    )
+    assert flexible_excess_hazard_fit(cells32, J, w) == (gammas, beta)
