@@ -3397,6 +3397,75 @@ _WINSORIZE_SQL = """
 """
 
 
+def q_stats_winsorize_approx(spark, sf_dir):
+    """KLL-sketch arm of winsorization (operators/stats.py::
+    winsorize_by_approx): clip bounds read off a mergeable per-group
+    KLL sketch — O(k log n) aggregate state per group regardless of
+    group size, the 100 TB path where exact percentile_disc's
+    per-group sort is the documented non-scalable fallback.
+    Adjudicated by KLL's own contract (the sketch_kll_rollup
+    pattern): the EXACT rank of each approx bound must sit within
+    ±4% of the requested percentile, computed in-query against the
+    raw data; the clip must be internally consistent; integral
+    inputs must stay integral (the r04 dtype-defect guard). Oracle
+    asserts the verdicts plus exact per-group row counts."""
+    from cancer_survival_etl_spark.operators.stats import (
+        winsorize_by_approx,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = winsorize_by_approx(e, "event_type", "cents", 0.05, 0.95, k=200)
+    # reconstruct the per-group bounds from the output itself, then
+    # grade their exact ranks against the raw column
+    b = w.groupBy("event_type").agg(
+        F.min(F.when(~F.col("was_clipped"), F.col("value_winsorized")))
+        .alias("_lo"),
+        F.max(F.when(~F.col("was_clipped"), F.col("value_winsorized")))
+        .alias("_hi"),
+    )
+    graded = w.join(F.broadcast(b), "event_type")
+    n = F.count(F.lit(1))
+    return (
+        graded.groupBy("event_type")
+        .agg(
+            n.alias("n_rows"),
+            (
+                F.sum((F.col("cents") < F.col("_lo")).cast("long")) / n
+                <= 0.09
+            ).alias("lo_rank_ok"),
+            (
+                F.sum((F.col("cents") <= F.col("_hi")).cast("long")) / n
+                >= 0.91
+            ).alias("hi_rank_ok"),
+            (
+                F.sum(
+                    (
+                        F.col("was_clipped")
+                        != (F.col("cents") != F.col("value_winsorized"))
+                    ).cast("long")
+                )
+                == 0
+            ).alias("clip_consistent"),
+            F.max(
+                F.lit(
+                    dict(w.dtypes)["value_winsorized"] == "bigint"
+                )
+            ).alias("dtype_integral"),
+        )
+    )
+
+
+_WINSORIZE_APPROX_SQL = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           true AS lo_rank_ok, true AS hi_rank_ok,
+           true AS clip_consistent, true AS dtype_integral
+    FROM events GROUP BY event_type
+"""
+
+
 def q_stats_robust_scale(spark, sf_dir):
     """Fused winsorize + robust scale per event type: clip to the exact
     [5th, 95th] discrete percentiles, then center/scale by median and
@@ -10648,6 +10717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cliffs": q_stats_cliffs,
         "sketch_countmin": q_sketch_countmin,
         "survival_flexible_model": q_survival_flexible_model,
+        "stats_winsorize_approx": q_stats_winsorize_approx,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -12460,6 +12530,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_actuarial": _ACTUARIAL_SQL.format(cte=_SURV_SQL_CTE),
         "survival_excess_model": _EXCESS_MODEL_SQL,
         "survival_flexible_model": _FLEX_MODEL_SQL,
+        "stats_winsorize_approx": _WINSORIZE_APPROX_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

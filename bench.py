@@ -225,6 +225,80 @@ HEADLINE = [
     "stats_anova",
     "text_readability",
     "graph_kcore",
+    # round-5: full batch registry coverage (VERDICT r04 item 5)
+    "survival_index",
+    "survival_logrank",
+    "survival_cox",
+    "survival_relative",
+    "survival_net_pp",
+    "survival_conditional",
+    "survival_actuarial",
+    "survival_median",
+    "survival_diff",
+    "rates_ratio",
+    "rates_age_standardized",
+    "tokenizer_wordpiece_encode",
+    "ann_binary_hamming",
+    "model_train_quantile",
+    "eval_platt",
+    "stats_ridge",
+    "stats_cliffs",
+    "survival_flexible_model",
+    "stats_winsorize_approx",
+    "vocab_topk",
+    "ann_ivf_kmeans",
+    "dataset_cap_per_key",
+    "corpus_zipf_fit",
+    "dataset_leakage_safe_split",
+    "idle_rich_customers",
+    "corpus_curation",
+    "conditional_agg",
+    "sketch_quantiles",
+    "sketch_sample_quantiles",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "ann_ivf",
+    "ann_lsh",
+    "text_token_stats",
+    "text_bpe_tokens",
+    "fingerprint",
+    "text_pii",
+    "events_sliding",
+    "events_sessionize",
+    "p1_filter_disjunctive",
+    "p2_membership_flags",
+    "p3_null_semantics",
+    "p4_negated_conjunctive",
+    "p6_projection_rename",
+    "f_string_surgery",
+    "f_concat_key",
+    "f_case_sort_keys",
+    "j1_left_join_const",
+    "a1_groupby_all_max",
+    "a2_count_per_group",
+    "a3_minmax_benchmark",
+    "a4b_percentile_cont",
+    "u1_union_best_scaffold",
+    "u3_row_duplication",
+    "r1_unpivot",
+    "win_lag_delta",
+    "win_topk",
+    "win_ntile",
+    "skew_salted_join",
+    "semi_join",
+    "anti_join",
+    "cube_agg",
+    "grouping_sets_agg",
+    "set_intersect",
+    "set_except",
+    "correlated_scalar",
+    "string_agg_group",
+    "win_percent_rank",
+    "win_range_frame",
+    "win_first_last",
+    "lateral_explode",
+    "quality_dup_grains",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -2212,3 +2212,111 @@ def ks_test_by(
         F.round(d, 6).alias("d_stat"),
         F.round(z, 6).alias("ks_z"),
     )
+
+
+def _kll_quantile_bounds(df, cols, value_col, pcts, aliases, k):
+    """One mergeable per-group KLL sketch, several quantile reads.
+
+    Integral value columns use the bigint sketch (the estimate is a
+    real data value, returned in the input's own dtype); everything
+    else goes through the double sketch. The sketch state is O(k log n)
+    per group REGARDLESS of group size — the property the exact
+    ``percentile_disc`` arm lacks (its per-group sort buffer grows with
+    the group), making this the 100 TB arm of winsorize/robust-scale.
+    """
+    vtype = df.schema[value_col].dataType
+    integral = vtype.simpleString() in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    if integral:
+        agg_fn = F.kll_sketch_agg_bigint
+        get_fn = F.kll_sketch_get_quantile_bigint
+        v = F.col(value_col).cast("long")
+    else:
+        agg_fn = F.kll_sketch_agg_double
+        get_fn = F.kll_sketch_get_quantile_double
+        v = F.col(value_col).cast("double")
+    sk = df.groupBy(*cols).agg(agg_fn(v, F.lit(k)).alias("_kll"))
+    reads = [
+        get_fn(F.col("_kll"), F.lit(float(p))).cast(vtype).alias(a)
+        for p, a in zip(pcts, aliases)
+    ]
+    return sk.select(*cols, *reads)
+
+
+def winsorize_by_approx(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+    k: int = 200,
+) -> DataFrame:
+    """Approximate arm of ``winsorize_by``: clip bounds read off a
+    mergeable per-group KLL sketch instead of exact percentile_disc.
+
+    Same output contract (input + value_winsorized + was_clipped) and
+    the same one-aggregate + broadcast-join + projection shape, but
+    the aggregate carries O(k log n) sketch state per group instead of
+    a full per-group sort — the documented scale path for million-row
+    groups (``robust_scale_by`` docstring). KLL's guarantee is on RANK
+    error (~1.7% two-sided at k=200), so the bounds land within
+    ±ε of the requested percentiles' ranks; the clipped value is
+    always a real data value of the input's own dtype."""
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    bounds = _kll_quantile_bounds(
+        df, cols, value_col, [lower_pct, upper_pct], ["_lo", "_hi"], k
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), cols)
+        .select(
+            "*",
+            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias(
+                "value_winsorized"
+            ),
+            ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def robust_scale_by_approx(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    clip_lower: float = 0.05,
+    clip_upper: float = 0.95,
+    k: int = 200,
+) -> DataFrame:
+    """Approximate arm of ``robust_scale_by``: all five order
+    statistics (clip lo/hi, q1, median, q3) are reads off ONE
+    mergeable per-group KLL sketch — one aggregate with bounded state,
+    one broadcast join, projection clip+scale. Groups with zero
+    estimated IQR yield NULL ``value_scaled`` (same contract as the
+    exact arm)."""
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    bounds = _kll_quantile_bounds(
+        df,
+        cols,
+        value_col,
+        [clip_lower, clip_upper, 0.25, 0.5, 0.75],
+        ["_lo", "_hi", "_q1", "_med", "_q3"],
+        k,
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    iqr = F.col("_q3") - F.col("_q1")
+    return (
+        df.join(F.broadcast(bounds), cols)
+        .select(
+            "*",
+            clipped.alias("value_winsorized"),
+            ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+            F.when(
+                iqr != 0,
+                F.round((clipped - F.col("_med")) / iqr, 6),
+            ).alias("value_scaled"),
+        )
+        .drop("_lo", "_hi", "_q1", "_med", "_q3")
+    )

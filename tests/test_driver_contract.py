@@ -65,12 +65,12 @@ def test_oracle_column_alignment_full_surface(spark):
 
 
 def test_correctness_window_composition():
-    """The driver adjudicates the FIRST 50 queries() entries. Round-4
-    policy (VERDICT r3 items 1-2): every window slot oracle-checked,
-    the window holds shipmode_priority (its oracle's BIGINT-cast fix
-    needs adjudication — the round's only red row) plus the
-    never-driver-adjudicated tranche; nothing already driver-GREEN
-    occupies a slot."""
+    """The driver adjudicates the FIRST 50 queries() entries. Round-5
+    policy (VERDICT r04 items 1 and 3): slots 1-2 are the two r04 red
+    rows re-staged with the percentile_disc dtype fix; the remaining
+    48 slots hold only never-driver-adjudicated queries (survival
+    family first); every slot is oracle-checked; nothing already
+    driver-GREEN occupies a slot."""
     import json
     import os
 
@@ -79,24 +79,25 @@ def test_correctness_window_composition():
     window = qs[:50]
     missing = [k for k in window if k not in osql]
     assert not missing, missing
-    assert "shipmode_priority" in window
-    # judge-named round-4 priority queries must sit inside the window
-    for must in ["graph_pagerank", "multimodal_pcm",
-                 "multimodal_bmp", "bloom_decontaminate",
-                 "hierarchy_closure", "heavy_hitters",
-                 "ann_ivf_kmeans", "ann_hard_negatives",
-                 "stats_kendall_weighted", "text_suffix_repeat",
-                 "tokenizer_unigram_encode"]:
+    # the r04 red rows lead the window so the fix gets adjudicated
+    assert window[:2] == ["stats_winsorize", "stats_robust_scale"]
+    # judge-named round-5 priority queries must sit inside the window
+    for must in ["survival_km", "survival_cox", "survival_net_pp",
+                 "survival_rmst", "survival_relative",
+                 "embedding_pca", "ann_pca_topk", "ann_binary_hamming",
+                 "ann_ivfpq_percell", "tokenizer_wordpiece_encode",
+                 "tokenizer_bpe_bytes_encode", "multimodal_gif",
+                 "multimodal_ppm"]:
         assert must in window, must
-    # nothing already driver-green may occupy a window slot (the one
-    # exception is shipmode_priority, red in r03)
+    # nothing already driver-green may occupy a window slot except the
+    # two re-staged r04 reds
     green = set()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for rnd in ("01", "02", "03"):
+    for rnd in ("01", "02", "03", "04"):
         p = os.path.join(here, f"CORRECTNESS_r{rnd}.json")
         with open(p) as fh:
             for name, row in json.load(fh).items():
                 if row.get("hash_match"):
                     green.add(name)
     overlap = set(window) & green
-    assert overlap <= {"shipmode_priority"}, overlap
+    assert overlap == set(), overlap

@@ -566,3 +566,77 @@ def test_countmin_merges_and_weighted(spark):
     # total mass per sketch row = total weight
     tot = sum(v for (j, _), v in a.items() if j == 0)
     assert tot == sum(w for _, _, w in rows)
+
+
+def test_winsorize_approx_bounds_within_kll_rank_error(spark):
+    """The KLL arm of winsorize/robust-scale: approx clip bounds must
+    sit within KLL's rank-error envelope of the requested percentiles
+    (checked against EXACT ranks), the output contract must match the
+    exact arm column-for-column, and integral inputs must stay
+    integral (the r04 dtype-defect class, guarded here too)."""
+    from pyspark.sql import functions as F
+
+    from cancer_survival_etl_spark.operators.stats import (
+        robust_scale_by_approx,
+        winsorize_by,
+        winsorize_by_approx,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("g"),
+        # deterministic skewed values: md5-hash uniform, squared
+        (
+            F.pow(
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 10000
+                )
+                / 10000.0,
+                2.0,
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    exact = winsorize_by(df, "g", "v", 0.05, 0.95)
+    approx = winsorize_by_approx(df, "g", "v", 0.05, 0.95, k=200)
+    assert approx.columns == exact.columns
+    assert dict(approx.dtypes)["value_winsorized"] == "bigint"
+    # exact rank of the approx bounds: reconstruct bounds per group
+    b = (
+        approx.groupBy("g")
+        .agg(
+            F.min(F.when(~F.col("was_clipped"), F.col("value_winsorized")))
+            .alias("lo"),
+            F.max(F.when(~F.col("was_clipped"), F.col("value_winsorized")))
+            .alias("hi"),
+        )
+    )
+    r = (
+        df.join(b, "g")
+        .groupBy("g")
+        .agg(
+            (F.sum((F.col("v") < F.col("lo")).cast("long")) / F.count("*"))
+            .alias("rank_lo"),
+            (F.sum((F.col("v") <= F.col("hi")).cast("long")) / F.count("*"))
+            .alias("rank_hi"),
+        )
+        .collect()
+    )
+    for row in r:
+        assert row.rank_lo <= 0.05 + 0.04, row
+        assert row.rank_hi >= 0.95 - 0.04, row
+    # robust-scale approx: same contract as the exact arm
+    rs = robust_scale_by_approx(df, "g", "v", k=200)
+    assert dict(rs.dtypes)["value_winsorized"] == "bigint"
+    got = rs.filter(F.col("value_scaled").isNotNull()).count()
+    assert got > 0
+    assert {"value_winsorized", "was_clipped", "value_scaled"} <= set(
+        rs.columns
+    )
