@@ -3709,6 +3709,109 @@ _PQ_ADC_SQL = """
 """
 
 
+def q_ann_opq_adc(spark, sf_dir):
+    """OPQ pre-rotation for the PQ family (llm/similarity.py::
+    opq_rotation): the parametric OPQ of Ge et al. 2013 — rotate onto
+    the PCA eigenbasis (exact-lattice Gram pass + driver eigh), then
+    greedy balanced eigenvalue allocation across the m subspaces; the
+    rotated column feeds the UNCHANGED pq_train/pq_encode/ADC stack.
+
+    Plant: the embeddings are near-isotropic (OPQ can't help there by
+    design), so the query builds a deterministically anisotropic view
+    — block-0 dims ×8, the rest ×0.2 — where a natural subvector
+    split strands all variance in subspace 0. Verdicts, computed
+    in-query: total PQ reconstruction distortion after rotation must
+    be < 0.6× the plain split's (measured 0.32× at iters=0 — the
+    deterministic seed codebooks keep the whole pipeline
+    engine-portable and the bench entry cheap); the rotation must
+    be orthogonal (RRᵀ = I to 1e-9, driver-checked); the allocation
+    balanced (8 eigen-dims per subspace); and the rotated-space ADC
+    probe returns exactly 5 queries × 5 neighbors. The eigh floats
+    are not SQL-expressible, so the oracle asserts the verdicts plus
+    exact counts (the kll_rollup pattern)."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.llm.similarity import (
+        _dist2,
+        opq_rotation,
+        pca_project,
+        pq_encode,
+        pq_subvectors,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    aniso = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i < 8, x * 8.0).otherwise(x * 0.2),
+        ).alias("vec"),
+    )
+    m_, sd, k = 8, 8, 16
+
+    def distortion(df, vec_col):
+        cb = pq_train(df, m_, sd, k, iters=0, vec_col=vec_col)
+        codes = pq_encode(df, cb, m_, sd, vec_col=vec_col)
+        sv = pq_subvectors(df, m_, sd, "vec_id", vec_col)
+        j = codes.join(sv, ["vec_id", "sub"]).join(
+            cb.withColumnRenamed("centroid_id", "code"), ["sub", "code"]
+        )
+        return j.agg(
+            F.sum(F.round(_dist2(F.col("subv"), F.col("_cbv")), 6))
+        ).collect()[0][0]
+
+    rotation, members = opq_rotation(aniso, m=m_, vec_col="vec", dim=64)
+    rotated = pca_project(aniso, rotation, vec_col="vec", out_col="rvec")
+    d_plain = distortion(aniso, "vec")
+    d_opq = distortion(rotated, "rvec")
+    R = np.array(rotation)
+    orthogonal = bool(
+        np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+    )
+    balanced = sorted(len(g) for g in members) == [sd] * m_
+    n_adc = (
+        pq_topk_adc(
+            rotated,
+            rotated.filter(F.col("vec_id") < 5),
+            k=5,
+            m=m_,
+            sub_dim=sd,
+            n_codes=k,
+            vec_col="rvec",
+        ).count()
+    )
+    return (
+        aniso.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(
+            spark.range(m_).select(F.col("id").alias("sub"))
+        )
+        .select(
+            "sub",
+            "n_vectors",
+            F.lit(sd).cast("int").alias("dims_allocated"),
+            F.lit(bool(d_opq < 0.6 * d_plain)).alias(
+                "distortion_improved"
+            ),
+            F.lit(orthogonal).alias("rotation_orthogonal"),
+            F.lit(balanced).alias("allocation_balanced"),
+            F.lit(n_adc == 25).alias("adc_probe_complete"),
+        )
+    )
+
+
+_OPQ_ADC_SQL = """
+    SELECT s.j AS sub, n.n_vectors, 8 AS dims_allocated,
+           true AS distortion_improved, true AS rotation_orthogonal,
+           true AS allocation_balanced, true AS adc_probe_complete
+    FROM range(0, 8) s(j)
+    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_vectors
+                FROM embeddings) n
+"""
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup: embedding-cluster-blocked semantic dedup — assign to
     seed centroids, cosine pairs only within a cell, connected
@@ -10718,6 +10821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin": q_sketch_countmin,
         "survival_flexible_model": q_survival_flexible_model,
         "stats_winsorize_approx": q_stats_winsorize_approx,
+        "ann_opq_adc": q_ann_opq_adc,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -12531,6 +12635,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_excess_model": _EXCESS_MODEL_SQL,
         "survival_flexible_model": _FLEX_MODEL_SQL,
         "stats_winsorize_approx": _WINSORIZE_APPROX_SQL,
+        "ann_opq_adc": _OPQ_ADC_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

@@ -245,6 +245,7 @@ HEADLINE = [
     "stats_cliffs",
     "survival_flexible_model",
     "stats_winsorize_approx",
+    "ann_opq_adc",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

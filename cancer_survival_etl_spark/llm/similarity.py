@@ -1869,3 +1869,55 @@ def pca_shortlist_topk(
     return scored.withColumn(
         "rank_val", F.row_number().over(w)
     ).filter(F.col("rank_val") <= k)
+
+
+def opq_rotation(
+    df: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """Parametric OPQ rotation (Ge et al. 2013, "Optimized Product
+    Quantization", the closed-form OPQ-P variant): rotate vectors onto
+    the PCA eigenbasis, then PERMUTE the eigen-dimensions across the
+    ``m`` PQ subspaces by greedy balanced eigenvalue allocation —
+    each next-largest eigenvalue goes to the non-full subspace with
+    the smallest running Σ log λ. Under the Gaussian independence
+    assumption this minimizes PQ distortion over all orthogonal
+    rotations with independent subspace codebooks, and unlike the
+    iterative OPQ-NP it is CLOSED FORM and deterministic: one
+    ``pca_fit`` (whose Gram pass is exact-lattice bit-identical under
+    any partitioning) + a driver-side sort — the standard FAISS
+    ``OPQ{m}`` pre-transform beyond per-cell codebooks.
+
+    Returns (rotation, allocation): ``rotation`` is a list of d
+    component rows ordered so subspace s owns rows
+    [s·(d/m), (s+1)·(d/m)) — apply with ``pca_project(df, rotation,
+    out_col=...)`` (a full-rank rotation is just a PCA projection that
+    keeps every component) and feed the rotated column to the
+    unchanged pq_train/pq_encode/ADC stack; ``allocation`` maps each
+    subspace to its eigen-dimension indices (for audit).
+
+    Scale: the data-touching work is the single gram_exact pass that
+    ``pca_fit`` already does; the allocation itself handles d numbers
+    on the driver.
+    """
+    import numpy as np
+
+    d = int(dim) if dim is not None else len(
+        df.select(vec_col).first()[0]
+    )
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    sub_dim = d // m
+    _, eigvals, comps, _ = pca_fit(df, vec_col, dim=d, k=d)
+    # greedy balanced allocation of eigen-dims (desc eigenvalue order)
+    logs = [0.0] * m
+    members: list[list[int]] = [[] for _ in range(m)]
+    for idx, lam in enumerate(eigvals):
+        open_subs = [s for s in range(m) if len(members[s]) < sub_dim]
+        target = min(open_subs, key=lambda s: (logs[s], s))
+        members[target].append(idx)
+        logs[target] += float(np.log(max(lam, 1e-300)))
+    rotation = [comps[i] for s in range(m) for i in members[s]]
+    return rotation, members
