@@ -8444,6 +8444,102 @@ _SURVIVAL_KM_SQL = f"""
     FROM acc
 """
 
+def q_survival_km_delayed(spark, sf_dir):
+    """Left-truncated (delayed-entry) Kaplan-Meier (operators/
+    survival.py::km_curve_left_truncated): subjects join the risk set
+    at an entry time > 0 — the estimator registries need on the age
+    axis, where counting subjects at-risk before observation begins
+    biases survival up. Risk set R(t) = {entry < t <= exit} from
+    strict-before prefix sums of BOTH entry and removal mass over one
+    union cell table; same micro-lattice survival/Greenwood terms as
+    km_curve. Plant: entry = user_id % 12 hours, exit = entry +
+    episode duration (>= 1 hour)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve_left_truncated,
+    )
+
+    eps = _survival_episodes(spark, sf_dir).filter(F.col("duration") >= 1)
+    subj = eps.select(
+        "cohort",
+        (F.col("user_id") % 12).cast("long").alias("entry"),
+        (F.col("user_id") % 12 + F.col("duration"))
+        .cast("long")
+        .alias("duration"),
+        "event",
+    )
+    return km_curve_left_truncated(
+        subj, ["cohort"], "entry", "duration", "event"
+    )
+
+
+_SURVIVAL_KM_DELAYED_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    lt AS (
+        SELECT cohort, user_id % 12 AS entry,
+               user_id % 12 + duration AS exit_t, event
+        FROM surv WHERE duration >= 1
+    ),
+    cells AS (
+        SELECT cohort, t,
+               CAST(sum(ne) AS BIGINT) AS n_event,
+               CAST(sum(nc) AS BIGINT) AS n_censored,
+               CAST(sum(en) AS BIGINT) AS n_enter
+        FROM (
+            SELECT cohort, exit_t AS t, event AS ne, 1 - event AS nc,
+                   0 AS en
+            FROM lt
+            UNION ALL
+            SELECT cohort, entry AS t, 0, 0, 1 FROM lt
+        ) u GROUP BY cohort, t
+    ),
+    atrisk AS (
+        SELECT cohort, t, n_event, n_censored,
+               CAST(coalesce(sum(n_enter) OVER wb, 0)
+                    - coalesce(sum(n_event + n_censored) OVER wb, 0)
+                    AS BIGINT) AS n_risk
+        FROM cells
+        WINDOW wb AS (PARTITION BY cohort ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt_,
+            CASE WHEN n_event > 0
+                 THEN CAST(round((n_event / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS na,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(n_event / (n_risk * (n_risk - n_event))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS gw,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    acc AS (
+        SELECT cohort, t, n_risk, n_event, n_censored,
+               sum(lt_) OVER w AS lt_, sum(na) OVER w AS na,
+               sum(gw) OVER w AS gw, sum(dall) OVER w AS dall
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort, t AS duration, n_risk, n_event, n_censored,
+           CASE WHEN dall > 0 THEN 0.0
+                ELSE round(exp(lt_ / 1000000.0), 6) END AS survival,
+           round(na / 1000000.0, 6) AS cum_hazard,
+           CASE WHEN dall > 0 THEN NULL
+                ELSE round(exp(lt_ / 1000000.0)
+                           * sqrt(gw / 1000000000000.0), 6)
+           END AS se_greenwood
+    FROM acc
+    WHERE n_event + n_censored > 0
+"""
+
+
 _SURVIVAL_LOGRANK_SQL = f"""
     WITH {_SURV_SQL_CTE},
     cells AS (
@@ -10822,6 +10918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_flexible_model": q_survival_flexible_model,
         "stats_winsorize_approx": q_stats_winsorize_approx,
         "ann_opq_adc": q_ann_opq_adc,
+        "survival_km_delayed": q_survival_km_delayed,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -12636,6 +12733,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_flexible_model": _FLEX_MODEL_SQL,
         "stats_winsorize_approx": _WINSORIZE_APPROX_SQL,
         "ann_opq_adc": _OPQ_ADC_SQL,
+        "survival_km_delayed": _SURVIVAL_KM_DELAYED_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

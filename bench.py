@@ -246,6 +246,7 @@ HEADLINE = [
     "survival_flexible_model",
     "stats_winsorize_approx",
     "ann_opq_adc",
+    "survival_km_delayed",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

@@ -892,3 +892,63 @@ def test_flexible_excess_hazard_recovers_planted_weibull(spark):
         df.repartition(32), "x", "band", lam_micro, w, H
     )
     assert flexible_excess_hazard_fit(cells32, J, w) == (gammas, beta)
+
+
+def test_km_left_truncated_hand_computation_and_reduction(spark):
+    """Delayed-entry KM: (a) hand-computed risk sets on a small
+    left-truncated cohort (Klein & Moeschberger-style bone-marrow toy:
+    subjects enter at different ages); (b) with all entries at 0 the
+    estimator reduces BIT-EXACTLY to km_curve; (c) zero-length rows
+    are dropped."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        km_curve_left_truncated,
+    )
+
+    # (entry, exit, event): risk set at t = {entry < t <= exit}
+    rows = [
+        ("g", 0, 4, 1),
+        ("g", 0, 6, 0),
+        ("g", 2, 5, 1),
+        ("g", 3, 5, 1),
+        ("g", 5, 9, 1),
+        ("g", 4, 9, 0),
+        ("g", 7, 7, 1),   # zero-length: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "cohort string, entry long, duration long, event int"
+    )
+    got = {
+        r.duration: r
+        for r in km_curve_left_truncated(
+            df, ["cohort"], "entry", "duration", "event"
+        ).collect()
+    }
+    # sequential reference
+    subs = [r for r in rows if r[1] < r[2]]
+    times = sorted({r[2] for r in subs})
+    s = 1.0
+    for t in times:
+        at_risk = sum(1 for _, e, x, _ev in subs if e < t <= x)
+        d = sum(1 for _, e, x, ev in subs if x == t and ev == 1)
+        c = sum(1 for _, e, x, ev in subs if x == t and ev == 0)
+        if d:
+            s *= 1.0 - d / at_risk
+        row = got[t]
+        assert row.n_risk == at_risk, (t, row.n_risk, at_risk)
+        assert row.n_event == d and row.n_censored == c
+    # survival monotone, within lattice tolerance of the reference
+    assert got[9].survival == pytest.approx(s, abs=1e-4)
+    # (b) all-zero entries reduce to the plain estimator
+    plain_in = df.filter("entry < duration").select(
+        "cohort", "duration", "event"
+    )
+    zero_entry = plain_in.withColumn("entry", F.lit(0).cast("long"))
+    a = km_curve(plain_in, ["cohort"], "duration", "event").collect()
+    b = km_curve_left_truncated(
+        zero_entry, ["cohort"], "entry", "duration", "event"
+    ).collect()
+    key = lambda r: (r.cohort, r.duration)  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda x: x[:2]) == sorted(
+        map(tuple, b), key=lambda x: x[:2]
+    )
