@@ -8746,6 +8746,60 @@ _SURVIVAL_COX_SQL = """
 """
 
 
+def q_survival_cox_efron(spark, sf_dir):
+    """Cox PH with EFRON tie handling (operators/survival.py::cox_ph
+    ties="efron" — R coxph's default): the survival_cox plant rounded
+    to WHOLE time units so every event time carries heavy tie mass,
+    exactly the regime where Breslow's approximation biases β toward
+    0 and Efron's l/d-shrunk denominators matter. The correction is
+    one explode(sequence(0, d_t−1)) over the event cells — Σd_t rows,
+    bounded by the event count, fully distributed. Oracle adjudicates
+    the exact planted-cohort counts plus coefficient-recovery
+    verdicts (β engine-internal, bit-identical under partitioning,
+    pinned in tests)."""
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    x1 = (F.col("doc_id") % 12) / 12.0
+    x2 = (F.col("doc_id") * 7 % 10) / 10.0
+    t = -F.log(u) / F.exp(1.2 * x1 - 0.5 * x2)
+    cohort = d.select(
+        x1.alias("x1"),
+        x2.alias("x2"),
+        F.round(F.least(t, F.lit(4.0)), 0).alias("duration"),
+        (t <= 4.0).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    beta = cox_ph(cohort, ["x1", "x2"], iters=5, ties="efron")
+    return cohort.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event").cast("long").alias("n_events"),
+    ).select(
+        "n_rows",
+        "n_events",
+        F.lit(abs(beta[0] - 1.2) < 0.6).alias("beta_x1_recovered"),
+        F.lit(abs(beta[1] + 0.5) < 0.6).alias("beta_x2_recovered"),
+    )
+
+
+_SURVIVAL_COX_EFRON_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN
+               -ln((CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8))
+                         AS BIGINT) % 1000000) / 1000000.0 + 0.000001)
+               / exp(1.2 * (doc_id % 12) / 12.0
+                     - 0.5 * (doc_id * 7 % 10) / 10.0) <= 4.0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           true AS beta_x1_recovered,
+           true AS beta_x2_recovered
+    FROM documents
+"""
+
+
 def q_survival_cif(spark, sf_dir):
     """Aalen-Johansen cumulative incidence under competing risks
     (operators/survival.py::cif_competing_risks): first 'error'
@@ -10919,6 +10973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_winsorize_approx": q_stats_winsorize_approx,
         "ann_opq_adc": q_ann_opq_adc,
         "survival_km_delayed": q_survival_km_delayed,
+        "survival_cox_efron": q_survival_cox_efron,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -12734,6 +12789,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_winsorize_approx": _WINSORIZE_APPROX_SQL,
         "ann_opq_adc": _OPQ_ADC_SQL,
         "survival_km_delayed": _SURVIVAL_KM_DELAYED_SQL,
+        "survival_cox_efron": _SURVIVAL_COX_EFRON_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

@@ -247,6 +247,7 @@ HEADLINE = [
     "stats_winsorize_approx",
     "ann_opq_adc",
     "survival_km_delayed",
+    "survival_cox_efron",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

@@ -1677,9 +1677,19 @@ def cox_ph(
     duration_col: str = "duration",
     event_col: str = "event",
     iters: int = 8,
+    ties: str = "breslow",
 ) -> list[float]:
-    """Distributed Cox proportional-hazards regression (Breslow ties),
-    Newton-Raphson on the partial likelihood. Returns [β_1, ..., β_p].
+    """Distributed Cox proportional-hazards regression, Newton-Raphson
+    on the partial likelihood. Returns [β_1, ..., β_p].
+
+    ``ties``: "breslow" (the simple tied-risk-set approximation) or
+    "efron" (R ``coxph``'s default — within a d-way tie the l-th
+    event sees the risk mass shrunk by l/d of the tied events' own
+    mass: S·_t − (l/d)·D·_t, where D are the moments of the event
+    subjects at t). Efron costs one ``explode(sequence(0, d_t−1))``
+    over the EVENT cells only — Σd_t extra rows, bounded by the event
+    count, fully distributed — and is exactly equal to Breslow when
+    no two events share a duration (pinned in tests).
 
     Each iteration is two bounded passes, nothing iterative ever
     runs per-row on the driver:
@@ -1711,6 +1721,8 @@ def cox_ph(
     """
     import numpy as np
 
+    if ties not in ("breslow", "efron"):
+        raise ValueError(f"ties must be 'breslow' or 'efron', got {ties!r}")
     feats = list(feature_cols)
     p = len(feats)
     beta = [0.0] * p
@@ -1745,6 +1757,30 @@ def cox_ph(
                         F.round(r * xj * xk * nano, 0).cast("long")
                     ).alias(f"a2_{j}_{k}")
                 )
+        if ties == "efron":
+            # moments of the EVENT subjects at t, on the same
+            # per-subject nano roundings as the risk moments so the
+            # Efron-shrunk denominators stay exactly consistent
+            aggs.append(
+                F.sum(ev * F.round(r * nano, 0).cast("long")).alias("e0")
+            )
+            for j, c in enumerate(feats):
+                x = F.col(c).cast("double")
+                aggs.append(
+                    F.sum(
+                        ev * F.round(r * x * nano, 0).cast("long")
+                    ).alias(f"e1_{j}")
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    xj = F.col(feats[j]).cast("double")
+                    xk = F.col(feats[k]).cast("double")
+                    aggs.append(
+                        F.sum(
+                            ev
+                            * F.round(r * xj * xk * nano, 0).cast("long")
+                        ).alias(f"e2_{j}_{k}")
+                    )
         cells = df.groupBy(duration_col).agg(*aggs)
 
         vcols = (
@@ -1767,34 +1803,70 @@ def cox_ph(
         s0 = suffix("a0")
         d_t = F.col("d_t")
         out_aggs = []
-        for j in range(p):
-            term = (
-                F.col(f"s{j}") / nano
-                - d_t * (suffix(f"a1_{j}") / s0)
+        if ties == "efron":
+            # one row per (event time, l) for l = 0..d_t−1: Σd_t rows
+            # total, each seeing the risk mass shrunk by l/d of the
+            # tied events' own moments
+            dd = pre.filter(d_t > 0).withColumn(
+                "_l", F.explode(F.sequence(F.lit(0), d_t - 1))
             )
-            out_aggs.append(
-                F.sum(
-                    F.when(
-                        d_t > 0, F.round(term * nano, 0).cast("long")
-                    ).otherwise(F.lit(0).cast("long"))
-                ).alias(f"g{j}")
-            )
-        for j in range(p):
-            for k in range(j, p):
-                term = d_t * (
-                    suffix(f"a2_{j}_{k}") / s0
-                    - (suffix(f"a1_{j}") / s0)
-                    * (suffix(f"a1_{k}") / s0)
+            frac = F.col("_l").cast("double") / d_t
+            s0l = s0 - frac * F.col("e0")
+
+            def shrunk1(j):
+                return suffix(f"a1_{j}") - frac * F.col(f"e1_{j}")
+
+            for j in range(p):
+                term = F.col(f"s{j}") / nano / d_t - shrunk1(j) / s0l
+                out_aggs.append(
+                    F.sum(F.round(term * nano, 0).cast("long")).alias(
+                        f"g{j}"
+                    )
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    s2l = suffix(f"a2_{j}_{k}") - frac * F.col(
+                        f"e2_{j}_{k}"
+                    )
+                    term = (
+                        s2l / s0l
+                        - (shrunk1(j) / s0l) * (shrunk1(k) / s0l)
+                    )
+                    out_aggs.append(
+                        F.sum(
+                            F.round(term * nano, 0).cast("long")
+                        ).alias(f"i{j}_{k}")
+                    )
+            row = dd.agg(*out_aggs).collect()[0]
+        else:
+            for j in range(p):
+                term = (
+                    F.col(f"s{j}") / nano
+                    - d_t * (suffix(f"a1_{j}") / s0)
                 )
                 out_aggs.append(
                     F.sum(
                         F.when(
-                            d_t > 0,
-                            F.round(term * nano, 0).cast("long"),
+                            d_t > 0, F.round(term * nano, 0).cast("long")
                         ).otherwise(F.lit(0).cast("long"))
-                    ).alias(f"i{j}_{k}")
+                    ).alias(f"g{j}")
                 )
-        row = pre.agg(*out_aggs).collect()[0]
+            for j in range(p):
+                for k in range(j, p):
+                    term = d_t * (
+                        suffix(f"a2_{j}_{k}") / s0
+                        - (suffix(f"a1_{j}") / s0)
+                        * (suffix(f"a1_{k}") / s0)
+                    )
+                    out_aggs.append(
+                        F.sum(
+                            F.when(
+                                d_t > 0,
+                                F.round(term * nano, 0).cast("long"),
+                            ).otherwise(F.lit(0).cast("long"))
+                        ).alias(f"i{j}_{k}")
+                    )
+            row = pre.agg(*out_aggs).collect()[0]
         g = np.array([row[f"g{j}"] / 1e9 for j in range(p)])
         info = np.zeros((p, p))
         for j in range(p):

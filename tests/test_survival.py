@@ -952,3 +952,88 @@ def test_km_left_truncated_hand_computation_and_reduction(spark):
     assert sorted(map(tuple, a), key=lambda x: x[:2]) == sorted(
         map(tuple, b), key=lambda x: x[:2]
     )
+
+
+def _efron_reference(X, dur, ev, iters):
+    """Plain-float sequential Efron NR (no lattice) — the textbook
+    per-event-time loop with the l/d-shrunk denominators."""
+    import numpy as np
+
+    X = np.asarray(X, float)
+    dur = np.asarray(dur)
+    ev = np.asarray(ev)
+    p = X.shape[1]
+    beta = np.zeros(p)
+    times = np.unique(dur[ev == 1])
+    for _ in range(iters):
+        g = np.zeros(p)
+        info = np.zeros((p, p))
+        r = np.exp(X @ beta)
+        for t in times:
+            risk = dur >= t
+            tied = (dur == t) & (ev == 1)
+            d = int(tied.sum())
+            s = X[tied].sum(axis=0)
+            S0 = r[risk].sum()
+            S1 = (r[risk, None] * X[risk]).sum(axis=0)
+            S2 = (r[risk, None, None] * X[risk][:, :, None]
+                  * X[risk][:, None, :]).sum(axis=0)
+            D0 = r[tied].sum()
+            D1 = (r[tied, None] * X[tied]).sum(axis=0)
+            D2 = (r[tied, None, None] * X[tied][:, :, None]
+                  * X[tied][:, None, :]).sum(axis=0)
+            for l in range(d):
+                f = l / d
+                s0l = S0 - f * D0
+                s1l = S1 - f * D1
+                s2l = S2 - f * D2
+                g += s / d - s1l / s0l
+                info += s2l / s0l - np.outer(s1l / s0l, s1l / s0l)
+        beta = beta + np.linalg.solve(info, g)
+        beta = np.round(beta, 9)
+    return beta
+
+
+def test_cox_ph_efron_ties(spark):
+    """Efron tie handling: equals Breslow exactly when no durations
+    tie; on tied data matches the textbook sequential Efron NR and
+    differs from Breslow; bit-identical under repartitioning."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    # tied cohort: durations rounded to few values
+    rows = []
+    for i in range(120):
+        x1 = (i % 4) / 3.0
+        x2 = ((i * 7) % 5) / 4.0
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / math.exp(1.0 * x1 - 0.6 * x2)
+        d = round(min(t, 2.0), 0)  # heavy ties
+        rows.append((x1, x2, float(d), 1 if t <= 2.0 else 0))
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, duration double, event int"
+    )
+    b_efron = cox_ph(df, ["x1", "x2"], iters=6, ties="efron")
+    b_bres = cox_ph(df, ["x1", "x2"], iters=6)
+    assert b_efron != b_bres  # ties present -> corrections differ
+    X = [[r[0], r[1]] for r in rows]
+    ref = _efron_reference(
+        X, [r[2] for r in rows], [r[3] for r in rows], iters=6
+    )
+    assert np.allclose(b_efron, ref, atol=1e-5), (b_efron, ref)
+    # partitioning independence
+    assert cox_ph(
+        df.repartition(32), ["x1", "x2"], iters=6, ties="efron"
+    ) == b_efron
+    # no ties -> efron == breslow exactly
+    rows2 = [(r[0], r[1], r[2] + i * 1e-3, r[3])
+             for i, r in enumerate(rows)]
+    df2 = spark.createDataFrame(
+        rows2, "x1 double, x2 double, duration double, event int"
+    )
+    assert cox_ph(df2, ["x1", "x2"], iters=4, ties="efron") == cox_ph(
+        df2, ["x1", "x2"], iters=4
+    )
+    with pytest.raises(ValueError):
+        cox_ph(df, ["x1"], ties="exact")
