@@ -3466,6 +3466,74 @@ _WINSORIZE_APPROX_SQL = """
 """
 
 
+def q_stats_poisson_glm(spark, sf_dir):
+    """Distributed Poisson GLM with exposure offset (operators/
+    stats.py::glm_poisson) — the rates regression registries fit for
+    incidence/mortality by covariates: y ~ Poisson(exp(β₀ + β·x +
+    ln exposure)). Planted log-rate (0.3, 0.9) with deterministic
+    ±1 hash jitter on the counts; ONE nano-lattice hash aggregate per
+    Fisher-scoring step, fit bit-identical under partitioning. The
+    published grain is the exact per-x cohort cells (n, Σy, Σexposure
+    — replayed in DuckDB from the same plant) plus coefficient-
+    recovery verdicts."""
+    from cancer_survival_etl_spark.operators.stats import glm_poisson
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    x = (key % 8) / 8.0
+    expo = (F.lit(1) + key % 4).cast("double")
+    lam = F.exp(F.lit(0.3) + 0.9 * x) * expo
+    jitter = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 3
+        - 1
+    ).cast("double")
+    yv = F.greatest(F.round(lam, 0) + jitter, F.lit(0.0))
+    cohort = o.select(
+        x.alias("x"),
+        yv.alias("y"),
+        F.log(expo).alias("lnexpo"),
+        expo.alias("expo"),
+    ).localCheckpoint(eager=False)
+    beta = glm_poisson(cohort, ["x"], "y", offset_col="lnexpo", iters=8)
+    return (
+        cohort.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum("expo").cast("long").alias("sum_exposure"),
+        )
+        .select(
+            "x",
+            "n",
+            "sum_y",
+            "sum_exposure",
+            F.lit(abs(beta[0] - 0.3) < 0.15).alias("intercept_recovered"),
+            F.lit(abs(beta[1] - 0.9) < 0.15).alias("slope_recovered"),
+        )
+    )
+
+
+_POISSON_GLM_SQL = """
+    WITH c AS (
+        SELECT (o_orderkey % 8) / 8.0 AS x,
+               greatest(round(exp(0.3 + 0.9 * (o_orderkey % 8) / 8.0)
+                              * (1 + o_orderkey % 4), 0)
+                        + ((CAST(concat('0x',
+                               substring(md5(o_orderkey::VARCHAR), 1, 8))
+                               AS BIGINT) % 3) - 1), 0.0) AS y,
+               CAST(1 + o_orderkey % 4 AS DOUBLE) AS expo
+        FROM orders
+    )
+    SELECT x, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(expo) AS BIGINT) AS sum_exposure,
+           true AS intercept_recovered, true AS slope_recovered
+    FROM c GROUP BY x
+"""
+
+
 def q_stats_robust_scale(spark, sf_dir):
     """Fused winsorize + robust scale per event type: clip to the exact
     [5th, 95th] discrete percentiles, then center/scale by median and
@@ -10974,6 +11042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_opq_adc": q_ann_opq_adc,
         "survival_km_delayed": q_survival_km_delayed,
         "survival_cox_efron": q_survival_cox_efron,
+        "stats_poisson_glm": q_stats_poisson_glm,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -12790,6 +12859,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_opq_adc": _OPQ_ADC_SQL,
         "survival_km_delayed": _SURVIVAL_KM_DELAYED_SQL,
         "survival_cox_efron": _SURVIVAL_COX_EFRON_SQL,
+        "stats_poisson_glm": _POISSON_GLM_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

@@ -248,6 +248,7 @@ HEADLINE = [
     "ann_opq_adc",
     "survival_km_delayed",
     "survival_cox_efron",
+    "stats_poisson_glm",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

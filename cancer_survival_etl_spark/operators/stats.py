@@ -2320,3 +2320,67 @@ def robust_scale_by_approx(
         )
         .drop("_lo", "_hi", "_q1", "_med", "_q3")
     )
+
+
+def glm_poisson(
+    df: DataFrame,
+    feature_cols,
+    y_col: str,
+    offset_col: str | None = None,
+    iters: int = 8,
+) -> list[float]:
+    """Distributed Poisson GLM with log link and optional exposure
+    offset — the rates regression (deaths ~ covariates + ln(person-
+    time)) that complements the family's OLS/ridge (``ols2_by``),
+    logistic (``llm/inference.py::logistic_train``) and quantile
+    (``quantile_regression``) members, and the registry workhorse for
+    incidence/mortality modelling: y_i ~ Poisson(exp(β₀ + β·x_i +
+    offset_i)). Returns [β₀, β_1, ..., β_p].
+
+    Fisher scoring (≡ Newton-Raphson for the canonical log link):
+    each iteration is ONE hash aggregate computing the p+1 gradient
+    components g_j = Σ(y−μ)x_j and the (p+1)(p+2)/2 information cells
+    I_jk = Σ μ·x_j·x_k, every per-row term rounded onto the 1e-9
+    nano-lattice and summed as exact longs — so the fit is
+    BIT-IDENTICAL under any partitioning (the cox_ph/logistic_train
+    contract); the driver solves the (p+1)×(p+1) system and rounds β
+    to 9 dp per iteration. The data never leaves the executors; no
+    per-row Python anywhere."""
+    import numpy as np
+
+    feats = list(feature_cols)
+    p = len(feats)
+    beta = [0.0] * (p + 1)
+    nano = F.lit(1000000000.0)
+    y = F.col(y_col).cast("double")
+    off = F.col(offset_col).cast("double") if offset_col else F.lit(0.0)
+
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+    for _ in range(iters):
+        eta = off + F.lit(beta[0])
+        for j, c in enumerate(feats):
+            eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
+        mu = F.exp(eta)
+        aggs = []
+        for j in range(p + 1):
+            aggs.append(
+                F.sum(
+                    F.round((y - mu) * xs[j] * nano, 0).cast("long")
+                ).alias(f"g{j}")
+            )
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                aggs.append(
+                    F.sum(
+                        F.round(mu * xs[j] * xs[k] * nano, 0).cast("long")
+                    ).alias(f"i{j}_{k}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        g = np.array([row[f"g{j}"] / 1e9 for j in range(p + 1)])
+        info = np.zeros((p + 1, p + 1))
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
+        step = np.linalg.solve(info, g)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    return beta

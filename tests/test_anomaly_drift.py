@@ -945,3 +945,52 @@ def test_rfm_segmentation_quintiles_and_mass(spark):
     m5 = [r for r in got if r.m_score == 5]
     assert sum(r.n_users for r in m5) == 10  # exactly one quintile
     assert any(r.r_score == 5 for r in got)
+
+
+def test_glm_poisson_recovers_planted_rates(spark):
+    """Poisson GLM with exposure offset: matches a sequential Fisher-
+    scoring reference on the same nano-lattice data, recovers planted
+    log-rates, honors the offset (coefficients describe the RATE, not
+    the count), and is bit-identical under repartitioning."""
+    import math
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.stats import glm_poisson
+
+    rows = []
+    for i in range(2000):
+        x = (i % 8) / 8.0
+        expo = 1 + (i % 4)
+        lam = math.exp(0.3 + 0.9 * x) * expo
+        jitter = ((i * 2654435761) % 3) - 1
+        yv = max(round(lam) + jitter, 0)
+        rows.append((float(x), float(yv), float(math.log(expo))))
+    df = spark.createDataFrame(rows, "x double, y double, lnexpo double")
+    beta = glm_poisson(df, ["x"], "y", offset_col="lnexpo", iters=8)
+    assert abs(beta[0] - 0.3) < 0.1, beta
+    assert abs(beta[1] - 0.9) < 0.1, beta
+    # partitioning independence (exact)
+    assert glm_poisson(
+        df.repartition(32), ["x"], "y", offset_col="lnexpo", iters=8
+    ) == beta
+    # sequential reference with identical lattice arithmetic
+    X = np.array([[1.0, r[0]] for r in rows])
+    Y = np.array([r[1] for r in rows])
+    O = np.array([r[2] for r in rows])
+    b = np.zeros(2)
+    for _ in range(8):
+        mu = np.exp(O + X @ b)
+        g = np.array([
+            np.sum(np.rint((Y - mu) * X[:, j] * 1e9)) / 1e9
+            for j in range(2)
+        ])
+        I = np.zeros((2, 2))
+        for j in range(2):
+            for k in range(2):
+                I[j, k] = np.sum(np.rint(mu * X[:, j] * X[:, k] * 1e9)) / 1e9
+        b = np.round(b + np.linalg.solve(I, g), 9)
+    assert list(b) == beta
+    # without the offset the intercept must absorb mean exposure
+    b2 = glm_poisson(df, ["x"], "y", iters=8)
+    assert b2[0] > beta[0] + 0.3
