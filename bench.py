@@ -249,6 +249,7 @@ HEADLINE = [
     "survival_km_delayed",
     "survival_cox_efron",
     "stats_poisson_glm",
+    "survival_logrank_strat",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

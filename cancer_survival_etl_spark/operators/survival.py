@@ -878,6 +878,99 @@ def logrank_test(
     )
 
 
+def stratified_logrank_test(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """STRATIFIED two-group log-rank test: risk sets form within each
+    stratum (so the comparison is adjusted for the stratifier — center,
+    region, age band), and the score statistic pools across strata:
+
+        χ² = (Σ_s (O1_s − E1_s))² / Σ_s V_s,   1 df
+
+    the standard registry adjustment when a confounder is categorical
+    and a model is overkill. Per-stratum O/E/V use exactly the
+    ``logrank_test`` machinery — per-(stratum, duration) cells, then
+    ONE ``grouped_prefix_sum`` (strata are the groups, so a hot
+    stratum spans partitions) — and the micro-lattice terms stay
+    integer longs until the final pooled division, so every value
+    hash-adjudicates bit-exact.
+
+    Returns one row per stratum: n_1/n_2, observed_1, expected_1,
+    variance (the stratum's own contributions) plus the POOLED
+    chi_square and log_hazard_ratio repeated on every row (the
+    ``age_standardized_rates`` DSR convention).
+    """
+    s = list(strata_cols)
+    gvals = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(
+            f"stratified_logrank_test needs exactly 2 groups, got {gvals}"
+        )
+    g1 = gvals[0]
+    is1 = (F.col(group_col) == F.lit(g1)).cast("long")
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(*s, duration_col).agg(
+        F.sum(ev * is1).alias("d1"),
+        F.sum(ev).alias("d"),
+        F.sum(is1).alias("rm1"),
+        F.count(F.lit(1)).alias("rm"),
+    )
+    tot = df.groupBy(*s).agg(
+        F.sum(is1).alias("_n1"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cells = grouped_prefix_sum(
+        cells, s, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
+    ).join(tot, s)
+    n1 = F.col("_n1") - F.col("rm1_before")
+    n = F.col("_n") - F.col("rm_before")
+    d = F.col("d")
+    p1 = n1 / n
+    e_term = F.when(d > 0, _micro(d * p1)).otherwise(F.lit(0).cast("long"))
+    v_term = F.when(
+        (d > 0) & (n > 1),
+        _micro(d * p1 * (F.lit(1.0) - p1) * (n - d) / (n - F.lit(1))),
+    ).otherwise(F.lit(0).cast("long"))
+    per = cells.groupBy(*s).agg(
+        F.max("_n1").alias("n_subjects_1"),
+        (F.max("_n") - F.max("_n1")).alias("n_subjects_2"),
+        F.sum("d1").alias("observed_1"),
+        F.sum(e_term).alias("_e_micro"),
+        F.sum(v_term).alias("_v_micro"),
+    )
+    pooled = per.agg(
+        F.sum("observed_1").alias("_o_all"),
+        F.sum("_e_micro").alias("_e_all"),
+        F.sum("_v_micro").alias("_v_all"),
+    )
+    oe = F.col("_o_all") - F.col("_e_all") / F.lit(1000000.0)
+    v = F.col("_v_all") / F.lit(1000000.0)
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            *s,
+            "n_subjects_1",
+            "n_subjects_2",
+            "observed_1",
+            F.round(F.col("_e_micro") / F.lit(1000000.0), 6).alias(
+                "expected_1"
+            ),
+            F.round(F.col("_v_micro") / F.lit(1000000.0), 6).alias(
+                "variance"
+            ),
+            F.round(oe * oe / v, 6).alias("chi_square"),
+            F.round(oe / v, 6).alias("log_hazard_ratio"),
+        )
+    )
+
+
 def age_standardized_rates(
     df: DataFrame,
     band_col: str,

@@ -1037,3 +1037,59 @@ def test_cox_ph_efron_ties(spark):
     )
     with pytest.raises(ValueError):
         cox_ph(df, ["x1"], ties="exact")
+
+
+def test_stratified_logrank_pools_strata(spark):
+    """Stratified log-rank: per-stratum O/E/V must equal the plain
+    test run on each stratum alone; the pooled chi2 must use
+    (sum O-E)^2 / sum V; a single all-in-one stratum reduces to the
+    unstratified test."""
+    from cancer_survival_etl_spark.operators.survival import (
+        logrank_test,
+        stratified_logrank_test,
+    )
+
+    rows = (
+        [("s1", "6mp", t, e) for t, e in SIX_MP]
+        + [("s1", "plac", t, e) for t, e in PLACEBO]
+        + [("s2", "6mp", t + 1, e) for t, e in PLACEBO]
+        + [("s2", "plac", t, e) for t, e in SIX_MP]
+    )
+    df = spark.createDataFrame(
+        rows, "stratum string, cohort string, duration long, event int"
+    )
+    got = {
+        r.stratum: r
+        for r in stratified_logrank_test(
+            df, ["stratum"], "cohort"
+        ).collect()
+    }
+    oes, vs = [], []
+    for st in ("s1", "s2"):
+        solo = logrank_test(
+            df.filter(F.col("stratum") == st), "cohort"
+        ).collect()[0]
+        r = got[st]
+        assert (r.observed_1, r.expected_1, r.variance) == (
+            solo.observed_1, solo.expected_1, solo.variance,
+        )
+        oes.append(r.observed_1 - r.expected_1)
+        vs.append(r.variance)
+    oe, v = sum(oes), sum(vs)
+    assert got["s1"].chi_square == got["s2"].chi_square
+    assert got["s1"].chi_square == pytest.approx(
+        round(oe * oe / v, 6), abs=2e-6
+    )
+    # one stratum == plain logrank
+    one = stratified_logrank_test(
+        df.filter(F.col("stratum") == "s1"), ["stratum"], "cohort"
+    ).collect()[0]
+    plain = logrank_test(
+        df.filter(F.col("stratum") == "s1"), "cohort"
+    ).collect()[0]
+    assert one.chi_square == plain.chi_square
+    assert one.log_hazard_ratio == plain.log_hazard_ratio
+    with pytest.raises(ValueError):
+        stratified_logrank_test(
+            df.withColumn("cohort", F.lit("x")), ["stratum"], "cohort"
+        )
