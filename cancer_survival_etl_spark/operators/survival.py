@@ -1771,6 +1771,7 @@ def cox_ph(
     event_col: str = "event",
     iters: int = 8,
     ties: str = "breslow",
+    strata_cols: Sequence[str] | None = None,
 ) -> list[float]:
     """Distributed Cox proportional-hazards regression, Newton-Raphson
     on the partial likelihood. Returns [β_1, ..., β_p].
@@ -1783,6 +1784,16 @@ def cox_ph(
     over the EVENT cells only — Σd_t extra rows, bounded by the event
     count, fully distributed — and is exactly equal to Breslow when
     no two events share a duration (pinned in tests).
+
+    ``strata_cols``: STRATIFIED Cox — each stratum keeps its own
+    (unmodelled) baseline hazard and risk sets form within strata,
+    while β is shared: the registry adjustment for center/region/age
+    band when proportionality across the stratifier is implausible.
+    Cells become per-(stratum, duration); the risk-set suffix sums
+    run per stratum via ``grouped_prefix_sum`` (a hot stratum spans
+    range partitions); the gradient/information pooling is unchanged
+    because the stratified partial likelihood is a plain sum of
+    per-stratum terms.
 
     Each iteration is two bounded passes, nothing iterative ever
     runs per-row on the driver:
@@ -1874,20 +1885,31 @@ def cox_ph(
                             * F.round(r * xj * xk * nano, 0).cast("long")
                         ).alias(f"e2_{j}_{k}")
                     )
-        cells = df.groupBy(duration_col).agg(*aggs)
+        strata = list(strata_cols) if strata_cols else []
+        cells = df.groupBy(*strata, duration_col).agg(*aggs)
 
         vcols = (
             ["a0"]
             + [f"a1_{j}" for j in range(p)]
             + [f"a2_{j}_{k}" for j in range(p) for k in range(j, p)]
         )
-        pre = global_prefix_sum(
-            cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
-        )
-        tot = cells.agg(
-            *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
-        )
-        pre = pre.crossJoin(F.broadcast(tot))
+        if strata:
+            pre = grouped_prefix_sum(
+                cells, strata, duration_col, vcols,
+                [f"_pre_{v}" for v in vcols],
+            )
+            tot = cells.groupBy(*strata).agg(
+                *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
+            )
+            pre = pre.join(F.broadcast(tot), strata)
+        else:
+            pre = global_prefix_sum(
+                cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
+            )
+            tot = cells.agg(
+                *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
+            )
+            pre = pre.crossJoin(F.broadcast(tot))
 
         def suffix(v):
             # risk set at t = everyone leaving at or after t

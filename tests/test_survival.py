@@ -1093,3 +1093,46 @@ def test_stratified_logrank_pools_strata(spark):
         stratified_logrank_test(
             df.withColumn("cohort", F.lit("x")), ["stratum"], "cohort"
         )
+
+
+def test_cox_ph_stratified(spark):
+    """Stratified Cox: the stratified partial likelihood is a plain
+    sum of per-stratum terms, so (a) fitting two IDENTICAL strata
+    (one time-shifted so risk sets can't mix) gives exactly the
+    single-stratum beta - integer lattice sums double, the NR path is
+    unchanged; (b) an UNSTRATIFIED fit of the same union differs
+    (risk sets corrupt); (c) bit-identical under repartitioning."""
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    rows = []
+    for i in range(150):
+        x1 = (i % 4) / 3.0
+        x2 = ((i * 7) % 5) / 4.0
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / math.exp(1.0 * x1 - 0.6 * x2)
+        rows.append((x1, x2, round(min(t, 2.0), 1), 1 if t <= 2.0 else 0))
+    base = spark.createDataFrame(
+        rows, "x1 double, x2 double, duration double, event int"
+    )
+    b_solo = cox_ph(base, ["x1", "x2"], iters=5)
+    shifted = base.withColumn("duration", F.col("duration") + 1000.0)
+    union = (
+        base.withColumn("stratum", F.lit("a"))
+        .unionByName(shifted.withColumn("stratum", F.lit("b")))
+    )
+    b_strat = cox_ph(
+        union, ["x1", "x2"], iters=5, strata_cols=["stratum"]
+    )
+    assert b_strat == b_solo
+    b_unstrat = cox_ph(union, ["x1", "x2"], iters=5)
+    assert b_unstrat != b_solo
+    assert cox_ph(
+        union.repartition(32), ["x1", "x2"], iters=5,
+        strata_cols=["stratum"],
+    ) == b_strat
+    # efron + strata compose
+    b_se = cox_ph(
+        union, ["x1", "x2"], iters=5, ties="efron",
+        strata_cols=["stratum"],
+    )
+    assert b_se == cox_ph(base, ["x1", "x2"], iters=5, ties="efron")
