@@ -8959,6 +8959,77 @@ _SURVIVAL_COX_EFRON_SQL = """
 """
 
 
+def q_survival_cox_strat(spark, sf_dir):
+    """STRATIFIED Cox PH (operators/survival.py::cox_ph with
+    strata_cols): each stratum keeps its own unmodelled baseline while
+    β is shared — the registry adjustment for center/region. Plant:
+    the survival_cox cohort but with a stratum-specific baseline
+    hazard multiplier (h0 × {1, 4} by doc_id % 2 stratum) that an
+    UNSTRATIFIED fit would partially absorb into biased β; the
+    stratified fit must still recover (1.2, −0.5). Risk sets form per
+    stratum via grouped_prefix_sum. Oracle adjudicates exact planted
+    counts per stratum + recovery verdicts."""
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    x1 = (F.col("doc_id") % 12) / 12.0
+    x2 = (F.col("doc_id") * 7 % 10) / 10.0
+    stratum = (F.col("doc_id") % 2).cast("long")
+    h_mult = F.when(stratum == 0, F.lit(1.0)).otherwise(F.lit(4.0))
+    t = -F.log(u) / (h_mult * F.exp(1.2 * x1 - 0.5 * x2))
+    cohort = d.select(
+        stratum.alias("stratum"),
+        x1.alias("x1"),
+        x2.alias("x2"),
+        F.round(F.least(t, F.lit(1.5)), 1).alias("duration"),
+        (t <= 1.5).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    beta = cox_ph(
+        cohort, ["x1", "x2"], iters=5, strata_cols=["stratum"]
+    )
+    return (
+        cohort.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event").cast("long").alias("n_events"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "n_events",
+            F.lit(abs(beta[0] - 1.2) < 0.6).alias("beta_x1_recovered"),
+            F.lit(abs(beta[1] + 0.5) < 0.6).alias("beta_x2_recovered"),
+        )
+    )
+
+
+_SURVIVAL_COX_STRAT_SQL = """
+    WITH c AS (
+        SELECT doc_id % 2 AS stratum,
+               CASE WHEN
+                   -ln((CAST(concat('0x',
+                         substring(md5(doc_id::VARCHAR), 1, 8))
+                         AS BIGINT) % 1000000) / 1000000.0 + 0.000001)
+                   / ((CASE doc_id % 2 WHEN 0 THEN 1.0 ELSE 4.0 END)
+                      * exp(1.2 * (doc_id % 12) / 12.0
+                            - 0.5 * (doc_id * 7 % 10) / 10.0)) <= 1.5
+               THEN 1 ELSE 0 END AS event
+        FROM documents
+    )
+    SELECT CAST(stratum AS BIGINT) AS stratum,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event) AS BIGINT) AS n_events,
+           true AS beta_x1_recovered,
+           true AS beta_x2_recovered
+    FROM c GROUP BY stratum
+"""
+
+
 def q_survival_cif(spark, sf_dir):
     """Aalen-Johansen cumulative incidence under competing risks
     (operators/survival.py::cif_competing_risks): first 'error'
@@ -11135,6 +11206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_logrank_strat": q_survival_logrank_strat,
         "survival_cox_efron": q_survival_cox_efron,
         "stats_poisson_glm": q_stats_poisson_glm,
+        "survival_cox_strat": q_survival_cox_strat,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -12953,6 +13025,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_logrank_strat": _SURVIVAL_LOGRANK_STRAT_SQL,
         "survival_cox_efron": _SURVIVAL_COX_EFRON_SQL,
         "stats_poisson_glm": _POISSON_GLM_SQL,
+        "survival_cox_strat": _SURVIVAL_COX_STRAT_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

@@ -250,6 +250,7 @@ HEADLINE = [
     "survival_cox_efron",
     "stats_poisson_glm",
     "survival_logrank_strat",
+    "survival_cox_strat",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",
