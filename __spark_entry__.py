@@ -9030,6 +9030,91 @@ _SURVIVAL_COX_STRAT_SQL = """
 """
 
 
+def q_survival_ph_test(spark, sf_dir):
+    """Schoenfeld-residual proportional-hazards diagnostic
+    (operators/survival.py::cox_ph_diagnostics — the cox.zph test):
+    per-event residual r_t = s_t − d_t·S1_t/S0_t at the fitted β,
+    correlated against event time with tie-mass weighting. Two plants
+    from the same md5 uniforms: a genuinely proportional cohort
+    (shared shape, rate ratio e^1.2 — must NOT flag) and crossing
+    hazards (Weibull shape 0.6 vs 2.2 by arm — MUST flag). Published
+    grain: exact distinct-event-time counts per plant (SQL-replayed)
+    + the violation verdicts."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_diagnostics,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    x = (F.col("doc_id") % 2).cast("double")
+
+    t_prop = -F.log(u) / F.exp(1.2 * x)
+    prop = d.select(
+        x.alias("x"),
+        F.round(F.least(t_prop, F.lit(3.0)), 1).alias("duration"),
+        (t_prop <= 3.0).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+
+    k = F.when(x == 0, F.lit(0.6)).otherwise(F.lit(2.2))
+    t_cross = F.pow(-F.log(u), F.lit(1.0) / k)
+    cross = d.select(
+        x.alias("x"),
+        F.round(F.least(t_cross, F.lit(3.0)), 1).alias("duration"),
+        (t_cross <= 3.0).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+
+    out = []
+    for label, frame in (("proportional", prop), ("crossing", cross)):
+        beta = cox_ph(frame, ["x"], iters=5)
+        z = cox_ph_diagnostics(frame, ["x"], beta).collect()[0]
+        n_times = (
+            frame.filter("event = 1").select("duration").distinct().count()
+        )
+        out.append((label, n_times, abs(z.z_stat) > 2.5))
+    return spark.createDataFrame(
+        out, "plant string, n_event_times long, ph_violated boolean"
+    )
+
+
+_SURVIVAL_PH_TEST_SQL = """
+    WITH u AS (
+        SELECT doc_id % 2 AS x,
+               -ln((CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8))
+                         AS BIGINT) % 1000000) / 1000000.0
+                   + 0.000001) AS e
+        FROM documents
+    ),
+    prop AS (
+        SELECT round(least(e / exp(1.2 * x), 3.0), 1) AS duration,
+               CASE WHEN e / exp(1.2 * x) <= 3.0 THEN 1 ELSE 0 END AS ev
+        FROM u
+    ),
+    crossed AS (
+        SELECT round(least(power(e, 1.0 /
+                   (CASE x WHEN 0 THEN 0.6 ELSE 2.2 END)), 3.0), 1)
+                   AS duration,
+               CASE WHEN power(e, 1.0 /
+                   (CASE x WHEN 0 THEN 0.6 ELSE 2.2 END)) <= 3.0
+                   THEN 1 ELSE 0 END AS ev
+        FROM u
+    )
+    SELECT 'proportional' AS plant,
+           CAST(count(DISTINCT duration) AS BIGINT) AS n_event_times,
+           false AS ph_violated
+    FROM prop WHERE ev = 1
+    UNION ALL
+    SELECT 'crossing' AS plant,
+           CAST(count(DISTINCT duration) AS BIGINT) AS n_event_times,
+           true AS ph_violated
+    FROM crossed WHERE ev = 1
+"""
+
+
 def q_survival_cif(spark, sf_dir):
     """Aalen-Johansen cumulative incidence under competing risks
     (operators/survival.py::cif_competing_risks): first 'error'
@@ -11207,6 +11292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cox_efron": q_survival_cox_efron,
         "stats_poisson_glm": q_stats_poisson_glm,
         "survival_cox_strat": q_survival_cox_strat,
+        "survival_ph_test": q_survival_ph_test,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13026,6 +13112,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox_efron": _SURVIVAL_COX_EFRON_SQL,
         "stats_poisson_glm": _POISSON_GLM_SQL,
         "survival_cox_strat": _SURVIVAL_COX_STRAT_SQL,
+        "survival_ph_test": _SURVIVAL_PH_TEST_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

@@ -251,6 +251,7 @@ HEADLINE = [
     "stats_poisson_glm",
     "survival_logrank_strat",
     "survival_cox_strat",
+    "survival_ph_test",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

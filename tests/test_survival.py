@@ -1136,3 +1136,47 @@ def test_cox_ph_stratified(spark):
         strata_cols=["stratum"],
     )
     assert b_se == cox_ph(base, ["x1", "x2"], iters=5, ties="efron")
+
+
+def test_cox_ph_diagnostics_schoenfeld(spark):
+    """PH diagnostic: on a genuinely proportional plant the residual
+    trend is null (|z| small); on crossing hazards (different Weibull
+    shapes per arm) the same machinery flags a strong trend. Exact
+    under repartitioning."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_diagnostics,
+    )
+
+    # proportional: shared shape, rate ratio e^1
+    prop = []
+    for i in range(800):
+        x = i % 2
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / math.exp(1.0 * x)
+        prop.append((float(x), round(min(t, 3.0), 1), 1 if t <= 3.0 else 0))
+    dfp = spark.createDataFrame(
+        prop, "x double, duration double, event int"
+    )
+    bp = cox_ph(dfp, ["x"], iters=5)
+    zp = cox_ph_diagnostics(dfp, ["x"], bp).collect()[0]
+    assert abs(zp.z_stat) < 2.5, zp
+    # crossing hazards: k=0.6 vs k=2.2 Weibull shapes
+    cross = []
+    for i in range(800):
+        x = i % 2
+        u = ((i * 40503 + 11) % 999979) / 999979.0 + 1e-9
+        k = 0.6 if x == 0 else 2.2
+        t = (-math.log(u)) ** (1.0 / k)
+        cross.append((float(x), round(min(t, 3.0), 1), 1 if t <= 3.0 else 0))
+    dfc = spark.createDataFrame(
+        cross, "x double, duration double, event int"
+    )
+    bc = cox_ph(dfc, ["x"], iters=5)
+    zc = cox_ph_diagnostics(dfc, ["x"], bc).collect()[0]
+    assert abs(zc.z_stat) > 4.0, zc
+    # deterministic under repartitioning
+    zc32 = cox_ph_diagnostics(dfc.repartition(32), ["x"], bc).collect()[0]
+    assert (zc.rho, zc.z_stat) == (zc32.rho, zc32.z_stat)
+    with pytest.raises(ValueError):
+        cox_ph_diagnostics(dfc, ["x"], [0.1, 0.2])
