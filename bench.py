@@ -252,6 +252,7 @@ HEADLINE = [
     "survival_logrank_strat",
     "survival_cox_strat",
     "survival_ph_test",
+    "survival_fine_gray",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",
