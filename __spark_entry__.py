@@ -9990,6 +9990,101 @@ def q_survival_relative(spark, sf_dir):
     )
 
 
+def q_survival_relative_e1(spark, sf_dir):
+    """Relative survival with EDERER I expected survival (operators/
+    survival.py::relative_survival_ederer1) — the other classical
+    convention registries publish beside Ederer II: the expected curve
+    averages the AT-DIAGNOSIS band mix's closed-form life-table
+    survival, (1/N)Σ n_b(1−λ_b)^h, never re-weighted as the cohort
+    ages. Same cohort/life table/hour grid as survival_relative, so
+    the pair brackets the survivors'-mix effect. No prefix pass in the
+    expected arm at all — a broadcast grid with a closed-form pow()
+    per cell."""
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer1,
+    )
+
+    return relative_survival_ederer1(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_SURVIVAL_RELATIVE_E1_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    km AS (
+        SELECT cohort, duration,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               CAST(sum(1 - event) AS BIGINT) AS n_censored
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    atrisk AS (
+        SELECT k.cohort, k.duration, k.n_event,
+               CAST(t.n_subj - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (PARTITION BY k.cohort ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM km k JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    kmcurve AS (
+        SELECT cohort, duration,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS survival
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY duration
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    hours AS (SELECT CAST(h AS BIGINT) AS hour FROM range(1, 49) t(h)),
+    nb AS (
+        SELECT cohort, user_id % 9 AS band, count(*) AS n
+        FROM surv GROUP BY cohort, band
+    ),
+    expected AS (
+        SELECT cohort, hour,
+               round(sum(n * power(1.0 - (1500 + 700 * band)
+                                   / 1000000.0, hour))
+                     / sum(n), 6) AS survival_expected
+        FROM nb CROSS JOIN hours GROUP BY cohort, hour
+    ),
+    nrisk AS (
+        SELECT s.cohort, h.hour,
+               CAST(sum(CASE WHEN s.duration >= h.hour THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_risk
+        FROM surv s CROSS JOIN hours h GROUP BY s.cohort, h.hour
+    ),
+    obs AS (
+        SELECT k.cohort, h.hour,
+               arg_max(k.survival, k.duration) AS survival_observed
+        FROM kmcurve k JOIN hours h ON k.duration <= h.hour
+        GROUP BY k.cohort, h.hour
+    )
+    SELECT e.cohort, e.hour, r.n_risk,
+           coalesce(o.survival_observed, 1.0) AS survival_observed,
+           e.survival_expected,
+           round(coalesce(o.survival_observed, 1.0)
+                 / e.survival_expected, 6) AS relative_survival
+    FROM expected e
+    JOIN nrisk r ON e.cohort = r.cohort AND e.hour = r.hour
+    LEFT JOIN obs o ON e.cohort = o.cohort AND e.hour = o.hour
+"""
+
+
 def q_survival_net_pp(spark, sf_dir):
     """Pohar Perme net survival (operators/survival.py::
     net_survival_pohar_perme): each subject inverse-weighted by their
@@ -11391,6 +11486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cox_strat": q_survival_cox_strat,
         "survival_ph_test": q_survival_ph_test,
         "survival_fine_gray": q_survival_fine_gray,
+        "survival_relative_e1": q_survival_relative_e1,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13212,6 +13308,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox_strat": _SURVIVAL_COX_STRAT_SQL,
         "survival_ph_test": _SURVIVAL_PH_TEST_SQL,
         "survival_fine_gray": _SURVIVAL_FINE_GRAY_SQL,
+        "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

@@ -253,6 +253,7 @@ HEADLINE = [
     "survival_cox_strat",
     "survival_ph_test",
     "survival_fine_gray",
+    "survival_relative_e1",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

@@ -1310,6 +1310,126 @@ def relative_survival_ederer2(
     )
 
 
+def relative_survival_ederer1(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Relative survival with EDERER I expected survival — the other
+    classical expected-survival convention registries publish beside
+    Ederer II: the expected curve averages each subject's OWN
+    life-table survival over the WHOLE cohort at diagnosis,
+
+        S*_I(h) = (1/N) · Σ_b n_b · (1 − λ_b)^h
+
+    (the at-diagnosis band mix, never re-weighted as the cohort ages —
+    unlike Ederer II's survivors'-mix λ̄(s)). Ederer I is the matched-
+    cohort interpretation: follow N hypothetical population twins from
+    day 0. It overstates expected survival late (the real cohort's
+    high-hazard bands die out first), which is exactly why both are
+    published; the pair brackets the truth.
+
+    Same integer micro-hazard contract and output grain as
+    ``relative_survival_ederer2``: one row per (group, hour
+    1..horizon) with n_risk (observed at-risk), survival_observed
+    (KM), survival_expected (Ederer I), relative_survival.
+
+    Scale shape: the expected curve needs only the per-(group, band)
+    AT-DIAGNOSIS counts — one tiny aggregate, then a broadcast-sized
+    (groups × bands × horizon) grid with a closed-form pow() per cell
+    (no prefix pass at all: the at-diagnosis mix is time-constant).
+    The observed curve reuses ``km_curve`` cells via the same
+    broadcast argmax join as Ederer II.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    g = list(group_cols)
+    spark = df.sparkSession
+    horizon = int(horizon)
+
+    nbt = df.groupBy(*g, band_col).agg(F.count(F.lit(1)).alias("_nb"))
+    hours = spark.range(1, horizon + 1).select(
+        F.col("id").cast("long").alias("hour")
+    )
+    # at-risk grid must include hour 0 so duration-0 removals are in
+    # the strict prefix when hour 1 reads it
+    hours0 = spark.range(0, horizon + 1).select(
+        F.col("id").cast("long").alias("hour")
+    )
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    grid = nbt.crossJoin(F.broadcast(hours)).withColumn(
+        "_sb",
+        F.col("_nb")
+        * F.pow(
+            F.lit(1.0) - lam / F.lit(1000000.0), F.col("hour")
+        ),
+    )
+    expected = grid.groupBy(*g, "hour").agg(
+        F.round(F.sum("_sb") / F.sum("_nb"), 6).alias(
+            "survival_expected"
+        ),
+    )
+
+    km = km_curve(df, g, duration_col, event_col)
+    # observed at-risk entering each hour, from removal cells
+    rm = df.groupBy(*g, duration_col).agg(F.count(F.lit(1)).alias("_rm"))
+    tot = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_tot"))
+    atrisk = (
+        tot.crossJoin(F.broadcast(hours0))
+        .join(
+            rm.withColumnRenamed(duration_col, "hour"),
+            g + ["hour"],
+            "left",
+        )
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.lit(0)))
+    )
+    atrisk = grouped_prefix_sum(atrisk, g, "hour", "_rm", "_rm0")
+    atrisk = atrisk.filter(F.col("hour") > 0).select(
+        *g, "hour", (F.col("_n_tot") - F.col("_rm0")).alias("n_risk")
+    )
+    obs_cells = km.crossJoin(
+        F.broadcast(hours)
+    ).filter(F.col(duration_col) <= F.col("hour"))
+    best = obs_cells.groupBy(*g, "hour").agg(
+        F.max(
+            F.struct(
+                F.col(duration_col).alias("_d"),
+                F.col("survival").alias("_sv"),
+            )
+        ).alias("_b")
+    )
+    out = (
+        expected.join(atrisk, g + ["hour"])
+        .join(best, g + ["hour"], "left")
+        .withColumn(
+            "survival_observed", F.coalesce(F.col("_b._sv"), F.lit(1.0))
+        )
+    )
+    return out.select(
+        *g,
+        "hour",
+        "n_risk",
+        "survival_observed",
+        "survival_expected",
+        F.round(
+            F.col("survival_observed") / F.col("survival_expected"), 6
+        ).alias("relative_survival"),
+    )
+
+
 def net_survival_pohar_perme(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1283,3 +1283,64 @@ def test_fine_gray_reduction_reference_and_recovery(spark):
     assert fine_gray(two, ["x"], iters=4) == cox_ph(
         two.withColumnRenamed("cause", "event"), ["x"], iters=4
     )
+
+
+def test_ederer1_closed_form_and_vs_ederer2(spark):
+    """Ederer I: expected survival is the at-diagnosis band mix's
+    closed form (1/N)Σ n_b (1−λ_b)^h — hand-checkable; with a single
+    band it equals Ederer II exactly (no mix to re-weight); with a
+    mixed cohort whose high-hazard band dies out, Ederer I's expected
+    is LOWER than Ederer II's late (the survivors' mix is healthier),
+    so R_I ≥ R_II."""
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer1,
+        relative_survival_ederer2,
+    )
+
+    lam = {0: 2000, 1: 60000}  # per-hour micro hazards, 30x apart
+    rows = []
+    for i in range(400):
+        band = i % 2
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / ((lam[band] / 1e6) * (2.0 if band else 1.0))
+        d = int(min(t, 24))
+        rows.append(("g", band, d, 1 if t < 24 else 0))
+    df = spark.createDataFrame(
+        rows, "cohort string, band long, duration long, event int"
+    )
+    e1 = {
+        r.hour: r
+        for r in relative_survival_ederer1(
+            df, ["cohort"], "band", lam, 24
+        ).collect()
+    }
+    e2 = {
+        r.hour: r
+        for r in relative_survival_ederer2(
+            df, ["cohort"], "band", lam, 24
+        ).collect()
+    }
+    # closed form at h: (n0 (1-.002)^h + n1 (1-.06)^h) / N
+    n0 = sum(1 for r in rows if r[1] == 0)
+    n1 = len(rows) - n0
+    for h in (1, 6, 24):
+        want = (n0 * (1 - 0.002) ** h + n1 * (1 - 0.06) ** h) / (n0 + n1)
+        assert e1[h].survival_expected == pytest.approx(
+            round(want, 6), abs=1e-6
+        )
+        assert e1[h].survival_observed == e2[h].survival_observed
+    # survivors' mix is healthier -> E2 expected >= E1 expected late
+    assert e2[24].survival_expected > e1[24].survival_expected
+    assert e1[24].relative_survival > e2[24].relative_survival
+    # single band: identical estimators
+    one = df.filter(F.col("band") == 0)
+    o1 = {r.hour: r.relative_survival for r in
+          relative_survival_ederer1(one, ["cohort"], "band", lam, 24)
+          .collect()}
+    o2 = {r.hour: r.relative_survival for r in
+          relative_survival_ederer2(one, ["cohort"], "band", lam, 24)
+          .collect()}
+    for h in o1:
+        assert o1[h] == pytest.approx(o2[h], abs=2e-6), h
+    with pytest.raises(ValueError):
+        relative_survival_ederer1(df, ["cohort"], "band", {0: 1.5}, 24)
