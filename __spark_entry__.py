@@ -10085,6 +10085,63 @@ _SURVIVAL_RELATIVE_E1_SQL = f"""
 """
 
 
+def q_survival_cox_baseline(spark, sf_dir):
+    """Breslow baseline cumulative hazard (operators/survival.py::
+    cox_baseline_hazard) — the prediction half of Cox regression:
+    Ĥ₀(t) = Σ d_t/S0(t), S(t|x) = exp(−Ĥ₀·e^{xβ}). Published at the
+    null profile (no covariates, r ≡ 1), where Breslow reduces to
+    Nelson-Aalen on the same micro lattice — so the WHOLE table
+    hash-adjudicates against a pure SQL mirror (the fitted-β surface
+    is pinned in tests against a sequential Breslow reference;
+    at β=0 it equals km_curve's cum_hazard bit-exactly)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_baseline_hazard,
+    )
+
+    eps = _survival_episodes(spark, sf_dir).filter(
+        F.col("cohort") == "A"
+    )
+    return cox_baseline_hazard(eps, [], [], "duration", "event")
+
+
+_SURVIVAL_COX_BASELINE_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    cells AS (
+        SELECT duration,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               count(*) AS rm
+        FROM surv WHERE cohort = 'A' GROUP BY duration
+    ),
+    tot AS (SELECT count(*) AS n FROM surv WHERE cohort = 'A'),
+    ar AS (
+        SELECT c.duration, c.n_event,
+               t.n - coalesce(sum(c.rm) OVER
+                   (ORDER BY c.duration ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM cells c CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0
+                 THEN CAST(round(n_event / (round(n_risk * 1000000000.0,
+                           0) / 1000000000.0) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS inc
+        FROM ar
+    ),
+    acc AS (
+        SELECT duration, n_event, inc,
+               sum(inc) OVER (ORDER BY duration
+                              ROWS UNBOUNDED PRECEDING) AS h0
+        FROM terms
+    )
+    SELECT duration, n_event,
+           round(inc / 1000000.0, 6) AS h0_increment,
+           round(h0 / 1000000.0, 6) AS cum_hazard_baseline,
+           round(exp(-(h0 / 1000000.0)), 6) AS survival_baseline
+    FROM acc
+"""
+
+
 def q_survival_net_pp(spark, sf_dir):
     """Pohar Perme net survival (operators/survival.py::
     net_survival_pohar_perme): each subject inverse-weighted by their
@@ -11487,6 +11544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_ph_test": q_survival_ph_test,
         "survival_fine_gray": q_survival_fine_gray,
         "survival_relative_e1": q_survival_relative_e1,
+        "survival_cox_baseline": q_survival_cox_baseline,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13309,6 +13367,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_ph_test": _SURVIVAL_PH_TEST_SQL,
         "survival_fine_gray": _SURVIVAL_FINE_GRAY_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
+        "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

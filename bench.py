@@ -254,6 +254,7 @@ HEADLINE = [
     "survival_ph_test",
     "survival_fine_gray",
     "survival_relative_e1",
+    "survival_cox_baseline",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

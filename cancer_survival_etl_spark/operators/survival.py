@@ -2431,3 +2431,61 @@ def fine_gray(
         step = np.linalg.solve(info, g)
         beta = [round(b + s, 9) for b, s in zip(beta, step)]
     return beta
+
+
+def cox_baseline_hazard(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    beta: Sequence[float],
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Breslow baseline cumulative-hazard estimator at a fitted β —
+    the prediction half of Cox regression: Ĥ₀(t) = Σ_{t'≤t} d_t' /
+    S0(t') with S0 the risk-set mass Σ exp(xβ). Predicted survival
+    for any covariate profile follows as S(t|x) = exp(−Ĥ₀(t)·e^{xβ}).
+
+    At β = 0 the increments d_t/S0(t) reduce to d_t/n_t on the SAME
+    micro lattice as ``km_curve``'s Nelson-Aalen column, so
+    ``cum_hazard_baseline`` equals km_curve's ``cum_hazard``
+    bit-exactly (pinned) — the estimator is the NA/Breslow identity
+    with risk weights e^{xβ}.
+
+    Scale shape: one per-duration cell aggregate (d_t + nano-rounded
+    risk mass), one ``global_prefix_sum`` for the suffix S0 and a
+    second for the inclusive Ĥ₀ accumulation — the frame is #distinct
+    durations. Returns (duration, n_event, h0_increment,
+    cum_hazard_baseline, survival_baseline).
+    """
+    feats = list(feature_cols)
+    if len(beta) != len(feats):
+        raise ValueError("beta length must match feature_cols")
+    nano = F.lit(1000000000.0)
+    xb = F.lit(0.0)
+    for j, c in enumerate(feats):
+        xb = xb + F.lit(float(beta[j])) * F.col(c).cast("double")
+    r = F.exp(xb)
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(duration_col).agg(
+        F.sum(ev).alias("n_event"),
+        F.sum(F.round(r * nano, 0).cast("long")).alias("a0"),
+    )
+    pre = global_prefix_sum(cells, duration_col, ["a0"], ["_pre_a0"])
+    tot = cells.agg(F.sum("a0").alias("_tot_a0"))
+    pre = pre.crossJoin(F.broadcast(tot))
+    s0 = (F.col("_tot_a0") - F.col("_pre_a0")) / nano
+    inc = F.when(
+        F.col("n_event") > 0, _micro(F.col("n_event") / s0)
+    ).otherwise(F.lit(0).cast("long"))
+    pre = pre.withColumn("_inc", inc)
+    pre = global_prefix_sum(pre, duration_col, ["_inc"], ["_h0_before"])
+    h0 = (F.col("_h0_before") + F.col("_inc")) / F.lit(1000000.0)
+    return pre.select(
+        duration_col,
+        "n_event",
+        F.round(F.col("_inc") / F.lit(1000000.0), 6).alias(
+            "h0_increment"
+        ),
+        F.round(h0, 6).alias("cum_hazard_baseline"),
+        F.round(F.exp(-h0), 6).alias("survival_baseline"),
+    )

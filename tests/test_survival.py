@@ -1344,3 +1344,68 @@ def test_ederer1_closed_form_and_vs_ederer2(spark):
         assert o1[h] == pytest.approx(o2[h], abs=2e-6), h
     with pytest.raises(ValueError):
         relative_survival_ederer1(df, ["cohort"], "band", {0: 1.5}, 24)
+
+
+def test_cox_baseline_hazard_breslow(spark):
+    """Breslow baseline: at beta=0 the increments live on the same
+    micro lattice as km_curve's Nelson-Aalen, so cum_hazard matches
+    bit-exactly; at a fitted beta it matches the sequential Breslow
+    reference; deterministic under repartitioning."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_baseline_hazard,
+        cox_ph,
+        km_curve,
+    )
+
+    rows = []
+    for i in range(300):
+        x = (i % 4) / 3.0
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / math.exp(0.8 * x)
+        rows.append((x, round(min(t, 2.0), 1), 1 if t <= 2.0 else 0))
+    df = spark.createDataFrame(
+        rows, "x double, duration double, event int"
+    )
+    # beta = 0: equals km_curve's Nelson-Aalen exactly
+    base0 = {
+        r.duration: r.cum_hazard_baseline
+        for r in cox_baseline_hazard(df, ["x"], [0.0]).collect()
+    }
+    km = {
+        r.duration: r.cum_hazard
+        for r in km_curve(
+            df.withColumn("cohort", F.lit("g")), ["cohort"]
+        ).collect()
+    }
+    assert base0 == km
+    # fitted beta: sequential Breslow reference (same lattices)
+    beta = cox_ph(df, ["x"], iters=5)
+    got = {
+        r.duration: (r.h0_increment, r.cum_hazard_baseline)
+        for r in cox_baseline_hazard(df, ["x"], beta).collect()
+    }
+    rs = sorted(rows, key=lambda r: r[1])
+    times = sorted({r[1] for r in rows})
+    acc = 0
+    for t in times:
+        d = sum(1 for r in rows if r[1] == t and r[2] == 1)
+        s0 = sum(
+            round(math.exp(beta[0] * r[0]) * 1e9) for r in rows
+            if r[1] >= t
+        ) / 1e9
+        inc = round(d / s0 * 1e6) if d > 0 else 0
+        acc += inc
+        assert got[t][0] == round(inc / 1e6, 6), t
+        assert got[t][1] == round(acc / 1e6, 6), t
+    # partitioning independence
+    got32 = {
+        r.duration: (r.h0_increment, r.cum_hazard_baseline)
+        for r in cox_baseline_hazard(
+            df.repartition(32), ["x"], beta
+        ).collect()
+    }
+    assert got32 == got
+    with pytest.raises(ValueError):
+        cox_baseline_hazard(df, ["x"], [0.1, 0.2])
