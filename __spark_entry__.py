@@ -8905,6 +8905,102 @@ _SURVIVAL_LOGRANK_STRAT_SQL = f"""
 """
 
 
+def q_survival_period(spark, sf_dir):
+    """Brenner period analysis (operators/survival.py::
+    period_survival) — up-to-date survival from person-time inside a
+    recent calendar window [10, 40): each subject is left-truncated at
+    window entry and censored at window exit on the time-since-
+    diagnosis axis, then the estimator is delayed-entry KM. Plant:
+    diagnosis calendar time = user_id % 30 hours; follow-up from the
+    standard episodes derivation. Oracle mirrors the transform and the
+    dual strict-before prefix machinery bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        period_survival,
+    )
+
+    eps = _survival_episodes(spark, sf_dir).withColumn(
+        "diag_time", (F.col("user_id") % 30).cast("long")
+    )
+    return period_survival(
+        eps, ["cohort"], 10, 40, "diag_time", "duration", "event"
+    )
+
+
+_SURVIVAL_PERIOD_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    pw AS (
+        SELECT cohort,
+               greatest(0, 10 - (user_id % 30)) AS entry,
+               least(duration, 40 - (user_id % 30)) AS exit_t,
+               CASE WHEN duration < 40 - (user_id % 30)
+                    THEN event ELSE 0 END AS ev
+        FROM surv
+        WHERE user_id % 30 < 40
+          AND (user_id % 30) + duration >= 10
+    ),
+    lt AS (
+        SELECT cohort, entry, exit_t, ev FROM pw WHERE entry < exit_t
+    ),
+    cells AS (
+        SELECT cohort, t,
+               CAST(sum(ne) AS BIGINT) AS n_event,
+               CAST(sum(nc) AS BIGINT) AS n_censored,
+               CAST(sum(en) AS BIGINT) AS n_enter
+        FROM (
+            SELECT cohort, exit_t AS t, ev AS ne, 1 - ev AS nc, 0 AS en
+            FROM lt
+            UNION ALL
+            SELECT cohort, entry AS t, 0, 0, 1 FROM lt
+        ) u GROUP BY cohort, t
+    ),
+    atrisk AS (
+        SELECT cohort, t, n_event, n_censored,
+               CAST(coalesce(sum(n_enter) OVER wb, 0)
+                    - coalesce(sum(n_event + n_censored) OVER wb, 0)
+                    AS BIGINT) AS n_risk
+        FROM cells
+        WINDOW wb AS (PARTITION BY cohort ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt_,
+            CASE WHEN n_event > 0
+                 THEN CAST(round((n_event / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS na,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(n_event / (n_risk * (n_risk - n_event))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS gw,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    acc AS (
+        SELECT cohort, t, n_risk, n_event, n_censored,
+               sum(lt_) OVER w AS lt_, sum(na) OVER w AS na,
+               sum(gw) OVER w AS gw, sum(dall) OVER w AS dall
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort, t AS duration, n_risk, n_event, n_censored,
+           CASE WHEN dall > 0 THEN 0.0
+                ELSE round(exp(lt_ / 1000000.0), 6) END AS survival,
+           round(na / 1000000.0, 6) AS cum_hazard,
+           CASE WHEN dall > 0 THEN NULL
+                ELSE round(exp(lt_ / 1000000.0)
+                           * sqrt(gw / 1000000000000.0), 6)
+           END AS se_greenwood
+    FROM acc
+    WHERE n_event + n_censored > 0
+"""
+
+
 def q_survival_cox_efron(spark, sf_dir):
     """Cox PH with EFRON tie handling (operators/survival.py::cox_ph
     ties="efron" — R coxph's default): the survival_cox plant rounded
@@ -11545,6 +11641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_fine_gray": q_survival_fine_gray,
         "survival_relative_e1": q_survival_relative_e1,
         "survival_cox_baseline": q_survival_cox_baseline,
+        "survival_period": q_survival_period,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13368,6 +13465,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_fine_gray": _SURVIVAL_FINE_GRAY_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
+        "survival_period": _SURVIVAL_PERIOD_SQL,
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

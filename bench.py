@@ -255,6 +255,7 @@ HEADLINE = [
     "survival_fine_gray",
     "survival_relative_e1",
     "survival_cox_baseline",
+    "survival_period",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

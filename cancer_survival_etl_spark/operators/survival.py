@@ -2489,3 +2489,59 @@ def cox_baseline_hazard(
         F.round(h0, 6).alias("cum_hazard_baseline"),
         F.round(F.exp(-h0), 6).alias("survival_baseline"),
     )
+
+
+def period_survival(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    window_start,
+    window_end,
+    diag_col: str = "diag_time",
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """PERIOD analysis (Brenner & Gefeller 1996) — the estimator
+    registries use for UP-TO-DATE survival: instead of following an
+    old diagnosis cohort to the horizon (whose early years reflect
+    decades-old care), subjects contribute person-time ONLY while the
+    calendar clock sits inside a recent window [window_start,
+    window_end). On the time-since-diagnosis axis that is exactly a
+    left-truncated, right-censored transform of each subject:
+
+        entry'_i  = max(0, window_start − diag_i)
+        exit'_i   = min(T_i, window_end − diag_i)
+        event'_i  = event_i AND (T_i < window_end − diag_i)
+
+    (subjects whose follow-up never intersects the window drop out),
+    after which the estimator IS delayed-entry Kaplan-Meier —
+    ``km_curve_left_truncated`` unchanged. Columns are integer times
+    on a shared calendar clock: ``diag_col`` = diagnosis time,
+    ``duration_col`` = observed time since diagnosis.
+
+    Scale shape: a pure projection + filter feeding the delayed-entry
+    KM's single union-cell aggregate; nothing new shuffles. Returns
+    the ``km_curve_left_truncated`` grain.
+    """
+    ws = F.lit(int(window_start))
+    we = F.lit(int(window_end))
+    diag = F.col(diag_col).cast("long")
+    dur = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+    entry = F.greatest(F.lit(0).cast("long"), ws - diag)
+    cap = we - diag
+    exit_ = F.least(dur, cap)
+    ev2 = F.when(dur < cap, ev).otherwise(F.lit(0)).alias("_ev")
+    g = list(group_cols)
+    transformed = (
+        df.filter((diag < we) & (diag + dur >= ws))
+        .select(
+            *g,
+            entry.alias("_entry"),
+            exit_.alias("_exit"),
+            ev2.alias("_event"),
+        )
+        .filter(F.col("_entry") < F.col("_exit"))
+    )
+    return km_curve_left_truncated(
+        transformed, g, "_entry", "_exit", "_event"
+    ).withColumnRenamed("_exit", duration_col)

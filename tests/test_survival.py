@@ -1409,3 +1409,66 @@ def test_cox_baseline_hazard_breslow(spark):
     assert got32 == got
     with pytest.raises(ValueError):
         cox_baseline_hazard(df, ["x"], [0.1, 0.2])
+
+
+def test_period_survival_window_semantics(spark):
+    """Period analysis: (a) matches a sequential left-truncation
+    reference on a calendar-windowed toy cohort; (b) a window covering
+    ALL follow-up reduces to plain KM; (c) subjects whose follow-up
+    never intersects the window contribute nothing."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        period_survival,
+    )
+
+    # (diag calendar time, duration since diagnosis, event)
+    rows = [
+        ("g", 0, 10, 1),
+        ("g", 2, 9, 0),
+        ("g", 5, 4, 1),
+        ("g", 8, 6, 1),
+        ("g", 20, 3, 1),   # outside window [4, 12)
+        ("g", 11, 5, 1),   # diag inside window
+    ]
+    df = spark.createDataFrame(
+        rows, "cohort string, diag_time long, duration long, event int"
+    )
+    got = {
+        r.duration: r
+        for r in period_survival(
+            df, ["cohort"], 4, 12
+        ).collect()
+    }
+    # sequential reference
+    subs = []
+    for _, dg, du, ev in rows:
+        if dg >= 12 or dg + du < 4:
+            continue
+        entry = max(0, 4 - dg)
+        cap = 12 - dg
+        exit_ = min(du, cap)
+        e2 = ev if du < cap else 0
+        if entry < exit_:
+            subs.append((entry, exit_, e2))
+    times = sorted({s[1] for s in subs})
+    s = 1.0
+    for t in times:
+        at_risk = sum(1 for e, x, _ in subs if e < t <= x)
+        d = sum(1 for e, x, ev in subs if x == t and ev == 1)
+        if d:
+            s *= 1 - d / at_risk
+        assert got[t].n_risk == at_risk, (t, got[t].n_risk, at_risk)
+        assert got[t].n_event == d
+    assert got[times[-1]].survival == pytest.approx(s, abs=1e-4)
+    # all-covering window == plain KM on duration (entry always 0)
+    full = {
+        (r.cohort, r.duration): (r.n_risk, r.n_event, r.survival)
+        for r in period_survival(df, ["cohort"], 0, 1000).collect()
+    }
+    plain = {
+        (r.cohort, r.duration): (r.n_risk, r.n_event, r.survival)
+        for r in km_curve(
+            df.filter("duration > 0"), ["cohort"]
+        ).collect()
+    }
+    assert full == plain
