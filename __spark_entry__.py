@@ -10031,7 +10031,38 @@ _CONDSURV_SQL = """
 """
 
 
+def q_survival_conditional_net(spark, sf_dir):
+    """CONDITIONAL NET survival CS_net(t|s) = S_net(t)/S_net(s) — the
+    survivors'-outlook table registries publish on the NET scale
+    ("given a patient has already survived s years net of background
+    mortality, their outlook to t"): the Pohar Perme curve of
+    survival_net_pp read at the same horizon pairs through the same
+    broadcast-argmax ratio machinery as survival_conditional
+    (operators/survival.py::conditional_survival — the operator is
+    curve-agnostic by construction). Oracle composes the PP SQL mirror
+    inside the conditional read-off template."""
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_survival,
+        net_survival_pohar_perme,
+    )
+
+    pp = net_survival_pohar_perme(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+    km_like = pp.select(
+        "cohort",
+        F.col("hour").alias("duration"),
+        F.col("net_survival_pp").alias("survival"),
+    )
+    return conditional_survival(km_like, ["cohort"], _CONDSURV_PAIRS)
+
+
 # Synthetic background life table: per-hour expected hazard by band in
+
 # 1e-6 units, rising with band — integers keep every at-risk-weighted
 # sum an exact long (see relative_survival_ederer2's contract).
 _RELSURV_HAZARDS = {b: 1500 + 700 * b for b in range(9)}
@@ -11642,6 +11673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_relative_e1": q_survival_relative_e1,
         "survival_cox_baseline": q_survival_cox_baseline,
         "survival_period": q_survival_period,
+        "survival_conditional_net": q_survival_conditional_net,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13466,6 +13498,11 @@ def oracle_sql() -> dict[str, str]:
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,
+        "survival_conditional_net": _CONDSURV_SQL.format(
+            km="SELECT cohort, hour AS duration, "
+               "net_survival_pp AS survival FROM ("
+               + _NET_PP_SQL + ")"
+        ),
         "survival_median": _SURVIVAL_MEDIAN_SQL.format(km=_SURVIVAL_KM_SQL),
         "survival_rmst": _RMST_SQL.format(cte=_SURV_SQL_CTE),
         "survival_diff": _SURV_DIFF_SQL.format(km=_SURVIVAL_KM_SQL),

@@ -256,6 +256,7 @@ HEADLINE = [
     "survival_relative_e1",
     "survival_cox_baseline",
     "survival_period",
+    "survival_conditional_net",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",
