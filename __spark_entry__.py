@@ -10068,6 +10068,132 @@ def q_survival_conditional_net(spark, sf_dir):
 _RELSURV_HAZARDS = {b: 1500 + 700 * b for b in range(9)}
 
 
+def q_survival_crude_prob(spark, sf_dir):
+    """Cronin-Feuer crude probability of death (operators/survival.py::
+    crude_probability_of_death): real-world decomposition of all-cause
+    mortality into death-from-excess vs death-from-background using
+    the survivors'-mix expected hazard — CP_cancer + CP_other
+    telescopes to 1 − S_obs. Same banded cohort and micro-hazard life
+    table as survival_relative; oracle mirrors the grid, the three
+    prefix passes and the micro accumulations bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        crude_probability_of_death,
+    )
+
+    return crude_probability_of_death(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_SURVIVAL_CRUDE_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, band
+    ),
+    hours AS (SELECT s FROM range(0, 48) t(s)),
+    rmb AS (
+        SELECT cohort, band, duration AS s, count(*) AS rm,
+               CAST(sum(event) AS BIGINT) AS d
+        FROM survb GROUP BY cohort, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.band, n.nb_tot, h.s,
+               coalesce(r.rm, 0) AS rm, coalesce(r.d, 0) AS d
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN rmb r
+          ON r.cohort = n.cohort AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, band ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    pers AS (
+        SELECT n.cohort, n.s,
+               CAST(sum(n.nbv * z.lam) AS BIGINT) AS lam_micro,
+               CAST(sum(n.nbv) AS BIGINT) AS nn,
+               CAST(sum(n.d) AS BIGINT) AS dd
+        FROM nb n JOIN hzm z ON n.band = z.band
+        GROUP BY n.cohort, n.s
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN dd > 0 AND dd < nn
+                 THEN CAST(round(ln(1.0 - dd / nn) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS ltv,
+            CASE WHEN dd > 0 AND dd = nn THEN 1 ELSE 0 END AS dall
+        FROM pers
+    ),
+    acc1 AS (
+        SELECT *,
+               coalesce(sum(ltv) OVER wx, 0) AS lt0,
+               coalesce(sum(dall) OVER wx, 0) AS dall0
+        FROM terms
+        WINDOW wx AS (PARTITION BY cohort ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    cp AS (
+        SELECT *,
+            CASE WHEN nn > 0 THEN
+                CAST(round((CASE WHEN dall0 > 0 THEN 0.0
+                            ELSE exp(lt0 / 1000000.0) END)
+                     * (dd / nn - lam_micro / 1000000.0 / nn)
+                     * 1000000.0, 0) AS BIGINT)
+                ELSE 0 END AS cpc,
+            CASE WHEN nn > 0 THEN
+                CAST(round((CASE WHEN dall0 > 0 THEN 0.0
+                            ELSE exp(lt0 / 1000000.0) END)
+                     * (lam_micro / 1000000.0 / nn)
+                     * 1000000.0, 0) AS BIGINT)
+                ELSE 0 END AS cpo
+        FROM acc1
+    ),
+    acc2 AS (
+        SELECT cohort, s, nn, dd, ltv, dall, lt0, dall0,
+               sum(cpc) OVER wi AS cpc_c, sum(cpo) OVER wi AS cpo_c
+        FROM cp
+        WINDOW wi AS (PARTITION BY cohort ORDER BY s
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort, CAST(s AS BIGINT) AS hour, nn AS n_risk,
+           dd AS n_event,
+           CASE WHEN dall0 + dall > 0 THEN 0.0
+                ELSE round(exp((lt0 + ltv) / 1000000.0), 6)
+           END AS survival_observed,
+           round(cpc_c / 1000000.0, 6) AS cp_cancer,
+           round(cpo_c / 1000000.0, 6) AS cp_other
+    FROM acc2
+"""
+
+
 def _banded_episodes(spark, sf_dir):
     """The survival cohort of `_survival_episodes` plus the
     demographic band (user_id % 9) the life-table estimators key
@@ -11674,6 +11800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cox_baseline": q_survival_cox_baseline,
         "survival_period": q_survival_period,
         "survival_conditional_net": q_survival_conditional_net,
+        "survival_crude_prob": q_survival_crude_prob,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13498,6 +13625,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,
+        "survival_crude_prob": _SURVIVAL_CRUDE_SQL,
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

@@ -257,6 +257,7 @@ HEADLINE = [
     "survival_cox_baseline",
     "survival_period",
     "survival_conditional_net",
+    "survival_crude_prob",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

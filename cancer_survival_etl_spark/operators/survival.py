@@ -2545,3 +2545,135 @@ def period_survival(
     return km_curve_left_truncated(
         transformed, g, "_entry", "_exit", "_event"
     ).withColumnRenamed("_exit", duration_col)
+
+
+def crude_probability_of_death(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Crude probability of death decomposition (Cronin & Feuer 2000)
+    — the registry answer to "what fraction of these patients will
+    actually die OF the cancer vs WITH it": in discrete intervals s,
+
+        CP_cancer(h) = Σ_{s ≤ h} S_obs(s⁻) · (d_s/n_s − λ̄*_s)
+        CP_other(h)  = Σ_{s ≤ h} S_obs(s⁻) · λ̄*_s
+
+    with λ̄*_s the survivors'-mix expected hazard (the Ederer II mix)
+    and S_obs(s⁻) the observed KM entering interval s. The two curves
+    decompose all-cause mortality: CP_cancer + CP_other = 1 − S_obs
+    (telescoping; pinned in tests to the lattice tolerance). Unlike
+    net survival (a hypothetical world without other causes), crude
+    probabilities are REAL-WORLD fractions — what prognosis
+    conversations and resource planning need.
+
+    Interval convention: s = 0..horizon−1, at risk in s ⇔ duration ≥
+    s, death in s ⇔ duration == s & event — matching ``km_curve``'s
+    cells exactly, so the identity holds term by term. Integer
+    micro-hazard life table as in ``relative_survival_ederer2``.
+
+    Scale shape: one per-(group, band, duration) cell aggregate; the
+    (groups × bands × horizon) grid + one grouped prefix per band mix,
+    one per-group prefix for the observed log-survival, one more for
+    the CP accumulations — everything after the first aggregate is
+    grid-sized. Returns one row per (group, hour 0..horizon−1):
+    n_risk, n_event, survival_observed (end of interval),
+    cp_cancer, cp_other.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    g = list(group_cols)
+    spark = df.sparkSession
+    horizon = int(horizon)
+    ev = F.col(event_col).cast("long")
+
+    rmb = df.groupBy(*g, band_col, duration_col).agg(
+        F.count(F.lit(1)).alias("_rm"),
+        F.sum(ev).alias("_d"),
+    )
+    nbt = df.groupBy(*g, band_col).agg(F.count(F.lit(1)).alias("_nb_tot"))
+    hours = spark.range(0, horizon).select(
+        F.col("id").cast("long").alias("_s")
+    )
+    grid = (
+        nbt.crossJoin(F.broadcast(hours))
+        .join(
+            rmb.withColumnRenamed(duration_col, "_s"),
+            g + [band_col, "_s"],
+            "left",
+        )
+        .fillna({"_rm": 0, "_d": 0})
+    )
+    grid = grouped_prefix_sum(grid, g + [band_col], "_s", "_rm", "_rm0")
+    grid = grid.withColumn("_nb", F.col("_nb_tot") - F.col("_rm0"))
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    per_s = grid.groupBy(*g, "_s").agg(
+        F.sum(F.col("_nb") * lam).alias("_lam_micro"),
+        F.sum("_nb").alias("_n"),
+        F.sum("_d").alias("_dd"),
+    )
+    n = F.col("_n")
+    d = F.col("_dd")
+    q = d / n
+    lam_bar = F.col("_lam_micro") / F.lit(1000000.0) / n
+    per_s = per_s.withColumn(
+        "_lt",
+        F.when(
+            (d > 0) & (d < n), _micro(F.log(F.lit(1.0) - q))
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn(
+        "_dall",
+        F.when((d > 0) & (d == n), F.lit(1))
+        .otherwise(F.lit(0)).cast("long"),
+    )
+    per_s = grouped_prefix_sum(
+        per_s, g, "_s", ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    s_in = F.when(F.col("_dall0") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt0") / F.lit(1000000.0))
+    )
+    per_s = per_s.withColumn(
+        "_cpc",
+        F.when(
+            n > 0, _micro(s_in * (q - lam_bar))
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn(
+        "_cpo",
+        F.when(n > 0, _micro(s_in * lam_bar)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    per_s = grouped_prefix_sum(
+        per_s, g, "_s", ["_cpc", "_cpo"], ["_cpc0", "_cpo0"]
+    )
+    s_out = F.when(
+        (F.col("_dall0") + F.col("_dall")) > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0))
+    )
+    return per_s.select(
+        *g,
+        F.col("_s").alias("hour"),
+        F.col("_n").alias("n_risk"),
+        F.col("_dd").alias("n_event"),
+        F.round(s_out, 6).alias("survival_observed"),
+        F.round(
+            (F.col("_cpc0") + F.col("_cpc")) / F.lit(1000000.0), 6
+        ).alias("cp_cancer"),
+        F.round(
+            (F.col("_cpo0") + F.col("_cpo")) / F.lit(1000000.0), 6
+        ).alias("cp_other"),
+    )

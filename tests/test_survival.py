@@ -1472,3 +1472,64 @@ def test_period_survival_window_semantics(spark):
         ).collect()
     }
     assert full == plain
+
+
+def test_crude_probability_decomposition(spark):
+    """Cronin-Feuer crude probabilities: (a) CP_cancer + CP_other
+    telescopes to 1 - S_obs (lattice tolerance); (b) zero expected
+    hazard puts ALL mortality in CP_cancer; (c) matches a sequential
+    interval reference."""
+    from cancer_survival_etl_spark.operators.survival import (
+        crude_probability_of_death,
+    )
+
+    lam = {0: 3000, 1: 9000}
+    H = 24
+    rows = []
+    for i in range(500):
+        band = i % 2
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / (lam[band] / 1e6 + 0.02)
+        d = int(min(t, H))
+        rows.append(("g", band, d, 1 if t < H else 0))
+    df = spark.createDataFrame(
+        rows, "cohort string, band long, duration long, event int"
+    )
+    got = {
+        r.hour: r
+        for r in crude_probability_of_death(
+            df, ["cohort"], "band", lam, H
+        ).collect()
+    }
+    # sequential reference with identical lattices
+    subs = rows
+    lt0 = dall = 0
+    cpc = cpo = 0
+    for s in range(H):
+        nb = {b: sum(1 for r in subs if r[1] == b and r[2] >= s)
+              for b in (0, 1)}
+        n = sum(nb.values())
+        d = sum(1 for r in subs if r[2] == s and r[3] == 1)
+        lam_bar = sum(nb[b] * lam[b] for b in (0, 1)) / 1e6 / n
+        q = d / n
+        s_in = 0.0 if dall else math.exp(lt0 / 1e6)
+        cpc += round(s_in * (q - lam_bar) * 1e6)
+        cpo += round(s_in * lam_bar * 1e6)
+        if 0 < d < n:
+            lt0 += round(math.log(1 - q) * 1e6)
+        if d == n and d > 0:
+            dall = 1
+        r = got[s]
+        assert r.n_risk == n and r.n_event == d, s
+        assert r.cp_cancer == round(cpc / 1e6, 6), s
+        assert r.cp_other == round(cpo / 1e6, 6), s
+        # identity: cp_c + cp_o ~= 1 - S_obs
+        assert abs(
+            (r.cp_cancer + r.cp_other) - (1.0 - r.survival_observed)
+        ) < 5e-4, s
+    # zero expected hazard: everything is cancer
+    z = crude_probability_of_death(
+        df, ["cohort"], "band", {0: 0, 1: 0}, H
+    ).collect()
+    for r in z:
+        assert r.cp_other == 0.0
