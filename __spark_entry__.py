@@ -3816,7 +3816,7 @@ def q_ann_opq_adc(spark, sf_dir):
             F.col("embedding"),
             lambda x, i: F.when(i < 8, x * 8.0).otherwise(x * 0.2),
         ).alias("vec"),
-    )
+    ).localCheckpoint(eager=False)
     m_, sd, k = 8, 8, 16
 
     def distortion(df, vec_col):
@@ -3831,7 +3831,9 @@ def q_ann_opq_adc(spark, sf_dir):
         ).collect()[0][0]
 
     rotation, members = opq_rotation(aniso, m=m_, vec_col="vec", dim=64)
-    rotated = pca_project(aniso, rotation, vec_col="vec", out_col="rvec")
+    rotated = pca_project(
+        aniso, rotation, vec_col="vec", out_col="rvec"
+    ).localCheckpoint(eager=False)
     d_plain = distortion(aniso, "vec")
     d_opq = distortion(rotated, "rvec")
     R = np.array(rotation)

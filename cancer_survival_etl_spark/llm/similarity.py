@@ -575,14 +575,27 @@ def pq_train(
         )
         for _ in range(iters):
             d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
-            w = Window.partitionBy("vec_id", "sub").orderBy(
-                d2.asc(), F.col("centroid_id")
-            )
+            # argmin as a map-side-combinable min(struct) aggregate —
+            # same (d2 asc, centroid_id asc) tie order as the former
+            # row_number window, without the per-(vec, sub) sort
+            # shuffle of the join output
             assigned = (
                 subv.join(F.broadcast(cb), "sub")
-                .withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") == 1)
-                .select("sub", "centroid_id", "subv")
+                .groupBy("vec_id", "sub")
+                .agg(
+                    F.min(
+                        F.struct(
+                            d2.alias("_d2"),
+                            F.col("centroid_id").alias("_cid"),
+                        )
+                    ).alias("_best"),
+                    F.first("subv").alias("subv"),
+                )
+                .select(
+                    "sub",
+                    F.col("_best._cid").alias("centroid_id"),
+                    "subv",
+                )
             )
             cb = (
                 assigned.select(
@@ -625,14 +638,21 @@ def pq_encode(
     instead of 4-8."""
     subv = pq_subvectors(fan_out(corpus), m, sub_dim, id_col, vec_col)
     d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        d2.asc(), F.col("centroid_id")
-    )
+    # argmin via min(struct(d2, centroid_id)) — map-side combinable,
+    # identical (round-6 d2, centroid id) tie discipline as the former
+    # row_number window, no sort shuffle
     return (
         subv.join(F.broadcast(codebooks), "sub")
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "sub", F.col("centroid_id").alias("code"))
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(
+                F.struct(
+                    d2.alias("_d2"),
+                    F.col("centroid_id").alias("_cid"),
+                )
+            ).alias("_best")
+        )
+        .select("vec_id", "sub", F.col("_best._cid").alias("code"))
     )
 
 
@@ -1494,14 +1514,24 @@ def pq_train_per_cell(
         ).join(assigned.select(id_col, cell_col), id_col)
         for _ in range(iters):
             d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
-            w = Window.partitionBy("vec_id", "sub").orderBy(
-                d2.asc(), F.col("centroid_id")
-            )
             assigned_sub = (
                 subv.join(F.broadcast(cb), [cell_col, "sub"])
-                .withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") == 1)
-                .select(cell_col, "sub", "centroid_id", "subv")
+                .groupBy("vec_id", cell_col, "sub")
+                .agg(
+                    F.min(
+                        F.struct(
+                            d2.alias("_d2"),
+                            F.col("centroid_id").alias("_cid"),
+                        )
+                    ).alias("_best"),
+                    F.first("subv").alias("subv"),
+                )
+                .select(
+                    cell_col,
+                    "sub",
+                    F.col("_best._cid").alias("centroid_id"),
+                    "subv",
+                )
             )
             cb = (
                 assigned_sub.select(
@@ -1547,14 +1577,20 @@ def pq_encode_per_cell(
         fan_out(assigned), m, sub_dim, id_col, vec_col
     ).join(assigned.select(id_col, cell_col), id_col)
     d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        d2.asc(), F.col("centroid_id")
-    )
     return (
         subv.join(F.broadcast(codebooks), [cell_col, "sub"])
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", cell_col, "sub", F.col("centroid_id").alias("code"))
+        .groupBy("vec_id", cell_col, "sub")
+        .agg(
+            F.min(
+                F.struct(
+                    d2.alias("_d2"),
+                    F.col("centroid_id").alias("_cid"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "vec_id", cell_col, "sub", F.col("_best._cid").alias("code")
+        )
     )
 
 
