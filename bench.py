@@ -258,6 +258,7 @@ HEADLINE = [
     "survival_period",
     "survival_conditional_net",
     "survival_crude_prob",
+    "model_train_als",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

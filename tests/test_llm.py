@@ -2160,3 +2160,34 @@ def test_opq_rotation_reduces_distortion_on_anisotropic_data(spark):
     d_opq = distortion(rotated, "rvec", opq_cb, opq_codes)
 
     assert d_opq < 0.9 * d_plain, (d_opq, d_plain)
+
+
+def test_als_recovers_planted_low_rank(spark):
+    """ALS: on a planted rank-2 rating matrix the training RMSE must
+    collapse well below the rating scale and decrease monotonically;
+    the fit is bit-identical under repartitioning."""
+    import math
+
+    from cancer_survival_etl_spark.llm.factorization import als_train
+
+    rows = []
+    for u in range(60):
+        pu = (math.sin(u * 1.7), math.cos(u * 0.9))
+        for i in range(40):
+            qi = (math.sin(i * 0.6), math.cos(i * 1.3))
+            r = 2.0 + pu[0] * qi[0] + pu[1] * qi[1]
+            if (u * 31 + i) % 3 == 0:   # ~1/3 of cells observed
+                rows.append((u, i, round(r, 4)))
+    df = spark.createDataFrame(rows, "u long, i long, r double")
+    users, items, hist = als_train(
+        df, "u", "i", "r", k=3, iters=8, reg=0.02
+    )
+    assert hist == sorted(hist, reverse=True), hist  # monotone down
+    assert hist[-1] < 0.05, hist                     # rank-2 + bias fits
+    assert users.count() == 60 and items.count() == 40
+    assert set(users.columns) == {"u", "f0", "f1", "f2"}
+    # partitioning independence
+    _, _, hist32 = als_train(
+        df.repartition(32), "u", "i", "r", k=3, iters=8, reg=0.02
+    )
+    assert hist32 == hist
