@@ -11619,6 +11619,55 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_text_pmi_pairs(spark, sf_dir):
+    """Collocation mining by pointwise mutual information (llm/
+    textstats.py::pmi_collocations — word2vec's phrase-detection
+    pass): adjacent-bigram PMI = ln(N·c(ab)/(c(a)c(b))), min-count
+    floor applied BEFORE the scoring join so the singleton-bigram tail
+    never shuffles. Top-50 by (pmi desc, pair). Oracle mirrors the
+    two count aggregates and the rounded rank bit-exact."""
+    from cancer_survival_etl_spark.llm.textstats import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, "text", min_count=5, top_k=50)
+
+
+_TEXT_PMI_SQL = """
+    WITH uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> '' GROUP BY tok
+    ),
+    arr AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '),
+                           t -> t <> '') AS a
+        FROM documents
+    ),
+    big AS (
+        SELECT a[i] AS ta, a[i + 1] AS tb
+        FROM arr, unnest(range(1, len(a))) AS r(i)
+        WHERE len(a) >= 2
+    ),
+    pairs AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_pair
+        FROM big GROUP BY ta, tb
+        HAVING count(*) >= 5
+    ),
+    tot AS (SELECT count(*) AS n FROM big)
+    SELECT p.ta AS token_a, p.tb AS token_b, p.n_pair,
+           ua.c AS n_a, ub.c AS n_b,
+           round(ln(t.n * p.n_pair / (ua.c * ub.c)), 6) AS pmi
+    FROM pairs p
+    JOIN uni ua ON ua.tok = p.ta
+    JOIN uni ub ON ub.tok = p.tb
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, token_a, token_b
+    LIMIT 50
+"""
+
+
 def q_dataset_cap_per_key(spark, sf_dir):
     """Per-key document cap (C4-style per-host/per-source quota): keep
     at most 3 docs per (lang, source), chosen by deterministic
@@ -11874,6 +11923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_conditional_net": q_survival_conditional_net,
         "survival_crude_prob": q_survival_crude_prob,
         "model_train_als": q_model_train_als,
+        "text_pmi_pairs": q_text_pmi_pairs,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13700,6 +13750,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_period": _SURVIVAL_PERIOD_SQL,
         "survival_crude_prob": _SURVIVAL_CRUDE_SQL,
         "model_train_als": _MODEL_ALS_SQL,
+        "text_pmi_pairs": _TEXT_PMI_SQL,
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

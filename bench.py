@@ -259,6 +259,7 @@ HEADLINE = [
     "survival_conditional_net",
     "survival_crude_prob",
     "model_train_als",
+    "text_pmi_pairs",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

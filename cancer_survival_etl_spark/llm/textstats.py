@@ -431,3 +431,89 @@ def longest_internal_repeat(
             6,
         ).alias("repeat_ratio"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    classic phrase detector (word2vec's phrase pass, Mikolov et al.
+    2013 uses the same count ratio): for adjacent token bigrams,
+
+        PMI(a, b) = ln( N · c(a,b) / (c(a) · c(b)) )
+
+    where N is the total bigram count. High-PMI pairs are phrases
+    ("new york"), not chance co-occurrences — a standard corpus-prep
+    step before tokenizer training (merge phrases → better vocab).
+
+    Exact and engine-portable: unigram and bigram counts are two hash
+    aggregates over the exploded token stream (map-side combined);
+    PMI rounds to 6 dp before the (pmi desc, pair asc) rank. Pairs
+    below ``min_count`` are dropped BEFORE the join (the long tail of
+    singleton bigrams never shuffles into the scoring join — at
+    corpus scale that filter is the difference between a bounded
+    phrase table and an |bigrams|-row join).
+
+    Returns top_k rows: (token_a, token_b, n_pair, n_a, n_b, pmi).
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    uni = words.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    # adjacent bigrams from the original text, not the exploded frame:
+    # split once, slide with transform over the token array
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    big = (
+        df.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                    F.slice(
+                        arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(
+                        a.alias("a"), b.alias("b")
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.a").alias("_a"), F.col("_p.b").alias("_b"))
+    )
+    pairs = (
+        big.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    n_total = big.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        pairs.join(
+            uni.select(F.col("_tok").alias("_a"), F.col("_c").alias("n_a")),
+            "_a",
+        )
+        .join(
+            uni.select(F.col("_tok").alias("_b"), F.col("_c").alias("n_b")),
+            "_b",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("_a").alias("token_a"),
+            F.col("_b").alias("token_b"),
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("_n")
+                    * F.col("n_pair")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "token_a", "token_b"
+    ).limit(int(top_k))
