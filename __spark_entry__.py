@@ -3466,6 +3466,90 @@ _WINSORIZE_APPROX_SQL = """
 """
 
 
+def q_stats_did(spark, sf_dir):
+    """Difference-in-differences (operators/stats.py::diff_in_diff):
+    the 2×2 quasi-experimental readout — treated = user parity,
+    post = second half of each user's event stream by event_id
+    parity surrogate (event_id % 4 >= 2), y = cents. Cell sums ride
+    the integer-cents lattice and sum-of-squares the micro lattice,
+    so the whole row hash-adjudicates bit-exact."""
+    from cancer_survival_etl_spark.operators.stats import diff_in_diff
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        (F.col("event_id") % 4 >= 2).cast("int").alias("post"),
+        (F.round(F.col("value") * 100, 0).cast("long") / 100.0)
+        .alias("y"),
+    )
+    return diff_in_diff(e, "treated", "post", "y")
+
+
+_STATS_DID_SQL = """
+    WITH c AS (
+        SELECT user_id % 2 AS t,
+               CASE WHEN event_id % 4 >= 2 THEN 1 ELSE 0 END AS p,
+               CAST(round(value * 100, 0) AS BIGINT) / 100.0 AS y
+        FROM events
+    ),
+    cells AS (
+        SELECT t, p, count(*) AS n,
+               CAST(sum(CAST(round(y * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS s,
+               CAST(sum(CAST(round(y * y * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM c GROUP BY t, p
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN t=0 AND p=0 THEN n END) AS n00,
+            max(CASE WHEN t=0 AND p=1 THEN n END) AS n01,
+            max(CASE WHEN t=1 AND p=0 THEN n END) AS n10,
+            max(CASE WHEN t=1 AND p=1 THEN n END) AS n11,
+            max(CASE WHEN t=0 AND p=0 THEN s END) AS s00,
+            max(CASE WHEN t=0 AND p=1 THEN s END) AS s01,
+            max(CASE WHEN t=1 AND p=0 THEN s END) AS s10,
+            max(CASE WHEN t=1 AND p=1 THEN s END) AS s11,
+            max(CASE WHEN t=0 AND p=0 THEN q END) AS q00,
+            max(CASE WHEN t=0 AND p=1 THEN q END) AS q01,
+            max(CASE WHEN t=1 AND p=0 THEN q END) AS q10,
+            max(CASE WHEN t=1 AND p=1 THEN q END) AS q11
+        FROM cells
+    )
+    SELECT CAST(n00 AS BIGINT) AS n_control_pre,
+           CAST(n01 AS BIGINT) AS n_control_post,
+           CAST(n10 AS BIGINT) AS n_treated_pre,
+           CAST(n11 AS BIGINT) AS n_treated_post,
+           round(s00 / 100.0 / n00, 6) AS mean_control_pre,
+           round(s01 / 100.0 / n01, 6) AS mean_control_post,
+           round(s10 / 100.0 / n10, 6) AS mean_treated_pre,
+           round(s11 / 100.0 / n11, 6) AS mean_treated_post,
+           round((s11 / 100.0 / n11 - s10 / 100.0 / n10)
+                 - (s01 / 100.0 / n01 - s00 / 100.0 / n00), 6)
+               AS did_effect,
+           round(sqrt(
+               (q00/1000000.0 - n00*(s00/100.0/n00)*(s00/100.0/n00))
+                   / (n00 - 1) / n00
+             + (q01/1000000.0 - n01*(s01/100.0/n01)*(s01/100.0/n01))
+                   / (n01 - 1) / n01
+             + (q10/1000000.0 - n10*(s10/100.0/n10)*(s10/100.0/n10))
+                   / (n10 - 1) / n10
+             + (q11/1000000.0 - n11*(s11/100.0/n11)*(s11/100.0/n11))
+                   / (n11 - 1) / n11), 6) AS se,
+           round(((s11 / 100.0 / n11 - s10 / 100.0 / n10)
+                  - (s01 / 100.0 / n01 - s00 / 100.0 / n00))
+                 / sqrt(
+               (q00/1000000.0 - n00*(s00/100.0/n00)*(s00/100.0/n00))
+                   / (n00 - 1) / n00
+             + (q01/1000000.0 - n01*(s01/100.0/n01)*(s01/100.0/n01))
+                   / (n01 - 1) / n01
+             + (q10/1000000.0 - n10*(s10/100.0/n10)*(s10/100.0/n10))
+                   / (n10 - 1) / n10
+             + (q11/1000000.0 - n11*(s11/100.0/n11)*(s11/100.0/n11))
+                   / (n11 - 1) / n11), 6) AS t_stat
+    FROM wide
+"""
+
+
 def q_stats_poisson_glm(spark, sf_dir):
     """Distributed Poisson GLM with exposure offset (operators/
     stats.py::glm_poisson) — the rates regression registries fit for
@@ -11924,6 +12008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_crude_prob": q_survival_crude_prob,
         "model_train_als": q_model_train_als,
         "text_pmi_pairs": q_text_pmi_pairs,
+        "stats_did": q_stats_did,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13751,6 +13836,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_crude_prob": _SURVIVAL_CRUDE_SQL,
         "model_train_als": _MODEL_ALS_SQL,
         "text_pmi_pairs": _TEXT_PMI_SQL,
+        "stats_did": _STATS_DID_SQL,
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

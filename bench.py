@@ -260,6 +260,7 @@ HEADLINE = [
     "survival_crude_prob",
     "model_train_als",
     "text_pmi_pairs",
+    "stats_did",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

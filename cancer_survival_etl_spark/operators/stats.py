@@ -2437,3 +2437,90 @@ def glm_logistic(
         step = np.linalg.solve(info, g)
         beta = [round(b + s, 9) for b, s in zip(beta, step)]
     return beta
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Classic 2×2 difference-in-differences: the workhorse
+    quasi-experimental readout when a feature launches for one group
+    mid-stream and randomization wasn't available —
+
+        DiD = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    identifying the treatment effect under parallel trends. The SE is
+    the four-cell Welch form √(Σ_c s²_c/n_c) (cells independent), and
+    t = DiD/SE.
+
+    Exactness: cell sums ride the integer-cents lattice
+    (sum of round(y·100) longs) and cell sum-of-squares the micro
+    lattice, so every published number is an order-independent
+    integer fold divided once at the end — bit-exact vs the SQL
+    mirror. ONE map-side-combinable aggregate over the four cells;
+    the 2×2 combination is a broadcast-sized pivot.
+
+    Returns one row: n_/mean_ per cell (control_pre, control_post,
+    treated_pre, treated_post), did_effect, se, t_stat.
+    """
+    t = F.col(treated_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(value_col).cast("double")
+    cents = F.round(y * 100, 0).cast("long")
+    sq_micro = F.round(y * y * F.lit(1000000.0), 0).cast("long")
+    cells = df.groupBy(t.alias("_t"), p.alias("_p")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cents).alias("_s"),
+        F.sum(sq_micro).alias("_q"),
+    )
+    # fold the four cells wide in one pass (deterministic keys)
+    wide = cells.agg(
+        *[
+            agg
+            for tt in (0, 1)
+            for pp in (0, 1)
+            for agg in (
+                F.sum(
+                    F.when((F.col("_t") == tt) & (F.col("_p") == pp),
+                           F.col("_n")).otherwise(F.lit(0))
+                ).alias(f"n_{tt}{pp}"),
+                F.sum(
+                    F.when((F.col("_t") == tt) & (F.col("_p") == pp),
+                           F.col("_s")).otherwise(F.lit(0))
+                ).alias(f"s_{tt}{pp}"),
+                F.sum(
+                    F.when((F.col("_t") == tt) & (F.col("_p") == pp),
+                           F.col("_q")).otherwise(F.lit(0))
+                ).alias(f"q_{tt}{pp}"),
+            )
+        ]
+    )
+
+    def mean(tt, pp):
+        return F.col(f"s_{tt}{pp}") / 100.0 / F.col(f"n_{tt}{pp}")
+
+    def var(tt, pp):
+        n = F.col(f"n_{tt}{pp}")
+        m = mean(tt, pp)
+        return (F.col(f"q_{tt}{pp}") / 1000000.0 - n * m * m) / (n - 1)
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        sum(var(tt, pp) / F.col(f"n_{tt}{pp}")
+            for tt in (0, 1) for pp in (0, 1))
+    )
+    out = [F.col(f"n_{tt}{pp}").alias(
+        f"n_{'treated' if tt else 'control'}_{'post' if pp else 'pre'}")
+        for tt in (0, 1) for pp in (0, 1)]
+    out += [F.round(mean(tt, pp), 6).alias(
+        f"mean_{'treated' if tt else 'control'}_{'post' if pp else 'pre'}")
+        for tt in (0, 1) for pp in (0, 1)]
+    return wide.select(
+        *out,
+        F.round(did, 6).alias("did_effect"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )

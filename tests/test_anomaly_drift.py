@@ -1017,3 +1017,30 @@ def test_glm_logistic_irls_matches_gd_and_converges_fast(spark):
     assert glm_logistic(
         df.repartition(32), ["score"], "y", iters=8
     ) == beta
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    """DiD: planted parallel trends (control drifts +2, treated
+    drifts +2 plus a +5 effect) must yield did_effect = 5 exactly on
+    the cents lattice, with a tight SE; swapping the treatment label
+    flips the sign."""
+    from cancer_survival_etl_spark.operators.stats import diff_in_diff
+
+    rows = []
+    for i in range(4000):
+        t = i % 2
+        p = (i // 2) % 2
+        noise = (((i * 2654435761) % 1000) - 500) / 1000.0
+        y = 10.0 + 2.0 * p + 5.0 * t * p + 0.5 * t + noise
+        rows.append((t, p, round(y, 2)))
+    df = spark.createDataFrame(rows, "treated int, post int, y double")
+    r = diff_in_diff(df, "treated", "post", "y").collect()[0]
+    assert abs(r.did_effect - 5.0) < 0.05, r
+    assert r.t_stat > 50
+    assert r.n_treated_post == 1000
+    # label swap flips the sign
+    r2 = diff_in_diff(
+        df.withColumn("treated", 1 - F.col("treated")),
+        "treated", "post", "y",
+    ).collect()[0]
+    assert abs(r2.did_effect + r.did_effect) < 1e-9
