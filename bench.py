@@ -261,6 +261,7 @@ HEADLINE = [
     "model_train_als",
     "text_pmi_pairs",
     "stats_did",
+    "stats_msprt",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

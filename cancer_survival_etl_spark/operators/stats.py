@@ -2524,3 +2524,80 @@ def diff_in_diff(
         F.round(se, 6).alias("se"),
         F.round(did / se, 6).alias("t_stat"),
     )
+
+
+def msprt_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-sample mixture sequential probability ratio test (mSPRT,
+    Johari et al. 2017 — the "always-valid p-value" behind modern
+    experimentation platforms): unlike the fixed-horizon t-test, the
+    decision Λ > 1/α keeps its type-I guarantee under CONTINUOUS
+    monitoring, so peeking at a running experiment is safe. With a
+    N(0, τ²) mixing prior over the effect and per-arm variance σ²
+    estimated from the data,
+
+        Λ_n = √(2σ̄²/(2σ̄² + n τ²)) ·
+              exp( n² τ² (x̄ − ȳ)² / (4σ̄² (2σ̄² + n τ²)) )
+
+    (n = min(n_a, n_b), σ̄² = pooled variance). Reported on the log
+    scale (log_lambda) so huge evidence doesn't overflow; rejected ⇔
+    log Λ > ln(1/α).
+
+    Exactness: all five moments per arm fold on the cents/micro
+    lattices in ONE map-side aggregate; the statistic is a closed
+    form of those integers — bit-exact vs the SQL mirror, and the
+    same one-scan shape at any data size.
+
+    Returns one row: n_a, n_b, mean_a, mean_b, pooled_var,
+    log_lambda, rejected.
+    """
+    gvals = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(f"msprt needs exactly 2 groups, got {gvals}")
+    a = (F.col(group_col) == F.lit(gvals[0])).cast("long")
+    b = F.lit(1) - a
+    y = F.col(value_col).cast("double")
+    cents = F.round(y * 100, 0).cast("long")
+    sq = F.round(y * y * F.lit(1000000.0), 0).cast("long")
+    w = df.agg(
+        F.sum(a).alias("n_a"),
+        F.sum(b).alias("n_b"),
+        F.sum(a * cents).alias("s_a"),
+        F.sum(b * cents).alias("s_b"),
+        F.sum(a * sq).alias("q_a"),
+        F.sum(b * sq).alias("q_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("s_a") / 100.0 / na
+    mb = F.col("s_b") / 100.0 / nb
+    va = (F.col("q_a") / 1000000.0 - na * ma * ma) / (na - 1)
+    vb = (F.col("q_b") / 1000000.0 - nb * mb * mb) / (nb - 1)
+    pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    n = F.least(na, nb).cast("double")
+    t2 = F.lit(float(tau) * float(tau))
+    d = ma - mb
+    denom = F.lit(2.0) * pooled + n * t2
+    log_lam = (
+        F.lit(0.5) * F.log(F.lit(2.0) * pooled / denom)
+        + n * n * t2 * d * d / (F.lit(4.0) * pooled * denom)
+    )
+    import math
+
+    thresh = math.log(1.0 / float(alpha))
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(pooled, 6).alias("pooled_var"),
+        F.round(log_lam, 6).alias("log_lambda"),
+        (log_lam > thresh).alias("rejected"),
+    )

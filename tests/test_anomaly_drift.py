@@ -1044,3 +1044,40 @@ def test_diff_in_diff_recovers_planted_effect(spark):
         "treated", "post", "y",
     ).collect()[0]
     assert abs(r2.did_effect + r.did_effect) < 1e-9
+
+
+def test_msprt_two_sample_decisions(spark):
+    """mSPRT: a planted true effect must reject (log-lambda far above
+    ln(1/alpha)); the null must not; the statistic replicates the
+    closed form on the same lattices."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        msprt_two_sample,
+    )
+
+    def cohort(effect):
+        rows = []
+        for i in range(3000):
+            g = "a" if i % 2 == 0 else "b"
+            noise = (((i * 2654435761) % 1000) - 500) / 250.0
+            y = 10.0 + (effect if g == "a" else 0.0) + noise
+            rows.append((g, round(y, 2)))
+        return spark.createDataFrame(rows, "grp string, y double")
+
+    hit = msprt_two_sample(cohort(1.0), "grp", "y", tau=1.0).collect()[0]
+    assert hit.rejected and hit.log_lambda > math.log(20) * 5
+    null = msprt_two_sample(cohort(0.0), "grp", "y", tau=1.0).collect()[0]
+    assert not null.rejected
+    # closed-form replication from the reported moments
+    n = min(hit.n_a, hit.n_b)
+    d = hit.mean_a - hit.mean_b
+    v = hit.pooled_var
+    want = 0.5 * math.log(2 * v / (2 * v + n * 1.0)) + (
+        n * n * 1.0 * d * d / (4 * v * (2 * v + n * 1.0))
+    )
+    assert hit.log_lambda == pytest.approx(want, abs=1e-3)  # from 6dp-rounded moments
+    with pytest.raises(ValueError):
+        msprt_two_sample(
+            cohort(0.0).withColumn("grp", F.lit("x")), "grp", "y"
+        )
