@@ -10737,6 +10737,121 @@ _NET_PP_SQL = f"""
 """
 
 
+def q_survival_net_pp_ci(spark, sf_dir):
+    """Pohar Perme net survival WITH the published uncertainty columns
+    (operators/survival.py::net_survival_pohar_perme with_ci=True) —
+    the reference INDEX table publishes STANDARD_ERROR / LOWER_CI /
+    UPPER_CI beside every survival figure
+    (/root/reference/docs/create_index.sql:2-20); this is their
+    net-scale source: the counting-process variance of the weighted
+    NA increments, Σ_b w²d/(Σ_b w·n)², accumulated on the pico
+    lattice, CI on the cumulative-excess-hazard scale (bounds stay in
+    (0,1] without clipping)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+    )
+
+    return net_survival_pohar_perme(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+        with_ci=True,
+    )
+
+
+_NET_PP_CI_SQL = f"""
+    WITH base AS ({{pp}}),
+    perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, band
+    ),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    cellsb AS (
+        SELECT cohort, band, duration AS s, count(*) AS rm,
+               CAST(sum(event) AS BIGINT) AS dv
+        FROM survb GROUP BY cohort, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.band, n.nb_tot, h.s,
+               coalesce(r.rm, 0) AS rm, coalesce(r.dv, 0) AS dv
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN cellsb r
+          ON r.cohort = n.cohort AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, band ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    wgt AS (
+        SELECT n.cohort, n.s, n.nbv, n.dv,
+               pow(1.0 - z.lam / 1000000.0, -n.s) AS w
+        FROM nb n JOIN hzm z ON n.band = z.band
+    ),
+    terms AS (
+        SELECT cohort, s,
+               CAST(round(dv * w * w * 1000000.0, 0) AS BIGINT) AS wwd,
+               CAST(round(nbv * w * 1000000.0, 0) AS BIGINT) AS wn
+        FROM wgt
+    ),
+    pers AS (
+        SELECT cohort, s,
+               CAST(sum(wwd) AS BIGINT) AS num3,
+               CAST(sum(wn) AS BIGINT) AS den
+        FROM terms GROUP BY cohort, s
+    ),
+    vi AS (
+        SELECT cohort, s,
+            CASE WHEN s > 0 AND den > 0
+                 THEN CAST(round((num3 / 1000000.0)
+                           / ((den / 1000000.0) * (den / 1000000.0))
+                           * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS viv
+        FROM pers
+    ),
+    acc AS (
+        SELECT cohort, s AS hour,
+               sum(viv) OVER (PARTITION BY cohort ORDER BY s
+                              ROWS UNBOUNDED PRECEDING)
+                   / 1000000000000.0 AS var_
+        FROM vi
+    )
+    SELECT b.cohort, b.hour, b.n_risk, b.excess_cum_hazard,
+           b.net_survival_pp,
+           round(b.net_survival_pp * sqrt(a.var_), 6) AS se_net,
+           round(exp(-(b.excess_cum_hazard + 1.96 * sqrt(a.var_))), 6)
+               AS lower_ci_net,
+           round(exp(-(b.excess_cum_hazard - 1.96 * sqrt(a.var_))), 6)
+               AS upper_ci_net
+    FROM base b JOIN acc a ON b.cohort = a.cohort AND b.hour = a.hour
+"""
+
+
 _RELSURV_SQL = f"""
     WITH kmfull AS ({{km}}),
     perb AS (
@@ -12084,6 +12199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_pairs": q_text_pmi_pairs,
         "stats_did": q_stats_did,
         "stats_msprt": q_stats_msprt,
+        "survival_net_pp_ci": q_survival_net_pp_ci,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -13913,6 +14029,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pmi_pairs": _TEXT_PMI_SQL,
         "stats_did": _STATS_DID_SQL,
         "stats_msprt": _STATS_MSPRT_SQL,
+        "survival_net_pp_ci": _NET_PP_CI_SQL.format(pp=_NET_PP_SQL),
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

@@ -262,6 +262,7 @@ HEADLINE = [
     "text_pmi_pairs",
     "stats_did",
     "stats_msprt",
+    "survival_net_pp_ci",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

@@ -1438,6 +1438,7 @@ def net_survival_pohar_perme(
     horizon: int,
     duration_col: str = "duration",
     event_col: str = "event",
+    with_ci: bool = False,
 ) -> DataFrame:
     """Pohar Perme net survival — the unbiased net-survival estimator
     national cancer publications moved to (Perme-Stare-Estève 2012),
@@ -1462,6 +1463,16 @@ def net_survival_pohar_perme(
 
     Returns one row per (group, hour 1..horizon): unweighted
     ``n_risk``, ``excess_cum_hazard`` and ``net_survival_pp``.
+
+    ``with_ci=True`` adds the Pohar Perme variance estimator — the
+    reference INDEX table publishes STANDARD_ERROR/LOWER_CI/UPPER_CI
+    beside every survival figure, and this is their net-scale source:
+    Var(Λ_E(h)) = Σ_{s ≤ h} Σ_b w_b(s)²·d_b(s) / (Σ_b w_b(s)·n_b(s))²
+    (the counting-process variance of the weighted NA increments; w is
+    band-constant so the band grid carries it exactly). The 95% CI is
+    built on the cumulative-excess-hazard scale — S bounds =
+    exp(−(Λ ∓ 1.96σ)) — which keeps both ends inside (0, 1] without
+    clipping. Adds ``se_net``, ``lower_ci_net``, ``upper_ci_net``.
 
     Scale shape: identical to Ederer II — one hash aggregate to
     per-(group, band, duration) removal/death cells, then the
@@ -1522,12 +1533,14 @@ def net_survival_pohar_perme(
         .withColumn(
             "_we", _pico(F.col("_nb") * w * (lam / F.lit(1000000.0)))
         )
+        .withColumn("_wwd", _micro(F.col("_dv") * w * w))
     )
     per_s = grid.groupBy(*g, "_s").agg(
         F.sum("_wd").alias("_num1"),
         F.sum("_we").alias("_num2"),
         F.sum("_wn").alias("_den"),
         F.sum("_nb").alias("_n"),
+        F.sum("_wwd").alias("_num3"),
     )
     lam_e = (
         F.col("_num1") / F.lit(1000000.0)
@@ -1539,14 +1552,44 @@ def net_survival_pohar_perme(
             (F.col("_s") > 0) & (F.col("_den") > 0), _micro(lam_e)
         ).otherwise(F.lit(0).cast("long")),
     )
-    per_s = grouped_prefix_sum(per_s, g, "_s", "_le", "_le0")
+    var_inc = (F.col("_num3") / F.lit(1000000.0)) / F.pow(
+        F.col("_den") / F.lit(1000000.0), F.lit(2.0)
+    )
+    per_s = per_s.withColumn(
+        "_vi",
+        F.when(
+            (F.col("_s") > 0) & (F.col("_den") > 0), _pico(var_inc)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    per_s = grouped_prefix_sum(
+        per_s, g, "_s", ["_le", "_vi"], ["_le0", "_vi0"]
+    )
     cum = (F.col("_le0") + F.col("_le")) / F.lit(1000000.0)
-    return per_s.filter(F.col("_s") > 0).select(
+    out = per_s.filter(F.col("_s") > 0).select(
         *g,
         F.col("_s").alias("hour"),
         F.col("_n").alias("n_risk"),
         F.round(cum, 6).alias("excess_cum_hazard"),
         F.round(F.exp(-cum), 6).alias("net_survival_pp"),
+        ((F.col("_vi0") + F.col("_vi")) / F.lit(1000000000000.0))
+        .alias("_var"),
+    )
+    if not with_ci:
+        return out.drop("_var")
+    sig = F.sqrt(F.col("_var"))
+    return out.select(
+        *g,
+        "hour",
+        "n_risk",
+        "excess_cum_hazard",
+        "net_survival_pp",
+        F.round(F.col("net_survival_pp") * sig, 6).alias("se_net"),
+        F.round(
+            F.exp(-(F.col("excess_cum_hazard") + 1.96 * sig)), 6
+        ).alias("lower_ci_net"),
+        F.round(
+            F.exp(-(F.col("excess_cum_hazard") - 1.96 * sig)), 6
+        ).alias("upper_ci_net"),
     )
 
 

@@ -1533,3 +1533,61 @@ def test_crude_probability_decomposition(spark):
     ).collect()
     for r in z:
         assert r.cp_other == 0.0
+
+
+def test_pohar_perme_ci_matches_sequential_variance(spark):
+    """PP variance: Var(L_E(h)) = sum_s sum_b w^2 d / (sum_b w n)^2 on
+    the same lattices; CI built on the cumulative-excess-hazard scale
+    brackets the estimate and stays in (0, 1]."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+    )
+
+    lam = {0: 3000, 1: 9000}
+    H = 24
+    rows = []
+    for i in range(400):
+        band = i % 2
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / (lam[band] / 1e6 + 0.03)
+        d = int(min(t, H))
+        rows.append(("g", band, d, 1 if t < H else 0))
+    df = spark.createDataFrame(
+        rows, "cohort string, band long, duration long, event int"
+    )
+    got = {
+        r.hour: r
+        for r in net_survival_pohar_perme(
+            df, ["cohort"], "band", lam, H, with_ci=True
+        ).collect()
+    }
+    base = {
+        r.hour: r
+        for r in net_survival_pohar_perme(
+            df, ["cohort"], "band", lam, H
+        ).collect()
+    }
+    # the point estimate is unchanged by with_ci
+    for h in got:
+        assert got[h].net_survival_pp == base[h].net_survival_pp
+    # sequential variance replication (same lattices)
+    vi_c = 0
+    for s in range(1, H + 1):
+        num3 = den = 0
+        for b in (0, 1):
+            nbv = sum(1 for r in rows if r[1] == b and r[2] >= s)
+            dv = sum(1 for r in rows if r[1] == b and r[2] == s
+                     and r[3] == 1)
+            w = (1.0 - lam[b] / 1e6) ** (-s)
+            num3 += round(dv * w * w * 1e6)
+            den += round(nbv * w * 1e6)
+        if den > 0:
+            vi_c += round((num3 / 1e6) / (den / 1e6) ** 2 * 1e12)
+        sig = math.sqrt(vi_c / 1e12)
+        r = got[s]
+        assert r.se_net == round(r.net_survival_pp * sig, 6), s
+        assert r.lower_ci_net == round(
+            math.exp(-(r.excess_cum_hazard + 1.96 * sig)), 6
+        ), s
+        assert r.lower_ci_net <= r.net_survival_pp <= r.upper_ci_net
+        assert 0 < r.upper_ci_net <= 1.0 or r.upper_ci_net <= 1.000001
