@@ -10852,6 +10852,68 @@ _NET_PP_CI_SQL = f"""
 """
 
 
+def q_survival_smr(spark, sf_dir):
+    """Standardized mortality ratio with Byar exact-approximation CI
+    (operators/survival.py::standardized_mortality_ratio) — the first
+    table every registry report publishes: O/E against the band
+    micro-hazard life table over the cohort's own person-time, one
+    map-side aggregate, exact integer expected deaths."""
+    from cancer_survival_etl_spark.operators.survival import (
+        standardized_mortality_ratio,
+    )
+
+    return standardized_mortality_ratio(
+        _banded_episodes(spark, sf_dir), ["cohort"], "band",
+        _RELSURV_HAZARDS,
+    )
+
+
+_SURVIVAL_SMR_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    agg AS (
+        SELECT s.cohort,
+               CAST(sum(s.event) AS BIGINT) AS observed,
+               CAST(sum(z.lam * (s.duration + 1)) AS BIGINT)
+                   AS expected_micro,
+               CAST(sum(s.duration + 1) AS BIGINT) AS person_time
+        FROM survb s JOIN hzm z ON s.band = z.band
+        GROUP BY s.cohort
+    )
+    SELECT cohort, observed, person_time,
+           round(expected_micro / 1000000.0, 6) AS expected,
+           round(observed / (expected_micro / 1000000.0), 6) AS smr,
+           CASE WHEN observed > 0 THEN
+               round(observed / (expected_micro / 1000000.0)
+                     * pow(1.0 - 1.0 / (9.0 * observed)
+                           - 1.96 / (3.0 * sqrt(observed)), 3.0), 6)
+           END AS lower_ci,
+           round((observed + 1.0) / (expected_micro / 1000000.0)
+                 * pow(1.0 - 1.0 / (9.0 * (observed + 1.0))
+                       + 1.96 / (3.0 * sqrt(observed + 1.0)), 3.0), 6)
+               AS upper_ci
+    FROM agg
+"""
+
+
 _RELSURV_SQL = f"""
     WITH kmfull AS ({{km}}),
     perb AS (
@@ -12200,6 +12262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_did": q_stats_did,
         "stats_msprt": q_stats_msprt,
         "survival_net_pp_ci": q_survival_net_pp_ci,
+        "survival_smr": q_survival_smr,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -14030,6 +14093,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_did": _STATS_DID_SQL,
         "stats_msprt": _STATS_MSPRT_SQL,
         "survival_net_pp_ci": _NET_PP_CI_SQL.format(pp=_NET_PP_SQL),
+        "survival_smr": _SURVIVAL_SMR_SQL,
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

@@ -263,6 +263,7 @@ HEADLINE = [
     "stats_did",
     "stats_msprt",
     "survival_net_pp_ci",
+    "survival_smr",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

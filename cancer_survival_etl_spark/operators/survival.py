@@ -2720,3 +2720,74 @@ def crude_probability_of_death(
             (F.col("_cpo0") + F.col("_cpo")) / F.lit(1000000.0), 6
         ).alias("cp_other"),
     )
+
+
+def standardized_mortality_ratio(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Standardized mortality ratio — the first table every registry
+    and occupational-cohort report publishes: SMR = O/E, observed
+    deaths over deaths expected if the cohort experienced the
+    reference population's band hazards over its own person-time,
+    with Byar's approximation for the exact-Poisson 95% CI:
+
+        low  = (O/E)·(1 − 1/(9O) − 1.96/(3√O))³
+        high = ((O+1)/E)·(1 − 1/(9(O+1)) + 1.96/(3√(O+1)))³
+
+    (Breslow & Day 1987's recommendation — accurate to <1% of exact
+    Poisson limits even at small O; NULL CI when O = 0).
+
+    Expected deaths are EXACT integers on the micro lattice:
+    E_micro = Σ_subjects λ_band·(duration+1) (the same ≥1-unit
+    exposure floor as ``person_time_cells``), so the O/E table
+    hash-adjudicates bit-exact. ONE map-side aggregate; no grid, no
+    prefix pass — the cheapest estimator in the family.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    g = list(group_cols)
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    expo = F.col(duration_col).cast("long") + 1
+    ev = F.col(event_col).cast("long")
+    agg = df.groupBy(*g).agg(
+        F.sum(ev).alias("observed"),
+        F.sum(lam * expo).alias("expected_micro"),
+        F.sum(expo).alias("person_time"),
+    )
+    o = F.col("observed").cast("double")
+    e = F.col("expected_micro") / F.lit(1000000.0)
+    smr = o / e
+    low = smr * F.pow(
+        F.lit(1.0) - 1.0 / (9.0 * o) - F.lit(1.96) / (3.0 * F.sqrt(o)),
+        F.lit(3.0),
+    )
+    o1 = o + 1.0
+    high = (o1 / e) * F.pow(
+        F.lit(1.0) - 1.0 / (9.0 * o1) + F.lit(1.96) / (3.0 * F.sqrt(o1)),
+        F.lit(3.0),
+    )
+    return agg.select(
+        *g,
+        "observed",
+        "person_time",
+        F.round(e, 6).alias("expected"),
+        F.round(smr, 6).alias("smr"),
+        F.when(F.col("observed") > 0, F.round(low, 6)).alias(
+            "lower_ci"
+        ),
+        F.round(high, 6).alias("upper_ci"),
+    )

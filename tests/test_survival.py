@@ -1591,3 +1591,34 @@ def test_pohar_perme_ci_matches_sequential_variance(spark):
         ), s
         assert r.lower_ci_net <= r.net_survival_pp <= r.upper_ci_net
         assert 0 < r.upper_ci_net <= 1.0 or r.upper_ci_net <= 1.000001
+
+
+def test_smr_byar_ci(spark):
+    """SMR: exact integer expected deaths, Byar CI brackets the
+    estimate and matches the closed form; O=0 yields NULL lower."""
+    from cancer_survival_etl_spark.operators.survival import (
+        standardized_mortality_ratio,
+    )
+
+    lam = {0: 2000, 1: 8000}
+    rows = [("g", i % 2, 10 + i % 5, 1 if i % 7 == 0 else 0)
+            for i in range(200)]
+    rows += [("z", 0, 5, 0)] * 10   # zero observed deaths
+    df = spark.createDataFrame(
+        rows, "cohort string, band long, duration long, event int"
+    )
+    out = {r.cohort: r for r in standardized_mortality_ratio(
+        df, ["cohort"], "band", lam).collect()}
+    g = out["g"]
+    o = sum(1 for r in rows if r[0] == "g" and r[3] == 1)
+    e_micro = sum(lam[r[1]] * (r[2] + 1) for r in rows if r[0] == "g")
+    assert g.observed == o
+    assert g.expected == round(e_micro / 1e6, 6)
+    assert g.smr == round(o / (e_micro / 1e6), 6)
+    low = (o / (e_micro / 1e6)) * (
+        1 - 1 / (9 * o) - 1.96 / (3 * math.sqrt(o))) ** 3
+    assert g.lower_ci == pytest.approx(round(low, 6), abs=1e-9)
+    assert g.lower_ci < g.smr < g.upper_ci
+    z = out["z"]
+    assert z.observed == 0 and z.lower_ci is None
+    assert z.upper_ci > 0
