@@ -3935,6 +3935,68 @@ _PQ_ADC_SQL = """
 """
 
 
+def q_embedding_procrustes(spark, sf_dir):
+    """Orthogonal Procrustes alignment between two embedding spaces
+    (llm/similarity.py::procrustes_align — Schönemann 1966; the MUSE
+    cross-space aligner): plant b = a·R_true with a product of Givens
+    rotations on coordinate pairs, recover R = UVᵀ from the one-pass
+    exact cross-Gram (nano-lattice cells) + driver SVD. Verdicts:
+    recovered R matches the plant to 1e-5, R is orthogonal, and the
+    fit is deterministic; published grain = exact vector counts."""
+    import math as _math
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.llm.similarity import (
+        procrustes_align,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    th = 0.7
+    c, s = _math.cos(th), _math.sin(th)
+    arr = F.col("embedding")
+    # pairwise Givens: (b[2k], b[2k+1]) = rot(theta) @ (a[2k], a[2k+1])
+    b = F.transform(
+        arr,
+        lambda x, i: F.when(
+            i % 2 == 0,
+            c * x - s * F.element_at(arr, i + 2),
+        ).otherwise(
+            s * F.element_at(arr, i) + c * x
+        ),
+    )
+    pair = e.select(
+        "vec_id",
+        arr.cast("array<double>").alias("a"),
+        b.cast("array<double>").alias("b"),
+    ).localCheckpoint(eager=False)
+    R = np.array(procrustes_align(pair, "a", "b", dim=64))
+    R_true = np.eye(64)
+    for k in range(32):
+        G = np.eye(64)
+        G[2 * k, 2 * k] = G[2 * k + 1, 2 * k + 1] = c
+        G[2 * k, 2 * k + 1] = s
+        G[2 * k + 1, 2 * k] = -s
+        R_true = R_true @ G
+    # note: b = a·R_true with R_true[2k,2k+1] = s convention above
+    recovered = bool(np.abs(R - R_true).max() < 1e-5)
+    orthogonal = bool(
+        np.allclose(R @ R.T, np.eye(64), atol=1e-8)
+    )
+    return pair.agg(F.count(F.lit(1)).alias("n_vectors")).select(
+        "n_vectors",
+        F.lit(recovered).alias("rotation_recovered"),
+        F.lit(orthogonal).alias("rotation_orthogonal"),
+    )
+
+
+_EMBEDDING_PROCRUSTES_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           true AS rotation_recovered, true AS rotation_orthogonal
+    FROM embeddings
+"""
+
+
 def q_ann_opq_adc(spark, sf_dir):
     """OPQ pre-rotation for the PQ family (llm/similarity.py::
     opq_rotation): the parametric OPQ of Ge et al. 2013 — rotate onto
@@ -12263,6 +12325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_msprt": q_stats_msprt,
         "survival_net_pp_ci": q_survival_net_pp_ci,
         "survival_smr": q_survival_smr,
+        "embedding_procrustes": q_embedding_procrustes,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -14094,6 +14157,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_msprt": _STATS_MSPRT_SQL,
         "survival_net_pp_ci": _NET_PP_CI_SQL.format(pp=_NET_PP_SQL),
         "survival_smr": _SURVIVAL_SMR_SQL,
+        "embedding_procrustes": _EMBEDDING_PROCRUSTES_SQL,
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

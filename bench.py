@@ -264,6 +264,7 @@ HEADLINE = [
     "stats_msprt",
     "survival_net_pp_ci",
     "survival_smr",
+    "embedding_procrustes",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

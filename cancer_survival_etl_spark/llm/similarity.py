@@ -1957,3 +1957,90 @@ def opq_rotation(
         logs[target] += float(np.log(max(lam, 1e-300)))
     rotation = [comps[i] for s in range(m) for i in members[s]]
     return rotation, members
+
+
+def cross_gram_exact(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    dim_a: int | None = None,
+    dim_b: int | None = None,
+) -> DataFrame:
+    """Exact cross-moment matrix M = Σ a·bᵀ of two embedding columns
+    in ONE shuffle-free pass — the ``gram_exact`` pattern on a pair:
+    per partition an Arrow kernel nano-rounds each row's outer product
+    and sums int64s; partials hash-aggregate to (i, j, v) cells with
+    v = Σ round(a_i·b_j·1e9). Bit-identical under any partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(col_a, col_b).first()
+    da = int(dim_a) if dim_a is not None else len(first[0])
+    db = int(dim_b) if dim_b is not None else len(first[1])
+
+    def part(batches):
+        acc = np.zeros((da, db), dtype=np.int64)
+        for pdf in batches:
+            A = np.array(pdf[col_a].tolist(), dtype=np.float64)
+            B = np.array(pdf[col_b].tolist(), dtype=np.float64)
+            if A.size == 0:
+                continue
+            for lo in range(0, A.shape[0], 1024):
+                outer = A[lo:lo + 1024, :, None] * B[lo:lo + 1024, None, :]
+                acc += np.rint(outer * 1e9).astype(np.int64).sum(axis=0)
+        ii, jj = np.meshgrid(np.arange(da), np.arange(db), indexing="ij")
+        yield pd.DataFrame(
+            {"i": ii.ravel().astype("int32"),
+             "j": jj.ravel().astype("int32"),
+             "v": acc.ravel()}
+        )
+
+    partials = df.select(col_a, col_b).mapInPandas(
+        part, "i int, j int, v long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def procrustes_align(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    dim: int | None = None,
+):
+    """Orthogonal Procrustes alignment between two embedding spaces —
+    the migration tool when an embedding model is retrained and the
+    old vectors must keep working (Schönemann 1966; the same solve
+    aligns cross-lingual word vectors in MUSE): find the rotation R
+    minimizing Σ‖a_i·R − b_i‖², which is R = UVᵀ from the SVD of the
+    cross-moment M = Σ aᵀb.
+
+    Scale shape: the ONLY data-touching step is the one-pass exact
+    ``cross_gram_exact`` (nano-lattice cells, bit-identical under
+    partitioning); the SVD runs on the driver over the d×d matrix —
+    the ``pca_fit`` contract. Returns R as a list of d rows; apply it
+    with ``pca_project(df, R_transposed...)`` or a zip_with dot and
+    measure residuals distributively.
+
+    Determinism: R = UVᵀ is unique whenever M is nonsingular (any
+    sign flip of a U column flips the matching V row, leaving the
+    product unchanged), and it is rounded to 9 dp for cross-LAPACK
+    stability."""
+    import numpy as np
+
+    cells = {
+        (r.i, r.j): r.v
+        for r in cross_gram_exact(df, col_a, col_b, dim, dim).collect()
+    }
+    d = int(dim) if dim is not None else (
+        max(i for i, _ in cells) + 1
+    )
+    M = np.zeros((d, d))
+    for (i, j), v in cells.items():
+        M[i, j] = v / 1e9
+    U, s, Vt = np.linalg.svd(M)
+    # deterministic signs: flip (U col, V row) pairs together —
+    # doesn't change U @ Vt ... it does NOT change the product, so
+    # normalize on the PRODUCT instead: R itself is unique when M is
+    # nonsingular; round for cross-build stability.
+    R = np.round(U @ Vt, 9)
+    return [list(map(float, row)) for row in R]

@@ -2191,3 +2191,43 @@ def test_als_recovers_planted_low_rank(spark):
         df.repartition(32), "u", "i", "r", k=3, iters=8, reg=0.02
     )
     assert hist32 == hist
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    """Orthogonal Procrustes: b = a·R_true (noiseless) must recover
+    R_true to the lattice tolerance; the result is orthogonal and
+    partitioning-independent; applying R aligns the spaces (residual
+    collapses vs the unaligned distance)."""
+    import math
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.llm.similarity import (
+        procrustes_align,
+    )
+
+    rng_rows = []
+    d = 6
+    # planted rotation: Givens product (deterministic)
+    R_true = np.eye(d)
+    for (p, q, th) in [(0, 1, 0.7), (2, 4, -1.1), (1, 5, 0.3)]:
+        G = np.eye(d)
+        G[p, p] = G[q, q] = math.cos(th)
+        G[p, q] = -math.sin(th)
+        G[q, p] = math.sin(th)
+        R_true = R_true @ G
+    for i in range(500):
+        a = [round(math.sin(i * k + 0.1 * k * k), 4)
+             for k in range(1, d + 1)]
+        b = list(np.array(a) @ R_true)
+        rng_rows.append((i, a, [float(x) for x in b]))
+    df = spark.createDataFrame(
+        rng_rows, "id long, a array<double>, b array<double>"
+    )
+    R = np.array(procrustes_align(df, "a", "b", dim=d))
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-8)
+    assert np.allclose(R, R_true, atol=1e-6), np.abs(R - R_true).max()
+    R32 = np.array(
+        procrustes_align(df.repartition(32), "a", "b", dim=d)
+    )
+    assert (R == R32).all()
