@@ -12240,8 +12240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND 5 window = the two r04 red rows re-staged first (the
     # percentile_disc dtype fix, VERDICT r04 item 1) + the first 48
     # of the 55 never-adjudicated queries (survival family leads,
-    # VERDICT item 3). The 7-query overflow rides at positions 51+
-    # together with this round's new additions, then the r01-r04
+    # VERDICT item 3). Positions 51+ hold the r06 queue: the 7-query
+    # rotation overflow plus round-5's 20 new queries (flexible
+    # parametric excess model, delayed-entry/period KM, Efron/strata/
+    # baseline/diagnostics Cox, Fine-Gray, Ederer I, crude
+    # probability, PP CI, SMR, Poisson GLM, KLL winsorize, OPQ,
+    # Procrustes, ALS, PMI, DiD, mSPRT) — every one parity-green
+    # locally under the r05 dtype-family gate — then the r01-r04
     # green tranches.
         # ==== positions 1-50: ROUND-5 driver window ====
         # 1-2: r04 red rows, dtype fix applied — re-adjudicate
