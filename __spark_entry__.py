@@ -9388,7 +9388,9 @@ def q_survival_ph_test(spark, sf_dir):
 
     out = []
     for label, frame in (("proportional", prop), ("crossing", cross)):
-        beta = cox_ph(frame, ["x"], iters=5)
+        # 3 NR iterations: the diagnostic needs a reasonable beta-hat,
+        # not a converged one (the residual trend is what's tested)
+        beta = cox_ph(frame, ["x"], iters=3)
         z = cox_ph_diagnostics(frame, ["x"], beta).collect()[0]
         n_times = (
             frame.filter("event = 1").select("duration").distinct().count()
