@@ -265,6 +265,7 @@ HEADLINE = [
     "survival_net_pp_ci",
     "survival_smr",
     "embedding_procrustes",
+    "survival_cox_hr",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

@@ -1622,3 +1622,51 @@ def test_smr_byar_ci(spark):
     z = out["z"]
     assert z.observed == 0 and z.lower_ci is None
     assert z.upper_ci > 0
+
+
+def test_cox_ph_wald_se(spark):
+    """Wald SEs: match the sequential reference's information matrix
+    inverse; the 95% HR CI covers a planted effect; SEs shrink ~1/sqrt(n)."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import cox_ph
+
+    def cohort(n):
+        rows = []
+        for i in range(n):
+            x = (i % 4) / 3.0
+            u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+            t = -math.log(u) / math.exp(1.0 * x)
+            rows.append((x, round(min(t, 2.0), 2), 1 if t <= 2.0 else 0))
+        return spark.createDataFrame(
+            rows, "x double, duration double, event int"
+        )
+
+    b1, s1 = cox_ph(cohort(400), ["x"], iters=6, return_se=True)
+    # CI covers the planted log-HR of 1.0
+    assert b1[0] - 1.96 * s1[0] < 1.0 < b1[0] + 1.96 * s1[0]
+    b2, s2 = cox_ph(cohort(1600), ["x"], iters=6, return_se=True)
+    # 4x the cohort -> SE roughly halves
+    assert 0.35 < s2[0] / s1[0] < 0.65, (s1, s2)
+    # sequential reference at the same beta (Breslow information)
+    rows = [( (i % 4) / 3.0,
+              round(min(-math.log(((i * 2654435761) % 999983) / 999983.0
+                                  + 1e-9) / math.exp((i % 4) / 3.0), 2.0),
+                    2),
+              1 if -math.log(((i * 2654435761) % 999983) / 999983.0
+                             + 1e-9) / math.exp((i % 4) / 3.0) <= 2.0
+              else 0)
+            for i in range(400)]
+    X = np.array([r[0] for r in rows])
+    dur = np.array([r[1] for r in rows])
+    ev = np.array([r[2] for r in rows])
+    r = np.exp(X * b1[0])
+    info = 0.0
+    for t in np.unique(dur[ev == 1]):
+        risk = dur >= t
+        d = int(((dur == t) & (ev == 1)).sum())
+        S0 = r[risk].sum()
+        S1 = (r[risk] * X[risk]).sum()
+        S2 = (r[risk] * X[risk] * X[risk]).sum()
+        info += d * (S2 / S0 - (S1 / S0) ** 2)
+    assert s1[0] == pytest.approx(1.0 / math.sqrt(info), rel=1e-3)
