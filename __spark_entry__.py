@@ -3540,6 +3540,54 @@ _STATS_MSPRT_SQL = """
 """
 
 
+def q_stats_poisson_dispersion(spark, sf_dir):
+    """Quasi-Poisson overdispersion diagnostic (operators/stats.py::
+    poisson_dispersion): Pearson φ̂ = Σ(y−μ)²/μ/(n−p) at the fitted β
+    — the check registries run before publishing any rate model
+    (φ > 1.5 ⇒ inflate SEs by √φ or switch to negative binomial).
+    Two plants from the stats_poisson_glm cohort: the ±1-jitter plant
+    must read φ ≈ small (equidispersed-ish), a 7-level-jitter variant
+    must flag. Exact counts replay; φ verdicts are booleans."""
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_poisson,
+        poisson_dispersion,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    x = (key % 8) / 8.0
+    lam = F.exp(F.lit(0.3) + 0.9 * x)
+    h = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    small = (h % 3 - 1).cast("double")
+    big = ((h % 7 - 3) * 3).cast("double")
+    mk = lambda j: o.select(  # noqa: E731
+        x.alias("x"),
+        F.greatest(F.round(lam, 0) + j, F.lit(0.0)).alias("y"),
+    ).localCheckpoint(eager=False)
+    out = []
+    for label, frame in (("small_jitter", mk(small)), ("big_jitter", mk(big))):
+        beta = glm_poisson(frame, ["x"], "y", iters=6)
+        d = poisson_dispersion(frame, ["x"], beta, "y").collect()[0]
+        out.append((label, int(d.n), bool(d.overdispersed)))
+    return spark.createDataFrame(
+        out, "plant string, n long, overdispersed boolean"
+    )
+
+
+_POISSON_DISPERSION_SQL = """
+    SELECT 'small_jitter' AS plant, CAST(count(*) AS BIGINT) AS n,
+           false AS overdispersed
+    FROM orders
+    UNION ALL
+    SELECT 'big_jitter' AS plant, CAST(count(*) AS BIGINT) AS n,
+           true AS overdispersed
+    FROM orders
+"""
+
+
 def q_stats_did(spark, sf_dir):
     """Difference-in-differences (operators/stats.py::diff_in_diff):
     the 2×2 quasi-experimental readout — treated = user parity,
@@ -12414,6 +12462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_smr": q_survival_smr,
         "embedding_procrustes": q_embedding_procrustes,
         "survival_cox_hr": q_survival_cox_hr,
+        "stats_poisson_dispersion": q_stats_poisson_dispersion,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -14247,6 +14296,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_smr": _SURVIVAL_SMR_SQL,
         "embedding_procrustes": _EMBEDDING_PROCRUSTES_SQL,
         "survival_cox_hr": _SURVIVAL_COX_HR_SQL,
+        "stats_poisson_dispersion": _POISSON_DISPERSION_SQL,
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

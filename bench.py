@@ -266,6 +266,7 @@ HEADLINE = [
     "survival_smr",
     "embedding_procrustes",
     "survival_cox_hr",
+    "stats_poisson_dispersion",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

@@ -2328,7 +2328,8 @@ def glm_poisson(
     y_col: str,
     offset_col: str | None = None,
     iters: int = 8,
-) -> list[float]:
+    return_se: bool = False,
+):
     """Distributed Poisson GLM with log link and optional exposure
     offset — the rates regression (deaths ~ covariates + ln(person-
     time)) that complements the family's OLS/ridge (``ols2_by``),
@@ -2383,6 +2384,11 @@ def glm_poisson(
                 info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
         step = np.linalg.solve(info, g)
         beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    if return_se:
+        cov = np.linalg.inv(info)
+        return beta, [
+            round(float(np.sqrt(cov[j, j])), 9) for j in range(p + 1)
+        ]
     return beta
 
 
@@ -2391,7 +2397,8 @@ def glm_logistic(
     feature_cols,
     y_col: str,
     iters: int = 8,
-) -> list[float]:
+    return_se: bool = False,
+):
     """Distributed logistic regression by IRLS / Fisher scoring —
     the Newton-converging sibling of ``llm/inference.py::
     logistic_train`` (plain gradient descent, ~100 passes at a tuned
@@ -2436,6 +2443,11 @@ def glm_logistic(
                 info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
         step = np.linalg.solve(info, g)
         beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    if return_se:
+        cov = np.linalg.inv(info)
+        return beta, [
+            round(float(np.sqrt(cov[j, j])), 9) for j in range(p + 1)
+        ]
     return beta
 
 
@@ -2600,4 +2612,49 @@ def msprt_two_sample(
         F.round(pooled, 6).alias("pooled_var"),
         F.round(log_lam, 6).alias("log_lambda"),
         (log_lam > thresh).alias("rejected"),
+    )
+
+
+def poisson_dispersion(
+    df: DataFrame,
+    feature_cols,
+    beta,
+    y_col: str,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """Quasi-Poisson overdispersion diagnostic at a fitted β: the
+    Pearson dispersion φ̂ = Σ(y−μ)²/μ / (n − p). Poisson regression
+    assumes Var = μ; real count data usually has Var = φμ with φ > 1,
+    in which case every Poisson SE must be inflated by √φ (the
+    quasi-Poisson correction) or the model swapped for negative
+    binomial. Registries check this before publishing any rate model.
+
+    One nano-lattice aggregate (per-row Pearson terms rounded before
+    summing — partitioning-exact); returns one row: n, p_params,
+    pearson_chi2, dispersion, overdispersed (φ > 1.5, the usual
+    rule-of-thumb flag)."""
+    feats = list(feature_cols)
+    p = len(feats) + 1
+    if len(beta) != p:
+        raise ValueError("beta must include the intercept")
+    nano = F.lit(1000000000.0)
+    y = F.col(y_col).cast("double")
+    off = F.col(offset_col).cast("double") if offset_col else F.lit(0.0)
+    eta = off + F.lit(float(beta[0]))
+    for j, c in enumerate(feats):
+        eta = eta + F.lit(float(beta[j + 1])) * F.col(c).cast("double")
+    mu = F.exp(eta)
+    term = (y - mu) * (y - mu) / mu
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(term * nano, 0).cast("long")).alias("_chi"),
+    )
+    chi2 = F.col("_chi") / nano
+    disp = chi2 / (F.col("n") - p)
+    return agg.select(
+        "n",
+        F.lit(p).alias("p_params"),
+        F.round(chi2, 6).alias("pearson_chi2"),
+        F.round(disp, 6).alias("dispersion"),
+        (disp > 1.5).alias("overdispersed"),
     )

@@ -1081,3 +1081,42 @@ def test_msprt_two_sample_decisions(spark):
         msprt_two_sample(
             cohort(0.0).withColumn("grp", F.lit("x")), "grp", "y"
         )
+
+
+def test_glm_se_and_poisson_dispersion(spark):
+    """GLM Wald SEs shrink ~1/sqrt(n) and cover planted truth at 5se;
+    Pearson dispersion reads ~1 on equidispersed counts and flags a
+    variance-inflated plant."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_poisson,
+        poisson_dispersion,
+    )
+
+    def cohort(n, inflate):
+        rows = []
+        for i in range(n):
+            x = (i % 8) / 8.0
+            lam = math.exp(0.3 + 0.9 * x)
+            base = ((i * 2654435761) % 7)  # 0..6, mean 3
+            noise = (base - 3) * inflate
+            yv = max(round(lam) + round(noise), 0)
+            rows.append((float(x), float(yv)))
+        return spark.createDataFrame(rows, "x double, y double")
+
+    df = cohort(3000, 0.5)
+    beta, se = glm_poisson(df, ["x"], "y", iters=8, return_se=True)
+    assert abs(beta[1] - 0.9) < 5 * se[1]
+    _, se_big = glm_poisson(
+        cohort(12000, 0.5), ["x"], "y", iters=8, return_se=True
+    )
+    assert 0.35 < se_big[1] / se[1] < 0.65
+    # equidispersed-ish plant: phi near 1; inflated plant: flagged
+    d1 = poisson_dispersion(df, ["x"], beta, "y").collect()[0]
+    big = cohort(3000, 3.0)
+    beta2 = glm_poisson(big, ["x"], "y", iters=8)
+    d2 = poisson_dispersion(big, ["x"], beta2, "y").collect()[0]
+    assert d2.dispersion > d1.dispersion * 2
+    assert d2.overdispersed
+    assert d1.p_params == 2
