@@ -11106,6 +11106,169 @@ _SURVIVAL_SMR_SQL = f"""
 """
 
 
+def q_survival_relative_hak(spark, sf_dir):
+    """Relative survival with HAKULINEN expected survival (operators/
+    survival.py::relative_survival_hakulinen) — completes the Ederer
+    I/II triple: population twins are censored when their subject's
+    POTENTIAL follow-up ends (plant: potential = 24 + user_id % 24
+    hours), so staggered observability re-weights the expected mix.
+    Oracle mirrors the potential at-risk prefix, the closed-form twin
+    survival and the log accumulation bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_hakulinen,
+    )
+
+    eps = _survival_episodes(spark, sf_dir).select(
+        (F.col("user_id") % 9).alias("band"),
+        "cohort",
+        "duration",
+        "event",
+        (F.lit(24) + F.col("user_id") % 24).cast("long").alias(
+            "potential"
+        ),
+    )
+    return relative_survival_hakulinen(
+        eps, ["cohort"], "band", _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_SURVIVAL_HAK_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id, user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event,
+               24 + user_id % 24 AS potential
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, band
+    ),
+    hours0 AS (SELECT s FROM range(0, 49) t(s)),
+    potc AS (
+        SELECT cohort, band, potential AS s, count(*) AS rm
+        FROM survb GROUP BY cohort, band, potential
+    ),
+    grid AS (
+        SELECT n.cohort, n.band, n.nb_tot, h.s, coalesce(p.rm, 0) AS rm
+        FROM nbt n CROSS JOIN hours0 h
+        LEFT JOIN potc p
+          ON p.cohort = n.cohort AND p.band = n.band AND p.s = h.s
+    ),
+    pb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, band ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS pbv
+        FROM grid
+    ),
+    lstar AS (
+        SELECT b.cohort, b.s,
+               CAST(round(b.pbv * pow(1.0 - z.lam / 1000000.0, b.s - 1)
+                          * 1000000.0, 0) AS BIGINT) AS lw,
+               CAST(round(b.pbv * pow(1.0 - z.lam / 1000000.0, b.s - 1)
+                          * (z.lam / 1000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS lwl
+        FROM pb b JOIN hzm z ON b.band = z.band
+    ),
+    pers AS (
+        SELECT cohort, s,
+               CAST(sum(lwl) AS BIGINT) AS num,
+               CAST(sum(lw) AS BIGINT) AS den
+        FROM lstar GROUP BY cohort, s
+    ),
+    lt AS (
+        SELECT *,
+            CASE WHEN s > 0 AND den > 0
+                      AND (num / 1000000.0) / den < 1
+                 THEN CAST(round(ln(1.0 - (num / 1000000.0) / den)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS ltv
+        FROM pers
+    ),
+    expd AS (
+        SELECT cohort, s AS hour,
+               round(exp(sum(ltv) OVER (PARTITION BY cohort ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) / 1000000.0), 6)
+                   AS survival_expected
+        FROM lt
+    ),
+    km AS (
+        SELECT cohort, duration,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               CAST(sum(1 - event) AS BIGINT) AS n_censored
+        FROM survb GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM survb GROUP BY cohort),
+    ar AS (
+        SELECT k.cohort, k.duration, k.n_event,
+               CAST(t.n_subj - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (PARTITION BY k.cohort ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM km k JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS ltv2,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM ar
+    ),
+    kmcurve AS (
+        SELECT cohort, duration,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(ltv2) OVER w / 1000000.0), 6)
+               END AS survival
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY duration
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    hours AS (SELECT CAST(s AS BIGINT) AS hour FROM range(1, 49) t(s)),
+    nrisk AS (
+        SELECT s.cohort, h.hour,
+               CAST(sum(CASE WHEN s.duration >= h.hour THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_risk
+        FROM survb s CROSS JOIN hours h GROUP BY s.cohort, h.hour
+    ),
+    obs AS (
+        SELECT k.cohort, h.hour,
+               arg_max(k.survival, k.duration) AS survival_observed
+        FROM kmcurve k JOIN hours h ON k.duration <= h.hour
+        GROUP BY k.cohort, h.hour
+    )
+    SELECT e.cohort, e.hour, r.n_risk,
+           coalesce(o.survival_observed, 1.0) AS survival_observed,
+           e.survival_expected,
+           round(coalesce(o.survival_observed, 1.0)
+                 / e.survival_expected, 6) AS relative_survival
+    FROM expd e
+    JOIN nrisk r ON e.cohort = r.cohort AND e.hour = r.hour
+    LEFT JOIN obs o ON e.cohort = o.cohort AND e.hour = o.hour
+    WHERE e.hour > 0
+"""
+
+
 _RELSURV_SQL = f"""
     WITH kmfull AS ({{km}}),
     perb AS (
@@ -12463,6 +12626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_procrustes": q_embedding_procrustes,
         "survival_cox_hr": q_survival_cox_hr,
         "stats_poisson_dispersion": q_stats_poisson_dispersion,
+        "survival_relative_hak": q_survival_relative_hak,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -14297,6 +14461,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_procrustes": _EMBEDDING_PROCRUSTES_SQL,
         "survival_cox_hr": _SURVIVAL_COX_HR_SQL,
         "stats_poisson_dispersion": _POISSON_DISPERSION_SQL,
+        "survival_relative_hak": _SURVIVAL_HAK_SQL,
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

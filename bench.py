@@ -267,6 +267,7 @@ HEADLINE = [
     "embedding_procrustes",
     "survival_cox_hr",
     "stats_poisson_dispersion",
+    "survival_relative_hak",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

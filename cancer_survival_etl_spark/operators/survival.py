@@ -2803,3 +2803,149 @@ def standardized_mortality_ratio(
         ),
         F.round(high, 6).alias("upper_ci"),
     )
+
+
+def relative_survival_hakulinen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    potential_col: str = "potential",
+) -> DataFrame:
+    """Relative survival with HAKULINEN expected survival — the third
+    classical convention (Hakulinen 1982), completing the Ederer I /
+    Ederer II pair: each subject's hypothetical population twin is
+    followed only as long as the subject COULD have been observed
+    (``potential_col`` — entry-to-study-end time), so staggered
+    recruitment can't bias the expected curve the way it biases
+    Ederer I (whose twins live forever) under long follow-up.
+
+    Discrete form: expected survivors of band b entering hour s are
+    l*_b(s) = p_b(s)·(1−λ_b)^(s−1) with p_b(s) = #{i ∈ b :
+    potential_i ≥ s}; the expected-cohort hazard is the l*-weighted
+    band mean λ̄*_H(s) = Σ_b l*_b(s)·λ_b / Σ_b l*_b(s) and
+    S*_H(h) = Π_{s ≤ h}(1 − λ̄*_H(s)). With uniform potential
+    follow-up (everyone observable to the horizon) this reduces
+    EXACTLY to Ederer I (pinned in tests).
+
+    Same integer micro-hazard contract and output grain as the Ederer
+    estimators; the micro-lattice log accumulation makes the table
+    hash-exact. Scale shape: one per-(group, band, potential-hour)
+    count aggregate, then the broadcast-sized grid — one
+    grouped_prefix_sum for potential at-risk counts, a closed-form
+    pow for the twin survival, one prefix for the expected log
+    accumulation; observed curve via the shared km argmax.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    g = list(group_cols)
+    spark = df.sparkSession
+    horizon = int(horizon)
+
+    # potential at-risk: p_b(s) = #{potential >= s} via removal cells
+    pot = df.groupBy(*g, band_col, potential_col).agg(
+        F.count(F.lit(1)).alias("_rm")
+    )
+    nbt = df.groupBy(*g, band_col).agg(F.count(F.lit(1)).alias("_nb_tot"))
+    hours0 = spark.range(0, horizon + 1).select(
+        F.col("id").cast("long").alias("_s")
+    )
+    grid = (
+        nbt.crossJoin(F.broadcast(hours0))
+        .join(
+            pot.withColumnRenamed(potential_col, "_s"),
+            g + [band_col, "_s"],
+            "left",
+        )
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.lit(0)))
+    )
+    grid = grouped_prefix_sum(
+        grid, g + [band_col], "_s", "_rm", "_rm0"
+    ).withColumn("_pb", F.col("_nb_tot") - F.col("_rm0"))
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    # expected twin survivors entering hour s: p_b(s)·(1-λ_b)^(s-1)
+    lstar = F.col("_pb") * F.pow(
+        F.lit(1.0) - lam / F.lit(1000000.0),
+        (F.col("_s") - 1).cast("double"),
+    )
+    grid = grid.withColumn("_lw", _micro(lstar)).withColumn(
+        "_lwl", _pico(lstar * (lam / F.lit(1000000.0)))
+    )
+    per_s = grid.groupBy(*g, "_s").agg(
+        F.sum("_lwl").alias("_num"),
+        F.sum("_lw").alias("_den"),
+    )
+    lam_bar = (F.col("_num") / F.lit(1000000.0)) / F.col("_den")
+    per_s = per_s.withColumn(
+        "_lt",
+        F.when(
+            (F.col("_s") > 0) & (F.col("_den") > 0) & (lam_bar < 1),
+            _micro(F.log(F.lit(1.0) - lam_bar)),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    per_s = grouped_prefix_sum(per_s, g, "_s", "_lt", "_lt0")
+    expected = per_s.filter(F.col("_s") > 0).select(
+        *g,
+        F.col("_s").alias("hour"),
+        F.round(
+            F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0)), 6
+        ).alias("survival_expected"),
+    )
+
+    km = km_curve(df, g, duration_col, event_col)
+    hours = hours0.filter(F.col("_s") > 0).withColumnRenamed("_s", "hour")
+    rm = df.groupBy(*g, duration_col).agg(F.count(F.lit(1)).alias("_rm"))
+    tot = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_tot"))
+    atrisk = (
+        tot.crossJoin(F.broadcast(hours0.withColumnRenamed("_s", "hour")))
+        .join(
+            rm.withColumnRenamed(duration_col, "hour"),
+            g + ["hour"],
+            "left",
+        )
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.lit(0)))
+    )
+    atrisk = grouped_prefix_sum(atrisk, g, "hour", "_rm", "_rm0")
+    atrisk = atrisk.filter(F.col("hour") > 0).select(
+        *g, "hour", (F.col("_n_tot") - F.col("_rm0")).alias("n_risk")
+    )
+    obs_cells = km.crossJoin(F.broadcast(hours)).filter(
+        F.col(duration_col) <= F.col("hour")
+    )
+    best = obs_cells.groupBy(*g, "hour").agg(
+        F.max(
+            F.struct(
+                F.col(duration_col).alias("_d"),
+                F.col("survival").alias("_sv"),
+            )
+        ).alias("_b")
+    )
+    out = (
+        expected.join(atrisk, g + ["hour"])
+        .join(best, g + ["hour"], "left")
+        .withColumn(
+            "survival_observed", F.coalesce(F.col("_b._sv"), F.lit(1.0))
+        )
+    )
+    return out.select(
+        *g,
+        "hour",
+        "n_risk",
+        "survival_observed",
+        "survival_expected",
+        F.round(
+            F.col("survival_observed") / F.col("survival_expected"), 6
+        ).alias("relative_survival"),
+    )

@@ -1670,3 +1670,64 @@ def test_cox_ph_wald_se(spark):
         S2 = (r[risk] * X[risk] * X[risk]).sum()
         info += d * (S2 / S0 - (S1 / S0) ** 2)
     assert s1[0] == pytest.approx(1.0 / math.sqrt(info), rel=1e-3)
+
+
+def test_hakulinen_reduces_to_ederer1_and_censoring_effect(spark):
+    """Hakulinen: with uniform potential follow-up (everyone
+    observable to the horizon) it equals Ederer I exactly; with the
+    long-lived band's potential follow-up truncated early, the
+    expected curve re-weights toward the short-lived mix and drops
+    relative to Ederer I late."""
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer1,
+        relative_survival_hakulinen,
+    )
+
+    lam = {0: 2000, 1: 60000}
+    H = 24
+    rows = []
+    for i in range(400):
+        band = i % 2
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / ((lam[band] / 1e6) * (2.0 if band else 1.0))
+        d = int(min(t, H))
+        rows.append(("g", band, d, 1 if t < H else 0, H))
+    df = spark.createDataFrame(
+        rows,
+        "cohort string, band long, duration long, event int, potential long",
+    )
+    hak = {
+        r.hour: r
+        for r in relative_survival_hakulinen(
+            df, ["cohort"], "band", lam, H
+        ).collect()
+    }
+    e1 = {
+        r.hour: r
+        for r in relative_survival_ederer1(
+            df, ["cohort"], "band", lam, H
+        ).collect()
+    }
+    for h in (1, 8, 24):
+        # uniform potential -> Hakulinen == Ederer I (micro tolerance:
+        # the two accumulate on different lattices)
+        assert hak[h].survival_expected == pytest.approx(
+            e1[h].survival_expected, abs=5e-6
+        ), h
+        assert hak[h].survival_observed == e1[h].survival_observed
+    # truncate band 0's (low-hazard, long-lived) potential follow-up
+    trunc = df.withColumn(
+        "potential",
+        F.when(F.col("band") == 0, F.lit(6)).otherwise(F.col("potential")),
+    )
+    hak2 = {
+        r.hour: r
+        for r in relative_survival_hakulinen(
+            trunc, ["cohort"], "band", lam, H
+        ).collect()
+    }
+    # after hour 6 only the high-hazard band's twins remain observable
+    # -> expected survival decays faster than Ederer I's
+    assert hak2[24].survival_expected < e1[24].survival_expected
+    with pytest.raises(ValueError):
+        relative_survival_hakulinen(df, ["cohort"], "band", {0: 0.5}, H)
