@@ -11269,6 +11269,30 @@ _SURVIVAL_HAK_SQL = f"""
 """
 
 
+def q_survival_rmst_net(spark, sf_dir):
+    """NET restricted mean survival time (operators/survival.py::
+    rmst_from_curve over the Pohar Perme curve): life-hours retained
+    net of background mortality within the 48-hour horizon — a
+    headline registry statistic. The rectangle rule is exact on the
+    curve's own unit grid; oracle composes the PP SQL mirror inside
+    the same sum."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+        rmst_from_curve,
+    )
+
+    pp = net_survival_pohar_perme(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+    return rmst_from_curve(
+        pp, ["cohort"], _SURV_HORIZON_H, "hour", "net_survival_pp"
+    )
+
+
 _RELSURV_SQL = f"""
     WITH kmfull AS ({{km}}),
     perb AS (
@@ -12627,6 +12651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cox_hr": q_survival_cox_hr,
         "stats_poisson_dispersion": q_stats_poisson_dispersion,
         "survival_relative_hak": q_survival_relative_hak,
+        "survival_rmst_net": q_survival_rmst_net,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -14462,6 +14487,12 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox_hr": _SURVIVAL_COX_HR_SQL,
         "stats_poisson_dispersion": _POISSON_DISPERSION_SQL,
         "survival_relative_hak": _SURVIVAL_HAK_SQL,
+        "survival_rmst_net": (
+            "WITH ppc AS (" + _NET_PP_SQL + ") "
+            "SELECT cohort, round(1.0 + sum(CAST(round(net_survival_pp "
+            "* 1000000.0, 0) AS BIGINT)) / 1000000.0, 6) AS rmst "
+            "FROM ppc WHERE hour >= 1 AND hour <= 47 GROUP BY cohort"
+        ),
         "survival_conditional_net": _CONDSURV_SQL.format(
             km="SELECT cohort, hour AS duration, "
                "net_survival_pp AS survival FROM ("

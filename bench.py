@@ -268,6 +268,7 @@ HEADLINE = [
     "survival_cox_hr",
     "stats_poisson_dispersion",
     "survival_relative_hak",
+    "survival_rmst_net",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",

@@ -2949,3 +2949,45 @@ def relative_survival_hakulinen(
             F.col("survival_observed") / F.col("survival_expected"), 6
         ).alias("relative_survival"),
     )
+
+
+def rmst_from_curve(
+    curve: DataFrame,
+    group_cols: Sequence[str],
+    tau: int,
+    time_col: str = "hour",
+    survival_col: str = "survival",
+) -> DataFrame:
+    """Restricted mean survival time from an ALREADY-ESTIMATED curve
+    on a UNIT time grid (hours 1..horizon, survival right-continuous
+    at each grid point, S(0) = 1 by convention):
+
+        RMST(τ) = ∫₀^τ S dt = 1 + Σ_{1 ≤ t ≤ τ−1} S(t)
+
+    — the rectangle rule is EXACT for a step function on its own
+    grid. Curve-agnostic on purpose: feed it ``km_curve`` cells
+    re-gridded, the Pohar Perme net curve (net RMST — "life-years
+    gained net of background mortality within τ", a headline
+    registry statistic), or the Ederer relative curve. One
+    map-side-combinable aggregate over the curve frame; the curve
+    frame is grid-sized, so this costs nothing at any data scale.
+
+    Returns (group, rmst) with rmst ∈ (0, τ].
+    """
+    g = list(group_cols)
+    tau = int(tau)
+    s = F.col(survival_col)
+    return (
+        curve.filter(
+            (F.col(time_col) >= 1) & (F.col(time_col) <= tau - 1)
+        )
+        .groupBy(*g)
+        .agg(
+            F.round(
+                F.lit(1.0)
+                + F.sum(F.round(s * F.lit(1000000.0), 0).cast("long"))
+                / F.lit(1000000.0),
+                6,
+            ).alias("rmst")
+        )
+    )

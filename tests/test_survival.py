@@ -1731,3 +1731,52 @@ def test_hakulinen_reduces_to_ederer1_and_censoring_effect(spark):
     assert hak2[24].survival_expected < e1[24].survival_expected
     with pytest.raises(ValueError):
         relative_survival_hakulinen(df, ["cohort"], "band", {0: 0.5}, H)
+
+
+def test_rmst_from_curve_unit_grid(spark):
+    """Curve RMST: exact rectangle sum on the unit grid; a constant
+    curve S=1 gives exactly tau; net RMST from a PP curve is below
+    the all-cause curve's RMST... wait - net survival >= observed, so
+    net RMST >= observed-curve RMST (background deaths removed)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+        relative_survival_ederer2,
+        rmst_from_curve,
+    )
+
+    lam = {0: 3000, 1: 9000}
+    H = 24
+    rows = []
+    for i in range(300):
+        band = i % 2
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / (lam[band] / 1e6 + 0.03)
+        rows.append(("g", band, int(min(t, H)), 1 if t < H else 0))
+    df = spark.createDataFrame(
+        rows, "cohort string, band long, duration long, event int"
+    )
+    pp = net_survival_pohar_perme(df, ["cohort"], "band", lam, H)
+    net = rmst_from_curve(
+        pp, ["cohort"], H, "hour", "net_survival_pp"
+    ).collect()[0]
+    e2 = relative_survival_ederer2(df, ["cohort"], "band", lam, H)
+    obs = rmst_from_curve(
+        e2, ["cohort"], H, "hour", "survival_observed"
+    ).collect()[0]
+    # exact rectangle replication
+    vals = {r.hour: r.net_survival_pp for r in pp.collect()}
+    want = 1.0 + sum(
+        round(vals[h] * 1e6) for h in range(1, H)
+    ) / 1e6
+    assert net.rmst == round(want, 6)
+    # net removes background mortality -> net RMST >= observed RMST
+    assert net.rmst >= obs.rmst
+    assert 0 < obs.rmst <= H
+    # constant curve integrates to tau
+    const = spark.createDataFrame(
+        [("g", h, 1.0) for h in range(1, H + 1)],
+        "cohort string, hour long, survival double",
+    )
+    assert rmst_from_curve(
+        const, ["cohort"], H, "hour", "survival"
+    ).collect()[0].rmst == float(H)
