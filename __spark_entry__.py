@@ -11293,6 +11293,59 @@ def q_survival_rmst_net(spark, sf_dir):
     )
 
 
+def q_survival_index_net(spark, sf_dir):
+    """The reference INDEX table's NET-scale publication shape,
+    computed fully in-engine: one row per (cohort,
+    standardisation_type, period) with SURVIVAL_PERCENT /
+    STANDARD_ERROR / LOWER_CI / UPPER_CI — exactly the columns the
+    reference scrapes pre-computed
+    (/root/reference/docs/create_index.sql:2-20), here produced by
+    the engine's own estimators: 'Unstandardised' rows from Pohar
+    Perme with its counting-process variance, 'Age-standardised'
+    rows from the ICSS-weight mix (whose SE the reference also
+    leaves unpublished at some grains — the typed-NULL scaffolding
+    is the reference's own UNION idiom, §2 P9). Periods = the
+    8-hour blocks 1..6 (the YEARS_SINCE_DIAGNOSIS analog). Oracle
+    composes the two estimator mirrors inside the same union."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_pohar_perme,
+        standardized_net_survival,
+    )
+
+    eps = _banded_episodes(spark, sf_dir)
+    pp = net_survival_pohar_perme(
+        eps, ["cohort"], "band", _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H, with_ci=True,
+    ).filter(F.col("hour") % 8 == 0)
+    crude = pp.select(
+        "cohort",
+        F.lit("Unstandardised").alias("standardisation_type"),
+        (F.col("hour") / 8).cast("long").alias("period"),
+        F.round(F.col("net_survival_pp") * 100, 6).alias(
+            "survival_percent"
+        ),
+        F.round(F.col("se_net") * 100, 6).alias("standard_error"),
+        F.round(F.col("lower_ci_net") * 100, 6).alias("lower_ci"),
+        F.round(F.col("upper_ci_net") * 100, 6).alias("upper_ci"),
+    )
+    subj = eps.withColumn("agegrp", (F.col("band") / 3).cast("int"))
+    std = standardized_net_survival(
+        subj, ["cohort"], "agegrp", _NET_STD_WEIGHTS, "band",
+        _RELSURV_HAZARDS, horizon=_SURV_HORIZON_H,
+    ).filter(F.col("hour") % 8 == 0).select(
+        "cohort",
+        F.lit("Age-standardised").alias("standardisation_type"),
+        (F.col("hour") / 8).cast("long").alias("period"),
+        F.round(F.col("net_survival_std") * 100, 6).alias(
+            "survival_percent"
+        ),
+        F.lit(None).cast("double").alias("standard_error"),
+        F.lit(None).cast("double").alias("lower_ci"),
+        F.lit(None).cast("double").alias("upper_ci"),
+    )
+    return crude.unionByName(std)
+
+
 _RELSURV_SQL = f"""
     WITH kmfull AS ({{km}}),
     perb AS (
@@ -12652,6 +12705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_poisson_dispersion": q_stats_poisson_dispersion,
         "survival_relative_hak": q_survival_relative_hak,
         "survival_rmst_net": q_survival_rmst_net,
+        "survival_index_net": q_survival_index_net,
         # ==== adjudicated green in CORRECTNESS_r01-r04 ====
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
@@ -14487,6 +14541,24 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox_hr": _SURVIVAL_COX_HR_SQL,
         "stats_poisson_dispersion": _POISSON_DISPERSION_SQL,
         "survival_relative_hak": _SURVIVAL_HAK_SQL,
+        "survival_index_net": (
+            "WITH ppci AS (" + _NET_PP_CI_SQL.format(pp=_NET_PP_SQL)
+            + "), stdn AS (" + _NET_STD_SQL + ") "
+            "SELECT cohort, 'Unstandardised' AS standardisation_type, "
+            "CAST(hour / 8 AS BIGINT) AS period, "
+            "round(net_survival_pp * 100, 6) AS survival_percent, "
+            "round(se_net * 100, 6) AS standard_error, "
+            "round(lower_ci_net * 100, 6) AS lower_ci, "
+            "round(upper_ci_net * 100, 6) AS upper_ci "
+            "FROM ppci WHERE hour % 8 = 0 "
+            "UNION ALL "
+            "SELECT cohort, 'Age-standardised', "
+            "CAST(hour / 8 AS BIGINT), "
+            "round(net_survival_std * 100, 6), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE) "
+            "FROM stdn WHERE hour % 8 = 0"
+        ),
         "survival_rmst_net": (
             "WITH ppc AS (" + _NET_PP_SQL + ") "
             "SELECT cohort, round(1.0 + sum(CAST(round(net_survival_pp "

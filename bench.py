@@ -269,6 +269,7 @@ HEADLINE = [
     "stats_poisson_dispersion",
     "survival_relative_hak",
     "survival_rmst_net",
+    "survival_index_net",
     "vocab_topk",
     "ann_ivf_kmeans",
     "dataset_cap_per_key",
