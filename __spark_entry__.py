@@ -12605,21 +12605,70 @@ _ZIPF_SQL = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING IS LOAD-BEARING: the driver's correctness gate
-    # adjudicates the first 50 entries. Rounds 1-4 adjudicated 196
-    # distinct queries (CORRECTNESS_r0{1..4}.json; 193 hash-green).
-    # ROUND 5 window = the two r04 red rows re-staged first (the
-    # percentile_disc dtype fix, VERDICT r04 item 1) + the first 48
-    # of the 55 never-adjudicated queries (survival family leads,
-    # VERDICT item 3). Positions 51+ hold the r06 queue: the 7-query
-    # rotation overflow plus round-5's 20 new queries (flexible
-    # parametric excess model, delayed-entry/period KM, Efron/strata/
-    # baseline/diagnostics Cox, Fine-Gray, Ederer I, crude
-    # probability, PP CI, SMR, Poisson GLM, KLL winsorize, OPQ,
-    # Procrustes, ALS, PMI, DiD, mSPRT) — every one parity-green
-    # locally under the r05 dtype-family gate — then the r01-r04
-    # green tranches.
-        # ==== positions 1-50: ROUND-5 driver window ====
-        # 1-2: r04 red rows, dtype fix applied — re-adjudicate
+    # adjudicates the first 50 entries. Rounds 1-5 adjudicated 243
+    # distinct queries (CORRECTNESS_r0{1..5}.json; 242 hash-green;
+    # the 1 non-green is the declared rows-only tokenizer_bpe).
+    # ROUND 6 window (VERDICT r05 item 1) = the 34 never-adjudicated
+    # queries (r05 positions 51-84: the survival/GLM/ALS/OPQ/PMI
+    # tranche — 10 of them already judge-re-verified parity-green)
+    # followed by 16 §2 core re-checks untouched since r01 (a free
+    # drift re-check). With this window every one of the registry's
+    # queries has been driver-adjudicated at least once.
+        # ==== positions 1-34: never-adjudicated tranche ====
+        "dataset_temperature": q_dataset_temperature,
+        "events_cdc_apply": q_events_cdc_apply,
+        "stats_ridge": q_stats_ridge,
+        "stats_kruskal": q_stats_kruskal,
+        "stats_anova": q_stats_anova,
+        "stats_cliffs": q_stats_cliffs,
+        "sketch_countmin": q_sketch_countmin,
+        "survival_flexible_model": q_survival_flexible_model,
+        "stats_winsorize_approx": q_stats_winsorize_approx,
+        "ann_opq_adc": q_ann_opq_adc,
+        "survival_km_delayed": q_survival_km_delayed,
+        "survival_logrank_strat": q_survival_logrank_strat,
+        "survival_cox_efron": q_survival_cox_efron,
+        "stats_poisson_glm": q_stats_poisson_glm,
+        "survival_cox_strat": q_survival_cox_strat,
+        "survival_ph_test": q_survival_ph_test,
+        "survival_fine_gray": q_survival_fine_gray,
+        "survival_relative_e1": q_survival_relative_e1,
+        "survival_cox_baseline": q_survival_cox_baseline,
+        "survival_period": q_survival_period,
+        "survival_conditional_net": q_survival_conditional_net,
+        "survival_crude_prob": q_survival_crude_prob,
+        "model_train_als": q_model_train_als,
+        "text_pmi_pairs": q_text_pmi_pairs,
+        "stats_did": q_stats_did,
+        "stats_msprt": q_stats_msprt,
+        "survival_net_pp_ci": q_survival_net_pp_ci,
+        "survival_smr": q_survival_smr,
+        "embedding_procrustes": q_embedding_procrustes,
+        "survival_cox_hr": q_survival_cox_hr,
+        "stats_poisson_dispersion": q_stats_poisson_dispersion,
+        "survival_relative_hak": q_survival_relative_hak,
+        "survival_rmst_net": q_survival_rmst_net,
+        "survival_index_net": q_survival_index_net,
+        # ==== positions 35-50: §2 core drift re-checks (green r01,
+        # code untouched since; re-adjudicate for drift) ====
+        "p1_filter_disjunctive": q_filter_disjunctive,
+        "p2_membership_flags": q_membership_flags,
+        "p3_null_semantics": q_null_semantics,
+        "p4_negated_conjunctive": q_negated_conjunctive,
+        "f_string_surgery": q_string_surgery,
+        "f_concat_key": q_concat_key,
+        "f_case_sort_keys": q_case_sort_keys,
+        "j1_left_join_const": q_left_join_const,
+        "a1_groupby_all_max": q_groupby_all_max,
+        "a4_percentile_disc": q_percentile_disc,
+        "w1_rank_window": q_rank_window,
+        "u1_union_best_scaffold": q_union_best_scaffold,
+        "r1_unpivot": q_unpivot,
+        "r2_pivot_sum": q_pivot_sum,
+        "supplier_rank_quartile": q_supplier_rank_quartile,
+        "benchmark_standards": q_benchmark_standards,
+        # ==== positions 51+: adjudicated green in r01-r05 ====
+        # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
         "stats_robust_scale": q_stats_robust_scale,
         # 3-50: never-adjudicated tranche (survival family first)
@@ -12671,42 +12720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_features": q_text_hashed_features,
         "embedding_drift": q_embedding_drift,
         "events_rolling_distinct": q_events_rolling_distinct,
-        # ==== positions 51+: r06 queue (never adjudicated overflow + round-5 additions) ====
-        "dataset_temperature": q_dataset_temperature,
-        "events_cdc_apply": q_events_cdc_apply,
-        "stats_ridge": q_stats_ridge,
-        "stats_kruskal": q_stats_kruskal,
-        "stats_anova": q_stats_anova,
-        "stats_cliffs": q_stats_cliffs,
-        "sketch_countmin": q_sketch_countmin,
-        "survival_flexible_model": q_survival_flexible_model,
-        "stats_winsorize_approx": q_stats_winsorize_approx,
-        "ann_opq_adc": q_ann_opq_adc,
-        "survival_km_delayed": q_survival_km_delayed,
-        "survival_logrank_strat": q_survival_logrank_strat,
-        "survival_cox_efron": q_survival_cox_efron,
-        "stats_poisson_glm": q_stats_poisson_glm,
-        "survival_cox_strat": q_survival_cox_strat,
-        "survival_ph_test": q_survival_ph_test,
-        "survival_fine_gray": q_survival_fine_gray,
-        "survival_relative_e1": q_survival_relative_e1,
-        "survival_cox_baseline": q_survival_cox_baseline,
-        "survival_period": q_survival_period,
-        "survival_conditional_net": q_survival_conditional_net,
-        "survival_crude_prob": q_survival_crude_prob,
-        "model_train_als": q_model_train_als,
-        "text_pmi_pairs": q_text_pmi_pairs,
-        "stats_did": q_stats_did,
-        "stats_msprt": q_stats_msprt,
-        "survival_net_pp_ci": q_survival_net_pp_ci,
-        "survival_smr": q_survival_smr,
-        "embedding_procrustes": q_embedding_procrustes,
-        "survival_cox_hr": q_survival_cox_hr,
-        "stats_poisson_dispersion": q_stats_poisson_dispersion,
-        "survival_relative_hak": q_survival_relative_hak,
-        "survival_rmst_net": q_survival_rmst_net,
-        "survival_index_net": q_survival_index_net,
-        # ==== adjudicated green in CORRECTNESS_r01-r04 ====
+        # r01-r04 green tranche
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
         "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
@@ -12853,30 +12867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_histogram": q_stats_histogram,
         "quality_expectations": q_quality_expectations,
         "volume_shipping": q_volume_shipping,
-        "p1_filter_disjunctive": q_filter_disjunctive,
-        "p2_membership_flags": q_membership_flags,
-        "p3_null_semantics": q_null_semantics,
-        "p4_negated_conjunctive": q_negated_conjunctive,
         "p6_projection_rename": q_projection_rename,
-        "f_string_surgery": q_string_surgery,
-        "f_concat_key": q_concat_key,
-        "f_case_sort_keys": q_case_sort_keys,
-        "j1_left_join_const": q_left_join_const,
-        "a1_groupby_all_max": q_groupby_all_max,
         "a2_count_per_group": q_count_per_group,
         "a3_minmax_benchmark": q_minmax_benchmark,
-        "a4_percentile_disc": q_percentile_disc,
         "a4b_percentile_cont": q_percentile_cont,
         "shipping_priority": q_shipping_priority,
-        "w1_rank_window": q_rank_window,
-        "u1_union_best_scaffold": q_union_best_scaffold,
         "u3_row_duplication": q_row_duplication,
-        "r1_unpivot": q_unpivot,
-        "r2_pivot_sum": q_pivot_sum,
-        "benchmark_standards": q_benchmark_standards,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "supplier_rank_quartile": q_supplier_rank_quartile,
         "win_lag_delta": q_win_lag_delta,
         "win_running_sum": q_win_running_sum,
         "win_topk": q_win_topk,

@@ -17,6 +17,7 @@ take a ``wide=True`` flag for it.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -2346,9 +2347,18 @@ def glm_poisson(
     BIT-IDENTICAL under any partitioning (the cox_ph/logistic_train
     contract); the driver solves the (p+1)×(p+1) system and rounds β
     to 9 dp per iteration. The data never leaves the executors; no
-    per-row Python anywhere."""
+    per-row Python anywhere.
+
+    With ``return_se=True`` the Wald SEs come from the information
+    matrix of the PENULTIMATE iterate (the one that produced the
+    final β) — the cox_ph convention; at convergence the two
+    matrices agree to well past the reported 9 dp. Requires
+    ``iters >= 1``."""
     import numpy as np
 
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("glm_poisson: iters must be >= 1")
     feats = list(feature_cols)
     p = len(feats)
     beta = [0.0] * (p + 1)
@@ -2406,9 +2416,18 @@ def glm_logistic(
     one nano-lattice hash aggregate per iteration, quadratic
     convergence in ~6-8 passes with NO learning rate to tune.
     Returns [β₀, β_1, ..., β_p], bit-identical under any partitioning
-    (the glm_poisson/cox_ph exactness contract)."""
+    (the glm_poisson/cox_ph exactness contract).
+
+    With ``return_se=True`` the Wald SEs come from the information
+    matrix of the PENULTIMATE iterate (the one that produced the
+    final β) — the cox_ph convention; at convergence the two
+    matrices agree to well past the reported 9 dp. Requires
+    ``iters >= 1``."""
     import numpy as np
 
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("glm_logistic: iters must be >= 1")
     feats = list(feature_cols)
     p = len(feats)
     beta = [0.0] * (p + 1)
@@ -2477,6 +2496,11 @@ def diff_in_diff(
 
     Returns one row: n_/mean_ per cell (control_pre, control_post,
     treated_pre, treated_post), did_effect, se, t_stat.
+
+    An EMPTY cell fails fast (VERDICT r05 advice): a mislabeled
+    treated/post column would otherwise surface as silent NULL
+    means/se/t_stat (n=0 division yields NULL in Spark); instead the
+    job raises naming the empty cell(s).
     """
     t = F.col(treated_col).cast("int")
     p = F.col(post_col).cast("int")
@@ -2511,13 +2535,19 @@ def diff_in_diff(
         ]
     )
 
+    # n==0 / n==1 cells are when-guarded so ANSI divide-by-zero can't
+    # pre-empt the named empty-cell raise below
     def mean(tt, pp):
-        return F.col(f"s_{tt}{pp}") / 100.0 / F.col(f"n_{tt}{pp}")
+        n = F.col(f"n_{tt}{pp}")
+        return F.when(n > 0, F.col(f"s_{tt}{pp}") / 100.0 / n)
 
     def var(tt, pp):
         n = F.col(f"n_{tt}{pp}")
         m = mean(tt, pp)
-        return (F.col(f"q_{tt}{pp}") / 1000000.0 - n * m * m) / (n - 1)
+        return F.when(
+            n > 1,
+            (F.col(f"q_{tt}{pp}") / 1000000.0 - n * m * m) / (n - 1),
+        )
 
     did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
     se = F.sqrt(
@@ -2530,9 +2560,38 @@ def diff_in_diff(
     out += [F.round(mean(tt, pp), 6).alias(
         f"mean_{'treated' if tt else 'control'}_{'post' if pp else 'pre'}")
         for tt in (0, 1) for pp in (0, 1)]
+    empties = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                F.col(f"n_{tt}{pp}") == 0,
+                F.lit(
+                    f"{'treated' if tt else 'control'}_"
+                    f"{'post' if pp else 'pre'}"
+                ),
+            )
+            for tt in (0, 1)
+            for pp in (0, 1)
+        ],
+    )
+    all_cells = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"n_{tt}{pp}") > 0
+            for tt in (0, 1)
+            for pp in (0, 1)
+        ],
+    )
+    guarded_did = F.when(all_cells, F.round(did, 6)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("diff_in_diff: empty cell(s): "), empties
+            )
+        ).cast("double")
+    )
     return wide.select(
         *out,
-        F.round(did, 6).alias("did_effect"),
+        guarded_did.alias("did_effect"),
         F.round(se, 6).alias("se"),
         F.round(did / se, 6).alias("t_stat"),
     )

@@ -1046,6 +1046,43 @@ def test_diff_in_diff_recovers_planted_effect(spark):
     assert abs(r2.did_effect + r.did_effect) < 1e-9
 
 
+def test_diff_in_diff_empty_cell_fails_fast(spark):
+    """VERDICT r05 advice: an empty 2x2 cell (e.g. a mislabeled
+    treated column) raises naming the cell instead of emitting
+    silent NULL means/se/t_stat."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import diff_in_diff
+
+    rows = [(t, p, 10.0 + t + p) for t in (0, 1) for p in (0, 1)
+            for _ in range(5)]
+    df = spark.createDataFrame(rows, "treated int, post int, y double")
+    # drop the treated_post cell entirely
+    broken = df.filter(~((F.col("treated") == 1) & (F.col("post") == 1)))
+    with pytest.raises(Exception, match="treated_post"):
+        diff_in_diff(broken, "treated", "post", "y").collect()
+
+
+def test_glm_iters_validated(spark):
+    """VERDICT r05 advice: iters=0 is a ValueError up front (info/row
+    were only bound inside the loop — previously a NameError at
+    return_se time)."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic,
+        glm_poisson,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 1), (1.0, 0)], "x double, y int"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        glm_poisson(df, ["x"], "y", iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        glm_logistic(df, ["x"], "y", iters=0, return_se=True)
+
+
 def test_msprt_two_sample_decisions(spark):
     """mSPRT: a planted true effect must reject (log-lambda far above
     ln(1/alpha)); the null must not; the statistic replicates the

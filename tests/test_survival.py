@@ -1780,3 +1780,48 @@ def test_rmst_from_curve_unit_grid(spark):
     assert rmst_from_curve(
         const, ["cohort"], H, "hour", "survival"
     ).collect()[0].rmst == float(H)
+
+
+def test_rmst_from_curve_guards(spark):
+    """VERDICT r05 advice: the dense-unit-grid precondition is
+    enforced — a sparse curve raises instead of silently
+    under-integrating; every input group returns a row (tau=1 gives
+    rmst=1.0, the empty-filter case); a group missing grid rows is
+    an error, not a dropped row."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        rmst_from_curve,
+    )
+
+    H = 8
+    dense = spark.createDataFrame(
+        [("a", h, 0.9) for h in range(1, H + 1)]
+        + [("b", h, 0.8) for h in range(1, H + 1)],
+        "cohort string, hour long, survival double",
+    )
+    out = {
+        r.cohort: r.rmst
+        for r in rmst_from_curve(
+            dense, ["cohort"], H, "hour", "survival"
+        ).collect()
+    }
+    assert out == {"a": round(1 + 0.9 * (H - 1), 6),
+                   "b": round(1 + 0.8 * (H - 1), 6)}
+    # tau=1: integral is the S(0)=1 rectangle alone, per group
+    t1 = {
+        r.cohort: r.rmst
+        for r in rmst_from_curve(
+            dense, ["cohort"], 1, "hour", "survival"
+        ).collect()
+    }
+    assert t1 == {"a": 1.0, "b": 1.0}
+    # sparse curve (group b missing hours 3..H) must raise, not
+    # under-integrate
+    sparse = dense.filter(
+        ~((F.col("cohort") == "b") & (F.col("hour") >= 3))
+    )
+    with pytest.raises(Exception, match="sparse curve"):
+        rmst_from_curve(
+            sparse, ["cohort"], H, "hour", "survival"
+        ).collect()
