@@ -9580,6 +9580,567 @@ _SURVIVAL_FINE_GRAY_SQL = """
 """
 
 
+def q_survival_gray_test(spark, sf_dir):
+    """Gray-type test for CIF equality (operators/survival.py::
+    gray_test) — the competing-risks analog of the log-rank test:
+    the Fine-Gray score test at β=0 with the binary group covariate,
+    i.e. subdistribution-hazard O−E over IPCW-augmented risk sets.
+    Cohort = the same closed-form md5 Fine & Gray simulation as
+    ``survival_fine_gray`` (CIF₁ differs by e^0.9 on the
+    subdistribution scale), so every count, lattice term, prefix sum
+    and the final χ² replay bit-exact in DuckDB window SQL. Scale
+    shape: one cell aggregate + one multi-column duration-axis prefix
+    pass + one scalar fold — counts only, nothing subject-specific
+    at β=0."""
+    from cancer_survival_etl_spark.operators.survival import gray_test
+
+    d = _t(spark, sf_dir, "documents")
+    u1 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    u2 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    u3 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    x = (F.col("doc_id") % 2).cast("double")
+    p_mix = F.lit(0.55)
+    eta = F.exp(0.9 * x)
+    p1 = F.lit(1.0) - F.pow(F.lit(1.0) - p_mix, eta)
+    inner = (F.lit(1.0) - F.pow(F.lit(1.0) - u1, F.lit(1.0) / eta)) / p_mix
+    t_ev = -F.log(F.lit(1.0) - inner)
+    t_cmp = -F.log(u2)
+    is1 = u1 < p1
+    t_raw = F.when(is1, t_ev).otherwise(t_cmp)
+    c_raw = F.when(is1, F.lit(1)).otherwise(F.lit(2))
+    censored = u3 < 0.3
+    t = F.when(censored, t_raw * u3 / 0.3).otherwise(t_raw)
+    c = F.when(censored, F.lit(0)).otherwise(c_raw)
+    cohort = d.select(
+        F.when(F.col("doc_id") % 2 == 1, F.lit("t"))
+        .otherwise(F.lit("c"))
+        .alias("grp"),
+        F.round(F.least(t, F.lit(3.0)), 1).alias("duration"),
+        F.when(t <= 3.0, c).otherwise(F.lit(0)).alias("cause"),
+    )
+    return gray_test(cohort, "grp", "duration", "cause")
+
+
+_SURVIVAL_GRAY_SQL = """
+    WITH f AS (
+        SELECT doc_id % 2 AS xi,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u1,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u2,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 17, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u3
+        FROM documents
+    ),
+    s AS (
+        SELECT xi,
+               CASE WHEN u1 < 1.0 - power(1.0 - 0.55, exp(0.9 * xi))
+                    THEN -ln(1.0 - (1.0 - power(1.0 - u1,
+                             1.0 / exp(0.9 * xi))) / 0.55)
+                    ELSE -ln(u2) END AS t_raw,
+               CASE WHEN u1 < 1.0 - power(1.0 - 0.55, exp(0.9 * xi))
+                    THEN 1 ELSE 2 END AS c_raw,
+               u3
+        FROM f
+    ),
+    z AS (
+        SELECT xi,
+               CASE WHEN u3 < 0.3 THEN t_raw * u3 / 0.3
+                    ELSE t_raw END AS t,
+               CASE WHEN u3 < 0.3 THEN 0 ELSE c_raw END AS c
+        FROM s
+    ),
+    cohort AS (
+        SELECT CASE WHEN xi = 1 THEN 't' ELSE 'c' END AS grp,
+               round(least(t, 3.0), 1) AS duration,
+               CASE WHEN t <= 3.0 THEN c ELSE 0 END AS cause
+        FROM z
+    ),
+    cells AS (
+        SELECT duration,
+               CAST(sum(CASE WHEN cause = 1 AND grp = 'c'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d,
+               CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cen,
+               CAST(sum(CASE WHEN cause = 2 AND grp = 'c'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+               CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m,
+               CAST(sum(CASE WHEN grp = 'c' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rm1,
+               count(*) AS rm
+        FROM cohort GROUP BY duration
+    ),
+    pre AS (
+        SELECT *,
+               coalesce(sum(rm) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS rm_before,
+               coalesce(sum(rm1) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS rm1_before,
+               sum(rm) OVER () AS n_tot,
+               sum(rm1) OVER () AS n1_tot
+        FROM cells
+    ),
+    gterms AS (
+        SELECT *,
+               CASE WHEN cen > 0 AND cen < (n_tot - rm_before)
+                    THEN CAST(round(ln(1.0 - cen / (n_tot - rm_before))
+                                    * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS g_term
+        FROM pre
+    ),
+    glag AS (
+        SELECT *,
+               coalesce(sum(g_term) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS lng_left
+        FROM gterms
+    ),
+    cmass AS (
+        SELECT *,
+               CAST(round(m * exp(-lng_left / 1000000.0)
+                          * 1000000000.0, 0) AS BIGINT) AS c0,
+               CAST(round(m1 * exp(-lng_left / 1000000.0)
+                          * 1000000000.0, 0) AS BIGINT) AS c1
+        FROM glag
+    ),
+    cpre AS (
+        SELECT *,
+               coalesce(sum(c0) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS c0_before,
+               coalesce(sum(c1) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS c1_before
+        FROM cmass
+    ),
+    risk AS (
+        SELECT *,
+               (n_tot - rm_before) + exp(lng_left / 1000000.0)
+                   * (c0_before / 1000000000.0) AS s0,
+               (n1_tot - rm1_before) + exp(lng_left / 1000000.0)
+                   * (c1_before / 1000000000.0) AS s1
+        FROM cpre
+    ),
+    terms AS (
+        SELECT *,
+               CASE WHEN d > 0
+                    THEN CAST(round((d1 - d * (s1 / s0))
+                                    * 1000000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS u_term,
+               CASE WHEN d > 0
+                    THEN CAST(round(d * (s1 / s0) * 1000000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS e_term,
+               CASE WHEN d > 0
+                    THEN CAST(round(d * (s1 / s0) * (1.0 - s1 / s0)
+                                    * 1000000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS i_term
+        FROM risk
+    ),
+    agg AS (
+        SELECT CAST(max(n1_tot) AS BIGINT) AS n_subjects_1,
+               CAST(max(n_tot) - max(n1_tot) AS BIGINT)
+                   AS n_subjects_2,
+               CAST(sum(d1) AS BIGINT) AS events_1,
+               CAST(sum(e_term) AS BIGINT) AS se_,
+               CAST(sum(u_term) AS BIGINT) AS su_,
+               CAST(sum(i_term) AS BIGINT) AS si_
+        FROM terms
+    )
+    SELECT n_subjects_1, n_subjects_2, events_1,
+           round(se_ / 1000000000.0, 6) AS expected_1,
+           round(su_ / 1000000000.0, 6) AS score,
+           round(si_ / 1000000000.0, 6) AS information,
+           round((su_ / 1000000000.0) * (su_ / 1000000000.0)
+                 / (si_ / 1000000000.0), 6) AS chi_square
+    FROM agg
+"""
+
+
+def q_survival_aalen_johansen(spark, sf_dir):
+    """Aalen-Johansen illness-death occupancy probabilities
+    (operators/survival.py::aalen_johansen_illness_death) — the
+    multi-state generalization of KM (pinned bit-equal on the 2-state
+    reduction) and the competing-risks CIF (pinned bit-equal on the
+    no-relapse-death reduction); see test_survival.py. Cohort: a
+    closed-form md5 illness-death draw on an INTEGER tenths time grid
+    (onset Exp(0.5), direct death Exp(0.3), post-onset death Exp(0.7),
+    uniform censoring in [0.1, 2.9]) — every episode, cell, lattice
+    term, prefix sum and occupancy replays bit-exact in DuckDB window
+    SQL. Scale shape: one delta aggregate + four grouped prefix
+    passes over grid-sized cells; no raw-row window."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_johansen_illness_death,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+
+    def u(lo):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), lo, 8),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ) / 1000000.0 + 1e-6
+
+    u1, u2, u3, u4 = u(1), u(9), u(17), u(25)
+    onset = F.greatest(F.lit(1), F.round(-F.log(u1) / 0.5 * 10, 0)).cast(
+        "long"
+    )
+    direct = F.greatest(F.lit(1), F.round(-F.log(u2) / 0.3 * 10, 0)).cast(
+        "long"
+    )
+    cens = (F.lit(1) + F.floor(u3 * 29)).cast("long")
+    relapse_death = onset + F.greatest(
+        F.lit(1), F.round(-F.log(u4) / 0.7 * 10, 0)
+    ).cast("long")
+    grp = F.when(F.col("doc_id") % 2 == 1, F.lit("t")).otherwise(
+        F.lit("c")
+    )
+    base = d.select(
+        grp.alias("grp"),
+        onset.alias("t01"),
+        direct.alias("t02"),
+        cens.alias("tc"),
+        relapse_death.alias("t12"),
+    )
+    # episode 1: in state 0 from 0 until min(onset, direct, censor);
+    # tie priority censor > direct > onset (deterministic)
+    is_cens = F.col("tc") <= F.least("t01", "t02")
+    is_direct = ~is_cens & (F.col("t02") <= F.col("t01"))
+    ep1 = base.select(
+        "grp",
+        F.lit(0).cast("long").alias("start"),
+        F.least("t01", "t02", "tc").alias("stop"),
+        F.lit(0).alias("from_state"),
+        F.when(is_cens, F.lit(None).cast("int"))
+        .when(is_direct, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("to_state"),
+    )
+    # episode 2 only for onset-first subjects: state 1 from onset to
+    # min(relapse death, censor)
+    ep2 = base.filter(~is_cens & (F.col("t01") < F.col("t02"))).select(
+        "grp",
+        F.col("t01").alias("start"),
+        F.least("t12", "tc").alias("stop"),
+        F.lit(1).alias("from_state"),
+        F.when(F.col("t12") <= F.col("tc"), F.lit(2))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("to_state"),
+    )
+    return aalen_johansen_illness_death(
+        ep1.unionAll(ep2), ["grp"]
+    ).orderBy("grp", "time")
+
+
+_SURVIVAL_AJ_SQL = """
+    WITH f AS (
+        SELECT CASE WHEN doc_id % 2 = 1 THEN 't' ELSE 'c' END AS grp,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u1,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u2,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 17, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u3,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 25, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u4
+        FROM documents
+    ),
+    tms AS (
+        SELECT grp,
+               CAST(greatest(1, round(-ln(u1) / 0.5 * 10, 0)) AS BIGINT)
+                   AS t01,
+               CAST(greatest(1, round(-ln(u2) / 0.3 * 10, 0)) AS BIGINT)
+                   AS t02,
+               CAST(1 + floor(u3 * 29) AS BIGINT) AS tc,
+               CAST(greatest(1, round(-ln(u1) / 0.5 * 10, 0))
+                    + greatest(1, round(-ln(u4) / 0.7 * 10, 0))
+                    AS BIGINT) AS t12
+        FROM f
+    ),
+    eps AS (
+        SELECT grp, CAST(0 AS BIGINT) AS strt,
+               least(t01, t02, tc) AS stp, 0 AS fs,
+               CASE WHEN tc <= least(t01, t02) THEN NULL
+                    WHEN t02 <= t01 THEN 2 ELSE 1 END AS ts
+        FROM tms
+        UNION ALL
+        SELECT grp, t01 AS strt, least(t12, tc) AS stp, 1 AS fs,
+               CASE WHEN t12 <= tc THEN 2 ELSE NULL END AS ts
+        FROM tms
+        WHERE NOT (tc <= least(t01, t02)) AND t01 < t02
+    ),
+    deltas AS (
+        SELECT grp, strt AS tm, fs AS st, 1 AS ent, 0 AS ext,
+               NULL::INT AS ts FROM eps
+        UNION ALL
+        SELECT grp, stp AS tm, fs AS st, 0 AS ent, 1 AS ext, ts
+        FROM eps
+    ),
+    cells AS (
+        SELECT grp, tm,
+               CAST(sum(CASE WHEN st = 0 THEN ent ELSE 0 END) AS BIGINT)
+                   AS e0,
+               CAST(sum(CASE WHEN st = 1 THEN ent ELSE 0 END) AS BIGINT)
+                   AS e1,
+               CAST(sum(CASE WHEN st = 0 THEN ext ELSE 0 END) AS BIGINT)
+                   AS x0,
+               CAST(sum(CASE WHEN st = 1 THEN ext ELSE 0 END) AS BIGINT)
+                   AS x1,
+               CAST(sum(CASE WHEN ext = 1 AND st = 0 AND ts = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d01,
+               CAST(sum(CASE WHEN ext = 1 AND st = 0 AND ts = 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d02,
+               CAST(sum(CASE WHEN ext = 1 AND st = 1 AND ts = 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d12,
+               CAST(sum(CASE WHEN ext = 1 AND ts IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        FROM deltas GROUP BY grp, tm
+    ),
+    atr AS (
+        SELECT *,
+               CAST(coalesce(sum(e0) OVER w, 0)
+                    - coalesce(sum(x0) OVER w, 0) AS BIGINT) AS y0,
+               CAST(coalesce(sum(e1) OVER w, 0)
+                    - coalesce(sum(x1) OVER w, 0) AS BIGINT) AS y1
+        FROM cells
+        WINDOW w AS (PARTITION BY grp ORDER BY tm
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    lts AS (
+        SELECT *,
+               CASE WHEN d01 + d02 > 0 AND d01 + d02 < y0
+                    THEN CAST(round(ln(1.0 - (d01 + d02) / y0)
+                                    * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS lt0,
+               CASE WHEN d01 + d02 > 0 AND d01 + d02 = y0
+                    THEN 1 ELSE 0 END AS dall0,
+               CASE WHEN d12 > 0 AND d12 < y1
+                    THEN CAST(round(ln(1.0 - d12 / y1) * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS lt1,
+               CASE WHEN d12 > 0 AND d12 = y1 THEN 1 ELSE 0 END
+                   AS crash1
+        FROM atr
+    ),
+    surv AS (
+        SELECT *,
+               coalesce(sum(lt0) OVER w, 0) AS lt0b,
+               coalesce(sum(dall0) OVER w, 0) AS dall0b,
+               coalesce(sum(lt1) OVER w, 0) AS lt1b,
+               coalesce(sum(crash1) OVER w, 0) AS crash1b
+        FROM lts
+        WINDOW w AS (PARTITION BY grp ORDER BY tm
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    probs AS (
+        SELECT *,
+               CASE WHEN dall0b > 0 THEN 0.0
+                    ELSE exp(lt0b / 1000000.0) END AS p00l,
+               CASE WHEN dall0b + dall0 > 0 THEN 0.0
+                    ELSE exp((lt0b + lt0) / 1000000.0) END AS p00,
+               CASE WHEN crash1b > 0 THEN 0.0
+                    ELSE exp(lt1b / 1000000.0) END AS q1l,
+               CASE WHEN crash1b + crash1 > 0 THEN 0.0
+                    ELSE exp((lt1b + lt1) / 1000000.0) END AS q1
+        FROM surv
+    ),
+    t01s AS (
+        SELECT *,
+               CASE WHEN d01 > 0
+                    THEN CAST(round(p00l * d01 / y0 / q1 * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS t01_,
+               CASE WHEN d02 > 0
+                    THEN CAST(round(p00l * d02 / y0 * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS t02_
+        FROM probs
+    ),
+    t01p AS (
+        SELECT *, coalesce(sum(t01_) OVER w, 0) AS t01b
+        FROM t01s
+        WINDOW w AS (PARTITION BY grp ORDER BY tm
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    t12s AS (
+        SELECT *,
+               CASE WHEN d12 > 0
+                    THEN CAST(round(q1l * (t01b / 1000000.0) * d12 / y1
+                                    * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS t12_
+        FROM t01p
+    ),
+    dth AS (
+        SELECT *,
+               coalesce(sum(t02_) OVER w, 0) AS t02b,
+               coalesce(sum(t12_) OVER w, 0) AS t12b
+        FROM t12s
+        WINDOW w AS (PARTITION BY grp ORDER BY tm
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT grp, tm AS time,
+           y0 AS n_risk_initial,
+           y1 AS n_risk_intermediate,
+           d01 AS n_onset,
+           d02 AS n_death_initial,
+           d12 AS n_death_intermediate,
+           n_censored,
+           round(p00, 6) AS p_initial,
+           round(q1 * ((t01b + t01_) / 1000000.0), 6) AS p_intermediate,
+           round((t02b + t02_ + t12b + t12_) / 1000000.0, 6)
+               AS p_absorbed
+    FROM dth
+    WHERE x0 + x1 > 0
+    ORDER BY grp, time
+"""
+
+
+def q_survival_cox_td(spark, sf_dir):
+    """Cox regression with a TIME-DEPENDENT covariate via episode
+    splitting (operators/survival.py::cox_ph_time_dependent) — the
+    counting-process (start, stop] formulation that kills immortal
+    time bias: treatment switches ON at a subject-specific time s_i,
+    the subject contributes an untreated episode (0, s_i] and a
+    treated episode (s_i, T]. Plant: piecewise-exponential hazard
+    lam·e^{beta·x(t)} with beta=1, lam=0.02, switch times 5..24,
+    admin censor at 60, all md5 closed forms on an integer half-unit
+    grid — episode/event/exposure counts replay exactly in DuckDB;
+    beta recovery is verdict-checked (tests additionally pin the
+    bit-exact cox_ph reduction and split invariance)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph_time_dependent,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    u = (
+        F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    u2 = (
+        F.conv(F.substring(F.md5(k.cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    lam, beta = 0.02, 1.0
+    s = (F.lit(5) + k % 20).cast("double")  # switch time 5..24
+    t_pre = -F.log(u) / lam
+    t = F.when(t_pre <= s, t_pre).otherwise(
+        s - F.log(u2) / (lam * math.exp(beta))
+    )
+    dur = F.least(t, F.lit(60.0))
+    ev = (t < 60.0).cast("int")
+    subj = d.select(
+        F.greatest(F.lit(1), F.round(dur * 2, 0)).cast("long").alias("d_i"),
+        (s * 2).cast("long").alias("s_i"),
+        ev.alias("event"),
+    )
+    pre = subj.filter(F.col("d_i") <= F.col("s_i")).select(
+        F.lit(0.0).alias("x"),
+        F.lit(0).cast("long").alias("start"),
+        F.col("d_i").alias("stop"),
+        "event",
+    )
+    split_a = subj.filter(F.col("d_i") > F.col("s_i")).select(
+        F.lit(0.0).alias("x"),
+        F.lit(0).cast("long").alias("start"),
+        F.col("s_i").alias("stop"),
+        F.lit(0).alias("event"),
+    )
+    split_b = subj.filter(F.col("d_i") > F.col("s_i")).select(
+        F.lit(1.0).alias("x"),
+        F.col("s_i").alias("start"),
+        F.col("d_i").alias("stop"),
+        "event",
+    )
+    eps = pre.unionAll(split_a).unionAll(split_b).localCheckpoint(
+        eager=False
+    )
+    bhat = cox_ph_time_dependent(eps, ["x"], iters=4)[0]
+    return eps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_episodes"),
+        F.sum("event").cast("long").alias("n_events"),
+        F.sum((F.col("x") == 1.0).cast("long")).cast("long").alias(
+            "n_treated_episodes"
+        ),
+    ).select(
+        "n_episodes",
+        "n_events",
+        "n_treated_episodes",
+        F.lit(abs(bhat - beta) < 0.25).alias("beta_recovered"),
+    )
+
+
+_SURVIVAL_COX_TD_SQL = """
+    WITH f AS (
+        SELECT o_orderkey AS k,
+               (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR),
+                                            1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u1,
+               (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR),
+                                            9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u2
+        FROM orders
+    ),
+    s AS (
+        SELECT k, CAST(5 + k % 20 AS DOUBLE) AS sw,
+               -ln(u1) / 0.02 AS t_pre, u2
+        FROM f
+    ),
+    z AS (
+        SELECT k, sw,
+               CASE WHEN t_pre <= sw THEN t_pre
+                    ELSE sw - ln(u2) / (0.02 * exp(1.0)) END AS t
+        FROM s
+    ),
+    subj AS (
+        SELECT CAST(greatest(1, round(least(t, 60.0) * 2, 0))
+                    AS BIGINT) AS d_i,
+               CAST(sw * 2 AS BIGINT) AS s_i,
+               CASE WHEN t < 60.0 THEN 1 ELSE 0 END AS event
+        FROM z
+    ),
+    eps AS (
+        SELECT 0.0 AS x, d_i AS stop, event FROM subj
+        WHERE d_i <= s_i
+        UNION ALL
+        SELECT 0.0 AS x, s_i AS stop, 0 AS event FROM subj
+        WHERE d_i > s_i
+        UNION ALL
+        SELECT 1.0 AS x, d_i AS stop, event FROM subj
+        WHERE d_i > s_i
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(sum(event) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN x = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treated_episodes,
+           true AS beta_recovered
+    FROM eps
+"""
+
+
 def q_model_train_als(spark, sf_dir):
     """ALS matrix factorization (llm/factorization.py::als_train):
     alternating ridge solves over (user, item=event_type, rating=mean
@@ -12667,7 +13228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2_pivot_sum": q_pivot_sum,
         "supplier_rank_quartile": q_supplier_rank_quartile,
         "benchmark_standards": q_benchmark_standards,
-        # ==== positions 51+: adjudicated green in r01-r05 ====
+        # ==== positions 51+: r07 queue (round-6 additions, parity-
+        # verified locally; rotate into the window next round) ====
+        "survival_gray_test": q_survival_gray_test,
+        "survival_aalen_johansen": q_survival_aalen_johansen,
+        "survival_cox_td": q_survival_cox_td,
+        # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
         "stats_robust_scale": q_stats_robust_scale,
@@ -14525,6 +15091,9 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox_strat": _SURVIVAL_COX_STRAT_SQL,
         "survival_ph_test": _SURVIVAL_PH_TEST_SQL,
         "survival_fine_gray": _SURVIVAL_FINE_GRAY_SQL,
+        "survival_gray_test": _SURVIVAL_GRAY_SQL,
+        "survival_aalen_johansen": _SURVIVAL_AJ_SQL,
+        "survival_cox_td": _SURVIVAL_COX_TD_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -3032,3 +3032,647 @@ def rmst_from_curve(
             .alias("rmst"),
         )
     )
+
+
+def gray_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """Gray-type test for equality of CUMULATIVE INCIDENCE functions
+    between two groups under competing risks — the standard companion
+    to ``cif_competing_risks`` (the estimator) and ``fine_gray`` (the
+    regression): where the log-rank test compares cause-specific
+    hazards among the currently alive, this compares SUBDISTRIBUTION
+    hazards, i.e. asks directly whether the two groups' CIF₁ curves
+    differ (Gray 1988; Fine & Gray 1999 §4 — the score test from the
+    Fine-Gray model with a single binary group covariate, evaluated
+    at β = 0, using the model-based information; asymptotically
+    equivalent to Gray's ρ=0 statistic under H₀).
+
+    ``cause_col`` ∈ {0, 1, 2}: 0 = censored, 1 = event of interest,
+    2 = competing event. ``group_col`` must take exactly two values;
+    the lexicographically smaller one is "group 1". At β = 0 every
+    relative risk is 1, so the Fine-Gray risk-set machinery collapses
+    to COUNTS with IPCW mass for past competing failures:
+
+        S_j(t) = #{i in j : T_i ≥ t}  +  G(t−) · Σ_{i in j, competing,
+                                          T_i < t} 1/G(T_i−)
+        U  = Σ_t  d1_t − d_t · S_1(t)/S_0(t)       (score at β=0)
+        I  = Σ_t  d_t · (S_1/S_0) (1 − S_1/S_0)    (information)
+        χ² = U² / I,  1 df
+
+    with d_t / d1_t the cause-1 events at t (all / group 1), and
+    G the censoring Kaplan-Meier (left limits, micro log-lattice —
+    the ``fine_gray`` separability identity means the competing mass
+    is a strict prefix sum of 1/G(T_i−), computable cell-side because
+    every competing subject at duration t shares G(t−)).
+
+    Scale shape: ONE hash aggregate to per-duration cells (counts
+    only — at β=0 nothing is subject-specific), one multi-column
+    ``global_prefix_sum`` over the duration axis (removals for both
+    groups, the lnG terms, and the weighted competing mass together),
+    then a single scalar aggregate. Every continuous term rides the
+    micro/nano lattice, so the statistic hash-adjudicates bit-exact
+    (the logrank_test contract). No raw-row window anywhere.
+
+    Returns one row: n_subjects_1/2, events_1 (observed cause-1
+    events in group 1), expected_1, score, information, chi_square.
+    """
+    gvals = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(f"gray_test needs exactly 2 groups, got {gvals}")
+    g1 = gvals[0]
+    is1 = (F.col(group_col) == F.lit(g1)).cast("long")
+    cz = F.col(cause_col).cast("long")
+    is_ev = (cz == 1).cast("long")
+    is_cen = (cz == 0).cast("long")
+    is_cmp = (cz == 2).cast("long")
+    nano = F.lit(1000000000.0)
+    micro = F.lit(1000000.0)
+
+    cells = df.groupBy(duration_col).agg(
+        F.sum(is_ev * is1).alias("d1"),
+        F.sum(is_ev).alias("d"),
+        F.sum(is_cen).alias("cen"),
+        F.sum(is_cmp * is1).alias("m1"),
+        F.sum(is_cmp).alias("m"),
+        F.sum(is1).alias("rm1"),
+        F.count(F.lit(1)).alias("rm"),
+    )
+    tot = cells.agg(
+        F.sum("rm1").alias("_n1"), F.sum("rm").alias("_n")
+    )
+    # pass 1: at-risk counts (for G's denominator and the suffixes)
+    cells = global_prefix_sum(
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
+    ).crossJoin(F.broadcast(tot))
+    n_at = F.col("_n") - F.col("rm_before")
+    g_term = F.when(
+        (F.col("cen") > 0) & (F.col("cen") < n_at),
+        _micro(F.log(F.lit(1.0) - F.col("cen") / n_at)),
+    ).otherwise(F.lit(0).cast("long"))
+    cells = cells.withColumn("_g_term", g_term)
+    # pass 2: lnG(t-) = exclusive prefix of the log terms
+    cells = global_prefix_sum(
+        cells, duration_col, ["_g_term"], ["_lng_left"]
+    )
+    # competing mass pre-divided by each subject's own G(T_i-); all
+    # competing subjects at duration t share lnG(t-), so the cell
+    # carries the whole sum exactly
+    ginv = F.exp(-F.col("_lng_left") / micro)
+    cells = cells.withColumn(
+        "c0", F.round(F.col("m") * ginv * nano, 0).cast("long")
+    ).withColumn(
+        "c1", F.round(F.col("m1") * ginv * nano, 0).cast("long")
+    )
+    # pass 3: strict prefix of the weighted competing mass
+    cells = global_prefix_sum(
+        cells, duration_col, ["c0", "c1"], ["c0_before", "c1_before"]
+    )
+    gleft = F.exp(F.col("_lng_left") / micro)
+    s0 = (F.col("_n") - F.col("rm_before")) + gleft * (
+        F.col("c0_before") / nano
+    )
+    s1 = (F.col("_n1") - F.col("rm1_before")) + gleft * (
+        F.col("c1_before") / nano
+    )
+    d = F.col("d")
+    ratio = s1 / s0
+    u_term = F.when(
+        d > 0,
+        F.round((F.col("d1") - d * ratio) * nano, 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    e_term = F.when(
+        d > 0, F.round(d * ratio * nano, 0).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    i_term = F.when(
+        d > 0,
+        F.round(d * ratio * (F.lit(1.0) - ratio) * nano, 0).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    out = cells.agg(
+        F.max("_n1").alias("n_subjects_1"),
+        (F.max("_n") - F.max("_n1")).alias("n_subjects_2"),
+        F.sum("d1").alias("events_1"),
+        F.round(F.sum(e_term) / nano, 6).alias("expected_1"),
+        (F.sum(u_term) / nano).alias("_u"),
+        (F.sum(i_term) / nano).alias("_i"),
+    )
+    return out.select(
+        "n_subjects_1",
+        "n_subjects_2",
+        "events_1",
+        "expected_1",
+        F.round(F.col("_u"), 6).alias("score"),
+        F.round(F.col("_i"), 6).alias("information"),
+        F.round(F.col("_u") * F.col("_u") / F.col("_i"), 6).alias(
+            "chi_square"
+        ),
+    )
+
+
+def aalen_johansen_illness_death(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str = "start",
+    stop_col: str = "stop",
+    from_col: str = "from_state",
+    to_col: str = "to_state",
+) -> DataFrame:
+    """Aalen-Johansen state-occupancy probabilities for the
+    PROGRESSIVE illness-death model — the multi-state generalization
+    of Kaplan-Meier (2 states) and the competing-risks CIF (3-state
+    fork): states 0 (initial / healthy), 1 (intermediate / relapsed),
+    2 (absorbing / dead), transitions 0→1, 0→2, 1→2.
+
+    ``df`` is one row per EPISODE in counting-process form: the
+    subject occupies ``from_col`` ∈ {0, 1} over (``start_col``,
+    ``stop_col``] and at ``stop_col`` either transitions to
+    ``to_col`` ∈ {1, 2} or is censored (``to_col`` NULL). Delayed
+    entry is native — an episode is at risk for t ∈ (start, stop]
+    (the ``km_curve_left_truncated`` convention), which is exactly
+    how a 0→1 transition at time s feeds state 1's risk set only for
+    t > s. Episodes must have start < stop.
+
+    The product-integral P(0,t) = Π_{s≤t} (I + dA(s)) for this
+    acyclic model factors into EXACT lattice prefix sums — no
+    matrix-product scan (whose floating-point grouping would depend
+    on partition boundaries) is needed:
+
+        P₀₀(t) = Π (1 − (d₀₁+d₀₂)/Y₀)           (KM in state 0)
+        P₀₁(t) = Q₁(t) · Σ_{s≤t} P₀₀(s−)·(d₀₁(s)/Y₀(s))/Q₁(s)
+                 where Q₁(v) = Π_{u≤v} (1 − d₁₂/Y₁)
+                 (P₁₁(s,t) = Q₁(t)/Q₁(s) telescopes)
+        P₀₂(t) = Σ P₀₀(s−)·d₀₂/Y₀  +  Σ P₀₁(u−)·d₁₂/Y₁
+
+    Every product is exp of a micro-lattice log prefix sum and every
+    integral a micro-lattice prefix sum, mirroring ``km_curve`` /
+    ``cif_competing_risks`` ARITHMETIC exactly — so the 2-state
+    reduction (no intermediate state) is pinned BIT-EQUAL to
+    ``km_curve.survival`` and the competing-risks reduction (no 1→2
+    transitions) BIT-EQUAL to ``cif`` for both causes (tests).
+
+    Precondition (raised, not silent): state 1 must not empty by
+    death (d₁₂ = Y₁) and later re-populate — the telescoping
+    Q₁-ratio is undefined across such a gap (standard AJ software
+    shares the restriction).
+
+    Scale shape: ONE hash aggregate over the episode deltas to
+    per-(group, time) cells, then FOUR ``grouped_prefix_sum`` passes
+    over the cell table (at-risk deltas → log-survival terms → the
+    0→1 integrand → the death integrands; each feeds the next).
+    #cells ≤ 2 × episodes; nothing ever windows raw rows.
+
+    Returns one row per (group, time-with-any-episode-end):
+    n_risk_initial, n_risk_intermediate, n_onset (0→1),
+    n_death_initial (0→2), n_death_intermediate (1→2), n_censored,
+    p_initial, p_intermediate, p_absorbed (each 6 dp;
+    p_initial + p_intermediate + p_absorbed = 1 to lattice
+    precision).
+    """
+    g = list(group_cols)
+    frm = F.col(from_col).cast("long")
+    to = F.col(to_col).cast("long")
+
+    starts = df.select(
+        *g,
+        F.col(start_col).alias("_time"),
+        frm.alias("_state"),
+        F.lit(1).alias("_enter"),
+        F.lit(0).alias("_exit"),
+        F.lit(None).cast("long").alias("_to"),
+    )
+    stops = df.select(
+        *g,
+        F.col(stop_col).alias("_time"),
+        frm.alias("_state"),
+        F.lit(0).alias("_enter"),
+        F.lit(1).alias("_exit"),
+        to.alias("_to"),
+    )
+    ev = starts.unionAll(stops)
+    st0 = F.col("_state") == 0
+    st1 = F.col("_state") == 1
+    ex = F.col("_exit") == 1
+    cells = ev.groupBy(*g, "_time").agg(
+        F.sum(F.when(st0, F.col("_enter")).otherwise(0)).alias("e0"),
+        F.sum(F.when(st1, F.col("_enter")).otherwise(0)).alias("e1"),
+        F.sum(F.when(st0, F.col("_exit")).otherwise(0)).alias("x0"),
+        F.sum(F.when(st1, F.col("_exit")).otherwise(0)).alias("x1"),
+        F.sum(
+            F.when(ex & st0 & (F.col("_to") == 1), 1).otherwise(0)
+        ).alias("d01"),
+        F.sum(
+            F.when(ex & st0 & (F.col("_to") == 2), 1).otherwise(0)
+        ).alias("d02"),
+        F.sum(
+            F.when(ex & st1 & (F.col("_to") == 2), 1).otherwise(0)
+        ).alias("d12"),
+        F.sum(
+            F.when(ex & F.col("_to").isNull(), 1).otherwise(0)
+        ).alias("n_censored"),
+    )
+    # pass 1: at-risk counts Y_j(t) = enters(<t) - exits(<t)
+    cells = grouped_prefix_sum(
+        cells,
+        g,
+        "_time",
+        ["e0", "x0", "e1", "x1"],
+        ["_e0b", "_x0b", "_e1b", "_x1b"],
+    )
+    cells = cells.withColumn("Y0", F.col("_e0b") - F.col("_x0b")).withColumn(
+        "Y1", F.col("_e1b") - F.col("_x1b")
+    )
+    d0 = F.col("d01") + F.col("d02")
+    cells = (
+        cells.withColumn(
+            "_lt0",
+            F.when(
+                (d0 > 0) & (d0 < F.col("Y0")),
+                _micro(F.log(F.lit(1.0) - d0 / F.col("Y0"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall0",
+            F.when((d0 > 0) & (d0 == F.col("Y0")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_lt1",
+            F.when(
+                (F.col("d12") > 0) & (F.col("d12") < F.col("Y1")),
+                _micro(F.log(F.lit(1.0) - F.col("d12") / F.col("Y1"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_crash1",
+            F.when(
+                (F.col("d12") > 0) & (F.col("d12") == F.col("Y1")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    # pass 2: survival products (exclusive prefixes = left limits)
+    cells = grouped_prefix_sum(
+        cells,
+        g,
+        "_time",
+        ["_lt0", "_dall0", "_lt1", "_crash1"],
+        ["_lt0b", "_dall0b", "_lt1b", "_crash1b"],
+    )
+    micro6 = F.lit(1000000.0)
+    p00_left = F.when(F.col("_dall0b") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt0b") / micro6)
+    )
+    p00_incl = F.when(
+        F.col("_dall0b") + F.col("_dall0") > 0, F.lit(0.0)
+    ).otherwise(F.exp((F.col("_lt0b") + F.col("_lt0")) / micro6))
+    # the Q1-ratio telescoping is undefined once state 1 empties by
+    # death and later sees activity again: fail fast
+    bad = (F.col("_crash1b") > 0) & (
+        (F.col("d01") > 0) | (F.col("d12") > 0)
+    )
+    q1_excl = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "aalen_johansen_illness_death: state 1 emptied by "
+                "death and later re-populated — Q1 telescoping "
+                "undefined"
+            )
+        ).cast("double"),
+    ).when(F.col("_crash1b") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt1b") / micro6)
+    )
+    q1_incl = F.when(
+        F.col("_crash1b") + F.col("_crash1") > 0, F.lit(0.0)
+    ).otherwise(F.exp((F.col("_lt1b") + F.col("_lt1")) / micro6))
+    cells = (
+        cells.withColumn("_p00l", p00_left)
+        .withColumn("_p00", p00_incl)
+        .withColumn("_q1l", q1_excl)
+        .withColumn("_q1", q1_incl)
+        .withColumn(
+            "_t01",
+            F.when(
+                F.col("d01") > 0,
+                _micro(
+                    F.col("_p00l")
+                    * F.col("d01")
+                    / F.col("Y0")
+                    / F.col("_q1")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_t02",
+            F.when(
+                F.col("d02") > 0,
+                _micro(F.col("_p00l") * F.col("d02") / F.col("Y0")),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    # pass 3: the 0->1 integrand (strict prefix also feeds P01(u-))
+    cells = grouped_prefix_sum(cells, g, "_time", ["_t01"], ["_t01b"])
+    p01_left = F.col("_q1l") * (F.col("_t01b") / micro6)
+    cells = cells.withColumn(
+        "_t12",
+        F.when(
+            F.col("d12") > 0,
+            _micro(p01_left * F.col("d12") / F.col("Y1")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # pass 4: the two death integrands
+    cells = grouped_prefix_sum(
+        cells, g, "_time", ["_t02", "_t12"], ["_t02b", "_t12b"]
+    )
+    p01 = F.col("_q1") * ((F.col("_t01b") + F.col("_t01")) / micro6)
+    p02 = (
+        F.col("_t02b") + F.col("_t02") + F.col("_t12b") + F.col("_t12")
+    ) / micro6
+    return (
+        cells.filter(
+            F.col("x0") + F.col("x1") > 0
+        )  # curve rows = times where any episode ends
+        .select(
+            *g,
+            F.col("_time").alias("time"),
+            F.col("Y0").alias("n_risk_initial"),
+            F.col("Y1").alias("n_risk_intermediate"),
+            F.col("d01").alias("n_onset"),
+            F.col("d02").alias("n_death_initial"),
+            F.col("d12").alias("n_death_intermediate"),
+            "n_censored",
+            F.round(F.col("_p00"), 6).alias("p_initial"),
+            F.round(p01, 6).alias("p_intermediate"),
+            F.round(p02, 6).alias("p_absorbed"),
+        )
+    )
+
+
+def cox_ph_time_dependent(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    start_col: str = "start",
+    stop_col: str = "stop",
+    event_col: str = "event",
+    iters: int = 8,
+    ties: str = "breslow",
+    return_se: bool = False,
+):
+    """Cox regression with TIME-DEPENDENT covariates via the standard
+    counting-process episode formulation (Therneau's ``coxph(Surv(
+    start, stop, event) ~ ...)``): one row per EPISODE over which the
+    covariates are constant — (``start_col``, ``stop_col``] with
+    ``event_col`` = 1 iff the subject fails AT ``stop_col``. A subject
+    whose covariate changes at time s is split into episodes
+    (0, s] / (s, T]; delayed entry (left truncation) is the same
+    mechanism with a non-zero first ``start``.
+
+    The partial likelihood only changes in WHO is at risk at each
+    event time t: episodes with start < t ≤ stop. Because
+    start < stop, the risk-moment sums SEPARATE into two ordinary
+    suffix sums on one time axis:
+
+        Σ_{start < t ≤ stop} m  =  Σ_{stop ≥ t} m − Σ_{start ≥ t} m
+
+    so the machinery is ``cox_ph``'s exactly, with each episode
+    contributing its nano-rounded moments TWICE — positively at its
+    stop time, negatively (via the second suffix) at its start time —
+    in ONE unioned cell aggregate + ONE multi-column
+    ``global_prefix_sum`` per iteration. With every episode starting
+    at 0 the start-suffix vanishes at all event times and the fit is
+    BIT-IDENTICAL to ``cox_ph`` (pinned in tests, Breslow and Efron
+    both); the constant-covariate split invariance (splitting any
+    episode at an arbitrary interior time leaves β unchanged) is also
+    pinned.
+
+    ``ties``: "breslow" or "efron" (event-subject moments come from
+    stop rows only, so Efron's within-tie shrinkage is unchanged).
+    ``return_se=True`` → (β, se) from the final information matrix
+    (the ``cox_ph`` penultimate-iterate convention). Returns
+    [β_1, ..., β_p] otherwise. Requires iters >= 1 and start < stop
+    on every episode (raises on violations at plan build).
+
+    Scale: identical to ``cox_ph`` — cells ≤ 2× #distinct times,
+    driver sees p + p(p+1)/2 numbers per iteration.
+    """
+    import numpy as np
+
+    if ties not in ("breslow", "efron"):
+        raise ValueError(f"ties must be 'breslow' or 'efron', got {ties!r}")
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("cox_ph_time_dependent: iters must be >= 1")
+    feats = list(feature_cols)
+    p = len(feats)
+    beta = [0.0] * p
+    nano = F.lit(1000000000.0)
+
+    # the guard lives inside _tm so Catalyst's column pruning can
+    # never drop it: every episode's stop time evaluates the check
+    bad_len = (
+        F.col(start_col).cast("double") >= F.col(stop_col).cast("double")
+    )
+    guarded_stop = F.when(
+        bad_len,
+        F.raise_error(
+            F.lit("cox_ph_time_dependent: episode with start >= stop")
+        ).cast(df.schema[stop_col].dataType),
+    ).otherwise(F.col(stop_col))
+    checked = df
+    stops = checked.select(
+        guarded_stop.alias("_tm"),
+        F.lit(1).alias("_is_stop"),
+        F.col(event_col).cast("long").alias("_ev"),
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in enumerate(feats)],
+    )
+    starts = checked.select(
+        F.col(start_col).alias("_tm"),
+        F.lit(0).alias("_is_stop"),
+        F.lit(0).cast("long").alias("_ev"),
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in enumerate(feats)],
+    )
+    ep = stops.unionAll(starts)
+
+    for _ in range(iters):
+        xb = F.lit(0.0)
+        for j in range(p):
+            xb = xb + F.lit(beta[j]) * F.col(f"_x{j}")
+        r = F.exp(xb)
+        is_stop = F.col("_is_stop") == 1
+        zero = F.lit(0).cast("long")
+
+        def side(expr, stop_side):
+            cond = is_stop if stop_side else ~is_stop
+            return F.sum(F.when(cond, expr).otherwise(zero))
+
+        ev = F.col("_ev")
+        aggs = [
+            F.sum(ev).alias("d_t"),
+            side(F.round(r * nano, 0).cast("long"), True).alias("a0"),
+            side(F.round(r * nano, 0).cast("long"), False).alias("b0"),
+        ]
+        for j in range(p):
+            x = F.col(f"_x{j}")
+            aggs.append(
+                F.sum(ev * F.round(x * nano, 0).cast("long")).alias(
+                    f"s{j}"
+                )
+            )
+            aggs.append(
+                side(
+                    F.round(r * x * nano, 0).cast("long"), True
+                ).alias(f"a1_{j}")
+            )
+            aggs.append(
+                side(
+                    F.round(r * x * nano, 0).cast("long"), False
+                ).alias(f"b1_{j}")
+            )
+        for j in range(p):
+            for k in range(j, p):
+                xx = F.col(f"_x{j}") * F.col(f"_x{k}")
+                aggs.append(
+                    side(
+                        F.round(r * xx * nano, 0).cast("long"), True
+                    ).alias(f"a2_{j}_{k}")
+                )
+                aggs.append(
+                    side(
+                        F.round(r * xx * nano, 0).cast("long"), False
+                    ).alias(f"b2_{j}_{k}")
+                )
+        if ties == "efron":
+            aggs.append(
+                F.sum(ev * F.round(r * nano, 0).cast("long")).alias("e0")
+            )
+            for j in range(p):
+                aggs.append(
+                    F.sum(
+                        ev
+                        * F.round(r * F.col(f"_x{j}") * nano, 0).cast(
+                            "long"
+                        )
+                    ).alias(f"e1_{j}")
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    aggs.append(
+                        F.sum(
+                            ev
+                            * F.round(
+                                r * F.col(f"_x{j}") * F.col(f"_x{k}")
+                                * nano,
+                                0,
+                            ).cast("long")
+                        ).alias(f"e2_{j}_{k}")
+                    )
+        cells = ep.groupBy("_tm").agg(*aggs)
+
+        pairs = (
+            [("a0", "b0")]
+            + [(f"a1_{j}", f"b1_{j}") for j in range(p)]
+            + [
+                (f"a2_{j}_{k}", f"b2_{j}_{k}")
+                for j in range(p)
+                for k in range(j, p)
+            ]
+        )
+        vcols = [v for pair in pairs for v in pair]
+        pre = global_prefix_sum(
+            cells, "_tm", vcols, [f"_pre_{v}" for v in vcols]
+        )
+        tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in vcols])
+        pre = pre.crossJoin(F.broadcast(tot))
+
+        def suffix(a, b):
+            # at risk at t: stop >= t minus start >= t
+            return (F.col(f"_tot_{a}") - F.col(f"_pre_{a}")) - (
+                F.col(f"_tot_{b}") - F.col(f"_pre_{b}")
+            )
+
+        s0 = suffix("a0", "b0")
+        d_t = F.col("d_t")
+        out_aggs = []
+        if ties == "efron":
+            dd = pre.filter(d_t > 0).withColumn(
+                "_l", F.explode(F.sequence(F.lit(0), d_t - 1))
+            )
+            frac = F.col("_l").cast("double") / d_t
+            s0l = s0 - frac * F.col("e0")
+
+            def shrunk1(j):
+                return suffix(f"a1_{j}", f"b1_{j}") - frac * F.col(
+                    f"e1_{j}"
+                )
+
+            for j in range(p):
+                term = F.col(f"s{j}") / nano / d_t - shrunk1(j) / s0l
+                out_aggs.append(
+                    F.sum(F.round(term * nano, 0).cast("long")).alias(
+                        f"g{j}"
+                    )
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    s2l = suffix(f"a2_{j}_{k}", f"b2_{j}_{k}") - frac * F.col(
+                        f"e2_{j}_{k}"
+                    )
+                    term = (
+                        s2l / s0l
+                        - (shrunk1(j) / s0l) * (shrunk1(k) / s0l)
+                    )
+                    out_aggs.append(
+                        F.sum(
+                            F.round(term * nano, 0).cast("long")
+                        ).alias(f"i{j}_{k}")
+                    )
+            row = dd.agg(*out_aggs).collect()[0]
+        else:
+            for j in range(p):
+                term = (
+                    F.col(f"s{j}") / nano
+                    - d_t * (suffix(f"a1_{j}", f"b1_{j}") / s0)
+                )
+                out_aggs.append(
+                    F.sum(
+                        F.when(
+                            d_t > 0, F.round(term * nano, 0).cast("long")
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias(f"g{j}")
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    term = d_t * (
+                        suffix(f"a2_{j}_{k}", f"b2_{j}_{k}") / s0
+                        - (suffix(f"a1_{j}", f"b1_{j}") / s0)
+                        * (suffix(f"a1_{k}", f"b1_{k}") / s0)
+                    )
+                    out_aggs.append(
+                        F.sum(
+                            F.when(
+                                d_t > 0,
+                                F.round(term * nano, 0).cast("long"),
+                            ).otherwise(F.lit(0).cast("long"))
+                        ).alias(f"i{j}_{k}")
+                    )
+            row = pre.agg(*out_aggs).collect()[0]
+        g = np.array([row[f"g{j}"] / 1e9 for j in range(p)])
+        info = np.zeros((p, p))
+        for j in range(p):
+            for k in range(j, p):
+                info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
+        step = np.linalg.solve(info, g)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(p)]
+        return beta, se
+    return beta

@@ -1825,3 +1825,388 @@ def test_rmst_from_curve_guards(spark):
         rmst_from_curve(
             sparse, ["cohort"], H, "hour", "survival"
         ).collect()
+
+
+def test_gray_test_reduces_to_logrank_score(spark):
+    """With NO competing events the subdistribution risk set IS the
+    ordinary risk set, so gray_test's score must equal the log-rank
+    O1 - E1 exactly (the information differs only by the
+    hypergeometric (n-d)/(n-1) correction, so it is bounded above by
+    the log-rank variance at these cell sizes)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        gray_test,
+        logrank_test,
+    )
+
+    rows = []
+    for i in range(400):
+        grp = "a" if i % 2 == 0 else "b"
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        lam = 0.10 if grp == "a" else 0.16
+        t = -math.log(u) / lam
+        cen = (i * 48271) % 7 == 0
+        dur = int(min(t, 30))
+        rows.append((grp, dur, 0 if (cen or t >= 30) else 1))
+    df = spark.createDataFrame(rows, "grp string, duration long, cause int")
+    gr = gray_test(df, "grp").collect()[0]
+    lr = logrank_test(
+        df.withColumn("event", (F.col("cause") == 1).cast("int")),
+        "grp",
+    ).collect()[0]
+    assert gr.n_subjects_1 == lr.n_subjects_1
+    assert gr.events_1 == lr.observed_1
+    assert abs(gr.score - (lr.observed_1 - lr.expected_1)) < 2e-6
+    assert abs(gr.expected_1 - lr.expected_1) < 2e-6
+
+
+def test_gray_test_planted_difference_power(spark):
+    """Power/level check on the Fine-Gray simulation design: a
+    planted CIF difference (beta=0.9 on the subdistribution) must
+    reject at chi2 >> 3.84; the same design with beta=0 must not
+    (the draw is frozen, so both verdicts are deterministic). Also
+    pins the 2-group validation."""
+    from cancer_survival_etl_spark.operators.survival import gray_test
+
+    def cohort(beta):
+        rows = []
+        for i in range(2000):
+            x = i % 2
+            h = (i * 2654435761) % 999983 / 999983.0 + 1e-9
+            h2 = (i * 1103515245 + 12345) % 999983 / 999983.0 + 1e-9
+            h3 = (i * 69069 + 7) % 999983 / 999983.0
+            eta = math.exp(beta * x)
+            p1 = 1.0 - (1.0 - 0.55) ** eta
+            if h < p1:
+                t = -math.log(1.0 - (1.0 - (1.0 - h) ** (1.0 / eta)) / 0.55)
+                c = 1
+            else:
+                t = -math.log(h2)
+                c = 2
+            if h3 < 0.25:
+                t, c = t * h3 / 0.25, 0
+            t = min(t, 3.0)
+            rows.append(("t" if x else "c", round(t, 2),
+                         c if t < 3.0 else 0))
+        return spark.createDataFrame(
+            rows, "grp string, duration double, cause int"
+        )
+
+    alt = gray_test(cohort(0.9), "grp").collect()[0]
+    nul = gray_test(cohort(0.0), "grp").collect()[0]
+    assert alt.chi_square > 30, alt
+    assert nul.chi_square < 3.84, nul
+    # orientation: group "c" (lexicographically first) is group 1
+    assert alt.n_subjects_1 == 1000
+    # a planted INCREASE in group-2 incidence pulls group-1 observed
+    # below expected
+    assert alt.score < 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly 2"):
+        gray_test(
+            cohort(0.0).withColumn("grp", F.lit("only")), "grp"
+        )
+
+
+def test_aalen_johansen_two_state_reduction_is_km(spark):
+    """AJ with no intermediate state (every episode 0->2 or censored)
+    must reproduce km_curve BIT-EXACTLY: p_initial == survival at
+    every cell, and the at-risk/event counts line up."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_johansen_illness_death,
+        km_curve,
+    )
+
+    rows = []
+    for i in range(300):
+        grp = "a" if i % 3 == 0 else "b"
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        t = -math.log(u) / 0.12
+        cen = (i * 48271) % 5 == 0
+        dur = max(1, int(min(t, 25)))
+        rows.append((grp, dur, 0 if (cen or t >= 25) else 1))
+    subj = spark.createDataFrame(
+        rows, "grp string, duration long, event int"
+    )
+    eps = subj.select(
+        "grp",
+        F.lit(0).alias("start"),
+        F.col("duration").alias("stop"),
+        F.lit(0).alias("from_state"),
+        F.when(F.col("event") == 1, F.lit(2)).alias("to_state"),
+    )
+    aj = {
+        (r.grp, r.time): r
+        for r in aalen_johansen_illness_death(eps, ["grp"]).collect()
+    }
+    km = km_curve(subj, ["grp"], "duration", "event").collect()
+    assert len(aj) == len(km)
+    for r in km:
+        a = aj[(r.grp, r.duration)]
+        assert a.p_initial == r.survival, (r, a)
+        assert a.n_risk_initial == r.n_risk
+        assert a.n_death_initial == r.n_event
+        assert a.n_censored == r.n_censored
+        assert a.p_intermediate == 0.0
+        assert a.n_risk_intermediate == 0
+
+
+def test_aalen_johansen_competing_reduction_is_cif(spark):
+    """AJ with NO 1->2 transitions (state 1 absorbing in the data) is
+    the competing-risks fork: p_intermediate must equal CIF(cause 1)
+    and p_absorbed CIF(cause 2) BIT-EXACTLY at every cell."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_johansen_illness_death,
+        cif_competing_risks,
+    )
+
+    rows = []
+    for i in range(400):
+        grp = "x" if i % 2 == 0 else "y"
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        u2 = ((i * 1103515245 + 12345) % 999983) / 999983.0 + 1e-9
+        t1 = -math.log(u) / 0.08
+        t2 = -math.log(u2) / 0.05
+        t, c = (t1, 1) if t1 < t2 else (t2, 2)
+        cen = (i * 69069) % 6 == 0
+        dur = max(1, int(min(t, 30)))
+        rows.append((grp, dur, 0 if (cen or t >= 30) else c))
+    subj = spark.createDataFrame(
+        rows, "grp string, duration long, cause int"
+    )
+    eps = subj.select(
+        "grp",
+        F.lit(0).alias("start"),
+        F.col("duration").alias("stop"),
+        F.lit(0).alias("from_state"),
+        F.when(F.col("cause") > 0, F.col("cause")).alias("to_state"),
+    )
+    aj = {
+        (r.grp, r.time): r
+        for r in aalen_johansen_illness_death(eps, ["grp"]).collect()
+    }
+    cif = cif_competing_risks(subj, ["grp"], [1, 2], "duration", "cause")
+    c1 = {(r.grp, r.duration): r for r in cif.filter("cause = 1").collect()}
+    c2 = {(r.grp, r.duration): r for r in cif.filter("cause = 2").collect()}
+    assert len(aj) == len(c1) == len(c2)
+    for k, a in aj.items():
+        assert a.p_intermediate == c1[k].cif, (k, a, c1[k])
+        assert a.p_absorbed == c2[k].cif, (k, a, c2[k])
+        assert a.p_initial == c1[k].survival_allcause
+    # occupancy sums to 1 at lattice precision everywhere
+    for a in aj.values():
+        assert abs(a.p_initial + a.p_intermediate + a.p_absorbed - 1.0) < 5e-6
+
+
+def test_aalen_johansen_full_illness_death(spark):
+    """Full 3-state model with a hand-checkable tiny cohort:
+    4 subjects —
+      s1: 0->1 at t=2, 1->2 at t=5
+      s2: 0->2 at t=3
+      s3: 0->1 at t=4, censored in state 1 at t=6
+      s4: censored in state 0 at t=7
+    Hand product-integral:
+      t=2: Y0=4, d01=1: P00=3/4, P01=1/4
+      t=3: Y0=3, d02=1: P00=3/4*2/3=1/2, P02=1/4
+      t=4: Y0=2, d01=1: P00=1/4, P01(4)=1/4*Q + P00(3-)*1/2 = ...
+      t=5: Y1=2, d12=1: halves the surviving ill mass
+    Verified against manual matrix multiplication below."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_johansen_illness_death,
+    )
+
+    eps = spark.createDataFrame(
+        [
+            ("g", 0, 2, 0, 1), ("g", 2, 5, 1, 2),
+            ("g", 0, 3, 0, 2),
+            ("g", 0, 4, 0, 1), ("g", 4, 6, 1, None),
+            ("g", 0, 7, 0, None),
+        ],
+        "grp string, start long, stop long, from_state int, to_state int",
+    )
+    out = {
+        r.time: r
+        for r in aalen_johansen_illness_death(eps, ["grp"]).collect()
+    }
+    # manual product-integral
+    import numpy as np
+
+    p = np.array([1.0, 0.0, 0.0])
+    hand = {}
+    # (time, Y0, Y1, d01, d02, d12)
+    sched = [(2, 4, 0, 1, 0, 0), (3, 3, 1, 0, 1, 0),
+             (4, 2, 1, 1, 0, 0), (5, 1, 2, 0, 0, 1),
+             (6, 1, 1, 0, 0, 0), (7, 1, 0, 0, 0, 0)]
+    for (t, y0_, y1_, d01_, d02_, d12_) in sched:
+        m = np.eye(3)
+        if y0_ > 0 and (d01_ or d02_):
+            m[0, 0] = 1 - (d01_ + d02_) / y0_
+            m[0, 1] = d01_ / y0_
+            m[0, 2] = d02_ / y0_
+        if y1_ > 0 and d12_:
+            m[1, 1] = 1 - d12_ / y1_
+            m[1, 2] = d12_ / y1_
+        p = p @ m
+        hand[t] = p.copy()
+    for t, r in out.items():
+        assert abs(r.p_initial - hand[t][0]) < 3e-6, (t, r, hand[t])
+        assert abs(r.p_intermediate - hand[t][1]) < 3e-6, (t, r, hand[t])
+        assert abs(r.p_absorbed - hand[t][2]) < 3e-6, (t, r, hand[t])
+    # at-risk bookkeeping at t=5: s1 ill (entered 2), s3 ill
+    # (entered 4) -> Y1=2; only s4 healthy... s4 and nobody else:
+    # Y0(5) = 1
+    assert out[5].n_risk_intermediate == 2
+    assert out[5].n_risk_initial == 1
+    assert out[5].n_death_intermediate == 1
+
+
+def _td_cohort(spark, n=400):
+    rows = []
+    for i in range(n):
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        x1 = (i % 8) / 8.0
+        x2 = ((i * 7) % 5) / 5.0
+        t = -math.log(u) / math.exp(0.8 * x1 - 0.4 * x2) / 0.15
+        cen = (i * 48271) % 6 == 0
+        dur = max(1, int(min(t, 40)))
+        rows.append((x1, x2, dur, 0 if (cen or t >= 40) else 1))
+    return spark.createDataFrame(
+        rows, "x1 double, x2 double, duration long, event int"
+    )
+
+
+def test_cox_td_reduces_to_cox_ph_bit_exact(spark):
+    """Episodes all starting at 0 with constant covariates: the
+    counting-process fit must be BIT-IDENTICAL to plain cox_ph,
+    under Breslow AND Efron ties (the start-suffix vanishes at every
+    event time, so every nano-lattice sum coincides)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_time_dependent,
+    )
+
+    subj = _td_cohort(spark)
+    eps = subj.select(
+        "x1", "x2",
+        F.lit(0).cast("long").alias("start"),
+        F.col("duration").alias("stop"),
+        "event",
+    )
+    for ties in ("breslow", "efron"):
+        b_plain = cox_ph(
+            subj, ["x1", "x2"], "duration", "event", iters=4, ties=ties
+        )
+        b_td = cox_ph_time_dependent(
+            eps, ["x1", "x2"], "start", "stop", "event",
+            iters=4, ties=ties,
+        )
+        assert b_plain == b_td, (ties, b_plain, b_td)
+    # SEs too, via the same final information matrix
+    _, se_plain = cox_ph(
+        subj, ["x1", "x2"], iters=4, return_se=True
+    )
+    _, se_td = cox_ph_time_dependent(
+        eps, ["x1", "x2"], iters=4, return_se=True
+    )
+    assert se_plain == se_td
+
+
+def test_cox_td_split_invariance(spark):
+    """Splitting any episode at an interior time with unchanged
+    covariates must leave beta IDENTICAL (the counting-process
+    likelihood only sees risk-set membership) — the property that
+    makes episode splitting a safe preprocessing step."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph_time_dependent,
+    )
+
+    subj = _td_cohort(spark)
+    eps = subj.select(
+        "x1", "x2",
+        F.lit(0).cast("long").alias("start"),
+        F.col("duration").alias("stop"),
+        "event",
+    )
+    # split every episode longer than 10 at time 7 (constant covs):
+    # (0, 7] censored + (7, stop] carrying the event flag
+    long_eps = eps.filter(F.col("stop") > 10)
+    split = long_eps.select(
+        "x1", "x2", "start", F.lit(7).cast("long").alias("stop"),
+        F.lit(0).alias("event"),
+    ).unionAll(
+        long_eps.select(
+            "x1", "x2", F.lit(7).cast("long").alias("start"),
+            "stop", "event",
+        )
+    ).unionAll(eps.filter(F.col("stop") <= 10))
+    b0 = cox_ph_time_dependent(eps, ["x1", "x2"], iters=4)
+    b1 = cox_ph_time_dependent(split, ["x1", "x2"], iters=4)
+    assert b0 == b1, (b0, b1)
+
+
+def test_cox_td_recovers_time_varying_effect(spark):
+    """A genuinely time-dependent covariate: treatment switches ON at
+    a subject-specific time s_i; hazard is lam*exp(beta*x(t)) with
+    beta=1.0. Episode-split fit must recover beta (within sampling
+    noise) while the naive ever-treated cox_ph is badly biased
+    toward zero (immortal time bias) — the clinical textbook case."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_time_dependent,
+    )
+
+    lam, beta = 0.02, 1.0
+    rows_ep, rows_naive = [], []
+    for i in range(3000):
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        s = 5 + (i * 48271) % 20  # switch time 5..24
+        # piecewise-exponential: hazard lam before s, lam*e^b after
+        t_pre = -math.log(u) / lam
+        if t_pre <= s:
+            t, treated_at_t = t_pre, 0
+        else:
+            u2 = ((i * 1103515245 + 7) % 999983) / 999983.0 + 1e-9
+            t = s + (-math.log(u2) / (lam * math.exp(beta)))
+            treated_at_t = 1
+        cen = 60.0
+        dur = min(t, cen)
+        ev = 1 if t < cen else 0
+        d_i = max(1, round(dur * 2))  # half-unit grid
+        s_i = s * 2
+        if d_i <= s_i:
+            rows_ep.append((0.0, 0, d_i, ev))
+        else:
+            rows_ep.append((0.0, 0, s_i, 0))
+            rows_ep.append((1.0, s_i, d_i, ev))
+        rows_naive.append((1.0 if d_i > s_i else 0.0, d_i, ev))
+    eps = spark.createDataFrame(
+        rows_ep, "x double, start long, stop long, event int"
+    )
+    naive = spark.createDataFrame(
+        rows_naive, "x double, duration long, event int"
+    )
+    b_td = cox_ph_time_dependent(eps, ["x"], iters=6)[0]
+    b_naive = cox_ph(naive, ["x"], iters=6)[0]
+    assert abs(b_td - beta) < 0.15, b_td
+    # ever-treated coding is biased low (immortal time in the
+    # untreated period counts as treated exposure)
+    assert b_naive < b_td - 0.3, (b_naive, b_td)
+
+
+def test_cox_td_validation(spark):
+    """start >= stop episodes raise at execution; iters=0 raises up
+    front."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph_time_dependent,
+    )
+
+    eps = spark.createDataFrame(
+        [(0.5, 3, 3, 1), (0.2, 0, 5, 0)],
+        "x double, start long, stop long, event int",
+    )
+    with pytest.raises(Exception, match="start >= stop"):
+        cox_ph_time_dependent(eps, ["x"], iters=1)
+    with pytest.raises(ValueError, match="iters"):
+        cox_ph_time_dependent(
+            eps.filter("start < stop"), ["x"], iters=0
+        )
