@@ -143,3 +143,77 @@ def cdc_apply(
     )
     out = winner.filter(F.col("_w.o") != "D")
     return out.select(*keys, *[F.col(f"_w.{v}").alias(v) for v in vals])
+
+
+def agg_state_sketched(
+    df: DataFrame, keys: Sequence[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """Keyed aggregate state WITH a mergeable quantile sketch: the
+    ``agg_state`` moments (cnt/sum/min/max) plus a KLL sketch of the
+    bigint ``value_col`` — the missing piece for maintaining
+    streaming SLO percentiles delta-only at 100 TB (VERDICT r05
+    item 8). KLL's merge is an associative, bounded-error combine
+    (rank error ~1.7% at k=200), so approximate quantiles join the
+    algebraic measures in the set that never needs the base table
+    re-scanned. State row = (keys…, cnt, sum_val, min_val, max_val,
+    kll_state, kll_k)."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("cnt"),
+        F.sum(value_col).alias("sum_val"),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+        F.kll_sketch_agg_bigint(value_col, F.lit(k)).alias("kll_state"),
+        F.lit(k).alias("kll_k"),
+    )
+
+
+def merge_agg_state_sketched(
+    state: DataFrame, delta_state: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge two sketched states. Implemented as unionByName + ONE
+    hash aggregate rather than ``merge_agg_state``'s full-outer join:
+    Spark exposes KLL merging only as the AGGREGATE
+    ``kll_merge_agg_bigint`` (no two-sketch scalar), and union + agg
+    is the same cost class — one shuffle over two key-sized frames —
+    while extending naturally to N-way folds. cnt/sum/min/max combine
+    exactly as in ``merge_agg_state`` (pinned equal in tests); the
+    sketch column merges under KLL's rank-error contract."""
+    u = state.unionByName(delta_state)
+    return u.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_val").alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+        F.kll_merge_agg_bigint("kll_state").alias("kll_state"),
+        F.max("kll_k").alias("kll_k"),
+    )
+
+
+def incremental_update_sketched(
+    state: DataFrame,
+    delta_rows: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """One sketched maintenance cycle: aggregate the delta's raw rows
+    (including their KLL sketch), merge into the existing state. The
+    base table is never touched — quantile reads stay O(state)."""
+    return merge_agg_state_sketched(
+        state, agg_state_sketched(delta_rows, keys, value_col, k), keys
+    )
+
+
+def state_quantile(
+    state: DataFrame, quantile: float, out_col: str = "q_estimate"
+) -> DataFrame:
+    """Read a quantile off a maintained sketched state — touches only
+    the state table. Adds ``out_col`` (double); rank-error bound is
+    KLL's (~1.7% two-sided at k=200), verified by the bound-verdict
+    driver query."""
+    return state.withColumn(
+        out_col,
+        F.kll_sketch_get_quantile_bigint(
+            F.col("kll_state"), F.lit(quantile)
+        ).cast("double"),
+    )

@@ -242,3 +242,71 @@ def test_cdc_apply_last_writer_wins_and_deletes(spark):
     empty = changes.filter("k < 0")
     same = {r.k: r.v for r in cdc_apply(base, empty, ["k"], "seq").collect()}
     assert same == {1: 100, 2: 200, 3: 300}
+
+
+def test_sketched_state_moments_match_plain_and_rank_bound(spark):
+    """Sketched incremental state: (1) cnt/sum/min/max after a
+    maintenance cycle are EXACTLY agg_state over base+delta (the
+    mergeability contract); (2) the median read off the merged KLL
+    state satisfies the rank-error bound against the raw union;
+    (3) a three-way fold in either association keeps the bound
+    (KLL merge is an associative-contract combine)."""
+    from cancer_survival_etl_spark.operators.incremental import (
+        agg_state,
+        agg_state_sketched,
+        incremental_update_sketched,
+        merge_agg_state_sketched,
+        state_quantile,
+    )
+
+    def slab(seed, n):
+        return spark.createDataFrame(
+            [
+                ("k%d" % (i % 3), (i * seed) % 1000)
+                for i in range(n)
+            ],
+            "key string, v long",
+        )
+
+    a, b, c = slab(2654435761, 4000), slab(48271, 3000), slab(69069, 2000)
+    st = agg_state_sketched(a, ["key"], "v")
+    st = incremental_update_sketched(st, b, ["key"], "v")
+    st = incremental_update_sketched(st, c, ["key"], "v")
+    full = a.unionAll(b).unionAll(c)
+    plain = {r.key: r for r in agg_state(full, ["key"], "v").collect()}
+    got = {r.key: r for r in st.collect()}
+    assert set(got) == set(plain)
+    for k in plain:
+        assert got[k].cnt == plain[k].cnt
+        assert got[k].sum_val == plain[k].sum_val
+        assert got[k].min_val == plain[k].min_val
+        assert got[k].max_val == plain[k].max_val
+    # rank bound on the maintained median
+    est = {r.key: r.q_estimate for r in state_quantile(st, 0.5).collect()}
+    raw = {k: sorted(r.v for r in full.collect() if r.key == k)
+           for k in plain}
+    for k, q in est.items():
+        vals = raw[k]
+        lo = sum(1 for v in vals if v < q) / len(vals)
+        hi = sum(1 for v in vals if v <= q) / len(vals)
+        assert lo <= 0.535 and hi >= 0.465, (k, q, lo, hi)
+    # other association
+    st2 = merge_agg_state_sketched(
+        agg_state_sketched(a, ["key"], "v"),
+        merge_agg_state_sketched(
+            agg_state_sketched(b, ["key"], "v"),
+            agg_state_sketched(c, ["key"], "v"),
+            ["key"],
+        ),
+        ["key"],
+    )
+    got2 = {r.key: r for r in st2.collect()}
+    for k in plain:
+        assert got2[k].cnt == plain[k].cnt
+    est2 = {r.key: r.q_estimate
+            for r in state_quantile(st2, 0.5).collect()}
+    for k, q in est2.items():
+        vals = raw[k]
+        lo = sum(1 for v in vals if v < q) / len(vals)
+        hi = sum(1 for v in vals if v <= q) / len(vals)
+        assert lo <= 0.535 and hi >= 0.465, (k, q, lo, hi)
