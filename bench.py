@@ -324,6 +324,11 @@ HEADLINE = [
     "win_first_last",
     "lateral_explode",
     "quality_dup_grains",
+    # round-6 additions
+    "survival_gray_test",
+    "survival_aalen_johansen",
+    "survival_cox_td",
+    "sketch_kll_incremental",
 ]
 
 REGRESSION_RATIO = 1.5
@@ -415,9 +420,38 @@ def main() -> None:
         else:
             baseline_path = MINIMA_PATH
 
+    # --family shard mode: re-bench only the named families (comma-
+    # separated query-name prefixes, e.g. --family survival,sketch).
+    # Minima still fold monotonically (per-query, so a subset run can
+    # only tighten floors); the full-run artifacts are NOT clobbered —
+    # the shard writes its detail to BENCH_DETAIL_family.json and its
+    # stdout metric is marked "families" so the driver's official
+    # number always comes from a full run.
+    families: list[str] | None = None
+    if "--family" in args:
+        i = args.index("--family")
+        if i + 1 >= len(args) or args[i + 1].startswith("-"):
+            raise SystemExit(
+                "--family needs a comma-separated prefix list, "
+                "e.g. --family survival,sketch"
+            )
+        families = [f.strip() for f in args[i + 1].split(",") if f.strip()]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    headline = HEADLINE
+    if families:
+        headline = [
+            n for n in HEADLINE
+            if any(n == f or n.startswith(f + "_") or n.startswith(f)
+                   for f in families)
+        ]
+        if not headline:
+            raise SystemExit(
+                f"--family {','.join(families)} matches no headline query"
+            )
 
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -427,7 +461,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline}
 
     def drop_persisted() -> None:
         # several operators localCheckpoint narrow shared frames;
@@ -438,7 +472,7 @@ def main() -> None:
             rdd.unpersist()
 
     for _ in range(passes):
-        for name in HEADLINE:
+        for name in headline:
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -455,7 +489,12 @@ def main() -> None:
     # Full per-query maps go to the sidecar — NOT stdout. Round 2's
     # 135-entry stdout line (~3.6 KB) outgrew the driver's ~2.2 KB
     # capture window and the round lost its official number.
-    with open(DETAIL_PATH, "w") as fh:
+    detail_path = (
+        os.path.join(REPO_DIR, "BENCH_DETAIL_family.json")
+        if families
+        else DETAIL_PATH
+    )
+    with open(detail_path, "w") as fh:
         json.dump(
             {
                 "metric": "headline_queries_total_wall",
@@ -479,17 +518,19 @@ def main() -> None:
     top10 = dict(
         sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "queries": top10,
-            "detail": "BENCH_DETAIL.json",
-        }
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": top10,
+        "detail": os.path.basename(detail_path),
+    }
+    if families:
+        # shard runs are explicitly marked: never an official number
+        payload["families"] = families
+    line = json.dumps(payload)
     assert len(line) < 2000, f"stdout line {len(line)}B breaches capture window"
     print(line)
     if baseline_path:
