@@ -10515,6 +10515,180 @@ _SURVIVAL_CIF_SQL = """
 """
 
 
+def q_survival_lyl(spark, sf_dir):
+    """Cause-decomposed life years (hours) lost before tau
+    (operators/survival.py::life_years_lost — Andersen 2013):
+    LYL_k(tau) = integral of CIF_k over [0, tau), integrating each
+    step CIF over its own event grid with a lead over the cell table;
+    tau - RMST = sum_k LYL_k exactly (pinned in tests). Same cohort
+    as survival_cif (error vs purchase competing, 48 h horizon),
+    tau = 36 h. Oracle extends the CIF window pipeline with the same
+    lead-gap micro-lattice integration — bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        life_years_lost,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te1"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("te2"),
+    )
+    one_first = F.col("te1").isNotNull() & (
+        F.col("te2").isNull() | (F.col("te1") <= F.col("te2"))
+    )
+    per = per.select(
+        "user_id",
+        "t0",
+        F.when(one_first, F.col("te1")).otherwise(F.col("te2")).alias("te"),
+        F.when(one_first, F.lit(1))
+        .when(F.col("te2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("cz"),
+    )
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    subj = per.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.when(is_event, delay)
+        .otherwise(F.lit(_SURV_HORIZON_H))
+        .cast("long")
+        .alias("duration"),
+        F.when(is_event, F.col("cz")).otherwise(F.lit(0)).alias("cause"),
+    )
+    return life_years_lost(subj, ["cohort"], [1, 2], 36.0).orderBy(
+        "cohort", "cause"
+    )
+
+
+_SURVIVAL_LYL_SQL = """
+    WITH per0 AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te1,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS te2
+        FROM events GROUP BY user_id
+    ),
+    per AS (
+        SELECT user_id, t0,
+               CASE WHEN te1 IS NOT NULL AND (te2 IS NULL OR te1 <= te2)
+                    THEN te1 ELSE te2 END AS te,
+               CASE WHEN te1 IS NOT NULL AND (te2 IS NULL OR te1 <= te2)
+                    THEN 1
+                    WHEN te2 IS NOT NULL THEN 2 ELSE 0 END AS cz
+        FROM per0
+    ),
+    surv AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN cz ELSE 0 END AS cause
+        FROM per
+    ),
+    cells AS (
+        SELECT cohort, duration,
+               CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+               CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d2,
+               count(*) AS rm
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    ar AS (
+        SELECT c.cohort, c.duration, c.d, c.d1, c.d2,
+               CAST(t.n_subj - coalesce(
+                   sum(c.rm) OVER (PARTITION BY c.cohort ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+        FROM cells c JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round(ln(1.0 - d / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS dall
+        FROM ar
+    ),
+    acc AS (
+        SELECT *,
+               coalesce(sum(lt) OVER wx, 0) AS lt0,
+               coalesce(sum(dall) OVER wx, 0) AS dall0
+        FROM terms
+        WINDOW wx AS (PARTITION BY cohort ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    tk AS (
+        SELECT *,
+            CASE WHEN d1 > 0
+                 THEN CAST(round(
+                     (CASE WHEN dall0 > 0 THEN 0.0
+                           ELSE exp(lt0 / 1000000.0) END)
+                     * d1 / n_risk * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS t1,
+            CASE WHEN d2 > 0
+                 THEN CAST(round(
+                     (CASE WHEN dall0 > 0 THEN 0.0
+                           ELSE exp(lt0 / 1000000.0) END)
+                     * d2 / n_risk * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS t2
+        FROM acc
+    ),
+    cum AS (
+        SELECT *,
+               sum(t1) OVER wi AS c1, sum(t2) OVER wi AS c2,
+               lead(CAST(duration AS DOUBLE)) OVER
+                   (PARTITION BY cohort ORDER BY duration) AS nxt
+        FROM tk
+        WINDOW wi AS (PARTITION BY cohort ORDER BY duration
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    segs AS (
+        SELECT cohort, duration, d1, d2,
+               greatest(least(coalesce(nxt, 36.0), 36.0)
+                        - CAST(duration AS DOUBLE), 0.0) AS gap,
+               round(c1 / 1000000.0, 6) AS cif1,
+               round(c2 / 1000000.0, 6) AS cif2
+        FROM cum
+    ),
+    ints AS (
+        SELECT cohort, duration, d1, d2,
+               CASE WHEN duration < 36.0
+                    THEN CAST(round(cif1 * gap * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS y1,
+               CASE WHEN duration < 36.0
+                    THEN CAST(round(cif2 * gap * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS y2
+        FROM segs
+    )
+    SELECT cohort, CAST(1 AS BIGINT) AS cause,
+           CAST(sum(CASE WHEN duration <= 36.0 THEN d1 ELSE 0 END)
+                AS BIGINT) AS n_events,
+           round(sum(y1) / 1000000.0, 6) AS lyl
+    FROM ints GROUP BY cohort
+    UNION ALL
+    SELECT cohort, CAST(2 AS BIGINT) AS cause,
+           CAST(sum(CASE WHEN duration <= 36.0 THEN d2 ELSE 0 END)
+                AS BIGINT) AS n_events,
+           round(sum(y2) / 1000000.0, 6) AS lyl
+    FROM ints GROUP BY cohort
+    ORDER BY cohort, cause
+"""
+
+
 _EXCESS_HAZARDS = {0: 3000, 1: 6000, 2: 9000}
 
 
@@ -13306,6 +13480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_aalen_johansen": q_survival_aalen_johansen,
         "survival_cox_td": q_survival_cox_td,
         "sketch_kll_incremental": q_sketch_kll_incremental,
+        "survival_lyl": q_survival_lyl,
         # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
@@ -15168,6 +15343,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_aalen_johansen": _SURVIVAL_AJ_SQL,
         "survival_cox_td": _SURVIVAL_COX_TD_SQL,
         "sketch_kll_incremental": _KLL_INCREMENTAL_SQL,
+        "survival_lyl": _SURVIVAL_LYL_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -329,6 +329,7 @@ HEADLINE = [
     "survival_aalen_johansen",
     "survival_cox_td",
     "sketch_kll_incremental",
+    "survival_lyl",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .windows import global_prefix_sum, grouped_prefix_sum
@@ -3676,3 +3676,58 @@ def cox_ph_time_dependent(
         se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(p)]
         return beta, se
     return beta
+
+
+def life_years_lost(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    causes: Sequence[int],
+    tau: float,
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """Cause-decomposed life years lost before τ (Andersen 2013): the
+    expected time lost to each competing cause,
+
+        LYL_k(τ) = ∫₀^τ CIF_k(t) dt,
+
+    which decomposes the total restricted loss EXACTLY:
+    τ − RMST(τ) = Σ_k LYL_k(τ) (the identity Σ_k CIF_k + S = 1;
+    pinned in tests to lattice precision). The registry headline:
+    "of the X hours a patient loses before τ, how many to the cancer
+    and how many to other causes".
+
+    Builds on ``cif_competing_risks`` (same estimator, same exact
+    lattices) and integrates each step CIF over its OWN event grid —
+    no dense re-gridding: segment [t_i, t_{i+1} ∧ τ) contributes
+    CIF_k(t_i)·(t_{i+1} ∧ τ − t_i) on the micro lattice, with the
+    lead over the per-(group, cause) CELL table (grid-sized — the
+    post-aggregation window the plan lint allows; never raw rows).
+
+    Returns one row per (group, cause): n_events (that cause's
+    events in [0, τ]) and lyl (6 dp).
+    """
+    g = list(group_cols)
+    cif = cif_competing_risks(
+        df, g, causes, duration_col=duration_col, cause_col=cause_col
+    )
+    w = Window.partitionBy(*g, "cause").orderBy(duration_col)
+    t = F.col(duration_col).cast("double")
+    nxt = F.lead(t).over(w)
+    seg_end = F.least(F.coalesce(nxt, F.lit(float(tau))), F.lit(float(tau)))
+    gap = F.greatest(seg_end - t, F.lit(0.0))
+    term = F.when(
+        t < float(tau), _micro(F.col("cif") * gap)
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        cif.withColumn("_term", term)
+        .groupBy(*g, "cause")
+        .agg(
+            F.sum(
+                F.when(t <= float(tau), F.col("n_event")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_events"),
+            F.round(F.sum("_term") / F.lit(1000000.0), 6).alias("lyl"),
+        )
+    )

@@ -2210,3 +2210,69 @@ def test_cox_td_validation(spark):
         cox_ph_time_dependent(
             eps.filter("start < stop"), ["x"], iters=0
         )
+
+
+def test_life_years_lost_decomposition_and_hand_check(spark):
+    """LYL: (1) hand integral on a tiny cohort; (2) the Andersen
+    decomposition tau - RMST(tau) == sum_k LYL_k(tau) to lattice
+    precision on a planted competing-risks cohort."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        life_years_lost,
+    )
+
+    # tiny: 4 subjects, cause 1 at t=2 (CIF1=0.25 onward),
+    # cause 2 at t=4 (CIF2=1/4... risk set 3 -> S(2-)=0.75,
+    # CIF2(4)=0.75/3=0.25), censor at 5, admin end tau=6
+    tiny = spark.createDataFrame(
+        [("g", 2, 1), ("g", 4, 2), ("g", 5, 0), ("g", 6, 0)],
+        "grp string, duration long, cause int",
+    )
+    out = {
+        (r.cause): r.lyl
+        for r in life_years_lost(tiny, ["grp"], [1, 2], 6.0).collect()
+    }
+    # CIF1 = 0.25 on [2, 6) -> 1.0 ; CIF2 = 0.25 on [4, 6) -> 0.5
+    assert abs(out[1] - 1.0) < 2e-6, out
+    assert abs(out[2] - 0.5) < 2e-6, out
+    # decomposition on a bigger draw
+    rows = []
+    for i in range(500):
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        u2 = ((i * 1103515245 + 12345) % 999983) / 999983.0 + 1e-9
+        t1 = -math.log(u) / 0.09
+        t2 = -math.log(u2) / 0.05
+        t, c = (t1, 1) if t1 < t2 else (t2, 2)
+        cen = (i * 69069) % 7 == 0
+        dur = max(1, int(min(t, 30)))
+        rows.append(("g", dur, 0 if (cen or t >= 30) else c))
+    subj = spark.createDataFrame(
+        rows, "grp string, duration long, cause int"
+    )
+    tau = 20.0
+    lyl = {
+        r.cause: r.lyl
+        for r in life_years_lost(subj, ["grp"], [1, 2], tau).collect()
+    }
+    # RMST from the km curve over the same integer grid: integral of
+    # the step S over [0, tau) = sum of S(t_i) * gap on event grid
+    km = sorted(
+        km_curve(
+            subj.withColumn(
+                "event", (F.col("cause") > 0).cast("int")
+            ),
+            ["grp"], "duration", "event",
+        ).collect(),
+        key=lambda r: r.duration,
+    )
+    rmst, prev_t, prev_s = 0.0, 0.0, 1.0
+    for r in km:
+        t_i = float(r.duration)
+        if t_i > tau:
+            break
+        rmst += prev_s * (t_i - prev_t)
+        prev_t, prev_s = t_i, r.survival
+    rmst += prev_s * (tau - prev_t)
+    assert abs((tau - rmst) - (lyl[1] + lyl[2])) < 5e-4, (
+        rmst, lyl,
+    )
