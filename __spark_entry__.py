@@ -8745,6 +8745,24 @@ def q_survival_logrank(spark, sf_dir):
     )
 
 
+def q_survival_logrank_fh(spark, sf_dir):
+    """Fleming-Harrington G^{0,1} LATE-difference weighted log-rank
+    (operators/survival.py::weighted_logrank_test) — w(t) = 1−Ŝ(t−)
+    from the pooled KM left limit, the delayed-treatment-effect test;
+    (0,0) reduction to the plain log-rank and the power ordering on a
+    planted delayed effect are pinned in tests. Same episode cohort
+    as survival_logrank; the pooled-KM weight rides the same prefix
+    pass, every term nano-lattice — oracle replays bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        weighted_logrank_test,
+    )
+
+    return weighted_logrank_test(
+        _survival_episodes(spark, sf_dir), "cohort", "duration",
+        "event", rho=0.0, gamma=1.0,
+    )
+
+
 # Collapsed ESP-like standard-population weights for the 9 synthetic
 # age bands (integer per-100000 counts; integers keep the DSR an
 # exact-lattice sum — see age_standardized_rates).
@@ -9012,6 +9030,94 @@ _SURVIVAL_LOGRANK_SQL = f"""
                  / (sv_ / 1000000.0), 6) AS chi_square,
            round((observed_1 - se_ / 1000000.0)
                  / (sv_ / 1000000.0), 6) AS log_hazard_ratio
+    FROM agg
+"""
+
+_SURVIVAL_LOGRANK_FH_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    cells AS (
+        SELECT duration,
+               CAST(sum(CASE WHEN cohort = 'A' THEN event ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rm1,
+               count(*) AS rm
+        FROM surv GROUP BY duration
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               count(*) AS n
+        FROM surv
+    ),
+    ar AS (
+        SELECT c.duration, c.d1, c.d,
+               CAST(t.n1 - coalesce(
+                   sum(c.rm1) OVER (ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS na_,
+               CAST(t.n - coalesce(
+                   sum(c.rm) OVER (ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_,
+               t.n1 AS n1_tot, t.n AS n_tot
+        FROM cells c, tot t
+    ),
+    lts AS (
+        SELECT *,
+               CASE WHEN d > 0 AND d < n_
+                    THEN CAST(round(ln(1.0 - d / n_) * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS lt,
+               CASE WHEN d > 0 AND d = n_ THEN 1 ELSE 0 END AS dall
+        FROM ar
+    ),
+    wts AS (
+        SELECT *,
+               CASE WHEN coalesce(sum(dall) OVER wx, 0) > 0 THEN 0.0
+                    ELSE exp(coalesce(sum(lt) OVER wx, 0) / 1000000.0)
+               END AS s_left
+        FROM lts
+        WINDOW wx AS (ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT *,
+            power(1.0 - s_left, 1.0) AS w
+        FROM wts
+    ),
+    folded AS (
+        SELECT *,
+            CASE WHEN d > 0
+                 THEN CAST(round(w * d1 * 1000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS o_term,
+            CASE WHEN d > 0
+                 THEN CAST(round(w * d * (na_ / n_) * 1000000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS e_term,
+            CASE WHEN d > 0 AND n_ > 1
+                 THEN CAST(round(w * w * d * (na_ / n_)
+                                 * (1.0 - na_ / n_) * (n_ - d)
+                                 / (n_ - 1) * 1000000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS v_term
+        FROM terms
+    ),
+    agg AS (
+        SELECT max(n1_tot) AS n_subjects_1,
+               max(n_tot) - max(n1_tot) AS n_subjects_2,
+               sum(o_term) / 1000000000.0 AS o_,
+               sum(e_term) / 1000000000.0 AS e_,
+               sum(v_term) / 1000000000.0 AS v_
+        FROM folded
+    )
+    SELECT n_subjects_1, n_subjects_2,
+           round(o_, 6) AS observed_1,
+           round(e_, 6) AS expected_1,
+           round(v_, 6) AS variance,
+           round((o_ - e_) * (o_ - e_) / v_, 6) AS chi_square,
+           0.0 AS rho, 1.0 AS gamma
     FROM agg
 """
 
@@ -13481,6 +13587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cox_td": q_survival_cox_td,
         "sketch_kll_incremental": q_sketch_kll_incremental,
         "survival_lyl": q_survival_lyl,
+        "survival_logrank_fh": q_survival_logrank_fh,
         # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
@@ -15344,6 +15451,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox_td": _SURVIVAL_COX_TD_SQL,
         "sketch_kll_incremental": _KLL_INCREMENTAL_SQL,
         "survival_lyl": _SURVIVAL_LYL_SQL,
+        "survival_logrank_fh": _SURVIVAL_LOGRANK_FH_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -330,6 +330,7 @@ HEADLINE = [
     "survival_cox_td",
     "sketch_kll_incremental",
     "survival_lyl",
+    "survival_logrank_fh",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -3731,3 +3731,116 @@ def life_years_lost(
             F.round(F.sum("_term") / F.lit(1000000.0), 6).alias("lyl"),
         )
     )
+
+
+def weighted_logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    rho: float = 0.0,
+    gamma: float = 0.0,
+) -> DataFrame:
+    """Fleming-Harrington G^{ρ,γ} weighted log-rank test — the
+    two-group family whose weight w(t) = Ŝ(t−)^ρ (1 − Ŝ(t−))^γ
+    (pooled Kaplan-Meier left limit) tunes where the test has power:
+    (0,0) is the plain log-rank (pinned equal to ``logrank_test`` in
+    tests to lattice tolerance — this family rides the nano lattice,
+    logrank_test the micro), (1,0) the Peto-Peto/generalized-Wilcoxon early-
+    difference test, (0,1) the late-difference test used for
+    delayed-onset treatment effects (immunotherapy trials, or any
+    rollout whose effect needs ramp-up time):
+
+        Z  = Σ_t w(t)·(d1_t − d_t·n1_t/n_t)
+        V  = Σ_t w(t)²·d_t·p(1−p)·(n_t−d_t)/(n_t−1)
+        χ² = Z²/V,  1 df
+
+    Scale shape is ``logrank_test``'s plus one column: the pooled KM
+    left limit comes from the SAME ``global_prefix_sum`` pass that
+    carries the at-risk counts (the micro log-lattice ``km_curve``
+    product), so the weighted test costs no extra shuffle. All terms
+    nano-lattice longs — hash-adjudicates bit-exact.
+
+    Returns one row: n_subjects_1/2, observed_1, expected_1 (both
+    w-weighted), variance, chi_square, rho, gamma.
+    """
+    gvals = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(
+            f"weighted_logrank_test needs exactly 2 groups, got {gvals}"
+        )
+    g1 = gvals[0]
+    is1 = (F.col(group_col) == F.lit(g1)).cast("long")
+    ev = F.col(event_col).cast("long")
+    nano = F.lit(1000000000.0)
+    cells = df.groupBy(duration_col).agg(
+        F.sum(ev * is1).alias("d1"),
+        F.sum(ev).alias("d"),
+        F.sum(is1).alias("rm1"),
+        F.count(F.lit(1)).alias("rm"),
+    )
+    tot = df.agg(
+        F.sum(is1).alias("_n1"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cells = cells.crossJoin(F.broadcast(tot))
+    cells = global_prefix_sum(
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
+    )
+    n1 = F.col("_n1") - F.col("rm1_before")
+    n = F.col("_n") - F.col("rm_before")
+    d = F.col("d")
+    lt = F.when(
+        (d > 0) & (d < n), _micro(F.log(F.lit(1.0) - d / n))
+    ).otherwise(F.lit(0).cast("long"))
+    dall = F.when((d > 0) & (d == n), F.lit(1)).otherwise(F.lit(0)).cast(
+        "long"
+    )
+    cells = cells.withColumn("_lt", lt).withColumn("_dall", dall)
+    cells = global_prefix_sum(
+        cells, duration_col, ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    s_left = F.when(F.col("_dall0") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt0") / F.lit(1000000.0))
+    )
+    w = F.lit(1.0)
+    if rho:
+        w = w * F.pow(s_left, F.lit(float(rho)))
+    if gamma:
+        w = w * F.pow(F.lit(1.0) - s_left, F.lit(float(gamma)))
+    p1 = n1 / n
+    o_term = F.when(
+        d > 0, F.round(w * F.col("d1") * nano, 0).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    e_term = F.when(
+        d > 0, F.round(w * d * p1 * nano, 0).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    v_term = F.when(
+        (d > 0) & (n > 1),
+        F.round(
+            w * w * d * p1 * (F.lit(1.0) - p1) * (n - d) / (n - F.lit(1))
+            * nano,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = cells.agg(
+        F.max("_n1").alias("n_subjects_1"),
+        (F.max("_n") - F.max("_n1")).alias("n_subjects_2"),
+        (F.sum(o_term) / nano).alias("_o"),
+        (F.sum(e_term) / nano).alias("_e"),
+        (F.sum(v_term) / nano).alias("_v"),
+    )
+    oe = F.col("_o") - F.col("_e")
+    return out.select(
+        "n_subjects_1",
+        "n_subjects_2",
+        F.round(F.col("_o"), 6).alias("observed_1"),
+        F.round(F.col("_e"), 6).alias("expected_1"),
+        F.round(F.col("_v"), 6).alias("variance"),
+        F.round(oe * oe / F.col("_v"), 6).alias("chi_square"),
+        F.lit(float(rho)).alias("rho"),
+        F.lit(float(gamma)).alias("gamma"),
+    )

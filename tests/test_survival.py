@@ -2276,3 +2276,47 @@ def test_life_years_lost_decomposition_and_hand_check(spark):
     assert abs((tau - rmst) - (lyl[1] + lyl[2])) < 5e-4, (
         rmst, lyl,
     )
+
+
+def test_weighted_logrank_family(spark):
+    """Fleming-Harrington G^{rho,gamma}: (0,0) equals the plain
+    log-rank to lattice tolerance; a LATE-emerging difference is
+    caught by (0,1) with more power than (1,0) (early weights) on a
+    planted delayed-effect cohort; weights shift expected_1
+    accordingly."""
+    from cancer_survival_etl_spark.operators.survival import (
+        logrank_test,
+        weighted_logrank_test,
+    )
+
+    # delayed effect: identical hazards before t=10, group b's hazard
+    # drops 3x after t=10
+    rows = []
+    for i in range(1200):
+        grp = "a" if i % 2 == 0 else "b"
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        lam1 = 0.06
+        t_pre = -math.log(u) / lam1
+        if t_pre <= 10 or grp == "a":
+            t = t_pre
+        else:
+            u2 = ((i * 1103515245 + 7) % 999983) / 999983.0 + 1e-9
+            t = 10 + (-math.log(u2) / (lam1 / 3.0))
+        cen = (i * 48271) % 8 == 0
+        dur = max(1, int(min(t, 40)))
+        rows.append((grp, dur, 0 if (cen or t >= 40) else 1))
+    df = spark.createDataFrame(rows, "grp string, duration long, event int")
+
+    plain = logrank_test(df, "grp").collect()[0]
+    fh00 = weighted_logrank_test(df, "grp").collect()[0]
+    assert abs(fh00.chi_square - plain.chi_square) < 1e-4
+    assert fh00.observed_1 == float(plain.observed_1)
+    assert abs(fh00.expected_1 - plain.expected_1) < 1e-4
+
+    late = weighted_logrank_test(df, "grp", rho=0.0, gamma=1.0).collect()[0]
+    early = weighted_logrank_test(df, "grp", rho=1.0, gamma=0.0).collect()[0]
+    # the late-difference test has the most power on a delayed effect
+    assert late.chi_square > fh00.chi_square > early.chi_square, (
+        late.chi_square, fh00.chi_square, early.chi_square,
+    )
+    assert late.chi_square > 10
