@@ -10621,6 +10621,248 @@ _SURVIVAL_CIF_SQL = """
 """
 
 
+def q_survival_cif_ci(spark, sf_dir):
+    """CIF with Marubini-Valsecchi/Aalen delta-method variance and
+    log-log CIs (operators/survival.py::cif_with_ci) — the estimator→
+    variance→CI completion for competing risks (the net_pp_ci
+    pattern). Same cohort as survival_cif; the six variance prefix
+    sums ride ONE extra window pass on the pico lattice, and the cif
+    column is bit-equal to cif_competing_risks (pinned in tests,
+    along with the exact single-cause reduction of se_cif to
+    Greenwood). Oracle mirrors every lattice term in DuckDB window
+    SQL."""
+    from cancer_survival_etl_spark.operators.survival import cif_with_ci
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te1"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("te2"),
+    )
+    one_first = F.col("te1").isNotNull() & (
+        F.col("te2").isNull() | (F.col("te1") <= F.col("te2"))
+    )
+    per = per.select(
+        "user_id",
+        "t0",
+        F.when(one_first, F.col("te1")).otherwise(F.col("te2")).alias("te"),
+        F.when(one_first, F.lit(1))
+        .when(F.col("te2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("cz"),
+    )
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    subj = per.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.when(is_event, delay)
+        .otherwise(F.lit(_SURV_HORIZON_H))
+        .cast("long")
+        .alias("duration"),
+        F.when(is_event, F.col("cz")).otherwise(F.lit(0)).alias("cause"),
+    )
+    return cif_with_ci(subj, ["cohort"], [1, 2]).orderBy(
+        "cohort", "duration", "cause"
+    )
+
+
+def _cifci_cause_sql(k: int) -> str:
+    """One cause's variance-term and final-select SQL fragments for
+    the survival_cif_ci oracle (identical lattice arithmetic per
+    cause — generated to keep the two branches textually equal)."""
+    terms = f"""
+            CAST(c{k} AS DOUBLE) / 1000000.0 AS fk{k},
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round(d / (n_risk * (n_risk - d))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS a{k},
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round((c{k} / 1000000.0)
+                                 * (d / (n_risk * (n_risk - d)))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS fa{k},
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round((c{k} / 1000000.0) * (c{k} / 1000000.0)
+                                 * (d / (n_risk * (n_risk - d)))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS f2a{k},
+            CASE WHEN d{k} > 0
+                 THEN CAST(round(s_left * s_left * d{k} * (n_risk - d{k})
+                                 / (n_risk * n_risk * n_risk)
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS b{k},
+            CASE WHEN d{k} > 0
+                 THEN CAST(round(s_left * d{k} / (n_risk * n_risk)
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS cc{k},
+            CASE WHEN d{k} > 0
+                 THEN CAST(round((c{k} / 1000000.0)
+                                 * (s_left * d{k} / (n_risk * n_risk))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS fc{k}"""
+    return terms
+
+
+_SURVIVAL_CIF_CI_SQL = """
+    WITH per0 AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te1,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS te2
+        FROM events GROUP BY user_id
+    ),
+    per AS (
+        SELECT user_id, t0,
+               CASE WHEN te1 IS NOT NULL AND (te2 IS NULL OR te1 <= te2)
+                    THEN te1 ELSE te2 END AS te,
+               CASE WHEN te1 IS NOT NULL AND (te2 IS NULL OR te1 <= te2)
+                    THEN 1
+                    WHEN te2 IS NOT NULL THEN 2 ELSE 0 END AS cz
+        FROM per0
+    ),
+    surv AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN cz ELSE 0 END AS cause
+        FROM per
+    ),
+    cells AS (
+        SELECT cohort, duration,
+               CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+               CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d2,
+               count(*) AS rm
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    ar AS (
+        SELECT c.cohort, c.duration, c.d, c.d1, c.d2,
+               CAST(t.n_subj - coalesce(
+                   sum(c.rm) OVER (PARTITION BY c.cohort ORDER BY c.duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+        FROM cells c JOIN tot t USING (cohort)
+    ),
+    lterms AS (
+        SELECT *,
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round(ln(1.0 - d / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS dall
+        FROM ar
+    ),
+    acc AS (
+        SELECT *,
+               coalesce(sum(lt) OVER wx, 0) AS lt0,
+               coalesce(sum(dall) OVER wx, 0) AS dall0
+        FROM lterms
+        WINDOW wx AS (PARTITION BY cohort ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sl AS (
+        SELECT *,
+            CASE WHEN dall0 > 0 THEN 0.0
+                 ELSE exp(lt0 / 1000000.0) END AS s_left,
+            CASE WHEN dall0 + dall > 0 THEN 0.0
+                 ELSE round(exp((lt0 + lt) / 1000000.0), 6)
+            END AS survival_allcause
+        FROM acc
+    ),
+    tk AS (
+        SELECT *,
+            CASE WHEN d1 > 0
+                 THEN CAST(round(s_left * d1 / n_risk * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS t1,
+            CASE WHEN d2 > 0
+                 THEN CAST(round(s_left * d2 / n_risk * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS t2
+        FROM sl
+    ),
+    cum AS (
+        SELECT *,
+               sum(t1) OVER wi AS c1, sum(t2) OVER wi AS c2
+        FROM tk
+        WINDOW wi AS (PARTITION BY cohort ORDER BY duration
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    vterms AS (
+        SELECT *,{CAUSE1_TERMS},{CAUSE2_TERMS}
+        FROM cum
+    ),
+    vsums AS (
+        SELECT *,
+               sum(a1) OVER wi / 1000000000000.0 AS sa1,
+               sum(fa1) OVER wi / 1000000000000.0 AS sfa1,
+               sum(f2a1) OVER wi / 1000000000000.0 AS sf2a1,
+               sum(b1) OVER wi / 1000000000000.0 AS sb1,
+               sum(cc1) OVER wi / 1000000000000.0 AS sc1,
+               sum(fc1) OVER wi / 1000000000000.0 AS sfc1,
+               sum(a2) OVER wi / 1000000000000.0 AS sa2,
+               sum(fa2) OVER wi / 1000000000000.0 AS sfa2,
+               sum(f2a2) OVER wi / 1000000000000.0 AS sf2a2,
+               sum(b2) OVER wi / 1000000000000.0 AS sb2,
+               sum(cc2) OVER wi / 1000000000000.0 AS sc2,
+               sum(fc2) OVER wi / 1000000000000.0 AS sfc2
+        FROM vterms
+        WINDOW wi AS (PARTITION BY cohort ORDER BY duration
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    fin AS (
+        SELECT *,
+            sqrt(greatest(fk1 * fk1 * sa1 - 2.0 * fk1 * sfa1 + sf2a1
+                          + sb1 - 2.0 * (fk1 * sc1 - sfc1), 0.0)) AS se1,
+            sqrt(greatest(fk2 * fk2 * sa2 - 2.0 * fk2 * sfa2 + sf2a2
+                          + sb2 - 2.0 * (fk2 * sc2 - sfc2), 0.0)) AS se2,
+            round(fk1, 6) AS cif1, round(fk2, 6) AS cif2
+        FROM vsums
+    )
+    SELECT cohort, duration, CAST(1 AS BIGINT) AS cause, n_risk,
+           d1 AS n_event, survival_allcause, cif1 AS cif,
+           round(se1, 6) AS se_cif,
+           CASE WHEN cif1 > 0 AND cif1 < 1
+                THEN round(power(fk1, exp(1.96 * se1
+                                          / (fk1 * abs(ln(fk1))))), 6)
+           END AS lower_ci,
+           CASE WHEN cif1 > 0 AND cif1 < 1
+                THEN round(power(fk1, 1.0 / exp(1.96 * se1
+                                          / (fk1 * abs(ln(fk1))))), 6)
+           END AS upper_ci
+    FROM fin
+    UNION ALL
+    SELECT cohort, duration, CAST(2 AS BIGINT) AS cause, n_risk,
+           d2 AS n_event, survival_allcause, cif2 AS cif,
+           round(se2, 6) AS se_cif,
+           CASE WHEN cif2 > 0 AND cif2 < 1
+                THEN round(power(fk2, exp(1.96 * se2
+                                          / (fk2 * abs(ln(fk2))))), 6)
+           END AS lower_ci,
+           CASE WHEN cif2 > 0 AND cif2 < 1
+                THEN round(power(fk2, 1.0 / exp(1.96 * se2
+                                          / (fk2 * abs(ln(fk2))))), 6)
+           END AS upper_ci
+    FROM fin
+    ORDER BY cohort, duration, cause
+""".replace("{CAUSE1_TERMS}", _cifci_cause_sql(1)).replace(
+    "{CAUSE2_TERMS}", _cifci_cause_sql(2)
+)
+
+
 def q_survival_lyl(spark, sf_dir):
     """Cause-decomposed life years (hours) lost before tau
     (operators/survival.py::life_years_lost — Andersen 2013):
@@ -13588,6 +13830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kll_incremental": q_sketch_kll_incremental,
         "survival_lyl": q_survival_lyl,
         "survival_logrank_fh": q_survival_logrank_fh,
+        "survival_cif_ci": q_survival_cif_ci,
         # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
@@ -15452,6 +15695,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kll_incremental": _KLL_INCREMENTAL_SQL,
         "survival_lyl": _SURVIVAL_LYL_SQL,
         "survival_logrank_fh": _SURVIVAL_LOGRANK_FH_SQL,
+        "survival_cif_ci": _SURVIVAL_CIF_CI_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

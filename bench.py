@@ -331,6 +331,7 @@ HEADLINE = [
     "sketch_kll_incremental",
     "survival_lyl",
     "survival_logrank_fh",
+    "survival_cif_ci",
 ]
 
 REGRESSION_RATIO = 1.5

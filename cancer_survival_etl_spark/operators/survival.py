@@ -3844,3 +3844,191 @@ def weighted_logrank_test(
         F.lit(float(rho)).alias("rho"),
         F.lit(float(gamma)).alias("gamma"),
     )
+
+
+def cif_with_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    causes: Sequence[int],
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+    z: float = 1.96,
+) -> DataFrame:
+    """``cif_competing_risks`` WITH the Marubini-Valsecchi / Aalen
+    delta-method variance and log(−log) confidence intervals — the
+    published companion every registry CIF table carries (the
+    ``net_pp_ci``/``smr`` pattern: estimator → variance → CI):
+
+        Var F_k(t) = Σ_{s≤t} (F_k(t)−F_k(s))²·d_s/(n_s(n_s−d_s))
+                   + Σ_{s≤t} S(s−)²·d_{ks}(n_s−d_{ks})/n_s³
+                   − 2 Σ_{s≤t} (F_k(t)−F_k(s))·S(s−)·d_{ks}/n_s²
+
+    The outer-t dependence EXPANDS: (F(t)−F(s))² = F(t)²−2F(t)F(s)
+    +F(s)², so the whole variance is a fixed combination of SIX
+    inclusive prefix sums (a, F·a, F²·a, b, c, F·c per cause), each
+    on the pico lattice — ONE extra ``grouped_prefix_sum`` pass over
+    the same cell table beyond the three ``cif_competing_risks``
+    does. CI: F^exp(±z·se/(F·|ln F|)) (the ``survival_at_horizons``
+    log-log idiom), NULL at F ∈ {0, 1}.
+
+    Pins (tests): the ``cif``/``survival_allcause`` columns are
+    BIT-EQUAL to ``cif_competing_risks`` (same cells, same lattice
+    arithmetic), and in the single-cause case the CIF standard error
+    equals ``km_curve``'s Greenwood se to lattice precision — the
+    delta-method form reduces to Greenwood identically (verified
+    algebraically in the scalar prototype and pinned numerically).
+
+    Returns ``cif_competing_risks``'s long form plus se_cif,
+    lower_ci, upper_ci.
+    """
+    g = list(group_cols)
+    causes = [int(k) for k in causes]
+    cz = F.col(cause_col).cast("long")
+    cells = df.groupBy(*g, duration_col).agg(
+        F.sum((cz > 0).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_rm"),
+        *[
+            F.sum((cz == F.lit(k)).cast("long")).alias(f"_d_{k}")
+            for k in causes
+        ],
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    cells = cells.join(totals, g)
+    cells = grouped_prefix_sum(cells, g, duration_col, "_rm", "_rm0")
+    d = F.col("_d")
+    n = F.col("_n_subj") - F.col("_rm0")
+    cells = (
+        cells.withColumn("n_risk", n)
+        .withColumn(
+            "_lt",
+            F.when(
+                (d > 0) & (d < F.col("n_risk")),
+                _micro(F.log(F.lit(1.0) - d / F.col("n_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d > 0) & (d == F.col("n_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_rm", "_rm0")
+    )
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    s_left = F.when(F.col("_dall0") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt0") / F.lit(1000000.0))
+    )
+    s_incl = F.when(
+        F.col("_dall0") + F.col("_dall") > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0))
+    )
+    cells = cells.withColumn("_s_incl", F.round(s_incl, 6)).withColumn(
+        "_sl", s_left
+    )
+    for k in causes:
+        dk = F.col(f"_d_{k}")
+        cells = cells.withColumn(
+            f"_t_{k}",
+            F.when(
+                dk > 0, _micro(F.col("_sl") * dk / F.col("n_risk"))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    cells = grouped_prefix_sum(
+        cells,
+        g,
+        duration_col,
+        [f"_t_{k}" for k in causes],
+        [f"_t0_{k}" for k in causes],
+    )
+    nr = F.col("n_risk")
+    a_term = F.when(
+        (d > 0) & (d < nr), _pico(d / (nr * (nr - d)))
+    ).otherwise(F.lit(0).cast("long"))
+    vcols, aliases = [], []
+    for k in causes:
+        fk = (F.col(f"_t0_{k}") + F.col(f"_t_{k}")) / F.lit(1000000.0)
+        dk = F.col(f"_d_{k}")
+        cells = (
+            cells.withColumn(f"_cifm_{k}", fk)
+            .withColumn(f"_a_{k}", a_term)
+            .withColumn(f"_fa_{k}", F.when(
+                (d > 0) & (d < nr),
+                _pico(fk * (d / (nr * (nr - d)))),
+            ).otherwise(F.lit(0).cast("long")))
+            .withColumn(f"_f2a_{k}", F.when(
+                (d > 0) & (d < nr),
+                _pico(fk * fk * (d / (nr * (nr - d)))),
+            ).otherwise(F.lit(0).cast("long")))
+            .withColumn(f"_b_{k}", F.when(
+                dk > 0,
+                _pico(
+                    F.col("_sl") * F.col("_sl") * dk * (nr - dk)
+                    / (nr * nr * nr)
+                ),
+            ).otherwise(F.lit(0).cast("long")))
+            .withColumn(f"_c_{k}", F.when(
+                dk > 0, _pico(F.col("_sl") * dk / (nr * nr))
+            ).otherwise(F.lit(0).cast("long")))
+            .withColumn(f"_fc_{k}", F.when(
+                dk > 0,
+                _pico(fk * (F.col("_sl") * dk / (nr * nr))),
+            ).otherwise(F.lit(0).cast("long")))
+        )
+        for nm in ("a", "fa", "f2a", "b", "c", "fc"):
+            vcols.append(f"_{nm}_{k}")
+            aliases.append(f"_{nm}0_{k}")
+    cells = grouped_prefix_sum(cells, g, duration_col, vcols, aliases)
+    pico = F.lit(1000000000000.0)
+    zlit = F.lit(float(z))
+    outs = []
+    for k in causes:
+        fk = F.col(f"_cifm_{k}")
+
+        def incl(nm, k=k):
+            return (F.col(f"_{nm}0_{k}") + F.col(f"_{nm}_{k}")) / pico
+
+        var = (
+            fk * fk * incl("a")
+            - F.lit(2.0) * fk * incl("fa")
+            + incl("f2a")
+            + incl("b")
+            - F.lit(2.0) * (fk * incl("c") - incl("fc"))
+        )
+        se = F.sqrt(F.greatest(var, F.lit(0.0)))
+        cifr = F.round(fk, 6)
+        theta = F.exp(zlit * se / (fk * F.abs(F.log(fk))))
+        lo = F.when(
+            (cifr > 0) & (cifr < 1), F.round(F.pow(fk, theta), 6)
+        )
+        hi = F.when(
+            (cifr > 0) & (cifr < 1),
+            F.round(F.pow(fk, F.lit(1.0) / theta), 6),
+        )
+        outs.append((k, cifr, F.round(se, 6), lo, hi))
+    stack_parts = []
+    for k, cifr, se, lo, hi in outs:
+        cells = (
+            cells.withColumn(f"_ocif_{k}", cifr)
+            .withColumn(f"_ose_{k}", se)
+            .withColumn(f"_olo_{k}", lo)
+            .withColumn(f"_ohi_{k}", hi)
+        )
+        stack_parts.append(
+            f"{k}L, _d_{k}, _ocif_{k}, _ose_{k}, _olo_{k}, _ohi_{k}"
+        )
+    stack_expr = (
+        "stack({n}, {args}) as (cause, n_event, cif, se_cif, "
+        "lower_ci, upper_ci)"
+    ).format(n=len(causes), args=", ".join(stack_parts))
+    return cells.select(
+        *g,
+        duration_col,
+        "n_risk",
+        F.col("_s_incl").alias("survival_allcause"),
+        F.expr(stack_expr),
+    ).select(
+        *g, duration_col, "cause", "n_risk", "n_event",
+        "survival_allcause", "cif", "se_cif", "lower_ci", "upper_ci",
+    )

@@ -2320,3 +2320,74 @@ def test_weighted_logrank_family(spark):
         late.chi_square, fh00.chi_square, early.chi_square,
     )
     assert late.chi_square > 10
+
+
+def test_cif_with_ci_pins(spark):
+    """cif_with_ci: (1) cif / survival_allcause / n_risk BIT-EQUAL to
+    cif_competing_risks on a competing-risks draw; (2) single-cause
+    reduction: se_cif equals km_curve's Greenwood se to lattice
+    precision (the delta-method variance reduces to Greenwood
+    identically); (3) CIs bracket the estimate and are NULL at
+    cif = 0."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cif_competing_risks,
+        cif_with_ci,
+        km_curve,
+    )
+
+    rows = []
+    for i in range(400):
+        grp = "x" if i % 2 == 0 else "y"
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        u2 = ((i * 1103515245 + 12345) % 999983) / 999983.0 + 1e-9
+        t1 = -math.log(u) / 0.08
+        t2 = -math.log(u2) / 0.05
+        t, c = (t1, 1) if t1 < t2 else (t2, 2)
+        cen = (i * 69069) % 6 == 0
+        dur = max(1, int(min(t, 30)))
+        rows.append((grp, dur, 0 if (cen or t >= 30) else c))
+    subj = spark.createDataFrame(
+        rows, "grp string, duration long, cause int"
+    )
+    plain = {
+        (r.grp, r.duration, r.cause): r
+        for r in cif_competing_risks(
+            subj, ["grp"], [1, 2], "duration", "cause"
+        ).collect()
+    }
+    rich = {
+        (r.grp, r.duration, r.cause): r
+        for r in cif_with_ci(
+            subj, ["grp"], [1, 2], "duration", "cause"
+        ).collect()
+    }
+    assert set(plain) == set(rich)
+    for k, p in plain.items():
+        r = rich[k]
+        assert r.cif == p.cif, (k, r.cif, p.cif)
+        assert r.survival_allcause == p.survival_allcause
+        assert r.n_risk == p.n_risk
+        if 0 < r.cif < 1:
+            assert r.lower_ci <= r.cif <= r.upper_ci, (k, r)
+            assert r.se_cif > 0
+        if r.cif == 0.0:
+            assert r.lower_ci is None and r.upper_ci is None
+    # single-cause reduction: se_cif == Greenwood se of 1-S
+    single = subj.withColumn(
+        "cause", F.when(F.col("cause") > 0, 1).otherwise(0)
+    )
+    km = {
+        (r.grp, r.duration): r
+        for r in km_curve(
+            single.withColumn("event", (F.col("cause") > 0).cast("int")),
+            ["grp"], "duration", "event",
+        ).collect()
+    }
+    ci1 = cif_with_ci(single, ["grp"], [1], "duration", "cause").collect()
+    checked = 0
+    for r in ci1:
+        kmr = km[(r.grp, r.duration)]
+        if kmr.se_greenwood is not None:
+            assert abs(r.se_cif - kmr.se_greenwood) < 2e-6, (r, kmr)
+            checked += 1
+    assert checked > 20
