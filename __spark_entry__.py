@@ -3740,6 +3740,162 @@ _POISSON_GLM_SQL = """
 """
 
 
+def q_stats_poisson_robust(spark, sf_dir):
+    """Modified Poisson with sandwich (HC0) standard errors
+    (operators/stats.py::glm_poisson_robust_se — Zou 2004): the same
+    planted rates cohort as stats_poisson_glm but with OVERDISPERSED
+    counts (2-point mean-1 hash multiplier on the rate), where the
+    model-based SE understates. Verdicts: beta identical to the plain
+    fit (same scoring), robust SE inflated >=1.2x over model SE on
+    the slope, estimate within 4 robust SEs of truth. Cohort cells
+    replay exactly in DuckDB."""
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_poisson,
+        glm_poisson_robust_se,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    x = (key % 8) / 8.0
+    mix = F.when(
+        F.conv(F.substring(F.md5(key.cast("string")), 9, 8), 16, 10)
+        .cast("long") % 2 == 0,
+        F.lit(0.3),
+    ).otherwise(F.lit(1.7))
+    lam = F.exp(F.lit(1.5) + 0.9 * x) * mix
+    jitter = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 3
+        - 1
+    ).cast("double")
+    yv = F.greatest(F.round(lam, 0) + jitter, F.lit(0.0))
+    cohort = o.select(x.alias("x"), yv.alias("y")).localCheckpoint(
+        eager=False
+    )
+    beta, se_r = glm_poisson_robust_se(cohort, ["x"], "y", iters=10)
+    beta_m, se_m = glm_poisson(
+        cohort, ["x"], "y", iters=10, return_se=True
+    )
+    return (
+        cohort.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("sum_y"),
+        )
+        .select(
+            "x",
+            "n",
+            "sum_y",
+            F.lit(beta == beta_m).alias("beta_matches_plain"),
+            F.lit(se_r[1] > 1.2 * se_m[1]).alias("robust_inflates"),
+            F.lit(abs(beta[1] - 0.9) < 4 * se_r[1]).alias(
+                "slope_within_4se"
+            ),
+        )
+    )
+
+
+_POISSON_ROBUST_SQL = """
+    WITH c AS (
+        SELECT (o_orderkey % 8) / 8.0 AS x,
+               greatest(round(exp(1.5 + 0.9 * (o_orderkey % 8) / 8.0)
+                              * (CASE WHEN (CAST(concat('0x',
+                                   substring(md5(o_orderkey::VARCHAR),
+                                             9, 8)) AS BIGINT) % 2) = 0
+                                      THEN 0.3 ELSE 1.7 END), 0)
+                        + ((CAST(concat('0x',
+                               substring(md5(o_orderkey::VARCHAR), 1, 8))
+                               AS BIGINT) % 3) - 1), 0.0) AS y
+        FROM orders
+    )
+    SELECT x, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           true AS beta_matches_plain, true AS robust_inflates,
+           true AS slope_within_4se
+    FROM c GROUP BY x
+"""
+
+
+def q_stats_negbin_glm(spark, sf_dir):
+    """Negative-binomial (NB2) regression with moment-estimated
+    dispersion (operators/stats.py::glm_negative_binomial) on the
+    same overdispersed cohort as stats_poisson_robust. Verdicts:
+    theta finite (the data IS overdispersed — the moment estimator
+    must not run to the Poisson limit), slope recovered, and the
+    theta=inf path reproduces glm_poisson to 1e-6 (the reduction
+    pin, recomputed in-query). Cohort cells replay exactly in
+    DuckDB."""
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_negative_binomial,
+        glm_poisson,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    x = (key % 8) / 8.0
+    mix = F.when(
+        F.conv(F.substring(F.md5(key.cast("string")), 9, 8), 16, 10)
+        .cast("long") % 2 == 0,
+        F.lit(0.3),
+    ).otherwise(F.lit(1.7))
+    lam = F.exp(F.lit(1.5) + 0.9 * x) * mix
+    jitter = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 3
+        - 1
+    ).cast("double")
+    yv = F.greatest(F.round(lam, 0) + jitter, F.lit(0.0))
+    cohort = o.select(x.alias("x"), yv.alias("y")).localCheckpoint(
+        eager=False
+    )
+    beta_nb, theta = glm_negative_binomial(cohort, ["x"], "y", iters=10)
+    beta_inf, _ = glm_negative_binomial(
+        cohort, ["x"], "y", theta=1e9, iters=10
+    )
+    beta_pois = glm_poisson(cohort, ["x"], "y", iters=10)
+    reduction_ok = all(
+        abs(a - b) < 1e-6 for a, b in zip(beta_inf, beta_pois)
+    )
+    return (
+        cohort.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("sum_y"),
+        )
+        .select(
+            "x",
+            "n",
+            "sum_y",
+            F.lit(0.05 < theta < 100).alias("theta_finite"),
+            F.lit(abs(beta_nb[1] - 0.9) < 0.25).alias("slope_recovered"),
+            F.lit(reduction_ok).alias("poisson_reduction_ok"),
+        )
+    )
+
+
+_NEGBIN_GLM_SQL = """
+    WITH c AS (
+        SELECT (o_orderkey % 8) / 8.0 AS x,
+               greatest(round(exp(1.5 + 0.9 * (o_orderkey % 8) / 8.0)
+                              * (CASE WHEN (CAST(concat('0x',
+                                   substring(md5(o_orderkey::VARCHAR),
+                                             9, 8)) AS BIGINT) % 2) = 0
+                                      THEN 0.3 ELSE 1.7 END), 0)
+                        + ((CAST(concat('0x',
+                               substring(md5(o_orderkey::VARCHAR), 1, 8))
+                               AS BIGINT) % 3) - 1), 0.0) AS y
+        FROM orders
+    )
+    SELECT x, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           true AS theta_finite, true AS slope_recovered,
+           true AS poisson_reduction_ok
+    FROM c GROUP BY x
+"""
+
+
 def q_stats_robust_scale(spark, sf_dir):
     """Fused winsorize + robust scale per event type: clip to the exact
     [5th, 95th] discrete percentiles, then center/scale by median and
@@ -13831,6 +13987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_lyl": q_survival_lyl,
         "survival_logrank_fh": q_survival_logrank_fh,
         "survival_cif_ci": q_survival_cif_ci,
+        "stats_poisson_robust": q_stats_poisson_robust,
+        "stats_negbin_glm": q_stats_negbin_glm,
         # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
@@ -15696,6 +15854,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_lyl": _SURVIVAL_LYL_SQL,
         "survival_logrank_fh": _SURVIVAL_LOGRANK_FH_SQL,
         "survival_cif_ci": _SURVIVAL_CIF_CI_SQL,
+        "stats_poisson_robust": _POISSON_ROBUST_SQL,
+        "stats_negbin_glm": _NEGBIN_GLM_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

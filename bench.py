@@ -332,6 +332,8 @@ HEADLINE = [
     "survival_lyl",
     "survival_logrank_fh",
     "survival_cif_ci",
+    "stats_poisson_robust",
+    "stats_negbin_glm",
 ]
 
 REGRESSION_RATIO = 1.5

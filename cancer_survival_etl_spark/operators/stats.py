@@ -2717,3 +2717,157 @@ def poisson_dispersion(
         F.round(disp, 6).alias("dispersion"),
         (disp > 1.5).alias("overdispersed"),
     )
+
+
+def glm_poisson_robust_se(
+    df: DataFrame,
+    feature_cols,
+    y_col: str,
+    offset_col: str | None = None,
+    iters: int = 8,
+):
+    """Poisson GLM with HETEROSKEDASTICITY-ROBUST (sandwich / HC0)
+    standard errors — the modified-Poisson workhorse of modern
+    epidemiology (Zou 2004: Poisson + robust SE estimates relative
+    risks from binary outcomes without logistic's odds-ratio
+    distortion; also the honest SE under any overdispersion):
+
+        Cov(β̂) = I⁻¹ B I⁻¹,   B = Σ (y_i − μ_i)² x_i x_iᵀ
+
+    Fit = ``glm_poisson`` exactly (β bit-identical, pinned); the meat
+    matrix B costs ONE extra nano-lattice hash aggregate at the final
+    iterate. Returns (β, robust_se)."""
+    import numpy as np
+
+    beta = glm_poisson(
+        df, feature_cols, y_col, offset_col=offset_col, iters=iters
+    )
+    feats = list(feature_cols)
+    p = len(feats)
+    nano = F.lit(1000000000.0)
+    y = F.col(y_col).cast("double")
+    off = F.col(offset_col).cast("double") if offset_col else F.lit(0.0)
+    eta = off + F.lit(beta[0])
+    for j, c in enumerate(feats):
+        eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
+    mu = F.exp(eta)
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+    resid2 = (y - mu) * (y - mu)
+    aggs = []
+    for j in range(p + 1):
+        for k in range(j, p + 1):
+            aggs.append(
+                F.sum(
+                    F.round(mu * xs[j] * xs[k] * nano, 0).cast("long")
+                ).alias(f"i{j}_{k}")
+            )
+            aggs.append(
+                F.sum(
+                    F.round(resid2 * xs[j] * xs[k] * nano, 0).cast(
+                        "long"
+                    )
+                ).alias(f"b{j}_{k}")
+            )
+    row = df.agg(*aggs).collect()[0]
+    info = np.zeros((p + 1, p + 1))
+    meat = np.zeros((p + 1, p + 1))
+    for j in range(p + 1):
+        for k in range(j, p + 1):
+            info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
+            meat[j, k] = meat[k, j] = row[f"b{j}_{k}"] / 1e9
+    bread = np.linalg.inv(info)
+    cov = bread @ meat @ bread
+    se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(p + 1)]
+    return beta, se
+
+
+def glm_negative_binomial(
+    df: DataFrame,
+    feature_cols,
+    y_col: str,
+    offset_col: str | None = None,
+    theta: float | None = None,
+    iters: int = 8,
+):
+    """Negative-binomial (NB2) regression — the overdispersed-count
+    model registries reach for when ``glm_poisson_dispersion`` flags
+    Var(y) > E(y): y ~ NB(μ, θ) with Var = μ + μ²/θ, log link.
+
+    Given θ, Fisher scoring is EXACTLY the Poisson machinery with
+    per-row weight w = μ/(1 + μ/θ): g_j = Σ (y−μ)/(1+μ/θ)·x_j,
+    I_jk = Σ w·x_j·x_k — one nano-lattice hash aggregate per
+    iteration, bit-identical under any partitioning (the glm_poisson
+    contract). θ = ∞ reduces every weight to the Poisson's (pinned:
+    huge θ reproduces glm_poisson to 6 dp).
+
+    ``theta=None`` estimates θ by method of moments from an initial
+    Poisson fit (Var = μ + μ²/θ ⇒ θ̂ = Σμ̂² / Σ((y−μ̂)² − μ̂), one
+    extra aggregate, clamped to [0.05, 1e6]) before the NB scoring
+    passes — the standard two-stage estimator. Returns
+    ([β₀, β…], θ_used)."""
+    import numpy as np
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("glm_negative_binomial: iters must be >= 1")
+    feats = list(feature_cols)
+    p = len(feats)
+    nano = F.lit(1000000000.0)
+    y = F.col(y_col).cast("double")
+    off = F.col(offset_col).cast("double") if offset_col else F.lit(0.0)
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+
+    if theta is None:
+        b0 = glm_poisson(
+            df, feats, y_col, offset_col=offset_col, iters=iters
+        )
+        eta0 = off + F.lit(b0[0])
+        for j, c in enumerate(feats):
+            eta0 = eta0 + F.lit(b0[j + 1]) * F.col(c).cast("double")
+        mu0 = F.exp(eta0)
+        r = df.agg(
+            F.sum(F.round(mu0 * mu0 * nano, 0).cast("long")).alias("m2"),
+            F.sum(
+                F.round(
+                    ((y - mu0) * (y - mu0) - mu0) * nano, 0
+                ).cast("long")
+            ).alias("vx"),
+        ).collect()[0]
+        excess = r["vx"] / 1e9
+        theta = (r["m2"] / 1e9) / excess if excess > 0 else 1e6
+        theta = float(min(max(theta, 0.05), 1e6))
+
+    beta = [0.0] * (p + 1)
+    inv_theta = 1.0 / float(theta)
+    for _ in range(iters):
+        eta = off + F.lit(beta[0])
+        for j, c in enumerate(feats):
+            eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
+        mu = F.exp(eta)
+        denom = F.lit(1.0) + mu * F.lit(inv_theta)
+        w = mu / denom
+        aggs = []
+        for j in range(p + 1):
+            aggs.append(
+                F.sum(
+                    F.round((y - mu) / denom * xs[j] * nano, 0).cast(
+                        "long"
+                    )
+                ).alias(f"g{j}")
+            )
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                aggs.append(
+                    F.sum(
+                        F.round(w * xs[j] * xs[k] * nano, 0).cast("long")
+                    ).alias(f"i{j}_{k}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        g = np.array([row[f"g{j}"] / 1e9 for j in range(p + 1)])
+        info = np.zeros((p + 1, p + 1))
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
+        step = np.linalg.solve(info, g)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    return beta, float(theta)

@@ -1157,3 +1157,94 @@ def test_glm_se_and_poisson_dispersion(spark):
     assert d2.dispersion > d1.dispersion * 2
     assert d2.overdispersed
     assert d1.p_params == 2
+
+
+def test_glm_poisson_robust_se(spark):
+    """Sandwich SEs: beta identical to glm_poisson (same fit); under
+    PLANTED overdispersion (NB-generated counts) the robust SE is
+    materially LARGER than the model-based SE (which understates);
+    under true Poisson data the two agree within 20%."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_poisson,
+        glm_poisson_robust_se,
+    )
+
+    def draw_pois(lam, u):
+        # inverse-cdf Poisson from one uniform (deterministic)
+        k, p, c = 0, math.exp(-lam), 0.0
+        c = p
+        while u > c and k < 200:
+            k += 1
+            p *= lam / k
+            c += p
+        return k
+
+    rows_p, rows_nb = [], []
+    for i in range(4000):
+        x = (i % 10) / 10.0
+        lam = math.exp(0.3 + 0.9 * x)
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        rows_p.append((x, draw_pois(lam, u)))
+        # NB via gamma-mixed Poisson: scale lam by a 2-point mixing
+        # multiplier with mean 1, var 0.49 -> strongly overdispersed
+        m = 0.3 if (i * 48271) % 4 < 2 else 1.7
+        rows_nb.append((x, draw_pois(lam * m, u)))
+    dfp = spark.createDataFrame(rows_p, "x double, y long")
+    dfnb = spark.createDataFrame(rows_nb, "x double, y long")
+
+    beta_fit = glm_poisson(dfp, ["x"], "y", iters=6)
+    beta_r, se_r = glm_poisson_robust_se(dfp, ["x"], "y", iters=6)
+    assert beta_r == beta_fit
+    _, se_model = glm_poisson(dfp, ["x"], "y", iters=6, return_se=True)
+    for a, b in zip(se_r, se_model):
+        assert abs(a - b) / b < 0.2, (se_r, se_model)
+    # overdispersed: robust SE inflates well past model SE
+    _, se_r_nb = glm_poisson_robust_se(dfnb, ["x"], "y", iters=6)
+    _, se_m_nb = glm_poisson(dfnb, ["x"], "y", iters=6, return_se=True)
+    assert se_r_nb[1] > 1.3 * se_m_nb[1], (se_r_nb, se_m_nb)
+
+
+def test_glm_negative_binomial(spark):
+    """NB2: huge theta reproduces glm_poisson to 6 dp; on planted
+    overdispersed counts the moment-estimated theta is finite and
+    beta still recovers the planted slope."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_negative_binomial,
+        glm_poisson,
+    )
+
+    def draw_pois(lam, u):
+        k, p = 0, math.exp(-lam)
+        c = p
+        while u > c and k < 200:
+            k += 1
+            p *= lam / k
+            c += p
+        return k
+
+    rows = []
+    for i in range(4000):
+        x = (i % 10) / 10.0
+        lam = math.exp(0.3 + 0.9 * x)
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        m = 0.4 if (i * 48271) % 4 < 2 else 1.6
+        rows.append((x, draw_pois(lam * m, u)))
+    df = spark.createDataFrame(rows, "x double, y long")
+
+    b_pois = glm_poisson(df, ["x"], "y", iters=6)
+    b_nb_inf, th = glm_negative_binomial(
+        df, ["x"], "y", theta=1e9, iters=6
+    )
+    for a, b in zip(b_nb_inf, b_pois):
+        assert abs(a - b) < 1e-6, (b_nb_inf, b_pois)
+    b_nb, theta_hat = glm_negative_binomial(df, ["x"], "y", iters=6)
+    assert 0.5 < theta_hat < 50, theta_hat
+    assert abs(b_nb[1] - 0.9) < 0.2, b_nb
+    import pytest as _p
+
+    with _p.raises(ValueError, match="iters"):
+        glm_negative_binomial(df, ["x"], "y", theta=2.0, iters=0)
