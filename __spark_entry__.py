@@ -3817,6 +3817,141 @@ _POISSON_ROBUST_SQL = """
 """
 
 
+def q_stats_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel pooled OR/RR with RBG / Greenland-Robins CIs
+    (operators/stats.py::mantel_haenszel) over order-priority strata:
+    exposure = orderkey % 3 = 0, case = md5 uniform under a
+    stratum-varying base rate times a planted exposure risk ratio of
+    1.5 — confounded by design (base rates differ by stratum). One
+    exact-integer cell aggregate + one micro-lattice fold; EVERY
+    published number (point estimates, variances, CI bounds) replays
+    bit-exact in DuckDB."""
+    from cancer_survival_etl_spark.operators.stats import mantel_haenszel
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    exposed = (key % 3 == 0).cast("int")
+    base = F.lit(0.05) + (F.ascii(F.substring("o_orderpriority", 1, 1))
+                          - F.lit(48)) * 0.02
+    p = base * F.when(exposed == 1, F.lit(1.5)).otherwise(F.lit(1.0))
+    subj = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        exposed.alias("exposed"),
+        (u < p).cast("int").alias("case"),
+    )
+    return mantel_haenszel(subj, "stratum", "exposed", "case")
+
+
+_MANTEL_HAENSZEL_SQL = """
+    WITH subj AS (
+        SELECT o_orderpriority AS stratum,
+               CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0
+                    < (0.05 + (ascii(substring(o_orderpriority, 1, 1))
+                               - 48) * 0.02)
+                      * (CASE WHEN o_orderkey % 3 = 0
+                              THEN 1.5 ELSE 1.0 END)
+                    THEN 1 ELSE 0 END AS "case"
+        FROM orders
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(sum(exposed * "case") AS BIGINT) AS a,
+               CAST(sum(exposed * (1 - "case")) AS BIGINT) AS b,
+               CAST(sum((1 - exposed) * "case") AS BIGINT) AS c,
+               CAST(sum((1 - exposed) * (1 - "case")) AS BIGINT) AS d
+        FROM subj GROUP BY stratum
+    ),
+    folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(a + b + c + d) AS BIGINT) AS n_subjects,
+               CAST(sum(CAST(round(a * d / CAST(a + b + c + d AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS r_,
+               CAST(sum(CAST(round(b * c / CAST(a + b + c + d AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS s_,
+               CAST(sum(CAST(round((a + d) / CAST(a + b + c + d AS DOUBLE)
+                                   * (a * d / CAST(a + b + c + d
+                                                   AS DOUBLE))
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS pr_,
+               CAST(sum(CAST(round(((a + d) / CAST(a + b + c + d
+                                                   AS DOUBLE)
+                                    * (b * c / CAST(a + b + c + d
+                                                    AS DOUBLE))
+                                    + (b + c) / CAST(a + b + c + d
+                                                     AS DOUBLE)
+                                    * (a * d / CAST(a + b + c + d
+                                                    AS DOUBLE)))
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS psqr_,
+               CAST(sum(CAST(round((b + c) / CAST(a + b + c + d AS DOUBLE)
+                                   * (b * c / CAST(a + b + c + d
+                                                   AS DOUBLE))
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS qs_,
+               CAST(sum(CAST(round(a * (c + d)
+                                   / CAST(a + b + c + d AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS rrn_,
+               CAST(sum(CAST(round(c * (a + b)
+                                   / CAST(a + b + c + d AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS rrd_,
+               CAST(sum(CAST(round(((a + c) * (a + b) * (c + d)
+                                    / (CAST(a + b + c + d AS DOUBLE)
+                                       * CAST(a + b + c + d AS DOUBLE))
+                                    - a * c / CAST(a + b + c + d
+                                                   AS DOUBLE))
+                                   * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS rrv_
+        FROM cells
+    ),
+    calc AS (
+        SELECT *,
+               r_ / 1000000.0 AS r2, s_ / 1000000.0 AS s2,
+               rrn_ / 1000000.0 AS rn2, rrd_ / 1000000.0 AS rd2
+        FROM folded
+    ),
+    fin AS (
+        SELECT *,
+               r2 / s2 AS or_mh_raw,
+               (pr_ / 1000000.0) / (2.0 * r2 * r2)
+                   + (psqr_ / 1000000.0) / (2.0 * r2 * s2)
+                   + (qs_ / 1000000.0) / (2.0 * s2 * s2) AS var_or,
+               rn2 / rd2 AS rr_mh_raw,
+               (rrv_ / 1000000.0) / (rn2 * rd2) AS var_rr
+        FROM calc
+    )
+    SELECT n_strata, n_subjects,
+           CASE WHEN r_ > 0 AND s_ > 0
+                THEN round(or_mh_raw, 6) END AS or_mh,
+           CASE WHEN r_ > 0 AND s_ > 0
+                THEN round(or_mh_raw * exp(-1.96 * sqrt(var_or)), 6)
+           END AS or_lower,
+           CASE WHEN r_ > 0 AND s_ > 0
+                THEN round(or_mh_raw * exp(1.96 * sqrt(var_or)), 6)
+           END AS or_upper,
+           CASE WHEN rrn_ > 0 AND rrd_ > 0
+                THEN round(rr_mh_raw, 6) END AS rr_mh,
+           CASE WHEN rrn_ > 0 AND rrd_ > 0
+                THEN round(rr_mh_raw * exp(-1.96 * sqrt(var_rr)), 6)
+           END AS rr_lower,
+           CASE WHEN rrn_ > 0 AND rrd_ > 0
+                THEN round(rr_mh_raw * exp(1.96 * sqrt(var_rr)), 6)
+           END AS rr_upper
+    FROM fin
+"""
+
+
 def q_stats_negbin_glm(spark, sf_dir):
     """Negative-binomial (NB2) regression with moment-estimated
     dispersion (operators/stats.py::glm_negative_binomial) on the
@@ -11515,6 +11650,40 @@ _SURVIVAL_MEDIAN_SQL = """
 """
 
 
+def q_survival_median_ci(spark, sf_dir):
+    """Brookmeyer-Crowley test-inversion CI for the median survival
+    time (operators/survival.py::median_survival_ci): the set of km
+    grid times whose Greenwood z-test keeps S = 0.5, reported as
+    [min, max] next to the median itself — the survfit-style
+    published triple. One conditional min/max aggregate over the km
+    cells; oracle mirrors the set construction bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        median_survival_ci,
+    )
+
+    km = km_curve(_survival_episodes(spark, sf_dir), ["cohort"])
+    return median_survival_ci(km, ["cohort"])
+
+
+_SURVIVAL_MEDIAN_CI_SQL = """
+    WITH kmfull AS ({km})
+    SELECT cohort,
+           CAST(max(n_risk) AS BIGINT) AS n_subjects,
+           min(CASE WHEN survival <= 0.5 THEN duration END)
+               AS median_time,
+           min(CASE WHEN se_greenwood IS NOT NULL
+                     AND abs(survival - 0.5) <= 1.96 * se_greenwood
+                    THEN duration END) AS median_lower,
+           max(CASE WHEN se_greenwood IS NOT NULL
+                     AND abs(survival - 0.5) <= 1.96 * se_greenwood
+                    THEN duration END) AS median_upper,
+           min(CASE WHEN survival <= 0.5 THEN duration END)
+               IS NOT NULL AS median_reached
+    FROM kmfull GROUP BY cohort
+"""
+
+
 def q_survival_rmst(spark, sf_dir):
     """Restricted mean survival time at τ = 24 h (operators/
     survival.py::rmst): area under the KM curve by summation by parts
@@ -13989,6 +14158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cif_ci": q_survival_cif_ci,
         "stats_poisson_robust": q_stats_poisson_robust,
         "stats_negbin_glm": q_stats_negbin_glm,
+        "stats_mantel_haenszel": q_stats_mantel_haenszel,
+        "survival_median_ci": q_survival_median_ci,
         # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
@@ -15856,6 +16027,10 @@ def oracle_sql() -> dict[str, str]:
         "survival_cif_ci": _SURVIVAL_CIF_CI_SQL,
         "stats_poisson_robust": _POISSON_ROBUST_SQL,
         "stats_negbin_glm": _NEGBIN_GLM_SQL,
+        "stats_mantel_haenszel": _MANTEL_HAENSZEL_SQL,
+        "survival_median_ci": _SURVIVAL_MEDIAN_CI_SQL.format(
+            km=_SURVIVAL_KM_SQL
+        ),
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -334,6 +334,8 @@ HEADLINE = [
     "survival_cif_ci",
     "stats_poisson_robust",
     "stats_negbin_glm",
+    "stats_mantel_haenszel",
+    "survival_median_ci",
 ]
 
 REGRESSION_RATIO = 1.5

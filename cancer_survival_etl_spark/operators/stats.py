@@ -2871,3 +2871,109 @@ def glm_negative_binomial(
         step = np.linalg.solve(info, g)
         beta = [round(b + s, 9) for b, s in zip(beta, step)]
     return beta, float(theta)
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_cols,
+    exposed_col: str,
+    case_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio AND risk ratio over
+    stratified 2×2 tables — the classic confounder adjustment when a
+    model is overkill (the ``stratified_logrank_test`` philosophy for
+    binary outcomes). Per stratum k with cells a (exposed cases),
+    b (exposed non-cases), c (unexposed cases), d (unexposed
+    non-cases), n = a+b+c+d:
+
+        OR_MH = Σ a_k d_k / n_k  ÷  Σ b_k c_k / n_k
+        RR_MH = Σ a_k (c_k+d_k)/n_k  ÷  Σ c_k (a_k+b_k)/n_k
+
+    with the Robins-Breslow-Greenland variance for ln OR_MH and the
+    Greenland-Robins variance for ln RR_MH — the textbook estimators
+    behind every published adjusted OR/RR [95% CI].
+
+    Scale shape: ONE hash aggregate to per-stratum cells (exact
+    integer counts), then one micro-lattice fold over the stratum
+    table (strata-count-sized). Every published number is an
+    order-independent integer sum divided once at the end —
+    hash-adjudicates bit-exact against the SQL mirror.
+
+    Returns one row: n_strata, n_subjects, or_mh, or_lower, or_upper,
+    rr_mh, rr_lower, rr_upper (6 dp; CI NULL when a numerator or
+    denominator sum is zero).
+    """
+    s = [stratum_cols] if isinstance(stratum_cols, str) else list(
+        stratum_cols
+    )
+    ex = F.col(exposed_col).cast("long")
+    ca = F.col(case_col).cast("long")
+    cells = df.groupBy(*s).agg(
+        F.sum(ex * ca).alias("a"),
+        F.sum(ex * (1 - ca)).alias("b"),
+        F.sum((1 - ex) * ca).alias("c"),
+        F.sum((1 - ex) * (1 - ca)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = (a + b + c + d).cast("double")
+    micro = F.lit(1000000.0)
+
+    def m(x):
+        return F.round(x * micro, 0).cast("long")
+
+    folded = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(a + b + c + d).alias("n_subjects"),
+        F.sum(m(a * d / n)).alias("_r"),
+        F.sum(m(b * c / n)).alias("_s"),
+        F.sum(m((a + d) / n * (a * d / n))).alias("_pr"),
+        F.sum(
+            m((a + d) / n * (b * c / n) + (b + c) / n * (a * d / n))
+        ).alias("_psqr"),
+        F.sum(m((b + c) / n * (b * c / n))).alias("_qs"),
+        F.sum(m(a * (c + d) / n)).alias("_rr_num"),
+        F.sum(m(c * (a + b) / n)).alias("_rr_den"),
+        F.sum(
+            m(
+                ((a + c) * (a + b) * (c + d) / (n * n) - a * c / n)
+            )
+        ).alias("_rr_v"),
+    )
+    r = F.col("_r") / micro
+    sx = F.col("_s") / micro
+    or_mh = r / sx
+    var_or = (
+        (F.col("_pr") / micro) / (F.lit(2.0) * r * r)
+        + (F.col("_psqr") / micro) / (F.lit(2.0) * r * sx)
+        + (F.col("_qs") / micro) / (F.lit(2.0) * sx * sx)
+    )
+    rr_num = F.col("_rr_num") / micro
+    rr_den = F.col("_rr_den") / micro
+    rr_mh = rr_num / rr_den
+    var_rr = (F.col("_rr_v") / micro) / (rr_num * rr_den)
+    zlit = F.lit(float(z))
+    ok_or = (F.col("_r") > 0) & (F.col("_s") > 0)
+    ok_rr = (F.col("_rr_num") > 0) & (F.col("_rr_den") > 0)
+    return folded.select(
+        "n_strata",
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.when(ok_or, F.round(or_mh, 6)).alias("or_mh"),
+        F.when(
+            ok_or,
+            F.round(or_mh * F.exp(-zlit * F.sqrt(var_or)), 6),
+        ).alias("or_lower"),
+        F.when(
+            ok_or,
+            F.round(or_mh * F.exp(zlit * F.sqrt(var_or)), 6),
+        ).alias("or_upper"),
+        F.when(ok_rr, F.round(rr_mh, 6)).alias("rr_mh"),
+        F.when(
+            ok_rr,
+            F.round(rr_mh * F.exp(-zlit * F.sqrt(var_rr)), 6),
+        ).alias("rr_lower"),
+        F.when(
+            ok_rr,
+            F.round(rr_mh * F.exp(zlit * F.sqrt(var_rr)), 6),
+        ).alias("rr_upper"),
+    )

@@ -4032,3 +4032,55 @@ def cif_with_ci(
         *g, duration_col, "cause", "n_risk", "n_event",
         "survival_allcause", "cif", "se_cif", "lower_ci", "upper_ci",
     )
+
+
+def median_survival_ci(
+    km: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str = "duration",
+    z: float = 1.96,
+) -> DataFrame:
+    """Brookmeyer-Crowley confidence interval for the median survival
+    time — the standard companion to ``median_survival``: the CI is
+    the set of times where the hypothesis S(t) = ½ is NOT rejected by
+    the Greenwood z-test,
+
+        { t : |S(t) − 0.5| ≤ z · se_greenwood(t) },
+
+    reported as [min, max] over the km grid (Brookmeyer & Crowley
+    1982, the test-inversion construction R ``survfit`` reports).
+    An unreached bound is NULL (upper open when the curve's tail
+    never re-rejects ½; both NULL when the median isn't reached and
+    no cell is compatible with ½ — degenerate tiny cohorts).
+
+    Pure cell arithmetic on a ``km_curve`` output: one conditional
+    min/max aggregate per group, no new shuffle beyond the grid-sized
+    groupBy. Returns (group, n_subjects, median_time, median_lower,
+    median_upper, median_reached).
+    """
+    g = list(group_cols)
+    zlit = F.lit(float(z))
+    in_set = (
+        F.col("se_greenwood").isNotNull()
+        & (
+            F.abs(F.col("survival") - F.lit(0.5))
+            <= zlit * F.col("se_greenwood")
+        )
+    )
+    crossed = F.col("survival") <= 0.5
+    agg = km.groupBy(*g).agg(
+        F.max("n_risk").alias("n_subjects"),
+        F.min(
+            F.when(crossed, F.col(duration_col))
+        ).alias("median_time"),
+        F.min(F.when(in_set, F.col(duration_col))).alias("median_lower"),
+        F.max(F.when(in_set, F.col(duration_col))).alias("median_upper"),
+    )
+    return agg.select(
+        *g,
+        "n_subjects",
+        "median_time",
+        "median_lower",
+        "median_upper",
+        F.col("median_time").isNotNull().alias("median_reached"),
+    )

@@ -1248,3 +1248,50 @@ def test_glm_negative_binomial(spark):
 
     with _p.raises(ValueError, match="iters"):
         glm_negative_binomial(df, ["x"], "y", theta=2.0, iters=0)
+
+
+def test_mantel_haenszel_adjusts_confounding(spark):
+    """MH: (1) hand-check on two hand-built strata (exact micro
+    arithmetic); (2) a Simpson's-paradox plant where the CRUDE OR is
+    inflated by a confounder but the stratum-specific OR is 1 - MH
+    must report ~1 and its CI must cover 1 while the crude OR
+    excludes it."""
+    from cancer_survival_etl_spark.operators.stats import mantel_haenszel
+
+    # hand strata: k1 a=10 b=20 c=5 d=40 (n=75); k2 a=8 b=8 c=4 d=16
+    rows = (
+        [("k1", 1, 1)] * 10 + [("k1", 1, 0)] * 20
+        + [("k1", 0, 1)] * 5 + [("k1", 0, 0)] * 40
+        + [("k2", 1, 1)] * 8 + [("k2", 1, 0)] * 8
+        + [("k2", 0, 1)] * 4 + [("k2", 0, 0)] * 16
+    )
+    df = spark.createDataFrame(rows, "s string, exposed int, case int")
+    r = mantel_haenszel(df, "s", "exposed", "case").collect()[0]
+    num = round(10 * 40 / 75 * 1e6) / 1e6 + round(8 * 16 / 36 * 1e6) / 1e6
+    den = round(20 * 5 / 75 * 1e6) / 1e6 + round(8 * 4 / 36 * 1e6) / 1e6
+    assert r.or_mh == round(num / den, 6)
+    assert r.n_strata == 2 and r.n_subjects == len(rows)
+    assert r.or_lower < r.or_mh < r.or_upper
+    rr_num = round(10 * 45 / 75 * 1e6) / 1e6 + round(8 * 20 / 36 * 1e6) / 1e6
+    rr_den = round(5 * 30 / 75 * 1e6) / 1e6 + round(4 * 16 / 36 * 1e6) / 1e6
+    assert r.rr_mh == round(rr_num / rr_den, 6)
+
+    # Simpson plant: stratum A mostly exposed & high base rate,
+    # stratum B mostly unexposed & low base rate; within-stratum
+    # exposure has NO effect
+    rows2 = (
+        # stratum A: P(case)=0.5 regardless of exposure
+        [("A", 1, 1)] * 200 + [("A", 1, 0)] * 200
+        + [("A", 0, 1)] * 25 + [("A", 0, 0)] * 25
+        # stratum B: P(case)=0.1 regardless
+        + [("B", 1, 1)] * 5 + [("B", 1, 0)] * 45
+        + [("B", 0, 1)] * 40 + [("B", 0, 0)] * 360
+    )
+    df2 = spark.createDataFrame(rows2, "s string, exposed int, case int")
+    adj = mantel_haenszel(df2, "s", "exposed", "case").collect()[0]
+    crude = mantel_haenszel(
+        df2.withColumn("s", F.lit("all")), "s", "exposed", "case"
+    ).collect()[0]
+    assert adj.or_lower < 1.0 < adj.or_upper, adj
+    assert abs(adj.or_mh - 1.0) < 0.05
+    assert crude.or_lower > 2.0, crude  # confounded crude estimate

@@ -2391,3 +2391,47 @@ def test_cif_with_ci_pins(spark):
             assert abs(r.se_cif - kmr.se_greenwood) < 2e-6, (r, kmr)
             checked += 1
     assert checked > 20
+
+
+def test_median_survival_ci_brookmeyer_crowley(spark):
+    """B-C median CI: hand-replicated from the km cells (the CI is
+    the set of times whose Greenwood z-test keeps S=0.5); agrees with
+    median_survival on the point estimate; brackets it; narrows with
+    sample size."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        median_survival,
+        median_survival_ci,
+    )
+
+    def cohort(n):
+        rows = []
+        for i in range(n):
+            u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+            t = -math.log(u) / 0.09
+            cen = (i * 48271) % 6 == 0
+            dur = max(1, int(min(t, 30)))
+            rows.append(("g", dur, 0 if (cen or t >= 30) else 1))
+        return spark.createDataFrame(
+            rows, "grp string, duration long, event int"
+        )
+
+    km = km_curve(cohort(300), ["grp"], "duration", "event")
+    ci = median_survival_ci(km, ["grp"]).collect()[0]
+    med = median_survival(km, ["grp"]).collect()[0]
+    assert ci.median_time == med.median_time
+    assert ci.median_reached
+    assert ci.median_lower <= ci.median_time <= ci.median_upper
+    # hand replication
+    cells = km.collect()
+    in_set = [r.duration for r in cells
+              if r.se_greenwood is not None
+              and abs(r.survival - 0.5) <= 1.96 * r.se_greenwood]
+    assert ci.median_lower == min(in_set)
+    assert ci.median_upper == max(in_set)
+    # more subjects -> tighter CI
+    km4 = km_curve(cohort(1200), ["grp"], "duration", "event")
+    ci4 = median_survival_ci(km4, ["grp"]).collect()[0]
+    assert (ci4.median_upper - ci4.median_lower) <= (
+        ci.median_upper - ci.median_lower
+    )
