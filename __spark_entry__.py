@@ -3952,6 +3952,190 @@ _MANTEL_HAENSZEL_SQL = """
 """
 
 
+def q_stats_breslow_day(spark, sf_dir):
+    """Breslow-Day OR-homogeneity test with Tarone correction
+    (operators/stats.py::breslow_day) — the check behind every
+    published Mantel-Haenszel pooled OR. Same stratified plant as
+    stats_mantel_haenszel; the common-OR fitted cell is a closed-form
+    quadratic root per stratum (no iteration, no driver work), folded
+    on the micro lattice — the whole statistic replays bit-exact in
+    DuckDB."""
+    from cancer_survival_etl_spark.operators.stats import breslow_day
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    exposed = (key % 3 == 0).cast("int")
+    base = F.lit(0.05) + (F.ascii(F.substring("o_orderpriority", 1, 1))
+                          - F.lit(48)) * 0.02
+    p = base * F.when(exposed == 1, F.lit(1.5)).otherwise(F.lit(1.0))
+    subj = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        exposed.alias("exposed"),
+        (u < p).cast("int").alias("case"),
+    )
+    return breslow_day(subj, "stratum", "exposed", "case")
+
+
+_BRESLOW_DAY_SQL = """
+    WITH subj AS (
+        SELECT o_orderpriority AS stratum,
+               CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0
+                    < (0.05 + (ascii(substring(o_orderpriority, 1, 1))
+                               - 48) * 0.02)
+                      * (CASE WHEN o_orderkey % 3 = 0
+                              THEN 1.5 ELSE 1.0 END)
+                    THEN 1 ELSE 0 END AS "case"
+        FROM orders
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(sum(exposed * "case") AS BIGINT) AS a,
+               CAST(sum(exposed * (1 - "case")) AS BIGINT) AS b,
+               CAST(sum((1 - exposed) * "case") AS BIGINT) AS c,
+               CAST(sum((1 - exposed) * (1 - "case")) AS BIGINT) AS d
+        FROM subj GROUP BY stratum
+    ),
+    psi AS (
+        SELECT CAST(sum(CAST(round(a * d / CAST(a + b + c + d AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                   / 1000000.0
+               / (CAST(sum(CAST(round(b * c
+                                      / CAST(a + b + c + d AS DOUBLE)
+                                      * 1000000.0, 0) AS BIGINT))
+                       AS BIGINT) / 1000000.0) AS psi_
+        FROM cells
+    ),
+    fit AS (
+        SELECT cells.*, psi.psi_,
+               CAST(a + b AS DOUBLE) AS n1,
+               CAST(c + d AS DOUBLE) AS n0,
+               CAST(a + c AS DOUBLE) AS m1
+        FROM cells, psi
+    ),
+    quad AS (
+        SELECT *,
+               psi_ - 1.0 AS qa,
+               -(psi_ * (n1 + m1) + (n0 - m1)) AS qb,
+               psi_ * n1 * m1 AS qc
+        FROM fit
+    ),
+    root AS (
+        SELECT *,
+               CASE WHEN abs(qa) < 0.000000000001
+                    THEN -qc / qb
+                    ELSE (-qb - sqrt(greatest(qb * qb - 4.0 * qa * qc,
+                                              0.0))) / (2.0 * qa)
+               END AS a_fit
+        FROM quad
+    ),
+    dv AS (
+        SELECT *,
+               1.0 / (1.0 / a_fit + 1.0 / (n1 - a_fit)
+                      + 1.0 / (m1 - a_fit)
+                      + 1.0 / (n0 - m1 + a_fit)) AS var_a,
+               CAST(a AS DOUBLE) - a_fit AS dev
+        FROM root
+    ),
+    folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(CAST(round(dev * dev / var_a * 1000000.0, 0)
+                             AS BIGINT)) AS BIGINT) / 1000000.0 AS x2,
+               CAST(sum(CAST(round(dev * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) / 1000000.0 AS sdev,
+               CAST(sum(CAST(round(var_a * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) / 1000000.0 AS svar,
+               max(psi_) AS psi_out
+        FROM dv
+    )
+    SELECT n_strata,
+           round(psi_out, 6) AS or_mh,
+           round(x2 - sdev * sdev / svar, 6) AS bd_chi_square,
+           CAST(n_strata - 1 AS BIGINT) AS df
+    FROM folded
+"""
+
+
+def q_stats_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage dose-response trend test (operators/stats.py::
+    cochran_armitage): case rate vs ordered exposure score (orderkey
+    % 4) with a planted linear trend 0.05 + 0.03·score. One exact
+    cell aggregate + one micro-lattice fold; T/V/z/χ² all replay
+    bit-exact in DuckDB."""
+    from cancer_survival_etl_spark.operators.stats import cochran_armitage
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    score = (key % 4).cast("double")
+    p = F.lit(0.05) + score * 0.03
+    subj = o.select(
+        score.alias("score"),
+        (u < p).cast("int").alias("case"),
+    )
+    return cochran_armitage(subj, "score", "case")
+
+
+_COCHRAN_ARMITAGE_SQL = """
+    WITH subj AS (
+        SELECT CAST(o_orderkey % 4 AS DOUBLE) AS score,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0
+                    < 0.05 + CAST(o_orderkey % 4 AS DOUBLE) * 0.03
+                    THEN 1 ELSE 0 END AS "case"
+        FROM orders
+    ),
+    cells AS (
+        SELECT score AS s_,
+               CAST(sum("case") AS BIGINT) AS r_,
+               count(*) AS nn_
+        FROM subj GROUP BY score
+    ),
+    folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(nn_) AS BIGINT) AS nn,
+               CAST(sum(r_) AS BIGINT) AS rr,
+               CAST(sum(CAST(round(s_ * r_ * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS sr,
+               CAST(sum(CAST(round(s_ * nn_ * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS sn,
+               CAST(sum(CAST(round(s_ * s_ * nn_ * 1000000.0, 0)
+                             AS BIGINT)) AS BIGINT) AS ssn
+        FROM cells
+    ),
+    fin AS (
+        SELECT *,
+               sr / 1000000.0
+                   - (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                     * (sn / 1000000.0) AS t_,
+               (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * (ssn / 1000000.0
+                      - (sn / 1000000.0) * (sn / 1000000.0)
+                        / CAST(nn AS DOUBLE)) AS v_
+        FROM folded
+    )
+    SELECT n_groups, nn AS n_subjects, rr AS n_cases,
+           round(t_, 6) AS t_stat,
+           round(v_, 6) AS variance,
+           round(t_ / sqrt(v_), 6) AS z,
+           round((t_ / sqrt(v_)) * (t_ / sqrt(v_)), 6) AS chi_square
+    FROM fin
+"""
+
+
 def q_stats_negbin_glm(spark, sf_dir):
     """Negative-binomial (NB2) regression with moment-estimated
     dispersion (operators/stats.py::glm_negative_binomial) on the
@@ -14160,6 +14344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_negbin_glm": q_stats_negbin_glm,
         "stats_mantel_haenszel": q_stats_mantel_haenszel,
         "survival_median_ci": q_survival_median_ci,
+        "stats_breslow_day": q_stats_breslow_day,
+        "stats_cochran_armitage": q_stats_cochran_armitage,
         # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
@@ -16031,6 +16217,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_median_ci": _SURVIVAL_MEDIAN_CI_SQL.format(
             km=_SURVIVAL_KM_SQL
         ),
+        "stats_breslow_day": _BRESLOW_DAY_SQL,
+        "stats_cochran_armitage": _COCHRAN_ARMITAGE_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -336,6 +336,8 @@ HEADLINE = [
     "stats_negbin_glm",
     "stats_mantel_haenszel",
     "survival_median_ci",
+    "stats_breslow_day",
+    "stats_cochran_armitage",
 ]
 
 REGRESSION_RATIO = 1.5

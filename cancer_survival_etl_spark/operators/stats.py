@@ -2977,3 +2977,154 @@ def mantel_haenszel(
             F.round(rr_mh * F.exp(zlit * F.sqrt(var_rr)), 6),
         ).alias("rr_upper"),
     )
+
+
+def breslow_day(
+    df: DataFrame,
+    stratum_cols,
+    exposed_col: str,
+    case_col: str,
+) -> DataFrame:
+    """Breslow-Day test of ODDS-RATIO HOMOGENEITY across strata with
+    the Tarone correction — the published companion to
+    ``mantel_haenszel``: MH assumes one common OR; this is the check.
+    Per stratum with margins n1 = a+b (exposed), n0 = c+d, m1 = a+c
+    (cases), the fitted cell ã under the common OR ψ̂ = OR_MH solves
+
+        (ψ−1)ã² − [ψ(n1+m1) + (n0−m1)]ã + ψ·n1·m1 = 0
+        (valid root: max(0, m1−n0) < ã < min(n1, m1))
+
+    Var(a) = [1/ã + 1/(n1−ã) + 1/(m1−ã) + 1/(n0−m1+ã)]⁻¹, and
+    X² = Σ (a−ã)²/Var − Tarone's (Σ(a−ã))²/ΣVar, df = K−1.
+
+    Scale shape: ψ̂ comes from ``mantel_haenszel``'s one-row fold
+    broadcast back onto the stratum cells; the quadratic root and
+    variance are per-stratum closed-form JVM expressions; one final
+    micro-lattice fold. Nothing iterative, nothing driver-side.
+
+    Returns one row: n_strata, or_mh, bd_chi_square (Tarone-
+    corrected), df.
+    """
+    s = [stratum_cols] if isinstance(stratum_cols, str) else list(
+        stratum_cols
+    )
+    ex = F.col(exposed_col).cast("long")
+    ca = F.col(case_col).cast("long")
+    cells = df.groupBy(*s).agg(
+        F.sum(ex * ca).alias("a"),
+        F.sum(ex * (1 - ca)).alias("b"),
+        F.sum((1 - ex) * ca).alias("c"),
+        F.sum((1 - ex) * (1 - ca)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = (a + b + c + d).cast("double")
+    micro = F.lit(1000000.0)
+
+    def m(x):
+        return F.round(x * micro, 0).cast("long")
+
+    psi_fold = cells.agg(
+        F.sum(m(a * d / n)).alias("_r"),
+        F.sum(m(b * c / n)).alias("_s"),
+    ).select(
+        (F.col("_r") / micro / (F.col("_s") / micro)).alias("_psi")
+    )
+    cells = cells.crossJoin(F.broadcast(psi_fold))
+    psi = F.col("_psi")
+    n1 = (a + b).cast("double")
+    n0 = (c + d).cast("double")
+    m1 = (a + c).cast("double")
+    # quadratic (psi-1) t^2 - [psi(n1+m1) + (n0-m1)] t + psi n1 m1 = 0
+    qa = psi - F.lit(1.0)
+    qb = -(psi * (n1 + m1) + (n0 - m1))
+    qc = psi * n1 * m1
+    disc = F.sqrt(F.greatest(qb * qb - F.lit(4.0) * qa * qc, F.lit(0.0)))
+    root_quad = (-qb - disc) / (F.lit(2.0) * qa)
+    # psi == 1 degenerates to linear: t = -qc/qb = n1 m1 / (n1+m1+n0-m1)
+    root_lin = -qc / qb
+    a_fit = F.when(F.abs(qa) < 1e-12, root_lin).otherwise(root_quad)
+    var_a = F.lit(1.0) / (
+        F.lit(1.0) / a_fit
+        + F.lit(1.0) / (n1 - a_fit)
+        + F.lit(1.0) / (m1 - a_fit)
+        + F.lit(1.0) / (n0 - m1 + a_fit)
+    )
+    dev = a.cast("double") - a_fit
+    folded = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        (F.sum(m(dev * dev / var_a)) / micro).alias("_x2"),
+        (F.sum(m(dev)) / micro).alias("_sdev"),
+        (F.sum(m(var_a)) / micro).alias("_svar"),
+        F.max(psi).alias("_psi_out"),
+    )
+    return folded.select(
+        "n_strata",
+        F.round(F.col("_psi_out"), 6).alias("or_mh"),
+        F.round(
+            F.col("_x2")
+            - F.col("_sdev") * F.col("_sdev") / F.col("_svar"),
+            6,
+        ).alias("bd_chi_square"),
+        (F.col("n_strata") - 1).cast("long").alias("df"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group_score_col: str,
+    case_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test for proportions across ORDERED
+    groups (dose-response: does the case rate rise with exposure
+    level?). With group scores s_g, cases r_g, totals n_g, N, R:
+
+        T  = Σ s_g (r_g − n_g·R/N)
+        V  = (R/N)(1 − R/N) [Σ s_g² n_g − (Σ s_g n_g)²/N]
+        Z  = T/√V,  χ² = Z² (1 df)
+
+    One exact-integer cell aggregate (r_g, n_g per score) + one
+    mirrored micro-lattice fold — hash-exact vs the SQL twin.
+    Returns one row: n_groups, n_subjects, n_cases, t_stat,
+    variance, z, chi_square.
+    """
+    sc = F.col(group_score_col).cast("double")
+    ca = F.col(case_col).cast("long")
+    cells = df.groupBy(sc.alias("_s")).agg(
+        F.sum(ca).alias("_r"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    micro = F.lit(1000000.0)
+
+    def m(x):
+        return F.round(x * micro, 0).cast("long")
+
+    folded = cells.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("_n").alias("_nn"),
+        F.sum("_r").alias("_rr"),
+        F.sum(m(F.col("_s") * F.col("_r"))).alias("_sr"),
+        F.sum(m(F.col("_s") * F.col("_n"))).alias("_sn"),
+        F.sum(m(F.col("_s") * F.col("_s") * F.col("_n"))).alias("_ssn"),
+    )
+    nn = F.col("_nn").cast("double")
+    rr = F.col("_rr").cast("double")
+    p = rr / nn
+    t = F.col("_sr") / micro - p * (F.col("_sn") / micro)
+    v = (
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("_ssn") / micro
+            - (F.col("_sn") / micro) * (F.col("_sn") / micro) / nn
+        )
+    )
+    z = t / F.sqrt(v)
+    return folded.select(
+        "n_groups",
+        F.col("_nn").cast("long").alias("n_subjects"),
+        F.col("_rr").cast("long").alias("n_cases"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(v, 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi_square"),
+    )

@@ -1295,3 +1295,61 @@ def test_mantel_haenszel_adjusts_confounding(spark):
     assert adj.or_lower < 1.0 < adj.or_upper, adj
     assert abs(adj.or_mh - 1.0) < 0.05
     assert crude.or_lower > 2.0, crude  # confounded crude estimate
+
+
+def test_breslow_day_homogeneity(spark):
+    """B-D: homogeneous strata (same OR everywhere) give a small
+    chi-square; a planted heterogeneous pair (OR 4 vs OR 0.25) gives
+    a large one. Fitted-cell identity: with one stratum the fitted a
+    equals the observed a, so chi-square == 0 exactly."""
+    from cancer_survival_etl_spark.operators.stats import breslow_day
+
+    def stratum(name, a, b, c, d):
+        return ([(name, 1, 1)] * a + [(name, 1, 0)] * b
+                + [(name, 0, 1)] * c + [(name, 0, 0)] * d)
+
+    homog = stratum("k1", 40, 60, 20, 80) + stratum("k2", 20, 30, 10, 40)
+    dfh = spark.createDataFrame(homog, "s string, exposed int, case int")
+    rh = breslow_day(dfh, "s", "exposed", "case").collect()[0]
+    assert rh.df == 1
+    assert rh.bd_chi_square < 0.01, rh  # identical ORs
+    hetero = stratum("k1", 40, 30, 10, 120) + stratum("k2", 10, 120, 40, 30)
+    dfx = spark.createDataFrame(hetero, "s string, exposed int, case int")
+    rx = breslow_day(dfx, "s", "exposed", "case").collect()[0]
+    assert rx.bd_chi_square > 20, rx
+    single = spark.createDataFrame(
+        stratum("only", 30, 20, 10, 40), "s string, exposed int, case int"
+    )
+    r1 = breslow_day(single, "s", "exposed", "case").collect()[0]
+    assert abs(r1.bd_chi_square) < 1e-6 and r1.df == 0
+
+
+def test_cochran_armitage_trend(spark):
+    """C-A: hand formula replication on a 3-level table with a real
+    trend; a flat table gives z ~ 0."""
+    from cancer_survival_etl_spark.operators.stats import cochran_armitage
+
+    # dose 0: 10/100, dose 1: 20/100, dose 2: 30/100
+    rows = []
+    for s, r, nn in [(0.0, 10, 100), (1.0, 20, 100), (2.0, 30, 100)]:
+        rows += [(s, 1)] * r + [(s, 0)] * (nn - r)
+    df = spark.createDataFrame(rows, "score double, case int")
+    r = cochran_armitage(df, "score", "case").collect()[0]
+    N, R = 300, 60
+    p = R / N
+    t = (0 * 10 + 1 * 20 + 2 * 30) - p * (0 * 100 + 1 * 100 + 2 * 100)
+    v = p * (1 - p) * ((0 + 1 * 100 + 4 * 100) - (300 ** 2) / N * 1.0)
+    import math as _m
+    assert r.n_groups == 3 and r.n_subjects == 300 and r.n_cases == 60
+    assert abs(r.t_stat - t) < 1e-6
+    assert abs(r.variance - v) < 1e-4
+    assert abs(r.z - t / _m.sqrt(v)) < 1e-6
+    assert r.chi_square > 10
+    flat = []
+    for s in (0.0, 1.0, 2.0):
+        flat += [(s, 1)] * 20 + [(s, 0)] * 80
+    rf = cochran_armitage(
+        spark.createDataFrame(flat, "score double, case int"),
+        "score", "case",
+    ).collect()[0]
+    assert abs(rf.z) < 1e-6
