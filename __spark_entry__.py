@@ -10242,8 +10242,8 @@ def q_survival_gray_test(spark, sf_dir):
     ``survival_fine_gray`` (CIF₁ differs by e^0.9 on the
     subdistribution scale), so every count, lattice term, prefix sum
     and the final χ² replay bit-exact in DuckDB window SQL. Scale
-    shape: one cell aggregate + one multi-column duration-axis prefix
-    pass + one scalar fold — counts only, nothing subject-specific
+    shape: one cell aggregate + three chained grid-sized prefix
+    passes + one scalar fold — counts only, nothing subject-specific
     at β=0."""
     from cancer_survival_etl_spark.operators.survival import gray_test
 

@@ -3070,12 +3070,13 @@ def gray_test(
     every competing subject at duration t shares G(t−)).
 
     Scale shape: ONE hash aggregate to per-duration cells (counts
-    only — at β=0 nothing is subject-specific), one multi-column
-    ``global_prefix_sum`` over the duration axis (removals for both
-    groups, the lnG terms, and the weighted competing mass together),
-    then a single scalar aggregate. Every continuous term rides the
-    micro/nano lattice, so the statistic hash-adjudicates bit-exact
-    (the logrank_test contract). No raw-row window anywhere.
+    only — at β=0 nothing is subject-specific), then THREE chained
+    ``global_prefix_sum`` passes over the grid-sized cell table
+    (at-risk removals → censoring-KM log terms → weighted competing
+    mass; each needs the previous pass's output), then a single
+    scalar aggregate. Every continuous term rides the micro/nano
+    lattice, so the statistic hash-adjudicates bit-exact (the
+    logrank_test contract). No raw-row window anywhere.
 
     Returns one row: n_subjects_1/2, events_1 (observed cause-1
     events in group 1), expected_1, score, information, chi_square.
