@@ -11096,6 +11096,137 @@ _SURVIVAL_CIF_SQL = """
 """
 
 
+def q_survival_logrank_trend(spark, sf_dir):
+    """Tarone log-rank trend test across ordered dose levels
+    (operators/survival.py::logrank_trend_test): planted monotone
+    hazard 0.05·1.35^score over scores {0,1,2} (md5 closed-form
+    draws on the integer grid, ~20% random censoring). The two-group
+    0/1 reduction to the plain log-rank is pinned in tests. Oracle
+    mirrors the densified score×duration grid, the per-score at-risk
+    windows, and every nano-lattice moment — bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        logrank_trend_test,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    u2 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    score = (F.col("doc_id") % 3).cast("double")
+    lam = F.lit(0.05) * F.pow(F.lit(1.35), score)
+    t = -F.log(u) / lam
+    cen = u2 < 0.2
+    dur = F.greatest(F.lit(1), F.least(F.round(t, 0), F.lit(40))).cast(
+        "long"
+    )
+    evt = F.when(cen | (t >= 40), F.lit(0)).otherwise(F.lit(1))
+    cohort = d.select(
+        score.alias("score"), dur.alias("duration"), evt.alias("event")
+    )
+    return logrank_trend_test(cohort, "score", "duration", "event")
+
+
+_SURVIVAL_LOGRANK_TREND_SQL = """
+    WITH f AS (
+        SELECT CAST(doc_id % 3 AS DOUBLE) AS s_,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u1,
+               (CAST(concat('0x', substring(md5(doc_id::VARCHAR), 9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u2
+        FROM documents
+    ),
+    cohort AS (
+        SELECT s_,
+               CAST(greatest(1, least(round(-ln(u1)
+                        / (0.05 * power(1.35, s_)), 0), 40))
+                    AS BIGINT) AS t_,
+               CASE WHEN u2 < 0.2
+                         OR -ln(u1) / (0.05 * power(1.35, s_)) >= 40
+                    THEN 0 ELSE 1 END AS ev
+        FROM f
+    ),
+    cells_raw AS (
+        SELECT s_, t_, CAST(sum(ev) AS BIGINT) AS d_,
+               count(*) AS rm_
+        FROM cohort GROUP BY s_, t_
+    ),
+    tot AS (
+        SELECT s_ AS s2_, count(*) AS n_g FROM cohort GROUP BY s_
+    ),
+    durs AS (SELECT DISTINCT t_ FROM cohort),
+    grid AS (
+        SELECT g.t_, t.s2_ AS s_, t.n_g,
+               coalesce(c.d_, 0) AS d_, coalesce(c.rm_, 0) AS rm_
+        FROM durs g CROSS JOIN tot t
+        LEFT JOIN cells_raw c ON c.s_ = t.s2_ AND c.t_ = g.t_
+    ),
+    atr AS (
+        SELECT *,
+               CAST(n_g - coalesce(sum(rm_) OVER
+                   (PARTITION BY s_ ORDER BY t_
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS ng
+        FROM grid
+    ),
+    per_t AS (
+        SELECT t_,
+               CAST(sum(d_) AS BIGINT) AS d,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(CAST(round(s_ * d_ * 1000000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS sd,
+               CAST(sum(CAST(round(s_ * ng * 1000000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS sn,
+               CAST(sum(CAST(round(s_ * s_ * ng * 1000000000.0, 0)
+                             AS BIGINT)) AS BIGINT) AS ssn
+        FROM atr GROUP BY t_
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0
+                 THEN CAST(round((sd / 1000000000.0
+                                  - d * ((sn / 1000000000.0)
+                                         / CAST(n AS DOUBLE)))
+                                 * 1000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS z_term,
+            CASE WHEN d > 0 AND n > 1
+                 THEN CAST(round(d * (CAST(n AS DOUBLE) - d)
+                                 / (CAST(n AS DOUBLE) - 1.0)
+                                 * ((ssn / 1000000000.0)
+                                        / CAST(n AS DOUBLE)
+                                    - ((sn / 1000000000.0)
+                                       / CAST(n AS DOUBLE))
+                                      * ((sn / 1000000000.0)
+                                         / CAST(n AS DOUBLE)))
+                                 * 1000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS v_term
+        FROM per_t
+    ),
+    agg AS (
+        SELECT sum(z_term) / 1000000000.0 AS z_,
+               sum(v_term) / 1000000000.0 AS v_
+        FROM terms
+    ),
+    grp AS (
+        SELECT CAST(count(DISTINCT s_) AS BIGINT) AS n_groups,
+               count(*) AS n_subjects
+        FROM cohort
+    )
+    SELECT g.n_groups, g.n_subjects,
+           round(a.z_, 6) AS z_numerator,
+           round(a.v_, 6) AS variance,
+           round(a.z_ / sqrt(a.v_), 6) AS z,
+           round(a.z_ * a.z_ / a.v_, 6) AS chi_square
+    FROM agg a, grp g
+"""
+
+
 def q_survival_cif_ci(spark, sf_dir):
     """CIF with Marubini-Valsecchi/Aalen delta-method variance and
     log-log CIs (operators/survival.py::cif_with_ci) — the estimator→
@@ -14346,6 +14477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_median_ci": q_survival_median_ci,
         "stats_breslow_day": q_stats_breslow_day,
         "stats_cochran_armitage": q_stats_cochran_armitage,
+        "survival_logrank_trend": q_survival_logrank_trend,
         # ==== adjudicated green in r01-r05 ====
         # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
@@ -16219,6 +16351,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stats_breslow_day": _BRESLOW_DAY_SQL,
         "stats_cochran_armitage": _COCHRAN_ARMITAGE_SQL,
+        "survival_logrank_trend": _SURVIVAL_LOGRANK_TREND_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

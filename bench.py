@@ -338,6 +338,7 @@ HEADLINE = [
     "survival_median_ci",
     "stats_breslow_day",
     "stats_cochran_armitage",
+    "survival_logrank_trend",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -2435,3 +2435,56 @@ def test_median_survival_ci_brookmeyer_crowley(spark):
     assert (ci4.median_upper - ci4.median_lower) <= (
         ci.median_upper - ci.median_lower
     )
+
+
+def test_logrank_trend_two_group_reduction_and_power(spark):
+    """Tarone trend: with scores {0,1} the statistic must equal the
+    plain two-group log-rank (numerator exactly O1-E1 up to sign,
+    chi-square equal to lattice tolerance); a planted monotone
+    dose-response across 3 levels is detected while a scrambled
+    (non-monotone) assignment of the same three hazards scores far
+    lower."""
+    from cancer_survival_etl_spark.operators.survival import (
+        logrank_test,
+        logrank_trend_test,
+    )
+
+    def cohort(levels):
+        # levels: dict score -> hazard
+        rows = []
+        for i in range(900):
+            s = float(i % 3)
+            lam = levels[s]
+            u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+            t = -math.log(u) / lam
+            cen = (i * 48271) % 7 == 0
+            dur = max(1, int(min(t, 30)))
+            rows.append((s, dur, 0 if (cen or t >= 30) else 1))
+        return spark.createDataFrame(
+            rows, "score double, duration long, event int"
+        )
+
+    # two-group reduction
+    two = cohort({0.0: 0.06, 1.0: 0.12, 2.0: 0.06}).filter(
+        "score < 2.0"
+    )
+    tr = logrank_trend_test(two, "score").collect()[0]
+    lr = logrank_test(
+        two.withColumn("grp", F.col("score").cast("string")), "grp"
+    ).collect()[0]
+    # score-1 group's O-E is the NEGATIVE of group "0.0"'s O1-E1
+    assert abs(tr.z_numerator + (lr.observed_1 - lr.expected_1)) < 1e-4
+    assert abs(tr.chi_square - lr.chi_square) < 1e-3
+    assert tr.n_groups == 2
+
+    mono = logrank_trend_test(
+        cohort({0.0: 0.05, 1.0: 0.10, 2.0: 0.20}), "score"
+    ).collect()[0]
+    scrambled = logrank_trend_test(
+        cohort({0.0: 0.10, 1.0: 0.20, 2.0: 0.05}), "score"
+    ).collect()[0]
+    assert mono.chi_square > 25, mono
+    assert mono.chi_square > 2 * scrambled.chi_square, (
+        mono.chi_square, scrambled.chi_square,
+    )
+    assert mono.z > 0  # higher dose -> more deaths -> positive trend
