@@ -14400,16 +14400,71 @@ _ZIPF_SQL = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING IS LOAD-BEARING: the driver's correctness gate
-    # adjudicates the first 50 entries. Rounds 1-5 adjudicated 243
-    # distinct queries (CORRECTNESS_r0{1..5}.json; 242 hash-green;
-    # the 1 non-green is the declared rows-only tokenizer_bpe).
-    # ROUND 6 window (VERDICT r05 item 1) = the 34 never-adjudicated
-    # queries (r05 positions 51-84: the survival/GLM/ALS/OPQ/PMI
-    # tranche — 10 of them already judge-re-verified parity-green)
-    # followed by 16 §2 core re-checks untouched since r01 (a free
-    # drift re-check). With this window every one of the registry's
-    # queries has been driver-adjudicated at least once.
-        # ==== positions 1-34: never-adjudicated tranche ====
+    # adjudicates the first 50 entries. After round 6, EVERY
+    # registry query has been driver-adjudicated at least once
+    # (CORRECTNESS_r0{1..6}.json). ROUND 7 window (VERDICT r06
+    # item 1): slots 1-14 = the 14 round-6 queries never driver-
+    # adjudicated (judge parity-verified green in VERDICT r06);
+    # slots 15-50 = the 36 LONGEST-STALE adjudications — the 31
+    # queries green since r01 and untouched (TPC-H shapes, window/
+    # set/grouping ops) + the 5 stalest r02 dedup queries — as a
+    # drift re-check. Max staleness after this window: r02-vintage
+    # (5 rounds); the remaining 43 r02 rows rotate next round.
+        # ==== slots 1-14: round-6 tranche, first driver check ====
+        "survival_gray_test": q_survival_gray_test,
+        "survival_aalen_johansen": q_survival_aalen_johansen,
+        "survival_cox_td": q_survival_cox_td,
+        "sketch_kll_incremental": q_sketch_kll_incremental,
+        "survival_lyl": q_survival_lyl,
+        "survival_logrank_fh": q_survival_logrank_fh,
+        "survival_cif_ci": q_survival_cif_ci,
+        "stats_poisson_robust": q_stats_poisson_robust,
+        "stats_negbin_glm": q_stats_negbin_glm,
+        "stats_mantel_haenszel": q_stats_mantel_haenszel,
+        "survival_median_ci": q_survival_median_ci,
+        "stats_breslow_day": q_stats_breslow_day,
+        "stats_cochran_armitage": q_stats_cochran_armitage,
+        "survival_logrank_trend": q_survival_logrank_trend,
+        # ==== slots 15-45: r01-vintage drift re-checks ====
+        "p6_projection_rename": q_projection_rename,
+        "a2_count_per_group": q_count_per_group,
+        "a3_minmax_benchmark": q_minmax_benchmark,
+        "a4b_percentile_cont": q_percentile_cont,
+        "shipping_priority": q_shipping_priority,
+        "u3_row_duplication": q_row_duplication,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "win_lag_delta": q_win_lag_delta,
+        "win_running_sum": q_win_running_sum,
+        "win_topk": q_win_topk,
+        "win_ntile": q_win_ntile,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets_agg": q_grouping_sets,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
+        "correlated_scalar": q_correlated_scalar,
+        "string_agg_group": q_string_agg,
+        "win_percent_rank": q_win_percent_rank,
+        "win_range_frame": q_win_range_frame,
+        "win_distinct_count": q_win_distinct_count,
+        "win_first_last": q_win_first_last,
+        "lateral_explode": q_lateral_explode,
+        "global_topk": q_global_topk,
+        "quality_dup_grains": q_quality_dup_grains,
+        "quality_profile": q_quality_profile,
+        # ==== slots 46-50: stalest r02 dedup drift re-checks ====
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
+        # ==== positions 51+: adjudicated green r01-r06, ordered
+        # by most-recent adjudication (r06 window first) ====
         "dataset_temperature": q_dataset_temperature,
         "events_cdc_apply": q_events_cdc_apply,
         "stats_ridge": q_stats_ridge,
@@ -14444,8 +14499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_relative_hak": q_survival_relative_hak,
         "survival_rmst_net": q_survival_rmst_net,
         "survival_index_net": q_survival_index_net,
-        # ==== positions 35-50: §2 core drift re-checks (green r01,
-        # code untouched since; re-adjudicate for drift) ====
         "p1_filter_disjunctive": q_filter_disjunctive,
         "p2_membership_flags": q_membership_flags,
         "p3_null_semantics": q_null_semantics,
@@ -14462,27 +14515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2_pivot_sum": q_pivot_sum,
         "supplier_rank_quartile": q_supplier_rank_quartile,
         "benchmark_standards": q_benchmark_standards,
-        # ==== positions 51+: r07 queue (round-6 additions, parity-
-        # verified locally; rotate into the window next round) ====
-        "survival_gray_test": q_survival_gray_test,
-        "survival_aalen_johansen": q_survival_aalen_johansen,
-        "survival_cox_td": q_survival_cox_td,
-        "sketch_kll_incremental": q_sketch_kll_incremental,
-        "survival_lyl": q_survival_lyl,
-        "survival_logrank_fh": q_survival_logrank_fh,
-        "survival_cif_ci": q_survival_cif_ci,
-        "stats_poisson_robust": q_stats_poisson_robust,
-        "stats_negbin_glm": q_stats_negbin_glm,
-        "stats_mantel_haenszel": q_stats_mantel_haenszel,
-        "survival_median_ci": q_survival_median_ci,
-        "stats_breslow_day": q_stats_breslow_day,
-        "stats_cochran_armitage": q_stats_cochran_armitage,
-        "survival_logrank_trend": q_survival_logrank_trend,
-        # ==== adjudicated green in r01-r05 ====
-        # r05 window (all 50 green in CORRECTNESS_r05.json)
         "stats_winsorize": q_stats_winsorize,
         "stats_robust_scale": q_stats_robust_scale,
-        # 3-50: never-adjudicated tranche (survival family first)
         "survival_km": q_survival_km,
         "survival_index": q_survival_index,
         "survival_logrank": q_survival_logrank,
@@ -14531,7 +14565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_features": q_text_hashed_features,
         "embedding_drift": q_embedding_drift,
         "events_rolling_distinct": q_events_rolling_distinct,
-        # r01-r04 green tranche
         "shipmode_priority": q_shipmode_priority,
         "text_suffix_repeat": q_text_suffix_repeat,
         "tokenizer_unigram_encode": q_tokenizer_unigram_encode,
@@ -14634,12 +14667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_sample_quantiles": q_sketch_sample_quantiles,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
@@ -14678,37 +14706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_histogram": q_stats_histogram,
         "quality_expectations": q_quality_expectations,
         "volume_shipping": q_volume_shipping,
-        "p6_projection_rename": q_projection_rename,
-        "a2_count_per_group": q_count_per_group,
-        "a3_minmax_benchmark": q_minmax_benchmark,
-        "a4b_percentile_cont": q_percentile_cont,
-        "shipping_priority": q_shipping_priority,
-        "u3_row_duplication": q_row_duplication,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "win_lag_delta": q_win_lag_delta,
-        "win_running_sum": q_win_running_sum,
-        "win_topk": q_win_topk,
-        "win_ntile": q_win_ntile,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "grouping_sets_agg": q_grouping_sets,
-        "set_intersect": q_set_intersect,
-        "set_except": q_set_except,
-        "correlated_scalar": q_correlated_scalar,
-        "string_agg_group": q_string_agg,
-        "win_percent_rank": q_win_percent_rank,
-        "win_range_frame": q_win_range_frame,
-        "win_distinct_count": q_win_distinct_count,
-        "win_first_last": q_win_first_last,
-        "lateral_explode": q_lateral_explode,
-        "global_topk": q_global_topk,
-        "quality_dup_grains": q_quality_dup_grains,
-        "quality_profile": q_quality_profile,
     }
 
 
