@@ -420,6 +420,15 @@ def compare(
         )
 
 
+def family_match(name: str, families: list[str]) -> bool:
+    """True iff ``name`` IS a listed family or extends one at an
+    underscore boundary — `--family survival_cox` picks survival_cox
+    and survival_cox_td but `--family s` matches nothing s-prefixed
+    (the documented 'comma-separated query-name prefixes' contract;
+    the looser bare-startswith alternative was dropped, ADVICE r06)."""
+    return any(name == f or name.startswith(f + "_") for f in families)
+
+
 def main() -> None:
     args = sys.argv[1:]
     baseline_path = None
@@ -453,11 +462,7 @@ def main() -> None:
 
     headline = HEADLINE
     if families:
-        headline = [
-            n for n in HEADLINE
-            if any(n == f or n.startswith(f + "_") or n.startswith(f)
-                   for f in families)
-        ]
+        headline = [n for n in HEADLINE if family_match(n, families)]
         if not headline:
             raise SystemExit(
                 f"--family {','.join(families)} matches no headline query"

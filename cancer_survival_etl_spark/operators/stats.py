@@ -3002,8 +3002,16 @@ def breslow_day(
     variance are per-stratum closed-form JVM expressions; one final
     micro-lattice fold. Nothing iterative, nothing driver-side.
 
-    Returns one row: n_strata, or_mh, bd_chi_square (Tarone-
-    corrected), df.
+    Zero-margin strata (no exposed, no unexposed, no cases, or no
+    controls) carry no information about OR homogeneity and are
+    EXCLUDED, matching standard software: ``n_strata`` counts only
+    informative strata and ``df = n_strata - 1`` is decremented
+    accordingly. A degenerate MH odds ratio (zero/infinite) or a
+    boundary fitted cell raises a named error rather than emitting
+    NaN-poisoned sums.
+
+    Returns one row: n_strata (informative only), or_mh,
+    bd_chi_square (Tarone-corrected), df.
     """
     s = [stratum_cols] if isinstance(stratum_cols, str) else list(
         stratum_cols
@@ -3023,17 +3031,48 @@ def breslow_day(
     def m(x):
         return F.round(x * micro, 0).cast("long")
 
+    # psi comes from ALL strata (zero-margin strata contribute 0 to
+    # both R and S sums, so this matches mantel_haenszel on the full
+    # data); a degenerate overall psi (S == 0 -> Inf, R == 0 -> 0,
+    # 0/0 -> NaN) cannot support the homogeneity quadratic — named
+    # error, not silent NaN propagation (ADVICE r06).
+    # guard the division itself (ANSI mode errors on x/0 before any
+    # downstream check could fire): NULL marks the degenerate fold
+    psi_raw = F.when(
+        (F.col("_s") > 0) & (F.col("_r") > 0),
+        (F.col("_r") / micro) / (F.col("_s") / micro),
+    )
     psi_fold = cells.agg(
         F.sum(m(a * d / n)).alias("_r"),
         F.sum(m(b * c / n)).alias("_s"),
     ).select(
-        (F.col("_r") / micro / (F.col("_s") / micro)).alias("_psi")
+        F.when(
+            psi_raw.isNull()
+            | F.isnan(psi_raw)
+            | (psi_raw <= 0)
+            | (psi_raw == F.lit(float("inf"))),
+            F.raise_error(
+                F.lit(
+                    "breslow_day: MH odds ratio is degenerate "
+                    "(zero or infinite) — homogeneity undefined"
+                )
+            ).cast("double"),
+        )
+        .otherwise(psi_raw)
+        .alias("_psi")
     )
-    cells = cells.crossJoin(F.broadcast(psi_fold))
-    psi = F.col("_psi")
+    # zero-margin strata (no exposed, no unexposed, no cases, or no
+    # controls) carry no information about OR homogeneity — standard
+    # software excludes them. Drop BEFORE the fold so they neither
+    # poison var_a with a 1/0 NaN (silently skipped by F.sum after
+    # the long cast) nor inflate df (ADVICE r06).
     n1 = (a + b).cast("double")
     n0 = (c + d).cast("double")
     m1 = (a + c).cast("double")
+    m0 = (b + d).cast("double")
+    cells = cells.filter((n1 > 0) & (n0 > 0) & (m1 > 0) & (m0 > 0))
+    cells = cells.crossJoin(F.broadcast(psi_fold))
+    psi = F.col("_psi")
     # quadratic (psi-1) t^2 - [psi(n1+m1) + (n0-m1)] t + psi n1 m1 = 0
     qa = psi - F.lit(1.0)
     qb = -(psi * (n1 + m1) + (n0 - m1))
@@ -3042,7 +3081,22 @@ def breslow_day(
     root_quad = (-qb - disc) / (F.lit(2.0) * qa)
     # psi == 1 degenerates to linear: t = -qc/qb = n1 m1 / (n1+m1+n0-m1)
     root_lin = -qc / qb
-    a_fit = F.when(F.abs(qa) < 1e-12, root_lin).otherwise(root_quad)
+    a_root = F.when(F.abs(qa) < 1e-12, root_lin).otherwise(root_quad)
+    # valid root is strictly interior: max(0, m1-n0) < a_fit <
+    # min(n1, m1). With positive margins and finite psi this holds
+    # mathematically; a floating-point boundary hit would zero a
+    # var_a term — fail fast with a named error instead.
+    lo = F.greatest(F.lit(0.0), m1 - n0)
+    hi = F.least(n1, m1)
+    a_fit = F.when(
+        (a_root <= lo) | (a_root >= hi),
+        F.raise_error(
+            F.lit(
+                "breslow_day: fitted cell count hit its boundary in "
+                "an informative stratum — variance undefined"
+            )
+        ).cast("double"),
+    ).otherwise(a_root)
     var_a = F.lit(1.0) / (
         F.lit(1.0) / a_fit
         + F.lit(1.0) / (n1 - a_fit)

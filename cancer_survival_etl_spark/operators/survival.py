@@ -3335,10 +3335,15 @@ def aalen_johansen_illness_death(
         F.col("_dall0b") + F.col("_dall0") > 0, F.lit(0.0)
     ).otherwise(F.exp((F.col("_lt0b") + F.col("_lt0")) / micro6))
     # the Q1-ratio telescoping is undefined once state 1 empties by
-    # death and later sees activity again: fail fast
-    bad = (F.col("_crash1b") > 0) & (
-        (F.col("d01") > 0) | (F.col("d12") > 0)
-    )
+    # death and later sees activity again — INCLUDING an onset at the
+    # very same time t the state empties (d12 == Y1 and d01 > 0 in one
+    # cell): there _t01 would divide by q1_incl == 0 and produce
+    # Infinity instead of the named precondition error. Fail fast on
+    # both the strict-prefix gap and the same-cell case.
+    bad = (
+        (F.col("_crash1b") > 0)
+        | ((F.col("_crash1") > 0) & (F.col("d01") > 0))
+    ) & ((F.col("d01") > 0) | (F.col("d12") > 0))
     q1_excl = F.when(
         bad,
         F.raise_error(

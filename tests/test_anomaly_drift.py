@@ -1324,6 +1324,50 @@ def test_breslow_day_homogeneity(spark):
     assert abs(r1.bd_chi_square) < 1e-6 and r1.df == 0
 
 
+def test_breslow_day_excludes_zero_margin_strata(spark):
+    """A stratum with no cases (m1 == 0) carries no OR-homogeneity
+    information: it must be excluded from n_strata/df and NOT poison
+    the chi-square with a silently-skipped NaN (ADVICE r06). The
+    statistic over {informative strata + degenerate stratum} equals
+    the statistic over the informative strata alone."""
+    from cancer_survival_etl_spark.operators.stats import breslow_day
+
+    def stratum(name, a, b, c, d):
+        return ([(name, 1, 1)] * a + [(name, 1, 0)] * b
+                + [(name, 0, 1)] * c + [(name, 0, 0)] * d)
+
+    base = stratum("k1", 40, 60, 20, 80) + stratum("k2", 20, 30, 10, 40)
+    with_degen = base + stratum("k3", 0, 50, 0, 50)  # no cases at all
+    r_base = breslow_day(
+        spark.createDataFrame(base, "s string, exposed int, case int"),
+        "s", "exposed", "case",
+    ).collect()[0]
+    r_deg = breslow_day(
+        spark.createDataFrame(
+            with_degen, "s string, exposed int, case int"
+        ),
+        "s", "exposed", "case",
+    ).collect()[0]
+    assert r_deg.n_strata == 2 and r_deg.df == 1, r_deg
+    assert r_deg.bd_chi_square == r_base.bd_chi_square, (r_deg, r_base)
+    assert r_deg.or_mh == r_base.or_mh  # zero-margin adds 0 to R and S
+
+
+def test_breslow_day_degenerate_psi_raises(spark):
+    """All-strata b*c == 0 makes the MH odds ratio infinite — named
+    error, not Infinity propagation (ADVICE r06)."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import breslow_day
+
+    rows = ([("k1", 1, 1)] * 10 + [("k1", 0, 0)] * 10
+            + [("k2", 1, 1)] * 5 + [("k2", 0, 0)] * 20
+            + [("k2", 1, 0)] * 3)
+    df = spark.createDataFrame(rows, "s string, exposed int, case int")
+    with pytest.raises(Exception, match="degenerate"):
+        breslow_day(df, "s", "exposed", "case").collect()
+
+
 def test_cochran_armitage_trend(spark):
     """C-A: hand formula replication on a 3-level table with a real
     trend; a flat table gives z ~ 0."""

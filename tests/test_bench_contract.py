@@ -68,3 +68,17 @@ def test_update_minima_monotonic(tmp_path, monkeypatch):
     assert other == {"q": 7.0}
     doc = json.loads(p.read_text())
     assert doc["sf0.1"]["q"] == 0.5 and doc["sf0.001"]["q"] == 7.0
+
+
+def test_family_match_prefix_contract():
+    """--family matches exact names or underscore-boundary prefixes
+    only: 'survival_cox' picks survival_cox_td, but a bare letter
+    matches nothing it doesn't name exactly (ADVICE r06)."""
+    fams = ["survival_cox", "sketch"]
+    assert bench.family_match("survival_cox", fams)
+    assert bench.family_match("survival_cox_td", fams)
+    assert bench.family_match("sketch_kll_rollup", fams)
+    assert not bench.family_match("survival_coxness", fams)
+    assert not bench.family_match("survival_km", fams)
+    assert not bench.family_match("sketchy", fams)
+    assert not bench.family_match("stats_ks", ["s"])

@@ -2060,6 +2060,49 @@ def test_aalen_johansen_full_illness_death(spark):
     assert out[5].n_death_intermediate == 1
 
 
+def test_aalen_johansen_same_cell_gap_raises(spark):
+    """State 1 empties by death (d12 == Y1) at the SAME time a 0->1
+    onset occurs: _t01 would divide by Q1(t) == 0. Must hit the named
+    precondition error, not produce Infinity (ADVICE r06)."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_johansen_illness_death,
+    )
+
+    eps = spark.createDataFrame(
+        [
+            ("g", 0, 2, 0, 1), ("g", 2, 5, 1, 2),   # ill dies at 5
+            ("g", 0, 5, 0, 1), ("g", 5, 9, 1, None),  # onset at 5 too
+            ("g", 0, 9, 0, None),
+        ],
+        "grp string, start long, stop long, from_state int, to_state int",
+    )
+    with pytest.raises(Exception, match="state 1 emptied"):
+        aalen_johansen_illness_death(eps, ["grp"]).collect()
+
+
+def test_aalen_johansen_later_gap_still_raises(spark):
+    """The original strict-prefix gap (state 1 empties, LATER sees a
+    new onset) keeps raising after the same-cell guard extension."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_johansen_illness_death,
+    )
+
+    eps = spark.createDataFrame(
+        [
+            ("g", 0, 2, 0, 1), ("g", 2, 5, 1, 2),   # ill dies at 5
+            ("g", 0, 6, 0, 1), ("g", 6, 9, 1, 2),   # re-populates at 6
+            ("g", 0, 9, 0, None),
+        ],
+        "grp string, start long, stop long, from_state int, to_state int",
+    )
+    with pytest.raises(Exception, match="state 1 emptied"):
+        aalen_johansen_illness_death(eps, ["grp"]).collect()
+
+
 def _td_cohort(spark, n=400):
     rows = []
     for i in range(n):
