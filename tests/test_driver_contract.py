@@ -113,3 +113,19 @@ def test_correctness_window_composition():
                              "dedup_lsh_pipeline"}, r02_in_window
     assert all(latest[n] in ("01", "02") for n in stale), [
         (n, latest[n]) for n in stale if latest[n] not in ("01", "02")]
+
+
+def test_plans_md_covers_every_registry_query():
+    """PLANS.md is the physical-plan audit trail: every queries()
+    entry must have its `## <name>` section. This pins the
+    registration workflow — regenerate PLANS.md (tools/
+    explain_audit.py) in the same commit that registers a query, so
+    the trail can never lag the registry again (VERDICT r05+r06)."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "PLANS.md")) as fh:
+        secs = set(re.findall(r"^## ([a-z0-9_]+)$", fh.read(), re.M))
+    missing = [n for n in entrymod.queries() if n not in secs]
+    assert not missing, missing
