@@ -14397,6 +14397,398 @@ _ZIPF_SQL = """
 # Contract surface
 # --------------------------------------------------------------------------
 
+def q_survival_km_turnbull(spark, sf_dir):
+    """Turnbull NPMLE for interval-censored survival (operators/
+    survival.py::turnbull_km): the screening-cohort case — subjects
+    with user_id % 3 == 0 have exactly-registered events ((t-1, t]),
+    the rest are "diagnosed between 8-hour visits" ((8(k-1), 8k]
+    detected at the next visit); administrative censoring at the
+    48-hour horizon is (48, ∞). 3 EM iterations on the integer
+    micro-lattice; the curve is the product-limit of the final
+    imputation (right-censored reduction pinned bit-equal to
+    km_curve in tests)."""
+    from cancer_survival_etl_spark.operators.survival import turnbull_km
+
+    eps = _survival_episodes(spark, sf_dir)
+    exact = F.col("user_id") % 3 == 0
+    vgrid = F.expr("CAST(((duration + 7) div 8) * 8 AS DOUBLE)")
+    d = F.col("duration").cast("double")
+    ev = F.col("event") == 1
+    iv = eps.select(
+        "cohort",
+        F.when(ev, F.when(exact, d - 1).otherwise(vgrid - 8))
+        .otherwise(d)
+        .alias("left"),
+        F.when(ev, F.when(exact, d).otherwise(vgrid)).alias("right"),
+    )
+    return turnbull_km(iv, ["cohort"], "left", "right", iters=3)
+
+
+def q_survival_aalen_additive(spark, sf_dir):
+    """Aalen additive hazards model (operators/survival.py::
+    aalen_additive): per-event-time least-squares hazard increments
+    dB(t) = (X'X)^-1 X' dN over the at-risk design, cumulative
+    coefficients and Aalen variances — the time-varying-effect
+    complement to cox_ph. Cohort: the exact-hour episode durations
+    with covariates x1 = (user_id%12)/12, x2 = (user_id*7%10)/10
+    (exact rationals — the plant stays transcendental-free so the
+    oracle replays the FULL curve bit-exact, unlike the cox
+    verdict-style oracle). Gram matrices are nano-lattice suffix
+    sums of one cell aggregate; the 3x3 solve is the closed-form
+    adjugate."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_additive,
+    )
+
+    eps = _survival_episodes(spark, sf_dir).select(
+        "cohort",
+        "duration",
+        "event",
+        ((F.col("user_id") % 12) / 12.0).alias("x1"),
+        ((F.col("user_id") * 7 % 10) / 10.0).alias("x2"),
+    )
+    return aalen_additive(
+        eps, ["cohort"], ["x1", "x2"], "duration", "event"
+    )
+
+
+def q_survival_fine_gray_ci(spark, sf_dir):
+    """Fine-Gray subdistribution hazard ratio WITH model-based Wald
+    SEs (operators/survival.py::fine_gray return_se=True) — the
+    published competing-risks artifact: sHR = e^β, CI = e^(β ± 1.96
+    se), se from the final Newton information of the weighted partial
+    likelihood (zero extra passes; convention documented in the
+    docstring, as for cox_ph HRs). Same Fine & Gray simulation plant
+    as survival_fine_gray but on orders (15k subjects at sf0.01) so
+    the SE-scale verdicts are sampling-robust; exact per-(x, cause)
+    cohort counts replay in DuckDB, the verdicts pin estimate-within-
+    5se, SE tightness, and the CI excluding the null."""
+    from cancer_survival_etl_spark.operators.survival import fine_gray
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    u1 = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    u2 = (
+        F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    u3 = (
+        F.conv(F.substring(F.md5(key), 17, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0
+    x = (F.col("o_orderkey") % 2).cast("double")
+    p_mix = F.lit(0.55)
+    eta = F.exp(0.9 * x)
+    p1 = F.lit(1.0) - F.pow(F.lit(1.0) - p_mix, eta)
+    inner = (F.lit(1.0) - F.pow(F.lit(1.0) - u1, F.lit(1.0) / eta)) / p_mix
+    t_ev = -F.log(F.lit(1.0) - inner)
+    t_cmp = -F.log(u2)
+    is1 = u1 < p1
+    t_raw = F.when(is1, t_ev).otherwise(t_cmp)
+    c_raw = F.when(is1, F.lit(1)).otherwise(F.lit(2))
+    censored = u3 < 0.3
+    t = F.when(censored, t_raw * u3 / 0.3).otherwise(t_raw)
+    c = F.when(censored, F.lit(0)).otherwise(c_raw)
+    cohort = d.select(
+        x.alias("x"),
+        F.round(F.least(t, F.lit(3.0)), 1).alias("duration"),
+        F.when(t <= 3.0, c).otherwise(F.lit(0)).alias("cause"),
+    ).localCheckpoint(eager=False)
+    beta, se = fine_gray(cohort, ["x"], iters=5, return_se=True)
+    return (
+        cohort.groupBy("x", "cause")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "x",
+            F.col("cause").cast("long").alias("cause"),
+            "n",
+            F.lit(abs(beta[0] - 0.9) < 5 * se[0]).alias(
+                "estimate_within_5se"
+            ),
+            F.lit(se[0] < 0.2).alias("se_tight"),
+            F.lit(beta[0] - 1.96 * se[0] > 0.0).alias(
+                "ci_excludes_null"
+            ),
+        )
+    )
+
+
+def q_survival_cox_spline(spark, sf_dir):
+    """Restricted-cubic-spline Cox dose-response (operators/
+    survival.py::cox_ph_spline): the exposure x enters as Harrell's
+    RCS basis, so the fitted lp(x) is the log-HR SHAPE and the Wald z
+    on the cubic coefficient is the nonlinearity test. Plant: a
+    U-shaped log-hazard lp = 2(x-1)^2 on x = (o_orderkey%21)/10 with
+    md5-uniform exponential draws — plain cox_ph is pinned near-zero
+    (the U is symmetric) while the spline detects the curvature and
+    recovers both arms. Exact cohort counts replay in DuckDB;
+    recovery is verdict-checked (the cox_hr pattern). The <3-knot
+    reduction is pinned bit-equal to cox_ph in tests."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_spline,
+        rcs_basis_cols,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    x = (F.col("o_orderkey") % 21) / 10.0
+    lp = 2.0 * (x - 1.0) * (x - 1.0)
+    t = -F.log(u) / (F.lit(0.05) * F.exp(lp))
+    cohort = d.select(
+        x.alias("x"),
+        F.least(F.floor(t) + 1, F.lit(60)).cast("long").alias(
+            "duration"
+        ),
+        (t < 60).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    knots = [0.2, 1.0, 1.8]
+    beta, se = cox_ph_spline(
+        cohort, "x", knots, iters=5, return_se=True
+    )
+    b_lin = cox_ph(cohort, ["x"], iters=5)
+    grid = spark.createDataFrame([(0.0,), (1.0,), (2.0,)], "x double")
+    cols = rcs_basis_cols(F.col("x"), knots)
+    vals = grid.select(
+        "x",
+        sum(
+            (F.lit(beta[j]) * c for j, c in enumerate(cols[1:], 1)),
+            F.lit(beta[0]) * cols[0],
+        ).alias("lp"),
+    ).collect()
+    lpv = {r.x: r.lp for r in vals}
+    return cohort.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event").cast("long").alias("n_events"),
+    ).select(
+        "n_rows",
+        "n_events",
+        F.lit(abs(beta[1] / se[1]) > 3).alias("nonlinearity_detected"),
+        F.lit(abs(b_lin[0]) < 0.4).alias("linear_cox_blind"),
+        F.lit(
+            lpv[0.0] - lpv[1.0] > 1.0 and lpv[2.0] - lpv[1.0] > 1.0
+        ).alias("u_shape_recovered"),
+    )
+
+
+def q_rates_apc(spark, sf_dir):
+    """Annual percent change in daily error rates (operators/
+    survival.py::apc_trend) — the registry trend statistic: OLS of
+    ln(rate) on the period index per cohort, APC = 100(e^β − 1) with
+    the normal-approximation CI. Periods = day-of-month over the
+    events table, cases = error events, exposure = all events that
+    day (zero-case days filtered upstream per the operator's named
+    precondition). One cell aggregate + one moment aggregate, every
+    ln rate on the micro lattice — bit-exact vs the SQL mirror."""
+    from cancer_survival_etl_spark.operators.survival import apc_trend
+
+    e = _t(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("cohort"),
+            F.dayofmonth("ts").cast("long").alias("period"),
+        )
+        .agg(
+            F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ).alias("cases"),
+            F.count(F.lit(1)).alias("person_time"),
+        )
+        .filter(F.col("cases") > 0)
+    )
+    return apc_trend(cells, ["cohort"], "period", "cases",
+                     "person_time")
+
+
+def q_survival_lexis(spark, sf_dir):
+    """Lexis age×period person-time table (operators/survival.py::
+    lexis_expand): each episode's follow-up is split at the union of
+    synthetic-age-band (48 h) and calendar-week band entries — one
+    array expression + one explode per row, no shuffle until the
+    final cell aggregate. The output is the registry person-time
+    table that feeds DSRs/SMRs/APC: per (cohort, age_band,
+    period_band): slices, person-time, events. Integer hours
+    throughout, so the DuckDB list-function mirror is bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        lexis_expand,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("te"),
+    )
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    eps = per.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        (F.col("user_id") % 200).cast("double").alias("age0"),
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00',"
+            " t0) AS DOUBLE)"
+        ).alias("p0"),
+        (
+            F.when(is_event, delay)
+            .otherwise(F.lit(_SURV_HORIZON_H))
+            .cast("double")
+            + 1.0
+        ).alias("dur"),
+        F.when(is_event, F.lit(1)).otherwise(F.lit(0)).alias("event"),
+    )
+    out = lexis_expand(
+        eps, "age0", "p0", "dur", "event",
+        [0, 48, 96, 144, 192], [0, 168, 336, 504, 672],
+    )
+    return out.groupBy("cohort", "age_band", "period_band").agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.sum("risk_time").alias("person_time"),
+        F.sum("event_slice").cast("long").alias("n_events"),
+    )
+
+
+def q_stats_cuzick(spark, sf_dir):
+    """Cuzick nonparametric trend test across ordered groups
+    (operators/stats.py::cuzick_trend): does quantity trend with
+    line number within orders — dose = l_linenumber, outcome =
+    l_quantity (integer, heavily tied). Midranks from the value
+    histogram via one cell aggregate + global_prefix_sum (the
+    kruskal_wallis skeleton), 2T an exact long sum; bit-exact vs the
+    SQL mirror."""
+    from cancer_survival_etl_spark.operators.stats import cuzick_trend
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cuzick_trend(li, "l_linenumber", "l_quantity")
+
+
+def q_survival_prevalence(spark, sf_dir):
+    """Limited-duration prevalence by the counting method (operators/
+    survival.py::prevalence_counting) — "how many users diagnosed so
+    far are alive at hour 72": known-alive count 1, known-dead 0,
+    lost-to-follow-up impute the conditional survival
+    S(index−t_d)/S(c) off their cohort's own KM curve (broadcast
+    argmax read-offs; every lost cell's weight micro-rounded before
+    the exact sum). Diagnosis time = first-event hour index; the
+    48-hour episode horizon makes everyone diagnosed more than 48 h
+    before the index either known-dead or lost — the estimator's
+    design case."""
+    from cancer_survival_etl_spark.operators.survival import (
+        prevalence_counting,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("te"),
+    )
+    delay = F.expr("timestampdiff(HOUR, t0, te)")
+    is_event = F.col("te").isNotNull() & (delay < F.lit(_SURV_HORIZON_H))
+    eps = per.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00',"
+            " t0) AS DOUBLE)"
+        ).alias("diag"),
+        F.when(is_event, delay)
+        .otherwise(F.lit(_SURV_HORIZON_H))
+        .cast("double")
+        .alias("dur"),
+        F.when(is_event, F.lit(1)).otherwise(F.lit(0)).alias("event"),
+    )
+    return prevalence_counting(
+        eps, ["cohort"], "diag", "dur", "event", index_time=72.0
+    )
+
+
+def q_survival_ipw_km(spark, sf_dir):
+    """IPW-adjusted survival curves (operators/survival.py::
+    ipw_adjusted_km over km_curve_weighted): Simpson plant on curves
+    — within each frailty stratum x the two arms share a hazard, but
+    arm 1 is enriched in the high-hazard stratum (p_arm 0.8 vs 0.2),
+    so the CRUDE KM curves separate while the IPW-adjusted ones must
+    coincide. Propensities from the distributed logistic fit (one
+    fused aggregate per GD iteration, bit-stable 9-dp updates);
+    weighted KM on micro-lattice weight cells. Exact per-(arm,
+    stratum) cohort counts replay in DuckDB; the de-confounding is
+    verdict-checked (crude gap > 0.1, adjusted gap < crude/3 at
+    t=15)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        ipw_adjusted_km,
+        km_curve,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(1) < 0.5).cast("double")
+    p_arm = F.when(x > 0, F.lit(0.8)).otherwise(F.lit(0.2))
+    arm = (u(9) < p_arm).cast("int")
+    haz = F.when(x > 0, F.lit(0.15)).otherwise(F.lit(0.04))
+    t = -F.log(u(17) + 1e-9) / haz
+    cohort = d.select(
+        arm.alias("arm"),
+        x.alias("x"),
+        F.least(F.floor(t) + 1, F.lit(30)).cast("long").alias(
+            "duration"
+        ),
+        (t < 30).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+
+    def s_at(rows, a, tt):
+        pts = [r for r in rows if r[0] == a and r[1] <= tt]
+        return max(pts, key=lambda r: r[1])[2] if pts else 1.0
+
+    crude = [
+        (r.arm, r.duration, r.survival)
+        for r in km_curve(cohort, ["arm"], "duration",
+                          "event").collect()
+    ]
+    adj = [
+        (r.arm, r.duration, r.survival)
+        for r in ipw_adjusted_km(
+            cohort, "arm", ["x"], "duration", "event",
+            iters=80, lr=2.0,
+        ).collect()
+    ]
+    gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
+    gap_adj = abs(s_at(adj, 1, 15) - s_at(adj, 0, 15))
+    return (
+        cohort.groupBy("arm", "x")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "x",
+            "n",
+            F.lit(gap_crude > 0.1).alias("crude_confounded"),
+            F.lit(gap_adj < gap_crude / 3).alias(
+                "ipw_deconfounded"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING IS LOAD-BEARING: the driver's correctness gate
@@ -14463,8 +14855,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
-        # ==== positions 51+: adjudicated green r01-r06, ordered
-        # by most-recent adjudication (r06 window first) ====
+        # ==== positions 51+: r08 queue (round-7 additions, parity-
+        # verified at registration; rotate into the window next round) ====
+        "survival_km_turnbull": q_survival_km_turnbull,
+        "survival_aalen_additive": q_survival_aalen_additive,
+        "survival_fine_gray_ci": q_survival_fine_gray_ci,
+        "survival_cox_spline": q_survival_cox_spline,
+        "rates_apc": q_rates_apc,
+        "survival_lexis": q_survival_lexis,
+        "stats_cuzick": q_stats_cuzick,
+        "survival_prevalence": q_survival_prevalence,
+        "survival_ipw_km": q_survival_ipw_km,
+        # ==== adjudicated green r01-r06, ordered by most-recent
+        # adjudication (r06 window first) ====
         "dataset_temperature": q_dataset_temperature,
         "events_cdc_apply": q_events_cdc_apply,
         "stats_ridge": q_stats_ridge,
@@ -15000,6 +15403,625 @@ def _corpus_curation_sql() -> str:
            END AS split
     FROM d4
     """
+
+
+def _turnbull_sql(iters: int = 3) -> str:
+    """Full SQL mirror of operators/survival.py::turnbull_km over the
+    q_survival_km_turnbull cohort: endpoint sweep -> innermost
+    supports -> EM on unnormalized micro-lattice masses (unrolled
+    ``iters`` times) -> final imputation -> km-arithmetic
+    product-limit. ∞ is the IEEE +inf double in both engines."""
+    em = []
+    for k in range(iters):
+        em.append(f"""
+    den{k} AS (
+        SELECT mb.cohort, mb.L, mb.Rk, sum(mk.m) AS den
+        FROM memb mb JOIN m{k} mk USING (cohort, q)
+        GROUP BY 1, 2, 3
+    ),
+    m{k + 1} AS (
+        SELECT mb.cohort, mb.q,
+               CAST(sum(round(mb.w * mk.m / dk.den * 1000000.0, 0))
+                    AS BIGINT) AS m
+        FROM memb mb
+        JOIN m{k} mk USING (cohort, q)
+        JOIN den{k} dk ON dk.cohort = mb.cohort AND dk.L = mb.L
+                       AND dk.Rk = mb.Rk
+        GROUP BY 1, 2
+    )""")
+    mk = f"m{iters}"
+    return f"""
+    WITH {_SURV_SQL_CTE},
+    iv AS (
+        SELECT cohort,
+               CASE WHEN event = 1 THEN
+                    CASE WHEN user_id % 3 = 0 THEN duration - 1.0
+                         ELSE ((duration + 7) // 8) * 8.0 - 8.0 END
+                    ELSE CAST(duration AS DOUBLE) END AS L,
+               CASE WHEN event = 1 THEN
+                    CASE WHEN user_id % 3 = 0
+                         THEN CAST(duration AS DOUBLE)
+                         ELSE ((duration + 7) // 8) * 8.0 END
+                    ELSE CAST('inf' AS DOUBLE) END AS Rk
+        FROM surv
+    ),
+    cells AS (
+        SELECT cohort, L, Rk, count(*) AS w FROM iv GROUP BY 1, 2, 3
+    ),
+    ends AS (
+        SELECT DISTINCT cohort, L AS v, 0 AS isr FROM cells
+        UNION
+        SELECT DISTINCT cohort, Rk AS v, 1 AS isr FROM cells
+    ),
+    sw AS (
+        SELECT cohort, v, isr,
+               lag(isr) OVER w AS pisr, lag(v) OVER w AS pv
+        FROM ends
+        WINDOW w AS (PARTITION BY cohort ORDER BY v ASC, isr DESC)
+    ),
+    sup AS (
+        SELECT cohort, pv AS q, v AS pk FROM sw
+        WHERE isr = 1 AND pisr = 0
+    ),
+    memb AS (
+        SELECT c.cohort, c.L, c.Rk, c.w, s.q, s.pk
+        FROM cells c JOIN sup s
+          ON s.cohort = c.cohort AND s.q >= c.L AND s.pk <= c.Rk
+    ),
+    m0 AS (SELECT cohort, q, CAST(1000000 AS BIGINT) AS m FROM sup),
+    {",".join(em)},
+    denf AS (
+        SELECT mb.cohort, mb.L, mb.Rk, sum(mk.m) AS den
+        FROM memb mb JOIN {mk} mk USING (cohort, q)
+        GROUP BY 1, 2, 3
+    ),
+    dsup AS (
+        SELECT mb.cohort, mb.q,
+               CAST(sum(round(mb.w * mk.m / df.den * 1000000.0, 0))
+                    AS BIGINT) AS d
+        FROM memb mb
+        JOIN {mk} mk USING (cohort, q)
+        JOIN denf df ON df.cohort = mb.cohort AND df.L = mb.L
+                     AND df.Rk = mb.Rk
+        WHERE mb.Rk != CAST('inf' AS DOUBLE)
+        GROUP BY 1, 2
+    ),
+    mtot AS (SELECT cohort, sum(m) AS mtot FROM {mk} GROUP BY 1),
+    supd AS (
+        SELECT s.cohort, s.q, s.pk, mk.m, coalesce(d.d, 0) AS d
+        FROM sup s
+        JOIN {mk} mk USING (cohort, q)
+        LEFT JOIN dsup d USING (cohort, q)
+    ),
+    lat AS (
+        SELECT s.cohort, s.pk AS t, s.q, s.d, s.m,
+               CAST(0 AS BIGINT) AS cen, 1 AS issup
+        FROM supd s WHERE s.pk != CAST('inf' AS DOUBLE)
+        UNION ALL
+        SELECT cohort, L AS t, NULL, CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), w, 0
+        FROM cells WHERE Rk = CAST('inf' AS DOUBLE)
+    ),
+    pre AS (
+        SELECT *,
+               coalesce(sum(d) OVER wp, 0) AS db,
+               coalesce(sum(cen) OVER wp, 0) AS cenb,
+               sum(d) OVER wg AS dtot,
+               sum(cen) OVER wg AS ctot
+        FROM lat
+        WINDOW wp AS (PARTITION BY cohort
+                      ORDER BY t * 2.0 + (1 - issup)
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING),
+               wg AS (PARTITION BY cohort)
+    ),
+    terms AS (
+        SELECT *,
+               (dtot - db) / 1000000.0 + (ctot - cenb) AS y,
+               CASE WHEN d / 1000000.0 > 0
+                         AND d / 1000000.0
+                             < (dtot - db) / 1000000.0 + (ctot - cenb)
+                    THEN CAST(round(ln(1.0 - (d / 1000000.0)
+                         / ((dtot - db) / 1000000.0 + (ctot - cenb)))
+                         * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS ltm,
+               CASE WHEN d / 1000000.0 > 0
+                         AND d / 1000000.0
+                             = (dtot - db) / 1000000.0 + (ctot - cenb)
+                    THEN 1 ELSE 0 END AS dall
+        FROM pre
+    ),
+    acc AS (
+        SELECT *, sum(ltm) OVER wa AS lt, sum(dall) OVER wa AS dalls
+        FROM terms
+        WINDOW wa AS (PARTITION BY cohort
+                      ORDER BY t * 2.0 + (1 - issup)
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT a.cohort, a.q AS q_lo, a.t AS time,
+           round(a.m / mt.mtot, 6) AS mass,
+           round(a.d / 1000000.0, 6) AS n_event_exp,
+           round(a.y, 6) AS n_risk_exp,
+           CASE WHEN a.dalls > 0 THEN 0.0
+                ELSE round(exp(a.lt / 1000000.0), 6) END AS survival
+    FROM acc a JOIN mtot mt USING (cohort)
+    WHERE a.issup = 1
+    """
+
+
+_SURVIVAL_AALEN_ADDITIVE_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    cov AS (
+        SELECT cohort, duration, event,
+               (user_id % 12) / 12.0 AS x1,
+               (user_id * 7 % 10) / 10.0 AS x2
+        FROM surv
+    ),
+    cells AS (
+        SELECT cohort, duration,
+               count(*) AS s_0_0,
+               CAST(sum(event) AS BIGINT) AS e_0_0,
+               CAST(sum(CAST(round(x1 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_0_1,
+               CAST(sum(CASE WHEN event = 1 THEN CAST(round(x1 * 1000000000.0, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS e_0_1,
+               CAST(sum(CAST(round(x2 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_0_2,
+               CAST(sum(CASE WHEN event = 1 THEN CAST(round(x2 * 1000000000.0, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS e_0_2,
+               CAST(sum(CAST(round(x1 * x1 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_1_1,
+               CAST(sum(CASE WHEN event = 1 THEN CAST(round(x1 * x1 * 1000000000.0, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS e_1_1,
+               CAST(sum(CAST(round(x1 * x2 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_1_2,
+               CAST(sum(CASE WHEN event = 1 THEN CAST(round(x1 * x2 * 1000000000.0, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS e_1_2,
+               CAST(sum(CAST(round(x2 * x2 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_2_2,
+               CAST(sum(CASE WHEN event = 1 THEN CAST(round(x2 * x2 * 1000000000.0, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS e_2_2
+        FROM cov GROUP BY cohort, duration
+    ),
+    pre AS (
+        SELECT *,
+               coalesce(sum(s_0_0) OVER wb, 0) AS s_0_0_b,
+               sum(s_0_0) OVER wg AS s_0_0_t,
+               coalesce(sum(s_0_1) OVER wb, 0) AS s_0_1_b,
+               sum(s_0_1) OVER wg AS s_0_1_t,
+               coalesce(sum(s_0_2) OVER wb, 0) AS s_0_2_b,
+               sum(s_0_2) OVER wg AS s_0_2_t,
+               coalesce(sum(s_1_1) OVER wb, 0) AS s_1_1_b,
+               sum(s_1_1) OVER wg AS s_1_1_t,
+               coalesce(sum(s_1_2) OVER wb, 0) AS s_1_2_b,
+               sum(s_1_2) OVER wg AS s_1_2_t,
+               coalesce(sum(s_2_2) OVER wb, 0) AS s_2_2_b,
+               sum(s_2_2) OVER wg AS s_2_2_t
+        FROM cells
+        WINDOW wb AS (PARTITION BY cohort ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wg AS (PARTITION BY cohort)
+    ),
+    mats AS (
+        SELECT *,
+               CAST((s_0_0_t - s_0_0_b) AS DOUBLE) AS a_0_0,
+               (s_0_1_t - s_0_1_b) / 1000000000.0 AS a_0_1,
+               (s_0_2_t - s_0_2_b) / 1000000000.0 AS a_0_2,
+               (s_1_1_t - s_1_1_b) / 1000000000.0 AS a_1_1,
+               (s_1_2_t - s_1_2_b) / 1000000000.0 AS a_1_2,
+               (s_2_2_t - s_2_2_b) / 1000000000.0 AS a_2_2,
+               CAST(e_0_0 AS DOUBLE) AS m_0_0,
+               e_0_1 / 1000000000.0 AS m_0_1,
+               e_0_2 / 1000000000.0 AS m_0_2,
+               e_1_1 / 1000000000.0 AS m_1_1,
+               e_1_2 / 1000000000.0 AS m_1_2,
+               e_2_2 / 1000000000.0 AS m_2_2
+        FROM pre
+    ),
+    dets AS (
+        SELECT *, a_0_0 * (a_1_1 * a_2_2 - a_1_2 * a_1_2) - a_0_1 * (a_0_1 * a_2_2 - a_1_2 * a_0_2) + a_0_2 * (a_0_1 * a_1_2 - a_1_1 * a_0_2) AS det,
+               (a_1_1 * a_2_2 - a_1_2 * a_1_2) AS r_0_0,
+               (a_0_2 * a_1_2 - a_0_1 * a_2_2) AS r_0_1,
+               (a_0_1 * a_1_2 - a_0_2 * a_1_1) AS r_0_2,
+               (a_1_2 * a_0_2 - a_0_1 * a_2_2) AS r_1_0,
+               (a_0_0 * a_2_2 - a_0_2 * a_0_2) AS r_1_1,
+               (a_0_2 * a_0_1 - a_0_0 * a_1_2) AS r_1_2,
+               (a_0_1 * a_1_2 - a_1_1 * a_0_2) AS r_2_0,
+               (a_0_1 * a_0_2 - a_0_0 * a_1_2) AS r_2_1,
+               (a_0_0 * a_1_1 - a_0_1 * a_0_1) AS r_2_2
+        FROM mats
+    ),
+    incr AS (
+        SELECT *,
+               CASE WHEN e_0_0 > 0 AND det > 0.000001 THEN CAST(round((r_0_0 * m_0_0 + r_0_1 * m_0_1 + r_0_2 * m_0_2) / det * 1000000.0, 0) AS BIGINT) ELSE 0 END AS bm_0,
+               CASE WHEN e_0_0 > 0 AND det > 0.000001 THEN CAST(round((r_0_0 * m_0_0 * r_0_0 + r_0_0 * m_0_1 * r_0_1 + r_0_0 * m_0_2 * r_0_2 + r_0_1 * m_0_1 * r_0_0 + r_0_1 * m_1_1 * r_0_1 + r_0_1 * m_1_2 * r_0_2 + r_0_2 * m_0_2 * r_0_0 + r_0_2 * m_1_2 * r_0_1 + r_0_2 * m_2_2 * r_0_2) / (det * det) * 1000000000000.0, 0) AS BIGINT) ELSE 0 END AS vm_0,
+               CASE WHEN e_0_0 > 0 AND det > 0.000001 THEN CAST(round((r_1_0 * m_0_0 + r_1_1 * m_0_1 + r_1_2 * m_0_2) / det * 1000000.0, 0) AS BIGINT) ELSE 0 END AS bm_1,
+               CASE WHEN e_0_0 > 0 AND det > 0.000001 THEN CAST(round((r_1_0 * m_0_0 * r_1_0 + r_1_0 * m_0_1 * r_1_1 + r_1_0 * m_0_2 * r_1_2 + r_1_1 * m_0_1 * r_1_0 + r_1_1 * m_1_1 * r_1_1 + r_1_1 * m_1_2 * r_1_2 + r_1_2 * m_0_2 * r_1_0 + r_1_2 * m_1_2 * r_1_1 + r_1_2 * m_2_2 * r_1_2) / (det * det) * 1000000000000.0, 0) AS BIGINT) ELSE 0 END AS vm_1,
+               CASE WHEN e_0_0 > 0 AND det > 0.000001 THEN CAST(round((r_2_0 * m_0_0 + r_2_1 * m_0_1 + r_2_2 * m_0_2) / det * 1000000.0, 0) AS BIGINT) ELSE 0 END AS bm_2,
+               CASE WHEN e_0_0 > 0 AND det > 0.000001 THEN CAST(round((r_2_0 * m_0_0 * r_2_0 + r_2_0 * m_0_1 * r_2_1 + r_2_0 * m_0_2 * r_2_2 + r_2_1 * m_0_1 * r_2_0 + r_2_1 * m_1_1 * r_2_1 + r_2_1 * m_1_2 * r_2_2 + r_2_2 * m_0_2 * r_2_0 + r_2_2 * m_1_2 * r_2_1 + r_2_2 * m_2_2 * r_2_2) / (det * det) * 1000000000000.0, 0) AS BIGINT) ELSE 0 END AS vm_2,
+               CASE WHEN e_0_0 > 0 AND NOT (det > 0.000001) THEN 1 ELSE 0 END AS sing
+        FROM dets
+    ),
+    acc AS (
+        SELECT *,
+               sum(sing) OVER wa AS sing_c,
+               sum(bm_0) OVER wa AS bc_0,
+               sum(vm_0) OVER wa AS vc_0,
+               sum(bm_1) OVER wa AS bc_1,
+               sum(vm_1) OVER wa AS vc_1,
+               sum(bm_2) OVER wa AS bc_2,
+               sum(vm_2) OVER wa AS vc_2
+        FROM incr
+        WINDOW wa AS (PARTITION BY cohort ORDER BY duration
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort,
+               duration AS time,
+               CAST(s_0_0_t - s_0_0_b AS BIGINT) AS n_risk,
+               e_0_0 AS n_event,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(bm_0 / 1000000.0, 6) END AS intercept_incr,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(bc_0 / 1000000.0, 6) END AS intercept_cum,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(sqrt(vc_0 / 1000000000000.0), 6) END AS intercept_se,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(bm_1 / 1000000.0, 6) END AS x1_incr,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(bc_1 / 1000000.0, 6) END AS x1_cum,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(sqrt(vc_1 / 1000000000000.0), 6) END AS x1_se,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(bm_2 / 1000000.0, 6) END AS x2_incr,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(bc_2 / 1000000.0, 6) END AS x2_cum,
+               CASE WHEN sing_c > 0 THEN NULL ELSE round(sqrt(vc_2 / 1000000000000.0), 6) END AS x2_se
+    FROM acc WHERE e_0_0 > 0
+    """
+
+
+_SURVIVAL_FINE_GRAY_CI_SQL = """
+    WITH f AS (
+        SELECT o_orderkey % 2 AS xi,
+               (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u1,
+               (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 + 0.000001 AS u2,
+               (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u3
+        FROM orders
+    ),
+    s AS (
+        SELECT xi,
+               CASE WHEN u1 < 1.0 - power(1.0 - 0.55, exp(0.9 * xi))
+                    THEN -ln(1.0 - (1.0 - power(1.0 - u1,
+                             1.0 / exp(0.9 * xi))) / 0.55)
+                    ELSE -ln(u2) END AS t_raw,
+               CASE WHEN u1 < 1.0 - power(1.0 - 0.55, exp(0.9 * xi))
+                    THEN 1 ELSE 2 END AS c_raw,
+               u3
+        FROM f
+    ),
+    z AS (
+        SELECT xi,
+               CASE WHEN u3 < 0.3 THEN t_raw * u3 / 0.3
+                    ELSE t_raw END AS t,
+               CASE WHEN u3 < 0.3 THEN 0 ELSE c_raw END AS c
+        FROM s
+    )
+    SELECT CAST(xi AS DOUBLE) AS x,
+           CAST(CASE WHEN t <= 3.0 THEN c ELSE 0 END AS BIGINT) AS cause,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS estimate_within_5se,
+           true AS se_tight,
+           true AS ci_excludes_null
+    FROM z GROUP BY x, CASE WHEN t <= 3.0 THEN c ELSE 0 END
+"""
+
+
+_SURVIVAL_COX_SPLINE_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN
+               -ln((CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                         AS BIGINT) % 1000000) / 1000000.0 + 0.000001)
+               / (0.05 * exp(2.0 * ((o_orderkey % 21) / 10.0 - 1.0)
+                                 * ((o_orderkey % 21) / 10.0 - 1.0))) < 60
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           true AS nonlinearity_detected,
+           true AS linear_cox_blind,
+           true AS u_shape_recovered
+    FROM orders
+"""
+
+
+_RATES_APC_SQL = """
+    WITH cells AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CAST(EXTRACT(day FROM ts) AS BIGINT) AS period,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cases,
+               CAST(count(*) AS BIGINT) AS person_time
+        FROM events GROUP BY 1, 2
+    ),
+    pos AS (SELECT * FROM cells WHERE cases > 0),
+    y AS (
+        SELECT cohort, period,
+               CAST(round(ln(cases / person_time) * 1000000.0, 0)
+                    AS BIGINT) AS ym
+        FROM pos
+    ),
+    m AS (
+        SELECT cohort,
+               count(*) AS n_i,
+               CAST(sum(period) AS BIGINT) AS sxi,
+               CAST(sum(period * period) AS BIGINT) AS sxxi,
+               CAST(sum(ym) AS BIGINT) AS syi,
+               CAST(sum(period * ym) AS BIGINT) AS sxyi,
+               CAST(sum(ym * ym) AS BIGINT) AS syyi
+        FROM y GROUP BY cohort
+    ),
+    t AS (
+        SELECT cohort, n_i,
+               CAST(n_i AS DOUBLE) AS n,
+               CAST(sxi AS DOUBLE) AS sx,
+               CAST(sxxi AS DOUBLE) AS sxx,
+               syi / 1000000.0 AS sy,
+               sxyi / 1000000.0 AS sxy,
+               syyi / 1000000.0 / 1000000.0 AS syy
+        FROM m
+    ),
+    c AS (
+        SELECT cohort, n_i, n,
+               sxx - sx * sx / n AS sxx_c,
+               sxy - sx * sy / n AS sxy_c,
+               syy - sy * sy / n AS syy_c
+        FROM t
+    ),
+    s AS (
+        SELECT cohort, n_i, n, sxx_c,
+               sxy_c / sxx_c AS slope,
+               syy_c - sxy_c / sxx_c * sxy_c AS rss
+        FROM c
+    ),
+    f AS (
+        SELECT cohort, n_i, n, sxx_c, slope,
+               sqrt(greatest(rss, 0.0) / (n - 2.0) / sxx_c) AS se
+        FROM s
+    )
+    SELECT cohort, n_i AS n_periods,
+           CASE WHEN n_i >= 3 AND sxx_c > 0
+                THEN round(slope, 6) END AS slope,
+           CASE WHEN n_i >= 3 AND sxx_c > 0
+                THEN round(100.0 * (exp(slope) - 1.0), 6)
+           END AS apc_pct,
+           CASE WHEN n_i >= 3 AND sxx_c > 0
+                THEN round(100.0 * (exp(slope - 1.96 * se) - 1.0), 6)
+           END AS apc_lower,
+           CASE WHEN n_i >= 3 AND sxx_c > 0
+                THEN round(100.0 * (exp(slope + 1.96 * se) - 1.0), 6)
+           END AS apc_upper
+    FROM f
+"""
+
+
+_SURVIVAL_LEXIS_SQL = """
+    WITH per AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    eps AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CAST(user_id % 200 AS DOUBLE) AS age0,
+               CAST((epoch_us(t0) - epoch_us(TIMESTAMP '2024-01-01'))
+                    // 3600000000 AS DOUBLE) AS p0,
+               CAST(CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS DOUBLE) + 1.0 AS dur,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM per
+    ),
+    cut AS (
+        SELECT *,
+               list_sort(list_concat(
+                   [0.0, dur],
+                   list_filter(
+                       list_distinct(list_concat(
+                           list_transform([0.0, 48.0, 96.0, 144.0,
+                                           192.0], b -> b - age0),
+                           list_transform([0.0, 168.0, 336.0, 504.0,
+                                           672.0], b -> b - p0)
+                       )),
+                       c -> c > 0 AND c < dur)
+               )) AS cuts
+        FROM eps
+    ),
+    seg AS (
+        SELECT cohort, age0, p0, dur, event,
+               cuts[i] AS lo, cuts[i + 1] AS hi
+        FROM cut, unnest(generate_series(1, len(cuts) - 1)) AS s(i)
+    )
+    SELECT cohort,
+           list_max(list_filter([0.0, 48.0, 96.0, 144.0, 192.0],
+                                b -> b <= age0 + lo)) AS age_band,
+           list_max(list_filter([0.0, 168.0, 336.0, 504.0, 672.0],
+                                b -> b <= p0 + lo)) AS period_band,
+           count(*) AS n_slices,
+           sum(hi - lo) AS person_time,
+           CAST(sum(CASE WHEN hi = dur THEN event ELSE 0 END)
+                AS BIGINT) AS n_events
+    FROM seg
+    GROUP BY 1, 2, 3
+"""
+
+
+_STATS_CUZICK_SQL = """
+    WITH cells AS (
+        SELECT CAST(l_linenumber AS BIGINT) AS l, l_quantity AS m,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    hist AS (SELECT m, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY m),
+    pref AS (
+        SELECT m, t,
+               CAST(coalesce(sum(t) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS p
+        FROM hist
+    ),
+    ranked AS (
+        SELECT c.l, c.c, 2 * p.p + p.t + 1 AS ar2
+        FROM cells c JOIN pref p USING (m)
+    ),
+    ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM hist
+    ),
+    agg AS (
+        SELECT count(DISTINCT l) AS k_groups,
+               CAST(sum(c) AS BIGINT) AS n_total,
+               CAST(sum(c * l) AS BIGINT) AS ln_,
+               CAST(sum(c * l * l) AS BIGINT) AS lln,
+               CAST(sum(c * l * ar2) AS BIGINT) AS t2
+        FROM ranked
+    )
+    SELECT k_groups, n_total,
+           round(CAST(t2 AS DOUBLE) / 2, 6) AS t_rank_sum,
+           round((CAST(n_total AS DOUBLE) + 1) / 2
+                 * CAST(ln_ AS DOUBLE), 6) AS e_t,
+           CASE WHEN n_total > 1 AND
+                     (CAST(n_total AS DOUBLE) + 1) / 12
+                     * (CAST(n_total AS DOUBLE) * CAST(lln AS DOUBLE)
+                        - CAST(ln_ AS DOUBLE) * CAST(ln_ AS DOUBLE))
+                     * (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           * CAST(n_total AS DOUBLE)
+                           - CAST(n_total AS DOUBLE))) > 0
+                THEN round((CAST(n_total AS DOUBLE) + 1) / 12
+                     * (CAST(n_total AS DOUBLE) * CAST(lln AS DOUBLE)
+                        - CAST(ln_ AS DOUBLE) * CAST(ln_ AS DOUBLE))
+                     * (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           * CAST(n_total AS DOUBLE)
+                           - CAST(n_total AS DOUBLE))), 6)
+           END AS variance,
+           CASE WHEN n_total > 1 AND
+                     (CAST(n_total AS DOUBLE) + 1) / 12
+                     * (CAST(n_total AS DOUBLE) * CAST(lln AS DOUBLE)
+                        - CAST(ln_ AS DOUBLE) * CAST(ln_ AS DOUBLE))
+                     * (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           * CAST(n_total AS DOUBLE)
+                           - CAST(n_total AS DOUBLE))) > 0
+                THEN round((CAST(t2 AS DOUBLE) / 2
+                            - (CAST(n_total AS DOUBLE) + 1) / 2
+                              * CAST(ln_ AS DOUBLE))
+                     / sqrt((CAST(n_total AS DOUBLE) + 1) / 12
+                     * (CAST(n_total AS DOUBLE) * CAST(lln AS DOUBLE)
+                        - CAST(ln_ AS DOUBLE) * CAST(ln_ AS DOUBLE))
+                     * (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           * CAST(n_total AS DOUBLE)
+                           - CAST(n_total AS DOUBLE)))), 6)
+           END AS z
+    FROM agg, ties
+"""
+
+
+_SURVIVAL_PREVALENCE_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    eps AS (
+        SELECT cohort,
+               CAST((epoch_us(t0) - epoch_us(TIMESTAMP '2024-01-01'))
+                    // 3600000000 AS DOUBLE) AS diag,
+               CAST(duration AS DOUBLE) AS dur, event
+        FROM surv JOIN per USING (user_id)
+    ),
+    sub AS (SELECT * FROM eps WHERE diag <= 72.0),
+    kmc AS (
+        SELECT cohort, dur AS kt,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               CAST(sum(1 - event) AS BIGINT) AS n_censored
+        FROM sub GROUP BY cohort, dur
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM sub GROUP BY cohort),
+    atrisk AS (
+        SELECT k.cohort, k.kt, k.n_event,
+               CAST(t.n_subj - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (PARTITION BY k.cohort ORDER BY k.kt
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM kmc k JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    km AS (
+        SELECT cohort, kt,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS survival
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY kt
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    cells AS (
+        SELECT cohort, diag, dur,
+               CASE WHEN event = 1 AND diag + dur <= 72.0 THEN 'dead'
+                    WHEN diag + dur >= 72.0 THEN 'alive'
+                    ELSE 'lost' END AS status,
+               CAST(count(*) AS BIGINT) AS w
+        FROM sub
+        GROUP BY 1, 2, 3, 4
+    ),
+    lost AS (
+        SELECT c.cohort, c.diag, c.dur, c.w,
+               coalesce((SELECT max_by(k.survival, k.kt) FROM km k
+                         WHERE k.cohort = c.cohort
+                           AND k.kt <= 72.0 - c.diag), 1.0) AS s_index,
+               coalesce((SELECT max_by(k.survival, k.kt) FROM km k
+                         WHERE k.cohort = c.cohort
+                           AND k.kt <= c.dur), 1.0) AS s_cens
+        FROM cells c WHERE c.status = 'lost'
+    ),
+    lost_w AS (
+        SELECT cohort,
+               CAST(sum(CASE WHEN s_cens > 0
+                    THEN CAST(round(w * (s_index / s_cens)
+                                    * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS lost_exp
+        FROM lost GROUP BY cohort
+    ),
+    base AS (
+        SELECT cohort,
+               CAST(sum(w) AS BIGINT) AS n_diagnosed,
+               CAST(sum(CASE WHEN status = 'alive' THEN w ELSE 0 END)
+                    AS BIGINT) AS n_known_alive,
+               CAST(sum(CASE WHEN status = 'dead' THEN w ELSE 0 END)
+                    AS BIGINT) AS n_known_dead,
+               CAST(sum(CASE WHEN status = 'lost' THEN w ELSE 0 END)
+                    AS BIGINT) AS n_lost
+        FROM cells GROUP BY cohort
+    )
+    SELECT b.cohort, b.n_diagnosed, b.n_known_alive, b.n_known_dead,
+           b.n_lost,
+           round(b.n_known_alive
+                 + coalesce(lw.lost_exp, 0) / 1000000.0, 6)
+               AS prevalent_expected
+    FROM base b LEFT JOIN lost_w lw USING (cohort)
+"""
+
+
+_SURVIVAL_IPW_KM_SQL = """
+    WITH f AS (
+        SELECT CASE WHEN (CAST(concat('0x',
+                   substring(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT)
+                   % 1000000) / 1000000.0 < 0.5
+               THEN 1.0 ELSE 0.0 END AS x,
+               (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u_a
+        FROM orders
+    )
+    SELECT CAST(CASE WHEN u_a < (CASE WHEN x > 0 THEN 0.8 ELSE 0.2 END)
+                THEN 1 ELSE 0 END AS BIGINT) AS arm,
+           x,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS crude_confounded,
+           true AS ipw_deconfounded
+    FROM f GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -16349,6 +17371,15 @@ def oracle_sql() -> dict[str, str]:
         "stats_breslow_day": _BRESLOW_DAY_SQL,
         "stats_cochran_armitage": _COCHRAN_ARMITAGE_SQL,
         "survival_logrank_trend": _SURVIVAL_LOGRANK_TREND_SQL,
+        "survival_km_turnbull": _turnbull_sql(3),
+        "survival_aalen_additive": _SURVIVAL_AALEN_ADDITIVE_SQL,
+        "survival_fine_gray_ci": _SURVIVAL_FINE_GRAY_CI_SQL,
+        "survival_cox_spline": _SURVIVAL_COX_SPLINE_SQL,
+        "rates_apc": _RATES_APC_SQL,
+        "survival_lexis": _SURVIVAL_LEXIS_SQL,
+        "stats_cuzick": _STATS_CUZICK_SQL,
+        "survival_prevalence": _SURVIVAL_PREVALENCE_SQL,
+        "survival_ipw_km": _SURVIVAL_IPW_KM_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -339,6 +339,16 @@ HEADLINE = [
     "stats_breslow_day",
     "stats_cochran_armitage",
     "survival_logrank_trend",
+    # round-7 additions
+    "survival_km_turnbull",
+    "survival_aalen_additive",
+    "survival_fine_gray_ci",
+    "survival_cox_spline",
+    "rates_apc",
+    "survival_lexis",
+    "stats_cuzick",
+    "survival_prevalence",
+    "survival_ipw_km",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -3182,3 +3182,82 @@ def cochran_armitage(
         F.round(z, 6).alias("z"),
         F.round(z * z, 6).alias("chi_square"),
     )
+
+
+def cuzick_trend(
+    df: DataFrame,
+    score_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Cuzick's nonparametric test for TREND across ordered groups
+    (Cuzick 1985) — the rank analog of ``cochran_armitage`` for a
+    continuous outcome, and the ordered-alternative sharpening of
+    ``kruskal_wallis``: T = Σ l_{g(s)}·rank(s) with midranks,
+
+        E(T) = (N+1)/2 · Σ l_i n_i
+        Var(T) = (N+1)/12 · (N Σ l_i² n_i − (Σ l_i n_i)²) · C_tie
+        C_tie = 1 − Σ(t³−t)/(N³−N),   z = (T − E)/√Var
+
+    ``score_col`` is the ordered group score (dose level) and must be
+    INTEGER-VALUED (cast to long — fractional scores would break the
+    exact-lattice sums; rescale upstream as for ``anova_oneway``).
+
+    SCALE SHAPE: the kruskal_wallis skeleton exactly — midranks
+    depend only on the value histogram, so the frame collapses to
+    per-(score, value) cells in one map-combined aggregate, the
+    exclusive count prefix rides ``global_prefix_sum`` over DISTINCT
+    values, and 2T = Σ c·l·(2·pref + t + 1) stays an EXACT long sum
+    (half-integer ranks doubled). No sort window over raw rows.
+
+    Returns one row: k_groups, n_total, t_rank_sum, e_t, variance,
+    z (6 dp; z NULL when the variance is degenerate — one group or
+    all values tied).
+    """
+    from .windows import global_prefix_sum
+
+    sc = F.col(score_col).cast("long")
+    cells = df.groupBy(
+        sc.alias("_l"), F.col(metric_col).alias("_m")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    hist = cells.groupBy("_m").agg(F.sum("_c").alias("_t"))
+    pref = global_prefix_sum(hist, "_m", "_t", alias="_pref")
+    ranked = cells.join(pref, "_m").select(
+        "_l", "_c",
+        (2 * F.col("_pref") + F.col("_t") + 1).alias("_ar2"),
+    )
+    ties = hist.agg(
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie3")
+    )
+    agg = ranked.agg(
+        F.countDistinct("_l").alias("k_groups"),
+        F.sum("_c").alias("n_total"),
+        F.sum(F.col("_c") * F.col("_l")).alias("_ln"),
+        F.sum(F.col("_c") * F.col("_l") * F.col("_l")).alias("_lln"),
+        F.sum(F.col("_c") * F.col("_l") * F.col("_ar2")).alias("_t2"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    t_stat = F.col("_t2").cast("double") / 2
+    e_t = (n + 1) / 2 * F.col("_ln").cast("double")
+    ctie = F.lit(1.0) - F.col("_tie3").cast("double") / (n * n * n - n)
+    var = (
+        (n + 1) / 12
+        * (
+            n * F.col("_lln").cast("double")
+            - F.col("_ln").cast("double")
+            * F.col("_ln").cast("double")
+        )
+        * ctie
+    )
+    ok = (F.col("n_total") > 1) & (var > 0)
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.round(t_stat, 6).alias("t_rank_sum"),
+        F.round(e_t, 6).alias("e_t"),
+        F.when(ok, F.round(var, 6)).alias("variance"),
+        F.when(ok, F.round((t_stat - e_t) / F.sqrt(var), 6)).alias(
+            "z"
+        ),
+    )

@@ -2293,14 +2293,28 @@ def fine_gray(
     duration_col: str = "duration",
     cause_col: str = "cause",
     iters: int = 8,
-) -> list[float]:
+    return_se: bool = False,
+):
     """Fine-Gray SUBDISTRIBUTION-hazard regression (Fine & Gray 1999)
     — the competing-risks companion to ``cox_ph``: β models the hazard
     of the SUBDISTRIBUTION for cause 1, so exp(β) speaks directly to
     the cumulative incidence (what fraction will have had the event by
     t), not the cause-specific hazard among the currently alive.
     ``cause_col``: 0 = censored, 1 = event of interest, 2 = competing
-    event. Returns [β_1, ..., β_p].
+    event. Returns [β_1, ..., β_p]; with ``return_se=True`` returns
+    (β, se).
+
+    SE convention — same as ``cox_ph``: se_j = √[(I⁻¹)_jj] from the
+    FINAL Newton iteration's information matrix of the weighted
+    partial likelihood (evaluated at the penultimate iterate; at 9-dp
+    convergence the difference is far below the rounding — zero extra
+    passes). This is the MODEL-BASED Wald SE: it treats the IPCW
+    weights G(·) as known. Fine & Gray's full sandwich variance also
+    carries the censoring-KM estimation term; the model-based form is
+    what it degenerates to under no/administrative censoring and is
+    mildly conservative-to-anticonservative otherwise — documented so
+    the published sHR [95% CI] states its convention, exactly as the
+    cox_ph HR artifact does.
 
     The estimator is a weighted Cox partial likelihood where subjects
     with a COMPETING event at T_i stay in the risk set forever with
@@ -2485,6 +2499,10 @@ def fine_gray(
                 info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
         step = np.linalg.solve(info, g)
         beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(p)]
+        return beta, se
     return beta
 
 
@@ -4199,4 +4217,1011 @@ def logrank_trend_test(
         F.round(
             F.col("_z") * F.col("_z") / F.col("_v"), 6
         ).alias("chi_square"),
+    )
+
+
+def turnbull_km(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    left_col: str = "left",
+    right_col: str = "right",
+    iters: int = 10,
+) -> DataFrame:
+    """Turnbull NPMLE for INTERVAL-CENSORED survival data — the
+    Kaplan-Meier generalization when the event time is only known to
+    lie in a window (the registry's "diagnosed between visits" case;
+    the reference's index tables assume exact diagnosis dates, which
+    screening-detected cohorts do not have).
+
+    ``df`` is one row per subject with the event known to lie in
+    ``(left_col, right_col]`` (the engine's counting-process
+    convention everywhere): an exact event at integer time t is
+    ``(t-1, t]``; a subject right-censored at c is ``left = c,
+    right = NULL`` (event in ``(c, ∞)``). ``left < right`` is
+    validated with a named error. Internally ∞ is the IEEE +inf
+    sentinel, never NULL — NULL join keys silently drop rows.
+
+    Algorithm (Turnbull 1976, EM form), entirely on integer lattices
+    so the DuckDB oracle replays bit-exact:
+
+    1. Support ("innermost") intervals per group via the classic
+       endpoint sweep: merge distinct left endpoints (type L) and
+       right endpoints (type R; censoring contributes one ∞-R), sort
+       by (value, R-before-L at ties); every R whose predecessor is
+       an L opens the innermost interval ``(q, p]``. Every
+       observation contains at least one innermost interval (the
+       Turnbull lemma — enforced with a named error inside the
+       membership join's left-join guard).
+    2. EM on UNNORMALIZED integer masses m_j (micro-lattice, init
+       1e6 ≡ 1.0 per support): the E-step weight α_cj = m_j / Σ_{k∈c}
+       m_k is scale-invariant, so no per-iteration normalization is
+       needed and every per-cell contribution w_c·α_cj is rounded to
+       the micro lattice before the order-independent long sum.
+    3. The reported curve is the product-limit of the FINAL
+       imputation: expected events d_j = Σ_{finite-interval cells}
+       w_c·α_cj land on each support's right endpoint p_j; at-risk
+       Y(p_j) = Σ_{p_k ≥ p_j} d_k + #censored with c ≥ p_j
+       (right-censored subjects enter the at-risk denominator
+       analytically, never the imputation). The survival product uses
+       ``km_curve``'s exact arithmetic (micro log-lattice prefix sum,
+       d == Y pins S = 0), so the all-exact-events + right-censoring
+       reduction is BIT-EQUAL to ``km_curve.survival`` (pinned in
+       tests); with genuinely interval-censored data the curve
+       converges to the NPMLE as ``iters`` grows (EM is globally
+       convergent here; masses move geometrically).
+
+    Scale shape: subjects collapse to per-(group, left, right) cells
+    in ONE map-side-combined aggregate; supports come from a window
+    over the per-group ENDPOINT lattice (≤ 2·#cells + 1 rows, bounded
+    by the visit grid by contract — never raw subjects); the
+    membership join broadcasts the support lattice; each EM iteration
+    is one join + two hash aggregates over the membership table with
+    a ``localCheckpoint`` of the (lattice-sized) mass frame to
+    truncate lineage. Nothing driver-side, nothing iterates over raw
+    rows.
+
+    Returns one row per (group, finite support interval): q_lo, time
+    (= p_j), mass (normalized NPMLE mass, 6 dp; 1 − Σ mass is the
+    tail mass beyond the last right endpoint), n_event_exp,
+    n_risk_exp (6 dp), survival (6 dp).
+    """
+    if iters < 1:
+        raise ValueError("turnbull_km: iters must be >= 1")
+    g = list(group_cols)
+    inf = F.lit(float("inf"))
+    L = F.col(left_col).cast("double")
+    R = F.col(right_col).cast("double")
+
+    bad_iv = F.when(
+        R.isNotNull() & (L >= R),
+        F.raise_error(
+            F.lit(
+                "turnbull_km: every interval needs left < right "
+                "(right NULL = right-censored)"
+            )
+        ).cast("double"),
+    ).otherwise(L)
+    cells = df.select(
+        *g,
+        bad_iv.alias("_L"),
+        F.coalesce(R, inf).alias("_Rk"),
+    ).groupBy(*g, "_L", "_Rk").agg(F.count(F.lit(1)).alias("_w"))
+    cells = cells.localCheckpoint(eager=False)
+
+    # endpoint sweep -> innermost (Turnbull) support intervals
+    lefts = cells.select(
+        *g, F.col("_L").alias("_v"), F.lit(0).alias("_isr")
+    ).distinct()
+    rights = cells.select(
+        *g, F.col("_Rk").alias("_v"), F.lit(1).alias("_isr")
+    ).distinct()
+    ends = lefts.unionAll(rights)
+    # R sorts before L at the same value so (v, v] never forms; +inf
+    # sorts after every finite value natively
+    sweep = Window.partitionBy(*g).orderBy(
+        F.col("_v").asc(), F.col("_isr").desc()
+    )
+    supports = (
+        ends.withColumn("_pisr", F.lag("_isr").over(sweep))
+        .withColumn("_pv", F.lag("_v").over(sweep))
+        .filter((F.col("_isr") == 1) & (F.col("_pisr") == 0))
+        .select(*g, F.col("_pv").alias("_q"), F.col("_v").alias("_pk"))
+    )
+    supports = supports.localCheckpoint(eager=False)
+
+    # membership: support (q, pk] ⊆ observation (L, Rk]. LEFT join +
+    # guard: a cell matching no support violates the Turnbull lemma
+    # (malformed input) — named error, not a silent drop.
+    c = cells.alias("c")
+    s = supports.alias("s")
+    cond = (F.col("s._q") >= F.col("c._L")) & (
+        F.col("s._pk") <= F.col("c._Rk")
+    )
+    for k in g:
+        cond = (F.col(f"c.{k}") == F.col(f"s.{k}")) & cond
+    memb = c.join(F.broadcast(s), cond, "left").select(
+        *[F.col(f"c.{k}") for k in g],
+        F.col("c._L").alias("_L"),
+        F.col("c._Rk").alias("_Rk"),
+        F.col("c._w").alias("_w"),
+        F.when(
+            F.col("s._q").isNull(),
+            F.raise_error(
+                F.lit(
+                    "turnbull_km: an observation interval contains "
+                    "no support interval — malformed input"
+                )
+            ).cast("double"),
+        ).otherwise(F.col("s._q")).alias("_q"),
+        F.col("s._pk").alias("_pk"),
+    )
+    memb = memb.localCheckpoint(eager=False)
+
+    micro6 = F.lit(1000000.0)
+    # EM on unnormalized micro-lattice masses, init 1.0 per support.
+    # Each iteration adds a fixed 3-op layer over the checkpointed
+    # membership table, so short EM runs keep pure lineage; long runs
+    # truncate every 4th iteration (the mass frame is lattice-sized).
+    m = supports.select(*g, "_q", F.lit(1000000).alias("_m"))
+    for it in range(iters):
+        j = memb.join(m, [*g, "_q"])
+        denom = j.groupBy(*g, "_L", "_Rk").agg(F.sum("_m").alias("_den"))
+        j = j.join(denom, [*g, "_L", "_Rk"])
+        m = j.groupBy(*g, "_q").agg(
+            F.sum(
+                F.round(
+                    F.col("_w") * F.col("_m") / F.col("_den")
+                    * micro6,
+                    0,
+                ).cast("long")
+            ).alias("_m")
+        )
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            m = m.localCheckpoint(eager=False)
+
+    # final E-step: expected events per support from FINITE intervals
+    # only (right-censored subjects are at-risk, never imputed)
+    jf = memb.join(m, [*g, "_q"])
+    den_f = jf.groupBy(*g, "_L", "_Rk").agg(F.sum("_m").alias("_den"))
+    d_sup = (
+        jf.join(den_f, [*g, "_L", "_Rk"])
+        .filter(F.col("_Rk") != inf)
+        .groupBy(*g, "_q")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("_w") * F.col("_m") / F.col("_den") * micro6,
+                    0,
+                ).cast("long")
+            ).alias("_d")
+        )
+    )
+    mass_tot = m.groupBy(*g).agg(F.sum("_m").alias("_mtot"))
+    sup_d = (
+        supports.join(m, [*g, "_q"])
+        .join(d_sup, [*g, "_q"], "left")
+        .join(mass_tot, g)
+        .withColumn("_d", F.coalesce(F.col("_d"), F.lit(0)))
+    )
+
+    # curve lattice: finite supports carry d at time pk; censored
+    # cells carry their count at time L (at risk through that time)
+    curve_pts = sup_d.filter(F.col("_pk") != inf).select(
+        *g, F.col("_pk").alias("_t"), "_q", "_d", "_m", "_mtot",
+        F.lit(0).cast("long").alias("_cen"), F.lit(1).alias("_issup"),
+    )
+    cen_pts = (
+        cells.filter(F.col("_Rk") == inf)
+        .select(
+            *g, F.col("_L").alias("_t"),
+            F.lit(None).cast("double").alias("_q"),
+            F.lit(0).cast("long").alias("_d"),
+            F.lit(0).cast("long").alias("_m"),
+            F.lit(0).cast("long").alias("_mtot"),
+            F.col("_w").alias("_cen"), F.lit(0).alias("_issup"),
+        )
+    )
+    lat = curve_pts.unionAll(cen_pts)
+    # tie-break: the support row sorts BEFORE a censor row at the
+    # same time, so the strict-prefix complement _ctot - _cenb keeps
+    # a subject censored at exactly p in the at-risk set (the km
+    # convention: censoring happens after events at the same time).
+    # (group, _t, _issup) is unique -> _ord is a total order.
+    lat = lat.withColumn(
+        "_ord", F.col("_t") * F.lit(2.0) + (F.lit(1) - F.col("_issup"))
+    )
+    lat = grouped_prefix_sum(
+        lat, g, "_ord", ["_d", "_cen"], ["_db", "_cenb"]
+    )
+    tot = lat.groupBy(*g).agg(
+        F.sum("_d").alias("_dtot"), F.sum("_cen").alias("_ctot")
+    )
+    lat = lat.join(tot, g)
+    # suffix sums: events imputed at times >= t, plus censored with
+    # censor time >= t, are still at risk entering time t
+    d_dbl = F.col("_d") / micro6
+    y_dbl = (F.col("_dtot") - F.col("_db")) / micro6 + (
+        F.col("_ctot") - F.col("_cenb")
+    )
+    lat = (
+        lat.withColumn(
+            "_lt",
+            F.when(
+                (d_dbl > 0) & (d_dbl < y_dbl),
+                _micro(F.log(F.lit(1.0) - d_dbl / y_dbl)),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d_dbl > 0) & (d_dbl == y_dbl), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("_y", y_dbl)
+    )
+    lat = grouped_prefix_sum(
+        lat, g, "_ord", ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    lt = F.col("_lt0") + F.col("_lt")
+    dall = F.col("_dall0") + F.col("_dall")
+    return (
+        lat.filter(F.col("_issup") == 1)
+        .select(
+            *g,
+            F.col("_q").alias("q_lo"),
+            F.col("_t").alias("time"),
+            F.round(F.col("_m") / F.col("_mtot"), 6).alias("mass"),
+            F.round(F.col("_d") / micro6, 6).alias("n_event_exp"),
+            F.round(F.col("_y"), 6).alias("n_risk_exp"),
+            F.when(dall > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp(lt / micro6), 6))
+            .alias("survival"),
+        )
+    )
+
+
+def aalen_additive(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Aalen ADDITIVE hazards model — the time-varying-effect
+    complement to Cox: λ(t|x) = β₀(t) + Σ_j β_j(t)·x_j, estimated by
+    least-squares hazard increments at each event time (Aalen 1989):
+
+        dB(t_k) = (Xᵏ'Xᵏ)⁻¹ Xᵏ' dN(t_k)
+        Var(dB)_jj = (A⁻¹ M A⁻¹)_jj,  M = Σ_{events at t_k} x x'
+
+    where Xᵏ stacks (1, x) over subjects AT RISK at t_k. Where
+    ``cox_ph`` forces one constant log-hazard ratio (and is pinned
+    biased under a planted time-varying effect — see
+    test_cox_td_recovers_time_varying_effect), B_j(t)'s slope IS the
+    effect trajectory.
+
+    Distributed shape — no per-time regression ever touches raw rows:
+    the Gram matrix at t_k is a SUFFIX sum over subjects with
+    duration ≥ t_k, so subjects collapse once to per-(group, time)
+    moment cells (counts exact; every cross-moment x_a·x_b rounded
+    per-subject to the nano lattice before the order-independent long
+    sum), one ``grouped_prefix_sum`` pass turns cells into at-risk
+    Gram matrices (total − strict prefix), and the p+1 ≤ 3 linear
+    solve is the closed-form ADJUGATE over lattice values — pure JVM
+    expressions the DuckDB oracle replays bit-exact (which is why
+    ``len(x_cols)`` is restricted to 1 or 2; larger panels need the
+    same cofactor expansion one size up). Increments land on the
+    micro lattice, cumulative coefficients and their Aalen variances
+    come from a second prefix pass.
+
+    Estimation stops at the first singular Gram matrix (det ≤ 1e-6
+    on the lattice — the deterministic analog of the standard Aalen
+    rank check when the at-risk set loses covariate rank): later rows
+    keep n_risk/n_event but report NULL coefficients.
+
+    Returns one row per (group, event time): time, n_risk, n_event,
+    then per coefficient c ∈ {intercept, *x_cols}: ``{c}_incr``
+    (dB_c, 6 dp), ``{c}_cum`` (B_c, 6 dp), ``{c}_se`` (sqrt of the
+    cumulated Aalen variance, 6 dp).
+    """
+    p = len(x_cols)
+    if p not in (1, 2):
+        raise ValueError(
+            "aalen_additive: 1 or 2 covariate columns supported "
+            f"(closed-form adjugate), got {p}"
+        )
+    g = list(group_cols)
+    n = p + 1  # design includes the intercept
+    names = ["intercept", *x_cols]
+    nano = F.lit(1000000000.0)
+    ev = F.col(event_col).cast("long")
+
+    def xv(i: int) -> Column:
+        return F.lit(1.0) if i == 0 else F.col(x_cols[i - 1]).cast(
+            "double"
+        )
+
+    # per-subject lattice terms for every Gram entry (i <= j) and the
+    # event-side copies; (0,0) entries stay exact longs
+    aggs = []
+    for i in range(n):
+        for j in range(i, n):
+            if i == 0 and j == 0:
+                aggs.append(F.count(F.lit(1)).alias("s_0_0"))
+                aggs.append(F.sum(ev).alias("e_0_0"))
+            else:
+                term = F.round(xv(i) * xv(j) * nano, 0).cast("long")
+                aggs.append(F.sum(term).alias(f"s_{i}_{j}"))
+                aggs.append(
+                    F.sum(F.when(ev == 1, term).otherwise(F.lit(0)))
+                    .alias(f"e_{i}_{j}")
+                )
+    cells = df.groupBy(*g, duration_col).agg(*aggs)
+
+    scols = [f"s_{i}_{j}" for i in range(n) for j in range(i, n)]
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, scols, [c + "_b" for c in scols]
+    )
+    tot = cells.groupBy(*g).agg(
+        *[F.sum(c).alias(c + "_t") for c in scols]
+    )
+    cells = cells.join(tot, g)
+
+    def mat_a(i: int, j: int) -> Column:
+        key = f"s_{min(i, j)}_{max(i, j)}"
+        suf = F.col(key + "_t") - F.col(key + "_b")
+        return suf.cast("double") if (i, j) == (0, 0) else suf / nano
+
+    def mat_m(i: int, j: int) -> Column:
+        key = f"e_{min(i, j)}_{max(i, j)}"
+        c = F.col(key)
+        return c.cast("double") if (i, j) == (0, 0) else c / nano
+
+    A = [[mat_a(i, j) for j in range(n)] for i in range(n)]
+    M = [[mat_m(i, j) for j in range(n)] for i in range(n)]
+    v = [M[i][0] for i in range(n)]
+
+    if n == 2:
+        det = A[0][0] * A[1][1] - A[0][1] * A[1][0]
+        adj = [[A[1][1], -A[0][1]], [-A[1][0], A[0][0]]]
+    else:
+        det = (
+            A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1])
+            - A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0])
+            + A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0])
+        )
+        adj = [
+            [
+                A[1][1] * A[2][2] - A[1][2] * A[2][1],
+                A[0][2] * A[2][1] - A[0][1] * A[2][2],
+                A[0][1] * A[1][2] - A[0][2] * A[1][1],
+            ],
+            [
+                A[1][2] * A[2][0] - A[1][0] * A[2][2],
+                A[0][0] * A[2][2] - A[0][2] * A[2][0],
+                A[0][2] * A[1][0] - A[0][0] * A[1][2],
+            ],
+            [
+                A[1][0] * A[2][1] - A[1][1] * A[2][0],
+                A[0][1] * A[2][0] - A[0][0] * A[2][1],
+                A[0][0] * A[1][1] - A[0][1] * A[1][0],
+            ],
+        ]
+
+    d_cell = F.col("e_0_0")
+    # singular threshold: Gram entries live on the nano lattice, so
+    # dets at or below 1e-6 are lattice noise from a rank-deficient
+    # at-risk set (and would overflow the pico variance lattice via
+    # 1/det^2) — the deterministic analog of a rank check, mirrored
+    # in the oracle and the numpy test reference
+    nonsing = det > F.lit(1e-6)
+    ok = (d_cell > 0) & nonsing
+    cells = cells.withColumn(
+        "_sing", F.when((d_cell > 0) & ~nonsing, F.lit(1))
+        .otherwise(F.lit(0)).cast("long")
+    )
+    for j in range(n):
+        row = adj[j]
+        binc = sum(
+            (row[k] * v[k] for k in range(1, n)), row[0] * v[0]
+        ) / det
+        wmw = sum(
+            (
+                row[a] * M[a][b] * row[b]
+                for a in range(n)
+                for b in range(n)
+                if (a, b) != (0, 0)
+            ),
+            row[0] * M[0][0] * row[0],
+        ) / (det * det)
+        cells = cells.withColumn(
+            f"_bm_{j}",
+            F.when(ok, _micro(binc)).otherwise(F.lit(0).cast("long")),
+        ).withColumn(
+            f"_vm_{j}",
+            F.when(ok, _pico(wmw)).otherwise(F.lit(0).cast("long")),
+        )
+
+    latcols = (
+        ["_sing"]
+        + [f"_bm_{j}" for j in range(n)]
+        + [f"_vm_{j}" for j in range(n)]
+    )
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, latcols, [c + "_b" for c in latcols]
+    )
+    sing = F.col("_sing_b") + F.col("_sing")  # inclusive
+    out_cols = [
+        *g,
+        F.col(duration_col).alias("time"),
+        (F.col("s_0_0_t") - F.col("s_0_0_b")).alias("n_risk"),
+        F.col("e_0_0").alias("n_event"),
+    ]
+    micro6 = F.lit(1000000.0)
+    pico12 = F.lit(1000000000000.0)
+    for j, name in enumerate(names):
+        bm = F.col(f"_bm_{j}")
+        bc = F.col(f"_bm_{j}_b") + bm
+        vc = F.col(f"_vm_{j}_b") + F.col(f"_vm_{j}")
+        guard = F.when(sing > 0, F.lit(None).cast("double"))
+        out_cols.append(
+            guard.otherwise(F.round(bm / micro6, 6)).alias(
+                f"{name}_incr"
+            )
+        )
+        out_cols.append(
+            guard.otherwise(F.round(bc / micro6, 6)).alias(
+                f"{name}_cum"
+            )
+        )
+        out_cols.append(
+            guard.otherwise(F.round(F.sqrt(vc / pico12), 6)).alias(
+                f"{name}_se"
+            )
+        )
+    return cells.filter(d_cell > 0).select(*out_cols)
+
+
+def rcs_basis_cols(x: Column, knots: Sequence[float]) -> list[Column]:
+    """Restricted cubic spline (natural spline) basis in Harrell's
+    normalization: for knots t₁ < … < t_k the basis is x plus, for
+    j = 1..k−2,
+
+        [(x−t_j)₊³ − (x−t_{k−1})₊³·(t_k−t_j)/(t_k−t_{k−1})
+                   + (x−t_k)₊³·(t_{k−1}−t_j)/(t_k−t_{k−1})]
+        / (t_k−t₁)²
+
+    — cubic between knots, linear beyond the boundary knots (the
+    clinically-sane tail behavior), k−1 columns total. With fewer
+    than 3 knots the basis DEGENERATES TO [x] exactly (no spline
+    terms), which is what pins the linear reduction of
+    ``cox_ph_spline`` bit-equal to ``cox_ph``. (Column-expression twin
+    of the numpy ``rcs_basis`` used by flexible_excess_hazard_fit —
+    same Harrell normalization.)"""
+    ks = sorted(float(k) for k in knots)
+    if len(ks) != len(set(ks)):
+        raise ValueError("rcs_basis_cols: knots must be distinct")
+    cols = [x.cast("double")]
+    if len(ks) < 3:
+        return cols
+    tk, tk1, t1 = ks[-1], ks[-2], ks[0]
+    norm = (tk - t1) ** 2
+
+    def plus3(v: Column, t: float) -> Column:
+        d = v - F.lit(t)
+        return F.when(d > 0, d * d * d).otherwise(F.lit(0.0))
+
+    xd = x.cast("double")
+    for tj in ks[:-2]:
+        cols.append(
+            (
+                plus3(xd, tj)
+                - plus3(xd, tk1) * F.lit((tk - tj) / (tk - tk1))
+                + plus3(xd, tk) * F.lit((tk1 - tj) / (tk - tk1))
+            )
+            / F.lit(norm)
+        )
+    return cols
+
+
+def cox_ph_spline(
+    df: DataFrame,
+    x_col: str,
+    knots: Sequence[float],
+    adjust_cols: Sequence[str] = (),
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 8,
+    ties: str = "breslow",
+    return_se: bool = False,
+):
+    """Cox regression with the continuous exposure modelled as a
+    RESTRICTED CUBIC SPLINE — the dose-response artifact registries
+    publish when one constant log-HR per unit is implausible (age,
+    deprivation score, tumour size): the fitted curve
+    lp(x) = Σ_j β_j·rcs_j(x) IS the log-hazard-ratio shape, and the
+    nonlinearity test is Wald on the spline coefficients β₂..
+    (their CIs excluding 0 ⇒ the linear model is wrong).
+
+    Pure basis expansion over ``cox_ph`` (Fine-Gray's sibling
+    contract): the spline columns are ordinary derived features, so
+    every scale property of cox_ph carries over unchanged — one
+    nano-lattice cell aggregate + one prefix pass per Newton
+    iteration, p grows from 1 to k−1 (+ adjusters), driver sees only
+    p×p. With < 3 knots the basis degenerates to [x] and the fit is
+    BIT-EQUAL to ``cox_ph`` on the raw column (pinned) — the linear
+    reduction.
+
+    Returns [β_basis..., β_adjust...] (and SEs under
+    ``return_se=True`` — cox_ph's final-information Wald convention).
+    Curve readout: ``rcs_basis_cols`` is exposed so callers evaluate
+    lp(x_grid) themselves (k−1 dot products, driver-side)."""
+    basis = rcs_basis_cols(F.col(x_col), knots)
+    names = [f"_rcs_{j}" for j in range(len(basis))]
+    out = df
+    for n_, c in zip(names, basis):
+        out = out.withColumn(n_, c)
+    return cox_ph(
+        out,
+        [*names, *adjust_cols],
+        duration_col,
+        event_col,
+        iters=iters,
+        ties=ties,
+        return_se=return_se,
+    )
+
+
+def apc_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    period_col: str = "period",
+    cases_col: str = "cases",
+    persontime_col: str = "person_time",
+) -> DataFrame:
+    """Annual percent change (APC) in rates — the registry trend
+    statistic (NCI/joinpoint's single-segment form): OLS of
+    ln(rate_p) on the period index, APC = 100·(e^β − 1), normal-
+    approximation 95% CI from the OLS slope SE (se² = σ̂²/S_xx,
+    σ̂² = RSS/(n−2); the z-CI convention is documented — joinpoint's
+    small-sample t quantile is not closed-form SQL).
+
+    ``df`` is one row per (group, period) observation or finer —
+    rows collapse to per-(group, period) cells first (exact long
+    sums of ``cases_col`` and ``persontime_col``), then each cell's
+    ln rate lands on the micro lattice, and ONE moment aggregate per
+    group (n, Σx, Σxx, Σy, Σxy, Σyy as exact longs) yields the
+    closed-form slope/SE — the ``regression_by`` contract plus the
+    residual variance. Periods with zero cases or zero person-time
+    have no ln rate: named error (drop or aggregate them upstream —
+    silently skipping periods would bias the trend).
+
+    Returns one row per group: n_periods, slope (ln-rate per period
+    unit, 6 dp), apc_pct, apc_lower, apc_upper (6 dp; NULL when
+    n_periods < 3 or the period axis is degenerate).
+    """
+    g = list(group_cols)
+    cases = F.sum(F.col(cases_col).cast("long")).alias("_cases")
+    pt = F.sum(F.col(persontime_col).cast("long")).alias("_pt")
+    cells = df.groupBy(*g, period_col).agg(cases, pt)
+    bad = (F.col("_cases") <= 0) | (F.col("_pt") <= 0)
+    lnrate = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "apc_trend: every period needs cases > 0 and "
+                "person_time > 0 (aggregate or drop empty periods "
+                "upstream)"
+            )
+        ).cast("long"),
+    ).otherwise(_micro(F.log(F.col("_cases") / F.col("_pt"))))
+    x = F.col(period_col).cast("long")
+    cells = cells.withColumn("_y", lnrate)
+    m = cells.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(F.col("_y")).alias("_sy"),
+        F.sum(x * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    micro6 = F.lit(1000000.0)
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy") / micro6
+    sxy = F.col("_sxy") / micro6
+    syy = F.col("_syy") / micro6 / micro6
+    sxx_c = sxx - sx * sx / n
+    sxy_c = sxy - sx * sy / n
+    syy_c = syy - sy * sy / n
+    slope = sxy_c / sxx_c
+    rss = syy_c - slope * sxy_c
+    # FP cancellation can leave a tiny negative RSS on a perfect fit
+    sigma2 = F.greatest(rss, F.lit(0.0)) / (n - F.lit(2.0))
+    se = F.sqrt(sigma2 / sxx_c)
+    ok = (F.col("_n") >= 3) & (sxx_c > 0)
+    apc = lambda b: F.lit(100.0) * (F.exp(b) - F.lit(1.0))  # noqa: E731
+    z = F.lit(1.96)
+    return m.select(
+        *g,
+        F.col("_n").alias("n_periods"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(apc(slope), 6)).alias("apc_pct"),
+        F.when(ok, F.round(apc(slope - z * se), 6)).alias("apc_lower"),
+        F.when(ok, F.round(apc(slope + z * se), 6)).alias("apc_upper"),
+    )
+
+
+def lexis_expand(
+    df: DataFrame,
+    age_col: str,
+    time_col: str,
+    duration_col: str,
+    event_col: str,
+    age_breaks: Sequence[float],
+    period_breaks: Sequence[float],
+) -> DataFrame:
+    """Lexis-diagram episode splitting — the registry ETL primitive
+    behind every age×period rate table (and the person-time input to
+    ``age_standardized_rates`` / ``apc_trend`` / SMR): each subject's
+    follow-up [0, D) advances age and calendar time together (the 45°
+    Lexis line), so splitting on BOTH band grids is a 1-D
+    segmentation at the union of band-entry offsets
+
+        cuts = ({age_breaks − age₀} ∪ {period_breaks − time₀})
+               ∩ (0, D),  segments = consecutive pairs of
+               [0, cuts…, D]
+
+    — one per-row array expression (transform/filter/array_sort) and
+    ONE explode, no join, no shuffle, no UDF: output rows =
+    Σ bands-touched, bounded by the grid, and each carries its
+    original columns plus the slice. The event fires only in the
+    TERMINAL slice (hi == D).
+
+    Band attribution uses the slice's START (segment [lo, hi) has
+    attained age age₀+lo, period time₀+lo); a value below the first
+    break yields a NULL band (emit wider breaks or filter — silent
+    clamping would fabricate person-time). ``duration_col`` must be
+    > 0 (named error): zero-length follow-up carries no person-time
+    and standard Lexis software rejects it.
+
+    Returns the input columns plus age_band / period_band (the band's
+    lower bound), slice_start / risk_time (same units as duration),
+    and event_slice.
+    """
+    ab = F.array(*[F.lit(float(b)) for b in sorted(set(age_breaks))])
+    pb = F.array(*[F.lit(float(b)) for b in sorted(set(period_breaks))])
+    if len(set(age_breaks)) < 1 or len(set(period_breaks)) < 1:
+        raise ValueError("lexis_expand: breaks must be non-empty")
+    a0 = F.col(age_col).cast("double")
+    p0 = F.col(time_col).cast("double")
+    dur = F.col(duration_col).cast("double")
+    d_ok = F.when(
+        dur <= 0,
+        F.raise_error(
+            F.lit("lexis_expand: duration must be > 0")
+        ).cast("double"),
+    ).otherwise(dur)
+
+    cuts = F.array_union(
+        F.transform(ab, lambda b: b - a0),
+        F.transform(pb, lambda b: b - p0),
+    )
+    cuts = F.filter(cuts, lambda c: (c > 0) & (c < d_ok))
+    cuts = F.array_sort(
+        F.concat(F.array(F.lit(0.0)), cuts, F.array(d_ok))
+    )
+    n = F.size(cuts)
+    segs = F.arrays_zip(
+        F.slice(cuts, 1, n - 1).alias("lo"),
+        F.slice(cuts, 2, n - 1).alias("hi"),
+    )
+    out = df.withColumn("_seg", F.explode(segs))
+    lo = F.col("_seg.lo")
+    hi = F.col("_seg.hi")
+    band = lambda arr, x: F.array_max(  # noqa: E731
+        F.filter(arr, lambda b: b <= x)
+    )
+    ev = F.col(event_col).cast("int")
+    return (
+        out.withColumn("age_band", band(ab, a0 + lo))
+        .withColumn("period_band", band(pb, p0 + lo))
+        .withColumn("slice_start", lo)
+        .withColumn("risk_time", hi - lo)
+        .withColumn(
+            "event_slice",
+            F.when(hi == F.col(duration_col).cast("double"), ev)
+            .otherwise(F.lit(0)),
+        )
+        .drop("_seg")
+    )
+
+
+def prevalence_counting(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    diag_time_col: str,
+    duration_col: str,
+    event_col: str,
+    index_time: float,
+    limited_duration: float | None = None,
+) -> DataFrame:
+    """Limited-duration PREVALENCE by the counting method (the
+    SEER/Gail approach) — the registry statistic "how many people
+    diagnosed in the last L periods are alive today", estimable even
+    though subjects lost to follow-up before the index date have
+    unknown status:
+
+      * diagnosed after the index date, or more than L before it →
+        excluded;
+      * followed past the index date without dying before it →
+        counts 1 (known alive);
+      * died before the index date → counts 0;
+      * censored before the index date → counts the CONDITIONAL
+        survival S_g(index − t_d) / S_g(c) read off the group's own
+        Kaplan-Meier curve (probability of still being alive at the
+        index given alive when last seen at follow-up time c).
+
+    Scale shape: ONE ``km_curve`` per group (already cell-collapsed),
+    then subjects collapse to per-(group, diag-time, duration, event)
+    cells; the two curve read-offs are broadcast max(struct) argmax
+    joins against the grid-sized KM frame (the
+    ``survival_at_horizons`` idiom — S = 1 before the first cell,
+    last value carried beyond it); each cell's weight is rounded to
+    the micro lattice before the exact long sum, so the estimate
+    adjudicates bit-exact. Work beyond the KM pass ∝ #cells.
+
+    Returns one row per group: n_diagnosed (in the window),
+    n_known_alive, n_known_dead, n_lost, prevalent_expected (6 dp —
+    n_known_alive plus the summed conditional survivals of the
+    lost).
+    """
+    g = list(group_cols)
+    td = F.col(diag_time_col).cast("double")
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("long")
+    idx = F.lit(float(index_time))
+    in_window = (td <= idx) & (
+        F.lit(True)
+        if limited_duration is None
+        else (td > idx - F.lit(float(limited_duration)))
+    )
+    sub = df.filter(in_window)
+
+    km = km_curve(sub, g, duration_col, event_col).select(
+        *g, F.col(duration_col).alias("_kt"), "survival"
+    )
+
+    # classify subjects; everything collapses to cells first
+    followup_end = td + dur
+    dead_before = (ev == 1) & (followup_end <= idx)
+    alive_at = followup_end >= idx  # saw the index date alive
+    cells = (
+        sub.select(
+            *g,
+            td.alias("_td"),
+            dur.alias("_dur"),
+            F.when(dead_before, F.lit("dead"))
+            .when(alive_at, F.lit("alive"))
+            .otherwise(F.lit("lost"))
+            .alias("_status"),
+        )
+        .groupBy(*g, "_td", "_dur", "_status")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+
+    def read_off(frame, h: Column, out: str) -> DataFrame:
+        # S at the largest curve time <= h; 1.0 before the first cell.
+        # The time predicate lives IN the join condition (not a
+        # post-filter) so a cell whose horizon precedes every curve
+        # time keeps its row (NULL match -> S = 1), never vanishes.
+        fr = frame.alias("f")
+        kk = km.alias("k")
+        cond = F.col("k._kt") <= h
+        for c in g:
+            cond = (F.col(f"f.{c}") == F.col(f"k.{c}")) & cond
+        j = fr.join(F.broadcast(kk), cond, "left")
+        keep = [F.col(f"f.{c}") for c in frame.columns]
+        return (
+            j.groupBy(*keep)
+            .agg(
+                F.max(
+                    F.struct(F.col("k._kt"), F.col("k.survival"))
+                ).alias("_best")
+            )
+            .withColumn(
+                out, F.coalesce(F.col("_best.survival"), F.lit(1.0))
+            )
+            .drop("_best")
+        )
+
+    lost = cells.filter(F.col("_status") == "lost")
+    lost = read_off(lost, idx - F.col("_td"), "_s_index")
+    lost = read_off(lost, F.col("_dur"), "_s_cens")
+    lost_w = lost.select(
+        *g,
+        F.when(
+            F.col("_s_cens") > 0,
+            _micro(
+                F.col("_w") * (F.col("_s_index") / F.col("_s_cens"))
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_wm"),
+    ).groupBy(*g).agg(F.sum("_wm").alias("_lost_exp"))
+
+    base = cells.groupBy(*g).agg(
+        F.sum("_w").alias("n_diagnosed"),
+        F.sum(
+            F.when(F.col("_status") == "alive", F.col("_w"))
+            .otherwise(0)
+        ).alias("n_known_alive"),
+        F.sum(
+            F.when(F.col("_status") == "dead", F.col("_w"))
+            .otherwise(0)
+        ).alias("n_known_dead"),
+        F.sum(
+            F.when(F.col("_status") == "lost", F.col("_w"))
+            .otherwise(0)
+        ).alias("n_lost"),
+    )
+    return (
+        base.join(lost_w, g, "left")
+        .withColumn(
+            "prevalent_expected",
+            F.round(
+                F.col("n_known_alive")
+                + F.coalesce(F.col("_lost_exp"), F.lit(0))
+                / F.lit(1000000.0),
+                6,
+            ),
+        )
+        .drop("_lost_exp")
+    )
+
+
+def km_curve_weighted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """WEIGHTED Kaplan-Meier product-limit estimate — the adjusted-
+    curve primitive behind inverse-probability-weighted survival
+    (``ipw_adjusted_km``), sampling-design weights, and stabilized-
+    weight sensitivity analyses:
+
+        S_w(t) = Π_{t'≤t} (1 − d_w(t')/Y_w(t')),
+        d_w = Σ_{events at t'} w_i,  Y_w = Σ_{at risk} w_i
+
+    Same cells→prefix shape as ``km_curve``: subjects collapse to
+    per-(group, time) cells carrying micro-lattice weight sums (each
+    subject's weight rounded to 1e-6 before the exact long sum), one
+    ``grouped_prefix_sum`` for the weighted at-risk mass and one for
+    the log-survival terms. With all weights 1 the estimate is
+    BIT-EQUAL to ``km_curve.survival`` (pinned): scaled-by-1e6
+    integer numerator/denominator divide to the identical double.
+    Weights must be > 0 (named error — zero/negative weights silently
+    corrupt the at-risk mass).
+
+    No Greenwood column: the unweighted variance is wrong under
+    weighting (the Xie-Liu sandwich is the correct one) — omitted
+    rather than published misleadingly.
+
+    Returns one row per (group, time): w_risk, w_event, n_event,
+    n_censored, survival (6 dp).
+    """
+    g = list(group_cols)
+    ev = F.col(event_col).cast("long")
+    w_ok = F.when(
+        F.col(weight_col).cast("double") <= 0,
+        F.raise_error(
+            F.lit("km_curve_weighted: weights must be > 0")
+        ).cast("double"),
+    ).otherwise(F.col(weight_col).cast("double"))
+    wm = _micro(w_ok)
+    cells = df.groupBy(*g, duration_col).agg(
+        F.sum(F.when(ev == 1, wm).otherwise(F.lit(0))).alias("_dw"),
+        F.sum(wm).alias("_rw"),
+        F.sum(ev).alias("n_event"),
+        F.sum(F.lit(1) - ev).alias("n_censored"),
+    )
+    tot = cells.groupBy(*g).agg(F.sum("_rw").alias("_wtot"))
+    cells = cells.join(tot, g)
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, "_rw", "_rw_before"
+    )
+    micro6 = F.lit(1000000.0)
+    dw = F.col("_dw") / micro6
+    yw = (F.col("_wtot") - F.col("_rw_before")) / micro6
+    cells = (
+        cells.withColumn(
+            "_lt",
+            F.when(
+                (dw > 0) & (dw < yw),
+                _micro(F.log(F.lit(1.0) - dw / yw)),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((dw > 0) & (dw == yw), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    lt = F.col("_lt0") + F.col("_lt")
+    dall = F.col("_dall0") + F.col("_dall")
+    return cells.select(
+        *g,
+        duration_col,
+        F.round(yw, 6).alias("w_risk"),
+        F.round(dw, 6).alias("w_event"),
+        "n_event",
+        "n_censored",
+        F.when(dall > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(lt / micro6), 6))
+        .alias("survival"),
+    )
+
+
+def ipw_adjusted_km(
+    df: DataFrame,
+    arm_col: str,
+    covariate_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 100,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Inverse-probability-of-treatment-weighted survival curves —
+    the confounder-adjusted comparison when arms differ in case mix
+    (the survival-curve analog of ``mantel_haenszel``'s Simpson
+    correction): a distributed logistic propensity model
+    P(arm=1 | covariates) (``llm/inference.py::logistic_train`` —
+    one fused aggregate per GD iteration, 9-dp update lattice, so
+    the weights and therefore the curves are bit-identical under any
+    partitioning), then ``km_curve_weighted`` per arm under
+    w = 1/p̂ (treated) or 1/(1−p̂) (control).
+
+    The default (lr=2.0, iters=100) converges the gradient-descent
+    propensity fit on standardized-ish covariates (GD needs generous
+    iterations — 20 half-converged iterations leave residual
+    confounding; verified in tests). Each iteration is one fused
+    aggregate.
+
+    Propensities are clipped to [0.01, 0.99] (standard positivity
+    trimming — documented, not silent: extreme weights otherwise let
+    single subjects dominate the at-risk mass). Returns
+    ``km_curve_weighted`` rows keyed by the arm column.
+    """
+    from ..llm.inference import logistic_train
+
+    feats = list(covariate_cols)
+    arm = F.col(arm_col).cast("int")
+    beta = logistic_train(
+        df.withColumn("_y", arm.cast("double")),
+        feats,
+        "_y",
+        lr=lr,
+        iters=iters,
+    )
+    z = F.lit(beta[0])
+    for j, c in enumerate(feats):
+        z = z + F.lit(beta[j + 1]) * F.col(c).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = F.least(F.greatest(p, F.lit(0.01)), F.lit(0.99))
+    w = F.when(arm == 1, F.lit(1.0) / p).otherwise(
+        F.lit(1.0) / (F.lit(1.0) - p)
+    )
+    return km_curve_weighted(
+        df.withColumn("_ipw", w),
+        [arm_col],
+        duration_col,
+        event_col,
+        "_ipw",
     )

@@ -652,3 +652,201 @@ def gk_quantile_batch(
         out,
         columns=["event_type", "n_total", "n_tuples", "p50", "p95", "p99"],
     )
+
+
+KLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_total", LongType()),
+        StructField("n_items", LongType()),
+        StructField("p50", DoubleType()),
+        StructField("p95", DoubleType()),
+        StructField("p99", DoubleType()),
+    ]
+)
+
+_KLL_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("values", ArrayType(DoubleType())),
+        StructField("lvl", ArrayType(LongType())),
+        StructField("parity", ArrayType(LongType())),
+    ]
+)
+
+
+class KllQuantileProcessor(StatefulProcessor):
+    """Streaming per-key quantiles via a DETERMINISTIC-compaction KLL
+    compactor ladder — the ``transformWithState`` twin of the batch
+    ``operators/incremental.py::incremental_update_sketched`` path
+    (which folds the JVM datasketches KLL into keyed state), closing
+    the batch/streaming symmetry the engine already has for dedup and
+    heavy hitters.
+
+    Level l holds items of weight 2^l; level capacities follow KLL's
+    geometric schedule cap(l) = max(2, ⌈k·(2/3)^(H−1−l)⌉) (top levels
+    widest). A full level compacts: sort, promote every other item
+    (doubled weight) to level l+1, discard the rest — KLL's random
+    offset coin is replaced by a PER-LEVEL ALTERNATING PARITY so the
+    fold is bit-reproducible (the repo's exact-adjudication posture;
+    alternation keeps the compactor unbiased across compactions). An
+    odd level leaves its largest item in place so total weight always
+    equals n EXACTLY — rank queries never drift from the true count.
+
+    Like GK and Space-Saving, the fold is an ORDERED one: the batch
+    sibling ``kll_quantile_batch`` replays the identical
+    (ts, event_id)-ordered history for the end-state pin, and the
+    rank-error guarantee (O(log(n/k)/k) for the deterministic
+    variant) holds for ANY arrival order. State is O(k·log(n/k))
+    per key — vs GK's O((1/ε)log(εn)) tuples, KLL's footprint is
+    set by k alone, the same knob the batch JVM sketch uses, so the
+    two paths are capacity-comparable."""
+
+    def __init__(
+        self,
+        k: int = 200,
+        value_col: str = "value",
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._k = int(k)
+        self._value_col = value_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "kll", _KLL_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    @staticmethod
+    def _cap(level: int, height: int, k: int) -> int:
+        import math
+
+        return max(2, math.ceil(k * (2.0 / 3.0) ** (height - 1 - level)))
+
+    @classmethod
+    def fold(cls, levels: list, parity: list, values, k: int) -> None:
+        """Insert ``values`` into the ladder in order, compacting
+        full levels bottom-up with alternating-parity selection."""
+        lvl0 = levels[0] if levels else []
+        if not levels:
+            levels.append(lvl0)
+            parity.append(0)
+        for v in values:
+            lvl0.append(float(v))
+            lv = 0
+            while lv < len(levels) and len(levels[lv]) >= cls._cap(
+                lv, len(levels), k
+            ):
+                items = sorted(levels[lv])
+                keep_last = len(items) % 2 == 1
+                tail = items[-1] if keep_last else None
+                body = items[:-1] if keep_last else items
+                promoted = body[parity[lv]::2]
+                parity[lv] ^= 1
+                levels[lv] = [tail] if keep_last else []
+                if lv + 1 == len(levels):
+                    levels.append([])
+                    parity.append(0)
+                levels[lv + 1].extend(promoted)
+                lv += 1
+
+    @staticmethod
+    def query(levels: list, phi: float, n: int) -> float:
+        """Smallest value whose cumulative weight reaches ⌈φn⌉ —
+        total ladder weight equals n exactly by construction."""
+        if n <= 0:
+            return float("nan")
+        import math
+
+        target = max(1, math.ceil(phi * n))
+        pairs = sorted(
+            (v, 1 << lv) for lv, items in enumerate(levels)
+            for v in items
+        )
+        acc = 0
+        for v, w in pairs:
+            acc += w
+            if acc >= target:
+                return v
+        return pairs[-1][0]
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, vals, lvls, par = self._state.get()
+            h = (max(lvls) + 1) if len(lvls) else 1
+            levels: list = [[] for _ in range(h)]
+            for v, lv in zip(vals, lvls):
+                levels[int(lv)].append(float(v))
+            parity = [int(x) for x in par]
+        else:
+            n, levels, parity = 0, [[]], [0]
+        for pdf in rows:
+            vs = pdf[self._value_col]
+            self.fold(levels, parity, vs, self._k)
+            n += len(vs)
+        flat_v = [v for items in levels for v in items]
+        flat_l = [lv for lv, items in enumerate(levels) for _ in items]
+        self._state.update((n, flat_v, flat_l, parity))
+        q = lambda p: self.query(levels, p, n)  # noqa: E731
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_total": [n],
+                "n_items": [len(flat_v)],
+                "p50": [q(0.5)],
+                "p95": [q(0.95)],
+                "p99": [q(0.99)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_kll_quantiles(
+    events: DataFrame,
+    k: int = 200,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-event-type KLL quantiles via
+    ``transformWithStateInPandas`` — update mode; the latest emission
+    per type carries its current p50/p95/p99. The streaming face of
+    the batch ``incremental_update_sketched`` → ``state_quantile``
+    maintenance loop."""
+    return events.select(
+        "event_type", "ts", "event_id", "value"
+    ).groupBy("event_type").transformWithStateInPandas(
+        KllQuantileProcessor(k=k, ttl_ms=ttl_ms),
+        outputStructType=KLL_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def kll_quantile_batch(events: DataFrame, k: int = 200) -> pd.DataFrame:
+    """Batch reference for ``running_kll_quantiles``'s END STATE: the
+    same deterministic KLL fold over each type's full history in
+    (ts, event_id) order. Pins the streaming processor in tests."""
+    pdf = (
+        events.select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    out = []
+    for et, grp in pdf.groupby("event_type"):
+        levels: list = [[]]
+        parity: list = [0]
+        KllQuantileProcessor.fold(levels, parity, grp["value"], k)
+        n = len(grp)
+        q = lambda p: KllQuantileProcessor.query(levels, p, n)  # noqa: E731
+        out.append(
+            (et, n, sum(len(x) for x in levels), q(0.5), q(0.95),
+             q(0.99))
+        )
+    return pd.DataFrame(
+        out,
+        columns=["event_type", "n_total", "n_items", "p50", "p95",
+                 "p99"],
+    )

@@ -1397,3 +1397,62 @@ def test_cochran_armitage_trend(spark):
         "score", "case",
     ).collect()[0]
     assert abs(rf.z) < 1e-6
+
+
+def test_cuzick_trend(spark):
+    """Cuzick: sequential textbook replication (midranks, tie
+    correction) on a tied cohort; a planted monotone shift gives a
+    loud positive z, a flat plant ~0, and reversing the scores flips
+    the sign exactly."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.stats import cuzick_trend
+
+    rows = []
+    for i in range(300):
+        dose = i % 3
+        base = (i * 7) % 10
+        rows.append((dose, base + 2 * dose))      # planted trend
+    df = spark.createDataFrame(rows, "dose long, y long")
+    r = cuzick_trend(df, "dose", "y").collect()[0]
+
+    # sequential reference with midranks
+    ys = np.array([y for _, y in rows], float)
+    ds = np.array([d for d, _ in rows], float)
+    order = np.argsort(ys, kind="stable")
+    ranks = np.empty(len(ys))
+    sorted_y = ys[order]
+    i = 0
+    pos = 1
+    while i < len(sorted_y):
+        j = i
+        while j < len(sorted_y) and sorted_y[j] == sorted_y[i]:
+            j += 1
+        mid = (pos + (pos + (j - i) - 1)) / 2.0
+        ranks[order[i:j]] = mid
+        pos += j - i
+        i = j
+    n = len(ys)
+    t = float((ds * ranks).sum())
+    ln = float(ds.sum())
+    lln = float((ds * ds).sum())
+    _, counts = np.unique(ys, return_counts=True)
+    ctie = 1.0 - float((counts ** 3 - counts).sum()) / (n ** 3 - n)
+    e_t = (n + 1) / 2.0 * ln
+    var = (n + 1) / 12.0 * (n * lln - ln * ln) * ctie
+    z = (t - e_t) / math.sqrt(var)
+    assert abs(r.t_rank_sum - t) < 1e-6
+    assert abs(r.e_t - e_t) < 1e-6
+    assert abs(r.variance - var) < 1e-4
+    assert abs(r.z - z) < 1e-6
+    assert r.z > 5  # the trend is loud
+
+    flat = spark.createDataFrame(
+        [(i % 3, (i * 7) % 10) for i in range(300)], "dose long, y long"
+    )
+    rf = cuzick_trend(flat, "dose", "y").collect()[0]
+    assert abs(rf.z) < 1.0, rf
+    rev = cuzick_trend(
+        df.withColumn("dose", 2 - F.col("dose")), "dose", "y"
+    ).collect()[0]
+    assert abs(rev.z + r.z) < 1e-9, (rev.z, r.z)

@@ -1153,3 +1153,170 @@ def test_transform_with_state_gk_quantiles(spark, sf_dir, tmp_path):
             rank = sum(1 for x in vals if x <= v)
             target = max(1, math.ceil(phi * n))
             assert abs(rank - target) <= eps * n + 1, (r.event_type, phi)
+
+
+def test_kll_quantile_processor_matches_batch_and_bounds(spark, sf_dir):
+    """KllQuantileProcessor fold (fake state, batch-sliced) equals
+    the batch-built ladder END STATE exactly (deterministic
+    alternating-parity compaction), total ladder weight always equals
+    n, state stays O(k·log(n/k)), every reported quantile is within
+    the deterministic-KLL rank tolerance of exact, and the streaming
+    estimates agree with the BATCH INCREMENTAL PATH (JVM datasketches
+    KLL via agg_state_sketched/state_quantile) within the two
+    sketches' combined rank error — the batch/streaming symmetry pin
+    (VERDICT r06 item 8)."""
+    import math
+
+    from cancer_survival_etl_spark.operators.incremental import (
+        agg_state_sketched,
+        state_quantile,
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        KllQuantileProcessor,
+        kll_quantile_batch,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    k = 200
+    events = load_table(spark, sf_dir, "events")
+    expect = kll_quantile_batch(events, k=k).set_index("event_type")
+    pdf = (
+        events.select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    # JVM incremental path: value cast to bigint (the sketched state
+    # is over longs); quantiles land within its own ~1.7% rank error
+    jvm_state = agg_state_sketched(
+        events.select(
+            "event_type", F.col("value").cast("bigint").alias("v")
+        ),
+        ["event_type"],
+        "v",
+        k=k,
+    )
+    jvm_q = {
+        r.event_type: (r.q50, r.q95)
+        for r in state_quantile(
+            state_quantile(jvm_state, 0.5, "q50"), 0.95, "q95"
+        ).collect()
+    }
+    for et, grp in pdf.groupby("event_type"):
+        proc = KllQuantileProcessor(k=k)
+        proc._state = FakeState()
+        cut = len(grp) // 3
+        last = None
+        for chunk in (grp.iloc[:cut], grp.iloc[cut:2 * cut],
+                      grp.iloc[2 * cut:]):
+            if len(chunk) == 0:
+                continue
+            last = list(
+                proc.handleInputRows((et,), iter([chunk]), None)
+            )[-1].iloc[0]
+        want = expect.loc[et]
+        # end-state pin: sliced streaming fold == one-shot batch fold
+        assert int(last["n_total"]) == int(want["n_total"])
+        assert int(last["n_items"]) == int(want["n_items"])
+        for c in ("p50", "p95", "p99"):
+            assert float(last[c]) == float(want[c]), (et, c)
+        n = int(last["n_total"])
+        # ladder footprint: O(k log(n/k)) items
+        bound = k * (math.log2(max(2.0, n / k)) + 2)
+        assert int(last["n_items"]) <= bound, (n, int(last["n_items"]))
+        exact_sorted = sorted(grp["value"])
+        tol = max(2.0, 0.05 * n)
+        for phi in (0.5, 0.95, 0.99):
+            v = float(last[f"p{int(phi * 100)}"])
+            rank = sum(1 for x in exact_sorted if x <= v)
+            target = max(1, math.ceil(phi * n))
+            assert abs(rank - target) <= tol, (et, phi, rank, target)
+        # symmetry pin vs the JVM incremental path (long-cast values):
+        # both estimates must sit within the combined rank tolerance
+        exact_long = sorted(int(x) for x in grp["value"])
+        for phi, jv in ((0.5, jvm_q[et][0]), (0.95, jvm_q[et][1])):
+            v = float(last[f"p{int(phi * 100)}"])
+            r_py = sum(1 for x in exact_long if x <= v)
+            r_jvm = sum(1 for x in exact_long if x <= jv)
+            assert abs(r_py - r_jvm) <= 2 * tol, (et, phi, r_py, r_jvm)
+
+
+def test_transform_with_state_kll_quantiles(spark, sf_dir, tmp_path):
+    """End-to-end transformWithStateInPandas run of the KLL quantile
+    processor (protobuf-gated): final per-type emission carries the
+    full count and every quantile satisfies the deterministic-KLL
+    rank tolerance vs exact — order-independent, so the pin does not
+    depend on stream delivery order."""
+    import math
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        running_kll_quantiles,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    k = 200
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_kll_quantiles(src, k=k)
+            .writeStream.format("memory")
+            .queryName("tws_kll_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_kll"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.sql(
+        """SELECT event_type, max_by(p50, n_total) AS p50,
+                  max_by(p95, n_total) AS p95,
+                  max_by(p99, n_total) AS p99,
+                  max(n_total) AS n_total
+           FROM tws_kll_test GROUP BY event_type"""
+    ).toPandas()
+    events = load_table(spark, sf_dir, "events").toPandas()
+    for r in out.itertuples():
+        vals = sorted(
+            events[events.event_type == r.event_type]["value"]
+        )
+        n = len(vals)
+        assert int(r.n_total) == n
+        tol = max(2.0, 0.05 * n)
+        for phi, v in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            rank = sum(1 for x in vals if x <= v)
+            target = max(1, math.ceil(phi * n))
+            assert abs(rank - target) <= tol, (r.event_type, phi)

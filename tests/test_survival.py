@@ -2531,3 +2531,891 @@ def test_logrank_trend_two_group_reduction_and_power(spark):
         mono.chi_square, scrambled.chi_square,
     )
     assert mono.z > 0  # higher dose -> more deaths -> positive trend
+
+
+# ---------------------------------------------------------------------------
+# Turnbull interval-censored NPMLE
+# ---------------------------------------------------------------------------
+
+
+def test_turnbull_right_censored_reduction_bit_equals_km(spark):
+    """All-exact-events + right-censoring: turnbull_km's survival
+    column must be BIT-EQUAL to km_curve's at every event time
+    (exact event at t = interval (t-1, t]; censored at c = (c, NULL)).
+    The E-step is degenerate (every event interval contains exactly
+    one support), so the pin holds for ANY iters."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        turnbull_km,
+    )
+
+    rows = []
+    for i in range(300):
+        t = 1 + (i * 7919) % 23
+        ev = 0 if i % 4 == 0 else 1
+        rows.append(("A" if i % 2 == 0 else "B", t, ev))
+    subj = spark.createDataFrame(rows, "grp string, duration long, event int")
+    km = {
+        (r.grp, float(r.duration)): r.survival
+        for r in km_curve(subj, ["grp"], "duration", "event").collect()
+        if r.n_event > 0
+    }
+    iv = subj.selectExpr(
+        "grp",
+        "CAST(CASE WHEN event = 1 THEN duration - 1 ELSE duration END"
+        " AS DOUBLE) AS left",
+        "CAST(CASE WHEN event = 1 THEN duration ELSE NULL END"
+        " AS DOUBLE) AS right",
+    )
+    tb = {
+        (r.grp, r.time): r.survival
+        for r in turnbull_km(iv, ["grp"], "left", "right", iters=2).collect()
+    }
+    assert set(tb) == set(km)
+    for k in km:
+        assert tb[k] == km[k], (k, tb[k], km[k])  # bit-equal
+
+
+def test_turnbull_single_support_intersection(spark):
+    """Overlapping intervals (0,2] and (1,3]: the only innermost
+    interval is their intersection (1,2] — all mass lands there and
+    the curve drops to 0 at t=2 (classic Turnbull degenerate case)."""
+    from cancer_survival_etl_spark.operators.survival import turnbull_km
+
+    iv = spark.createDataFrame(
+        [("g", 0.0, 2.0), ("g", 1.0, 3.0)],
+        "grp string, left double, right double",
+    )
+    out = turnbull_km(iv, ["grp"], iters=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.q_lo == 1.0 and r.time == 2.0
+    assert r.mass == 1.0 and r.survival == 0.0
+
+
+def test_turnbull_em_fixed_point_masses(spark):
+    """obs = {(0,1], (0,2], (1,2]}: NPMLE masses are (1/2, 1/2) and
+    EM lands there in ONE iteration from uniform init; the asymmetric
+    cohort {(0,1]x2, (0,2], (1,2]} has NPMLE p1 = 2/3 (maximize
+    p1^2·(1-p1)) — EM converges geometrically, 15 iterations are
+    inside the 1e-5 lattice."""
+    from cancer_survival_etl_spark.operators.survival import turnbull_km
+
+    sym = spark.createDataFrame(
+        [("g", 0.0, 1.0), ("g", 0.0, 2.0), ("g", 1.0, 2.0)],
+        "grp string, left double, right double",
+    )
+    out = {r.q_lo: r for r in turnbull_km(sym, ["grp"], iters=1).collect()}
+    assert out[0.0].mass == 0.5 and out[1.0].mass == 0.5
+    # survival: S(1) = 1 - 1/2, S(2) = 0
+    assert abs(out[0.0].survival - 0.5) < 2e-6
+    assert out[1.0].survival == 0.0
+
+    asym = spark.createDataFrame(
+        [("g", 0.0, 1.0), ("g", 0.0, 1.0), ("g", 0.0, 2.0),
+         ("g", 1.0, 2.0)],
+        "grp string, left double, right double",
+    )
+    out = {r.q_lo: r for r in turnbull_km(asym, ["grp"], iters=15).collect()}
+    assert abs(out[0.0].mass - 2.0 / 3.0) < 1e-5, out[0.0].mass
+    assert abs(out[1.0].mass - 1.0 / 3.0) < 1e-5, out[1.0].mass
+
+
+def test_turnbull_censored_tail_mass(spark):
+    """A subject censored beyond every finite right endpoint spawns
+    the ∞-tail support; finite masses then sum to < 1 and the curve
+    stays ABOVE zero after the last support (KM behavior)."""
+    from cancer_survival_etl_spark.operators.survival import turnbull_km
+
+    iv = spark.createDataFrame(
+        [("g", 0.0, 2.0), ("g", 1.0, 3.0), ("g", 4.0, None),
+         ("g", 4.0, None)],
+        "grp string, left double, right double",
+    )
+    out = turnbull_km(iv, ["grp"], iters=5).collect()
+    assert len(out) == 1  # (1,2] is the only finite support
+    r = out[0]
+    # 2 of 4 subjects' mass is stuck in (4, ∞)
+    assert abs(r.mass - 0.5) < 2e-6
+    assert abs(r.survival - 0.5) < 2e-6  # 2 events, 4 at risk
+
+
+def test_turnbull_validations(spark):
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import turnbull_km
+
+    iv = spark.createDataFrame(
+        [("g", 3.0, 2.0)], "grp string, left double, right double"
+    )
+    with pytest.raises(Exception, match="left < right"):
+        turnbull_km(iv, ["grp"]).collect()
+    good = spark.createDataFrame(
+        [("g", 1.0, 2.0)], "grp string, left double, right double"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        turnbull_km(good, ["grp"], iters=0)
+
+
+# ---------------------------------------------------------------------------
+# Aalen additive hazards
+# ---------------------------------------------------------------------------
+
+
+def _aalen_numpy(rows, p):
+    """Reference Aalen least-squares increments replicating the
+    operator's lattice arithmetic exactly (nano moments, micro
+    increments, pico variances)."""
+    import numpy as np
+
+    times = sorted({t for (*_, t, e) in rows if e == 1})
+    out = {}
+    cumb = np.zeros(p + 1)
+    cumv = np.zeros(p + 1)
+    singular = False
+    for t in times:
+        risk = [r for r in rows if r[-2] >= t]
+        evs = [r for r in rows if r[-2] == t and r[-1] == 1]
+        A = np.zeros((p + 1, p + 1))
+        M = np.zeros((p + 1, p + 1))
+        for rset, mat in ((risk, A), (evs, M)):
+            for r in rset:
+                x = np.array([1.0, *r[:p]])
+                for i in range(p + 1):
+                    for j in range(p + 1):
+                        term = x[i] * x[j]
+                        if (i, j) != (0, 0):
+                            term = round(term * 1e9) / 1e9
+                        mat[i, j] += term
+        det = np.linalg.det(A)
+        if det <= 1e-6:
+            singular = True
+        if singular:
+            out[t] = None
+            continue
+        inv = np.linalg.inv(A)
+        binc = inv @ M[:, 0]
+        vinc = np.diag(inv @ M @ inv)
+        binc = np.round(binc * 1e6) / 1e6
+        vinc = np.round(vinc * 1e12) / 1e12
+        cumb += binc
+        cumv += vinc
+        out[t] = (binc.copy(), cumb.copy(), np.sqrt(cumv))
+    return out
+
+
+def test_aalen_additive_matches_numpy_reference(spark):
+    """One-covariate model on a mixed cohort: per-event-time
+    increments, cumulative coefficients and Aalen SEs all match an
+    independent dense numpy implementation to the 1e-5 lattice."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_additive,
+    )
+
+    rows = []
+    for i in range(60):
+        x = (i % 5) / 4.0
+        t = 1 + (i * 13) % 9
+        e = 0 if i % 4 == 0 else 1
+        rows.append((x, t, e))
+    df = spark.createDataFrame(
+        [("g", *r) for r in rows],
+        "grp string, x double, duration long, event int",
+    )
+    got = {
+        r.time: r
+        for r in aalen_additive(df, ["grp"], ["x"]).collect()
+    }
+    ref = _aalen_numpy(rows, 1)
+    assert set(got) == set(ref)
+    for t, exp in ref.items():
+        r = got[t]
+        if exp is None:
+            assert r.intercept_cum is None and r.x_cum is None, r
+            continue
+        binc, cumb, se = exp
+        assert abs(r.intercept_incr - binc[0]) < 2e-5, (t, r)
+        assert abs(r.x_incr - binc[1]) < 2e-5, (t, r)
+        assert abs(r.intercept_cum - cumb[0]) < 5e-5, (t, r)
+        assert abs(r.x_cum - cumb[1]) < 5e-5, (t, r)
+        assert abs(r.intercept_se - se[0]) < 5e-5, (t, r)
+        assert abs(r.x_se - se[1]) < 5e-5, (t, r)
+
+
+def test_aalen_additive_two_covariates_matches_numpy(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_additive,
+    )
+
+    rows = []
+    for i in range(80):
+        x1 = (i % 4) / 3.0
+        x2 = ((i * 3) % 7) / 6.0
+        t = 1 + (i * 11) % 8
+        e = 0 if i % 5 == 0 else 1
+        rows.append((x1, x2, t, e))
+    df = spark.createDataFrame(
+        [("g", *r) for r in rows],
+        "grp string, x1 double, x2 double, duration long, event int",
+    )
+    got = {
+        r.time: r
+        for r in aalen_additive(df, ["grp"], ["x1", "x2"]).collect()
+    }
+    ref = _aalen_numpy(rows, 2)
+    assert set(got) == set(ref)
+    for t, exp in ref.items():
+        r = got[t]
+        if exp is None:
+            assert r.x1_cum is None and r.x2_cum is None
+            continue
+        binc, cumb, se = exp
+        for name, k in (("intercept", 0), ("x1", 1), ("x2", 2)):
+            assert abs(getattr(r, f"{name}_incr") - binc[k]) < 5e-5, (
+                t, name, r)
+            assert abs(getattr(r, f"{name}_cum") - cumb[k]) < 1e-4, (
+                t, name, r)
+            assert abs(getattr(r, f"{name}_se") - se[k]) < 1e-4, (
+                t, name, r)
+
+
+def test_aalen_additive_recovers_time_varying_effect(spark):
+    """Planted piecewise effect: x doubles the hazard ONLY before
+    t=10 (effect vanishes after). The cumulative B_x(t) slope must be
+    clearly positive over the early window and near-flat late —
+    exactly what cox_ph's single constant β cannot represent (the
+    test_cox_td_recovers_time_varying_effect pattern)."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_additive,
+    )
+
+    rows = []
+    for i in range(4000):
+        x = float(i % 2)
+        u = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        base = 0.03
+        early = base + (0.06 if x > 0 else 0.0)
+        # piecewise-exponential draw: hazard `early` on [0,10), `base` after
+        t_try = -math.log(u) / early
+        if t_try < 10:
+            t = t_try
+        else:
+            u2 = ((i * 48271 + 7) % 999983) / 999983.0 + 1e-9
+            t = 10 - math.log(u2) / base
+        dur = min(int(t) + 1, 30)
+        rows.append(("g", x, dur, 1 if t < 30 else 0))
+    df = spark.createDataFrame(
+        rows, "grp string, x double, duration long, event int"
+    )
+    out = {r.time: r for r in
+           aalen_additive(df, ["grp"], ["x"]).collect()}
+    b_at = {t: out[t].x_cum for t in out if out[t].x_cum is not None}
+    early_slope = b_at[10] / 10.0
+    late_slope = (b_at[25] - b_at[10]) / 15.0
+    assert early_slope > 0.035, (early_slope, late_slope)  # ~0.06
+    assert abs(late_slope) < 0.02, (early_slope, late_slope)  # ~0
+
+
+def test_aalen_additive_singular_tail_nulls(spark):
+    """Once the at-risk set loses covariate rank (everyone left has
+    the same x), the Gram matrix is singular: later event rows keep
+    counts but report NULL coefficients."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_additive,
+    )
+
+    rows = [
+        ("g", 0.0, 1, 1), ("g", 1.0, 1, 1),
+        ("g", 0.0, 2, 1), ("g", 1.0, 2, 1),
+        # only x=1 subjects at risk from t=3 on
+        ("g", 1.0, 3, 1), ("g", 1.0, 4, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, x double, duration long, event int"
+    )
+    out = {r.time: r for r in
+           aalen_additive(df, ["grp"], ["x"]).collect()}
+    assert out[1].x_cum is not None and out[2].x_cum is not None
+    assert out[3].x_cum is None and out[4].x_cum is None
+    assert out[3].n_risk == 2 and out[3].n_event == 1
+
+
+def test_aalen_additive_validations(spark):
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        aalen_additive,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1, 1)], "grp string, x double, duration long, event int"
+    )
+    with pytest.raises(ValueError, match="1 or 2"):
+        aalen_additive(df, ["grp"], [])
+    with pytest.raises(ValueError, match="1 or 2"):
+        aalen_additive(df, ["grp"], ["x", "x", "x"])
+
+
+def test_fine_gray_wald_se(spark):
+    """return_se=True: (a) matches the sequential reference's
+    final-information inverse; (b) with no competing events the SEs
+    equal cox_ph's return_se exactly; (c) β is unchanged by asking
+    for SEs; (d) the planted effect's 95% CI behaves (excludes 0,
+    se is n-appropriately tight)."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        fine_gray,
+    )
+
+    p_mix, b_true = 0.55, 0.9
+    rows = []
+    for i in range(700):
+        x = i % 2
+        eta = math.exp(b_true * x)
+        u1 = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        u2 = ((i * 40503 + 13) % 999979) / 999979.0 + 1e-9
+        u3 = ((i * 69069 + 5) % 999961) / 999961.0
+        p1 = 1.0 - (1.0 - p_mix) ** eta
+        if u1 < p1:
+            inner = (1.0 - (1.0 - u1) ** (1.0 / eta)) / p_mix
+            t = -math.log(1.0 - inner)
+            c = 1
+        else:
+            t = -math.log(u2)
+            c = 2
+        if u3 < 0.3:
+            t, c = t * u3 / 0.3, 0
+        rows.append((float(x), round(min(t, 3.0), 1),
+                     c if t <= 3.0 else 0))
+    df = spark.createDataFrame(
+        rows, "x double, duration double, cause int"
+    )
+    beta_only = fine_gray(df, ["x"], iters=5)
+    beta, se = fine_gray(df, ["x"], iters=5, return_se=True)
+    assert beta == beta_only  # SEs are a zero-extra-pass readout
+
+    # sequential reference: rebuild the final information matrix
+    X = np.array([[r[0]] for r in rows])
+    dur = np.array([r[1] for r in rows])
+    cause = np.array([r[2] for r in rows])
+    ref_b = _fine_gray_reference(X, dur, cause, iters=5)
+    # one more info evaluation at the returned beta (penultimate
+    # iterate convention — same as the operator)
+    ref_b4 = _fine_gray_reference(X, dur, cause, iters=4)
+    n = len(rows)
+    times = np.unique(dur)
+    lng = {}
+    acc = 0
+    for t in times:
+        lng[t] = acc
+        n_at = int((dur >= t).sum())
+        c = int(((dur == t) & (cause == 0)).sum())
+        if 0 < c < n_at:
+            acc += round(math.log(1.0 - c / n_at) * 1e6)
+    G = {t: math.exp(v / 1e6) for t, v in lng.items()}
+    r = np.exp(X @ ref_b4)
+    info = np.zeros((1, 1))
+    for t in np.unique(dur[cause == 1]):
+        tied = (dur == t) & (cause == 1)
+        d = int(tied.sum())
+        alive = dur >= t
+        cmp_in = (cause == 2) & (dur < t)
+        w = np.zeros(n)
+        w[alive] = 1.0
+        w[cmp_in] = G[t] / np.array([G[ti] for ti in dur[cmp_in]])
+        rw = r * w
+        S0, S1 = rw.sum(), (rw * X[:, 0]).sum()
+        S2 = (rw * X[:, 0] * X[:, 0]).sum()
+        info[0, 0] += d * (S2 / S0 - (S1 / S0) ** 2)
+    ref_se = float(np.sqrt(1.0 / info[0, 0]))
+    assert abs(se[0] - ref_se) < 1e-4, (se, ref_se)
+
+    # CI behavior on the planted positive effect
+    assert beta[0] - 1.96 * se[0] > 0.0
+    assert 0.05 < se[0] < 0.5
+
+    # no-competing reduction: SEs equal cox_ph's exactly
+    two = df.filter(F.col("cause") != 2)
+    fg_b, fg_se = fine_gray(two, ["x"], iters=4, return_se=True)
+    cx_b, cx_se = cox_ph(
+        two.withColumnRenamed("cause", "event"), ["x"], iters=4,
+        return_se=True,
+    )
+    assert fg_b == cx_b and fg_se == cx_se
+
+
+# ---------------------------------------------------------------------------
+# Restricted cubic spline Cox
+# ---------------------------------------------------------------------------
+
+
+def test_rcs_basis_properties(spark):
+    """RCS basis sanity on a grid: k knots -> k-1 columns; linear
+    tails (second differences vanish beyond the boundary knots);
+    continuity through knots; <3 knots degenerates to [x]."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        rcs_basis_cols,
+    )
+
+    grid = spark.range(0, 201).select(
+        (F.col("id") / 10.0).alias("x")
+    )
+    cols = rcs_basis_cols(F.col("x"), [2.0, 8.0, 14.0, 18.0])
+    assert len(cols) == 3
+    rows = (
+        grid.select("x", *[c.alias(f"b{j}") for j, c in enumerate(cols)])
+        .orderBy("x")
+        .collect()
+    )
+    xs = [r.x for r in rows]
+    for j in range(3):
+        vs = [r[f"b{j}"] for r in rows]
+        # linear beyond the last knot: second differences ~ 0
+        hi = [i for i, x in enumerate(xs) if x > 18.2][1:-1]
+        for i in hi:
+            dd = vs[i + 1] - 2 * vs[i] + vs[i - 1]
+            assert abs(dd) < 1e-9, (j, xs[i], dd)
+        # and below the first knot
+        lo = [i for i, x in enumerate(xs) if x < 1.8][1:-1]
+        for i in lo:
+            dd = vs[i + 1] - 2 * vs[i] + vs[i - 1]
+            assert abs(dd) < 1e-9, (j, xs[i], dd)
+    assert len(rcs_basis_cols(F.col("x"), [])) == 1
+    assert len(rcs_basis_cols(F.col("x"), [3.0, 9.0])) == 1
+    with pytest.raises(ValueError, match="distinct"):
+        rcs_basis_cols(F.col("x"), [1.0, 1.0, 2.0])
+
+
+def test_cox_spline_linear_reduction_bit_equals_cox(spark):
+    """With < 3 knots the spline basis is exactly [x], so the fit is
+    BIT-EQUAL to cox_ph on the raw column — coefficients and SEs."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_spline,
+    )
+
+    df = _td_cohort(spark)  # x1, x2, duration, event
+    b_sp, se_sp = cox_ph_spline(
+        df, "x1", [], adjust_cols=["x2"], iters=4, return_se=True
+    )
+    b_cx, se_cx = cox_ph(df, ["x1", "x2"], iters=4, return_se=True)
+    assert b_sp == b_cx and se_sp == se_cx
+
+
+def test_cox_spline_detects_planted_nonlinearity(spark):
+    """Planted U-shaped log-hazard lp(x) = 2(x-1)^2 on x ∈ [0,2]:
+    the spline's nonlinear coefficients must be jointly significant
+    (|z| > 3 for at least one), and the fitted curve must recover
+    the U (lp at the edges above lp at the minimum by ~2 on the log
+    scale) — where plain cox_ph reads a near-zero slope."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_spline,
+        rcs_basis_cols,
+    )
+
+    rows = []
+    for i in range(5000):
+        x = (i % 21) / 10.0  # 0..2
+        u = ((i * 2654435761 + 11) % 999983) / 999983.0 + 1e-9
+        lp = 2.0 * (x - 1.0) ** 2
+        t = -math.log(u) / (0.05 * math.exp(lp))
+        dur = min(int(t) + 1, 60)
+        rows.append((x, dur, 1 if t < 60 else 0))
+    df = spark.createDataFrame(rows, "x double, duration long, event int")
+    knots = [0.2, 1.0, 1.8]
+    beta, se = cox_ph_spline(df, "x", knots, iters=6, return_se=True)
+    assert len(beta) == 2
+    # the nonlinear (cubic) coefficient is loudly significant
+    assert abs(beta[1] / se[1]) > 3, (beta, se)
+    # plain Cox sees almost nothing (symmetric U around the center)
+    b_lin = cox_ph(df, ["x"], iters=6)
+    assert abs(b_lin[0]) < 0.4, b_lin
+    # fitted curve recovers the U shape: evaluate lp on a grid
+    grid = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,)], "x double"
+    )
+    cols = rcs_basis_cols(F.col("x"), knots)
+    vals = grid.select(
+        "x",
+        sum(
+            (F.lit(beta[j]) * c for j, c in enumerate(cols[1:], 1)),
+            F.lit(beta[0]) * cols[0],
+        ).alias("lp"),
+    ).collect()
+    lp = {r.x: r.lp for r in vals}
+    assert lp[0.0] - lp[1.0] > 1.0, lp
+    assert lp[2.0] - lp[1.0] > 1.0, lp
+
+
+# ---------------------------------------------------------------------------
+# Annual percent change
+# ---------------------------------------------------------------------------
+
+
+def test_apc_trend_recovers_planted_growth(spark):
+    """Rates planted to grow exactly 5%/period: ln-rate is exactly
+    linear, so APC = 5.0 to lattice precision, the CI collapses onto
+    the point (RSS ~ 0), and a flat plant gives APC ~ 0. numpy OLS
+    replication on a noisy plant pins slope and the SE formula."""
+    import math
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import apc_trend
+
+    pt = 1000000
+    rows = []
+    for p in range(12):
+        rate = 0.01 * (1.05 ** p)
+        rows.append(("grow", p, int(round(rate * pt)), pt))
+        rows.append(("flat", p, int(round(0.02 * pt)), pt))
+    df = spark.createDataFrame(
+        rows, "grp string, period long, cases long, person_time long"
+    )
+    out = {r.grp: r for r in
+           apc_trend(df, ["grp"], "period", "cases",
+                     "person_time").collect()}
+    assert abs(out["grow"].apc_pct - 5.0) < 0.01, out["grow"]
+    assert abs(out["grow"].apc_upper - out["grow"].apc_lower) < 0.1
+    assert abs(out["flat"].apc_pct) < 0.01, out["flat"]
+
+    # noisy plant vs numpy OLS on the SAME micro-lattice ln rates
+    noisy = []
+    for p in range(10):
+        c = int(round(0.01 * (1.03 ** p) * pt * (1 + 0.2 * math.sin(p))))
+        noisy.append(("n", p, c, pt))
+    dfn = spark.createDataFrame(
+        noisy, "grp string, period long, cases long, person_time long"
+    )
+    r = apc_trend(dfn, ["grp"], "period", "cases",
+                  "person_time").collect()[0]
+    xs = np.array([p for (_, p, _, _) in noisy], float)
+    ys = np.array(
+        [round(math.log(c / pt) * 1e6) / 1e6 for (_, _, c, _) in noisy]
+    )
+    n = len(xs)
+    sxx = (xs * xs).sum() - xs.sum() ** 2 / n
+    sxy = (xs * ys).sum() - xs.sum() * ys.sum() / n
+    syy = (ys * ys).sum() - ys.sum() ** 2 / n
+    slope = sxy / sxx
+    se = math.sqrt(max(syy - slope * sxy, 0.0) / (n - 2) / sxx)
+    assert abs(r.slope - slope) < 1e-6, (r.slope, slope)
+    assert abs(r.apc_pct - 100 * (math.exp(slope) - 1)) < 1e-4
+    assert abs(
+        r.apc_lower - 100 * (math.exp(slope - 1.96 * se) - 1)
+    ) < 1e-4
+    assert abs(
+        r.apc_upper - 100 * (math.exp(slope + 1.96 * se) - 1)
+    ) < 1e-4
+
+
+def test_apc_trend_guards(spark):
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import apc_trend
+
+    zero = spark.createDataFrame(
+        [("g", 0, 5, 100), ("g", 1, 0, 100), ("g", 2, 4, 100)],
+        "grp string, period long, cases long, person_time long",
+    )
+    with pytest.raises(Exception, match="cases > 0"):
+        apc_trend(zero, ["grp"]).collect()
+    # degenerate: < 3 periods -> NULLs, not a crash
+    two = spark.createDataFrame(
+        [("g", 0, 5, 100), ("g", 1, 6, 100)],
+        "grp string, period long, cases long, person_time long",
+    )
+    r = apc_trend(two, ["grp"]).collect()[0]
+    assert r.n_periods == 2 and r.apc_pct is None
+
+
+# ---------------------------------------------------------------------------
+# Lexis expansion
+# ---------------------------------------------------------------------------
+
+
+def test_lexis_expand_hand_example(spark):
+    """Hand-checkable split: age0=30, time0=5, D=40, age breaks at
+    {0,25,50}, period breaks at {0,20,40}. Cuts in follow-up u:
+    age 50 at u=20; period 20 at u=15, period 40 at u=35 →
+    segments [0,15) [15,20) [20,35) [35,40) with the event only in
+    the last; risk time is conserved exactly."""
+    from cancer_survival_etl_spark.operators.survival import (
+        lexis_expand,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", 30.0, 5.0, 40.0, 1)],
+        "sid string, age0 double, t0 double, dur double, event int",
+    )
+    rows = sorted(
+        lexis_expand(
+            df, "age0", "t0", "dur", "event", [0, 25, 50], [0, 20, 40]
+        ).collect(),
+        key=lambda r: r.slice_start,
+    )
+    got = [
+        (r.slice_start, r.risk_time, r.age_band, r.period_band,
+         r.event_slice)
+        for r in rows
+    ]
+    assert got == [
+        (0.0, 15.0, 25.0, 0.0, 0),
+        (15.0, 5.0, 25.0, 20.0, 0),
+        (20.0, 15.0, 50.0, 20.0, 0),
+        (35.0, 5.0, 50.0, 40.0, 1),
+    ], got
+    assert abs(sum(r.risk_time for r in rows) - 40.0) < 1e-12
+
+
+def test_lexis_expand_conservation_and_bands(spark):
+    """Person-time conservation over a planted cohort, exactly one
+    event slice per event subject, band attribution below the first
+    break is NULL (not clamped), zero duration raises."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        lexis_expand,
+    )
+
+    rows = [
+        (f"s{i}", float(20 + i % 37), float(i % 11), float(1 + i % 29),
+         i % 3 == 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "sid string, age0 double, t0 double, dur double, event boolean"
+    )
+    out = lexis_expand(
+        df, "age0", "t0", "dur", "event",
+        [0, 25, 35, 45], [0, 8, 16, 24, 32],
+    )
+    agg = out.groupBy("sid").agg(
+        F.sum("risk_time").alias("rt"),
+        F.sum("event_slice").alias("ev"),
+        F.min("age_band").alias("min_band"),
+    ).collect()
+    exp = {r[0]: (r[3], 1 if r[4] else 0) for r in rows}
+    for r in agg:
+        assert abs(r.rt - exp[r.sid][0]) < 1e-9, r
+        assert r.ev == exp[r.sid][1], r
+    # below-first-break ages yield NULL band
+    low = spark.createDataFrame(
+        [("x", 1.0, 0.0, 5.0, 0)],
+        "sid string, age0 double, t0 double, dur double, event int",
+    )
+    r = lexis_expand(
+        low, "age0", "t0", "dur", "event", [10, 20], [0, 100]
+    ).collect()
+    assert all(row.age_band is None for row in r)
+    bad = spark.createDataFrame(
+        [("x", 1.0, 0.0, 0.0, 0)],
+        "sid string, age0 double, t0 double, dur double, event int",
+    )
+    with pytest.raises(Exception, match="duration must be > 0"):
+        lexis_expand(
+            bad, "age0", "t0", "dur", "event", [0], [0]
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Limited-duration prevalence (counting method)
+# ---------------------------------------------------------------------------
+
+
+def test_prevalence_counting_hand_example(spark):
+    """Hand-checkable cohort, index at t=10, no duration limit:
+    s1 diagnosed 0, followed 12 (alive at index)      -> 1
+    s2 diagnosed 2, died at 2+5=7 < 10                -> 0
+    s3 diagnosed 4, censored at 4+3=7 (lost)          -> S(6)/S(3)
+    s4 diagnosed 12 (after index)                     -> excluded
+    s5 diagnosed 0, censored at 8 (lost)              -> S(10)/S(8)
+    KM is over the INCLUDED subjects' (duration, event)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        prevalence_counting,
+    )
+
+    rows = [
+        ("g", 0.0, 12.0, 0),
+        ("g", 2.0, 5.0, 1),
+        ("g", 4.0, 3.0, 0),
+        ("g", 12.0, 2.0, 0),
+        ("g", 0.0, 8.0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, diag double, dur double, event int"
+    )
+    r = prevalence_counting(
+        df, ["grp"], "diag", "dur", "event", index_time=10.0
+    ).collect()[0]
+    assert r.n_diagnosed == 4
+    assert r.n_known_alive == 1
+    assert r.n_known_dead == 1
+    assert r.n_lost == 2
+    km = {
+        row.dur: row.survival
+        for row in km_curve(
+            df.filter("diag <= 10"), ["grp"], "dur", "event"
+        ).collect()
+    }
+
+    def s_at(h):
+        ts = [t for t in km if t <= h]
+        return km[max(ts)] if ts else 1.0
+
+    want = 1.0 + round(
+        round(1 * (s_at(6.0) / s_at(3.0)) * 1e6) / 1e6
+        + round(1 * (s_at(10.0) / s_at(8.0)) * 1e6) / 1e6, 6)
+    # single lattice fold: each lost cell micro-rounded then summed
+    got_tail = r.prevalent_expected - 1.0
+    exp_tail = (round(s_at(6.0) / s_at(3.0) * 1e6)
+                + round(s_at(10.0) / s_at(8.0) * 1e6)) / 1e6
+    assert abs(got_tail - exp_tail) < 1e-9, (r.prevalent_expected, want)
+
+
+def test_prevalence_counting_no_loss_is_exact_count(spark):
+    """With every subject followed past the index, the expected
+    prevalence IS the alive count (no imputation), and deaths after
+    the index still count as alive at it."""
+    from cancer_survival_etl_spark.operators.survival import (
+        prevalence_counting,
+    )
+
+    rows = []
+    for i in range(100):
+        diag = float(i % 5)
+        dies = i % 3 == 0
+        rows.append(("g", diag, 20.0, 1 if dies else 0))
+    df = spark.createDataFrame(
+        rows, "grp string, diag double, dur double, event int"
+    )
+    r = prevalence_counting(
+        df, ["grp"], "diag", "dur", "event", index_time=10.0
+    ).collect()[0]
+    assert r.n_lost == 0 and r.n_known_dead == 0
+    assert r.prevalent_expected == float(r.n_known_alive) == 100.0
+
+    # limited duration: only diagnoses within L of the index count
+    r2 = prevalence_counting(
+        df, ["grp"], "diag", "dur", "event", index_time=10.0,
+        limited_duration=8.0,
+    ).collect()[0]
+    assert r2.n_diagnosed == sum(1 for _, d, _, _ in rows if d > 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Weighted / IPW-adjusted KM
+# ---------------------------------------------------------------------------
+
+
+def test_km_weighted_unit_reduction_bit_equals_km(spark):
+    """All weights 1: survival BIT-EQUAL to km_curve at every cell
+    (scaled integer numerator/denominator divide identically)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        km_curve_weighted,
+    )
+
+    subj = _td_cohort(spark)
+    km = {
+        (r.x1, r.duration): r.survival
+        for r in km_curve(subj, ["x1"], "duration", "event").collect()
+    }
+    wkm = {
+        (r.x1, r.duration): r.survival
+        for r in km_curve_weighted(
+            subj.withColumn("weight", F.lit(1.0)),
+            ["x1"], "duration", "event", "weight",
+        ).collect()
+    }
+    assert wkm == km
+
+
+def test_km_weighted_replication_weights(spark):
+    """Integer weight k equals physically replicating each subject k
+    times (exact identity of the weighted estimator)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        km_curve_weighted,
+    )
+    rows = [("g", 1 + (i * 7) % 9, 0 if i % 4 == 0 else 1,
+             1 + i % 3) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "grp string, duration long, event int, weight int"
+    )
+    wkm = {
+        r.duration: r.survival
+        for r in km_curve_weighted(df, ["grp"]).collect()
+    }
+    rep = [(g, d, e) for (g, d, e, k) in rows for _ in range(k)]
+    dfr = spark.createDataFrame(rep, "grp string, duration long, event int")
+    km = {
+        r.duration: r.survival
+        for r in km_curve(dfr, ["grp"]).collect()
+    }
+    assert wkm == km
+    import pytest
+    bad = spark.createDataFrame(
+        [("g", 1, 1, 0.0)],
+        "grp string, duration long, event int, weight double",
+    )
+    with pytest.raises(Exception, match="weights must be > 0"):
+        km_curve_weighted(bad, ["grp"]).collect()
+
+
+def test_ipw_adjusted_km_removes_planted_confounding(spark):
+    """Simpson plant on curves: within each covariate stratum the two
+    arms have the SAME hazard, but arm 1 is enriched in the
+    high-hazard stratum — the crude KM curves separate, the
+    IPW-adjusted ones coincide (gap shrinks by >3x)."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        ipw_adjusted_km,
+        km_curve,
+    )
+
+    rows = []
+    for i in range(6000):
+        u_x = ((i * 48271 + 3) % 999983) / 999983.0
+        u_a = ((i * 69069 + 11) % 999979) / 999979.0
+        u_t = ((i * 2654435761 + 7) % 999961) / 999961.0 + 1e-9
+        x = 1.0 if u_x < 0.5 else 0.0          # frailty stratum
+        p_arm = 0.8 if x > 0 else 0.2          # confounded assignment
+        a = 1 if u_a < p_arm else 0
+        haz = 0.15 if x > 0 else 0.04          # hazard from x ONLY
+        t = -math.log(u_t) / haz
+        dur = min(int(t) + 1, 30)
+        rows.append((a, x, dur, 1 if t < 30 else 0))
+    df = spark.createDataFrame(
+        rows, "arm int, x double, duration long, event int"
+    )
+
+    def s_at(curve, arm, t):
+        pts = [r for r in curve if r[0] == arm and r[1] <= t]
+        return max(pts, key=lambda r: r[1])[2] if pts else 1.0
+
+    crude = [
+        (r.arm, r.duration, r.survival)
+        for r in km_curve(df, ["arm"], "duration", "event").collect()
+    ]
+    adj = [
+        (r.arm, r.duration, r.survival)
+        for r in ipw_adjusted_km(
+            df, "arm", ["x"], "duration", "event", iters=100, lr=2.0
+        ).collect()
+    ]
+    gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
+    gap_adj = abs(s_at(adj, 1, 15) - s_at(adj, 0, 15))
+    assert gap_crude > 0.10, (gap_crude, gap_adj)
+    assert gap_adj < gap_crude / 3, (gap_crude, gap_adj)
