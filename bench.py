@@ -349,6 +349,8 @@ HEADLINE = [
     "stats_cuzick",
     "survival_prevalence",
     "survival_ipw_km",
+    "stats_conditional_logistic",
+    "rates_joinpoint",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -5225,3 +5225,197 @@ def ipw_adjusted_km(
         event_col,
         "_ipw",
     )
+
+
+def conditional_logistic(
+    df: DataFrame,
+    set_col: str,
+    feature_cols: Sequence[str],
+    case_col: str = "case",
+    iters: int = 8,
+    return_se: bool = False,
+):
+    """CONDITIONAL logistic regression for matched case-control sets
+    — the registry design where controls are matched to each case on
+    confounders (age band, sex, region) and the set-specific
+    intercepts must be conditioned out (ordinary logistic would be
+    biased by the sparse per-set nuisance parameters).
+
+    The conditional likelihood for a 1:m matched set IS the Cox
+    partial-likelihood term of a single tied event time with the set
+    as its stratum: exp(x_case·β)/Σ_set exp(x_j·β). So this is a
+    THIN WRAPPER over ``cox_ph(strata_cols=[set], duration≡1,
+    event=case)`` and inherits every scale property (one nano-lattice
+    cell aggregate per Newton iteration — here one CELL PER SET —
+    and a p×p driver solve). Sets with multiple cases use the
+    Breslow tie approximation to the exact conditional likelihood
+    (the standard software note; exact for the 1-case-per-set
+    design). Sets with zero cases contribute nothing and are
+    harmless.
+
+    For 1:1 matched pairs with one binary exposure the estimate has
+    the McNemar closed form β̂ = ln(n₁₀/n₀₁) over discordant pairs —
+    pinned in tests.
+
+    Returns [β…] (and Wald SEs from the final Newton information
+    under ``return_se=True`` — the cox_ph convention).
+    """
+    prepared = df.withColumn("_dur1", F.lit(1).cast("long"))
+    return cox_ph(
+        prepared,
+        feature_cols,
+        "_dur1",
+        case_col,
+        iters=iters,
+        ties="breslow",
+        strata_cols=[set_col],
+        return_se=return_se,
+    )
+
+
+def apc_joinpoint(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    period_col: str = "period",
+    cases_col: str = "cases",
+    persontime_col: str = "person_time",
+    min_seg: int = 3,
+) -> DataFrame:
+    """TWO-SEGMENT joinpoint trend in rates — ``apc_trend``'s change-
+    point extension (the NCI joinpoint model with one join): fit
+    ln(rate) = β₀ + β₁·x + β₂·(x − b)₊ (continuous at the break) for
+    EVERY admissible break candidate b, keep the least-squares
+    winner, and report both segment APCs.
+
+    Grid-search shape (each candidate is pure closed form — no
+    iteration anywhere): cells = per-(group, period) ln rates on the
+    micro lattice (zero-case periods raise, as in ``apc_trend``);
+    admissible candidates (≥ ``min_seg`` periods in each segment)
+    come from a per-group rank over the PERIOD lattice; cells
+    cross-join the broadcast candidate list (grid² rows, still
+    lattice-sized), ONE hash aggregate per (group, candidate) builds
+    the exact-long normal-equation moments, the 3×3 solve is the
+    closed-form adjugate (the ``aalen_additive`` pattern), and the
+    winner per group is a lexicographic ``min(struct(micro-RSS,
+    b))`` — deterministic tie-break toward the earlier break.
+    Degenerate candidates (lattice det ≤ 1e-9) are skipped; a group
+    with no admissible or no non-degenerate candidate returns NULLs.
+
+    No segment-APC confidence intervals: NCI joinpoint's inference
+    is a permutation test, not a closed form — reporting a Wald-ish
+    CI here would overstate certainty (documented omission; use
+    ``apc_trend`` per segment for the z-CI convention once the break
+    is chosen).
+
+    Returns one row per group: n_periods, breakpoint, slope1,
+    slope2, apc1_pct, apc2_pct, rss (6 dp).
+    """
+    g = list(group_cols)
+    cells = df.groupBy(*g, period_col).agg(
+        F.sum(F.col(cases_col).cast("long")).alias("_cases"),
+        F.sum(F.col(persontime_col).cast("long")).alias("_pt"),
+    )
+    bad = (F.col("_cases") <= 0) | (F.col("_pt") <= 0)
+    lnrate = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "apc_joinpoint: every period needs cases > 0 and "
+                "person_time > 0"
+            )
+        ).cast("long"),
+    ).otherwise(_micro(F.log(F.col("_cases") / F.col("_pt"))))
+    cells = cells.select(
+        *g, F.col(period_col).cast("long").alias("_x"),
+        lnrate.alias("_y"),
+    )
+    w = Window.partitionBy(*g).orderBy("_x")
+    ranked = cells.withColumn("_i", F.row_number().over(w))
+    ntab = cells.groupBy(*g).agg(F.count(F.lit(1)).alias("_np"))
+    cands = (
+        ranked.join(ntab, g)
+        .filter(
+            (F.col("_i") >= min_seg)
+            & (F.col("_i") <= F.col("_np") - min_seg)
+        )
+        .select(*g, F.col("_x").alias("_b"))
+    )
+    memb = cells.join(F.broadcast(cands), g)
+    z = F.greatest(F.col("_x") - F.col("_b"), F.lit(0))
+    x = F.col("_x")
+    y = F.col("_y")
+    mom = memb.groupBy(*g, "_b").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(z).alias("_sz"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * z).alias("_sxz"),
+        F.sum(z * z).alias("_szz"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(z * y).alias("_szy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    micro6 = F.lit(1000000.0)
+    A = [
+        [F.col("_n").cast("double"), F.col("_sx").cast("double"),
+         F.col("_sz").cast("double")],
+        [F.col("_sx").cast("double"), F.col("_sxx").cast("double"),
+         F.col("_sxz").cast("double")],
+        [F.col("_sz").cast("double"), F.col("_sxz").cast("double"),
+         F.col("_szz").cast("double")],
+    ]
+    v = [
+        F.col("_sy") / micro6,
+        F.col("_sxy") / micro6,
+        F.col("_szy") / micro6,
+    ]
+    det = (
+        A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1])
+        - A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0])
+        + A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0])
+    )
+    adj = [
+        [A[1][1] * A[2][2] - A[1][2] * A[2][1],
+         A[0][2] * A[2][1] - A[0][1] * A[2][2],
+         A[0][1] * A[1][2] - A[0][2] * A[1][1]],
+        [A[1][2] * A[2][0] - A[1][0] * A[2][2],
+         A[0][0] * A[2][2] - A[0][2] * A[2][0],
+         A[0][2] * A[1][0] - A[0][0] * A[1][2]],
+        [A[1][0] * A[2][1] - A[1][1] * A[2][0],
+         A[0][1] * A[2][0] - A[0][0] * A[2][1],
+         A[0][0] * A[1][1] - A[0][1] * A[1][0]],
+    ]
+    beta = [
+        (adj[j][0] * v[0] + adj[j][1] * v[1] + adj[j][2] * v[2]) / det
+        for j in range(3)
+    ]
+    syy = F.col("_syy") / micro6 / micro6
+    rss = syy - (beta[0] * v[0] + beta[1] * v[1] + beta[2] * v[2])
+    ok = F.abs(det) > F.lit(1e-9)
+    scored = mom.select(
+        *g,
+        F.when(
+            ok,
+            F.struct(
+                _micro(F.greatest(rss, F.lit(0.0))).alias("rssm"),
+                F.col("_b").alias("b"),
+                beta[1].alias("s1"),
+                (beta[1] + beta[2]).alias("s2"),
+                F.col("_n").alias("np"),
+            ),
+        ).alias("_cand"),
+    ).filter(F.col("_cand").isNotNull())
+    best = scored.groupBy(*g).agg(F.min("_cand").alias("_w"))
+    apc = lambda b: F.lit(100.0) * (F.exp(b) - F.lit(1.0))  # noqa: E731
+    out = ntab.join(best, g, "left")
+    return out.select(
+        *g,
+        F.col("_np").alias("n_periods"),
+        F.col("_w.b").alias("breakpoint"),
+        F.round(F.col("_w.s1"), 6).alias("slope1"),
+        F.round(F.col("_w.s2"), 6).alias("slope2"),
+        F.round(apc(F.col("_w.s1")), 6).alias("apc1_pct"),
+        F.round(apc(F.col("_w.s2")), 6).alias("apc2_pct"),
+        F.round(F.col("_w.rssm") / micro6, 6).alias("rss"),
+    )

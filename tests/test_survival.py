@@ -3419,3 +3419,122 @@ def test_ipw_adjusted_km_removes_planted_confounding(spark):
     gap_adj = abs(s_at(adj, 1, 15) - s_at(adj, 0, 15))
     assert gap_crude > 0.10, (gap_crude, gap_adj)
     assert gap_adj < gap_crude / 3, (gap_crude, gap_adj)
+
+
+# ---------------------------------------------------------------------------
+# Conditional logistic regression
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_logistic_mcnemar_closed_form(spark):
+    """1:1 matched pairs, binary exposure: the conditional-logistic
+    estimate must equal ln(n10/n01) over the discordant pairs (the
+    McNemar identity), with se = sqrt(1/n10 + 1/n01)."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_logistic,
+    )
+
+    rows = []
+    n10 = n01 = 0
+    for s in range(400):
+        kind = s % 4
+        if kind == 0:      # discordant, case exposed
+            rows += [(s, 1.0, 1), (s, 0.0, 0)]
+            n10 += 1
+        elif kind == 1 and s % 12 == 1:  # discordant, control exposed
+            rows += [(s, 0.0, 1), (s, 1.0, 0)]
+            n01 += 1
+        elif kind == 2:    # concordant exposed
+            rows += [(s, 1.0, 1), (s, 1.0, 0)]
+        else:              # concordant unexposed
+            rows += [(s, 0.0, 1), (s, 0.0, 0)]
+    df = spark.createDataFrame(rows, "pair long, x double, case int")
+    beta, se = conditional_logistic(
+        df, "pair", ["x"], iters=8, return_se=True
+    )
+    want = math.log(n10 / n01)
+    want_se = math.sqrt(1.0 / n10 + 1.0 / n01)
+    assert abs(beta[0] - want) < 1e-6, (beta, want)
+    assert abs(se[0] - want_se) < 1e-6, (se, want_se)
+
+
+def test_conditional_logistic_conditions_out_set_confounding(spark):
+    """Per-set intercepts vary wildly (some sets drawn where
+    EVERYTHING is likelier to be a case-exposure combo); conditional
+    logistic recovers the planted within-set OR while pooled
+    logistic regression is badly confounded."""
+    import math
+
+    from cancer_survival_etl_spark.llm.inference import logistic_train
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_logistic,
+    )
+
+    b_true = 1.0
+    rows = []
+    for s in range(3000):
+        hot = s % 2 == 0  # set-level frailty correlated with exposure
+        p_x_case = 0.8 if hot else 0.3
+        p_x_ctrl = (
+            0.8 / (0.8 + (1 - 0.8) * math.exp(b_true))
+            if hot
+            else 0.3 / (0.3 + (1 - 0.3) * math.exp(b_true))
+        )
+        u1 = ((s * 48271 + 1) % 999983) / 999983.0
+        u2 = ((s * 69069 + 2) % 999979) / 999979.0
+        rows += [
+            (s, 1.0 if u1 < p_x_case else 0.0, 1),
+            (s, 1.0 if u2 < p_x_ctrl else 0.0, 0),
+        ]
+    df = spark.createDataFrame(rows, "pair long, x double, case int")
+    beta = conditional_logistic(df, "pair", ["x"], iters=8)
+    assert abs(beta[0] - b_true) < 0.25, beta
+
+
+def test_apc_joinpoint_recovers_planted_break(spark):
+    """Rates grow 8%/period through period 9, then decline 3%/period:
+    the two-segment fit must put the break at 9 and recover both
+    segment APCs; numpy replication of the winning candidate's
+    continuity-constrained OLS pins slopes and RSS; a group too
+    short for any candidate returns NULLs."""
+    import math
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import (
+        apc_joinpoint,
+    )
+
+    pt = 10000000
+    rows = []
+    for p in range(20):
+        r = 0.001 * (1.08 ** min(p, 9)) * (0.97 ** max(p - 9, 0))
+        rows.append(("g", p, int(round(r * pt)), pt))
+    short = [("s", p, 100, pt) for p in range(4)]
+    df = spark.createDataFrame(
+        rows + short,
+        "grp string, period long, cases long, person_time long",
+    )
+    out = {r.grp: r for r in apc_joinpoint(df, ["grp"]).collect()}
+    r = out["g"]
+    assert r.breakpoint == 9, r
+    assert abs(r.apc1_pct - 8.0) < 0.15, r
+    assert abs(r.apc2_pct + 3.0) < 0.15, r
+    # numpy replication at the winning break (same micro lattice)
+    xs = np.arange(20, dtype=float)
+    ys = np.array(
+        [round(math.log(c / pt) * 1e6) / 1e6 for (_, _, c, _) in rows]
+    )
+    zs = np.maximum(xs - 9, 0.0)
+    X = np.column_stack([np.ones(20), xs, zs])
+    beta, *_ = np.linalg.lstsq(X, ys, rcond=None)
+    rss = float(((ys - X @ beta) ** 2).sum())
+    assert abs(r.slope1 - beta[1]) < 1e-5, (r.slope1, beta[1])
+    assert abs(r.slope2 - (beta[1] + beta[2])) < 1e-5
+    assert abs(r.rss - rss) < 1e-4, (r.rss, rss)
+    # too-short group: NULL break, count still reported
+    s = out["s"]
+    assert s.n_periods == 4 and s.breakpoint is None
+    assert s.apc1_pct is None and s.rss is None
