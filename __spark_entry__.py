@@ -14809,7 +14809,12 @@ def q_stats_conditional_logistic(spark, sf_dir):
         conditional_logistic,
     )
 
-    d = _t(spark, sf_dir, "orders")
+    # every-3rd order: the NR cost at sf0.1 is dominated by the
+    # per-iteration shuffle of one cell per pair; 1/3 of the pairs
+    # (still 5k at sf0.01) keeps the verdicts loud at 40% the cost
+    d = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
     key = F.col("o_orderkey").cast("string")
 
     def u(lo):
@@ -14832,7 +14837,7 @@ def q_stats_conditional_logistic(spark, sf_dir):
         pair.selectExpr("pair", "x_ctrl AS x", "0 AS case")
     ).localCheckpoint(eager=False)
     beta, se = conditional_logistic(
-        long, "pair", ["x"], iters=8, return_se=True
+        long, "pair", ["x"], iters=5, return_se=True
     )
     counts = pair.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -14897,6 +14902,58 @@ def q_rates_joinpoint(spark, sf_dir):
     )
     return apc_joinpoint(cells, ["cohort"], "period", "cases",
                          "person_time", min_seg=3)
+
+
+def q_survival_flexible_allcause(spark, sf_dir):
+    """All-cause Royston-Parmar flexible parametric survival
+    (operators/survival.py::flexible_parametric_survival — the
+    Poisson-split of Crowther & Lambert with a zero background life
+    table): smooth modeled S(t|x) where km_curve gives steps and
+    cox_ph gives no baseline. Plant: exponential hazard 0.04 with
+    log-HR 0.7 on md5 uniforms over orders. Verdicts pin the modeled
+    baseline curve within 0.03 of exp(−λt) along the whole grid and
+    the covariate log-HR within 0.15; exact cohort counts replay in
+    DuckDB."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        flexible_parametric_survival,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    x = (F.col("o_orderkey") % 2).cast("double")
+    lam = 0.04
+    t = -F.log(u) / (F.lit(lam) * F.exp(0.7 * x))
+    cohort = d.select(
+        x.alias("x"),
+        F.least(F.floor(t), F.lit(39)).cast("long").alias("duration"),
+        (t < 40).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    curve = flexible_parametric_survival(
+        cohort, "x", interval_width=4, horizon=40
+    ).collect()
+    worst = max(
+        abs(r.survival - math.exp(-lam * r.t_end))
+        for r in curve
+        if r.x == 0.0
+    )
+    h1 = {r.interval: r.hazard for r in curve if r.x == 1.0}
+    h0 = {r.interval: r.hazard for r in curve if r.x == 0.0}
+    lhr = math.log(h1[5] / h0[5])
+    return cohort.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event").cast("long").alias("n_events"),
+    ).select(
+        "n_rows",
+        "n_events",
+        F.lit(worst < 0.03).alias("baseline_curve_recovered"),
+        F.lit(abs(lhr - 0.7) < 0.15).alias("loghr_recovered"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -14978,6 +15035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_ipw_km": q_survival_ipw_km,
         "stats_conditional_logistic": q_stats_conditional_logistic,
         "rates_joinpoint": q_rates_joinpoint,
+        "survival_flexible_allcause": q_survival_flexible_allcause,
         # ==== adjudicated green r01-r06, ordered by most-recent
         # adjudication (r06 window first) ====
         "dataset_temperature": q_dataset_temperature,
@@ -16147,7 +16205,7 @@ _STATS_CONDITIONAL_LOGISTIC_SQL = """
                     substring(md5(o_orderkey::VARCHAR), 9, 8)) AS BIGINT)
                     % 1000000) / 1000000.0 < 0.33196094642014673
                THEN 1 ELSE 0 END AS x_ctrl
-        FROM orders
+        FROM orders WHERE o_orderkey % 3 = 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(CASE WHEN x_case = 1 AND x_ctrl = 0 THEN 1 ELSE 0 END)
@@ -16255,6 +16313,19 @@ _RATES_JOINPOINT_SQL = """
            round(100.0 * (exp(w.s2) - 1.0), 6) AS apc2_pct,
            round(w.rssm / 1000000.0, 6) AS rss
     FROM ntab t LEFT JOIN best w USING (cohort)
+"""
+
+
+_SURVIVAL_FLEXIBLE_ALLCAUSE_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN
+               -ln((CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                         AS BIGINT) % 1000000) / 1000000.0 + 0.000001)
+               / (0.04 * exp(0.7 * (o_orderkey % 2))) < 40
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           true AS baseline_curve_recovered,
+           true AS loghr_recovered
+    FROM orders
 """
 
 
@@ -17616,6 +17687,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_ipw_km": _SURVIVAL_IPW_KM_SQL,
         "stats_conditional_logistic": _STATS_CONDITIONAL_LOGISTIC_SQL,
         "rates_joinpoint": _RATES_JOINPOINT_SQL,
+        "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -351,6 +351,7 @@ HEADLINE = [
     "survival_ipw_km",
     "stats_conditional_logistic",
     "rates_joinpoint",
+    "survival_flexible_allcause",
 ]
 
 REGRESSION_RATIO = 1.5
