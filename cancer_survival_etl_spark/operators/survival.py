@@ -4293,11 +4293,11 @@ def turnbull_km(
     R = F.col(right_col).cast("double")
 
     bad_iv = F.when(
-        R.isNotNull() & (L >= R),
+        L.isNull() | (R.isNotNull() & (L >= R)),
         F.raise_error(
             F.lit(
-                "turnbull_km: every interval needs left < right "
-                "(right NULL = right-censored)"
+                "turnbull_km: every interval needs a non-NULL left "
+                "and left < right (right NULL = right-censored)"
             )
         ).cast("double"),
     ).otherwise(L)

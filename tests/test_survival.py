@@ -2655,6 +2655,11 @@ def test_turnbull_validations(spark):
     )
     with pytest.raises(ValueError, match="iters"):
         turnbull_km(good, ["grp"], iters=0)
+    nul = spark.createDataFrame(
+        [("g", None, 2.0)], "grp string, left double, right double"
+    )
+    with pytest.raises(Exception, match="non-NULL left"):
+        turnbull_km(nul, ["grp"]).collect()
 
 
 # ---------------------------------------------------------------------------
