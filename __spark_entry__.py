@@ -14956,6 +14956,35 @@ def q_survival_flexible_allcause(spark, sf_dir):
     )
 
 
+def q_stats_mcnemar(spark, sf_dir):
+    """McNemar paired-proportions test (operators/stats.py::
+    mcnemar_test) — the paired complement to chi_square_test: does a
+    user's error status in the first 24 hours agree with the second
+    24 hours? Only discordant pairs inform the test; continuity-
+    corrected chi-square + discordant OR with CI, one map-side
+    aggregate, full-formula SQL mirror (bit-exact)."""
+    from cancer_survival_etl_spark.operators.stats import mcnemar_test
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "error")
+                & (F.dayofmonth("ts") <= 15),
+                1,
+            ).otherwise(0)
+        ).alias("first"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "error")
+                & (F.dayofmonth("ts") > 15),
+                1,
+            ).otherwise(0)
+        ).alias("second"),
+    )
+    return mcnemar_test(per, "first", "second")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING IS LOAD-BEARING: the driver's correctness gate
@@ -15036,6 +15065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_conditional_logistic": q_stats_conditional_logistic,
         "rates_joinpoint": q_rates_joinpoint,
         "survival_flexible_allcause": q_survival_flexible_allcause,
+        "stats_mcnemar": q_stats_mcnemar,
         # ==== adjudicated green r01-r06, ordered by most-recent
         # adjudication (r06 window first) ====
         "dataset_temperature": q_dataset_temperature,
@@ -16326,6 +16356,56 @@ _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL = """
            true AS baseline_curve_recovered,
            true AS loghr_recovered
     FROM orders
+"""
+
+
+_STATS_MCNEMAR_SQL = """
+    WITH per AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'error'
+                        AND EXTRACT(day FROM ts) <= 15
+                   THEN 1 ELSE 0 END) AS f,
+               max(CASE WHEN event_type = 'error'
+                        AND EXTRACT(day FROM ts) > 15
+                   THEN 1 ELSE 0 END) AS s
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(f * s) AS BIGINT) AS n_both,
+               CAST(sum((1 - f) * (1 - s)) AS BIGINT) AS n_neither,
+               CAST(sum(f * (1 - s)) AS BIGINT) AS b_first_only,
+               CAST(sum((1 - f) * s) AS BIGINT) AS c_second_only
+        FROM per
+    )
+    SELECT n_pairs, n_both, n_neither, b_first_only, c_second_only,
+           CASE WHEN b_first_only + c_second_only > 0 THEN
+               round((abs(CAST(b_first_only AS DOUBLE)
+                          - CAST(c_second_only AS DOUBLE)) - 1)
+                     * (abs(CAST(b_first_only AS DOUBLE)
+                            - CAST(c_second_only AS DOUBLE)) - 1)
+                     / (CAST(b_first_only AS DOUBLE)
+                        + CAST(c_second_only AS DOUBLE)), 6)
+           END AS chi_square,
+           CASE WHEN b_first_only > 0 AND c_second_only > 0 THEN
+               round(CAST(b_first_only AS DOUBLE)
+                     / CAST(c_second_only AS DOUBLE), 6)
+           END AS or_discordant,
+           CASE WHEN b_first_only > 0 AND c_second_only > 0 THEN
+               round(exp(ln(CAST(b_first_only AS DOUBLE)
+                            / CAST(c_second_only AS DOUBLE))
+                     - 1.96 * sqrt(1 / CAST(b_first_only AS DOUBLE)
+                                   + 1 / CAST(c_second_only AS DOUBLE))),
+                     6)
+           END AS or_lower,
+           CASE WHEN b_first_only > 0 AND c_second_only > 0 THEN
+               round(exp(ln(CAST(b_first_only AS DOUBLE)
+                            / CAST(c_second_only AS DOUBLE))
+                     + 1.96 * sqrt(1 / CAST(b_first_only AS DOUBLE)
+                                   + 1 / CAST(c_second_only AS DOUBLE))),
+                     6)
+           END AS or_upper
+    FROM agg
 """
 
 
@@ -17688,6 +17768,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_conditional_logistic": _STATS_CONDITIONAL_LOGISTIC_SQL,
         "rates_joinpoint": _RATES_JOINPOINT_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
+        "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,
         "survival_cox_baseline": _SURVIVAL_COX_BASELINE_SQL,
         "survival_period": _SURVIVAL_PERIOD_SQL,

@@ -352,6 +352,7 @@ HEADLINE = [
     "stats_conditional_logistic",
     "rates_joinpoint",
     "survival_flexible_allcause",
+    "stats_mcnemar",
 ]
 
 REGRESSION_RATIO = 1.5

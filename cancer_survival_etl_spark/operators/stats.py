@@ -3261,3 +3261,65 @@ def cuzick_trend(
             "z"
         ),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    first_col: str,
+    second_col: str,
+    correction: bool = True,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (pre/post, two
+    raters, matched case-control exposure) — the paired complement
+    to ``chi_square_test`` (which assumes independent samples and is
+    WRONG on paired data): only the discordant pairs carry
+    information,
+
+        χ² = (|b − c| − 1)² / (b + c)   (continuity-corrected;
+             ``correction=False`` gives the asymptotic (b−c)²/(b+c))
+        OR = b/c,  CI = exp(ln(b/c) ± 1.96·√(1/b + 1/c))
+
+    with b = #(1,0) and c = #(0,1) pairs. The conditional-logistic
+    estimate on 1:1 matched pairs equals ln(OR) exactly
+    (``conditional_logistic``'s pinned identity) — this is its
+    closed-form scalar twin.
+
+    ONE map-side-combined aggregate over the pair frame; zero
+    discordant pairs in either direction leave the OR columns NULL
+    (the test statistic is still defined when b + c > 0; all-
+    concordant data returns NULL everywhere rather than 0/0).
+
+    Returns one row: n_pairs, n_both, n_neither, b_first_only,
+    c_second_only, chi_square, or_discordant, or_lower, or_upper
+    (6 dp).
+    """
+    a = F.col(first_col).cast("long")
+    bcol = F.col(second_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(a * bcol).alias("n_both"),
+        F.sum((1 - a) * (1 - bcol)).alias("n_neither"),
+        F.sum(a * (1 - bcol)).alias("b_first_only"),
+        F.sum((1 - a) * bcol).alias("c_second_only"),
+    )
+    b = F.col("b_first_only").cast("double")
+    c = F.col("c_second_only").cast("double")
+    diff = F.abs(b - c)
+    num = (
+        (diff - 1) * (diff - 1) if correction else (b - c) * (b - c)
+    )
+    chi = F.when(b + c > 0, F.round(num / (b + c), 6))
+    ok = (b > 0) & (c > 0)
+    lnor = F.log(b / c)
+    half = F.lit(1.96) * F.sqrt(1 / b + 1 / c)
+    return agg.select(
+        "n_pairs",
+        "n_both",
+        "n_neither",
+        "b_first_only",
+        "c_second_only",
+        chi.alias("chi_square"),
+        F.when(ok, F.round(b / c, 6)).alias("or_discordant"),
+        F.when(ok, F.round(F.exp(lnor - half), 6)).alias("or_lower"),
+        F.when(ok, F.round(F.exp(lnor + half), 6)).alias("or_upper"),
+    )

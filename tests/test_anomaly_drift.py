@@ -1456,3 +1456,52 @@ def test_cuzick_trend(spark):
         df.withColumn("dose", 2 - F.col("dose")), "dose", "y"
     ).collect()[0]
     assert abs(rev.z + r.z) < 1e-9, (rev.z, r.z)
+
+
+def test_mcnemar_test(spark):
+    """Textbook replication on planted pair counts; continuity
+    correction toggles; degenerate edges (no discordant pairs ->
+    NULL chi and OR; one-sided discordance -> chi defined, OR NULL);
+    agreement with conditional_logistic's ln(OR) on the same pairs."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import mcnemar_test
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_logistic,
+    )
+
+    rows = ([(1, 1)] * 30 + [(0, 0)] * 40 + [(1, 0)] * 25
+            + [(0, 1)] * 10)
+    df = spark.createDataFrame(rows, "first int, second int")
+    r = mcnemar_test(df, "first", "second").collect()[0]
+    assert (r.n_pairs, r.n_both, r.n_neither) == (105, 30, 40)
+    assert (r.b_first_only, r.c_second_only) == (25, 10)
+    want_chi = (abs(25 - 10) - 1) ** 2 / 35
+    assert abs(r.chi_square - want_chi) < 1e-6  # 6-dp output contract
+    assert abs(r.or_discordant - 2.5) < 1e-9
+    half = 1.96 * math.sqrt(1 / 25 + 1 / 10)
+    assert abs(r.or_lower - math.exp(math.log(2.5) - half)) < 1e-5
+    assert abs(r.or_upper - math.exp(math.log(2.5) + half)) < 1e-5
+    r2 = mcnemar_test(df, "first", "second",
+                      correction=False).collect()[0]
+    assert abs(r2.chi_square - (25 - 10) ** 2 / 35) < 1e-6
+
+    # CLR identity: beta == ln(b/c) on the same pairs
+    long = spark.createDataFrame(
+        [(i, float(f), 1) for i, (f, s) in enumerate(rows)]
+        + [(i, float(s), 0) for i, (f, s) in enumerate(rows)],
+        "pair long, x double, case int",
+    )
+    beta = conditional_logistic(long, "pair", ["x"], iters=8)
+    assert abs(beta[0] - math.log(2.5)) < 1e-6
+
+    conc = spark.createDataFrame(
+        [(1, 1)] * 5 + [(0, 0)] * 5, "first int, second int"
+    )
+    rc = mcnemar_test(conc, "first", "second").collect()[0]
+    assert rc.chi_square is None and rc.or_discordant is None
+    one = spark.createDataFrame(
+        [(1, 0)] * 7 + [(1, 1)] * 3, "first int, second int"
+    )
+    ro = mcnemar_test(one, "first", "second").collect()[0]
+    assert ro.chi_square is not None and ro.or_discordant is None
