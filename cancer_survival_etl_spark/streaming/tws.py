@@ -727,12 +727,15 @@ class KllQuantileProcessor(StatefulProcessor):
     def fold(cls, levels: list, parity: list, values, k: int) -> None:
         """Insert ``values`` into the ladder in order, compacting
         full levels bottom-up with alternating-parity selection."""
-        lvl0 = levels[0] if levels else []
         if not levels:
-            levels.append(lvl0)
+            levels.append([])
             parity.append(0)
         for v in values:
-            lvl0.append(float(v))
+            # Append through ``levels[0]`` (never an alias): compaction
+            # below mutates the level lists in place, so a name bound to
+            # the original list object would be orphaned after the first
+            # level-0 compaction and every later insert silently lost.
+            levels[0].append(float(v))
             lv = 0
             while lv < len(levels) and len(levels[lv]) >= cls._cap(
                 lv, len(levels), k
@@ -743,7 +746,7 @@ class KllQuantileProcessor(StatefulProcessor):
                 body = items[:-1] if keep_last else items
                 promoted = body[parity[lv]::2]
                 parity[lv] ^= 1
-                levels[lv] = [tail] if keep_last else []
+                levels[lv][:] = [tail] if keep_last else []
                 if lv + 1 == len(levels):
                     levels.append([])
                     parity.append(0)
@@ -768,7 +771,11 @@ class KllQuantileProcessor(StatefulProcessor):
             acc += w
             if acc >= target:
                 return v
-        return pairs[-1][0]
+        raise AssertionError(
+            "KLL ladder weight deficit: cumulative weight "
+            f"{acc} < target {target} (phi={phi}, n={n}) — the "
+            "total-weight==n invariant is violated"
+        )
 
     def handleInputRows(
         self, key, rows, timerValues

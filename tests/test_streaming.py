@@ -1252,6 +1252,47 @@ def test_kll_quantile_processor_matches_batch_and_bounds(spark, sf_dir):
             assert abs(r_py - r_jvm) <= 2 * tol, (et, phi, r_py, r_jvm)
 
 
+def test_kll_fold_total_weight_invariant():
+    """Total ladder weight Σ len(level)·2^lv equals n exactly for
+    n >> k — the invariant the round-7 aliasing bug violated (fold
+    appended to a stale alias of levels[0] after compaction rebound
+    it, silently dropping every post-compaction insert; ADVICE r07).
+    Also pins that query() raises loudly on a weight-deficient
+    ladder instead of returning the ladder max."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.streaming.tws import (
+        KllQuantileProcessor,
+    )
+
+    n, k = 5000, 50
+    vals = [float((i * 2654435761) % 100003) for i in range(n)]
+    levels: list = []
+    parity: list = []
+    KllQuantileProcessor.fold(levels, parity, vals, k)
+    weight = sum(len(items) * (1 << lv) for lv, items in enumerate(levels))
+    assert weight == n, (weight, n)
+    # rank accuracy actually holds at n >> k (the aliasing bug made
+    # p50/p95/p99 reflect only a ~k-sized prefix of the stream)
+    exact = sorted(vals)
+    for phi in (0.5, 0.95, 0.99):
+        v = KllQuantileProcessor.query(levels, phi, n)
+        rank = sum(1 for x in exact if x <= v)
+        assert abs(rank - math.ceil(phi * n)) <= 0.05 * n, (phi, rank)
+    # incremental fold (one value at a time) reaches the same weight
+    levels2: list = []
+    parity2: list = []
+    for v in vals:
+        KllQuantileProcessor.fold(levels2, parity2, [v], k)
+    w2 = sum(len(items) * (1 << lv) for lv, items in enumerate(levels2))
+    assert w2 == n, (w2, n)
+    # deficient ladder → named failure, not a silent max
+    with pytest.raises(AssertionError, match="weight deficit"):
+        KllQuantileProcessor.query([[1.0]], 0.99, 50)
+
+
 def test_transform_with_state_kll_quantiles(spark, sf_dir, tmp_path):
     """End-to-end transformWithStateInPandas run of the KLL quantile
     processor (protobuf-gated): final per-type emission carries the
