@@ -14725,9 +14725,10 @@ def q_survival_ipw_km(spark, sf_dir):
     — within each frailty stratum x the two arms share a hazard, but
     arm 1 is enriched in the high-hazard stratum (p_arm 0.8 vs 0.2),
     so the CRUDE KM curves separate while the IPW-adjusted ones must
-    coincide. Propensities from the distributed logistic fit (one
-    fused aggregate per GD iteration, bit-stable 9-dp updates);
-    weighted KM on micro-lattice weight cells. Exact per-(arm,
+    coincide. Propensities from the Fisher-scored logistic fit
+    (glm_logistic IRLS — one fused nano-lattice aggregate per Newton
+    iteration, 8 passes, bit-stable 9-dp updates); weighted KM on
+    micro-lattice weight cells. Exact per-(arm,
     stratum) cohort counts replay in DuckDB; the de-confounding is
     verdict-checked (crude gap > 0.1, adjusted gap < crude/3 at
     t=15)."""
@@ -14772,7 +14773,6 @@ def q_survival_ipw_km(spark, sf_dir):
         (r.arm, r.duration, r.survival)
         for r in ipw_adjusted_km(
             cohort, "arm", ["x"], "duration", "event",
-            iters=80, lr=2.0,
         ).collect()
     ]
     gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
@@ -14988,17 +14988,75 @@ def q_stats_mcnemar(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDERING IS LOAD-BEARING: the driver's correctness gate
-    # adjudicates the first 50 entries. After round 6, EVERY
-    # registry query has been driver-adjudicated at least once
-    # (CORRECTNESS_r0{1..6}.json). ROUND 7 window (VERDICT r06
-    # item 1): slots 1-14 = the 14 round-6 queries never driver-
-    # adjudicated (judge parity-verified green in VERDICT r06);
-    # slots 15-50 = the 36 LONGEST-STALE adjudications — the 31
-    # queries green since r01 and untouched (TPC-H shapes, window/
-    # set/grouping ops) + the 5 stalest r02 dedup queries — as a
-    # drift re-check. Max staleness after this window: r02-vintage
-    # (5 rounds); the remaining 43 r02 rows rotate next round.
-        # ==== slots 1-14: round-6 tranche, first driver check ====
+    # adjudicates the first 50 entries. ROUND 8 window (VERDICT r07
+    # item 1): slots 1-13 = the 13 round-7 queries never driver-
+    # adjudicated (judge parity-verified green in VERDICT r07);
+    # slots 14-50 = 37 of the 44 r02-vintage stale adjudications
+    # (incl. the bench-flagged volume_shipping / text_decontaminate /
+    # events_json_props). The 7 deferred r02 rows sit at positions
+    # 51-57 for the r09 rotation. Max staleness after this window:
+    # r02-vintage on exactly those 7 rows.
+        # ==== slots 1-13: round-7 tranche, first driver check ====
+        "survival_km_turnbull": q_survival_km_turnbull,
+        "survival_aalen_additive": q_survival_aalen_additive,
+        "survival_fine_gray_ci": q_survival_fine_gray_ci,
+        "survival_cox_spline": q_survival_cox_spline,
+        "rates_apc": q_rates_apc,
+        "survival_lexis": q_survival_lexis,
+        "stats_cuzick": q_stats_cuzick,
+        "survival_prevalence": q_survival_prevalence,
+        "survival_ipw_km": q_survival_ipw_km,
+        "stats_conditional_logistic": q_stats_conditional_logistic,
+        "rates_joinpoint": q_rates_joinpoint,
+        "survival_flexible_allcause": q_survival_flexible_allcause,
+        "stats_mcnemar": q_stats_mcnemar,
+        # ==== slots 14-50: r02-vintage drift re-checks ====
+        "conditional_agg": q_conditional_agg,
+        "sketch_approx_distinct": q_sketch_approx_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "text_token_stats": q_text_token_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "text_decontaminate": q_text_decontaminate,
+        "text_boilerplate": q_text_boilerplate,
+        "text_tfidf": q_text_tfidf,
+        "tokenizer_bpe": q_tokenizer_bpe,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_gap_fill": q_events_gap_fill,
+        "events_scd2": q_events_scd2,
+        "events_rollup": q_events_rollup,
+        "events_json_props": q_events_json_props,
+        "events_funnel": q_events_funnel,
+        "dataset_stratified": q_dataset_stratified,
+        "dataset_split": q_dataset_split,
+        "stats_corr": q_stats_corr,
+        "stats_regression": q_stats_regression,
+        "quality_expectations": q_quality_expectations,
+        "volume_shipping": q_volume_shipping,
+        # ==== positions 51-57: deferred r02 rows (r09 rotation) ====
+        "sketch_sample_quantiles": q_sketch_sample_quantiles,
+        "text_chunk": q_text_chunk,
+        "text_pack_bins": q_text_pack_bins,
+        "dataset_mixture": q_dataset_mixture,
+        "model_score": q_model_score,
+        "stats_zscore": q_stats_zscore,
+        "stats_histogram": q_stats_histogram,
+        # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
         "survival_cox_td": q_survival_cox_td,
@@ -15013,7 +15071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_breslow_day": q_stats_breslow_day,
         "stats_cochran_armitage": q_stats_cochran_armitage,
         "survival_logrank_trend": q_survival_logrank_trend,
-        # ==== slots 15-45: r01-vintage drift re-checks ====
         "p6_projection_rename": q_projection_rename,
         "a2_count_per_group": q_count_per_group,
         "a3_minmax_benchmark": q_minmax_benchmark,
@@ -15045,29 +15102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_topk": q_global_topk,
         "quality_dup_grains": q_quality_dup_grains,
         "quality_profile": q_quality_profile,
-        # ==== slots 46-50: stalest r02 dedup drift re-checks ====
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_lsh_pipeline": q_dedup_lsh_pipeline,
-        # ==== positions 51+: r08 queue (round-7 additions, parity-
-        # verified at registration; rotate into the window next round) ====
-        "survival_km_turnbull": q_survival_km_turnbull,
-        "survival_aalen_additive": q_survival_aalen_additive,
-        "survival_fine_gray_ci": q_survival_fine_gray_ci,
-        "survival_cox_spline": q_survival_cox_spline,
-        "rates_apc": q_rates_apc,
-        "survival_lexis": q_survival_lexis,
-        "stats_cuzick": q_stats_cuzick,
-        "survival_prevalence": q_survival_prevalence,
-        "survival_ipw_km": q_survival_ipw_km,
-        "stats_conditional_logistic": q_stats_conditional_logistic,
-        "rates_joinpoint": q_rates_joinpoint,
-        "survival_flexible_allcause": q_survival_flexible_allcause,
-        "stats_mcnemar": q_stats_mcnemar,
-        # ==== adjudicated green r01-r06, ordered by most-recent
-        # adjudication (r06 window first) ====
+        # ==== adjudicated green r02-r06, prior relative order ====
         "dataset_temperature": q_dataset_temperature,
         "events_cdc_apply": q_events_cdc_apply,
         "stats_ridge": q_stats_ridge,
@@ -15265,50 +15305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cuped": q_stats_cuped,
         "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "sketch_hll_rollup": q_sketch_hll_rollup,
-        "conditional_agg": q_conditional_agg,
-        "sketch_approx_distinct": q_sketch_approx_distinct,
-        "sketch_quantiles": q_sketch_quantiles,
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "sketch_sample_quantiles": q_sketch_sample_quantiles,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "text_token_stats": q_text_token_stats,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
-        "text_decontaminate": q_text_decontaminate,
-        "text_chunk": q_text_chunk,
-        "text_pack_bins": q_text_pack_bins,
-        "text_boilerplate": q_text_boilerplate,
-        "text_tfidf": q_text_tfidf,
-        "tokenizer_bpe": q_tokenizer_bpe,
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_gap_fill": q_events_gap_fill,
-        "events_scd2": q_events_scd2,
-        "events_rollup": q_events_rollup,
-        "events_json_props": q_events_json_props,
-        "events_funnel": q_events_funnel,
-        "dataset_stratified": q_dataset_stratified,
-        "dataset_split": q_dataset_split,
-        "dataset_mixture": q_dataset_mixture,
-        "model_score": q_model_score,
-        "stats_zscore": q_stats_zscore,
-        "stats_corr": q_stats_corr,
-        "stats_regression": q_stats_regression,
-        "stats_histogram": q_stats_histogram,
-        "quality_expectations": q_quality_expectations,
-        "volume_shipping": q_volume_shipping,
     }
 
 

@@ -4426,9 +4426,16 @@ def turnbull_km(
     # same time, so the strict-prefix complement _ctot - _cenb keeps
     # a subject censored at exactly p in the at-risk set (the km
     # convention: censoring happens after events at the same time).
-    # (group, _t, _issup) is unique -> _ord is a total order.
+    # (group, _t, _issup) is unique, and the struct's lexicographic
+    # order (t asc, then support-before-censor) is a total order for
+    # ARBITRARY double endpoints — the former 2t+(1−issup) fold was
+    # only total when event times were ≥1 apart (ADVICE r07).
     lat = lat.withColumn(
-        "_ord", F.col("_t") * F.lit(2.0) + (F.lit(1) - F.col("_issup"))
+        "_ord",
+        F.struct(
+            F.col("_t").alias("t"),
+            (F.lit(1) - F.col("_issup")).alias("cen_after"),
+        ),
     )
     lat = grouped_prefix_sum(
         lat, g, "_ord", ["_d", "_cen"], ["_db", "_cenb"]
@@ -5175,39 +5182,40 @@ def ipw_adjusted_km(
     covariate_cols: Sequence[str],
     duration_col: str = "duration",
     event_col: str = "event",
-    iters: int = 100,
-    lr: float = 2.0,
+    iters: int = 8,
 ) -> DataFrame:
     """Inverse-probability-of-treatment-weighted survival curves —
     the confounder-adjusted comparison when arms differ in case mix
     (the survival-curve analog of ``mantel_haenszel``'s Simpson
-    correction): a distributed logistic propensity model
-    P(arm=1 | covariates) (``llm/inference.py::logistic_train`` —
-    one fused aggregate per GD iteration, 9-dp update lattice, so
-    the weights and therefore the curves are bit-identical under any
-    partitioning), then ``km_curve_weighted`` per arm under
-    w = 1/p̂ (treated) or 1/(1−p̂) (control).
+    correction): a Fisher-scored logistic propensity model
+    P(arm=1 | covariates) (``operators/stats.py::glm_logistic`` —
+    IRLS, ONE fused nano-lattice hash aggregate per Newton
+    iteration, 9-dp β rounding, so the weights and therefore the
+    curves are bit-identical under any partitioning), then
+    ``km_curve_weighted`` per arm under w = 1/p̂ (treated) or
+    1/(1−p̂) (control).
 
-    The default (lr=2.0, iters=100) converges the gradient-descent
-    propensity fit on standardized-ish covariates (GD needs generous
-    iterations — 20 half-converged iterations leave residual
-    confounding; verified in tests). Each iteration is one fused
-    aggregate.
+    Newton converges quadratically with NO learning rate — the
+    default 8 iterations match ``glm_logistic``'s and replace the
+    former 100-pass gradient-descent fit (VERDICT r07: ~12× fewer
+    full scans of the subject table for the same 9-dp-stable β̂; at
+    cluster scale the propensity stage is now ≤8 column-pruned
+    scans). Total data passes end-to-end: ``iters`` propensity
+    aggregates + 1 weighted-KM cell aggregate.
 
     Propensities are clipped to [0.01, 0.99] (standard positivity
     trimming — documented, not silent: extreme weights otherwise let
     single subjects dominate the at-risk mass). Returns
     ``km_curve_weighted`` rows keyed by the arm column.
     """
-    from ..llm.inference import logistic_train
+    from .stats import glm_logistic
 
     feats = list(covariate_cols)
     arm = F.col(arm_col).cast("int")
-    beta = logistic_train(
+    beta = glm_logistic(
         df.withColumn("_y", arm.cast("double")),
         feats,
         "_y",
-        lr=lr,
         iters=iters,
     )
     z = F.lit(beta[0])
@@ -5430,6 +5438,7 @@ def flexible_parametric_survival(
     iters: int = 60,
     duration_col: str = "duration",
     event_col: str = "event",
+    max_x_patterns: int = 1000,
 ) -> DataFrame:
     """ALL-CAUSE Royston-Parmar flexible parametric survival — smooth
     modeled S(t|x) curves where ``km_curve`` gives steps and
@@ -5451,6 +5460,14 @@ def flexible_parametric_survival(
     returned curve is the fitted model EVALUATED on that same grid —
     h_j = exp(γ₀ + s(u_j) + βx), H = w·Σ_{j'≤j} h_{j'},
     S = exp(−H) — a #cells-row frame of closed-form reads.
+
+    The #x-patterns bound is ENFORCED, not just documented
+    (``max_x_patterns``, default 1000 — the ``diff_in_diff``/
+    ``rmst_from_curve`` fail-fast convention): the curve-evaluation
+    step collects ``distinct(x)``, so a continuous covariate would
+    otherwise silently pull every distinct value to the driver. Bin
+    continuous covariates before calling, or raise the bound
+    deliberately.
 
     Returns one row per (x, interval): t_end, hazard, cum_hazard,
     survival (6 dp).
@@ -5477,7 +5494,18 @@ def flexible_parametric_survival(
         lo = float(math.log(0.5 * w))
         hi = float(math.log((n_iv - 0.5) * w))
         knots = [lo, (lo + hi) / 2.0, hi]
-    xs = [r.x for r in cells.select("x").distinct().collect()]
+    bound = int(max_x_patterns)
+    xs = [
+        r.x
+        for r in cells.select("x").distinct().limit(bound + 1).collect()
+    ]
+    if len(xs) > bound:
+        raise ValueError(
+            "flexible_parametric_survival: more than "
+            f"{bound} distinct x patterns — the curve grid is a "
+            "driver-side evaluation over distinct(x); bin continuous "
+            "covariates first or raise max_x_patterns explicitly"
+        )
     rows = []
     for xv in sorted(xs):
         ch = 0.0

@@ -2576,6 +2576,46 @@ def test_turnbull_right_censored_reduction_bit_equals_km(spark):
         assert tb[k] == km[k], (k, tb[k], km[k])  # bit-equal
 
 
+def test_turnbull_fractional_endpoints_total_order(spark):
+    """HALF-INTEGER event/censor times: a censor row at time t and a
+    support row at time t+0.5 collided under the former
+    _ord = 2t+(1−issup) double fold (ADVICE r07 — only a total order
+    for times ≥1 apart), making at-risk prefix sums tie-ambiguous.
+    The struct (t, censor-after-support) order is total for arbitrary
+    doubles: the all-exact-events reduction must stay BIT-EQUAL to
+    km_curve run on the same cohort with time rescaled to integers
+    (survival depends only on the d/y sequence, not the time axis)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        turnbull_km,
+    )
+
+    rows = []
+    for i in range(300):
+        th = 1 + (i * 7919) % 23          # half-units: t = th * 0.5
+        ev = 0 if i % 4 == 0 else 1
+        rows.append(("A" if i % 2 == 0 else "B", th, ev))
+    subj = spark.createDataFrame(rows, "grp string, th long, event int")
+    km = {
+        (r.grp, float(r.th)): r.survival
+        for r in km_curve(subj, ["grp"], "th", "event").collect()
+        if r.n_event > 0
+    }
+    iv = subj.selectExpr(
+        "grp",
+        "CASE WHEN event = 1 THEN th * 0.5 - 0.5 ELSE th * 0.5 END"
+        " AS left",
+        "CASE WHEN event = 1 THEN th * 0.5 ELSE NULL END AS right",
+    )
+    tb = {
+        (r.grp, r.time * 2.0): r.survival
+        for r in turnbull_km(iv, ["grp"], "left", "right", iters=2).collect()
+    }
+    assert set(tb) == set(km)
+    for k in km:
+        assert tb[k] == km[k], (k, tb[k], km[k])  # bit-equal
+
+
 def test_turnbull_single_support_intersection(spark):
     """Overlapping intervals (0,2] and (1,3]: the only innermost
     interval is their intersection (1,2] — all mass lands there and
@@ -3417,7 +3457,7 @@ def test_ipw_adjusted_km_removes_planted_confounding(spark):
     adj = [
         (r.arm, r.duration, r.survival)
         for r in ipw_adjusted_km(
-            df, "arm", ["x"], "duration", "event", iters=100, lr=2.0
+            df, "arm", ["x"], "duration", "event"
         ).collect()
     ]
     gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
@@ -3616,3 +3656,25 @@ def test_flexible_parametric_survival_recovers_plants(spark):
         # agreement to a few percentage points is the honest bound
         assert abs(r.survival - km_at(r.t_end)) < 0.045, (
             r.t_end, r.survival, km_at(r.t_end))
+
+
+def test_flexible_parametric_survival_x_pattern_bound(spark):
+    """A continuous covariate (every row a distinct x) must fail fast
+    with the named max_x_patterns error instead of silently pulling
+    every distinct value to the driver for curve evaluation — the
+    diff_in_diff/rmst_from_curve bounded-collect convention (VERDICT
+    r07 item 4)."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        flexible_parametric_survival,
+    )
+
+    rows = [
+        (i / 997.0, (i % 30) + 1, 1 if i % 3 else 0) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x double, duration long, event int")
+    with pytest.raises(ValueError, match="max_x_patterns"):
+        flexible_parametric_survival(
+            df, "x", interval_width=4, horizon=40, max_x_patterns=50
+        )
