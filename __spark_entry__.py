@@ -13228,6 +13228,31 @@ _RELSURV_SQL = f"""
 """
 
 
+# survival_relative_lt: the SAME Ederer-II replay, but the hazard
+# table comes from the nation lake table (bands 0-8 = n_nationkey,
+# rate per 100k = 150 + 70*key -> micro-hazard 1500 + 700*band ==
+# _RELSURV_HAZARDS) instead of a VALUES literal — the external
+# life-table source form. Built by swapping the hzm CTE body.
+_RELSURV_HZM_VALUES = (
+    "VALUES\n        "
+    + ", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())
+    + "\n    "
+)
+_RELSURV_HZM_NATION = """
+        SELECT CAST(n_nationkey AS BIGINT) AS band,
+               CAST(round((150.0 + 70.0 * n_nationkey) / 100000.0
+                          * 1000000.0, 0) AS BIGINT) AS lam
+        FROM nation WHERE n_nationkey < 9
+    """
+
+
+def _relsurv_lt_sql(km_sql: str) -> str:
+    base = _RELSURV_SQL.format(km=km_sql)
+    old = f"hzm(band, lam) AS ({_RELSURV_HZM_VALUES})"
+    assert old in base, "hzm VALUES block drifted from _RELSURV_SQL"
+    return base.replace(old, f"hzm(band, lam) AS ({_RELSURV_HZM_NATION})")
+
+
 # ICSS-like integer standardisation weights over 3 age classes
 # (class = band // 3) — integer by standardized_net_survival's
 # exact-sum contract.
@@ -14904,6 +14929,245 @@ def q_rates_joinpoint(spark, sf_dir):
                          "person_time", min_seg=3)
 
 
+def q_survival_rp_td(spark, sf_dir):
+    """Royston-Parmar survival with a time-dependent (non-PH)
+    covariate effect (operators/survival.py::
+    flexible_parametric_survival_td — VERDICT r07 item 8: the
+    cox_ph_spline + survival_cox_td machinery composed onto
+    survival_flexible_allcause's Poisson-split basis). Two md5
+    cohorts over orders: (a) a TD plant drawn from the model itself
+    (β=0.7, δ=−0.35: the hazard ratio decays in log time;
+    closed-form Λ⁻¹ sampling) — verdicts pin β̂, δ̂ within 0.15 and
+    the loghr column declining across the grid; (b) the SAME PH
+    plant as survival_flexible_allcause — verdicts pin δ̂ ≈ 0 and
+    the TD curves within 0.02 of flexible_parametric_survival's (the
+    PH-reduction pin). Exact cohort counts replay in DuckDB."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        flexible_parametric_survival,
+        flexible_parametric_survival_td,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0 + 1e-6
+    x = (F.col("o_orderkey") % 2).cast("double")
+    w, hz = 4, 40
+    lo, hi = math.log(0.5 * w), math.log((hz // w - 0.5) * w)
+    c = (lo + hi) / 2.0
+    lam, beta, delta = 0.04, 0.7, -0.35
+    e = -F.log(u)
+    a = lam * math.exp(beta - delta * c)
+    t_td = F.when(
+        x == 0, e / F.lit(lam)
+    ).otherwise(
+        F.pow(e * F.lit((delta + 1.0) / a), F.lit(1.0 / (delta + 1.0)))
+    )
+    cohort_td = d.select(
+        x.alias("x"),
+        F.least(F.floor(t_td), F.lit(hz - 1)).cast("long").alias(
+            "duration"
+        ),
+        (t_td < hz).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    _, bhat, dhat = flexible_parametric_survival_td(
+        cohort_td, "x", interval_width=w, horizon=hz
+    )
+    # (b) PH plant — identical derivation to survival_flexible_allcause
+    t_ph = -F.log(u) / (F.lit(lam) * F.exp(beta * x))
+    cohort_ph = d.select(
+        x.alias("x"),
+        F.least(F.floor(t_ph), F.lit(hz - 1)).cast("long").alias(
+            "duration"
+        ),
+        (t_ph < hz).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    curve_td, _, dhat_ph = flexible_parametric_survival_td(
+        cohort_ph, "x", interval_width=w, horizon=hz
+    )
+    ph = {
+        (r.x, r.interval): r.survival
+        for r in flexible_parametric_survival(
+            cohort_ph, "x", interval_width=w, horizon=hz
+        ).collect()
+    }
+    rows = curve_td.collect()
+    worst = max(abs(r.survival - ph[(r.x, r.interval)]) for r in rows)
+    return cohort_td.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event").cast("long").alias("n_events"),
+        F.lit(abs(bhat - beta) < 0.15).alias("td_beta_recovered"),
+        F.lit(abs(dhat - delta) < 0.15).alias("td_delta_recovered"),
+        F.lit(abs(dhat_ph) < 0.1).alias("ph_delta_null"),
+        F.lit(worst < 0.02).alias("ph_reduction_pinned"),
+    )
+
+
+def q_survival_relative_lt(spark, sf_dir):
+    """Relative survival (Ederer II) over an EXTERNAL life-table
+    source (sources/lifetable.py + operators/survival.py::
+    relative_survival_ederer2's DataFrame form — VERDICT r07 item 7):
+    the background-mortality table comes from a second lake table
+    (nation: bands 0-8 = n_nationkey, published rate per 100k =
+    150 + 70·key) through life_table_from_rates' one explicit
+    rounding into integer micro-hazards, validation, and the
+    broadcast join contract (missing cohort band = named error, not
+    silent zero). The derived hazards equal survival_relative's
+    literal table (1500 + 700·band), so this is the same estimate
+    re-expressed over the source — the oracle joins nation instead
+    of a VALUES list and stays bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer2,
+    )
+    from cancer_survival_etl_spark.sources.lifetable import (
+        life_table_from_rates,
+    )
+
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 9)
+    rates = nat.select(
+        F.col("n_nationkey").cast("long").alias("band"),
+        (F.lit(150.0) + F.lit(70.0) * F.col("n_nationkey")).alias(
+            "rate_per_100k"
+        ),
+    )
+    lt = life_table_from_rates(rates, ["band"], "rate_per_100k")
+    return relative_survival_ederer2(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        lt,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+def q_survival_aipw_contrast(spark, sf_dir):
+    """Doubly-robust (AIPW) survival contrast (operators/
+    survival.py::aipw_survival_contrast — VERDICT r07 item 5): the
+    same Simpson plant as survival_ipw_km (per-stratum shared hazard,
+    confounded assignment 0.8/0.2, administrative censoring at 30).
+    Verdicts pin (a) the crude gap at t=15 exceeds 0.1, (b) the AIPW
+    gap shrinks it by >5x, and (c) the augment=False Hajek reduction
+    matches ipw_adjusted_km's weighted product-limit curve at t=15
+    within 5e-6 (the telescoping identity) — the
+    correctly-specified-propensity reduction pin. Exact per-(arm,
+    stratum) cohort counts replay in DuckDB."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aipw_survival_contrast,
+        ipw_adjusted_km,
+        km_curve,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(1) < 0.5).cast("double")
+    p_arm = F.when(x > 0, F.lit(0.8)).otherwise(F.lit(0.2))
+    arm = (u(9) < p_arm).cast("int")
+    haz = F.when(x > 0, F.lit(0.15)).otherwise(F.lit(0.04))
+    t = -F.log(u(17) + 1e-9) / haz
+    cohort = d.select(
+        arm.alias("arm"),
+        x.alias("x"),
+        F.least(F.floor(t) + 1, F.lit(30)).cast("long").alias(
+            "duration"
+        ),
+        (t < 30).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+
+    def s_at(rows, a, tt):
+        pts = [r for r in rows if r[0] == a and r[1] <= tt]
+        return max(pts, key=lambda r: r[1])[2] if pts else 1.0
+
+    crude = [
+        (r.arm, r.duration, r.survival)
+        for r in km_curve(cohort, ["arm"], "duration",
+                          "event").collect()
+    ]
+    gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
+    aipw = {
+        r.time: r
+        for r in aipw_survival_contrast(
+            cohort, "arm", ["x"], [15]
+        ).collect()
+    }
+    red = {
+        r.time: r
+        for r in aipw_survival_contrast(
+            cohort, "arm", ["x"], [15], augment=False
+        ).collect()
+    }
+    ipw = [
+        (r.arm, r.duration, r.survival)
+        for r in ipw_adjusted_km(
+            cohort, "arm", ["x"], "duration", "event",
+        ).collect()
+    ]
+    pin = max(
+        abs(red[15].s1 - s_at(ipw, 1, 15)),
+        abs(red[15].s0 - s_at(ipw, 0, 15)),
+    )
+    return (
+        cohort.groupBy("arm", "x")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "x",
+            "n",
+            F.lit(gap_crude > 0.1).alias("crude_confounded"),
+            F.lit(abs(aipw[15].diff) < gap_crude / 5).alias(
+                "aipw_deconfounded"
+            ),
+            F.lit(pin < 5e-6).alias("ipw_reduction_pinned"),
+        )
+    )
+
+
+def q_rates_joinpoint_k(spark, sf_dir):
+    """k=2 joinpoint trend in daily error rates (operators/
+    survival.py::apc_joinpoint_k — the multi-break generalization of
+    rates_joinpoint, VERDICT r07 item 6): continuity-constrained
+    piecewise ln-rate OLS over every admissible BREAK PAIR (>= 3
+    periods per segment), least-squares winner with a deterministic
+    (RSS, b1, b2) tie-break. Same cohort/period derivation as
+    rates_joinpoint. The 4x4 Cramer solve is codegen'd once
+    (cramer_solve_exprs) and the identical expression text is spliced
+    into the DuckDB oracle, so the whole pair grid search replays
+    bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        apc_joinpoint_k,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("cohort"),
+            F.dayofmonth("ts").cast("long").alias("period"),
+        )
+        .agg(
+            F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ).alias("cases"),
+            F.count(F.lit(1)).alias("person_time"),
+        )
+        .filter(F.col("cases") > 0)
+    )
+    return apc_joinpoint_k(cells, ["cohort"], n_breaks=2,
+                           period_col="period", cases_col="cases",
+                           persontime_col="person_time", min_seg=3)
+
+
 def q_survival_flexible_allcause(spark, sf_dir):
     """All-cause Royston-Parmar flexible parametric survival
     (operators/survival.py::flexible_parametric_survival — the
@@ -15056,6 +15320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score": q_model_score,
         "stats_zscore": q_stats_zscore,
         "stats_histogram": q_stats_histogram,
+        # ==== round-8 additions (parity-verified at registration;
+        # rotate into the window after the r09 deferrals) ====
+        "rates_joinpoint_k": q_rates_joinpoint_k,
+        "survival_aipw_contrast": q_survival_aipw_contrast,
+        "survival_relative_lt": q_survival_relative_lt,
+        "survival_rp_td": q_survival_rp_td,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -16220,6 +16490,52 @@ _SURVIVAL_IPW_KM_SQL = """
 """
 
 
+_SURVIVAL_RP_TD_SQL = """
+    WITH f AS (
+        SELECT o_orderkey % 2 AS x,
+               -ln((CAST(concat('0x',
+                    substring(md5(o_orderkey::VARCHAR), 1, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 + 0.000001) AS e
+        FROM orders
+    ),
+    t AS (
+        SELECT CASE WHEN x = 0 THEN e / 0.04
+                    ELSE pow(e * 3.7818547890755863,
+                             1.5384615384615383) END AS tv
+        FROM f
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN tv < 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events,
+           true AS td_beta_recovered,
+           true AS td_delta_recovered,
+           true AS ph_delta_null,
+           true AS ph_reduction_pinned
+    FROM t
+"""
+
+
+_SURVIVAL_AIPW_CONTRAST_SQL = """
+    WITH f AS (
+        SELECT CASE WHEN (CAST(concat('0x',
+                   substring(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT)
+                   % 1000000) / 1000000.0 < 0.5
+               THEN 1.0 ELSE 0.0 END AS x,
+               (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u_a
+        FROM orders
+    )
+    SELECT CAST(CASE WHEN u_a < (CASE WHEN x > 0 THEN 0.8 ELSE 0.2 END)
+                THEN 1 ELSE 0 END AS BIGINT) AS arm,
+           x,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS crude_confounded,
+           true AS aipw_deconfounded,
+           true AS ipw_reduction_pinned
+    FROM f GROUP BY 1, 2
+"""
+
+
 _STATS_CONDITIONAL_LOGISTIC_SQL = """
     WITH pairx AS (
         SELECT o_orderkey AS pair,
@@ -16340,6 +16656,110 @@ _RATES_JOINPOINT_SQL = """
            round(w.rssm / 1000000.0, 6) AS rss
     FROM ntab t LEFT JOIN best w USING (cohort)
 """
+
+
+def _rates_joinpoint_k_sql() -> str:
+    """DuckDB replay of the k=2 joinpoint pair grid search. The 4×4
+    Cramer det/numerator arithmetic is the SAME expression text the
+    Spark operator hands to F.expr (cramer_solve_exprs) — identical
+    parse trees, identical IEEE operation order, bit-exact replay."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cramer_solve_exprs,
+    )
+
+    p = 4
+    det_s, num_s = cramer_solve_exprs(p)
+    mom_cols = []
+    regs = ["1", "c.x", "greatest(c.x - d.b1, 0)",
+            "greatest(c.x - d.b2, 0)"]
+    for j in range(p):
+        for k in range(j, p):
+            mom_cols.append(
+                f"CAST(sum(({regs[j]}) * ({regs[k]})) AS BIGINT) "
+                f"AS m{j}_{k}"
+            )
+    for j in range(p):
+        mom_cols.append(
+            f"CAST(sum(({regs[j]}) * c.y) AS BIGINT) AS vy{j}"
+        )
+    mom_cols.append("CAST(sum(c.y * c.y) AS BIGINT) AS syy")
+    mats_cols = []
+    for j in range(p):
+        for k in range(j, p):
+            mats_cols.append(f"CAST(m{j}_{k} AS DOUBLE) AS a{j}_{k}")
+        mats_cols.append(f"vy{j} / 1000000.0 AS v{j}")
+    beta_cols = ",\n               ".join(
+        f"({num_s[j]}) / det AS bt{j}" for j in range(p)
+    )
+    fit = " + ".join(f"bt{j} * v{j}" for j in range(p))
+    return f"""
+    WITH cells0 AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CAST(EXTRACT(day FROM ts) AS BIGINT) AS period,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cases,
+               CAST(count(*) AS BIGINT) AS person_time
+        FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT cohort, period AS x,
+               CAST(round(ln(cases / person_time) * 1000000.0, 0)
+                    AS BIGINT) AS y
+        FROM cells0 WHERE cases > 0
+    ),
+    ranked AS (
+        SELECT cohort, x,
+               row_number() OVER (PARTITION BY cohort ORDER BY x) AS i
+        FROM cells
+    ),
+    ntab AS (SELECT cohort, max(i) AS np FROM ranked GROUP BY cohort),
+    cands AS (
+        SELECT r1.cohort, r1.x AS b1, r2.x AS b2
+        FROM ranked r1
+        JOIN ntab t USING (cohort)
+        JOIN ranked r2 USING (cohort)
+        WHERE r1.i >= 3 AND r1.i <= t.np - 6
+          AND r2.i >= r1.i + 3 AND r2.i <= t.np - 3
+    ),
+    mom AS (
+        SELECT c.cohort, d.b1, d.b2,
+               {", ".join(mom_cols)}
+        FROM cells c JOIN cands d USING (cohort)
+        GROUP BY 1, 2, 3
+    ),
+    mats AS (
+        SELECT *, {", ".join(mats_cols)},
+               syy / 1000000.0 / 1000000.0 AS syyd
+        FROM mom
+    ),
+    dets AS (SELECT *, {det_s} AS det FROM mats),
+    beta AS (
+        SELECT *,
+               {beta_cols}
+        FROM dets WHERE abs(det) > 0.000000001
+    ),
+    scored AS (
+        SELECT cohort, b1, b2,
+               bt1 AS s1, bt1 + bt2 AS s2, bt1 + bt2 + bt3 AS s3,
+               CAST(round(greatest(syyd - ({fit}), 0.0) * 1000000.0, 0)
+                    AS BIGINT) AS rssm,
+               row_number() OVER (
+                   PARTITION BY cohort
+                   ORDER BY CAST(round(greatest(syyd - ({fit}), 0.0)
+                       * 1000000.0, 0) AS BIGINT), b1, b2) AS rk
+        FROM beta
+    ),
+    best AS (SELECT * FROM scored WHERE rk = 1)
+    SELECT t.cohort, t.np AS n_periods,
+           w.b1 AS break_1, w.b2 AS break_2,
+           round(w.s1, 6) AS slope_1, round(w.s2, 6) AS slope_2,
+           round(w.s3, 6) AS slope_3,
+           round(100.0 * (exp(w.s1) - 1.0), 6) AS apc_1_pct,
+           round(100.0 * (exp(w.s2) - 1.0), 6) AS apc_2_pct,
+           round(100.0 * (exp(w.s3) - 1.0), 6) AS apc_3_pct,
+           round(w.rssm / 1000000.0, 6) AS rss
+    FROM ntab t LEFT JOIN best w USING (cohort)
+    """
 
 
 _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL = """
@@ -17763,6 +18183,10 @@ def oracle_sql() -> dict[str, str]:
         "survival_ipw_km": _SURVIVAL_IPW_KM_SQL,
         "stats_conditional_logistic": _STATS_CONDITIONAL_LOGISTIC_SQL,
         "rates_joinpoint": _RATES_JOINPOINT_SQL,
+        "rates_joinpoint_k": _rates_joinpoint_k_sql(),
+        "survival_aipw_contrast": _SURVIVAL_AIPW_CONTRAST_SQL,
+        "survival_relative_lt": _relsurv_lt_sql(_SURVIVAL_KM_SQL),
+        "survival_rp_td": _SURVIVAL_RP_TD_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,

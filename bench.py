@@ -353,6 +353,11 @@ HEADLINE = [
     "rates_joinpoint",
     "survival_flexible_allcause",
     "stats_mcnemar",
+    # round-8 additions
+    "rates_joinpoint_k",
+    "survival_aipw_contrast",
+    "survival_relative_lt",
+    "survival_rp_td",
 ]
 
 REGRESSION_RATIO = 1.5

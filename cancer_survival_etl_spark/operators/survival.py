@@ -1173,6 +1173,49 @@ def cif_competing_risks(
     )
 
 
+def _attach_band_hazard(
+    frame: DataFrame,
+    band_col: str,
+    hazard_spec,
+    out_col: str,
+    op_name: str,
+) -> DataFrame:
+    """Attach the expected micro-hazard column to a band-keyed frame
+    from either a dict (legacy literal form: missing band → 0,
+    documented) or a life-table DataFrame (``sources/lifetable.py``
+    canonical form: validated, broadcast-joined, missing band = a
+    NAMED error — the join contract; a silent zero would under-count
+    expected deaths and inflate net survival)."""
+    if isinstance(hazard_spec, DataFrame):
+        from ..sources.lifetable import validate_life_table
+
+        lt = validate_life_table(hazard_spec, [band_col])
+        joined = frame.join(F.broadcast(lt), [band_col], "left")
+        checked = F.when(
+            F.col("hazard_micro").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{op_name}: cohort band with no life-table "
+                        "row: "
+                    ),
+                    F.col(band_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("hazard_micro"))
+        return joined.withColumn(out_col, checked).drop("hazard_micro")
+    if any(int(v) != v for v in hazard_spec.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    hmap = F.create_map(
+        *[F.lit(x) for k, v in hazard_spec.items() for x in (k, int(v))]
+    )
+    return frame.withColumn(
+        out_col, F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    )
+
+
 def relative_survival_ederer2(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -1196,6 +1239,16 @@ def relative_survival_ederer2(
     distributed sum is order-independent and the table adjudicates
     bit-exact.
 
+    It accepts either a dict (the in-query literal form) or a
+    LIFE-TABLE DataFrame in ``sources/lifetable.py``'s canonical
+    schema (``band_col`` + ``hazard_micro``; validated, broadcast) —
+    the external-source form a registry user brings. The two forms
+    are BIT-EQUAL given the same hazards (exact-long arithmetic
+    either way; pinned in tests). Join contract: a cohort band with
+    no life-table row raises a named error — the dict form's
+    silent-zero fallback is the documented legacy behavior, the
+    source form refuses to under-count expected deaths.
+
     Ederer II: at each integer time s = 1..horizon the expected hazard
     of the cohort is the at-risk-weighted band mean
     λ̄(s) = Σ_b n_b(s)·λ_b / n(s) (n_b(s) = subjects of band b with
@@ -1216,10 +1269,6 @@ def relative_survival_ederer2(
     ``survival_at_horizons``. Nothing downstream of the two
     aggregates scales with subject count.
     """
-    if any(int(v) != v for v in hazard_micro_by_band.values()):
-        raise ValueError(
-            "hazard_micro_by_band must be integers (exact-sum contract)"
-        )
     g = list(group_cols)
     spark = df.sparkSession
     horizon = int(horizon)
@@ -1247,19 +1296,10 @@ def relative_survival_ederer2(
         grid, g + [band_col], "_s", "_rm", "_rm0"
     ).withColumn("_nb", F.col("_nb_tot") - F.col("_rm0"))
 
-    hmap = F.create_map(
-        *[
-            F.lit(x)
-            for k, v in hazard_micro_by_band.items()
-            for x in (k, int(v))
-        ]
-    )
-    grid = grid.withColumn(
-        "_lam_micro",
-        F.col("_nb") * F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast(
-            "long"
-        ),
-    )
+    grid = _attach_band_hazard(
+        grid, band_col, hazard_micro_by_band, "_lam_b",
+        "relative_survival_ederer2",
+    ).withColumn("_lam_micro", F.col("_nb") * F.col("_lam_b"))
     per_s = grid.groupBy(*g, "_s").agg(
         F.sum("_lam_micro").alias("_lam"),
         F.sum("_nb").alias("_n"),
@@ -1344,11 +1384,12 @@ def relative_survival_ederer1(
     (no prefix pass at all: the at-diagnosis mix is time-constant).
     The observed curve reuses ``km_curve`` cells via the same
     broadcast argmax join as Ederer II.
+
+    ``hazard_micro_by_band`` accepts a dict or a life-table
+    DataFrame (``sources/lifetable.py`` canonical form) — the same
+    dual contract as ``relative_survival_ederer2``: the source form
+    is validated/broadcast and FAILS on a cohort band with no row.
     """
-    if any(int(v) != v for v in hazard_micro_by_band.values()):
-        raise ValueError(
-            "hazard_micro_by_band must be integers (exact-sum contract)"
-        )
     g = list(group_cols)
     spark = df.sparkSession
     horizon = int(horizon)
@@ -1362,19 +1403,15 @@ def relative_survival_ederer1(
     hours0 = spark.range(0, horizon + 1).select(
         F.col("id").cast("long").alias("hour")
     )
-    hmap = F.create_map(
-        *[
-            F.lit(x)
-            for k, v in hazard_micro_by_band.items()
-            for x in (k, int(v))
-        ]
-    )
-    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
-    grid = nbt.crossJoin(F.broadcast(hours)).withColumn(
+    grid = _attach_band_hazard(
+        nbt.crossJoin(F.broadcast(hours)), band_col,
+        hazard_micro_by_band, "_lam_b", "relative_survival_ederer1",
+    ).withColumn(
         "_sb",
         F.col("_nb")
         * F.pow(
-            F.lit(1.0) - lam / F.lit(1000000.0), F.col("hour")
+            F.lit(1.0) - F.col("_lam_b") / F.lit(1000000.0),
+            F.col("hour"),
         ),
     )
     expected = grid.groupBy(*g, "hour").agg(
@@ -2856,11 +2893,12 @@ def relative_survival_hakulinen(
     grouped_prefix_sum for potential at-risk counts, a closed-form
     pow for the twin survival, one prefix for the expected log
     accumulation; observed curve via the shared km argmax.
+
+    ``hazard_micro_by_band`` accepts a dict or a life-table
+    DataFrame (``sources/lifetable.py`` canonical form) — the same
+    dual contract as the Ederer estimators: the source form is
+    validated/broadcast and FAILS on a cohort band with no row.
     """
-    if any(int(v) != v for v in hazard_micro_by_band.values()):
-        raise ValueError(
-            "hazard_micro_by_band must be integers (exact-sum contract)"
-        )
     g = list(group_cols)
     spark = df.sparkSession
     horizon = int(horizon)
@@ -2885,14 +2923,11 @@ def relative_survival_hakulinen(
     grid = grouped_prefix_sum(
         grid, g + [band_col], "_s", "_rm", "_rm0"
     ).withColumn("_pb", F.col("_nb_tot") - F.col("_rm0"))
-    hmap = F.create_map(
-        *[
-            F.lit(x)
-            for k, v in hazard_micro_by_band.items()
-            for x in (k, int(v))
-        ]
+    grid = _attach_band_hazard(
+        grid, band_col, hazard_micro_by_band, "_lam_b",
+        "relative_survival_hakulinen",
     )
-    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    lam = F.col("_lam_b")
     # expected twin survivors entering hour s: p_b(s)·(1-λ_b)^(s-1)
     lstar = F.col("_pb") * F.pow(
         F.lit(1.0) - lam / F.lit(1000000.0),
@@ -5235,6 +5270,187 @@ def ipw_adjusted_km(
     )
 
 
+def aipw_survival_contrast(
+    df: DataFrame,
+    arm_col: str,
+    covariate_cols: Sequence[str],
+    times: Sequence[int],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 8,
+    augment: bool = True,
+    max_x_patterns: int = 10000,
+    propensity_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """DOUBLY-ROBUST (AIPW) survival contrast at fixed horizons —
+    the estimator that stays consistent if EITHER nuisance model is
+    right (``ipw_adjusted_km`` needs the propensity model right;
+    a stratified outcome model needs the case-mix model right):
+
+        Ŝ_a(t) = n⁻¹ Σ_i [ m̂_a(X_i,t)
+                           + 1{A_i=a}/π̂_a(X_i)·(Y_i(t) − m̂_a(X_i,t)) ]
+
+    with Y_i(t) = 1{T_i > t}, π̂ the Fisher-scored logistic
+    propensity (``glm_logistic`` — the SAME fit ``ipw_adjusted_km``
+    uses, clipped to [0.01, 0.99]), and m̂_a(x,t) the SATURATED
+    stratified outcome model P̂(T > t | a, x) (covariates must be
+    DISCRETE patterns — enforced via ``max_x_patterns``; bin
+    continuous covariates first). The augmentation term has mean 0
+    when π̂ is correct, and absorbs arm/case-mix imbalance when π̂ is
+    wrong but m̂ is right — the double-robustness pinned in tests.
+
+    CENSORING CONTRACT: administrative only, strictly after
+    ``max(times)`` — any censored subject with duration ≤ max(times)
+    raises a named error (otherwise Y_i(t) is not observable and the
+    estimator needs an IPCW third model; documented out of scope).
+
+    Scale shape: subjects collapse ONCE to (arm, x-pattern,
+    duration) cells (the engine's standard one-aggregate collapse);
+    the propensity fit is ``iters`` fused aggregates; everything
+    downstream (times grid, outcome-model cells, the AIPW combine)
+    is cell-sized arithmetic on the nano lattice, so results are
+    bit-identical under any partitioning.
+
+    ``augment=False`` drops m̂ and switches to the Hajek
+    normalization Σw·Y/Σw per arm — the pure-IPW reduction that
+    equals ``ipw_adjusted_km``'s weighted product-limit curve under
+    the administrative-censoring contract (telescoping identity;
+    pinned in tests to the micro-lattice tolerance).
+
+    ``propensity_cols`` (default: ``covariate_cols``) lets the two
+    nuisance models see different covariates — how the
+    double-robustness property is exercised in tests (junk
+    propensity + correct outcome model still deconfounds, where
+    pure IPW does not).
+
+    Returns one row per horizon: time, n, s1 (arm 1), s0 (arm 0),
+    diff = s1 − s0 (6 dp).
+    """
+    from .stats import glm_logistic
+
+    feats = list(covariate_cols)
+    pfeats = list(propensity_cols) if propensity_cols is not None else feats
+    ts = sorted({int(t) for t in times})
+    if not ts:
+        raise ValueError("aipw_survival_contrast: times must be non-empty")
+    tmax = ts[-1]
+    arm = F.col(arm_col).cast("int")
+    beta = glm_logistic(
+        df.withColumn("_y", arm.cast("double")), pfeats, "_y", iters=iters
+    )
+    bad = (F.col(event_col).cast("int") == 0) & (
+        F.col(duration_col).cast("long") <= F.lit(tmax)
+    )
+    guard = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "aipw_survival_contrast: censored subject at duration "
+                "<= max(times) — the administrative-censoring "
+                "contract requires all censoring strictly after the "
+                "last horizon"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1).cast("long"))
+    allfeats = feats + [c for c in pfeats if c not in feats]
+    cells = (
+        df.select(
+            arm.alias("_a"),
+            *[F.col(c).cast("double").alias(c) for c in allfeats],
+            F.col(duration_col).cast("long").alias("_dur"),
+            guard.alias("_one"),
+        )
+        .groupBy("_a", *allfeats, "_dur")
+        .agg(F.sum("_one").alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    bound = int(max_x_patterns)
+    npat = cells.select(*allfeats).distinct().limit(bound + 1).count()
+    if npat > bound:
+        raise ValueError(
+            "aipw_survival_contrast: more than "
+            f"{bound} distinct covariate patterns — the saturated "
+            "outcome model needs discrete covariates; bin first or "
+            "raise max_x_patterns explicitly"
+        )
+    tdf = df.sparkSession.createDataFrame([(t,) for t in ts], "t long")
+    ct = cells.crossJoin(F.broadcast(tdf))
+    a1 = F.col("_a") == 1
+    gt = F.col("_dur") > F.col("t")
+    mcell = ct.groupBy(*feats, "t").agg(
+        F.sum(F.when(a1, F.col("_n")).otherwise(F.lit(0))).alias("_n1"),
+        F.sum(F.when(a1 & gt, F.col("_n")).otherwise(F.lit(0))).alias(
+            "_gt1"
+        ),
+        F.sum(F.when(~a1, F.col("_n")).otherwise(F.lit(0))).alias("_n0"),
+        F.sum(F.when((~a1) & gt, F.col("_n")).otherwise(F.lit(0))).alias(
+            "_gt0"
+        ),
+    )
+    no_pos = (F.col("_n1") == 0) | (F.col("_n0") == 0)
+    m1 = F.when(
+        no_pos,
+        F.raise_error(
+            F.lit(
+                "aipw_survival_contrast: a covariate pattern has no "
+                "subjects in one arm — positivity violated; coarsen "
+                "the covariates"
+            )
+        ).cast("double"),
+    ).otherwise(F.col("_gt1") / F.col("_n1"))
+    m0 = F.col("_gt0") / F.col("_n0")
+    mcell = mcell.select(
+        *feats, "t", m1.alias("_m1"), m0.alias("_m0")
+    )
+    full = ct.join(F.broadcast(mcell), [*feats, "t"])
+    z = F.lit(beta[0])
+    for j, c in enumerate(pfeats):
+        z = z + F.lit(beta[j + 1]) * F.col(c)
+    p1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p1 = F.least(F.greatest(p1, F.lit(0.01)), F.lit(0.99))
+    p0 = F.lit(1.0) - p1
+    y = gt.cast("double")
+    i1 = a1.cast("double")
+    i0 = (~a1).cast("double")
+    nano = F.lit(1000000000.0)
+    if augment:
+        t1 = F.col("_m1") + i1 * (y - F.col("_m1")) / p1
+        t0 = F.col("_m0") + i0 * (y - F.col("_m0")) / p0
+        den1 = F.sum(F.col("_n"))
+        den0 = F.sum(F.col("_n"))
+    else:
+        t1 = i1 * y / p1
+        t0 = i0 * y / p0
+        den1 = (
+            F.sum(F.round(i1 / p1 * nano, 0).cast("long") * F.col("_n"))
+            / nano
+        )
+        den0 = (
+            F.sum(F.round(i0 / p0 * nano, 0).cast("long") * F.col("_n"))
+            / nano
+        )
+    out = full.groupBy("t").agg(
+        F.sum(F.col("_n")).alias("n"),
+        (
+            F.sum(F.round(t1 * nano, 0).cast("long") * F.col("_n"))
+            / nano
+            / den1
+        ).alias("_s1"),
+        (
+            F.sum(F.round(t0 * nano, 0).cast("long") * F.col("_n"))
+            / nano
+            / den0
+        ).alias("_s0"),
+    )
+    return out.select(
+        F.col("t").alias("time"),
+        "n",
+        F.round("_s1", 6).alias("s1"),
+        F.round("_s0", 6).alias("s0"),
+        F.round(F.col("_s1") - F.col("_s0"), 6).alias("diff"),
+    )
+
+
 def conditional_logistic(
     df: DataFrame,
     set_col: str,
@@ -5429,6 +5645,202 @@ def apc_joinpoint(
     )
 
 
+def cramer_det_expr(M: list) -> str:
+    """Laplace-expansion determinant as an ARITHMETIC EXPRESSION
+    STRING over the entry names in ``M`` (an n×n list of strings).
+    The same text is handed to Spark's ``F.expr`` and spliced into
+    the DuckDB oracle, so both engines parse the identical tree and
+    the IEEE-double operation ORDER matches — the shared-text trick
+    that keeps ``apc_joinpoint_k``'s grid search bit-replayable at
+    any k without hand-mirroring 4×4 cofactors twice."""
+    n = len(M)
+    if n == 1:
+        return M[0][0]
+    parts = []
+    for j in range(n):
+        minor = [
+            [M[i][jj] for jj in range(n) if jj != j]
+            for i in range(1, n)
+        ]
+        sub = cramer_det_expr(minor)
+        parts.append((j % 2 == 0, f"{M[0][j]} * ({sub})"))
+    out = parts[0][1]
+    for pos, t in parts[1:]:
+        out = f"{out} {'+' if pos else '-'} {t}"
+    return out
+
+
+def cramer_solve_exprs(p: int) -> tuple[str, list[str]]:
+    """(det, [numerator_0..numerator_{p-1}]) expression strings for a
+    p×p Cramer solve over entries named ``a{j}_{k}`` (symmetric —
+    only j<=k names appear) and RHS ``v{j}``. ``beta_j =
+    numerator_j / det``."""
+    name = lambda j, k: f"a{min(j, k)}_{max(j, k)}"  # noqa: E731
+    M = [[name(j, k) for k in range(p)] for j in range(p)]
+    det = cramer_det_expr(M)
+    nums = []
+    for j in range(p):
+        Mj = [
+            [f"v{r}" if c == j else M[r][c] for c in range(p)]
+            for r in range(p)
+        ]
+        nums.append(cramer_det_expr(Mj))
+    return det, nums
+
+
+def apc_joinpoint_k(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n_breaks: int = 2,
+    period_col: str = "period",
+    cases_col: str = "cases",
+    persontime_col: str = "person_time",
+    min_seg: int = 3,
+) -> DataFrame:
+    """k-SEGMENT-BREAK joinpoint trend in rates — ``apc_joinpoint``'s
+    generalization to ``n_breaks`` joins (the NCI joinpoint model):
+    fit ln(rate) = β₀ + β₁·x + Σ_m β_{m+1}·(x − b_m)₊ (continuous at
+    every break, b_1 < … < b_k, each of the k+1 segments ≥
+    ``min_seg`` periods) for EVERY admissible break tuple, keep the
+    least-squares winner, report all segment APCs.
+
+    Same grid-search shape as ``apc_joinpoint``, one dimension
+    deeper: cells = per-(group, period) micro-lattice ln rates;
+    admissible tuples come from a k-way self-join of the ranked
+    PERIOD lattice (broadcast — #tuples ≈ C(#periods, k) per group,
+    lattice-sized by contract, NEVER data-sized); ONE hash aggregate
+    per (group, tuple) builds the exact-long (k+2)×(k+2)
+    normal-equation moments; the solve is a CODEGEN'd Cramer
+    expansion (``cramer_solve_exprs`` — the det/numerator expression
+    text is shared verbatim with the DuckDB oracle, so the whole
+    search replays bit-exact); winner per group is the
+    lexicographic ``min(struct(micro-RSS, b_1..b_k))``.
+
+    ``n_breaks=1`` reduces to ``apc_joinpoint``'s model exactly
+    (same moments, same candidates; the Cramer solve is
+    algebraically the adjugate solve — pinned in tests at 6 dp).
+
+    No segment-APC confidence intervals, same documented omission as
+    ``apc_joinpoint`` (NCI inference is a permutation test).
+
+    Returns one row per group: n_periods, break_1..break_k,
+    slope_1..slope_{k+1}, apc_1..apc_{k+1}_pct, rss (6 dp) — NULLs
+    for a group with no admissible non-degenerate tuple.
+    """
+    k = int(n_breaks)
+    if k < 1:
+        raise ValueError("apc_joinpoint_k: n_breaks must be >= 1")
+    g = list(group_cols)
+    cells = df.groupBy(*g, period_col).agg(
+        F.sum(F.col(cases_col).cast("long")).alias("_cases"),
+        F.sum(F.col(persontime_col).cast("long")).alias("_pt"),
+    )
+    bad = (F.col("_cases") <= 0) | (F.col("_pt") <= 0)
+    lnrate = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "apc_joinpoint_k: every period needs cases > 0 and "
+                "person_time > 0"
+            )
+        ).cast("long"),
+    ).otherwise(_micro(F.log(F.col("_cases") / F.col("_pt"))))
+    cells = cells.select(
+        *g, F.col(period_col).cast("long").alias("_x"),
+        lnrate.alias("_y"),
+    )
+    w = Window.partitionBy(*g).orderBy("_x")
+    ranked = (
+        cells.withColumn("_i", F.row_number().over(w))
+        .select(*g, "_x", "_i")
+        .localCheckpoint(eager=False)
+    )
+    ntab = ranked.groupBy(*g).agg(F.max("_i").alias("_np"))
+    # k-way admissible tuple join over the ranked period lattice:
+    # rank gaps >= min_seg between consecutive breaks and at both ends
+    cands = ranked.join(ntab, g).filter(
+        (F.col("_i") >= min_seg)
+        & (F.col("_i") <= F.col("_np") - k * min_seg)
+    ).select(*g, F.col("_x").alias("_b1"), F.col("_i").alias("_i1"),
+             "_np")
+    for m in range(2, k + 1):
+        nxt = ranked.select(
+            *g, F.col("_x").alias(f"_b{m}"), F.col("_i").alias(f"_i{m}")
+        )
+        cands = cands.join(nxt, g).filter(
+            (F.col(f"_i{m}") >= F.col(f"_i{m-1}") + min_seg)
+            & (F.col(f"_i{m}") <= F.col("_np") - (k - m + 1) * min_seg)
+        )
+    bcols = [f"_b{m}" for m in range(1, k + 1)]
+    cands = cands.select(*g, *bcols)
+
+    memb = cells.join(F.broadcast(cands), g)
+    p = k + 2
+    regs = [F.lit(1).cast("long"), F.col("_x")]
+    for m in range(1, k + 1):
+        regs.append(F.greatest(F.col("_x") - F.col(f"_b{m}"), F.lit(0)))
+    y = F.col("_y")
+    aggs = []
+    for j in range(p):
+        for kk in range(j, p):
+            aggs.append(F.sum(regs[j] * regs[kk]).alias(f"_m{j}_{kk}"))
+    for j in range(p):
+        aggs.append(F.sum(regs[j] * y).alias(f"_vy{j}"))
+    aggs.append(F.sum(y * y).alias(f"_syy"))
+    mom = memb.groupBy(*g, *bcols).agg(*aggs)
+    micro6 = F.lit(1000000.0)
+    # doubles for the Cramer text: a{j}_{k} = moment, v{j} = y-cross/1e6
+    named = mom
+    for j in range(p):
+        for kk in range(j, p):
+            named = named.withColumn(
+                f"a{j}_{kk}", F.col(f"_m{j}_{kk}").cast("double")
+            )
+        named = named.withColumn(f"v{j}", F.col(f"_vy{j}") / micro6)
+    det_s, num_s = cramer_solve_exprs(p)
+    named = named.withColumn("_det", F.expr(det_s))
+    betas = [F.expr(num_s[j]) / F.col("_det") for j in range(p)]
+    vcols = [F.col(f"v{j}") for j in range(p)]
+    syy = F.col("_syy") / micro6 / micro6
+    fit = None
+    for j in range(p):
+        t = betas[j] * vcols[j]
+        fit = t if fit is None else fit + t
+    rss = syy - fit
+    ok = F.abs(F.col("_det")) > F.lit(1e-9)
+    slope_fields = []
+    acc = betas[1]
+    slope_fields.append(acc.alias("s1"))
+    for m in range(1, k + 1):
+        acc = acc + betas[m + 1]
+        slope_fields.append(acc.alias(f"s{m+1}"))
+    scored = named.select(
+        *g,
+        F.when(
+            ok,
+            F.struct(
+                _micro(F.greatest(rss, F.lit(0.0))).alias("rssm"),
+                *[F.col(b).alias(f"b{m+1}") for m, b in enumerate(bcols)],
+                *slope_fields,
+            ),
+        ).alias("_cand"),
+    ).filter(F.col("_cand").isNotNull())
+    best = scored.groupBy(*g).agg(F.min("_cand").alias("_w"))
+    apc = lambda b: F.lit(100.0) * (F.exp(b) - F.lit(1.0))  # noqa: E731
+    out = ntab.join(best, g, "left")
+    cols = [*g, F.col("_np").alias("n_periods")]
+    for m in range(1, k + 1):
+        cols.append(F.col(f"_w.b{m}").alias(f"break_{m}"))
+    for m in range(1, k + 2):
+        cols.append(F.round(F.col(f"_w.s{m}"), 6).alias(f"slope_{m}"))
+    for m in range(1, k + 2):
+        cols.append(
+            F.round(apc(F.col(f"_w.s{m}")), 6).alias(f"apc_{m}_pct")
+        )
+    cols.append(F.round(F.col("_w.rssm") / micro6, 6).alias("rss"))
+    return out.select(*cols)
+
+
 def flexible_parametric_survival(
     df: DataFrame,
     x_col: str,
@@ -5534,3 +5946,135 @@ def flexible_parametric_survival(
         "x double, interval long, t_end long, hazard double, "
         "cum_hazard double, survival double",
     )
+
+
+def flexible_parametric_survival_td(
+    df: DataFrame,
+    x_col: str,
+    interval_width: int,
+    horizon: int,
+    knots: Sequence[float] | None = None,
+    iters: int = 60,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    max_x_patterns: int = 1000,
+    td: bool = True,
+):
+    """Royston-Parmar survival with a TIME-DEPENDENT covariate effect
+    — the non-PH extension of ``flexible_parametric_survival`` (the
+    stpm2 ``tvc(x) dftvc(1)`` model): the log hazard gains a
+    covariate × log-time interaction,
+
+        ln h(t|x) = γ₀ + s(ln t; γ) + β·x + δ·x·(ln t − ū)
+
+    (ū = the middle knot, centering so β stays the log-HR AT the
+    time-scale middle), so the hazard ratio itself varies with time:
+    ln HR(t) = β + δ·(ln t − ū). δ = 0 is exactly the PH model —
+    ``td=False`` delegates to ``flexible_parametric_survival`` and a
+    PH-generated cohort must fit δ̂ ≈ 0 with curves matching the PH
+    model (the reduction pin, tested and oracle-checked).
+
+    Machinery is the composition VERDICT r07 item 8 names: the
+    Poisson-split cell collapse of ``flexible_parametric_survival``
+    (``person_time_cells`` — the ONLY data-sized work) + one extra
+    interaction column in the design, fitted by the same expected-
+    information scoring core (``_excess_poisson_nr``) on the
+    #x-patterns × #intervals cell frame; the curve is evaluated
+    closed-form on that same grid with the same enforced
+    ``max_x_patterns`` bound.
+
+    Returns (curve, beta, delta): curve has one row per
+    (x, interval) — t_end, hazard, cum_hazard, survival, loghr
+    (= β + δ(u − ū), the per-unit-x log hazard ratio at that
+    interval's midpoint, 6 dp).
+    """
+    if not td:
+        curve = flexible_parametric_survival(
+            df, x_col, interval_width, horizon, knots=knots,
+            iters=iters, duration_col=duration_col,
+            event_col=event_col, max_x_patterns=max_x_patterns,
+        )
+        return curve, None, 0.0
+
+    import math
+
+    import numpy as np
+
+    w = int(interval_width)
+    n_iv = int(horizon) // w
+    cells = person_time_cells(
+        df.withColumn("_band0", F.lit(0)),
+        x_col,
+        "_band0",
+        {0: 0},
+        w,
+        int(horizon),
+        duration_col,
+        event_col,
+    ).localCheckpoint(eager=False)
+
+    if knots is None:
+        lo = float(math.log(0.5 * w))
+        hi = float(math.log((n_iv - 0.5) * w))
+        knots = [lo, (lo + hi) / 2.0, hi]
+    knots = [float(kk) for kk in knots]
+    center = knots[len(knots) // 2]
+
+    rows = sorted(cells.collect(), key=lambda r: (r.x, r.interval))
+    C = len(rows)
+    dvec = np.array([r.n_events for r in rows], dtype=np.float64)
+    yvec = np.array([r.person_time for r in rows], dtype=np.float64)
+    xs = np.array([float(r.x) for r in rows])
+    u = np.log((np.array([int(r.interval) for r in rows]) + 0.5) * w)
+    B = rcs_basis(u, knots)
+    Z = np.column_stack([np.ones(C), B, xs, xs * (u - center)])
+    theta = np.zeros(Z.shape[1])
+    theta[0] = -5.0
+    theta = _excess_poisson_nr(
+        dvec, yvec, np.zeros(C), Z, theta, iters, 1.0
+    )
+    gammas = [float(t) for t in theta[:-2]]
+    beta = float(theta[-2])
+    delta = float(theta[-1])
+
+    bound = int(max_x_patterns)
+    xvals = [
+        r.x
+        for r in cells.select("x").distinct().limit(bound + 1).collect()
+    ]
+    if len(xvals) > bound:
+        raise ValueError(
+            "flexible_parametric_survival_td: more than "
+            f"{bound} distinct x patterns — the curve grid is a "
+            "driver-side evaluation over distinct(x); bin continuous "
+            "covariates first or raise max_x_patterns explicitly"
+        )
+    out = []
+    for xv in sorted(xvals):
+        ch = 0.0
+        for j in range(n_iv):
+            uj = math.log((j + 0.5) * w)
+            b = rcs_basis(np.array([uj]), list(knots))
+            s = gammas[0] + sum(
+                g * float(col[0]) for g, col in zip(gammas[1:], b)
+            )
+            lhr = beta + delta * (uj - center)
+            h = math.exp(s + lhr * float(xv))
+            ch += h * w
+            out.append(
+                (
+                    float(xv),
+                    j,
+                    (j + 1) * w,
+                    round(h, 9),
+                    round(ch, 6),
+                    round(math.exp(-ch), 6),
+                    round(lhr, 6),
+                )
+            )
+    curve = df.sparkSession.createDataFrame(
+        out,
+        "x double, interval long, t_end long, hazard double, "
+        "cum_hazard double, survival double, loghr double",
+    )
+    return curve, beta, delta

@@ -412,6 +412,117 @@ def test_relative_survival_ederer2_matches_reference(spark):
         )
 
 
+def test_life_table_source_validation_and_ederer2_parity(spark, tmp_path):
+    """The external life-table source (sources/lifetable.py, VERDICT
+    r07 item 7): (a) rate→micro-hazard conversion; (b) the DataFrame
+    life-table form of relative_survival_ederer2 is BIT-EQUAL to the
+    dict form with the same hazards; (c) the parquet loader
+    round-trips through validation; (d) named errors for duplicate
+    band keys, non-integral hazards, NULL keys, and — the join
+    contract — a cohort band missing from the table."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer2,
+    )
+    from cancer_survival_etl_spark.sources.lifetable import (
+        life_table_from_rates,
+        load_life_table,
+        validate_life_table,
+    )
+
+    hz = {0: 2000, 1: 5000, 2: 9000}
+    rows = []
+    for i in range(120):
+        band = i % 3
+        d = (i * 11) % 9 + (i % 2)
+        e = 1 if (i * 7) % 3 == 0 else 0
+        rows.append(("A", band, d, e))
+    df = spark.createDataFrame(
+        rows, "cohort string, band int, duration long, event int"
+    )
+    # (a) published rates per 100k -> the same micro-hazards
+    rates = spark.createDataFrame(
+        [(b, v / 10.0) for b, v in hz.items()],
+        "band int, rate_per_100k double",
+    )
+    lt = life_table_from_rates(rates, ["band"], "rate_per_100k")
+    assert {r.band: r.hazard_micro for r in lt.collect()} == hz
+    # (b) frame form == dict form, bit-equal
+    via_dict = relative_survival_ederer2(
+        df, ["cohort"], "band", hz, horizon=9
+    ).collect()
+    via_lt = relative_survival_ederer2(
+        df, ["cohort"], "band", lt, horizon=9
+    ).collect()
+    key = lambda r: (r.cohort, r.hour)  # noqa: E731
+    dd = {key(r): r for r in via_dict}
+    for r in via_lt:
+        w = dd[key(r)]
+        assert (r.survival_expected, r.relative_survival,
+                r.survival_observed, r.n_risk) == (
+            w.survival_expected, w.relative_survival,
+            w.survival_observed, w.n_risk)
+    # (b2) ederer1 + hakulinen share the dual contract (dict == frame)
+    from cancer_survival_etl_spark.operators.survival import (
+        relative_survival_ederer1,
+        relative_survival_hakulinen,
+    )
+
+    e1d = relative_survival_ederer1(
+        df, ["cohort"], "band", hz, horizon=9
+    ).collect()
+    e1f = relative_survival_ederer1(
+        df, ["cohort"], "band", lt, horizon=9
+    ).collect()
+    assert {key(r): r.relative_survival for r in e1f} == {
+        key(r): r.relative_survival for r in e1d
+    }
+    dfp_pot = df.withColumn("potential", F.lit(9).cast("long"))
+    hkd = relative_survival_hakulinen(
+        dfp_pot, ["cohort"], "band", hz, horizon=9
+    ).collect()
+    hkf = relative_survival_hakulinen(
+        dfp_pot, ["cohort"], "band", lt, horizon=9
+    ).collect()
+    assert {key(r): r.relative_survival for r in hkf} == {
+        key(r): r.relative_survival for r in hkd
+    }
+    # (c) parquet loader round-trip
+    p = str(tmp_path / "lifetable.parquet")
+    lt.write.parquet(p)
+    lt2 = load_life_table(spark, p, ["band"])
+    assert {r.band: r.hazard_micro for r in lt2.collect()} == hz
+    # (d) named validation errors
+    with pytest.raises(ValueError, match="duplicate band key"):
+        validate_life_table(
+            spark.createDataFrame(
+                [(0, 100), (0, 200)], "band int, hazard_micro long"
+            ),
+            ["band"],
+        )
+    with pytest.raises(Exception, match="integral micro-hazard"):
+        validate_life_table(
+            spark.createDataFrame(
+                [(0, 100.5)], "band int, hazard_micro double"
+            ),
+            ["band"],
+        ).collect()
+    with pytest.raises(Exception, match="NULL band key"):
+        validate_life_table(
+            spark.createDataFrame(
+                [(None, 100)], "band int, hazard_micro long"
+            ),
+            ["band"],
+        ).collect()
+    # join contract: band 2 removed -> named error, not silent zero
+    lt_missing = lt.filter(F.col("band") != 2)
+    with pytest.raises(Exception, match="no life-table row"):
+        relative_survival_ederer2(
+            df, ["cohort"], "band", lt_missing, horizon=9
+        ).collect()
+
+
 def test_relative_survival_closed_form_no_events(spark):
     """One band, hazard λ, nobody dies or leaves before the horizon:
     S* = (1−λ)^h exactly on the lattice and R = 1/S*."""
@@ -3466,6 +3577,130 @@ def test_ipw_adjusted_km_removes_planted_confounding(spark):
     assert gap_adj < gap_crude / 3, (gap_crude, gap_adj)
 
 
+def _simpson_curve_cohort(spark, with_junk=False):
+    """Shared Simpson plant: within each frailty stratum x the arms
+    share a hazard; arm 1 is enriched in the high-hazard stratum.
+    Administrative censoring at 30 only."""
+    import math
+
+    rows = []
+    for i in range(6000):
+        u_x = ((i * 48271 + 3) % 999983) / 999983.0
+        u_a = ((i * 69069 + 11) % 999979) / 999979.0
+        u_t = ((i * 2654435761 + 7) % 999961) / 999961.0 + 1e-9
+        junk = float((i * 104729 + 5) % 2)
+        x = 1.0 if u_x < 0.5 else 0.0
+        a = 1 if u_a < (0.8 if x > 0 else 0.2) else 0
+        haz = 0.15 if x > 0 else 0.04
+        t = -math.log(u_t) / haz
+        dur = min(int(t) + 1, 30)
+        ev = 1 if t < 30 else 0
+        rows.append((a, x, junk, dur, ev))
+    return spark.createDataFrame(
+        rows, "arm int, x double, junk double, duration long, event int"
+    )
+
+
+def test_aipw_survival_contrast_deconfounds_and_reduces_to_ipw(spark):
+    """(a) Simpson plant: the AIPW contrast at t=15 must shrink the
+    crude gap by >5x (both nuisance models correct); (b) the
+    augment=False Hajek reduction must equal ipw_adjusted_km's
+    weighted product-limit curve at every horizon within the
+    micro-lattice tolerance (telescoping identity under
+    administrative censoring); (c) a censored subject at duration <=
+    max(times) raises the named administrative-censoring error."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        aipw_survival_contrast,
+        ipw_adjusted_km,
+        km_curve,
+    )
+
+    df = _simpson_curve_cohort(spark)
+
+    def s_at(curve, a, tt):
+        pts = [r for r in curve if r.arm == a and r.duration <= tt]
+        return max(pts, key=lambda r: r.duration).survival if pts else 1.0
+
+    crude = km_curve(df, ["arm"], "duration", "event").collect()
+    gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
+    out = {
+        r.time: r
+        for r in aipw_survival_contrast(
+            df, "arm", ["x"], [5, 15, 25]
+        ).collect()
+    }
+    assert gap_crude > 0.10
+    assert abs(out[15].diff) < gap_crude / 5, (gap_crude, out[15])
+    # (b) Hajek reduction == ipw_adjusted_km curve
+    red = {
+        r.time: r
+        for r in aipw_survival_contrast(
+            df, "arm", ["x"], [5, 15, 25], augment=False
+        ).collect()
+    }
+    ipw = ipw_adjusted_km(df, "arm", ["x"], "duration", "event").collect()
+
+    def s_ipw(a, tt):
+        pts = [r for r in ipw if r.arm == a and r.duration <= tt]
+        return max(pts, key=lambda r: r.duration).survival if pts else 1.0
+
+    for t in (5, 15, 25):
+        assert abs(red[t].s1 - s_ipw(1, t)) < 5e-6, (t, red[t])
+        assert abs(red[t].s0 - s_ipw(0, t)) < 5e-6, (t, red[t])
+    # (c) non-administrative censoring fails fast
+    badrow = spark.createDataFrame(
+        [(1, 1.0, 0.0, 10, 0)],
+        "arm int, x double, junk double, duration long, event int",
+    )
+    with pytest.raises(Exception, match="administrative-censoring"):
+        aipw_survival_contrast(
+            df.unionAll(badrow), "arm", ["x"], [5, 15, 25]
+        ).collect()
+
+
+def test_aipw_survival_contrast_double_robustness(spark):
+    """The DR property itself: fit the propensity on a JUNK covariate
+    (independent of assignment — misspecified) while the saturated
+    outcome model sees the true confounder x. Pure IPW under the junk
+    propensity stays confounded (gap comparable to crude); the AIPW
+    augmentation absorbs it (gap < crude/5). And symmetrically the
+    correctly-specified-propensity arm from the sibling test covers
+    the other leg, so both halves of 'either model right suffices'
+    are pinned."""
+    from cancer_survival_etl_spark.operators.survival import (
+        aipw_survival_contrast,
+        km_curve,
+    )
+
+    df = _simpson_curve_cohort(spark)
+
+    def s_at(curve, a, tt):
+        pts = [r for r in curve if r.arm == a and r.duration <= tt]
+        return max(pts, key=lambda r: r.duration).survival if pts else 1.0
+
+    crude = km_curve(df, ["arm"], "duration", "event").collect()
+    gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
+    # junk propensity + correct outcome model -> still deconfounded
+    dr = {
+        r.time: r
+        for r in aipw_survival_contrast(
+            df, "arm", ["x"], [15], propensity_cols=["junk"]
+        ).collect()
+    }
+    assert abs(dr[15].diff) < gap_crude / 5, (gap_crude, dr[15])
+    # junk propensity WITHOUT augmentation -> confounding remains
+    ipw_junk = {
+        r.time: r
+        for r in aipw_survival_contrast(
+            df, "arm", ["x"], [15], augment=False,
+            propensity_cols=["junk"],
+        ).collect()
+    }
+    assert abs(ipw_junk[15].diff) > gap_crude / 2, (gap_crude, ipw_junk)
+
+
 # ---------------------------------------------------------------------------
 # Conditional logistic regression
 # ---------------------------------------------------------------------------
@@ -3585,6 +3820,54 @@ def test_apc_joinpoint_recovers_planted_break(spark):
     assert s.apc1_pct is None and s.rss is None
 
 
+def test_apc_joinpoint_k_recovers_two_breaks_and_k1_reduction(spark):
+    """(a) k=2: rates with planted hinge breaks at x=10 and x=20
+    (slopes 0.08 / −0.04 / 0.05 in ln-rate) — the pair grid search
+    must land on exactly (10, 20) and recover all three slopes;
+    (b) n_breaks=1 must reduce to apc_joinpoint's answer on the same
+    cohort (same candidates, same moments; Cramer vs adjugate solve
+    agree to the 6-dp output rounding); (c) a group too short for any
+    pair returns NULLs with the count still reported."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        apc_joinpoint,
+        apc_joinpoint_k,
+    )
+
+    pt = 1000000
+    rows = []
+    for x in range(1, 31):
+        ln = 0.5 + 0.08 * x - 0.12 * max(x - 10, 0) + 0.09 * max(
+            x - 20, 0
+        )
+        rows.append(("g", x, max(1, round(math.exp(ln - 6) * pt)), pt))
+    short = [("s", x, 100, pt) for x in range(8)]
+    df = spark.createDataFrame(
+        rows + short,
+        "grp string, period long, cases long, person_time long",
+    )
+    out = {r.grp: r for r in apc_joinpoint_k(df, ["grp"],
+                                             n_breaks=2).collect()}
+    r = out["g"]
+    assert (r.break_1, r.break_2) == (10, 20), r
+    assert abs(r.slope_1 - 0.08) < 1e-3, r
+    assert abs(r.slope_2 + 0.04) < 1e-3, r
+    assert abs(r.slope_3 - 0.05) < 1e-3, r
+    s = out["s"]
+    assert s.n_periods == 8 and s.break_1 is None and s.rss is None
+    # k=1 reduction pin vs apc_joinpoint (6-dp outputs)
+    one = apc_joinpoint_k(df, ["grp"], n_breaks=1).collect()
+    ref = {r.grp: r for r in apc_joinpoint(df, ["grp"]).collect()}
+    for r in one:
+        w = ref[r.grp]
+        assert r.break_1 == w.breakpoint, (r, w)
+        if w.breakpoint is not None:
+            assert abs(r.slope_1 - w.slope1) < 2e-6
+            assert abs(r.slope_2 - w.slope2) < 2e-6
+            assert abs(r.rss - w.rss) < 2e-6
+
+
 def test_flexible_parametric_survival_recovers_plants(spark):
     """All-cause Royston-Parmar (Poisson-split): (a) constant-hazard
     plant — modeled S(t) within 0.02 of exp(−λt) along the grid and
@@ -3656,6 +3939,80 @@ def test_flexible_parametric_survival_recovers_plants(spark):
         # agreement to a few percentage points is the honest bound
         assert abs(r.survival - km_at(r.t_end)) < 0.045, (
             r.t_end, r.survival, km_at(r.t_end))
+
+
+def test_flexible_parametric_survival_td_recovers_nonph_and_ph_pin(spark):
+    """(a) Non-PH plant drawn from the TD model itself — group 1's
+    hazard is λ₀·exp(β + δ(ln t − ū)) with β=0.7, δ=−0.35 (hazard
+    ratio decays in time; closed-form inverse Λ⁻¹ sampling) — the fit
+    must recover both β (log-HR at the centering knot) and δ, and the
+    reported loghr column must DECREASE across the grid; (b) PH plant
+    (δ_true = 0): δ̂ ≈ 0 and the TD curves match the PH model's
+    within 0.02 at every grid point — the reduction pin; td=False
+    delegates to flexible_parametric_survival exactly."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        flexible_parametric_survival,
+        flexible_parametric_survival_td,
+    )
+
+    w, hz = 4, 40
+    lo, hi = math.log(0.5 * w), math.log((hz // w - 0.5) * w)
+    c = (lo + hi) / 2.0
+    lam, beta, delta = 0.04, 0.7, -0.35
+    rows = []
+    for i in range(8000):
+        x = float(i % 2)
+        uu = ((i * 2654435761 + 19) % 999983) / 999983.0 + 1e-9
+        e = -math.log(uu)
+        if x == 0.0:
+            t = e / lam
+        else:
+            a = lam * math.exp(beta - delta * c)
+            t = (e * (delta + 1.0) / a) ** (1.0 / (delta + 1.0))
+        dur = min(int(t), hz - 1)
+        rows.append((x, dur, 1 if t < hz else 0))
+    df = spark.createDataFrame(rows, "x double, duration long, event int")
+    curve, bhat, dhat = flexible_parametric_survival_td(
+        df, "x", interval_width=w, horizon=hz
+    )
+    assert abs(bhat - beta) < 0.15, (bhat, beta)
+    assert abs(dhat - delta) < 0.15, (dhat, delta)
+    lhr = sorted(
+        {(r.interval, r.loghr) for r in curve.collect()}
+    )
+    assert lhr[0][1] > lhr[-1][1] + 0.3, lhr  # declining HR
+    # (b) PH plant: delta ~ 0, curves match the PH model
+    rows = []
+    for i in range(8000):
+        x = float(i % 2)
+        uu = ((i * 48271 + 23) % 999979) / 999979.0 + 1e-9
+        t = -math.log(uu) / (lam * math.exp(beta * x))
+        dur = min(int(t), hz - 1)
+        rows.append((x, dur, 1 if t < hz else 0))
+    dfp = spark.createDataFrame(rows, "x double, duration long, event int")
+    curve_td, bhat2, dhat2 = flexible_parametric_survival_td(
+        dfp, "x", interval_width=w, horizon=hz
+    )
+    assert abs(dhat2) < 0.1, dhat2
+    ph = {
+        (r.x, r.interval): r.survival
+        for r in flexible_parametric_survival(
+            dfp, "x", interval_width=w, horizon=hz
+        ).collect()
+    }
+    for r in curve_td.collect():
+        assert abs(r.survival - ph[(r.x, r.interval)]) < 0.02, r
+    # td=False delegates exactly (same rows, no loghr column)
+    cf, bf, dl = flexible_parametric_survival_td(
+        dfp, "x", interval_width=w, horizon=hz, td=False
+    )
+    assert dl == 0.0 and bf is None
+    delegated = {
+        (r.x, r.interval): r.survival for r in cf.collect()
+    }
+    assert delegated == ph
 
 
 def test_flexible_parametric_survival_x_pattern_bound(spark):
