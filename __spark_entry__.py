@@ -14929,6 +14929,43 @@ def q_rates_joinpoint(spark, sf_dir):
                          "person_time", min_seg=3)
 
 
+def q_survival_ipcw_km(spark, sf_dir):
+    """IPCW-weighted marginal survival under DEPENDENT censoring
+    (operators/survival.py::ipcw_km): two md5 strata over orders with
+    different event AND censoring hazards (x=1 heavily censored), on
+    a tenths time grid to horizon 300. The pooled plain KM is biased
+    toward the lightly-censored stratum; weighting each event by
+    1/Ĝ_x(T−) (stratified reverse-KM censoring model) restores the
+    marginal. FULL-strength oracle: the reverse KM, the G(T−)
+    max_by left-limit read, the micro-lattice weight sums, and the
+    pooled-KM comparison column all replay in SQL hash-exact."""
+    from cancer_survival_etl_spark.operators.survival import ipcw_km
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0 + 1e-9
+
+    x = (F.col("o_orderkey") % 2).cast("int")
+    lam = F.when(x == 1, F.lit(0.15)).otherwise(F.lit(0.05))
+    cen = F.when(x == 1, F.lit(0.12)).otherwise(F.lit(0.005))
+    t = -F.log(u(1)) / lam
+    c = -F.log(u(9)) / cen
+    obs = F.least(t, c, F.lit(30.0))
+    cohort = d.select(
+        x.alias("x"),
+        F.least(F.floor(obs * 10) + 1, F.lit(300)).cast("long").alias(
+            "duration"
+        ),
+        ((t <= c) & (t < 30)).cast("int").alias("event"),
+    )
+    return ipcw_km(cohort, ["x"], [50, 100, 200])
+
+
 def q_survival_rp_td(spark, sf_dir):
     """Royston-Parmar survival with a time-dependent (non-PH)
     covariate effect (operators/survival.py::
@@ -15326,6 +15363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_aipw_contrast": q_survival_aipw_contrast,
         "survival_relative_lt": q_survival_relative_lt,
         "survival_rp_td": q_survival_rp_td,
+        "survival_ipcw_km": q_survival_ipcw_km,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -16487,6 +16525,134 @@ _SURVIVAL_IPW_KM_SQL = """
            true AS crude_confounded,
            true AS ipw_deconfounded
     FROM f GROUP BY 1, 2
+"""
+
+
+_SURVIVAL_IPCW_KM_SQL = """
+    WITH f AS (
+        SELECT o_orderkey % 2 AS x,
+               -ln((CAST(concat('0x',
+                    substring(md5(o_orderkey::VARCHAR), 1, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 + 0.000000001)
+                   / (CASE WHEN o_orderkey % 2 = 1
+                           THEN 0.15 ELSE 0.05 END) AS tv,
+               -ln((CAST(concat('0x',
+                    substring(md5(o_orderkey::VARCHAR), 9, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 + 0.000000001)
+                   / (CASE WHEN o_orderkey % 2 = 1
+                           THEN 0.12 ELSE 0.005 END) AS cv
+        FROM orders
+    ),
+    surv AS (
+        SELECT x,
+               CAST(least(floor(least(tv, cv, 30.0) * 10) + 1, 300)
+                    AS BIGINT) AS duration,
+               CASE WHEN tv <= cv AND tv < 30 THEN 1 ELSE 0 END AS event
+        FROM f
+    ),
+    gkm0 AS (
+        SELECT x, duration,
+               CAST(sum(1 - event) AS BIGINT) AS n_event,
+               CAST(sum(event) AS BIGINT) AS n_censored
+        FROM surv GROUP BY x, duration
+    ),
+    gtot AS (SELECT x, count(*) AS n_subj FROM surv GROUP BY x),
+    gat AS (
+        SELECT k.x, k.duration, k.n_event,
+               CAST(t.n_subj - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (PARTITION BY k.x ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM gkm0 k JOIN gtot t USING (x)
+    ),
+    gterms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM gat
+    ),
+    gcurve AS (
+        SELECT x, duration AS gt,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS g
+        FROM gterms
+        WINDOW w AS (PARTITION BY x ORDER BY duration
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    cells AS (
+        SELECT x, duration, CAST(count(*) AS BIGINT) AS d
+        FROM surv WHERE event = 1 GROUP BY x, duration
+    ),
+    gml AS (
+        SELECT c.x, c.duration, c.d,
+               coalesce((SELECT max_by(g.g, g.gt) FROM gcurve g
+                         WHERE g.x = c.x AND g.gt < c.duration),
+                        1.0) AS gm
+        FROM cells c
+    ),
+    wm AS (
+        SELECT duration,
+               d * CAST(round(1.0 / greatest(gm, 0.01) * 1000000.0, 0)
+                        AS BIGINT) AS wm
+        FROM gml
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM surv),
+    times(t) AS (VALUES (CAST(50 AS BIGINT)), (100), (200)),
+    ipcw AS (
+        SELECT t, CAST(sum(w.wm) AS BIGINT) AS wsum
+        FROM times JOIN wm w ON w.duration <= t GROUP BY t
+    ),
+    pkm0 AS (
+        SELECT duration,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               CAST(sum(1 - event) AS BIGINT) AS n_censored
+        FROM surv GROUP BY duration
+    ),
+    pat AS (
+        SELECT k.duration, k.n_event,
+               CAST(n.n_tot - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM pkm0 k CROSS JOIN nt n
+    ),
+    pterms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM pat
+    ),
+    pcurve AS (
+        SELECT duration AS kt,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS ks
+        FROM pterms
+        WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+    ),
+    plain AS (
+        SELECT t, (SELECT max_by(ks, kt) FROM pcurve
+                   WHERE kt <= t) AS sp
+        FROM times
+    )
+    SELECT t.t AS time, n.n_tot AS n,
+           round(1.0 - coalesce(i.wsum, 0) / 1000000.0 / n.n_tot, 6)
+               AS s_ipcw,
+           round(coalesce(p.sp, 1.0), 6) AS s_plain
+    FROM times t CROSS JOIN nt n
+    LEFT JOIN ipcw i ON i.t = t.t
+    LEFT JOIN plain p ON p.t = t.t
 """
 
 
@@ -18187,6 +18353,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_aipw_contrast": _SURVIVAL_AIPW_CONTRAST_SQL,
         "survival_relative_lt": _relsurv_lt_sql(_SURVIVAL_KM_SQL),
         "survival_rp_td": _SURVIVAL_RP_TD_SQL,
+        "survival_ipcw_km": _SURVIVAL_IPCW_KM_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,

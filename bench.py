@@ -358,6 +358,7 @@ HEADLINE = [
     "survival_aipw_contrast",
     "survival_relative_lt",
     "survival_rp_td",
+    "survival_ipcw_km",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -5451,6 +5451,148 @@ def aipw_survival_contrast(
     )
 
 
+def ipcw_km(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    times: Sequence[int],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    min_g: float = 0.01,
+) -> DataFrame:
+    """Inverse-probability-of-CENSORING-weighted survival at fixed
+    horizons — the consistent marginal estimator when censoring
+    depends on covariates (the dependent-censoring counterpart of
+    ``ipw_adjusted_km``'s confounded-treatment correction):
+
+        Ŝ(t) = 1 − n⁻¹ Σ_i 1{T_i ≤ t, Δ_i = 1} / Ĝ_{X_i}(T_i−)
+
+    with Ĝ_x the PER-STRATUM censoring-survival curve — the reverse
+    Kaplan-Meier (roles flipped: censorings are the events), so the
+    censoring model is saturated on the strata. Under
+    strata-dependent censoring the plain pooled KM is biased (the
+    heavily-censored stratum is under-represented late); weighting
+    each observed event by the inverse probability of remaining
+    uncensored just before its time restores the marginal (pinned in
+    tests against the analytic truth of a planted two-stratum
+    cohort, plain-KM bias shown alongside).
+
+    Tie convention (documented): Ĝ is ``km_curve`` on the flipped
+    indicator, so at a tied time censorings (the flipped events)
+    decrement Ĝ before the original events leave — Ĝ(t−) is read as
+    the curve value at the largest FLIPPED-event time STRICTLY below
+    t, which makes the two conventions agree on the left limit.
+    Weights are clipped at ``1/min_g`` (positivity trimming, the
+    ``ipw_adjusted_km`` convention, documented not silent).
+
+    Scale shape: ``km_curve``'s cell collapse per stratum for Ĝ (the
+    one data-sized aggregate it already owns), ONE more collapse of
+    event subjects to (strata, duration) cells, a broadcast argmax
+    join of those cells onto Ĝ's curve lattice for the left limit,
+    and one cell-sized aggregate per horizon — the engine's standard
+    cells → broadcast-grid shape, everything on the micro lattice.
+
+    Returns one row per horizon: time, n, s_ipcw, s_plain (the
+    pooled unweighted KM read at the same horizon, for the bias
+    comparison), 6 dp.
+    """
+    s = list(strata_cols)
+    ts = sorted({int(t) for t in times})
+    if not ts:
+        raise ValueError("ipcw_km: times must be non-empty")
+    spark = df.sparkSession
+    dur = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+
+    # reverse KM per stratum: censorings are the events
+    g_curve = km_curve(
+        df.select(*s, dur.alias("_dur"), (1 - ev).alias("_cev")),
+        s,
+        "_dur",
+        "_cev",
+    ).select(*s, F.col("_dur").alias("_gt"), F.col("survival").alias("_g"))
+    g_curve = g_curve.localCheckpoint(eager=False)
+
+    # event cells per (strata, duration)
+    cells = (
+        df.filter(ev == 1)
+        .groupBy(*s, dur.alias("_dur"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # G(T−): curve value at the largest reverse-event time < T
+    # (no matching time -> 1.0: nobody censored before T)
+    cond = F.col("c._dur") > F.col("g._gt")
+    for k in s:
+        cond = (F.col(f"c.{k}") == F.col(f"g.{k}")) & cond
+    c = cells.alias("c")
+    gc = g_curve.alias("g")
+    best = (
+        c.join(F.broadcast(gc), cond, "left")
+        .groupBy(*[F.col(f"c.{k}") for k in s], F.col("c._dur"),
+                 F.col("c._d"))
+        .agg(
+            F.max(
+                F.struct(F.col("g._gt").alias("_t"),
+                         F.col("g._g").alias("_gv"))
+            ).alias("_b")
+        )
+        .select(
+            F.col("c._dur").alias("_dur"),
+            F.col("c._d").alias("_d"),
+            F.coalesce(F.col("_b._gv"), F.lit(1.0)).alias("_gm"),
+        )
+    )
+    gmin = F.lit(float(min_g))
+    w = F.lit(1.0) / F.greatest(F.col("_gm"), gmin)
+    # micro-lattice weighted event mass per duration cell
+    best = best.select(
+        "_dur", (F.col("_d") * _micro(w)).alias("_wm")
+    ).localCheckpoint(eager=False)
+
+    n_tot = df.count()
+    tdf = spark.createDataFrame([(t,) for t in ts], "t long")
+    ipcw = (
+        best.crossJoin(F.broadcast(tdf))
+        .filter(F.col("_dur") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.sum("_wm").alias("_wsum"))
+    )
+    # plain pooled KM read at the same horizons, for the comparison
+    km_pool = km_curve(
+        df.select(
+            F.lit(1).alias("_g1"), dur.alias("_dur"), ev.alias("_ev")
+        ),
+        ["_g1"],
+        "_dur",
+        "_ev",
+    ).select(F.col("_dur").alias("_kt"), F.col("survival").alias("_ks"))
+    plain = (
+        km_pool.crossJoin(F.broadcast(tdf))
+        .filter(F.col("_kt") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.max(F.struct(F.col("_kt"), F.col("_ks"))).alias("_b"))
+        .select("t", F.col("_b._ks").alias("_sp"))
+    )
+    out = (
+        tdf.join(ipcw, ["t"], "left")
+        .join(plain, ["t"], "left")
+        .select(
+            F.col("t").alias("time"),
+            F.lit(n_tot).cast("long").alias("n"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce(F.col("_wsum"), F.lit(0).cast("long"))
+                / F.lit(1000000.0)
+                / F.lit(float(n_tot)),
+                6,
+            ).alias("s_ipcw"),
+            F.round(F.coalesce(F.col("_sp"), F.lit(1.0)), 6).alias(
+                "s_plain"
+            ),
+        )
+    )
+    return out
+
+
 def conditional_logistic(
     df: DataFrame,
     set_col: str,
