@@ -359,6 +359,7 @@ HEADLINE = [
     "survival_relative_lt",
     "survival_rp_td",
     "survival_ipcw_km",
+    "survival_aipcw_contrast",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -5281,6 +5281,8 @@ def aipw_survival_contrast(
     augment: bool = True,
     max_x_patterns: int = 10000,
     propensity_cols: Sequence[str] | None = None,
+    censoring: str = "administrative",
+    min_g: float = 0.01,
 ) -> DataFrame:
     """DOUBLY-ROBUST (AIPW) survival contrast at fixed horizons —
     the estimator that stays consistent if EITHER nuisance model is
@@ -5299,10 +5301,23 @@ def aipw_survival_contrast(
     when π̂ is correct, and absorbs arm/case-mix imbalance when π̂ is
     wrong but m̂ is right — the double-robustness pinned in tests.
 
-    CENSORING CONTRACT: administrative only, strictly after
-    ``max(times)`` — any censored subject with duration ≤ max(times)
-    raises a named error (otherwise Y_i(t) is not observable and the
-    estimator needs an IPCW third model; documented out of scope).
+    CENSORING: two modes.
+
+    * ``censoring="administrative"`` (default): censoring strictly
+      after ``max(times)`` — any censored subject with duration ≤
+      max(times) raises a named error (otherwise Y_i(t) is not
+      observable).
+    * ``censoring="ipcw"``: random right-censoring handled by a
+      THIRD nuisance model — the saturated per-(arm, x-pattern)
+      reverse-KM censoring survival Ĝ_{a,x}(t) (the ``ipcw_km``
+      machinery on the SAME cell table, zero extra data passes):
+      Y_i(t) is replaced by 1{T̃_i > t}/Ĝ_{A_i,X_i}(t) (unbiased for
+      S(t|a,x) since E[1{T̃>t}|a,x] = S·G under conditionally
+      independent censoring) and m̂_a(x,t) becomes the per-cell IPCW
+      estimate gt/(n·Ĝ). Ĝ is clipped at ``min_g`` (positivity).
+      With no censoring before max(times), Ĝ ≡ 1 and the mode
+      reduces EXACTLY to the administrative estimator (pinned in
+      tests).
 
     Scale shape: subjects collapse ONCE to (arm, x-pattern,
     duration) cells (the engine's standard one-aggregate collapse);
@@ -5338,20 +5353,29 @@ def aipw_survival_contrast(
     beta = glm_logistic(
         df.withColumn("_y", arm.cast("double")), pfeats, "_y", iters=iters
     )
-    bad = (F.col(event_col).cast("int") == 0) & (
-        F.col(duration_col).cast("long") <= F.lit(tmax)
-    )
-    guard = F.when(
-        bad,
-        F.raise_error(
-            F.lit(
-                "aipw_survival_contrast: censored subject at duration "
-                "<= max(times) — the administrative-censoring "
-                "contract requires all censoring strictly after the "
-                "last horizon"
-            )
-        ).cast("long"),
-    ).otherwise(F.lit(1).cast("long"))
+    if censoring not in ("administrative", "ipcw"):
+        raise ValueError(
+            "aipw_survival_contrast: censoring must be "
+            "'administrative' or 'ipcw'"
+        )
+    if censoring == "administrative":
+        bad = (F.col(event_col).cast("int") == 0) & (
+            F.col(duration_col).cast("long") <= F.lit(tmax)
+        )
+        guard = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "aipw_survival_contrast: censored subject at "
+                    "duration <= max(times) — the administrative-"
+                    "censoring contract requires all censoring "
+                    "strictly after the last horizon (use "
+                    "censoring='ipcw' for random right-censoring)"
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(1).cast("long"))
+    else:
+        guard = F.lit(1).cast("long")
     allfeats = feats + [c for c in pfeats if c not in feats]
     cells = (
         df.select(
@@ -5359,9 +5383,10 @@ def aipw_survival_contrast(
             *[F.col(c).cast("double").alias(c) for c in allfeats],
             F.col(duration_col).cast("long").alias("_dur"),
             guard.alias("_one"),
+            F.col(event_col).cast("long").alias("_evl"),
         )
         .groupBy("_a", *allfeats, "_dur")
-        .agg(F.sum("_one").alias("_n"))
+        .agg(F.sum("_one").alias("_n"), F.sum("_evl").alias("_nev"))
         .localCheckpoint(eager=False)
     )
     bound = int(max_x_patterns)
@@ -5377,6 +5402,62 @@ def aipw_survival_contrast(
     ct = cells.crossJoin(F.broadcast(tdf))
     a1 = F.col("_a") == 1
     gt = F.col("_dur") > F.col("t")
+    gread = None
+    if censoring == "ipcw":
+        # saturated per-(arm, covariate-pattern) reverse-KM censoring
+        # survival, computed on the SAME cell table (no extra data
+        # pass): at-risk from one prefix over removal mass, censor
+        # log terms on the micro lattice, G read at each horizon via
+        # the broadcast argmax convention
+        keys = ["_a", *feats]
+        csrc = cells.groupBy(*keys, "_dur").agg(
+            F.sum("_n").alias("_cn"),
+            F.sum(F.col("_n") - F.col("_nev")).alias("_dcl"),
+        )
+        ctot = csrc.groupBy(*keys).agg(F.sum("_cn").alias("_ntot"))
+        csrc = grouped_prefix_sum(
+            csrc.join(ctot, keys), keys, "_dur", ["_cn"], ["_rm0"]
+        )
+        y_at = (F.col("_ntot") - F.col("_rm0")).cast("double")
+        dc = F.col("_dcl").cast("double")
+        csrc = csrc.withColumn(
+            "_lt",
+            F.when(
+                (dc > 0) & (dc < y_at),
+                _micro(F.log(F.lit(1.0) - dc / y_at)),
+            ).otherwise(F.lit(0).cast("long")),
+        ).withColumn(
+            "_gz",
+            F.when((dc > 0) & (dc == y_at), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        csrc = grouped_prefix_sum(
+            csrc, keys, "_dur", ["_lt", "_gz"], ["_lt0", "_gz0"]
+        )
+        gexpr = F.when(
+            F.col("_gz0") + F.col("_gz") > 0, F.lit(0.0)
+        ).otherwise(
+            F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0))
+        )
+        gcells = csrc.select(*keys, "_dur", gexpr.alias("_gv"))
+        gread = (
+            gcells.crossJoin(F.broadcast(tdf))
+            .filter(F.col("_dur") <= F.col("t"))
+            .groupBy(*keys, "t")
+            .agg(
+                F.max(
+                    F.struct(F.col("_dur"), F.col("_gv"))
+                ).alias("_b")
+            )
+            .select(
+                *keys,
+                "t",
+                F.greatest(
+                    F.col("_b._gv"), F.lit(float(min_g))
+                ).alias("_G"),
+            )
+        )
     mcell = ct.groupBy(*feats, "t").agg(
         F.sum(F.when(a1, F.col("_n")).otherwise(F.lit(0))).alias("_n1"),
         F.sum(F.when(a1 & gt, F.col("_n")).otherwise(F.lit(0))).alias(
@@ -5402,6 +5483,25 @@ def aipw_survival_contrast(
     mcell = mcell.select(
         *feats, "t", m1.alias("_m1"), m0.alias("_m0")
     )
+    if gread is not None:
+        # censoring-correct the outcome model: m̂_a = (gt/n)/Ĝ_a,
+        # clipped into [0, 1]
+        gpiv = gread.groupBy(*feats, "t").agg(
+            F.max(F.when(F.col("_a") == 1, F.col("_G"))).alias("_G1"),
+            F.max(F.when(F.col("_a") == 0, F.col("_G"))).alias("_G0"),
+        )
+        mcell = mcell.join(F.broadcast(gpiv), [*feats, "t"], "left").select(
+            *feats,
+            "t",
+            F.least(
+                F.col("_m1") / F.coalesce(F.col("_G1"), F.lit(1.0)),
+                F.lit(1.0),
+            ).alias("_m1"),
+            F.least(
+                F.col("_m0") / F.coalesce(F.col("_G0"), F.lit(1.0)),
+                F.lit(1.0),
+            ).alias("_m0"),
+        )
     full = ct.join(F.broadcast(mcell), [*feats, "t"])
     z = F.lit(beta[0])
     for j, c in enumerate(pfeats):
@@ -5410,6 +5510,12 @@ def aipw_survival_contrast(
     p1 = F.least(F.greatest(p1, F.lit(0.01)), F.lit(0.99))
     p0 = F.lit(1.0) - p1
     y = gt.cast("double")
+    if gread is not None:
+        # per-subject IPCW outcome: 1{observed beyond t} / Ĝ_{a,x}(t)
+        full = full.join(
+            F.broadcast(gread), ["_a", *feats, "t"], "left"
+        )
+        y = y / F.coalesce(F.col("_G"), F.lit(1.0))
     i1 = a1.cast("double")
     i0 = (~a1).cast("double")
     nano = F.lit(1000000000.0)

@@ -3660,6 +3660,72 @@ def test_aipw_survival_contrast_deconfounds_and_reduces_to_ipw(spark):
         ).collect()
 
 
+def test_aipw_survival_contrast_ipcw_mode(spark):
+    """The third nuisance model: Simpson plant (arms share each
+    stratum's hazard, assignment confounded 0.8/0.2) PLUS
+    stratum-dependent random censoring before the horizons — the
+    administrative mode must refuse (named error), while
+    censoring='ipcw' both deconfounds (|diff| small) and recovers
+    the true counterfactual marginal S(t) = ½(e^{−λ₀t}+e^{−λ₁t}).
+    And with NO censoring before max(times), the ipcw mode reduces
+    EXACTLY to the administrative estimator (Ĝ ≡ 1)."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        aipw_survival_contrast,
+    )
+
+    lam = {0.0: 0.04, 1.0: 0.15}
+    cen = {0.0: 0.01, 1.0: 0.10}
+    rows = []
+    for i in range(12000):
+        u_x = ((i * 48271 + 3) % 999983) / 999983.0
+        u_a = ((i * 69069 + 11) % 999979) / 999979.0
+        u_t = ((i * 2654435761 + 7) % 999961) / 999961.0 + 1e-9
+        u_c = ((i * 104729 + 13) % 999959) / 999959.0 + 1e-9
+        x = 1.0 if u_x < 0.5 else 0.0
+        a = 1 if u_a < (0.8 if x > 0 else 0.2) else 0
+        t = -math.log(u_t) / lam[x]
+        c = -math.log(u_c) / cen[x]
+        obs = min(t, c, 30.0)
+        rows.append(
+            (a, x, min(int(obs * 10) + 1, 300),
+             1 if t <= c and t < 30 else 0)
+        )
+    df = spark.createDataFrame(
+        rows, "arm int, x double, duration long, event int"
+    )
+    with pytest.raises(Exception, match="administrative-censoring"):
+        aipw_survival_contrast(df, "arm", ["x"], [50, 150, 250]).collect()
+    out = {
+        r.time: r
+        for r in aipw_survival_contrast(
+            df, "arm", ["x"], [50, 150, 250], censoring="ipcw"
+        ).collect()
+    }
+    for th in (50, 150, 250):
+        t = th / 10.0
+        truth = 0.5 * (
+            math.exp(-lam[0.0] * t) + math.exp(-lam[1.0] * t)
+        )
+        assert abs(out[th].diff) < 0.03, (th, out[th])
+        assert abs(out[th].s1 - truth) < 0.03, (th, out[th], truth)
+        assert abs(out[th].s0 - truth) < 0.03, (th, out[th], truth)
+    # no-censoring reduction: ipcw == administrative EXACTLY
+    nc = _simpson_curve_cohort(spark)
+    adm = sorted(
+        aipw_survival_contrast(nc, "arm", ["x"], [5, 15, 25]).collect()
+    )
+    ipc = sorted(
+        aipw_survival_contrast(
+            nc, "arm", ["x"], [5, 15, 25], censoring="ipcw"
+        ).collect()
+    )
+    assert adm == ipc, (adm, ipc)
+
+
 def test_ipcw_km_corrects_dependent_censoring(spark):
     """Two strata with different event AND censoring hazards (x=1
     heavily censored): the pooled plain KM is biased toward the
