@@ -9209,6 +9209,25 @@ def q_survival_km(spark, sf_dir):
     )
 
 
+def q_survival_km_band(spark, sf_dir):
+    """Hall-Wellner simultaneous confidence band (operators/
+    survival.py::km_hall_wellner_band) on the same per-cohort KM
+    cells as survival_km — whole-curve 1−α coverage vs Greenwood's
+    pointwise CI. λ_.05 = 1.3580986393225505 from the Kolmogorov
+    series (hall_wellner_lambda), shared verbatim with the oracle;
+    the band composes from km_curve's ROUNDED published columns, so
+    the SQL mirror replays it bit-exactly on top of the survival_km
+    CTE stack."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_hall_wellner_band,
+    )
+
+    return km_hall_wellner_band(
+        _survival_episodes(spark, sf_dir), ["cohort"], "duration",
+        "event",
+    )
+
+
 def q_survival_logrank(spark, sf_dir):
     """Two-cohort Mantel-Cox log-rank test (operators/survival.py::
     logrank_test): O/E/V from the duration-axis prefix sums, χ² and
@@ -9376,6 +9395,85 @@ def q_survival_km_delayed(spark, sf_dir):
     return km_curve_left_truncated(
         subj, ["cohort"], "entry", "duration", "event"
     )
+
+
+_SURVIVAL_KM_BAND_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    km AS (
+        SELECT cohort, duration,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               CAST(sum(1 - event) AS BIGINT) AS n_censored
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    atrisk AS (
+        SELECT k.cohort, k.duration, k.n_event, k.n_censored,
+               CAST(t.n_subj - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (PARTITION BY k.cohort ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM km k JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0
+                 THEN CAST(round((n_event / n_risk) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS na,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(n_event / (n_risk * (n_risk - n_event))
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS gw,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    acc AS (
+        SELECT cohort, duration, n_risk, n_event, n_censored,
+               sum(lt) OVER w AS lt, sum(na) OVER w AS na,
+               sum(gw) OVER w AS gw, sum(dall) OVER w AS dall
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY duration
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    vals AS (
+        SELECT cohort, duration, n_risk, n_event, n_censored,
+               CASE WHEN dall > 0 THEN 0.0
+                    ELSE round(exp(lt / 1000000.0), 6) END AS survival,
+               round(na / 1000000.0, 6) AS cum_hazard,
+               CASE WHEN dall > 0 THEN NULL
+                    ELSE round(exp(lt / 1000000.0)
+                               * sqrt(gw / 1000000000000.0), 6)
+               END AS se_greenwood
+        FROM acc
+    )
+    SELECT v.cohort, v.duration, v.n_risk, v.n_event, v.n_censored,
+           v.survival, v.cum_hazard, v.se_greenwood,
+           CASE WHEN v.se_greenwood IS NOT NULL AND v.survival > 0
+                THEN round(greatest(0.0, v.survival
+                     - 1.3580986393225505
+                       * (1.0 + t.n_subj
+                          * ((v.se_greenwood / v.survival)
+                             * (v.se_greenwood / v.survival)))
+                       * v.survival
+                       / sqrt(CAST(t.n_subj AS DOUBLE))), 6)
+           END AS band_lower,
+           CASE WHEN v.se_greenwood IS NOT NULL AND v.survival > 0
+                THEN round(least(1.0, v.survival
+                     + 1.3580986393225505
+                       * (1.0 + t.n_subj
+                          * ((v.se_greenwood / v.survival)
+                             * (v.se_greenwood / v.survival)))
+                       * v.survival
+                       / sqrt(CAST(t.n_subj AS DOUBLE))), 6)
+           END AS band_upper
+    FROM vals v JOIN tot t USING (cohort)
+"""
 
 
 _SURVIVAL_KM_DELAYED_SQL = f"""
@@ -15003,6 +15101,340 @@ def q_survival_aipcw_contrast(spark, sf_dir):
     )
 
 
+def q_stats_firth_logistic(spark, sf_dir):
+    """Firth bias-reduced logistic regression (operators/stats.py::
+    glm_logistic_firth — two fused nano-lattice aggregates per Newton
+    iteration, hat-correction quadratic form with broadcast I⁻¹
+    literals). Rare-event cohort over orders: binary md5 exposure,
+    P(y|x=1)=0.03 vs P(y|x=0)=0.006 (planted log-OR ≈ 1.63). On the
+    saturated single-binary-covariate model the Firth fit has the
+    Haldane closed form — add ½ to each 2×2 cell — so the verdicts
+    pin the full iterative fit to 1e-5 against the closed form
+    computed from the EXACT cell counts (which replay in DuckDB),
+    plus the Jeffreys-shrinkage direction |β₁_firth| < |raw log-OR|.
+    Full-strength correctness despite the iterative fit."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic_firth,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(1) < 0.5).cast("int")
+    p_y = F.when(x > 0, F.lit(0.03)).otherwise(F.lit(0.006))
+    y = (u(9) < p_y).cast("int")
+    cohort = d.select(x.alias("x"), y.alias("y")).localCheckpoint(
+        eager=False
+    )
+    cnt = {
+        (r.x, r.y): r.n
+        for r in cohort.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    a = cnt.get((1, 1), 0)
+    b = cnt.get((1, 0), 0)
+    c = cnt.get((0, 1), 0)
+    dd = cnt.get((0, 0), 0)
+    haldane = math.log(
+        (a + 0.5) * (dd + 0.5) / ((b + 0.5) * (c + 0.5))
+    )
+    raw = math.log(a * dd / (b * c)) if min(a, b, c, dd) > 0 else None
+    beta = glm_logistic_firth(cohort, ["x"], "y", iters=8)
+    ok_haldane = abs(beta[1] - haldane) < 1e-5
+    ok_shrink = raw is not None and abs(beta[1]) < abs(raw)
+    return (
+        cohort.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            "n",
+            F.lit(ok_haldane).alias("firth_matches_haldane"),
+            F.lit(ok_shrink).alias("firth_shrinks_vs_raw"),
+        )
+    )
+
+
+def q_survival_direct_adjusted(spark, sf_dir):
+    """Direct adjusted (g-computation) survival curves
+    (operators/survival.py::direct_adjusted_survival — the outcome-
+    model member of the causal trio beside survival_ipw_km and
+    survival_aipw_contrast). Simpson plant with a REAL treatment
+    effect: within stratum x the hazard is λ_x·e^{0.3·arm}
+    (β_t = 0.3, β_x = ln 3.75 passed as the true fitted vector), arm
+    1 enriched in the high-hazard stratum. Because β is an input the
+    WHOLE estimator is closed form: the oracle replays the Breslow
+    baseline (nano risk masses, suffix S0, micro increments), the
+    covariate-pattern collapse, and the standardized two-arm fold
+    bit-exactly — no verdict literals, full hash-strength."""
+    from cancer_survival_etl_spark.operators.survival import (
+        direct_adjusted_survival,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(1) < 0.5).cast("double")
+    p_arm = F.when(x > 0, F.lit(0.8)).otherwise(F.lit(0.2))
+    arm = (u(9) < p_arm).cast("int")
+    bx = 1.3217558399823195  # ln 3.75 — shared verbatim with the SQL
+    haz = (
+        F.when(x > 0, F.lit(0.15)).otherwise(F.lit(0.04))
+        * F.exp(F.lit(0.3) * arm)
+    )
+    t = -F.log(u(17) + 1e-9) / haz
+    cohort = d.select(
+        arm.alias("arm"),
+        x.alias("x"),
+        F.least(F.floor(t) + 1, F.lit(30)).cast("long").alias(
+            "duration"
+        ),
+        (t < 30).cast("int").alias("event"),
+    )
+    return direct_adjusted_survival(
+        cohort, "arm", ["x"], [0.3, bx]
+    ).withColumnRenamed("arm", "counterfactual_arm")
+
+
+def q_survival_cindex(spark, sf_dir):
+    """Harrell's concordance index (operators/survival.py::
+    concordance_index — subjects collapse to (duration, score)
+    cells, pair counts via a cell×event-cell broadcast fold, pure
+    integer arithmetic). Cohort over orders with a two-covariate
+    planted Cox model (hazard 0.04·e^{0.9x₁+0.4x₂}, administrative
+    censoring at 30); the score IS the true linear predictor, so C
+    lands well above ½. The oracle replays the cell collapse and the
+    whole comparable-pair fold in DuckDB — exact integers end to
+    end, no verdict literals."""
+    from cancer_survival_etl_spark.operators.survival import (
+        concordance_index,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x1 = (u(1) < 0.5).cast("double")
+    x2 = (u(9) < 0.5).cast("double")
+    lp = F.lit(0.9) * x1 + F.lit(0.4) * x2
+    t = -F.log(u(17) + 1e-9) / (F.lit(0.04) * F.exp(lp))
+    cohort = d.select(
+        lp.alias("score"),
+        F.least(F.floor(t) + 1, F.lit(30)).cast("long").alias(
+            "duration"
+        ),
+        (t < 30).cast("int").alias("event"),
+    )
+    return concordance_index(cohort, "score")
+
+
+def q_survival_cure_mixture(spark, sf_dir):
+    """Exponential mixture cure model (operators/survival.py::
+    mixture_cure_exponential — EM on (duration, event) cells, one
+    nano-lattice aggregate per iteration, closed-form M-steps).
+    Cohort over orders with a planted 35% cured fraction and
+    exp(0.25) latency, administratively censored at 25. The
+    estimate is the 12-iteration EM value by contract, and the
+    oracle unrolls the SAME 12 iterations as chained one-row CTEs
+    over the identical cell lattice (the turnbull_km EM-replay
+    pattern) — bit-exact, no verdict literals."""
+    from cancer_survival_etl_spark.operators.survival import (
+        mixture_cure_exponential,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    cured = u(1) < 0.35
+    t = -F.log(u(17) + 1e-9) / 0.25
+    dur = F.when(cured, F.lit(25)).otherwise(
+        F.least(F.floor(t) + 1, F.lit(25))
+    )
+    evn = F.when(cured, F.lit(0)).otherwise((t < 25).cast("int"))
+    cohort = d.select(
+        dur.cast("long").alias("duration"), evn.alias("event")
+    )
+    return mixture_cure_exponential(cohort, iters=12)
+
+
+def _cure_em_sql(iters: int = 12) -> str:
+    """Unrolled-EM oracle for survival_cure_mixture: the same cell
+    lattice, start values, nano-rounded E-step weights and 9-dp
+    parameter rounding as mixture_cure_exponential, iteration by
+    iteration (the turnbull EM-replay pattern)."""
+    w = (
+        "(CASE WHEN e = 1 THEN 1.0 ELSE "
+        "(1 - p.pi) * exp(-p.lam * t) "
+        "/ (p.pi + (1 - p.pi) * exp(-p.lam * t)) END)"
+    )
+    parts = [
+        """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u1,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders
+    ),
+    coh AS (
+        SELECT CASE WHEN u1 < 0.35 THEN 25
+               ELSE CAST(least(floor(-ln(u17 + 0.000000001) / 0.25)
+                               + 1, 25) AS BIGINT) END AS duration,
+               CASE WHEN u1 < 0.35 THEN 0
+               WHEN -ln(u17 + 0.000000001) / 0.25 < 25 THEN 1
+               ELSE 0 END AS event
+        FROM f
+    ),
+    cells AS (
+        SELECT CAST(duration AS DOUBLE) AS t, event AS e,
+               count(*) AS cnt
+        FROM coh GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT CAST(sum(cnt * e) AS BIGINT) AS d,
+               CAST(sum(cnt) AS BIGINT) AS n,
+               sum(cnt * CAST(round(t * 1000000.0, 0) AS BIGINT))
+                   / 1000000.0 AS st
+        FROM cells
+    ),
+    it0 AS (
+        SELECT round(0.5 * (n - d) / n, 9) AS pi,
+               round(d / st, 9) AS lam
+        FROM base
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    it{k} AS (
+        SELECT round(1 - (s.sw / 1000000000.0) / b.n, 9) AS pi,
+               round(b.d / (s.swt / 1000000000.0), 9) AS lam
+        FROM base b CROSS JOIN (
+            SELECT sum(cnt * CAST(round({w}
+                       * 1000000000.0, 0) AS BIGINT)) AS sw,
+                   sum(cnt * CAST(round({w} * t
+                       * 1000000000.0, 0) AS BIGINT)) AS swt
+            FROM cells CROSS JOIN it{k - 1} p
+        ) s
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT b.n AS n, b.d AS n_event,
+           round(p.pi, 6) AS pi_cure,
+           round(p.lam, 6) AS lambda_latency
+    FROM base b CROSS JOIN it{iters} p
+"""
+    )
+    return "".join(parts)
+
+
+_SURVIVAL_CURE_MIXTURE_SQL = _cure_em_sql(12)
+
+
+def q_stats_zip(spark, sf_dir):
+    """Zero-inflated Poisson fit (operators/stats.py::
+    zero_inflated_poisson) on a NATURALLY zero-inflated quantity:
+    orders per customer — TPC-H leaves a third of customers with no
+    orders at all, the structural-zero mass, over a Poisson-ish
+    count for the rest. The whole fit is ONE aggregate (n, n₀, Σy)
+    + driver-side scalar EM; the oracle replays the aggregate and
+    unrolls the same 15 scalar EM iterations as chained one-row
+    CTEs — bit-exact, no verdict literals."""
+    from cancer_survival_etl_spark.operators.stats import (
+        zero_inflated_poisson,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("y"))
+    )
+    return zero_inflated_poisson(per, "y", iters=15)
+
+
+def _zip_em_sql(iters: int = 15) -> str:
+    """Unrolled scalar-EM oracle for stats_zip: identical sufficient
+    statistics, moment start, and 9-dp per-iteration rounding as
+    zero_inflated_poisson — each iteration is pure arithmetic on the
+    one-row base CTE (the cheapest EM replay in the registry)."""
+    w0 = "(p.pi / (p.pi + (1 - p.pi) * exp(-p.lam)))"
+    parts = [
+        """
+    WITH peru AS (
+        SELECT c_custkey, count(o_orderkey) AS y
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    ),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero,
+               CAST(sum(y) AS BIGINT) AS sum_y
+        FROM peru
+    ),
+    it0 AS (
+        SELECT round(greatest(0.0,
+                   (n_zero - n * exp(-(sum_y / CAST(n AS DOUBLE))))
+                   / n), 9) AS pi,
+               round(sum_y / CAST(n AS DOUBLE), 9) AS lam
+        FROM base
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    it{k} AS (
+        SELECT round(b.n_zero * {w0} / b.n, 9) AS pi,
+               round(b.sum_y / (b.n - b.n_zero * {w0}), 9) AS lam
+        FROM base b CROSS JOIN it{k - 1} p
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT b.n, b.n_zero, b.sum_y,
+           round(p.pi, 6) AS pi_zero,
+           round(p.lam, 6) AS lambda_pois,
+           round(p.pi + (1 - p.pi) * exp(-p.lam), 6)
+               AS p_zero_fitted
+    FROM base b CROSS JOIN it{iters} p
+"""
+    )
+    return "".join(parts)
+
+
+_STATS_ZIP_SQL = _zip_em_sql(15)
+
+
 def q_survival_ipcw_km(spark, sf_dir):
     """IPCW-weighted marginal survival under DEPENDENT censoring
     (operators/survival.py::ipcw_km): two md5 strata over orders with
@@ -15439,6 +15871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_rp_td": q_survival_rp_td,
         "survival_ipcw_km": q_survival_ipcw_km,
         "survival_aipcw_contrast": q_survival_aipcw_contrast,
+        "stats_firth_logistic": q_stats_firth_logistic,
+        "survival_direct_adjusted": q_survival_direct_adjusted,
+        "survival_cindex": q_survival_cindex,
+        "survival_cure_mixture": q_survival_cure_mixture,
+        "survival_km_band": q_survival_km_band,
+        "stats_zip": q_stats_zip,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -16639,6 +17077,180 @@ _SURVIVAL_AIPCW_CONTRAST_SQL = """
            true AS aipcw_deconfounded,
            true AS marginal_recovered
     FROM s GROUP BY 1, 2, 3
+"""
+
+
+_STATS_FIRTH_LOGISTIC_SQL = """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u1,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9
+        FROM orders
+    ),
+    g AS (
+        SELECT CASE WHEN u1 < 0.5 THEN 1 ELSE 0 END AS x,
+               CASE WHEN u9 < (CASE WHEN u1 < 0.5 THEN 0.03
+                               ELSE 0.006 END)
+                    THEN 1 ELSE 0 END AS y
+        FROM f
+    )
+    SELECT CAST(x AS BIGINT) AS x,
+           CAST(y AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS firth_matches_haldane,
+           true AS firth_shrinks_vs_raw
+    FROM g GROUP BY 1, 2
+"""
+
+
+_SURVIVAL_DIRECT_ADJUSTED_SQL = """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u1,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders
+    ),
+    g AS (
+        SELECT CASE WHEN u1 < 0.5 THEN 1.0 ELSE 0.0 END AS x, u9, u17
+        FROM f
+    ),
+    s AS (
+        SELECT CASE WHEN u9 < (CASE WHEN x > 0 THEN 0.8 ELSE 0.2 END)
+                    THEN 1 ELSE 0 END AS arm,
+               x,
+               -ln(u17 + 0.000000001)
+                   / ((CASE WHEN x > 0 THEN 0.15 ELSE 0.04 END)
+                      * exp(0.3 * (CASE WHEN u9 <
+                            (CASE WHEN x > 0 THEN 0.8 ELSE 0.2 END)
+                            THEN 1 ELSE 0 END))) AS tv
+        FROM g
+    ),
+    coh AS (
+        SELECT arm, x,
+               CAST(least(floor(tv) + 1, 30) AS BIGINT) AS duration,
+               CASE WHEN tv < 30 THEN 1 ELSE 0 END AS event
+        FROM s
+    ),
+    cells AS (
+        SELECT duration,
+               CAST(sum(event) AS BIGINT) AS n_event,
+               sum(CAST(round(exp(0.3 * arm
+                        + 1.3217558399823195 * x) * 1000000000.0, 0)
+                        AS BIGINT)) AS a0
+        FROM coh GROUP BY duration
+    ),
+    tot AS (SELECT sum(a0) AS tot_a0 FROM cells),
+    ar AS (
+        SELECT c.duration, c.n_event,
+               (t.tot_a0 - coalesce(sum(c.a0) OVER
+                   (ORDER BY c.duration ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0)) / 1000000000.0
+                   AS s0
+        FROM cells c CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT duration, n_event,
+               CASE WHEN n_event > 0
+                    THEN CAST(round(n_event / s0 * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS inc
+        FROM ar
+    ),
+    acc AS (
+        SELECT duration,
+               round((sum(inc) OVER (ORDER BY duration
+                      ROWS UNBOUNDED PRECEDING)) / 1000000.0, 6)
+                   AS h0
+        FROM terms
+    ),
+    xc AS (
+        SELECT 1.3217558399823195 * x AS lpf, count(*) AS nx
+        FROM coh GROUP BY x
+    ),
+    agg AS (
+        SELECT a.duration,
+               sum(nx * CAST(round(exp(-a.h0 * exp(lpf))
+                        * 1000000.0, 0) AS BIGINT)) AS w0,
+               sum(nx * CAST(round(exp(-a.h0 * exp(0.3 + lpf))
+                        * 1000000.0, 0) AS BIGINT)) AS w1,
+               sum(nx) AS n
+        FROM acc a CROSS JOIN xc GROUP BY a.duration
+    )
+    SELECT CAST(0 AS BIGINT) AS counterfactual_arm, duration,
+           round(w0 / n / 1000000.0, 6) AS survival_adjusted
+    FROM agg
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS counterfactual_arm, duration,
+           round(w1 / n / 1000000.0, 6) AS survival_adjusted
+    FROM agg
+"""
+
+
+_SURVIVAL_CINDEX_SQL = """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u1,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders
+    ),
+    g AS (
+        SELECT 0.9 * (CASE WHEN u1 < 0.5 THEN 1.0 ELSE 0.0 END)
+               + 0.4 * (CASE WHEN u9 < 0.5 THEN 1.0 ELSE 0.0 END)
+                   AS score,
+               u17
+        FROM f
+    ),
+    coh AS (
+        SELECT score,
+               CAST(least(floor(-ln(u17 + 0.000000001)
+                    / (0.04 * exp(score))) + 1, 30) AS BIGINT)
+                   AS duration,
+               CASE WHEN -ln(u17 + 0.000000001) / (0.04 * exp(score))
+                         < 30 THEN 1 ELSE 0 END AS event
+        FROM g
+    ),
+    cells AS (
+        SELECT duration AS t, score AS s,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(count(*) - sum(event) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM coh GROUP BY 1, 2
+    ),
+    ev AS (SELECT t AS te, s AS se, d AS de FROM cells WHERE d > 0),
+    pairs AS (
+        SELECT e.se, a.s, e.de,
+               CASE WHEN a.t > e.te THEN a.n ELSE a.c END AS w
+        FROM cells a JOIN ev e ON a.t >= e.te
+    ),
+    agg AS (
+        SELECT
+          CAST(sum(CASE WHEN se > s THEN de * w ELSE 0 END)
+               AS BIGINT) AS n_concordant,
+          CAST(sum(CASE WHEN se < s THEN de * w ELSE 0 END)
+               AS BIGINT) AS n_discordant,
+          CAST(sum(CASE WHEN se = s THEN de * w ELSE 0 END)
+               AS BIGINT) AS n_tied_score
+        FROM pairs
+    )
+    SELECT n_concordant + n_discordant + n_tied_score
+               AS n_comparable,
+           n_concordant, n_discordant, n_tied_score,
+           CASE WHEN n_concordant + n_discordant + n_tied_score > 0
+                THEN round((n_concordant + 0.5 * n_tied_score)
+                     / (n_concordant + n_discordant + n_tied_score),
+                     6)
+           END AS c_index
+    FROM agg
 """
 
 
@@ -18469,6 +19081,12 @@ def oracle_sql() -> dict[str, str]:
         "survival_rp_td": _SURVIVAL_RP_TD_SQL,
         "survival_ipcw_km": _SURVIVAL_IPCW_KM_SQL,
         "survival_aipcw_contrast": _SURVIVAL_AIPCW_CONTRAST_SQL,
+        "stats_firth_logistic": _STATS_FIRTH_LOGISTIC_SQL,
+        "survival_direct_adjusted": _SURVIVAL_DIRECT_ADJUSTED_SQL,
+        "survival_cindex": _SURVIVAL_CINDEX_SQL,
+        "survival_cure_mixture": _SURVIVAL_CURE_MIXTURE_SQL,
+        "survival_km_band": _SURVIVAL_KM_BAND_SQL,
+        "stats_zip": _STATS_ZIP_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,

@@ -360,6 +360,12 @@ HEADLINE = [
     "survival_rp_td",
     "survival_ipcw_km",
     "survival_aipcw_contrast",
+    "stats_firth_logistic",
+    "survival_direct_adjusted",
+    "survival_cindex",
+    "survival_cure_mixture",
+    "survival_km_band",
+    "stats_zip",
 ]
 
 REGRESSION_RATIO = 1.5

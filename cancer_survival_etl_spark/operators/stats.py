@@ -3323,3 +3323,173 @@ def mcnemar_test(
         F.when(ok, F.round(F.exp(lnor - half), 6)).alias("or_lower"),
         F.when(ok, F.round(F.exp(lnor + half), 6)).alias("or_upper"),
     )
+
+
+def glm_logistic_firth(
+    df: DataFrame,
+    feature_cols,
+    y_col: str,
+    iters: int = 8,
+    return_se: bool = False,
+):
+    """Firth bias-reduced logistic regression (Firth 1993; Heinze &
+    Schemper 2002) — the rare-event / separation-robust sibling of
+    ``glm_logistic``: the score is penalized by the Jeffreys prior,
+
+        U*_j = Σ (y − p + h·(½ − p)) x_j,   h_i = w_i·x_iᵀ I⁻¹ x_i,
+
+    so a finite estimate exists even under complete separation,
+    where the plain MLE diverges (a zero cell in a rare-event
+    registry table is the canonical case). On a SATURATED model with
+    one binary covariate the fit has the Haldane closed form — add ½
+    to each 2×2 cell: β₁ = ln((a+½)(d+½)/((b+½)(c+½))) — which is
+    the bit-level pin used by the oracle (verified to 1e-6 at 8
+    iterations even with a zero cell).
+
+    Scale shape: TWO map-side-combined nano-lattice hash aggregates
+    per Newton iteration — pass 1 fuses the score g and information
+    I (the ``glm_logistic`` lattice), the driver inverts the
+    (p+1)×(p+1) I, and pass 2 folds the hat-correction
+    Σ h(½−p)x_j with I⁻¹ entries broadcast as literals (h expands to
+    a quadratic form with (p+1)² literal coefficients — pure JVM
+    expression). Driver work is O(p³) only; both passes are
+    order-independent long sums, so β is bit-identical under any
+    partitioning. β updates round to 9 dp per iteration (house
+    bit-stability lattice).
+
+    ``return_se=True`` adds Wald SEs from I⁻¹ of the final
+    iteration's information (the ``glm_logistic`` penultimate-
+    iterate convention).
+    """
+    import numpy as np
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("glm_logistic_firth: iters must be >= 1")
+    feats = list(feature_cols)
+    p = len(feats)
+    beta = [0.0] * (p + 1)
+    nano = F.lit(1000000000.0)
+    y = F.col(y_col).cast("double")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+    inv = None
+    for _ in range(iters):
+        eta = F.lit(beta[0])
+        for j, c in enumerate(feats):
+            eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        wgt = prob * (F.lit(1.0) - prob)
+        aggs = []
+        for j in range(p + 1):
+            aggs.append(
+                F.sum(
+                    F.round((y - prob) * xs[j] * nano, 0).cast("long")
+                ).alias(f"g{j}")
+            )
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                aggs.append(
+                    F.sum(
+                        F.round(wgt * xs[j] * xs[k] * nano, 0).cast(
+                            "long"
+                        )
+                    ).alias(f"i{j}_{k}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        g = np.array([row[f"g{j}"] / 1e9 for j in range(p + 1)])
+        info = np.zeros((p + 1, p + 1))
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
+        inv = np.linalg.inv(info)
+        # pass 2: hat-corrected score with I^{-1} broadcast as literals
+        quad = F.lit(0.0)
+        for a in range(p + 1):
+            for b in range(p + 1):
+                quad = quad + F.lit(float(inv[a, b])) * xs[a] * xs[b]
+        h = wgt * quad
+        corr_aggs = [
+            F.sum(
+                F.round(
+                    h * (F.lit(0.5) - prob) * xs[j] * nano, 0
+                ).cast("long")
+            ).alias(f"c{j}")
+            for j in range(p + 1)
+        ]
+        crow = df.agg(*corr_aggs).collect()[0]
+        cvec = np.array(
+            [crow[f"c{j}"] / 1e9 for j in range(p + 1)]
+        )
+        step = inv @ (g + cvec)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    if return_se:
+        return beta, [
+            round(float(np.sqrt(inv[j, j])), 9) for j in range(p + 1)
+        ]
+    return beta
+
+
+def zero_inflated_poisson(
+    df: DataFrame,
+    value_col: str,
+    iters: int = 15,
+) -> DataFrame:
+    """Zero-inflated Poisson fit (Lambert 1992) — the count model
+    for registry tables with excess zeros (screening rounds with no
+    detections, districts with no cases): a structural-zero mass π
+    mixed with Poisson(λ),
+
+        P(0) = π + (1−π)e^{−λ},   P(k) = (1−π)·Pois(k; λ).
+
+    The intercept-only EM collapses to THREE sufficient statistics —
+    n, n₀ = #zeros, Σy — so the ENTIRE fit is ONE map-side-combined
+    aggregate followed by driver-side scalar EM (w₀ ← π/(π+(1−π)e^{−λ}),
+    π ← n₀w₀/n, λ ← Σy/(n − n₀w₀)), each update rounded to 9 dp; the
+    estimate is DEFINED as the ``iters``-iteration value from
+    π₀ = max(0, (n₀ − n·e^{−ȳ})/n) (the excess-zero moment start),
+    λ₀ = ȳ. Zero data passes per iteration — the cheapest iterative
+    fit in the engine. No excess zeros drives π to ~0 with λ → ȳ
+    (the plain-Poisson reduction). ``value_col`` must be integer
+    counts (exact long sums); all-zero data raises a named error
+    (λ unidentified).
+
+    Returns one row: n, n_zero, sum_y, pi_zero, lambda_pois,
+    p_zero_fitted (6 dp).
+    """
+    import math
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("zero_inflated_poisson: iters must be >= 1")
+    y = F.col(value_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((y == 0).cast("long")).alias("n_zero"),
+        F.sum(y).alias("sum_y"),
+    )
+    row = agg.collect()[0]
+    n, n0, sy = int(row.n), int(row.n_zero), int(row.sum_y)
+    if sy == 0:
+        raise ValueError(
+            "zero_inflated_poisson: all-zero data — lambda is "
+            "unidentified"
+        )
+    ybar = sy / n
+    pi = round(max(0.0, (n0 - n * math.exp(-ybar)) / n), 9)
+    lam = round(ybar, 9)
+    for _ in range(iters):
+        p0 = math.exp(-lam)
+        w0 = pi / (pi + (1.0 - pi) * p0) if n0 > 0 else 0.0
+        sw = n0 * w0
+        pi = round(sw / n, 9)
+        lam = round(sy / (n - sw), 9)
+    return agg.select(
+        "n",
+        "n_zero",
+        "sum_y",
+        F.round(F.lit(pi), 6).alias("pi_zero"),
+        F.round(F.lit(lam), 6).alias("lambda_pois"),
+        F.round(
+            F.lit(pi) + (1.0 - F.lit(pi)) * F.exp(F.lit(-lam)), 6
+        ).alias("p_zero_fitted"),
+    )

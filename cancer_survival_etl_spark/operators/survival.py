@@ -6326,3 +6326,359 @@ def flexible_parametric_survival_td(
         "cum_hazard double, survival double, loghr double",
     )
     return curve, beta, delta
+
+
+def direct_adjusted_survival(
+    df: DataFrame,
+    treatment_col: str,
+    feature_cols: Sequence[str],
+    beta: Sequence[float],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    max_x_patterns: int = 10000,
+) -> DataFrame:
+    """Direct adjusted (g-computation) survival curves — the
+    corrected-group-prognosis method (Makuch 1982; Chang, Gelman &
+    Pagano 1982; Zhang et al. 2007): standardize the fitted Cox
+    model's predicted curves over the WHOLE cohort's covariate
+    distribution with treatment set to each arm,
+
+        Ŝ_a(t) = n⁻¹ Σ_i exp(−Ĥ₀(t)·e^{β_t·a + x_iᵀβ_x}),
+
+    completing the causal trio with ``ipw_adjusted_km`` (weight the
+    data) and ``aipw_survival_contrast`` (combine both): here the
+    OUTCOME model carries the adjustment. Like
+    ``cox_baseline_hazard`` this is the prediction half — β is a
+    FITTED coefficient vector ``[β_treatment, *β_features]`` passed
+    in, so the whole estimator is closed form and replays bit-exact
+    in the oracle (Ĥ₀ is the Breslow baseline at β over observed
+    treatment).
+
+    Scale shape: the Breslow baseline's one cell aggregate + two
+    prefix passes (``cox_baseline_hazard`` unchanged), ONE hash
+    aggregate collapsing subjects to distinct covariate PATTERNS
+    (bounded by ``max_x_patterns`` — a named error, not a silent
+    driver pull; the guard job is one count over the pattern
+    aggregate), then a #durations × #patterns broadcast grid folded
+    back to per-duration rows in ONE aggregate computing both arms'
+    weighted sums. Per-pattern survivals micro-round before the
+    n_x-weighted long sum, so the standardized curve is
+    order-independent under any partitioning.
+
+    Returns (arm ∈ {0,1}, duration, survival_adjusted) — the two
+    counterfactual curves on the pooled event-time grid. β = 0
+    reduces both arms to the Nelson-Aalen exp(−Ĥ₀) (pinned).
+    """
+    feats = list(feature_cols)
+    if len(beta) != len(feats) + 1:
+        raise ValueError(
+            "direct_adjusted_survival: beta must be "
+            "[beta_treatment, *beta_features]"
+        )
+    base = cox_baseline_hazard(
+        df, [treatment_col] + feats, beta, duration_col, event_col
+    )
+    xc = df.groupBy(*feats).agg(F.count(F.lit(1)).alias("_nx"))
+    npat = xc.count()
+    if npat > max_x_patterns:
+        raise ValueError(
+            f"direct_adjusted_survival: {npat} distinct covariate "
+            f"patterns exceed max_x_patterns={max_x_patterns} — the "
+            "standardization grid is #patterns × #durations; pass a "
+            "larger max_x_patterns explicitly if this is intended"
+        )
+    lpf = F.lit(0.0)
+    for j, c in enumerate(feats):
+        lpf = lpf + F.lit(float(beta[j + 1])) * F.col(c).cast("double")
+    grid = base.select(
+        duration_col, "cum_hazard_baseline"
+    ).crossJoin(F.broadcast(xc.select(lpf.alias("_lpf"), "_nx")))
+    h0 = F.col("cum_hazard_baseline")
+    bt = float(beta[0])
+    s0 = F.exp(-h0 * F.exp(F.col("_lpf")))
+    s1 = F.exp(-h0 * F.exp(F.lit(bt) + F.col("_lpf")))
+    agg = grid.groupBy(duration_col).agg(
+        F.sum(F.col("_nx") * _micro(s0)).alias("_w0"),
+        F.sum(F.col("_nx") * _micro(s1)).alias("_w1"),
+        F.sum("_nx").alias("_n"),
+    )
+    return agg.select(
+        F.col(duration_col),
+        F.expr("stack(2, CAST(0 AS BIGINT), _w0, "
+               "CAST(1 AS BIGINT), _w1) AS (arm, _w)"),
+        F.col("_n"),
+    ).select(
+        "arm",
+        duration_col,
+        F.round(
+            F.col("_w") / F.col("_n") / F.lit(1000000.0), 6
+        ).alias("survival_adjusted"),
+    )
+
+
+def concordance_index(
+    df: DataFrame,
+    score_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Harrell's concordance index (Harrell et al. 1982) — THE
+    discrimination metric for survival models: among comparable
+    pairs (i died at t_i, j still under observation past t_i), the
+    probability the model ranks i riskier,
+
+        C = (concordant + ½·score-ties) / comparable,
+
+    with the standard comparability rule: (i, j) comparable iff
+    t_i < t_j and δ_i = 1, or t_i = t_j with δ_i = 1, δ_j = 0 (the
+    censored subject outlives the death at the same recorded time);
+    event-event ties at one time are not comparable. Higher score
+    must mean higher risk (a Cox linear predictor xβ̂ — feed
+    ``cox_ph``'s fit through a projection).
+
+    Scale shape: subjects collapse to (duration, score) cells in ONE
+    map-side-combined aggregate; the pair count is then a
+    cell×event-cell broadcast-nested-loop fold (condition t' ≥ t,
+    with the t' = t arm weighted by censored counts only) that
+    partially aggregates map-side into a single row — no raw-row
+    pair join, no shuffle of pairs. The grid is #cells × #event-cell
+    rows, lattice-sized by the house cell contract (durations are
+    bounded follow-up units, scores take one value per covariate
+    pattern). Pure integer pair counts — exact under any
+    partitioning; inference belongs to ``bootstrap_ci`` (Harrell's
+    U-statistic SE deliberately omitted).
+
+    Returns one row: n_comparable, n_concordant, n_discordant,
+    n_tied_score, c_index (6 dp; NULL when no pair is comparable).
+    """
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(score_col).cast("double").alias("_s"),
+    ).agg(
+        F.sum(ev).alias("_d"),
+        (F.count(F.lit(1)) - F.sum(ev)).alias("_c"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    evc = (
+        cells.filter(F.col("_d") > 0)
+        .select(
+            F.col("_t").alias("_te"),
+            F.col("_s").alias("_se"),
+            F.col("_d").alias("_de"),
+        )
+    )
+    pairs = cells.join(
+        F.broadcast(evc), F.col("_t") >= F.col("_te"), "inner"
+    ).withColumn(
+        "_w",
+        F.when(F.col("_t") > F.col("_te"), F.col("_n")).otherwise(
+            F.col("_c")
+        ),
+    )
+    agg = pairs.agg(
+        F.sum(
+            F.when(F.col("_se") > F.col("_s"),
+                   F.col("_de") * F.col("_w")).otherwise(F.lit(0))
+        ).alias("n_concordant"),
+        F.sum(
+            F.when(F.col("_se") < F.col("_s"),
+                   F.col("_de") * F.col("_w")).otherwise(F.lit(0))
+        ).alias("n_discordant"),
+        F.sum(
+            F.when(F.col("_se") == F.col("_s"),
+                   F.col("_de") * F.col("_w")).otherwise(F.lit(0))
+        ).alias("n_tied_score"),
+    )
+    total = (
+        F.col("n_concordant")
+        + F.col("n_discordant")
+        + F.col("n_tied_score")
+    )
+    return agg.select(
+        total.alias("n_comparable"),
+        "n_concordant",
+        "n_discordant",
+        "n_tied_score",
+        F.when(
+            total > 0,
+            F.round(
+                (F.col("n_concordant") + 0.5 * F.col("n_tied_score"))
+                / total,
+                6,
+            ),
+        ).alias("c_index"),
+    )
+
+
+def mixture_cure_exponential(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 12,
+) -> DataFrame:
+    """Mixture cure model with exponential latency (Boag 1949; Farewell
+    1982 — the population-based 'statistical cure' model cancer
+    registries fit when a survival curve plateaus):
+
+        S(t) = π + (1 − π)·e^{−λt},
+
+    a cured fraction π that never experiences the event plus an
+    exponential survival for the uncured, fit by EM with the latent
+    cure indicator. E-step: a censored subject at t is uncured with
+    posterior w = (1−π)e^{−λt} / (π + (1−π)e^{−λt}); events have
+    w = 1. M-step (closed form): π ← 1 − Σw/n, λ ← D/Σ(w·t). The
+    estimate is DEFINED as the ``iters``-iteration EM value from the
+    deterministic start π₀ = ½(n−D)/n, λ₀ = D/Σt (converged to 9 dp
+    by ~12 iterations whenever the plateau is identified; the oracle
+    unrolls the same iterations). All-events data reduces to π → 0
+    with λ the exponential MLE D/Σt.
+
+    Scale shape: subjects collapse ONCE to (duration, event) cells;
+    each EM iteration is ONE map-side-combined aggregate over the
+    cell table with w nano-rounded per cell before the weighted long
+    sums (order-independent, bit-identical at any parallelism);
+    per-iteration parameter updates round to 9 dp (house lattice).
+    Driver work is O(1) per iteration. Zero events raises a named
+    error (λ is unidentified).
+
+    Returns one row: n, n_event, pi_cure, lambda_latency (6 dp).
+    """
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("mixture_cure_exponential: iters must be >= 1")
+    ev = F.col(event_col).cast("long")
+    t = F.col(duration_col).cast("double")
+    cells = df.groupBy(
+        t.alias("_t"), ev.alias("_e")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    # the EM loop re-reads this tiny cell table once per iteration —
+    # checkpoint it so the scan + collapse run once, not iters times
+    cells = cells.localCheckpoint(eager=False)
+    base = cells.agg(
+        F.sum(F.col("_cnt") * F.col("_e")).alias("d"),
+        F.sum("_cnt").alias("n"),
+        F.sum(F.col("_cnt") * _micro(F.col("_t"))).alias("st_micro"),
+    ).collect()[0]
+    d_ev, n_tot, st = int(base.d), int(base.n), base.st_micro / 1e6
+    if d_ev == 0:
+        raise ValueError(
+            "mixture_cure_exponential: zero events — the latency "
+            "rate is unidentified"
+        )
+    pi = round(0.5 * (n_tot - d_ev) / n_tot, 9)
+    lam = round(d_ev / st, 9)
+    nano = F.lit(1000000000.0)
+    for _ in range(iters):
+        s_unc = F.exp(F.lit(-lam) * F.col("_t"))
+        w = F.when(F.col("_e") == 1, F.lit(1.0)).otherwise(
+            F.lit(1.0 - pi) * s_unc
+            / (F.lit(pi) + F.lit(1.0 - pi) * s_unc)
+        )
+        row = cells.agg(
+            F.sum(
+                F.col("_cnt") * F.round(w * nano, 0).cast("long")
+            ).alias("sw"),
+            F.sum(
+                F.col("_cnt")
+                * F.round(w * F.col("_t") * nano, 0).cast("long")
+            ).alias("swt"),
+        ).collect()[0]
+        pi = round(1.0 - (row.sw / 1e9) / n_tot, 9)
+        lam = round(d_ev / (row.swt / 1e9), 9)
+    return cells.agg(
+        F.sum("_cnt").alias("n"),
+        F.sum(F.col("_cnt") * F.col("_e")).alias("n_event"),
+    ).select(
+        "n",
+        "n_event",
+        F.round(F.lit(pi), 6).alias("pi_cure"),
+        F.round(F.lit(lam), 6).alias("lambda_latency"),
+    )
+
+
+def hall_wellner_lambda(alpha: float = 0.05) -> float:
+    """Critical value λ_α of sup_{0≤u≤1}|B⁰(u)| for the Brownian
+    bridge: solves 2·Σ_{k≥1}(−1)^{k+1}e^{−2k²λ²} = α by bisection on
+    the (monotone) Kolmogorov series — a pure function of α, shared
+    verbatim between the Spark plan and the DuckDB oracle as a
+    literal. λ_{0.05} ≈ 1.3581."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("hall_wellner_lambda: alpha must be in (0,1)")
+    import math
+
+    def tail(lam: float) -> float:
+        s = 0.0
+        for k in range(1, 101):
+            s += (-1) ** (k + 1) * math.exp(-2.0 * k * k * lam * lam)
+        return 2.0 * s
+
+    lo, hi = 0.1, 5.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if tail(mid) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def km_hall_wellner_band(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Hall-Wellner SIMULTANEOUS confidence band for the KM curve
+    (Hall & Wellner 1980; Klein & Moeschberger §4.4) — the band that
+    covers the WHOLE curve with probability 1−α, where the pointwise
+    Greenwood CI covers only one timepoint at a time:
+
+        Ŝ(t) ± λ_α·(1 + n·σ̂²(t))·Ŝ(t)/√n,
+        σ̂²(t) = Σ_{t'≤t} d/(Y(Y−d))  (the Greenwood sum),
+
+    with λ_α the untruncated Brownian-bridge sup quantile
+    (``hall_wellner_lambda`` — the Kolmogorov series, conservative
+    vs the truncated-table values; the standard 'KS-type band').
+    σ̂² is recovered exactly from ``km_curve``'s published columns as
+    (se_greenwood/S)², so the band composes over the existing
+    estimator rather than forking its lattice pipeline.
+
+    Scale shape: ``km_curve`` unchanged (two cell prefix passes) +
+    one broadcast join of per-group subject counts + pure JVM row
+    arithmetic. Band ends clip to [0, 1]; rows where S = 0
+    (Greenwood undefined) carry NULL bands, like the SE itself.
+
+    Returns the ``km_curve`` grain + band_lower / band_upper (6 dp).
+    """
+    lam = hall_wellner_lambda(alpha)
+    g = list(group_cols)
+    km = km_curve(df, g, duration_col, event_col)
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    km = km.join(F.broadcast(totals), g)
+    s = F.col("survival")
+    se = F.col("se_greenwood")
+    nsub = F.col("_n_subj").cast("double")
+    sig2 = (se / s) * (se / s)
+    half = (
+        F.lit(lam)
+        * (F.lit(1.0) + nsub * sig2)
+        * s
+        / F.sqrt(nsub)
+    )
+    ok = se.isNotNull() & (s > 0)
+    return km.select(
+        *g,
+        duration_col,
+        "n_risk",
+        "n_event",
+        "n_censored",
+        "survival",
+        "cum_hazard",
+        "se_greenwood",
+        F.when(ok, F.round(F.greatest(F.lit(0.0), s - half), 6))
+        .alias("band_lower"),
+        F.when(ok, F.round(F.least(F.lit(1.0), s + half), 6))
+        .alias("band_upper"),
+    )

@@ -1505,3 +1505,119 @@ def test_mcnemar_test(spark):
     )
     ro = mcnemar_test(one, "first", "second").collect()[0]
     assert ro.chi_square is not None and ro.or_discordant is None
+
+
+def test_glm_logistic_firth_haldane_closed_form(spark):
+    """Firth logistic on a SATURATED single-binary-covariate model
+    has the Haldane closed form (add 1/2 to each 2x2 cell). Pins the
+    whole two-pass hat-corrected IRLS to 1e-6, checks the
+    bias-reduction direction (|beta1| shrunk vs the raw log-OR), and
+    exactness under repartitioning."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic_firth,
+    )
+
+    a, b, c, d = 7, 3, 2, 8
+    rows = (
+        [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+    )
+    df = spark.createDataFrame(rows, "x int, y int")
+    beta = glm_logistic_firth(df, ["x"], "y", iters=8)
+    b1 = math.log((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+    b0 = math.log((c + 0.5) / (d + 0.5))
+    assert abs(beta[0] - b0) < 1e-6, beta
+    assert abs(beta[1] - b1) < 1e-6, beta
+    raw = math.log(a * d / (b * c))
+    assert abs(beta[1]) < abs(raw)  # Jeffreys shrinkage toward 0
+    assert (
+        glm_logistic_firth(df.repartition(32), ["x"], "y", iters=8)
+        == beta
+    )
+
+
+def test_glm_logistic_firth_separation_finite(spark):
+    """Complete separation in one cell (b = 0): the plain MLE
+    diverges (|beta1| grows without bound with iterations) but the
+    Firth estimate is finite and equals the Haldane closed form.
+    iters=0 fails fast; return_se gives finite positive SEs."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic,
+        glm_logistic_firth,
+    )
+    import pytest
+
+    a, b, c, d = 12, 0, 3, 7
+    rows = (
+        [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+    )
+    df = spark.createDataFrame(rows, "x int, y int")
+    beta, se = glm_logistic_firth(
+        df, ["x"], "y", iters=8, return_se=True
+    )
+    b1 = math.log((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+    assert abs(beta[1] - b1) < 2e-6, beta
+    assert all(s > 0 and math.isfinite(s) for s in se), se
+    # plain MLE walks off to infinity under separation
+    mle8 = glm_logistic(df, ["x"], "y", iters=8)
+    mle12 = glm_logistic(df, ["x"], "y", iters=12)
+    assert abs(mle12[1]) > abs(mle8[1]) > abs(beta[1])
+    with pytest.raises(ValueError, match="iters"):
+        glm_logistic_firth(df, ["x"], "y", iters=0)
+
+
+def test_zero_inflated_poisson_recovers_plant_and_reduction(spark):
+    """ZIP EM over three sufficient statistics: a planted 30%
+    structural-zero / Poisson(2.5) mixture is recovered within
+    sampling error; pure-Poisson data drives pi to ~0 with lambda ~
+    ybar; p_zero_fitted matches the observed zero fraction (the ZIP
+    zero-moment identity at the fit); all-zero and iters=0 fail
+    fast; bit-identical under repartitioning."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        zero_inflated_poisson,
+    )
+
+    def pois(u_seed, lam):
+        # deterministic inverse-cdf draw on a hash lattice
+        u = ((u_seed * 2654435761 + 13) % 999983) / 999983.0
+        k, cdf, p = 0, 0.0, math.exp(-lam)
+        while cdf + p < u and k < 50:
+            cdf += p
+            k += 1
+            p *= lam / k
+        return k
+
+    rows = []
+    for i in range(20000):
+        u1 = ((i * 48271 + 3) % 999979) / 999979.0
+        rows.append((0 if u1 < 0.3 else pois(i, 2.5),))
+    df = spark.createDataFrame(rows, "y int")
+    r = zero_inflated_poisson(df, "y", iters=15).collect()[0]
+    assert abs(r.pi_zero - 0.3) < 0.02, r
+    assert abs(r.lambda_pois - 2.5) < 0.05, r
+    obs_zero = sum(1 for (v,) in rows if v == 0) / 20000
+    assert abs(r.p_zero_fitted - obs_zero) < 0.01, (r, obs_zero)
+    r32 = zero_inflated_poisson(
+        df.repartition(32), "y", iters=15
+    ).collect()[0]
+    assert tuple(r32) == tuple(r)
+
+    pure = spark.createDataFrame(
+        [(pois(i, 1.7),) for i in range(20000)], "y int"
+    )
+    rp = zero_inflated_poisson(pure, "y", iters=15).collect()[0]
+    assert rp.pi_zero < 0.02, rp
+    assert abs(rp.lambda_pois - 1.7) < 0.05, rp
+
+    zeros = spark.createDataFrame([(0,), (0,)], "y int")
+    with pytest.raises(ValueError, match="all-zero"):
+        zero_inflated_poisson(zeros, "y")
+    with pytest.raises(ValueError, match="iters"):
+        zero_inflated_poisson(pure, "y", iters=0)

@@ -4154,3 +4154,289 @@ def test_flexible_parametric_survival_x_pattern_bound(spark):
         flexible_parametric_survival(
             df, "x", interval_width=4, horizon=40, max_x_patterns=50
         )
+
+
+def test_direct_adjusted_survival_beta_zero_reduction(spark):
+    """With beta = 0 the standardization is a no-op: both arms'
+    adjusted curves equal exp(-H0) of the Nelson-Aalen/Breslow
+    baseline (cox_baseline_hazard at beta=0), and the result is
+    bit-identical under repartitioning."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_baseline_hazard,
+        direct_adjusted_survival,
+    )
+
+    rows = []
+    for i in range(500):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        t = int(-math.log(u + 1e-9) / 0.1) + 1
+        rows.append((i % 2, float(i % 3), min(t, 20),
+                     1 if t < 20 else 0))
+    df = spark.createDataFrame(
+        rows, "arm int, x double, duration int, event int"
+    )
+    adj = direct_adjusted_survival(
+        df, "arm", ["x"], [0.0, 0.0]
+    ).collect()
+    base = {
+        r.duration: r.cum_hazard_baseline
+        for r in cox_baseline_hazard(
+            df, ["arm", "x"], [0.0, 0.0]
+        ).collect()
+    }
+    for r in adj:
+        expect = math.exp(-base[r.duration])
+        assert abs(r.survival_adjusted - expect) < 2e-6, r
+    by_t = {}
+    for r in adj:
+        by_t.setdefault(r.duration, {})[r.arm] = r.survival_adjusted
+    assert all(v[0] == v[1] for v in by_t.values())
+    again = sorted(
+        map(tuple, direct_adjusted_survival(
+            df.repartition(32), "arm", ["x"], [0.0, 0.0]
+        ).collect())
+    )
+    assert again == sorted(map(tuple, adj))
+
+
+def test_direct_adjusted_survival_deconfounds_simpson_plant(spark):
+    """Simpson plant: within each stratum x the arms share an
+    exponential hazard, but arm 1 is enriched in the high-hazard
+    stratum — the crude KM gap is large while the direct adjusted
+    curves at the true beta ([0, ln(haz ratio)]) must coincide to
+    within a third of the crude gap. The pattern-bound guard raises
+    a named error."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        direct_adjusted_survival,
+        km_curve,
+    )
+
+    rows = []
+    for i in range(6000):
+        u1 = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        u3 = ((i * 69069 + 11) % 999961) / 999961.0
+        x = 1.0 if u1 < 0.5 else 0.0
+        arm = 1 if u2 < (0.8 if x > 0 else 0.2) else 0
+        haz = 0.15 if x > 0 else 0.04
+        t = -math.log(u3 + 1e-9) / haz
+        rows.append((arm, x, min(int(t) + 1, 30),
+                     1 if t < 30 else 0))
+    df = spark.createDataFrame(
+        rows, "arm int, x double, duration int, event int"
+    )
+
+    def s_at(curve, key, tt):
+        pts = [r for r in curve if r[0] == key and r[1] <= tt]
+        return max(pts, key=lambda r: r[1])[2] if pts else 1.0
+
+    crude = [
+        (r.arm, r.duration, r.survival)
+        for r in km_curve(df, ["arm"], "duration", "event").collect()
+    ]
+    gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
+    assert gap_crude > 0.1, gap_crude
+    beta = [0.0, math.log(0.15 / 0.04)]
+    adj = [
+        (r.arm, r.duration, r.survival_adjusted)
+        for r in direct_adjusted_survival(
+            df, "arm", ["x"], beta
+        ).collect()
+    ]
+    gap_adj = abs(s_at(adj, 1, 15) - s_at(adj, 0, 15))
+    assert gap_adj < gap_crude / 3, (gap_adj, gap_crude)
+    with pytest.raises(ValueError, match="max_x_patterns"):
+        direct_adjusted_survival(
+            df, "arm", ["x"], beta, max_x_patterns=1
+        )
+    with pytest.raises(ValueError, match="beta must be"):
+        direct_adjusted_survival(df, "arm", ["x"], [0.0])
+
+
+def test_concordance_index_matches_quadratic_reference(spark):
+    """Harrell's C from the cell fold equals the O(n^2) pair loop
+    (the definition) on a censored cohort with score ties and
+    time ties in every flavor; perfect and anti-perfect rankings hit
+    1 and 0; a constant score gives exactly 0.5; no-comparable-pairs
+    data returns NULL."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        concordance_index,
+    )
+
+    rows = []
+    for i in range(300):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        t = int(-math.log(u + 1e-9) / 0.2) + 1
+        dur = min(t, 12)
+        evn = 1 if t < 12 else 0
+        score = round((i % 7) / 3.0 - u, 1)  # ties + signal-free
+        rows.append((float(score), dur, evn))
+    df = spark.createDataFrame(rows, "score double, duration int, event int")
+
+    def ref(data):
+        conc = disc = tied = 0
+        for si, ti, ei in data:
+            if ei != 1:
+                continue
+            for sj, tj, ej in data:
+                if tj > ti or (tj == ti and ej == 0):
+                    if si > sj:
+                        conc += 1
+                    elif si < sj:
+                        disc += 1
+                    else:
+                        tied += 1
+        return conc, disc, tied
+
+    conc, disc, tied = ref(rows)
+    r = concordance_index(df, "score").collect()[0]
+    assert (r.n_concordant, r.n_discordant, r.n_tied_score) == (
+        conc, disc, tied
+    ), r
+    assert r.n_comparable == conc + disc + tied
+    assert abs(
+        r.c_index - (conc + 0.5 * tied) / (conc + disc + tied)
+    ) < 5.1e-7  # c_index is rounded to 6 dp
+    # exact under partitioning
+    r32 = concordance_index(df.repartition(32), "score").collect()[0]
+    assert tuple(r32) == tuple(r)
+
+    # perfect ranking: score = -t on an uncensored cohort
+    perf = spark.createDataFrame(
+        [(-float(t), t, 1) for t in range(1, 40)],
+        "score double, duration int, event int",
+    )
+    assert concordance_index(perf, "score").collect()[0].c_index == 1.0
+    anti = spark.createDataFrame(
+        [(float(t), t, 1) for t in range(1, 40)],
+        "score double, duration int, event int",
+    )
+    assert concordance_index(anti, "score").collect()[0].c_index == 0.0
+    flat = spark.createDataFrame(
+        [(1.0, t, 1) for t in range(1, 40)],
+        "score double, duration int, event int",
+    )
+    assert concordance_index(flat, "score").collect()[0].c_index == 0.5
+    none = spark.createDataFrame(
+        [(1.0, 5, 0), (2.0, 5, 0)],
+        "score double, duration int, event int",
+    )
+    assert concordance_index(none, "score").collect()[0].c_index is None
+
+
+def test_mixture_cure_exponential_recovers_plant_and_reductions(spark):
+    """Exponential mixture cure EM: a planted 40% cured / exp(0.3)
+    latency cohort censored at 20 is recovered within sampling error;
+    all-events data reduces to pi ~ 0 with lambda the exponential MLE
+    D/sum(t); zero events raises; bit-identical under repartitioning;
+    iters fail-fast."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        mixture_cure_exponential,
+    )
+
+    rows = []
+    for i in range(8000):
+        u1 = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        cured = u1 < 0.4
+        t = 1e9 if cured else -math.log(u2 + 1e-9) / 0.3
+        dur = min(int(t * 10) + 1, 200)  # tenths grid to 20
+        rows.append((dur, 1 if t * 10 < 200 else 0))
+    df = spark.createDataFrame(rows, "duration int, event int")
+    # durations are tenths; lambda comes back per tenth-unit
+    r = mixture_cure_exponential(df, iters=12).collect()[0]
+    assert abs(r.pi_cure - 0.4) < 0.03, r
+    assert abs(r.lambda_latency * 10 - 0.3) < 0.02, r
+    r32 = mixture_cure_exponential(
+        df.repartition(32), iters=12
+    ).collect()[0]
+    assert tuple(r32) == tuple(r)
+
+    # all-events reduction: pi -> ~0, lambda -> D / sum(t)
+    allev = spark.createDataFrame(
+        [(i % 13 + 1, 1) for i in range(500)], "duration int, event int"
+    )
+    mle = 500 / sum(i % 13 + 1 for i in range(500))
+    ra = mixture_cure_exponential(allev, iters=12).collect()[0]
+    assert ra.pi_cure < 1e-6, ra
+    assert abs(ra.lambda_latency - mle) < 1e-6, (ra, mle)
+
+    noev = spark.createDataFrame(
+        [(5, 0), (7, 0)], "duration int, event int"
+    )
+    with pytest.raises(ValueError, match="zero events"):
+        mixture_cure_exponential(noev)
+    with pytest.raises(ValueError, match="iters"):
+        mixture_cure_exponential(allev, iters=0)
+
+
+def test_km_hall_wellner_band(spark):
+    """HW simultaneous band: lambda quantiles match the textbook
+    Brownian-bridge values; the band recomputes exactly from
+    km_curve's published columns; it is strictly wider than the
+    pointwise 1.96 CI wherever defined (simultaneous > pointwise,
+    ratio minimized at n*sig2 = 1); the true exponential curve sits
+    inside the band everywhere; bit-identical under repartitioning."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        hall_wellner_lambda,
+        km_curve,
+        km_hall_wellner_band,
+    )
+
+    assert abs(hall_wellner_lambda(0.05) - 1.3581) < 1e-4
+    assert abs(hall_wellner_lambda(0.10) - 1.2239) < 1e-4
+    assert abs(hall_wellner_lambda(0.01) - 1.6276) < 1e-4
+
+    rows = []
+    for i in range(2000):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        t = -math.log(u + 1e-9) / 0.15
+        rows.append(("A", min(int(t) + 1, 25), 1 if t < 25 else 0))
+    df = spark.createDataFrame(rows, "cohort string, duration int, event int")
+    band = km_hall_wellner_band(df, ["cohort"]).collect()
+    km = {
+        r.duration: r
+        for r in km_curve(df, ["cohort"]).collect()
+    }
+    lam = hall_wellner_lambda(0.05)
+    n = 2000.0
+    for r in band:
+        k = km[r.duration]
+        assert (r.survival, r.se_greenwood) == (
+            k.survival, k.se_greenwood
+        )
+        if r.se_greenwood is None or r.survival == 0:
+            assert r.band_lower is None and r.band_upper is None
+            continue
+        sig2 = (r.se_greenwood / r.survival) ** 2
+        half = lam * (1 + n * sig2) * r.survival / math.sqrt(n)
+        assert abs(r.band_lower - max(0.0, r.survival - half)) < 5.1e-7
+        assert abs(r.band_upper - min(1.0, r.survival + half)) < 5.1e-7
+        # wider than the pointwise 95% CI
+        assert half > 1.95 * r.se_greenwood
+        # simultaneous coverage of the true curve (exp with the
+        # discrete +1 grid: S_true(t) = P(floor(T)+1 > t) = e^{-0.15 t})
+        s_true = math.exp(-0.15 * r.duration)
+        assert r.band_lower - 1e-9 <= s_true <= r.band_upper + 1e-9, (
+            r, s_true
+        )
+    again = sorted(
+        map(tuple, km_hall_wellner_band(
+            df.repartition(32), ["cohort"]
+        ).collect())
+    )
+    assert again == sorted(map(tuple, band))

@@ -73,6 +73,80 @@ def best_of(k, fn):
     return best
 
 
+def firth_cohort(spark, n):
+    rows = []
+    for i in range(n):
+        u_x = ((i * 48271 + 3) % 999983) / 999983.0
+        u_y = ((i * 69069 + 11) % 999979) / 999979.0
+        x = 1 if u_x < 0.5 else 0
+        y = 1 if u_y < (0.03 if x else 0.006) else 0
+        rows.append((x, y))
+    return spark.createDataFrame(
+        rows, "x int, y int"
+    ).repartition(32).localCheckpoint(eager=True)
+
+
+def cure_cohort(spark, n):
+    rows = []
+    for i in range(n):
+        u1 = ((i * 48271 + 3) % 999983) / 999983.0
+        u2 = ((i * 69069 + 11) % 999979) / 999979.0
+        if u1 < 0.35:
+            rows.append((25, 0))
+        else:
+            t = -math.log(u2 + 1e-9) / 0.25
+            rows.append((min(int(t) + 1, 25), 1 if t < 25 else 0))
+    return spark.createDataFrame(
+        rows, "duration long, event int"
+    ).repartition(32).localCheckpoint(eager=True)
+
+
+def main2() -> None:
+    """Second round-8 tranche: glm_logistic_firth,
+    direct_adjusted_survival, concordance_index,
+    mixture_cure_exponential."""
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic_firth,
+    )
+    from cancer_survival_etl_spark.operators.survival import (
+        concordance_index,
+        direct_adjusted_survival,
+        mixture_cure_exponential,
+    )
+
+    spark = get_spark("probe_r08b")
+    print("| subjects | firth | direct_adjusted | cindex | cure_em |")
+    print("|---|---|---|---|---|")
+    for n in (25000, 100000, 400000):
+        co = simpson_cohort(spark, n)
+        fi = firth_cohort(spark, n)
+        cu = cure_cohort(spark, n)
+        t_firth = best_of(
+            2, lambda: glm_logistic_firth(fi, ["x"], "y", iters=8)
+        )
+        t_da = best_of(
+            2,
+            lambda: direct_adjusted_survival(
+                co, "arm", ["x"], [0.0, 1.3217558399823195]
+            ).collect(),
+        )
+        t_ci = best_of(
+            2,
+            lambda: concordance_index(
+                co.withColumn("score", co.x), "score"
+            ).collect(),
+        )
+        t_cure = best_of(
+            2, lambda: mixture_cure_exponential(cu, iters=12).collect()
+        )
+        print(
+            f"| {n // 1000}k | {t_firth:.2f} s | {t_da:.2f} s "
+            f"| {t_ci:.2f} s | {t_cure:.2f} s |"
+        )
+        for d in (co, fi, cu):
+            d.unpersist()
+
+
 def main() -> None:
     spark = get_spark("probe_r08")
     print("| subjects | aipw_contrast | apc_joinpoint_k=2 | rp_td |")
@@ -108,4 +182,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--batch2" in sys.argv:
+        main2()
+    else:
+        main()
