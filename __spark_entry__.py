@@ -9228,6 +9228,93 @@ def q_survival_km_band(spark, sf_dir):
     )
 
 
+def q_survival_rmst_ci(spark, sf_dir):
+    """RMST with the survRM2 large-sample SE and Wald CI
+    (operators/survival.py::rmst_ci — the A_j² Greenwood fold costs
+    one extra prefix column in rmst's existing cell pass) at τ=36
+    on the survival_km cohort. The oracle replays the whole
+    pipeline — lattice KM, drop terms, inclusive area prefixes, the
+    pico-lattice variance fold, and the clipped CI — bit-exactly on
+    top of the shared survival CTE stack."""
+    from cancer_survival_etl_spark.operators.survival import rmst_ci
+
+    return rmst_ci(
+        _survival_episodes(spark, sf_dir), ["cohort"], 36,
+        "duration", "event",
+    )
+
+
+def q_survival_logrank_renyi(spark, sf_dir):
+    """Renyi supremum log-rank (operators/survival.py::
+    logrank_renyi_test) on a planted CROSSING-hazards cohort over
+    orders (A constant 0.08; B 0.25 until t=5 then 0.01 — early and
+    late differences cancel, ordinary chi-square ~0.5 while the
+    running |O−E| sup is enormous). q_crit = 2.2414027273321393 from
+    renyi_critical(0.05), shared verbatim with the oracle; the
+    oracle replays the cells, the running micro-lattice O−E process,
+    the sup fold, and both statistics bit-exactly."""
+    from cancer_survival_etl_spark.operators.survival import (
+        logrank_renyi_test,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    is_a = u(1) < 0.5
+    t_a = -F.log(u(17) + 1e-9) / 0.08
+    t_b_early = -F.log(u(17) + 1e-9) / 0.25
+    t_b = F.when(
+        t_b_early > 5,
+        F.lit(5.0) - F.log(u(25) + 1e-9) / 0.01,
+    ).otherwise(t_b_early)
+    t = F.when(is_a, t_a).otherwise(t_b)
+    cohort = d.select(
+        F.when(is_a, F.lit("A")).otherwise(F.lit("B")).alias("grp"),
+        F.least(F.floor(t) + 1, F.lit(40)).cast("long").alias(
+            "duration"
+        ),
+        (t < 40).cast("int").alias("event"),
+    )
+    return logrank_renyi_test(cohort, "grp")
+
+
+def q_survival_rmtl(spark, sf_dir):
+    """Restricted mean time lost per competing cause (operators/
+    survival.py::rmtl_competing) at τ=20: exponential failures with
+    a 60/40 cause split, censored at 25, over orders. The oracle
+    replays the Aalen-Johansen increment lattice and the
+    (τ−t)-weighted fold bit-exactly — no verdict literals."""
+    from cancer_survival_etl_spark.operators.survival import (
+        rmtl_competing,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    t = -F.log(u(17) + 1e-9) / 0.10
+    cause = F.when(u(9) < 0.6, F.lit(1)).otherwise(F.lit(2))
+    cohort = d.select(
+        F.lit("G").alias("grp"),
+        F.least(F.floor(t) + 1, F.lit(25)).cast("long").alias(
+            "duration"
+        ),
+        F.when(t < 25, cause).otherwise(F.lit(0)).alias("cause"),
+    )
+    return rmtl_competing(cohort, ["grp"], [1, 2], 20)
+
+
 def q_survival_logrank(spark, sf_dir):
     """Two-cohort Mantel-Cox log-rank test (operators/survival.py::
     logrank_test): O/E/V from the duration-axis prefix sums, χ² and
@@ -9473,6 +9560,312 @@ _SURVIVAL_KM_BAND_SQL = f"""
                        / sqrt(CAST(t.n_subj AS DOUBLE))), 6)
            END AS band_upper
     FROM vals v JOIN tot t USING (cohort)
+"""
+
+
+_SURVIVAL_RMST_CI_SQL = f"""
+    WITH {_SURV_SQL_CTE},
+    km AS (
+        SELECT cohort, duration,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS rm
+        FROM surv GROUP BY cohort, duration
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM surv GROUP BY cohort),
+    atrisk AS (
+        SELECT k.cohort, k.duration, k.d, t.n_subj,
+               CAST(t.n_subj - coalesce(
+                   sum(k.rm) OVER
+                       (PARTITION BY k.cohort ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM km k JOIN tot t USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round(ln(1.0 - d / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN d > 0 AND d = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    acc AS (
+        SELECT cohort, duration, d, n_subj, n_risk,
+               coalesce(sum(lt) OVER wx, 0) AS lt0,
+               lt,
+               coalesce(sum(dall) OVER wx, 0) AS dall0,
+               dall
+        FROM terms
+        WINDOW wx AS (PARTITION BY cohort ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    vals AS (
+        SELECT cohort, duration, d, n_subj, n_risk, dall0, dall,
+               CASE WHEN dall0 > 0 THEN 0.0
+                    ELSE round(exp(lt0 / 1000000.0), 6)
+               END AS s_left,
+               CASE WHEN dall0 + dall > 0 THEN 0.0
+                    ELSE round(exp((lt0 + lt) / 1000000.0), 6)
+               END AS s_incl
+        FROM acc
+    ),
+    dropped AS (
+        SELECT *,
+            CASE WHEN d > 0 AND duration <= 36
+                 THEN CAST(round(duration * (s_left - s_incl)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS dt
+        FROM vals
+    ),
+    withpre AS (
+        SELECT *,
+               coalesce(sum(dt) OVER
+                   (PARTITION BY cohort ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS dt0
+        FROM dropped
+    ),
+    peragg AS (
+        SELECT cohort,
+               max(n_subj) AS n_subjects,
+               sum(dt) AS drops,
+               coalesce(max_by(s_incl, duration)
+                        FILTER (WHERE duration <= 36), 1.0) AS stau
+        FROM withpre GROUP BY cohort
+    ),
+    pera AS (
+        SELECT cohort, n_subjects, stau,
+               36.0 * stau + drops / 1000000.0 AS rm
+        FROM peragg
+    ),
+    varfold AS (
+        SELECT w.cohort,
+               CAST(sum(CASE WHEN w.d > 0 AND w.d < w.n_risk
+                             AND w.duration <= 36
+                    THEN CAST(round(
+                        (p.rm - (w.duration * w.s_incl
+                                 + (w.dt0 + w.dt) / 1000000.0))
+                        * (p.rm - (w.duration * w.s_incl
+                                   + (w.dt0 + w.dt) / 1000000.0))
+                        * w.d / (w.n_risk * (w.n_risk - w.d))
+                        * 1000000000000.0, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS var_pico,
+               max(CASE WHEN w.duration <= 36 AND w.dall0 + w.dall > 0
+                        THEN 1 ELSE 0 END) AS zero_hit
+        FROM withpre w JOIN pera p USING (cohort)
+        GROUP BY w.cohort
+    )
+    SELECT p.cohort, p.n_subjects,
+           round(p.stau, 6) AS survival_at_tau,
+           round(p.rm, 6) AS rmst,
+           CASE WHEN v.zero_hit = 0
+                THEN round(sqrt(v.var_pico / 1000000000000.0), 6)
+           END AS rmst_se,
+           CASE WHEN v.zero_hit = 0
+                THEN round(greatest(0.0, p.rm - 1.96
+                     * sqrt(v.var_pico / 1000000000000.0)), 6)
+           END AS rmst_lower,
+           CASE WHEN v.zero_hit = 0
+                THEN round(least(36.0, p.rm + 1.96
+                     * sqrt(v.var_pico / 1000000000000.0)), 6)
+           END AS rmst_upper
+    FROM pera p JOIN varfold v USING (cohort)
+"""
+
+
+_SURVIVAL_LOGRANK_RENYI_SQL = """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u1,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 25, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u25
+        FROM orders
+    ),
+    tt AS (
+        SELECT CASE WHEN u1 < 0.5 THEN 'A' ELSE 'B' END AS grp,
+               CASE WHEN u1 < 0.5
+                    THEN -ln(u17 + 0.000000001) / 0.08
+                    ELSE CASE
+                        WHEN -ln(u17 + 0.000000001) / 0.25 > 5
+                        THEN 5.0 - ln(u25 + 0.000000001) / 0.01
+                        ELSE -ln(u17 + 0.000000001) / 0.25 END
+               END AS tv
+        FROM f
+    ),
+    coh AS (
+        SELECT grp,
+               CAST(least(floor(tv) + 1, 40) AS BIGINT) AS duration,
+               CASE WHEN tv < 40 THEN 1 ELSE 0 END AS event
+        FROM tt
+    ),
+    cells AS (
+        SELECT duration,
+               CAST(sum(CASE WHEN grp = 'A' THEN event ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rm1,
+               CAST(count(*) AS BIGINT) AS rm
+        FROM coh GROUP BY duration
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(count(*) AS BIGINT) AS n
+        FROM coh
+    ),
+    pre AS (
+        SELECT c.duration, c.d1, c.d,
+               t.n1 - coalesce(sum(c.rm1) OVER wx, 0) AS y1,
+               t.n - coalesce(sum(c.rm) OVER wx, 0) AS y
+        FROM cells c CROSS JOIN tot t
+        WINDOW wx AS (ORDER BY c.duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT duration, d1, d,
+               CASE WHEN d > 0
+                    THEN CAST(round(d * (y1 / y) * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS e,
+               CASE WHEN d > 0 AND y > 1
+                    THEN CAST(round(d * (y1 / y) * (1.0 - y1 / y)
+                              * (y - d) / (y - 1) * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS v
+        FROM pre
+    ),
+    run AS (
+        SELECT *,
+               sum(d1 * 1000000 - e) OVER
+                   (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+                   AS oez
+        FROM terms
+    ),
+    agg AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e) AS BIGINT) AS esum,
+               CAST(sum(v) AS BIGINT) AS vsum,
+               CAST(max(abs(oez)) AS BIGINT) AS sup
+        FROM run
+    )
+    SELECT t.n1 AS n_subjects_1,
+           t.n - t.n1 AS n_subjects_2,
+           a.o1 AS observed_1,
+           round(a.esum / 1000000.0, 6) AS expected_1,
+           round(a.vsum / 1000000.0, 6) AS variance,
+           round(a.sup / 1000000.0
+                 / sqrt(a.vsum / 1000000.0), 6) AS q_renyi,
+           round(2.2414027273321393, 6) AS q_crit,
+           (a.sup / 1000000.0 / sqrt(a.vsum / 1000000.0))
+               > 2.2414027273321393 AS reject,
+           round((a.o1 - a.esum / 1000000.0)
+                 * (a.o1 - a.esum / 1000000.0)
+                 / (a.vsum / 1000000.0), 6) AS chi_square
+    FROM agg a CROSS JOIN tot t
+"""
+
+
+_SURVIVAL_RMTL_SQL = """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders
+    ),
+    coh AS (
+        SELECT CAST(least(floor(-ln(u17 + 0.000000001) / 0.10) + 1,
+                          25) AS BIGINT) AS duration,
+               CASE WHEN -ln(u17 + 0.000000001) / 0.10 < 25
+                    THEN (CASE WHEN u9 < 0.6 THEN 1 ELSE 2 END)
+                    ELSE 0 END AS cause
+        FROM f
+    ),
+    cells AS (
+        SELECT duration,
+               CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS rm,
+               CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d2
+        FROM coh GROUP BY duration
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM coh),
+    pre AS (
+        SELECT c.*,
+               t.n AS n_subj,
+               t.n - coalesce(sum(c.rm) OVER wx, 0) AS y
+        FROM cells c CROSS JOIN tot t
+        WINDOW wx AS (ORDER BY c.duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0 AND d < y
+                 THEN CAST(round(ln(1.0 - d / y) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN d > 0 AND d = y THEN 1 ELSE 0 END AS dall
+        FROM pre
+    ),
+    acc AS (
+        SELECT *,
+               coalesce(sum(lt) OVER wx, 0) AS lt0,
+               coalesce(sum(dall) OVER wx, 0) AS dall0
+        FROM terms
+        WINDOW wx AS (ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    incs AS (
+        SELECT duration, n_subj,
+               CASE WHEN d1 > 0 THEN CAST(round(
+                   (CASE WHEN dall0 > 0 THEN 0.0
+                         ELSE exp(lt0 / 1000000.0) END)
+                   * d1 / y * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS t1,
+               CASE WHEN d2 > 0 THEN CAST(round(
+                   (CASE WHEN dall0 > 0 THEN 0.0
+                         ELSE exp(lt0 / 1000000.0) END)
+                   * d2 / y * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS t2
+        FROM acc
+    ),
+    agg AS (
+        SELECT max(n_subj) AS n_subjects,
+               CAST(sum(CASE WHEN duration <= 20 THEN t1 ELSE 0 END)
+                    AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN duration <= 20
+                        THEN t1 * (20 - duration) ELSE 0 END)
+                    AS BIGINT) AS l1,
+               CAST(sum(CASE WHEN duration <= 20 THEN t2 ELSE 0 END)
+                    AS BIGINT) AS f2,
+               CAST(sum(CASE WHEN duration <= 20
+                        THEN t2 * (20 - duration) ELSE 0 END)
+                    AS BIGINT) AS l2
+        FROM incs
+    )
+    SELECT 'G' AS grp, CAST(1 AS BIGINT) AS cause, n_subjects,
+           round(f1 / 1000000.0, 6) AS cif_at_tau,
+           round(l1 / 1000000.0, 6) AS rmtl
+    FROM agg
+    UNION ALL
+    SELECT 'G' AS grp, CAST(2 AS BIGINT) AS cause, n_subjects,
+           round(f2 / 1000000.0, 6) AS cif_at_tau,
+           round(l2 / 1000000.0, 6) AS rmtl
+    FROM agg
 """
 
 
@@ -15359,6 +15752,209 @@ def _cure_em_sql(iters: int = 12) -> str:
 _SURVIVAL_CURE_MIXTURE_SQL = _cure_em_sql(12)
 
 
+def q_survival_cindex_uno(spark, sf_dir):
+    """Uno's censoring-robust IPCW concordance (operators/
+    survival.py::concordance_index_ipcw) on the survival_cindex
+    cohort plus COVARIATE-DEPENDENT censoring (hazard 0.02·e^{0.5x₁}
+    — exactly the regime where Harrell's C drifts with the study's
+    own censoring): pooled reverse KM Ĝ, strict-pair weights
+    Ĝ(t−)⁻² on the micro lattice at τ=25. The oracle replays the
+    ENTIRE pipeline — reverse KM, max_by left limit, weight lattice,
+    the weighted cell×event-cell fold — bit-exactly, no verdict
+    literals."""
+    from cancer_survival_etl_spark.operators.survival import (
+        concordance_index_ipcw,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x1 = (u(1) < 0.5).cast("double")
+    x2 = (u(9) < 0.5).cast("double")
+    lp = F.lit(0.9) * x1 + F.lit(0.4) * x2
+    t = -F.log(u(17) + 1e-9) / (F.lit(0.04) * F.exp(lp))
+    c = -F.log(u(25) + 1e-9) / (F.lit(0.02) * F.exp(F.lit(0.5) * x1))
+    cohort = d.select(
+        lp.alias("score"),
+        F.least(F.floor(F.least(t, c)) + 1, F.lit(30))
+        .cast("long")
+        .alias("duration"),
+        ((t <= c) & (t < 30)).cast("int").alias("event"),
+    )
+    return concordance_index_ipcw(cohort, "score", tau=25)
+
+
+def q_survival_auc_td(spark, sf_dir):
+    """Time-dependent cumulative/dynamic IPCW AUC (operators/
+    survival.py::auc_time_dependent) at horizons 8 and 15 on the
+    Uno-C cohort (true-model linear predictor as the score,
+    covariate-dependent censoring). The oracle replays the reverse
+    KM, the case-weight lattice, and the case×control-score fold
+    bit-exactly per horizon — no verdict literals."""
+    from cancer_survival_etl_spark.operators.survival import (
+        auc_time_dependent,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x1 = (u(1) < 0.5).cast("double")
+    x2 = (u(9) < 0.5).cast("double")
+    lp = F.lit(0.9) * x1 + F.lit(0.4) * x2
+    t = -F.log(u(17) + 1e-9) / (F.lit(0.04) * F.exp(lp))
+    c = -F.log(u(25) + 1e-9) / (F.lit(0.02) * F.exp(F.lit(0.5) * x1))
+    cohort = d.select(
+        lp.alias("score"),
+        F.least(F.floor(F.least(t, c)) + 1, F.lit(30))
+        .cast("long")
+        .alias("duration"),
+        ((t <= c) & (t < 30)).cast("int").alias("event"),
+    )
+    return auc_time_dependent(cohort, "score", [8, 15])
+
+
+def q_survival_calibration(spark, sf_dir):
+    """Horizon calibration / reliability diagram (operators/
+    survival.py::survival_calibration) at t₀=10 with 10 fixed-width
+    bins, on the Brier cohort (true-model predictions, independent
+    censoring — the four covariate patterns land in four bins whose
+    observed per-bin KM must track the diagonal). The oracle replays
+    the binning, the per-bin KM stack, the micro-lattice bin means,
+    and the t₀ read-off bit-exactly."""
+    from cancer_survival_etl_spark.operators.survival import (
+        survival_calibration,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x1 = (u(1) < 0.5).cast("double")
+    x2 = (u(9) < 0.5).cast("double")
+    lp = F.lit(0.9) * x1 + F.lit(0.4) * x2
+    haz = F.lit(0.04) * F.exp(lp)
+    t = -F.log(u(17) + 1e-9) / haz
+    c = -F.log(u(25) + 1e-9) / F.lit(0.015)
+    cohort = d.select(
+        F.exp(-haz * F.lit(10.0)).alias("pred"),
+        F.least(F.floor(F.least(t, c)) + 1, F.lit(30))
+        .cast("long")
+        .alias("duration"),
+        ((t <= c) & (t < 30)).cast("int").alias("event"),
+    )
+    return survival_calibration(cohort, "pred", 10, n_bins=10)
+
+
+def q_survival_brier(spark, sf_dir):
+    """IPCW Brier score at horizon 10 (operators/survival.py::
+    brier_score_ipcw) — Graf's calibration loss under censoring, on
+    the Uno-C cohort with the TRUE model survival e^{−0.04e^{lp}·10}
+    as the prediction (one value per covariate pattern — the cell
+    contract). Full pipeline replay in the oracle: reverse KM, both
+    Ĝ reads (strict left limit at event times, inclusive at the
+    horizon), micro-lattice terms — bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        brier_score_ipcw,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x1 = (u(1) < 0.5).cast("double")
+    x2 = (u(9) < 0.5).cast("double")
+    lp = F.lit(0.9) * x1 + F.lit(0.4) * x2
+    haz = F.lit(0.04) * F.exp(lp)
+    t = -F.log(u(17) + 1e-9) / haz
+    c = -F.log(u(25) + 1e-9) / F.lit(0.015)
+    cohort = d.select(
+        F.exp(-haz * F.lit(10.0)).alias("pred"),
+        F.least(F.floor(F.least(t, c)) + 1, F.lit(30))
+        .cast("long")
+        .alias("duration"),
+        ((t <= c) & (t < 30)).cast("int").alias("event"),
+    )
+    return brier_score_ipcw(cohort, "pred", [10])
+
+
+def q_stats_gee(spark, sf_dir):
+    """GEE exchangeable logistic (operators/stats.py::
+    gee_logistic_exchangeable — one cluster collapse + two
+    cluster-frame folds per Fisher iteration, Sherman-Morrison
+    working-correlation inverse, robust sandwich SEs). Clusters are
+    CUSTOMERS (orders within a customer share an md5 cluster shock
+    of amplitude ±4 on the logit), exposure/outcome per order.
+    Verdicts pin what GEE exists for: the working correlation
+    recovered well above 0, and the robust intercept SE exceeding
+    glm_logistic's naive one. Exact per-(x, y) cohort counts replay
+    in DuckDB."""
+    from cancer_survival_etl_spark.operators.stats import (
+        gee_logistic_exchangeable,
+        glm_logistic,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    ckey = F.col("o_custkey").cast("string")
+
+    def u(col, lo):
+        return (
+            F.conv(F.substring(F.md5(col), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    shock = (u(ckey, 1) - 0.5) * 2.0 * 4.0
+    x = (u(okey, 1) < 0.5).cast("int")
+    pr = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(-1.0) + F.lit(1.2) * x + shock))
+    )
+    y = (u(okey, 9) < pr).cast("int")
+    cohort = d.select(
+        F.col("o_custkey").alias("cl"), x.alias("x"), y.alias("y")
+    ).localCheckpoint(eager=False)
+    beta, alpha, se = gee_logistic_exchangeable(
+        cohort, "cl", ["x"], "y", iters=8, return_se=True
+    )
+    _, se_naive = glm_logistic(
+        cohort, ["x"], "y", iters=8, return_se=True
+    )
+    ok_alpha = alpha > 0.05
+    ok_sandwich = se[0] > se_naive[0]
+    return (
+        cohort.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            "n",
+            F.lit(ok_alpha).alias("alpha_recovered"),
+            F.lit(ok_sandwich).alias("sandwich_exceeds_naive"),
+        )
+    )
+
+
 def q_stats_zip(spark, sf_dir):
     """Zero-inflated Poisson fit (operators/stats.py::
     zero_inflated_poisson) on a NATURALLY zero-inflated quantity:
@@ -15433,6 +16029,406 @@ def _zip_em_sql(iters: int = 15) -> str:
 
 
 _STATS_ZIP_SQL = _zip_em_sql(15)
+
+
+_STATS_GEE_SQL = """
+    WITH f AS (
+        SELECT
+          ((CAST(concat('0x', substring(md5(o_custkey::VARCHAR), 1, 8))
+                 AS BIGINT) % 1000000) / 1000000.0 - 0.5) * 2.0 * 4.0
+              AS shock,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u1,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9
+        FROM orders
+    ),
+    g AS (
+        SELECT CASE WHEN u1 < 0.5 THEN 1 ELSE 0 END AS x,
+               u9, shock
+        FROM f
+    ),
+    coh AS (
+        SELECT x,
+               CASE WHEN u9 < 1.0 / (1.0 + exp(-(-1.0 + 1.2 * x
+                                                 + shock)))
+                    THEN 1 ELSE 0 END AS y
+        FROM g
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS alpha_recovered,
+           true AS sandwich_exceeds_naive
+    FROM coh GROUP BY 1, 2
+"""
+
+
+_CINDEX_UNO_COH = """
+    f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u1,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 25, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u25
+        FROM orders
+    ),
+    lpf AS (
+        SELECT 0.9 * (CASE WHEN u1 < 0.5 THEN 1.0 ELSE 0.0 END)
+               + 0.4 * (CASE WHEN u9 < 0.5 THEN 1.0 ELSE 0.0 END)
+                   AS score,
+               CASE WHEN u1 < 0.5 THEN 1.0 ELSE 0.0 END AS x1,
+               u17, u25
+        FROM f
+    )
+"""
+
+
+_SURVIVAL_CINDEX_UNO_SQL = f"""
+    WITH {_CINDEX_UNO_COH},
+    tc AS (
+        SELECT score,
+               -ln(u17 + 0.000000001) / (0.04 * exp(score)) AS tv,
+               -ln(u25 + 0.000000001) / (0.02 * exp(0.5 * x1)) AS cv
+        FROM lpf
+    ),
+    coh AS (
+        SELECT score,
+               CAST(least(floor(least(tv, cv)) + 1, 30) AS BIGINT)
+                   AS duration,
+               CASE WHEN tv <= cv AND tv < 30 THEN 1 ELSE 0 END
+                   AS event
+        FROM tc
+    ),
+    gkm0 AS (
+        SELECT duration,
+               CAST(sum(1 - event) AS BIGINT) AS n_event,
+               CAST(sum(event) AS BIGINT) AS n_censored
+        FROM coh GROUP BY duration
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM coh),
+    gat AS (
+        SELECT k.duration, k.n_event,
+               CAST(n.n_tot - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM gkm0 k CROSS JOIN nt n
+    ),
+    gterms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM gat
+    ),
+    gcurve AS (
+        SELECT duration AS gt,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS g
+        FROM gterms
+        WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+    ),
+    cells AS (
+        SELECT duration AS t, score AS s,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM coh GROUP BY 1, 2
+    ),
+    evc AS (
+        SELECT c.t AS te, c.s AS se, c.d AS de,
+               CAST(round((1.0 / (greatest(coalesce(
+                        (SELECT max_by(g.g, g.gt) FROM gcurve g
+                         WHERE g.gt < c.t), 1.0), 0.01)
+                    * greatest(coalesce(
+                        (SELECT max_by(g.g, g.gt) FROM gcurve g
+                         WHERE g.gt < c.t), 1.0), 0.01)))
+                    * 1000000.0, 0) AS BIGINT) AS wm
+        FROM cells c WHERE c.d > 0 AND c.t < 25
+    ),
+    pairs AS (
+        SELECT e.se, a.s, e.de, e.wm, a.n
+        FROM cells a JOIN evc e ON a.t > e.te
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN se > s THEN de * wm * n * 2
+                        WHEN se = s THEN de * wm * n
+                        ELSE 0 END) AS num2,
+               sum(de * wm * n) AS den
+        FROM pairs
+    ),
+    wev AS (SELECT sum(de * wm) AS w FROM evc)
+    SELECT CAST(25 AS BIGINT) AS tau,
+           round(coalesce(CAST(w.w AS DOUBLE), 0.0) / 1000000.0, 6)
+               AS weight_events,
+           round(coalesce(CAST(a.den AS DOUBLE), 0.0) / 1000000.0, 6)
+               AS denom_weight,
+           CASE WHEN CAST(a.den AS DOUBLE) > 0
+                THEN round(CAST(a.num2 AS DOUBLE)
+                           / (2 * CAST(a.den AS DOUBLE)), 6)
+           END AS c_index_ipcw
+    FROM agg a CROSS JOIN wev w
+"""
+
+
+_SURVIVAL_AUC_TD_SQL = f"""
+    WITH {_CINDEX_UNO_COH},
+    tc AS (
+        SELECT score,
+               -ln(u17 + 0.000000001) / (0.04 * exp(score)) AS tv,
+               -ln(u25 + 0.000000001) / (0.02 * exp(0.5 * x1)) AS cv
+        FROM lpf
+    ),
+    coh AS (
+        SELECT score,
+               CAST(least(floor(least(tv, cv)) + 1, 30) AS BIGINT)
+                   AS duration,
+               CASE WHEN tv <= cv AND tv < 30 THEN 1 ELSE 0 END
+                   AS event
+        FROM tc
+    ),
+    gkm0 AS (
+        SELECT duration,
+               CAST(sum(1 - event) AS BIGINT) AS n_event,
+               CAST(sum(event) AS BIGINT) AS n_censored
+        FROM coh GROUP BY duration
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM coh),
+    gat AS (
+        SELECT k.duration, k.n_event,
+               CAST(n.n_tot - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM gkm0 k CROSS JOIN nt n
+    ),
+    gterms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM gat
+    ),
+    gcurve AS (
+        SELECT duration AS gt,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS g
+        FROM gterms
+        WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+    ),
+    cells AS (
+        SELECT duration AS ct, score AS s,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n,
+               coalesce((SELECT max_by(g.g, g.gt) FROM gcurve g
+                         WHERE g.gt < duration), 1.0) AS gm
+        FROM coh GROUP BY 1, 2
+    ),
+    times(t) AS (VALUES (CAST(8 AS BIGINT)), (15)),
+    cases AS (
+        SELECT t, s AS se, d AS de,
+               CAST(round((1.0 / greatest(gm, 0.01))
+                    * 1000000.0, 0) AS BIGINT) AS wm
+        FROM cells CROSS JOIN times
+        WHERE d > 0 AND ct <= t
+    ),
+    ctrl AS (
+        SELECT t, s, CAST(sum(n) AS BIGINT) AS nc
+        FROM cells CROSS JOIN times
+        WHERE ct > t GROUP BY t, s
+    ),
+    agg AS (
+        SELECT c.t,
+               sum(CASE WHEN e.se > c.s THEN e.de * e.wm * c.nc * 2
+                        WHEN e.se = c.s THEN e.de * e.wm * c.nc
+                        ELSE 0 END) AS num2,
+               sum(e.de * e.wm * c.nc) AS den
+        FROM ctrl c JOIN cases e USING (t)
+        GROUP BY c.t
+    ),
+    cw AS (SELECT t, sum(de * wm) AS w FROM cases GROUP BY t),
+    nctot AS (SELECT t, CAST(sum(nc) AS BIGINT) AS nct
+              FROM ctrl GROUP BY t)
+    SELECT ti.t AS time,
+           round(coalesce(CAST(cw.w AS DOUBLE), 0.0) / 1000000.0, 6)
+               AS n_cases_w,
+           coalesce(n.nct, 0) AS n_controls,
+           CASE WHEN CAST(a.den AS DOUBLE) > 0
+                THEN round(CAST(a.num2 AS DOUBLE)
+                           / (2 * CAST(a.den AS DOUBLE)), 6)
+           END AS auc
+    FROM times ti
+    LEFT JOIN agg a ON a.t = ti.t
+    LEFT JOIN cw ON cw.t = ti.t
+    LEFT JOIN nctot n ON n.t = ti.t
+"""
+
+
+_SURVIVAL_CALIBRATION_SQL = f"""
+    WITH {_CINDEX_UNO_COH},
+    tc AS (
+        SELECT exp(-(0.04 * exp(score)) * 10.0) AS pred,
+               -ln(u17 + 0.000000001) / (0.04 * exp(score)) AS tv,
+               -ln(u25 + 0.000000001) / 0.015 AS cv
+        FROM lpf
+    ),
+    coh AS (
+        SELECT least(CAST(floor(pred * 10) AS BIGINT) + 1, 10)
+                   AS b,
+               pred,
+               CAST(least(floor(least(tv, cv)) + 1, 30) AS BIGINT)
+                   AS duration,
+               CASE WHEN tv <= cv AND tv < 30 THEN 1 ELSE 0 END
+                   AS event
+        FROM tc
+    ),
+    stats AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(event) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(pred * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS pm
+        FROM coh GROUP BY b
+    ),
+    km AS (
+        SELECT b, duration,
+               CAST(sum(event) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS rm
+        FROM coh GROUP BY b, duration
+    ),
+    tot AS (SELECT b, count(*) AS n_subj FROM coh GROUP BY b),
+    atrisk AS (
+        SELECT k.b, k.duration, k.d,
+               CAST(t.n_subj - coalesce(
+                   sum(k.rm) OVER
+                       (PARTITION BY k.b ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM km k JOIN tot t USING (b)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(round(ln(1.0 - d / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN d > 0 AND d = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM atrisk
+    ),
+    curve AS (
+        SELECT b, duration,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS s
+        FROM terms
+        WINDOW w AS (PARTITION BY b ORDER BY duration
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    att AS (
+        SELECT b, max_by(s, duration) AS obs
+        FROM curve WHERE duration <= 10 GROUP BY b
+    )
+    SELECT s.b AS bin, s.n, s.n_events,
+           round(s.pm / s.n / 1000000.0, 6) AS mean_pred,
+           round(coalesce(a.obs, 1.0), 6) AS observed_surv,
+           round(coalesce(a.obs, 1.0)
+                 - s.pm / s.n / 1000000.0, 6) AS gap
+    FROM stats s LEFT JOIN att a USING (b)
+"""
+
+
+_SURVIVAL_BRIER_SQL = f"""
+    WITH {_CINDEX_UNO_COH},
+    tc AS (
+        SELECT exp(-(0.04 * exp(score)) * 10.0) AS pred,
+               -ln(u17 + 0.000000001) / (0.04 * exp(score)) AS tv,
+               -ln(u25 + 0.000000001) / 0.015 AS cv
+        FROM lpf
+    ),
+    coh AS (
+        SELECT pred,
+               CAST(least(floor(least(tv, cv)) + 1, 30) AS BIGINT)
+                   AS duration,
+               CASE WHEN tv <= cv AND tv < 30 THEN 1 ELSE 0 END
+                   AS event
+        FROM tc
+    ),
+    gkm0 AS (
+        SELECT duration,
+               CAST(sum(1 - event) AS BIGINT) AS n_event,
+               CAST(sum(event) AS BIGINT) AS n_censored
+        FROM coh GROUP BY duration
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM coh),
+    gat AS (
+        SELECT k.duration, k.n_event,
+               CAST(n.n_tot - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM gkm0 k CROSS JOIN nt n
+    ),
+    gterms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM gat
+    ),
+    gcurve AS (
+        SELECT duration AS gt,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS g
+        FROM gterms
+        WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+    ),
+    cells AS (
+        SELECT duration AS t0, event AS e, pred AS p,
+               CAST(count(*) AS BIGINT) AS cnt,
+               coalesce((SELECT max_by(g.g, g.gt) FROM gcurve g
+                         WHERE g.gt < duration), 1.0) AS gm
+        FROM coh GROUP BY 1, 2, 3
+    ),
+    gh AS (
+        SELECT coalesce((SELECT max_by(g.g, g.gt) FROM gcurve g
+                         WHERE g.gt <= 10), 1.0) AS ghc
+    ),
+    terms AS (
+        SELECT CASE
+            WHEN c.e = 1 AND c.t0 <= 10 THEN
+                c.cnt * CAST(round(c.p * c.p
+                    * (1.0 / greatest(c.gm, 0.01))
+                    * 1000000.0, 0) AS BIGINT)
+            WHEN c.t0 > 10 THEN
+                c.cnt * CAST(round((1.0 - c.p) * (1.0 - c.p)
+                    * (1.0 / greatest(h.ghc, 0.01))
+                    * 1000000.0, 0) AS BIGINT)
+            ELSE 0 END AS bs
+        FROM cells c CROSS JOIN gh h
+    )
+    SELECT CAST(10 AS BIGINT) AS time, n.n_tot AS n,
+           round(coalesce(sum(t.bs), 0) / 1000000.0 / n.n_tot, 6)
+               AS brier_ipcw
+    FROM terms t CROSS JOIN nt n GROUP BY n.n_tot
+"""
 
 
 def q_survival_ipcw_km(spark, sf_dir):
@@ -15877,6 +16873,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cure_mixture": q_survival_cure_mixture,
         "survival_km_band": q_survival_km_band,
         "stats_zip": q_stats_zip,
+        "survival_cindex_uno": q_survival_cindex_uno,
+        "survival_brier": q_survival_brier,
+        "survival_rmst_ci": q_survival_rmst_ci,
+        "survival_logrank_renyi": q_survival_logrank_renyi,
+        "survival_rmtl": q_survival_rmtl,
+        "stats_gee": q_stats_gee,
+        "survival_auc_td": q_survival_auc_td,
+        "survival_calibration": q_survival_calibration,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -19087,6 +20091,14 @@ def oracle_sql() -> dict[str, str]:
         "survival_cure_mixture": _SURVIVAL_CURE_MIXTURE_SQL,
         "survival_km_band": _SURVIVAL_KM_BAND_SQL,
         "stats_zip": _STATS_ZIP_SQL,
+        "survival_cindex_uno": _SURVIVAL_CINDEX_UNO_SQL,
+        "survival_brier": _SURVIVAL_BRIER_SQL,
+        "survival_rmst_ci": _SURVIVAL_RMST_CI_SQL,
+        "survival_logrank_renyi": _SURVIVAL_LOGRANK_RENYI_SQL,
+        "survival_rmtl": _SURVIVAL_RMTL_SQL,
+        "stats_gee": _STATS_GEE_SQL,
+        "survival_auc_td": _SURVIVAL_AUC_TD_SQL,
+        "survival_calibration": _SURVIVAL_CALIBRATION_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,

@@ -366,6 +366,14 @@ HEADLINE = [
     "survival_cure_mixture",
     "survival_km_band",
     "stats_zip",
+    "survival_cindex_uno",
+    "survival_brier",
+    "survival_rmst_ci",
+    "survival_logrank_renyi",
+    "survival_rmtl",
+    "stats_gee",
+    "survival_auc_td",
+    "survival_calibration",
 ]
 
 REGRESSION_RATIO = 1.5

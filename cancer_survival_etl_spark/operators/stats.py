@@ -3493,3 +3493,165 @@ def zero_inflated_poisson(
             F.lit(pi) + (1.0 - F.lit(pi)) * F.exp(F.lit(-lam)), 6
         ).alias("p_zero_fitted"),
     )
+
+
+def gee_logistic_exchangeable(
+    df: DataFrame,
+    cluster_col: str,
+    feature_cols,
+    y_col: str,
+    iters: int = 8,
+    return_se: bool = False,
+):
+    """GEE logistic regression with EXCHANGEABLE working correlation
+    (Liang & Zeger 1986) — the population-averaged model for
+    clustered binary outcomes (patients within hospitals, repeated
+    screens within subjects) where ``glm_logistic``'s independence
+    assumption understates the SEs. Sherman-Morrison collapses the
+    working-correlation inverse, so every cluster's contribution to
+    the estimating equations reduces to CLUSTER-LEVEL sums:
+
+        D'V⁻¹e |_c = [Σsxr − fac·(Σsx)(Σr)]/(1−α),
+        D'V⁻¹D |_c = [Σwxx' − fac·(Σsx)(Σsx)']/(1−α),
+        fac = α/(1−α+αm),   s=√w, r=(y−μ)/s,
+
+    and α itself is the moment estimate from within-cluster residual
+    products, ((Σr)²−Σr²)/2 per cluster. Scale shape per Fisher
+    iteration: ONE data-sized cluster collapse (a map-side-combined
+    groupBy producing (p+1)(p+6)/2 nano-lattice sums per cluster,
+    checkpointed), then TWO cluster-frame aggregates (the α moment
+    fold, then the α-weighted β fold + the sandwich meat Σg_c g_c')
+    — cluster count bounds the intermediate, never raw rows; driver
+    work is O(p³). Per-cluster terms micro-round before the global
+    long sums, so the fit is bit-identical under any partitioning.
+
+    The estimate is the ``iters``-iteration Fisher value from β = 0,
+    α = 0 (updates rounded to 9 dp). Under independent data α̂ ≈ 0
+    and the fit matches ``glm_logistic`` (pinned); ``return_se``
+    adds the ROBUST sandwich SEs √diag(A⁻¹BA⁻¹) — the reason to
+    reach for GEE at all.
+
+    Returns (beta, alpha) or (beta, alpha, se_robust).
+    """
+    import numpy as np
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError(
+            "gee_logistic_exchangeable: iters must be >= 1"
+        )
+    feats = list(feature_cols)
+    p = len(feats) + 1
+    nano = F.lit(1000000000.0)
+    y = F.col(y_col).cast("double")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+    n_tot = df.count()
+    beta = [0.0] * p
+    alpha = 0.0
+    a_mat = None
+    b_mat = None
+    for _ in range(iters):
+        eta = F.lit(beta[0])
+        for j, c in enumerate(feats):
+            eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        s = F.sqrt(w)
+        r = (y - mu) / s
+        aggs = [
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.round(r * nano, 0).cast("long")).alias("sr"),
+            F.sum(F.round(r * r * nano, 0).cast("long")).alias("r2"),
+        ]
+        for j in range(p):
+            aggs.append(
+                F.sum(F.round(s * xs[j] * nano, 0).cast("long"))
+                .alias(f"sx{j}")
+            )
+            aggs.append(
+                F.sum(F.round(s * r * xs[j] * nano, 0).cast("long"))
+                .alias(f"sxr{j}")
+            )
+        for j in range(p):
+            for k in range(j, p):
+                aggs.append(
+                    F.sum(
+                        F.round(w * xs[j] * xs[k] * nano, 0)
+                        .cast("long")
+                    ).alias(f"wxx{j}_{k}")
+                )
+        cf = df.groupBy(F.col(cluster_col).alias("_cl")).agg(*aggs)
+        cf = cf.localCheckpoint(eager=False)
+        # alpha moment fold
+        srd = F.col("sr") / nano
+        pair = F.round(
+            (srd * srd - F.col("r2") / nano) / F.lit(2.0) * nano, 0
+        ).cast("long")
+        arow = cf.agg(
+            F.sum(pair).alias("pair_nano"),
+            F.sum(
+                (F.col("m") * (F.col("m") - 1) / 2).cast("long")
+            ).alias("npairs"),
+            F.sum("r2").alias("r2_tot"),
+        ).collect()[0]
+        phi = (arow.r2_tot / 1e9) / (n_tot - p)
+        denom = arow.npairs - p
+        alpha = round(
+            ((arow.pair_nano / 1e9) / denom) / phi if denom > 0 else 0.0,
+            9,
+        )
+        alpha = min(max(alpha, 0.0), 0.95)
+        # beta fold with alpha literal
+        al = F.lit(alpha)
+        fac = al / (F.lit(1.0) - al + al * F.col("m"))
+        one_m_a = F.lit(1.0 - alpha)
+        gexprs = []
+        for j in range(p):
+            gexprs.append(
+                (
+                    F.col(f"sxr{j}") / nano
+                    - fac * (F.col(f"sx{j}") / nano) * srd
+                )
+                / one_m_a
+            )
+        baggs = []
+        for j in range(p):
+            baggs.append(
+                F.sum(F.round(gexprs[j] * nano, 0).cast("long"))
+                .alias(f"g{j}")
+            )
+        for j in range(p):
+            for k in range(j, p):
+                a_jk = (
+                    F.col(f"wxx{j}_{k}") / nano
+                    - fac
+                    * (F.col(f"sx{j}") / nano)
+                    * (F.col(f"sx{k}") / nano)
+                ) / one_m_a
+                baggs.append(
+                    F.sum(F.round(a_jk * nano, 0).cast("long"))
+                    .alias(f"a{j}_{k}")
+                )
+                baggs.append(
+                    F.sum(
+                        F.round(gexprs[j] * gexprs[k] * nano, 0)
+                        .cast("long")
+                    ).alias(f"b{j}_{k}")
+                )
+        brow = cf.agg(*baggs).collect()[0]
+        gvec = np.array([brow[f"g{j}"] / 1e9 for j in range(p)])
+        a_mat = np.zeros((p, p))
+        b_mat = np.zeros((p, p))
+        for j in range(p):
+            for k in range(j, p):
+                a_mat[j, k] = a_mat[k, j] = brow[f"a{j}_{k}"] / 1e9
+                b_mat[j, k] = b_mat[k, j] = brow[f"b{j}_{k}"] / 1e9
+        step = np.linalg.solve(a_mat, gvec)
+        beta = [round(b + st, 9) for b, st in zip(beta, step)]
+    if return_se:
+        ainv = np.linalg.inv(a_mat)
+        cov = ainv @ b_mat @ ainv
+        return beta, alpha, [
+            round(float(np.sqrt(cov[j, j])), 9) for j in range(p)
+        ]
+    return beta, alpha

@@ -6682,3 +6682,794 @@ def km_hall_wellner_band(
         F.when(ok, F.round(F.least(F.lit(1.0), s + half), 6))
         .alias("band_upper"),
     )
+
+
+def _g_left_limit(cells, g_curve, time_col: str):
+    """Attach the pooled censoring-survival left limit Ĝ(t−) to a
+    cell frame: the reverse-KM curve value at the largest flipped-
+    event time STRICTLY below ``time_col`` (no such time → 1.0) —
+    the ``ipcw_km`` tie convention, via a broadcast argmax join."""
+    c = cells.alias("c")
+    gc = g_curve.alias("g")
+    keep = [F.col(f"c.{k}") for k in cells.columns]
+    return (
+        c.join(
+            F.broadcast(gc),
+            F.col(f"c.{time_col}") > F.col("g._gt"),
+            "left",
+        )
+        .groupBy(*keep)
+        .agg(
+            F.max(
+                F.struct(F.col("g._gt").alias("_t"),
+                         F.col("g._g").alias("_gv"))
+            ).alias("_b")
+        )
+        .select(*keep, F.coalesce(F.col("_b._gv"), F.lit(1.0))
+                .alias("_gm"))
+    )
+
+
+def concordance_index_ipcw(
+    df: DataFrame,
+    score_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    tau: int | None = None,
+    min_g: float = 0.01,
+) -> DataFrame:
+    """Uno's censoring-robust concordance (Uno et al. 2011) — the
+    IPCW-weighted C-statistic whose population target does NOT
+    depend on the study's own censoring distribution (Harrell's C
+    does): each comparable pair (i died at t_i < τ, j observed past
+    t_i) is weighted by Ĝ(t_i−)⁻² with Ĝ the pooled reverse KM,
+
+        C_τ = Σ Δ_i Ĝ⁻²·(1{s_i>s_j} + ½·1{s_i=s_j}) / Σ Δ_i Ĝ⁻²,
+
+    over STRICT pairs t_i < t_j only (Uno's comparability; the
+    same-time event/censored arm Harrell adds is deliberately not
+    weighted — documented difference). With no censoring Ĝ ≡ 1 and
+    no tied-time arm exists, so C_τ≥max equals ``concordance_index``
+    exactly (pinned). Weights clip at 1/max(Ĝ, min_g)² (positivity,
+    the ipcw_km convention).
+
+    Scale shape: ``km_curve`` once on the flipped indicator (its one
+    cell collapse), ONE (duration, score) cell collapse, a broadcast
+    argmax join for Ĝ(t−), then the same cell×event-cell broadcast
+    fold as ``concordance_index`` with per-pair products accumulated
+    in decimal(38,0) on the ½/micro lattices — exact and
+    order-independent at any magnitude.
+
+    Returns one row: tau, n_events_used, denom_weight,
+    c_index_ipcw (6 dp; NULL if no comparable weighted pair).
+    """
+    ev = F.col(event_col).cast("long")
+    dur = F.col(duration_col).cast("long")
+    if tau is None:
+        tau = int(df.agg(F.max(dur).alias("m")).collect()[0].m) + 1
+    tau = int(tau)
+    g_curve = km_curve(
+        df.select(F.lit(1).alias("_g1"), dur.alias("_dur"),
+                  (1 - ev).alias("_cev")),
+        ["_g1"],
+        "_dur",
+        "_cev",
+    ).select(F.col("_dur").alias("_gt"), F.col("survival").alias("_g"))
+    cells = df.groupBy(
+        dur.alias("_t"), F.col(score_col).cast("double").alias("_s")
+    ).agg(
+        F.sum(ev).alias("_d"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cells = cells.localCheckpoint(eager=False)
+    evc = (
+        cells.filter((F.col("_d") > 0) & (F.col("_t") < F.lit(tau)))
+        .select(F.col("_t").alias("_te"), F.col("_s").alias("_se"),
+                F.col("_d").alias("_de"))
+    )
+    evc = _g_left_limit(evc, g_curve, "_te")
+    gclip = F.greatest(F.col("_gm"), F.lit(float(min_g)))
+    evc = evc.select(
+        "_te", "_se", "_de",
+        _micro(F.lit(1.0) / (gclip * gclip)).alias("_wm"),
+    )
+    evc = evc.localCheckpoint(eager=False)
+    pairs = cells.join(
+        F.broadcast(evc), F.col("_t") > F.col("_te"), "inner"
+    )
+    dec = "decimal(38,0)"
+    base = F.col("_de").cast(dec) * F.col("_wm") * F.col("_n")
+    agg = pairs.agg(
+        F.sum(
+            F.when(F.col("_se") > F.col("_s"), base * 2)
+            .when(F.col("_se") == F.col("_s"), base)
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("_num2"),
+        F.sum(base).alias("_den"),
+    )
+    wev = evc.agg(
+        F.sum(F.col("_de").cast(dec) * F.col("_wm")).alias("_wev")
+    )
+    agg = agg.crossJoin(F.broadcast(wev))
+    den = F.col("_den").cast("double")
+    return agg.select(
+        F.lit(tau).cast("long").alias("tau"),
+        F.round(
+            F.coalesce(F.col("_wev").cast("double"), F.lit(0.0))
+            / F.lit(1000000.0),
+            6,
+        ).alias("weight_events"),
+        F.round(
+            F.coalesce(den, F.lit(0.0)) / F.lit(1000000.0), 6
+        ).alias("denom_weight"),
+        F.when(
+            den > 0,
+            F.round(F.col("_num2").cast("double") / (2 * den), 6),
+        ).alias("c_index_ipcw"),
+    )
+
+
+def brier_score_ipcw(
+    df: DataFrame,
+    pred_col: str,
+    times: Sequence[int],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    min_g: float = 0.01,
+) -> DataFrame:
+    """IPCW Brier score (Graf et al. 1999) — the calibration+
+    discrimination loss for survival predictions under censoring:
+    with ŷ_i the model's predicted S(t₀ | x_i),
+
+        BS(t₀) = n⁻¹ Σ [ ŷ²·1{T≤t₀,Δ=1}/Ĝ(T−)
+                        + (1−ŷ)²·1{T>t₀}/Ĝ(t₀) ],
+
+    censored-before-t₀ subjects contribute 0 (their outcome is
+    unknown; the IPCW terms reweight the known ones). Ĝ is the
+    pooled reverse KM; Ĝ(T−) is the strict left limit (ipcw_km tie
+    convention) and Ĝ(t₀) the curve value at the largest flipped-
+    event time ≤ t₀. Weights clip at 1/max(Ĝ, min_g). With no
+    censoring Ĝ ≡ 1 and BS(t₀) is the plain Brier score of the
+    binary outcome 1{T > t₀} against ŷ (pinned).
+
+    Scale shape: ``km_curve`` once on the flipped indicator, ONE
+    (duration, event, prediction) cell collapse (predictions take
+    one value per covariate pattern — the house cell contract), two
+    broadcast argmax reads of Ĝ, then one cell-sized aggregate per
+    horizon on the micro lattice.
+
+    Returns one row per horizon: time, n, brier_ipcw (6 dp).
+    """
+    ts = sorted({int(t) for t in times})
+    if not ts:
+        raise ValueError("brier_score_ipcw: times must be non-empty")
+    spark = df.sparkSession
+    ev = F.col(event_col).cast("long")
+    dur = F.col(duration_col).cast("long")
+    g_curve = km_curve(
+        df.select(F.lit(1).alias("_g1"), dur.alias("_dur"),
+                  (1 - ev).alias("_cev")),
+        ["_g1"],
+        "_dur",
+        "_cev",
+    ).select(F.col("_dur").alias("_gt"), F.col("survival").alias("_g"))
+    g_curve = g_curve.localCheckpoint(eager=False)
+    cells = df.groupBy(
+        dur.alias("_t"),
+        ev.alias("_e"),
+        F.col(pred_col).cast("double").alias("_p"),
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    cells = _g_left_limit(cells, g_curve, "_t")
+    cells = cells.localCheckpoint(eager=False)
+    n_tot = df.count()
+    gmin = F.lit(float(min_g))
+    tdf = spark.createDataFrame([(t,) for t in ts], "t long")
+    # G(t0): inclusive read of the reverse-KM curve at the horizon
+    gh = (
+        g_curve.crossJoin(F.broadcast(tdf))
+        .filter(F.col("_gt") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.max(F.struct(F.col("_gt"), F.col("_g"))).alias("_b"))
+        .select("t", F.col("_b._g").alias("_gh"))
+    )
+    grid = cells.crossJoin(F.broadcast(tdf)).join(
+        F.broadcast(gh), ["t"], "left"
+    ).withColumn("_ghc", F.coalesce(F.col("_gh"), F.lit(1.0)))
+    w_ev = F.lit(1.0) / F.greatest(F.col("_gm"), gmin)
+    w_h = F.lit(1.0) / F.greatest(F.col("_ghc"), gmin)
+    term = F.when(
+        (F.col("_e") == 1) & (F.col("_t") <= F.col("t")),
+        F.col("_cnt") * _micro(F.col("_p") * F.col("_p") * w_ev),
+    ).when(
+        F.col("_t") > F.col("t"),
+        F.col("_cnt")
+        * _micro(
+            (F.lit(1.0) - F.col("_p"))
+            * (F.lit(1.0) - F.col("_p"))
+            * w_h
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    out = (
+        grid.groupBy("t")
+        .agg(F.sum(term).alias("_bs"))
+        .select(
+            F.col("t").alias("time"),
+            F.lit(n_tot).cast("long").alias("n"),
+            F.round(
+                F.coalesce(F.col("_bs"), F.lit(0).cast("long"))
+                / F.lit(1000000.0)
+                / F.lit(float(n_tot)),
+                6,
+            ).alias("brier_ipcw"),
+        )
+    )
+    return tdf.join(out, tdf.t == out.time, "inner").select(
+        "time", "n", "brier_ipcw"
+    )
+
+
+def rmst_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    tau: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    z: float = 1.96,
+) -> DataFrame:
+    """Restricted mean survival time WITH its large-sample SE and
+    Wald CI (the survRM2/Klein-Moeschberger variance trialists
+    report):
+
+        Var(RMST) = Σ_{events t_j ≤ τ} A_j² · d_j/(Y_j(Y_j − d_j)),
+        A_j = ∫_{t_j}^{τ} Ŝ(t) dt,
+
+    the Greenwood-weighted squared remaining areas. A_j needs the
+    area up to EACH event time, which by the same summation-by-parts
+    identity as ``rmst`` is t_j·Ŝ(t_j) + Σ_{t_i ≤ t_j} t_i·drop_i —
+    so the whole variance costs ONE extra prefix column (inclusive
+    t·drop sums) in the pass ``rmst`` already makes, plus a
+    pico-lattice Greenwood fold. No new shuffles, no window over raw
+    rows. If the curve hits exactly 0 at or before τ the Greenwood
+    term is undefined and se/CI come back NULL (the ``km_curve``
+    convention); otherwise the CI is rmst ± z·se clipped to [0, τ].
+
+    Returns (group, n_subjects, survival_at_tau, rmst, rmst_se,
+    rmst_lower, rmst_upper), 6 dp.
+    """
+    g = list(group_cols)
+    tau = int(tau)
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(*g, duration_col).agg(
+        F.sum(ev).alias("_d"),
+        F.count(F.lit(1)).alias("_rm"),
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    cells = cells.join(totals, g)
+    cells = grouped_prefix_sum(cells, g, duration_col, "_rm", "_rm0")
+    d = F.col("_d")
+    n = F.col("_n_subj") - F.col("_rm0")
+    cells = (
+        cells.withColumn("n_risk", n)
+        .withColumn(
+            "_lt",
+            F.when(
+                (d > 0) & (d < F.col("n_risk")),
+                _micro(F.log(F.lit(1.0) - d / F.col("n_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d > 0) & (d == F.col("n_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    s_left = F.when(F.col("_dall0") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("_lt0") / F.lit(1000000.0)), 6)
+    )
+    s_incl = F.when(
+        F.col("_dall0") + F.col("_dall") > 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.exp((F.col("_lt0") + F.col("_lt")) / F.lit(1000000.0)), 6
+        )
+    )
+    t = F.col(duration_col).cast("double")
+    in_tau = F.col(duration_col) <= tau
+    drop_term = F.when(
+        in_tau & (d > 0), _micro(t * (s_left - s_incl))
+    ).otherwise(F.lit(0).cast("long"))
+    cells = cells.withColumn("_dt", drop_term).withColumn(
+        "_sincl", s_incl
+    )
+    cells = grouped_prefix_sum(cells, g, duration_col, "_dt", "_dt0")
+    # per-group totals: rmst numerator pieces + the tau read-off
+    agg = cells.groupBy(*g).agg(
+        F.max("_n_subj").alias("n_subjects"),
+        F.sum("_dt").alias("_drops"),
+        F.max(
+            F.when(
+                in_tau,
+                F.struct(
+                    F.col(duration_col).alias("_t"),
+                    F.col("_sincl").alias("_s"),
+                ),
+            )
+        ).alias("_at_tau"),
+    )
+    s_tau = F.coalesce(F.col("_at_tau._s"), F.lit(1.0))
+    agg = agg.select(
+        *g,
+        "n_subjects",
+        s_tau.alias("_stau"),
+        (
+            F.lit(float(tau)) * s_tau
+            + F.col("_drops") / F.lit(1000000.0)
+        ).alias("_rmst"),
+    )
+    # Greenwood fold: A_j^2 * d/(Y(Y-d)) per event cell <= tau
+    gr = cells.join(F.broadcast(agg), g)
+    area_to_j = (
+        t * F.col("_sincl")
+        + (F.col("_dt0") + F.col("_dt")) / F.lit(1000000.0)
+    )
+    a_j = F.col("_rmst") - area_to_j
+    gw_ok = (d > 0) & (d < F.col("n_risk")) & in_tau
+    # curve hitting exactly 0 at/before tau -> undefined variance
+    zero_hit = F.max(
+        F.when(
+            in_tau & (F.col("_dall0") + F.col("_dall") > 0), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    var_term = F.when(
+        gw_ok,
+        _pico(
+            a_j * a_j * d / (F.col("n_risk") * (F.col("n_risk") - d))
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    vagg = gr.groupBy(*g).agg(
+        F.sum(var_term).alias("_var_pico"),
+        zero_hit.alias("_zero"),
+    )
+    out = agg.join(vagg, g)
+    se = F.sqrt(F.col("_var_pico") / F.lit(1000000000000.0))
+    ok = F.col("_zero") == 0
+    return out.select(
+        *g,
+        "n_subjects",
+        F.round(F.col("_stau"), 6).alias("survival_at_tau"),
+        F.round(F.col("_rmst"), 6).alias("rmst"),
+        F.when(ok, F.round(se, 6)).alias("rmst_se"),
+        F.when(
+            ok,
+            F.round(
+                F.greatest(F.lit(0.0), F.col("_rmst") - F.lit(z) * se),
+                6,
+            ),
+        ).alias("rmst_lower"),
+        F.when(
+            ok,
+            F.round(
+                F.least(F.lit(float(tau)), F.col("_rmst") + F.lit(z) * se),
+                6,
+            ),
+        ).alias("rmst_upper"),
+    )
+
+
+def renyi_critical(alpha: float = 0.05, terms: int = 200) -> float:
+    """Two-sided Rényi critical value: the 1−α quantile of
+    sup_{[0,1]}|W(t)| for standard Brownian MOTION (K&M §7.5),
+    P(sup|W| > x) = 1 − (4/π)·Σ_{k≥0} (−1)^k/(2k+1)·
+    e^{−π²(2k+1)²/(8x²)}, solved by bisection — a pure function of
+    α shared with the oracle as a literal. x_{0.05} ≈ 2.2414."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("renyi_critical: alpha must be in (0,1)")
+    import math
+
+    def tail(x: float) -> float:
+        s = 0.0
+        for k in range(terms):
+            s += ((-1) ** k / (2 * k + 1)) * math.exp(
+                -math.pi ** 2 * (2 * k + 1) ** 2 / (8 * x * x)
+            )
+        return 1.0 - 4.0 / math.pi * s
+
+    lo, hi = 0.2, 6.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if tail(mid) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def logrank_renyi_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Rényi (supremum) log-rank test (Gill 1980; K&M §7.5) — the
+    CROSSING-hazards test: where the standard log-rank sums O−E over
+    the whole axis (early and late differences cancel when curves
+    cross), Rényi takes the supremum of the running process,
+
+        Q = sup_{t_j} |O₁−E₁|(t_j) / √V(τ),
+
+    compared to sup|W| on [0,1] (Brownian motion; critical value
+    from ``renyi_critical``). Same cells and prefix passes as
+    ``logrank_test`` plus ONE more ``global_prefix_sum`` column for
+    the running micro-lattice O−E process and a max-|·| fold — no
+    new data-sized work. Rejects where the ordinary log-rank is
+    blind (pinned with a planted crossing).
+
+    Returns one row: n_subjects_1, n_subjects_2, observed_1,
+    expected_1, variance, q_renyi, q_crit, reject, plus the ordinary
+    chi_square for side-by-side reading.
+    """
+    crit = renyi_critical(alpha)
+    gvals = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col)
+        .collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(
+            f"logrank_renyi_test needs exactly 2 groups, got {gvals}"
+        )
+    g1 = gvals[0]
+    is1 = (F.col(group_col) == F.lit(g1)).cast("long")
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(duration_col).agg(
+        F.sum(ev * is1).alias("d1"),
+        F.sum(ev).alias("d"),
+        F.sum(is1).alias("rm1"),
+        F.count(F.lit(1)).alias("rm"),
+    )
+    tot = df.agg(
+        F.sum(is1).alias("_n1"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cells = global_prefix_sum(
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
+    ).crossJoin(F.broadcast(tot))
+    n1 = F.col("_n1") - F.col("rm1_before")
+    n = F.col("_n") - F.col("rm_before")
+    d = F.col("d")
+    p1 = n1 / n
+    e_term = F.when(d > 0, _micro(d * p1)).otherwise(
+        F.lit(0).cast("long")
+    )
+    v_term = F.when(
+        (d > 0) & (n > 1),
+        _micro(d * p1 * (F.lit(1.0) - p1) * (n - d) / (n - F.lit(1))),
+    ).otherwise(F.lit(0).cast("long"))
+    cells = cells.withColumn(
+        "_oe_cell", F.col("d1") * F.lit(1000000) - e_term
+    ).withColumn("_e", e_term).withColumn("_v", v_term)
+    cells = global_prefix_sum(
+        cells, duration_col, "_oe_cell", "_oe0"
+    )
+    run_abs = F.abs(F.col("_oe0") + F.col("_oe_cell"))
+    agg = cells.agg(
+        F.max("_n1").alias("n_subjects_1"),
+        (F.max("_n") - F.max("_n1")).alias("n_subjects_2"),
+        F.sum("d1").alias("observed_1"),
+        F.round(F.sum("_e") / F.lit(1000000.0), 6).alias("expected_1"),
+        F.round(F.sum("_v") / F.lit(1000000.0), 6).alias("variance"),
+        F.max(run_abs).alias("_sup"),
+        (F.sum("d1") - F.sum("_e") / F.lit(1000000.0)).alias("_oe"),
+        (F.sum("_v") / F.lit(1000000.0)).alias("_vv"),
+    )
+    q = F.col("_sup") / F.lit(1000000.0) / F.sqrt(F.col("_vv"))
+    return agg.select(
+        "n_subjects_1",
+        "n_subjects_2",
+        "observed_1",
+        "expected_1",
+        "variance",
+        F.round(q, 6).alias("q_renyi"),
+        F.round(F.lit(crit), 6).alias("q_crit"),
+        (q > F.lit(crit)).alias("reject"),
+        F.round(
+            F.col("_oe") * F.col("_oe") / F.col("_vv"), 6
+        ).alias("chi_square"),
+    )
+
+
+def rmtl_competing(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    causes: Sequence[int],
+    tau: int,
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """Restricted mean time LOST to each competing cause (Andersen
+    2013) — the CIF-side twin of ``rmst``: RMTL_k(τ) = ∫₀^τ CIF_k dt,
+    the expected time lost to cause k within the horizon. Since each
+    Aalen-Johansen increment ΔF_k(t) = S(t−)·d_k/n contributes its
+    remaining length, the integral is the single-aggregate fold
+
+        RMTL_k = Σ_{t ≤ τ} ΔF_k(t) · (τ − t)
+
+    over the SAME micro-lattice increment columns
+    ``cif_competing_risks`` builds — same cells, same three prefix
+    passes, one extra scalar fold; no new shuffles. The causes
+    partition all-cause time lost: Σ_k RMTL_k ≈ τ − RMST (exact up
+    to the two estimators' independent 1e-6 lattices; pinned in
+    tests at 1e-4).
+
+    Returns one row per (group, cause): n_subjects, cif_at_tau,
+    rmtl (6 dp).
+    """
+    g = list(group_cols)
+    causes = [int(k) for k in causes]
+    tau = int(tau)
+    cz = F.col(cause_col).cast("long")
+    cells = df.groupBy(*g, duration_col).agg(
+        F.sum((cz > 0).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_rm"),
+        *[
+            F.sum((cz == F.lit(k)).cast("long")).alias(f"_d_{k}")
+            for k in causes
+        ],
+    )
+    totals = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    cells = cells.join(totals, g)
+    cells = grouped_prefix_sum(cells, g, duration_col, "_rm", "_rm0")
+    d = F.col("_d")
+    n = F.col("_n_subj") - F.col("_rm0")
+    cells = (
+        cells.withColumn("n_risk", n)
+        .withColumn(
+            "_lt",
+            F.when(
+                (d > 0) & (d < F.col("n_risk")),
+                _micro(F.log(F.lit(1.0) - d / F.col("n_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_dall",
+            F.when((d > 0) & (d == F.col("n_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_rm", "_rm0")
+    )
+    cells = grouped_prefix_sum(
+        cells, g, duration_col, ["_lt", "_dall"], ["_lt0", "_dall0"]
+    )
+    s_left = F.when(F.col("_dall0") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt0") / F.lit(1000000.0))
+    )
+    for k in causes:
+        dk = F.col(f"_d_{k}")
+        cells = cells.withColumn(
+            f"_t_{k}",
+            F.when(
+                dk > 0, _micro(s_left * dk / F.col("n_risk"))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    in_tau = F.col(duration_col) <= tau
+    t = F.col(duration_col).cast("long")
+    aggs = [F.max("_n_subj").alias("n_subjects")]
+    for k in causes:
+        aggs.append(
+            F.sum(F.when(in_tau, F.col(f"_t_{k}")).otherwise(
+                F.lit(0).cast("long")
+            )).alias(f"_f_{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    in_tau,
+                    F.col(f"_t_{k}") * (F.lit(tau) - t),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"_l_{k}")
+        )
+    agg = cells.groupBy(*g).agg(*aggs)
+    stack_expr = (
+        "stack({n}, {args}) as (cause, _f, _l)".format(
+            n=len(causes),
+            args=", ".join(f"{k}L, _f_{k}, _l_{k}" for k in causes),
+        )
+    )
+    return agg.select(
+        *g, "n_subjects", F.expr(stack_expr)
+    ).select(
+        *g,
+        "cause",
+        "n_subjects",
+        F.round(F.col("_f") / F.lit(1000000.0), 6).alias("cif_at_tau"),
+        F.round(F.col("_l") / F.lit(1000000.0), 6).alias("rmtl"),
+    )
+
+
+def auc_time_dependent(
+    df: DataFrame,
+    score_col: str,
+    times: Sequence[int],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    min_g: float = 0.01,
+) -> DataFrame:
+    """Time-dependent cumulative/dynamic ROC AUC with IPCW weights
+    (Heagerty & Zheng 2005; Uno 2007) — the discrimination metric at
+    a HORIZON, where the C-index averages over all of follow-up:
+    cases are subjects who died by t₀ (Δ=1, T ≤ t₀), controls are
+    those observed past t₀,
+
+        AUC(t₀) = Σ_i w_i·(#ctrl s<s_i + ½·#ctrl s=s_i)
+                  / (Σ_i w_i · #ctrl),   w_i = Ĝ(T_i−)⁻¹,
+
+    — the control-side IPCW weight 1/Ĝ(t₀) is COMMON to every
+    control, so it cancels and the fold needs only case weights
+    (documented). Ĝ is the pooled reverse KM with the strict left
+    limit (ipcw_km convention); weights clip at 1/max(Ĝ, min_g).
+    With no censoring AUC(t₀) is the plain rank statistic of the
+    binary outcome 1{T ≤ t₀} (pinned).
+
+    Scale shape: ``km_curve`` once on the flipped indicator, ONE
+    (duration, score) cell collapse, broadcast Ĝ(t−) argmax, then
+    per horizon a case-cell × control-score fold that partially
+    aggregates map-side (decimal(38,0) on the micro/half lattices).
+
+    Returns one row per horizon: time, n_cases_w (6 dp), n_controls,
+    auc (6 dp; NULL when either side is empty).
+    """
+    ts = sorted({int(t) for t in times})
+    if not ts:
+        raise ValueError("auc_time_dependent: times must be non-empty")
+    spark = df.sparkSession
+    ev = F.col(event_col).cast("long")
+    dur = F.col(duration_col).cast("long")
+    g_curve = km_curve(
+        df.select(F.lit(1).alias("_g1"), dur.alias("_dur"),
+                  (1 - ev).alias("_cev")),
+        ["_g1"],
+        "_dur",
+        "_cev",
+    ).select(F.col("_dur").alias("_gt"), F.col("survival").alias("_g"))
+    cells = df.groupBy(
+        dur.alias("_t"), F.col(score_col).cast("double").alias("_s")
+    ).agg(
+        F.sum(ev).alias("_d"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cells = _g_left_limit(cells, g_curve, "_t")
+    cells = cells.localCheckpoint(eager=False)
+    gmin = F.lit(float(min_g))
+    wm = _micro(F.lit(1.0) / F.greatest(F.col("_gm"), gmin))
+    tdf = spark.createDataFrame([(t,) for t in ts], "t long")
+    cases = (
+        cells.crossJoin(F.broadcast(tdf))
+        .filter((F.col("_d") > 0) & (F.col("_t") <= F.col("t")))
+        .select(
+            "t",
+            F.col("_s").alias("_se"),
+            F.col("_d").alias("_de"),
+            wm.alias("_wm"),
+        )
+    )
+    controls = (
+        cells.crossJoin(F.broadcast(tdf))
+        .filter(F.col("_t") > F.col("t"))
+        .groupBy("t", "_s")
+        .agg(F.sum("_n").alias("_nc"))
+    )
+    dec = "decimal(38,0)"
+    pairs = controls.alias("c").join(
+        F.broadcast(cases.alias("e")), on=["t"], how="inner"
+    )
+    base = (
+        F.col("e._de").cast(dec) * F.col("e._wm") * F.col("c._nc")
+    )
+    agg = pairs.groupBy("t").agg(
+        F.sum(
+            F.when(F.col("e._se") > F.col("c._s"), base * 2)
+            .when(F.col("e._se") == F.col("c._s"), base)
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("_num2"),
+        F.sum(base).alias("_den"),
+    )
+    cw = cases.groupBy("t").agg(
+        F.sum(F.col("_de").cast(dec) * F.col("_wm")).alias("_cw")
+    )
+    nc = controls.groupBy("t").agg(F.sum("_nc").alias("_nc_tot"))
+    out = (
+        tdf.join(agg, ["t"], "left")
+        .join(cw, ["t"], "left")
+        .join(nc, ["t"], "left")
+    )
+    den = F.col("_den").cast("double")
+    return out.select(
+        F.col("t").alias("time"),
+        F.round(
+            F.coalesce(F.col("_cw").cast("double"), F.lit(0.0))
+            / F.lit(1000000.0),
+            6,
+        ).alias("n_cases_w"),
+        F.coalesce(F.col("_nc_tot"), F.lit(0).cast("long")).alias(
+            "n_controls"
+        ),
+        F.when(
+            den > 0,
+            F.round(F.col("_num2").cast("double") / (2 * den), 6),
+        ).alias("auc"),
+    )
+
+
+def survival_calibration(
+    df: DataFrame,
+    pred_col: str,
+    t0: int,
+    n_bins: int = 10,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Calibration of survival predictions at a horizon (the
+    reliability diagram trialists plot next to AUC(t) and the Brier
+    score): subjects bin by predicted S(t₀|x) into ``n_bins``
+    fixed-width bins on [0, 1] (deterministic — no quantile pass),
+    and each bin's OBSERVED survival is its own Kaplan-Meier read at
+    t₀ — the censoring-correct observed rate (a raw event fraction
+    would be biased; this is Graf's recommendation). A calibrated
+    model tracks the diagonal: observed ≈ mean predicted per bin.
+
+    Scale shape: one projection adds the bin key; ``km_curve`` per
+    bin is the usual cell collapse with bin in the group key; the
+    bin means are one micro-lattice aggregate; the t₀ read-off is a
+    broadcast struct-max join. Returns one row per non-empty bin:
+    bin (1-based), n, n_events, mean_pred, observed_surv (KM at t₀;
+    1.0 when the bin has no event/censor cell ≤ t₀), gap =
+    observed − mean_pred (6 dp).
+    """
+    n_bins = int(n_bins)
+    if n_bins < 2:
+        raise ValueError("survival_calibration: n_bins must be >= 2")
+    t0 = int(t0)
+    p = F.col(pred_col).cast("double")
+    binc = F.least(
+        F.floor(p * n_bins).cast("long") + 1, F.lit(n_bins)
+    )
+    base = df.select(
+        binc.alias("_bin"),
+        p.alias("_p"),
+        F.col(duration_col).alias("_dur"),
+        F.col(event_col).cast("int").alias("_ev"),
+    )
+    stats = base.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_ev").cast("long").alias("n_events"),
+        F.sum(_micro(F.col("_p"))).alias("_pm"),
+    )
+    km = km_curve(base, ["_bin"], "_dur", "_ev")
+    at_t0 = (
+        km.filter(F.col("_dur") <= t0)
+        .groupBy("_bin")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_dur").alias("_t"),
+                    F.col("survival").alias("_s"),
+                )
+            ).alias("_b")
+        )
+        .select("_bin", F.col("_b._s").alias("_obs"))
+    )
+    out = stats.join(F.broadcast(at_t0), ["_bin"], "left")
+    obs = F.coalesce(F.col("_obs"), F.lit(1.0))
+    mean_pred = F.col("_pm") / F.col("n") / F.lit(1000000.0)
+    return out.select(
+        F.col("_bin").alias("bin"),
+        "n",
+        "n_events",
+        F.round(mean_pred, 6).alias("mean_pred"),
+        F.round(obs, 6).alias("observed_surv"),
+        F.round(obs - mean_pred, 6).alias("gap"),
+    )

@@ -857,3 +857,168 @@ def kll_quantile_batch(events: DataFrame, k: int = 200) -> pd.DataFrame:
         columns=["event_type", "n_total", "n_items", "p50", "p95",
                  "p99"],
     )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cusum_pos", LongType()),
+        StructField("cusum_neg", LongType()),
+        StructField("n_alarm_pos", LongType()),
+        StructField("n_alarm_neg", LongType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s_pos", LongType()),
+        StructField("s_neg", LongType()),
+        StructField("a_pos", LongType()),
+        StructField("a_neg", LongType()),
+    ]
+)
+
+
+class CusumProcessor(StatefulProcessor):
+    """Streaming two-sided CUSUM chart per key (Page 1954) — the
+    ONLINE form of ``timeseries.cusum_changepoints``: the batch
+    operator references each key's own full-series mean (unknowable
+    mid-stream), so the streaming twin takes the classic KNOWN
+    in-control target ``ref_cents`` and runs the textbook recursion
+
+        S⁺ ← max(0, S⁺ + (y − ref − k)),  alarm & restart at S⁺ ≥ h
+        S⁻ ← max(0, S⁻ + (ref − y − k)),  alarm & restart at S⁻ ≥ h
+
+    with Page's restart-after-alarm convention. ALL state is exact
+    integer cents (value cents via banker's rounding, shared with
+    the batch reference), so the fold is bit-identical under any
+    Arrow-batch slicing and micro-batch arrival order — the sliced-
+    fold == batch pin holds EXACTLY, no float drift. Rows fold in
+    (ts, tiebreak) order within each batch; state is a fixed-width
+    5-long struct per key (store grows with key cardinality only;
+    ``ttl_ms`` bounds idle keys)."""
+
+    def __init__(
+        self,
+        ref_cents: int,
+        k_slack_cents: int = 0,
+        h_cents: int = 500,
+        value_col: str = "value",
+        ts_col: str = "ts",
+        tiebreak_col: str = "event_id",
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._ref = int(ref_cents)
+        self._k = int(k_slack_cents)
+        self._h = int(h_cents)
+        self._value_col = value_col
+        self._ts_col = ts_col
+        self._tiebreak_col = tiebreak_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "cusum", _CUSUM_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def fold(self, st, values):
+        n, s_pos, s_neg, a_pos, a_neg = st
+        for x in values:
+            y = int(round(float(x) * 100))
+            s_pos = max(0, s_pos + (y - self._ref - self._k))
+            if s_pos >= self._h:
+                a_pos += 1
+                s_pos = 0
+            s_neg = max(0, s_neg + (self._ref - y - self._k))
+            if s_neg >= self._h:
+                a_neg += 1
+                s_neg = 0
+            n += 1
+        return n, s_pos, s_neg, a_pos, a_neg
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            self._state.get()
+            if self._state.exists()
+            else (0, 0, 0, 0, 0)
+        )
+        for pdf in rows:
+            pdf = pdf.sort_values([self._ts_col, self._tiebreak_col])
+            st = self.fold(st, pdf[self._value_col])
+        self._state.update(st)
+        n, s_pos, s_neg, a_pos, a_neg = st
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cusum_pos": [s_pos],
+                "cusum_neg": [s_neg],
+                "n_alarm_pos": [a_pos],
+                "n_alarm_neg": [a_neg],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_cusum(
+    events: DataFrame,
+    ref_cents: int,
+    k_slack_cents: int = 0,
+    h_cents: int = 500,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-user two-sided CUSUM drift chart over (user_id,
+    ts, event_id, value) via ``transformWithStateInPandas`` —
+    update-mode emissions of the exact-integer chart state."""
+    return events.select(
+        "user_id", "ts", "event_id", "value"
+    ).groupBy("user_id").transformWithStateInPandas(
+        CusumProcessor(
+            ref_cents=ref_cents,
+            k_slack_cents=k_slack_cents,
+            h_cents=h_cents,
+            ttl_ms=ttl_ms,
+        ),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def cusum_batch(
+    events: DataFrame,
+    ref_cents: int,
+    k_slack_cents: int = 0,
+    h_cents: int = 500,
+) -> pd.DataFrame:
+    """Batch reference for ``running_cusum``'s END STATE: fold each
+    user's full history in (ts, event_id) order with the identical
+    integer recursion. Test-only single-process reference (the
+    running_ema_batch contract)."""
+    pdf = (
+        events.select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    proc = CusumProcessor(
+        ref_cents=ref_cents,
+        k_slack_cents=k_slack_cents,
+        h_cents=h_cents,
+    )
+    out = []
+    for uid, grp in pdf.groupby("user_id"):
+        st = proc.fold((0, 0, 0, 0, 0), grp["value"])
+        out.append((uid, *st))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "user_id", "n_events", "cusum_pos", "cusum_neg",
+            "n_alarm_pos", "n_alarm_neg",
+        ],
+    )

@@ -1361,3 +1361,137 @@ def test_transform_with_state_kll_quantiles(spark, sf_dir, tmp_path):
             rank = sum(1 for x in vals if x <= v)
             target = max(1, math.ceil(phi * n))
             assert abs(rank - target) <= tol, (r.event_type, phi)
+
+
+def test_cusum_processor_logic_matches_batch_and_detects_shift(spark):
+    """CusumProcessor: slicing-independence is EXACT (integer state —
+    fold in slices of 1, 7, and all-at-once equals the batch fold
+    bit-for-bit); a planted mean shift fires the positive side only,
+    a stable series fires nothing, and Page's restart zeroes the
+    statistic after each alarm."""
+    from cancer_survival_etl_spark.streaming.tws import (
+        CusumProcessor,
+        cusum_batch,
+    )
+
+    # planted series: user 1 stable around 10.00, user 2 shifts +4
+    # halfway, user 3 shifts down
+    rows = []
+    for i in range(200):
+        ts = i
+        rows.append((1, ts, i, 10.0 + ((i * 7) % 5 - 2) * 0.01))
+        shift = 4.0 if i >= 100 else 0.0
+        rows.append((2, ts, i, 10.0 + shift + ((i * 11) % 5 - 2) * 0.01))
+        rows.append((3, ts, i, 10.0 - (3.0 if i >= 100 else 0.0)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double"
+    )
+    ref = 1000  # 10.00 in cents
+    b = cusum_batch(df, ref_cents=ref, k_slack_cents=50,
+                    h_cents=2000).set_index("user_id")
+    assert b.loc[1, "n_alarm_pos"] == 0 and b.loc[1, "n_alarm_neg"] == 0
+    assert b.loc[2, "n_alarm_pos"] > 0 and b.loc[2, "n_alarm_neg"] == 0
+    assert b.loc[3, "n_alarm_neg"] > 0 and b.loc[3, "n_alarm_pos"] == 0
+
+    proc = CusumProcessor(ref_cents=ref, k_slack_cents=50,
+                          h_cents=2000)
+    pdf = df.toPandas().sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in pdf.groupby("user_id"):
+        vals = list(grp["value"])
+        whole = proc.fold((0, 0, 0, 0, 0), vals)
+        st1 = (0, 0, 0, 0, 0)
+        for v in vals:
+            st1 = proc.fold(st1, [v])
+        st7 = (0, 0, 0, 0, 0)
+        for j in range(0, len(vals), 7):
+            st7 = proc.fold(st7, vals[j:j + 7])
+        assert whole == st1 == st7
+        brow = b.loc[uid]
+        assert whole == (
+            brow.n_events, brow.cusum_pos, brow.cusum_neg,
+            brow.n_alarm_pos, brow.n_alarm_neg,
+        )
+
+    # restart convention: one huge point alarms once and resets to 0
+    st = proc.fold((0, 0, 0, 0, 0), [99.0])
+    assert st == (1, 0, 0, 1, 0)
+
+
+def test_transform_with_state_cusum(spark, sf_dir, tmp_path):
+    """running_cusum end-to-end over a real micro-batch run: the
+    final per-user emission equals cusum_batch of the full history
+    EXACTLY (integer state, so even the chart values pin
+    bit-for-bit)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        cusum_batch,
+        running_cusum,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_cusum(src, ref_cents=5000, k_slack_cents=100,
+                          h_cents=3000)
+            .writeStream.format("memory")
+            .queryName("tws_cusum_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    out = spark.sql(
+        """SELECT user_id,
+                  max_by(n_events, n_events) AS n_events,
+                  max_by(cusum_pos, n_events) AS cusum_pos,
+                  max_by(cusum_neg, n_events) AS cusum_neg,
+                  max_by(n_alarm_pos, n_events) AS n_alarm_pos,
+                  max_by(n_alarm_neg, n_events) AS n_alarm_neg
+           FROM tws_cusum_test GROUP BY user_id"""
+    ).toPandas()
+    assert len(out) > 0
+    expect = cusum_batch(
+        load_table(spark, sf_dir, "events"), ref_cents=5000,
+        k_slack_cents=100, h_cents=3000,
+    )
+    got = {
+        int(r.user_id): (
+            int(r.n_events), int(r.cusum_pos), int(r.cusum_neg),
+            int(r.n_alarm_pos), int(r.n_alarm_neg),
+        )
+        for r in out.itertuples()
+    }
+    want = {
+        int(r.user_id): (
+            int(r.n_events), int(r.cusum_pos), int(r.cusum_neg),
+            int(r.n_alarm_pos), int(r.n_alarm_neg),
+        )
+        for r in expect.itertuples()
+    }
+    assert got == want

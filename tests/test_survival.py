@@ -4440,3 +4440,530 @@ def test_km_hall_wellner_band(spark):
         ).collect())
     )
     assert again == sorted(map(tuple, band))
+
+
+def test_concordance_index_ipcw_reduction_and_weighted_reference(spark):
+    """Uno's C: with no censoring it equals Harrell's C exactly
+    (G == 1 and the same-time arm is empty); with censoring it
+    matches an O(n^2) weighted pair loop that reads the SAME
+    reverse-KM curve and micro-lattice weights (definitional pin);
+    exact under repartitioning."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        concordance_index,
+        concordance_index_ipcw,
+        km_curve,
+    )
+
+    # uncensored reduction
+    rows = []
+    for i in range(400):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        s = round((i % 5) / 2.0 - u, 1)
+        t = int(-math.log(u + 1e-9) / 0.2) + 1
+        rows.append((float(s), t, 1))
+    unc = spark.createDataFrame(rows, "score double, duration int, event int")
+    h = concordance_index(unc, "score").collect()[0]
+    u_ = concordance_index_ipcw(unc, "score").collect()[0]
+    assert u_.c_index_ipcw == h.c_index, (u_, h)
+
+    # censored cohort: weighted definitional loop
+    rows = []
+    for i in range(400):
+        u1 = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        s = round((i % 5) / 2.0 - u1, 1)
+        t = int(-math.log(u1 + 1e-9) / 0.25) + 1
+        c = int(-math.log(u2 + 1e-9) / 0.10) + 1
+        rows.append((float(s), min(t, c, 15),
+                     1 if t <= c and t < 15 else 0))
+    cen = spark.createDataFrame(rows, "score double, duration int, event int")
+    tau = 16
+    r = concordance_index_ipcw(cen, "score", tau=tau).collect()[0]
+    g_rows = km_curve(
+        cen.selectExpr("1 as g1", "duration as d",
+                       "1 - event as cev"),
+        ["g1"], "d", "cev",
+    ).collect()
+    gmap = sorted((x.d, x.survival) for x in g_rows)
+
+    def g_left(t):
+        vals = [sv for (gt, sv) in gmap if gt < t]
+        return vals[-1] if vals else 1.0
+
+    num2 = den = 0
+    for si, ti, ei in rows:
+        if ei != 1 or ti >= tau:
+            continue
+        wm = round(1e6 / max(g_left(ti), 0.01) ** 2)
+        for sj, tj, ej in rows:
+            if tj > ti:
+                den += wm
+                if si > sj:
+                    num2 += 2 * wm
+                elif si == sj:
+                    num2 += wm
+    assert r.c_index_ipcw == round(num2 / (2 * den), 6), (
+        r, num2 / (2 * den)
+    )
+    r32 = concordance_index_ipcw(
+        cen.repartition(32), "score", tau=tau
+    ).collect()[0]
+    assert tuple(r32) == tuple(r)
+
+
+def test_brier_score_ipcw_reductions_and_reference(spark):
+    """IPCW Brier: uncensored data reduces to the plain Brier score
+    of 1{T > t0} vs the prediction (and 0 for the perfect
+    predictor); censored data matches the definitional loop reading
+    the same reverse-KM curve on the micro lattice; empty times
+    fail fast."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        brier_score_ipcw,
+        km_curve,
+    )
+
+    rows = []
+    for i in range(500):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        t = int(-math.log(u + 1e-9) / 0.15) + 1
+        pred = round(math.exp(-0.15 * 10) * (0.8 + 0.4 * (i % 2)), 3)
+        rows.append((pred, min(t, 20), 1 if t < 20 else 0, t))
+    unc = spark.createDataFrame(
+        [(p, d, 1) for (p, d, e, t) in rows],
+        "pred double, duration int, event int",
+    )
+    r = {x.time: x for x in brier_score_ipcw(
+        unc, "pred", [10]).collect()}
+    ref = sum(
+        round(((1 if d > 10 else 0) - p) ** 2 * 1e6) / 1e6
+        for (p, d, e, t) in rows
+    ) / 500
+    assert abs(r[10].brier_ipcw - ref) < 2e-6, (r[10], ref)
+
+    perfect = spark.createDataFrame(
+        [(1.0 if d > 10 else 0.0, d, 1) for (p, d, e, t) in rows],
+        "pred double, duration int, event int",
+    )
+    rp = brier_score_ipcw(perfect, "pred", [10]).collect()[0]
+    assert rp.brier_ipcw == 0.0, rp
+
+    # censored definitional replay
+    crows = []
+    for i in range(500):
+        u1 = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        t = int(-math.log(u1 + 1e-9) / 0.15) + 1
+        c = int(-math.log(u2 + 1e-9) / 0.07) + 1
+        pred = round(0.3 + 0.4 * (i % 2), 2)
+        crows.append((pred, min(t, c, 20),
+                      1 if t <= c and t < 20 else 0))
+    cen = spark.createDataFrame(
+        crows, "pred double, duration int, event int"
+    )
+    t0 = 8
+    rc = brier_score_ipcw(cen, "pred", [t0]).collect()[0]
+    g_rows = km_curve(
+        cen.selectExpr("1 as g1", "duration as d",
+                       "1 - event as cev"),
+        ["g1"], "d", "cev",
+    ).collect()
+    gmap = sorted((x.d, x.survival) for x in g_rows)
+
+    def g_left(t):
+        vals = [sv for (gt, sv) in gmap if gt < t]
+        return vals[-1] if vals else 1.0
+
+    def g_at(t):
+        vals = [sv for (gt, sv) in gmap if gt <= t]
+        return vals[-1] if vals else 1.0
+
+    acc = 0
+    for p, d, e in crows:
+        if e == 1 and d <= t0:
+            acc += round(p * p / max(g_left(d), 0.01) * 1e6)
+        elif d > t0:
+            acc += round((1 - p) ** 2 / max(g_at(t0), 0.01) * 1e6)
+    assert rc.brier_ipcw == round(acc / 1e6 / 500, 6), (
+        rc, acc / 1e6 / 500
+    )
+    with pytest.raises(ValueError, match="times"):
+        brier_score_ipcw(cen, "pred", [])
+
+
+def test_rmst_ci_matches_rmst_and_definitional_variance(spark):
+    """rmst_ci: the point estimate equals rmst() exactly (same
+    lattice pipeline); the variance matches the survRM2 definitional
+    loop computed from the km_curve lattice values (A_j^2 Greenwood
+    fold on the pico lattice); a curve that hits exactly zero before
+    tau returns NULL se/CI; bit-identical under repartitioning."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        rmst,
+        rmst_ci,
+    )
+
+    rows = []
+    for i in range(1500):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        t = -math.log(u + 1e-9) / 0.12
+        c = -math.log(u2 + 1e-9) / 0.05
+        grp = "A" if i % 2 == 0 else "B"
+        rows.append((grp, min(int(min(t, c)) + 1, 25),
+                     1 if t <= c and t < 25 else 0))
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    tau = 20
+    r = {x.grp: x for x in rmst_ci(df, ["grp"], tau).collect()}
+    base = {x.grp: x for x in rmst(df, ["grp"], tau).collect()}
+    for gname in ("A", "B"):
+        assert r[gname].rmst == base[gname].rmst
+        assert r[gname].survival_at_tau == base[gname].survival_at_tau
+
+    km = km_curve(df, ["grp"]).collect()
+    for gname in ("A", "B"):
+        curve = sorted(
+            (x.duration, x.n_risk, x.n_event, x.survival)
+            for x in km if x.grp == gname
+        )
+        # areas by summation by parts on the same rounded S values
+        drops = []
+        s_prev = 1.0
+        for (tt, y, dd, s) in curve:
+            if dd > 0 and tt <= tau:
+                drops.append((tt, y, dd, s_prev, s))
+            s_prev = s
+        total = 0
+        for (tt, y, dd, sl, s) in drops:
+            total += round(tt * (sl - s) * 1e6)
+        s_tau = max(
+            ((tt, s) for (tt, y, dd, s) in [
+                (c[0], c[1], c[2], c[3]) for c in curve
+            ] if tt <= tau),
+            default=(None, 1.0),
+        )[1]
+        rm = tau * s_tau + total / 1e6
+        var = 0
+        run = 0
+        for (tt, y, dd, sl, s) in drops:
+            run += round(tt * (sl - s) * 1e6)
+            if dd < y:
+                a_j = rm - (tt * s + run / 1e6)
+                var += round(a_j * a_j * dd / (y * (y - dd)) * 1e12)
+        se = math.sqrt(var / 1e12)
+        assert abs(r[gname].rmst - round(rm, 6)) < 1e-9, gname
+        assert abs(r[gname].rmst_se - round(se, 6)) < 1e-9, gname
+        assert r[gname].rmst_lower < r[gname].rmst < r[gname].rmst_upper
+
+    again = sorted(
+        map(tuple, rmst_ci(df.repartition(32), ["grp"], tau).collect())
+    )
+    assert again == sorted(map(tuple, rmst_ci(df, ["grp"], tau).collect()))
+
+    # everyone dies at t=3 -> curve hits 0 before tau -> NULL se
+    dead = spark.createDataFrame(
+        [("A", 3, 1)] * 10, "grp string, duration int, event int"
+    )
+    rd = rmst_ci(dead, ["grp"], 10).collect()[0]
+    assert rd.rmst == 3.0 and rd.rmst_se is None, rd
+
+
+def test_logrank_renyi_detects_crossing_hazards(spark):
+    """Renyi supremum log-rank: on a planted CROSSING-hazards cohort
+    (B dies fast early / slow late, A constant) the ordinary
+    log-rank chi-square stays under its 3.84 cutoff while the Renyi
+    statistic exceeds its critical value; on proportional hazards
+    both agree (reject); the critical value matches K&M's 2.2414;
+    the running process replays sequentially; two-group validation
+    raises."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        logrank_renyi_test,
+        renyi_critical,
+    )
+
+    assert abs(renyi_critical(0.05) - 2.2414) < 1e-3
+    assert abs(renyi_critical(0.01) - 2.807) < 5e-3
+
+    rows = []
+    for i in range(3000):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        if i % 2 == 0:  # A: constant hazard 0.08
+            t = -math.log(u + 1e-9) / 0.08
+            grp = "A"
+        else:  # B: piecewise - fast to 5, then very slow (crossing)
+            t = -math.log(u + 1e-9) / 0.25
+            if t > 5:
+                t = 5 + (-math.log(
+                    ((i * 40503 + 7) % 999979) / 999979.0 + 1e-9
+                ) / 0.01)
+            grp = "B"
+        rows.append((grp, min(int(t) + 1, 40), 1 if t < 40 else 0))
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    r = logrank_renyi_test(df, "grp").collect()[0]
+    assert r.chi_square < 3.84, r  # ordinary log-rank blind
+    assert r.q_renyi > r.q_crit and r.reject, r
+
+    # proportional hazards: both fire
+    prop = []
+    for i in range(2000):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        haz = 0.05 if i % 2 == 0 else 0.15
+        t = -math.log(u + 1e-9) / haz
+        prop.append(("A" if i % 2 == 0 else "B",
+                     min(int(t) + 1, 30), 1 if t < 30 else 0))
+    dfp = spark.createDataFrame(prop, "grp string, duration int, event int")
+    rp = logrank_renyi_test(dfp, "grp").collect()[0]
+    assert rp.chi_square > 3.84 and rp.reject, rp
+
+    # sequential replay of the running O-E process
+    cellmap = {}
+    for grp, dur, evn in rows:
+        c = cellmap.setdefault(dur, [0, 0, 0, 0])
+        c[0] += evn if grp == "A" else 0
+        c[1] += evn
+        c[2] += 1 if grp == "A" else 0
+        c[3] += 1
+    n1 = sum(1 for g_, _, _ in rows if g_ == "A")
+    ntot = len(rows)
+    run = 0
+    sup = 0
+    vtot = 0
+    r1, rr = 0, 0
+    for dur in sorted(cellmap):
+        d1, dd, m1, mm = cellmap[dur]
+        y1, y = n1 - r1, ntot - rr
+        p1 = y1 / y
+        e = round(dd * p1 * 1e6) if dd > 0 else 0
+        if dd > 0 and y > 1:
+            vtot += round(dd * p1 * (1 - p1) * (y - dd) / (y - 1) * 1e6)
+        run += d1 * 1000000 - e
+        sup = max(sup, abs(run))
+        r1 += m1
+        rr += mm
+    assert r.q_renyi == round(sup / 1e6 / math.sqrt(vtot / 1e6), 6)
+    with pytest.raises(ValueError, match="exactly 2"):
+        logrank_renyi_test(
+            df.withColumn("grp", F.lit("X")), "grp"
+        )
+
+
+def test_rmtl_competing_identity_and_reference(spark):
+    """RMTL: per-cause time lost matches the sequential
+    increment-fold reference exactly; the causes partition all-cause
+    loss (sum RMTL_k = tau - RMST to 1e-4 across the two operators'
+    independent lattices); cause with no events loses zero;
+    bit-identical under repartitioning."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        rmst,
+        rmtl_competing,
+    )
+
+    rows = []
+    for i in range(2500):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        t = -math.log(u + 1e-9) / 0.10
+        cause = 1 if u2 < 0.6 else 2
+        dur = min(int(t) + 1, 25)
+        rows.append(("G", dur, cause if t < 25 else 0))
+    df = spark.createDataFrame(rows, "grp string, duration int, cause int")
+    tau = 20
+    r = {x.cause: x for x in rmtl_competing(
+        df, ["grp"], [1, 2], tau).collect()}
+
+    # sequential reference on the same lattices
+    cellmap = {}
+    for _, dur, cz in rows:
+        c = cellmap.setdefault(dur, [0, 0, 0, 0])
+        c[0] += 1 if cz > 0 else 0
+        c[1] += 1
+        c[2] += 1 if cz == 1 else 0
+        c[3] += 1 if cz == 2 else 0
+    n = len(rows)
+    removed = 0
+    lt = 0
+    ref = {1: 0, 2: 0}
+    cif = {1: 0, 2: 0}
+    for dur in sorted(cellmap):
+        dd, mm, d1, d2 = cellmap[dur]
+        y = n - removed
+        s_left = math.exp(lt / 1e6)
+        for k, dk in ((1, d1), (2, d2)):
+            if dk > 0 and dur <= tau:
+                inc = round(s_left * dk / y * 1e6)
+                cif[k] += inc
+                ref[k] += inc * (tau - dur)
+        if dd > 0 and dd < y:
+            lt += round(math.log(1 - dd / y) * 1e6)
+        removed += mm
+    for k in (1, 2):
+        assert r[k].rmtl == round(ref[k] / 1e6, 6), (k, r[k], ref[k])
+        assert r[k].cif_at_tau == round(cif[k] / 1e6, 6)
+
+    ev = df.selectExpr(
+        "grp", "duration",
+        "CASE WHEN cause > 0 THEN 1 ELSE 0 END AS event",
+    )
+    rm = rmst(ev, ["grp"], tau).collect()[0].rmst
+    assert abs((r[1].rmtl + r[2].rmtl) - (tau - rm)) < 1e-4
+
+    again = sorted(map(tuple, rmtl_competing(
+        df.repartition(32), ["grp"], [1, 2], tau).collect()))
+    assert again == sorted(map(tuple, rmtl_competing(
+        df, ["grp"], [1, 2], tau).collect()))
+
+
+def test_auc_time_dependent_reductions_and_reference(spark):
+    """Time-dependent IPCW AUC: with no censoring it equals the
+    plain rank AUC of the binary outcome 1{T <= t0}; a perfect
+    score (s = -T) gives 1; with censoring it matches the O(n^2)
+    weighted definitional loop reading the same reverse-KM curve;
+    empty times fail fast."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        auc_time_dependent,
+        km_curve,
+    )
+
+    rows = []
+    for i in range(400):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        s = round((i % 5) / 2.0 + u, 1)
+        t = int(-math.log(u + 1e-9) / 0.12) + 1
+        rows.append((float(s), min(t, 25), 1))
+    unc = spark.createDataFrame(rows, "score double, duration int, event int")
+    t0 = 8
+    r = auc_time_dependent(unc, "score", [t0]).collect()[0]
+    num = den = 0
+    for si, ti, _ in rows:
+        if ti > t0:
+            continue
+        for sj, tj, _ in rows:
+            if tj > t0:
+                den += 2
+                if si > sj:
+                    num += 2
+                elif si == sj:
+                    num += 1
+    assert r.auc == round(num / den, 6), (r, num / den)
+
+    perf_rows = []
+    for i in range(300):
+        u = ((i * 2654435761) % 999983) / 999983.0
+        t = min(int(-math.log(u + 1e-9) / 0.12) + 1, 25)
+        perf_rows.append((-float(t), t, 1))
+    perf = spark.createDataFrame(
+        perf_rows, "score double, duration int, event int"
+    )
+    rp = auc_time_dependent(perf, "score", [8]).collect()[0]
+    assert rp.auc == 1.0, rp
+
+    # censored weighted reference
+    crows = []
+    for i in range(400):
+        u1 = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        s = round((i % 5) / 2.0 + u1, 1)
+        t = int(-math.log(u1 + 1e-9) / 0.15) + 1
+        c = int(-math.log(u2 + 1e-9) / 0.08) + 1
+        crows.append((float(s), min(t, c, 20),
+                      1 if t <= c and t < 20 else 0))
+    cen = spark.createDataFrame(
+        crows, "score double, duration int, event int"
+    )
+    rc = auc_time_dependent(cen, "score", [t0]).collect()[0]
+    g_rows = km_curve(
+        cen.selectExpr("1 as g1", "duration as d", "1 - event as cev"),
+        ["g1"], "d", "cev",
+    ).collect()
+    gmap = sorted((x.d, x.survival) for x in g_rows)
+
+    def g_left(t):
+        vals = [sv for (gt, sv) in gmap if gt < t]
+        return vals[-1] if vals else 1.0
+
+    num2 = den2 = 0
+    for si, ti, ei in crows:
+        if ei != 1 or ti > t0:
+            continue
+        wm = round(1e6 / max(g_left(ti), 0.01))
+        for sj, tj, ej in crows:
+            if tj > t0:
+                den2 += wm
+                if si > sj:
+                    num2 += 2 * wm
+                elif si == sj:
+                    num2 += wm
+    assert rc.auc == round(num2 / (2 * den2), 6), (rc,)
+    with pytest.raises(ValueError, match="times"):
+        auc_time_dependent(cen, "score", [])
+
+
+def test_survival_calibration_true_model_tracks_diagonal(spark):
+    """Horizon calibration: predictions from the TRUE model land on
+    the diagonal (every bin |gap| small); a systematically
+    optimistic predictor shows uniformly negative gaps; the observed
+    column replays the per-bin KM read; bins with no events before
+    t0 report observed 1.0; n_bins validation."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        survival_calibration,
+    )
+
+    rows = []
+    for i in range(6000):
+        u1 = ((i * 2654435761) % 999983) / 999983.0
+        u2 = ((i * 40503 + 7) % 999979) / 999979.0
+        haz = 0.03 + 0.12 * u1  # continuous risk heterogeneity
+        t = -math.log(u2 + 1e-9) / haz
+        pred = math.exp(-haz * 10)
+        rows.append((round(pred, 4), min(int(t) + 1, 30),
+                     1 if t < 30 else 0))
+    df = spark.createDataFrame(rows, "pred double, duration int, event int")
+    cal = survival_calibration(df, "pred", 10, n_bins=8).collect()
+    assert len(cal) >= 5
+    tot = sum(r.n for r in cal)
+    assert tot == 6000
+    for r in cal:
+        if r.n >= 200:
+            assert abs(r.gap) < 0.08, r
+
+    # replay the per-bin KM read for one bin
+    bmap = {r.bin: r for r in cal}
+    base = df.selectExpr(
+        "least(CAST(floor(pred * 8) AS LONG) + 1, 8) AS b",
+        "duration", "event",
+    )
+    km = km_curve(base, ["b"]).collect()
+    some_bin = max(bmap)
+    pts = [(x.duration, x.survival) for x in km
+           if x.b == some_bin and x.duration <= 10]
+    want = max(pts)[1] if pts else 1.0
+    assert bmap[some_bin].observed_surv == round(want, 6)
+
+    # optimistic predictor: predicted S always 0.95
+    opt = df.selectExpr("0.95 AS pred", "duration", "event")
+    ro = survival_calibration(opt, "pred", 10, n_bins=8).collect()
+    assert len(ro) == 1 and ro[0].gap < -0.05, ro
+    with pytest.raises(ValueError, match="n_bins"):
+        survival_calibration(df, "pred", 10, n_bins=1)
