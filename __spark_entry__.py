@@ -15955,6 +15955,74 @@ def q_stats_gee(spark, sf_dir):
     )
 
 
+def q_demography_life_table(spark, sf_dir):
+    """Chiang abridged life table (operators/survival.py::
+    abridged_life_table) — the national-life-table construction that
+    feeds every expected-survival operator here: md5 band/death
+    draws over orders give per-band D/Y cells with age-graded
+    mortality; widths {1,4,5,5,open}. Fully closed form, so the
+    oracle replays the rate→probability conversion, the log-lattice
+    survivorship product, the L/T folds and e_x bit-exactly."""
+    from cancer_survival_etl_spark.operators.survival import (
+        abridged_life_table,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    band = F.least(F.floor(u(1) * 5).cast("int"), F.lit(4))
+    p_death = (
+        F.lit(0.004)
+        + F.lit(0.012) * band.cast("double")
+        + F.lit(0.03) * (band == 4).cast("double")
+    )
+    cohort = d.select(
+        F.lit("P").alias("grp"),
+        band.alias("band"),
+        (u(9) < p_death).cast("int").alias("deaths"),
+        (F.lit(20) + F.col("o_orderkey") % 50).cast("long").alias(
+            "person_time"
+        ),
+    )
+    return abridged_life_table(
+        cohort, ["grp"], "band", "deaths", "person_time",
+        {0: 1, 1: 4, 2: 5, 3: 5, 4: None},
+    )
+
+
+def q_stats_meta_dl(spark, sf_dir):
+    """DerSimonian-Laird meta-analysis (operators/stats.py::
+    meta_analysis_dl) pooling 25 md5-planted per-nation 'studies'
+    (heterogeneous effects ±0.6, SEs 0.05-0.25). Two aggregate
+    passes with the driver-side 9-dp τ²; the oracle replays the
+    w-moments, τ², and the w*-pool as chained scalar CTEs —
+    bit-exact, no verdict literals."""
+    from cancer_survival_etl_spark.operators.stats import (
+        meta_analysis_dl,
+    )
+
+    d = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    studies = d.select(
+        ((u(1) - 0.5) * 1.2).alias("est"),
+        (F.lit(0.05) + F.lit(0.2) * u(9)).alias("se"),
+    )
+    return meta_analysis_dl(studies, "est", "se")
+
+
 def q_stats_zip(spark, sf_dir):
     """Zero-inflated Poisson fit (operators/stats.py::
     zero_inflated_poisson) on a NATURALLY zero-inflated quantity:
@@ -16029,6 +16097,168 @@ def _zip_em_sql(iters: int = 15) -> str:
 
 
 _STATS_ZIP_SQL = _zip_em_sql(15)
+
+
+_DEMOGRAPHY_LIFE_TABLE_SQL = """
+    WITH f AS (
+        SELECT
+          least(CAST(floor(((CAST(concat('0x',
+                substring(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT)
+                % 1000000) / 1000000.0) * 5) AS INT), 4) AS band,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9,
+          o_orderkey
+        FROM orders
+    ),
+    coh AS (
+        SELECT band,
+               CASE WHEN u9 < 0.004 + 0.012 * CAST(band AS DOUBLE)
+                         + 0.03 * (CASE WHEN band = 4 THEN 1.0
+                                   ELSE 0.0 END)
+                    THEN 1 ELSE 0 END AS deaths,
+               20 + o_orderkey % 50 AS person_time
+        FROM f
+    ),
+    cells AS (
+        SELECT band,
+               CAST(sum(deaths) AS BIGINT) AS deaths,
+               CAST(sum(person_time) AS BIGINT) AS person_time,
+               CASE band WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 5
+                         WHEN 3 THEN 5 ELSE -1 END AS w
+        FROM coh GROUP BY band
+    ),
+    rates AS (
+        SELECT *,
+               deaths / person_time AS mx,
+               CASE WHEN w < 0 THEN 1.0
+                    ELSE least(1.0,
+                         CAST(w AS DOUBLE) * (deaths / person_time)
+                         / (1.0 + (CAST(w AS DOUBLE)
+                                   - 0.5 * CAST(w AS DOUBLE))
+                              * (deaths / person_time)))
+               END AS qx
+        FROM cells
+    ),
+    lq AS (
+        SELECT *,
+               CASE WHEN qx >= 1.0 THEN 0
+                    ELSE CAST(round(ln(1.0 - qx) * 1000000.0, 0)
+                              AS BIGINT) END AS lqz,
+               CASE WHEN qx >= 1.0 THEN 1 ELSE 0 END AS q1
+        FROM rates
+    ),
+    acc AS (
+        SELECT *,
+               coalesce(sum(lqz) OVER wx, 0) AS lq0,
+               coalesce(sum(q1) OVER wx, 0) AS q10
+        FROM lq
+        WINDOW wx AS (ORDER BY band
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    lvals AS (
+        SELECT *,
+            CASE WHEN q10 > 0 THEN 0.0
+                 ELSE exp(lq0 / 1000000.0) END AS lx,
+            CASE WHEN q10 + q1 > 0 THEN 0.0
+                 ELSE exp((lq0 + lqz) / 1000000.0) END AS lx1
+        FROM acc
+    ),
+    bigl AS (
+        SELECT *,
+            CAST(round((CASE WHEN w < 0 THEN
+                     (CASE WHEN mx > 0 THEN lx / mx ELSE 0.0 END)
+                ELSE CAST(w AS DOUBLE)
+                     * (lx1 + 0.5 * (lx - lx1)) END)
+                * 1000000.0, 0) AS BIGINT) AS lm
+        FROM lvals
+    ),
+    pre AS (
+        SELECT *,
+               coalesce(sum(lm) OVER (ORDER BY band
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS lm0,
+               sum(lm) OVER () AS lm_tot
+        FROM bigl
+    )
+    SELECT 'P' AS grp, band,
+           CASE WHEN w < 0 THEN NULL ELSE w END AS width,
+           deaths, person_time,
+           round(mx, 6) AS mx,
+           round(qx, 6) AS qx,
+           round(lx * 100000.0, 3) AS lx,
+           round(lm / 1000000.0 * 100000.0, 3) AS big_l,
+           round((lm_tot - lm0) / 1000000.0 * 100000.0, 3) AS t_x,
+           CASE WHEN lx > 0
+                THEN round(((lm_tot - lm0) / 1000000.0) / lx, 6)
+           END AS ex
+    FROM pre
+"""
+
+
+_STATS_META_DL_SQL = """
+    WITH s AS (
+        SELECT
+          ((CAST(concat('0x', substring(md5(n_nationkey::VARCHAR),
+                1, 8)) AS BIGINT) % 1000000) / 1000000.0 - 0.5) * 1.2
+              AS est,
+          0.05 + 0.2 * ((CAST(concat('0x',
+                substring(md5(n_nationkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0) AS se
+        FROM nation
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               sum(CAST(round(1.0 / (se * se) * 1000000.0, 0)
+                        AS BIGINT)) / 1000000.0 AS sw,
+               sum(CAST(round(1.0 / (se * se) * est * 1000000.0, 0)
+                        AS BIGINT)) / 1000000.0 AS swy,
+               sum(CAST(round(1.0 / (se * se) * est * est
+                        * 1000000.0, 0) AS BIGINT)) / 1000000.0
+                   AS swy2,
+               sum(CAST(round((1.0 / (se * se)) * (1.0 / (se * se))
+                        * 1000000.0, 0) AS BIGINT)) / 1000000.0
+                   AS sw2
+        FROM s
+    ),
+    t AS (
+        SELECT *,
+               swy2 - swy * swy / sw AS q_stat,
+               round(greatest(0.0,
+                   (swy2 - swy * swy / sw - (k - 1))
+                   / (sw - sw2 / sw)), 9) AS tau2
+        FROM m
+    ),
+    m2 AS (
+        SELECT t.*,
+               (SELECT sum(CAST(round(1.0 / (se * se + t.tau2)
+                        * 1000000.0, 0) AS BIGINT)) / 1000000.0
+                FROM s) AS swr,
+               (SELECT sum(CAST(round(1.0 / (se * se + t.tau2) * est
+                        * 1000000.0, 0) AS BIGINT)) / 1000000.0
+                FROM s) AS swry
+        FROM t
+    )
+    SELECT k,
+           round(swy / sw, 6) AS fixed,
+           round(1.0 / sqrt(sw), 6) AS fixed_se,
+           round(swy / sw - 1.96 * (1.0 / sqrt(sw)), 6)
+               AS fixed_lower,
+           round(swy / sw + 1.96 * (1.0 / sqrt(sw)), 6)
+               AS fixed_upper,
+           round(q_stat, 6) AS q_stat,
+           round(tau2, 6) AS tau2,
+           round(CASE WHEN q_stat > 0
+                 THEN greatest(0.0, (q_stat - (k - 1)) / q_stat)
+                 ELSE 0.0 END, 6) AS i2,
+           round(swry / swr, 6) AS random,
+           round(1.0 / sqrt(swr), 6) AS random_se,
+           round(swry / swr - 1.96 * (1.0 / sqrt(swr)), 6)
+               AS random_lower,
+           round(swry / swr + 1.96 * (1.0 / sqrt(swr)), 6)
+               AS random_upper
+    FROM m2
+"""
 
 
 _STATS_GEE_SQL = """
@@ -16881,6 +17111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_gee": q_stats_gee,
         "survival_auc_td": q_survival_auc_td,
         "survival_calibration": q_survival_calibration,
+        "demography_life_table": q_demography_life_table,
+        "stats_meta_dl": q_stats_meta_dl,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -20099,6 +20331,8 @@ def oracle_sql() -> dict[str, str]:
         "stats_gee": _STATS_GEE_SQL,
         "survival_auc_td": _SURVIVAL_AUC_TD_SQL,
         "survival_calibration": _SURVIVAL_CALIBRATION_SQL,
+        "demography_life_table": _DEMOGRAPHY_LIFE_TABLE_SQL,
+        "stats_meta_dl": _STATS_META_DL_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,

@@ -374,6 +374,8 @@ HEADLINE = [
     "stats_gee",
     "survival_auc_td",
     "survival_calibration",
+    "demography_life_table",
+    "stats_meta_dl",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -3655,3 +3655,99 @@ def gee_logistic_exchangeable(
             round(float(np.sqrt(cov[j, j])), 9) for j in range(p)
         ]
     return beta, alpha
+
+
+def meta_analysis_dl(
+    df: DataFrame,
+    estimate_col: str,
+    se_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Inverse-variance meta-analysis with the DerSimonian-Laird
+    random-effects model (DerSimonian & Laird 1986) — how a registry
+    network pools per-region estimates (log-HRs, log-SIRs) carrying
+    their own SEs:
+
+        fixed  = Σwy/Σw,  w = 1/se²
+        Q      = Σw·y² − (Σwy)²/Σw          (heterogeneity)
+        τ²     = max(0, (Q − (k−1)) / (Σw − Σw²/Σw))
+        random = Σw*y/Σw*,  w* = 1/(se² + τ²)
+        I²     = max(0, (Q − (k−1))/Q)
+
+    with Wald CIs from 1/√Σw and 1/√Σw*. τ² = 0 collapses random to
+    fixed exactly (pinned). Zero/negative SEs raise in the plan.
+
+    Scale shape: TWO map-side-combined aggregates (the w-moments,
+    then the w*-moments once τ² is known — τ² rounds to 9 dp on the
+    driver); per-study terms micro-round before the long sums, so
+    the pool is order-independent. Study count k is the frame — this
+    scales to millions of pooled units without a window anywhere.
+
+    Returns one row: k, fixed, fixed_se, fixed_lower, fixed_upper,
+    q_stat, tau2, i2, random, random_se, random_lower, random_upper
+    (6 dp).
+    """
+    def _micro(x):
+        return F.round(x * F.lit(1000000.0), 0).cast("long")
+
+    y = F.col(estimate_col).cast("double")
+    se = F.col(se_col).cast("double")
+    guard = F.when(
+        se <= 0,
+        F.raise_error(
+            F.lit("meta_analysis_dl: se must be positive")
+        ).cast("double"),
+    ).otherwise(se)
+    w = F.lit(1.0) / (guard * guard)
+    m = df.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(_micro(w)).alias("sw"),
+        F.sum(_micro(w * y)).alias("swy"),
+        F.sum(_micro(w * y * y)).alias("swy2"),
+        F.sum(_micro(w * w)).alias("sw2"),
+    ).collect()[0]
+    k = int(m.k)
+    sw, swy, swy2, sw2 = (
+        m.sw / 1e6, m.swy / 1e6, m.swy2 / 1e6, m.sw2 / 1e6
+    )
+    q_stat = swy2 - swy * swy / sw
+    denom = sw - sw2 / sw
+    tau2 = round(
+        max(0.0, (q_stat - (k - 1)) / denom) if denom > 0 else 0.0, 9
+    )
+    wr = F.lit(1.0) / (guard * guard + F.lit(tau2))
+    m2 = df.agg(
+        F.sum(_micro(wr)).alias("swr"),
+        F.sum(_micro(wr * y)).alias("swry"),
+    ).collect()[0]
+    swr, swry = m2.swr / 1e6, m2.swry / 1e6
+    import math
+
+    fixed = swy / sw
+    fse = 1.0 / math.sqrt(sw)
+    rand = swry / swr
+    rse = 1.0 / math.sqrt(swr)
+    i2 = max(0.0, (q_stat - (k - 1)) / q_stat) if q_stat > 0 else 0.0
+    row = [
+        (
+            k,
+            round(fixed, 6),
+            round(fse, 6),
+            round(fixed - z * fse, 6),
+            round(fixed + z * fse, 6),
+            round(q_stat, 6),
+            round(tau2, 6),
+            round(i2, 6),
+            round(rand, 6),
+            round(rse, 6),
+            round(rand - z * rse, 6),
+            round(rand + z * rse, 6),
+        )
+    ]
+    return df.sparkSession.createDataFrame(
+        row,
+        "k long, fixed double, fixed_se double, fixed_lower double, "
+        "fixed_upper double, q_stat double, tau2 double, i2 double, "
+        "random double, random_se double, random_lower double, "
+        "random_upper double",
+    )

@@ -7473,3 +7473,152 @@ def survival_calibration(
         F.round(obs, 6).alias("observed_surv"),
         F.round(obs - mean_pred, 6).alias("gap"),
     )
+
+
+def abridged_life_table(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    deaths_col: str,
+    person_time_col: str,
+    band_widths: dict,
+    ax: float = 0.5,
+    radix: int = 100000,
+) -> DataFrame:
+    """Abridged (current/period) life table from age-band mortality
+    rates — the Chiang 1984 construction behind every national life
+    table (and the expected-survival source the registry's
+    relative-survival operators consume): per band of width n with
+    central rate m = D/Y and mean fraction-lived a,
+
+        q = n·m / (1 + (n − a·n)·m)        (rate → probability)
+        l_{x+1} = l_x (1 − q)              (radix survivors)
+        L = n·(l_{x+1} + a·(l_x − l_{x+1})),  T = Σ_{≥x} L,
+        e_x = T / l_x                       (life expectancy),
+
+    open-ended final band (width NULL in ``band_widths``): q = 1,
+    L = l_x/m. ``band_widths`` maps band key → integer width (the
+    age-standardization ``std_weights`` contract); bands absent from
+    the map raise at plan build.
+
+    Scale shape: ONE map-side aggregate collapses subjects to
+    per-(group, band) D/Y cells; the survivorship product and the
+    T suffix sums are two ``grouped_prefix_sum`` passes over the
+    #bands-sized cell table (log-lattice product, exact long suffix)
+    — the km_curve discipline on the demographic axis. Rates and q
+    ride the micro lattice; l rounds to 3 dp of a person (radix
+    100000). Returns (group, band, width, deaths, person_time, mx,
+    qx, lx, big_l, t_x, ex) — ex in band-width units (years when
+    widths are years).
+    """
+    g = list(group_cols)
+    widths = dict(band_widths)
+    if not widths:
+        raise ValueError("abridged_life_table: band_widths is empty")
+    open_bands = [k for k, v in widths.items() if v is None]
+    if len(open_bands) != 1:
+        raise ValueError(
+            "abridged_life_table: exactly one open-ended band "
+            f"(width None) required, got {open_bands}"
+        )
+    for k, v in widths.items():
+        if v is not None and (int(v) != v or v <= 0):
+            raise ValueError(
+                "abridged_life_table: widths must be positive "
+                f"integers or None, got {k}={v}"
+            )
+    ax = float(ax)
+    cells = df.groupBy(*g, band_col).agg(
+        F.sum(F.col(deaths_col).cast("long")).alias("deaths"),
+        F.sum(F.col(person_time_col).cast("long")).alias(
+            "person_time"
+        ),
+    )
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in widths.items()
+            for x in (k, -1 if v is None else int(v))
+        ]
+    )
+    w = wmap[F.col(band_col)]
+    cells = cells.withColumn(
+        "_w",
+        F.when(
+            w.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("abridged_life_table: band not in "
+                          "band_widths: "),
+                    F.col(band_col).cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(w),
+    )
+    mx = F.col("deaths") / F.col("person_time")
+    is_open = F.col("_w") < 0
+    nn = F.col("_w").cast("double")
+    qx = F.when(is_open, F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            nn * mx / (F.lit(1.0) + (nn - F.lit(ax) * nn) * mx),
+        )
+    )
+    cells = cells.withColumn("_mx", mx).withColumn("_qx", qx)
+    # survivorship product via the log-lattice prefix (km discipline)
+    cells = cells.withColumn(
+        "_lq",
+        F.when(F.col("_qx") >= 1.0, F.lit(None).cast("long"))
+        .otherwise(_micro(F.log(F.lit(1.0) - F.col("_qx")))),
+    ).withColumn(
+        "_q1", (F.col("_qx") >= 1.0).cast("long")
+    )
+    # grouped_prefix_sum takes column NAMES; materialize the
+    # null-coalesced log term first
+    cells = cells.withColumn(
+        "_lqz", F.coalesce(F.col("_lq"), F.lit(0).cast("long"))
+    )
+    cells = grouped_prefix_sum(
+        cells, g, band_col, ["_lqz", "_q1"], ["_lq0", "_q10"]
+    )
+    lx = F.when(F.col("_q10") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lq0") / F.lit(1000000.0))
+    )
+    lx1 = F.when(
+        F.col("_q10") + F.col("_q1") > 0, F.lit(0.0)
+    ).otherwise(
+        F.exp((F.col("_lq0") + F.col("_lqz")) / F.lit(1000000.0))
+    )
+    big_l = F.when(
+        is_open,
+        F.when(F.col("_mx") > 0, lx / F.col("_mx")).otherwise(
+            F.lit(0.0)
+        ),
+    ).otherwise(nn * (lx1 + F.lit(ax) * (lx - lx1)))
+    cells = cells.withColumn(
+        "_lm", F.round(big_l * F.lit(1000000.0), 0).cast("long")
+    ).withColumn("_lx", lx)
+    # T suffix sum: total minus exclusive prefix
+    cells = grouped_prefix_sum(cells, g, band_col, "_lm", "_lm0")
+    tot = cells.groupBy(*g).agg(F.sum("_lm").alias("_lm_tot"))
+    cells = cells.join(F.broadcast(tot), g)
+    t_x = (F.col("_lm_tot") - F.col("_lm0")) / F.lit(1000000.0)
+    r = F.lit(float(radix))
+    return cells.select(
+        *g,
+        band_col,
+        F.when(is_open, F.lit(None).cast("int"))
+        .otherwise(F.col("_w")).alias("width"),
+        "deaths",
+        "person_time",
+        F.round(F.col("_mx"), 6).alias("mx"),
+        F.round(F.col("_qx"), 6).alias("qx"),
+        F.round(F.col("_lx") * r, 3).alias("lx"),
+        F.round(F.col("_lm") / F.lit(1000000.0) * r, 3).alias(
+            "big_l"
+        ),
+        F.round(t_x * r, 3).alias("t_x"),
+        F.when(
+            F.col("_lx") > 0, F.round(t_x / F.col("_lx"), 6)
+        ).alias("ex"),
+    )

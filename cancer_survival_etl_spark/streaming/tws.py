@@ -1022,3 +1022,137 @@ def cusum_batch(
             "n_alarm_pos", "n_alarm_neg",
         ],
     )
+
+
+BOTTOMK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("sample_ids", ArrayType(LongType())),
+    ]
+)
+
+_BOTTOMK_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("hashes", ArrayType(StringType())),
+        StructField("ids", ArrayType(LongType())),
+    ]
+)
+
+
+class BottomKSampleProcessor(StatefulProcessor):
+    """Streaming uniform k-sample per key via the bottom-k / KMV
+    priority trick: every element's priority is md5(id) and the
+    state keeps the k SMALLEST (priority, id) pairs — a mergeable,
+    fully deterministic sketch (the streaming twin of
+    ``llm/sampling.py::weighted_hash_sample``'s A-ES idea with unit
+    weights). Because priorities are pure functions of the ids, the
+    retained set is independent of arrival order, Arrow batch
+    slicing, and micro-batch boundaries — the sliced-fold == batch
+    pin holds EXACTLY, and the same ids fall out of a batch
+    ORDER BY md5(id) LIMIT k. State is O(k) strings per key."""
+
+    def __init__(
+        self,
+        k: int = 32,
+        id_col: str = "event_id",
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._k = int(k)
+        self._id_col = id_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "bottomk", _BOTTOMK_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def fold(self, st, ids):
+        import hashlib
+
+        n_seen, hashes, kept = st
+        pairs = list(zip(hashes, kept))
+        for i in ids:
+            i = int(i)
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            pairs.append((h, i))
+            n_seen += 1
+        pairs.sort()
+        # dedup identical ids (same priority) then truncate to k
+        seen = set()
+        uniq = []
+        for h, i in pairs:
+            if i not in seen:
+                seen.add(i)
+                uniq.append((h, i))
+        uniq = uniq[: self._k]
+        return (
+            n_seen,
+            [h for h, _ in uniq],
+            [i for _, i in uniq],
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            tuple(self._state.get())
+            if self._state.exists()
+            else (0, [], [])
+        )
+        for pdf in rows:
+            st = self.fold(st, pdf[self._id_col])
+        self._state.update(st)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [st[0]],
+                "sample_ids": [list(st[2])],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_bottom_k_sample(
+    events: DataFrame,
+    k: int = 32,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-event-type uniform k-sample over (event_type,
+    event_id) via ``transformWithStateInPandas`` — update-mode
+    emissions of the deterministic bottom-k sketch."""
+    return events.select(
+        "event_type", "event_id"
+    ).groupBy("event_type").transformWithStateInPandas(
+        BottomKSampleProcessor(k=k, ttl_ms=ttl_ms),
+        outputStructType=BOTTOMK_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def bottom_k_sample_batch(
+    events: DataFrame, k: int = 32
+) -> pd.DataFrame:
+    """Batch reference for ``running_bottom_k_sample``'s END STATE:
+    the k smallest md5 priorities per event_type over the full
+    history (test-only single-process reference)."""
+    import hashlib
+
+    pdf = events.select("event_type", "event_id").toPandas()
+    out = []
+    for et, grp in pdf.groupby("event_type"):
+        ids = sorted(set(int(i) for i in grp["event_id"]))
+        pairs = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i)
+            for i in ids
+        )
+        out.append(
+            (et, len(grp), [i for _, i in pairs[:k]])
+        )
+    return pd.DataFrame(
+        out, columns=["event_type", "n_seen", "sample_ids"]
+    )

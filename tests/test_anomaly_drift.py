@@ -1691,3 +1691,57 @@ def test_gee_logistic_exchangeable_recovers_and_reduces(spark):
     assert again == (beta_c, alpha_c)
     with pytest.raises(ValueError, match="iters"):
         gee_logistic_exchangeable(clu, "cl", ["x"], "y", iters=0)
+
+
+def test_meta_analysis_dl(spark):
+    """DerSimonian-Laird meta-analysis: replicates the sequential
+    formulas on the same micro lattices; homogeneous studies give
+    tau2 = 0 with random == fixed exactly; a planted heterogeneous
+    set gives tau2 > 0, I2 large, and a WIDER random-effects CI;
+    non-positive SEs raise in the plan."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        meta_analysis_dl,
+    )
+
+    studies = [(0.40, 0.10), (0.80, 0.15), (-0.10, 0.12),
+               (0.55, 0.20), (0.20, 0.08)]
+    df = spark.createDataFrame(studies, "est double, se double")
+    r = meta_analysis_dl(df, "est", "se").collect()[0]
+
+    sw = sum(round(1 / s**2 * 1e6) for _, s in studies) / 1e6
+    swy = sum(round(y / s**2 * 1e6) for y, s in studies) / 1e6
+    swy2 = sum(round(y * y / s**2 * 1e6) for y, s in studies) / 1e6
+    sw2 = sum(round(1 / s**4 * 1e6) for _, s in studies) / 1e6
+    q = swy2 - swy * swy / sw
+    tau2 = round(max(0.0, (q - 4) / (sw - sw2 / sw)), 9)
+    swr = sum(round(1 / (s**2 + tau2) * 1e6) for _, s in studies) / 1e6
+    swry = sum(
+        round(y / (s**2 + tau2) * 1e6) for y, s in studies
+    ) / 1e6
+    assert r.k == 5
+    assert r.fixed == round(swy / sw, 6)
+    assert r.q_stat == round(q, 6)
+    assert r.tau2 == round(tau2, 6)
+    assert r.random == round(swry / swr, 6)
+    assert r.random_se == round(1 / math.sqrt(swr), 6)
+    assert r.tau2 > 0 and r.i2 > 0.5
+    assert (r.random_upper - r.random_lower) > (
+        r.fixed_upper - r.fixed_lower
+    )
+
+    homog = spark.createDataFrame(
+        [(0.30, 0.10)] * 6, "est double, se double"
+    )
+    rh = meta_analysis_dl(homog, "est", "se").collect()[0]
+    assert rh.tau2 == 0.0 and rh.i2 == 0.0
+    assert rh.random == rh.fixed and rh.random_se == rh.fixed_se
+
+    bad = spark.createDataFrame(
+        [(0.3, 0.1), (0.2, 0.0)], "est double, se double"
+    )
+    with pytest.raises(Exception, match="se must be positive"):
+        meta_analysis_dl(bad, "est", "se").collect()

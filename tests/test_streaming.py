@@ -1495,3 +1495,36 @@ def test_transform_with_state_cusum(spark, sf_dir, tmp_path):
         for r in expect.itertuples()
     }
     assert got == want
+
+
+def test_bottom_k_sample_processor_order_free_and_uniform(spark, sf_dir):
+    """BottomKSampleProcessor: the retained sample is EXACTLY
+    order/slicing-independent (priorities are pure functions of the
+    ids) and equals the batch bottom-k of the full history; each
+    emitted sample is a uniform draw in the sense that its ids'
+    md5-rank matches the global bottom-k; duplicate ids are kept
+    once."""
+    from cancer_survival_etl_spark.streaming.tws import (
+        BottomKSampleProcessor,
+        bottom_k_sample_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    expect = bottom_k_sample_batch(events, k=16).set_index(
+        "event_type"
+    )
+    pdf = events.select("event_type", "event_id").toPandas()
+    proc = BottomKSampleProcessor(k=16)
+    for et, grp in pdf.groupby("event_type"):
+        ids = [int(i) for i in grp["event_id"]]
+        whole = proc.fold((0, [], []), ids)
+        rev = proc.fold((0, [], []), list(reversed(ids)))
+        sliced = (0, [], [])
+        for j in range(0, len(ids), 97):
+            sliced = proc.fold(sliced, ids[j:j + 97])
+        assert whole[2] == rev[2] == sliced[2]
+        assert whole[0] == len(ids)
+        assert whole[2] == list(expect.loc[et, "sample_ids"])
+    # duplicates kept once
+    st = proc.fold((0, [], []), [5, 5, 5, 7])
+    assert sorted(st[2]) == [5, 7] and st[0] == 4

@@ -4967,3 +4967,110 @@ def test_survival_calibration_true_model_tracks_diagonal(spark):
     assert len(ro) == 1 and ro[0].gap < -0.05, ro
     with pytest.raises(ValueError, match="n_bins"):
         survival_calibration(df, "pred", 10, n_bins=1)
+
+
+def test_abridged_life_table_chiang_construction(spark):
+    """Chiang abridged life table: matches the sequential
+    construction on the same lattices for a 5-band table with an
+    open end; constant-hazard data gives ex ~ 1/m at every age;
+    missing-band and bad-width inputs raise; bit-identical under
+    repartitioning."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        abridged_life_table,
+    )
+
+    # per-(band) death/person-time rows (already registry-shaped)
+    data = [
+        ("P", 0, 30, 9800),
+        ("P", 1, 40, 39000),
+        ("P", 2, 180, 48000),
+        ("P", 3, 420, 43000),
+        ("P", 4, 390, 9000),
+    ]
+    df = spark.createDataFrame(
+        data, "grp string, band int, deaths int, person_time int"
+    )
+    widths = {0: 1, 1: 4, 2: 5, 3: 5, 4: None}
+    out = {
+        r.band: r
+        for r in abridged_life_table(
+            df, ["grp"], "band", "deaths", "person_time", widths
+        ).collect()
+    }
+    # sequential Chiang replay on the same lattices
+    lq = 0
+    lvals = {}
+    for band, d, y in [(b, d, y) for (_, b, d, y) in data]:
+        m = d / y
+        w = widths[band]
+        if w is None:
+            q = 1.0
+        else:
+            q = min(1.0, w * m / (1.0 + (w - 0.5 * w) * m))
+        lx = math.exp(lq / 1e6)
+        if q < 1.0:
+            lq += round(math.log(1.0 - q) * 1e6)
+        lx1 = math.exp(lq / 1e6) if q < 1.0 else 0.0
+        if w is None:
+            big_l = lx / m if m > 0 else 0.0
+        else:
+            big_l = w * (lx1 + 0.5 * (lx - lx1))
+        lvals[band] = (m, q, lx, round(big_l * 1e6))
+    lm_tot = sum(v[3] for v in lvals.values())
+    run = 0
+    for band in sorted(lvals):
+        m, q, lx, lm = lvals[band]
+        t_x = (lm_tot - run) / 1e6
+        run += lm
+        r = out[band]
+        assert r.mx == round(m, 6), (band, r)
+        assert r.qx == round(q, 6), (band, r)
+        assert r.lx == round(lx * 100000, 3), (band, r)
+        assert r.big_l == round(lm / 1e6 * 100000, 3), (band, r)
+        assert r.t_x == round(t_x * 100000, 3), (band, r)
+        assert r.ex == round(t_x / lx, 6), (band, r)
+    assert out[4].qx == 1.0 and out[4].width is None
+    # life expectancy at birth is positive and sane
+    assert 20 < out[0].ex < 90
+
+    # constant hazard: ex ~ 1/m in every band
+    const = spark.createDataFrame(
+        [("P", b, 100, 2000) for b in range(5)],
+        "grp string, band int, deaths int, person_time int",
+    )
+    wc = {b: (None if b == 4 else 5) for b in range(5)}
+    rc = {r.band: r for r in abridged_life_table(
+        const, ["grp"], "band", "deaths", "person_time", wc
+    ).collect()}
+    for b in range(4):
+        assert abs(rc[b].ex - 20.0) < 1.2, rc[b]  # 1/m = 20
+
+    again = sorted(map(tuple, abridged_life_table(
+        df.repartition(32), ["grp"], "band", "deaths",
+        "person_time", widths
+    ).collect()))
+    assert again == sorted(map(tuple, abridged_life_table(
+        df, ["grp"], "band", "deaths", "person_time", widths
+    ).collect()))
+
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="band not in"):
+        abridged_life_table(
+            df, ["grp"], "band", "deaths", "person_time",
+            {0: 1, 1: 4, 2: 5, 4: None},
+        ).collect()
+    with pytest.raises(ValueError, match="open-ended"):
+        abridged_life_table(
+            df, ["grp"], "band", "deaths", "person_time",
+            {0: 1, 1: 4, 2: 5, 3: 5, 4: 10},
+        )
+    with pytest.raises(ValueError, match="positive"):
+        abridged_life_table(
+            df, ["grp"], "band", "deaths", "person_time",
+            {0: 0, 4: None},
+        )
