@@ -15996,6 +15996,57 @@ def q_demography_life_table(spark, sf_dir):
     )
 
 
+def q_survival_frailty(spark, sf_dir):
+    """Shared gamma frailty EM (operators/survival.py::
+    shared_gamma_frailty — the clustered-survival sibling of
+    stats_gee): orders cluster by CUSTOMER and share a two-point md5
+    frailty w ∈ {0.5, 1.5} on an exponential hazard. Verdicts pin
+    heterogeneity detection (θ̂ > 0.05 — two-point frailty variance
+    is 0.25) and a sane band (θ̂ < 0.8); exact cohort counts replay
+    in DuckDB (the ipw verdict pattern — the EM itself is the
+    pytest-pinned surface)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        shared_gamma_frailty,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    ckey = F.col("o_custkey").cast("string")
+
+    def u(col, lo):
+        return (
+            F.conv(F.substring(F.md5(col), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    w = F.when(u(ckey, 1) < 0.5, F.lit(0.5)).otherwise(F.lit(1.5))
+    t = -F.log(u(okey, 17) + 1e-9) / (w * F.lit(0.08))
+    cohort = d.select(
+        F.col("o_custkey").alias("cl"),
+        F.least(F.floor(t) + 1, F.lit(25)).cast("long").alias(
+            "duration"
+        ),
+        (t < 25).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    r = shared_gamma_frailty(cohort, "cl", iters=3).collect()[0]
+    ok_detect = r.theta > 0.05
+    ok_band = r.theta < 0.8
+    return (
+        cohort.groupBy("event")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cl").alias("n_clusters_touched"),
+        )
+        .select(
+            F.col("event").cast("long").alias("event"),
+            "n",
+            "n_clusters_touched",
+            F.lit(ok_detect).alias("frailty_detected"),
+            F.lit(ok_band).alias("theta_in_band"),
+        )
+    )
+
+
 def q_stats_meta_dl(spark, sf_dir):
     """DerSimonian-Laird meta-analysis (operators/stats.py::
     meta_analysis_dl) pooling 25 md5-planted per-nation 'studies'
@@ -16193,6 +16244,33 @@ _DEMOGRAPHY_LIFE_TABLE_SQL = """
                 THEN round(((lm_tot - lm0) / 1000000.0) / lx, 6)
            END AS ex
     FROM pre
+"""
+
+
+_SURVIVAL_FRAILTY_SQL = """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_custkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS uc,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17,
+          o_custkey
+        FROM orders
+    ),
+    coh AS (
+        SELECT o_custkey AS cl,
+               CASE WHEN -ln(u17 + 0.000000001)
+                         / ((CASE WHEN uc < 0.5 THEN 0.5 ELSE 1.5
+                             END) * 0.08) < 25
+                    THEN 1 ELSE 0 END AS event
+        FROM f
+    )
+    SELECT CAST(event AS BIGINT) AS event,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT cl) AS BIGINT) AS n_clusters_touched,
+           true AS frailty_detected,
+           true AS theta_in_band
+    FROM coh GROUP BY event
 """
 
 
@@ -17113,6 +17191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_calibration": q_survival_calibration,
         "demography_life_table": q_demography_life_table,
         "stats_meta_dl": q_stats_meta_dl,
+        "survival_frailty": q_survival_frailty,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -20333,6 +20412,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_calibration": _SURVIVAL_CALIBRATION_SQL,
         "demography_life_table": _DEMOGRAPHY_LIFE_TABLE_SQL,
         "stats_meta_dl": _STATS_META_DL_SQL,
+        "survival_frailty": _SURVIVAL_FRAILTY_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,

@@ -376,6 +376,7 @@ HEADLINE = [
     "survival_calibration",
     "demography_life_table",
     "stats_meta_dl",
+    "survival_frailty",
 ]
 
 REGRESSION_RATIO = 1.5

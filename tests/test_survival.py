@@ -5074,3 +5074,58 @@ def test_abridged_life_table_chiang_construction(spark):
             df, ["grp"], "band", "deaths", "person_time",
             {0: 0, 4: None},
         )
+
+
+def test_shared_gamma_frailty_recovers_heterogeneity(spark):
+    """Shared gamma frailty EM: a planted two-point cluster frailty
+    (w in {0.5, 1.5}) drives theta well above the grid floor, while
+    the homogeneous version of the SAME cohort pins theta exactly AT
+    the grid floor; theta is bit-identical under repartitioning;
+    iters and grid fail fast."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        shared_gamma_frailty,
+    )
+
+    def u(tag, i):
+        return int(
+            hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16
+        ) / 16 ** 8
+
+    def cohort(heterogeneous):
+        rows = []
+        for c in range(1500):
+            w = (0.5 if u("w", c) < 0.5 else 1.5) if heterogeneous \
+                else 1.0
+            for j in range(5):
+                i = c * 5 + j
+                t = -math.log(u("t", i) + 1e-9) / (w * 0.08)
+                rows.append((c, min(int(t) + 1, 25),
+                             1 if t < 25 else 0))
+        return spark.createDataFrame(
+            rows, "cl long, duration int, event int"
+        )
+
+    het = cohort(True)
+    r = shared_gamma_frailty(het, "cl", iters=8).collect()[0]
+    assert r.n_clusters == 1500 and r.n_subjects == 7500
+    # two-point frailty var = 0.25; gamma fit lands in a broad band
+    assert 0.05 < r.theta < 0.8, r
+    hom = cohort(False)
+    rh = shared_gamma_frailty(hom, "cl", iters=8).collect()[0]
+    assert rh.theta == round(0.01, 6), rh  # grid floor
+    assert r.loglik_marginal is not None
+
+    r32 = shared_gamma_frailty(
+        het.repartition(32), "cl", iters=8
+    ).collect()[0]
+    assert tuple(r32) == tuple(r)
+
+    with pytest.raises(ValueError, match="iters"):
+        shared_gamma_frailty(het, "cl", iters=0)
+    with pytest.raises(ValueError, match="theta_grid"):
+        shared_gamma_frailty(het, "cl", theta_grid=[0.5, -1.0])
