@@ -16047,6 +16047,42 @@ def q_survival_frailty(spark, sf_dir):
     )
 
 
+def q_rates_cumulative_risk(spark, sf_dir):
+    """IARC cumulative rate/risk to the top band (operators/
+    survival.py::cumulative_rate_risk — the CI5 'risk to 74'
+    statistic) over the demography_life_table cohort's band/death
+    draws with widths {15,15,20,25}. Fully closed form — the oracle
+    replays the cell collapse, width map, micro n·m terms, and the
+    1−e^{−ΣR} conversion bit-exactly."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cumulative_rate_risk,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    band = F.least(F.floor(u(1) * 4).cast("int"), F.lit(3))
+    p_case = F.lit(0.002) + F.lit(0.01) * band.cast("double")
+    cohort = d.select(
+        F.lit("G").alias("grp"),
+        band.alias("band"),
+        (u(9) < p_case).cast("int").alias("cases"),
+        (F.lit(20) + F.col("o_orderkey") % 50).cast("long").alias(
+            "person_time"
+        ),
+    )
+    return cumulative_rate_risk(
+        cohort, ["grp"], "band", "cases", "person_time",
+        {0: 15, 1: 15, 2: 20, 3: 25},
+    )
+
+
 def q_stats_meta_dl(spark, sf_dir):
     """DerSimonian-Laird meta-analysis (operators/stats.py::
     meta_analysis_dl) pooling 25 md5-planted per-nation 'studies'
@@ -16271,6 +16307,48 @@ _SURVIVAL_FRAILTY_SQL = """
            true AS frailty_detected,
            true AS theta_in_band
     FROM coh GROUP BY event
+"""
+
+
+_RATES_CUMULATIVE_RISK_SQL = """
+    WITH f AS (
+        SELECT
+          least(CAST(floor(((CAST(concat('0x',
+                substring(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT)
+                % 1000000) / 1000000.0) * 4) AS INT), 3) AS band,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u9,
+          o_orderkey
+        FROM orders
+    ),
+    coh AS (
+        SELECT band,
+               CASE WHEN u9 < 0.002 + 0.01 * CAST(band AS DOUBLE)
+                    THEN 1 ELSE 0 END AS cases,
+               20 + o_orderkey % 50 AS person_time
+        FROM f
+    ),
+    cells AS (
+        SELECT band,
+               CAST(sum(cases) AS BIGINT) AS c,
+               CAST(sum(person_time) AS BIGINT) AS y,
+               CASE band WHEN 0 THEN 15 WHEN 1 THEN 15
+                         WHEN 2 THEN 20 ELSE 25 END AS w
+        FROM coh GROUP BY band
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_bands,
+               CAST(sum(c) AS BIGINT) AS cases,
+               CAST(sum(y) AS BIGINT) AS person_time,
+               sum(CAST(round(CAST(w AS DOUBLE) * c / y
+                        * 1000000.0, 0) AS BIGINT)) / 1000000.0
+                   AS cr
+        FROM cells
+    )
+    SELECT 'G' AS grp, n_bands, cases, person_time,
+           round(cr * 100, 6) AS cum_rate_pct,
+           round((1.0 - exp(-cr)) * 100, 6) AS cum_risk_pct
+    FROM agg
 """
 
 
@@ -17192,6 +17270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demography_life_table": q_demography_life_table,
         "stats_meta_dl": q_stats_meta_dl,
         "survival_frailty": q_survival_frailty,
+        "rates_cumulative_risk": q_rates_cumulative_risk,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -20413,6 +20492,7 @@ def oracle_sql() -> dict[str, str]:
         "demography_life_table": _DEMOGRAPHY_LIFE_TABLE_SQL,
         "stats_meta_dl": _STATS_META_DL_SQL,
         "survival_frailty": _SURVIVAL_FRAILTY_SQL,
+        "rates_cumulative_risk": _RATES_CUMULATIVE_RISK_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,
         "survival_relative_e1": _SURVIVAL_RELATIVE_E1_SQL,

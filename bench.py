@@ -377,6 +377,7 @@ HEADLINE = [
     "demography_life_table",
     "stats_meta_dl",
     "survival_frailty",
+    "rates_cumulative_risk",
 ]
 
 REGRESSION_RATIO = 1.5

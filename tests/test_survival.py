@@ -5129,3 +5129,60 @@ def test_shared_gamma_frailty_recovers_heterogeneity(spark):
         shared_gamma_frailty(het, "cl", iters=0)
     with pytest.raises(ValueError, match="theta_grid"):
         shared_gamma_frailty(het, "cl", theta_grid=[0.5, -1.0])
+
+
+def test_cumulative_rate_risk_closed_form(spark):
+    """IARC cumulative rate/risk: matches the hand formula on the
+    same micro lattice; risk < rate (Poisson-to-probability) and
+    both ~equal when rates are tiny; missing-band and bad-width
+    inputs raise; bit-identical under repartitioning."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        cumulative_rate_risk,
+    )
+
+    data = [
+        ("G", 0, 12, 90000), ("G", 1, 40, 80000),
+        ("G", 2, 260, 70000), ("G", 3, 720, 50000),
+    ]
+    df = spark.createDataFrame(
+        data, "grp string, band int, cases int, person_time int"
+    )
+    widths = {0: 15, 1: 15, 2: 20, 3: 25}
+    r = cumulative_rate_risk(
+        df, ["grp"], "band", "cases", "person_time", widths
+    ).collect()[0]
+    cr = sum(
+        round(widths[b] * c / y * 1e6) for (_, b, c, y) in data
+    ) / 1e6
+    assert r.n_bands == 4 and r.cases == 1032
+    assert r.cum_rate_pct == round(cr * 100, 6)
+    assert r.cum_risk_pct == round((1 - math.exp(-cr)) * 100, 6)
+    assert r.cum_risk_pct < r.cum_rate_pct
+
+    tiny = spark.createDataFrame(
+        [("G", 0, 1, 10000000)],
+        "grp string, band int, cases int, person_time int",
+    )
+    rt = cumulative_rate_risk(
+        tiny, ["grp"], "band", "cases", "person_time", {0: 10}
+    ).collect()[0]
+    assert abs(rt.cum_risk_pct - rt.cum_rate_pct) < 1e-6
+
+    again = cumulative_rate_risk(
+        df.repartition(32), ["grp"], "band", "cases",
+        "person_time", widths
+    ).collect()[0]
+    assert tuple(again) == tuple(r)
+
+    with pytest.raises(Exception, match="band not in"):
+        cumulative_rate_risk(
+            df, ["grp"], "band", "cases", "person_time", {0: 15}
+        ).collect()
+    with pytest.raises(ValueError, match="positive"):
+        cumulative_rate_risk(
+            df, ["grp"], "band", "cases", "person_time", {0: 0}
+        )
