@@ -67,9 +67,44 @@ def overwrite_table(
     fs.rename(staging, dest)
 
 
+def _table_location(spark, table: str) -> str:
+    """Resolve the filesystem location a managed table HAS (catalog
+    lookup) or WOULD get (database location + lowercased name). Needed
+    because an aborted ``saveAsTable`` can leave an orphaned data
+    directory with NO catalog entry — ``DROP TABLE IF EXISTS`` is a
+    no-op on it, and the next write to the same name fails with
+    LOCATION_ALREADY_EXISTS."""
+    if spark.catalog.tableExists(table):
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row.col_name == "Location":
+                return row.data_type
+    name = table.split(".")[-1].lower()
+    db = (
+        table.split(".")[0]
+        if "." in table
+        else spark.catalog.currentDatabase()
+    )
+    db_loc = spark.catalog.getDatabase(db).locationUri
+    return db_loc.rstrip("/") + "/" + name
+
+
+def _delete_location(spark, location: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(location)
+    p.getFileSystem(hconf).delete(p, True)
+
+
 def overwrite_as_table(df: DataFrame, table: str, bucket_by: tuple[int, list[str]] | None = None) -> None:
     """saveAsTable variant; ``bucket_by=(n, cols)`` co-locates later joins
     and aggregations on ``cols`` without a shuffle (hive-style bucketing).
+
+    Staging cleanup is LOCATION-level, not just catalog-level: a failed
+    ``saveAsTable`` never commits the staging table to the catalog, so
+    the rollback must delete the orphaned staging *directory* too —
+    otherwise every retry of the same replace fails with
+    LOCATION_ALREADY_EXISTS (mirrors ``overwrite_table``'s
+    ``fs.delete(staging, True)``).
     """
     spark = df.sparkSession
 
@@ -81,14 +116,18 @@ def overwrite_as_table(df: DataFrame, table: str, bucket_by: tuple[int, list[str
         writer.saveAsTable(target)
 
     if not spark.catalog.tableExists(table):
+        _delete_location(spark, _table_location(spark, table))
         write_to(table)
         return
     staging = f"{table}__staging"
+    staging_loc = _table_location(spark, staging)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    _delete_location(spark, staging_loc)
     try:
         write_to(staging)
     except Exception:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        _delete_location(spark, staging_loc)
         raise
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

@@ -367,6 +367,50 @@ def test_overwrite_as_table_failure_keeps_previous(spark):
     spark.sql("DROP TABLE t_atomic")
 
 
+def test_overwrite_as_table_recovers_from_orphaned_staging_dir(spark):
+    """VERDICT r08: an aborted saveAsTable leaves an orphaned staging
+    DIRECTORY with no catalog entry — catalog-only cleanup (DROP TABLE
+    IF EXISTS) can't see it, and the next replace of the same table
+    dies with LOCATION_ALREADY_EXISTS, permanently. The sink must
+    delete the staging *location* before writing. This test plants the
+    orphan directly (simulating an abort whose file cleanup lost a
+    race) and asserts the next replace succeeds."""
+    from cancer_survival_etl_spark.sources.sinks import (
+        _table_location,
+        overwrite_as_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_orphan")
+    spark.sql("DROP TABLE IF EXISTS t_orphan__staging")
+    v1 = spark.range(4).select(F.col("id"), F.lit("v1").alias("tag"))
+    overwrite_as_table(v1, "t_orphan")
+
+    # plant an orphaned staging directory: data on disk, no catalog row
+    staging_loc = _table_location(spark, "t_orphan__staging")
+    local = staging_loc.removeprefix("file:")
+    os.makedirs(os.path.join(local, "_temporary"), exist_ok=True)
+    with open(os.path.join(local, "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    assert not spark.catalog.tableExists("t_orphan__staging")
+
+    v2 = spark.range(6).select(F.col("id"), F.lit("v2").alias("tag"))
+    overwrite_as_table(v2, "t_orphan")  # must not LOCATION_ALREADY_EXISTS
+    assert spark.table("t_orphan").count() == 6
+    assert not spark.catalog.tableExists("t_orphan__staging")
+    assert not os.path.exists(local)
+
+    # same recovery on the CREATE path: orphaned destination directory
+    spark.sql("DROP TABLE t_orphan")
+    dest_loc = _table_location(spark, "t_orphan")
+    local_dest = dest_loc.removeprefix("file:")
+    os.makedirs(local_dest, exist_ok=True)
+    with open(os.path.join(local_dest, "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    overwrite_as_table(v1, "t_orphan")
+    assert spark.table("t_orphan").count() == 4
+    spark.sql("DROP TABLE t_orphan")
+
+
 def test_overwrite_table_path_failure_keeps_previous(spark, tmp_path):
     """Path-variant of the rollback contract: a poisoned overwrite
     leaves the previous parquet directory readable."""
