@@ -5186,3 +5186,217 @@ def test_cumulative_rate_risk_closed_form(spark):
         cumulative_rate_risk(
             df, ["grp"], "band", "cases", "person_time", {0: 0}
         )
+
+
+def _coxrob_rows(n=300, n_cl=30, shock_amp=1.0):
+    """Deterministic clustered survival cohort: hash-derived uniforms,
+    a shared per-cluster log-hazard shock, integer-day durations."""
+    rows = []
+    for i in range(n):
+        cl = i % n_cl
+        # x1 is CLUSTER-LEVEL: the case the sandwich exists for —
+        # within-cluster correlation inflates the between-cluster
+        # variance of a cluster-constant covariate's estimate, so
+        # ignoring clustering understates the SE. (For a covariate
+        # varying WITHIN clusters, positive frailty can legitimately
+        # deflate the robust SE — GLS-style.)
+        x1 = float((cl * 7919) % 2)
+        u = ((i * 40503) % 99991) / 99991.0 + 1e-6
+        shock = (((cl * 9176) % 1000) / 1000.0 - 0.5) * 2.0 * shock_amp
+        t = -math.log(u) / (0.08 * math.exp(0.8 * x1 + shock))
+        dur = float(min(math.floor(t) + 1, 25))
+        rows.append((x1, dur, int(t < 25), cl))
+    return rows
+
+
+def _coxrob_reference(rows, beta, cluster=True):
+    """NumPy twin of the Lin-Wei sandwich: per-subject score residuals
+    via the martingale form, cluster-summed meat, I⁻¹MI⁻¹."""
+    import numpy as np
+
+    X = np.array([[r[0]] for r in rows])
+    dur = np.array([r[1] for r in rows])
+    ev = np.array([r[2] for r in rows])
+    cl = np.array([r[3] for r in rows])
+    r_ = np.exp(X @ np.array(beta))
+    ts = np.unique(dur)
+    info = np.zeros((1, 1))
+    H0, G = 0.0, np.zeros(1)
+    H0_at, G_at, xbar_at = {}, {}, {}
+    for t_ in ts:
+        at = dur >= t_
+        S0 = r_[at].sum()
+        S1 = (r_[at, None] * X[at]).sum(0)
+        S2 = (r_[at, None, None] * X[at][:, :, None]
+              * X[at][:, None, :]).sum(0)
+        d = int(ev[dur == t_].sum())
+        if d > 0:
+            xb = S1 / S0
+            info += d * (S2 / S0 - np.outer(xb, xb))
+            H0 += d / S0
+            G = G + d * S1 / S0 ** 2
+        H0_at[t_], G_at[t_], xbar_at[t_] = H0, G.copy(), S1 / S0
+    U = np.zeros((len(rows), 1))
+    for i in range(len(rows)):
+        U[i] = ev[i] * (X[i] - xbar_at[dur[i]]) - r_[i] * (
+            X[i] * H0_at[dur[i]] - G_at[dur[i]]
+        )
+    if cluster:
+        M = sum(
+            np.outer(U[cl == c].sum(0), U[cl == c].sum(0))
+            for c in np.unique(cl)
+        )
+    else:
+        M = (U[:, :, None] * U[:, None, :]).sum(0)
+    bread = np.linalg.inv(info)
+    cov = bread @ M @ bread
+    return np.sqrt(np.diag(bread)), np.sqrt(np.diag(cov))
+
+
+def test_cox_ph_robust_matches_numpy_reference(spark):
+    """Lin-Wei sandwich vs a direct per-subject NumPy twin — both the
+    clustered (grouped) and independence meat; the model SE returned
+    alongside must equal cox_ph's return_se (same lattice)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph,
+        cox_ph_robust,
+    )
+
+    rows = _coxrob_rows()
+    df = spark.createDataFrame(
+        rows, "x1 double, duration double, event int, cl int"
+    )
+    beta, se_m, se_r = cox_ph_robust(df, ["x1"], cluster_col="cl")
+    _, se_m_i, se_r_i = cox_ph_robust(df, ["x1"], cluster_col=None)
+    b_ref, se_ref = cox_ph(df, ["x1"], return_se=True)
+    assert beta == b_ref
+    assert se_m == pytest.approx(se_ref, abs=1e-9)
+    ref_model, ref_rob_cl = _coxrob_reference(rows, beta, cluster=True)
+    _, ref_rob_ind = _coxrob_reference(rows, beta, cluster=False)
+    assert se_m[0] == pytest.approx(float(ref_model[0]), abs=1e-6)
+    assert se_r[0] == pytest.approx(float(ref_rob_cl[0]), abs=1e-6)
+    assert se_r_i[0] == pytest.approx(float(ref_rob_ind[0]), abs=1e-6)
+    # the planted shared-cluster shock inflates the clustered SE
+    assert se_r[0] > se_m[0]
+
+
+def test_cox_ph_robust_partitioning_independent(spark):
+    """Bit-identical sandwich at 1 vs 32 partitions — every
+    distributed sum is an exact long sum of per-cell nano-roundings."""
+    from cancer_survival_etl_spark.operators.survival import cox_ph_robust
+
+    rows = _coxrob_rows(n=200, n_cl=20)
+    df = spark.createDataFrame(
+        rows, "x1 double, duration double, event int, cl int"
+    )
+    a = cox_ph_robust(df.repartition(1), ["x1"], cluster_col="cl")
+    b = cox_ph_robust(df.repartition(32), ["x1"], cluster_col="cl")
+    assert a == b
+
+
+def _fine_gray_reference_strat(X, dur, cause, strat, iters):
+    """Stratified sequential Fine-Gray NR: per-stratum censoring KM,
+    risk sets and weights; pooled gradient/information (the
+    stratified weighted partial likelihood is a plain sum of
+    per-stratum terms)."""
+    import numpy as np
+
+    X = np.asarray(X, float)
+    dur = np.asarray(dur, float)
+    cause = np.asarray(cause)
+    strat = np.asarray(strat)
+    n, p = X.shape
+    per = {}
+    for s in np.unique(strat):
+        m = strat == s
+        times = np.unique(dur[m])
+        lng_left, acc = {}, 0
+        for t in times:
+            lng_left[t] = acc
+            n_at = int((dur[m] >= t).sum())
+            c = int(((dur[m] == t) & (cause[m] == 0)).sum())
+            if 0 < c < n_at:
+                acc += round(math.log(1.0 - c / n_at) * 1e6)
+        per[s] = {t: math.exp(v / 1e6) for t, v in lng_left.items()}
+    beta = np.zeros(p)
+    for _ in range(iters):
+        r = np.exp(X @ beta)
+        g = np.zeros(p)
+        info = np.zeros((p, p))
+        for s in np.unique(strat):
+            m = strat == s
+            G_left = per[s]
+            ev_times = np.unique(dur[m & (cause == 1)])
+            for t in ev_times:
+                tied = m & (dur == t) & (cause == 1)
+                d = int(tied.sum())
+                sv = X[tied].sum(axis=0)
+                w = np.zeros(n)
+                w[m & (dur >= t)] = 1.0
+                cmp_in = m & (cause == 2) & (dur < t)
+                w[cmp_in] = G_left[t] / np.array(
+                    [G_left[ti] for ti in dur[cmp_in]]
+                )
+                rw = r * w
+                S0 = rw.sum()
+                S1 = (rw[:, None] * X).sum(axis=0)
+                S2 = (rw[:, None, None] * X[:, :, None]
+                      * X[:, None, :]).sum(axis=0)
+                g += sv - d * S1 / S0
+                info += d * (S2 / S0 - np.outer(S1 / S0, S1 / S0))
+        beta = np.round(beta + np.linalg.solve(info, g), 9)
+    return beta
+
+
+def test_fine_gray_stratified(spark):
+    """Stratified Fine-Gray: (a) a CONSTANT stratum is bit-equal to
+    the unstratified fit (the single-stratum reduction); (b) a
+    two-strata cohort with different baseline subdistribution hazards
+    and censoring mixes matches the stratified sequential reference
+    to 1e-4; (c) bit-identical under repartitioning."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import fine_gray
+
+    p_mix, b_true = 0.5, 0.8
+    rows = []
+    for i in range(600):
+        s = i % 2  # stratum with its own baseline + censoring mix
+        x = (i // 2) % 2
+        eta = math.exp(b_true * x)
+        scale = 1.0 if s == 0 else 2.5  # stratum baseline shift
+        u1 = ((i * 2654435761) % 999983) / 999983.0 + 1e-9
+        u2 = ((i * 40503 + 13) % 999979) / 999979.0 + 1e-9
+        u3 = ((i * 69069 + 5) % 999961) / 999961.0
+        p1 = 1.0 - (1.0 - p_mix) ** eta
+        if u1 < p1:
+            inner = (1.0 - (1.0 - u1) ** (1.0 / eta)) / p_mix
+            t = -math.log(1.0 - inner) * scale
+            c = 1
+        else:
+            t = -math.log(u2) * scale
+            c = 2
+        cen_rate = 0.25 if s == 0 else 0.4  # per-stratum censoring
+        if u3 < cen_rate:
+            t, c = t * u3 / cen_rate, 0
+        rows.append((float(x), round(min(t, 4.0), 1),
+                     c if t <= 4.0 else 0, s))
+    df = spark.createDataFrame(
+        rows, "x double, duration double, cause int, strat int"
+    )
+    # (a) constant stratum == unstratified, bit-equal
+    const = df.withColumn("one", F.lit(1))
+    assert fine_gray(const, ["x"], iters=4, strata_cols=["one"]) == \
+        fine_gray(df, ["x"], iters=4)
+    # (b) matches the stratified sequential reference
+    got = fine_gray(df, ["x"], iters=5, strata_cols=["strat"])
+    ref = _fine_gray_reference_strat(
+        [[r[0]] for r in rows], [r[1] for r in rows],
+        [r[2] for r in rows], [r[3] for r in rows], iters=5,
+    )
+    assert np.allclose(got, ref, atol=1e-4), (got, ref)
+    assert got[0] > 0.3  # planted effect recovered
+    # (c) partitioning invariance
+    assert fine_gray(
+        df.repartition(32), ["x"], iters=5, strata_cols=["strat"]
+    ) == got
