@@ -30,6 +30,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import (
     ArrayType,
@@ -1155,4 +1156,210 @@ def bottom_k_sample_batch(
         )
     return pd.DataFrame(
         out, columns=["event_type", "n_seen", "sample_ids"]
+    )
+
+
+KM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("n_total", LongType()),
+        StructField("duration", LongType()),
+        StructField("n_risk", LongType()),
+        StructField("n_event", LongType()),
+        StructField("n_censored", LongType()),
+        StructField("survival", DoubleType()),
+    ]
+)
+
+_KM_STATE_SCHEMA = StructType(
+    [
+        StructField("durations", ArrayType(LongType())),
+        StructField("d", ArrayType(LongType())),
+        StructField("c", ArrayType(LongType())),
+    ]
+)
+
+
+def _half_up_micro(v: float) -> int:
+    """Python twin of the operator lattice's ``F.round(x·1e6, 0)``
+    (HALF_UP on the binary double) — floor(|t|+0.5) with the sign
+    restored, evaluated on the same double product the JVM sees."""
+    import math
+
+    t = v * 1000000.0
+    m = int(math.floor(abs(t) + 0.5))
+    return m if t >= 0 else -m
+
+
+class KmCurveProcessor(StatefulProcessor):
+    """Streaming Kaplan-Meier curve per key — the online twin of
+    ``operators.survival.km_curve``: subjects arrive as (group,
+    duration, event) rows and the processor maintains the EXACT
+    per-duration cell counts (d_t events, c_t censorings) as integer
+    state, then re-emits the full product-limit curve each
+    micro-batch. Because the state is pure counters, the fold is
+    commutative and associative — the emitted curve is bit-identical
+    under ANY arrival order, batch slicing, or late data (no
+    watermark needed for correctness; a watermark on the source
+    merely bounds replay). The curve evaluation reuses the batch
+    operator's micro log-lattice (HALF_UP 1e-6 terms, S pinned to
+    exactly 0 once d == n_risk), so the end state pins against
+    ``km_curve``'s distributed output cell-for-cell.
+
+    State per key is one (durations[], d[], c[]) struct — bounded by
+    the #distinct durations (the caller picks the granularity:
+    integer days/weeks keep it small), NOT by subject count; store
+    grows with key cardinality only; ``ttl_ms`` bounds idle keys."""
+
+    def __init__(
+        self,
+        duration_col: str = "duration",
+        event_col: str = "event",
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._duration_col = duration_col
+        self._event_col = event_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "km_cells", _KM_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def fold(self, st, durations, events):
+        """Accumulate (d, c) counters per duration — pure integer
+        counts, so slicing/order independence is exact."""
+        acc = {
+            t: [dv, cv]
+            for t, dv, cv in zip(st[0], st[1], st[2])
+        }
+        for t, e in zip(durations, events):
+            cell = acc.setdefault(int(t), [0, 0])
+            if int(e):
+                cell[0] += 1
+            else:
+                cell[1] += 1
+        ts = sorted(acc)
+        return (
+            ts,
+            [acc[t][0] for t in ts],
+            [acc[t][1] for t in ts],
+        )
+
+    @staticmethod
+    def curve(st):
+        """The km_curve lattice, sequentially over the sorted cells:
+        n_risk by suffix count, micro HALF_UP log terms, survival =
+        exp(Σ terms / 1e6) pinned to exactly 0 once d == n_risk."""
+        import math
+
+        ts, ds, cs = st
+        n_total = sum(ds) + sum(cs)
+        rows = []
+        removed = 0
+        acc = 0
+        dead = False
+        for t, d, c in zip(ts, ds, cs):
+            n_risk = n_total - removed
+            if 0 < d < n_risk:
+                acc += _half_up_micro(math.log(1.0 - d / n_risk))
+            if d > 0 and d == n_risk:
+                dead = True
+            # same 6-dp HALF_UP publication rounding as km_curve
+            surv = (
+                0.0
+                if dead
+                else _half_up_micro(math.exp(acc / 1000000.0)) / 1000000.0
+            )
+            rows.append((t, n_risk, d, c, surv))
+            removed += d + c
+        return rows
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            tuple(self._state.get())
+            if self._state.exists()
+            else ([], [], [])
+        )
+        for pdf in rows:
+            st = self.fold(
+                st, pdf[self._duration_col], pdf[self._event_col]
+            )
+        self._state.update(st)
+        curve = self.curve(st)
+        n_total = sum(st[1]) + sum(st[2])
+        yield pd.DataFrame(
+            {
+                "group_key": [key[0]] * len(curve),
+                # n_total is MONOTONE per key, so an update-mode sink
+                # can select the final curve with max_by(·, n_total)
+                "n_total": [n_total] * len(curve),
+                "duration": [r[0] for r in curve],
+                "n_risk": [r[1] for r in curve],
+                "n_event": [r[2] for r in curve],
+                "n_censored": [r[3] for r in curve],
+                "survival": [r[4] for r in curve],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_km_curve(
+    subjects: DataFrame,
+    group_col: str = "event_type",
+    duration_col: str = "duration",
+    event_col: str = "event",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-group Kaplan-Meier survival curve over
+    (group, duration, event) subject rows via
+    ``transformWithStateInPandas`` — update-mode emissions of the
+    full exact-counter product-limit curve. Apply a watermark on the
+    SOURCE's event-time column to bound state replay; the curve
+    itself is arrival-order exact by construction."""
+    return subjects.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(duration_col).cast("long").alias("duration"),
+        F.col(event_col).cast("int").alias("event"),
+    ).groupBy("group_key").transformWithStateInPandas(
+        KmCurveProcessor(ttl_ms=ttl_ms),
+        outputStructType=KM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def km_stream_batch(
+    subjects: DataFrame,
+    group_col: str = "event_type",
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> pd.DataFrame:
+    """Batch reference for ``running_km_curve``'s END STATE: fold each
+    group's full history through the identical counter state and emit
+    the identical lattice curve (test-only single-process reference —
+    and pinned cell-for-cell against the DISTRIBUTED
+    ``operators.survival.km_curve`` in tests)."""
+    pdf = subjects.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(duration_col).cast("long").alias("duration"),
+        F.col(event_col).cast("int").alias("event"),
+    ).toPandas()
+    proc = KmCurveProcessor()
+    out = []
+    for g, grp in pdf.groupby("group_key"):
+        st = proc.fold(([], [], []), grp["duration"], grp["event"])
+        n_total = sum(st[1]) + sum(st[2])
+        for t, n_risk, d, c, surv in proc.curve(st):
+            out.append((g, n_total, t, n_risk, d, c, surv))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "group_key", "n_total", "duration", "n_risk", "n_event",
+            "n_censored", "survival",
+        ],
     )

@@ -1528,3 +1528,139 @@ def test_bottom_k_sample_processor_order_free_and_uniform(spark, sf_dir):
     # duplicates kept once
     st = proc.fold((0, [], []), [5, 5, 5, 7])
     assert sorted(st[2]) == [5, 7] and st[0] == 4
+
+
+def test_km_processor_order_free_and_pins_km_curve(spark, sf_dir):
+    """KmCurveProcessor: the counter state makes slicing AND arrival
+    order independence EXACT (whole == reversed == sliced-by-97,
+    bit-for-bit); the end-state curve pins CELL-FOR-CELL against the
+    distributed operators.survival.km_curve — counts exactly,
+    survival to float exp parity (same micro HALF_UP lattice)."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import km_curve
+    from cancer_survival_etl_spark.streaming.tws import (
+        KmCurveProcessor,
+        km_stream_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    subjects = events.select(
+        "event_type",
+        (F.col("event_id") % 20 + 1).cast("long").alias("duration"),
+        (F.col("value") > 50).cast("int").alias("event"),
+    )
+    proc = KmCurveProcessor()
+    pdf = subjects.toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        durs = [int(t) for t in grp["duration"]]
+        evs = [int(e) for e in grp["event"]]
+        whole = proc.fold(([], [], []), durs, evs)
+        rev = proc.fold(
+            ([], [], []), list(reversed(durs)), list(reversed(evs))
+        )
+        sliced = ([], [], [])
+        for j in range(0, len(durs), 97):
+            sliced = proc.fold(
+                sliced, durs[j:j + 97], evs[j:j + 97]
+            )
+        assert whole == rev == sliced
+
+    # end state == the distributed km_curve, cell-for-cell
+    got = km_stream_batch(subjects).set_index(["group_key", "duration"])
+    want = (
+        km_curve(subjects, ["event_type"])
+        .select(
+            F.col("event_type").alias("group_key"), "duration",
+            "n_risk", "n_event", "n_censored", "survival",
+        )
+        .toPandas()
+        .set_index(["group_key", "duration"])
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for idx, w in want.iterrows():
+        g = got.loc[idx]
+        assert (
+            int(g.n_risk), int(g.n_event), int(g.n_censored)
+        ) == (int(w.n_risk), int(w.n_event), int(w.n_censored)), idx
+        assert g.survival == pytest.approx(w.survival, abs=1e-12), idx
+    # survival is a proper non-increasing product-limit curve
+    for gkey, grp in got.reset_index().groupby("group_key"):
+        s = list(grp.sort_values("duration")["survival"])
+        assert all(a >= b - 1e-15 for a, b in zip(s, s[1:]))
+
+
+def test_transform_with_state_km_curve(spark, sf_dir, tmp_path):
+    """running_km_curve end-to-end over a real micro-batch run: the
+    final per-(group, duration) emission (selected by max_by on the
+    monotone n_total) equals km_stream_batch of the full history."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        km_stream_batch,
+        running_km_curve,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def to_subjects(df):
+        return df.select(
+            "event_type",
+            (F.col("event_id") % 20 + 1).cast("long").alias("duration"),
+            (F.col("value") > 50).cast("int").alias("event"),
+        )
+
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_km_curve(to_subjects(src))
+            .writeStream.format("memory")
+            .queryName("tws_km_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_km"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    out = spark.sql(
+        """SELECT group_key, duration,
+                  max_by(n_risk, n_total) AS n_risk,
+                  max_by(n_event, n_total) AS n_event,
+                  max_by(n_censored, n_total) AS n_censored,
+                  max_by(survival, n_total) AS survival
+           FROM tws_km_test GROUP BY group_key, duration"""
+    ).toPandas().set_index(["group_key", "duration"])
+    assert len(out) > 0
+    expect = km_stream_batch(
+        to_subjects(load_table(spark, sf_dir, "events"))
+    ).set_index(["group_key", "duration"])
+    assert len(out) == len(expect)
+    for idx, w in expect.iterrows():
+        g = out.loc[idx]
+        assert (
+            int(g.n_risk), int(g.n_event), int(g.n_censored)
+        ) == (int(w.n_risk), int(w.n_event), int(w.n_censored)), idx
+        assert g.survival == pytest.approx(w.survival, abs=1e-12), idx
