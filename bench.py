@@ -127,6 +127,7 @@ HEADLINE = [
     "multimodal_audio",
     "multimodal_pcm",
     "multimodal_bmp",
+    "multimodal_decode",
     "multimodal_ppm",
     "multimodal_gif",
     "multimodal_video",
@@ -378,6 +379,8 @@ HEADLINE = [
     "stats_meta_dl",
     "survival_frailty",
     "rates_cumulative_risk",
+    "survival_cox_robust",
+    "survival_fine_gray_strat",
 ]
 
 REGRESSION_RATIO = 1.5

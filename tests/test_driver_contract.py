@@ -65,27 +65,28 @@ def test_oracle_column_alignment_full_surface(spark):
 
 
 def test_correctness_window_composition():
-    """The driver adjudicates the FIRST 50 queries() entries. Round-8
-    policy (VERDICT r07 item 1): slots 1-13 are the 13 round-7 queries
-    never driver-adjudicated (judge parity-verified green in VERDICT
-    r07); slots 14-50 are 37 of the 44 r02-vintage stale adjudications
-    — every r02-vintage row EXCEPT the 7 declared deferrals, which sit
-    at positions 51-57 for the r09 rotation. Every window slot is
-    oracle-checked."""
+    """The driver adjudicates the FIRST 50 queries() entries. Round-9
+    policy (VERDICT r08 item 1): slots 1-7 are the 7 r02 deferrals;
+    slots 8-31 are the 24 round-8 queries never driver-adjudicated
+    (judge parity-verified green in VERDICT r08); slot 32 is
+    multimodal_decode (the final r02-vintage row, rows-only by
+    declared contract); slots 33-50 are 18 r03-vintage stale
+    re-checks including all three driver-bench-flagged queries.
+    After this window NO r02-vintage adjudication remains."""
     import json
     import os
 
     qs = list(entrymod.queries())
     osql = entrymod.oracle_sql()
     window = qs[:50]
-    # every window slot is oracle-checked, except the one declared
-    # rows-only query (tokenizer_bpe — driver records a rows-only
-    # check for it, as it did in r02)
+    # every window slot is oracle-checked except the one declared
+    # rows-only query (multimodal_decode — Python decode kernel, no
+    # SQL equivalent; driver records a rows-only check as in r02)
     missing = [k for k in window if k not in osql]
-    assert missing in ([], ["tokenizer_bpe"]), missing
+    assert missing in ([], ["multimodal_decode"]), missing
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, str] = {}
-    for rnd in ("01", "02", "03", "04", "05", "06", "07"):
+    for rnd in ("01", "02", "03", "04", "05", "06", "07", "08"):
         p = os.path.join(here, f"CORRECTNESS_r{rnd}.json")
         with open(p) as fh:
             for name, row in json.load(fh).items():
@@ -94,28 +95,44 @@ def test_correctness_window_composition():
                     and row.get("spark_rows")
                 ):
                     latest[name] = rnd
-    # slots 1-13: the round-7 tranche — never driver-adjudicated
-    never = window[:13]
+    # slots 1-7: the r02 deferrals — every remaining r02 oracle row
+    deferrals = window[:7]
+    assert set(deferrals) == {
+        "sketch_sample_quantiles", "text_chunk", "text_pack_bins",
+        "dataset_mixture", "model_score", "stats_zscore",
+        "stats_histogram"}, deferrals
+    assert all(latest.get(n) == "02" for n in deferrals), [
+        (n, latest.get(n)) for n in deferrals]
+    # slots 8-31: the round-8 tranche — never driver-adjudicated
+    never = window[7:31]
     adjudicated = [n for n in never if n in latest]
     assert not adjudicated, adjudicated
-    for must in ["survival_km_turnbull", "survival_aalen_additive",
-                 "survival_fine_gray_ci", "survival_cox_spline",
-                 "rates_apc", "survival_lexis", "stats_cuzick",
-                 "survival_prevalence", "survival_ipw_km",
-                 "stats_conditional_logistic", "rates_joinpoint",
-                 "survival_flexible_allcause", "stats_mcnemar"]:
+    for must in ["rates_joinpoint_k", "survival_aipw_contrast",
+                 "survival_relative_lt", "survival_rp_td",
+                 "survival_ipcw_km", "survival_aipcw_contrast",
+                 "stats_firth_logistic", "survival_direct_adjusted",
+                 "survival_cindex", "survival_cure_mixture",
+                 "survival_km_band", "stats_zip", "survival_cindex_uno",
+                 "survival_brier", "survival_rmst_ci",
+                 "survival_logrank_renyi", "survival_rmtl", "stats_gee",
+                 "survival_auc_td", "survival_calibration",
+                 "demography_life_table", "stats_meta_dl",
+                 "survival_frailty", "rates_cumulative_risk"]:
         assert must in never, must
-    # slots 14-50: r02-vintage drift re-checks — green-adjudicated in
-    # r02 and untouched since; together with the 7 deferrals at 51-57
-    # they exhaust the r02 staleness tail.
-    stale = window[13:]
-    assert all(latest.get(n) == "02" for n in stale), [
-        (n, latest.get(n)) for n in stale if latest.get(n) != "02"]
-    deferred = qs[50:57]
-    assert all(latest.get(n) == "02" for n in deferred), deferred
+    # slot 32: the last r02-vintage row (rows-only)
+    assert window[31] == "multimodal_decode"
+    assert latest.get("multimodal_decode") == "02"
+    # slots 33-50: r03-vintage drift re-checks, bench-flagged first
+    r03 = window[32:]
+    assert len(r03) == 18
+    assert all(latest.get(n) == "03" for n in r03), [
+        (n, latest.get(n)) for n in r03 if latest.get(n) != "03"]
+    for flagged in ("stats_rank_sum", "stats_spearman", "stats_kendall"):
+        assert flagged in r03, flagged
+    # the r02 staleness tail is now fully inside the window: no
+    # registry query's latest adjudication is r02-vintage outside it
     r02_all = {n for n, r in latest.items() if r == "02" and n in qs}
-    assert r02_all == set(stale) | set(deferred), (
-        r02_all - set(stale) - set(deferred))
+    assert r02_all <= set(window), r02_all - set(window)
 
 
 def test_plans_md_covers_every_registry_query():
