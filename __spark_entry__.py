@@ -16249,6 +16249,111 @@ def q_survival_cox_robust(spark, sf_dir):
     )
 
 
+def q_survival_fine_gray_robust(spark, sf_dir):
+    """Fine-Gray with robust sandwich SEs (operators/survival.py::
+    fine_gray_robust — the cox_ph_robust analog on the weighted
+    subdistribution score; weights-known convention documented):
+    orders cluster by CUSTOMER with a cluster-LEVEL x1 and a shared
+    md5 shock on the cause-1 rate, a competing exponential, and
+    administrative censoring at 25. Verdicts pin the clustered
+    sandwich exceeding the model SE and β̂ in the planted band; exact
+    per-(x1, cause) cohort counts replay in DuckDB (the cox_robust
+    verdict pattern; the sandwich itself is NumPy-twinned and its
+    no-competing reduction is pinned bit-equal to cox_ph_robust in
+    pytest)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        fine_gray_robust,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    ckey = F.col("o_custkey").cast("string")
+
+    def u(col, lo):
+        return (
+            F.conv(F.substring(F.md5(col), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x1 = (u(ckey, 9) < 0.5).cast("double")
+    shock = (u(ckey, 1) - 0.5) * 1.6
+    t1 = -F.log(u(okey, 17) + 1e-9) / (
+        F.lit(0.06) * F.exp(F.lit(0.8) * x1 + shock)
+    )
+    t2 = -F.log(u(okey, 25) + 1e-9) / F.lit(0.04)
+    t = F.least(t1, t2)
+    c_raw = F.when(t1 <= t2, F.lit(1)).otherwise(F.lit(2))
+    cohort = d.select(
+        F.col("o_custkey").alias("cl"),
+        x1.alias("x1"),
+        F.least(F.floor(t) + 1, F.lit(25)).cast("double").alias(
+            "duration"
+        ),
+        F.when(t < 25, c_raw).otherwise(F.lit(0)).alias("cause"),
+    ).localCheckpoint(eager=False)
+    beta, se_m, se_r = fine_gray_robust(
+        cohort, ["x1"], cluster_col="cl", iters=8
+    )
+    ok_sandwich = se_r[0] > se_m[0]
+    ok_beta = 0.3 < beta[0] < 1.3
+    return (
+        cohort.groupBy("x1", "cause")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cl").alias("n_clusters_touched"),
+        )
+        .select(
+            F.col("x1").cast("long").alias("x1"),
+            F.col("cause").cast("long").alias("cause"),
+            "n",
+            "n_clusters_touched",
+            F.lit(ok_sandwich).alias("sandwich_exceeds_naive"),
+            F.lit(ok_beta).alias("beta_in_band"),
+        )
+    )
+
+
+_SURVIVAL_FINE_GRAY_ROBUST_SQL = """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 17, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u17,
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 25, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u25,
+          (CAST(concat('0x', substring(md5(o_custkey::VARCHAR), 1, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS uc,
+          (CAST(concat('0x', substring(md5(o_custkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS uc9,
+          o_custkey
+        FROM orders
+    ),
+    s AS (
+        SELECT o_custkey AS cl,
+               CASE WHEN uc9 < 0.5 THEN 1 ELSE 0 END AS x1,
+               -ln(u17 + 0.000000001)
+                   / (0.06 * exp(0.8 * (CASE WHEN uc9 < 0.5
+                                        THEN 1.0 ELSE 0.0 END)
+                                 + (uc - 0.5) * 1.6)) AS t1,
+               -ln(u25 + 0.000000001) / 0.04 AS t2
+        FROM f
+    ),
+    z AS (
+        SELECT cl, x1,
+               least(t1, t2) AS t,
+               CASE WHEN t1 <= t2 THEN 1 ELSE 2 END AS c_raw
+        FROM s
+    )
+    SELECT CAST(x1 AS BIGINT) AS x1,
+           CAST(CASE WHEN t < 25 THEN c_raw ELSE 0 END AS BIGINT)
+               AS cause,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT cl) AS BIGINT) AS n_clusters_touched,
+           true AS sandwich_exceeds_naive,
+           true AS beta_in_band
+    FROM z GROUP BY 1, 2
+"""
+
+
 def q_stats_meta_dl(spark, sf_dir):
     """DerSimonian-Laird meta-analysis (operators/stats.py::
     meta_analysis_dl) pooling 25 md5-planted per-nation 'studies'
@@ -17498,6 +17603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-9 additions ----
         "survival_cox_robust": q_survival_cox_robust,
         "survival_fine_gray_strat": q_survival_fine_gray_strat,
+        "survival_fine_gray_robust": q_survival_fine_gray_robust,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -20725,6 +20831,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_frailty": _SURVIVAL_FRAILTY_SQL,
         "survival_cox_robust": _SURVIVAL_COX_ROBUST_SQL,
         "survival_fine_gray_strat": _SURVIVAL_FINE_GRAY_STRAT_SQL,
+        "survival_fine_gray_robust": _SURVIVAL_FINE_GRAY_ROBUST_SQL,
         "rates_cumulative_risk": _RATES_CUMULATIVE_RISK_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,

@@ -381,6 +381,7 @@ HEADLINE = [
     "rates_cumulative_risk",
     "survival_cox_robust",
     "survival_fine_gray_strat",
+    "survival_fine_gray_robust",
 ]
 
 REGRESSION_RATIO = 1.5

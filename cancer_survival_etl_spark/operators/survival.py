@@ -2331,6 +2331,7 @@ def cox_ph_robust(
     event_col: str = "event",
     cluster_col: str | None = None,
     iters: int = 8,
+    strata_cols: Sequence[str] | None = None,
 ) -> tuple[list[float], list[float], list[float]]:
     """Lin-Wei (1989) robust sandwich standard errors for the Cox
     model — the SE every registry analysis reports when observations
@@ -2373,13 +2374,24 @@ def cox_ph_robust(
     Under independent sampling se_robust is consistent for the same
     limit as se_model; the independence reduction is pinned in tests
     against ``cox_ph(..., return_se=True)``.
+
+    ``strata_cols``: the STRATIFIED sandwich — β comes from the
+    stratified ``cox_ph``, cells/risk-set scans/cumulative curves all
+    form within strata (``grouped_prefix_sum``), the score residual
+    uses the subject's own stratum's x̄/Λ₀/G, and the information and
+    meat pool across strata (the stratified partial likelihood and
+    score are plain sums of per-stratum terms). With a constant
+    stratum the result is bit-equal to the unstratified sandwich
+    (pinned in tests).
     """
     import numpy as np
 
     feats = list(feature_cols)
     p = len(feats)
+    strata = list(strata_cols) if strata_cols else []
     beta = cox_ph(
-        df, feats, duration_col, event_col, iters=iters, ties="breslow"
+        df, feats, duration_col, event_col, iters=iters,
+        ties="breslow", strata_cols=strata or None,
     )
     nano = F.lit(1000000000.0)
 
@@ -2407,17 +2419,27 @@ def cox_ph_robust(
                     F.round(r * xj * xk * nano, 0).cast("long")
                 ).alias(f"a2_{j}_{k}")
             )
-    cells = df.groupBy(duration_col).agg(*aggs)
+    cells = df.groupBy(*strata, duration_col).agg(*aggs)
     vcols = (
         ["a0"]
         + [f"a1_{j}" for j in range(p)]
         + [f"a2_{j}_{k}" for j in range(p) for k in range(j, p)]
     )
-    pre = global_prefix_sum(
-        cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
-    )
-    tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in vcols])
-    pre = pre.crossJoin(F.broadcast(tot))
+    if strata:
+        pre = grouped_prefix_sum(
+            cells, strata, duration_col, vcols,
+            [f"_pre_{v}" for v in vcols],
+        )
+        tot = cells.groupBy(*strata).agg(
+            *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
+        )
+        pre = pre.join(F.broadcast(tot), strata)
+    else:
+        pre = global_prefix_sum(
+            cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
+        )
+        tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in vcols])
+        pre = pre.crossJoin(F.broadcast(tot))
 
     def suffix(v):
         return F.col(f"_tot_{v}") - F.col(f"_pre_{v}")
@@ -2464,6 +2486,7 @@ def cox_ph_robust(
         )
     info_row = pre.agg(*info_aggs).collect()[0]
     curve = pre.select(
+        *strata,
         duration_col,
         *[
             (suffix(f"a1_{j}") / s0).alias(f"_xb{j}")
@@ -2471,13 +2494,23 @@ def cox_ph_robust(
         ],
         *inc_cols,
     )
-    curve = global_prefix_sum(
-        curve,
-        duration_col,
-        ["_dh"] + [f"_dg{j}" for j in range(p)],
-        ["_dh0"] + [f"_dg0{j}" for j in range(p)],
-    )
+    if strata:
+        curve = grouped_prefix_sum(
+            curve,
+            strata,
+            duration_col,
+            ["_dh"] + [f"_dg{j}" for j in range(p)],
+            ["_dh0"] + [f"_dg0{j}" for j in range(p)],
+        )
+    else:
+        curve = global_prefix_sum(
+            curve,
+            duration_col,
+            ["_dh"] + [f"_dg{j}" for j in range(p)],
+            ["_dh0"] + [f"_dg0{j}" for j in range(p)],
+        )
     curve = curve.select(
+        *strata,
         duration_col,
         *[f"_xb{j}" for j in range(p)],
         ((F.col("_dh0") + F.col("_dh")) / nano).alias("_H0"),
@@ -2489,11 +2522,11 @@ def cox_ph_robust(
         ],
     )
 
-    keys = feats + [duration_col, event_col] + (
+    keys = strata + feats + [duration_col, event_col] + (
         [cluster_col] if cluster_col else []
     )
     subj = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    joined = subj.join(F.broadcast(curve), duration_col)
+    joined = subj.join(F.broadcast(curve), strata + [duration_col])
     u_cols = []
     for j in range(p):
         x = F.col(feats[j]).cast("double")
@@ -2552,6 +2585,68 @@ def cox_ph_robust(
         round(float(np.sqrt(max(cov_r[j, j], 0.0))), 9) for j in range(p)
     ]
     return beta, se_model, se_robust
+
+
+def _fg_censoring_base(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    strata: Sequence[str],
+) -> DataFrame:
+    """Attach the per-subject censoring-KM left limit ``_lng_left`` =
+    micro-lattice lnG(T_i−) (per stratum when stratified) — the
+    beta-free half of the Fine-Gray machinery, shared by the fit and
+    the robust-variance pass."""
+    is_cen = (F.col(cause_col).cast("long") == 0).cast("long")
+    gcells = df.groupBy(*strata, duration_col).agg(
+        F.sum(is_cen).alias("_c"),
+        F.count(F.lit(1)).alias("_rm"),
+    )
+    if strata:
+        gtot = gcells.groupBy(*strata).agg(
+            F.sum("_rm").alias("_n_all")
+        )
+        gcells = grouped_prefix_sum(
+            gcells, list(strata), duration_col, ["_rm"], ["_rm_before"]
+        ).join(F.broadcast(gtot), list(strata))
+    else:
+        gtot = gcells.agg(F.sum("_rm").alias("_n_all"))
+        gcells = global_prefix_sum(
+            gcells, duration_col, ["_rm"], ["_rm_before"]
+        ).crossJoin(F.broadcast(gtot))
+    n_at = F.col("_n_all") - F.col("_rm_before")
+    cterm = F.when(
+        (F.col("_c") > 0) & (F.col("_c") < n_at),
+        _micro(F.log(F.lit(1.0) - F.col("_c") / n_at)),
+    ).otherwise(F.lit(0).cast("long"))
+    gcells = gcells.withColumn("_g_term", cterm)
+    # lnG(t-) excludes the term AT t -> exclusive prefix
+    if strata:
+        gtab = grouped_prefix_sum(
+            gcells.select(*strata, duration_col, "_g_term"),
+            list(strata),
+            duration_col,
+            ["_g_term"],
+            ["_lng_before"],
+        ).select(
+            *strata, duration_col,
+            F.col("_lng_before").alias("_lng_left"),
+        )
+        return df.join(
+            F.broadcast(gtab), list(strata) + [duration_col], "left"
+        ).fillna({"_lng_left": 0})
+    gtab = global_prefix_sum(
+        gcells.select(duration_col, "_g_term"),
+        duration_col,
+        ["_g_term"],
+        ["_lng_before"],
+    ).select(
+        duration_col, F.col("_lng_before").alias("_lng_left")
+    )
+    # per-subject lnG(T_i-) for the competing mass
+    return df.join(F.broadcast(gtab), duration_col, "left").fillna(
+        {"_lng_left": 0}
+    )
 
 
 def fine_gray(
@@ -2639,56 +2734,7 @@ def fine_gray(
     # ---- censoring KM G(t-) on the micro log-lattice (beta-free:
     # computed once, reused every iteration; per stratum when
     # stratified) ----
-    gcells = df.groupBy(*strata, duration_col).agg(
-        F.sum(is_cen).alias("_c"),
-        F.count(F.lit(1)).alias("_rm"),
-    )
-    if strata:
-        gtot = gcells.groupBy(*strata).agg(
-            F.sum("_rm").alias("_n_all")
-        )
-        gcells = grouped_prefix_sum(
-            gcells, strata, duration_col, ["_rm"], ["_rm_before"]
-        ).join(F.broadcast(gtot), strata)
-    else:
-        gtot = gcells.agg(F.sum("_rm").alias("_n_all"))
-        gcells = global_prefix_sum(
-            gcells, duration_col, ["_rm"], ["_rm_before"]
-        ).crossJoin(F.broadcast(gtot))
-    n_at = F.col("_n_all") - F.col("_rm_before")
-    cterm = F.when(
-        (F.col("_c") > 0) & (F.col("_c") < n_at),
-        _micro(F.log(F.lit(1.0) - F.col("_c") / n_at)),
-    ).otherwise(F.lit(0).cast("long"))
-    gcells = gcells.withColumn("_g_term", cterm)
-    # lnG(t-) excludes the term AT t -> exclusive prefix
-    if strata:
-        gtab = grouped_prefix_sum(
-            gcells.select(*strata, duration_col, "_g_term"),
-            strata,
-            duration_col,
-            ["_g_term"],
-            ["_lng_before"],
-        ).select(
-            *strata, duration_col,
-            F.col("_lng_before").alias("_lng_left"),
-        )
-        base = df.join(
-            F.broadcast(gtab), strata + [duration_col], "left"
-        ).fillna({"_lng_left": 0})
-    else:
-        gtab = global_prefix_sum(
-            gcells.select(duration_col, "_g_term"),
-            duration_col,
-            ["_g_term"],
-            ["_lng_before"],
-        ).select(
-            duration_col, F.col("_lng_before").alias("_lng_left")
-        )
-        # per-subject lnG(T_i-) for the competing mass
-        base = df.join(F.broadcast(gtab), duration_col, "left").fillna(
-            {"_lng_left": 0}
-        )
+    base = _fg_censoring_base(df, duration_col, cause_col, strata)
 
     for _ in range(iters):
         xb = F.lit(0.0)
@@ -2824,6 +2870,283 @@ def fine_gray(
         se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(p)]
         return beta, se
     return beta
+
+
+def fine_gray_robust(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+    cluster_col: str | None = None,
+    iters: int = 8,
+) -> tuple[list[float], list[float], list[float]]:
+    """Robust (sandwich) standard errors for Fine-Gray — the
+    ``cox_ph_robust`` analog on the SUBDISTRIBUTION score. Returns
+    ``(beta, se_model, se_robust)``.
+
+    Convention (documented, same as ``fine_gray``'s SE note): the
+    IPCW weights G(·) are treated as KNOWN — this is the Lin-Wei-form
+    sandwich on the weighted score, which handles within-cluster
+    correlation and model misspecification; Fine & Gray's full
+    variance additionally carries the censoring-KM estimation term
+    (second-order at registry censoring levels). The published sHR
+    [95% CI] artifact states this convention.
+
+    The weighted score residual has a closed two-curve form. With
+    A(t) = Σ_{s≤t} d_s/S0(s), B_j(t) = Σ_{s≤t} d_s·S1_j(s)/S0(s)²
+    over the SUBDISTRIBUTION masses S0/S1 = eff(a,c), and their
+    G-weighted strict-tail twins Ã(t) = Σ_{s>t} G(s−)·d_s/S0(s),
+    B̃_j(t) = Σ_{s>t} G(s−)·d_s·S1_j(s)/S0(s)²,
+
+        U_i = 1{cause=1}·(x_i − x̄(T_i))
+              − r_i·(x_i·A(T_i) − B(T_i))
+              − 1{cause=2}·(r_i/G(T_i−))·(x_i·Ã(T_i) − B̃(T_i)),
+
+    because a subject contributes weight 1 at event times ≤ T_i and —
+    competing subjects only — weight G(t−)/G(T_i−) at event times
+    beyond T_i. So U_i depends on i only through (x_i, T_i, cause_i):
+    the same cell-collapsible shape as ``cox_ph_robust``. One cell
+    aggregate at the final β (which also yields the model information
+    I), TWO multi-column prefix passes (risk suffixes, then the
+    inclusive/strict-tail curves — tail = total − inclusive), one
+    per-(x-pattern, T, cause[, cluster]) meat fold; V = I⁻¹MI⁻¹.
+    Exact long sums of per-cell nano roundings throughout —
+    bit-identical under any partitioning (pinned 1-vs-32)."""
+    import numpy as np
+
+    feats = list(feature_cols)
+    p = len(feats)
+    beta, _ = fine_gray(
+        df, feats, duration_col, cause_col, iters=iters, return_se=True
+    )
+    nano = F.lit(1000000000.0)
+    micro = F.lit(1000000.0)
+    base = _fg_censoring_base(df, duration_col, cause_col, [])
+
+    cause = F.col(cause_col).cast("long")
+    is_ev = (cause == 1).cast("long")
+    is_cmp = (cause == 2).cast("long")
+    xb = F.lit(0.0)
+    for j, c in enumerate(feats):
+        xb = xb + F.lit(beta[j]) * F.col(c).cast("double")
+    r = F.exp(xb)
+    rw = r * F.exp(-F.col("_lng_left") / micro)
+
+    aggs = [
+        F.sum(is_ev).alias("d_t"),
+        F.max("_lng_left").alias("_lng"),
+        F.sum(F.round(r * nano, 0).cast("long")).alias("a0"),
+        F.sum(is_cmp * F.round(rw * nano, 0).cast("long")).alias("c0"),
+    ]
+    for j, c in enumerate(feats):
+        x = F.col(c).cast("double")
+        aggs.append(
+            F.sum(F.round(r * x * nano, 0).cast("long")).alias(f"a1_{j}")
+        )
+        aggs.append(
+            F.sum(
+                is_cmp * F.round(rw * x * nano, 0).cast("long")
+            ).alias(f"c1_{j}")
+        )
+    for j in range(p):
+        for k in range(j, p):
+            xj = F.col(feats[j]).cast("double")
+            xk = F.col(feats[k]).cast("double")
+            aggs.append(
+                F.sum(
+                    F.round(r * xj * xk * nano, 0).cast("long")
+                ).alias(f"a2_{j}_{k}")
+            )
+            aggs.append(
+                F.sum(
+                    is_cmp * F.round(rw * xj * xk * nano, 0).cast("long")
+                ).alias(f"c2_{j}_{k}")
+            )
+    cells = base.groupBy(duration_col).agg(*aggs)
+    acols = (
+        ["a0"]
+        + [f"a1_{j}" for j in range(p)]
+        + [f"a2_{j}_{k}" for j in range(p) for k in range(j, p)]
+    )
+    ccols = (
+        ["c0"]
+        + [f"c1_{j}" for j in range(p)]
+        + [f"c2_{j}_{k}" for j in range(p) for k in range(j, p)]
+    )
+    pre = global_prefix_sum(
+        cells,
+        duration_col,
+        acols + ccols,
+        [f"_pre_{v}" for v in acols + ccols],
+    )
+    tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in acols])
+    pre = pre.crossJoin(F.broadcast(tot))
+
+    gleft = F.exp(F.col("_lng") / micro)
+
+    def eff(a, c):
+        return (
+            (F.col(f"_tot_{a}") - F.col(f"_pre_{a}"))
+            + gleft * F.col(f"_pre_{c}")
+        )
+
+    s0 = eff("a0", "c0")
+    d_t = F.col("d_t")
+
+    info_aggs = []
+    for j in range(p):
+        for k in range(j, p):
+            term = d_t * (
+                eff(f"a2_{j}_{k}", f"c2_{j}_{k}") / s0
+                - (eff(f"a1_{j}", f"c1_{j}") / s0)
+                * (eff(f"a1_{k}", f"c1_{k}") / s0)
+            )
+            info_aggs.append(
+                F.sum(
+                    F.when(
+                        d_t > 0, F.round(term * nano, 0).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias(f"i{j}_{k}")
+            )
+    info_row = pre.agg(*info_aggs).collect()[0]
+
+    # per-time increments on the nano lattice (the a/c moments carry a
+    # factor nano, so S0_true = s0/1e9 and the eff1 ratios cancel it)
+    dtd = d_t.cast("double")
+    inc_cols = [
+        F.round(dtd * nano / s0 * nano, 0).cast("long").alias("_da"),
+        F.round(gleft * dtd * nano / s0 * nano, 0)
+        .cast("long")
+        .alias("_dat"),
+    ]
+    for j in range(p):
+        e1 = eff(f"a1_{j}", f"c1_{j}")
+        inc_cols.append(
+            F.round(dtd * e1 * nano / (s0 * s0) * nano, 0)
+            .cast("long")
+            .alias(f"_db{j}")
+        )
+        inc_cols.append(
+            F.round(gleft * dtd * e1 * nano / (s0 * s0) * nano, 0)
+            .cast("long")
+            .alias(f"_dbt{j}")
+        )
+    curve = pre.select(
+        duration_col,
+        *[
+            (eff(f"a1_{j}", f"c1_{j}") / s0).alias(f"_xb{j}")
+            for j in range(p)
+        ],
+        *inc_cols,
+    )
+    icols = ["_da", "_dat"] + [
+        c for j in range(p) for c in (f"_db{j}", f"_dbt{j}")
+    ]
+    ctot = curve.agg(
+        *[F.sum(c).alias(f"_sum{c}") for c in ("_dat",)]
+        + [F.sum(f"_dbt{j}").alias(f"_sum_dbt{j}") for j in range(p)]
+    )
+    curve = global_prefix_sum(
+        curve, duration_col, icols, [f"{c}0" for c in icols]
+    ).crossJoin(F.broadcast(ctot))
+    curve = curve.select(
+        duration_col,
+        *[f"_xb{j}" for j in range(p)],
+        ((F.col("_da0") + F.col("_da")) / nano).alias("_A"),
+        # strict tail: total − inclusive prefix
+        (
+            (F.col("_sum_dat") - (F.col("_dat0") + F.col("_dat")))
+            / nano
+        ).alias("_At"),
+        *[
+            ((F.col(f"_db{j}0") + F.col(f"_db{j}")) / nano).alias(
+                f"_B{j}"
+            )
+            for j in range(p)
+        ],
+        *[
+            (
+                (
+                    F.col(f"_sum_dbt{j}")
+                    - (F.col(f"_dbt{j}0") + F.col(f"_dbt{j}"))
+                )
+                / nano
+            ).alias(f"_Bt{j}")
+            for j in range(p)
+        ],
+    )
+
+    keys = feats + [duration_col, cause_col] + (
+        [cluster_col] if cluster_col else []
+    )
+    subj = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_lng_left").alias("_lngl"),
+    )
+    joined = subj.join(F.broadcast(curve), duration_col)
+    rwj = r * F.exp(-F.col("_lngl") / micro)
+    u_cols = []
+    for j in range(p):
+        x = F.col(feats[j]).cast("double")
+        u = (
+            is_ev.cast("double") * (x - F.col(f"_xb{j}"))
+            - r * (x * F.col("_A") - F.col(f"_B{j}"))
+            - is_cmp.cast("double")
+            * rwj
+            * (x * F.col("_At") - F.col(f"_Bt{j}"))
+        )
+        u_cols.append(u.alias(f"_u{j}"))
+    joined = joined.select(
+        "_n", *u_cols, *([cluster_col] if cluster_col else [])
+    )
+
+    meat_aggs = []
+    if cluster_col:
+        percl = joined.groupBy(cluster_col).agg(
+            *[
+                F.sum(
+                    F.col("_n")
+                    * F.round(F.col(f"_u{j}") * nano, 0).cast("long")
+                ).alias(f"_uc{j}")
+                for j in range(p)
+            ]
+        )
+        for j in range(p):
+            for k in range(j, p):
+                term = (F.col(f"_uc{j}") / nano) * (
+                    F.col(f"_uc{k}") / nano
+                )
+                meat_aggs.append(
+                    F.sum(F.round(term * nano, 0).cast("long")).alias(
+                        f"m{j}_{k}"
+                    )
+                )
+        mrow = percl.agg(*meat_aggs).collect()[0]
+    else:
+        for j in range(p):
+            for k in range(j, p):
+                term = F.col(f"_u{j}") * F.col(f"_u{k}")
+                meat_aggs.append(
+                    F.sum(
+                        F.col("_n")
+                        * F.round(term * nano, 0).cast("long")
+                    ).alias(f"m{j}_{k}")
+                )
+        mrow = joined.agg(*meat_aggs).collect()[0]
+
+    info = np.zeros((p, p))
+    meat = np.zeros((p, p))
+    for j in range(p):
+        for k in range(j, p):
+            info[j, k] = info[k, j] = info_row[f"i{j}_{k}"] / 1e9
+            meat[j, k] = meat[k, j] = mrow[f"m{j}_{k}"] / 1e9
+    bread = np.linalg.inv(info)
+    cov_r = bread @ meat @ bread
+    se_model = [round(float(np.sqrt(bread[j, j])), 9) for j in range(p)]
+    se_robust = [
+        round(float(np.sqrt(max(cov_r[j, j], 0.0))), 9) for j in range(p)
+    ]
+    return beta, se_model, se_robust
 
 
 def cox_baseline_hazard(
