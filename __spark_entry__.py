@@ -16354,6 +16354,302 @@ _SURVIVAL_FINE_GRAY_ROBUST_SQL = """
 """
 
 
+def q_survival_mcf(spark, sf_dir):
+    """Recurrent-event mean cumulative function with the
+    Lawless-Nadeau robust variance (operators/survival.py::
+    mcf_curve) — the readmission/repeat-event summary KM cannot
+    express because subjects stay at risk after each event. Each
+    user's 'error' events recur at whole hours since first activity
+    (+1), followup ends at the last observed event (+1), cohort =
+    user parity. Fully closed-form: the oracle replays the
+    two-stage d/Σd² collapse, the at-risk carry, and both lattice
+    folds bit-exactly — no verdict literals."""
+    from cancer_survival_etl_spark.operators.survival import mcf_curve
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("tmax")
+    )
+    cohort = (
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort")
+    )
+    fu = per.select(
+        "user_id",
+        cohort,
+        (F.expr("timestampdiff(HOUR, t0, tmax)") + F.lit(1))
+        .cast("double")
+        .alias("tau"),
+    )
+    ev = (
+        e.filter(F.col("event_type") == "error")
+        .join(per, "user_id")
+        .select(
+            "user_id",
+            cohort,
+            (F.expr("timestampdiff(HOUR, t0, ts)") + F.lit(1))
+            .cast("double")
+            .alias("time"),
+        )
+    )
+    return mcf_curve(ev, fu, ["cohort"], subject_col="user_id").orderBy(
+        "cohort", "time"
+    )
+
+
+_SURVIVAL_MCF_SQL = """
+    WITH per AS (
+        SELECT user_id, min(ts) AS t0, max(ts) AS tmax
+        FROM events GROUP BY user_id
+    ),
+    fu AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CAST((epoch_us(tmax) - epoch_us(t0)) // 3600000000 + 1
+                    AS DOUBLE) AS tau
+        FROM per
+    ),
+    ev AS (
+        SELECT e.user_id,
+               CASE WHEN e.user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS cohort,
+               CAST((epoch_us(e.ts) - epoch_us(p.t0)) // 3600000000 + 1
+                    AS DOUBLE) AS t
+        FROM events e JOIN per p USING (user_id)
+        WHERE e.event_type = 'error'
+    ),
+    percell AS (
+        SELECT cohort, user_id, t, count(*) AS di
+        FROM ev GROUP BY cohort, user_id, t
+    ),
+    ecells AS (
+        SELECT cohort, t, CAST(sum(di) AS BIGINT) AS d,
+               CAST(sum(di * di) AS BIGINT) AS d2
+        FROM percell GROUP BY cohort, t
+    ),
+    ccells AS (
+        SELECT cohort, tau AS t, count(*) AS c
+        FROM fu GROUP BY cohort, tau
+    ),
+    axis AS (
+        SELECT coalesce(e.cohort, c.cohort) AS cohort,
+               coalesce(e.t, c.t) AS t,
+               coalesce(e.d, 0) AS d, coalesce(e.d2, 0) AS d2,
+               coalesce(c.c, 0) AS c
+        FROM ecells e FULL OUTER JOIN ccells c
+          ON e.cohort = c.cohort AND e.t = c.t
+    ),
+    tot AS (SELECT cohort, count(*) AS n FROM fu GROUP BY cohort),
+    risk AS (
+        SELECT a.*, CAST(t2.n - coalesce(sum(a.c) OVER
+                   (PARTITION BY a.cohort ORDER BY a.t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS y
+        FROM axis a JOIN tot t2 USING (cohort)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d > 0
+                 THEN CAST(round(d / CAST(y AS DOUBLE) * 1000000.0, 0)
+                           AS BIGINT)
+                 ELSE 0 END AS tm,
+            CASE WHEN d > 0
+                 THEN CAST(round((d2 - d * d / CAST(y AS DOUBLE))
+                                 / (CAST(y AS DOUBLE) * y)
+                                 * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS tv
+        FROM risk
+    ),
+    acc AS (
+        SELECT cohort, t, y, d,
+               sum(tm) OVER w AS pm, sum(tv) OVER w AS pv
+        FROM terms
+        WINDOW w AS (PARTITION BY cohort ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cohort, t AS time, y AS n_risk, d AS n_events,
+           round(pm / 1000000.0, 6) AS mcf,
+           round(sqrt(pv / 1000000000000.0), 6) AS se_mcf
+    FROM acc WHERE d > 0
+    ORDER BY cohort, time
+"""
+
+
+def q_survival_weibull_aft(spark, sf_dir):
+    """Weibull accelerated-failure-time regression (operators/
+    survival.py::weibull_aft — Newton on the exact censored
+    log-likelihood over (x-pattern, ln t, event) cells, one
+    map-side aggregate per iteration): orders with a planted
+    ln T = 1.5 − 0.6·x + 0.7·W cohort (W standard minimum extreme
+    value via ln(−ln U)), administrative censoring at 15. Verdicts
+    pin (μ, β, σ) recovery; exact per-(x, event) cohort counts
+    replay in DuckDB (the glm verdict pattern — the fit itself is
+    bit-pinned to a pure-Python lattice twin in pytest)."""
+    from cancer_survival_etl_spark.operators.survival import weibull_aft
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(9) < 0.5).cast("double")
+    t = F.exp(F.lit(1.5) - F.lit(0.6) * x) * F.pow(
+        -F.log(u(17) + 1e-9), F.lit(0.7)
+    )
+    cohort = d.select(
+        x.alias("x"),
+        F.least(t, F.lit(15.0)).alias("duration"),
+        (t < 15).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    beta, sigma = weibull_aft(cohort, ["x"], iters=8)
+    ok_mu = abs(beta[0] - 1.5) < 0.15
+    ok_beta = abs(beta[1] + 0.6) < 0.15
+    ok_sigma = abs(sigma - 0.7) < 0.1
+    return (
+        cohort.groupBy("x", "event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("event").cast("long").alias("event"),
+            "n",
+            F.lit(ok_mu).alias("mu_recovered"),
+            F.lit(ok_beta).alias("beta_recovered"),
+            F.lit(ok_sigma).alias("sigma_recovered"),
+        )
+        .orderBy("x", "event")
+    )
+
+
+_SURVIVAL_WEIBULL_AFT_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                    THEN 1.0 ELSE 0.0 END AS x,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders
+    ),
+    z AS (
+        SELECT x,
+               CASE WHEN exp(1.5 - 0.6 * x)
+                         * pow(-ln(u17 + 1e-9), 0.7) < 15
+                    THEN 1 ELSE 0 END AS event
+        FROM c
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(event AS BIGINT) AS event,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS mu_recovered, true AS beta_recovered,
+           true AS sigma_recovered
+    FROM z GROUP BY 1, 2 ORDER BY x, event
+"""
+
+
+def q_rates_paf(spark, sf_dir):
+    """Population attributable fraction with the Greenland delta CI
+    on ln(1−PAF) (operators/survival.py::
+    population_attributable_fraction): orders as a cohort with an
+    md5-planted exposure (40% prevalence) tripling the case rate
+    (0.05 → 0.15), grouped by priority tier. Fully closed-form from
+    the per-group 2×2 — the oracle replays counts, RR, AF_exposed,
+    PAF and both CI bounds bit-exactly, no verdict literals. z =
+    1.959963984540054 shared verbatim with the oracle."""
+    from cancer_survival_etl_spark.operators.survival import (
+        population_attributable_fraction,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    exposed = (u(9) < 0.4).cast("int")
+    rate = F.when(exposed == 1, F.lit(0.15)).otherwise(F.lit(0.05))
+    case = (u(17) < rate).cast("int")
+    cohort = d.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.lit("high"),
+        )
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+        exposed.alias("exposed"),
+        case.alias("case"),
+    )
+    return population_attributable_fraction(
+        cohort, ["tier"], "exposed", "case"
+    ).orderBy("tier")
+
+
+_RATES_PAF_SQL = """
+    WITH cohort AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'low' END AS tier,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 9, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.4
+                    THEN 1 ELSE 0 END AS exposed,
+               (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 17, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders
+    ),
+    cc AS (
+        SELECT tier, exposed,
+               CASE WHEN u17 < (CASE WHEN exposed = 1 THEN 0.15
+                                     ELSE 0.05 END)
+                    THEN 1 ELSE 0 END AS cs
+        FROM cohort
+    ),
+    tab AS (
+        SELECT tier,
+               CAST(sum(exposed * cs) AS BIGINT) AS a,
+               CAST(sum(exposed * (1 - cs)) AS BIGINT) AS b,
+               CAST(sum((1 - exposed) * cs) AS BIGINT) AS c,
+               CAST(sum((1 - exposed) * (1 - cs)) AS BIGINT) AS d
+        FROM cc GROUP BY tier
+    ),
+    calc AS (
+        SELECT tier, a, b, c, d,
+               CAST(a AS DOUBLE) AS af, CAST(b AS DOUBLE) AS bf,
+               CAST(c AS DOUBLE) AS cf, CAST(d AS DOUBLE) AS df,
+               CAST(a + b AS DOUBLE) AS n1,
+               CAST(c + d AS DOUBLE) AS n0,
+               CAST(a + b + c + d AS DOUBLE) AS nn
+        FROM tab
+    ),
+    est AS (
+        SELECT *,
+               (af / n1) / (cf / n0) AS rr,
+               ln(cf) - ln(n0) - ln(af + cf) + ln(nn) AS lnq,
+               sqrt((1.0 / (af + cf)) * (1.0 / (af + cf)) * af * bf
+                        / n1
+                    + (af / (cf * (af + cf)))
+                        * (af / (cf * (af + cf))) * cf * df / n0)
+                   AS se
+        FROM calc
+    )
+    SELECT tier, a + b + c + d AS n, a + c AS cases,
+           a AS exposed_cases,
+           round(rr, 6) AS rr,
+           round((rr - 1) / rr, 6) AS af_exposed,
+           round(1.0 - exp(lnq), 6) AS paf,
+           round(1.0 - exp(lnq + 1.959963984540054 * se), 6) AS paf_lo,
+           round(1.0 - exp(lnq - 1.959963984540054 * se), 6) AS paf_hi
+    FROM est ORDER BY tier
+"""
+
+
 def q_stats_meta_dl(spark, sf_dir):
     """DerSimonian-Laird meta-analysis (operators/stats.py::
     meta_analysis_dl) pooling 25 md5-planted per-nation 'studies'
@@ -17604,6 +17900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_cox_robust": q_survival_cox_robust,
         "survival_fine_gray_strat": q_survival_fine_gray_strat,
         "survival_fine_gray_robust": q_survival_fine_gray_robust,
+        "survival_mcf": q_survival_mcf,
+        "rates_paf": q_rates_paf,
+        "survival_weibull_aft": q_survival_weibull_aft,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -20832,6 +21131,9 @@ def oracle_sql() -> dict[str, str]:
         "survival_cox_robust": _SURVIVAL_COX_ROBUST_SQL,
         "survival_fine_gray_strat": _SURVIVAL_FINE_GRAY_STRAT_SQL,
         "survival_fine_gray_robust": _SURVIVAL_FINE_GRAY_ROBUST_SQL,
+        "survival_mcf": _SURVIVAL_MCF_SQL,
+        "rates_paf": _RATES_PAF_SQL,
+        "survival_weibull_aft": _SURVIVAL_WEIBULL_AFT_SQL,
         "rates_cumulative_risk": _RATES_CUMULATIVE_RISK_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,

@@ -382,6 +382,9 @@ HEADLINE = [
     "survival_cox_robust",
     "survival_fine_gray_strat",
     "survival_fine_gray_robust",
+    "survival_mcf",
+    "rates_paf",
+    "survival_weibull_aft",
 ]
 
 REGRESSION_RATIO = 1.5

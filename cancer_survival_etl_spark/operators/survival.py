@@ -8468,3 +8468,336 @@ def cumulative_rate_risk(
             "cum_risk_pct"
         ),
     )
+
+
+def mcf_curve(
+    events: DataFrame,
+    followup: DataFrame,
+    group_cols: Sequence[str],
+    subject_col: str = "subject",
+    time_col: str = "time",
+    tau_col: str = "tau",
+) -> DataFrame:
+    """Mean cumulative function for RECURRENT events (Nelson-Aalen
+    estimator of E[N(t)], Lawless-Nadeau 1995 robust variance) — the
+    readmissions / repeat-tumour / repeat-claim summary the single-
+    event KM family cannot express because subjects STAY at risk
+    after each event:
+
+        MCF(t)  = Σ_{s<=t} d(s) / Y(s),
+        Var(t)  = Σ_{s<=t} (1/Y(s)²) Σ_{i at risk} (d_i(s) − d(s)/Y(s))²
+                = Σ_{s<=t} (Σ_i d_i(s)² − d(s)²/Y(s)) / Y(s)²,
+
+    with d_i(s) subject i's event count at s, d(s) = Σ d_i(s), and
+    Y(s) = #{i : τ_i >= s} the number still under observation
+    (followup end τ is inclusive). The variance needs per-subject
+    SQUARED counts, so the collapse runs in two stages:
+    (group, subject, time) → d_i, then (group, time) → (d, Σd_i²).
+
+    ``events`` has one row per event occurrence (group, subject,
+    time); ``followup`` one row per subject (group, subject, tau).
+    An event recorded after its subject's τ is data corruption and
+    raises IN the plan (the ``lexis_expand`` convention), via the
+    events⋈followup equi-join the estimator needs anyway.
+
+    Scale shape: one hash join keyed (group, subject), two map-side
+    cell collapses, one per-(group, tau) censor collapse, then ALL
+    remaining work on the merged (group, time) axis — two
+    ``grouped_prefix_sum`` passes (at-risk carry; micro/pico-lattice
+    MCF and variance carries), so a hot group spans range partitions
+    and every distributed sum is an exact long sum — bit-identical
+    under any partitioning. Returns one row per event time:
+    (group, time, n_risk, n_events, mcf, se_mcf), 6 dp.
+    """
+    g = list(group_cols)
+    fu = followup.select(
+        *g, subject_col, F.col(tau_col).cast("double").alias("_tau")
+    )
+    ev = events.select(
+        *g, subject_col, F.col(time_col).cast("double").alias("_t")
+    )
+    joined = ev.join(fu, g + [subject_col]).withColumn(
+        "_t",
+        F.when(
+            F.col("_t") > F.col("_tau"),
+            F.raise_error(
+                F.concat(
+                    F.lit("mcf_curve: event after followup end for "),
+                    F.col(subject_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("_t")),
+    )
+    percell = joined.groupBy(*g, subject_col, "_t").agg(
+        F.count(F.lit(1)).alias("_di")
+    )
+    ecells = percell.groupBy(*g, "_t").agg(
+        F.sum("_di").alias("_d"),
+        F.sum(F.col("_di") * F.col("_di")).alias("_d2"),
+    )
+    ccells = fu.groupBy(*g, F.col("_tau").alias("_t")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    axis = (
+        ecells.join(ccells, g + ["_t"], "full_outer")
+        .fillna(0, subset=["_d", "_d2", "_c"])
+    )
+    pre = grouped_prefix_sum(axis, g, "_t", ["_c"], ["_prec"])
+    tot = fu.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+    pre = pre.join(F.broadcast(tot), g)
+    y = (F.col("_n") - F.col("_prec")).cast("double")
+    d = F.col("_d").cast("double")
+    d2 = F.col("_d2").cast("double")
+    terms = pre.withColumn(
+        "_tm", F.when(F.col("_d") > 0, _micro(d / y)).otherwise(F.lit(0))
+    ).withColumn(
+        "_tv",
+        F.when(
+            F.col("_d") > 0, _pico((d2 - d * d / y) / (y * y))
+        ).otherwise(F.lit(0)),
+    )
+    acc = grouped_prefix_sum(
+        terms, g, "_t", ["_tm", "_tv"], ["_pm", "_pv"]
+    )
+    return (
+        acc.filter(F.col("_d") > 0)
+        .select(
+            *g,
+            F.col("_t").alias("time"),
+            (F.col("_n") - F.col("_prec")).alias("n_risk"),
+            F.col("_d").alias("n_events"),
+            F.round(
+                (F.col("_pm") + F.col("_tm")) / F.lit(1000000.0), 6
+            ).alias("mcf"),
+            F.round(
+                F.sqrt(
+                    (F.col("_pv") + F.col("_tv"))
+                    / F.lit(1000000000000.0)
+                ),
+                6,
+            ).alias("se_mcf"),
+        )
+    )
+
+
+def population_attributable_fraction(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    exposure_col: str,
+    case_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Population attributable fraction for COHORT data (Levin 1953;
+    CI by the delta method on ln(1−PAF), Greenland 1987's
+    transformation so the interval respects PAF < 1) — the
+    "what share of cases would vanish if the exposure did" summary
+    every cancer-registry burden report publishes beside rates:
+
+        PAF = 1 − I₀/I = (I − I₀)/I,
+        I  = (a+c)/N   (overall incidence proportion),
+        I₀ = c/n₀      (incidence among the UNexposed),
+
+    from the 2×2 per group: a/b exposed cases/non-cases (n₁ = a+b),
+    c/d unexposed (n₀ = c+d). With a, c independent binomials given
+    the cohort margins n₁, n₀,
+
+        ln(1−PAF) = ln c − ln n₀ − ln(a+c) + ln N,
+        Var       ≈ (1/(a+c))²·ab/n₁ + (a/(c(a+c)))²·cd/n₀,
+
+    and CI = 1 − exp(ln(1−PAF) ∓ z·√Var). Also returns the risk
+    ratio and the attributable fraction among the EXPOSED
+    (AF_e = (RR−1)/RR — Miettinen's case-load companion). Degenerate
+    groups (no unexposed cases, no cases, or an empty margin) return
+    NULL estimates instead of ±inf — the km_curve NULL-SE
+    convention.
+
+    Scale shape: ONE map-side-combined hash aggregate to four long
+    counts per group; everything downstream is per-group scalar
+    arithmetic — no second pass, no windows, no joins. Returns
+    (group, n, cases, exposed_cases, rr, af_exposed, paf, paf_lo,
+    paf_hi), 6 dp.
+    """
+    g = list(group_cols)
+    ex = F.col(exposure_col).cast("int")
+    cs = F.col(case_col).cast("int")
+    agg = df.groupBy(*g).agg(
+        F.sum(ex * cs).alias("_a"),
+        F.sum(ex * (1 - cs)).alias("_b"),
+        F.sum((1 - ex) * cs).alias("_c"),
+        F.sum((1 - ex) * (1 - cs)).alias("_d"),
+    )
+    a = F.col("_a").cast("double")
+    b = F.col("_b").cast("double")
+    c = F.col("_c").cast("double")
+    d = F.col("_d").cast("double")
+    n1 = a + b
+    n0 = c + d
+    n = n1 + n0
+    ok = (F.col("_c") > 0) & (F.col("_a") + F.col("_c") > 0) & (
+        F.col("_b") + F.col("_d") >= 0
+    ) & (F.col("_a") > 0) & (n1 > 0) & (n0 > 0)
+    rr = (a / n1) / (c / n0)
+    lnq = F.log(c) - F.log(n0) - F.log(a + c) + F.log(n)
+    var = (
+        (F.lit(1.0) / (a + c)) * (F.lit(1.0) / (a + c)) * a * b / n1
+        + (a / (c * (a + c))) * (a / (c * (a + c))) * c * d / n0
+    )
+    se = F.sqrt(var)
+    paf = F.lit(1.0) - F.exp(lnq)
+    return agg.select(
+        *g,
+        (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).alias(
+            "n"
+        ),
+        (F.col("_a") + F.col("_c")).alias("cases"),
+        F.col("_a").alias("exposed_cases"),
+        F.when(ok, F.round(rr, 6)).alias("rr"),
+        F.when(ok, F.round((rr - 1) / rr, 6)).alias("af_exposed"),
+        F.when(ok, F.round(paf, 6)).alias("paf"),
+        F.when(
+            ok, F.round(F.lit(1.0) - F.exp(lnq + F.lit(z) * se), 6)
+        ).alias("paf_lo"),
+        F.when(
+            ok, F.round(F.lit(1.0) - F.exp(lnq - F.lit(z) * se), 6)
+        ).alias("paf_hi"),
+    )
+
+
+def weibull_aft(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 8,
+    return_se: bool = False,
+):
+    """Weibull accelerated-failure-time regression (R ``survreg``'s
+    default) — the PARAMETRIC companion to ``cox_ph`` the registry
+    modelling suites publish when the baseline shape itself matters
+    (extrapolation past follow-up, expected-survival inputs to
+    life-years-lost): ln T = μ + β·x + σW with W standard minimum
+    extreme value, so covariates ACCELERATE time (HR and AFT views
+    coincide only in the Weibull family). Newton-Raphson on the exact
+    censored log-likelihood over θ = (μ, β…, ln σ):
+
+        z = (ln t − μ − β·x)/σ,  w = e^z,  δ = event
+        ll    = δ(z − ln σ) − w          (+ const)
+        g_βj  = (w − δ)x_j/σ             (x₀ ≡ 1 for μ)
+        g_s   = (w − δ)z − δ
+        H_ββ  = −w x_j x_k/σ²
+        H_βs  = −x_j(wz + w − δ)/σ
+        H_ss  = −wz² − (w − δ)z
+
+    Subjects collapse ONCE to (x-pattern, duration, event) cells
+    with counts before the loop (``shared_gamma_frailty``'s shape);
+    each iteration is ONE map-side-combined aggregate over the cell
+    frame — per-cell terms × n nano-rounded before exact long sums,
+    so θ̂ is bit-identical under any partitioning (cells are unique
+    keys, the per-subject-rounding contract collapses to per-cell).
+    The driver holds θ and the (p+2)² Hessian (numpy solve).
+    Initialization: μ = cell-weighted mean ln t (one extra pass),
+    β = 0, ln σ = 0 — the survreg convention that keeps early z
+    bounded. Two deterministic safeguards, both inactive at any
+    real optimum so the converged θ̂ is the plain Newton fixed
+    point: each step is component-capped at ±1.0 (an uncapped
+    early step can fling ln σ far low), and z is clamped at 15
+    INSIDE w = e^z only (e^15·n·1e9 still fits the long lattice;
+    a subject with true z > 15 would carry likelihood e^{−e^15} —
+    no real data point does). Durations must be > 0 (named
+    in-plan error: ln t).
+
+    ``return_se=True`` adds Wald SEs for (μ, β…, ln σ) from the
+    penultimate iterate's −H (the cox_ph convention).
+
+    Returns (beta, sigma) where beta = [μ, β₁…β_p], or
+    (beta, sigma, se) with ``return_se``.
+    """
+    import numpy as np
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("weibull_aft: iters must be >= 1")
+    feats = list(feature_cols)
+    p = len(feats)
+    q = p + 2  # mu, betas, ln sigma
+    nano = F.lit(1000000000.0)
+
+    dur = F.col(duration_col).cast("double")
+    y = F.when(
+        dur <= 0,
+        F.raise_error(
+            F.lit("weibull_aft: duration must be > 0 (ln t)")
+        ).cast("double"),
+    ).otherwise(F.log(dur))
+    cells = df.groupBy(
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in
+          enumerate(feats)],
+        y.alias("_y"),
+        F.col(event_col).cast("long").alias("_d"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    cells = cells.localCheckpoint(eager=False)
+
+    nf = F.col("_n").cast("double")
+    r0 = cells.agg(
+        F.sum(F.round(F.col("_y") * nf * nano, 0).cast("long")).alias(
+            "_sy"
+        ),
+        F.sum("_n").alias("_nn"),
+    ).collect()[0]
+    theta = [round(r0["_sy"] / 1e9 / r0["_nn"], 9)] + [0.0] * p + [0.0]
+
+    info = None
+    for _ in range(iters):
+        sigma = float(np.exp(theta[-1]))
+        eta = F.lit(theta[0])
+        for j in range(p):
+            eta = eta + F.lit(theta[j + 1]) * F.col(f"_x{j}")
+        z = (F.col("_y") - eta) / F.lit(sigma)
+        w = F.exp(F.least(z, F.lit(15.0)))
+        dlt = F.col("_d").cast("double")
+        xs = [F.lit(1.0)] + [F.col(f"_x{j}") for j in range(p)]
+
+        def tsum(expr, alias):
+            return F.sum(
+                F.round(expr * nf * nano, 0).cast("long")
+            ).alias(alias)
+
+        aggs = []
+        for j in range(p + 1):
+            aggs.append(tsum((w - dlt) * xs[j] / F.lit(sigma), f"g{j}"))
+        aggs.append(tsum((w - dlt) * z - dlt, f"g{q - 1}"))
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                aggs.append(
+                    tsum(
+                        -w * xs[j] * xs[k] / F.lit(sigma * sigma),
+                        f"h{j}_{k}",
+                    )
+                )
+        for j in range(p + 1):
+            aggs.append(
+                tsum(
+                    -xs[j] * (w * z + w - dlt) / F.lit(sigma),
+                    f"h{j}_{q - 1}",
+                )
+            )
+        aggs.append(
+            tsum(-w * z * z - (w - dlt) * z, f"h{q - 1}_{q - 1}")
+        )
+        row = cells.agg(*aggs).collect()[0]
+        g = np.array([row[f"g{j}"] / 1e9 for j in range(q)])
+        hess = np.zeros((q, q))
+        for j in range(q):
+            for k in range(j, q):
+                hess[j, k] = hess[k, j] = row[f"h{j}_{k}"] / 1e9
+        info = -hess
+        step = np.clip(np.linalg.solve(info, g), -1.0, 1.0)
+        theta = [round(t + s, 9) for t, s in zip(theta, step)]
+
+    beta = theta[:-1]
+    sigma = round(float(np.exp(theta[-1])), 9)
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(q)]
+        return beta, sigma, se
+    return beta, sigma

@@ -5601,3 +5601,232 @@ def test_cox_ph_robust_stratified(spark):
     ref_m, ref_r = _coxrob_reference_strat(rows, beta)
     assert se_m[0] == pytest.approx(float(ref_m[0]), abs=2e-5)
     assert se_r[0] == pytest.approx(float(ref_r[0]), abs=2e-5)
+
+
+def test_mcf_curve_matches_hand_reference(spark):
+    """Recurrent-event MCF: matches a pure-Python Nelson-Aalen /
+    Lawless-Nadeau twin on the same micro/pico lattices; subjects
+    with zero events still hold the at-risk count; an event after
+    followup end raises in-plan; bit-identical under repartitioning."""
+    import math
+    from collections import defaultdict
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import mcf_curve
+
+    # subject -> (tau, [event times]); s4 has NO events but a long tau
+    subjects = {
+        "s1": (10.0, [2.0, 5.0, 5.0, 9.0]),
+        "s2": (6.0, [1.0, 6.0]),
+        "s3": (8.0, [2.0, 3.0]),
+        "s4": (12.0, []),
+        "s5": (4.0, [2.0]),
+    }
+    fu = spark.createDataFrame(
+        [("G", s, tau) for s, (tau, _) in subjects.items()],
+        "grp string, subject string, tau double",
+    )
+    ev = spark.createDataFrame(
+        [("G", s, t) for s, (_, ts) in subjects.items() for t in ts],
+        "grp string, subject string, time double",
+    )
+    got = {
+        r.time: r
+        for r in mcf_curve(ev, fu, ["grp"]).collect()
+    }
+
+    # pure-Python twin on the identical lattices
+    di = defaultdict(lambda: defaultdict(int))
+    for s, (_, ts) in subjects.items():
+        for t in ts:
+            di[t][s] += 1
+    taus = [tau for tau, _ in subjects.values()]
+    pm = pv = 0
+    exp = {}
+    for t in sorted(di):
+        y = sum(1 for tau in taus if tau >= t)
+        d = sum(di[t].values())
+        d2 = sum(v * v for v in di[t].values())
+        pm += round(d / y * 1e6)
+        pv += round((d2 - d * d / y) / (y * y) * 1e12)
+        exp[t] = (y, d, round(pm / 1e6, 6), round(math.sqrt(pv / 1e12), 6))
+    assert set(got) == set(exp)
+    for t, (y, d, m, se) in exp.items():
+        r = got[t]
+        assert (r.n_risk, r.n_events, r.mcf, r.se_mcf) == (y, d, m, se)
+
+    # ties: two events by ONE subject at t=5 make d2 (=4) exceed d
+    # (=2) there, so the within-subject clustering is exercised
+    assert got[5.0].n_events == 2
+
+    again = mcf_curve(
+        ev.repartition(32), fu.repartition(7), ["grp"]
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        tuple(got[t]) for t in got
+    )
+
+    bad_ev = spark.createDataFrame(
+        [("G", "s5", 4.5)], "grp string, subject string, time double"
+    )
+    with pytest.raises(Exception, match="event after followup end"):
+        mcf_curve(ev.union(bad_ev), fu, ["grp"]).collect()
+
+
+def test_population_attributable_fraction_closed_form(spark):
+    """PAF: matches the hand formula on a fixed 2x2, equals Levin's
+    p_e(RR-1)/(1+p_e(RR-1)) identity, CI brackets the point estimate,
+    degenerate groups (no unexposed cases / no exposed cases) go
+    NULL, and the result is repartition-invariant."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        population_attributable_fraction,
+    )
+
+    # a=30 exposed cases, b=70, c=20 unexposed cases, d=180
+    rows = (
+        [("G", 1, 1)] * 30 + [("G", 1, 0)] * 70
+        + [("G", 0, 1)] * 20 + [("G", 0, 0)] * 180
+    )
+    df = spark.createDataFrame(rows, "grp string, exposed int, cs int")
+    r = population_attributable_fraction(
+        df, ["grp"], "exposed", "cs"
+    ).collect()[0]
+    a, b, c, d = 30.0, 70.0, 20.0, 180.0
+    n1, n0, n = a + b, c + d, 300.0
+    rr = (a / n1) / (c / n0)
+    lnq = math.log(c) - math.log(n0) - math.log(a + c) + math.log(n)
+    var = (1 / (a + c)) ** 2 * a * b / n1 + (
+        a / (c * (a + c))
+    ) ** 2 * c * d / n0
+    z = 1.959963984540054
+    assert (r.n, r.cases, r.exposed_cases) == (300, 50, 30)
+    assert r.rr == round(rr, 6)
+    assert r.paf == round(1 - math.exp(lnq), 6)
+    assert r.paf_lo == round(1 - math.exp(lnq + z * math.sqrt(var)), 6)
+    assert r.paf_hi == round(1 - math.exp(lnq - z * math.sqrt(var)), 6)
+    assert r.paf_lo < r.paf < r.paf_hi
+    # Levin identity: PAF = p_e(RR-1) / (1 + p_e(RR-1))
+    pe = n1 / n
+    levin = pe * (rr - 1) / (1 + pe * (rr - 1))
+    assert abs(r.paf - levin) < 1e-9
+    assert r.af_exposed == round((rr - 1) / rr, 6)
+
+    again = population_attributable_fraction(
+        df.repartition(32), ["grp"], "exposed", "cs"
+    ).collect()[0]
+    assert tuple(again) == tuple(r)
+
+    deg = spark.createDataFrame(
+        [("u0", 1, 1), ("u0", 0, 0), ("a0", 0, 1), ("a0", 1, 0)],
+        "grp string, exposed int, cs int",
+    )
+    for row in population_attributable_fraction(
+        deg, ["grp"], "exposed", "cs"
+    ).collect():
+        assert row.paf is None and row.rr is None
+
+
+def _weibull_rows(n=400, mu=2.0, beta=-0.7, sigma=0.5, cens=20.0):
+    """Deterministic Weibull AFT cohort: ln T = mu + beta*x + sigma*W,
+    W = ln(-ln U) standard minimum extreme value, administrative
+    censoring."""
+    import hashlib
+    import math
+
+    rows = []
+    for i in range(n):
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % 1000000
+        ) / 1000000.0 + 1e-9
+        x = float(i % 2)
+        t = math.exp(mu + beta * x) * (-math.log(u)) ** sigma
+        rows.append(
+            (x, round(min(t, cens), 6), 1 if t < cens else 0)
+        )
+    return rows
+
+
+def _weibull_twin(rows, iters=8):
+    """Pure-Python twin of weibull_aft on the identical nano lattice:
+    cell-collapse, weighted-mean-ln-t init, Newton over (mu, b, ln s)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    cells = Counter()
+    for x, t, d in rows:
+        cells[(x, math.log(t), d)] += 1
+    sy = sum(round(y * n * 1e9) for (_, y, _), n in cells.items())
+    nn = sum(cells.values())
+    theta = [round(sy / 1e9 / nn, 9), 0.0, 0.0]
+    info = None
+    for _ in range(iters):
+        s = math.exp(theta[2])
+        sums = Counter()
+        for (x, y, d), n in cells.items():
+            z = (y - theta[0] - theta[1] * x) / s
+            w = math.exp(min(z, 15.0))
+            xs = [1.0, x]
+            for j in range(2):
+                sums[f"g{j}"] += round(
+                    (w - d) * xs[j] / s * n * 1e9
+                )
+            sums["g2"] += round(((w - d) * z - d) * n * 1e9)
+            for j in range(2):
+                for k in range(j, 2):
+                    sums[f"h{j}_{k}"] += round(
+                        -w * xs[j] * xs[k] / (s * s) * n * 1e9
+                    )
+            for j in range(2):
+                sums[f"h{j}_2"] += round(
+                    -xs[j] * (w * z + w - d) / s * n * 1e9
+                )
+            sums["h2_2"] += round((-w * z * z - (w - d) * z) * n * 1e9)
+        g = np.array([sums[f"g{j}"] / 1e9 for j in range(3)])
+        hess = np.zeros((3, 3))
+        for j in range(3):
+            for k in range(j, 3):
+                hess[j, k] = hess[k, j] = sums[f"h{j}_{k}"] / 1e9
+        info = -hess
+        step = np.clip(np.linalg.solve(info, g), -1.0, 1.0)
+        theta = [round(t + st, 9) for t, st in zip(theta, step)]
+    cov = np.linalg.inv(info)
+    se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(3)]
+    return theta[:2], round(math.exp(theta[2]), 9), se
+
+
+def test_weibull_aft_matches_twin_and_recovers_plant(spark):
+    """Weibull AFT: bit-equal to the pure-Python lattice twin,
+    recovers the planted (mu, beta, sigma) under 35% censoring,
+    partitioning-invariant, and ln t guards duration <= 0 in-plan."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import weibull_aft
+
+    rows = _weibull_rows()
+    df = spark.createDataFrame(
+        rows, "x double, duration double, event int"
+    )
+    beta, sigma, se = weibull_aft(df, ["x"], return_se=True)
+    tb, ts, tse = _weibull_twin(rows)
+    assert beta == tb and sigma == ts and se == tse
+    assert abs(beta[0] - 2.0) < 0.2
+    assert abs(beta[1] + 0.7) < 0.2
+    assert abs(sigma - 0.5) < 0.1
+    assert all(v > 0 for v in se)
+
+    b2, s2 = weibull_aft(df.repartition(32), ["x"])
+    assert b2 == beta and s2 == sigma
+
+    bad = spark.createDataFrame(
+        [(0.0, 0.0, 1)], "x double, duration double, event int"
+    )
+    with pytest.raises(Exception, match="duration must be > 0"):
+        weibull_aft(df.union(bad), ["x"], iters=1)
+    with pytest.raises(ValueError, match="iters"):
+        weibull_aft(df, ["x"], iters=0)
