@@ -16551,6 +16551,290 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_stats_tmle(spark, sf_dir):
+    """Targeted maximum likelihood estimation of the ATE (operators/
+    stats.py::tmle_ate — initial logistic Q, clipped logistic
+    propensity, clever-covariate fluctuation on the logit scale,
+    influence-curve SE): a strongly confounded binary-outcome plant
+    over orders (x drives BOTH treatment, σ(−1.5+3x), and outcome,
+    σ(−1+0.9a+1.5x)), where the naive mean difference is ~0.12
+    biased. Verdicts pin TMLE landing near the analytic truth,
+    BEATING the naive contrast, and the Wald CI covering the truth;
+    exact per-(x, a, y) cohort counts replay in DuckDB (the glm
+    verdict pattern — the randomized reduction and debias ordering
+    are pinned in pytest)."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import tmle_ate
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    def sig(c):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+
+    x = F.floor(u(9) * 4) / 3.0
+    a = (u(17) < sig(F.lit(-1.5) + F.lit(3.0) * x)).cast("int")
+    yv = (
+        u(25)
+        < sig(F.lit(-1.0) + F.lit(0.9) * a + F.lit(1.5) * x)
+    ).cast("int")
+    cohort = d.select(
+        x.alias("x"), a.alias("a"), yv.alias("y")
+    ).localCheckpoint(eager=False)
+
+    def s(v):
+        return 1.0 / (1.0 + math.exp(-v))
+
+    truth = sum(
+        s(-1 + 0.9 + 1.5 * xx) - s(-1 + 1.5 * xx)
+        for xx in (0, 1 / 3, 2 / 3, 1)
+    ) / 4
+    ate, se, lo, hi, _eps = tmle_ate(cohort, ["x"], "a", "y")
+    marg = cohort.groupBy("a").agg(
+        F.avg("y").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    mm = {r["a"]: r["m"] for r in marg}
+    naive = mm[1] - mm[0]
+    ok_ate = abs(ate - truth) < 0.05
+    ok_debias = abs(ate - truth) < abs(naive - truth)
+    ok_ci = lo < truth < hi
+    return (
+        cohort.groupBy("x", "a", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "x",
+            F.col("a").cast("long").alias("a"),
+            F.col("y").cast("long").alias("y"),
+            "n",
+            F.lit(ok_ate).alias("ate_recovered"),
+            F.lit(ok_debias).alias("beats_naive"),
+            F.lit(ok_ci).alias("ci_covers_truth"),
+        )
+        .orderBy("x", "a", "y")
+    )
+
+
+_STATS_TMLE_SQL = """
+    WITH c AS (
+        SELECT floor(((CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0) * 4) / 3.0
+                   AS x,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS ua,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 25, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS uy
+        FROM orders
+    ),
+    z AS (
+        SELECT x,
+               CASE WHEN ua < 1.0 / (1.0 + exp(-(-1.5 + 3.0 * x)))
+                    THEN 1 ELSE 0 END AS a,
+               uy
+        FROM c
+    ),
+    w AS (
+        SELECT x, a,
+               CASE WHEN uy < 1.0 / (1.0 + exp(
+                        -(-1.0 + 0.9 * a + 1.5 * x)))
+                    THEN 1 ELSE 0 END AS y
+        FROM z
+    )
+    SELECT x, CAST(a AS BIGINT) AS a, CAST(y AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS ate_recovered, true AS beats_naive,
+           true AS ci_covers_truth
+    FROM w GROUP BY x, a, y ORDER BY x, a, y
+"""
+
+
+def q_stats_ordinal(spark, sf_dir):
+    """Proportional-odds ordinal logistic regression (operators/
+    stats.py::ordinal_logistic — McCullagh cumulative logits, Newton
+    on (x-pattern, level) cells): a 3-level ordered outcome planted
+    from the model itself (cutpoints −1/+1, slope 0.8) over orders.
+    Verdicts pin cutpoint and slope recovery plus the cutpoint
+    ordering; exact per-(x, level) cohort counts replay in DuckDB
+    (the glm verdict pattern — the 2-level reduction is pinned to
+    glm_logistic at 1e-6 in pytest)."""
+    from cancer_survival_etl_spark.operators.stats import (
+        ordinal_logistic,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = F.floor(u(9) * 3) / 2.0
+    g1 = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(-1.0) - F.lit(0.8) * x))
+    )
+    g2 = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(1.0) - F.lit(0.8) * x))
+    )
+    uy = u(17)
+    y = F.when(uy < g1, F.lit(1)).when(uy < g2, F.lit(2)).otherwise(
+        F.lit(3)
+    )
+    cohort = d.select(x.alias("x"), y.alias("y")).localCheckpoint(
+        eager=False
+    )
+    levels, alphas, betas = ordinal_logistic(cohort, ["x"], "y")
+    ok_a1 = abs(alphas[0] + 1.0) < 0.2
+    ok_a2 = abs(alphas[1] - 1.0) < 0.2
+    ok_b = abs(betas[0] - 0.8) < 0.25
+    ok_order = alphas[0] < alphas[1]
+    return (
+        cohort.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "x",
+            F.col("y").cast("long").alias("y"),
+            "n",
+            F.lit(ok_a1).alias("alpha1_recovered"),
+            F.lit(ok_a2).alias("alpha2_recovered"),
+            F.lit(ok_b).alias("beta_recovered"),
+            F.lit(ok_order).alias("cutpoints_ordered"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+_STATS_ORDINAL_SQL = """
+    WITH c AS (
+        SELECT floor(((CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0) * 3) / 2.0
+                   AS x,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS uy
+        FROM orders
+    ),
+    z AS (
+        SELECT x,
+               CASE WHEN uy < 1.0 / (1.0 + exp(-(-1.0 - 0.8 * x)))
+                    THEN 1
+                    WHEN uy < 1.0 / (1.0 + exp(-(1.0 - 0.8 * x)))
+                    THEN 2 ELSE 3 END AS y
+        FROM c
+    )
+    SELECT x, CAST(y AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS alpha1_recovered, true AS alpha2_recovered,
+           true AS beta_recovered, true AS cutpoints_ordered
+    FROM z GROUP BY x, y ORDER BY x, y
+"""
+
+
+def q_survival_pwe(spark, sf_dir):
+    """Piecewise-exponential proportional-hazards regression
+    (operators/survival.py::piecewise_exponential_ph — the Holford/
+    Friedman 'Poisson trick': lexis_expand episode split, then
+    glm_poisson on (interval, x-pattern) person-time cells with
+    offset ln Y): orders with planted piecewise hazards 0.2 → 0.05
+    at t=5 and a log-HR of 0.7, censored at 20. The per-interval
+    events and micro-lattice person-time replay EXACTLY in DuckDB
+    (the split is closed-form for one cut); verdicts pin both
+    baseline hazards and the HR."""
+    from cancer_survival_etl_spark.operators.survival import (
+        piecewise_exponential_ph,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(9) < 0.5).cast("double")
+    r = F.exp(F.lit(0.7) * x)
+    e = -F.log(u(17) + 1e-9)
+    t = F.when(e < r, e / (F.lit(0.2) * r)).otherwise(
+        F.lit(5.0) + (e - r) / (F.lit(0.05) * r)
+    )
+    cohort = d.select(
+        x.alias("x"),
+        F.least(t, F.lit(20.0)).alias("duration"),
+        (t < 20).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    curve, beta = piecewise_exponential_ph(cohort, ["x"], [5.0])
+    import math
+
+    ok_h1 = abs(math.exp(beta[0]) - 0.2) < 0.05
+    ok_h2 = abs(math.exp(beta[0] + beta[1]) - 0.05) < 0.02
+    ok_hr = abs(beta[2] - 0.7) < 0.2
+    return curve.select(
+        "interval_start",
+        "events",
+        "person_time",
+        F.lit(ok_h1).alias("h1_recovered"),
+        F.lit(ok_h2).alias("h2_recovered"),
+        F.lit(ok_hr).alias("hr_recovered"),
+    ).orderBy("interval_start")
+
+
+_SURVIVAL_PWE_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                    THEN 1.0 ELSE 0.0 END AS x,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders
+    ),
+    coh AS (
+        SELECT x,
+               least(CASE WHEN ee < r THEN ee / (0.2 * r)
+                          ELSE 5.0 + (ee - r) / (0.05 * r) END,
+                     20.0) AS dur,
+               CASE WHEN (CASE WHEN ee < r THEN ee / (0.2 * r)
+                               ELSE 5.0 + (ee - r) / (0.05 * r) END)
+                         < 20 THEN 1 ELSE 0 END AS event
+        FROM (SELECT x, exp(0.7 * x) AS r, -ln(u17 + 1e-9) AS ee
+              FROM c)
+    ),
+    slices AS (
+        SELECT 0.0 AS interval_start,
+               CAST(round(least(dur, 5.0) * 1000000.0, 0) AS BIGINT)
+                   AS ym,
+               CASE WHEN dur <= 5 THEN event ELSE 0 END AS d
+        FROM coh
+        UNION ALL
+        SELECT 5.0 AS interval_start,
+               CAST(round((dur - 5.0) * 1000000.0, 0) AS BIGINT)
+                   AS ym,
+               event AS d
+        FROM coh WHERE dur > 5
+    )
+    SELECT interval_start,
+           CAST(sum(d) AS BIGINT) AS events,
+           round(sum(ym) / 1000000.0, 6) AS person_time,
+           true AS h1_recovered, true AS h2_recovered,
+           true AS hr_recovered
+    FROM slices GROUP BY interval_start ORDER BY interval_start
+"""
+
+
 def q_rates_paf(spark, sf_dir):
     """Population attributable fraction with the Greenland delta CI
     on ln(1−PAF) (operators/survival.py::
@@ -17903,6 +18187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_mcf": q_survival_mcf,
         "rates_paf": q_rates_paf,
         "survival_weibull_aft": q_survival_weibull_aft,
+        "survival_pwe": q_survival_pwe,
+        "stats_ordinal": q_stats_ordinal,
+        "stats_tmle": q_stats_tmle,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -21134,6 +21421,9 @@ def oracle_sql() -> dict[str, str]:
         "survival_mcf": _SURVIVAL_MCF_SQL,
         "rates_paf": _RATES_PAF_SQL,
         "survival_weibull_aft": _SURVIVAL_WEIBULL_AFT_SQL,
+        "survival_pwe": _SURVIVAL_PWE_SQL,
+        "stats_ordinal": _STATS_ORDINAL_SQL,
+        "stats_tmle": _STATS_TMLE_SQL,
         "rates_cumulative_risk": _RATES_CUMULATIVE_RISK_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,

@@ -385,6 +385,9 @@ HEADLINE = [
     "survival_mcf",
     "rates_paf",
     "survival_weibull_aft",
+    "survival_pwe",
+    "stats_ordinal",
+    "stats_tmle",
 ]
 
 REGRESSION_RATIO = 1.5

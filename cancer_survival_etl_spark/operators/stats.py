@@ -3751,3 +3751,310 @@ def meta_analysis_dl(
         "random double, random_se double, random_lower double, "
         "random_upper double",
     )
+
+
+def ordinal_logistic(
+    df: DataFrame,
+    feature_cols,
+    y_col: str,
+    iters: int = 8,
+    return_se: bool = False,
+    max_levels: int = 20,
+):
+    """Proportional-odds ordinal logistic regression (McCullagh 1980
+    — R ``MASS::polr``, the cancer-registry model for ordered stage /
+    grade / deprivation-quintile outcomes): cumulative logits share
+    one slope vector,
+
+        P(Y <= j | x) = sigma(alpha_j - x*beta),  j = 1..J-1,
+
+    so exp(beta_m) is ONE odds ratio across every split of the ordered
+    scale. Newton-Raphson on the exact multinomial log-likelihood
+    ln(gamma_y - gamma_{y-1}) with the analytic observed Hessian:
+    per-cell terms need only the TWO adjacent cumulative probs
+    (gamma_0 = 0, gamma_J = 1), their logistic derivatives
+    phi = gamma(1-gamma) and phi' = phi(1-2*gamma), picked by a
+    ``when`` chain on the cell's category — all JVM expressions.
+
+    Subjects collapse ONCE to (x-pattern, level) cells with counts;
+    each iteration is ONE map-side-combined nano-lattice aggregate
+    over the cell frame (the glm_poisson/cox_ph exactness contract —
+    bit-identical under any partitioning). Categories are the sorted
+    distinct ``y_col`` values (at most ``max_levels``, else a named
+    error); cutpoints initialize at the marginal cumulative logits
+    (same pre-pass that finds the levels), beta at 0 — the polr
+    convention that starts inside the ordered region.
+
+    Returns (levels, alphas, betas) — or (levels, alphas, betas, se)
+    with ``return_se``, se over (alphas..., betas...) from the
+    penultimate iterate's -H — where levels are the sorted category
+    values, alphas the J-1 cutpoints, betas the shared slopes.
+    """
+    import math
+
+    import numpy as np
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("ordinal_logistic: iters must be >= 1")
+    feats = list(feature_cols)
+    p = len(feats)
+    nano = F.lit(1000000000.0)
+
+    cells = df.groupBy(
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in
+          enumerate(feats)],
+        F.col(y_col).alias("_y"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    cells = cells.localCheckpoint(eager=False)
+
+    marg = (
+        cells.groupBy("_y").agg(F.sum("_n").alias("_m"))
+        .orderBy("_y")
+        .collect()
+    )
+    if len(marg) > max_levels:
+        raise ValueError(
+            f"ordinal_logistic: {len(marg)} levels exceeds "
+            f"max_levels={max_levels}"
+        )
+    if len(marg) < 2:
+        raise ValueError("ordinal_logistic: need >= 2 outcome levels")
+    levels = [r["_y"] for r in marg]
+    counts = [r["_m"] for r in marg]
+    jj = len(levels)
+    total = sum(counts)
+    cum = 0
+    alphas = []
+    for m in counts[:-1]:
+        cum += m
+        pr = cum / total
+        alphas.append(round(math.log(pr / (1.0 - pr)), 9))
+    theta = alphas + [0.0] * p  # (J-1 cutpoints, then betas)
+    q = len(theta)
+
+    lvl_idx = F.lit(None).cast("int")
+    for i, v in enumerate(levels, start=1):
+        lvl_idx = F.when(F.col("_y") == F.lit(v), F.lit(i)).otherwise(
+            lvl_idx
+        )
+
+    info = None
+    for _ in range(iters):
+        eta = F.lit(0.0)
+        for m in range(p):
+            eta = eta + F.lit(theta[jj - 1 + m]) * F.col(f"_x{m}")
+        gam = [F.lit(0.0)] + [
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(theta[j - 1]) - eta)))
+            for j in range(1, jj)
+        ] + [F.lit(1.0)]
+
+        def pick(vals):
+            # vals[i] for the row's 1-based level index i
+            e = F.lit(None).cast("double")
+            for i in range(1, jj + 1):
+                e = F.when(F.col("_li") == i, vals[i]).otherwise(e)
+            return e
+
+        cc = cells.withColumn("_li", lvl_idx)
+        gy = pick(gam)
+        gym1 = pick([F.lit(0.0)] + gam[:-1])
+        phi = [g * (F.lit(1.0) - g) for g in gam]
+        phi[0] = F.lit(0.0)
+        phi[jj] = F.lit(0.0)
+        phy = pick(phi)
+        phym1 = pick([F.lit(0.0)] + phi[:-1])
+        dphi = [
+            ph * (F.lit(1.0) - 2 * g) for ph, g in zip(phi, gam)
+        ]
+        dphi[0] = F.lit(0.0)
+        dphi[jj] = F.lit(0.0)
+        dphy = pick(dphi)
+        dphym1 = pick([F.lit(0.0)] + dphi[:-1])
+        py = gy - gym1
+
+        # t_k at j=y and j=y-1 per parameter k
+        ty, tym1 = [], []
+        for c in range(1, jj):  # cutpoint alpha_c
+            ty.append((F.col("_li") == c).cast("double"))
+            tym1.append((F.col("_li") == c + 1).cast("double"))
+        for m in range(p):  # slope beta_m
+            ty.append(-F.col(f"_x{m}"))
+            tym1.append(-F.col(f"_x{m}"))
+        u = [phy * ty[k] - phym1 * tym1[k] for k in range(q)]
+
+        nf = F.col("_n").cast("double")
+        aggs = []
+        for k in range(q):
+            aggs.append(
+                F.sum(
+                    F.round(u[k] / py * nf * nano, 0).cast("long")
+                ).alias(f"g{k}")
+            )
+        for k in range(q):
+            for l in range(k, q):
+                d2 = dphy * ty[k] * ty[l] - dphym1 * tym1[k] * tym1[l]
+                h = d2 / py - u[k] * u[l] / (py * py)
+                aggs.append(
+                    F.sum(
+                        F.round(h * nf * nano, 0).cast("long")
+                    ).alias(f"h{k}_{l}")
+                )
+        row = cc.agg(*aggs).collect()[0]
+        g = np.array([row[f"g{k}"] / 1e9 for k in range(q)])
+        hess = np.zeros((q, q))
+        for k in range(q):
+            for l in range(k, q):
+                hess[k, l] = hess[l, k] = row[f"h{k}_{l}"] / 1e9
+        info = -hess
+        step = np.clip(np.linalg.solve(info, g), -1.0, 1.0)
+        theta = [round(t + s, 9) for t, s in zip(theta, step)]
+
+    alphas = theta[: jj - 1]
+    betas = theta[jj - 1:]
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [round(float(np.sqrt(cov[k, k])), 9) for k in range(q)]
+        return levels, alphas, betas, se
+    return levels, alphas, betas
+
+
+def tmle_ate(
+    df: DataFrame,
+    feature_cols,
+    treat_col: str,
+    y_col: str,
+    iters: int = 8,
+    g_bounds: tuple = (0.025, 0.975),
+):
+    """Targeted maximum likelihood estimation of the average
+    treatment effect for a binary outcome (van der Laan & Rubin
+    2006; the TMLE everyone means) — the DOUBLY-ROBUST, plug-in
+    companion to ``operators/survival.py::aipw_survival_contrast``:
+    consistent if EITHER the outcome model OR the propensity is
+    right, and unlike plain AIPW the estimate always lands inside
+    [0, 1] because the correction happens on the logit scale:
+
+      1. initial outcome model  Q̂(a, x) = σ(β₀ + β_a a + β·x)
+         (``glm_logistic`` on [treat] + features);
+      2. propensity            ĝ(x) = σ(γ₀ + γ·x), clipped to
+         ``g_bounds`` (positivity guard — the standard 2.5% trim);
+      3. fluctuation: one logistic sub-model with the CLEVER
+         COVARIATES H₁ = a/ĝ, H₀ = (1−a)/(1−ĝ) and offset
+         logit Q̂ — a 2-parameter Newton (ε₁, ε₀) whose score being
+         zero is EXACTLY the EIF equation TMLE exists to solve;
+      4. plug-in ATE = mean_i[σ(logit Q̂(1,x) + ε₁/ĝ)
+                             − σ(logit Q̂(0,x) + ε₀/(1−ĝ))];
+      5. influence-curve SE: IC = (H₁−H₀)(y − Q*_a) + Q*₁ − Q*₀
+         − ATE, SE = √(Σ IC²/n)/√n, Wald 95% CI.
+
+    Every stage is whole-data aggregates of per-row closed forms on
+    the nano lattice — the two GLMs are ``glm_logistic`` passes, the
+    fluctuation is one 5-scalar aggregate per Newton step, the
+    plug-in and IC folds are one aggregate each. No per-x-pattern
+    frame exists anywhere, so no pattern bound is needed; everything
+    is bit-identical under any partitioning (the glm contract).
+
+    Returns (ate, se, ci_lo, ci_hi, eps) with eps = [ε₁, ε₀], all
+    driver floats rounded to 9 dp.
+    """
+    import numpy as np
+
+    lo_b, hi_b = float(g_bounds[0]), float(g_bounds[1])
+    if not (0.0 < lo_b < hi_b < 1.0):
+        raise ValueError("tmle_ate: g_bounds must satisfy 0<lo<hi<1")
+    feats = list(feature_cols)
+    nano = F.lit(1000000000.0)
+
+    beta_q = glm_logistic(df, [treat_col] + feats, y_col, iters=iters)
+    beta_g = glm_logistic(df, feats, treat_col, iters=iters)
+
+    a = F.col(treat_col).cast("double")
+    y = F.col(y_col).cast("double")
+
+    def lin(b, with_a):
+        e = F.lit(b[0]) + (F.lit(b[1]) * a if with_a else F.lit(0.0))
+        off = 2 if with_a else 1
+        for j, c in enumerate(feats):
+            e = e + F.lit(b[off + j]) * F.col(c).cast("double")
+        return e
+
+    logit_q = lin(beta_q, True)
+    logit_q1 = (
+        F.lit(beta_q[0] + beta_q[1])
+        + sum(
+            (F.lit(beta_q[2 + j]) * F.col(c).cast("double")
+             for j, c in enumerate(feats)),
+            F.lit(0.0),
+        )
+    )
+    logit_q0 = lin([beta_q[0]] + beta_q[2:], False)
+    gx = F.lit(1.0) / (F.lit(1.0) + F.exp(-lin(beta_g, False)))
+    gx = F.least(F.greatest(gx, F.lit(lo_b)), F.lit(hi_b))
+    h1 = a / gx
+    h0 = (F.lit(1.0) - a) / (F.lit(1.0) - gx)
+
+    eps = [0.0, 0.0]
+    for _ in range(iters):
+        et = logit_q + F.lit(eps[0]) * h1 + F.lit(eps[1]) * h0
+        pr = F.lit(1.0) / (F.lit(1.0) + F.exp(-et))
+        w = pr * (F.lit(1.0) - pr)
+        row = df.agg(
+            F.sum(F.round((y - pr) * h1 * nano, 0).cast("long")).alias(
+                "g1"
+            ),
+            F.sum(F.round((y - pr) * h0 * nano, 0).cast("long")).alias(
+                "g0"
+            ),
+            F.sum(F.round(w * h1 * h1 * nano, 0).cast("long")).alias(
+                "i11"
+            ),
+            F.sum(F.round(w * h1 * h0 * nano, 0).cast("long")).alias(
+                "i10"
+            ),
+            F.sum(F.round(w * h0 * h0 * nano, 0).cast("long")).alias(
+                "i00"
+            ),
+        ).collect()[0]
+        gv = np.array([row["g1"] / 1e9, row["g0"] / 1e9])
+        iv = np.array(
+            [
+                [row["i11"] / 1e9, row["i10"] / 1e9],
+                [row["i10"] / 1e9, row["i00"] / 1e9],
+            ]
+        )
+        step = np.linalg.solve(iv, gv)
+        eps = [round(e + s, 9) for e, s in zip(eps, step)]
+
+    q1s = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(logit_q1 + F.lit(eps[0]) / gx))
+    )
+    q0s = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(logit_q0 + F.lit(eps[1]) / (F.lit(1.0) - gx)))
+    )
+    r1 = df.agg(
+        F.sum(F.round((q1s - q0s) * nano, 0).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = r1["n"]
+    ate = round(r1["s"] / 1e9 / n, 9)
+
+    qas = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(logit_q + F.lit(eps[0]) * h1 + F.lit(eps[1]) * h0))
+    )
+    ic = (h1 - h0) * (y - qas) + q1s - q0s - F.lit(ate)
+    r2 = df.agg(
+        F.sum(F.round(ic * ic * nano, 0).cast("long")).alias("s2")
+    ).collect()[0]
+    se = round(float(np.sqrt(r2["s2"] / 1e9 / n) / np.sqrt(n)), 9)
+    z = 1.959963984540054
+    return (
+        ate,
+        se,
+        round(ate - z * se, 9),
+        round(ate + z * se, 9),
+        eps,
+    )

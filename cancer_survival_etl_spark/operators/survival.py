@@ -8801,3 +8801,130 @@ def weibull_aft(
         se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(q)]
         return beta, sigma, se
     return beta, sigma
+
+
+def piecewise_exponential_ph(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    breaks: Sequence[float],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 8,
+    return_se: bool = False,
+):
+    """Piecewise-exponential proportional-hazards regression
+    (Holford 1980; Friedman 1982 — the 'Poisson trick') — the
+    SEMI-parametric middle ground the registries fit when Cox's
+    baseline is too opaque and Weibull too rigid: the hazard is
+    constant within follow-up intervals,
+
+        λ(t | x) = exp(α_k + β·x)   for t in [c_k, c_{k+1}),
+
+    which is EXACTLY a Poisson GLM on episode-split person-time:
+    events_k ~ Poisson(exp(α_k + β·x + ln Y_k)). Composition of two
+    pinned operators:
+
+      1. ``lexis_expand`` splits follow-up at ``breaks`` (the time-
+         since-entry axis; one array expression + one explode, no
+         shuffle), giving per-slice risk_time and the terminal-slice
+         event flag;
+      2. slices collapse to (interval, x-pattern) cells — events d
+         and person-time Y; Poisson additivity makes the cell-level
+         fit IDENTICAL to the subject-level one — and ``glm_poisson``
+         runs on the cell frame with offset ln Y and K−1 interval
+         dummies (first interval = reference), one nano-lattice
+         aggregate per Fisher iteration, bit-identical under any
+         partitioning.
+
+    With no covariates the model is saturated, so the fitted
+    baseline hazards equal the occurrence/exposure rates d_k/Y_k —
+    the classic actuarial identity, pinned in tests.
+
+    ``breaks`` are the interior cut points (must be positive,
+    strictly increasing); intervals are [0,c₁), [c₁,c₂), …,
+    [c_K, ∞). Returns (curve, beta) — or (curve, beta, se) with
+    ``return_se`` — where curve is one row per interval
+    (interval_start, events, person_time, base_hazard) with
+    base_hazard = exp(α̂_k) at x = 0 (6 dp), and beta =
+    [α₁, γ₂…γ_K, β_feats…] on glm_poisson's layout (γ_k = α_k − α₁).
+
+    Scale shape: the explode multiplies rows by ≤ K+1 (grid-bounded),
+    the cell collapse is one map-side hash aggregate, and every
+    Fisher pass runs on the cell frame (≤ K·#x-patterns rows).
+    """
+    feats = list(feature_cols)
+    cuts = [float(b) for b in breaks]
+    if not cuts or any(b <= 0 for b in cuts) or sorted(set(cuts)) != cuts:
+        raise ValueError(
+            "piecewise_exponential_ph: breaks must be positive and "
+            "strictly increasing"
+        )
+    from .stats import glm_poisson
+
+    expanded = lexis_expand(
+        df.withColumn("_a0", F.lit(0.0)).withColumn("_p0", F.lit(0.0)),
+        "_a0",
+        "_p0",
+        duration_col,
+        event_col,
+        age_breaks=[0.0] + cuts,
+        period_breaks=[0.0],
+    )
+    cells = expanded.groupBy(
+        F.col("age_band").alias("_iv"),
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in
+          enumerate(feats)],
+    ).agg(
+        F.sum("event_slice").cast("long").alias("_d"),
+        F.sum(
+            F.round(F.col("risk_time") * F.lit(1000000.0), 0).cast(
+                "long"
+            )
+        ).alias("_ym"),
+    )
+    cells = cells.withColumn(
+        "_lny", F.log(F.col("_ym") / F.lit(1000000.0))
+    )
+    starts = [0.0] + cuts
+    for k, s in enumerate(starts[1:], start=1):
+        cells = cells.withColumn(
+            f"_iv{k}", (F.col("_iv") == F.lit(s)).cast("double")
+        )
+    cells = cells.localCheckpoint(eager=False)
+    model_feats = [f"_iv{k}" for k in range(1, len(starts))] + [
+        f"_x{j}" for j in range(len(feats))
+    ]
+    fit = glm_poisson(
+        cells, model_feats, "_d", offset_col="_lny", iters=iters,
+        return_se=return_se,
+    )
+    beta = fit[0] if return_se else fit
+    alpha1 = beta[0]
+    gammas = [0.0] + list(beta[1:len(starts)])
+    hz = {
+        s: round(
+            float(__import__("math").exp(alpha1 + gammas[k])), 6
+        )
+        for k, s in enumerate(starts)
+    }
+    hmap = F.create_map(
+        *[F.lit(x) for s, h in hz.items() for x in (s, h)]
+    )
+    curve = (
+        cells.groupBy("_iv")
+        .agg(
+            F.sum("_d").alias("events"),
+            F.round(
+                F.sum("_ym") / F.lit(1000000.0), 6
+            ).alias("person_time"),
+        )
+        .select(
+            F.col("_iv").alias("interval_start"),
+            "events",
+            "person_time",
+            hmap[F.col("_iv")].alias("base_hazard"),
+        )
+    )
+    if return_se:
+        return curve, beta, fit[1]
+    return curve, beta

@@ -1745,3 +1745,151 @@ def test_meta_analysis_dl(spark):
     )
     with pytest.raises(Exception, match="se must be positive"):
         meta_analysis_dl(bad, "est", "se").collect()
+
+
+def test_ordinal_logistic_recovers_plant_and_binary_reduction(spark):
+    """Proportional-odds model: recovers planted cutpoints and slope
+    on a 3-level outcome; with 2 levels it collapses to ordinary
+    logistic regression (alpha = -beta0, shared slope) against
+    glm_logistic on the same rows; partitioning-invariant; level
+    guards raise."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic,
+        ordinal_logistic,
+    )
+
+    def uhash(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000000
+        ) / 1000000.0
+
+    # P(Y<=1) = sigma(-1 - 0.8x), P(Y<=2) = sigma(1 - 0.8x)
+    rows = []
+    for i in range(900):
+        x = float(i % 3) / 2.0
+        u = uhash(i, "y")
+        g1 = 1 / (1 + math.exp(-(-1.0 - 0.8 * x)))
+        g2 = 1 / (1 + math.exp(-(1.0 - 0.8 * x)))
+        y = 1 if u < g1 else (2 if u < g2 else 3)
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y int")
+
+    levels, alphas, betas, se = ordinal_logistic(
+        df, ["x"], "y", return_se=True
+    )
+    assert levels == [1, 2, 3]
+    assert abs(alphas[0] + 1.0) < 0.25
+    assert abs(alphas[1] - 1.0) < 0.25
+    assert abs(betas[0] - 0.8) < 0.3
+    assert alphas[0] < alphas[1]
+    assert all(v > 0 for v in se)
+
+    lv2, al2, be2 = ordinal_logistic(
+        df.repartition(32), ["x"], "y"
+    )
+    assert (lv2, al2, be2) == (levels, alphas, betas)
+
+    # binary reduction: P(Y=hi|x) = sigma(x*beta - alpha) == ordinary
+    # logistic with beta0 = -alpha
+    brows = [(x, 1 if y >= 2 else 0) for x, y in rows]
+    bdf = spark.createDataFrame(brows, "x double, yb int")
+    _, a_b, b_b = ordinal_logistic(
+        bdf, ["x"], "yb"
+    )
+    blog = glm_logistic(bdf, ["x"], "yb")
+    assert abs(a_b[0] + blog[0]) < 1e-6
+    assert abs(b_b[0] - blog[1]) < 1e-6
+
+    with pytest.raises(ValueError, match="levels"):
+        ordinal_logistic(
+            spark.createDataFrame([(0.0, i) for i in range(30)],
+                                  "x double, y int"),
+            ["x"], "y",
+        )
+    with pytest.raises(ValueError, match=">= 2"):
+        ordinal_logistic(
+            spark.createDataFrame([(0.0, 1)] * 5, "x double, y int"),
+            ["x"], "y",
+        )
+    with pytest.raises(ValueError, match="iters"):
+        ordinal_logistic(df, ["x"], "y", iters=0)
+
+
+def test_tmle_ate_debias_and_randomized_reduction(spark):
+    """TMLE: under strong confounding the estimate lands near the
+    true ATE while the naive mean difference is badly biased; under
+    randomization it agrees with the difference in means; the Wald
+    CI brackets the estimate; partitioning-invariant; bad g_bounds
+    raise."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import tmle_ate
+
+    def uhash(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000000
+        ) / 1000000.0
+
+    def sigma(v):
+        return 1 / (1 + math.exp(-v))
+
+    # confounded plant: x in {0, 1/3, 2/3, 1};
+    # P(A=1|x) = sigma(-1.5 + 3x); P(Y=1|a,x) = sigma(-1 + 0.9a + 1.5x)
+    rows = []
+    for i in range(4000):
+        x = (i % 4) / 3.0
+        a_ = 1 if uhash(i, "a") < sigma(-1.5 + 3.0 * x) else 0
+        y_ = 1 if uhash(i, "y") < sigma(-1 + 0.9 * a_ + 1.5 * x) else 0
+        rows.append((x, a_, y_))
+    df = spark.createDataFrame(rows, "x double, a int, y int")
+    truth = sum(
+        sigma(-1 + 0.9 + 1.5 * x) - sigma(-1 + 1.5 * x)
+        for x in (0, 1 / 3, 2 / 3, 1)
+    ) / 4
+
+    ate, se, lo, hi, eps = tmle_ate(df, ["x"], "a", "y")
+    n1 = sum(1 for _, a_, _ in rows if a_)
+    naive = sum(y_ for _, a_, y_ in rows if a_) / n1 - sum(
+        y_ for _, a_, y_ in rows if not a_
+    ) / (len(rows) - n1)
+    assert abs(ate - truth) < 0.04
+    assert abs(naive - truth) > abs(ate - truth)
+    assert lo < ate < hi and se > 0
+    # fluctuation solved the EIF equation: eps near 0 when Q is
+    # correctly specified
+    assert all(abs(e) < 0.5 for e in eps)
+
+    again = tmle_ate(df.repartition(32), ["x"], "a", "y")
+    assert again == (ate, se, lo, hi, eps)
+
+    # randomized plant: g does not depend on x -> TMLE ~ diff in means
+    rrows = []
+    for i in range(4000):
+        x = (i % 4) / 3.0
+        a_ = 1 if uhash(i, "ra") < 0.5 else 0
+        y_ = 1 if uhash(i, "ry") < sigma(-1 + 0.9 * a_ + 1.5 * x) else 0
+        rrows.append((x, a_, y_))
+    rdf = spark.createDataFrame(rrows, "x double, a int, y int")
+    rate, *_ = tmle_ate(rdf, ["x"], "a", "y")
+    rn1 = sum(1 for _, a_, _ in rrows if a_)
+    rnaive = sum(y_ for _, a_, y_ in rrows if a_) / rn1 - sum(
+        y_ for _, a_, y_ in rrows if not a_
+    ) / (len(rrows) - rn1)
+    assert abs(rate - rnaive) < 0.02
+
+    with pytest.raises(ValueError, match="g_bounds"):
+        tmle_ate(df, ["x"], "a", "y", g_bounds=(0.5, 0.4))

@@ -5830,3 +5830,65 @@ def test_weibull_aft_matches_twin_and_recovers_plant(spark):
         weibull_aft(df.union(bad), ["x"], iters=1)
     with pytest.raises(ValueError, match="iters"):
         weibull_aft(df, ["x"], iters=0)
+
+
+def test_piecewise_exponential_ph(spark):
+    """PWE regression: with no covariates the fitted baseline equals
+    the occurrence/exposure rates (saturated-model identity); with a
+    covariate it recovers the planted piecewise hazards and log-HR;
+    bit-identical under repartitioning; bad breaks raise."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        piecewise_exponential_ph,
+    )
+
+    # lam = 0.2 on [0,5), 0.05 after; HR e^0.7 for x=1; censor at 20
+    rows = []
+    for i in range(600):
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % 1000000
+        ) / 1000000.0 + 1e-9
+        x = float(i % 2)
+        r = math.exp(0.7 * x)
+        e = -math.log(u)
+        t = e / (0.2 * r) if e < 5 * 0.2 * r else 5 + (
+            e - 5 * 0.2 * r
+        ) / (0.05 * r)
+        rows.append((x, round(min(t, 20.0), 6), 1 if t < 20 else 0))
+    df = spark.createDataFrame(
+        rows, "x double, duration double, event int"
+    )
+
+    curve0, _ = piecewise_exponential_ph(df, [], [5.0])
+    for row in curve0.collect():
+        assert abs(
+            row.base_hazard - row.events / row.person_time
+        ) < 1e-5, row
+
+    curve, beta, se = piecewise_exponential_ph(
+        df, ["x"], [5.0], return_se=True
+    )
+    got = {r.interval_start: r for r in curve.collect()}
+    assert set(got) == {0.0, 5.0}
+    assert abs(got[0.0].base_hazard - 0.2) < 0.05
+    assert abs(got[5.0].base_hazard - 0.05) < 0.02
+    assert abs(beta[2] - 0.7) < 0.25
+    assert all(v > 0 for v in se)
+    # person-time splits exactly: total equals sum of durations
+    total_pt = sum(r.person_time for r in got.values())
+    assert abs(total_pt - sum(t for _, t, _ in rows)) < 1e-3
+
+    _, beta2 = piecewise_exponential_ph(
+        df.repartition(32), ["x"], [5.0]
+    )
+    assert beta2 == beta
+
+    with pytest.raises(ValueError, match="breaks"):
+        piecewise_exponential_ph(df, ["x"], [5.0, 5.0])
+    with pytest.raises(ValueError, match="breaks"):
+        piecewise_exponential_ph(df, ["x"], [-1.0, 5.0])
