@@ -1664,3 +1664,127 @@ def test_transform_with_state_km_curve(spark, sf_dir, tmp_path):
             int(g.n_risk), int(g.n_event), int(g.n_censored)
         ) == (int(w.n_risk), int(w.n_event), int(w.n_censored)), idx
         assert g.survival == pytest.approx(w.survival, abs=1e-12), idx
+
+
+def test_hll_processor_order_slice_dup_invariance_and_accuracy(spark):
+    """HllDistinctProcessor: the register fold is EXACTLY invariant to
+    arrival order, batch slicing, and duplicate delivery (max-merge);
+    the estimate lands within HLL error of the true distinct count at
+    lg_k=10 (~3.3% relative error; assert 10%); the batch reference
+    emits the identical rows; lg_k guard raises."""
+    import pytest
+
+    from cancer_survival_etl_spark.streaming.tws import (
+        HllDistinctProcessor,
+        hll_distinct_batch,
+    )
+
+    proc = HllDistinctProcessor(lg_k=10)
+    m = 1 << 10
+    vals = [f"u{i}" for i in range(5000)]
+
+    whole = proc.fold((0, [0] * m), vals)
+    rev = proc.fold((0, [0] * m), list(reversed(vals)))
+    st7 = (0, [0] * m)
+    for j in range(0, len(vals), 7):
+        st7 = proc.fold(st7, vals[j:j + 7])
+    dup = proc.fold((0, [0] * m), vals + vals[:1000])
+    assert whole[1] == rev[1] == st7[1] == dup[1]
+    assert whole[0] == 5000 and dup[0] == 6000
+
+    est = proc.estimate(whole[1])
+    assert abs(est - 5000) / 5000 < 0.10
+
+    # small-range linear counting: 30 distinct -> near-exact
+    small = proc.fold((0, [0] * m), [f"s{i}" for i in range(30)])
+    assert abs(proc.estimate(small[1]) - 30) < 2
+
+    rows = [
+        ("error", i % 350) for i in range(3000)
+    ] + [("click", i % 4000) for i in range(9000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    b = hll_distinct_batch(df).set_index("event_type")
+    assert b.loc["error", "n_seen"] == 3000
+    assert abs(b.loc["error", "distinct_estimate"] - 350) / 350 < 0.10
+    assert abs(b.loc["click", "distinct_estimate"] - 4000) / 4000 < 0.10
+
+    # batch reference == direct fold of the same values
+    evals = [r[1] for r in rows if r[0] == "error"]
+    n_seen, regs = proc.fold((0, [0] * m), evals)
+    assert b.loc["error", "registers_set"] == sum(
+        1 for r in regs if r > 0
+    )
+    assert b.loc["error", "distinct_estimate"] == round(
+        proc.estimate(regs), 6
+    )
+
+    with pytest.raises(ValueError, match="lg_k"):
+        HllDistinctProcessor(lg_k=2)
+
+
+def test_transform_with_state_hll(spark, sf_dir, tmp_path):
+    """running_hll_distinct end-to-end over a real micro-batch run:
+    the final per-type emission equals hll_distinct_batch of the full
+    history EXACTLY (max-merge registers, so even under re-slicing
+    the estimate pins bit-for-bit)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        hll_distinct_batch,
+        running_hll_distinct,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_hll_distinct(src)
+            .writeStream.format("memory")
+            .queryName("tws_hll_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    out = spark.sql(
+        """SELECT event_type,
+                  max_by(n_seen, n_seen) AS n_seen,
+                  max_by(registers_set, n_seen) AS registers_set,
+                  max_by(distinct_estimate, n_seen) AS distinct_estimate
+           FROM tws_hll_test GROUP BY event_type"""
+    ).toPandas().set_index("event_type")
+    from cancer_survival_etl_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    b = hll_distinct_batch(events).set_index("event_type")
+    assert set(out.index) == set(b.index)
+    for et in b.index:
+        assert out.loc[et, "n_seen"] == b.loc[et, "n_seen"]
+        assert (
+            out.loc[et, "distinct_estimate"]
+            == b.loc[et, "distinct_estimate"]
+        )
