@@ -16551,6 +16551,235 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_stats_psm(spark, sf_dir):
+    """Propensity-score 1-NN matching ATT (operators/stats.py::
+    psm_att — exact global nearest control via two global_last_carry
+    passes on the score axis, distinct-score control collapse, paired
+    SE): the same strongly confounded plant as stats_tmle, where the
+    discrete x makes every treated row an exact-score twin, so the
+    match reduces to exact-on-x stratification (pinned at 1e-6 in
+    pytest). Verdicts pin ATT recovery against the analytic
+    treated-weighted truth, beating the naive contrast, and full
+    match coverage; exact per-(x, a, y) cohort counts replay in
+    DuckDB."""
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import psm_att
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    def sig(c):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+
+    x = F.floor(u(9) * 4) / 3.0
+    a = (u(17) < sig(F.lit(-1.5) + F.lit(3.0) * x)).cast("int")
+    yv = (
+        u(25)
+        < sig(F.lit(-1.0) + F.lit(0.9) * a + F.lit(1.5) * x)
+    ).cast("int")
+    cohort = d.select(
+        x.alias("x"), a.alias("a"), yv.alias("y")
+    ).localCheckpoint(eager=False)
+
+    def s(v):
+        return 1.0 / (1.0 + math.exp(-v))
+
+    pw = [(xx, s(-1.5 + 3.0 * xx)) for xx in (0, 1 / 3, 2 / 3, 1)]
+    zt = sum(w for _, w in pw)
+    truth = sum(
+        w * (s(-1 + 0.9 + 1.5 * xx) - s(-1 + 1.5 * xx))
+        for xx, w in pw
+    ) / zt
+    r = psm_att(cohort, ["x"], "a", "y").collect()[0]
+    marg = cohort.groupBy("a").agg(F.avg("y").alias("m")).collect()
+    mm = {row["a"]: row["m"] for row in marg}
+    naive = mm[1] - mm[0]
+    ok_att = abs(r["att"] - truth) < 0.05
+    ok_debias = abs(r["att"] - truth) < abs(naive - truth)
+    ok_cover = r["n_matched"] == r["n_treated"]
+    return (
+        cohort.groupBy("x", "a", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "x",
+            F.col("a").cast("long").alias("a"),
+            F.col("y").cast("long").alias("y"),
+            "n",
+            F.lit(ok_att).alias("att_recovered"),
+            F.lit(ok_debias).alias("beats_naive"),
+            F.lit(ok_cover).alias("all_treated_matched"),
+        )
+        .orderBy("x", "a", "y")
+    )
+
+
+_STATS_PSM_SQL = """
+    WITH c AS (
+        SELECT floor(((CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0) * 4) / 3.0
+                   AS x,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS ua,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 25, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS uy
+        FROM orders
+    ),
+    z AS (
+        SELECT x,
+               CASE WHEN ua < 1.0 / (1.0 + exp(-(-1.5 + 3.0 * x)))
+                    THEN 1 ELSE 0 END AS a,
+               uy
+        FROM c
+    ),
+    w AS (
+        SELECT x, a,
+               CASE WHEN uy < 1.0 / (1.0 + exp(
+                        -(-1.0 + 0.9 * a + 1.5 * x)))
+                    THEN 1 ELSE 0 END AS y
+        FROM z
+    )
+    SELECT x, CAST(a AS BIGINT) AS a, CAST(y AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS att_recovered, true AS beats_naive,
+           true AS all_treated_matched
+    FROM w GROUP BY x, a, y ORDER BY x, a, y
+"""
+
+
+def q_stats_fisher_exact(spark, sf_dir):
+    """Fisher's exact test per group (operators/stats.py::
+    fisher_exact — conditional hypergeometric via telescoping
+    log-ratios over an exploded support, grouped prefix sum,
+    point-probability two-sided rule): a 1-in-199 orders slice (the
+    SMALL-COUNT regime the test exists for — the support guard keeps
+    the explode grid-bounded at any sf) with a planted exposure
+    doubling the case rate, grouped by priority tier. FULLY
+    closed-form on the shared nano/pico lattice — the oracle replays
+    the support walk, both folds, and the 1e-7 tolerance (nano tol =
+    100) bit-exactly, no verdict literals."""
+    from cancer_survival_etl_spark.operators.stats import fisher_exact
+
+    d = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 199 == 0
+    )
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    exposed = (u(9) < 0.3).cast("int")
+    rate = F.when(exposed == 1, F.lit(0.4)).otherwise(F.lit(0.2))
+    case = (u(17) < rate).cast("int")
+    cohort = d.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.lit("high"),
+        )
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+        exposed.alias("exposed"),
+        case.alias("case"),
+    )
+    return fisher_exact(cohort, ["tier"], "exposed", "case").orderBy(
+        "tier"
+    )
+
+
+_STATS_FISHER_EXACT_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'low' END AS tier,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 9, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.3
+                    THEN 1 ELSE 0 END AS exposed,
+               (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 17, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders WHERE o_orderkey % 199 = 0
+    ),
+    cc AS (
+        SELECT tier, exposed,
+               CASE WHEN u17 < (CASE WHEN exposed = 1 THEN 0.4
+                                     ELSE 0.2 END)
+                    THEN 1 ELSE 0 END AS cs
+        FROM c
+    ),
+    tab AS (
+        SELECT tier,
+               CAST(sum(exposed * cs) AS BIGINT) AS a,
+               CAST(sum(exposed * (1 - cs)) AS BIGINT) AS b,
+               CAST(sum((1 - exposed) * cs) AS BIGINT) AS c,
+               CAST(sum((1 - exposed) * (1 - cs)) AS BIGINT) AS d
+        FROM cc GROUP BY tier
+    ),
+    sup AS (
+        SELECT tier, a, b, c, d,
+               CAST(a + b AS DOUBLE) AS r1,
+               CAST(c + d AS DOUBLE) AS r2,
+               CAST(a + c AS DOUBLE) AS c1,
+               greatest(0, (a + c) - (c + d)) AS kmin,
+               least(a + b, a + c) AS kmax
+        FROM tab
+    ),
+    ks AS (
+        SELECT s.*, t.k
+        FROM sup s, LATERAL unnest(generate_series(s.kmin, s.kmax))
+             AS t(k)
+    ),
+    steps AS (
+        SELECT *,
+               CASE WHEN k < kmax
+                    THEN CAST(round((ln(r1 - k) + ln(c1 - k)
+                                     - ln(k + 1)
+                                     - ln(r2 - c1 + k + 1))
+                                    * 1000000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS step
+        FROM ks
+    ),
+    lw AS (
+        SELECT *,
+               coalesce(sum(step) OVER
+                   (PARTITION BY tier ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lwv
+        FROM steps
+    ),
+    mx AS (SELECT tier, max(lwv) AS lwmax FROM lw GROUP BY tier),
+    pa AS (SELECT tier, lwv AS lwa FROM lw WHERE k = a),
+    terms AS (
+        SELECT l.tier, l.k, l.a, l.b, l.c, l.d, l.lwv, p.lwa,
+               CAST(round(exp((l.lwv - m.lwmax) / 1000000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS term
+        FROM lw l JOIN mx m USING (tier) JOIN pa p USING (tier)
+    )
+    SELECT tier, a, b, c, d,
+           CASE WHEN b > 0 AND c > 0
+                THEN round(CAST(a AS DOUBLE) * d
+                           / (CAST(b AS DOUBLE) * c), 6)
+           END AS odds_ratio,
+           round(sum(CASE WHEN k = a THEN term ELSE 0 END)
+                 / CAST(sum(term) AS DOUBLE), 9) AS p_point,
+           round(sum(CASE WHEN lwv <= lwa + 100 THEN term ELSE 0 END)
+                 / CAST(sum(term) AS DOUBLE), 9) AS p_two_sided
+    FROM terms GROUP BY tier, a, b, c, d
+    ORDER BY tier
+"""
+
+
 def q_stats_tmle(spark, sf_dir):
     """Targeted maximum likelihood estimation of the ATE (operators/
     stats.py::tmle_ate — initial logistic Q, clipped logistic
@@ -18190,6 +18419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_pwe": q_survival_pwe,
         "stats_ordinal": q_stats_ordinal,
         "stats_tmle": q_stats_tmle,
+        "stats_fisher_exact": q_stats_fisher_exact,
+        "stats_psm": q_stats_psm,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -21424,6 +21655,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_pwe": _SURVIVAL_PWE_SQL,
         "stats_ordinal": _STATS_ORDINAL_SQL,
         "stats_tmle": _STATS_TMLE_SQL,
+        "stats_fisher_exact": _STATS_FISHER_EXACT_SQL,
+        "stats_psm": _STATS_PSM_SQL,
         "rates_cumulative_risk": _RATES_CUMULATIVE_RISK_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,

@@ -388,6 +388,8 @@ HEADLINE = [
     "survival_pwe",
     "stats_ordinal",
     "stats_tmle",
+    "stats_fisher_exact",
+    "stats_psm",
 ]
 
 REGRESSION_RATIO = 1.5

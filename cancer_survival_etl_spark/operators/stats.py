@@ -4058,3 +4058,311 @@ def tmle_ate(
         round(ate + z * se, 9),
         eps,
     )
+
+
+def fisher_exact(
+    df: DataFrame,
+    group_cols,
+    exposure_col: str,
+    case_col: str,
+    max_support: int = 10000,
+) -> DataFrame:
+    """Fisher's exact test for 2x2 tables per group (the conditional
+    hypergeometric test; two-sided by the point-probability rule R's
+    ``fisher.test`` uses, with its 1e-7 relative tolerance) — the
+    small-cell companion to ``chi_square_by``/``mcnemar_test`` every
+    registry needs when suppressed counts make the chi-square
+    approximation dishonest.
+
+    Conditional on the margins (r1, r2, c1), A = exposed cases has
+    support k in [max(0, c1-r2), min(r1, c1)] and pmf proportional to
+    C(r1,k)*C(r2,c1-k). No lgamma exists JVM-side, so the log-pmf
+    comes from the TELESCOPING ratio
+
+        ln P(k+1) - ln P(k) = ln[(r1-k)(c1-k)] - ln[(k+1)(r2-c1+k+1)]
+
+    materialized as one explode(sequence) over the support and an
+    exclusive ``grouped_prefix_sum`` (nano-lattice longs, so the
+    whole test is bit-identical under any partitioning). p =
+    sum of exp-normalized pmf over {k : lnP(k) <= lnP(a) + ln(1+1e-7)},
+    every exp term pico-rounded before the exact long sum.
+
+    Fisher's exact test is a SMALL-COUNT procedure: a support wider
+    than ``max_support`` (min margin beyond ~1e4, where the test is
+    numerically indistinguishable from chi-square) raises a named
+    in-plan error rather than exploding rows — the ``max_x_patterns``
+    convention.
+
+    Scale shape: one map-side aggregate to four long counts per
+    group, one grid-bounded explode (support rows), one grouped
+    prefix pass, two per-group folds. Returns (group, a, b, c, d,
+    odds_ratio, p_point, p_two_sided), 6 dp for the OR, 9 dp for the
+    p-values.
+    """
+    from .windows import grouped_prefix_sum
+
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ex = F.col(exposure_col).cast("int")
+    cs = F.col(case_col).cast("int")
+    tab = df.groupBy(*g).agg(
+        F.sum(ex * cs).cast("long").alias("_a"),
+        F.sum(ex * (1 - cs)).cast("long").alias("_b"),
+        F.sum((1 - ex) * cs).cast("long").alias("_c"),
+        F.sum((1 - ex) * (1 - cs)).cast("long").alias("_d"),
+    )
+    r1 = F.col("_a") + F.col("_b")
+    r2 = F.col("_c") + F.col("_d")
+    c1 = F.col("_a") + F.col("_c")
+    kmin = F.greatest(F.lit(0).cast("long"), c1 - r2)
+    kmax = F.least(r1, c1)
+    size = kmax - kmin + 1
+    tab = tab.withColumn(
+        "_kmin",
+        F.when(
+            size > max_support,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fisher_exact: support exceeds max_support="
+                    ),
+                    F.lit(str(max_support)),
+                    F.lit(" (use chi_square_by at these counts)"),
+                )
+            ).cast("long"),
+        ).otherwise(kmin),
+    ).withColumn("_kmax", kmax)
+    nano = F.lit(1000000000.0)
+    sup = tab.withColumn(
+        "_k", F.explode(F.sequence(F.col("_kmin"), F.col("_kmax")))
+    )
+    kk = F.col("_k").cast("double")
+    r1d = r1.cast("double")
+    r2d = r2.cast("double")
+    c1d = c1.cast("double")
+    # log step ln P(k+1) - ln P(k), attached to row k (0 on the last
+    # row, never consumed by the EXCLUSIVE prefix)
+    step = (
+        F.log(r1d - kk)
+        + F.log(c1d - kk)
+        - F.log(kk + 1)
+        - F.log(r2d - c1d + kk + 1)
+    )
+    sup = sup.withColumn(
+        "_step",
+        F.when(
+            F.col("_k") < F.col("_kmax"),
+            F.round(step * nano, 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sup = grouped_prefix_sum(sup, g, "_k", ["_step"], ["_lw"])
+    stats = sup.groupBy(*g).agg(F.max("_lw").alias("_lwmax"))
+    pt = sup.filter(F.col("_k") == F.col("_a")).select(
+        *g, F.col("_lw").alias("_lwa")
+    )
+    sup = sup.join(F.broadcast(stats), g).join(F.broadcast(pt), g)
+    pico = F.lit(1000000000000.0)
+    term = F.round(
+        F.exp((F.col("_lw") - F.col("_lwmax")) / nano) * pico, 0
+    ).cast("long")
+    tol = int(round(__import__("math").log1p(1e-7) * 1e9))
+    agg = sup.groupBy(*g).agg(
+        F.sum(term).alias("_tot"),
+        F.sum(
+            F.when(
+                F.col("_lw") <= F.col("_lwa") + F.lit(tol), term
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("_le"),
+        F.sum(
+            F.when(F.col("_k") == F.col("_a"), term).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("_pt"),
+        F.first("_a").alias("_a"),
+        F.first("_b").alias("_b"),
+        F.first("_c").alias("_c"),
+        F.first("_d").alias("_d"),
+    )
+    orx = (
+        F.col("_a").cast("double") * F.col("_d")
+        / (F.col("_b").cast("double") * F.col("_c"))
+    )
+    return agg.select(
+        *g,
+        F.col("_a").alias("a"),
+        F.col("_b").alias("b"),
+        F.col("_c").alias("c"),
+        F.col("_d").alias("d"),
+        F.when(
+            (F.col("_b") > 0) & (F.col("_c") > 0), F.round(orx, 6)
+        ).alias("odds_ratio"),
+        F.round(F.col("_pt") / F.col("_tot"), 9).alias("p_point"),
+        F.round(F.col("_le") / F.col("_tot"), 9).alias("p_two_sided"),
+    )
+
+
+def psm_att(
+    df: DataFrame,
+    feature_cols,
+    treat_col: str,
+    y_col: str,
+    iters: int = 8,
+    caliper: float | None = None,
+):
+    """Propensity-score matching estimate of the ATT (Rosenbaum &
+    Rubin 1983): 1-nearest-neighbor matching WITH replacement on the
+    logistic propensity, the registry's 'find each exposed patient a
+    statistical twin' design — the matching counterpart to the
+    weighting (``ipw``/``tmle_ate``) members of the causal family.
+
+    EXACT global 1-NN without any quadratic candidate join: treated
+    and control rows union onto the score axis and TWO
+    ``global_last_carry`` passes (ascending and descending propensity)
+    hand every treated row its nearest control at-or-below and
+    at-or-above; the closer wins (ties toward the preceding control —
+    the ``asof_join`` <= convention; controls sort before treated at
+    equal scores so an exact-score twin always matches). Controls
+    first collapse to DISTINCT-score cells carrying the exact-lattice
+    mean outcome: all controls at a score are interchangeable twins,
+    so the cell mean is the natural matched outcome, the control
+    frame shrinks, and equal-score control ties (which would need an
+    arbitrary partitioning-dependent tie-break) cannot exist.
+    ``caliper`` (propensity units) drops treated rows whose nearest
+    control is farther than the cap, the standard caliper-matching
+    guard against off-support matches.
+
+    ATT = mean(y_treated − y_matched); SE is the matched-PAIRS
+    approximation sd(d_i)/√n (documented understatement: it ignores
+    control reuse — Abadie-Imbens corrections need the reuse counts;
+    the direction is conservative DOWN, so the CI is a lower bound on
+    uncertainty, flagged in the returned column name se_paired).
+
+    Scale shape: one glm_logistic fit (nano-lattice aggregates), one
+    union + two range-partitioned carry passes + one id-keyed join of
+    the two fills, one final fold — no per-pattern frame, no
+    quadratic bucket join, bit-identical under any partitioning.
+    Returns one row: (n_treated, n_matched, att, se_paired, ci_lo,
+    ci_hi), 9 dp.
+    """
+    import numpy as np
+
+    from .windows import global_last_carry
+
+    feats = list(feature_cols)
+    if caliper is not None and caliper <= 0:
+        raise ValueError("psm_att: caliper must be positive")
+    beta = glm_logistic(df, feats, treat_col, iters=iters)
+    eta = F.lit(beta[0])
+    for j, c in enumerate(feats):
+        eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
+    ps = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+    base = df.select(
+        ps.alias("_ps"),
+        F.col(treat_col).cast("int").alias("_a"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    # controls collapse to DISTINCT-score cells with the exact-lattice
+    # mean outcome: all controls at a score are interchangeable twins,
+    # so the cell mean is the matched outcome — this both shrinks the
+    # control frame and makes score ties impossible (the determinism
+    # contract needs no arbitrary tie-break among equal-score controls)
+    ctrl = (
+        base.filter(F.col("_a") == 0)
+        .groupBy("_ps")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("_y") * F.lit(1000000.0), 0).cast(
+                        "long"
+                    )
+                )
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
+            ).alias("_cy")
+        )
+    )
+    treated = base.filter(F.col("_a") == 1).select(
+        "_ps",
+        "_y",
+        F.monotonically_increasing_id().alias("_id"),
+    ).localCheckpoint(eager=True)
+    frame = treated.select(
+        "_ps",
+        F.lit(1).alias("_a"),
+        "_y",
+        "_id",
+        F.lit(None).cast("double").alias("_cps"),
+        F.lit(None).cast("double").alias("_cy"),
+        (-F.col("_ps")).alias("_nps"),
+    ).unionByName(
+        ctrl.select(
+            F.col("_ps"),
+            F.lit(0).alias("_a"),
+            F.lit(None).cast("double").alias("_y"),
+            F.lit(-1).cast("long").alias("_id"),
+            F.col("_ps").alias("_cps"),
+            F.col("_cy"),
+            (-F.col("_ps")).alias("_nps"),
+        )
+    )
+    fwd = global_last_carry(
+        frame, ["_ps", "_a", "_id"], ["_cps", "_cy"],
+        ["_pps", "_py"],
+    ).filter(F.col("_a") == 1).select("_id", "_pps", "_py")
+    bwd = global_last_carry(
+        frame, ["_nps", "_a", "_id"], ["_cps", "_cy"],
+        ["_nxps", "_ny"],
+    ).filter(F.col("_a") == 1).select(
+        "_id", "_nxps", "_ny", "_ps", "_y"
+    )
+    t = bwd.join(fwd, "_id")
+    d_prev = F.col("_ps") - F.col("_pps")
+    d_next = F.col("_nxps") - F.col("_ps")
+    use_prev = F.col("_pps").isNotNull() & (
+        F.col("_nxps").isNull() | (d_prev <= d_next)
+    )
+    dist = F.when(use_prev, d_prev).otherwise(d_next)
+    ym = F.when(use_prev, F.col("_py")).otherwise(F.col("_ny"))
+    matched = (F.col("_pps").isNotNull() | F.col("_nxps").isNotNull())
+    if caliper is not None:
+        matched = matched & (dist <= F.lit(float(caliper)))
+    nano = F.lit(1000000000.0)
+    dd = F.col("_y") - ym
+    row = t.agg(
+        F.count(F.lit(1)).alias("n_treated"),
+        F.sum(matched.cast("long")).alias("n_matched"),
+        F.sum(
+            F.when(matched, F.round(dd * nano, 0).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("_sd"),
+        F.sum(
+            F.when(matched, F.round(dd * dd * nano, 0).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("_sd2"),
+    ).collect()[0]
+    n = row["n_matched"]
+    spark = df.sparkSession
+    if not n:
+        return spark.createDataFrame(
+            [(row["n_treated"], 0, None, None, None, None)],
+            "n_treated long, n_matched long, att double, "
+            "se_paired double, ci_lo double, ci_hi double",
+        )
+    att = row["_sd"] / 1e9 / n
+    var = max(row["_sd2"] / 1e9 / n - att * att, 0.0) / max(n - 1, 1)
+    se = float(np.sqrt(var))
+    z = 1.959963984540054
+    return spark.createDataFrame(
+        [
+            (
+                row["n_treated"],
+                n,
+                round(att, 9),
+                round(se, 9),
+                round(att - z * se, 9),
+                round(att + z * se, 9),
+            )
+        ],
+        "n_treated long, n_matched long, att double, "
+        "se_paired double, ci_lo double, ci_hi double",
+    )

@@ -328,3 +328,104 @@ def grouped_prefix_sum(
         *[f"_carry_{i}" for i in range(len(vcols))],
         *[f"_cg_{i}" for i in range(len(g))],
     )
+
+
+def global_last_carry(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    aliases: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL forward-fill: for every row, the most recent non-null
+    ``value_cols`` in ``order_cols`` order (the SQL ``LAST_VALUE(v
+    IGNORE NULLS) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``) —
+    WITHOUT the single-task global window that form compiles to.
+    The as-of primitive behind 1-NN matching on a score axis and
+    un-keyed gap-filling.
+
+    Same two-phase shape as ``global_prefix_sum``: range-partition on
+    ``order_cols`` (one shuffle), per-partition LAST non-null values
+    (one row per partition) collect to the driver where an exclusive
+    forward scan yields each partition's carry-in seed, then one
+    Arrow ``mapInPandas`` pass does the within-partition ffill.
+
+    ``order_cols`` must be a strict total order (the determinism
+    contract). ``value_cols`` are filled INDEPENDENTLY — when they
+    come from one logical side (e.g. a control row's score and
+    outcome), their null patterns coincide row-wise and the fills
+    stay mutually consistent; mixing columns with different null
+    patterns fills each on its own history.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    ocols = list(order_cols)
+    vcols = list(value_cols)
+    als = list(aliases)
+    if len(vcols) != len(als):
+        raise ValueError("value_cols and aliases must align")
+
+    n_parts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in ocols])
+        .sortWithinPartitions(*ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    lasts = ranged.groupBy("_pid").agg(
+        *[
+            F.last(v, ignorenulls=True).alias(f"_l{i}")
+            for i, v in enumerate(vcols)
+        ]
+    ).collect()
+    seeds: dict[int, tuple] = {}
+    acc: list = [None] * len(vcols)
+    for r in sorted(lasts, key=lambda r: r["_pid"]):
+        seeds[r["_pid"]] = tuple(acc)
+        for i in range(len(vcols)):
+            if r[f"_l{i}"] is not None:
+                acc[i] = r[f"_l{i}"]
+
+    fields = {f.name: f for f in ranged.schema.fields}
+    out_schema = StructType(
+        [f for f in ranged.schema.fields if f.name != "_pid"]
+        + [
+            StructField(a, fields[v].dataType)
+            for v, a in zip(vcols, als)
+        ]
+    )
+    cols = [f.name for f in ranged.schema.fields if f.name != "_pid"]
+
+    def ffill(batches):
+        import pandas as pd
+
+        seed = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if seed is None:
+                seed = list(
+                    seeds.get(
+                        int(pdf["_pid"].iloc[0]), (None,) * len(vcols)
+                    )
+                )
+            out = pdf[cols].copy()
+            for i, (v, a) in enumerate(zip(vcols, als)):
+                s = pdf[v]
+                if seed[i] is not None:
+                    s = pd.concat(
+                        [pd.Series([seed[i]], dtype=s.dtype), s],
+                        ignore_index=True,
+                    ).ffill()[1:].reset_index(drop=True)
+                    out[a] = s.values
+                else:
+                    out[a] = s.ffill().values
+                last = out[a].iloc[-1] if len(out) else None
+                if last is not None and not pd.isna(last):
+                    seed[i] = last
+            yield out
+
+    return ranged.mapInPandas(ffill, out_schema)

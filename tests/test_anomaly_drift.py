@@ -1893,3 +1893,165 @@ def test_tmle_ate_debias_and_randomized_reduction(spark):
 
     with pytest.raises(ValueError, match="g_bounds"):
         tmle_ate(df, ["x"], "a", "y", g_bounds=(0.5, 0.4))
+
+
+def test_fisher_exact_matches_enumeration(spark):
+    """Fisher exact: matches exact math.comb enumeration (point and
+    two-sided p with R's point-probability rule) on the tea-tasting
+    table and an asymmetric one; invariant to transposing the table;
+    repartition-invariant; wide support raises the named guard."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import fisher_exact
+
+    def enum_p(a, b, c, d):
+        r1, r2, c1 = a + b, c + d, a + c
+        kmin, kmax = max(0, c1 - r2), min(r1, c1)
+        pmf = {
+            k: math.comb(r1, k) * math.comb(r2, c1 - k)
+            for k in range(kmin, kmax + 1)
+        }
+        tot = sum(pmf.values())
+        pa = pmf[a]
+        two = sum(v for v in pmf.values() if v <= pa * (1 + 1e-7))
+        return pa / tot, two / tot
+
+    def rows_for(grp, a, b, c, d):
+        return (
+            [(grp, 1, 1)] * a + [(grp, 1, 0)] * b
+            + [(grp, 0, 1)] * c + [(grp, 0, 0)] * d
+        )
+
+    tables = {"tea": (3, 1, 1, 3), "asym": (12, 5, 3, 18)}
+    rows = []
+    for gname, (a, b, c, d) in tables.items():
+        rows += rows_for(gname, a, b, c, d)
+    df = spark.createDataFrame(rows, "grp string, exposed int, cs int")
+    got = {
+        r.grp: r
+        for r in fisher_exact(df, ["grp"], "exposed", "cs").collect()
+    }
+    for gname, (a, b, c, d) in tables.items():
+        pp, p2 = enum_p(a, b, c, d)
+        r = got[gname]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+        assert abs(r.p_point - pp) < 1e-6, (gname, r.p_point, pp)
+        assert abs(r.p_two_sided - p2) < 1e-6, (gname, r.p_two_sided, p2)
+        assert r.odds_ratio == round(a * d / (b * c), 6)
+    # the tea-tasting two-sided p is the textbook 0.485714...
+    assert abs(got["tea"].p_two_sided - 0.485714285) < 1e-6
+
+    # transpose invariance: swapping the roles of exposure and case
+    tdf = spark.createDataFrame(
+        [(g, c_, e_) for g, e_, c_ in rows],
+        "grp string, exposed int, cs int",
+    )
+    tgot = {
+        r.grp: r
+        for r in fisher_exact(tdf, ["grp"], "exposed", "cs").collect()
+    }
+    for gname in tables:
+        assert (
+            tgot[gname].p_two_sided == got[gname].p_two_sided
+        ), gname
+
+    again = {
+        r.grp: r
+        for r in fisher_exact(
+            df.repartition(32), ["grp"], "exposed", "cs"
+        ).collect()
+    }
+    for gname in tables:
+        assert tuple(again[gname]) == tuple(got[gname])
+
+    wide = spark.createDataFrame(
+        rows_for("w", 60, 60, 60, 60), "grp string, exposed int, cs int"
+    )
+    with pytest.raises(Exception, match="max_support"):
+        fisher_exact(
+            wide, ["grp"], "exposed", "cs", max_support=50
+        ).collect()
+
+
+def test_psm_att_recovers_att_and_caliper(spark):
+    """PSM/ATT: on the strongly confounded plant the matched estimate
+    lands near the true ATT while the naive contrast is badly biased;
+    an exact-score twin always matches (distance 0 when treated and
+    control share an x-pattern); a tiny caliper drops matches;
+    partitioning-invariant; bad caliper raises."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import psm_att
+
+    def uhash(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000000
+        ) / 1000000.0
+
+    def sigma(v):
+        return 1 / (1 + math.exp(-v))
+
+    rows = []
+    for i in range(4000):
+        x = (i % 4) / 3.0
+        a_ = 1 if uhash(i, "a") < sigma(-1.5 + 3.0 * x) else 0
+        y_ = 1 if uhash(i, "y") < sigma(-1 + 0.9 * a_ + 1.5 * x) else 0
+        rows.append((x, a_, y_))
+    df = spark.createDataFrame(rows, "x double, a int, y int")
+    # ATT truth: effect averaged over the TREATED x-distribution
+    pw = [(x, sigma(-1.5 + 3.0 * x)) for x in (0, 1 / 3, 2 / 3, 1)]
+    zt = sum(w for _, w in pw)
+    truth = sum(
+        w * (sigma(-1 + 0.9 + 1.5 * x) - sigma(-1 + 1.5 * x))
+        for x, w in pw
+    ) / zt
+
+    r = psm_att(df, ["x"], "a", "y").collect()[0]
+    n1 = sum(a for _, a, _ in rows)
+    naive = sum(y for _, a, y in rows if a) / n1 - sum(
+        y for _, a, y in rows if not a
+    ) / (len(rows) - n1)
+    # discrete x: every treated has an exact-score control twin, so
+    # matching is exact-on-x and n_matched == n_treated
+    assert r.n_treated == n1 and r.n_matched == n1
+    assert abs(r.att - truth) < 0.05
+    assert abs(naive - truth) > abs(r.att - truth)
+    assert r.ci_lo < r.att < r.ci_hi and r.se_paired > 0
+
+    again = psm_att(df.repartition(32), ["x"], "a", "y").collect()[0]
+    assert tuple(again) == tuple(r)
+
+    # matching exact-on-x means the estimate equals the stratified
+    # (exact-matching) contrast over treated x-cells
+    from collections import defaultdict
+
+    cell = defaultdict(lambda: [0, 0, 0, 0])  # nt, yt, nc, yc
+    for x, a_, y_ in rows:
+        if a_:
+            cell[x][0] += 1
+            cell[x][1] += y_
+        else:
+            cell[x][2] += 1
+            cell[x][3] += y_
+    strat = (
+        sum(
+            c[1] - c[0] * round(c[3] * 1e6 / c[2]) / 1e6
+            for c in cell.values()
+        )
+        / n1
+    )
+    assert abs(r.att - strat) < 1e-6
+
+    tiny = psm_att(df, ["x"], "a", "y", caliper=1e-12).collect()[0]
+    assert tiny.n_matched == tiny.n_treated  # exact twins at dist 0
+
+    with pytest.raises(ValueError, match="caliper"):
+        psm_att(df, ["x"], "a", "y", caliper=0.0)

@@ -909,3 +909,46 @@ def test_triangle_count_known_graph(spark):
         [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
     )
     assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_global_last_carry_matches_pandas_ffill(spark):
+    """global_last_carry: equals pandas ffill on the totally-ordered
+    frame, leading nulls stay null, carries cross range-partition
+    boundaries, and the fill is partitioning-invariant."""
+    rows = []
+    for i in range(500):
+        v = float(i) if i % 7 == 0 else None
+        w = f"s{i}" if i % 11 == 3 else None
+        rows.append((i, v, w))
+    df = spark.createDataFrame(rows, "k long, v double, w string")
+
+    from cancer_survival_etl_spark.operators.windows import (
+        global_last_carry,
+    )
+
+    got = (
+        global_last_carry(df, ["k"], ["v", "w"], ["fv", "fw"])
+        .orderBy("k")
+        .collect()
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["k", "v", "w"]).sort_values("k")
+    pdf["fv"] = pdf["v"].ffill()
+    pdf["fw"] = pdf["w"].ffill()
+    for r, (_, e) in zip(got, pdf.iterrows()):
+        ev = None if pd.isna(e["fv"]) else e["fv"]
+        ew = None if pd.isna(e["fw"]) else e["fw"]
+        assert (r.fv, r.fw) == (ev, ew), r.k
+    # leading nulls: k < 3 has no w yet
+    assert got[0].fw is None and got[3].fw == "s3"
+
+    again = (
+        global_last_carry(
+            df.repartition(32), ["k"], ["v", "w"], ["fv", "fw"],
+            num_partitions=5,
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
