@@ -16551,6 +16551,236 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_survival_ibs(spark, sf_dir):
+    """Integrated Brier score over horizons 1..8 (operators/
+    survival.py::integrated_brier_score — Graf's single-number
+    prediction-error summary; per-horizon predictions Ŝ(t|x) from
+    the true exponential model, the survival_brier cohort). FULL
+    pipeline replay in the oracle: reverse KM, both Ĝ reads per
+    horizon, micro-lattice terms, per-horizon 6dp rounding, exact
+    long average — bit-exact, no verdict literals. Pinned bit-equal
+    to composing 8 single-horizon brier_score_ipcw calls in
+    pytest."""
+    from cancer_survival_etl_spark.operators.survival import (
+        integrated_brier_score,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x1 = (u(1) < 0.5).cast("double")
+    x2 = (u(9) < 0.5).cast("double")
+    lp = F.lit(0.9) * x1 + F.lit(0.4) * x2
+    haz = F.lit(0.04) * F.exp(lp)
+    t = -F.log(u(17) + 1e-9) / haz
+    c = -F.log(u(25) + 1e-9) / F.lit(0.015)
+    cohort = d.select(
+        haz.alias("haz"),
+        F.least(F.floor(F.least(t, c)) + 1, F.lit(30))
+        .cast("long")
+        .alias("duration"),
+        ((t <= c) & (t < 30)).cast("int").alias("event"),
+    )
+    for k in range(1, 9):
+        cohort = cohort.withColumn(
+            f"p{k}", F.exp(-F.col("haz") * F.lit(float(k)))
+        )
+    return integrated_brier_score(
+        cohort, [f"p{k}" for k in range(1, 9)]
+    )
+
+
+_SURVIVAL_IBS_SQL = """
+    WITH {uno},
+    tc AS (
+        SELECT 0.04 * exp(score) AS haz,
+               -ln(u17 + 0.000000001) / (0.04 * exp(score)) AS tv,
+               -ln(u25 + 0.000000001) / 0.015 AS cv
+        FROM lpf
+    ),
+    coh AS (
+        SELECT haz,
+               CAST(least(floor(least(tv, cv)) + 1, 30) AS BIGINT)
+                   AS duration,
+               CASE WHEN tv <= cv AND tv < 30 THEN 1 ELSE 0 END
+                   AS event
+        FROM tc
+    ),
+    gkm0 AS (
+        SELECT duration,
+               CAST(sum(1 - event) AS BIGINT) AS n_event,
+               CAST(sum(event) AS BIGINT) AS n_censored
+        FROM coh GROUP BY duration
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM coh),
+    gat AS (
+        SELECT k.duration, k.n_event,
+               CAST(n.n_tot - coalesce(
+                   sum(k.n_event + k.n_censored) OVER
+                       (ORDER BY k.duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM gkm0 k CROSS JOIN nt n
+    ),
+    gterms AS (
+        SELECT *,
+            CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN CAST(round(ln(1.0 - n_event / n_risk)
+                                 * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt,
+            CASE WHEN n_event > 0 AND n_event = n_risk
+                 THEN 1 ELSE 0 END AS dall
+        FROM gat
+    ),
+    gcurve AS (
+        SELECT duration AS gt,
+               CASE WHEN sum(dall) OVER w > 0 THEN 0.0
+                    ELSE round(exp(sum(lt) OVER w / 1000000.0), 6)
+               END AS g
+        FROM gterms
+        WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+    ),
+    grid AS (SELECT CAST(k AS BIGINT) AS t
+             FROM unnest(generate_series(1, 8)) AS gs(k)),
+    longf AS (
+        SELECT g.t, c.duration, c.event,
+               exp(-c.haz * g.t) AS p
+        FROM coh c CROSS JOIN grid g
+    ),
+    cells AS (
+        SELECT t, duration AS t0, event AS e, p,
+               CAST(count(*) AS BIGINT) AS cnt,
+               coalesce((SELECT max_by(gg.g, gg.gt) FROM gcurve gg
+                         WHERE gg.gt < duration), 1.0) AS gm
+        FROM longf GROUP BY 1, 2, 3, 4
+    ),
+    gh AS (
+        SELECT g2.t,
+               coalesce((SELECT max_by(gg.g, gg.gt) FROM gcurve gg
+                         WHERE gg.gt <= g2.t), 1.0) AS ghc
+        FROM grid g2
+    ),
+    terms AS (
+        SELECT c.t, CASE
+            WHEN c.e = 1 AND c.t0 <= c.t THEN
+                c.cnt * CAST(round(c.p * c.p
+                    * (1.0 / greatest(c.gm, 0.01))
+                    * 1000000.0, 0) AS BIGINT)
+            WHEN c.t0 > c.t THEN
+                c.cnt * CAST(round((1.0 - c.p) * (1.0 - c.p)
+                    * (1.0 / greatest(h.ghc, 0.01))
+                    * 1000000.0, 0) AS BIGINT)
+            ELSE 0 END AS bs
+        FROM cells c JOIN gh h USING (t)
+    ),
+    per_t AS (
+        SELECT g.t,
+               CAST(round(round(coalesce(s.bsum, 0) / 1000000.0
+                                / n.n_tot, 6)
+                          * 1000000.0, 0) AS BIGINT) AS b6
+        FROM grid g
+        LEFT JOIN (SELECT t, sum(bs) AS bsum FROM terms GROUP BY t) s
+          ON g.t = s.t
+        CROSS JOIN nt n
+    )
+    SELECT CAST(8 AS BIGINT) AS tau, n.n_tot AS n,
+           round(sum(p.b6) / 1000000.0 / 8.0, 6) AS ibs
+    FROM per_t p CROSS JOIN nt n GROUP BY n.n_tot
+"""
+
+
+def q_stats_multinomial(spark, sf_dir):
+    """Baseline-category multinomial logistic regression (operators/
+    stats.py::multinomial_logistic — softmax Newton with the full
+    analytic Hessian over (x-pattern, level) cells): a 3-category
+    outcome planted from the model itself (η_A = 0.5 − x,
+    η_B = −0.5 + 1.5x, baseline C) over orders. Verdicts pin all
+    four coefficients; exact per-(x, level) cohort counts replay in
+    DuckDB (the glm verdict pattern — the binary reduction is pinned
+    to glm_logistic at 1e-6 in pytest)."""
+    from cancer_survival_etl_spark.operators.stats import (
+        multinomial_logistic,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = F.floor(u(9) * 5) / 4.0
+    ea = F.exp(F.lit(0.5) - F.lit(1.0) * x)
+    eb = F.exp(F.lit(-0.5) + F.lit(1.5) * x)
+    z = F.lit(1.0) + ea + eb
+    uy = u(17)
+    y = (
+        F.when(uy < ea / z, F.lit("A"))
+        .when(uy < (ea + eb) / z, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    cohort = d.select(x.alias("x"), y.alias("y")).localCheckpoint(
+        eager=False
+    )
+    levels, betas = multinomial_logistic(cohort, ["x"], "y")
+    ok_a = abs(betas[0][0] - 0.5) < 0.2 and abs(
+        betas[0][1] + 1.0
+    ) < 0.3
+    ok_b = abs(betas[1][0] + 0.5) < 0.2 and abs(
+        betas[1][1] - 1.5
+    ) < 0.3
+    return (
+        cohort.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "x",
+            "y",
+            "n",
+            F.lit(ok_a).alias("eta_a_recovered"),
+            F.lit(ok_b).alias("eta_b_recovered"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+_STATS_MULTINOMIAL_SQL = """
+    WITH c AS (
+        SELECT floor(((CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0) * 5) / 4.0
+                   AS x,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS uy
+        FROM orders
+    ),
+    z AS (
+        SELECT x, uy,
+               exp(0.5 - 1.0 * x) AS ea,
+               exp(-0.5 + 1.5 * x) AS eb
+        FROM c
+    ),
+    w AS (
+        SELECT x,
+               CASE WHEN uy < ea / (1.0 + ea + eb) THEN 'A'
+                    WHEN uy < (ea + eb) / (1.0 + ea + eb) THEN 'B'
+                    ELSE 'C' END AS y
+        FROM z
+    )
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n,
+           true AS eta_a_recovered, true AS eta_b_recovered
+    FROM w GROUP BY x, y ORDER BY x, y
+"""
+
+
 def q_stats_psm(spark, sf_dir):
     """Propensity-score 1-NN matching ATT (operators/stats.py::
     psm_att — exact global nearest control via two global_last_carry
@@ -18421,6 +18651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_tmle": q_stats_tmle,
         "stats_fisher_exact": q_stats_fisher_exact,
         "stats_psm": q_stats_psm,
+        "stats_multinomial": q_stats_multinomial,
+        "survival_ibs": q_survival_ibs,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -21657,6 +21889,10 @@ def oracle_sql() -> dict[str, str]:
         "stats_tmle": _STATS_TMLE_SQL,
         "stats_fisher_exact": _STATS_FISHER_EXACT_SQL,
         "stats_psm": _STATS_PSM_SQL,
+        "stats_multinomial": _STATS_MULTINOMIAL_SQL,
+        "survival_ibs": _SURVIVAL_IBS_SQL.format(
+            uno=_CINDEX_UNO_COH
+        ),
         "rates_cumulative_risk": _RATES_CUMULATIVE_RISK_SQL,
         "survival_flexible_allcause": _SURVIVAL_FLEXIBLE_ALLCAUSE_SQL,
         "stats_mcnemar": _STATS_MCNEMAR_SQL,

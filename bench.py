@@ -390,6 +390,8 @@ HEADLINE = [
     "stats_tmle",
     "stats_fisher_exact",
     "stats_psm",
+    "stats_multinomial",
+    "survival_ibs",
 ]
 
 REGRESSION_RATIO = 1.5

@@ -4366,3 +4366,161 @@ def psm_att(
         "n_treated long, n_matched long, att double, "
         "se_paired double, ci_lo double, ci_hi double",
     )
+
+
+def multinomial_logistic(
+    df: DataFrame,
+    feature_cols,
+    y_col: str,
+    iters: int = 8,
+    return_se: bool = False,
+    max_levels: int = 12,
+):
+    """Baseline-category multinomial logistic regression (the
+    softmax / polytomous logit — R ``nnet::multinom``): for J
+    UNORDERED outcome categories with the LAST sorted level as
+    baseline,
+
+        P(Y = j | x) = exp(eta_j) / (1 + sum_k exp(eta_k)),
+        eta_j = beta_j0 + beta_j . x   (j = 1..J-1, eta_J = 0),
+
+    the nominal-outcome sibling of ``ordinal_logistic`` (which
+    spends far fewer parameters when the scale is ordered — the
+    classic trade the registries navigate for histology vs stage).
+    Newton-Raphson on the exact multinomial log-likelihood with the
+    full analytic Hessian:
+
+        g_{jm}      = sum ([y=j] - p_j) x_m
+        H_{jm,kl}   = -sum p_j([j=k] - p_k) x_m x_l
+
+    Subjects collapse ONCE to (x-pattern, level) cells; each
+    iteration is ONE map-side-combined nano-lattice aggregate over
+    the cell frame — (J-1)(p+1) parameters, (q)(q+1)/2 Hessian
+    cells, all JVM expressions, bit-identical under any partitioning
+    (the glm contract). Levels are the sorted distinct ``y_col``
+    values (``max_levels`` guard — the Hessian is q^2 driver-side).
+
+    Returns (levels, betas) — or (levels, betas, se) — where betas
+    is a list of J-1 coefficient vectors [b_j0, b_j1..b_jp] aligned
+    to levels[:-1] (the baseline is levels[-1]).
+    """
+    import numpy as np
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("multinomial_logistic: iters must be >= 1")
+    feats = list(feature_cols)
+    p = len(feats)
+    nano = F.lit(1000000000.0)
+
+    cells = df.groupBy(
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in
+          enumerate(feats)],
+        F.col(y_col).alias("_y"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    cells = cells.localCheckpoint(eager=False)
+    marg = (
+        cells.groupBy("_y").agg(F.sum("_n").alias("_m"))
+        .orderBy("_y")
+        .collect()
+    )
+    if len(marg) > max_levels:
+        raise ValueError(
+            f"multinomial_logistic: {len(marg)} levels exceeds "
+            f"max_levels={max_levels}"
+        )
+    if len(marg) < 2:
+        raise ValueError(
+            "multinomial_logistic: need >= 2 outcome levels"
+        )
+    levels = [r["_y"] for r in marg]
+    jj = len(levels)
+    nb = jj - 1  # non-baseline categories
+    q = nb * (p + 1)
+    theta = [0.0] * q  # [b_10..b_1p, b_20..b_2p, ...]
+
+    info = None
+    xs = [F.lit(1.0)] + [F.col(f"_x{m}") for m in range(p)]
+    for _ in range(iters):
+        etas = []
+        for j in range(nb):
+            e = F.lit(theta[j * (p + 1)])
+            for m in range(p):
+                e = e + F.lit(theta[j * (p + 1) + 1 + m]) * F.col(
+                    f"_x{m}"
+                )
+            etas.append(e)
+        denom = F.lit(1.0)
+        for e in etas:
+            denom = denom + F.exp(e)
+        probs = [F.exp(e) / denom for e in etas]
+        nf = F.col("_n").cast("double")
+        aggs = []
+        for j in range(nb):
+            ind = (F.col("_y") == F.lit(levels[j])).cast("double")
+            for m in range(p + 1):
+                aggs.append(
+                    F.sum(
+                        F.round(
+                            (ind - probs[j]) * xs[m] * nf * nano, 0
+                        ).cast("long")
+                    ).alias(f"g{j}_{m}")
+                )
+        for j in range(nb):
+            for m in range(p + 1):
+                for k in range(j, nb):
+                    for l in range(p + 1):
+                        if k == j and l < m:
+                            continue
+                        pp = (
+                            probs[j] * (F.lit(1.0) - probs[j])
+                            if j == k
+                            else -probs[j] * probs[k]
+                        )
+                        aggs.append(
+                            F.sum(
+                                F.round(
+                                    pp * xs[m] * xs[l] * nf * nano, 0
+                                ).cast("long")
+                            ).alias(f"h{j}_{m}_{k}_{l}")
+                        )
+        row = cells.agg(*aggs).collect()[0]
+        g = np.array(
+            [
+                row[f"g{j}_{m}"] / 1e9
+                for j in range(nb)
+                for m in range(p + 1)
+            ]
+        )
+        info = np.zeros((q, q))
+        for j in range(nb):
+            for m in range(p + 1):
+                a_ix = j * (p + 1) + m
+                for k in range(j, nb):
+                    for l in range(p + 1):
+                        if k == j and l < m:
+                            continue
+                        b_ix = k * (p + 1) + l
+                        v = row[f"h{j}_{m}_{k}_{l}"] / 1e9
+                        info[a_ix, b_ix] = info[b_ix, a_ix] = v
+        step = np.clip(np.linalg.solve(info, g), -2.0, 2.0)
+        theta = [round(t + s, 9) for t, s in zip(theta, step)]
+
+    betas = [
+        theta[j * (p + 1):(j + 1) * (p + 1)] for j in range(nb)
+    ]
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [
+            [
+                round(
+                    float(np.sqrt(cov[j * (p + 1) + m,
+                                      j * (p + 1) + m])),
+                    9,
+                )
+                for m in range(p + 1)
+            ]
+            for j in range(nb)
+        ]
+        return levels, betas, se
+    return levels, betas

@@ -8928,3 +8928,119 @@ def piecewise_exponential_ph(
     if return_se:
         return curve, beta, fit[1]
     return curve, beta
+
+
+def integrated_brier_score(
+    df: DataFrame,
+    pred_cols: Sequence[str],
+    duration_col: str = "duration",
+    event_col: str = "event",
+    min_g: float = 0.01,
+) -> DataFrame:
+    """Integrated Brier score (Graf et al. 1999's IBS — THE single-
+    number summary of a survival model's prediction error): the
+    unit-grid average of the IPCW Brier score over horizons 1..τ,
+
+        IBS = τ⁻¹ Σ_{t=1..τ} BS(t),
+
+    where the model supplies its OWN survival prediction per horizon
+    — ``pred_cols[k]`` is Ŝ(k+1 | x) (one column per grid time; BS
+    at t must score the prediction AT t, which the single-horizon
+    ``brier_score_ipcw`` cannot express). Each per-horizon BS uses
+    the identical reverse-KM/left-limit/micro-lattice machinery as
+    ``brier_score_ipcw`` and is rounded to the same 6 dp BEFORE the
+    long-lattice average, so the IBS is bit-equal to composing τ
+    single-horizon calls (pinned in tests).
+
+    Scale shape: ONE reverse-KM pass, one explode of each subject
+    into its τ (t, ŷ_t) pairs (grid-bounded), ONE
+    (t, duration, event, pred) cell collapse, one broadcast Ĝ(t)
+    read per horizon (τ-row frame), one grid aggregate. Returns one
+    row: (tau, n, ibs), 6 dp.
+    """
+    preds = list(pred_cols)
+    tau = len(preds)
+    if tau < 1:
+        raise ValueError(
+            "integrated_brier_score: pred_cols must be non-empty"
+        )
+    spark = df.sparkSession
+    ev = F.col(event_col).cast("long")
+    dur = F.col(duration_col).cast("long")
+    g_curve = km_curve(
+        df.select(F.lit(1).alias("_g1"), dur.alias("_dur"),
+                  (1 - ev).alias("_cev")),
+        ["_g1"],
+        "_dur",
+        "_cev",
+    ).select(F.col("_dur").alias("_gt"), F.col("survival").alias("_g"))
+    g_curve = g_curve.localCheckpoint(eager=False)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).cast("long").alias("t"),
+                F.col(c).cast("double").alias("p"),
+            )
+            for k, c in enumerate(preds)
+        ]
+    )
+    long = df.select(
+        dur.alias("_t"), ev.alias("_e"), F.explode(pairs).alias("_pp")
+    ).select("_t", "_e", F.col("_pp.t").alias("t"),
+             F.col("_pp.p").alias("_p"))
+    cells = long.groupBy("t", "_t", "_e", "_p").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    cells = _g_left_limit(cells, g_curve, "_t")
+    n_tot = df.count()
+    gmin = F.lit(float(min_g))
+    tdf = spark.createDataFrame(
+        [(k + 1,) for k in range(tau)], "t long"
+    )
+    gh = (
+        g_curve.crossJoin(F.broadcast(tdf))
+        .filter(F.col("_gt") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.max(F.struct(F.col("_gt"), F.col("_g"))).alias("_b"))
+        .select("t", F.col("_b._g").alias("_gh"))
+    )
+    grid = cells.join(F.broadcast(gh), ["t"], "left").withColumn(
+        "_ghc", F.coalesce(F.col("_gh"), F.lit(1.0))
+    )
+    w_ev = F.lit(1.0) / F.greatest(F.col("_gm"), gmin)
+    w_h = F.lit(1.0) / F.greatest(F.col("_ghc"), gmin)
+    term = F.when(
+        (F.col("_e") == 1) & (F.col("_t") <= F.col("t")),
+        F.col("_cnt") * _micro(F.col("_p") * F.col("_p") * w_ev),
+    ).when(
+        F.col("_t") > F.col("t"),
+        F.col("_cnt")
+        * _micro(
+            (F.lit(1.0) - F.col("_p"))
+            * (F.lit(1.0) - F.col("_p"))
+            * w_h
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    per_t = grid.groupBy("t").agg(F.sum(term).alias("_bs"))
+    # round per horizon to brier_score_ipcw's published 6 dp FIRST,
+    # then average on exact longs — bit-equal to composing tau
+    # single-horizon calls
+    bs6 = F.round(
+        F.col("_bs") / F.lit(1000000.0) / F.lit(float(n_tot)), 6
+    )
+    return (
+        tdf.join(per_t, "t", "left")
+        .select(
+            F.coalesce(
+                F.round(bs6 * F.lit(1000000.0), 0).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("_b6")
+        )
+        .agg(
+            F.lit(tau).cast("long").alias("tau"),
+            F.lit(n_tot).cast("long").alias("n"),
+            F.round(
+                F.sum("_b6") / F.lit(1000000.0) / F.lit(float(tau)), 6
+            ).alias("ibs"),
+        )
+    )

@@ -2055,3 +2055,77 @@ def test_psm_att_recovers_att_and_caliper(spark):
 
     with pytest.raises(ValueError, match="caliper"):
         psm_att(df, ["x"], "a", "y", caliper=0.0)
+
+
+def test_multinomial_logistic_plant_and_binary_reduction(spark):
+    """Multinomial logit: recovers a planted 3-category softmax;
+    with 2 levels it IS ordinary logistic regression (pinned to
+    glm_logistic at 1e-6); fitted cell probabilities reproduce the
+    empirical mix; partitioning-invariant; level guards raise."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic,
+        multinomial_logistic,
+    )
+
+    def uhash(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000000
+        ) / 1000000.0
+
+    # eta_A = 0.5 - 1.0x, eta_B = -0.5 + 1.5x, baseline C
+    rows = []
+    for i in range(1500):
+        x = (i % 5) / 4.0
+        ea, eb = math.exp(0.5 - 1.0 * x), math.exp(-0.5 + 1.5 * x)
+        z = 1 + ea + eb
+        u = uhash(i, "y")
+        y = "A" if u < ea / z else ("B" if u < (ea + eb) / z else "C")
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y string")
+
+    levels, betas, se = multinomial_logistic(
+        df, ["x"], "y", return_se=True
+    )
+    assert levels == ["A", "B", "C"]
+    assert abs(betas[0][0] - 0.5) < 0.25 and abs(
+        betas[0][1] + 1.0
+    ) < 0.35
+    assert abs(betas[1][0] + 0.5) < 0.25 and abs(
+        betas[1][1] - 1.5
+    ) < 0.35
+    assert all(v > 0 for row_ in se for v in row_)
+
+    lv2, be2 = multinomial_logistic(df.repartition(32), ["x"], "y")
+    assert lv2 == levels and be2 == betas
+
+    # binary reduction: levels {0,1} with baseline 1 ->
+    # P(Y=0) = sigma(eta_0), i.e. glm_logistic on the 0-indicator
+    brows = [(x, 0 if y == "A" else 1) for x, y in rows]
+    bdf = spark.createDataFrame(brows, "x double, yb int")
+    _, bb = multinomial_logistic(bdf, ["x"], "yb")
+    blog = glm_logistic(
+        bdf.select("x", (1 - F.col("yb")).alias("y0")), ["x"], "y0"
+    )
+    assert abs(bb[0][0] - blog[0]) < 1e-6
+    assert abs(bb[0][1] - blog[1]) < 1e-6
+
+    with pytest.raises(ValueError, match="levels"):
+        multinomial_logistic(
+            spark.createDataFrame(
+                [(0.0, i) for i in range(20)], "x double, y int"
+            ),
+            ["x"], "y",
+        )
+    with pytest.raises(ValueError, match=">= 2"):
+        multinomial_logistic(
+            spark.createDataFrame([(0.0, 1)] * 5, "x double, y int"),
+            ["x"], "y",
+        )

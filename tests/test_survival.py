@@ -5892,3 +5892,70 @@ def test_piecewise_exponential_ph(spark):
         piecewise_exponential_ph(df, ["x"], [5.0, 5.0])
     with pytest.raises(ValueError, match="breaks"):
         piecewise_exponential_ph(df, ["x"], [-1.0, 5.0])
+
+
+def test_integrated_brier_equals_composed_horizons(spark):
+    """IBS: bit-equal to averaging tau single-horizon
+    brier_score_ipcw calls with the matching per-horizon prediction
+    (same lattice, same 6dp rounding), better (lower) for the true
+    model than for a constant predictor, and repartition-invariant."""
+    import hashlib
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        brier_score_ipcw,
+        integrated_brier_score,
+    )
+
+    rows = []
+    for i in range(800):
+        u1 = (
+            int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], 16)
+            % 1000000
+        ) / 1000000.0 + 1e-9
+        u2 = (
+            int(hashlib.md5(f"c:{i}".encode()).hexdigest()[:8], 16)
+            % 1000000
+        ) / 1000000.0 + 1e-9
+        x = float(i % 2)
+        h = 0.08 * math.exp(0.8 * x)
+        t = -math.log(u1) / h
+        c = -math.log(u2) / 0.03
+        dur = min(int(min(t, c)) + 1, 25)
+        evt = 1 if (t <= c and t < 25) else 0
+        rows.append(tuple([x, float(dur), evt, h]))
+    tau = 8
+    df = spark.createDataFrame(
+        rows, "x double, duration double, event int, h double"
+    )
+    for k in range(1, tau + 1):
+        df = df.withColumn(f"p{k}", F.exp(-F.col("h") * k))
+    preds = [f"p{k}" for k in range(1, tau + 1)]
+
+    r = integrated_brier_score(df, preds).collect()[0]
+    assert r.tau == tau and r.n == 800
+
+    per = []
+    for k in range(1, tau + 1):
+        b = brier_score_ipcw(
+            df.withColumnRenamed(f"p{k}", "pred"), "pred", [k]
+        ).collect()[0]
+        per.append(b.brier_ipcw)
+    composed = round(
+        sum(round(v * 1e6) for v in per) / 1e6 / tau, 6
+    )
+    assert r.ibs == composed
+
+    # constant predictor 0.5 scores worse than the true model
+    dfc = df
+    for k in range(1, tau + 1):
+        dfc = dfc.withColumn(f"c{k}", F.lit(0.5))
+    rc = integrated_brier_score(
+        dfc, [f"c{k}" for k in range(1, tau + 1)]
+    ).collect()[0]
+    assert r.ibs < rc.ibs
+
+    again = integrated_brier_score(df.repartition(32), preds).collect()[
+        0
+    ]
+    assert tuple(again) == tuple(r)
