@@ -16551,6 +16551,305 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_survival_loglogistic_aft(spark, sf_dir):
+    """Log-logistic AFT regression (operators/survival.py::
+    loglogistic_aft — Newton over (x-pattern, ln t, event) cells,
+    the weibull_aft contract with the logistic kernel; exp(β) is a
+    MEDIAN TIME RATIO): orders with ln T = 1.8 − 0.5x + 0.4W planted
+    (W standard logistic via the logit of a uniform), censored at
+    25. Verdicts pin (μ, β, σ) recovery; exact per-(x, event) cohort
+    counts replay in DuckDB (the weibull_aft oracle pattern — the
+    fit is bit-pinned to a pure-Python twin in pytest)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        loglogistic_aft,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(9) < 0.5).cast("double")
+    uu = F.least(
+        F.greatest(u(17), F.lit(0.000001)), F.lit(0.999999)
+    )
+    w = F.log(uu / (F.lit(1.0) - uu))
+    t = F.exp(F.lit(1.8) - F.lit(0.5) * x + F.lit(0.4) * w)
+    cohort = d.select(
+        x.alias("x"),
+        F.least(t, F.lit(25.0)).alias("duration"),
+        (t < 25).cast("int").alias("event"),
+    ).localCheckpoint(eager=False)
+    beta, sigma = loglogistic_aft(cohort, ["x"], iters=8)
+    ok_mu = abs(beta[0] - 1.8) < 0.15
+    ok_beta = abs(beta[1] + 0.5) < 0.15
+    ok_sigma = abs(sigma - 0.4) < 0.08
+    return (
+        cohort.groupBy("x", "event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("event").cast("long").alias("event"),
+            "n",
+            F.lit(ok_mu).alias("mu_recovered"),
+            F.lit(ok_beta).alias("beta_recovered"),
+            F.lit(ok_sigma).alias("sigma_recovered"),
+        )
+        .orderBy("x", "event")
+    )
+
+
+_SURVIVAL_LOGLOGISTIC_AFT_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                    THEN 1.0 ELSE 0.0 END AS x,
+               least(greatest((CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0,
+                     0.000001), 0.999999) AS uu
+        FROM orders
+    ),
+    z AS (
+        SELECT x,
+               CASE WHEN exp(1.8 - 0.5 * x
+                             + 0.4 * ln(uu / (1.0 - uu))) < 25
+                    THEN 1 ELSE 0 END AS event
+        FROM c
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(event AS BIGINT) AS event,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS mu_recovered, true AS beta_recovered,
+           true AS sigma_recovered
+    FROM z GROUP BY 1, 2 ORDER BY x, event
+"""
+
+
+def q_events_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (operators/asof.py::asof_join_nearest —
+    the bidirectional variant events_asof's backward-only join
+    cannot express; two keyed window carries over one sorted union):
+    each click event of a 1-in-20 user slice matched to the NEAREST
+    error event of the same user in either direction, ties toward
+    the preceding error, distances in exact integer microseconds.
+    The oracle replays the union + both IGNORE NULLS carries + the
+    tie rule in window SQL bit-exactly — no verdict literals."""
+    from cancer_survival_etl_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', ts)"
+    )
+    left = e.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("tus"), F.col("event_id").alias("click_id")
+    )
+    right = e.filter(F.col("event_type") == "error").select(
+        "user_id", us.alias("tus"), F.col("event_id").alias("error_id")
+    )
+    out = asof_join_nearest(
+        left, right, ["user_id"], "tus", ["error_id"],
+        matched_ts_alias="error_tus", distance_alias="dist_us",
+    )
+    return out.select(
+        "user_id",
+        "tus",
+        "click_id",
+        "error_id",
+        "error_tus",
+        F.col("dist_us").cast("long").alias("dist_us"),
+    ).orderBy("user_id", "tus", "click_id")
+
+
+_EVENTS_ASOF_NEAREST_SQL = """
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_type, event_id
+        FROM events WHERE user_id % 20 = 0
+    ),
+    l AS (SELECT user_id, tus, event_id AS click_id
+          FROM base WHERE event_type = 'click'),
+    r AS (SELECT user_id, tus, event_id AS error_id
+          FROM base WHERE event_type = 'error'),
+    u AS (
+        SELECT user_id, 1 AS side, tus, click_id,
+               NULL::BIGINT AS r_eid, NULL::BIGINT AS r_tus
+        FROM l
+        UNION ALL
+        SELECT user_id, 0, tus, NULL, error_id, tus FROM r
+    ),
+    c AS (
+        SELECT *,
+               last_value(r_eid IGNORE NULLS) OVER wb AS b_eid,
+               last_value(r_tus IGNORE NULLS) OVER wb AS b_tus,
+               first_value(r_eid IGNORE NULLS) OVER wf AS f_eid,
+               first_value(r_tus IGNORE NULLS) OVER wf AS f_tus
+        FROM u
+        WINDOW wb AS (PARTITION BY user_id ORDER BY tus, side
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY tus, side
+                      ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING)
+    ),
+    pick AS (
+        SELECT user_id, tus, click_id,
+               CASE WHEN b_tus IS NOT NULL AND (f_tus IS NULL OR
+                         CAST(tus - b_tus AS DOUBLE)
+                         <= CAST(f_tus - tus AS DOUBLE))
+                    THEN b_eid ELSE f_eid END AS error_id,
+               CASE WHEN b_tus IS NOT NULL AND (f_tus IS NULL OR
+                         CAST(tus - b_tus AS DOUBLE)
+                         <= CAST(f_tus - tus AS DOUBLE))
+                    THEN b_tus ELSE f_tus END AS error_tus
+        FROM c WHERE side = 1
+    )
+    SELECT user_id, tus, click_id, error_id, error_tus,
+           CASE WHEN error_tus IS NOT NULL THEN
+               CAST(abs(tus - error_tus) AS BIGINT) END AS dist_us
+    FROM pick ORDER BY user_id, tus, click_id
+"""
+
+
+def q_quality_funnel(spark, sf_dir):
+    """Spiegelhalter funnel plot with winsorized overdispersion
+    (operators/quality.py::funnel_control) — per-unit 'late-flag'
+    proportions over orders (unit = customer-key bucket, 40 units),
+    every unit whose index ends in 3 planted at 0.45 vs the
+    0.2 base rate (the outliers the funnel exists to flag without a
+    league table). FULLY closed-form: the oracle replays the unit
+    collapse, pooled target, z-scores, the exact percentile_disc
+    winsorization cuts, φ (clipped at 1), and both limit pairs
+    bit-exactly — no verdict literals."""
+    from cancer_survival_etl_spark.operators.quality import (
+        funnel_control,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    unit = (F.col("o_custkey") % 40).cast("long")
+    rate = F.when(unit % 10 == 3, F.lit(0.45)).otherwise(F.lit(0.2))
+    cohort = d.select(
+        unit.alias("unit"),
+        (u(17) < rate).cast("int").alias("cs"),
+    )
+    return funnel_control(cohort, ["unit"], "cs").orderBy("unit")
+
+
+_QUALITY_FUNNEL_SQL = """
+    WITH coh AS (
+        SELECT CAST(o_custkey % 40 AS BIGINT) AS unit,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 17, 8))
+                        AS BIGINT) % 1000000) / 1000000.0
+                    < (CASE WHEN (o_custkey % 40) % 10 = 3
+                            THEN 0.45 ELSE 0.2 END)
+                    THEN 1 ELSE 0 END AS cs
+        FROM orders
+    ),
+    units AS (
+        SELECT unit, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cs) AS BIGINT) AS cases
+        FROM coh GROUP BY unit
+    ),
+    pooled AS (
+        SELECT CAST(sum(cases) AS BIGINT) AS sy,
+               CAST(sum(n) AS BIGINT) AS sn
+        FROM units
+    ),
+    zs AS (
+        SELECT u.*, p.sy, p.sn,
+               (CAST(cases AS DOUBLE) / n - CAST(sy AS DOUBLE) / sn)
+               / sqrt((CAST(sy AS DOUBLE) / sn)
+                      * (1.0 - CAST(sy AS DOUBLE) / sn) / n) AS z
+        FROM units u CROSS JOIN pooled p
+    ),
+    cuts AS (
+        SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY z) AS q10,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY z) AS q90
+        FROM zs
+    ),
+    ph AS (
+        SELECT sum(CAST(round(
+                   least(greatest(z.z, c.q10), c.q90)
+                   * least(greatest(z.z, c.q10), c.q90)
+                   * 1000000.0, 0) AS BIGINT)) / 1000000.0
+               / count(*) AS phi_raw
+        FROM zs z CROSS JOIN cuts c
+    )
+    SELECT z.unit, z.n, z.cases,
+           round(CAST(z.cases AS DOUBLE) / z.n, 6) AS proportion,
+           round(z.z, 6) AS z,
+           round(greatest(h.phi_raw, 1.0), 6) AS phi,
+           round(CAST(z.sy AS DOUBLE) / z.sn
+                 - 1.959963984540054
+                   * sqrt(greatest(h.phi_raw, 1.0)
+                          * (CAST(z.sy AS DOUBLE) / z.sn)
+                          * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                          / z.n), 6) AS lo95,
+           round(CAST(z.sy AS DOUBLE) / z.sn
+                 + 1.959963984540054
+                   * sqrt(greatest(h.phi_raw, 1.0)
+                          * (CAST(z.sy AS DOUBLE) / z.sn)
+                          * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                          / z.n), 6) AS hi95,
+           round(CAST(z.sy AS DOUBLE) / z.sn
+                 - 3.090232306167813
+                   * sqrt(greatest(h.phi_raw, 1.0)
+                          * (CAST(z.sy AS DOUBLE) / z.sn)
+                          * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                          / z.n), 6) AS lo998,
+           round(CAST(z.sy AS DOUBLE) / z.sn
+                 + 3.090232306167813
+                   * sqrt(greatest(h.phi_raw, 1.0)
+                          * (CAST(z.sy AS DOUBLE) / z.sn)
+                          * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                          / z.n), 6) AS hi998,
+           (CAST(z.cases AS DOUBLE) / z.n
+                < CAST(z.sy AS DOUBLE) / z.sn
+                  - 1.959963984540054
+                    * sqrt(greatest(h.phi_raw, 1.0)
+                           * (CAST(z.sy AS DOUBLE) / z.sn)
+                           * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                           / z.n)
+            OR CAST(z.cases AS DOUBLE) / z.n
+                > CAST(z.sy AS DOUBLE) / z.sn
+                  + 1.959963984540054
+                    * sqrt(greatest(h.phi_raw, 1.0)
+                           * (CAST(z.sy AS DOUBLE) / z.sn)
+                           * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                           / z.n)) AS outside95,
+           (CAST(z.cases AS DOUBLE) / z.n
+                < CAST(z.sy AS DOUBLE) / z.sn
+                  - 3.090232306167813
+                    * sqrt(greatest(h.phi_raw, 1.0)
+                           * (CAST(z.sy AS DOUBLE) / z.sn)
+                           * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                           / z.n)
+            OR CAST(z.cases AS DOUBLE) / z.n
+                > CAST(z.sy AS DOUBLE) / z.sn
+                  + 3.090232306167813
+                    * sqrt(greatest(h.phi_raw, 1.0)
+                           * (CAST(z.sy AS DOUBLE) / z.sn)
+                           * (1.0 - CAST(z.sy AS DOUBLE) / z.sn)
+                           / z.n)) AS outside998
+    FROM zs z CROSS JOIN ph h
+    ORDER BY z.unit
+"""
+
+
 def q_survival_ibs(spark, sf_dir):
     """Integrated Brier score over horizons 1..8 (operators/
     survival.py::integrated_brier_score — Graf's single-number
@@ -18653,6 +18952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_psm": q_stats_psm,
         "stats_multinomial": q_stats_multinomial,
         "survival_ibs": q_survival_ibs,
+        "quality_funnel": q_quality_funnel,
+        "events_asof_nearest": q_events_asof_nearest,
+        "survival_loglogistic_aft": q_survival_loglogistic_aft,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -21890,6 +22192,9 @@ def oracle_sql() -> dict[str, str]:
         "stats_fisher_exact": _STATS_FISHER_EXACT_SQL,
         "stats_psm": _STATS_PSM_SQL,
         "stats_multinomial": _STATS_MULTINOMIAL_SQL,
+        "quality_funnel": _QUALITY_FUNNEL_SQL,
+        "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
+        "survival_loglogistic_aft": _SURVIVAL_LOGLOGISTIC_AFT_SQL,
         "survival_ibs": _SURVIVAL_IBS_SQL.format(
             uno=_CINDEX_UNO_COH
         ),

@@ -392,6 +392,9 @@ HEADLINE = [
     "stats_psm",
     "stats_multinomial",
     "survival_ibs",
+    "quality_funnel",
+    "events_asof_nearest",
+    "survival_loglogistic_aft",
 ]
 
 REGRESSION_RATIO = 1.5

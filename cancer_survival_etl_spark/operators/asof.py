@@ -134,3 +134,116 @@ def range_join_preceding(
     rt = F.col(f"{right_prefix}{ts_col}")
     lo = F.col(ts_col) - F.expr(f"INTERVAL {window_seconds} SECOND")
     return joined.filter((rt > lo) & (rt <= F.col(ts_col))).drop("_bucket")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tolerance: float | None = None,
+    matched_ts_alias: str = "matched_ts",
+    distance_alias: str = "match_distance",
+) -> DataFrame:
+    """NEAREST as-of join: every left row, plus ``value_cols`` from
+    the right row whose ``ts_col`` is CLOSEST in either direction per
+    ``on`` group — the sensor-alignment / lab-value-at-diagnosis
+    variant ``asof_join`` (backward-only) cannot express. Ties at
+    equal distance resolve toward the PRECEDING right row (the
+    ``asof_join`` <= convention); an exactly-simultaneous right row
+    matches at distance 0. ``tolerance`` (same units as ``ts_col``)
+    nulls out matches farther than the cap.
+
+    Same union construction as ``asof_join``, with TWO keyed window
+    carries over one sorted frame — a backward ``last(ignorenulls)``
+    and a forward ``first(ignorenulls)`` — so the cost is one shuffle
+    on ``on`` plus two window passes over each group's span (the
+    keyed-window scale contract shared with ``asof_join``: hot keys
+    serialize their own span, never the corpus).
+
+    Returns left columns + ``value_cols`` + ``matched_ts_alias`` +
+    ``distance_alias`` (NULLs where unmatched or beyond tolerance).
+    """
+    on = list(on)
+    if tolerance is not None and tolerance <= 0:
+        raise ValueError("asof_join_nearest: tolerance must be > 0")
+    left_cols = [c for c in left.columns if c not in on]
+    vcols = list(value_cols)
+    l_tagged = left.select(
+        *on,
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in vcols
+        ],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in vcols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    order_ts = F.coalesce(F.col(ts_col), F.col("_r_ts"))
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(order_ts, F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(order_ts, F.col("_side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True)
+            .over(w_back)
+            .alias(f"_b_{c}")
+            for c in vcols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w_back).alias("_b_ts"),
+        *[
+            F.first(f"_r_{c}", ignorenulls=True)
+            .over(w_fwd)
+            .alias(f"_f_{c}")
+            for c in vcols
+        ],
+        F.first("_r_ts", ignorenulls=True).over(w_fwd).alias("_f_ts"),
+    ).filter(F.col("_side") == 1)
+    lts = F.col(ts_col).cast("double")
+    d_back = lts - F.col("_b_ts").cast("double")
+    d_fwd = F.col("_f_ts").cast("double") - lts
+    use_back = F.col("_b_ts").isNotNull() & (
+        F.col("_f_ts").isNull() | (d_back <= d_fwd)
+    )
+    dist = F.when(use_back, d_back).otherwise(d_fwd)
+    matched = F.col("_b_ts").isNotNull() | F.col("_f_ts").isNotNull()
+    if tolerance is not None:
+        matched = matched & (dist <= F.lit(float(tolerance)))
+    return carried.select(
+        *on,
+        *left_cols,
+        *[
+            F.when(
+                matched,
+                F.when(use_back, F.col(f"_b_{c}")).otherwise(
+                    F.col(f"_f_{c}")
+                ),
+            ).alias(c)
+            for c in vcols
+        ],
+        F.when(
+            matched,
+            F.when(use_back, F.col("_b_ts")).otherwise(F.col("_f_ts")),
+        ).alias(matched_ts_alias),
+        F.when(matched, dist).alias(distance_alias),
+    )

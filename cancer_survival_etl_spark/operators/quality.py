@@ -240,3 +240,93 @@ def benford_report(
         F.round(benford, 6).alias("benford_share"),
         F.round(chi2, 6).alias("chi2"),
     )
+
+
+def funnel_control(
+    df: DataFrame,
+    unit_cols: Sequence[str],
+    case_col: str,
+    z95: float = 1.959963984540054,
+    z998: float = 3.090232306167813,
+) -> DataFrame:
+    """Spiegelhalter funnel plot with winsorized overdispersion
+    (Spiegelhalter 2005, Stat Med — the institutional-comparison
+    chart every cancer alliance / NHS performance report draws):
+    per-unit proportions against volume, with control limits that
+    widen for small units instead of a dishonest league-table rank.
+
+      target   p̄ = Σ cases / Σ n           (exact long ratio)
+      score    z_u = (p_u − p̄) / √(p̄(1−p̄)/n_u)
+      φ        mean of squared 10%/90%-WINSORIZED z over units
+               (shrinks the limits' sensitivity to a few true
+               outliers; φ ≤ 1 → no inflation, the additive-random-
+               effects convention clips at 1)
+      limits   p̄ ± z_α·√(φ·p̄(1−p̄)/n_u)   at 95% and 99.8%
+
+    Winsorization cuts are the exact ``percentile_disc`` 10th/90th
+    over the UNIT frame (the house A4 aggregate — oracle-matched
+    semantics). Scale shape: one map-side collapse to per-unit
+    (n, cases) cells; every later pass (pooled scalar, z quantiles,
+    φ) is an aggregate over the bounded unit frame joined back by
+    broadcast. Returns one row per unit: (unit…, n, cases,
+    proportion, z, phi, lo95, hi95, lo998, hi998, outside95,
+    outside998), 6 dp.
+    """
+    u = list(unit_cols)
+    cs = F.col(case_col).cast("long")
+    units = df.groupBy(*u).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cs).alias("cases"),
+    )
+    units = units.localCheckpoint(eager=False)
+    pooled = units.agg(
+        F.sum("cases").alias("_sy"), F.sum("n").alias("_sn")
+    )
+    units = units.crossJoin(F.broadcast(pooled))
+    pbar = F.col("_sy") / F.col("_sn")
+    se_u = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n"))
+    z = (F.col("cases") / F.col("n") - pbar) / se_u
+    units = units.withColumn("_z", z)
+    qs = units.agg(
+        F.expr(
+            "percentile_disc(0.1) WITHIN GROUP (ORDER BY _z)"
+        ).alias("_q10"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY _z)"
+        ).alias("_q90"),
+    )
+    units = units.crossJoin(F.broadcast(qs))
+    zw = F.least(F.greatest(F.col("_z"), F.col("_q10")), F.col("_q90"))
+    units = units.withColumn("_zw2", zw * zw)
+    ph = units.agg(
+        (F.sum(F.round(F.col("_zw2") * F.lit(1000000.0), 0).cast(
+            "long"
+        )) / F.lit(1000000.0) / F.count(F.lit(1))).alias("_phi_raw")
+    )
+    units = units.crossJoin(F.broadcast(ph))
+    phi = F.greatest(F.col("_phi_raw"), F.lit(1.0))
+    half95 = F.lit(z95) * F.sqrt(
+        phi * pbar * (F.lit(1.0) - pbar) / F.col("n")
+    )
+    half998 = F.lit(z998) * F.sqrt(
+        phi * pbar * (F.lit(1.0) - pbar) / F.col("n")
+    )
+    prop = F.col("cases") / F.col("n")
+    return units.select(
+        *u,
+        "n",
+        "cases",
+        F.round(prop, 6).alias("proportion"),
+        F.round(F.col("_z"), 6).alias("z"),
+        F.round(phi, 6).alias("phi"),
+        F.round(pbar - half95, 6).alias("lo95"),
+        F.round(pbar + half95, 6).alias("hi95"),
+        F.round(pbar - half998, 6).alias("lo998"),
+        F.round(pbar + half998, 6).alias("hi998"),
+        (
+            (prop < pbar - half95) | (prop > pbar + half95)
+        ).alias("outside95"),
+        (
+            (prop < pbar - half998) | (prop > pbar + half998)
+        ).alias("outside998"),
+    )

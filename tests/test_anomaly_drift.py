@@ -2129,3 +2129,66 @@ def test_multinomial_logistic_plant_and_binary_reduction(spark):
             spark.createDataFrame([(0.0, 1)] * 5, "x double, y int"),
             ["x"], "y",
         )
+
+
+def test_funnel_control_flags_planted_outlier(spark):
+    """Funnel plot: a planted bad unit falls outside both limits
+    while in-control units stay inside; limits widen as volume
+    shrinks; phi clips at 1 for homogeneous data and inflates the
+    limits under overdispersion; repartition-invariant."""
+    import hashlib
+
+    from cancer_survival_etl_spark.operators.quality import (
+        funnel_control,
+    )
+
+    def u(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000000
+        ) / 1000000.0
+
+    rows = []
+    # 11 in-control units at p=0.2 (varied volumes), one bad at 0.45
+    for unit in range(11):
+        n = 150 + unit * 60
+        for i in range(n):
+            rows.append((f"u{unit:02d}", 1 if u(i, unit) < 0.2 else 0))
+    for i in range(400):
+        rows.append(("bad", 1 if u(i, "bad") < 0.45 else 0))
+    df = spark.createDataFrame(rows, "unit string, cs int")
+    got = {
+        r.unit: r for r in funnel_control(df, ["unit"], "cs").collect()
+    }
+    assert got["bad"].outside95 and got["bad"].outside998
+    ok_units = [f"u{k:02d}" for k in range(11)]
+    assert sum(got[k].outside998 for k in ok_units) == 0
+    # limits widen with smaller volume
+    assert (got["u00"].hi95 - got["u00"].lo95) > (
+        got["u10"].hi95 - got["u10"].lo95
+    )
+    # phi is shared and >= 1
+    phis = {round(got[k].phi, 6) for k in got}
+    assert len(phis) == 1 and min(phis) >= 1.0
+
+    again = {
+        r.unit: r
+        for r in funnel_control(
+            df.repartition(32), ["unit"], "cs"
+        ).collect()
+    }
+    assert all(tuple(again[k]) == tuple(got[k]) for k in got)
+
+    # homogeneous binomial data: phi clips at exactly 1
+    hom = spark.createDataFrame(
+        [
+            (f"h{unit}", 1 if u(i, f"h{unit}") < 0.3 else 0)
+            for unit in range(10)
+            for i in range(300)
+        ],
+        "unit string, cs int",
+    )
+    hr = funnel_control(hom, ["unit"], "cs").collect()[0]
+    assert hr.phi == 1.0

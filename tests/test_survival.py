@@ -5959,3 +5959,99 @@ def test_integrated_brier_equals_composed_horizons(spark):
         0
     ]
     assert tuple(again) == tuple(r)
+
+
+def test_loglogistic_aft_matches_twin_and_recovers_plant(spark):
+    """Log-logistic AFT: bit-equal to the pure-Python lattice twin,
+    recovers the planted (mu, beta, sigma) under censoring, exp(eta)
+    is the median (uncensored no-covariate check), and the fit is
+    partitioning-invariant."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.survival import (
+        loglogistic_aft,
+    )
+
+    mu, beta, sig, cens = 1.8, -0.5, 0.4, 25.0
+    rows = []
+    for i in range(500):
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % 1000000
+        ) / 1000000.0
+        u = min(max(u, 1e-6), 1 - 1e-6)
+        x = float(i % 2)
+        w = math.log(u / (1 - u))
+        t = math.exp(mu + beta * x + sig * w)
+        rows.append((x, round(min(t, cens), 6), 1 if t < cens else 0))
+    df = spark.createDataFrame(
+        rows, "x double, duration double, event int"
+    )
+    got_b, got_s, got_se = loglogistic_aft(df, ["x"], return_se=True)
+
+    # pure-Python twin on the identical lattice
+    cells = Counter()
+    for x, t, d in rows:
+        cells[(x, math.log(t), d)] += 1
+    sy = sum(round(y * n * 1e9) for (_, y, _), n in cells.items())
+    nn = sum(cells.values())
+    theta = [round(sy / 1e9 / nn, 9), 0.0, 0.0]
+    info = None
+    for _ in range(8):
+        sg = math.exp(theta[2])
+        sums = Counter()
+        for (x, y, d), n in cells.items():
+            z = (y - theta[0] - theta[1] * x) / sg
+            zc = min(max(z, -30.0), 30.0)
+            s = 1.0 / (1.0 + math.exp(-zc))
+            gz = d - s * (1.0 + d)
+            gzp = -s * (1.0 - s) * (1.0 + d)
+            xs = [1.0, x]
+            for j in range(2):
+                sums[f"g{j}"] += round(-gz * xs[j] / sg * n * 1e9)
+            sums["g2"] += round((-z * gz - d) * n * 1e9)
+            for j in range(2):
+                for k in range(j, 2):
+                    sums[f"h{j}_{k}"] += round(
+                        gzp * xs[j] * xs[k] / (sg * sg) * n * 1e9
+                    )
+            for j in range(2):
+                sums[f"h{j}_2"] += round(
+                    xs[j] * (z * gzp + gz) / sg * n * 1e9
+                )
+            sums["h2_2"] += round((z * z * gzp + z * gz) * n * 1e9)
+        g = np.array([sums[f"g{j}"] / 1e9 for j in range(3)])
+        hess = np.zeros((3, 3))
+        for j in range(3):
+            for k in range(j, 3):
+                hess[j, k] = hess[k, j] = sums[f"h{j}_{k}"] / 1e9
+        info = -hess
+        step = np.clip(np.linalg.solve(info, g), -1.0, 1.0)
+        theta = [round(t_, 9) for t_ in
+                 (a + b for a, b in zip(theta, step))]
+    cov = np.linalg.inv(info)
+    tw_se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(3)]
+    assert got_b == theta[:2]
+    assert got_s == round(math.exp(theta[2]), 9)
+    assert got_se == tw_se
+    assert abs(got_b[0] - mu) < 0.15
+    assert abs(got_b[1] - beta) < 0.2
+    assert abs(got_s - sig) < 0.1
+
+    b2, s2 = loglogistic_aft(df.repartition(32), ["x"])
+    assert b2 == got_b and s2 == got_s
+
+    # exp(mu-hat) is the median: uncensored single-group cohort
+    urows = [(0.0, t, 1) for _, t, _ in
+             ((x, math.exp(1.8 + 0.4 * math.log(u / (1 - u))), 1)
+              for x, u in ((0.0, (k + 0.5) / 400) for k in range(400)))]
+    udf = spark.createDataFrame(
+        urows, "x double, duration double, event int"
+    )
+    ub, us_ = loglogistic_aft(udf, [])
+    med = sorted(t for _, t, _ in urows)[199]
+    assert abs(math.exp(ub[0]) - med) / med < 0.02

@@ -952,3 +952,76 @@ def test_global_last_carry_matches_pandas_ffill(spark):
         .collect()
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_asof_join_nearest_semantics(spark):
+    """asof_join_nearest: matches a brute-force nearest reference on
+    hash-planted timestamps per key; equal-distance ties go to the
+    PRECEDING right row; exact-timestamp rights match at distance 0;
+    tolerance nulls far matches; leading/trailing edges fall back to
+    the one available side."""
+    import hashlib
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    def h(i, salt):
+        return int(
+            hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:6], 16
+        ) % 1000
+
+    lrows = [(i % 3, float(h(i, "L")), i) for i in range(120)]
+    rrows = [
+        (i % 3, float(h(i, "R")), float(i * 10)) for i in range(90)
+    ]
+    left = spark.createDataFrame(lrows, "k int, ts double, lid long")
+    right = spark.createDataFrame(rrows, "k int, ts double, v double")
+
+    got = {
+        r.lid: r
+        for r in asof_join_nearest(
+            left, right, ["k"], "ts", ["v"]
+        ).collect()
+    }
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for k, ts, v in rrows:
+        by_k[k].append((ts, v))
+    for k, ts, lid in lrows:
+        cands = by_k[k]
+        # nearest; tie -> preceding (smaller ts); among equal ts the
+        # construction carries the LAST in (ts, side) order, but the
+        # plant has no duplicate right ts per key
+        best = min(
+            cands,
+            key=lambda c: (abs(c[0] - ts), 0 if c[0] <= ts else 1),
+        )
+        r = got[lid]
+        assert r.matched_ts == best[0] and r.v == best[1], (k, ts)
+        assert r.match_distance == abs(best[0] - ts)
+
+    # duplicate right ts per key would be ambiguous — assert plant
+    for k in by_k:
+        tss = [t for t, _ in by_k[k]]
+        assert len(tss) == len(set(tss))
+
+    # exact-distance tie: right at 5 and 15, left at 10 -> backward
+    lt = spark.createDataFrame([(1, 10.0, 0)], "k int, ts double, lid long")
+    rt = spark.createDataFrame(
+        [(1, 5.0, 1.0), (1, 15.0, 2.0)], "k int, ts double, v double"
+    )
+    tie = asof_join_nearest(lt, rt, ["k"], "ts", ["v"]).collect()[0]
+    assert tie.v == 1.0 and tie.match_distance == 5.0
+
+    # tolerance: cap below the distance nulls the match
+    tol = asof_join_nearest(
+        lt, rt, ["k"], "ts", ["v"], tolerance=4.0
+    ).collect()[0]
+    assert tol.v is None and tol.match_distance is None
+
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join_nearest(lt, rt, ["k"], "ts", ["v"], tolerance=0)
