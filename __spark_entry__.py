@@ -16551,6 +16551,161 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_stats_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test (operators/stats.py::
+    wilcoxon_signed_rank — the rank_sum_test histogram idiom on the
+    |d| axis: tie cells, global_prefix_sum ranks, exact doubled
+    integers): a paired pre/post plant over orders with integer
+    differences in {−2..4} (real tie mass, real zero-drops) whose
+    positive shift the test must flag. FULLY closed-form — the
+    oracle replays the tie-class ranks, W⁺, and the tie-corrected z
+    bit-exactly, no verdict literals."""
+    from cancer_survival_etl_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    va = F.floor(u(9) * 50).cast("double")
+    dd = (F.floor(u(17) * 7) - 2).cast("double")
+    cohort = d.select(va.alias("va"), (va + dd).alias("vb"))
+    return wilcoxon_signed_rank(cohort, "va", "vb")
+
+
+_STATS_SIGNED_RANK_SQL = """
+    WITH c AS (
+        SELECT CAST(floor(((CAST(concat('0x',
+                     substring(md5(o_orderkey::VARCHAR), 9, 8))
+                     AS BIGINT) % 1000000) / 1000000.0) * 50)
+                    AS DOUBLE) AS va,
+               CAST(floor(((CAST(concat('0x',
+                     substring(md5(o_orderkey::VARCHAR), 17, 8))
+                     AS BIGINT) % 1000000) / 1000000.0) * 7) - 2
+                    AS DOUBLE) AS dd
+        FROM orders
+    ),
+    base AS (SELECT dd AS d FROM c),
+    nz AS (SELECT d FROM base WHERE d <> 0),
+    cells AS (
+        SELECT abs(d) AS ad,
+               CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos,
+               CAST(count(*) AS BIGINT) AS c
+        FROM nz GROUP BY 1, 2
+    ),
+    hist AS (SELECT ad, CAST(sum(c) AS BIGINT) AS t
+             FROM cells GROUP BY ad),
+    pref AS (
+        SELECT ad, t,
+               coalesce(sum(t) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pref
+        FROM hist
+    ),
+    ranked AS (
+        SELECT c.pos, c.c, 2 * p.pref + p.t + 1 AS ar2
+        FROM cells c JOIN pref p USING (ad)
+    ),
+    stats AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN pos = 1 THEN c * ar2 ELSE 0 END)
+                    AS DOUBLE) / 2 AS wp
+        FROM ranked
+    ),
+    ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+             FROM hist),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM base)
+    SELECT np.n_pairs, s.n AS n_nonzero,
+           round(s.wp, 6) AS w_plus,
+           CASE WHEN CAST(s.n AS DOUBLE) * (s.n + 1) * (2 * s.n + 1)
+                     / 24 - t.tie3 / 48.0 > 0
+                THEN round((s.wp - CAST(s.n AS DOUBLE) * (s.n + 1)
+                            / 4)
+                           / sqrt(CAST(s.n AS DOUBLE) * (s.n + 1)
+                                  * (2 * s.n + 1) / 24
+                                  - t.tie3 / 48.0), 6)
+           END AS z_stat
+    FROM stats s CROSS JOIN ties t CROSS JOIN np
+"""
+
+
+def q_stats_friedman(spark, sf_dir):
+    """Friedman repeated-measures rank test (operators/stats.py::
+    friedman_test — within-block tie-averaged ranks via bounded
+    keyed windows): a complete panel built BY AGGREGATION (block =
+    customer-key bucket, treatment = order priority, value = summed
+    order price — exactly one observation per cell by construction),
+    so the guard never fires and completeness holds at every sf.
+    FULLY closed-form — the oracle replays the block ranks, rank
+    sums, Q and the tie correction bit-exactly."""
+    from cancer_survival_etl_spark.operators.stats import friedman_test
+
+    d = _t(spark, sf_dir, "orders")
+    panel = d.groupBy(
+        (F.col("o_custkey") % 30).cast("long").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("v")
+    )
+    return friedman_test(panel, "blk", "trt", "v")
+
+
+_STATS_FRIEDMAN_SQL = """
+    WITH panel AS (
+        SELECT CAST(o_custkey % 30 AS BIGINT) AS blk,
+               o_orderpriority AS trt,
+               round(sum(o_totalprice), 2) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT blk, v, CAST(count(*) AS BIGINT) AS t
+        FROM panel GROUP BY blk, v
+    ),
+    pr AS (
+        SELECT blk, v, t,
+               coalesce(sum(t) OVER (PARTITION BY blk ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pref
+        FROM cells
+    ),
+    ranked AS (
+        SELECT p.trt,
+               CAST(2 * r.pref + r.t + 1 AS DOUBLE) / 2 AS rk
+        FROM panel p JOIN pr r ON p.blk = r.blk AND p.v = r.v
+    ),
+    per_tr AS (SELECT trt, sum(rk) AS rsum FROM ranked GROUP BY trt),
+    shape AS (
+        SELECT CAST(count(DISTINCT blk) AS BIGINT) AS nb,
+               CAST(count(DISTINCT trt) AS BIGINT) AS k
+        FROM panel
+    ),
+    tie AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+            FROM cells),
+    rs AS (SELECT sum(rsum * rsum) AS r2 FROM per_tr)
+    SELECT s.nb AS n_blocks, s.k AS k_treatments,
+           round(12.0 / (CAST(s.nb AS DOUBLE) * s.k * (s.k + 1))
+                 * r.r2 - 3 * CAST(s.nb AS DOUBLE) * (s.k + 1), 6)
+               AS q_stat,
+           CASE WHEN 1.0 - t.tie3 / (CAST(s.nb AS DOUBLE) * s.k
+                      * (s.k * s.k * s.k - s.k)) > 0
+                THEN round((12.0 / (CAST(s.nb AS DOUBLE) * s.k
+                            * (s.k + 1)) * r.r2
+                            - 3 * CAST(s.nb AS DOUBLE) * (s.k + 1))
+                           / (1.0 - t.tie3
+                              / (CAST(s.nb AS DOUBLE) * s.k
+                                 * (s.k * s.k * s.k - s.k))), 6)
+           END AS q_stat_tie_corrected,
+           s.k - 1 AS df
+    FROM shape s CROSS JOIN tie t CROSS JOIN rs r
+"""
+
+
 def q_survival_loglogistic_aft(spark, sf_dir):
     """Log-logistic AFT regression (operators/survival.py::
     loglogistic_aft — Newton over (x-pattern, ln t, event) cells,
@@ -18955,6 +19110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "events_asof_nearest": q_events_asof_nearest,
         "survival_loglogistic_aft": q_survival_loglogistic_aft,
+        "stats_signed_rank": q_stats_signed_rank,
+        "stats_friedman": q_stats_friedman,
         # ==== r07-window queries (driver-adjudicated green r07) ====
         "survival_gray_test": q_survival_gray_test,
         "survival_aalen_johansen": q_survival_aalen_johansen,
@@ -22195,6 +22352,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_funnel": _QUALITY_FUNNEL_SQL,
         "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
         "survival_loglogistic_aft": _SURVIVAL_LOGLOGISTIC_AFT_SQL,
+        "stats_signed_rank": _STATS_SIGNED_RANK_SQL,
+        "stats_friedman": _STATS_FRIEDMAN_SQL,
         "survival_ibs": _SURVIVAL_IBS_SQL.format(
             uno=_CINDEX_UNO_COH
         ),

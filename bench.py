@@ -395,6 +395,8 @@ HEADLINE = [
     "quality_funnel",
     "events_asof_nearest",
     "survival_loglogistic_aft",
+    "stats_signed_rank",
+    "stats_friedman",
 ]
 
 REGRESSION_RATIO = 1.5

