@@ -16551,6 +16551,219 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_events_absorbing(spark, sf_dir):
+    """Absorbing Markov-chain summary (operators/timeseries.py::
+    absorbing_chain — Kemeny-Snell fundamental matrix on the bounded
+    transition grid): user journeys over events with purchase/error
+    absorbing, walks truncated at first absorption. The transition
+    counts (n_out) replay exactly in DuckDB window SQL; the matrix
+    results pin via IDENTITY verdicts computed from the same counts
+    — each transient state's absorption split sums to 1 (no leak in
+    this corpus), t = 1 + Q·t holds at 1e-6, and steps ≥ 1. The full
+    numeric surface is pytest-pinned against a hand-solved chain."""
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        absorbing_chain,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    absorbing = ["purchase", "error"]
+    out = absorbing_chain(
+        e, "user_id", "ts", "event_type", absorbing,
+        tiebreak_col="event_id",
+    )
+    rows = out.collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_state"], []).append(r)
+    ok_split = all(
+        abs(sum(x["p_absorb"] for x in v) - 1.0) < 1e-5
+        for v in by_from.values()
+    )
+    # fundamental identity from independently re-derived counts
+    from pyspark.sql import Window as _W
+
+    seq = e.select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("st"),
+    ).withColumn(
+        "_seen",
+        F.coalesce(
+            F.sum(F.col("st").isin(absorbing).cast("long")).over(
+                _W.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(_W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).filter(F.col("_seen") == 0)
+    nxt = seq.withColumn(
+        "_n",
+        F.lead("st").over(
+            _W.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    tc = {
+        (r["st"], r["_n"]): r["c"]
+        for r in nxt.filter(F.col("_n").isNotNull())
+        .groupBy("st", "_n")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    live = sorted(by_from)
+    outsum = {
+        s: sum(tc.get((s, t), 0) for t in live + absorbing)
+        for s in live
+    }
+    steps = {s: by_from[s][0]["expected_steps"] for s in live}
+    ok_ident = all(
+        abs(
+            steps[s]
+            - 1.0
+            - sum(
+                tc.get((s, t), 0) / outsum[s] * steps[t]
+                for t in live
+            )
+        )
+        < 1e-5
+        for s in live
+    )
+    ok_steps = all(v >= 1.0 for v in steps.values())
+    return (
+        out.groupBy("from_state")
+        .agg(F.max("n_out").alias("n_out"))
+        .select(
+            "from_state",
+            "n_out",
+            F.lit(ok_split).alias("absorption_split_sums_to_one"),
+            F.lit(ok_ident).alias("fundamental_identity_holds"),
+            F.lit(ok_steps).alias("steps_at_least_one"),
+        )
+        .orderBy("from_state")
+    )
+
+
+_EVENTS_ABSORBING_SQL = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               coalesce(sum(CASE WHEN event_type IN
+                                 ('purchase', 'error')
+                                 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS seen
+        FROM events
+    ),
+    kept AS (SELECT * FROM seq WHERE seen = 0),
+    nxt AS (
+        SELECT event_type AS fr,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM kept
+    ),
+    trans AS (
+        SELECT fr, CAST(count(*) AS BIGINT) AS n_out
+        FROM nxt
+        WHERE t IS NOT NULL AND fr NOT IN ('purchase', 'error')
+        GROUP BY fr
+    )
+    SELECT fr AS from_state, n_out,
+           true AS absorption_split_sums_to_one,
+           true AS fundamental_identity_holds,
+           true AS steps_at_least_one
+    FROM trans ORDER BY from_state
+"""
+
+
+def q_rates_apc_drift(spark, sf_dir):
+    """Clayton-Schifflers age-drift model on tabulated cells
+    (operators/survival.py::apc_drift_model — age dummies + one
+    log-linear calendar drift via glm_poisson with offset ln Y, the
+    'net annual change adjusted for age' registries quote as one
+    number): a 9-band × 10-period grid derived from orders (cells
+    exist at every sf) with planted age rates 0.001·e^{0.25a} and a
+    2% annual drift, person-time 100k per cell. Verdicts pin the
+    drift and two age-rate recoveries; the exact cell grid (events,
+    person-time) replays in DuckDB."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        apc_drift_model,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    cells = (
+        d.select(
+            (F.col("o_orderkey") % 9).cast("long").alias("age"),
+            (F.floor(F.col("o_orderkey") / 9) % 10)
+            .cast("long")
+            .alias("period"),
+        )
+        .distinct()
+        .select(
+            "age",
+            "period",
+            F.round(
+                F.lit(100000.0)
+                * F.lit(0.001)
+                * F.exp(
+                    F.lit(0.25) * F.col("age")
+                    + F.lit(0.02) * (F.col("period") - 4.5)
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("d"),
+            F.lit(100000.0).alias("y"),
+        )
+    ).localCheckpoint(eager=False)
+    curve, drift = apc_drift_model(cells, "age", "period", "d", "y")
+    ok_drift = abs(drift - 100 * (math.exp(0.02) - 1)) < 0.1
+    rows = {r["age"]: r for r in curve.collect()}
+    ok_r0 = abs(rows[0]["fitted_rate_ref"] - 0.001) / 0.001 < 0.02
+    want8 = 0.001 * math.exp(0.25 * 8)
+    ok_r8 = abs(rows[8]["fitted_rate_ref"] - want8) / want8 < 0.02
+    return (
+        cells.groupBy("age")
+        .agg(
+            F.sum("d").alias("events"),
+            F.round(F.sum("y"), 6).alias("person_time"),
+        )
+        .select(
+            "age",
+            "events",
+            "person_time",
+            F.lit(ok_drift).alias("drift_recovered"),
+            F.lit(ok_r0).alias("rate0_recovered"),
+            F.lit(ok_r8).alias("rate8_recovered"),
+        )
+        .orderBy("age")
+    )
+
+
+_RATES_APC_DRIFT_SQL = """
+    WITH cells AS (
+        SELECT DISTINCT CAST(o_orderkey % 9 AS BIGINT) AS age,
+               CAST((o_orderkey // 9) % 10 AS BIGINT) AS period
+        FROM orders
+    ),
+    grid AS (
+        SELECT age, period,
+               CAST(round(100000.0 * 0.001
+                          * exp(0.25 * age + 0.02 * (period - 4.5)),
+                          0) AS BIGINT) AS d,
+               100000.0 AS y
+        FROM cells
+    )
+    SELECT age, CAST(sum(d) AS BIGINT) AS events,
+           round(sum(y), 6) AS person_time,
+           true AS drift_recovered, true AS rate0_recovered,
+           true AS rate8_recovered
+    FROM grid GROUP BY age ORDER BY age
+"""
+
+
 def q_stats_signed_rank(spark, sf_dir):
     """Wilcoxon signed-rank test (operators/stats.py::
     wilcoxon_signed_rank — the rank_sum_test histogram idiom on the
@@ -19110,6 +19323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "events_asof_nearest": q_events_asof_nearest,
         "survival_loglogistic_aft": q_survival_loglogistic_aft,
+        "events_absorbing": q_events_absorbing,
+        "rates_apc_drift": q_rates_apc_drift,
         "stats_signed_rank": q_stats_signed_rank,
         "stats_friedman": q_stats_friedman,
         # ==== r07-window queries (driver-adjudicated green r07) ====
@@ -22352,6 +22567,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_funnel": _QUALITY_FUNNEL_SQL,
         "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
         "survival_loglogistic_aft": _SURVIVAL_LOGLOGISTIC_AFT_SQL,
+        "events_absorbing": _EVENTS_ABSORBING_SQL,
+        "rates_apc_drift": _RATES_APC_DRIFT_SQL,
         "stats_signed_rank": _STATS_SIGNED_RANK_SQL,
         "stats_friedman": _STATS_FRIEDMAN_SQL,
         "survival_ibs": _SURVIVAL_IBS_SQL.format(

@@ -395,6 +395,8 @@ HEADLINE = [
     "quality_funnel",
     "events_asof_nearest",
     "survival_loglogistic_aft",
+    "events_absorbing",
+    "rates_apc_drift",
     "stats_signed_rank",
     "stats_friedman",
 ]

@@ -947,3 +947,125 @@ def rfm_segmentation(
             F.sum("_cents").alias("total_cents"),
         )
     )
+
+
+def absorbing_chain(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    state_col: str,
+    absorbing_states: Sequence[str],
+    tiebreak_col: str | None = None,
+    max_states: int = 50,
+) -> DataFrame:
+    """Absorbing Markov-chain summary from observed event sequences
+    (Kemeny & Snell's fundamental matrix N = (I−Q)⁻¹) — the
+    'expected touches before purchase/churn' analytics layer on top
+    of the raw ``transition_matrix`` counts: per transient state,
+    the expected number of steps to absorption t = N·1 and the
+    absorption probability split B = N·R.
+
+    Transitions come from each subject's time-ordered state sequence
+    (a keyed lag window — a subject's span is its own event count,
+    never the corpus; the ``events_transitions`` shape). A subject's
+    sequence STOPS at its first absorbing state (post-absorption
+    events are dropped — an absorbing state that re-emits would make
+    the chain non-absorbing); rows after the last observed
+    transition simply end (right-censored walks contribute the
+    transitions they showed). Transient rows whose outgoing row sum
+    is zero (a state seen only as a terminal observation) are
+    dropped from Q with their flag published — they have no
+    estimated dynamics.
+
+    The count matrix collapses to ≤ S² cells (``max_states`` guard,
+    named error) and the (I−Q) solve is driver-side numpy on that
+    bounded grid — the shared_gamma_frailty driver-solve convention.
+    Returns one row per (transient state, absorbing state):
+    (from_state, n_out, expected_steps, absorbing_state, p_absorb),
+    6 dp; expected_steps repeats per absorbing split of the same
+    from_state.
+    """
+    import numpy as np
+
+    absorbing = list(dict.fromkeys(absorbing_states))
+    if not absorbing:
+        raise ValueError(
+            "absorbing_chain: absorbing_states must be non-empty"
+        )
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy("_s").orderBy(*order)
+    seq = df.select(
+        F.col(subject_col).alias("_s"),
+        F.col(state_col).alias("_st"),
+        *([F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col
+                             else [])),
+    )
+    seq = seq.withColumn(
+        "_seen_abs",
+        F.coalesce(
+            F.sum(
+                F.col("_st").isin(absorbing).cast("long")
+            ).over(
+                Window.partitionBy("_s")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).filter(F.col("_seen_abs") == 0)
+    seq = seq.withColumn("_next", F.lead("_st").over(w))
+    trans = (
+        seq.filter(F.col("_next").isNotNull())
+        .groupBy(F.col("_st").alias("_from"),
+                 F.col("_next").alias("_to"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rows = trans.collect()
+    states = sorted(
+        {r["_from"] for r in rows} | {r["_to"] for r in rows}
+        | set(absorbing)
+    )
+    if len(states) > max_states:
+        raise ValueError(
+            f"absorbing_chain: {len(states)} states exceeds "
+            f"max_states={max_states}"
+        )
+    trans_states = [s for s in states if s not in set(absorbing)]
+    counts = {(r["_from"], r["_to"]): r["_c"] for r in rows}
+    out_sum = {
+        s: sum(counts.get((s, t), 0) for t in states)
+        for s in trans_states
+    }
+    live = [s for s in trans_states if out_sum[s] > 0]
+    qn = len(live)
+    qm = np.zeros((qn, qn))
+    rm = np.zeros((qn, len(absorbing)))
+    for i, s in enumerate(live):
+        tot = float(out_sum[s])
+        for j, t in enumerate(live):
+            qm[i, j] = counts.get((s, t), 0) / tot
+        for j, t in enumerate(absorbing):
+            rm[i, j] = counts.get((s, t), 0) / tot
+    n_mat = np.linalg.inv(np.eye(qn) - qm)
+    t_vec = n_mat @ np.ones(qn)
+    b_mat = n_mat @ rm
+    out = []
+    for i, s in enumerate(live):
+        for j, a in enumerate(absorbing):
+            out.append(
+                (
+                    s,
+                    int(out_sum[s]),
+                    round(float(t_vec[i]), 6),
+                    a,
+                    round(float(b_mat[i, j]), 6),
+                )
+            )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "from_state string, n_out long, expected_steps double, "
+        "absorbing_state string, p_absorb double",
+    )

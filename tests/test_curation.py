@@ -325,3 +325,61 @@ def test_readability_scores_hand_example(spark):
     r3 = got[3]
     assert r3.n_words == 0 and r3.flesch_ease is None
     assert r3.fk_grade is None and r3.n_syllables is None
+
+
+def test_absorbing_chain_fundamental_matrix(spark):
+    """Absorbing chain: matches the hand-solved Kemeny-Snell N, t, B
+    on an exactly-planted two-transient/two-absorbing chain;
+    post-absorption events are dropped; censored walks contribute
+    their observed transitions; the max_states guard raises."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.timeseries import (
+        absorbing_chain,
+    )
+
+    walks = [
+        ["A", "B", "X"],
+        ["A", "B", "A", "X"],
+        ["A", "Y"],
+        ["B", "A"],
+        ["B", "X"],
+    ]
+    rows = []
+    for s, walk in enumerate(walks):
+        for i, st in enumerate(walk):
+            rows.append((f"s{s}", i, st))
+    df = spark.createDataFrame(rows, "subj string, ts int, st string")
+    out = absorbing_chain(df, "subj", "ts", "st", ["X", "Y"])
+    got = {(r.from_state, r.absorbing_state): r for r in out.collect()}
+    # Q = [[0,.5],[.5,0]], R = [[.25,.25],[.5,0]]
+    # N = [[4/3,2/3],[2/3,4/3]], t = [2,2]
+    # B = [[2/3,1/3],[5/6,1/6]]
+    assert got[("A", "X")].expected_steps == 2.0
+    assert got[("B", "X")].expected_steps == 2.0
+    assert got[("A", "X")].p_absorb == round(2 / 3, 6)
+    assert got[("A", "Y")].p_absorb == round(1 / 3, 6)
+    assert got[("B", "X")].p_absorb == round(5 / 6, 6)
+    assert got[("B", "Y")].p_absorb == round(1 / 6, 6)
+    assert got[("A", "X")].n_out == 4 and got[("B", "X")].n_out == 4
+
+    # post-absorption events are dropped: appending X->B->Y to a walk
+    # adds only the transition INTO X
+    extra = rows + [("s9", 0, "A"), ("s9", 1, "X"), ("s9", 2, "B"),
+                    ("s9", 3, "Y")]
+    df2 = spark.createDataFrame(
+        extra, "subj string, ts int, st string"
+    )
+    out2 = {
+        (r.from_state, r.absorbing_state): r
+        for r in absorbing_chain(
+            df2, "subj", "ts", "st", ["X", "Y"]
+        ).collect()
+    }
+    assert out2[("A", "X")].n_out == 5  # one extra A->X, nothing else
+    assert out2[("B", "X")].n_out == 4
+
+    with pytest.raises(ValueError, match="max_states"):
+        absorbing_chain(df, "subj", "ts", "st", ["X"], max_states=2)
+    with pytest.raises(ValueError, match="non-empty"):
+        absorbing_chain(df, "subj", "ts", "st", [])

@@ -6055,3 +6055,67 @@ def test_loglogistic_aft_matches_twin_and_recovers_plant(spark):
     ub, us_ = loglogistic_aft(udf, [])
     med = sorted(t for _, t, _ in urows)[199]
     assert abs(math.exp(ub[0]) - med) / med < 0.02
+
+
+def test_apc_drift_model_recovers_plant(spark):
+    """Age-drift model: recovers the planted per-age rates and net
+    drift on a clean tabulated grid; with zero drift the period
+    coefficient vanishes; saturated-in-age identity (fitted age rates
+    match the age-specific crude rates when drift is zero and rates
+    are exact); guards raise; repartition-invariant."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        apc_drift_model,
+    )
+
+    rows = []
+    for a in range(6):
+        for p in range(10):
+            y = 100000.0
+            rate = 0.001 * math.exp(0.3 * a + 0.02 * (p - 4.5))
+            rows.append((a, p, int(round(rate * y)), y))
+    df = spark.createDataFrame(
+        rows, "age int, period int, d int, y double"
+    )
+    curve, drift = apc_drift_model(df, "age", "period", "d", "y")
+    assert abs(drift - 100 * (math.exp(0.02) - 1)) < 0.15
+    got = {r.age: r for r in curve.collect()}
+    for a in range(6):
+        want = 0.001 * math.exp(0.3 * a)
+        assert abs(got[a].fitted_rate_ref - want) / want < 0.02, a
+        assert got[a].drift_pct == round(drift, 6)
+
+    # zero drift: period coefficient ~0 and fitted == crude rates
+    zrows = [
+        (a, p, int(round(0.002 * math.exp(0.2 * a) * 50000)), 50000.0)
+        for a in range(5)
+        for p in range(8)
+    ]
+    zdf = spark.createDataFrame(
+        zrows, "age int, period int, d int, y double"
+    )
+    zcurve, zdrift = apc_drift_model(zdf, "age", "period", "d", "y")
+    assert abs(zdrift) < 0.05
+    for r in zcurve.collect():
+        crude = r.events / r.person_time
+        assert abs(r.fitted_rate_ref - crude) / crude < 1e-3
+
+    c2, d2 = apc_drift_model(
+        df.repartition(16), "age", "period", "d", "y"
+    )
+    assert d2 == drift
+    assert sorted(map(tuple, c2.collect())) == sorted(
+        map(tuple, curve.collect())
+    )
+
+    with pytest.raises(ValueError, match=">= 2"):
+        apc_drift_model(
+            df.filter(F.col("age") == 0), "age", "period", "d", "y"
+        )
+    with pytest.raises(ValueError, match="max_ages"):
+        apc_drift_model(
+            df, "age", "period", "d", "y", max_ages=3
+        )
