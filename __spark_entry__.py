@@ -16551,6 +16551,102 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_survival_cox_ag(spark, sf_dir):
+    """Counting-process Cox / Andersen-Gill (operators/survival.py::
+    cox_ph_counting — risk sets {start < t ≤ stop} from a DIFFERENCE
+    of two exclusive prefixes on a merged entry/exit cell axis; the
+    operator that unlocks left truncation and recurrent events): a
+    two-episode recurrent plant over orders (intensity 0.1·e^{0.8x},
+    re-entry after the first event, censoring at 20). Verdicts pin
+    the intensity log-ratio; exact per-(x, episode, event) counts
+    replay in DuckDB (the cox verdict pattern — the start≡0
+    reduction is pinned BIT-equal to cox_ph in pytest)."""
+    from cancer_survival_etl_spark.operators.survival import (
+        cox_ph_counting,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    x = (u(9) < 0.5).cast("double")
+    lam = F.lit(0.1) * F.exp(F.lit(0.8) * x)
+    t1 = -F.log(u(17) + 1e-9) / lam
+    t2 = t1 - F.log(u(25) + 1e-9) / lam
+    ep1 = d.select(
+        x.alias("x"),
+        F.lit(1).alias("episode"),
+        F.lit(0.0).alias("start"),
+        F.least(t1, F.lit(20.0)).alias("stop"),
+        (t1 < 20).cast("int").alias("event"),
+    )
+    ep2 = d.filter(t1 < 20).select(
+        x.alias("x"),
+        F.lit(2).alias("episode"),
+        t1.alias("start"),
+        F.least(t2, F.lit(20.0)).alias("stop"),
+        (t2 < 20).cast("int").alias("event"),
+    )
+    cohort = ep1.unionByName(ep2).localCheckpoint(eager=False)
+    beta = cox_ph_counting(cohort, ["x"], iters=8)
+    ok_beta = abs(beta[0] - 0.8) < 0.15
+    return (
+        cohort.groupBy("x", "episode", "event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("episode").cast("long").alias("episode"),
+            F.col("event").cast("long").alias("event"),
+            "n",
+            F.lit(ok_beta).alias("beta_recovered"),
+        )
+        .orderBy("x", "episode", "event")
+    )
+
+
+_SURVIVAL_COX_AG_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 9, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                    THEN 1.0 ELSE 0.0 END AS x,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 17, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS u17,
+               (CAST(concat('0x',
+                       substring(md5(o_orderkey::VARCHAR), 25, 8))
+                       AS BIGINT) % 1000000) / 1000000.0 AS u25
+        FROM orders
+    ),
+    tt AS (
+        SELECT x,
+               -ln(u17 + 1e-9) / (0.1 * exp(0.8 * x)) AS t1,
+               -ln(u17 + 1e-9) / (0.1 * exp(0.8 * x))
+                   - ln(u25 + 1e-9) / (0.1 * exp(0.8 * x)) AS t2
+        FROM c
+    ),
+    eps AS (
+        SELECT x, 1 AS episode,
+               CASE WHEN t1 < 20 THEN 1 ELSE 0 END AS event
+        FROM tt
+        UNION ALL
+        SELECT x, 2 AS episode,
+               CASE WHEN t2 < 20 THEN 1 ELSE 0 END AS event
+        FROM tt WHERE t1 < 20
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(episode AS BIGINT) AS episode,
+           CAST(event AS BIGINT) AS event,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS beta_recovered
+    FROM eps GROUP BY 1, 2, 3 ORDER BY x, episode, event
+"""
+
+
 def q_events_absorbing(spark, sf_dir):
     """Absorbing Markov-chain summary (operators/timeseries.py::
     absorbing_chain — Kemeny-Snell fundamental matrix on the bounded
@@ -19323,6 +19419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "events_asof_nearest": q_events_asof_nearest,
         "survival_loglogistic_aft": q_survival_loglogistic_aft,
+        "survival_cox_ag": q_survival_cox_ag,
         "events_absorbing": q_events_absorbing,
         "rates_apc_drift": q_rates_apc_drift,
         "stats_signed_rank": q_stats_signed_rank,
@@ -22567,6 +22664,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_funnel": _QUALITY_FUNNEL_SQL,
         "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
         "survival_loglogistic_aft": _SURVIVAL_LOGLOGISTIC_AFT_SQL,
+        "survival_cox_ag": _SURVIVAL_COX_AG_SQL,
         "events_absorbing": _EVENTS_ABSORBING_SQL,
         "rates_apc_drift": _RATES_APC_DRIFT_SQL,
         "stats_signed_rank": _STATS_SIGNED_RANK_SQL,

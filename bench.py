@@ -395,6 +395,7 @@ HEADLINE = [
     "quality_funnel",
     "events_asof_nearest",
     "survival_loglogistic_aft",
+    "survival_cox_ag",
     "events_absorbing",
     "rates_apc_drift",
     "stats_signed_rank",

@@ -9276,3 +9276,182 @@ def apc_drift_model(
         )
     )
     return curve, drift_pct
+
+
+def cox_ph_counting(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    start_col: str = "start",
+    stop_col: str = "stop",
+    event_col: str = "event",
+    iters: int = 8,
+    return_se: bool = False,
+):
+    """Cox regression on COUNTING-PROCESS (start, stop] episodes —
+    R ``coxph(Surv(start, stop, event) ~ …)``, which unlocks the two
+    designs the plain ``cox_ph`` cannot express:
+
+    * LEFT TRUNCATION / delayed entry (a subject contributes to risk
+      sets only after its entry time — registry period analysis and
+      age-as-timescale models), and
+    * ANDERSEN-GILL recurrent events (one episode per gap between a
+      subject's successive events; subjects re-enter the risk set
+      after each event).
+
+    The risk set at event time t is {i : start_i < t ≤ stop_i}, so
+    risk-mass moments at t are a DIFFERENCE of two exclusive
+    prefixes on a merged time axis:
+
+        S·(t) = entered(<t) − exited(<t),
+
+    with entry cells keyed at start (strict: mass at start == t is
+    not yet at risk) and exit cells keyed at stop (a subject with
+    stop == t IS at risk at t). Per Newton iteration: TWO map-side
+    cell collapses (entry / exit moments, per-episode nano-rounded
+    longs), a full-outer merge of the two cell families, ONE
+    multi-column ``global_prefix_sum`` over the merged axis, then
+    the gradient/information fold on event rows — the exact cox_ph
+    lattice contract, bit-identical under any partitioning. Breslow
+    ties only (the Andersen-Gill convention; Efron with delayed
+    entry is not supported here). With start ≡ 0 the risk sets — and
+    the fitted β, by the shared lattice — coincide with ``cox_ph``'s
+    (pinned in tests). Episodes need start < stop (named in-plan
+    error). Returns β (or (β, se) — model-based Wald; for
+    Andersen-Gill data use a cluster bootstrap, the reuse caveat of
+    ``cox_ph_robust`` applies doubly here, documented).
+    """
+    import numpy as np
+
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError("cox_ph_counting: iters must be >= 1")
+    feats = list(feature_cols)
+    p = len(feats)
+    beta = [0.0] * p
+    nano = F.lit(1000000000.0)
+
+    st = F.col(start_col).cast("double")
+    sp = F.col(stop_col).cast("double")
+    sp_ok = F.when(
+        sp <= st,
+        F.raise_error(
+            F.lit("cox_ph_counting: episodes need start < stop")
+        ).cast("double"),
+    ).otherwise(sp)
+
+    info = None
+    for _ in range(iters):
+        xb = F.lit(0.0)
+        for j, c in enumerate(feats):
+            xb = xb + F.lit(beta[j]) * F.col(c).cast("double")
+        r = F.exp(xb)
+        ev = F.col(event_col).cast("long")
+
+        def moments(prefix):
+            aggs = [
+                F.sum(F.round(r * nano, 0).cast("long")).alias(
+                    f"{prefix}0"
+                )
+            ]
+            for j, c in enumerate(feats):
+                x = F.col(c).cast("double")
+                aggs.append(
+                    F.sum(
+                        F.round(r * x * nano, 0).cast("long")
+                    ).alias(f"{prefix}1_{j}")
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    xj = F.col(feats[j]).cast("double")
+                    xk = F.col(feats[k]).cast("double")
+                    aggs.append(
+                        F.sum(
+                            F.round(r * xj * xk * nano, 0).cast(
+                                "long"
+                            )
+                        ).alias(f"{prefix}2_{j}_{k}")
+                    )
+            return aggs
+
+        enter = df.groupBy(st.alias("_t")).agg(*moments("e"))
+        exit_aggs = moments("x") + [F.sum(ev).alias("d_t")]
+        for j, c in enumerate(feats):
+            exit_aggs.append(
+                F.sum(
+                    ev
+                    * F.round(
+                        F.col(c).cast("double") * nano, 0
+                    ).cast("long")
+                ).alias(f"s{j}")
+            )
+        exits = df.groupBy(sp_ok.alias("_t")).agg(*exit_aggs)
+
+        ecols = ["e0"] + [f"e1_{j}" for j in range(p)] + [
+            f"e2_{j}_{k}" for j in range(p) for k in range(j, p)
+        ]
+        xcols = ["x0"] + [f"x1_{j}" for j in range(p)] + [
+            f"x2_{j}_{k}" for j in range(p) for k in range(j, p)
+        ]
+        merged = enter.join(exits, "_t", "full_outer").fillna(
+            0, subset=ecols + xcols + ["d_t"]
+            + [f"s{j}" for j in range(p)]
+        )
+        pre = global_prefix_sum(
+            merged,
+            "_t",
+            ecols + xcols,
+            [f"_pe_{c}" for c in ecols] + [f"_px_{c}" for c in xcols],
+        )
+
+        def risk(e_c, x_c):
+            return (F.col(f"_pe_{e_c}") - F.col(f"_px_{x_c}")).cast(
+                "double"
+            )
+
+        s0 = risk("e0", "x0")
+        d_t = F.col("d_t")
+        out_aggs = []
+        for j in range(p):
+            term = (
+                F.col(f"s{j}") / nano
+                - d_t * risk(f"e1_{j}", f"x1_{j}") / s0
+            )
+            out_aggs.append(
+                F.sum(
+                    F.when(
+                        d_t > 0,
+                        F.round(term * nano, 0).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias(f"g{j}")
+            )
+        for j in range(p):
+            for k in range(j, p):
+                t2 = risk(f"e2_{j}_{k}", f"x2_{j}_{k}")
+                term = d_t * (
+                    t2 / s0
+                    - (risk(f"e1_{j}", f"x1_{j}") / s0)
+                    * (risk(f"e1_{k}", f"x1_{k}") / s0)
+                )
+                out_aggs.append(
+                    F.sum(
+                        F.when(
+                            d_t > 0,
+                            F.round(term * nano, 0).cast("long"),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias(f"i{j}_{k}")
+                )
+        row = pre.agg(*out_aggs).collect()[0]
+        g = np.array([row[f"g{j}"] / 1e9 for j in range(p)])
+        info = np.zeros((p, p))
+        for j in range(p):
+            for k in range(j, p):
+                info[j, k] = info[k, j] = row[f"i{j}_{k}"] / 1e9
+        step = np.linalg.solve(info, g)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+
+    if return_se:
+        cov = np.linalg.inv(info)
+        return beta, [
+            round(float(np.sqrt(cov[j, j])), 9) for j in range(p)
+        ]
+    return beta
