@@ -17649,6 +17649,125 @@ _STATS_PSM_SQL = """
 """
 
 
+def q_stats_bayes_ab(spark, sf_dir):
+    """Exact Bayesian A/B probability P(p_B > p_A) under Beta(1,1)
+    priors (operators/stats.py::bayes_ab_beta — the Cook/Miller
+    finite sum on fisher_exact's lgamma-free telescoping lattice):
+    the same 1-in-199 orders slice as stats_fisher_exact (the
+    small-count regime exactness is for), variant B planted at a
+    higher case rate (0.28 vs 0.2), grouped by priority tier. FULLY
+    closed-form — the oracle replays ln T₀'s generate_series fold,
+    the ratio-step prefix, and the pico term sum bit-exactly, no
+    verdict literals."""
+    from cancer_survival_etl_spark.operators.stats import bayes_ab_beta
+
+    d = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 199 == 0
+    )
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    is_b = u(9) < 0.5
+    rate = F.when(is_b, F.lit(0.28)).otherwise(F.lit(0.2))
+    cohort = d.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.lit("high"),
+        )
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+        F.when(is_b, F.lit("B")).otherwise(F.lit("A")).alias("v"),
+        (u(17) < rate).cast("int").alias("case"),
+    )
+    return bayes_ab_beta(cohort, ["tier"], "v", "case").orderBy(
+        "tier"
+    )
+
+
+_STATS_BAYES_AB_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'low' END AS tier,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 9, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                    THEN 'B' ELSE 'A' END AS v,
+               (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 17, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS u17
+        FROM orders WHERE o_orderkey % 199 = 0
+    ),
+    cc AS (
+        SELECT tier, v,
+               CASE WHEN u17 < (CASE WHEN v = 'B' THEN 0.28
+                                     ELSE 0.2 END)
+                    THEN 1 ELSE 0 END AS cs
+        FROM c
+    ),
+    per AS (
+        SELECT tier, v, CAST(sum(cs) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cc GROUP BY tier, v
+    ),
+    wide AS (
+        SELECT a.tier, a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb,
+               a.s + 1 AS aa, a.n - a.s + 1 AS ba,
+               b.s + 1 AS ab, b.n - b.s + 1 AS bb
+        FROM per a JOIN per b USING (tier)
+        WHERE a.v = 'A' AND b.v = 'B'
+    ),
+    t0 AS (
+        SELECT w.tier,
+               (SELECT CAST(sum(CAST(round(
+                        (ln(w.ba + g.j) - ln(w.aa + w.ba + g.j))
+                        * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
+                FROM unnest(generate_series(0, w.bb - 1)) AS g(j))
+                   AS lnt0
+        FROM wide w
+    ),
+    sup AS (
+        SELECT w.tier, w.aa, w.ba, w.ab, w.bb, g.i
+        FROM wide w, LATERAL unnest(generate_series(0, w.ab - 1))
+             AS g(i)
+    ),
+    steps AS (
+        SELECT *,
+               CASE WHEN i < ab - 1
+                    THEN CAST(round((ln(aa + i) + ln(bb + i)
+                                     - ln(aa + ba + bb + i)
+                                     - ln(i + 1))
+                                    * 1000000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS step
+        FROM sup
+    ),
+    acc AS (
+        SELECT tier, i,
+               coalesce(sum(step) OVER (PARTITION BY tier ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS a0
+        FROM steps
+    ),
+    terms AS (
+        SELECT a.tier,
+               CAST(round(exp((t.lnt0 + a.a0) / 1000000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS term
+        FROM acc a JOIN t0 t USING (tier)
+    )
+    SELECT w.tier, w.sa AS s_a, w.na AS n_a, w.sb AS s_b,
+           w.nb AS n_b,
+           round(least(sum(m.term) / 1000000000000.0, 1.0), 9)
+               AS prob_b_beats_a
+    FROM terms m JOIN wide w USING (tier)
+    GROUP BY w.tier, w.sa, w.na, w.sb, w.nb
+    ORDER BY w.tier
+"""
+
+
 def q_stats_fisher_exact(spark, sf_dir):
     """Fisher's exact test per group (operators/stats.py::
     fisher_exact — conditional hypergeometric via telescoping
@@ -19413,6 +19532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ordinal": q_stats_ordinal,
         "stats_tmle": q_stats_tmle,
         "stats_fisher_exact": q_stats_fisher_exact,
+        "stats_bayes_ab": q_stats_bayes_ab,
         "stats_psm": q_stats_psm,
         "stats_multinomial": q_stats_multinomial,
         "survival_ibs": q_survival_ibs,
@@ -22659,6 +22779,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_ordinal": _STATS_ORDINAL_SQL,
         "stats_tmle": _STATS_TMLE_SQL,
         "stats_fisher_exact": _STATS_FISHER_EXACT_SQL,
+        "stats_bayes_ab": _STATS_BAYES_AB_SQL,
         "stats_psm": _STATS_PSM_SQL,
         "stats_multinomial": _STATS_MULTINOMIAL_SQL,
         "quality_funnel": _QUALITY_FUNNEL_SQL,

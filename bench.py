@@ -389,6 +389,7 @@ HEADLINE = [
     "stats_ordinal",
     "stats_tmle",
     "stats_fisher_exact",
+    "stats_bayes_ab",
     "stats_psm",
     "stats_multinomial",
     "survival_ibs",

@@ -4705,3 +4705,155 @@ def friedman_test(
         .cast("long")
         .alias("df"),
     )
+
+
+def bayes_ab_beta(
+    df: DataFrame,
+    group_cols,
+    variant_col: str,
+    case_col: str,
+    max_terms: int = 10000,
+) -> DataFrame:
+    """EXACT Bayesian A/B probability P(p_B > p_A | data) under
+    independent Beta(1,1)-prior binomials (the closed form every
+    Bayesian A/B dashboard quotes; Cook/Miller's finite sum) — the
+    decision-layer companion to ``msprt_two_sample``:
+
+        P = Σ_{i=0}^{α_B−1} B(α_A+i, β_A+β_B)
+                           / [(β_B+i)·B(1+i, β_B)·B(α_A, β_A)]
+
+    with α = successes+1, β = failures+1. No lgamma exists JVM-side,
+    so the sum runs on telescoping ratios (the ``fisher_exact``
+    idiom): ln T₀ = Σ_{j<β_B} ln[(β_A+j)/(α_A+β_A+j)] is ONE
+    ``aggregate(sequence(...))`` of nano-rounded longs, and
+    ln T_{i+1} − ln T_i = ln[(α_A+i)(β_B+i)] −
+    ln[(α_A+β_A+β_B+i)(1+i)] accumulates via ``grouped_prefix_sum``
+    over an exploded support — every distributed sum an exact long
+    sum, bit-identical under any partitioning.
+
+    Exactness is a SMALL-COUNT luxury: a variant with more than
+    ``max_terms`` successes+1 or failures+1 raises a named in-plan
+    error (at those counts the posterior comparison is numerically a
+    Gaussian and P is 0/1 to machine precision — use stats_welch).
+    Variant labels order lexically: A = min label, B = max label
+    (the rank_sum_test convention); exactly two variants per group
+    (named error otherwise).
+
+    Scale shape: one map-side (group, variant) collapse, one bounded
+    explode + grouped prefix, two bounded folds. Returns one row per
+    group: (group…, s_a, n_a, s_b, n_b, prob_b_beats_a), 9 dp.
+    """
+    from .windows import grouped_prefix_sum
+
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    per = df.groupBy(*g, F.col(variant_col).alias("_v")).agg(
+        F.sum(F.col(case_col).cast("long")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    shape = per.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_nv"),
+        F.min("_v").alias("_va"),
+        F.max("_v").alias("_vb"),
+        F.min(F.struct("_v", "_s", "_n")).alias("_pa"),
+        F.max(F.struct("_v", "_s", "_n")).alias("_pb"),
+    )
+    shape = shape.withColumn(
+        "_nv",
+        F.when(
+            F.col("_nv") != 2,
+            F.raise_error(
+                F.lit("bayes_ab_beta: needs exactly two variants")
+            ).cast("long"),
+        ).otherwise(F.col("_nv")),
+    )
+    sa = F.col("_pa._s")
+    na = F.col("_pa._n")
+    sb = F.col("_pb._s")
+    nb = F.col("_pb._n")
+    wide = shape.select(
+        *g,
+        F.col("_nv").alias("_nvg"),
+        sa.alias("_sa"),
+        na.alias("_na"),
+        sb.alias("_sb"),
+        nb.alias("_nb"),
+        (sa + 1).alias("_aa"),
+        (na - sa + 1).alias("_ba"),
+        (sb + 1).alias("_ab"),
+        (nb - sb + 1).alias("_bb"),
+    )
+    too_big = (F.col("_ab") > max_terms) | (F.col("_bb") > max_terms)
+    wide = wide.withColumn(
+        "_ab",
+        F.when(
+            too_big,
+            F.raise_error(
+                F.lit(
+                    f"bayes_ab_beta: counts exceed max_terms="
+                    f"{max_terms} (use stats_welch at this scale)"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_ab")),
+    )
+    nano = F.lit(1000000000.0)
+    aa = F.col("_aa").cast("double")
+    ba = F.col("_ba").cast("double")
+    bb = F.col("_bb").cast("double")
+    lnt0 = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), F.col("_bb") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.round(
+            (F.log(ba + j.cast("double"))
+             - F.log(aa + ba + j.cast("double"))) * nano,
+            0,
+        ).cast("long"),
+    )
+    wide = wide.withColumn("_lnt0", lnt0).localCheckpoint(eager=False)
+    sup = wide.withColumn(
+        "_i",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("_ab") - 1)),
+    )
+    ii = F.col("_i").cast("double")
+    step = (
+        F.log(aa + ii)
+        + F.log(bb + ii)
+        - F.log(aa + ba + bb + ii)
+        - F.log(ii + 1)
+    )
+    sup = sup.withColumn(
+        "_step",
+        F.when(
+            F.col("_i") < F.col("_ab") - 1,
+            F.round(step * nano, 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sup = grouped_prefix_sum(sup, g, "_i", ["_step"], ["_acc"])
+    pico = F.lit(1000000000000.0)
+    term = F.round(
+        F.exp((F.col("_lnt0") + F.col("_acc")) / nano) * pico, 0
+    ).cast("long")
+    out = sup.groupBy(*g).agg(
+        F.sum(term).alias("_p"),
+        F.first("_sa").alias("_sa"),
+        F.first("_na").alias("_na"),
+        F.first("_sb").alias("_sb"),
+        F.first("_nb").alias("_nb"),
+        F.first("_nvg").alias("_nvg2"),
+    )
+    return out.select(
+        *g,
+        F.col("_sa").alias("s_a"),
+        F.col("_na").alias("n_a"),
+        F.col("_sb").alias("s_b"),
+        F.col("_nb").alias("n_b"),
+        F.round(
+            F.least(
+                F.col("_p") / pico
+                + 0 * F.col("_nvg2").cast("double"),
+                F.lit(1.0),
+            ),
+            9,
+        ).alias("prob_b_beats_a"),
+    )

