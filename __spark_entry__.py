@@ -17649,6 +17649,97 @@ _STATS_PSM_SQL = """
 """
 
 
+def q_stats_tost(spark, sf_dir):
+    """TOST equivalence test (operators/stats.py::tost_equivalence —
+    Schuirmann's two one-sided tests on the welch_ttest exact-cents
+    moment machinery): a planted tiny +0.03 shift on a unit-range
+    metric over orders, margin 0.5 — significantly different AND
+    equivalent, the case TOST exists for. FULLY closed-form — the
+    oracle replays the cents moments, Welch SE, both one-sided
+    statistics, and the verdict bit-exactly, z_crit shared
+    verbatim."""
+    from cancer_survival_etl_spark.operators.stats import (
+        tost_equivalence,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    is_b = u(9) < 0.5
+    metric = (
+        F.lit(10.0)
+        + u(17)
+        + F.when(is_b, F.lit(0.03)).otherwise(F.lit(0.0))
+    )
+    cohort = d.select(
+        F.when(is_b, F.lit("B")).otherwise(F.lit("A")).alias("v"),
+        metric.alias("m"),
+    )
+    return tost_equivalence(cohort, "v", "m", margin=0.5)
+
+
+_STATS_TOST_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 9, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                    THEN 'B' ELSE 'A' END AS v,
+               10.0 + (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 17, 8))
+                        AS BIGINT) % 1000000) / 1000000.0
+                    + CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 9, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                        THEN 0.03 ELSE 0.0 END AS m
+        FROM orders
+    ),
+    cents AS (
+        SELECT v, CAST(round(m * 100, 0) AS BIGINT) AS y FROM c
+    ),
+    per AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS s1,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+        FROM cents GROUP BY v
+    ),
+    wide AS (
+        SELECT a.v AS variant_a, b.v AS variant_b,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s1 AS DOUBLE) / a.n AS ma,
+               CAST(b.s1 AS DOUBLE) / b.n AS mb,
+               (CAST(a.s2 AS DOUBLE) - a.n * (CAST(a.s1 AS DOUBLE)
+                    / a.n) * (CAST(a.s1 AS DOUBLE) / a.n))
+                   / (a.n - 1) AS va,
+               (CAST(b.s2 AS DOUBLE) - b.n * (CAST(b.s1 AS DOUBLE)
+                    / b.n) * (CAST(b.s1 AS DOUBLE) / b.n))
+                   / (b.n - 1) AS vb
+        FROM per a JOIN per b ON a.v = 'A' AND b.v = 'B'
+    )
+    SELECT variant_a, variant_b, n_a, n_b,
+           round((mb - ma) / 100.0, 6) AS mean_diff,
+           round(sqrt(va / n_a + vb / n_b) / 100.0, 6) AS se_diff,
+           round(((mb - ma) / 100.0 + 0.5)
+                 / (sqrt(va / n_a + vb / n_b) / 100.0), 6)
+               AS t_lower,
+           round(((mb - ma) / 100.0 - 0.5)
+                 / (sqrt(va / n_a + vb / n_b) / 100.0), 6)
+               AS t_upper,
+           (((mb - ma) / 100.0 + 0.5)
+                / (sqrt(va / n_a + vb / n_b) / 100.0)
+                > 1.6448536269514722
+            AND ((mb - ma) / 100.0 - 0.5)
+                / (sqrt(va / n_a + vb / n_b) / 100.0)
+                < -1.6448536269514722) AS equivalent
+    FROM wide
+"""
+
+
 def q_stats_bayes_ab(spark, sf_dir):
     """Exact Bayesian A/B probability P(p_B > p_A) under Beta(1,1)
     priors (operators/stats.py::bayes_ab_beta — the Cook/Miller
@@ -19533,6 +19624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_tmle": q_stats_tmle,
         "stats_fisher_exact": q_stats_fisher_exact,
         "stats_bayes_ab": q_stats_bayes_ab,
+        "stats_tost": q_stats_tost,
         "stats_psm": q_stats_psm,
         "stats_multinomial": q_stats_multinomial,
         "survival_ibs": q_survival_ibs,
@@ -22780,6 +22872,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_tmle": _STATS_TMLE_SQL,
         "stats_fisher_exact": _STATS_FISHER_EXACT_SQL,
         "stats_bayes_ab": _STATS_BAYES_AB_SQL,
+        "stats_tost": _STATS_TOST_SQL,
         "stats_psm": _STATS_PSM_SQL,
         "stats_multinomial": _STATS_MULTINOMIAL_SQL,
         "quality_funnel": _QUALITY_FUNNEL_SQL,

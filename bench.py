@@ -390,6 +390,7 @@ HEADLINE = [
     "stats_tmle",
     "stats_fisher_exact",
     "stats_bayes_ab",
+    "stats_tost",
     "stats_psm",
     "stats_multinomial",
     "survival_ibs",

@@ -4857,3 +4857,90 @@ def bayes_ab_beta(
             9,
         ).alias("prob_b_beats_a"),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    margin: float,
+    metric_is_cents: bool = True,
+    z_crit: float = 1.6448536269514722,
+) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987's two one-sided tests —
+    the A/B question significance tests cannot answer: 'is B the
+    SAME as A within ±margin?', the do-no-harm launch gate): with
+    the Welch mean difference d = mean_b − mean_a and its SE,
+
+        t_lower = (d + margin)/SE   must exceed  +z_crit,
+        t_upper = (d − margin)/SE   must fall below −z_crit,
+
+    both at one-sided α = 0.05 (``z_crit`` = Φ⁻¹(0.95), the
+    large-sample normal reference — honest at A/B sample sizes,
+    documented; equivalence at level α needs BOTH, which is why TOST
+    is operationally a 90% CI inside ±margin). Same exact-integer
+    moment machinery as ``welch_ttest`` (one scan, two one-row
+    folds); same two-variant gate and NULL conventions; margin must
+    be positive (named error). Returns one row: (variant_a,
+    variant_b, n_a, n_b, mean_diff, se_diff, t_lower, t_upper,
+    equivalent), 6 dp.
+    """
+    if margin <= 0:
+        raise ValueError("tost_equivalence: margin must be > 0")
+    y = (
+        _cents(F.col(metric_col))
+        if metric_is_cents
+        else F.col(metric_col).cast("long")
+    )
+    m = df.groupBy(F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_acc(y, True)).alias("_s1"),
+        F.sum(_acc(y * y, True)).alias("_s2"),
+    )
+    a = m.orderBy("_v").limit(1).select(
+        F.col("_v").alias("variant_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_s1").alias("_s1a"),
+        F.col("_s2").alias("_s2a"),
+    )
+    b = m.orderBy(F.col("_v").desc()).limit(1).select(
+        F.col("_v").alias("variant_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_s1").alias("_s1b"),
+        F.col("_s2").alias("_s2b"),
+    )
+    nv = m.agg(F.count(F.lit(1)).alias("_nv"))
+    j = a.crossJoin(b).crossJoin(nv)
+    div = 100.0 if metric_is_cents else 1.0
+
+    def stats(n, s1, s2):
+        nn = F.col(n).cast("double")
+        m_ = F.col(s1).cast("double") / nn
+        var = (F.col(s2).cast("double") - nn * m_ * m_) / (nn - 1)
+        return m_, var
+
+    ma, va = stats("n_a", "_s1a", "_s2a")
+    mb, vb = stats("n_b", "_s1b", "_s2b")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = (mb - ma) / F.lit(div)
+    se = F.sqrt(va / na + vb / nb) / F.lit(div)
+    t_lo = (d + F.lit(float(margin))) / se
+    t_hi = (d - F.lit(float(margin))) / se
+    ok = (
+        (F.col("_nv") == 2)
+        & (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (va / na + vb / nb > 0)
+    )
+    zc = F.lit(float(z_crit))
+    return j.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("mean_diff"),
+        F.when(ok, F.round(se, 6)).alias("se_diff"),
+        F.when(ok, F.round(t_lo, 6)).alias("t_lower"),
+        F.when(ok, F.round(t_hi, 6)).alias("t_upper"),
+        F.when(ok, (t_lo > zc) & (t_hi < -zc)).alias("equivalent"),
+    )

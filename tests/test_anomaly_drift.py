@@ -2419,3 +2419,94 @@ def test_bayes_ab_beta_exact_formula(spark):
         bayes_ab_beta(
             df, ["grp"], "v", "cs", max_terms=10
         ).collect()
+
+
+def test_tost_equivalence(spark):
+    """TOST: matches a hand Welch computation; truly-equal variants
+    with a generous margin declare equivalence while a real shift
+    bigger than the margin does not; a significant-but-tiny shift
+    IS equivalent (the case TOST exists for); margin guard raises;
+    repartition-invariant."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        tost_equivalence,
+    )
+
+    def u(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000
+        ) / 1000.0
+
+    # equal means, margin 0.5 -> equivalent
+    rows = [("A", 10.0 + u(i, "a")) for i in range(4000)] + [
+        ("B", 10.0 + u(i, "b")) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "v string, m double")
+    r = tost_equivalence(df, "v", "m", margin=0.5).collect()[0]
+    assert r.equivalent is True
+    assert abs(r.mean_diff) < 0.05 and r.t_lower > 0 > r.t_upper
+
+    # hand check of the statistics
+    av = [m for v, m in rows if v == "A"]
+    bv = [m for v, m in rows if v == "B"]
+
+    def cents_moments(vals):
+        # engine _cents uses HALF_UP (F.round); Python round is
+        # banker's, so mirror HALF_UP explicitly
+        import decimal
+
+        cs = [
+            int(
+                decimal.Decimal(x * 100).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for x in vals
+        ]
+        n = len(cs)
+        s1, s2 = sum(cs), sum(c * c for c in cs)
+        mean = s1 / n
+        var = (s2 - n * mean * mean) / (n - 1)
+        return n, mean, var
+
+    na, ma_, va = cents_moments(av)
+    nb, mb_, vb = cents_moments(bv)
+    d = (mb_ - ma_) / 100.0
+    se = math.sqrt(va / na + vb / nb) / 100.0
+    assert r.mean_diff == round(d, 6)
+    assert r.se_diff == round(se, 6)
+    assert r.t_lower == round((d + 0.5) / se, 6)
+    assert r.t_upper == round((d - 0.5) / se, 6)
+
+    # a shift LARGER than the margin is not equivalent
+    far = spark.createDataFrame(
+        [("A", 10.0 + u(i, "a")) for i in range(4000)]
+        + [("B", 11.0 + u(i, "b")) for i in range(4000)],
+        "v string, m double",
+    )
+    rf = tost_equivalence(far, "v", "m", margin=0.5).collect()[0]
+    assert rf.equivalent is False
+
+    # a tiny-but-significant shift IS equivalent under a wide margin
+    tiny = spark.createDataFrame(
+        [("A", 10.0 + u(i, "a")) for i in range(4000)]
+        + [("B", 10.03 + u(i, "b")) for i in range(4000)],
+        "v string, m double",
+    )
+    rt = tost_equivalence(tiny, "v", "m", margin=0.5).collect()[0]
+    assert rt.equivalent is True and abs(rt.mean_diff) > 0.02
+
+    again = tost_equivalence(
+        df.repartition(32), "v", "m", margin=0.5
+    ).collect()[0]
+    assert tuple(again) == tuple(r)
+
+    with pytest.raises(ValueError, match="margin"):
+        tost_equivalence(df, "v", "m", margin=0.0)
