@@ -1022,7 +1022,16 @@ def absorbing_chain(
                  F.col("_next").alias("_to"))
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    rows = trans.collect()
+    # bounded collect: fetch at most max_states^2 + 1 cells so an
+    # unbounded state column cannot flood the driver — the limit is
+    # only reached when we are about to raise anyway
+    cap = max_states * max_states
+    rows = trans.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"absorbing_chain: transition cells exceed max_states^2="
+            f"{cap} (state cardinality too high)"
+        )
     states = sorted(
         {r["_from"] for r in rows} | {r["_to"] for r in rows}
         | set(absorbing)

@@ -258,3 +258,57 @@ def write_bucketed(
         s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(s[0], *s[1:])
     w.saveAsTable(table)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """INCREMENTAL truncate-and-replace: overwrite ONLY the
+    partitions present in ``df``, leaving every other partition's
+    data untouched — the nightly-reload shape a 100 TB lake actually
+    uses (reloading one DATE_DIAGNOSIS_WINDOW batch must not rewrite
+    the table; ``overwrite_table`` replaces the whole thing by
+    design).
+
+    Implemented with Spark's dynamic partition-overwrite mode
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``) scoped to
+    THIS write and restored afterward — the session default (static)
+    would silently DELETE the untouched partitions, the classic
+    footgun this wrapper exists to fence off. First-write on a fresh
+    path degenerates to a plain partitioned write.
+
+    Unlike the staged S9 sinks there is no whole-table rollback: a
+    mid-write failure can leave the TOUCHED partitions' commit
+    incomplete while untouched partitions stay intact (Spark's
+    committer handles per-partition atomicity for the usual cases) —
+    the blast radius is the reloaded slice, documented. For stronger
+    guarantees use a lakehouse format.
+
+    ``partition_by`` must be non-empty (named error — dynamic
+    overwrite without partitions is just ``overwrite_table``).
+    """
+    if not partition_by:
+        raise ValueError(
+            "overwrite_partitions: partition_by must be non-empty "
+            "(use overwrite_table for whole-table replace)"
+        )
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            stamp_audit(df)
+            .write.mode("overwrite")
+            .format(fmt)
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)

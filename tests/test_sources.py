@@ -437,3 +437,48 @@ def test_overwrite_table_path_failure_keeps_previous(spark, tmp_path):
     v2 = spark.range(2).select(F.col("id"), F.lit("v2").alias("tag"))
     overwrite_table(v2, path)
     assert spark.read.parquet(path).count() == 2
+
+
+def test_overwrite_partitions_touches_only_present_slices(
+    spark, tmp_path
+):
+    """Dynamic partition overwrite: reloading one partition replaces
+    ONLY that slice; untouched partitions keep their rows; a fresh
+    path takes a plain first write; the session overwrite mode is
+    restored afterward; empty partition_by raises."""
+    import pytest
+
+    from cancer_survival_etl_spark.sources.sinks import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [("2016-2020", 1, 10.0), ("2016-2020", 2, 11.0),
+         ("2017-2021", 3, 12.0)],
+        "window string, id int, v double",
+    )
+    overwrite_partitions(base, path, ["window"])
+    assert spark.read.parquet(path).count() == 3
+
+    # reload ONE window with different rows
+    reload_ = spark.createDataFrame(
+        [("2016-2020", 9, 99.0)], "window string, id int, v double"
+    )
+    overwrite_partitions(reload_, path, ["window"])
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    rows = {
+        (r["window"], r["id"]) for r in got.select("window", "id").collect()
+    }
+    assert rows == {("2016-2020", 9), ("2017-2021", 3)}
+
+    # audit column stamped
+    assert "_TIMESTAMP" in got.columns
+
+    # session mode untouched afterward
+    key = "spark.sql.sources.partitionOverwriteMode"
+    assert spark.conf.get(key, "STATIC").upper() == "STATIC"
+
+    with pytest.raises(ValueError, match="partition_by"):
+        overwrite_partitions(base, path, [])
