@@ -17649,6 +17649,127 @@ _STATS_PSM_SQL = """
 """
 
 
+def q_eval_qini(spark, sf_dir):
+    """Qini coefficient for uplift rankings (operators/stats.py::
+    qini_coefficient — distinct-score tie cells, one multi-column
+    global_prefix_sum down the score axis, micro-lattice trapezoid
+    fold): a segment-level uplift plant over orders (responders only
+    when treated in the top segment) scored by the true segment —
+    ties enter together by the histogram discipline. FULLY
+    closed-form — the oracle replays the cells, both cumulative U
+    reads, and the trapezoid area bit-exactly, no verdict
+    literals."""
+    from cancer_survival_etl_spark.operators.stats import (
+        qini_coefficient,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    seg = (F.col("o_orderkey") % 3).cast("double")
+    t = (u(9) < 0.5).cast("int")
+    lift = F.when(seg == 2, F.lit(0.4)).otherwise(F.lit(0.0))
+    p = F.lit(0.1) + lift * t
+    yv = (u(17) < p).cast("double")
+    cohort = d.select(
+        seg.alias("score"), t.alias("t"), yv.alias("y")
+    )
+    return qini_coefficient(cohort, "score", "t", "y")
+
+
+_EVAL_QINI_SQL = """
+    WITH coh AS (
+        SELECT CAST(o_orderkey % 3 AS DOUBLE) AS score,
+               CASE WHEN (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 9, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.5
+                    THEN 1 ELSE 0 END AS t,
+               (CAST(concat('0x',
+                        substring(md5(o_orderkey::VARCHAR), 17, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 AS uy
+        FROM orders
+    ),
+    z AS (
+        SELECT score, t,
+               CASE WHEN uy < 0.1 + (CASE WHEN score = 2 THEN 0.4
+                                          ELSE 0.0 END) * t
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM coh
+    ),
+    cells AS (
+        SELECT -score AS ns,
+               CAST(sum(t) AS BIGINT) AS nt,
+               CAST(sum(1 - t) AS BIGINT) AS nc,
+               CAST(sum(CAST(round(t * y * 1000000.0, 0)
+                             AS BIGINT)) AS BIGINT) AS yt,
+               CAST(sum(CAST(round((1 - t) * y * 1000000.0, 0)
+                             AS BIGINT)) AS BIGINT) AS yc
+        FROM z GROUP BY 1
+    ),
+    pre AS (
+        SELECT *,
+               coalesce(sum(nt) OVER w, 0) AS pnt,
+               coalesce(sum(nc) OVER w, 0) AS pnc,
+               coalesce(sum(yt) OVER w, 0) AS pyt,
+               coalesce(sum(yc) OVER w, 0) AS pyc
+        FROM cells
+        WINDOW w AS (ORDER BY ns ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    traps AS (
+        SELECT nt, nc, yt, yc,
+               CAST(round((
+                   (CASE WHEN pnc > 0
+                         THEN pyt / 1000000.0 - pyc / 1000000.0
+                              * (CAST(pnt AS DOUBLE) / pnc)
+                         ELSE pyt / 1000000.0 END)
+                   + (CASE WHEN pnc + nc > 0
+                           THEN (pyt + yt) / 1000000.0
+                                - (pyc + yc) / 1000000.0
+                                * (CAST(pnt + nt AS DOUBLE)
+                                   / (pnc + nc))
+                           ELSE (pyt + yt) / 1000000.0 END)
+               ) / 2 * CAST(nt + nc AS DOUBLE) * 1000000.0, 0)
+                   AS BIGINT) AS trap
+        FROM pre
+    ),
+    agg AS (
+        SELECT CAST(sum(nt + nc) AS BIGINT) AS n,
+               CAST(sum(nt) AS BIGINT) AS tn,
+               CAST(sum(nc) AS BIGINT) AS cn,
+               CAST(sum(trap) AS BIGINT) AS area_l,
+               CAST(sum(yt) AS BIGINT) AS syt,
+               CAST(sum(yc) AS BIGINT) AS syc
+        FROM traps
+    )
+    SELECT n, tn AS n_treated, cn AS n_control,
+           round(CASE WHEN cn > 0
+                      THEN syt / 1000000.0 - syc / 1000000.0
+                           * (CAST(tn AS DOUBLE) / cn)
+                      ELSE syt / 1000000.0 END, 6) AS u_total,
+           round(area_l / 1000000.0 / CAST(n AS DOUBLE), 6)
+               AS qini_area,
+           round((CASE WHEN cn > 0
+                       THEN syt / 1000000.0 - syc / 1000000.0
+                            * (CAST(tn AS DOUBLE) / cn)
+                       ELSE syt / 1000000.0 END) / 2, 6)
+               AS qini_random,
+           round(area_l / 1000000.0 / CAST(n AS DOUBLE)
+                 - (CASE WHEN cn > 0
+                         THEN syt / 1000000.0 - syc / 1000000.0
+                              * (CAST(tn AS DOUBLE) / cn)
+                         ELSE syt / 1000000.0 END) / 2, 6)
+               AS qini_coefficient
+    FROM agg
+"""
+
+
 def q_stats_tost(spark, sf_dir):
     """TOST equivalence test (operators/stats.py::tost_equivalence —
     Schuirmann's two one-sided tests on the welch_ttest exact-cents
@@ -19625,6 +19746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_fisher_exact": q_stats_fisher_exact,
         "stats_bayes_ab": q_stats_bayes_ab,
         "stats_tost": q_stats_tost,
+        "eval_qini": q_eval_qini,
         "stats_psm": q_stats_psm,
         "stats_multinomial": q_stats_multinomial,
         "survival_ibs": q_survival_ibs,
@@ -22873,6 +22995,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_fisher_exact": _STATS_FISHER_EXACT_SQL,
         "stats_bayes_ab": _STATS_BAYES_AB_SQL,
         "stats_tost": _STATS_TOST_SQL,
+        "eval_qini": _EVAL_QINI_SQL,
         "stats_psm": _STATS_PSM_SQL,
         "stats_multinomial": _STATS_MULTINOMIAL_SQL,
         "quality_funnel": _QUALITY_FUNNEL_SQL,

@@ -391,6 +391,7 @@ HEADLINE = [
     "stats_fisher_exact",
     "stats_bayes_ab",
     "stats_tost",
+    "eval_qini",
     "stats_psm",
     "stats_multinomial",
     "survival_ibs",

@@ -2510,3 +2510,90 @@ def test_tost_equivalence(spark):
 
     with pytest.raises(ValueError, match="margin"):
         tost_equivalence(df, "v", "m", margin=0.0)
+
+
+def test_qini_coefficient_orderings_and_reference(spark):
+    """Qini: matches a pure-Python trapezoid reference on a tied,
+    mixed cohort; a perfect uplift ranking scores positive, the
+    reversed ranking scores the mirrored negative, and a constant
+    score (one giant tie) scores ~0; repartition-invariant."""
+    import hashlib
+
+    from cancer_survival_etl_spark.operators.stats import (
+        qini_coefficient,
+    )
+
+    def u(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000
+        ) / 1000.0
+
+    # true uplift depends on segment s in {0,1,2}: responders only
+    # when treated and s=2
+    rows = []
+    for i in range(3000):
+        s = i % 3
+        t = 1 if u(i, "t") < 0.5 else 0
+        base = 0.1
+        lift = 0.4 if s == 2 else 0.0
+        p = base + lift * t
+        y = 1.0 if u(i, "y") < p else 0.0
+        score = float(s)  # ties within segments — the perfect model
+        rows.append((score, t, y))
+    df = spark.createDataFrame(rows, "score double, t int, y double")
+    r = qini_coefficient(df, "score", "t", "y").collect()[0]
+
+    # pure-Python reference on the same tie discipline
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0.0, 0.0])
+    for score, t, y in rows:
+        c = cells[score]
+        c[0] += t
+        c[1] += 1 - t
+        c[2] += y if t else 0.0
+        c[3] += y if not t else 0.0
+    n = len(rows)
+    cum = [0, 0, 0.0, 0.0]
+    prev_u, area = 0.0, 0.0
+    for score in sorted(cells, reverse=True):
+        nt, nc, yt, yc = cells[score]
+        cum = [cum[0] + nt, cum[1] + nc, cum[2] + yt, cum[3] + yc]
+        uu = (
+            cum[2] - cum[3] * cum[0] / cum[1]
+            if cum[1] > 0
+            else cum[2]
+        )
+        area += (prev_u + uu) / 2 * (nt + nc)
+        prev_u = uu
+    area /= n
+    u_tot = prev_u
+    assert abs(r.qini_area - area) < 1e-4
+    assert abs(r.u_total - u_tot) < 1e-4
+    assert abs(r.qini_coefficient - (area - u_tot / 2)) < 1e-4
+    assert r.qini_coefficient > 10  # perfect ranking concentrates
+
+    # reversed ranking mirrors the sign
+    rev = qini_coefficient(
+        df.withColumn("score", -F.col("score")), "score", "t", "y"
+    ).collect()[0]
+    assert rev.qini_coefficient < -10
+    assert abs(
+        (r.qini_coefficient - r.qini_random * 0)
+        + rev.qini_coefficient
+        - (r.u_total - 2 * r.qini_random)
+    ) < 1.0  # mirrored around the random line
+
+    # constant score: one tie class, curve is the straight line
+    const = qini_coefficient(
+        df.withColumn("score", F.lit(1.0)), "score", "t", "y"
+    ).collect()[0]
+    assert abs(const.qini_coefficient) < 1e-6
+
+    again = qini_coefficient(
+        df.repartition(32), "score", "t", "y"
+    ).collect()[0]
+    assert tuple(again) == tuple(r)
