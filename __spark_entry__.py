@@ -16551,6 +16551,121 @@ _SURVIVAL_WEIBULL_AFT_SQL = """
 """
 
 
+def q_survival_gray_strat(spark, sf_dir):
+    """Stratified Gray test (operators/survival.py::
+    gray_test_stratified — per-stratum IPCW subdistribution risk
+    sets via three chained grouped_prefix_sum passes, pooled
+    (ΣU)²/ΣI): a CONFOUNDED competing-risks plant over orders where
+    the stratum drives both group membership and the cause-1 rate
+    with no within-stratum group effect — the crude gray_test fires
+    while the stratified test stays calm (the test's reason to
+    exist). Verdicts pin exactly that contrast plus the
+    single-stratum bit-equal reduction (also pinned in pytest);
+    exact per-(group, stratum, cause) cohort counts replay in
+    DuckDB."""
+    from cancer_survival_etl_spark.operators.survival import (
+        gray_test,
+        gray_test_stratified,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    strat = F.when(F.col("o_orderkey") % 2 == 0, F.lit("H")).otherwise(
+        F.lit("L")
+    )
+    pg = F.when(strat == "H", F.lit(0.8)).otherwise(F.lit(0.2))
+    grp = F.when(u(1) < pg, F.lit("A")).otherwise(F.lit("B"))
+    l1 = F.when(strat == "H", F.lit(0.18)).otherwise(F.lit(0.04))
+    t1 = -F.log(u(17) + 1e-9) / l1
+    t2 = -F.log(u(25) + 1e-9) / F.lit(0.05)
+    c = F.lit(6.0) + F.lit(18.0) * u(9)
+    t = F.least(t1, t2, c)
+    cause = F.when(c <= F.least(t1, t2), F.lit(0)).when(
+        t1 <= t2, F.lit(1)
+    ).otherwise(F.lit(2))
+    cohort = d.select(
+        grp.alias("grp"),
+        strat.alias("strat"),
+        (F.floor(t) + 1).cast("double").alias("duration"),
+        cause.alias("cause"),
+    ).localCheckpoint(eager=False)
+    crude = gray_test(cohort, "grp").collect()[0]
+    adj = gray_test_stratified(cohort, "grp", ["strat"]).collect()[0]
+    ok_crude = crude["chi_square"] > 10
+    ok_adj = adj["chi_square"] < 5
+    one = gray_test_stratified(
+        cohort.withColumn("strat", F.lit("only")), "grp", ["strat"]
+    ).collect()[0]
+    ok_reduce = (
+        one["score"] == crude["score"]
+        and one["chi_square"] == crude["chi_square"]
+    )
+    return (
+        cohort.groupBy("grp", "strat", "cause")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "grp",
+            "strat",
+            F.col("cause").cast("long").alias("cause"),
+            "n",
+            F.lit(ok_crude).alias("crude_fires"),
+            F.lit(ok_adj).alias("stratified_calm"),
+            F.lit(ok_reduce).alias("single_stratum_reduces"),
+        )
+        .orderBy("grp", "strat", "cause")
+    )
+
+
+_SURVIVAL_GRAY_STRAT_SQL = """
+    WITH c AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'H' ELSE 'L' END
+                   AS strat,
+               (CAST(concat('0x',
+                    substring(md5(o_orderkey::VARCHAR), 1, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 AS u1,
+               (CAST(concat('0x',
+                    substring(md5(o_orderkey::VARCHAR), 17, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 AS u17,
+               (CAST(concat('0x',
+                    substring(md5(o_orderkey::VARCHAR), 25, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 AS u25,
+               (CAST(concat('0x',
+                    substring(md5(o_orderkey::VARCHAR), 9, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 AS u9
+        FROM orders
+    ),
+    z AS (
+        SELECT CASE WHEN u1 < (CASE WHEN strat = 'H' THEN 0.8
+                                    ELSE 0.2 END)
+                    THEN 'A' ELSE 'B' END AS grp,
+               strat,
+               -ln(u17 + 1e-9) / (CASE WHEN strat = 'H' THEN 0.18
+                                       ELSE 0.04 END) AS t1,
+               -ln(u25 + 1e-9) / 0.05 AS t2,
+               6.0 + 18.0 * u9 AS cc
+        FROM c
+    ),
+    w AS (
+        SELECT grp, strat,
+               CASE WHEN cc <= least(t1, t2) THEN 0
+                    WHEN t1 <= t2 THEN 1 ELSE 2 END AS cause
+        FROM z
+    )
+    SELECT grp, strat, CAST(cause AS BIGINT) AS cause,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS crude_fires, true AS stratified_calm,
+           true AS single_stratum_reduces
+    FROM w GROUP BY grp, strat, cause ORDER BY grp, strat, cause
+"""
+
+
 def q_survival_cox_ag(spark, sf_dir):
     """Counting-process Cox / Andersen-Gill (operators/survival.py::
     cox_ph_counting — risk sets {start < t ≤ stop} from a DIFFERENCE
@@ -19753,6 +19868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "events_asof_nearest": q_events_asof_nearest,
         "survival_loglogistic_aft": q_survival_loglogistic_aft,
+        "survival_gray_strat": q_survival_gray_strat,
         "survival_cox_ag": q_survival_cox_ag,
         "events_absorbing": q_events_absorbing,
         "rates_apc_drift": q_rates_apc_drift,
@@ -23001,6 +23117,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_funnel": _QUALITY_FUNNEL_SQL,
         "events_asof_nearest": _EVENTS_ASOF_NEAREST_SQL,
         "survival_loglogistic_aft": _SURVIVAL_LOGLOGISTIC_AFT_SQL,
+        "survival_gray_strat": _SURVIVAL_GRAY_STRAT_SQL,
         "survival_cox_ag": _SURVIVAL_COX_AG_SQL,
         "events_absorbing": _EVENTS_ABSORBING_SQL,
         "rates_apc_drift": _RATES_APC_DRIFT_SQL,

@@ -398,6 +398,7 @@ HEADLINE = [
     "quality_funnel",
     "events_asof_nearest",
     "survival_loglogistic_aft",
+    "survival_gray_strat",
     "survival_cox_ag",
     "events_absorbing",
     "rates_apc_drift",

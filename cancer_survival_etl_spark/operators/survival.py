@@ -9455,3 +9455,138 @@ def cox_ph_counting(
             round(float(np.sqrt(cov[j, j])), 9) for j in range(p)
         ]
     return beta
+
+
+def gray_test_stratified(
+    df: DataFrame,
+    group_col: str,
+    strata_cols: Sequence[str],
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """STRATIFIED Gray-type test for equality of cumulative incidence
+    functions — ``gray_test`` with per-stratum risk sets and censoring
+    KMs (the competing-risks analogue of ``logrank_test``'s
+    ``strata`` form): each stratum contributes its own score U_s and
+    information I_s from its own IPCW-weighted subdistribution risk
+    sets, and the pooled statistic is
+
+        χ² = (Σ_s U_s)² / Σ_s I_s,  1 df —
+
+    the adjustment for center/age-band when CIF levels differ by
+    stratum but the group contrast is shared. Same β = 0 Fine-Gray
+    score machinery as ``gray_test`` (see it for the formulas and
+    the lattice story), with every global pass swapped for its keyed
+    sibling: per-(stratum, duration) cells, per-stratum totals
+    broadcast back, and THREE chained ``grouped_prefix_sum`` passes
+    (hot strata span range partitions). With ONE stratum the longs
+    are identical to ``gray_test``'s, so the statistic reduces
+    bit-equal (pinned in tests).
+
+    Returns one row: n_strata, n_subjects_1/2, events_1, expected_1,
+    score, information, chi_square (6 dp).
+    """
+    strata = list(strata_cols)
+    if not strata:
+        raise ValueError(
+            "gray_test_stratified: strata_cols must be non-empty "
+            "(use gray_test)"
+        )
+    gvals = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col)
+        .collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(
+            f"gray_test_stratified needs exactly 2 groups, got {gvals}"
+        )
+    g1 = gvals[0]
+    is1 = (F.col(group_col) == F.lit(g1)).cast("long")
+    cz = F.col(cause_col).cast("long")
+    is_ev = (cz == 1).cast("long")
+    is_cen = (cz == 0).cast("long")
+    is_cmp = (cz == 2).cast("long")
+    nano = F.lit(1000000000.0)
+    micro = F.lit(1000000.0)
+
+    cells = df.groupBy(*strata, duration_col).agg(
+        F.sum(is_ev * is1).alias("d1"),
+        F.sum(is_ev).alias("d"),
+        F.sum(is_cen).alias("cen"),
+        F.sum(is_cmp * is1).alias("m1"),
+        F.sum(is_cmp).alias("m"),
+        F.sum(is1).alias("rm1"),
+        F.count(F.lit(1)).alias("rm"),
+    )
+    tot = cells.groupBy(*strata).agg(
+        F.sum("rm1").alias("_n1"), F.sum("rm").alias("_n")
+    )
+    cells = grouped_prefix_sum(
+        cells, strata, duration_col, ["rm1", "rm"],
+        ["rm1_before", "rm_before"],
+    ).join(F.broadcast(tot), strata)
+    n_at = F.col("_n") - F.col("rm_before")
+    g_term = F.when(
+        (F.col("cen") > 0) & (F.col("cen") < n_at),
+        _micro(F.log(F.lit(1.0) - F.col("cen") / n_at)),
+    ).otherwise(F.lit(0).cast("long"))
+    cells = cells.withColumn("_g_term", g_term)
+    cells = grouped_prefix_sum(
+        cells, strata, duration_col, ["_g_term"], ["_lng_left"]
+    )
+    ginv = F.exp(-F.col("_lng_left") / micro)
+    cells = cells.withColumn(
+        "c0", F.round(F.col("m") * ginv * nano, 0).cast("long")
+    ).withColumn(
+        "c1", F.round(F.col("m1") * ginv * nano, 0).cast("long")
+    )
+    cells = grouped_prefix_sum(
+        cells, strata, duration_col, ["c0", "c1"],
+        ["c0_before", "c1_before"],
+    )
+    gleft = F.exp(F.col("_lng_left") / micro)
+    s0 = (F.col("_n") - F.col("rm_before")) + gleft * (
+        F.col("c0_before") / nano
+    )
+    s1 = (F.col("_n1") - F.col("rm1_before")) + gleft * (
+        F.col("c1_before") / nano
+    )
+    d = F.col("d")
+    ratio = s1 / s0
+    u_term = F.when(
+        d > 0,
+        F.round((F.col("d1") - d * ratio) * nano, 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    e_term = F.when(
+        d > 0, F.round(d * ratio * nano, 0).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    i_term = F.when(
+        d > 0,
+        F.round(d * ratio * (F.lit(1.0) - ratio) * nano, 0).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    n_by = tot.agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.sum("_n1").alias("_tn1"),
+        F.sum("_n").alias("_tn"),
+    )
+    out = cells.agg(
+        F.sum("d1").alias("events_1"),
+        F.round(F.sum(e_term) / nano, 6).alias("expected_1"),
+        (F.sum(u_term) / nano).alias("_u"),
+        (F.sum(i_term) / nano).alias("_i"),
+    ).crossJoin(F.broadcast(n_by))
+    return out.select(
+        F.col("_ns").alias("n_strata"),
+        F.col("_tn1").alias("n_subjects_1"),
+        (F.col("_tn") - F.col("_tn1")).alias("n_subjects_2"),
+        "events_1",
+        "expected_1",
+        F.round(F.col("_u"), 6).alias("score"),
+        F.round(F.col("_i"), 6).alias("information"),
+        F.round(F.col("_u") * F.col("_u") / F.col("_i"), 6).alias(
+            "chi_square"
+        ),
+    )

@@ -6211,3 +6211,90 @@ def test_cox_ph_counting_reduction_truncation_and_ag(spark):
         cox_ph_counting(df.union(bad), ["x"], iters=1)
     with pytest.raises(ValueError, match="iters"):
         cox_ph_counting(df, ["x"], iters=0)
+
+
+def test_gray_test_stratified_reduction_and_adjustment(spark):
+    """Stratified Gray: one stratum reduces BIT-equal to gray_test;
+    a confounded plant (stratum drives both group membership and
+    CIF level, no within-stratum group effect) shows the UNstratified
+    test firing while the stratified one stays calm; a real shared
+    group effect fires both; guards raise."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        gray_test,
+        gray_test_stratified,
+    )
+
+    def u(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000000
+        ) / 1000000.0 + 1e-9
+
+    def cohort(n, lam1_fn, grp_fn, strat_fn):
+        rows = []
+        for i in range(n):
+            s = strat_fn(i)
+            g = grp_fn(i, s)
+            l1 = lam1_fn(g, s)
+            t1 = -math.log(u(i, "t1")) / l1
+            t2 = -math.log(u(i, "t2")) / 0.05
+            c = 6.0 + 18.0 * u(i, "c")
+            t = min(t1, t2, c)
+            cause = 0 if c <= min(t1, t2) else (1 if t1 <= t2 else 2)
+            rows.append((g, s, float(int(t) + 1), cause))
+        return spark.createDataFrame(
+            rows, "grp string, strat string, duration double, cause int"
+        )
+
+    # single stratum: bit-equal reduction
+    df1 = cohort(
+        600,
+        lambda g, s: 0.10 if g == "A" else 0.05,
+        lambda i, s: "A" if i % 2 == 0 else "B",
+        lambda i: "only",
+    )
+    rs = gray_test_stratified(df1, "grp", ["strat"]).collect()[0]
+    rg = gray_test(df1, "grp").collect()[0]
+    assert (rs.score, rs.information, rs.chi_square) == (
+        rg.score, rg.information, rg.chi_square,
+    )
+    assert rs.n_strata == 1 and rs.events_1 == rg.events_1
+
+    # confounding: stratum H has high CIF AND mostly group A; no
+    # within-stratum group effect
+    dfc = cohort(
+        3000,
+        lambda g, s: 0.18 if s == "H" else 0.04,
+        lambda i, s: ("A" if u(i, "g") < (0.8 if s == "H" else 0.2)
+                      else "B"),
+        lambda i: "H" if i % 2 == 0 else "L",
+    )
+    crude = gray_test(dfc, "grp").collect()[0]
+    adj = gray_test_stratified(dfc, "grp", ["strat"]).collect()[0]
+    assert crude.chi_square > 15
+    assert adj.chi_square < 4
+
+    # shared effect fires both
+    dfe = cohort(
+        2000,
+        lambda g, s: (0.14 if g == "A" else 0.05)
+        * (1.5 if s == "H" else 1.0),
+        lambda i, s: "A" if i % 2 == 0 else "B",
+        lambda i: "H" if i % 3 == 0 else "L",
+    )
+    both = gray_test_stratified(dfe, "grp", ["strat"]).collect()[0]
+    assert both.chi_square > 15
+
+    with pytest.raises(ValueError, match="non-empty"):
+        gray_test_stratified(df1, "grp", [])
+    with pytest.raises(ValueError, match="exactly 2"):
+        gray_test_stratified(
+            df1.withColumn("grp", F.lit("Z")), "grp", ["strat"]
+        )
