@@ -17980,8 +17980,8 @@ def q_stats_bayes_ab(spark, sf_dir):
     """Exact Bayesian A/B probability P(p_B > p_A) under Beta(1,1)
     priors (operators/stats.py::bayes_ab_beta — the Cook/Miller
     finite sum on fisher_exact's lgamma-free telescoping lattice):
-    the same 1-in-199 orders slice as stats_fisher_exact (the
-    small-count regime exactness is for), variant B planted at a
+    a 1-in-23 orders slice (small-count regime, dense enough that
+    both variants exist per tier at sf0.001), variant B planted at a
     higher case rate (0.28 vs 0.2), grouped by priority tier. FULLY
     closed-form — the oracle replays ln T₀'s generate_series fold,
     the ratio-step prefix, and the pico term sum bit-exactly, no
@@ -17989,7 +17989,7 @@ def q_stats_bayes_ab(spark, sf_dir):
     from cancer_survival_etl_spark.operators.stats import bayes_ab_beta
 
     d = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 199 == 0
+        F.col("o_orderkey") % 23 == 0
     )
     key = F.col("o_orderkey").cast("string")
 
@@ -18027,7 +18027,7 @@ _STATS_BAYES_AB_SQL = """
                (CAST(concat('0x',
                         substring(md5(o_orderkey::VARCHAR), 17, 8))
                         AS BIGINT) % 1000000) / 1000000.0 AS u17
-        FROM orders WHERE o_orderkey % 199 = 0
+        FROM orders WHERE o_orderkey % 23 = 0
     ),
     cc AS (
         SELECT tier, v,
