@@ -17764,6 +17764,104 @@ _STATS_PSM_SQL = """
 """
 
 
+def q_stats_cronbach(spark, sf_dir):
+    """Cronbach's alpha (operators/stats.py::cronbach_alpha — one
+    map-side aggregate of exact micro-lattice item moments): a
+    4-item instrument planted from a shared latent factor plus item
+    noise over orders, the QoL-scale reliability shape. FULLY
+    closed-form — the oracle replays the micro moments and the α
+    expression bit-exactly, no verdict literals."""
+    from cancer_survival_etl_spark.operators.stats import cronbach_alpha
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+
+    def u(lo):
+        return (
+            F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long")
+            % 1000000
+        ) / 1000000.0
+
+    f0 = u(1)
+    items = [
+        F.round(f0 + F.lit(0.35) * u(9 + 4 * j), 3).alias(f"i{j}")
+        for j in range(4)
+    ]
+    cohort = d.select(*items)
+    return cronbach_alpha(cohort, [f"i{j}" for j in range(4)])
+
+
+_STATS_CRONBACH_SQL = """
+    WITH c AS (
+        SELECT
+          round((CAST(concat('0x', substring(md5(o_orderkey::VARCHAR),
+                 1, 8)) AS BIGINT) % 1000000) / 1000000.0
+                + 0.35 * (CAST(concat('0x',
+                 substring(md5(o_orderkey::VARCHAR), 9, 8))
+                 AS BIGINT) % 1000000) / 1000000.0, 3) AS i0,
+          round((CAST(concat('0x', substring(md5(o_orderkey::VARCHAR),
+                 1, 8)) AS BIGINT) % 1000000) / 1000000.0
+                + 0.35 * (CAST(concat('0x',
+                 substring(md5(o_orderkey::VARCHAR), 13, 8))
+                 AS BIGINT) % 1000000) / 1000000.0, 3) AS i1,
+          round((CAST(concat('0x', substring(md5(o_orderkey::VARCHAR),
+                 1, 8)) AS BIGINT) % 1000000) / 1000000.0
+                + 0.35 * (CAST(concat('0x',
+                 substring(md5(o_orderkey::VARCHAR), 17, 8))
+                 AS BIGINT) % 1000000) / 1000000.0, 3) AS i2,
+          round((CAST(concat('0x', substring(md5(o_orderkey::VARCHAR),
+                 1, 8)) AS BIGINT) % 1000000) / 1000000.0
+                + 0.35 * (CAST(concat('0x',
+                 substring(md5(o_orderkey::VARCHAR), 21, 8))
+                 AS BIGINT) % 1000000) / 1000000.0, 3) AS i3
+        FROM orders
+    ),
+    y AS (
+        SELECT CAST(round(i0 * 1000000.0, 0) AS BIGINT) AS y0,
+               CAST(round(i1 * 1000000.0, 0) AS BIGINT) AS y1,
+               CAST(round(i2 * 1000000.0, 0) AS BIGINT) AS y2,
+               CAST(round(i3 * 1000000.0, 0) AS BIGINT) AS y3
+        FROM c
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y0) AS HUGEINT) AS s0,
+               CAST(sum(CAST(y0 AS HUGEINT) * y0) AS HUGEINT) AS q0,
+               CAST(sum(y1) AS HUGEINT) AS s1,
+               CAST(sum(CAST(y1 AS HUGEINT) * y1) AS HUGEINT) AS q1,
+               CAST(sum(y2) AS HUGEINT) AS s2,
+               CAST(sum(CAST(y2 AS HUGEINT) * y2) AS HUGEINT) AS q2,
+               CAST(sum(y3) AS HUGEINT) AS s3,
+               CAST(sum(CAST(y3 AS HUGEINT) * y3) AS HUGEINT) AS q3,
+               CAST(sum(y0 + y1 + y2 + y3) AS HUGEINT) AS st,
+               CAST(sum(CAST(y0 + y1 + y2 + y3 AS HUGEINT)
+                        * (y0 + y1 + y2 + y3)) AS HUGEINT) AS qt
+        FROM y
+    ),
+    v AS (
+        SELECT n,
+               (CAST(q0 AS DOUBLE) - n * (CAST(s0 AS DOUBLE) / n)
+                    * (CAST(s0 AS DOUBLE) / n)) / (n - 1)
+               + (CAST(q1 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n)) / (n - 1)
+               + (CAST(q2 AS DOUBLE) - n * (CAST(s2 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)) / (n - 1)
+               + (CAST(q3 AS DOUBLE) - n * (CAST(s3 AS DOUBLE) / n)
+                    * (CAST(s3 AS DOUBLE) / n)) / (n - 1) AS iv,
+               (CAST(qt AS DOUBLE) - n * (CAST(st AS DOUBLE) / n)
+                    * (CAST(st AS DOUBLE) / n)) / (n - 1) AS tv
+        FROM agg
+    )
+    SELECT n, CAST(4 AS BIGINT) AS k,
+           round(iv / 1000000000000.0, 6) AS sum_item_var,
+           round(tv / 1000000000000.0, 6) AS total_var,
+           CASE WHEN tv > 0
+                THEN round(4.0 / 3.0 * (1.0 - iv / tv), 6)
+           END AS alpha
+    FROM v
+"""
+
+
 def q_eval_qini(spark, sf_dir):
     """Qini coefficient for uplift rankings (operators/stats.py::
     qini_coefficient — distinct-score tie cells, one multi-column
@@ -19862,6 +19960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bayes_ab": q_stats_bayes_ab,
         "stats_tost": q_stats_tost,
         "eval_qini": q_eval_qini,
+        "stats_cronbach": q_stats_cronbach,
         "stats_psm": q_stats_psm,
         "stats_multinomial": q_stats_multinomial,
         "survival_ibs": q_survival_ibs,
@@ -23112,6 +23211,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_bayes_ab": _STATS_BAYES_AB_SQL,
         "stats_tost": _STATS_TOST_SQL,
         "eval_qini": _EVAL_QINI_SQL,
+        "stats_cronbach": _STATS_CRONBACH_SQL,
         "stats_psm": _STATS_PSM_SQL,
         "stats_multinomial": _STATS_MULTINOMIAL_SQL,
         "quality_funnel": _QUALITY_FUNNEL_SQL,

@@ -392,6 +392,7 @@ HEADLINE = [
     "stats_bayes_ab",
     "stats_tost",
     "eval_qini",
+    "stats_cronbach",
     "stats_psm",
     "stats_multinomial",
     "survival_ibs",

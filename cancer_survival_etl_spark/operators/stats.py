@@ -5050,3 +5050,78 @@ def qini_coefficient(
         F.round(rand, 6).alias("qini_random"),
         F.round(area - rand, 6).alias("qini_coefficient"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951) — the reliability check behind every multi-item instrument
+    a registry ingests (QoL scales, deprivation indices, symptom
+    scores):
+
+        α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(Σᵢ itemᵢ)),
+
+    sample variances (n−1). Item values ride the micro lattice
+    (round(x·1e6) longs) so every distributed moment is an exact
+    integer sum — n, Σ and Σ² per item plus the row-total moments
+    all come from ONE map-side-combined aggregate, and α is a single
+    mirrored double expression over them: bit-identical under any
+    partitioning. Zero total variance (all respondents identical)
+    returns NULL α; fewer than two items or two rows raise named
+    errors. Returns one row: (n, k, sum_item_var, total_var, alpha),
+    6 dp.
+    """
+    items = list(item_cols)
+    k = len(items)
+    if k < 2:
+        raise ValueError("cronbach_alpha: need >= 2 item_cols")
+    micro = F.lit(1000000.0)
+    ys = [
+        F.round(F.col(c).cast("double") * micro, 0).cast("long")
+        for c in items
+    ]
+    tot = ys[0]
+    for y in ys[1:]:
+        tot = tot + y
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, y in enumerate(ys):
+        aggs.append(F.sum(y).alias(f"_s{i}"))
+        aggs.append(
+            F.sum(y.cast("decimal(38,0)") * y).alias(f"_q{i}")
+        )
+    aggs.append(F.sum(tot).alias("_st"))
+    aggs.append(
+        F.sum(tot.cast("decimal(38,0)") * tot).alias("_qt")
+    )
+    agg = df.agg(*aggs)
+    n = F.col("_n").cast("double")
+    nn_ok = F.when(
+        F.col("_n") < 2,
+        F.raise_error(
+            F.lit("cronbach_alpha: need >= 2 rows")
+        ).cast("double"),
+    ).otherwise(n)
+
+    def var(s, q):
+        m = F.col(s).cast("double") / nn_ok
+        return (F.col(q).cast("double") - nn_ok * m * m) / (nn_ok - 1)
+
+    item_var = var("_s0", "_q0")
+    for i in range(1, k):
+        item_var = item_var + var(f"_s{i}", f"_q{i}")
+    tot_var = var("_st", "_qt")
+    alpha = (
+        F.lit(float(k))
+        / F.lit(float(k - 1))
+        * (F.lit(1.0) - item_var / tot_var)
+    )
+    mic2 = F.lit(1000000000000.0)
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(item_var / mic2, 6).alias("sum_item_var"),
+        F.round(tot_var / mic2, 6).alias("total_var"),
+        F.when(tot_var > 0, F.round(alpha, 6)).alias("alpha"),
+    )

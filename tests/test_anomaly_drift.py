@@ -2597,3 +2597,89 @@ def test_qini_coefficient_orderings_and_reference(spark):
         df.repartition(32), "score", "t", "y"
     ).collect()[0]
     assert tuple(again) == tuple(r)
+
+
+def test_cronbach_alpha_reference_and_structure(spark):
+    """Cronbach alpha: matches a pure-Python micro-lattice twin;
+    correlated items (shared latent factor) score high while
+    independent noise scores near 0; parallel-forms identity
+    alpha = k*rbar/(1+(k-1)*rbar) approximately holds; guards raise;
+    repartition-invariant."""
+    import hashlib
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import cronbach_alpha
+
+    def u(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 1000
+        ) / 1000.0
+
+    # shared latent factor + item noise
+    rows = []
+    for i in range(800):
+        f = u(i, "f")
+        rows.append(
+            tuple(
+                round(f + 0.35 * u(i, f"e{j}"), 3) for j in range(4)
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "i1 double, i2 double, i3 double, i4 double"
+    )
+    cols = ["i1", "i2", "i3", "i4"]
+    r = cronbach_alpha(df, cols).collect()[0]
+
+    # micro-lattice twin
+    ys = [[round(x * 1e6) for x in col] for col in zip(*rows)]
+    n, k = len(rows), 4
+
+    def var(v):
+        s, q = sum(v), sum(x * x for x in v)
+        m = s / n
+        return (q - n * m * m) / (n - 1)
+
+    iv = sum(var(v) for v in ys)
+    tv = var([sum(t) for t in zip(*ys)])
+    alpha = k / (k - 1) * (1 - iv / tv)
+    assert r.n == n and r.k == k
+    assert r.sum_item_var == round(iv / 1e12, 6)
+    assert r.total_var == round(tv / 1e12, 6)
+    assert r.alpha == round(alpha, 6)
+    assert r.alpha > 0.75
+
+    # Spearman-Brown style identity via the mean inter-item corr
+    import statistics
+
+    cors = []
+    for a in range(k):
+        for b in range(a + 1, k):
+            cors.append(
+                statistics.correlation(ys[a], ys[b])
+            )
+    rbar = sum(cors) / len(cors)
+    sb = k * rbar / (1 + (k - 1) * rbar)
+    assert abs(r.alpha - sb) < 0.05
+
+    # independent noise: alpha near 0
+    noise = spark.createDataFrame(
+        [
+            tuple(u(i, f"n{j}") for j in range(4))
+            for i in range(800)
+        ],
+        "i1 double, i2 double, i3 double, i4 double",
+    )
+    rn = cronbach_alpha(noise, cols).collect()[0]
+    assert abs(rn.alpha) < 0.15
+
+    again = cronbach_alpha(df.repartition(32), cols).collect()[0]
+    assert tuple(again) == tuple(r)
+
+    with pytest.raises(ValueError, match=">= 2 item"):
+        cronbach_alpha(df, ["i1"])
+    with pytest.raises(Exception, match=">= 2 rows"):
+        cronbach_alpha(df.limit(1), cols).collect()
