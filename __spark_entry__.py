@@ -19824,43 +19824,47 @@ def q_stats_mcnemar(spark, sf_dir):
 
 
 # ORDERING IS LOAD-BEARING: the driver's correctness gate adjudicates
-# the FIRST 50 queries() entries. ROUND 9 window (VERDICT r08 item 1):
-# slots 1-7 = the 7 r02 deferrals (the last r02-vintage oracle rows);
-# slots 8-31 = the 24 round-8 queries never driver-adjudicated (judge
-# parity-verified green in VERDICT r08); slot 32 = multimodal_decode
-# (the 8th and final r02-vintage row — rows-only by declared contract,
-# same as its r02 adjudication); slots 33-50 = 18 r03-vintage stale
-# re-checks, prioritizing the driver-bench-flagged stats_rank_sum /
-# stats_spearman / stats_kendall and the heaviest r03 rows. After this
-# window the max oracle staleness is r03-vintage.
-_WINDOW_R09 = [
-    # slots 1-7: the r02 deferrals
-    "sketch_sample_quantiles", "text_chunk", "text_pack_bins",
-    "dataset_mixture", "model_score", "stats_zscore", "stats_histogram",
-    # slots 8-31: the round-8 tranche, first driver check
-    "rates_joinpoint_k", "survival_aipw_contrast", "survival_relative_lt",
-    "survival_rp_td", "survival_ipcw_km", "survival_aipcw_contrast",
-    "stats_firth_logistic", "survival_direct_adjusted", "survival_cindex",
-    "survival_cure_mixture", "survival_km_band", "stats_zip",
-    "survival_cindex_uno", "survival_brier", "survival_rmst_ci",
-    "survival_logrank_renyi", "survival_rmtl", "stats_gee",
-    "survival_auc_td", "survival_calibration", "demography_life_table",
-    "stats_meta_dl", "survival_frailty", "rates_cumulative_risk",
-    # slot 32: last r02-vintage row (rows-only, declared)
-    "multimodal_decode",
-    # slots 33-50: r03-vintage drift re-checks (bench-flagged first)
-    "stats_rank_sum", "stats_spearman", "stats_kendall", "bm25_topk",
-    "tokenizer_bpe_encode", "suppliers_kept_waiting", "ann_pq_adc",
-    "big_orders", "corpus_curation", "custdist", "dedup_semantic",
-    "disjunctive_brand_revenue", "dsir_weights", "eval_bleu",
-    "eval_calibration", "eval_confusion", "eval_kappa", "eval_ndcg",
+# the FIRST 50 queries() entries. ROUND 10 window (VERDICT r09 item 1):
+# slots 1-26 = the 26 round-9 queries never driver-adjudicated (all
+# judge parity-verified green in VERDICT r09, but the driver gate is
+# the record of truth); slot 27 = corpus_ccnet_buckets (closes the r09
+# rotation nit — its last hash adjudication is r04-vintage and it is a
+# classified bench flag, SCALE.md round-9); slots 28-50 = the first 23
+# (alphabetical) of the 31 r03-vintage rows, the longest-stale
+# adjudications remaining (the other 8 — stats_chi_square, stats_cuped,
+# stats_js_divergence, stats_ols_multi, stats_psi_drift, stats_welch,
+# supplier_part_counts, top_supplier — head the r11 window). After this
+# window the never-adjudicated set is EMPTY for the first time since
+# r02. Staleness computed from CORRECTNESS_r01..r09 hash-green records.
+_WINDOW_R10 = [
+    # slots 1-26: the round-9 tranche, first driver check
+    "survival_cox_robust", "survival_fine_gray_strat",
+    "survival_fine_gray_robust", "survival_mcf", "rates_paf",
+    "survival_weibull_aft", "survival_pwe", "stats_ordinal",
+    "stats_tmle", "stats_fisher_exact", "stats_bayes_ab", "stats_tost",
+    "eval_qini", "stats_cronbach", "stats_psm", "stats_multinomial",
+    "survival_ibs", "quality_funnel", "events_asof_nearest",
+    "survival_loglogistic_aft", "survival_gray_strat",
+    "survival_cox_ag", "events_absorbing", "rates_apc_drift",
+    "stats_signed_rank", "stats_friedman",
+    # slot 27: the r09 rotation nit (bench-flag classified, r04 hash)
+    "corpus_ccnet_buckets",
+    # slots 28-50: longest-stale r03-vintage re-checks
+    "eval_rouge", "excess_suppliers", "forecast_revenue",
+    "hybrid_search", "idle_rich_customers", "important_parts",
+    "incremental_agg", "linkage_golden", "lm_score",
+    "local_supplier_revenue", "market_share", "min_cost_supplier",
+    "order_priority_check", "product_profit", "promo_revenue",
+    "record_linkage", "retrieval_diversify", "retrieval_mmr",
+    "returned_items", "sketch_hll_rollup", "small_qty_revenue",
+    "stats_auc", "stats_bh_adjust",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
     # NOTE: literal order below is legacy (r08 window); the served
-    # order is _WINDOW_R09 first, then insertion order — see queries().
+    # order is _WINDOW_R10 first, then insertion order — see queries().
         # ---- round-7 tranche (driver-adjudicated green r08) ----
         "survival_km_turnbull": q_survival_km_turnbull,
         "survival_aalen_additive": q_survival_aalen_additive,
@@ -20224,7 +20228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_bpe_encode": q_tokenizer_bpe_encode,
         "sketch_hll_rollup": q_sketch_hll_rollup,
     }
-    out = {k: base[k] for k in _WINDOW_R09}
+    out = {k: base[k] for k in _WINDOW_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 

@@ -429,6 +429,26 @@ def _baseline_maps(doc: dict, sf_key: str) -> tuple[dict, dict | None]:
     return base, base_min
 
 
+def load_classified() -> dict[str, str]:
+    """Floor-governance map (VERDICT r09 item 3): BENCH_MINIMA.json's
+    top-level "classified" key maps query -> SCALE.md anchor for flags
+    that have already been adjudicated (deliberate correctness trades,
+    reproducible new floors, inter-VM ambient variance). Classified
+    queries are reported SEPARATELY from genuine new regressions so a
+    flag that was litigated in SCALE.md stops reappearing every round.
+    The floors themselves stay monotonic — classification changes
+    reporting, never the recorded minima."""
+    if not os.path.exists(MINIMA_PATH):
+        return {}
+    try:
+        with open(MINIMA_PATH) as fh:
+            doc = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        return {}
+    cls = doc.get("classified", {})
+    return cls if isinstance(cls, dict) else {}
+
+
 def update_minima(mins: dict[str, float], sf_key: str) -> dict[str, float]:
     """Fold this run's per-query minima into MINIMA_PATH monotonically
     (only ever decreasing), keyed by sf. Returns the updated map."""
@@ -463,20 +483,25 @@ def compare(
     cur = timings
     if base_min and mins:
         base, cur = base_min, mins
+    classified = load_classified()
     flagged = []
+    adjudicated = []
     for name, took in sorted(cur.items()):
         prev = base.get(name)
         if prev is None or prev <= 0:
             continue
         ratio = took / prev
         if ratio > REGRESSION_RATIO:
-            flagged.append((name, prev, took, ratio, "REGRESSION"))
+            if name in classified:
+                adjudicated.append((name, prev, took, ratio))
+            else:
+                flagged.append((name, prev, took, ratio, "REGRESSION"))
         elif ratio < 1 / REGRESSION_RATIO:
             flagged.append((name, prev, took, ratio, "improved"))
     print(
         f"-- compare vs {baseline_path}: {len(flagged)} queries moved "
         f">{REGRESSION_RATIO}x of {sum(1 for n in cur if n in base)} "
-        "shared",
+        f"shared ({len(adjudicated)} classified flags reported below)",
         file=sys.stderr,
     )
     for name, prev, took, ratio, tag in flagged:
@@ -484,6 +509,18 @@ def compare(
             f"   {tag:>10} {name}: {prev:.3f}s -> {took:.3f}s ({ratio:.2f}x)",
             file=sys.stderr,
         )
+    if adjudicated:
+        print(
+            "-- classified flags (already adjudicated in SCALE.md; not "
+            "regressions):",
+            file=sys.stderr,
+        )
+        for name, prev, took, ratio in adjudicated:
+            print(
+                f"   classified {name}: {prev:.3f}s -> {took:.3f}s "
+                f"({ratio:.2f}x) [{classified[name]}]",
+                file=sys.stderr,
+            )
 
 
 def family_match(name: str, families: list[str]) -> bool:
@@ -617,17 +654,28 @@ def main() -> None:
     if baseline_path:
         compare(timings, baseline_path, mins, sf_key)
     else:
-        # always surface movement vs the all-time minima to stderr
-        flagged = sum(
-            1
+        # always surface movement vs the all-time minima to stderr —
+        # classified flags (floor governance, VERDICT r09 item 3) are
+        # counted separately so only genuine new flags draw attention
+        classified = load_classified()
+        over = [
+            n
             for n, t in mins.items()
             if n in all_time_mins and t > all_time_mins[n] * REGRESSION_RATIO
-        )
+        ]
+        fresh = [n for n in over if n not in classified]
         print(
-            f"-- {flagged} queries >{REGRESSION_RATIO}x above all-time "
-            f"minima ({MINIMA_PATH})",
+            f"-- {len(fresh)} UNCLASSIFIED queries >{REGRESSION_RATIO}x "
+            f"above all-time minima ({len(over) - len(fresh)} classified; "
+            f"{MINIMA_PATH})",
             file=sys.stderr,
         )
+        for n in fresh:
+            print(
+                f"   unclassified {n}: floor {all_time_mins[n]:.3f}s -> "
+                f"min {mins[n]:.3f}s",
+                file=sys.stderr,
+            )
     spark.stop()
 
 

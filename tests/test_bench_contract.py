@@ -70,6 +70,50 @@ def test_update_minima_monotonic(tmp_path, monkeypatch):
     assert doc["sf0.1"]["q"] == 0.5 and doc["sf0.001"]["q"] == 7.0
 
 
+def test_classified_flags_reported_separately(tmp_path, monkeypatch, capsys):
+    """Floor governance (VERDICT r09 item 3): queries in BENCH_MINIMA's
+    top-level "classified" map are reported as classified, never as
+    REGRESSION, by --compare; unclassified movement still flags. The
+    classified key must survive a monotonic minima fold."""
+    p = tmp_path / "minima.json"
+    monkeypatch.setattr(bench, "MINIMA_PATH", str(p))
+    p.write_text(json.dumps({
+        "sf0.1": {"slow_classified": 0.5, "slow_fresh": 0.5, "ok": 1.0},
+        "classified": {"slow_classified": "SCALE.md 'Round-9 bench note'"},
+    }))
+    assert bench.load_classified() == {
+        "slow_classified": "SCALE.md 'Round-9 bench note'"}
+    cur = {"slow_classified": 2.0, "slow_fresh": 2.0, "ok": 1.0}
+    bench.compare(cur, str(p), mins=cur, sf_key="sf0.1")
+    err = capsys.readouterr().err
+    assert "REGRESSION slow_fresh" in err
+    assert "REGRESSION slow_classified" not in err
+    assert "classified slow_classified" in err
+    assert "SCALE.md 'Round-9 bench note'" in err
+    # folding new minima must not drop the classified map
+    bench.update_minima({"ok": 0.9}, "sf0.1")
+    doc = json.loads(p.read_text())
+    assert doc["classified"] == {
+        "slow_classified": "SCALE.md 'Round-9 bench note'"}
+    assert doc["sf0.1"]["ok"] == 0.9
+
+
+def test_real_minima_file_classified_map_is_valid():
+    """The repo's BENCH_MINIMA.json classified entries must name real
+    sf0.1 queries (no typo'd keys silently de-classifying a flag)."""
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_MINIMA.json")) as fh:
+        doc = json.load(fh)
+    cls = doc.get("classified", {})
+    assert cls, "classified map missing from BENCH_MINIMA.json"
+    floors = doc.get("sf0.1", {})
+    unknown = [q for q in cls if q not in floors]
+    assert not unknown, unknown
+    assert all("SCALE.md" in v for v in cls.values())
+
+
 def test_family_match_prefix_contract():
     """--family matches exact names or underscore-boundary prefixes
     only: 'survival_cox' picks survival_cox_td, but a bare letter
