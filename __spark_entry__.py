@@ -17066,8 +17066,11 @@ def q_stats_friedman(spark, sf_dir):
     customer-key bucket, treatment = order priority, value = summed
     order price — exactly one observation per cell by construction),
     so the guard never fires and completeness holds at every sf.
-    FULLY closed-form — the oracle replays the block ranks, rank
-    sums, Q and the tie correction bit-exactly."""
+    The rank/tie key sums on the cents lattice (_money_sum) so it is
+    bit-deterministic under any partitioning — a raw double SUM's
+    accumulation order would make an exact-equality rank key fragile
+    (ADVICE r09). FULLY closed-form — the oracle replays the block
+    ranks, rank sums, Q and the tie correction bit-exactly."""
     from cancer_survival_etl_spark.operators.stats import friedman_test
 
     d = _t(spark, sf_dir, "orders")
@@ -17075,7 +17078,7 @@ def q_stats_friedman(spark, sf_dir):
         (F.col("o_custkey") % 30).cast("long").alias("blk"),
         F.col("o_orderpriority").alias("trt"),
     ).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("v")
+        _money_sum(F.col("o_totalprice")).alias("v")
     )
     return friedman_test(panel, "blk", "trt", "v")
 
@@ -17084,7 +17087,8 @@ _STATS_FRIEDMAN_SQL = """
     WITH panel AS (
         SELECT CAST(o_custkey % 30 AS BIGINT) AS blk,
                o_orderpriority AS trt,
-               round(sum(o_totalprice), 2) AS v
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS v
         FROM orders GROUP BY 1, 2
     ),
     cells AS (

@@ -265,7 +265,11 @@ def funnel_control(
 
     Winsorization cuts are the exact ``percentile_disc`` 10th/90th
     over the UNIT frame (the house A4 aggregate — oracle-matched
-    semantics). Scale shape: one map-side collapse to per-unit
+    semantics). A DEGENERATE pooled rate (all cases or no cases,
+    p̄ ∈ {0, 1}) has zero binomial variance, so z, φ, and every limit
+    column publish NULL (the km_curve NULL-SE convention) instead of
+    propagating a division-by-zero NaN/Inf through the chart
+    (ADVICE r09). Scale shape: one map-side collapse to per-unit
     (n, cases) cells; every later pass (pooled scalar, z quantiles,
     φ) is an aggregate over the bounded unit frame joined back by
     broadcast. Returns one row per unit: (unit…, n, cases,
@@ -284,8 +288,11 @@ def funnel_control(
     )
     units = units.crossJoin(F.broadcast(pooled))
     pbar = F.col("_sy") / F.col("_sn")
+    # degenerate pooled target (p̄ = 0 or 1): binomial variance is 0,
+    # so every variance-derived column is NULL-gated below
+    ok = (F.col("_sy") > 0) & (F.col("_sy") < F.col("_sn"))
     se_u = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n"))
-    z = (F.col("cases") / F.col("n") - pbar) / se_u
+    z = F.when(ok, (F.col("cases") / F.col("n") - pbar) / se_u)
     units = units.withColumn("_z", z)
     qs = units.agg(
         F.expr(
@@ -304,7 +311,10 @@ def funnel_control(
         )) / F.lit(1000000.0) / F.count(F.lit(1))).alias("_phi_raw")
     )
     units = units.crossJoin(F.broadcast(ph))
-    phi = F.greatest(F.col("_phi_raw"), F.lit(1.0))
+    # gated on ok: with a degenerate p̄ every _z (hence _zw2) is NULL,
+    # F.sum returns NULL, and greatest() would quietly coerce φ to 1.0
+    # — keep the whole chart NULL instead
+    phi = F.when(ok, F.greatest(F.col("_phi_raw"), F.lit(1.0)))
     half95 = F.lit(z95) * F.sqrt(
         phi * pbar * (F.lit(1.0) - pbar) / F.col("n")
     )

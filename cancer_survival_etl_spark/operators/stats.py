@@ -4621,9 +4621,12 @@ def friedman_test(
         T_b = Σ_ties (t³ − t) within block b,
 
     χ²(k−1) under H₀. Each (block, treatment) must hold exactly ONE
-    observation (named in-plan error otherwise — Friedman is a
-    complete-block design). NULL statistic when ties degenerate the
-    correction to 0.
+    observation AND every block must contain every treatment (named
+    in-plan errors otherwise — Friedman is a complete-block design;
+    the completeness identity n_cells = n_blocks·k catches a block
+    missing a treatment, which would otherwise rank over fewer than k
+    rows while the formula uses the global k, ADVICE r09). NULL
+    statistic when ties degenerate the correction to 0.
 
     SCALE SHAPE: ranks come from per-(block, value) tie cells and an
     exclusive keyed-window prefix over each block's value axis — a
@@ -4699,9 +4702,35 @@ def friedman_test(
         F.when(corr > 0, F.round(q / corr, 6)).alias(
             "q_stat_tie_corrected"
         ),
-        # 0·_n_cells threads the completeness guard into a published
-        # column so Catalyst cannot prune the raise away
-        (F.col("_k") - 1 + 0 * F.col("_n_cells"))
+        # 0·guard threads BOTH design checks into a published column
+        # so Catalyst cannot prune the raises away: _n_cells raises
+        # upstream on any duplicated (block, treatment) cell, and the
+        # complete-block identity n_cells == n_blocks·k catches a
+        # block MISSING a treatment (ADVICE r09)
+        (
+            F.col("_k")
+            - 1
+            + 0
+            * F.when(
+                F.col("_n_cells") == F.col("_nb") * F.col("_k"),
+                F.col("_n_cells"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "friedman_test: incomplete block design — "
+                            "got "
+                        ),
+                        F.col("_n_cells").cast("string"),
+                        F.lit(" (block, treatment) cells, expected "),
+                        (F.col("_nb") * F.col("_k")).cast("string"),
+                        F.lit(
+                            " (every block must hold every treatment)"
+                        ),
+                    )
+                ).cast("long")
+            )
+        )
         .cast("long")
         .alias("df"),
     )

@@ -1057,7 +1057,18 @@ def absorbing_chain(
             qm[i, j] = counts.get((s, t), 0) / tot
         for j, t in enumerate(absorbing):
             rm[i, j] = counts.get((s, t), 0) / tot
-    n_mat = np.linalg.inv(np.eye(qn) - qm)
+    # (I − Q) is singular exactly when some transient subchain has no
+    # observed path to absorption (e.g. two states cycling into each
+    # other with every walk censored) — surface the repo's named-error
+    # convention instead of an opaque numpy LinAlgError (ADVICE r09)
+    try:
+        n_mat = np.linalg.inv(np.eye(qn) - qm)
+    except np.linalg.LinAlgError:
+        raise ValueError(
+            "absorbing_chain: transient states with no observed path "
+            "to absorption (I - Q is singular); every transient state "
+            "must reach an absorbing state in the observed transitions"
+        ) from None
     t_vec = n_mat @ np.ones(qn)
     b_mat = n_mat @ rm
     out = []

@@ -273,12 +273,15 @@ def overwrite_partitions(
     the table; ``overwrite_table`` replaces the whole thing by
     design).
 
-    Implemented with Spark's dynamic partition-overwrite mode
-    (``spark.sql.sources.partitionOverwriteMode=dynamic``) scoped to
-    THIS write and restored afterward — the session default (static)
-    would silently DELETE the untouched partitions, the classic
-    footgun this wrapper exists to fence off. First-write on a fresh
-    path degenerates to a plain partitioned write.
+    Implemented with the PER-WRITE DataFrameWriter option
+    ``.option("partitionOverwriteMode", "dynamic")``, which takes
+    precedence over the session conf and touches no shared state — a
+    session-conf mutation would leak dynamic-overwrite semantics into
+    any concurrent write on the same session for the duration of this
+    write (ADVICE r09). The session/default mode (static) would
+    silently DELETE the untouched partitions, the classic footgun
+    this wrapper exists to fence off. First-write on a fresh path
+    degenerates to a plain partitioned write.
 
     Unlike the staged S9 sinks there is no whole-table rollback: a
     mid-write failure can leave the TOUCHED partitions' commit
@@ -295,20 +298,11 @@ def overwrite_partitions(
             "overwrite_partitions: partition_by must be non-empty "
             "(use overwrite_table for whole-table replace)"
         )
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        (
-            stamp_audit(df)
-            .write.mode("overwrite")
-            .format(fmt)
-            .partitionBy(*partition_by)
-            .save(path)
-        )
-    finally:
-        if prev is not None:
-            spark.conf.set(key, prev)
-        else:
-            spark.conf.unset(key)
+    (
+        stamp_audit(df)
+        .write.mode("overwrite")
+        .format(fmt)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )

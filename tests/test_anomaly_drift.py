@@ -2193,6 +2193,29 @@ def test_funnel_control_flags_planted_outlier(spark):
     hr = funnel_control(hom, ["unit"], "cs").collect()[0]
     assert hr.phi == 1.0
 
+    # degenerate pooled rate (no cases anywhere → p̄ = 0): z, phi and
+    # every limit column publish NULL — the km_curve NULL-SE
+    # convention — instead of NaN/Inf from a zero-variance division
+    # (ADVICE r09); counts and proportions still publish
+    deg = spark.createDataFrame(
+        [(f"d{unit}", 0) for unit in range(4) for _ in range(50)],
+        "unit string, cs int",
+    )
+    for r in funnel_control(deg, ["unit"], "cs").collect():
+        assert r.n == 50 and r.cases == 0 and r.proportion == 0.0
+        for c in ("z", "phi", "lo95", "hi95", "lo998", "hi998",
+                  "outside95", "outside998"):
+            assert r[c] is None, (r.unit, c, r[c])
+    # all-cases (p̄ = 1) is the mirrored degenerate
+    deg1 = spark.createDataFrame(
+        [(f"e{unit}", 1) for unit in range(4) for _ in range(50)],
+        "unit string, cs int",
+    )
+    assert all(
+        r.z is None and r.phi is None
+        for r in funnel_control(deg1, ["unit"], "cs").collect()
+    )
+
 
 def test_wilcoxon_signed_rank_reference(spark):
     """Signed-rank: matches a pure-Python tie-averaged reference on
@@ -2333,6 +2356,16 @@ def test_friedman_reference_and_guard(spark):
     )
     with pytest.raises(Exception, match="exactly one value"):
         friedman_test(dup, "blk", "trt", "v").collect()
+
+    # a block MISSING a treatment (no duplicate anywhere) must also
+    # raise — within-block ranks would span < k rows while the formula
+    # uses the global k (ADVICE r09 completeness guard)
+    missing = spark.createDataFrame(
+        [t for t in rows if not (t[0] == 0 and t[1] == "t3")],
+        "blk int, trt string, v double",
+    )
+    with pytest.raises(Exception, match="incomplete block design"):
+        friedman_test(missing, "blk", "trt", "v").collect()
 
 
 def test_bayes_ab_beta_exact_formula(spark):

@@ -383,3 +383,16 @@ def test_absorbing_chain_fundamental_matrix(spark):
         absorbing_chain(df, "subj", "ts", "st", ["X"], max_states=2)
     with pytest.raises(ValueError, match="non-empty"):
         absorbing_chain(df, "subj", "ts", "st", [])
+
+    # transient subchain with no observed path to absorption: A and B
+    # only ever transition to each other (every walk censored), so
+    # I - Q is singular — named error, not an opaque numpy
+    # LinAlgError (ADVICE r09)
+    cyc = spark.createDataFrame(
+        [("c0", 0, "A"), ("c0", 1, "B"), ("c0", 2, "A"),
+         ("c1", 0, "B"), ("c1", 1, "A"), ("c1", 2, "B"),
+         ("c2", 0, "C"), ("c2", 1, "X")],
+        "subj string, ts int, st string",
+    )
+    with pytest.raises(ValueError, match="no observed path"):
+        absorbing_chain(cyc, "subj", "ts", "st", ["X"])
