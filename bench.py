@@ -405,6 +405,11 @@ HEADLINE = [
     "rates_apc_drift",
     "stats_signed_rank",
     "stats_friedman",
+    # round-10 session additions: period net survival, RP excess
+    # hazard, multiple imputation
+    "survival_net_period",
+    "survival_rp_excess",
+    "stats_mi_rubin",
 ]
 
 REGRESSION_RATIO = 1.5

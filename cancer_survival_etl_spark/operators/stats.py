@@ -5154,3 +5154,194 @@ def cronbach_alpha(
         F.round(tot_var / mic2, 6).alias("total_var"),
         F.when(tot_var > 0, F.round(alpha, 6)).alias("alpha"),
     )
+
+
+def mi_rubin_glm(
+    df: DataFrame,
+    key_col: str,
+    feature_cols,
+    y_col: str,
+    family: str = "logistic",
+    m: int = 5,
+    seed: int = 7,
+    iters: int = 8,
+) -> DataFrame:
+    """Multiple imputation with RUBIN'S RULES over the exact GLM
+    family (Rubin 1987; Barnard & Rubin 1999 small-sample df) — the
+    missing-data story cancer registries need (stage, deprivation and
+    comorbidity fields are missing-heavy, and complete-case analysis
+    both wastes power and biases toward the well-recorded):
+
+      1. m DETERMINISTIC-SEED imputations: each missing feature value
+         is drawn from N(mean_j, sd_j) of the column's OBSERVED values
+         via an Irwin-Hall(12) normal (Σ of 12 md5-hash uniforms − 6 —
+         JVM-side, bit-reproducible: the draw is a pure function of
+         (seed, row key, feature, imputation, summand), never of
+         partitioning or execution order).
+      2. each completed dataset gets the full distributed fit
+         (``glm_logistic`` / ``glm_poisson`` with Wald SEs — the exact
+         nano-lattice IRLS, so every β̂_i is bit-deterministic).
+      3. Rubin pooling per coefficient: q̄ = mean β̂_i, within
+         W = mean SE_i², between B = Σ(β̂_i − q̄)²/(m−1), total
+         T = W + (1 + 1/m)B, SE = √T; relative increase in variance
+         riv = (1+1/m)B/W; Barnard-Rubin adjusted df
+         ν = [ν_old⁻¹ + ν̂_obs⁻¹]⁻¹ with ν_old = (m−1)/λ²,
+         ν̂_obs = ν_com(ν_com+1)(1−λ)/(ν_com+3), ν_com = n − (p+1),
+         λ = (1+1/m)B/T; fraction of missing information
+         fmi = (riv + 2/(ν+3))/(riv + 1).
+
+    With NO missing values every imputation is the identity, so B = 0
+    and the pooled estimates are BIT-EQUAL to the single fit (the
+    pooled SE is √(mean of m identical SE²) — equal to the single-fit
+    SE to float round-trip; pinned in tests), λ = 0 and ν collapses to
+    its complete-data limit ν̂_obs.
+
+    Named errors: unknown family; m < 2; NULL in ``y_col`` (impute
+    features, not outcomes — a NULL y row must be handled upstream);
+    a feature column with ZERO observed values (nothing to impute
+    from). ``key_col`` must uniquely identify rows — it seeds the
+    draws; duplicate keys would correlate imputations, not corrupt
+    determinism.
+
+    Scale shape: ONE exact micro-lattice moment pass for the observed
+    means/sds + the y-null/all-missing guards, then m × iters
+    single-row GLM aggregates (the glm_* contract — data never leaves
+    the executors; imputation is a per-row JVM expression, no shuffle
+    added). The pooling arithmetic is a driver fold over m ≤ dozens of
+    (p+1)-vectors. Returns one row per coefficient: (term, estimate,
+    se, statistic, df_adj, riv, fmi).
+    """
+    import math
+
+    if family not in ("logistic", "poisson"):
+        raise ValueError(
+            f"mi_rubin_glm: unknown family {family!r} "
+            "(logistic | poisson)"
+        )
+    m = int(m)
+    if m < 2:
+        raise ValueError("mi_rubin_glm: m must be >= 2")
+    feats = list(feature_cols)
+    p = len(feats)
+
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(y_col).isNull().cast("long")).alias("_ynull"),
+    ]
+    for j, c in enumerate(feats):
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x.isNotNull().cast("long")).alias(f"_n{j}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    x.isNotNull(),
+                    F.round(x * 1000000.0, 0).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"_s{j}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    x.isNotNull(),
+                    F.round(x * x * 1000000.0, 0).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"_q{j}")
+        )
+    stat = df.agg(*aggs).collect()[0]
+    n_rows = int(stat["_n"])
+    if int(stat["_ynull"]) > 0:
+        raise ValueError(
+            "mi_rubin_glm: NULL values in the outcome column — MI here "
+            "imputes features only; filter or impute y upstream"
+        )
+    mean_sd = []
+    for j, c in enumerate(feats):
+        nj = int(stat[f"_n{j}"])
+        if nj == 0:
+            raise ValueError(
+                f"mi_rubin_glm: feature {c!r} has zero observed values "
+                "— nothing to impute from"
+            )
+        mu = stat[f"_s{j}"] / 1e6 / nj
+        var = (
+            (stat[f"_q{j}"] / 1e6 - nj * mu * mu) / (nj - 1)
+            if nj > 1
+            else 0.0
+        )
+        mean_sd.append((round(mu, 9), round(math.sqrt(max(var, 0.0)), 9)))
+
+    key = F.col(key_col).cast("string")
+
+    def unif(j, i, k):
+        h = F.md5(
+            F.concat_ws(
+                ":", F.lit(str(int(seed))), key, F.lit(str(j)),
+                F.lit(str(i)), F.lit(str(k)),
+            )
+        )
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            / F.lit(4294967296.0)
+        )
+
+    fit = glm_logistic if family == "logistic" else glm_poisson
+    betas, ses = [], []
+    for i in range(m):
+        cols = [F.col(key_col), F.col(y_col)]
+        for j, c in enumerate(feats):
+            mu, sd = mean_sd[j]
+            z = sum(unif(j, i, k) for k in range(12)) - F.lit(6.0)
+            cols.append(
+                F.coalesce(
+                    F.col(c).cast("double"),
+                    F.round(F.lit(mu) + F.lit(sd) * z, 9),
+                ).alias(c)
+            )
+        imp = df.select(*cols)
+        b, s = fit(imp, feats, y_col, iters=iters, return_se=True)
+        betas.append(b)
+        ses.append(s)
+
+    terms = ["intercept"] + feats
+    nu_com = n_rows - (p + 1)
+    rows = []
+    for j, term in enumerate(terms):
+        bs = [betas[i][j] for i in range(m)]
+        qbar = sum(bs) / m
+        w = sum(ses[i][j] ** 2 for i in range(m)) / m
+        b_var = sum((b - qbar) ** 2 for b in bs) / (m - 1)
+        t_var = w + (1.0 + 1.0 / m) * b_var
+        se = math.sqrt(t_var)
+        riv = (1.0 + 1.0 / m) * b_var / w if w > 0 else 0.0
+        lam = (1.0 + 1.0 / m) * b_var / t_var if t_var > 0 else 0.0
+        nu_obs = (
+            nu_com * (nu_com + 1.0) * (1.0 - lam) / (nu_com + 3.0)
+            if nu_com > 0
+            else 0.0
+        )
+        if lam > 0 and nu_obs > 0:
+            nu_old = (m - 1.0) / (lam * lam)
+            df_adj = 1.0 / (1.0 / nu_old + 1.0 / nu_obs)
+        else:
+            df_adj = nu_obs
+        fmi = (
+            (riv + 2.0 / (df_adj + 3.0)) / (riv + 1.0)
+            if df_adj > 0
+            else None
+        )
+        rows.append(
+            (
+                term,
+                round(float(qbar), 9),
+                round(float(se), 9),
+                round(float(qbar / se), 6) if se > 0 else None,
+                round(float(df_adj), 4),
+                round(float(riv), 6),
+                round(float(fmi), 6) if fmi is not None else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "term string, estimate double, se double, statistic double, "
+        "df_adj double, riv double, fmi double",
+    )

@@ -1550,7 +1550,25 @@ def net_survival_pohar_perme(
     grid = grouped_prefix_sum(
         grid, g + [band_col], "_s", "_rm", "_rm0"
     ).withColumn("_nb", F.col("_nb_tot") - F.col("_rm0"))
+    return _pp_weighted_tail(
+        grid, g, band_col, hazard_micro_by_band, with_ci
+    )
 
+
+def _pp_weighted_tail(
+    grid: DataFrame,
+    g: list,
+    band_col: str,
+    hazard_micro_by_band: dict,
+    with_ci: bool,
+) -> DataFrame:
+    """Shared Pohar Perme reduction: from a (group, band, _s) grid
+    carrying ``_dv`` (cause-agnostic deaths at hour _s) and ``_nb``
+    (band at-risk entering _s), build the weighted excess-hazard
+    increments, the Λ_E prefix, and the published curve. Factored out
+    so the left-truncated/period variants are BIT-EQUAL to the cohort
+    estimator by construction — every lattice expression is this one
+    code path."""
     hmap = F.create_map(
         *[
             F.lit(x)
@@ -1627,6 +1645,163 @@ def net_survival_pohar_perme(
         F.round(
             F.exp(-(F.col("excess_cum_hazard") - 1.96 * sig)), 6
         ).alias("upper_ci_net"),
+    )
+
+
+def net_survival_pp_left_truncated(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    entry_col: str = "entry",
+    duration_col: str = "duration",
+    event_col: str = "event",
+    with_ci: bool = False,
+) -> DataFrame:
+    """Pohar Perme net survival with DELAYED ENTRY (left truncation):
+    subjects join the risk set at ``entry_col`` and leave at
+    ``duration_col`` on the time-since-diagnosis clock — the risk-set
+    convention of ``km_curve_left_truncated`` (R(s) = {entry < s ≤
+    exit}, zero-length rows dropped) under the weighted excess-hazard
+    reduction of ``net_survival_pohar_perme``. The PP weight stays
+    w_b(s) = S*_b(s)^{-1} measured from diagnosis (the life-table
+    clock does not reset at entry — Perme-Stare-Estève weights are a
+    function of time since diagnosis, entry only gates WHO is in the
+    risk set).
+
+    This is the estimator core of PERIOD-analysis net survival
+    (``net_survival_period``); with all entries at 0 it reduces
+    BIT-EXACTLY to ``net_survival_pohar_perme`` for every published
+    hour (s ≥ 1) — same cells, same lattice, literally the same
+    ``_pp_weighted_tail`` code path (pinned in tests).
+
+    Scale shape: ONE hash aggregate to per-(group, band, time) entry/
+    exit cells (unioned), the broadcast-sized (groups × bands ×
+    horizon) grid, one multi-column ``grouped_prefix_sum`` for
+    entered(<s) − exited(<s) at-risk counts, then the shared weighted
+    tail. Nothing downstream of the cell aggregate scales with
+    subject count.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    g = list(group_cols)
+    spark = df.sparkSession
+    horizon = int(horizon)
+    ev = F.col(event_col).cast("long")
+    base = df.filter(F.col(entry_col) < F.col(duration_col))
+    exits = base.groupBy(*g, band_col, duration_col).agg(
+        F.count(F.lit(1)).alias("_rm"),
+        F.sum(ev).alias("_dv"),
+    ).select(
+        *g, band_col, F.col(duration_col).alias("_s"),
+        "_rm", "_dv", F.lit(0).cast("long").alias("_en"),
+    )
+    enters = base.groupBy(*g, band_col, entry_col).agg(
+        F.count(F.lit(1)).alias("_en"),
+    ).select(
+        *g, band_col, F.col(entry_col).alias("_s"),
+        F.lit(0).cast("long").alias("_rm"),
+        F.lit(0).cast("long").alias("_dv"),
+        "_en",
+    )
+    cells = (
+        exits.unionByName(enters)
+        .groupBy(*g, band_col, "_s")
+        .agg(
+            F.sum("_rm").alias("_rm"),
+            F.sum("_dv").alias("_dv"),
+            F.sum("_en").alias("_en"),
+        )
+    )
+    bands = base.groupBy(*g, band_col).agg(F.count(F.lit(1)).alias("_z"))
+    hours = spark.range(0, horizon + 1).select(
+        F.col("id").cast("long").alias("_s")
+    )
+    grid = (
+        bands.drop("_z")
+        .crossJoin(F.broadcast(hours))
+        .join(cells, g + [band_col, "_s"], "left")
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.lit(0)))
+        .withColumn("_dv", F.coalesce(F.col("_dv"), F.lit(0)))
+        .withColumn("_en", F.coalesce(F.col("_en"), F.lit(0)))
+    )
+    grid = grouped_prefix_sum(
+        grid, g + [band_col], "_s", ["_en", "_rm"], ["_en0", "_rm0"]
+    ).withColumn("_nb", F.col("_en0") - F.col("_rm0"))
+    return _pp_weighted_tail(
+        grid, g, band_col, hazard_micro_by_band, with_ci
+    )
+
+
+def net_survival_period(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    window_start,
+    window_end,
+    diag_col: str = "diag_time",
+    duration_col: str = "duration",
+    event_col: str = "event",
+    with_ci: bool = False,
+) -> DataFrame:
+    """PERIOD-analysis NET survival (Brenner & Gefeller 1996 window ×
+    Pohar Perme weights; Brenner-Hakulinen's up-to-date relative
+    survival, on the modern unbiased estimator) — what a registry
+    publishes when it wants net survival that reflects RECENT care
+    rather than the full history of an old diagnosis cohort: subjects
+    contribute person-time only while the calendar clock sits inside
+    [window_start, window_end), which on the time-since-diagnosis
+    axis is the ``period_survival`` left-truncation transform
+
+        entry'_i  = max(0, window_start − diag_i)
+        exit'_i   = min(T_i, window_end − diag_i)
+        event'_i  = event_i AND (T_i < window_end − diag_i)
+
+    feeding ``net_survival_pp_left_truncated`` unchanged. With a
+    window covering all calendar time this reduces BIT-EXACTLY to
+    ``net_survival_pohar_perme`` (pinned in tests) — the same
+    relationship ``period_survival`` has to ``km_curve``'s delayed-
+    entry sibling.
+
+    Scale shape: a pure projection + filter feeding the LT core's
+    single union-cell aggregate; nothing new shuffles.
+    """
+    g = list(group_cols)
+    ws = F.lit(int(window_start))
+    we = F.lit(int(window_end))
+    diag = F.col(diag_col).cast("long")
+    dur = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+    entry = F.greatest(F.lit(0).cast("long"), ws - diag)
+    cap = we - diag
+    exit_ = F.least(dur, cap)
+    ev2 = F.when(dur < cap, ev).otherwise(F.lit(0))
+    transformed = (
+        df.filter((diag < we) & (diag + dur >= ws))
+        .select(
+            *g,
+            F.col(band_col),
+            entry.alias("_entry"),
+            exit_.alias("_exit"),
+            ev2.alias("_event"),
+        )
+        .filter(F.col("_entry") < F.col("_exit"))
+    )
+    return net_survival_pp_left_truncated(
+        transformed,
+        g,
+        band_col,
+        hazard_micro_by_band,
+        horizon,
+        "_entry",
+        "_exit",
+        "_event",
+        with_ci,
     )
 
 
@@ -6753,21 +6928,39 @@ def flexible_parametric_survival(
     gammas, beta = flexible_excess_hazard_fit(
         cells, n_iv, w, knots=knots, iters=iters
     )
+    rows = _rp_curve_eval(
+        cells, gammas, beta, knots, n_iv, w, int(max_x_patterns),
+        "flexible_parametric_survival",
+    )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "x double, interval long, t_end long, hazard double, "
+        "cum_hazard double, survival double",
+    )
 
+
+def _rp_curve_eval(cells, gammas, beta, knots, n_iv, w, bound, fname):
+    """Shared Royston-Parmar curve evaluation: read the fitted
+    (gammas, beta) back out along the interval-midpoint grid for every
+    distinct x pattern. Factored out so the EXCESS model's
+    relative-survival curve is BIT-EQUAL to the all-cause curve under
+    a zero life table by construction — one code path. Returns plain
+    tuples (x, interval, t_end, h, H, exp(−H))."""
     import math
+
+    import numpy as np
 
     if knots is None:
         lo = float(math.log(0.5 * w))
         hi = float(math.log((n_iv - 0.5) * w))
         knots = [lo, (lo + hi) / 2.0, hi]
-    bound = int(max_x_patterns)
     xs = [
         r.x
         for r in cells.select("x").distinct().limit(bound + 1).collect()
     ]
     if len(xs) > bound:
         raise ValueError(
-            "flexible_parametric_survival: more than "
+            f"{fname}: more than "
             f"{bound} distinct x patterns — the curve grid is a "
             "driver-side evaluation over distinct(x); bin continuous "
             "covariates first or raise max_x_patterns explicitly"
@@ -6777,8 +6970,6 @@ def flexible_parametric_survival(
         ch = 0.0
         for j in range(n_iv):
             u = math.log((j + 0.5) * w)
-            import numpy as np
-
             b = rcs_basis(np.array([u]), list(knots))
             s = gammas[0] + sum(
                 g * float(col[0]) for g, col in zip(gammas[1:], b)
@@ -6795,10 +6986,79 @@ def flexible_parametric_survival(
                     round(math.exp(-ch), 6),
                 )
             )
+    return rows
+
+
+def royston_parmar_excess_survival(
+    df: DataFrame,
+    x_col: str,
+    band_col: str,
+    hazard_micro_by_band: dict,
+    interval_width: int,
+    horizon: int,
+    knots: Sequence[float] | None = None,
+    iters: int = 60,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    max_x_patterns: int = 1000,
+) -> DataFrame:
+    """Royston-Parmar EXCESS-hazard model (stpm2-style relative
+    survival) — the modern registry regression standard for smooth
+    net-survival curves by stage/deprivation/age (Stata stpm2 with the
+    bhazard() offset; R rstpm2): the log EXCESS hazard is a restricted
+    cubic spline of log time plus a proportional covariate effect,
+    against the life-table background offset,
+
+        d_c ~ Poisson(d*_c + exp(γ₀ + s(ln t_c; γ) + β·x_c) · y_c)
+
+    — the Poisson-split formulation (Crowther & Lambert 2014) of the
+    Royston & Parmar 2002 model on the excess scale. This UNIFIES the
+    engine's two existing halves: ``flexible_parametric_survival``
+    (the all-cause RP specialization, zero life table) and
+    ``excess_hazard_fit`` (the piecewise-constant Estève/Dickman
+    model); here the background offset AND the smooth log-time spline
+    appear together. exp(β) is an EXCESS-hazard ratio.
+
+    With an all-zero life table this reduces BIT-EXACTLY to
+    ``flexible_parametric_survival`` (same cells, same fit, literally
+    the shared ``_rp_curve_eval`` path — pinned in tests); with real
+    hazards the published curve is the MODELED net survival
+    R(t|x) = exp(−H_E(t|x)), the smooth companion to the
+    nonparametric ``net_survival_pohar_perme``.
+
+    Scale contract unchanged from the all-cause model: the only
+    data-sized work is ``person_time_cells``'s one explode + one hash
+    aggregate (exact integer cells); the fit is a driver Fisher-
+    scoring reduction on the #x-patterns × #intervals frame; the
+    curve is closed-form reads on the same grid. ``max_x_patterns``
+    enforced as in the all-cause model.
+
+    Returns one row per (x, interval): t_end, excess_hazard,
+    cum_excess_hazard, relative_survival (6 dp).
+    """
+    w = int(interval_width)
+    n_iv = int(horizon) // w
+    cells = person_time_cells(
+        df,
+        x_col,
+        band_col,
+        hazard_micro_by_band,
+        w,
+        int(horizon),
+        duration_col,
+        event_col,
+    ).localCheckpoint(eager=False)
+    gammas, beta = flexible_excess_hazard_fit(
+        cells, n_iv, w, knots=knots, iters=iters
+    )
+    rows = _rp_curve_eval(
+        cells, gammas, beta, knots, n_iv, w, int(max_x_patterns),
+        "royston_parmar_excess_survival",
+    )
     return df.sparkSession.createDataFrame(
         rows,
-        "x double, interval long, t_end long, hazard double, "
-        "cum_hazard double, survival double",
+        "x double, interval long, t_end long, excess_hazard double, "
+        "cum_excess_hazard double, relative_survival double",
     )
 
 

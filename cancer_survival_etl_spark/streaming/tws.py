@@ -1365,6 +1365,256 @@ def km_stream_batch(
     )
 
 
+AJ_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("n_total", LongType()),
+        StructField("duration", LongType()),
+        StructField("cause", LongType()),
+        StructField("n_risk", LongType()),
+        StructField("n_event", LongType()),
+        StructField("survival_allcause", DoubleType()),
+        StructField("cif", DoubleType()),
+    ]
+)
+
+_AJ_STATE_SCHEMA = StructType(
+    [
+        StructField("durations", ArrayType(LongType())),
+        StructField("censored", ArrayType(LongType())),
+        # row-major (duration, cause) grid: len == len(durations) * k
+        StructField("cause_counts", ArrayType(LongType())),
+    ]
+)
+
+
+class AjCifProcessor(StatefulProcessor):
+    """Streaming Aalen-Johansen cumulative incidence per key — the
+    competing-risks twin of ``KmCurveProcessor`` and the online twin
+    of ``operators.survival.cif_competing_risks``: subjects arrive as
+    (group, duration, cause) rows with cause ∈ {0} ∪ causes (0 =
+    censored), the processor maintains EXACT per-duration integer
+    counters (censorings + one count per declared cause), and
+    re-emits the full CIF table each micro-batch:
+
+        CIF_k(t) = Σ_{s ≤ t}  S(s−) · d_k(s) / n(s)
+
+    with S(s−) the all-cause KM left limit. Counter state makes the
+    fold commutative/associative, so the emitted table is
+    bit-identical under any arrival order, batch slicing, or late
+    data — no watermark needed for correctness. The curve evaluation
+    replays the batch operator's exact lattice (HALF_UP 1e-6 micro
+    log terms for S, micro increments for each CIF partial sum, 6-dp
+    HALF_UP publication rounding), so the end state pins against the
+    distributed ``cif_competing_risks`` CELL-FOR-CELL (counts
+    exactly, survival/cif to float parity — pinned in tests).
+
+    State per key is one (durations[], censored[], cause_counts[])
+    struct — bounded by #distinct durations × |causes|, never by
+    subject count; ``ttl_ms`` bounds idle keys."""
+
+    def __init__(
+        self,
+        causes: list[int],
+        duration_col: str = "duration",
+        cause_col: str = "cause",
+        ttl_ms: int | None = None,
+    ) -> None:
+        ks = [int(k) for k in causes]
+        if len(ks) == 0 or len(set(ks)) != len(ks) or any(
+            k <= 0 for k in ks
+        ):
+            raise ValueError(
+                "AjCifProcessor: causes must be distinct positive "
+                "integers (0 is the censoring code)"
+            )
+        self._causes = ks
+        self._duration_col = duration_col
+        self._cause_col = cause_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "aj_cells", _AJ_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def fold(self, st, durations, causes):
+        """Accumulate (censored, d_k per declared cause) counters per
+        duration — pure integer counts, so slicing/order independence
+        is exact. An undeclared positive cause code raises (silently
+        dropping a competing event would bias every CIF)."""
+        nk = len(self._causes)
+        pos = {k: j for j, k in enumerate(self._causes)}
+        acc = {
+            t: [cv, *st[2][i * nk:(i + 1) * nk]]
+            for i, (t, cv) in enumerate(zip(st[0], st[1]))
+        }
+        for t, k in zip(durations, causes):
+            cell = acc.setdefault(int(t), [0] * (nk + 1))
+            k = int(k)
+            if k == 0:
+                cell[0] += 1
+            elif k in pos:
+                cell[1 + pos[k]] += 1
+            else:
+                raise ValueError(
+                    f"AjCifProcessor: undeclared cause code {k} "
+                    f"(declared: {self._causes})"
+                )
+        ts = sorted(acc)
+        return (
+            ts,
+            [acc[t][0] for t in ts],
+            [acc[t][1 + j] for t in ts for j in range(nk)],
+        )
+
+    def curve(self, st):
+        """The cif_competing_risks lattice, sequentially over the
+        sorted cells: n_risk by suffix count, micro HALF_UP log terms
+        for all-cause S with the d == n_risk death pin, S(s−) as the
+        EXCLUSIVE prefix, micro HALF_UP CIF increments
+        S(s−)·d_k/n(s), 6-dp HALF_UP publication rounding on both
+        survival_allcause and cif."""
+        import math
+
+        ts, cs, grid = st
+        nk = len(self._causes)
+        n_total = sum(cs) + sum(grid)
+        rows = []
+        removed = 0
+        lt0 = 0          # exclusive micro log-S prefix
+        dead0 = False    # any prior cell with d == n_risk
+        t_acc = [0] * nk  # exclusive micro CIF prefixes
+        for i, t in enumerate(ts):
+            dk = grid[i * nk:(i + 1) * nk]
+            d = sum(dk)
+            c = cs[i]
+            n_risk = n_total - removed
+            lt = (
+                _half_up_micro(math.log(1.0 - d / n_risk))
+                if 0 < d < n_risk
+                else 0
+            )
+            dall = d > 0 and d == n_risk
+            s_left = 0.0 if dead0 else math.exp(lt0 / 1000000.0)
+            s_incl = (
+                0.0
+                if dead0 or dall
+                else math.exp((lt0 + lt) / 1000000.0)
+            )
+            surv_pub = _half_up_micro(s_incl) / 1000000.0
+            for j, k in enumerate(self._causes):
+                tk = (
+                    _half_up_micro(s_left * dk[j] / n_risk)
+                    if dk[j] > 0
+                    else 0
+                )
+                cif_pub = (
+                    _half_up_micro((t_acc[j] + tk) / 1000000.0)
+                    / 1000000.0
+                )
+                rows.append(
+                    (t, k, n_risk, dk[j], surv_pub, cif_pub)
+                )
+                t_acc[j] += tk
+            lt0 += lt
+            dead0 = dead0 or dall
+            removed += d + c
+        return rows, n_total
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            tuple(self._state.get())
+            if self._state.exists()
+            else ([], [], [])
+        )
+        for pdf in rows:
+            st = self.fold(
+                st, pdf[self._duration_col], pdf[self._cause_col]
+            )
+        self._state.update(st)
+        curve, n_total = self.curve(st)
+        yield pd.DataFrame(
+            {
+                "group_key": [key[0]] * len(curve),
+                # n_total is MONOTONE per key → update-mode sinks
+                # select the final table with max_by(·, n_total)
+                "n_total": [n_total] * len(curve),
+                "duration": [r[0] for r in curve],
+                "cause": [r[1] for r in curve],
+                "n_risk": [r[2] for r in curve],
+                "n_event": [r[3] for r in curve],
+                "survival_allcause": [r[4] for r in curve],
+                "cif": [r[5] for r in curve],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_aj_cif(
+    subjects: DataFrame,
+    causes: list[int],
+    group_col: str = "event_type",
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-group Aalen-Johansen cumulative incidence under
+    competing risks over (group, duration, cause) subject rows via
+    ``transformWithStateInPandas`` — update-mode emissions of the
+    full exact-counter CIF table (one row per duration × cause).
+    Apply a watermark on the SOURCE's event-time column to bound
+    state replay; the table itself is arrival-order exact by
+    construction."""
+    return subjects.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(duration_col).cast("long").alias("duration"),
+        F.col(cause_col).cast("long").alias("cause"),
+    ).groupBy("group_key").transformWithStateInPandas(
+        AjCifProcessor(causes, ttl_ms=ttl_ms),
+        outputStructType=AJ_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def aj_cif_stream_batch(
+    subjects: DataFrame,
+    causes: list[int],
+    group_col: str = "event_type",
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> pd.DataFrame:
+    """Batch reference for ``running_aj_cif``'s END STATE: fold each
+    group's full history through the identical counter state and emit
+    the identical lattice table (test-only single-process reference —
+    and pinned cell-for-cell against the DISTRIBUTED
+    ``operators.survival.cif_competing_risks`` in tests)."""
+    pdf = subjects.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(duration_col).cast("long").alias("duration"),
+        F.col(cause_col).cast("long").alias("cause"),
+    ).toPandas()
+    proc = AjCifProcessor(causes)
+    out = []
+    for g, grp in pdf.groupby("group_key"):
+        st = proc.fold(([], [], []), grp["duration"], grp["cause"])
+        curve, n_total = proc.curve(st)
+        for t, k, n_risk, d_k, surv, cif in curve:
+            out.append((g, n_total, t, k, n_risk, d_k, surv, cif))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "group_key", "n_total", "duration", "cause", "n_risk",
+            "n_event", "survival_allcause", "cif",
+        ],
+    )
+
+
 HLL_OUTPUT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

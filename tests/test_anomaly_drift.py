@@ -2716,3 +2716,73 @@ def test_cronbach_alpha_reference_and_structure(spark):
         cronbach_alpha(df, ["i1"])
     with pytest.raises(Exception, match=">= 2 rows"):
         cronbach_alpha(df.limit(1), cols).collect()
+
+
+def test_mi_rubin_glm_reduction_recovery_and_guards(spark):
+    """Multiple imputation with Rubin's rules: (a) with NO missing
+    values every imputation is the identity, so the pooled estimates
+    are BIT-EQUAL to the single glm fit, riv = 0 and fmi collapses to
+    the complete-data 2/(nu+3) limit; (b) with 25% MCAR missingness
+    on a planted logistic signal the pooled coefficient keeps the
+    planted sign with between-imputation variance > 0 (riv > 0) and
+    more missing information on the damaged term than the intercept;
+    (c) exact under repartitioning (the md5 draws are a pure function
+    of (seed,key,feature,imputation,summand)); (d) named errors for
+    bad family, m < 2, NULL outcomes and an all-missing feature."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        glm_logistic,
+        mi_rubin_glm,
+    )
+
+    rows = []
+    for i in range(900):
+        x = ((i * 2654435761) % 999983) / 999983.0 * 4.0 - 2.0
+        u = ((i * 40503) % 65521) / 65521.0
+        sig = 1.0 / (1.0 + math.exp(-(-0.5 + 1.2 * x)))
+        miss = ((i * 69069) % 104729) / 104729.0 < 0.25
+        rows.append((i, None if miss else round(x, 6), 1 if u < sig else 0))
+    df = spark.createDataFrame(rows, "k long, x double, y long")
+
+    # (a) no-missingness reduction: bit-equal to the single fit
+    full = df.filter("x is not null")
+    red = mi_rubin_glm(full, "k", ["x"], "y", m=3, iters=8).collect()
+    beta, se = glm_logistic(full, ["x"], "y", iters=8, return_se=True)
+    assert [r["term"] for r in red] == ["intercept", "x"]
+    for j, r in enumerate(red):
+        assert r["estimate"] == beta[j]
+        assert abs(r["se"] - se[j]) < 1e-9
+        assert r["riv"] == 0.0
+
+    # (b) recovery under 25% MCAR + (c) partitioning invariance
+    out = mi_rubin_glm(df, "k", ["x"], "y", m=5, seed=7, iters=8)
+    got = {r["term"]: r for r in out.collect()}
+    assert got["x"]["estimate"] > 0.4          # planted +1.2, attenuated
+    assert got["intercept"]["estimate"] < 0.0  # planted -0.5
+    assert got["x"]["riv"] > 0.0
+    assert got["x"]["fmi"] > got["intercept"]["fmi"]
+    out2 = mi_rubin_glm(
+        df.repartition(32), "k", ["x"], "y", m=5, seed=7, iters=8
+    )
+    assert [tuple(r) for r in out2.collect()] == [
+        tuple(r) for r in out.collect()
+    ]
+
+    # (d) named errors
+    with pytest.raises(ValueError, match="unknown family"):
+        mi_rubin_glm(df, "k", ["x"], "y", family="probit")
+    with pytest.raises(ValueError, match="m must be >= 2"):
+        mi_rubin_glm(df, "k", ["x"], "y", m=1)
+    ynull = spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, 1)], "k long, x double, y long"
+    )
+    with pytest.raises(ValueError, match="NULL values in the outcome"):
+        mi_rubin_glm(ynull, "k", ["x"], "y")
+    allmiss = spark.createDataFrame(
+        [(1, None, 1), (2, None, 0)], "k long, x double, y long"
+    )
+    with pytest.raises(ValueError, match="zero observed values"):
+        mi_rubin_glm(allmiss, "k", ["x"], "y")

@@ -1788,3 +1788,168 @@ def test_transform_with_state_hll(spark, sf_dir, tmp_path):
             out.loc[et, "distinct_estimate"]
             == b.loc[et, "distinct_estimate"]
         )
+
+
+def test_aj_cif_processor_order_free_and_pins_batch_operator(spark, sf_dir):
+    """AjCifProcessor: counter state makes slicing AND arrival order
+    independence EXACT (whole == reversed == sliced-by-97,
+    bit-for-bit); the end-state table pins CELL-FOR-CELL against the
+    distributed operators.survival.cif_competing_risks — counts
+    exactly, survival_allcause/cif to float parity (same micro
+    HALF_UP lattice); Σ_k CIF_k(t) + S(t) = 1 at the last duration
+    of an uncensored group; undeclared cause codes raise."""
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        cif_competing_risks,
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        AjCifProcessor,
+        aj_cif_stream_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # cause ∈ {0 censored, 1, 2}: competing risks planted from value
+    subjects = events.select(
+        "event_type",
+        (F.col("event_id") % 20 + 1).cast("long").alias("duration"),
+        F.when(F.col("value") > 66, F.lit(2))
+        .when(F.col("value") > 33, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cause"),
+    )
+    proc = AjCifProcessor([1, 2])
+    pdf = subjects.toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        durs = [int(t) for t in grp["duration"]]
+        cks = [int(k) for k in grp["cause"]]
+        whole = proc.fold(([], [], []), durs, cks)
+        rev = proc.fold(
+            ([], [], []), list(reversed(durs)), list(reversed(cks))
+        )
+        sliced = ([], [], [])
+        for j in range(0, len(durs), 97):
+            sliced = proc.fold(sliced, durs[j:j + 97], cks[j:j + 97])
+        assert whole == rev == sliced
+
+    got = aj_cif_stream_batch(subjects, [1, 2]).set_index(
+        ["group_key", "duration", "cause"]
+    )
+    want = (
+        cif_competing_risks(subjects, ["event_type"], [1, 2])
+        .select(
+            F.col("event_type").alias("group_key"), "duration",
+            "cause", "n_risk", "n_event", "survival_allcause", "cif",
+        )
+        .toPandas()
+        .set_index(["group_key", "duration", "cause"])
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for idx, w in want.iterrows():
+        g = got.loc[idx]
+        assert (int(g.n_risk), int(g.n_event)) == (
+            int(w.n_risk), int(w.n_event)
+        ), idx
+        assert g.survival_allcause == pytest.approx(
+            w.survival_allcause, abs=1e-12
+        ), idx
+        assert g.cif == pytest.approx(w.cif, abs=1e-12), idx
+    # each CIF is non-decreasing in t
+    for (gkey, k), grp in got.reset_index().groupby(
+        ["group_key", "cause"]
+    ):
+        c = list(grp.sort_values("duration")["cif"])
+        assert all(a <= b + 1e-15 for a, b in zip(c, c[1:]))
+
+    # no-censoring identity: Σ_k CIF_k(T) + S(T) = 1 at the last t
+    nocens = subjects.withColumn(
+        "cause",
+        F.when(F.col("cause") == 0, F.lit(1)).otherwise(F.col("cause")),
+    )
+    tbl = aj_cif_stream_batch(nocens, [1, 2])
+    for gkey, grp in tbl.groupby("group_key"):
+        last = grp[grp["duration"] == grp["duration"].max()]
+        total = last["cif"].sum() + last["survival_allcause"].iloc[0]
+        # tolerance: ~20 cells × 0.5e-6 HALF_UP error per micro term
+        assert total == pytest.approx(1.0, abs=2e-5), gkey
+
+    with pytest.raises(ValueError, match="undeclared cause code"):
+        proc.fold(([], [], []), [1], [9])
+    with pytest.raises(ValueError, match="distinct positive"):
+        AjCifProcessor([0, 1])
+
+
+def test_transform_with_state_aj_cif(spark, sf_dir, tmp_path):
+    """running_aj_cif end-to-end over a real micro-batch run: the
+    final per-(group, duration, cause) emission (selected by max_by
+    on the monotone n_total) equals aj_cif_stream_batch of the full
+    history."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from cancer_survival_etl_spark.streaming.tws import (
+        aj_cif_stream_batch,
+        running_aj_cif,
+    )
+    from cancer_survival_etl_spark.streaming.windows import (
+        stream_from_events_dir,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def to_subjects(df):
+        return df.select(
+            "event_type",
+            (F.col("event_id") % 20 + 1).cast("long").alias("duration"),
+            F.when(F.col("value") > 66, F.lit(2))
+            .when(F.col("value") > 33, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cause"),
+        )
+
+    try:
+        src = stream_from_events_dir(spark, sf_dir)
+        q = (
+            running_aj_cif(to_subjects(src), [1, 2])
+            .writeStream.format("memory")
+            .queryName("tws_aj_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_aj"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+    out = spark.sql(
+        """SELECT group_key, duration, cause,
+                  max_by(n_risk, n_total) AS n_risk,
+                  max_by(n_event, n_total) AS n_event,
+                  max_by(survival_allcause, n_total) AS survival_allcause,
+                  max_by(cif, n_total) AS cif
+           FROM tws_aj_test GROUP BY group_key, duration, cause"""
+    ).toPandas().set_index(["group_key", "duration", "cause"])
+    assert len(out) > 0
+    expect = aj_cif_stream_batch(
+        to_subjects(load_table(spark, sf_dir, "events")), [1, 2]
+    ).set_index(["group_key", "duration", "cause"])
+    assert len(out) == len(expect)

@@ -1585,6 +1585,103 @@ def test_period_survival_window_semantics(spark):
     assert full == plain
 
 
+def test_net_survival_period_reduction_and_reference(spark):
+    """Period-analysis net survival (Brenner window × Pohar Perme):
+    (a) a window covering ALL calendar time reduces BIT-EXACTLY to
+    net_survival_pohar_perme (plain and with_ci — same cells, same
+    lattice, same _pp_weighted_tail code path); (b) a real window
+    matches a sequential left-truncated PP reference; (c)
+    repartition-invariant."""
+    import hashlib
+
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_period,
+        net_survival_pohar_perme,
+    )
+
+    hz = {0: 3000, 1: 8000, 2: 5000}
+    rows = []
+    for i in range(300):
+        u = int(hashlib.md5(f"np:{i}".encode()).hexdigest()[:8], 16)
+        rows.append((
+            "A" if i % 2 == 0 else "B",
+            i % 3,
+            (u >> 4) % 25,          # diag calendar time
+            1 + u % 12,             # duration >= 1
+            1 if (u >> 8) % 3 == 0 else 0,
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "cohort string, band int, diag_time long, duration long, "
+        "event int",
+    )
+    for ci in (False, True):
+        full = sorted(
+            map(tuple, net_survival_pohar_perme(
+                df, ["cohort"], "band", hz, 12, with_ci=ci
+            ).collect())
+        )
+        per = sorted(
+            map(tuple, net_survival_period(
+                df, ["cohort"], "band", hz, 12, -10000, 10000,
+                with_ci=ci,
+            ).collect())
+        )
+        assert full == per and len(full) == 24
+
+    # real window [8, 25): sequential left-truncated PP reference
+    ws, we = 8, 25
+    got = {
+        (r.cohort, r.hour): r
+        for r in net_survival_period(
+            df, ["cohort"], "band", hz, 12, ws, we
+        ).collect()
+    }
+    for cohort in ("A", "B"):
+        subs = []
+        for c, b, dg, du, ev in rows:
+            if c != cohort or dg >= we or dg + du < ws:
+                continue
+            entry = max(0, ws - dg)
+            cap = we - dg
+            exit_ = min(du, cap)
+            e2 = ev if du < cap else 0
+            if entry < exit_:
+                subs.append((b, entry, exit_, e2))
+        cum = 0.0
+        for h in range(1, 13):
+            num1 = num2 = den = 0.0
+            n = 0
+            for b, en, ex, e in subs:
+                lam = hz[b] / 1e6
+                w = (1 - lam) ** (-h)
+                if en < h <= ex:
+                    n += 1
+                    den += w
+                    num2 += w * lam
+                if ex == h and e == 1:
+                    num1 += w
+            if den > 0:
+                cum += (num1 - num2) / den
+            r = got[(cohort, h)]
+            assert r.n_risk == n, (cohort, h, r.n_risk, n)
+            assert r.excess_cum_hazard == pytest.approx(cum, abs=5e-6)
+            assert r.net_survival_pp == pytest.approx(
+                math.exp(-cum), abs=5e-6
+            )
+
+    again = sorted(
+        map(tuple, net_survival_period(
+            df.repartition(32), ["cohort"], "band", hz, 12, ws, we
+        ).collect())
+    )
+    assert again == sorted(
+        map(tuple, net_survival_period(
+            df, ["cohort"], "band", hz, 12, ws, we
+        ).collect())
+    )
+
+
 def test_crude_probability_decomposition(spark):
     """Cronin-Feuer crude probabilities: (a) CP_cancer + CP_other
     telescopes to 1 - S_obs (lattice tolerance); (b) zero expected
@@ -4058,6 +4155,82 @@ def test_flexible_parametric_survival_recovers_plants(spark):
         # agreement to a few percentage points is the honest bound
         assert abs(r.survival - km_at(r.t_end)) < 0.045, (
             r.t_end, r.survival, km_at(r.t_end))
+
+
+def test_royston_parmar_excess_recovers_and_reduces(spark):
+    """Royston-Parmar EXCESS-hazard model (stpm2-style relative
+    survival): (a) with an all-zero life table it reduces BIT-EXACTLY
+    to flexible_parametric_survival (same cells, same fit, shared
+    _rp_curve_eval); (b) on a plant with band-constant background
+    mortality PLUS a proportional excess hazard, the modeled relative
+    survival tracks exp(−λ_E·t) within 0.03 and the excess log-HR is
+    recovered within 0.15 — the background deaths are absorbed by the
+    offset, NOT attributed to the cancer."""
+    import hashlib
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        flexible_parametric_survival,
+        royston_parmar_excess_survival,
+    )
+
+    hz = {0: 2000, 1: 6000}
+    lam_e = 0.03
+    rows = []
+    for i in range(4000):
+        u1 = int(
+            hashlib.md5(f"rpa:{i}".encode()).hexdigest()[:8], 16
+        ) / 2**32 + 1e-9
+        u2 = int(
+            hashlib.md5(f"rpb:{i}".encode()).hexdigest()[:8], 16
+        ) / 2**32 + 1e-9
+        band = i % 2
+        x = float((i // 2) % 2)
+        t_bg = -math.log(u1) / (hz[band] / 1e6)
+        t_ex = -math.log(u2) / (lam_e * math.exp(0.7 * x))
+        t = min(t_bg, t_ex)
+        rows.append((x, band, min(int(t), 39), 1 if t < 40 else 0))
+    df = spark.createDataFrame(
+        rows, "x double, band int, duration long, event int"
+    )
+
+    # (a) zero-table reduction, bit-exact tuple-for-tuple
+    allc = sorted(
+        map(tuple, flexible_parametric_survival(
+            df, "x", interval_width=4, horizon=40
+        ).collect())
+    )
+    zred = sorted(
+        map(tuple, royston_parmar_excess_survival(
+            df, "x", "band", {0: 0, 1: 0}, 4, 40
+        ).collect())
+    )
+    assert allc == zred and len(allc) == 20
+
+    # (b) excess-scale recovery against the real life table
+    curve = royston_parmar_excess_survival(
+        df, "x", "band", hz, 4, 40
+    ).collect()
+    r0 = {r.interval: r for r in curve if r.x == 0.0}
+    r1 = {r.interval: r for r in curve if r.x == 1.0}
+    for j, r in r0.items():
+        want = math.exp(-lam_e * r.t_end)
+        assert abs(r.relative_survival - want) < 0.03, (j, r, want)
+    lhr = math.log(r1[5].excess_hazard / r0[5].excess_hazard)
+    assert abs(lhr - 0.7) < 0.15, lhr
+    # the all-cause model on the same cohort is necessarily more
+    # pessimistic than the excess model's net curve (it counts the
+    # background deaths too)
+    ac = {
+        r.interval: r.survival
+        for r in flexible_parametric_survival(
+            df, "x", interval_width=4, horizon=40
+        ).collect()
+        if r.x == 0.0
+    }
+    assert all(
+        ac[j] < r0[j].relative_survival for j in r0 if j >= 2
+    ), [(j, ac[j], r0[j].relative_survival) for j in r0]
 
 
 def test_flexible_parametric_survival_td_recovers_nonph_and_ph_pin(spark):
