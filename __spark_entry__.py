@@ -13431,6 +13431,150 @@ _NET_PP_CI_SQL = f"""
 """
 
 
+def q_survival_net_cond_ci(spark, sf_dir):
+    """CONDITIONAL net survival WITH exact variance (operators/
+    survival.py::conditional_net_survival — CNS(t|s) = exp(−(Λ_E(t) −
+    Λ_E(s))) on net_survival_pohar_perme's INTERNAL micro lattice via
+    the _prefix_frame hook, with Var(Λ_E(t) − Λ_E(s)) as the pico
+    variance-increment sum over (s, t]): the survivors'-outlook figure
+    with a VALID standard error — `survival_conditional_net` takes
+    the published-curve ratio, which has no uncertainty column; this
+    is its inferential upgrade, anchored at s = 8 h on the banded
+    episodes cohort. s = 0 reduces BIT-EQUAL to survival_net_pp_ci
+    (pinned in tests). Oracle replays the full weighted grid — lev
+    AND viv prefixes, anchor subtraction on the integer lattices,
+    identical publication rounding — bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_net_survival,
+    )
+
+    return conditional_net_survival(
+        _banded_episodes(spark, sf_dir),
+        ["cohort"],
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+        condition_hour=8,
+        with_ci=True,
+    )
+
+
+_NET_COND_CI_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, band
+    ),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    cellsb AS (
+        SELECT cohort, band, duration AS s, count(*) AS rm,
+               CAST(sum(event) AS BIGINT) AS dv
+        FROM survb GROUP BY cohort, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.band, n.nb_tot, h.s,
+               coalesce(r.rm, 0) AS rm, coalesce(r.dv, 0) AS dv
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN cellsb r
+          ON r.cohort = n.cohort AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, band ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    wgt AS (
+        SELECT n.cohort, n.s, n.nbv, n.dv, z.lam,
+               pow(1.0 - z.lam / 1000000.0, -n.s) AS w
+        FROM nb n JOIN hzm z ON n.band = z.band
+    ),
+    terms AS (
+        SELECT cohort, s, nbv,
+               CAST(round(dv * w * 1000000.0, 0) AS BIGINT) AS wd,
+               CAST(round(nbv * w * 1000000.0, 0) AS BIGINT) AS wn,
+               CAST(round(nbv * w * (lam / 1000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS we,
+               CAST(round(dv * w * w * 1000000.0, 0) AS BIGINT) AS wwd
+        FROM wgt
+    ),
+    pers AS (
+        SELECT cohort, s,
+               CAST(sum(wd) AS BIGINT) AS num1,
+               CAST(sum(we) AS BIGINT) AS num2,
+               CAST(sum(wn) AS BIGINT) AS den,
+               CAST(sum(nbv) AS BIGINT) AS n,
+               CAST(sum(wwd) AS BIGINT) AS num3
+        FROM terms GROUP BY cohort, s
+    ),
+    le AS (
+        SELECT *,
+            CASE WHEN s > 0 AND den > 0
+                 THEN CAST(round(
+                     (num1 / 1000000.0 - num2 / 1000000000000.0)
+                     / (den / 1000000.0) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lev,
+            CASE WHEN s > 0 AND den > 0
+                 THEN CAST(round((num3 / 1000000.0)
+                           / ((den / 1000000.0) * (den / 1000000.0))
+                           * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS viv
+        FROM pers
+    ),
+    acc AS (
+        SELECT cohort, s, n,
+               CAST(sum(lev) OVER (PARTITION BY cohort ORDER BY s
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cle,
+               CAST(sum(viv) OVER (PARTITION BY cohort ORDER BY s
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cvi
+        FROM le
+    ),
+    anchor AS (
+        SELECT cohort, cle AS le_s, cvi AS vi_s,
+               n AS n_risk_at_condition
+        FROM acc WHERE s = 8
+    ),
+    cond AS (
+        SELECT a.cohort, a.s AS hour, a.n AS n_risk,
+               x.n_risk_at_condition,
+               (a.cle - x.le_s) / 1000000.0 AS cum,
+               (a.cvi - x.vi_s) / 1000000000000.0 AS var_
+        FROM acc a JOIN anchor x ON a.cohort = x.cohort
+        WHERE a.s > 8
+    )
+    SELECT cohort, hour, n_risk, n_risk_at_condition,
+           round(cum, 6) AS excess_cum_hazard_cond,
+           round(exp(-cum), 6) AS net_survival_cond,
+           round(round(exp(-cum), 6) * sqrt(var_), 6) AS se_cond,
+           round(exp(-(round(cum, 6) + 1.96 * sqrt(var_))), 6)
+               AS lower_ci_cond,
+           round(exp(-(round(cum, 6) - 1.96 * sqrt(var_))), 6)
+               AS upper_ci_cond
+    FROM cond
+"""
+
+
 def q_survival_net_period(spark, sf_dir):
     """PERIOD-analysis net survival (operators/survival.py::
     net_survival_period — Brenner-Gefeller calendar window [10, 40) ×
@@ -20391,6 +20535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_net_period": q_survival_net_period,
         "survival_rp_excess": q_survival_rp_excess,
         "stats_mi_rubin": q_stats_mi_rubin,
+        "survival_net_cond_ci": q_survival_net_cond_ci,
+        "stats_quantile_reg": q_stats_quantile_reg,
     }
     out = {k: base[k] for k in _WINDOW_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -22129,6 +22275,97 @@ _STATS_MI_RUBIN_SQL = """
 """
 
 
+def q_stats_quantile_reg(spark, sf_dir):
+    """Quantile regression (operators/stats.py::quantile_regression —
+    Koenker-Bassett check loss by Hunter-Lange MM, one micro-lattice
+    aggregate per iteration): the conditional-quantile envelope OLS
+    and the GLM family can't trace. Plant: heteroscedastic y = 2 +
+    3x + u·(1 + 2x) with u an md5 uniform − 0.5, so the true τ-slope
+    is 3 + 2(τ−0.5): 3.8 at τ=0.9, 3.0 at the median. Verdicts pin
+    both recoveries (±0.25), the strict envelope ordering, and
+    pseudo-R¹(0.5) ∈ (0,1); exact cohort counts replay in DuckDB.
+    The MM lattice itself is pinned BIT-EQUAL to a pure-Python twin
+    in tests (which also covers the τ=0.1 tail — two fits suffice
+    here; each MM iteration is a full cohort scan, so the planted
+    frame is repartitioned across the executor cores before
+    checkpointing, undoing the one-partition toy-scale parquet
+    layout)."""
+    from cancer_survival_etl_spark.operators.stats import (
+        quantile_regression,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qr"), key)), 1, 8),
+               16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0 - 0.5
+    x = (F.col("o_orderkey") % 100).cast("double") / 100.0 * 4.0
+    cohort = (
+        d.select(
+            F.round(x, 6).alias("x"),
+            F.round(
+                F.lit(2.0) + 3.0 * x + u * (F.lit(1.0) + 2.0 * x), 6
+            ).alias("y"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    fits = {
+        tau: {
+            r["term"]: r
+            for r in quantile_regression(
+                cohort, ["x"], "y", tau, iters=10
+            ).collect()
+        }
+        for tau in (0.5, 0.9)
+    }
+    s = {tau: fits[tau]["x"]["estimate"] for tau in fits}
+    i = {tau: fits[tau]["intercept"]["estimate"] for tau in fits}
+    pr2 = fits[0.5]["x"]["pseudo_r2"]
+    return cohort.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("y") < 2.0).cast("long")).cast("long").alias(
+            "n_below_two"
+        ),
+    ).select(
+        "n_rows",
+        "n_below_two",
+        F.lit(abs(s[0.5] - 3.0) < 0.25
+              and abs(i[0.5] - 2.0) < 0.25).alias("median_recovered"),
+        F.lit(abs(s[0.9] - 3.8) < 0.25).alias("q90_recovered"),
+        F.lit(s[0.5] < s[0.9]).alias("slope_ordering"),
+        F.lit(pr2 is not None and 0.0 < pr2 < 1.0).alias(
+            "pseudo_r2_in_range"
+        ),
+    )
+
+
+_STATS_QUANTILE_REG_SQL = """
+    WITH u AS (
+        SELECT CAST(o_orderkey % 100 AS DOUBLE) / 100.0 * 4.0 AS x,
+               (CAST(concat('0x', substring(
+                    md5('qr' || o_orderkey::VARCHAR), 1, 8))
+                    AS BIGINT) % 1000000) / 1000000.0 - 0.5 AS uu
+        FROM orders
+    ),
+    c AS (
+        SELECT round(x, 6) AS x,
+               round(2.0 + 3.0 * x + uu * (1.0 + 2.0 * x), 6) AS y
+        FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN y < 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_two,
+           true AS median_recovered,
+           true AS q90_recovered,
+           true AS slope_ordering,
+           true AS pseudo_r2_in_range
+    FROM c
+"""
+
+
 _STATS_MCNEMAR_SQL = """
     WITH per AS (
         SELECT user_id,
@@ -23713,6 +23950,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_net_period": _NET_PERIOD_SQL,
         "survival_rp_excess": _SURVIVAL_RP_EXCESS_SQL,
         "stats_mi_rubin": _STATS_MI_RUBIN_SQL,
+        "survival_net_cond_ci": _NET_COND_CI_SQL,
+        "stats_quantile_reg": _STATS_QUANTILE_REG_SQL,
         "retrieval_mmr": _MMR_SQL,
         "stats_js_divergence": _JS_DIVERGENCE_SQL,
         "dedup_containment": _CONTAINMENT_SQL,

@@ -410,6 +410,8 @@ HEADLINE = [
     "survival_net_period",
     "survival_rp_excess",
     "stats_mi_rubin",
+    "survival_net_cond_ci",
+    "stats_quantile_reg",
 ]
 
 REGRESSION_RATIO = 1.5

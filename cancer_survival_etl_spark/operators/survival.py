@@ -1476,6 +1476,7 @@ def net_survival_pohar_perme(
     duration_col: str = "duration",
     event_col: str = "event",
     with_ci: bool = False,
+    _prefix_frame: bool = False,
 ) -> DataFrame:
     """Pohar Perme net survival — the unbiased net-survival estimator
     national cancer publications moved to (Perme-Stare-Estève 2012),
@@ -1551,7 +1552,8 @@ def net_survival_pohar_perme(
         grid, g + [band_col], "_s", "_rm", "_rm0"
     ).withColumn("_nb", F.col("_nb_tot") - F.col("_rm0"))
     return _pp_weighted_tail(
-        grid, g, band_col, hazard_micro_by_band, with_ci
+        grid, g, band_col, hazard_micro_by_band, with_ci,
+        _prefix_frame=_prefix_frame,
     )
 
 
@@ -1561,6 +1563,7 @@ def _pp_weighted_tail(
     band_col: str,
     hazard_micro_by_band: dict,
     with_ci: bool,
+    _prefix_frame: bool = False,
 ) -> DataFrame:
     """Shared Pohar Perme reduction: from a (group, band, _s) grid
     carrying ``_dv`` (cause-agnostic deaths at hour _s) and ``_nb``
@@ -1568,7 +1571,10 @@ def _pp_weighted_tail(
     increments, the Λ_E prefix, and the published curve. Factored out
     so the left-truncated/period variants are BIT-EQUAL to the cohort
     estimator by construction — every lattice expression is this one
-    code path."""
+    code path. ``_prefix_frame=True`` returns the internal per-(group,
+    hour) frame (micro Λ_E prefix ``_le0``/``_le``, pico variance
+    prefix ``_vi0``/``_vi``, ``_n``) BEFORE publication rounding — the
+    exact-lattice hook ``conditional_net_survival`` anchors on."""
     hmap = F.create_map(
         *[
             F.lit(x)
@@ -1619,6 +1625,8 @@ def _pp_weighted_tail(
     per_s = grouped_prefix_sum(
         per_s, g, "_s", ["_le", "_vi"], ["_le0", "_vi0"]
     )
+    if _prefix_frame:
+        return per_s
     cum = (F.col("_le0") + F.col("_le")) / F.lit(1000000.0)
     out = per_s.filter(F.col("_s") > 0).select(
         *g,
@@ -1802,6 +1810,103 @@ def net_survival_period(
         "_exit",
         "_event",
         with_ci,
+    )
+
+
+def conditional_net_survival(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    condition_hour: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    with_ci: bool = False,
+) -> DataFrame:
+    """CONDITIONAL net survival — net survival to hour t GIVEN alive
+    at hour s (the "if you've already survived a year, what then?"
+    figure registries publish beside the unconditional index, and the
+    clinically actionable one for follow-up consultations):
+
+        CNS(t | s) = S_PP(t) / S_PP(s) = exp(−(Λ_E(t) − Λ_E(s)))
+
+    computed on ``net_survival_pohar_perme``'s INTERNAL exact micro
+    lattice (the ``_prefix_frame`` hook), NOT on the published 6-dp
+    rounded curve — the subtraction Λ_E(t) − Λ_E(s) happens on the
+    integer micro prefixes, so with ``condition_hour=0`` every
+    published column is BIT-EQUAL to the unconditional estimator
+    (Λ_E(0) ≡ 0 on the lattice; pinned in tests).
+
+    ``with_ci=True``: Var(Λ_E(t) − Λ_E(s)) = Σ_{s < u ≤ t} of the PP
+    variance increments (independent-increment counting-process
+    property) = the pico variance-prefix difference — again exact on
+    the lattice; CI on the conditional cumulative-excess-hazard scale
+    (bounds inside (0, 1], same convention as the unconditional CI).
+
+    Returns one row per (group, hour s+1..horizon): ``hour``,
+    ``n_risk`` (unweighted at-risk entering the hour),
+    ``n_risk_at_condition``, ``excess_cum_hazard_cond``,
+    ``net_survival_cond`` (+ ``se_cond``/``lower_ci_cond``/
+    ``upper_ci_cond`` with CI).
+
+    Scale shape: the PP grid pipeline unchanged (one cell aggregate +
+    two grouped prefix passes), then ONE extra equi-join of the
+    per-(group, hour) frame against its own one-row-per-group anchor
+    slice — bounded by group cardinality, AQE broadcasts it.
+    """
+    condition_hour = int(condition_hour)
+    horizon = int(horizon)
+    if not 0 <= condition_hour < horizon:
+        raise ValueError(
+            "conditional_net_survival: condition_hour must satisfy "
+            f"0 <= s < horizon (got s={condition_hour}, "
+            f"horizon={horizon})"
+        )
+    g = list(group_cols)
+    per_s = net_survival_pohar_perme(
+        df, g, band_col, hazard_micro_by_band, horizon,
+        duration_col, event_col, with_ci=False, _prefix_frame=True,
+    )
+    anchor = per_s.filter(F.col("_s") == condition_hour).select(
+        *g,
+        (F.col("_le0") + F.col("_le")).alias("_le_s"),
+        (F.col("_vi0") + F.col("_vi")).alias("_vi_s"),
+        F.col("_n").alias("n_risk_at_condition"),
+    )
+    joined = per_s.filter(F.col("_s") > condition_hour).join(anchor, g)
+    cum = (
+        F.col("_le0") + F.col("_le") - F.col("_le_s")
+    ) / F.lit(1000000.0)
+    out = joined.select(
+        *g,
+        F.col("_s").alias("hour"),
+        F.col("_n").alias("n_risk"),
+        "n_risk_at_condition",
+        F.round(cum, 6).alias("excess_cum_hazard_cond"),
+        F.round(F.exp(-cum), 6).alias("net_survival_cond"),
+        (
+            (F.col("_vi0") + F.col("_vi") - F.col("_vi_s"))
+            / F.lit(1000000000000.0)
+        ).alias("_var"),
+    )
+    if not with_ci:
+        return out.drop("_var")
+    sig = F.sqrt(F.col("_var"))
+    return out.select(
+        *g,
+        "hour",
+        "n_risk",
+        "n_risk_at_condition",
+        "excess_cum_hazard_cond",
+        "net_survival_cond",
+        F.round(F.col("net_survival_cond") * sig, 6).alias("se_cond"),
+        F.round(
+            F.exp(-(F.col("excess_cum_hazard_cond") + 1.96 * sig)), 6
+        ).alias("lower_ci_cond"),
+        F.round(
+            F.exp(-(F.col("excess_cum_hazard_cond") - 1.96 * sig)), 6
+        ).alias("upper_ci_cond"),
     )
 
 

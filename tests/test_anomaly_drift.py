@@ -2786,3 +2786,118 @@ def test_mi_rubin_glm_reduction_recovery_and_guards(spark):
     )
     with pytest.raises(ValueError, match="zero observed values"):
         mi_rubin_glm(allmiss, "k", ["x"], "y")
+
+
+def test_quantile_regression_recovery_twin_and_guards(spark):
+    """quantile_regression: (a) heteroscedastic plant y = 2 + 3x +
+    u·(1+2x), u ~ U(−.5,.5) → median recovers (2, 3), τ=0.9 recovers
+    (2.4, 3.8), τ=0.1 recovers (1.6, 2.2), with the slope ordering
+    q10 < median < q90; (b) a pure-Python MM twin replaying the exact
+    micro-lattice per-row rounding reproduces β BIT-EQUAL; (c) exact
+    under repartitioning; (d) pseudo-R¹(τ) ∈ (0,1) on signal, NULL on
+    constant y; (e) named errors for tau ∉ (0,1), iters < 1, empty."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.stats import (
+        quantile_regression,
+    )
+
+    rows = []
+    for i in range(4000):
+        x = ((i * 2654435761) % 999983) / 999983.0 * 4.0
+        u = ((i * 69069 + 11) % 104729) / 104729.0 - 0.5
+        y = 2.0 + 3.0 * x + u * (1.0 + 2.0 * x)
+        rows.append((round(x, 6), round(y, 6)))
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    got = {}
+    for tau, (b0, b1) in [(0.5, (2.0, 3.0)), (0.9, (2.4, 3.8)),
+                          (0.1, (1.6, 2.2))]:
+        fit = {r["term"]: r for r in
+               quantile_regression(df, ["x"], "y", tau).collect()}
+        got[tau] = fit
+        assert abs(fit["intercept"]["estimate"] - b0) < 0.25, (tau, fit)
+        assert abs(fit["x"]["estimate"] - b1) < 0.25, (tau, fit)
+        assert fit["x"]["n_rows"] == 4000
+    assert (got[0.1]["x"]["estimate"] < got[0.5]["x"]["estimate"]
+            < got[0.9]["x"]["estimate"])
+    assert 0.0 < got[0.5]["x"]["pseudo_r2"] < 1.0
+
+    # (b) bit-equal pure-Python MM twin (identical micro lattice)
+    def twin(data, tau, iters=15, eps=1e-3):
+        n = len(data)
+        s0 = sum(int(math.floor(abs(1.0 * 1e6) + 0.5)) for _ in data)
+        s1 = sum(
+            int(math.copysign(math.floor(abs(x * 1e6) + 0.5), x))
+            for x, _ in data
+        )
+        ys = sorted(v for _, v in data)
+        # Spark percentile(): linear interpolation at rank tau*(n-1)
+        rk = tau * (n - 1)
+        lo, hi = int(math.floor(rk)), int(math.ceil(rk))
+        q = ys[lo] + (rk - lo) * (ys[hi] - ys[lo])
+        sv = [s0 / 1e6, s1 / 1e6]
+        beta = [0.0, 0.0]
+
+        def r6(v):
+            t = v * 1e6
+            m = math.floor(abs(t) + 0.5)
+            return int(m if t >= 0 else -m)
+
+        for _ in range(iters):
+            b = [0, 0]
+            a = {(0, 0): 0, (0, 1): 0, (1, 1): 0}
+            for x, yv in data:
+                d = abs(yv - beta[0] - beta[1] * x) + eps
+                xsv = [1.0, x]
+                for j in range(2):
+                    b[j] += r6(xsv[j] * yv / d)
+                    for k in range(j, 2):
+                        a[(j, k)] += r6(xsv[j] * xsv[k] / d)
+            det = a[(0, 0)] / 1e6 * (a[(1, 1)] / 1e6) - (
+                a[(0, 1)] / 1e6
+            ) ** 2
+            rb = [
+                b[0] / 1e6 + (2 * tau - 1) * sv[0],
+                b[1] / 1e6 + (2 * tau - 1) * sv[1],
+            ]
+            beta = [
+                round(
+                    (a[(1, 1)] / 1e6 * rb[0] - a[(0, 1)] / 1e6 * rb[1])
+                    / det, 9),
+                round(
+                    (a[(0, 0)] / 1e6 * rb[1] - a[(0, 1)] / 1e6 * rb[0])
+                    / det, 9),
+            ]
+        return beta, q
+
+    small = rows[:600]
+    sdf = spark.createDataFrame(small, "x double, y double")
+    tb, _ = twin(small, 0.75)
+    fit = {r["term"]: r["estimate"] for r in
+           quantile_regression(sdf, ["x"], "y", 0.75).collect()}
+    assert fit["intercept"] == tb[0] and fit["x"] == tb[1], (fit, tb)
+
+    # (c) partitioning invariance on the full frame
+    a = quantile_regression(df, ["x"], "y", 0.75).collect()
+    b = quantile_regression(
+        df.repartition(32), ["x"], "y", 0.75
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # (d) constant y → NULL pseudo-R
+    const = spark.createDataFrame(
+        [(float(i % 7), 5.0) for i in range(40)], "x double, y double"
+    )
+    cf = quantile_regression(const, ["x"], "y", 0.5).collect()
+    assert all(r["pseudo_r2"] is None for r in cf)
+
+    # (e) guards
+    with pytest.raises(ValueError, match="tau must be in"):
+        quantile_regression(df, ["x"], "y", 1.0)
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        quantile_regression(df, ["x"], "y", 0.5, iters=0)
+    with pytest.raises(ValueError, match="empty input"):
+        quantile_regression(df.limit(0), ["x"], "y", 0.5)

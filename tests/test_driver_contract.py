@@ -118,6 +118,7 @@ def test_correctness_window_composition():
     # registry query lacks an adjudication record
     r10_new = {
         "survival_net_period", "survival_rp_excess", "stats_mi_rubin",
+        "survival_net_cond_ci", "stats_quantile_reg",
     }
     never_all = {n for n in qs if n not in latest}
     assert never_all == set(never) | r10_new, (

@@ -6471,3 +6471,114 @@ def test_gray_test_stratified_reduction_and_adjustment(spark):
         gray_test_stratified(
             df1.withColumn("grp", F.lit("Z")), "grp", ["strat"]
         )
+
+
+def test_conditional_net_survival_reduction_ratio_and_guards(spark):
+    """conditional_net_survival: (a) condition_hour=0 is BIT-EQUAL to
+    net_survival_pohar_perme on every published column, plain AND CI
+    (the lattice subtraction of an exactly-zero anchor); (b) for s>0
+    the conditional curve equals the published-curve ratio
+    NS(t)/NS(s) to publication rounding and dominates the
+    unconditional curve; (c) the CI variance is the increment sum
+    over (s, t] — se at the first conditional hour equals the
+    unconditional per-hour increment, not the cumulative; (d) exact
+    under repartitioning; (e) named error for s outside [0,
+    horizon)."""
+    import math
+
+    import pytest
+
+    from cancer_survival_etl_spark.operators.survival import (
+        conditional_net_survival,
+        net_survival_pohar_perme,
+    )
+
+    hz = {0: 2000, 1: 4000}
+    rows = []
+    for i in range(4000):
+        g = i % 2
+        band = (i // 2) % 2
+        u1 = ((i * 2654435761) % 999983) / 999983.0 + 1e-6
+        u2 = ((i * 69069 + 7) % 104729) / 104729.0 + 1e-6
+        t_bg = -math.log(u1) / (hz[band] / 1e6)
+        t_ex = -math.log(u2) / (0.04 * (1.5 if g else 1.0))
+        t = min(t_bg, t_ex)
+        rows.append(
+            (f"g{g}", band, max(min(int(t), 29), 1), 1 if t < 30 else 0)
+        )
+    df = spark.createDataFrame(
+        rows, "grp string, band int, duration long, event int"
+    )
+
+    # (a) s=0 reduction, plain + CI, bit-equal
+    for ci in (False, True):
+        un = net_survival_pohar_perme(
+            df, ["grp"], "band", hz, 30, with_ci=ci
+        ).orderBy("grp", "hour").collect()
+        cn = conditional_net_survival(
+            df, ["grp"], "band", hz, 30, 0, with_ci=ci
+        ).orderBy("grp", "hour").collect()
+        assert len(un) == len(cn) > 0
+        for a, b in zip(un, cn):
+            assert (a["hour"], a["n_risk"]) == (b["hour"], b["n_risk"])
+            assert a["excess_cum_hazard"] == b["excess_cum_hazard_cond"]
+            assert a["net_survival_pp"] == b["net_survival_cond"]
+            if ci:
+                assert a["se_net"] == b["se_cond"]
+                assert a["lower_ci_net"] == b["lower_ci_cond"]
+                assert a["upper_ci_net"] == b["upper_ci_cond"]
+
+    # (b) ratio identity + dominance at s=5
+    un = {
+        (r["grp"], r["hour"]): r
+        for r in net_survival_pohar_perme(
+            df, ["grp"], "band", hz, 30
+        ).collect()
+    }
+    cn = conditional_net_survival(df, ["grp"], "band", hz, 30, 5).collect()
+    assert len(cn) == 2 * 25   # hours 6..30 per group
+    for r in cn:
+        ns_t = un[(r["grp"], r["hour"])]["net_survival_pp"]
+        ns_s = un[(r["grp"], 5)]["net_survival_pp"]
+        assert r["net_survival_cond"] == pytest.approx(
+            ns_t / ns_s, abs=5e-6
+        )
+        assert r["net_survival_cond"] >= ns_t - 1e-9
+        assert r["n_risk_at_condition"] == un[(r["grp"], 5)]["n_risk"]
+
+    # (c) first conditional hour's variance = that hour's increment
+    ci_un = {
+        (r["grp"], r["hour"]): r
+        for r in net_survival_pohar_perme(
+            df, ["grp"], "band", hz, 30, with_ci=True
+        ).collect()
+    }
+    ci_cn = conditional_net_survival(
+        df, ["grp"], "band", hz, 30, 5, with_ci=True
+    ).collect()
+    for r in ci_cn:
+        if r["hour"] != 6:
+            continue
+        sig_t = ci_un[(r["grp"], 6)]
+        sig_s = ci_un[(r["grp"], 5)]
+        var_inc = (
+            (sig_t["se_net"] / sig_t["net_survival_pp"]) ** 2
+            - (sig_s["se_net"] / sig_s["net_survival_pp"]) ** 2
+        )
+        got = (r["se_cond"] / r["net_survival_cond"]) ** 2
+        assert got == pytest.approx(var_inc, abs=5e-8)
+
+    # (d) partitioning invariance
+    a = conditional_net_survival(
+        df, ["grp"], "band", hz, 30, 5, with_ci=True
+    ).orderBy("grp", "hour").collect()
+    b = conditional_net_survival(
+        df.repartition(32), ["grp"], "band", hz, 30, 5, with_ci=True
+    ).orderBy("grp", "hour").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # (e) guard
+    with pytest.raises(ValueError, match="condition_hour"):
+        conditional_net_survival(df, ["grp"], "band", hz, 30, 30)
+    with pytest.raises(ValueError, match="condition_hour"):
+        conditional_net_survival(df, ["grp"], "band", hz, 30, -1)
