@@ -20537,6 +20537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mi_rubin": q_stats_mi_rubin,
         "survival_net_cond_ci": q_survival_net_cond_ci,
         "stats_quantile_reg": q_stats_quantile_reg,
+        "survival_illness_death": q_survival_illness_death,
     }
     out = {k: base[k] for k in _WINDOW_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -22366,6 +22367,206 @@ _STATS_QUANTILE_REG_SQL = """
 """
 
 
+def q_survival_illness_death(spark, sf_dir):
+    """Aalen-Johansen state-occupation probabilities for the
+    progressive illness-death model (operators/survival.py::
+    multistate_illness_death): first 'error' = the 0→1 illness
+    transition, first 'purchase' = death — a purchase at or before
+    the first error is a DIRECT 0→2 death (illness never observed),
+    otherwise the subject progresses 0→1 at the error hour and dies
+    1→2 at the purchase hour if it lands inside the 48-hour horizon;
+    administrative censoring at 48 h in whichever state the subject
+    then occupies. Cohort = user parity. The multistate companion of
+    `survival_cif` on the same event clock. Oracle mirrors the dense
+    grid, all three prefix passes, and the collapse-count segment
+    keys of the P11 ratio trick — bit-exact through the
+    micro-lattice."""
+    from cancer_survival_etl_spark.operators.survival import (
+        multistate_illness_death,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "te1"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("te2"),
+    )
+    ih = F.expr("timestampdiff(HOUR, t0, te1)")
+    dh = F.expr("timestampdiff(HOUR, t0, te2)")
+    per = per.select(
+        "user_id",
+        F.when(F.col("te1").isNotNull(), ih).alias("ih"),
+        F.when(F.col("te2").isNotNull(), dh).alias("dh"),
+    )
+    hh = F.lit(_SURV_HORIZON_H)
+    direct = (
+        F.col("dh").isNotNull()
+        & (F.col("dh") < hh)
+        & (F.col("ih").isNull() | (F.col("dh") <= F.col("ih")))
+    )
+    illp = (
+        ~direct & F.col("ih").isNotNull() & (F.col("ih") < hh)
+    )
+    ill_dies = (
+        illp & F.col("dh").isNotNull() & (F.col("dh") < hh)
+    )
+    subj = per.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+        F.when(illp, F.col("ih")).cast("long").alias("t_ill"),
+        F.when(direct | ill_dies, F.col("dh"))
+        .otherwise(hh)
+        .cast("long")
+        .alias("t_exit"),
+        F.when(direct | ill_dies, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("death"),
+    )
+    return multistate_illness_death(
+        subj, ["cohort"], _SURV_HORIZON_H
+    )
+
+
+_SURVIVAL_ILLNESS_DEATH_SQL = """
+    WITH per0 AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te1,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS te2
+        FROM events GROUP BY user_id
+    ),
+    per AS (
+        SELECT user_id,
+               CASE WHEN te1 IS NOT NULL
+                    THEN (epoch_us(te1) - epoch_us(t0)) // 3600000000
+               END AS ih,
+               CASE WHEN te2 IS NOT NULL
+                    THEN (epoch_us(te2) - epoch_us(t0)) // 3600000000
+               END AS dh
+        FROM per0
+    ),
+    flags AS (
+        SELECT user_id, ih, dh,
+               (dh IS NOT NULL AND dh < 48
+                AND (ih IS NULL OR dh <= ih)) AS direct,
+               (NOT (dh IS NOT NULL AND dh < 48
+                     AND (ih IS NULL OR dh <= ih))
+                AND ih IS NOT NULL AND ih < 48) AS illp
+        FROM per
+    ),
+    subj AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN illp THEN ih END AS t_ill,
+               CASE WHEN direct OR (illp AND dh IS NOT NULL AND dh < 48)
+                    THEN dh ELSE 48 END AS t_exit,
+               CASE WHEN direct OR (illp AND dh IS NOT NULL AND dh < 48)
+                    THEN 1 ELSE 0 END AS death
+        FROM flags
+    ),
+    cells0 AS (
+        SELECT cohort,
+               CASE WHEN t_ill IS NOT NULL THEN t_ill ELSE t_exit END
+                   AS s,
+               count(*) AS rm0,
+               CAST(sum(CASE WHEN t_ill IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d01,
+               CAST(sum(CASE WHEN t_ill IS NULL AND death = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d02
+        FROM subj GROUP BY 1, 2
+    ),
+    cells1 AS (
+        SELECT cohort, t_exit AS s, count(*) AS rm1,
+               CAST(sum(death) AS BIGINT) AS d12
+        FROM subj WHERE t_ill IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT cohort, count(*) AS n_subj FROM subj GROUP BY cohort),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    grid AS (
+        SELECT t.cohort, t.n_subj, h.s,
+               coalesce(c0.rm0, 0) AS rm0,
+               coalesce(c0.d01, 0) AS d01,
+               coalesce(c0.d02, 0) AS d02,
+               coalesce(c1.rm1, 0) AS rm1,
+               coalesce(c1.d12, 0) AS d12
+        FROM tot t CROSS JOIN hours h
+        LEFT JOIN cells0 c0 ON c0.cohort = t.cohort AND c0.s = h.s
+        LEFT JOIN cells1 c1 ON c1.cohort = t.cohort AND c1.s = h.s
+    ),
+    risk AS (
+        SELECT *,
+               CAST(n_subj - coalesce(sum(rm0) OVER wx, 0) AS BIGINT)
+                   AS n0_risk,
+               CAST(coalesce(sum(d01) OVER wx, 0)
+                    - coalesce(sum(rm1) OVER wx, 0) AS BIGINT)
+                   AS n1_risk
+        FROM grid
+        WINDOW wx AS (PARTITION BY cohort ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT *,
+            CASE WHEN d01 + d02 > 0 AND d01 + d02 < n0_risk
+                 THEN CAST(round(ln(1.0 - (d01 + d02) / CAST(n0_risk
+                          AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt0v,
+            CASE WHEN d01 + d02 > 0 AND d01 + d02 = n0_risk
+                 THEN 1 ELSE 0 END AS z0v,
+            CASE WHEN d12 > 0 AND d12 < n1_risk
+                 THEN CAST(round(ln(1.0 - d12 / CAST(n1_risk AS DOUBLE))
+                          * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lt1v,
+            CASE WHEN d12 > 0 AND d12 = n1_risk THEN 1 ELSE 0 END AS z1v
+        FROM risk
+    ),
+    acc AS (
+        SELECT *,
+               coalesce(sum(lt0v) OVER wx, 0) AS lt00,
+               coalesce(sum(z0v) OVER wx, 0) AS z00,
+               coalesce(sum(lt1v) OVER wx, 0) AS lt10,
+               coalesce(sum(z1v) OVER wx, 0) AS z10
+        FROM terms
+        WINDOW wx AS (PARTITION BY cohort ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    bv AS (
+        SELECT *,
+               lt10 + lt1v AS lt1i, z10 + z1v AS z1seg,
+               CASE WHEN d01 > 0
+                    THEN CAST(round(
+                        (CASE WHEN z00 > 0 THEN 0.0
+                              ELSE exp(lt00 / 1000000.0) END)
+                        * (d01 / CAST(n0_risk AS DOUBLE))
+                        * exp(-(lt10 + lt1v) / 1000000.0)
+                        * 1000000.0, 0) AS BIGINT)
+                    ELSE 0 END AS bvv
+        FROM acc
+    ),
+    seg AS (
+        SELECT *,
+               sum(bvv) OVER (PARTITION BY cohort, z1seg ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS sb
+        FROM bv
+    ),
+    fin AS (
+        SELECT *,
+               CASE WHEN z00 + z0v > 0 THEN 0.0
+                    ELSE exp((lt00 + lt0v) / 1000000.0) END AS p00r,
+               exp(lt1i / 1000000.0) * sb / 1000000.0 AS p01r
+        FROM seg
+    )
+    SELECT cohort, s AS hour, n0_risk, n1_risk,
+           d01 AS n_ill, d02 + d12 AS n_dead,
+           round(p00r, 6) AS p00,
+           round(p01r, 6) AS p01,
+           round(1.0 - p00r - p01r, 6) AS p02
+    FROM fin
+"""
+
+
 _STATS_MCNEMAR_SQL = """
     WITH per AS (
         SELECT user_id,
@@ -23952,6 +24153,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_mi_rubin": _STATS_MI_RUBIN_SQL,
         "survival_net_cond_ci": _NET_COND_CI_SQL,
         "stats_quantile_reg": _STATS_QUANTILE_REG_SQL,
+        "survival_illness_death": _SURVIVAL_ILLNESS_DEATH_SQL,
         "retrieval_mmr": _MMR_SQL,
         "stats_js_divergence": _JS_DIVERGENCE_SQL,
         "dedup_containment": _CONTAINMENT_SQL,

@@ -9955,3 +9955,226 @@ def gray_test_stratified(
             "chi_square"
         ),
     )
+
+
+def multistate_illness_death(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    horizon: int,
+    ill_col: str = "t_ill",
+    exit_col: str = "t_exit",
+    death_col: str = "death",
+) -> DataFrame:
+    """Aalen-Johansen state-occupation probabilities for the
+    progressive ILLNESS-DEATH model (states 0 = initial, 1 = ill,
+    2 = dead; transitions 0→1, 0→2, 1→2) — the canonical multistate
+    extension of the competing-risks AJ (``cif_competing_risks``) a
+    cancer registry needs the moment "progression" is recorded as its
+    own event between diagnosis and death (the reference's INDEX
+    table, /root/reference/docs/create_index.sql:2-20, publishes the
+    two-state margin; this is its multistate companion).
+
+    ``df`` is one row per subject on an integer hour axis:
+
+    * ``ill_col``   hour of the 0→1 transition, NULL if the subject
+      left state 0 directly (death or censoring without illness);
+    * ``exit_col``  hour of final exit (death or censoring) from
+      whichever state the subject then occupied;
+    * ``death_col`` ∈ {0, 1} — 1 iff the exit was a death.
+
+    ``ill < exit`` is enforced in-plan (a zero-length state-1 stay has
+    no risk-set meaning on the discrete axis); hours beyond
+    ``horizon`` must be pre-censored by the caller.
+
+    Estimator (product-integral on the discrete grid, Aalen-Johansen
+    1978): with n0(s)/n1(s) the state risk sets entering hour s
+    (entries strictly before s, exits at ≥ s), d01/d02/d12 the
+    transition counts AT s, and d0 = d01 + d02:
+
+        P00(t) = Π_{s ≤ t} (1 − d0(s)/n0(s))
+        P11(u,t) = Π_{u < s ≤ t} (1 − d12(s)/n1(s))
+        P01(t) = Σ_{u ≤ t} P00(u−) · d01(u)/n0(u) · P11(u,t)
+        P02(t) = 1 − P00(t) − P01(t)
+
+    The non-commutative matrix product-integral collapses to SCALAR
+    prefix algebra because the model is progressive: P11(u,t) is the
+    ratio exp(L1(t) − L1(u)) of one inclusive log-prefix, so P01 is a
+    single prefix sum of B(u) = P00(u−)·h01(u)·exp(−L1(u)) scaled by
+    exp(L1(t)) — the classic divide-by-prefix-product trick. Risk-set
+    collapses (d = n) zero the product from there on; the prefix COUNT
+    of collapse cells keys both the exact S = 0 pin (as in
+    ``km_curve``) and the validity segments of the P11 ratio: a B(u)
+    from before a state-1 collapse must not leak past it, so the
+    P01 partial sums restart per (group, collapse-count) segment —
+    segments are contiguous because the count is monotone, making the
+    segment id a legal ``grouped_prefix_sum`` key.
+
+    Returns one row per (group, hour 0..horizon): ``n0_risk``,
+    ``n1_risk``, ``n_ill`` (d01), ``n_dead`` (d02 + d12), ``p00``,
+    ``p01``, ``p02`` (each rounded to 6, p00 + p01 + p02 = 1 by
+    construction).
+
+    Scale shape: ONE hash aggregate to per-(group, hour) transition
+    cells, a broadcast-sized (groups × (horizon+1)) dense grid, then
+    THREE ``grouped_prefix_sum`` passes (risk sets → log-products /
+    collapse counts → segment-keyed P01 partials). Nothing downstream
+    of the cell aggregate scales with subject count. The exp(−L1)
+    factor inside B is bounded by 1/P11(0,u): past a state-1 survival
+    of ~1e-9 the micro-lattice longs would saturate — at that point
+    the risk set has collapsed for every practical cohort and the
+    segment logic has already pinned the tail.
+    """
+    g = list(group_cols)
+    spark = df.sparkSession
+    horizon = int(horizon)
+    ill = F.col(ill_col)
+    ext = F.col(exit_col).cast("long")
+    dth = F.col(death_col).cast("long")
+    chk = F.when(
+        ill.isNotNull() & (ill.cast("long") >= ext),
+        F.raise_error(
+            "multistate_illness_death: t_ill must be < t_exit "
+            "(zero-length state-1 stays are undefined on the "
+            "discrete axis)"
+        ).cast("long"),
+    ).otherwise(ext)
+    base = df.withColumn("_ext", chk)
+    # state-0 exits: at t_ill (to 1) or, never-ill, at exit (to 2/cens)
+    s0 = base.withColumn(
+        "_s",
+        F.when(ill.isNotNull(), ill.cast("long")).otherwise(
+            F.col("_ext")
+        ),
+    ).groupBy(*g, "_s").agg(
+        F.count(F.lit(1)).alias("_rm0"),
+        F.sum(ill.isNotNull().cast("long")).alias("_d01"),
+        F.sum((ill.isNull() & (dth == 1)).cast("long")).alias("_d02"),
+    ).withColumn("_rm1", F.lit(0).cast("long")).withColumn(
+        "_d12", F.lit(0).cast("long")
+    )
+    # state-1 exits: the ever-ill leave state 1 at exit (death/cens);
+    # entries into state 1 are the _d01 counts already on the 0-side
+    s1 = (
+        base.filter(ill.isNotNull())
+        .withColumn("_s", F.col("_ext"))
+        .groupBy(*g, "_s")
+        .agg(
+            F.count(F.lit(1)).alias("_rm1"),
+            F.sum(dth).alias("_d12"),
+        )
+    )
+    cells = (
+        s0.unionByName(
+            s1.select(
+                *g, "_s",
+                F.lit(0).cast("long").alias("_rm0"),
+                F.lit(0).cast("long").alias("_d01"),
+                F.lit(0).cast("long").alias("_d02"),
+                "_rm1", "_d12",
+            )
+        )
+        .groupBy(*g, "_s")
+        .agg(
+            F.sum("_rm0").alias("_rm0"),
+            F.sum("_d01").alias("_d01"),
+            F.sum("_d02").alias("_d02"),
+            F.sum("_rm1").alias("_rm1"),
+            F.sum("_d12").alias("_d12"),
+        )
+    )
+    totals = base.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_subj"))
+    hours = spark.range(0, horizon + 1).select(
+        F.col("id").cast("long").alias("_s")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(hours))
+        .join(cells, g + ["_s"], "left")
+        .na.fill(0, ["_rm0", "_d01", "_d02", "_rm1", "_d12"])
+    )
+    grid = grouped_prefix_sum(
+        grid, g, "_s", ["_rm0", "_d01", "_rm1"],
+        ["_rm00", "_en10", "_rm10"],
+    )
+    n0 = F.col("_n_subj") - F.col("_rm00")
+    n1 = F.col("_en10") - F.col("_rm10")
+    d0 = F.col("_d01") + F.col("_d02")
+    d12 = F.col("_d12")
+    grid = (
+        grid.withColumn("n0_risk", n0)
+        .withColumn("n1_risk", n1)
+        .withColumn(
+            "_lt0v",
+            F.when(
+                (d0 > 0) & (d0 < F.col("n0_risk")),
+                _micro(F.log(F.lit(1.0) - d0 / F.col("n0_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_z0v",
+            F.when((d0 > 0) & (d0 == F.col("n0_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_lt1v",
+            F.when(
+                (d12 > 0) & (d12 < F.col("n1_risk")),
+                _micro(F.log(F.lit(1.0) - d12 / F.col("n1_risk"))),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "_z1v",
+            F.when((d12 > 0) & (d12 == F.col("n1_risk")), F.lit(1))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    grid = grouped_prefix_sum(
+        grid, g, "_s",
+        ["_lt0v", "_z0v", "_lt1v", "_z1v"],
+        ["_lt00", "_z00", "_lt10", "_z10"],
+    )
+    lt0i = F.col("_lt00") + F.col("_lt0v")
+    z0i = F.col("_z00") + F.col("_z0v")
+    lt1i = F.col("_lt10") + F.col("_lt1v")
+    z1i = F.col("_z10") + F.col("_z1v")
+    s0_left = F.when(F.col("_z00") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lt00") / F.lit(1000000.0))
+    )
+    grid = (
+        grid.withColumn("_z1seg", z1i)
+        .withColumn("_lt1i", lt1i)
+        .withColumn(
+            "_bv",
+            F.when(
+                F.col("_d01") > 0,
+                _micro(
+                    s0_left
+                    * (F.col("_d01") / F.col("n0_risk"))
+                    * F.exp(-F.col("_lt1i") / F.lit(1000000.0))
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn("_p00r", F.when(z0i > 0, F.lit(0.0)).otherwise(
+            F.exp(lt0i / F.lit(1000000.0))
+        ))
+    )
+    grid = grouped_prefix_sum(
+        grid, g + ["_z1seg"], "_s", "_bv", "_sb0"
+    )
+    p01r = (
+        F.exp(F.col("_lt1i") / F.lit(1000000.0))
+        * (F.col("_sb0") + F.col("_bv"))
+        / F.lit(1000000.0)
+    )
+    return grid.select(
+        *g,
+        F.col("_s").alias("hour"),
+        "n0_risk",
+        "n1_risk",
+        F.col("_d01").alias("n_ill"),
+        (F.col("_d02") + F.col("_d12")).alias("n_dead"),
+        F.round(F.col("_p00r"), 6).alias("p00"),
+        F.round(p01r, 6).alias("p01"),
+        F.round(
+            F.lit(1.0) - F.col("_p00r") - p01r, 6
+        ).alias("p02"),
+    )

@@ -6582,3 +6582,182 @@ def test_conditional_net_survival_reduction_ratio_and_guards(spark):
         conditional_net_survival(df, ["grp"], "band", hz, 30, 30)
     with pytest.raises(ValueError, match="condition_hour"):
         conditional_net_survival(df, ["grp"], "band", hz, 30, -1)
+
+
+def _aj_illness_death_reference(subs, horizon):
+    """Matrix product-integral twin of multistate_illness_death: walk
+    the hour grid, build I + dA from the observed risk sets and
+    transition counts, and accumulate the non-commutative product
+    directly (no lattice, no ratio trick) — an independent route to
+    the same estimand."""
+    import numpy as np
+
+    P = np.eye(3)
+    out = {}
+    for s in range(0, horizon + 1):
+        n0 = sum(
+            1 for (i, e, d) in subs
+            if (i if i is not None else e) >= s
+        )
+        n1 = sum(1 for (i, e, d) in subs if i is not None and i < s <= e)
+        d01 = sum(1 for (i, e, d) in subs if i == s)
+        d02 = sum(
+            1 for (i, e, d) in subs if i is None and e == s and d == 1
+        )
+        d12 = sum(
+            1 for (i, e, d) in subs if i is not None and e == s and d == 1
+        )
+        A = np.zeros((3, 3))
+        if n0 > 0:
+            A[0, 1] = d01 / n0
+            A[0, 2] = d02 / n0
+            A[0, 0] = -(d01 + d02) / n0
+        if n1 > 0:
+            A[1, 2] = d12 / n1
+            A[1, 1] = -d12 / n1
+        P = P @ (np.eye(3) + A)
+        out[s] = (P[0, 0], P[0, 1], P[0, 2])
+    return out
+
+
+def _msm_cohort(seed_mult, n, horizon):
+    """Deterministic pseudo-random illness-death cohort on the integer
+    hour grid: ~half progress through illness, paths censored at the
+    horizon."""
+    subs = []
+    for k in range(n):
+        h1 = (k * seed_mult + 17) % 97
+        h2 = (k * 31 + seed_mult) % 89
+        if h1 % 3 == 0:  # direct exit from state 0
+            e = 1 + h2 % (horizon - 1)
+            subs.append((None, e, 1 if h2 % 4 else 0))
+        elif h1 % 3 == 1:  # ill, then dies or is censored
+            i = h2 % (horizon - 2)
+            gap = 1 + (h1 // 3) % 10
+            e = i + gap
+            if e >= horizon:
+                subs.append((i, horizon, 0))
+            else:
+                subs.append((i, e, 1 if h1 % 5 else 0))
+        else:  # never leaves state 0 before the horizon
+            subs.append((None, horizon, 0))
+    return subs
+
+
+def test_illness_death_matches_matrix_product_integral(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        multistate_illness_death,
+    )
+
+    horizon = 24
+    cohorts = {"A": _msm_cohort(7, 120, horizon),
+               "B": _msm_cohort(13, 85, horizon)}
+    rows = [
+        (g, i, e, d)
+        for g, subs in cohorts.items()
+        for (i, e, d) in subs
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, t_ill long, t_exit long, death long"
+    )
+    got = {
+        (r["g"], r["hour"]): r
+        for r in multistate_illness_death(df, ["g"], horizon).collect()
+    }
+    assert len(got) == 2 * (horizon + 1)
+    for gname, subs in cohorts.items():
+        ref = _aj_illness_death_reference(subs, horizon)
+        for s, (p00, p01, p02) in ref.items():
+            r = got[(gname, s)]
+            assert r["p00"] == pytest.approx(p00, abs=5e-5)
+            assert r["p01"] == pytest.approx(p01, abs=5e-5)
+            assert r["p02"] == pytest.approx(p02, abs=5e-5)
+            # occupation probabilities partition to 1 at the published
+            # rounding
+            assert r["p00"] + r["p01"] + r["p02"] == pytest.approx(
+                1.0, abs=3e-6
+            )
+
+
+def test_illness_death_no_illness_reduces_to_km(spark):
+    """With no 0→1 transitions the model is two-state: p00 must be
+    BIT-EQUAL to km_curve's survival at every event hour (identical
+    cells, identical micro-lattice log products) and p01 ≡ 0."""
+    from cancer_survival_etl_spark.operators.survival import (
+        km_curve,
+        multistate_illness_death,
+    )
+
+    horizon = 20
+    subs = [
+        (None, 1 + (k * 7 + 3) % (horizon - 1), 1 if k % 3 else 0)
+        for k in range(60)
+    ]
+    df = spark.createDataFrame(
+        [("A", i, e, d) for (i, e, d) in subs],
+        "g string, t_ill long, t_exit long, death long",
+    )
+    msm = {
+        r["hour"]: r
+        for r in multistate_illness_death(df, ["g"], horizon).collect()
+    }
+    km = km_curve(
+        df.selectExpr("g", "t_exit as duration", "death as event"),
+        ["g"],
+    ).collect()
+    for r in km:
+        m = msm[r["duration"]]
+        assert m["p00"] == r["survival"]  # bit-equal, same lattice
+        assert m["p01"] == 0.0
+        assert m["n0_risk"] == r["n_risk"]
+    assert all(m["n1_risk"] == 0 for m in msm.values())
+
+
+def test_illness_death_state1_collapse_segments(spark):
+    """A state-1 risk-set collapse (every ill subject dies) pins
+    P11 = 0 across the collapse: illness mass accrued BEFORE it must
+    not leak into p01 afterwards — later 0→1 entries restart the
+    partial sums on a fresh validity segment."""
+    from cancer_survival_etl_spark.operators.survival import (
+        multistate_illness_death,
+    )
+
+    subs = [
+        (1, 4, 1),   # ill at 1, dies at 4
+        (2, 4, 1),   # ill at 2, dies at 4 — collapse: n1(4)=2=d12(4)
+        (6, 9, 0),   # fresh segment: ill at 6, censored at 9
+        (None, 10, 0),
+        (None, 10, 0),
+        (None, 10, 0),
+    ]
+    df = spark.createDataFrame(
+        [("A", i, e, d) for (i, e, d) in subs],
+        "g string, t_ill long, t_exit long, death long",
+    )
+    got = {
+        r["hour"]: r
+        for r in multistate_illness_death(df, ["g"], 10).collect()
+    }
+    ref = _aj_illness_death_reference(subs, 10)
+    for s in range(0, 11):
+        assert got[s]["p00"] == pytest.approx(ref[s][0], abs=5e-5)
+        assert got[s]["p01"] == pytest.approx(ref[s][1], abs=5e-5)
+        assert got[s]["p02"] == pytest.approx(ref[s][2], abs=5e-5)
+    # after the hour-4 collapse and before the hour-6 re-entry the
+    # ill-state mass is exactly zero
+    assert got[5]["p01"] == 0.0
+    # the hour-6 entry contributes again (fresh segment)
+    assert got[7]["p01"] > 0.0
+
+
+def test_illness_death_rejects_zero_length_state1_stay(spark):
+    from cancer_survival_etl_spark.operators.survival import (
+        multistate_illness_death,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 5, 5, 1), ("A", None, 8, 0)],
+        "g string, t_ill long, t_exit long, death long",
+    )
+    with pytest.raises(Exception, match="t_ill must be < t_exit"):
+        multistate_illness_death(df, ["g"], 10).collect()
