@@ -20538,6 +20538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_net_cond_ci": q_survival_net_cond_ci,
         "stats_quantile_reg": q_stats_quantile_reg,
         "survival_illness_death": q_survival_illness_death,
+        "stats_cochran_q": q_stats_cochran_q,
+        "stats_evalue": q_stats_evalue,
     }
     out = {k: base[k] for k in _WINDOW_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -22567,6 +22569,181 @@ _SURVIVAL_ILLNESS_DEATH_SQL = """
 """
 
 
+def q_stats_cochran_q(spark, sf_dir):
+    """Cochran's Q (operators/stats.py::cochran_q): did error
+    incidence differ across the three 16-hour shifts of each user's
+    first 48 hours? Blocks = users, treatments = shifts 0/1/2, value
+    = any error in that shift — complete by construction (every user
+    carries all three shift rows, absent = 0). The binary
+    repeated-measures sibling of `stats_friedman` on the same event
+    clock. Oracle replays the exact integer margins and the
+    closed-form Q — deterministic to the last bit."""
+    from cancer_survival_etl_spark.operators.stats import cochran_q
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    hrs = F.expr("timestampdiff(HOUR, t0, ts)")
+    flags = (
+        e.filter(F.col("event_type") == "error")
+        .join(per, "user_id")
+        .withColumn("_h", hrs)
+        .filter((F.col("_h") >= 0) & (F.col("_h") < 48))
+        .withColumn("_w", (F.col("_h") / 16).cast("long"))
+        .groupBy("user_id", "_w")
+        .agg(F.lit(1).alias("_f"))
+    )
+    shifts = spark.range(0, 3).select(F.col("id").alias("_w"))
+    base = (
+        per.select("user_id")
+        .crossJoin(F.broadcast(shifts))
+        .join(flags, ["user_id", "_w"], "left")
+        .select(
+            "user_id",
+            "_w",
+            F.coalesce(F.col("_f"), F.lit(0)).alias("_v"),
+        )
+    )
+    return cochran_q(base, "user_id", "_w", "_v")
+
+
+_STATS_COCHRAN_Q_SQL = """
+    WITH per AS (
+        SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT e.user_id,
+               (epoch_us(e.ts) - epoch_us(p.t0)) // 57600000000 AS w
+        FROM events e JOIN per p USING (user_id)
+        WHERE e.event_type = 'error'
+          AND (epoch_us(e.ts) - epoch_us(p.t0)) // 3600000000 >= 0
+          AND (epoch_us(e.ts) - epoch_us(p.t0)) // 3600000000 < 48
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT p.user_id, s.w,
+               CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END AS v
+        FROM per p
+        CROSS JOIN (SELECT w FROM range(0, 3) t(w)) s
+        LEFT JOIN flags f ON f.user_id = p.user_id AND f.w = s.w
+    ),
+    shape AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nb,
+               CAST(count(DISTINCT w) AS BIGINT) AS k,
+               CAST(sum(v) AS BIGINT) AS nn
+        FROM base
+    ),
+    cj AS (
+        SELECT CAST(sum(cjv * cjv) AS BIGINT) AS c2
+        FROM (SELECT w, sum(v) AS cjv FROM base GROUP BY w)
+    ),
+    ri AS (
+        SELECT CAST(sum(riv * riv) AS BIGINT) AS r2
+        FROM (SELECT user_id, sum(v) AS riv FROM base GROUP BY user_id)
+    )
+    SELECT nb AS n_blocks, k AS k_treatments, nn AS n_success,
+           CASE WHEN CAST(k AS DOUBLE) * nn - r2 > 0 THEN
+               round(CAST(k AS DOUBLE) * (k - 1)
+                     * (CAST(c2 AS DOUBLE)
+                        - CAST(nn AS DOUBLE) * nn / k)
+                     / (CAST(k AS DOUBLE) * nn - r2), 6)
+           END AS q_stat,
+           k - 1 AS df
+    FROM shape, cj, ri
+"""
+
+
+def q_stats_evalue(spark, sf_dir):
+    """VanderWeele-Ding E-value (operators/stats.py::e_value_rr) for
+    the observational association between the user_id%3=0 'exposure'
+    arm and purchasing within 48 hours of first activity — how strong
+    would an unmeasured confounder have to be (RR scale, with both
+    exposure and outcome) to explain the crude risk ratio away?
+    Oracle replays the four exact cells, the Wald log-RR interval,
+    and the closed-form transform — deterministic."""
+    from cancer_survival_etl_spark.operators.stats import e_value_rr
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    bought = F.col("tp").isNotNull() & (
+        F.expr("timestampdiff(HOUR, t0, tp)") < F.lit(_SURV_HORIZON_H)
+    )
+    subj = per.select(
+        (F.col("user_id") % 3 == 0).cast("long").alias("exposed"),
+        bought.cast("long").alias("outcome"),
+    )
+    return e_value_rr(subj, "exposed", "outcome")
+
+
+_STATS_EVALUE_SQL = """
+    WITH per AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id
+    ),
+    subj AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS e,
+               CASE WHEN tp IS NOT NULL
+                         AND (epoch_us(tp) - epoch_us(t0))
+                             // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS o
+        FROM per
+    ),
+    cells AS (
+        SELECT CAST(sum(e * o) AS BIGINT) AS a,
+               CAST(sum(e * (1 - o)) AS BIGINT) AS b,
+               CAST(sum((1 - e) * o) AS BIGINT) AS c,
+               CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d
+        FROM subj
+    ),
+    eff AS (
+        SELECT *,
+               (a / CAST(a + b AS DOUBLE))
+                   / (c / CAST(c + d AS DOUBLE)) AS rr,
+               sqrt(1.0 / a - 1.0 / (a + b)
+                    + 1.0 / c - 1.0 / (c + d)) AS se,
+               (a > 0 AND c > 0 AND a + b > 0 AND c + d > 0) AS ok
+        FROM cells
+    ),
+    ci AS (
+        SELECT *,
+               exp(ln(rr) - 1.96 * se) AS lo,
+               exp(ln(rr) + 1.96 * se) AS hi
+        FROM eff
+    )
+    SELECT a AS n_exposed_outcome, b AS n_exposed_clear,
+           c AS n_unexposed_outcome, d AS n_unexposed_clear,
+           CASE WHEN ok THEN round(rr, 6) END AS rr,
+           CASE WHEN ok THEN round(lo, 6) END AS rr_lower,
+           CASE WHEN ok THEN round(hi, 6) END AS rr_upper,
+           CASE WHEN ok THEN round(
+               CASE WHEN rr < 1 THEN 1.0 / rr ELSE rr END
+               + sqrt((CASE WHEN rr < 1 THEN 1.0 / rr ELSE rr END)
+                      * ((CASE WHEN rr < 1 THEN 1.0 / rr ELSE rr END)
+                         - 1.0)), 6) END AS e_value,
+           CASE WHEN ok THEN round(
+               CASE WHEN lo <= 1 AND hi >= 1 THEN 1.0
+                    WHEN rr >= 1 THEN
+                        (CASE WHEN lo < 1 THEN 1.0 / lo ELSE lo END)
+                        + sqrt((CASE WHEN lo < 1 THEN 1.0 / lo
+                                     ELSE lo END)
+                               * ((CASE WHEN lo < 1 THEN 1.0 / lo
+                                        ELSE lo END) - 1.0))
+                    ELSE
+                        (CASE WHEN hi < 1 THEN 1.0 / hi ELSE hi END)
+                        + sqrt((CASE WHEN hi < 1 THEN 1.0 / hi
+                                     ELSE hi END)
+                               * ((CASE WHEN hi < 1 THEN 1.0 / hi
+                                        ELSE hi END) - 1.0))
+               END, 6) END AS e_value_ci
+    FROM ci
+"""
+
+
 _STATS_MCNEMAR_SQL = """
     WITH per AS (
         SELECT user_id,
@@ -24154,6 +24331,8 @@ def oracle_sql() -> dict[str, str]:
         "survival_net_cond_ci": _NET_COND_CI_SQL,
         "stats_quantile_reg": _STATS_QUANTILE_REG_SQL,
         "survival_illness_death": _SURVIVAL_ILLNESS_DEATH_SQL,
+        "stats_cochran_q": _STATS_COCHRAN_Q_SQL,
+        "stats_evalue": _STATS_EVALUE_SQL,
         "retrieval_mmr": _MMR_SQL,
         "stats_js_divergence": _JS_DIVERGENCE_SQL,
         "dedup_containment": _CONTAINMENT_SQL,

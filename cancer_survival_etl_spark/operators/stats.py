@@ -5477,3 +5477,210 @@ def quantile_regression(
         "term string, estimate double, tau double, pseudo_r2 double, "
         "n_rows long",
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cochran's Q test (1950) — the BINARY repeated-measures k-sample
+    test: the special case of ``friedman_test`` for 0/1 outcomes
+    (k raters / screening rules / care pathways judged on the same
+    block panel), where within-block ranking degenerates and the
+    statistic collapses to closed form over integer margins:
+
+        Q = k(k−1)·Σ_j (C_j − N/k)² / (k·N − Σ_i R_i²)
+
+    with C_j the per-treatment success totals, R_i the per-block
+    success totals, N = ΣC_j = ΣR_i; χ²(k−1) under H₀. For k = 2 it
+    is algebraically McNemar's chi-square without continuity
+    correction (pinned in tests).
+
+    Same complete-block contract as Friedman (ADVICE r09 class):
+    exactly ONE observation per (block, treatment) AND every block
+    holds every treatment — both named in-plan errors via the
+    n_cells = n_blocks·k completeness identity. Values outside {0,1}
+    raise. Blocks with no discordance anywhere (k·N = ΣR_i²,
+    denominator 0 — every block constant) publish a NULL statistic,
+    the repo's degenerate-variance convention.
+
+    SCALE SHAPE: three hash aggregates over (block, treatment) cells
+    — the duplicate/completeness guard, per-treatment totals
+    (k rows), per-block totals collapsed map-side to ΣR_i² — then
+    one-row broadcast crossJoins. All margins are exact longs; Q is
+    one deterministic double expression. Returns one row:
+    (n_blocks, k_treatments, n_success, q_stat, df), 6 dp.
+    """
+    b = F.col(block_col)
+    tr = F.col(treatment_col)
+    v = F.col(value_col).cast("long")
+    chk = F.when(
+        ~v.isin(0, 1),
+        F.raise_error("cochran_q: value must be 0 or 1").cast("long"),
+    ).otherwise(v)
+    base = df.select(b.alias("_b"), tr.alias("_tr"), chk.alias("_v"))
+    dup = base.groupBy("_b", "_tr").agg(F.count(F.lit(1)).alias("_c"))
+    guard = dup.select(
+        F.when(
+            F.col("_c") != 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "cochran_q: needs exactly one value per "
+                        "(block, treatment); got "
+                    ),
+                    F.col("_c").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_c")).alias("_ok")
+    ).agg(F.sum("_ok").alias("_n_cells"))
+    shape = base.agg(
+        F.countDistinct("_b").alias("_nb"),
+        F.countDistinct("_tr").alias("_k"),
+        F.sum("_v").alias("_nn"),
+    )
+    per_tr = base.groupBy("_tr").agg(F.sum("_v").alias("_cj"))
+    cj2 = per_tr.agg(
+        F.sum(F.col("_cj") * F.col("_cj")).alias("_c2")
+    )
+    per_b = base.groupBy("_b").agg(F.sum("_v").alias("_ri"))
+    ri2 = per_b.agg(F.sum(F.col("_ri") * F.col("_ri")).alias("_r2"))
+    out = (
+        shape.crossJoin(F.broadcast(guard))
+        .crossJoin(F.broadcast(cj2))
+        .crossJoin(F.broadcast(ri2))
+    )
+    # Σ_j (C_j − N/k)² = ΣC_j² − N²/k  (exact margins, one double op)
+    num = (
+        F.col("_k").cast("double")
+        * (F.col("_k") - 1)
+        * (
+            F.col("_c2").cast("double")
+            - F.col("_nn").cast("double")
+            * F.col("_nn")
+            / F.col("_k")
+        )
+    )
+    den = (
+        F.col("_k").cast("double") * F.col("_nn") - F.col("_r2")
+    )
+    return out.select(
+        F.col("_nb").alias("n_blocks"),
+        F.col("_k").alias("k_treatments"),
+        F.col("_nn").alias("n_success"),
+        F.when(den > 0, F.round(num / den, 6)).alias("q_stat"),
+        # 0·guard threads the complete-block identity into a published
+        # column so Catalyst cannot prune the raise (the friedman_test
+        # idiom): _n_cells raises upstream on duplicated cells, and
+        # n_cells == n_blocks·k catches a block missing a treatment
+        (
+            F.col("_k")
+            - 1
+            + 0
+            * F.when(
+                F.col("_n_cells") == F.col("_nb") * F.col("_k"),
+                F.col("_n_cells"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "cochran_q: incomplete block design — got "
+                        ),
+                        F.col("_n_cells").cast("string"),
+                        F.lit(" (block, treatment) cells, expected "),
+                        (F.col("_nb") * F.col("_k")).cast("string"),
+                        F.lit(
+                            " (every block must hold every treatment)"
+                        ),
+                    )
+                ).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("df"),
+    )
+
+
+def e_value_rr(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """VanderWeele-Ding E-value (2017) — the sensitivity-analysis
+    companion to every observational risk ratio this engine fits: the
+    minimum strength of association (on the RR scale) an unmeasured
+    confounder would need with BOTH exposure and outcome to fully
+    explain away the observed association,
+
+        E = RR* + sqrt(RR*·(RR*−1)),   RR* = max(RR, 1/RR)
+
+    plus the same transform applied to the confidence limit CLOSER to
+    the null (1 exactly when the CI crosses 1 — no confounding needed
+    beyond sampling noise). RR and its Wald CI come from the 2×2
+    margins: RR = [a/(a+b)] / [c/(c+d)], se(ln RR) = sqrt(1/a −
+    1/(a+b) + 1/c − 1/(c+d)).
+
+    Degenerate margins (an empty exposure arm, or zero outcome events
+    in either arm — RR 0/∞/undefined) publish NULL effect and E-value
+    columns over the exact integer cells, the repo's
+    degenerate-variance convention (the counts still publish, so the
+    caller sees WHICH margin died).
+
+    SCALE SHAPE: ONE hash aggregate folds the cohort to four longs;
+    everything after is one-row arithmetic. Returns one row:
+    (n_exposed_outcome, n_exposed_clear, n_unexposed_outcome,
+    n_unexposed_clear, rr, rr_lower, rr_upper, e_value, e_value_ci),
+    6 dp.
+    """
+    ex = F.col(exposure_col).cast("long")
+    oc = F.col(outcome_col).cast("long")
+    chk = F.when(
+        ~ex.isin(0, 1) | ~oc.isin(0, 1),
+        F.raise_error(
+            "e_value_rr: exposure and outcome must be 0 or 1"
+        ).cast("long"),
+    ).otherwise(ex)
+    agg = df.select(chk.alias("_e"), oc.alias("_o")).agg(
+        F.sum((F.col("_e") * F.col("_o"))).alias("_a"),
+        F.sum(F.col("_e") * (1 - F.col("_o"))).alias("_b"),
+        F.sum((1 - F.col("_e")) * F.col("_o")).alias("_c"),
+        F.sum((1 - F.col("_e")) * (1 - F.col("_o"))).alias("_d"),
+    )
+    a = F.col("_a").cast("double")
+    bb = F.col("_b").cast("double")
+    c = F.col("_c").cast("double")
+    d = F.col("_d").cast("double")
+    ok = (
+        (F.col("_a") > 0)
+        & (F.col("_c") > 0)
+        & (F.col("_a") + F.col("_b") > 0)
+        & (F.col("_c") + F.col("_d") > 0)
+    )
+    rr = (a / (a + bb)) / (c / (c + d))
+    se = F.sqrt(
+        1 / a - 1 / (a + bb) + 1 / c - 1 / (c + d)
+    )
+    lo = F.exp(F.log(rr) - 1.96 * se)
+    hi = F.exp(F.log(rr) + 1.96 * se)
+
+    def _ev(x):
+        xs = F.when(x < 1, 1 / x).otherwise(x)
+        return xs + F.sqrt(xs * (xs - F.lit(1.0)))
+
+    # CI limit closer to the null, on the same side as the point RR
+    ev_ci = F.when(
+        (lo <= 1) & (hi >= 1), F.lit(1.0)
+    ).otherwise(F.when(rr >= 1, _ev(lo)).otherwise(_ev(hi)))
+    return agg.select(
+        F.col("_a").alias("n_exposed_outcome"),
+        F.col("_b").alias("n_exposed_clear"),
+        F.col("_c").alias("n_unexposed_outcome"),
+        F.col("_d").alias("n_unexposed_clear"),
+        F.when(ok, F.round(rr, 6)).alias("rr"),
+        F.when(ok, F.round(lo, 6)).alias("rr_lower"),
+        F.when(ok, F.round(hi, 6)).alias("rr_upper"),
+        F.when(ok, F.round(_ev(rr), 6)).alias("e_value"),
+        F.when(ok, F.round(ev_ci, 6)).alias("e_value_ci"),
+    )

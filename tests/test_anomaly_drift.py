@@ -2901,3 +2901,138 @@ def test_quantile_regression_recovery_twin_and_guards(spark):
         quantile_regression(df, ["x"], "y", 0.5, iters=0)
     with pytest.raises(ValueError, match="empty input"):
         quantile_regression(df.limit(0), ["x"], "y", 0.5)
+
+
+def test_cochran_q_closed_form_k2_mcnemar_and_guards(spark):
+    from cancer_survival_etl_spark.operators.stats import cochran_q
+
+    # 3 care pathways judged on 8 blocks (complete binary panel)
+    vals = {
+        1: (1, 1, 0), 2: (1, 1, 1), 3: (0, 1, 0), 4: (1, 0, 0),
+        5: (1, 1, 1), 6: (0, 1, 0), 7: (1, 1, 0), 8: (0, 1, 0),
+    }
+    rows = [
+        (b, t, v)
+        for b, tv in vals.items()
+        for t, v in zip(("x", "y", "z"), tv)
+    ]
+    df = spark.createDataFrame(rows, "b long, t string, v long")
+    got = cochran_q(df, "b", "t", "v").collect()[0]
+    # closed form from the exact margins
+    cj = [sum(tv[i] for tv in vals.values()) for i in range(3)]
+    ri = [sum(tv) for tv in vals.values()]
+    nn = sum(cj)
+    k = 3
+    num = k * (k - 1) * (sum(c * c for c in cj) - nn * nn / k)
+    den = k * nn - sum(r * r for r in ri)
+    assert got["n_blocks"] == 8
+    assert got["k_treatments"] == 3
+    assert got["n_success"] == nn
+    assert got["df"] == 2
+    assert got["q_stat"] == round(num / den, 6)
+
+    # k = 2: Q is McNemar's chi-square WITHOUT continuity correction,
+    # (b − c)² / (b + c) over the discordant cells
+    pairs = [(1, 0)] * 6 + [(0, 1)] * 2 + [(1, 1)] * 5 + [(0, 0)] * 3
+    df2 = spark.createDataFrame(
+        [
+            (i, t, v)
+            for i, pv in enumerate(pairs)
+            for t, v in zip(("f", "s"), pv)
+        ],
+        "b long, t string, v long",
+    )
+    got2 = cochran_q(df2, "b", "t", "v").collect()[0]
+    assert got2["q_stat"] == pytest.approx((6 - 2) ** 2 / (6 + 2), abs=1e-6)
+
+    # no discordance anywhere -> denominator 0 -> NULL statistic
+    dfc = spark.createDataFrame(
+        [(b, t, 1) for b in range(4) for t in ("x", "y")],
+        "b long, t string, v long",
+    )
+    assert cochran_q(dfc, "b", "t", "v").collect()[0]["q_stat"] is None
+
+    # guards: duplicate cell, incomplete block, non-binary value
+    dup = spark.createDataFrame(
+        [(1, "x", 1), (1, "x", 0), (1, "y", 1)],
+        "b long, t string, v long",
+    )
+    with pytest.raises(Exception, match="exactly one value"):
+        cochran_q(dup, "b", "t", "v").collect()
+    inc = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 0), (2, "x", 1)],
+        "b long, t string, v long",
+    )
+    with pytest.raises(Exception, match="incomplete block"):
+        cochran_q(inc, "b", "t", "v").collect()
+    bad = spark.createDataFrame(
+        [(1, "x", 2), (1, "y", 0)], "b long, t string, v long"
+    )
+    with pytest.raises(Exception, match="must be 0 or 1"):
+        cochran_q(bad, "b", "t", "v").collect()
+
+
+def test_e_value_rr_closed_form_and_edges(spark):
+    import math
+
+    from cancer_survival_etl_spark.operators.stats import e_value_rr
+
+    def ev(x):
+        xs = 1 / x if x < 1 else x
+        return xs + math.sqrt(xs * (xs - 1))
+
+    # planted 2x2: a=30 b=70 c=10 d=90 -> RR = 3.0
+    rows = (
+        [(1, 1)] * 30 + [(1, 0)] * 70 + [(0, 1)] * 10 + [(0, 0)] * 90
+    )
+    df = spark.createDataFrame(rows, "e long, o long")
+    got = e_value_rr(df, "e", "o").collect()[0]
+    assert (
+        got["n_exposed_outcome"],
+        got["n_exposed_clear"],
+        got["n_unexposed_outcome"],
+        got["n_unexposed_clear"],
+    ) == (30, 70, 10, 90)
+    rr = (30 / 100) / (10 / 100)
+    se = math.sqrt(1 / 30 - 1 / 100 + 1 / 10 - 1 / 100)
+    lo = math.exp(math.log(rr) - 1.96 * se)
+    assert got["rr"] == pytest.approx(rr, abs=1e-6)
+    assert got["e_value"] == pytest.approx(ev(rr), abs=1e-6)
+    # CI excludes 1 here -> E-value of the lower bound
+    assert lo > 1
+    assert got["e_value_ci"] == pytest.approx(ev(lo), abs=1e-6)
+
+    # CI crossing 1 -> e_value_ci pinned to exactly 1.0
+    rows2 = [(1, 1)] * 11 + [(1, 0)] * 89 + [(0, 1)] * 10 + [(0, 0)] * 90
+    got2 = e_value_rr(
+        spark.createDataFrame(rows2, "e long, o long"), "e", "o"
+    ).collect()[0]
+    assert got2["rr_lower"] < 1 < got2["rr_upper"]
+    assert got2["e_value_ci"] == 1.0
+
+    # protective exposure (RR < 1): transform flips through 1/RR and
+    # the CI side closer to the null is the UPPER bound
+    rows3 = [(1, 1)] * 10 + [(1, 0)] * 90 + [(0, 1)] * 30 + [(0, 0)] * 70
+    got3 = e_value_rr(
+        spark.createDataFrame(rows3, "e long, o long"), "e", "o"
+    ).collect()[0]
+    rr3 = (10 / 100) / (30 / 100)
+    hi3 = math.exp(
+        math.log(rr3)
+        + 1.96 * math.sqrt(1 / 10 - 1 / 100 + 1 / 30 - 1 / 100)
+    )
+    assert got3["e_value"] == pytest.approx(ev(rr3), abs=1e-6)
+    assert got3["e_value_ci"] == pytest.approx(ev(hi3), abs=1e-6)
+
+    # degenerate margin: no outcomes among the unexposed -> counts
+    # publish, effect columns NULL
+    rows4 = [(1, 1)] * 5 + [(1, 0)] * 5 + [(0, 0)] * 10
+    got4 = e_value_rr(
+        spark.createDataFrame(rows4, "e long, o long"), "e", "o"
+    ).collect()[0]
+    assert got4["n_unexposed_outcome"] == 0
+    assert got4["rr"] is None and got4["e_value"] is None
+
+    bad = spark.createDataFrame([(2, 1)], "e long, o long")
+    with pytest.raises(Exception, match="must be 0 or 1"):
+        e_value_rr(bad, "e", "o").collect()
