@@ -14281,6 +14281,188 @@ _NET_STD_SQL = f"""
 """
 
 
+def q_survival_net_gap(spark, sf_dir):
+    """Age-standardised net-survival GAP between the two cohorts
+    (operators/survival.py::net_survival_gap) — the deprivation-gap
+    statistic published on top of the INDEX stack's per-cohort
+    figures: ICSS-weighted Pohar Perme per arm (weights renormalised
+    over present age classes), cmp−ref difference, delta-method CI
+    from the standardisation-weighted PP variances. Oracle replays
+    the whole per-(cohort, class) weighted-grid pipeline INCLUDING
+    the pico variance prefix, the published se_net lattice, the
+    broadcast weight totals, and the conditional-aggregation pivot —
+    bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_gap,
+    )
+
+    subj = _banded_episodes(spark, sf_dir).withColumn(
+        "agegrp", (F.col("band") / 3).cast("int")
+    )
+    return net_survival_gap(
+        subj,
+        "cohort",
+        "A",
+        "B",
+        "agegrp",
+        _NET_STD_WEIGHTS,
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_NET_GAP_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CAST((user_id % 9) // 3 AS INT) AS agegrp,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, agegrp, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, agegrp, band
+    ),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    cellsb AS (
+        SELECT cohort, agegrp, band, duration AS s, count(*) AS rm,
+               CAST(sum(event) AS BIGINT) AS dv
+        FROM survb GROUP BY cohort, agegrp, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.agegrp, n.band, n.nb_tot, h.s,
+               coalesce(r.rm, 0) AS rm, coalesce(r.dv, 0) AS dv
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN cellsb r
+          ON r.cohort = n.cohort AND r.agegrp = n.agegrp
+         AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, agegrp, band
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    wgt AS (
+        SELECT n.cohort, n.agegrp, n.s, n.nbv, n.dv, z.lam,
+               pow(1.0 - z.lam / 1000000.0, -n.s) AS w
+        FROM nb n JOIN hzm z ON n.band = z.band
+    ),
+    terms AS (
+        SELECT cohort, agegrp, s, nbv,
+               CAST(round(dv * w * 1000000.0, 0) AS BIGINT) AS wd,
+               CAST(round(nbv * w * 1000000.0, 0) AS BIGINT) AS wn,
+               CAST(round(nbv * w * (lam / 1000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS we,
+               CAST(round(dv * w * w * 1000000.0, 0) AS BIGINT) AS wwd
+        FROM wgt
+    ),
+    pers AS (
+        SELECT cohort, agegrp, s,
+               CAST(sum(wd) AS BIGINT) AS num1,
+               CAST(sum(we) AS BIGINT) AS num2,
+               CAST(sum(wn) AS BIGINT) AS den,
+               CAST(sum(nbv) AS BIGINT) AS n,
+               CAST(sum(wwd) AS BIGINT) AS num3
+        FROM terms GROUP BY cohort, agegrp, s
+    ),
+    le AS (
+        SELECT *,
+            CASE WHEN s > 0 AND den > 0
+                 THEN CAST(round(
+                     (num1 / 1000000.0 - num2 / 1000000000000.0)
+                     / (den / 1000000.0) * 1000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS lev,
+            CASE WHEN s > 0 AND den > 0
+                 THEN CAST(round((num3 / 1000000.0)
+                     / pow(den / 1000000.0, 2.0)
+                     * 1000000000000.0, 0) AS BIGINT)
+                 ELSE 0 END AS viv
+        FROM pers
+    ),
+    acc AS (
+        SELECT cohort, agegrp, s, n,
+               sum(lev) OVER wi / 1000000.0 AS cum,
+               sum(viv) OVER wi / 1000000000000.0 AS vr
+        FROM le
+        WINDOW wi AS (PARTITION BY cohort, agegrp ORDER BY s
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    pp AS (
+        SELECT cohort, agegrp, s AS hour, n,
+               CAST(round(round(exp(-cum), 6) * 1000000.0, 0) AS BIGINT)
+                   AS sm,
+               CAST(round(round(round(exp(-cum), 6) * sqrt(vr), 6)
+                          * 1000000.0, 0) AS BIGINT) AS sem
+        FROM acc WHERE s > 0
+    ),
+    wts(agegrp, w) AS (VALUES
+        {", ".join(f"({k}, {v})" for k, v in _NET_STD_WEIGHTS.items())}
+    ),
+    ppw AS (
+        SELECT p.*, z.w FROM pp p JOIN wts z ON p.agegrp = z.agegrp
+    ),
+    wtot AS (
+        SELECT cohort, hour, CAST(sum(w) AS BIGINT) AS wt
+        FROM ppw GROUP BY cohort, hour
+    ),
+    vterm AS (
+        SELECT p.cohort, p.hour, p.n, p.w, p.sm,
+               CAST(round((p.w / CAST(t.wt AS DOUBLE))
+                    * (p.w / CAST(t.wt AS DOUBLE))
+                    * (p.sem / 1000000.0) * (p.sem / 1000000.0)
+                    * 1000000000000.0, 0) AS BIGINT) AS vt
+        FROM ppw p JOIN wtot t
+          ON p.cohort = t.cohort AND p.hour = t.hour
+    ),
+    arm AS (
+        SELECT cohort, hour,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(w * sm) AS BIGINT) / CAST(sum(w) AS BIGINT)
+                   / 1000000.0 AS s_std,
+               CAST(sum(vt) AS BIGINT) / 1000000000000.0 AS vr
+        FROM vterm GROUP BY cohort, hour
+    ),
+    piv AS (
+        SELECT hour,
+               max(CASE WHEN cohort = 'A' THEN nn END) AS n_ref,
+               max(CASE WHEN cohort = 'B' THEN nn END) AS n_cmp,
+               max(CASE WHEN cohort = 'A' THEN s_std END) AS s_ref,
+               max(CASE WHEN cohort = 'B' THEN s_std END) AS s_cmp,
+               max(CASE WHEN cohort = 'A' THEN vr END) AS v_ref,
+               max(CASE WHEN cohort = 'B' THEN vr END) AS v_cmp
+        FROM arm GROUP BY hour
+    )
+    SELECT hour, n_ref AS n_risk_ref, n_cmp AS n_risk_cmp,
+           round(s_ref, 6) AS net_std_ref,
+           round(s_cmp, 6) AS net_std_cmp,
+           round(s_cmp - s_ref, 6) AS gap,
+           round(sqrt(v_ref + v_cmp), 6) AS se_gap,
+           round((s_cmp - s_ref) - 1.96 * sqrt(v_ref + v_cmp), 6)
+               AS lower_ci_gap,
+           round((s_cmp - s_ref) + 1.96 * sqrt(v_ref + v_cmp), 6)
+               AS upper_ci_gap
+    FROM piv
+"""
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading ease + FK grade per document (llm/curation.py::
     readability_scores) — regex-defined counts, pure JVM expressions,
@@ -20540,6 +20722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_illness_death": q_survival_illness_death,
         "stats_cochran_q": q_stats_cochran_q,
         "stats_evalue": q_stats_evalue,
+        "survival_net_gap": q_survival_net_gap,
     }
     out = {k: base[k] for k in _WINDOW_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -24333,6 +24516,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_illness_death": _SURVIVAL_ILLNESS_DEATH_SQL,
         "stats_cochran_q": _STATS_COCHRAN_Q_SQL,
         "stats_evalue": _STATS_EVALUE_SQL,
+        "survival_net_gap": _NET_GAP_SQL,
         "retrieval_mmr": _MMR_SQL,
         "stats_js_divergence": _JS_DIVERGENCE_SQL,
         "dedup_containment": _CONTAINMENT_SQL,

@@ -10178,3 +10178,143 @@ def multistate_illness_death(
             F.lit(1.0) - F.col("_p00r") - p01r, 6
         ).alias("p02"),
     )
+
+
+def net_survival_gap(
+    df: DataFrame,
+    group_col: str,
+    ref_value,
+    cmp_value,
+    class_col: str,
+    class_weights: dict,
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Net-survival GAP between two cohorts — the deprivation-gap /
+    inequality statistic national cancer publications lead with (the
+    reference's INDEX stack publishes per-cohort age-standardised net
+    survival; the gap between the most- and least-deprived cohorts is
+    its headline comparison): age-standardised Pohar Perme net
+    survival per arm (the ``standardized_net_survival`` ICSS mix,
+    weights renormalised over the classes PRESENT in each arm), the
+    difference, and a delta-method CI from the standardisation-
+    weighted PP variances,
+
+        gap(h) = S_std,cmp(h) − S_std,ref(h),
+        Var(gap) = Σ_a (w_a/W_cmp)²·se_a,cmp² +
+                   Σ_a (w_a/W_ref)²·se_a,ref²
+
+    (independent cohorts; se_a = the published PP ``se_net`` per
+    class). Negative gap = the comparison arm does worse.
+
+    Exactness: per-class curves and SEs are the published 6-dp PP
+    columns, re-latticed to micro longs; the variance fold runs as
+    pico(w_a²·se_a²/W²) longs after a broadcast join of the exact
+    per-(group, hour) weight totals, so every distributed sum is an
+    exact integer and the gap table hash-adjudicates bit-exact.
+    Both named arms must be present — a missing arm raises in-plan
+    (the 0·guard idiom) rather than publishing an empty frame.
+
+    Returns one row per hour 1..horizon: ``n_risk_ref``,
+    ``n_risk_cmp``, ``net_std_ref``, ``net_std_cmp``, ``gap``,
+    ``se_gap``, ``lower_ci_gap``, ``upper_ci_gap`` (6 dp).
+
+    Scale shape: one ``net_survival_pohar_perme`` keyed by (arm,
+    class) — the broadcast-sized grid of the standardised estimator —
+    plus three bounded folds on (arm[, class], hour) frames. Nothing
+    scales with subjects beyond PP's one cell aggregate.
+    """
+    if any(int(w) != w for w in class_weights.values()):
+        raise ValueError("class_weights must be integers (exact-sum)")
+    gcol = F.col(group_col)
+    base = df.filter(gcol.isin(ref_value, cmp_value))
+    pp = net_survival_pohar_perme(
+        base,
+        [group_col, class_col],
+        band_col,
+        hazard_micro_by_band,
+        horizon,
+        duration_col,
+        event_col,
+        with_ci=True,
+    )
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, w in class_weights.items()
+            for x in (k, int(w))
+        ]
+    )
+    pp = (
+        pp.withColumn(
+            "_w",
+            F.coalesce(wmap[F.col(class_col)], F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_sm",
+            F.round(
+                F.col("net_survival_pp") * F.lit(1000000.0), 0
+            ).cast("long"),
+        )
+        .withColumn(
+            "_sem",
+            F.round(F.col("se_net") * F.lit(1000000.0), 0).cast(
+                "long"
+            ),
+        )
+    )
+    wtot = pp.groupBy(group_col, "hour").agg(
+        F.sum("_w").alias("_wt")
+    )
+    pp = pp.join(F.broadcast(wtot), [group_col, "hour"])
+    # pico(w²·se²/W²): w/W ≤ 1 and se ≤ 1 keep the long in range
+    var_term = _pico(
+        (F.col("_w") / F.col("_wt"))
+        * (F.col("_w") / F.col("_wt"))
+        * (F.col("_sem") / F.lit(1000000.0))
+        * (F.col("_sem") / F.lit(1000000.0))
+    )
+    arm = pp.groupBy(group_col, "hour").agg(
+        F.sum("n_risk").alias("_n"),
+        (
+            F.sum(F.col("_w") * F.col("_sm"))
+            / F.sum("_w")
+            / F.lit(1000000.0)
+        ).alias("_s_std"),
+        (F.sum(var_term) / F.lit(1000000000000.0)).alias("_var"),
+    )
+    is_ref = gcol == F.lit(ref_value)
+    is_cmp = gcol == F.lit(cmp_value)
+    both = arm.groupBy("hour").agg(
+        F.max(F.when(is_ref, F.col("_n"))).alias("_n_ref"),
+        F.max(F.when(is_cmp, F.col("_n"))).alias("_n_cmp"),
+        F.max(F.when(is_ref, F.col("_s_std"))).alias("_s_ref"),
+        F.max(F.when(is_cmp, F.col("_s_std"))).alias("_s_cmp"),
+        F.max(F.when(is_ref, F.col("_var"))).alias("_v_ref"),
+        F.max(F.when(is_cmp, F.col("_var"))).alias("_v_cmp"),
+    )
+    gap = F.col("_s_cmp") - F.col("_s_ref")
+    se = F.sqrt(F.col("_v_ref") + F.col("_v_cmp"))
+    # 0·guard: a missing arm raises in-plan instead of publishing a
+    # NULL column (the friedman_test idiom)
+    present = F.when(
+        F.col("_n_ref").isNull() | F.col("_n_cmp").isNull(),
+        F.raise_error(
+            "net_survival_gap: both named arms must be present in "
+            "the cohort"
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return both.select(
+        F.col("hour"),
+        (F.col("_n_ref") + 0 * present).alias("n_risk_ref"),
+        F.col("_n_cmp").alias("n_risk_cmp"),
+        F.round(F.col("_s_ref"), 6).alias("net_std_ref"),
+        F.round(F.col("_s_cmp"), 6).alias("net_std_cmp"),
+        F.round(gap, 6).alias("gap"),
+        F.round(se, 6).alias("se_gap"),
+        F.round(gap - 1.96 * se, 6).alias("lower_ci_gap"),
+        F.round(gap + 1.96 * se, 6).alias("upper_ci_gap"),
+    )

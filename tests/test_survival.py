@@ -6761,3 +6761,117 @@ def test_illness_death_rejects_zero_length_state1_stay(spark):
     )
     with pytest.raises(Exception, match="t_ill must be < t_exit"):
         multistate_illness_death(df, ["g"], 10).collect()
+
+
+def test_net_survival_gap_composition_plant_and_guards(spark):
+    """gap = weighted cmp−ref mix of the per-(arm, class) PP curves
+    with the delta-method variance — verified by composing the public
+    PP estimator (with_ci) by hand; a planted excess-hazard gap comes
+    out negative with a CI excluding 0; a missing arm raises."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_gap,
+        net_survival_pohar_perme,
+    )
+
+    hz = {0: 2000, 1: 6000}
+    weights = {0: 60000, 1: 40000}
+    rows = []
+    for i in range(400):
+        arm = "dep" if i % 2 else "aff"
+        cls = i % 2
+        band = (i // 2) % 2
+        # plant: deprived arm dies faster
+        if arm == "dep":
+            d = (i * 7) % 8 + 1
+            e = 1 if i % 3 else 0
+        else:
+            d = (i * 5) % 14 + 6
+            e = 1 if i % 4 == 0 else 0
+        rows.append((arm, cls, band, d, e))
+    df = spark.createDataFrame(
+        rows,
+        "cohort string, agegrp int, band int, duration long, event int",
+    )
+    horizon = 16
+    got = {
+        r.hour: r
+        for r in net_survival_gap(
+            df, "cohort", "aff", "dep", "agegrp", weights, "band", hz,
+            horizon,
+        ).collect()
+    }
+    assert len(got) == horizon
+    # compose by hand from the public per-(arm, class) PP estimator
+    per = net_survival_pohar_perme(
+        df, ["cohort", "agegrp"], "band", hz, horizon, with_ci=True
+    ).collect()
+    by = {}
+    for r in per:
+        by.setdefault((r.cohort, r.hour), []).append(
+            (
+                weights[r.agegrp],
+                round(r.net_survival_pp * 1e6),
+                round(r.se_net * 1e6),
+                r.n_risk,
+            )
+        )
+    for h in range(1, horizon + 1):
+        exp_arm = {}
+        for arm in ("aff", "dep"):
+            parts = by[(arm, h)]
+            wsum = sum(w for w, _, _, _ in parts)
+            s_std = sum(w * s for w, s, _, _ in parts) / wsum / 1e6
+            var = (
+                sum(
+                    round(
+                        (w / wsum) * (w / wsum)
+                        * (se / 1e6) * (se / 1e6) * 1e12
+                    )
+                    for w, _, se, _ in parts
+                )
+                / 1e12
+            )
+            exp_arm[arm] = (s_std, var, sum(n for *_, n in parts))
+        r = got[h]
+        gap = exp_arm["dep"][0] - exp_arm["aff"][0]
+        se = math.sqrt(exp_arm["aff"][1] + exp_arm["dep"][1])
+        assert r.net_std_ref == pytest.approx(
+            round(exp_arm["aff"][0], 6), abs=1e-9
+        )
+        assert r.net_std_cmp == pytest.approx(
+            round(exp_arm["dep"][0], 6), abs=1e-9
+        )
+        assert r.gap == pytest.approx(round(gap, 6), abs=1e-9)
+        assert r.se_gap == pytest.approx(round(se, 6), abs=1e-9)
+        assert r.n_risk_ref == exp_arm["aff"][2]
+        assert r.n_risk_cmp == exp_arm["dep"][2]
+    # the planted deprivation gap: negative and significant at the
+    # mid-horizon
+    mid = got[8]
+    assert mid.gap < 0
+    assert mid.upper_ci_gap < 0
+    # 32-partition exactness
+    got32 = {
+        r.hour: r
+        for r in net_survival_gap(
+            df.repartition(32), "cohort", "aff", "dep", "agegrp",
+            weights, "band", hz, horizon,
+        ).collect()
+    }
+    for h, r in got.items():
+        assert got32[h].gap == r.gap
+        assert got32[h].se_gap == r.se_gap
+    # guards: non-integer weights; missing arm raises in-plan
+    with pytest.raises(ValueError):
+        net_survival_gap(
+            df, "cohort", "aff", "dep", "agegrp", {0: 0.5}, "band",
+            hz, horizon,
+        )
+    with pytest.raises(Exception, match="both named arms"):
+        net_survival_gap(
+            df.filter(F.col("cohort") == "aff"),
+            "cohort", "aff", "dep", "agegrp", weights, "band", hz,
+            horizon,
+        ).collect()
