@@ -14463,6 +14463,152 @@ _NET_GAP_SQL = f"""
 """
 
 
+def q_survival_net_logrank(spark, sf_dir):
+    """Grafféo log-rank-type test for net survival
+    (operators/survival.py::net_survival_logrank): are the two
+    cohorts' excess-hazard processes equal once every subject is
+    inverse-weighted by its own expected survival under the band
+    life table? The significance companion of `survival_net_pp` —
+    the plain `survival_logrank` confounds background-mortality
+    differences; this cancels them. Oracle replays the weighted
+    band grid, the per-hour pivot, and both pico-lattice score/
+    variance folds — bit-exact."""
+    from cancer_survival_etl_spark.operators.survival import (
+        net_survival_logrank,
+    )
+
+    return net_survival_logrank(
+        _banded_episodes(spark, sf_dir),
+        "cohort",
+        "band",
+        _RELSURV_HAZARDS,
+        horizon=_SURV_HORIZON_H,
+    )
+
+
+_NET_LOGRANK_SQL = f"""
+    WITH perb AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te
+        FROM events GROUP BY user_id
+    ),
+    survb AS (
+        SELECT user_id % 9 AS band,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+                    ELSE 48 END AS duration,
+               CASE WHEN te IS NOT NULL
+                         AND (epoch_us(te) - epoch_us(t0)) // 3600000000 < 48
+                    THEN 1 ELSE 0 END AS event
+        FROM perb
+    ),
+    hzm(band, lam) AS (VALUES
+        {", ".join(f"({b}, {v})" for b, v in _RELSURV_HAZARDS.items())}
+    ),
+    nbt AS (
+        SELECT cohort, band, count(*) AS nb_tot
+        FROM survb GROUP BY cohort, band
+    ),
+    hours AS (SELECT s FROM range(0, 49) t(s)),
+    cellsb AS (
+        SELECT cohort, band, duration AS s, count(*) AS rm,
+               CAST(sum(event) AS BIGINT) AS dv
+        FROM survb GROUP BY cohort, band, duration
+    ),
+    grid AS (
+        SELECT n.cohort, n.band, n.nb_tot, h.s,
+               coalesce(r.rm, 0) AS rm, coalesce(r.dv, 0) AS dv
+        FROM nbt n CROSS JOIN hours h
+        LEFT JOIN cellsb r
+          ON r.cohort = n.cohort AND r.band = n.band AND r.s = h.s
+    ),
+    nb AS (
+        SELECT *,
+               CAST(nb_tot - coalesce(
+                   sum(rm) OVER (PARTITION BY cohort, band ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS nbv
+        FROM grid
+    ),
+    wgt AS (
+        SELECT n.cohort, n.s, n.nbv, n.dv, z.lam,
+               pow(1.0 - z.lam / 1000000.0, -n.s) AS w
+        FROM nb n JOIN hzm z ON n.band = z.band
+    ),
+    terms AS (
+        SELECT cohort, s,
+               CAST(round(dv * w * 1000000.0, 0) AS BIGINT) AS wd,
+               CAST(round(nbv * w * 1000000.0, 0) AS BIGINT) AS wn,
+               CAST(round(nbv * w * (lam / 1000000.0)
+                          * 1000000000000.0, 0) AS BIGINT) AS we,
+               CAST(round(dv * w * w * 1000000.0, 0) AS BIGINT) AS wwd
+        FROM wgt
+    ),
+    pers AS (
+        SELECT s,
+               CAST(sum(CASE WHEN cohort = 'A' THEN wd ELSE 0 END)
+                   AS BIGINT) AS wd1,
+               CAST(sum(CASE WHEN cohort <> 'A' THEN wd ELSE 0 END)
+                   AS BIGINT) AS wd2,
+               CAST(sum(CASE WHEN cohort = 'A' THEN we ELSE 0 END)
+                   AS BIGINT) AS we1,
+               CAST(sum(CASE WHEN cohort <> 'A' THEN we ELSE 0 END)
+                   AS BIGINT) AS we2,
+               CAST(sum(CASE WHEN cohort = 'A' THEN wn ELSE 0 END)
+                   AS BIGINT) AS wn1,
+               CAST(sum(CASE WHEN cohort <> 'A' THEN wn ELSE 0 END)
+                   AS BIGINT) AS wn2,
+               CAST(sum(CASE WHEN cohort = 'A' THEN wwd ELSE 0 END)
+                   AS BIGINT) AS ww1,
+               CAST(sum(CASE WHEN cohort <> 'A' THEN wwd ELSE 0 END)
+                   AS BIGINT) AS ww2
+        FROM terms GROUP BY s
+    ),
+    folds AS (
+        SELECT s,
+            CASE WHEN s > 0 AND wn1 + wn2 > 0 THEN
+                CAST(round((
+                    (wd1 / 1000000.0 - we1 / 1000000000000.0)
+                    - (wn1 / 1000000.0) / ((wn1 + wn2) / 1000000.0)
+                      * ((wd1 / 1000000.0 - we1 / 1000000000000.0)
+                         + (wd2 / 1000000.0 - we2 / 1000000000000.0))
+                ) * 1000000000000.0, 0) AS BIGINT)
+            ELSE 0 END AS ut,
+            CASE WHEN s > 0 AND wn1 + wn2 > 0 THEN
+                CAST(round((
+                    (1.0 - (wn1 / 1000000.0)
+                           / ((wn1 + wn2) / 1000000.0))
+                    * (1.0 - (wn1 / 1000000.0)
+                             / ((wn1 + wn2) / 1000000.0))
+                    * (ww1 / 1000000.0)
+                    + ((wn1 / 1000000.0) / ((wn1 + wn2) / 1000000.0))
+                      * ((wn1 / 1000000.0) / ((wn1 + wn2) / 1000000.0))
+                      * (ww2 / 1000000.0)
+                ) * 1000000000000.0, 0) AS BIGINT)
+            ELSE 0 END AS vt
+        FROM pers
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN cohort <> 'A' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n2
+        FROM survb
+    ),
+    uv AS (
+        SELECT CAST(sum(ut) AS BIGINT) / 1000000000000.0 AS u,
+               CAST(sum(vt) AS BIGINT) / 1000000000000.0 AS v
+        FROM folds
+    )
+    SELECT 'A' AS group_1, n1 AS n_subjects_1, n2 AS n_subjects_2,
+           round(u, 6) AS u_score, round(v, 6) AS variance,
+           CASE WHEN v > 0 THEN round(u * u / v, 6) END AS chi_square
+    FROM uv, tot
+"""
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading ease + FK grade per document (llm/curation.py::
     readability_scores) — regex-defined counts, pure JVM expressions,
@@ -20723,6 +20869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cochran_q": q_stats_cochran_q,
         "stats_evalue": q_stats_evalue,
         "survival_net_gap": q_survival_net_gap,
+        "survival_net_logrank": q_survival_net_logrank,
     }
     out = {k: base[k] for k in _WINDOW_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -24517,6 +24664,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_cochran_q": _STATS_COCHRAN_Q_SQL,
         "stats_evalue": _STATS_EVALUE_SQL,
         "survival_net_gap": _NET_GAP_SQL,
+        "survival_net_logrank": _NET_LOGRANK_SQL,
         "retrieval_mmr": _MMR_SQL,
         "stats_js_divergence": _JS_DIVERGENCE_SQL,
         "dedup_containment": _CONTAINMENT_SQL,

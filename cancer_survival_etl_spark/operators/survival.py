@@ -10318,3 +10318,169 @@ def net_survival_gap(
         F.round(gap - 1.96 * se, 6).alias("lower_ci_gap"),
         F.round(gap + 1.96 * se, 6).alias("upper_ci_gap"),
     )
+
+
+def net_survival_logrank(
+    df: DataFrame,
+    group_col: str,
+    band_col: str,
+    hazard_micro_by_band: dict,
+    horizon: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Log-rank-type test for NET survival (Grafféo et al. 2016) —
+    the significance test that belongs next to the Pohar Perme
+    estimator: are two cohorts' EXCESS-hazard processes equal, with
+    each subject's counting process inverse-weighted by its own
+    expected survival w_b(s) = S*_b(s)^{-1}? The plain log-rank
+    (``logrank_test``) compares all-cause hazards and confounds
+    background mortality differences between cohorts; this one
+    cancels the life-table component the same way the PP estimator
+    does, so it tests the quantity the reference's INDEX stack
+    actually publishes.
+
+    Discrete-band formulation on the ``net_survival_pohar_perme``
+    grid: per hour s and group g, with the weighted cells
+    num_g(s) = Σ_b d_gb·w_b − Σ_b n_gb·w_b·λ_b (the PP excess
+    numerator) and den_g(s) = Σ_b n_gb·w_b:
+
+        U  = Σ_s [num_1(s) − den_1(s)·num_pool(s)/den_pool(s)]
+        V  = Σ_s [(1−R(s))²·Σ_b w_b²d_1b + R(s)²·Σ_b w_b²d_2b],
+        R(s) = den_1(s)/den_pool(s)
+
+    (the martingale variance of the weighted score; w is
+    band-constant so the band grid carries every term exactly), and
+    χ² = U²/V on 1 df. ``group_col`` must take exactly two values;
+    the lexicographically smaller one is "group 1" (the
+    ``logrank_test`` orientation — U > 0 means group 1 has MORE
+    excess mortality than expected under H₀).
+
+    Exactness: every per-s term rides the pico lattice before the
+    final fold, so the one-row output hash-adjudicates bit-exact.
+    V = 0 (no weighted excess-death mass anywhere) publishes a NULL
+    χ², the degenerate-variance convention.
+
+    Scale shape: ONE hash aggregate to per-(group, band, duration)
+    cells, the broadcast-sized (2 × bands × horizon) grid, one
+    ``grouped_prefix_sum`` for band at-risk counts, a conditional-
+    aggregation pivot to per-hour group columns (2·horizon rows),
+    and one scalar fold. Nothing downstream of the cell aggregate
+    scales with subject count.
+    """
+    if any(int(v) != v for v in hazard_micro_by_band.values()):
+        raise ValueError(
+            "hazard_micro_by_band must be integers (exact-sum contract)"
+        )
+    gvals = [
+        r[0]
+        for r in df.select(group_col)
+        .distinct()
+        .orderBy(group_col)
+        .collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(
+            f"net_survival_logrank needs exactly 2 groups, got {gvals}"
+        )
+    g1 = gvals[0]
+    spark = df.sparkSession
+    horizon = int(horizon)
+    ev = F.col(event_col).cast("long")
+    cells = df.groupBy(group_col, band_col, duration_col).agg(
+        F.count(F.lit(1)).alias("_rm"),
+        F.sum(ev).alias("_dv"),
+    )
+    nbt = df.groupBy(group_col, band_col).agg(
+        F.count(F.lit(1)).alias("_nb_tot")
+    )
+    hours = spark.range(0, horizon + 1).select(
+        F.col("id").cast("long").alias("_s")
+    )
+    grid = (
+        nbt.crossJoin(F.broadcast(hours))
+        .join(
+            cells.withColumnRenamed(duration_col, "_s"),
+            [group_col, band_col, "_s"],
+            "left",
+        )
+        .withColumn("_rm", F.coalesce(F.col("_rm"), F.lit(0)))
+        .withColumn("_dv", F.coalesce(F.col("_dv"), F.lit(0)))
+    )
+    grid = grouped_prefix_sum(
+        grid, [group_col, band_col], "_s", "_rm", "_rm0"
+    ).withColumn("_nb", F.col("_nb_tot") - F.col("_rm0"))
+    hmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in hazard_micro_by_band.items()
+            for x in (k, int(v))
+        ]
+    )
+    lam = F.coalesce(hmap[F.col(band_col)], F.lit(0)).cast("long")
+    w = F.pow(
+        F.lit(1.0) - lam / F.lit(1000000.0), -F.col("_s").cast("double")
+    )
+    grid = (
+        grid.withColumn("_wd", _micro(F.col("_dv") * w))
+        .withColumn("_wn", _micro(F.col("_nb") * w))
+        .withColumn(
+            "_we", _pico(F.col("_nb") * w * (lam / F.lit(1000000.0)))
+        )
+        .withColumn("_wwd", _micro(F.col("_dv") * w * w))
+    )
+    is1 = F.col(group_col) == F.lit(g1)
+    per_s = grid.groupBy("_s").agg(
+        F.sum(F.when(is1, F.col("_wd")).otherwise(0)).alias("_wd1"),
+        F.sum(F.when(~is1, F.col("_wd")).otherwise(0)).alias("_wd2"),
+        F.sum(F.when(is1, F.col("_we")).otherwise(0)).alias("_we1"),
+        F.sum(F.when(~is1, F.col("_we")).otherwise(0)).alias("_we2"),
+        F.sum(F.when(is1, F.col("_wn")).otherwise(0)).alias("_wn1"),
+        F.sum(F.when(~is1, F.col("_wn")).otherwise(0)).alias("_wn2"),
+        F.sum(F.when(is1, F.col("_wwd")).otherwise(0)).alias("_ww1"),
+        F.sum(F.when(~is1, F.col("_wwd")).otherwise(0)).alias("_ww2"),
+    )
+    exc1 = F.col("_wd1") / F.lit(1000000.0) - F.col("_we1") / F.lit(
+        1000000000000.0
+    )
+    exc2 = F.col("_wd2") / F.lit(1000000.0) - F.col("_we2") / F.lit(
+        1000000000000.0
+    )
+    den1 = F.col("_wn1") / F.lit(1000000.0)
+    denp = (F.col("_wn1") + F.col("_wn2")) / F.lit(1000000.0)
+    r1 = den1 / denp
+    live = (F.col("_s") > 0) & (F.col("_wn1") + F.col("_wn2") > 0)
+    u_term = F.when(
+        live, _pico(exc1 - r1 * (exc1 + exc2))
+    ).otherwise(F.lit(0).cast("long"))
+    v_term = F.when(
+        live,
+        _pico(
+            (F.lit(1.0) - r1)
+            * (F.lit(1.0) - r1)
+            * (F.col("_ww1") / F.lit(1000000.0))
+            + r1 * r1 * (F.col("_ww2") / F.lit(1000000.0))
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    per_s = per_s.select(
+        u_term.alias("_ut"), v_term.alias("_vt")
+    )
+    tot = df.groupBy().agg(
+        F.sum(is1.cast("long")).alias("_n1"),
+        F.sum((~is1).cast("long")).alias("_n2"),
+    )
+    out = per_s.agg(
+        (F.sum("_ut") / F.lit(1000000000000.0)).alias("_u"),
+        (F.sum("_vt") / F.lit(1000000000000.0)).alias("_v"),
+    ).crossJoin(F.broadcast(tot))
+    return out.select(
+        F.lit(str(g1)).alias("group_1"),
+        F.col("_n1").alias("n_subjects_1"),
+        F.col("_n2").alias("n_subjects_2"),
+        F.round(F.col("_u"), 6).alias("u_score"),
+        F.round(F.col("_v"), 6).alias("variance"),
+        F.when(
+            F.col("_v") > 0,
+            F.round(F.col("_u") * F.col("_u") / F.col("_v"), 6),
+        ).alias("chi_square"),
+    )

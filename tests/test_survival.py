@@ -6875,3 +6875,131 @@ def test_net_survival_gap_composition_plant_and_guards(spark):
             "cohort", "aff", "dep", "agegrp", weights, "band", hz,
             horizon,
         ).collect()
+
+
+def _net_logrank_reference(subs, hz_micro, horizon):
+    """Pico-lattice twin of net_survival_logrank: subs = (group, band,
+    duration, event) with group ∈ {g1, g2}, g1 = lexicographic min."""
+    import math
+
+    g1 = min(g for g, *_ in subs)
+    u_sum = v_sum = 0
+    for s in range(1, horizon + 1):
+        agg = {}
+        for (g, b, d, e) in subs:
+            lam = hz_micro.get(b, 0)
+            w = (1.0 - lam / 1e6) ** (-s)
+            at_risk = 1 if d >= s else 0
+            died = 1 if (d == s and e) else 0
+            k = "1" if g == g1 else "2"
+            a = agg.setdefault(k, [0, 0, 0, 0])  # wd, wn, we, wwd
+            a[0] += round(died * w * 1e6)
+            a[1] += round(at_risk * w * 1e6)
+            a[2] += round(at_risk * w * (lam / 1e6) * 1e12)
+            a[3] += round(died * w * w * 1e6)
+        a1 = agg.get("1", [0, 0, 0, 0])
+        a2 = agg.get("2", [0, 0, 0, 0])
+        if a1[1] + a2[1] <= 0:
+            continue
+        exc1 = a1[0] / 1e6 - a1[2] / 1e12
+        exc2 = a2[0] / 1e6 - a2[2] / 1e12
+        r1 = (a1[1] / 1e6) / ((a1[1] + a2[1]) / 1e6)
+        u_sum += round((exc1 - r1 * (exc1 + exc2)) * 1e12)
+        v_sum += round(
+            (
+                (1.0 - r1) * (1.0 - r1) * (a1[3] / 1e6)
+                + r1 * r1 * (a2[3] / 1e6)
+            )
+            * 1e12
+        )
+    u = u_sum / 1e12
+    v = v_sum / 1e12
+    return (
+        round(u, 6),
+        round(v, 6),
+        round(u * u / v, 6) if v > 0 else None,
+    )
+
+
+def test_net_survival_logrank_twin_reduction_and_cancellation(spark):
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        logrank_test,
+        net_survival_logrank,
+    )
+
+    hz = {0: 1500, 1: 20000}
+    horizon = 16
+
+    # --- lattice-twin exactness on a mixed-band cohort ---
+    subs = []
+    for i in range(180):
+        g = "A" if i % 2 else "B"
+        b = (i // 2) % 2
+        d = (i * 7 + 3) % horizon + 1
+        e = 1 if i % 3 else 0
+        subs.append((g, b, min(d, horizon), e))
+    df = spark.createDataFrame(
+        subs, "cohort string, band int, duration long, event int"
+    )
+    got = net_survival_logrank(
+        df, "cohort", "band", hz, horizon
+    ).collect()[0]
+    u, v, chi = _net_logrank_reference(subs, hz, horizon)
+    assert got["group_1"] == "A"
+    assert got["n_subjects_1"] == 90 and got["n_subjects_2"] == 90
+    assert got["u_score"] == pytest.approx(u, abs=2e-6)
+    assert got["variance"] == pytest.approx(v, abs=2e-6)
+    assert got["chi_square"] == pytest.approx(chi, abs=1e-4)
+
+    # --- zero life table: U reduces to the plain log-rank O1−E1 ---
+    got0 = net_survival_logrank(
+        df, "cohort", "band", {0: 0, 1: 0}, horizon
+    ).collect()[0]
+    plain = logrank_test(df, "cohort").collect()[0]
+    o_minus_e = plain["observed_1"] - plain["expected_1"]
+    assert got0["u_score"] == pytest.approx(o_minus_e, abs=1e-4)
+
+    # --- background-mortality cancellation: both arms share the SAME
+    # excess process, but arm A sits in the high-background band; the
+    # plain log-rank fires on the background difference, the net test
+    # stays calm ---
+    subs2 = []
+    for i in range(300):
+        g = "A" if i % 2 else "B"
+        b = 1 if g == "A" else 0  # A = high background (λ=0.02/h)
+        h1 = (i * 37 + 11) % 199
+        h2 = (i * 53 + 29) % 211
+        # shared excess: ~2%/h planted via h1; background via band
+        t_exc = 1 + h1 % 60
+        t_bg = 1 + h2 % 45 if b == 1 else horizon + 100
+        d = min(t_exc, t_bg, horizon)
+        e = 1 if min(t_exc, t_bg) <= horizon else 0
+        subs2.append((g, b, d, e))
+    df2 = spark.createDataFrame(
+        subs2, "cohort string, band int, duration long, event int"
+    )
+    hz2 = {0: 0, 1: 22000}
+    net = net_survival_logrank(
+        df2, "cohort", "band", hz2, horizon
+    ).collect()[0]
+    pl = logrank_test(df2, "cohort").collect()[0]
+    assert pl["chi_square"] > 3.84  # background difference fires
+    assert net["chi_square"] < pl["chi_square"]
+
+    # --- 32-partition exactness ---
+    got32 = net_survival_logrank(
+        df.repartition(32), "cohort", "band", hz, horizon
+    ).collect()[0]
+    assert got32["u_score"] == got["u_score"]
+    assert got32["variance"] == got["variance"]
+
+    # --- guards ---
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        net_survival_logrank(
+            df.filter(F.col("cohort") == "A"), "cohort", "band", hz,
+            horizon,
+        )
+    with pytest.raises(ValueError, match="integers"):
+        net_survival_logrank(df, "cohort", "band", {0: 0.5}, horizon)
