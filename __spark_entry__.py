@@ -16481,6 +16481,134 @@ def _cure_em_sql(iters: int = 12) -> str:
 _SURVIVAL_CURE_MIXTURE_SQL = _cure_em_sql(12)
 
 
+def q_survival_cure_nonmixture(spark, sf_dir):
+    """Exponential NON-mixture (promotion-time) cure model
+    (operators/survival.py::nonmixture_cure_exponential — closed-form
+    θ given λ, guarded Newton for λ, one nano-lattice aggregate per
+    iteration). Cohort over orders with a planted S(t) =
+    exp(−θ*(1−e^{−0.3t})), θ* = −ln 0.3 (30% cured), administratively
+    censored at 25 — inverse-CDF draws from md5 uniforms. The
+    estimate is the 12-iteration value by contract, and the oracle
+    unrolls the SAME 12 iterations as chained one-row CTEs over the
+    identical cell lattice (the cure-mixture replay pattern) —
+    bit-exact, no verdict literals."""
+    from cancer_survival_etl_spark.operators.survival import (
+        nonmixture_cure_exponential,
+    )
+
+    d = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    u = (
+        F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+        % 1000000
+    ) / 1000000.0
+    theta_star = 1.2039728043259361  # −ln 0.3
+    z = -F.log(u + 1e-9)
+    never = z / theta_star >= 1.0
+    t = -F.log(F.lit(1.0) - z / theta_star) / 0.3
+    dur = F.when(never, F.lit(25)).otherwise(
+        F.least(F.floor(t) + 1, F.lit(25))
+    )
+    evn = F.when(never, F.lit(0)).otherwise((t < 25).cast("int"))
+    cohort = d.select(
+        dur.cast("long").alias("duration"), evn.alias("event")
+    )
+    return nonmixture_cure_exponential(cohort, iters=12)
+
+
+def _cure_nonmixture_sql(iters: int = 12) -> str:
+    """Unrolled-iteration oracle for survival_cure_nonmixture: the
+    same cell lattice, start value, nano-rounded λ-dependent terms,
+    closed-form θ, guarded/clamped Newton λ step and 9-dp parameter
+    rounding as nonmixture_cure_exponential, iteration by iteration
+    (the cure-mixture replay pattern)."""
+    th = "round(b.d / (s.sf / 1000000000.0), 9)"
+    parts = [
+        """
+    WITH f AS (
+        SELECT
+          (CAST(concat('0x', substring(md5(o_orderkey::VARCHAR), 9, 8))
+                AS BIGINT) % 1000000) / 1000000.0 AS u
+        FROM orders
+    ),
+    draw AS (
+        SELECT -ln(u + 0.000000001) AS z FROM f
+    ),
+    coh AS (
+        SELECT CASE WHEN z / 1.2039728043259361 >= 1.0 THEN 25
+               ELSE CAST(least(floor(-ln(1.0 - z / 1.2039728043259361)
+                               / 0.3) + 1, 25) AS BIGINT) END
+                   AS duration,
+               CASE WHEN z / 1.2039728043259361 >= 1.0 THEN 0
+               WHEN -ln(1.0 - z / 1.2039728043259361) / 0.3 < 25
+                   THEN 1 ELSE 0 END AS event
+        FROM draw
+    ),
+    cells AS (
+        SELECT CAST(duration AS DOUBLE) AS t, event AS e,
+               count(*) AS cnt
+        FROM coh GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT CAST(sum(cnt * e) AS BIGINT) AS d,
+               CAST(sum(cnt) AS BIGINT) AS n,
+               sum(cnt * CAST(round(t * 1000000.0, 0) AS BIGINT))
+                   / 1000000.0 AS st,
+               sum(cnt * e * CAST(round(t * 1000000.0, 0) AS BIGINT))
+                   / 1000000.0 AS stev
+        FROM cells
+    ),
+    it0 AS (
+        SELECT round(d / st, 9) AS lam FROM base
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        # it{k-1} is referenced EXACTLY once (inside the aggregate
+        # subquery, p.lam carried out via GROUP BY) — DuckDB inlines
+        # CTEs, so a double reference would double the expression
+        # tree per iteration (2^12 cohort scans)
+        step = (
+            f"CASE WHEN -b.d / (s.lam * s.lam) + {th} "
+            "* (s.st2e / 1000000000.0) < 0 THEN "
+            f"(b.d / s.lam - b.stev - {th} "
+            "* (s.ste / 1000000000.0)) "
+            f"/ (-b.d / (s.lam * s.lam) + {th} "
+            "* (s.st2e / 1000000000.0)) ELSE 0 END"
+        )
+        parts.append(
+            f""",
+    it{k} AS (
+        SELECT {th} AS theta,
+               round(least(greatest(s.lam - ({step}), s.lam / 2),
+                           s.lam * 2), 9) AS lam
+        FROM base b CROSS JOIN (
+            SELECT p.lam AS lam,
+                   sum(cnt * CAST(round((1.0 - exp(-p.lam * t))
+                       * 1000000000.0, 0) AS BIGINT)) AS sf,
+                   sum(cnt * CAST(round(t * exp(-p.lam * t)
+                       * 1000000000.0, 0) AS BIGINT)) AS ste,
+                   sum(cnt * CAST(round(t * t * exp(-p.lam * t)
+                       * 1000000000.0, 0) AS BIGINT)) AS st2e
+            FROM cells CROSS JOIN it{k - 1} p
+            GROUP BY p.lam
+        ) s
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT b.n AS n, b.d AS n_event,
+           round(p.theta, 6) AS theta,
+           round(exp(-p.theta), 6) AS pi_cure,
+           round(p.lam, 6) AS lambda_promotion
+    FROM base b CROSS JOIN it{iters} p
+"""
+    )
+    return "".join(parts)
+
+
+_SURVIVAL_CURE_NONMIX_SQL = _cure_nonmixture_sql(12)
+
+
 def q_survival_cindex_uno(spark, sf_dir):
     """Uno's censoring-robust IPCW concordance (operators/
     survival.py::concordance_index_ipcw) on the survival_cindex
@@ -20870,6 +20998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_evalue": q_stats_evalue,
         "survival_net_gap": q_survival_net_gap,
         "survival_net_logrank": q_survival_net_logrank,
+        "survival_cure_nonmix": q_survival_cure_nonmixture,
     }
     out = {k: base[k] for k in _WINDOW_R10}
     out.update((k, v) for k, v in base.items() if k not in out)
@@ -24665,6 +24794,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_evalue": _STATS_EVALUE_SQL,
         "survival_net_gap": _NET_GAP_SQL,
         "survival_net_logrank": _NET_LOGRANK_SQL,
+        "survival_cure_nonmix": _SURVIVAL_CURE_NONMIX_SQL,
         "retrieval_mmr": _MMR_SQL,
         "stats_js_divergence": _JS_DIVERGENCE_SQL,
         "dedup_containment": _CONTAINMENT_SQL,

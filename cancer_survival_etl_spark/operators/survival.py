@@ -10484,3 +10484,105 @@ def net_survival_logrank(
             F.round(F.col("_u") * F.col("_u") / F.col("_v"), 6),
         ).alias("chi_square"),
     )
+
+
+def nonmixture_cure_exponential(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    iters: int = 12,
+) -> DataFrame:
+    """NON-mixture (promotion-time / bounded-cumulative-hazard) cure
+    model with exponential kernel (Yakovlev-Tsodikov; Chen-Ibrahim-
+    Sinha 1999) — the other statistical-cure parameterisation cancer
+    registries fit when a survival curve plateaus, sitting beside
+    ``mixture_cure_exponential`` the way stpm2's cure option sits
+    beside strsmix:
+
+        S(t) = exp(−θ·F₀(t)),   F₀(t) = 1 − e^{−λt},
+
+    cured fraction π = S(∞) = e^{−θ} (the Poisson-clonogen reading:
+    N ~ Poisson(θ) latent foci, each promoting at rate λ). The
+    censored-data score gives θ CLOSED-FORM given λ — θ = D/Σᵢ F₀(tᵢ)
+    — and λ one guarded Newton step per iteration on
+    g(λ) = D/λ − Σ_ev t − θ·Σ t e^{−λt} (step only when the curvature
+    gp < 0, then clamped to [λ/2, 2λ] — the AFT step-cap discipline).
+    The estimate is DEFINED as the ``iters``-iteration value from the
+    deterministic start λ₀ = D/Σt (the oracle unrolls the same
+    iterations — the cure-mixture replay pattern).
+
+    Scale shape: subjects collapse ONCE to (duration, event) cells
+    (checkpointed; the loop re-reads the tiny cell table); each
+    iteration is ONE map-side-combined aggregate with every
+    λ-dependent term nano-rounded per cell before the weighted long
+    sums — order-independent, bit-identical at any parallelism;
+    parameters round to 9 dp per iteration (house lattice). Driver
+    work is O(1) per iteration. Zero events raises (θ, λ
+    unidentified).
+
+    Returns one row: n, n_event, theta, pi_cure = e^{−θ},
+    lambda_promotion (6 dp).
+    """
+    iters = int(iters)
+    if iters < 1:
+        raise ValueError(
+            "nonmixture_cure_exponential: iters must be >= 1"
+        )
+    ev = F.col(event_col).cast("long")
+    t = F.col(duration_col).cast("double")
+    cells = df.groupBy(
+        t.alias("_t"), ev.alias("_e")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    cells = cells.localCheckpoint(eager=False)
+    base = cells.agg(
+        F.sum(F.col("_cnt") * F.col("_e")).alias("d"),
+        F.sum("_cnt").alias("n"),
+        F.sum(F.col("_cnt") * _micro(F.col("_t"))).alias("st_micro"),
+        F.sum(
+            F.col("_cnt") * F.col("_e") * _micro(F.col("_t"))
+        ).alias("stev_micro"),
+    ).collect()[0]
+    d_ev, n_tot = int(base.d), int(base.n)
+    st_all = base.st_micro / 1e6
+    st_ev = base.stev_micro / 1e6
+    if d_ev == 0:
+        raise ValueError(
+            "nonmixture_cure_exponential: zero events — the model "
+            "is unidentified"
+        )
+    lam = round(d_ev / st_all, 9)
+    theta = None
+    nano = F.lit(1000000000.0)
+    for _ in range(iters):
+        e_l = F.exp(F.lit(-lam) * F.col("_t"))
+        row = cells.agg(
+            F.sum(
+                F.col("_cnt")
+                * F.round((F.lit(1.0) - e_l) * nano, 0).cast("long")
+            ).alias("sf"),
+            F.sum(
+                F.col("_cnt")
+                * F.round(F.col("_t") * e_l * nano, 0).cast("long")
+            ).alias("ste"),
+            F.sum(
+                F.col("_cnt")
+                * F.round(
+                    F.col("_t") * F.col("_t") * e_l * nano, 0
+                ).cast("long")
+            ).alias("st2e"),
+        ).collect()[0]
+        theta = round(d_ev / (row.sf / 1e9), 9)
+        g = d_ev / lam - st_ev - theta * (row.ste / 1e9)
+        gp = -d_ev / (lam * lam) + theta * (row.st2e / 1e9)
+        step = g / gp if gp < 0 else 0.0
+        lam = round(min(max(lam - step, lam / 2), lam * 2), 9)
+    return cells.agg(
+        F.sum("_cnt").alias("n"),
+        F.sum(F.col("_cnt") * F.col("_e")).alias("n_event"),
+    ).select(
+        "n",
+        "n_event",
+        F.round(F.lit(theta), 6).alias("theta"),
+        F.round(F.exp(F.lit(-theta)), 6).alias("pi_cure"),
+        F.round(F.lit(lam), 6).alias("lambda_promotion"),
+    )

@@ -7003,3 +7003,87 @@ def test_net_survival_logrank_twin_reduction_and_cancellation(spark):
         )
     with pytest.raises(ValueError, match="integers"):
         net_survival_logrank(df, "cohort", "band", {0: 0.5}, horizon)
+
+
+def test_nonmixture_cure_recovery_twin_and_guards(spark):
+    """Promotion-time cure model: the 12-iteration contract value
+    matches a pure-Python same-lattice twin exactly; a planted
+    S(t)=exp(−θ(1−e^{−λt})) cohort recovers its cured fraction;
+    zero events raise."""
+    import math
+
+    from cancer_survival_etl_spark.operators.survival import (
+        nonmixture_cure_exponential,
+    )
+
+    # deterministic inverse-CDF plant: theta* = -ln 0.35, lam* = 0.4
+    theta_s = -math.log(0.35)
+    subs = []
+    for i in range(3000):
+        u = ((i * 2654435761) % 1000003) / 1000003.0
+        z = -math.log(u + 1e-9)
+        if z / theta_s >= 1.0:
+            subs.append((30, 0))
+        else:
+            t = -math.log(1.0 - z / theta_s) / 0.4
+            if t < 30:
+                subs.append((int(t) + 1, 1))
+            else:
+                subs.append((30, 0))
+    df = spark.createDataFrame(subs, "duration long, event int")
+    got = nonmixture_cure_exponential(df, iters=12).collect()[0]
+
+    # pure-Python twin on the identical lattice
+    from collections import Counter
+
+    cells = Counter(subs)
+    d_ev = sum(c for (t, e), c in cells.items() if e)
+    st_all = (
+        sum(c * round(t * 1e6) for (t, e), c in cells.items()) / 1e6
+    )
+    st_ev = (
+        sum(c * e * round(t * 1e6) for (t, e), c in cells.items())
+        / 1e6
+    )
+    lam = round(d_ev / st_all, 9)
+    theta = None
+    for _ in range(12):
+        sf = sum(
+            c * round((1.0 - math.exp(-lam * t)) * 1e9)
+            for (t, e), c in cells.items()
+        )
+        ste = sum(
+            c * round(t * math.exp(-lam * t) * 1e9)
+            for (t, e), c in cells.items()
+        )
+        st2e = sum(
+            c * round(t * t * math.exp(-lam * t) * 1e9)
+            for (t, e), c in cells.items()
+        )
+        theta = round(d_ev / (sf / 1e9), 9)
+        g = d_ev / lam - st_ev - theta * (ste / 1e9)
+        gp = -d_ev / (lam * lam) + theta * (st2e / 1e9)
+        step = g / gp if gp < 0 else 0.0
+        lam = round(min(max(lam - step, lam / 2), lam * 2), 9)
+    assert got["theta"] == round(theta, 6)
+    assert got["lambda_promotion"] == round(lam, 6)
+    assert got["pi_cure"] == pytest.approx(
+        round(math.exp(-theta), 6), abs=1e-9
+    )
+    # the planted 35% cured fraction is recovered
+    assert got["pi_cure"] == pytest.approx(0.35, abs=0.03)
+    assert got["n"] == 3000 and got["n_event"] == d_ev
+
+    # 32-partition exactness
+    got32 = nonmixture_cure_exponential(
+        df.repartition(32), iters=12
+    ).collect()[0]
+    assert got32["theta"] == got["theta"]
+    assert got32["lambda_promotion"] == got["lambda_promotion"]
+
+    # guards
+    allc = spark.createDataFrame([(5, 0), (7, 0)], "duration long, event int")
+    with pytest.raises(ValueError, match="zero events"):
+        nonmixture_cure_exponential(allc)
+    with pytest.raises(ValueError, match="iters"):
+        nonmixture_cure_exponential(df, iters=0)
