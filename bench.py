@@ -412,6 +412,14 @@ HEADLINE = [
     "stats_mi_rubin",
     "survival_net_cond_ci",
     "stats_quantile_reg",
+    # round-10 late tranche: multistate AJ, net-survival inference,
+    # binary repeated measures, confounding sensitivity, cure twin
+    "survival_illness_death",
+    "stats_cochran_q",
+    "stats_evalue",
+    "survival_net_gap",
+    "survival_net_logrank",
+    "survival_cure_nonmix",
 ]
 
 REGRESSION_RATIO = 1.5
