@@ -2323,6 +2323,41 @@ def robust_scale_by_approx(
     )
 
 
+def _fit_cells(df: DataFrame, cols, max_cells: int = 65536):
+    """Collapse identical fit rows to (pattern, ``_w`` count) cells —
+    the r10 optimization shared by the whole GLM family (guide §1.2
+    step 1: remove passes; §2.3: aggregate before you shuffle).
+
+    BIT-EXACT by construction: every per-row nano-lattice term the
+    scoring aggregates sum is a pure function of the referenced
+    columns, so rows with identical ``cols`` contribute IDENTICAL
+    rounded longs and Σ_rows round(expr·1e9) = Σ_cells _w·round(
+    expr·1e9) — the same exact-long total in any order. NULL/NaN
+    grouping matches row semantics (grouped keys propagate into the
+    same null/NaN terms sums already skip).
+
+    Cost/benefit: ONE map-side-combined aggregate + count job up
+    front (the count also materializes the lazy checkpoint, so every
+    scoring iteration reads the tiny pinned frame instead of
+    re-scanning the cohort). When the cohort does NOT collapse
+    (distinct patterns > ``max_cells`` — e.g. a continuous covariate
+    at production scale), falls back to the raw projection: the only
+    waste is the one probe pass, and iterations behave exactly as
+    before.
+
+    Returns ``(src, w)`` — the frame to aggregate over and the weight
+    column to multiply each rounded-long term by."""
+    proj = df.select(*cols)
+    cells = (
+        proj.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    if cells.limit(max_cells + 1).count() > max_cells:
+        return proj, F.lit(1).cast("long")
+    return cells, F.col("_w")
+
+
 def glm_poisson(
     df: DataFrame,
     feature_cols,
@@ -2330,6 +2365,7 @@ def glm_poisson(
     offset_col: str | None = None,
     iters: int = 8,
     return_se: bool = False,
+    _srcw=None,
 ):
     """Distributed Poisson GLM with log link and optional exposure
     offset — the rates regression (deaths ~ covariates + ln(person-
@@ -2366,6 +2402,20 @@ def glm_poisson(
     y = F.col(y_col).cast("double")
     off = F.col(offset_col).cast("double") if offset_col else F.lit(0.0)
 
+    # r10: collapse identical rows to weighted cells ONCE, then every
+    # scoring iteration aggregates the tiny pinned frame (bit-exact —
+    # see _fit_cells; callers that already hold cells pass _srcw)
+    if _srcw is None:
+        _srcw = _fit_cells(
+            df,
+            list(
+                dict.fromkeys(
+                    feats + [y_col] + ([offset_col] if offset_col else [])
+                )
+            ),
+        )
+    src, w = _srcw
+
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
     for _ in range(iters):
         eta = off + F.lit(beta[0])
@@ -2376,7 +2426,7 @@ def glm_poisson(
         for j in range(p + 1):
             aggs.append(
                 F.sum(
-                    F.round((y - mu) * xs[j] * nano, 0).cast("long")
+                    F.round((y - mu) * xs[j] * nano, 0).cast("long") * w
                 ).alias(f"g{j}")
             )
         for j in range(p + 1):
@@ -2384,9 +2434,10 @@ def glm_poisson(
                 aggs.append(
                     F.sum(
                         F.round(mu * xs[j] * xs[k] * nano, 0).cast("long")
+                        * w
                     ).alias(f"i{j}_{k}")
                 )
-        row = df.agg(*aggs).collect()[0]
+        row = src.agg(*aggs).collect()[0]
         g = np.array([row[f"g{j}"] / 1e9 for j in range(p + 1)])
         info = np.zeros((p + 1, p + 1))
         for j in range(p + 1):
@@ -2408,6 +2459,7 @@ def glm_logistic(
     y_col: str,
     iters: int = 8,
     return_se: bool = False,
+    _srcw=None,
 ):
     """Distributed logistic regression by IRLS / Fisher scoring —
     the Newton-converging sibling of ``llm/inference.py::
@@ -2433,6 +2485,10 @@ def glm_logistic(
     beta = [0.0] * (p + 1)
     nano = F.lit(1000000000.0)
     y = F.col(y_col).cast("double")
+    # r10: weighted-cell collapse (see _fit_cells / glm_poisson)
+    if _srcw is None:
+        _srcw = _fit_cells(df, list(dict.fromkeys(feats + [y_col])))
+    src, w = _srcw
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
     for _ in range(iters):
         eta = F.lit(beta[0])
@@ -2444,7 +2500,7 @@ def glm_logistic(
         for j in range(p + 1):
             aggs.append(
                 F.sum(
-                    F.round((y - prob) * xs[j] * nano, 0).cast("long")
+                    F.round((y - prob) * xs[j] * nano, 0).cast("long") * w
                 ).alias(f"g{j}")
             )
         for j in range(p + 1):
@@ -2452,9 +2508,10 @@ def glm_logistic(
                 aggs.append(
                     F.sum(
                         F.round(wgt * xs[j] * xs[k] * nano, 0).cast("long")
+                        * w
                     ).alias(f"i{j}_{k}")
                 )
-        row = df.agg(*aggs).collect()[0]
+        row = src.agg(*aggs).collect()[0]
         g = np.array([row[f"g{j}"] / 1e9 for j in range(p + 1)])
         info = np.zeros((p + 1, p + 1))
         for j in range(p + 1):
@@ -2739,10 +2796,22 @@ def glm_poisson_robust_se(
     iterate. Returns (β, robust_se)."""
     import numpy as np
 
-    beta = glm_poisson(
-        df, feature_cols, y_col, offset_col=offset_col, iters=iters
-    )
     feats = list(feature_cols)
+    # r10: one weighted-cell collapse shared by the fit AND the meat
+    # pass (bit-exact — see _fit_cells)
+    srcw = _fit_cells(
+        df,
+        list(
+            dict.fromkeys(
+                feats + [y_col] + ([offset_col] if offset_col else [])
+            )
+        ),
+    )
+    src, w = srcw
+    beta = glm_poisson(
+        df, feature_cols, y_col, offset_col=offset_col, iters=iters,
+        _srcw=srcw,
+    )
     p = len(feats)
     nano = F.lit(1000000000.0)
     y = F.col(y_col).cast("double")
@@ -2758,7 +2827,7 @@ def glm_poisson_robust_se(
         for k in range(j, p + 1):
             aggs.append(
                 F.sum(
-                    F.round(mu * xs[j] * xs[k] * nano, 0).cast("long")
+                    F.round(mu * xs[j] * xs[k] * nano, 0).cast("long") * w
                 ).alias(f"i{j}_{k}")
             )
             aggs.append(
@@ -2766,9 +2835,10 @@ def glm_poisson_robust_se(
                     F.round(resid2 * xs[j] * xs[k] * nano, 0).cast(
                         "long"
                     )
+                    * w
                 ).alias(f"b{j}_{k}")
             )
-    row = df.agg(*aggs).collect()[0]
+    row = src.agg(*aggs).collect()[0]
     info = np.zeros((p + 1, p + 1))
     meat = np.zeros((p + 1, p + 1))
     for j in range(p + 1):
@@ -2817,20 +2887,36 @@ def glm_negative_binomial(
     off = F.col(offset_col).cast("double") if offset_col else F.lit(0.0)
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
 
+    # r10: one weighted-cell collapse shared by the Poisson start, the
+    # moment pass and every NB scoring iteration (bit-exact — see
+    # _fit_cells)
+    src, w = _fit_cells(
+        df,
+        list(
+            dict.fromkeys(
+                feats + [y_col] + ([offset_col] if offset_col else [])
+            )
+        ),
+    )
+
     if theta is None:
         b0 = glm_poisson(
-            df, feats, y_col, offset_col=offset_col, iters=iters
+            df, feats, y_col, offset_col=offset_col, iters=iters,
+            _srcw=(src, w),
         )
         eta0 = off + F.lit(b0[0])
         for j, c in enumerate(feats):
             eta0 = eta0 + F.lit(b0[j + 1]) * F.col(c).cast("double")
         mu0 = F.exp(eta0)
-        r = df.agg(
-            F.sum(F.round(mu0 * mu0 * nano, 0).cast("long")).alias("m2"),
+        r = src.agg(
+            F.sum(
+                F.round(mu0 * mu0 * nano, 0).cast("long") * w
+            ).alias("m2"),
             F.sum(
                 F.round(
                     ((y - mu0) * (y - mu0) - mu0) * nano, 0
                 ).cast("long")
+                * w
             ).alias("vx"),
         ).collect()[0]
         excess = r["vx"] / 1e9
@@ -2845,7 +2931,7 @@ def glm_negative_binomial(
             eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
         mu = F.exp(eta)
         denom = F.lit(1.0) + mu * F.lit(inv_theta)
-        w = mu / denom
+        wnb = mu / denom
         aggs = []
         for j in range(p + 1):
             aggs.append(
@@ -2853,16 +2939,20 @@ def glm_negative_binomial(
                     F.round((y - mu) / denom * xs[j] * nano, 0).cast(
                         "long"
                     )
+                    * w
                 ).alias(f"g{j}")
             )
         for j in range(p + 1):
             for k in range(j, p + 1):
                 aggs.append(
                     F.sum(
-                        F.round(w * xs[j] * xs[k] * nano, 0).cast("long")
+                        F.round(wnb * xs[j] * xs[k] * nano, 0).cast(
+                            "long"
+                        )
+                        * w
                     ).alias(f"i{j}_{k}")
                 )
-        row = df.agg(*aggs).collect()[0]
+        row = src.agg(*aggs).collect()[0]
         g = np.array([row[f"g{j}"] / 1e9 for j in range(p + 1)])
         info = np.zeros((p + 1, p + 1))
         for j in range(p + 1):
@@ -3371,6 +3461,9 @@ def glm_logistic_firth(
     beta = [0.0] * (p + 1)
     nano = F.lit(1000000000.0)
     y = F.col(y_col).cast("double")
+    # r10: weighted-cell collapse shared by both per-iteration passes
+    # (bit-exact — see _fit_cells)
+    src, w = _fit_cells(df, list(dict.fromkeys(feats + [y_col])))
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
     inv = None
     for _ in range(iters):
@@ -3384,6 +3477,7 @@ def glm_logistic_firth(
             aggs.append(
                 F.sum(
                     F.round((y - prob) * xs[j] * nano, 0).cast("long")
+                    * w
                 ).alias(f"g{j}")
             )
         for j in range(p + 1):
@@ -3393,9 +3487,10 @@ def glm_logistic_firth(
                         F.round(wgt * xs[j] * xs[k] * nano, 0).cast(
                             "long"
                         )
+                        * w
                     ).alias(f"i{j}_{k}")
                 )
-        row = df.agg(*aggs).collect()[0]
+        row = src.agg(*aggs).collect()[0]
         g = np.array([row[f"g{j}"] / 1e9 for j in range(p + 1)])
         info = np.zeros((p + 1, p + 1))
         for j in range(p + 1):
@@ -3413,10 +3508,11 @@ def glm_logistic_firth(
                 F.round(
                     h * (F.lit(0.5) - prob) * xs[j] * nano, 0
                 ).cast("long")
+                * w
             ).alias(f"c{j}")
             for j in range(p + 1)
         ]
-        crow = df.agg(*corr_aggs).collect()[0]
+        crow = src.agg(*corr_aggs).collect()[0]
         cvec = np.array(
             [crow[f"c{j}"] / 1e9 for j in range(p + 1)]
         )
@@ -3545,7 +3641,15 @@ def gee_logistic_exchangeable(
     nano = F.lit(1000000000.0)
     y = F.col(y_col).cast("double")
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
-    n_tot = df.count()
+    # r10: collapse identical (cluster, x-pattern, y) rows ONCE —
+    # every per-cluster term below is a pure function of that tuple,
+    # so the per-iteration cluster collapse aggregates the tiny
+    # pinned cell frame instead of re-scanning the cohort (bit-exact
+    # — see _fit_cells; m and n_tot become exact Σ_w)
+    src, cw = _fit_cells(
+        df, list(dict.fromkeys([cluster_col] + feats + [y_col]))
+    )
+    n_tot = src.agg(F.sum(cw)).collect()[0][0]
     beta = [0.0] * p
     alpha = 0.0
     a_mat = None
@@ -3559,17 +3663,21 @@ def gee_logistic_exchangeable(
         s = F.sqrt(w)
         r = (y - mu) / s
         aggs = [
-            F.count(F.lit(1)).alias("m"),
-            F.sum(F.round(r * nano, 0).cast("long")).alias("sr"),
-            F.sum(F.round(r * r * nano, 0).cast("long")).alias("r2"),
+            F.sum(cw).alias("m"),
+            F.sum(F.round(r * nano, 0).cast("long") * cw).alias("sr"),
+            F.sum(F.round(r * r * nano, 0).cast("long") * cw).alias(
+                "r2"
+            ),
         ]
         for j in range(p):
             aggs.append(
-                F.sum(F.round(s * xs[j] * nano, 0).cast("long"))
+                F.sum(F.round(s * xs[j] * nano, 0).cast("long") * cw)
                 .alias(f"sx{j}")
             )
             aggs.append(
-                F.sum(F.round(s * r * xs[j] * nano, 0).cast("long"))
+                F.sum(
+                    F.round(s * r * xs[j] * nano, 0).cast("long") * cw
+                )
                 .alias(f"sxr{j}")
             )
         for j in range(p):
@@ -3578,9 +3686,10 @@ def gee_logistic_exchangeable(
                     F.sum(
                         F.round(w * xs[j] * xs[k] * nano, 0)
                         .cast("long")
+                        * cw
                     ).alias(f"wxx{j}_{k}")
                 )
-        cf = df.groupBy(F.col(cluster_col).alias("_cl")).agg(*aggs)
+        cf = src.groupBy(F.col(cluster_col).alias("_cl")).agg(*aggs)
         cf = cf.localCheckpoint(eager=False)
         # alpha moment fold
         srd = F.col("sr") / nano
@@ -3949,12 +4058,15 @@ def tmle_ate(
       5. influence-curve SE: IC = (H₁−H₀)(y − Q*_a) + Q*₁ − Q*₀
          − ATE, SE = √(Σ IC²/n)/√n, Wald 95% CI.
 
-    Every stage is whole-data aggregates of per-row closed forms on
-    the nano lattice — the two GLMs are ``glm_logistic`` passes, the
+    Every stage is aggregates of per-row closed forms on the nano
+    lattice — the two GLMs are ``glm_logistic`` passes, the
     fluctuation is one 5-scalar aggregate per Newton step, the
-    plug-in and IC folds are one aggregate each. No per-x-pattern
-    frame exists anywhere, so no pattern bound is needed; everything
-    is bit-identical under any partitioning (the glm contract).
+    plug-in and IC folds are one aggregate each; everything is
+    bit-identical under any partitioning (the glm contract). r10:
+    all stages share ONE ``_fit_cells`` weighted collapse (terms are
+    pure functions of (treat, x, y); falls back to raw rows past the
+    pattern bound), and the two independent initial fits run in
+    parallel driver threads.
 
     Returns (ate, se, ci_lo, ci_hi, eps) with eps = [ε₁, ε₀], all
     driver floats rounded to 9 dp.
@@ -3967,8 +4079,31 @@ def tmle_ate(
     feats = list(feature_cols)
     nano = F.lit(1000000000.0)
 
-    beta_q = glm_logistic(df, [treat_col] + feats, y_col, iters=iters)
-    beta_g = glm_logistic(df, feats, treat_col, iters=iters)
+    # r10: ONE weighted-cell collapse shared by both GLM stages, the
+    # fluctuation loop and the plug-in/IC folds — every per-row term
+    # below is a pure function of (treat, x, y), so the collapsed
+    # frame is bit-exact (see _fit_cells) — and the two INDEPENDENT
+    # initial fits run in two driver threads so their tiny
+    # per-iteration jobs overlap instead of serializing (guide §2.6;
+    # results are unchanged: each fit is a deterministic lattice
+    # computation on its own).
+    from concurrent.futures import ThreadPoolExecutor
+
+    srcw = _fit_cells(
+        df, list(dict.fromkeys([treat_col] + feats + [y_col]))
+    )
+    src, cw = srcw
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(
+            glm_logistic, df, [treat_col] + feats, y_col,
+            iters=iters, _srcw=srcw,
+        )
+        f_g = pool.submit(
+            glm_logistic, df, feats, treat_col, iters=iters,
+            _srcw=srcw,
+        )
+        beta_q = f_q.result()
+        beta_g = f_g.result()
 
     a = F.col(treat_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -4000,22 +4135,22 @@ def tmle_ate(
         et = logit_q + F.lit(eps[0]) * h1 + F.lit(eps[1]) * h0
         pr = F.lit(1.0) / (F.lit(1.0) + F.exp(-et))
         w = pr * (F.lit(1.0) - pr)
-        row = df.agg(
-            F.sum(F.round((y - pr) * h1 * nano, 0).cast("long")).alias(
-                "g1"
-            ),
-            F.sum(F.round((y - pr) * h0 * nano, 0).cast("long")).alias(
-                "g0"
-            ),
-            F.sum(F.round(w * h1 * h1 * nano, 0).cast("long")).alias(
-                "i11"
-            ),
-            F.sum(F.round(w * h1 * h0 * nano, 0).cast("long")).alias(
-                "i10"
-            ),
-            F.sum(F.round(w * h0 * h0 * nano, 0).cast("long")).alias(
-                "i00"
-            ),
+        row = src.agg(
+            F.sum(
+                F.round((y - pr) * h1 * nano, 0).cast("long") * cw
+            ).alias("g1"),
+            F.sum(
+                F.round((y - pr) * h0 * nano, 0).cast("long") * cw
+            ).alias("g0"),
+            F.sum(
+                F.round(w * h1 * h1 * nano, 0).cast("long") * cw
+            ).alias("i11"),
+            F.sum(
+                F.round(w * h1 * h0 * nano, 0).cast("long") * cw
+            ).alias("i10"),
+            F.sum(
+                F.round(w * h0 * h0 * nano, 0).cast("long") * cw
+            ).alias("i00"),
         ).collect()[0]
         gv = np.array([row["g1"] / 1e9, row["g0"] / 1e9])
         iv = np.array(
@@ -4034,9 +4169,11 @@ def tmle_ate(
         F.lit(1.0)
         + F.exp(-(logit_q0 + F.lit(eps[1]) / (F.lit(1.0) - gx)))
     )
-    r1 = df.agg(
-        F.sum(F.round((q1s - q0s) * nano, 0).cast("long")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
+    r1 = src.agg(
+        F.sum(
+            F.round((q1s - q0s) * nano, 0).cast("long") * cw
+        ).alias("s"),
+        F.sum(cw).alias("n"),
     ).collect()[0]
     n = r1["n"]
     ate = round(r1["s"] / 1e9 / n, 9)
@@ -4046,8 +4183,8 @@ def tmle_ate(
         + F.exp(-(logit_q + F.lit(eps[0]) * h1 + F.lit(eps[1]) * h0))
     )
     ic = (h1 - h0) * (y - qas) + q1s - q0s - F.lit(ate)
-    r2 = df.agg(
-        F.sum(F.round(ic * ic * nano, 0).cast("long")).alias("s2")
+    r2 = src.agg(
+        F.sum(F.round(ic * ic * nano, 0).cast("long") * cw).alias("s2")
     ).collect()[0]
     se = round(float(np.sqrt(r2["s2"] / 1e9 / n) / np.sqrt(n)), 9)
     z = 1.959963984540054
@@ -5285,8 +5422,14 @@ def mi_rubin_glm(
         )
 
     fit = glm_logistic if family == "logistic" else glm_poisson
-    betas, ses = [], []
-    for i in range(m):
+
+    # r10: the m imputation fits are fully INDEPENDENT deterministic
+    # lattice computations (each β̂_i depends only on (seed, i) and the
+    # data) — run them in driver threads so their small per-iteration
+    # jobs overlap instead of serializing m × iters collect barriers
+    # (guide §2.6); pool.map preserves order, so the pooled fold is
+    # unchanged.
+    def _one_imputation(i):
         cols = [F.col(key_col), F.col(y_col)]
         for j, c in enumerate(feats):
             mu, sd = mean_sd[j]
@@ -5298,9 +5441,14 @@ def mi_rubin_glm(
                 ).alias(c)
             )
         imp = df.select(*cols)
-        b, s = fit(imp, feats, y_col, iters=iters, return_se=True)
-        betas.append(b)
-        ses.append(s)
+        return fit(imp, feats, y_col, iters=iters, return_se=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        results = list(pool.map(_one_imputation, range(m)))
+    betas = [b for b, _ in results]
+    ses = [s for _, s in results]
 
     terms = ["intercept"] + feats
     nu_com = n_rows - (p + 1)

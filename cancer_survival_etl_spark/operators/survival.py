@@ -840,13 +840,12 @@ def logrank_test(
         F.sum(is1).alias("rm1"),
         F.count(F.lit(1)).alias("rm"),
     )
-    tot = df.agg(
-        F.sum(is1).alias("_n1"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    # r10: the cohort totals are the cell sums — ride them along with
+    # the prefix scan instead of a second full pass over df
     cells = global_prefix_sum(
-        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
-    ).crossJoin(F.broadcast(tot))
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"],
+        totals_alias=["_n1", "_n"],
+    )
     n1 = F.col("_n1") - F.col("rm1_before")
     n = F.col("_n") - F.col("rm_before")
     d = F.col("d")
@@ -1395,6 +1394,7 @@ def relative_survival_ederer1(
     horizon = int(horizon)
 
     nbt = df.groupBy(*g, band_col).agg(F.count(F.lit(1)).alias("_nb"))
+    tot = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_tot"))
     hours = spark.range(1, horizon + 1).select(
         F.col("id").cast("long").alias("hour")
     )
@@ -1403,19 +1403,29 @@ def relative_survival_ederer1(
     hours0 = spark.range(0, horizon + 1).select(
         F.col("id").cast("long").alias("hour")
     )
+    # r10 bit-stability fix: the band fold used to be a RAW double sum
+    # (Σ n_b·(1−λ_b)^h) rounded to 6 dp — accumulation-order-dependent
+    #, and one sf0.001 row sat exactly on a 5e-7 boundary, flipping
+    # the published value vs the oracle. Fold each band's AT-DIAGNOSIS
+    # share n_b/N·(1−λ_b)^h ∈ [0,1] on the pico lattice instead (exact
+    # long sum, order-free; ≤ #bands·1e12 so it can never overflow),
+    # mirrored verbatim by the oracle.
     grid = _attach_band_hazard(
-        nbt.crossJoin(F.broadcast(hours)), band_col,
+        nbt.join(F.broadcast(tot), g).crossJoin(F.broadcast(hours)),
+        band_col,
         hazard_micro_by_band, "_lam_b", "relative_survival_ederer1",
     ).withColumn(
         "_sb",
-        F.col("_nb")
-        * F.pow(
-            F.lit(1.0) - F.col("_lam_b") / F.lit(1000000.0),
-            F.col("hour"),
+        _pico(
+            F.col("_nb") / F.col("_n_tot")
+            * F.pow(
+                F.lit(1.0) - F.col("_lam_b") / F.lit(1000000.0),
+                F.col("hour"),
+            )
         ),
     )
     expected = grid.groupBy(*g, "hour").agg(
-        F.round(F.sum("_sb") / F.sum("_nb"), 6).alias(
+        F.round(F.sum("_sb") / F.lit(1000000000000.0), 6).alias(
             "survival_expected"
         ),
     )
@@ -1423,7 +1433,6 @@ def relative_survival_ederer1(
     km = km_curve(df, g, duration_col, event_col)
     # observed at-risk entering each hour, from removal cells
     rm = df.groupBy(*g, duration_col).agg(F.count(F.lit(1)).alias("_rm"))
-    tot = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n_tot"))
     atrisk = (
         tot.crossJoin(F.broadcast(hours0))
         .join(
@@ -2320,6 +2329,16 @@ def cox_ph(
     beta = [0.0] * p
     nano = F.lit(1000000000.0)
 
+    # r10: pin the NARROW projection once — every Newton iteration
+    # re-derives the upstream plan otherwise (8 iterations × the cell
+    # pass = 8 full upstream recomputes; guide §5 caching rule). Lazy:
+    # the first iteration's job materializes it.
+    _strata = list(strata_cols) if strata_cols else []
+    _needed = list(
+        dict.fromkeys(_strata + feats + [duration_col, event_col])
+    )
+    df = df.select(*_needed).localCheckpoint(eager=False)
+
     for _ in range(iters):
         xb = F.lit(0.0)
         for j, c in enumerate(feats):
@@ -2381,23 +2400,21 @@ def cox_ph(
             + [f"a1_{j}" for j in range(p)]
             + [f"a2_{j}_{k}" for j in range(p) for k in range(j, p)]
         )
+        # r10: totals ride along with the prefix scan (exact long sums
+        # from the same per-partition totals frame) — the separate
+        # full-pass `tot` aggregation + broadcast join per iteration
+        # is gone (guide §2.4: remove shuffles/passes outright)
         if strata:
             pre = grouped_prefix_sum(
                 cells, strata, duration_col, vcols,
                 [f"_pre_{v}" for v in vcols],
+                totals_alias=[f"_tot_{v}" for v in vcols],
             )
-            tot = cells.groupBy(*strata).agg(
-                *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
-            )
-            pre = pre.join(F.broadcast(tot), strata)
         else:
             pre = global_prefix_sum(
-                cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
+                cells, duration_col, vcols, [f"_pre_{v}" for v in vcols],
+                totals_alias=[f"_tot_{v}" for v in vcols],
             )
-            tot = cells.agg(
-                *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
-            )
-            pre = pre.crossJoin(F.broadcast(tot))
 
         def suffix(v):
             # risk set at t = everyone leaving at or after t
@@ -2542,10 +2559,9 @@ def cox_ph_diagnostics(
     cells = df.groupBy(duration_col).agg(*aggs)
     vcols = ["a0"] + [f"a1_{j}" for j in range(p)]
     pre = global_prefix_sum(
-        cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
-    )
-    tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in vcols])
-    pre = pre.crossJoin(F.broadcast(tot)).filter(F.col("d_t") > 0)
+        cells, duration_col, vcols, [f"_pre_{v}" for v in vcols],
+        totals_alias=[f"_tot_{v}" for v in vcols],
+    ).filter(F.col("d_t") > 0)
 
     def suffix(v):
         return F.col(f"_tot_{v}") - F.col(f"_pre_{v}")
@@ -2669,6 +2685,17 @@ def cox_ph_robust(
     feats = list(feature_cols)
     p = len(feats)
     strata = list(strata_cols) if strata_cols else []
+    # r10: pin the narrow projection once for the fit AND the sandwich
+    # passes (cox_ph pins its own sub-projection; this keeps the extra
+    # robust passes off the upstream plan too)
+    df = df.select(
+        *dict.fromkeys(
+            strata
+            + feats
+            + [duration_col, event_col]
+            + ([cluster_col] if cluster_col else [])
+        )
+    ).localCheckpoint(eager=False)
     beta = cox_ph(
         df, feats, duration_col, event_col, iters=iters,
         ties="breslow", strata_cols=strata or None,
@@ -2709,17 +2736,13 @@ def cox_ph_robust(
         pre = grouped_prefix_sum(
             cells, strata, duration_col, vcols,
             [f"_pre_{v}" for v in vcols],
+            totals_alias=[f"_tot_{v}" for v in vcols],
         )
-        tot = cells.groupBy(*strata).agg(
-            *[F.sum(v).alias(f"_tot_{v}") for v in vcols]
-        )
-        pre = pre.join(F.broadcast(tot), strata)
     else:
         pre = global_prefix_sum(
-            cells, duration_col, vcols, [f"_pre_{v}" for v in vcols]
+            cells, duration_col, vcols, [f"_pre_{v}" for v in vcols],
+            totals_alias=[f"_tot_{v}" for v in vcols],
         )
-        tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in vcols])
-        pre = pre.crossJoin(F.broadcast(tot))
 
     def suffix(v):
         return F.col(f"_tot_{v}") - F.col(f"_pre_{v}")
@@ -2883,17 +2906,15 @@ def _fg_censoring_base(
         F.count(F.lit(1)).alias("_rm"),
     )
     if strata:
-        gtot = gcells.groupBy(*strata).agg(
-            F.sum("_rm").alias("_n_all")
-        )
         gcells = grouped_prefix_sum(
-            gcells, list(strata), duration_col, ["_rm"], ["_rm_before"]
-        ).join(F.broadcast(gtot), list(strata))
+            gcells, list(strata), duration_col, ["_rm"], ["_rm_before"],
+            totals_alias="_n_all",
+        )
     else:
-        gtot = gcells.agg(F.sum("_rm").alias("_n_all"))
         gcells = global_prefix_sum(
-            gcells, duration_col, ["_rm"], ["_rm_before"]
-        ).crossJoin(F.broadcast(gtot))
+            gcells, duration_col, ["_rm"], ["_rm_before"],
+            totals_alias="_n_all",
+        )
     n_at = F.col("_n_all") - F.col("_rm_before")
     cterm = F.when(
         (F.col("_c") > 0) & (F.col("_c") < n_at),
@@ -3014,7 +3035,20 @@ def fine_gray(
     # ---- censoring KM G(t-) on the micro log-lattice (beta-free:
     # computed once, reused every iteration; per stratum when
     # stratified) ----
-    base = _fg_censoring_base(df, duration_col, cause_col, strata)
+    # r10: pin the narrow joined base once — otherwise every Newton
+    # iteration re-derives the upstream cohort plan AND re-broadcasts
+    # the censoring table (guide §5 caching rule). Lazy: the first
+    # iteration's job materializes it.
+    base = _fg_censoring_base(
+        df.select(
+            *dict.fromkeys(
+                strata + feats + [duration_col, cause_col]
+            )
+        ),
+        duration_col,
+        cause_col,
+        strata,
+    ).localCheckpoint(eager=False)
 
     for _ in range(iters):
         xb = F.lit(0.0)
@@ -3073,6 +3107,11 @@ def fine_gray(
             + [f"c1_{j}" for j in range(p)]
             + [f"c2_{j}_{k}" for j in range(p) for k in range(j, p)]
         )
+        # r10: totals ride along with the prefix scan — no separate
+        # full-pass `tot` aggregation + broadcast join per iteration
+        # (only the a-side totals are consumed; the c-side constants
+        # are never referenced downstream and cost nothing extra in
+        # the same tiny carries window)
         if strata:
             pre = grouped_prefix_sum(
                 cells,
@@ -3080,22 +3119,16 @@ def fine_gray(
                 duration_col,
                 acols + ccols,
                 [f"_pre_{v}" for v in acols + ccols],
+                totals_alias=[f"_tot_{v}" for v in acols + ccols],
             )
-            tot = cells.groupBy(*strata).agg(
-                *[F.sum(v).alias(f"_tot_{v}") for v in acols]
-            )
-            pre = pre.join(F.broadcast(tot), strata)
         else:
             pre = global_prefix_sum(
                 cells,
                 duration_col,
                 acols + ccols,
                 [f"_pre_{v}" for v in acols + ccols],
+                totals_alias=[f"_tot_{v}" for v in acols + ccols],
             )
-            tot = cells.agg(
-                *[F.sum(v).alias(f"_tot_{v}") for v in acols]
-            )
-            pre = pre.crossJoin(F.broadcast(tot))
 
         gleft = F.exp(F.col("_lng") / micro)
 
@@ -3196,12 +3229,23 @@ def fine_gray_robust(
 
     feats = list(feature_cols)
     p = len(feats)
+    # r10: pin the narrow projection once — shared by the fine_gray
+    # fit (which pins its own joined base) and the sandwich passes
+    df = df.select(
+        *dict.fromkeys(
+            feats
+            + [duration_col, cause_col]
+            + ([cluster_col] if cluster_col else [])
+        )
+    ).localCheckpoint(eager=False)
     beta, _ = fine_gray(
         df, feats, duration_col, cause_col, iters=iters, return_se=True
     )
     nano = F.lit(1000000000.0)
     micro = F.lit(1000000.0)
-    base = _fg_censoring_base(df, duration_col, cause_col, [])
+    base = _fg_censoring_base(
+        df, duration_col, cause_col, []
+    ).localCheckpoint(eager=False)
 
     cause = F.col(cause_col).cast("long")
     is_ev = (cause == 1).cast("long")
@@ -3258,9 +3302,8 @@ def fine_gray_robust(
         duration_col,
         acols + ccols,
         [f"_pre_{v}" for v in acols + ccols],
+        totals_alias=[f"_tot_{v}" for v in acols + ccols],
     )
-    tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in acols])
-    pre = pre.crossJoin(F.broadcast(tot))
 
     gleft = F.exp(F.col("_lng") / micro)
 
@@ -3466,9 +3509,9 @@ def cox_baseline_hazard(
         F.sum(ev).alias("n_event"),
         F.sum(F.round(r * nano, 0).cast("long")).alias("a0"),
     )
-    pre = global_prefix_sum(cells, duration_col, ["a0"], ["_pre_a0"])
-    tot = cells.agg(F.sum("a0").alias("_tot_a0"))
-    pre = pre.crossJoin(F.broadcast(tot))
+    pre = global_prefix_sum(
+        cells, duration_col, ["a0"], ["_pre_a0"], totals_alias="_tot_a0"
+    )
     s0 = (F.col("_tot_a0") - F.col("_pre_a0")) / nano
     inc = F.when(
         F.col("n_event") > 0, _micro(F.col("n_event") / s0)
@@ -4044,13 +4087,12 @@ def gray_test(
         F.sum(is1).alias("rm1"),
         F.count(F.lit(1)).alias("rm"),
     )
-    tot = cells.agg(
-        F.sum("rm1").alias("_n1"), F.sum("rm").alias("_n")
-    )
-    # pass 1: at-risk counts (for G's denominator and the suffixes)
+    # pass 1: at-risk counts (for G's denominator and the suffixes);
+    # totals ride along with the prefix scan (r10)
     cells = global_prefix_sum(
-        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
-    ).crossJoin(F.broadcast(tot))
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"],
+        totals_alias=["_n1", "_n"],
+    )
     n_at = F.col("_n") - F.col("rm_before")
     g_term = F.when(
         (F.col("cen") > 0) & (F.col("cen") < n_at),
@@ -4444,7 +4486,10 @@ def cox_ph_time_dependent(
         F.lit(0).cast("long").alias("_ev"),
         *[F.col(c).cast("double").alias(f"_x{j}") for j, c in enumerate(feats)],
     )
-    ep = stops.unionAll(starts)
+    # r10: pin the episode frame once — the union is already the
+    # narrow projection, and every Newton iteration re-derived it
+    # (and the upstream plan) otherwise
+    ep = stops.unionAll(starts).localCheckpoint(eager=False)
 
     for _ in range(iters):
         xb = F.lit(0.0)
@@ -4532,10 +4577,9 @@ def cox_ph_time_dependent(
         )
         vcols = [v for pair in pairs for v in pair]
         pre = global_prefix_sum(
-            cells, "_tm", vcols, [f"_pre_{v}" for v in vcols]
+            cells, "_tm", vcols, [f"_pre_{v}" for v in vcols],
+            totals_alias=[f"_tot_{v}" for v in vcols],
         )
-        tot = cells.agg(*[F.sum(v).alias(f"_tot_{v}") for v in vcols])
-        pre = pre.crossJoin(F.broadcast(tot))
 
         def suffix(a, b):
             # at risk at t: stop >= t minus start >= t
@@ -4727,13 +4771,11 @@ def weighted_logrank_test(
         F.sum(is1).alias("rm1"),
         F.count(F.lit(1)).alias("rm"),
     )
-    tot = df.agg(
-        F.sum(is1).alias("_n1"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    cells = cells.crossJoin(F.broadcast(tot))
+    # r10: the cohort totals are the cell sums — ride them along with
+    # the prefix scan instead of a second full pass over df
     cells = global_prefix_sum(
-        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"],
+        totals_alias=["_n1", "_n"],
     )
     n1 = F.col("_n1") - F.col("rm1_before")
     n = F.col("_n") - F.col("rm_before")
@@ -8102,13 +8144,12 @@ def logrank_renyi_test(
         F.sum(is1).alias("rm1"),
         F.count(F.lit(1)).alias("rm"),
     )
-    tot = df.agg(
-        F.sum(is1).alias("_n1"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    # r10: totals ride along with the prefix scan (one fewer full
+    # pass over df)
     cells = global_prefix_sum(
-        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"]
-    ).crossJoin(F.broadcast(tot))
+        cells, duration_col, ["rm1", "rm"], ["rm1_before", "rm_before"],
+        totals_alias=["_n1", "_n"],
+    )
     n1 = F.col("_n1") - F.col("rm1_before")
     n = F.col("_n") - F.col("rm_before")
     d = F.col("d")
@@ -8569,10 +8610,11 @@ def abridged_life_table(
     cells = cells.withColumn(
         "_lm", F.round(big_l * F.lit(1000000.0), 0).cast("long")
     ).withColumn("_lx", lx)
-    # T suffix sum: total minus exclusive prefix
-    cells = grouped_prefix_sum(cells, g, band_col, "_lm", "_lm0")
-    tot = cells.groupBy(*g).agg(F.sum("_lm").alias("_lm_tot"))
-    cells = cells.join(F.broadcast(tot), g)
+    # T suffix sum: total minus exclusive prefix (totals ride along
+    # with the prefix scan — r10)
+    cells = grouped_prefix_sum(
+        cells, g, band_col, "_lm", "_lm0", totals_alias="_lm_tot"
+    )
     t_x = (F.col("_lm_tot") - F.col("_lm0")) / F.lit(1000000.0)
     r = F.lit(float(radix))
     return cells.select(
@@ -8667,9 +8709,9 @@ def shared_gamma_frailty(
             F.sum("_d").alias("_dt"),
             F.sum(_micro(F.col("_n") * F.col("_w"))).alias("_rmw"),
         )
-        byt = global_prefix_sum(byt, "_t", "_rmw", "_rmw0")
-        tot = byt.agg(F.sum("_rmw").alias("_tot"))
-        byt = byt.crossJoin(F.broadcast(tot))
+        byt = global_prefix_sum(
+            byt, "_t", "_rmw", "_rmw0", totals_alias="_tot"
+        )
         atrisk = (F.col("_tot") - F.col("_rmw0")) / F.lit(1000000.0)
         inc = F.when(
             F.col("_dt") > 0, _micro(F.col("_dt") / atrisk)
@@ -8907,9 +8949,11 @@ def mcf_curve(
         ecells.join(ccells, g + ["_t"], "full_outer")
         .fillna(0, subset=["_d", "_d2", "_c"])
     )
-    pre = grouped_prefix_sum(axis, g, "_t", ["_c"], ["_prec"])
-    tot = fu.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
-    pre = pre.join(F.broadcast(tot), g)
+    # r10: the per-group subject count is the _c cell sum — ride it
+    # along with the prefix scan instead of a second pass over fu
+    pre = grouped_prefix_sum(
+        axis, g, "_t", ["_c"], ["_prec"], totals_alias=["_n"]
+    )
     y = (F.col("_n") - F.col("_prec")).cast("double")
     d = F.col("_d").cast("double")
     d2 = F.col("_d2").cast("double")
@@ -9704,6 +9748,13 @@ def cox_ph_counting(
         ).cast("double"),
     ).otherwise(sp)
 
+    # r10: pin the narrow episode projection once — each Newton
+    # iteration collapses it TWICE (entry + exit cells) and would
+    # otherwise re-derive the upstream plan 2×iters times
+    df = df.select(
+        *dict.fromkeys(feats + [start_col, stop_col, event_col])
+    ).localCheckpoint(eager=False)
+
     info = None
     for _ in range(iters):
         xb = F.lit(0.0)
@@ -9884,13 +9935,11 @@ def gray_test_stratified(
         F.sum(is1).alias("rm1"),
         F.count(F.lit(1)).alias("rm"),
     )
-    tot = cells.groupBy(*strata).agg(
-        F.sum("rm1").alias("_n1"), F.sum("rm").alias("_n")
-    )
     cells = grouped_prefix_sum(
         cells, strata, duration_col, ["rm1", "rm"],
         ["rm1_before", "rm_before"],
-    ).join(F.broadcast(tot), strata)
+        totals_alias=["_n1", "_n"],
+    )
     n_at = F.col("_n") - F.col("rm_before")
     g_term = F.when(
         (F.col("cen") > 0) & (F.col("cen") < n_at),
@@ -9932,10 +9981,16 @@ def gray_test_stratified(
             "long"
         ),
     ).otherwise(F.lit(0).cast("long"))
-    n_by = tot.agg(
-        F.count(F.lit(1)).alias("_ns"),
-        F.sum("_n1").alias("_tn1"),
-        F.sum("_n").alias("_tn"),
+    # r10: the per-stratum totals ride on cells (totals_alias) — the
+    # cross-strata header collapses them instead of a separate pass
+    n_by = (
+        cells.groupBy(*strata)
+        .agg(F.max("_n1").alias("_n1"), F.max("_n").alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_ns"),
+            F.sum("_n1").alias("_tn1"),
+            F.sum("_n").alias("_tn"),
+        )
     )
     out = cells.agg(
         F.sum("d1").alias("events_1"),

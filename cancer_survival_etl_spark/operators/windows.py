@@ -153,6 +153,7 @@ def global_prefix_sum(
     value_col: str | Sequence[str],
     alias: str | Sequence[str] = "prefix_sum",
     num_partitions: int | None = None,
+    totals_alias: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """EXCLUSIVE global running sum of ``value_col`` in ``order_col``
     order (the SQL ``SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
@@ -185,8 +186,28 @@ def global_prefix_sum(
 
     ``value_col``/``alias`` accept lists to scan SEVERAL columns in the
     same single shuffle + single Arrow pass (e.g. both variants' counts
-    for a KS statistic) — one totals collect carries a tuple per
-    partition instead of a scalar.
+    for a KS statistic) — the carry table carries a tuple per partition
+    instead of a scalar.
+
+    ``totals_alias`` (r10 optimization): when given (same shape as
+    ``alias``), the output ALSO carries the grand total of each value
+    column as a constant column — computed from the same per-partition
+    totals frame the carries come from, so callers that need
+    ``suffix = total − prefix`` (the whole cox/Fine-Gray family, one
+    per Newton iteration) skip their separate full aggregation pass +
+    broadcast crossJoin. The totals are exact long sums — bit-identical
+    to the ``df.agg(F.sum(v))`` they replace.
+
+    r10 shape change (guide §2.4/§5): the carry offsets used to be a
+    driver ``collect`` into the mapInPandas closure behind an EAGER
+    localCheckpoint — two extra Spark actions per call before the
+    caller's own action. Now the per-partition totals become a tiny
+    carries frame (exclusive running sum via a window over ≤ n_parts
+    post-aggregate rows — bounded by cluster width, not data) that is
+    broadcast-joined back on ``_pid``, and the checkpoint is LAZY: the
+    caller's first action materializes the ranged frame once and every
+    branch (carries build, cumsum pass) reads the pinned RDD. Zero
+    extra actions, same single data shuffle, bit-identical output.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -194,45 +215,81 @@ def global_prefix_sum(
     aliases = [alias] if isinstance(alias, str) else list(alias)
     if len(vcols) != len(aliases):
         raise ValueError("value_col and alias lists must align")
+    tcols = (
+        [totals_alias]
+        if isinstance(totals_alias, str)
+        else list(totals_alias) if totals_alias else []
+    )
+    if tcols and len(tcols) != len(vcols):
+        raise ValueError("totals_alias must align with value_col")
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    totals = ranged.groupBy("_pid").agg(
+    ptots = ranged.groupBy("_pid").agg(
         *[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vcols)]
-    ).collect()
-    offsets, acc = {}, [0] * len(vcols)
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = tuple(acc)
-        acc = [a + (r[f"_t{i}"] or 0) for i, a in enumerate(acc)]
+    )
+    w_carry = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sel = [F.col("_pid").alias("_cpid")] + [
+        F.coalesce(F.sum(f"_t{i}").over(w_carry), F.lit(0)).alias(
+            f"_carry{i}"
+        )
+        for i in range(len(vcols))
+    ]
+    if tcols:
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        sel += [
+            F.coalesce(F.sum(f"_t{i}").over(w_all), F.lit(0)).alias(
+                f"_tt{i}"
+            )
+            for i in range(len(vcols))
+        ]
+    carries = ptots.select(*sel)
+    joined = ranged.join(
+        F.broadcast(carries), F.col("_pid") == F.col("_cpid")
+    )
 
     out_schema = StructType(
         [f for f in ranged.schema.fields if f.name != "_pid"]
         + [StructField(a, LongType()) for a in aliases]
+        + [StructField(t, LongType()) for t in tcols]
     )
     cols = [f.name for f in ranged.schema.fields if f.name != "_pid"]
 
     def cumsum(batches):
         carry = None
+        tots = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if carry is None:
-                carry = list(
-                    offsets.get(int(pdf["_pid"].iloc[0]), (0,) * len(vcols))
-                )
+                carry = [
+                    int(pdf[f"_carry{i}"].iloc[0])
+                    for i in range(len(vcols))
+                ]
+                if tcols:
+                    tots = [
+                        int(pdf[f"_tt{i}"].iloc[0])
+                        for i in range(len(vcols))
+                    ]
             out = pdf[cols].copy()
             for i, (v, a) in enumerate(zip(vcols, aliases)):
                 vals = pdf[v].to_numpy()
                 out[a] = vals.cumsum() - vals + carry[i]
                 carry[i] += int(vals.sum())
+            for i, t in enumerate(tcols):
+                out[t] = tots[i]
             yield out
 
-    return ranged.mapInPandas(cumsum, out_schema)
+    return joined.mapInPandas(cumsum, out_schema)
 
 
 def grouped_prefix_sum(
@@ -242,6 +299,7 @@ def grouped_prefix_sum(
     value_col: str | Sequence[str],
     alias: str | Sequence[str] = "prefix_sum",
     num_partitions: int | None = None,
+    totals_alias: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """EXCLUSIVE per-group running sum of ``value_col`` in ``order_col``
     order (``SUM(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN
@@ -273,18 +331,37 @@ def grouped_prefix_sum(
 
     ``value_col``/``alias`` accept lists to scan several columns in
     the same shuffle + window passes (the ``global_prefix_sum``
-    multi-column contract)."""
+    multi-column contract).
+
+    ``totals_alias``: when given, the output also carries each value
+    column's PER-GROUP grand total as a constant-within-group column,
+    computed from the same tiny per-(partition, group) totals frame the
+    carries come from (one more window over ≤ #groups + #partitions
+    rows) — callers needing ``suffix = group total − prefix`` skip
+    their separate full aggregation + broadcast join. Exact long sums,
+    bit-identical to the ``groupBy(g).agg(F.sum(v))`` they replace.
+
+    r10: the internal checkpoint is LAZY — the caller's first action
+    materializes the ranged frame once and the carries/join branches
+    share the pinned RDD; no standalone materialization job."""
     g = list(group_cols)
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     aliases = [alias] if isinstance(alias, str) else list(alias)
     if len(vcols) != len(aliases):
         raise ValueError("value_col and alias lists must align")
+    tcols = (
+        [totals_alias]
+        if isinstance(totals_alias, str)
+        else list(totals_alias) if totals_alias else []
+    )
+    if tcols and len(tcols) != len(vcols):
+        raise ValueError("totals_alias must align with value_col")
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in g + [order_col]])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w_carry = (
         Window.partitionBy(*g)
@@ -299,6 +376,19 @@ def grouped_prefix_sum(
             f"_carry_{i}",
             F.coalesce(F.sum(f"_ct_{i}").over(w_carry), F.lit(0)),
         )
+    if tcols:
+        w_all = (
+            Window.partitionBy(*g)
+            .orderBy("_pid")
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        for i in range(len(vcols)):
+            carries = carries.withColumn(
+                f"_gtot_{i}",
+                F.coalesce(F.sum(f"_ct_{i}").over(w_all), F.lit(0)),
+            )
     carries = carries.drop(*[f"_ct_{i}" for i in range(len(vcols))])
     w_cell = (
         Window.partitionBy("_pid", *g)
@@ -311,6 +401,7 @@ def grouped_prefix_sum(
         F.col("_pid").alias("_cpid"),
         *[F.col(k).alias(f"_cg_{i}") for i, k in enumerate(g)],
         *[f"_carry_{i}" for i in range(len(vcols))],
+        *[f"_gtot_{i}" for i in range(len(vcols)) if tcols],
     )
     cond = F.col("_pid") == F.col("_cpid")
     for i, k in enumerate(g):
@@ -322,10 +413,13 @@ def grouped_prefix_sum(
             F.coalesce(F.sum(v).over(w_cell), F.lit(0))
             + F.col(f"_carry_{i}"),
         )
+    for i, t in enumerate(tcols):
+        out = out.withColumn(t, F.col(f"_gtot_{i}"))
     return out.drop(
         "_pid",
         "_cpid",
         *[f"_carry_{i}" for i in range(len(vcols))],
+        *[f"_gtot_{i}" for i in range(len(vcols)) if tcols],
         *[f"_cg_{i}" for i in range(len(g))],
     )
 
