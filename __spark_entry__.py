@@ -4606,12 +4606,23 @@ def q_ann_opq_adc(spark, sf_dir):
             F.sum(F.round(_dist2(F.col("subv"), F.col("_cbv")), 6))
         ).collect()[0][0]
 
-    rotation, members = opq_rotation(aniso, m=m_, vec_col="vec", dim=64)
-    rotated = pca_project(
-        aniso, rotation, vec_col="vec", out_col="rvec"
-    ).localCheckpoint(eager=False)
-    d_plain = distortion(aniso, "vec")
-    d_opq = distortion(rotated, "rvec")
+    # r10 (guide §2.6): the plain-split distortion is independent of
+    # the OPQ branch (rotation → projection → rotated distortion) —
+    # overlap the two pipelines in driver threads so the plain fit's
+    # jobs back-fill the Gram pass's barriers; both read the one
+    # pinned aniso frame, results unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_plain = _pool.submit(distortion, aniso, "vec")
+        rotation, members = opq_rotation(
+            aniso, m=m_, vec_col="vec", dim=64
+        )
+        rotated = pca_project(
+            aniso, rotation, vec_col="vec", out_col="rvec"
+        ).localCheckpoint(eager=False)
+        d_opq = distortion(rotated, "rvec")
+        d_plain = _f_plain.result()
     R = np.array(rotation)
     orthogonal = bool(
         np.allclose(R @ R.T, np.eye(64), atol=1e-9)

@@ -894,25 +894,49 @@ def semantic_dedup(
             F.col(vec_col).cast("array<double>").alias("_cenv"),
         )
     v = F.col(vec_col).cast("array<double>")
-    cos = F.round(
-        _dot(F.col("_v"), F.col("_cenv"))
-        / (_norm(F.col("_v")) * _norm(F.col("_cenv"))),
-        6,
+    # r10 (guide §2.4 remove shuffles): the argmax over ≤ n_centroids
+    # candidates used to be a broadcast crossJoin (n_centroids× row
+    # fan-out of the vector payload) plus a Window.partitionBy(id) —
+    # a full hash exchange AND sort of the fanned-out rows. The
+    # centroid table is bounded by contract (n_centroids rows), so it
+    # collects to the driver (one tiny job) and the argmax becomes a
+    # pure PROJECTION fused into the embedding scan: per row, an
+    # array_max over n_centroids (cos, −centroid_id) structs — max
+    # cos first, ties to the SMALLEST centroid id, and Spark's
+    # NaN-greatest double ordering matched exactly, i.e. the same
+    # (cos DESC, centroid_id ASC) row the window picked, with zero
+    # exchange. The cosine expression is unchanged term-for-term, so
+    # every rounded value is bit-identical.
+    cen_rows = sorted(
+        cen.collect(), key=lambda r: int(r["centroid_id"])
     )
-    w = Window.partitionBy("_id").orderBy(cos.desc(), F.col("centroid_id"))
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_cenv"]]))
+                    / (
+                        _norm(F.col("_v"))
+                        * _norm(F.array(*[F.lit(float(x)) for x in r["_cenv"]]))
+                    ),
+                    6,
+                ).alias("_cos"),
+                F.lit(-int(r["centroid_id"])).cast("long").alias("_ncid"),
+            )
+            for r in cen_rows
+        ]
+    )
     assigned = (
         fan_out(embeddings)
         .select(F.col(id_col).alias("_id"), v.alias("_v"))
-        .join(F.broadcast(cen), how="cross")
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        .withColumn("_cell", -F.array_max(scored).getField("_ncid"))
         .select(
             F.col("_id").alias(id_col),
             F.col("_v").alias(vec_col),
-            F.col("centroid_id").alias("_cell"),
+            F.col("_cell"),
         )
         # three consumers (pair join, CC vertex set, final join-back)
-        # would each re-run the broadcast argmax — checkpoint the
+        # would each re-run the argmax projection — checkpoint the
         # narrow assignment once (repo convention, SCALE.md)
         .localCheckpoint(eager=False)
     )

@@ -35,6 +35,52 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _centroid_topk(vec: Column, cen_rows, keep: int) -> Column:
+    """Top-``keep`` centroids for one vector, as an array of
+    (cosine, −centroid_id, centroid_vector) structs, best first —
+    the r10 shuffle-free replacement for the broadcast-crossJoin +
+    ``Window.partitionBy(id)`` argmax (guide §2.4): the centroid
+    table is bounded by contract (it always broadcast before), so it
+    lands in the plan as literals and the per-row ranking becomes a
+    pure projection — array_sort ascending on (cos, −id) then
+    reverse ⇒ (cos DESC, centroid_id ASC) with Spark's NaN-greatest
+    double ordering, exactly the row order the window produced. The
+    cosine expression is unchanged term-for-term (same `_dot`/`_norm`
+    folds, literal array in place of the joined column), so every
+    rounded score is bit-identical.
+
+    ``cen_rows`` is the collected centroid table (Rows with
+    ``centroid_id`` and ``_cenv``).
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in r["_cenv"]]),
+                    )
+                    / (
+                        _norm(vec)
+                        * _norm(
+                            F.array(
+                                *[F.lit(float(x)) for x in r["_cenv"]]
+                            )
+                        )
+                    ),
+                    6,
+                ).alias("_c"),
+                F.lit(-int(r["centroid_id"])).cast("long").alias("_ncid"),
+                F.array(*[F.lit(float(x)) for x in r["_cenv"]]).alias(
+                    "_cv"
+                ),
+            )
+            for r in cen_rows
+        ]
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, keep)
+
+
 def normalize_embeddings(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -117,14 +163,27 @@ def kmeans_centroids(
             / (_norm(F.col("_vv")) * _norm(F.col("_cenv"))),
             6,
         )
-        w = Window.partitionBy("_vid").orderBy(
-            cos.desc(), F.col("centroid_id")
-        )
+        # argmax as a map-side-combinable max(struct) aggregate (the
+        # pq_train pattern, r10): max cos first, ties to the SMALLEST
+        # centroid id via the negated id — identical to the former
+        # (cos DESC, centroid_id ASC) row_number window, including
+        # Spark's NaN-greatest double ordering, without hash-exchanging
+        # and sorting the k-times-fanned-out vector payload.
         assigned = (
             vecs.join(F.broadcast(cen), how="cross")
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("centroid_id", "_vv")
+            .groupBy("_vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        cos.alias("_c"),
+                        (-F.col("centroid_id")).alias("_ncid"),
+                    )
+                ).alias("_best"),
+                F.first("_vv").alias("_vv"),
+            )
+            .select(
+                (-F.col("_best._ncid")).alias("centroid_id"), "_vv"
+            )
         )
         cen = (
             assigned.select(
@@ -179,25 +238,34 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("_cenv"),
         )
 
+    # r10: the centroid table collects once (bounded by contract — it
+    # always broadcast before) and both assignments become shuffle-free
+    # projections via ``_centroid_topk`` — the corpus side used to
+    # fan out n_centroids× and pay a hash exchange + sort in the
+    # row_number window.
+    cen_rows = sorted(
+        centroids.collect(), key=lambda r: int(r["centroid_id"])
+    )
+
     def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
         """Rank ``df``'s vectors against all centroids, keep the top
         ``keep`` cells per vector."""
-        scored = df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
-        ).join(F.broadcast(centroids), how="cross")
-        cos = F.round(
-            _dot(F.col(f"_{prefix}v"), F.col("_cenv"))
-            / (_norm(F.col(f"_{prefix}v")) * _norm(F.col("_cenv"))),
-            6,
-        )
-        w = Window.partitionBy(f"{prefix}_id").orderBy(
-            cos.desc(), F.col("centroid_id")
-        )
+        top = _centroid_topk(F.col(f"_{prefix}v"), cen_rows, keep)
         return (
-            scored.withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= keep)
-            .select(f"{prefix}_id", f"_{prefix}v", "centroid_id")
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"_{prefix}v",
+                F.explode(top).alias("_s"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"_{prefix}v",
+                (-F.col("_s._ncid")).alias("centroid_id"),
+            )
         )
 
     cells = assign(fan_out(corpus), "neighbor", 1)
@@ -802,19 +870,19 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    cos = F.round(
-        _dot(F.col("vec"), F.col("_cenv"))
-        / (_norm(F.col("vec")) * _norm(F.col("_cenv"))),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        cos.desc(), F.col("centroid_id")
-    )
-    assigned = (
-        vecs.join(F.broadcast(cen), how="cross")
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "vec", F.col("centroid_id").alias("cell"))
+    # r10: shuffle-free argmax projection (see _centroid_topk) — the
+    # former broadcast crossJoin + row_number window hash-exchanged and
+    # sorted the n_centroids×-fanned-out vector payload before the
+    # partitioned write.
+    cen_rows = sorted(cen.collect(), key=lambda r: int(r["centroid_id"]))
+    assigned = vecs.select(
+        "vec_id",
+        "vec",
+        (
+            -F.element_at(
+                _centroid_topk(F.col("vec"), cen_rows, 1), 1
+            ).getField("_ncid")
+        ).alias("cell"),
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/vectors"
@@ -866,7 +934,7 @@ def query_ivf_index(
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
         .select("query_id", "_qv", F.col("centroid_id").alias("cell"))
-        .localCheckpoint(eager=True)  # tiny; also fixes the probe set
+        .localCheckpoint(eager=False)  # tiny; pinned by the cell probe
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     vectors = spark.read.parquet(f"{path}/vectors").filter(
@@ -954,7 +1022,7 @@ def build_ivfpq_index(
     else:
         enc_input = assigned
     if per_cell:
-        enc_input = enc_input.localCheckpoint(eager=True)
+        enc_input = enc_input.localCheckpoint(eager=False)
         cb = pq_train_per_cell(
             enc_input, m, sub_dim, n_codes, pq_iters, "vec_id", "vec"
         )
@@ -1030,7 +1098,7 @@ def query_ivfpq_index(
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
         .select("query_id", "_qv", F.col("centroid_id").alias("cell"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # pinned by the cell probe (r10)
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     # ADC distance table for each query from its subvectors; with a
@@ -1628,27 +1696,30 @@ def ivfpq_topk_percell(
         F.col(vec_col).cast("array<double>").alias("_cenv"),
     )
 
+    # r10: shuffle-free argmax projection (see _centroid_topk) — the
+    # winning centroid's VECTOR rides the struct so the residual step
+    # needs no join-back.
+    cen_rows = sorted(
+        centroids.collect(), key=lambda r: int(r["centroid_id"])
+    )
+
     def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
-        ).join(F.broadcast(centroids), how="cross")
-        cos = F.round(
-            _dot(F.col(f"_{prefix}v"), F.col("_cenv"))
-            / (_norm(F.col(f"_{prefix}v")) * _norm(F.col("_cenv"))),
-            6,
-        )
-        w = Window.partitionBy(f"{prefix}_id").orderBy(
-            cos.desc(), F.col("centroid_id")
-        )
+        top = _centroid_topk(F.col(f"_{prefix}v"), cen_rows, keep)
         return (
-            scored.withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= keep)
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
+            )
             .select(
                 f"{prefix}_id",
                 f"_{prefix}v",
-                F.col("centroid_id").alias("cell"),
-                F.col("_cenv"),
+                F.explode(top).alias("_s"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"_{prefix}v",
+                (-F.col("_s._ncid")).alias("cell"),
+                F.col("_s._cv").alias("_cenv"),
             )
         )
 
@@ -1659,7 +1730,7 @@ def ivfpq_topk_percell(
         F.zip_with(
             F.col("_neighborv"), F.col("_cenv"), lambda x, y: x - y
         ).alias("vec"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # pinned by the codebook pass (r10)
     cb = pq_train_per_cell(resid, m, sub_dim, n_codes)
     codes = pq_encode_per_cell(resid, cb, m, sub_dim)
 

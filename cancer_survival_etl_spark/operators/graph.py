@@ -41,16 +41,18 @@ def connected_components(
     deterministic, content-independent of partitioning, and therefore
     oracle-checkable against a recursive-SQL transitive closure.
     """
-    # materialize the edge list ONCE, before any self-union: every round
+    # detach the edge list ONCE, before any self-union: every round
     # joins sym, so un-checkpointed edges would re-derive the whole
     # upstream pair-generation plan (SimHash, LSH verify, ...) per
     # iteration — and self-unioning a non-leaf plan that also shares
     # lineage with the caller's `nodes` trips Spark's union-constraint
-    # rewrite (NoSuchElementException on an attribute id). A leaf
-    # checkpoint sidesteps both.
+    # rewrite (NoSuchElementException on an attribute id). A LAZY
+    # checkpoint sidesteps both (the plan is a leaf immediately; the
+    # RDD pins on round 1's probe action — r10, guide §1.2/§2.4: the
+    # eager form cost one standalone job per detachment).
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     vertex = sym.select("u")
@@ -59,14 +61,14 @@ def connected_components(
         # nodes plan (joins/filters) unioned against sym re-triggers the
         # constraint-rewrite bug, and the id column is tiny anyway
         vertex = vertex.unionByName(
-            nodes.select(F.col(src).alias("u")).localCheckpoint(eager=True)
+            nodes.select(F.col(src).alias("u")).localCheckpoint(eager=False)
         )
-    # eager checkpoint: truncates lineage so the per-round self-joins
+    # leaf checkpoint: truncates lineage so the per-round self-joins
     # (labels derives from sym) don't trip ambiguous-column analysis,
     # and round N's plan doesn't re-derive rounds 1..N-1.
     labels = (
         vertex.distinct().select("u", F.col("u").alias("component"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     prev_sum = None
     for _ in range(max_iter):
@@ -87,16 +89,38 @@ def connected_components(
             labels.unionByName(offers)
             .groupBy("u")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # convergence probe rides the SAME action that pins `half`
+        # (r10: the eager-checkpoint-then-probe form cost two jobs per
+        # round and re-executed the doubling join once per probe).
+        # Per-node labels only ever decrease round-over-round, and
+        # half(u) = min(labels(u), offers) ≤ labels(u) ≤ previous
+        # half(u), so Σ half is strictly monotone until half — and
+        # therefore labels = double(half) — reaches the fixpoint; an
+        # unchanged total ⇒ unchanged half ⇒ the returned labels are
+        # already the converged min-reachable ids (identical output,
+        # at most one extra round vs probing the doubled frame).
+        # decimal(38) keeps the total exact at any node count.
+        cur_sum = half.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         # pointer doubling: follow one extra hop (component <- its own
         # label). Neighbor propagation alone needs O(diameter) rounds;
         # with the shortcut, label distance-to-root halves each round —
         # O(log diameter), the difference between 25 and 5 shuffles on
         # an adversarial chain. Labels are node ids, so every component
         # value has a row in `half`; the join is a plain equi-join.
-        # (half is a leaf, so this join's lineage stays constant-depth
-        # across rounds — no further checkpoint needed here)
+        # (half is a pinned leaf, so this join's lineage stays
+        # constant-depth across rounds — no further checkpoint needed)
+        if cur_sum == prev_sum:
+            # converged: double(half) == half (doubling a fixpoint is
+            # the identity), so the pinned leaf IS the answer — callers
+            # that consume the result several times read cached blocks
+            # instead of re-running a final self-join each time.
+            labels = half
+            break
+        prev_sum = cur_sum
         labels = (
             half.alias("x")
             .join(
@@ -108,17 +132,6 @@ def connected_components(
             )
             .select("u", F.col("_c2").alias("component"))
         )
-        # convergence probe: per-node labels only ever decrease, so the
-        # label total is strictly monotone until fixpoint — one cheap
-        # aggregate on the just-checkpointed 2-column frame instead of
-        # an old-vs-new join. decimal(38) keeps the total exact at any
-        # node count.
-        cur_sum = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
     return labels.select(F.col("u").alias("node"), "component")
 
 
@@ -277,7 +290,10 @@ def triangle_count(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the single returned aggregate row materializes and pins
+        # the canonical edge list once; all three count branches share
+        # the pinned blocks (r10 — the eager form was one extra job)
+        .localCheckpoint(eager=False)
     )
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -316,12 +332,19 @@ def k_core(
     max_rounds for pathological chains.
 
     Scale shape per round: one explode + hash aggregate for degrees,
-    two semi-joins to filter edges — all keyed shuffles on node id; an
-    eager checkpoint per round keeps lineage constant-depth.
+    two semi-joins to filter edges — all keyed shuffles on node id; a
+    lazy checkpoint per round keeps lineage constant-depth with the
+    survivor-count probe as the only per-round action.
     """
+    # r10 (guide §1.2/§2.4): every checkpoint here is LAZY — each
+    # round's survivor count is the ONE action that materializes and
+    # pins both the previous round's peeled edges and this round's
+    # keep set (the eager form cost two jobs per round and computed
+    # the degree aggregate twice: once for the count, once inside the
+    # eager edge checkpoint).
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_n = None
     for _ in range(int(max_rounds)):
         deg = (
@@ -330,7 +353,11 @@ def k_core(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("node")
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
         cur_n = keep.count()
         if cur_n == prev_n:
             break
@@ -339,7 +366,7 @@ def k_core(
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     deg = (
         e.select(F.col("u").alias("node"))

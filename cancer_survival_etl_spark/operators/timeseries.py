@@ -920,8 +920,16 @@ def rfm_segmentation(
         F.sum(
             F.round(F.col(value_col) * 100, 0).cast("long")
         ).alias("_cents"),
-    )
-    anchor = events.agg(F.max(F.to_date(ts_col)).alias("_day_max"))
+    # lazy-pin the per-user collapse: the anchor branch below and the
+    # main scoring path would otherwise each re-run the events scan +
+    # hash aggregate (r10)
+    ).localCheckpoint(eager=False)
+    # r10: the corpus's last day is derivable from the per-user frame —
+    # max over users of (max ts per user) IS the global max, and
+    # to_date commutes with max — so the anchor aggregates the tiny
+    # per-user frame instead of re-scanning the raw events (one full
+    # data pass removed; identical date).
+    anchor = per.agg(F.max(F.to_date("_last")).alias("_day_max"))
     per = per.crossJoin(F.broadcast(anchor)).withColumn(
         "_rec_days",
         F.datediff(F.col("_day_max"), F.to_date("_last")).cast("long"),

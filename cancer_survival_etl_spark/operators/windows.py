@@ -102,12 +102,18 @@ def global_ntile(
     (rank, total): with n rows and k tiles SQL NTILE gives the first
     ``n % k`` tiles ``ceil(n/k)`` rows and the rest ``floor(n/k)`` —
     reproduced exactly in integer arithmetic below. The total row
-    count joins in as a broadcast one-row aggregate, so the plan stays
-    lazy and adds no data-sized shuffle beyond the range partition.
+    count rides the prefix scan itself (``totals_alias``), so the plan
+    stays lazy, adds no data-sized shuffle beyond the range partition,
+    and never re-derives the upstream plan for a separate COUNT(*).
 
     ``order_cols`` must be a total order (unique tie-breaker last) or
     tile assignment at the edges is nondeterministic."""
     ocols = list(order_cols)
+    # r10 (guide §2.4): the row total rides the SAME prefix scan via
+    # totals_alias — the former separate df.agg(count) + broadcast
+    # crossJoin re-derived the whole upstream plan once per ntile call
+    # (three extra upstream passes in rfm_segmentation alone). Exact
+    # long sum of the count-1 column ≡ COUNT(*), bit-identical.
     ranked = global_prefix_sum(
         df.withColumn("_nt_ord", F.struct(*[F.col(c) for c in ocols]))
         .withColumn("_nt_one", F.lit(1)),
@@ -115,10 +121,10 @@ def global_ntile(
         "_nt_one",
         "_nt_rank0",
         num_partitions=num_partitions,
+        totals_alias="_nt_n",
     )
-    tot = df.agg(F.count(F.lit(1)).alias("_nt_n"))
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked
         .withColumn("_nt_r", F.col("_nt_rank0") + F.lit(1))
         .withColumn("_nt_base", F.expr(f"_nt_n DIV {int(n_tiles)}"))
         .withColumn("_nt_rem", F.expr(f"_nt_n % {int(n_tiles)}"))
@@ -467,7 +473,10 @@ def global_last_carry(
         df.repartitionByRange(n_parts, *[F.col(c) for c in ocols])
         .sortWithinPartitions(*ocols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the one-row-per-partition seed collect below is the
+        # first action and pins the ranged frame (r10 — the eager form
+        # was one standalone job per call)
+        .localCheckpoint(eager=False)
     )
     lasts = ranged.groupBy("_pid").agg(
         *[
