@@ -191,43 +191,23 @@ def rouge_n(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    # r10 (guide §2.3/§2.4): ONE scan of ``pairs``, one explode of the
-    # side-tagged gram union, one map-side-combinable (pair, gram)
-    # aggregate carrying both sides' counts, one (pair) aggregate —
-    # replacing two separate scans of ``pairs`` (each re-deriving its
-    # upstream plan, typically a self-join shuffling the text payload),
-    # two posting groupBys and a full-outer sort-merge join of the two
-    # posting tables. A gram on one side only sums the other side's
-    # tag column to exactly 0, reproducing the full join's
-    # coalesce(_, 0); pairs with no grams on either side emit no rows,
-    # exactly like the former empty-vs-empty full join. Identical
-    # integers, identical row universe.
-    tagged = F.concat(
-        F.transform(
-            grams(cand_col),
-            lambda g: F.struct(
-                g.alias("_g"), F.lit(1).alias("_c"), F.lit(0).alias("_r")
-            ),
-        ),
-        F.transform(
-            grams(ref_col),
-            lambda g: F.struct(
-                g.alias("_g"), F.lit(0).alias("_c"), F.lit(1).alias("_r")
-            ),
-        ),
-    )
+    c = pairs.select(
+        F.col(id_col), F.explode(grams(cand_col)).alias("_g")
+    ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_cc"))
+    r = pairs.select(
+        F.col(id_col), F.explode(grams(ref_col)).alias("_g")
+    ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_rc"))
     per = (
-        pairs.select(F.col(id_col), F.explode(tagged).alias("_t"))
-        .groupBy(id_col, F.col("_t._g").alias("_g"))
-        .agg(
-            F.sum("_t._c").alias("_cc"),
-            F.sum("_t._r").alias("_rc"),
-        )
+        c.join(r, [id_col, "_g"], "full")
         .groupBy(id_col)
         .agg(
-            F.sum(F.least("_cc", "_rc")).alias("n_overlap"),
-            F.sum("_cc").alias("n_cand"),
-            F.sum("_rc").alias("n_ref"),
+            F.sum(
+                F.least(
+                    F.coalesce("_cc", F.lit(0)), F.coalesce("_rc", F.lit(0))
+                )
+            ).alias("n_overlap"),
+            F.sum(F.coalesce("_cc", F.lit(0))).alias("n_cand"),
+            F.sum(F.coalesce("_rc", F.lit(0))).alias("n_ref"),
         )
     )
     p = F.col("n_overlap") / F.col("n_cand")
@@ -284,76 +264,34 @@ def bleu_n(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    # r10 (guide §2.3/§2.4): ONE scan of ``pairs``, one explode of the
-    # (n, side)-tagged gram union — with one marker struct per pair row
-    # carrying the token lengths and the pair universe — one
-    # map-side-combinable (pair, n, gram) aggregate, one (pair)
-    # aggregate. This replaces 2·max_n + 1 separate scans of ``pairs``
-    # (each re-deriving the upstream plan), max_n full-outer posting
-    # joins and max_n left join-backs. A gram present on one side only
-    # sums the other side's tag to exactly 0 (the full join's
-    # coalesce); an n absent for a pair leaves that pair's _ov/_tot
-    # NULL via the sum-over-nothing (the left join's NULL) — identical
-    # integers, identical row universe, identical NULL pattern.
-    cand_len = F.size(F.split(F.trim(F.col(cand_col)), r"\s+"))
-    ref_len = F.size(F.split(F.trim(F.col(ref_col)), r"\s+"))
-    marker = F.array(
-        F.struct(
-            F.lit(0).alias("_n"),
-            F.lit("").alias("_g"),
-            cand_len.alias("_c"),
-            ref_len.alias("_r"),
-        )
+    lens = pairs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(cand_col)), r"\s+")).alias("cand_len"),
+        F.size(F.split(F.trim(F.col(ref_col)), r"\s+")).alias("ref_len"),
     )
-    def tag(arr, nval, cflag, rflag):
-        # NB: a single-parameter lambda — F.transform feeds a second
-        # lambda parameter the ARRAY INDEX, so the usual `n=n` default-
-        # arg binding must not be used here
-        return F.transform(
-            arr,
-            lambda g: F.struct(
-                F.lit(nval).alias("_n"),
-                g.alias("_g"),
-                F.lit(cflag).alias("_c"),
-                F.lit(rflag).alias("_r"),
-            ),
-        )
-
-    sides = [marker]
-    for n in range(1, max_n + 1):
-        sides.append(tag(grams(cand_col, n), n, 1, 0))
-        sides.append(tag(grams(ref_col, n), n, 0, 1))
-    cells = (
-        pairs.select(F.col(id_col), F.explode(F.concat(*sides)).alias("_t"))
-        .groupBy(
-            id_col,
-            F.col("_t._n").alias("_n"),
-            F.col("_t._g").alias("_g"),
-        )
-        .agg(F.sum("_t._c").alias("_cc"), F.sum("_t._r").alias("_rc"))
-    )
-    # cast the marker sums back to int: the published cand_len/ref_len
-    # were int (F.size) and the cells-level SUM widened them to long
-    aggs = [
-        F.max(F.when(F.col("_n") == 0, F.col("_cc")))
-        .cast("int")
-        .alias("cand_len"),
-        F.max(F.when(F.col("_n") == 0, F.col("_rc")))
-        .cast("int")
-        .alias("ref_len"),
-    ]
-    for n in range(1, max_n + 1):
-        aggs.append(
-            F.sum(
-                F.when(F.col("_n") == n, F.least("_cc", "_rc"))
-            ).alias(f"_ov{n}")
-        )
-        aggs.append(
-            F.sum(F.when(F.col("_n") == n, F.col("_cc"))).alias(f"_tot{n}")
-        )
-    out = cells.groupBy(id_col).agg(*aggs)
+    out = lens
     pcols = []
     for n in range(1, max_n + 1):
+        c = pairs.select(
+            F.col(id_col), F.explode(grams(cand_col, n)).alias("_g")
+        ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_cc"))
+        r = pairs.select(
+            F.col(id_col), F.explode(grams(ref_col, n)).alias("_g")
+        ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_rc"))
+        per = (
+            c.join(r, [id_col, "_g"], "full")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.least(
+                        F.coalesce("_cc", F.lit(0)),
+                        F.coalesce("_rc", F.lit(0)),
+                    )
+                ).alias(f"_ov{n}"),
+                F.sum(F.coalesce("_cc", F.lit(0))).alias(f"_tot{n}"),
+            )
+        )
+        out = out.join(per, id_col, "left")
         pcols.append(
             F.when(
                 F.coalesce(F.col(f"_tot{n}"), F.lit(0)) > 0,

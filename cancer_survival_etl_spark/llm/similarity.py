@@ -35,52 +35,6 @@ def _norm(a: Column) -> Column:
     )
 
 
-def _centroid_topk(vec: Column, cen_rows, keep: int) -> Column:
-    """Top-``keep`` centroids for one vector, as an array of
-    (cosine, −centroid_id, centroid_vector) structs, best first —
-    the r10 shuffle-free replacement for the broadcast-crossJoin +
-    ``Window.partitionBy(id)`` argmax (guide §2.4): the centroid
-    table is bounded by contract (it always broadcast before), so it
-    lands in the plan as literals and the per-row ranking becomes a
-    pure projection — array_sort ascending on (cos, −id) then
-    reverse ⇒ (cos DESC, centroid_id ASC) with Spark's NaN-greatest
-    double ordering, exactly the row order the window produced. The
-    cosine expression is unchanged term-for-term (same `_dot`/`_norm`
-    folds, literal array in place of the joined column), so every
-    rounded score is bit-identical.
-
-    ``cen_rows`` is the collected centroid table (Rows with
-    ``centroid_id`` and ``_cenv``).
-    """
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _dot(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in r["_cenv"]]),
-                    )
-                    / (
-                        _norm(vec)
-                        * _norm(
-                            F.array(
-                                *[F.lit(float(x)) for x in r["_cenv"]]
-                            )
-                        )
-                    ),
-                    6,
-                ).alias("_c"),
-                F.lit(-int(r["centroid_id"])).cast("long").alias("_ncid"),
-                F.array(*[F.lit(float(x)) for x in r["_cenv"]]).alias(
-                    "_cv"
-                ),
-            )
-            for r in cen_rows
-        ]
-    )
-    return F.slice(F.reverse(F.array_sort(scored)), 1, keep)
-
-
 def normalize_embeddings(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -238,34 +192,25 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("_cenv"),
         )
 
-    # r10: the centroid table collects once (bounded by contract — it
-    # always broadcast before) and both assignments become shuffle-free
-    # projections via ``_centroid_topk`` — the corpus side used to
-    # fan out n_centroids× and pay a hash exchange + sort in the
-    # row_number window.
-    cen_rows = sorted(
-        centroids.collect(), key=lambda r: int(r["centroid_id"])
-    )
-
     def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
         """Rank ``df``'s vectors against all centroids, keep the top
         ``keep`` cells per vector."""
-        top = _centroid_topk(F.col(f"_{prefix}v"), cen_rows, keep)
+        scored = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
+        ).join(F.broadcast(centroids), how="cross")
+        cos = F.round(
+            _dot(F.col(f"_{prefix}v"), F.col("_cenv"))
+            / (_norm(F.col(f"_{prefix}v")) * _norm(F.col("_cenv"))),
+            6,
+        )
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            cos.desc(), F.col("centroid_id")
+        )
         return (
-            df.select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
-            )
-            .select(
-                f"{prefix}_id",
-                f"_{prefix}v",
-                F.explode(top).alias("_s"),
-            )
-            .select(
-                f"{prefix}_id",
-                f"_{prefix}v",
-                (-F.col("_s._ncid")).alias("centroid_id"),
-            )
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= keep)
+            .select(f"{prefix}_id", f"_{prefix}v", "centroid_id")
         )
 
     cells = assign(fan_out(corpus), "neighbor", 1)
@@ -870,19 +815,19 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    # r10: shuffle-free argmax projection (see _centroid_topk) — the
-    # former broadcast crossJoin + row_number window hash-exchanged and
-    # sorted the n_centroids×-fanned-out vector payload before the
-    # partitioned write.
-    cen_rows = sorted(cen.collect(), key=lambda r: int(r["centroid_id"]))
-    assigned = vecs.select(
-        "vec_id",
-        "vec",
-        (
-            -F.element_at(
-                _centroid_topk(F.col("vec"), cen_rows, 1), 1
-            ).getField("_ncid")
-        ).alias("cell"),
+    cos = F.round(
+        _dot(F.col("vec"), F.col("_cenv"))
+        / (_norm(F.col("vec")) * _norm(F.col("_cenv"))),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        cos.desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vecs.join(F.broadcast(cen), how="cross")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "vec", F.col("centroid_id").alias("cell"))
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/vectors"
@@ -1696,30 +1641,27 @@ def ivfpq_topk_percell(
         F.col(vec_col).cast("array<double>").alias("_cenv"),
     )
 
-    # r10: shuffle-free argmax projection (see _centroid_topk) — the
-    # winning centroid's VECTOR rides the struct so the residual step
-    # needs no join-back.
-    cen_rows = sorted(
-        centroids.collect(), key=lambda r: int(r["centroid_id"])
-    )
-
     def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
-        top = _centroid_topk(F.col(f"_{prefix}v"), cen_rows, keep)
+        scored = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
+        ).join(F.broadcast(centroids), how="cross")
+        cos = F.round(
+            _dot(F.col(f"_{prefix}v"), F.col("_cenv"))
+            / (_norm(F.col(f"_{prefix}v")) * _norm(F.col("_cenv"))),
+            6,
+        )
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            cos.desc(), F.col("centroid_id")
+        )
         return (
-            df.select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.col(vec_col).cast("array<double>").alias(f"_{prefix}v"),
-            )
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= keep)
             .select(
                 f"{prefix}_id",
                 f"_{prefix}v",
-                F.explode(top).alias("_s"),
-            )
-            .select(
-                f"{prefix}_id",
-                f"_{prefix}v",
-                (-F.col("_s._ncid")).alias("cell"),
-                F.col("_s._cv").alias("_cenv"),
+                F.col("centroid_id").alias("cell"),
+                F.col("_cenv"),
             )
         )
 
