@@ -1,0 +1,63 @@
+"""Driver-solve fast path for the iterative-fit family (r10).
+
+The engine's fits (Cox/Fine-Gray/AFT/GLM Newton, EM, Fisher scoring)
+are sufficient-statistics algorithms: after subjects collapse to
+(x-pattern, duration, event)-style cells with counts, every iteration
+is a deterministic fold over the cell frame. Round-10 probe data
+(tools/probe_r10_opt.py) shows the per-iteration distributed fold is
+dominated by FIXED per-job cost at any realistic cell count — ~0.14 s
+on a 48-cell frame and ~1.4 s for the prefix-sum shape — so an
+8-iteration fit pays 1–15 s of pure scheduling/planning latency for
+microseconds of arithmetic.
+
+This module gives each fit a bounded-collect escape hatch: when the
+cell collapse is small (``max_cells``, the absorbing_chain bounded-
+collect pattern), the cells are collected ONCE and the whole loop runs
+on the driver in numpy on the IDENTICAL nano/pico lattice — the same
+pure-Python twin semantics the pytest suite already pins bit-equal to
+the distributed folds (tests/test_survival.py::_weibull_twin et al.).
+Per-cell terms are rounded to exact int64 lattice points before
+summation, so the driver solve is bit-identical to the distributed one
+and trivially partitioning-invariant. When the collapse exceeds
+``max_cells`` (continuous covariates at production scale), callers
+fall back to the unchanged distributed loop — the only cost is the one
+probe pass.
+
+Scale posture (SCALE.md round 10): the ONE data-sized pass is the
+map-side-combined cell collapse; the collect is bounded by
+``max_cells`` (default 2^18 rows ≈ tens of MB at typical widths, far
+under spark.driver.maxResultSize), exactly the discipline the
+absorbing_chain / level-discovery collects already follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^18: covers every registry cohort whose duration axis is rounded to
+# publication precision while bounding the driver transfer to tens of
+# MB; continuous-time cohorts beyond it use the distributed loop.
+MAX_DRIVER_CELLS = 262144
+
+
+def collect_cells(
+    df: DataFrame,
+    key_cols,
+    max_cells: int = MAX_DRIVER_CELLS,
+    weight_alias: str = "_w",
+):
+    """Collapse ``df`` to (key..., count) cells and collect them when
+    bounded. ONE map-side-combined aggregate + ONE bounded collect
+    (``limit(max_cells + 1)`` guards the transfer — the
+    absorbing_chain pattern). Returns a pandas DataFrame or ``None``
+    when the collapse exceeds ``max_cells`` (caller falls back to the
+    distributed loop). ``max_cells <= 0`` disables the fast path
+    outright (used by tests to pin both paths equal)."""
+    if max_cells <= 0:
+        return None
+    cells = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias(weight_alias))
+    pdf = cells.limit(max_cells + 1).toPandas()
+    if len(pdf) > max_cells:
+        return None
+    return pdf

@@ -2345,17 +2345,36 @@ def _fit_cells(df: DataFrame, cols, max_cells: int = 65536):
     waste is the one probe pass, and iterations behave exactly as
     before.
 
-    Returns ``(src, w)`` — the frame to aggregate over and the weight
-    column to multiply each rounded-long term by."""
+    Returns ``(src, w, pdf)`` — the frame to aggregate over, the
+    weight column to multiply each rounded-long term by, and (r10
+    driver-solve fast path, driverfit.py) the COLLECTED cells as a
+    pandas frame when the collapse is bounded and fully finite, else
+    ``None``. When ``pdf`` is not None the GLM cores run their whole
+    Fisher loop on the driver over it — zero per-iteration Spark jobs,
+    bit-identical by the same Σ_cells identity (the numpy twin
+    transliterated from the fold, pinned in tests)."""
     proj = df.select(*cols)
     cells = (
         proj.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("_w"))
         .localCheckpoint(eager=False)
     )
-    if cells.limit(max_cells + 1).count() > max_cells:
-        return proj, F.lit(1).cast("long")
-    return cells, F.col("_w")
+    pdf = cells.limit(max_cells + 1).toPandas()
+    if len(pdf) > max_cells:
+        return proj, F.lit(1).cast("long"), None
+    import numpy as np
+
+    for c in cols:
+        vals = pdf[c]
+        if vals.isnull().any():
+            pdf = None
+            break
+        if vals.dtype.kind == "f" and not np.isfinite(
+            vals.to_numpy()
+        ).all():
+            pdf = None
+            break
+    return cells, F.col("_w"), pdf
 
 
 def glm_poisson(
@@ -2414,7 +2433,52 @@ def glm_poisson(
                 )
             ),
         )
-    src, w = _srcw
+    src, w, pdfc = _srcw
+
+    # r10 driver-solve fast path (driverfit.py): bounded collected
+    # cells -> the whole Fisher loop runs on the driver, numpy twin
+    # transliterated term-for-term from the fold below (same float op
+    # order, same nano roundings, exact int64 sums) — bit-identical,
+    # pinned in tests.
+    if pdfc is not None:
+        wn = pdfc["_w"].to_numpy().astype(np.int64)
+        yn = pdfc[y_col].to_numpy().astype(np.float64)
+        offn = (
+            pdfc[offset_col].to_numpy().astype(np.float64)
+            if offset_col
+            else 0.0
+        )
+        xn = [1.0] + [
+            pdfc[c].to_numpy().astype(np.float64) for c in feats
+        ]
+        for _ in range(iters):
+            eta = offn + beta[0]
+            for j in range(p):
+                eta = eta + beta[j + 1] * xn[j + 1]
+            mu = np.exp(eta)
+            g = np.zeros(p + 1)
+            info = np.zeros((p + 1, p + 1))
+            for j in range(p + 1):
+                g[j] = (
+                    np.rint((yn - mu) * xn[j] * 1e9).astype(np.int64)
+                    * wn
+                ).sum() / 1e9
+            for j in range(p + 1):
+                for k in range(j, p + 1):
+                    info[j, k] = info[k, j] = (
+                        np.rint(mu * xn[j] * xn[k] * 1e9).astype(
+                            np.int64
+                        )
+                        * wn
+                    ).sum() / 1e9
+            step = np.linalg.solve(info, g)
+            beta = [round(b + s, 9) for b, s in zip(beta, step)]
+        if return_se:
+            cov = np.linalg.inv(info)
+            return beta, [
+                round(float(np.sqrt(cov[j, j])), 9) for j in range(p + 1)
+            ]
+        return beta
 
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
     for _ in range(iters):
@@ -2488,7 +2552,45 @@ def glm_logistic(
     # r10: weighted-cell collapse (see _fit_cells / glm_poisson)
     if _srcw is None:
         _srcw = _fit_cells(df, list(dict.fromkeys(feats + [y_col])))
-    src, w = _srcw
+    src, w, pdfc = _srcw
+
+    # r10 driver-solve fast path — the glm_poisson pattern on the
+    # IRLS terms (bit-identical numpy twin of the fold below)
+    if pdfc is not None:
+        wn = pdfc["_w"].to_numpy().astype(np.int64)
+        yn = pdfc[y_col].to_numpy().astype(np.float64)
+        xn = [1.0] + [
+            pdfc[c].to_numpy().astype(np.float64) for c in feats
+        ]
+        for _ in range(iters):
+            eta = np.zeros(len(wn)) + beta[0]
+            for j in range(p):
+                eta = eta + beta[j + 1] * xn[j + 1]
+            prob = 1.0 / (1.0 + np.exp(-eta))
+            wgt = prob * (1.0 - prob)
+            g = np.zeros(p + 1)
+            info = np.zeros((p + 1, p + 1))
+            for j in range(p + 1):
+                g[j] = (
+                    np.rint((yn - prob) * xn[j] * 1e9).astype(np.int64)
+                    * wn
+                ).sum() / 1e9
+            for j in range(p + 1):
+                for k in range(j, p + 1):
+                    info[j, k] = info[k, j] = (
+                        np.rint(wgt * xn[j] * xn[k] * 1e9).astype(
+                            np.int64
+                        )
+                        * wn
+                    ).sum() / 1e9
+            step = np.linalg.solve(info, g)
+            beta = [round(b + s, 9) for b, s in zip(beta, step)]
+        if return_se:
+            cov = np.linalg.inv(info)
+            return beta, [
+                round(float(np.sqrt(cov[j, j])), 9) for j in range(p + 1)
+            ]
+        return beta
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
     for _ in range(iters):
         eta = F.lit(beta[0])
@@ -2807,7 +2909,7 @@ def glm_poisson_robust_se(
             )
         ),
     )
-    src, w = srcw
+    src, w, _pdfc = srcw
     beta = glm_poisson(
         df, feature_cols, y_col, offset_col=offset_col, iters=iters,
         _srcw=srcw,
@@ -2890,7 +2992,7 @@ def glm_negative_binomial(
     # r10: one weighted-cell collapse shared by the Poisson start, the
     # moment pass and every NB scoring iteration (bit-exact — see
     # _fit_cells)
-    src, w = _fit_cells(
+    src, w, _pdfc = _fit_cells(
         df,
         list(
             dict.fromkeys(
@@ -2902,7 +3004,7 @@ def glm_negative_binomial(
     if theta is None:
         b0 = glm_poisson(
             df, feats, y_col, offset_col=offset_col, iters=iters,
-            _srcw=(src, w),
+            _srcw=(src, w, _pdfc),
         )
         eta0 = off + F.lit(b0[0])
         for j, c in enumerate(feats):
@@ -3463,7 +3565,7 @@ def glm_logistic_firth(
     y = F.col(y_col).cast("double")
     # r10: weighted-cell collapse shared by both per-iteration passes
     # (bit-exact — see _fit_cells)
-    src, w = _fit_cells(df, list(dict.fromkeys(feats + [y_col])))
+    src, w, _pdfc = _fit_cells(df, list(dict.fromkeys(feats + [y_col])))
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
     inv = None
     for _ in range(iters):
@@ -3646,7 +3748,7 @@ def gee_logistic_exchangeable(
     # so the per-iteration cluster collapse aggregates the tiny
     # pinned cell frame instead of re-scanning the cohort (bit-exact
     # — see _fit_cells; m and n_tot become exact Σ_w)
-    src, cw = _fit_cells(
+    src, cw, _pdfc = _fit_cells(
         df, list(dict.fromkeys([cluster_col] + feats + [y_col]))
     )
     n_tot = src.agg(F.sum(cw)).collect()[0][0]
@@ -4092,7 +4194,7 @@ def tmle_ate(
     srcw = _fit_cells(
         df, list(dict.fromkeys([treat_col] + feats + [y_col]))
     )
-    src, cw = srcw
+    src, cw, _pdfc = srcw
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_q = pool.submit(
             glm_logistic, df, [treat_col] + feats, y_col,

@@ -38,6 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .driverfit import MAX_DRIVER_CELLS, collect_cells
 from .windows import global_prefix_sum, grouped_prefix_sum
 
 
@@ -2253,6 +2254,163 @@ def flexible_excess_hazard_fit(
     return [float(t) for t in theta[:-1]], float(theta[-1])
 
 
+def _cox_cell_arrays(cells, p, n_strat):
+    """Sort collected (strata..., x-pattern, duration, event, _w)
+    cells into the (stratum, duration) total order the risk-set scans
+    need and precompute the group/stratum segmentation. Shared by the
+    cox/Fine-Gray driver twins."""
+    import numpy as np
+
+    w = cells["_w"].to_numpy().astype(np.int64)
+    d = cells["_d"].to_numpy().astype(np.int64)
+    t = cells["_t"].to_numpy().astype(np.float64)
+    xs = [
+        cells[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
+    ]
+    if n_strat:
+        scode = (
+            cells.groupby(
+                [f"_g{i}" for i in range(n_strat)],
+                sort=True,
+                dropna=False,
+            )
+            .ngroup()
+            .to_numpy()
+        )
+    else:
+        scode = np.zeros(len(cells), dtype=np.int64)
+    order = np.lexsort((t, scode))
+    w, d, t, scode = w[order], d[order], t[order], scode[order]
+    xs = [x[order] for x in xs]
+    new_g = np.ones(len(t), dtype=bool)
+    if len(t) > 1:
+        new_g[1:] = (t[1:] != t[:-1]) | (scode[1:] != scode[:-1])
+    gstarts = np.flatnonzero(new_g)
+    g_s = scode[gstarts]
+    new_s = np.ones(len(gstarts), dtype=bool)
+    if len(gstarts) > 1:
+        new_s[1:] = g_s[1:] != g_s[:-1]
+    sstarts = np.flatnonzero(new_s)
+    seg_len = np.diff(np.append(sstarts, len(gstarts)))
+
+    def by_group(v):
+        # exact int64 per-(stratum, duration) sums
+        return np.add.reduceat(v, gstarts)
+
+    def suffix(gv):
+        # per-stratum total − exclusive prefix, exact int64 — the
+        # grouped_prefix_sum twin
+        pre = np.cumsum(gv)
+        pre = np.concatenate(([np.int64(0)], pre[:-1]))
+        pre = pre - np.repeat(pre[sstarts], seg_len)
+        tot = np.repeat(np.add.reduceat(gv, sstarts), seg_len)
+        return tot - pre
+
+    return w, d, t, xs, gstarts, by_group, suffix
+
+
+def _cox_driver_fit(cells, p, n_strat, iters, ties):
+    """numpy twin of the ``cox_ph`` Newton loop over collected cells —
+    transliterated term-for-term from the distributed fold (same
+    literal-β fold order, same per-subject nano roundings scaled by
+    the cell count, same exact long-lattice sums, same float op
+    order in the gradient/information terms), so β̂ and the
+    information matrix are bit-identical to the distributed loop
+    (pinned in tests/test_survival.py). Returns (beta, info)."""
+    import numpy as np
+
+    w, d, t, xs, gstarts, by_group, suffix = _cox_cell_arrays(
+        cells, p, n_strat
+    )
+    nano = 1e9
+    beta = [0.0] * p
+    info = None
+    for _ in range(iters):
+        xb = np.zeros(len(t))
+        for j in range(p):
+            xb = xb + beta[j] * xs[j]
+        r = np.exp(xb)
+        a0 = np.rint(r * nano).astype(np.int64) * w
+        a1 = [
+            np.rint(r * xs[j] * nano).astype(np.int64) * w
+            for j in range(p)
+        ]
+        a2 = {
+            (j, k): np.rint(r * xs[j] * xs[k] * nano).astype(np.int64)
+            * w
+            for j in range(p)
+            for k in range(j, p)
+        }
+        s_ = [
+            d * np.rint(xs[j] * nano).astype(np.int64) * w
+            for j in range(p)
+        ]
+        d_g = by_group(d * w)
+        s_g = [by_group(v).astype(np.float64) for v in s_]
+        s0 = suffix(by_group(a0)).astype(np.float64)
+        s1 = [suffix(by_group(v)).astype(np.float64) for v in a1]
+        s2 = {
+            jk: suffix(by_group(v)).astype(np.float64)
+            for jk, v in a2.items()
+        }
+        ev = d_g > 0
+        gsum = np.zeros(p)
+        isum = np.zeros((p, p))
+        if ties == "efron":
+            e0 = by_group(d * a0).astype(np.float64)
+            e1 = [by_group(d * v).astype(np.float64) for v in a1]
+            e2 = {
+                jk: by_group(d * v).astype(np.float64)
+                for jk, v in a2.items()
+            }
+            idx = np.flatnonzero(ev)
+            reps = d_g[idx]
+            rowg = np.repeat(idx, reps)
+            el = np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in reps]
+            ) if len(reps) else np.zeros(0, dtype=np.int64)
+            dt = d_g[rowg].astype(np.float64)
+            frac = el.astype(np.float64) / dt
+            s0l = s0[rowg] - frac * e0[rowg]
+            shr1 = [s1[j][rowg] - frac * e1[j][rowg] for j in range(p)]
+            for j in range(p):
+                term = s_g[j][rowg] / nano / dt - shr1[j] / s0l
+                gsum[j] = (
+                    np.rint(term * nano).astype(np.int64).sum() / 1e9
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    s2l = s2[(j, k)][rowg] - frac * e2[(j, k)][rowg]
+                    term = s2l / s0l - (shr1[j] / s0l) * (
+                        shr1[k] / s0l
+                    )
+                    isum[j, k] = isum[k, j] = (
+                        np.rint(term * nano).astype(np.int64).sum()
+                        / 1e9
+                    )
+        else:
+            dt = d_g.astype(np.float64)
+            for j in range(p):
+                term = s_g[j] / nano - dt * (s1[j] / s0)
+                gsum[j] = (
+                    np.rint(term[ev] * nano).astype(np.int64).sum()
+                    / 1e9
+                )
+            for j in range(p):
+                for k in range(j, p):
+                    term = dt * (
+                        s2[(j, k)] / s0 - (s1[j] / s0) * (s1[k] / s0)
+                    )
+                    isum[j, k] = isum[k, j] = (
+                        np.rint(term[ev] * nano).astype(np.int64).sum()
+                        / 1e9
+                    )
+        info = isum
+        step = np.linalg.solve(info, gsum)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    return beta, info
+
+
 def cox_ph(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -2262,6 +2420,7 @@ def cox_ph(
     ties: str = "breslow",
     strata_cols: Sequence[str] | None = None,
     return_se: bool = False,
+    max_driver_cells: int = MAX_DRIVER_CELLS,
 ):
     """Distributed Cox proportional-hazards regression, Newton-Raphson
     on the partial likelihood. Returns [β_1, ..., β_p].
@@ -2329,15 +2488,45 @@ def cox_ph(
     beta = [0.0] * p
     nano = F.lit(1000000000.0)
 
-    # r10: pin the NARROW projection once — every Newton iteration
-    # re-derives the upstream plan otherwise (8 iterations × the cell
-    # pass = 8 full upstream recomputes; guide §5 caching rule). Lazy:
-    # the first iteration's job materializes it.
     _strata = list(strata_cols) if strata_cols else []
     _needed = list(
         dict.fromkeys(_strata + feats + [duration_col, event_col])
     )
-    df = df.select(*_needed).localCheckpoint(eager=False)
+    df = df.select(*_needed)
+
+    # r10 driver-solve fast path (driverfit.py): subjects collapse to
+    # (strata, x-pattern, duration, event) cells; when the collapse is
+    # bounded the whole Newton loop runs on the driver over the
+    # collected cells — zero per-iteration Spark jobs. Bit-identical
+    # to the distributed loop below (pinned in tests).
+    if max_driver_cells > 0:
+        proj = df.select(
+            *[F.col(c).alias(f"_g{i}") for i, c in enumerate(_strata)],
+            *[
+                F.col(c).cast("double").alias(f"_x{j}")
+                for j, c in enumerate(feats)
+            ],
+            F.col(duration_col).cast("double").alias("_t"),
+            F.col(event_col).cast("long").alias("_d"),
+        )
+        pdf = collect_cells(proj, list(proj.columns), max_driver_cells)
+        if pdf is not None:
+            beta, info = _cox_driver_fit(
+                pdf, p, len(_strata), iters, ties
+            )
+            if return_se:
+                cov = np.linalg.inv(info)
+                se = [
+                    round(float(np.sqrt(cov[j, j])), 9)
+                    for j in range(p)
+                ]
+                return beta, se
+            return beta
+
+    # distributed fallback: pin the NARROW projection once — every
+    # Newton iteration re-derives the upstream plan otherwise (guide §5
+    # caching rule). Lazy: the first iteration's job materializes it.
+    df = df.localCheckpoint(eager=False)
 
     for _ in range(iters):
         xb = F.lit(0.0)
@@ -9072,6 +9261,65 @@ def population_attributable_fraction(
     )
 
 
+def _aft_collect(cells, p, max_cells: int = MAX_DRIVER_CELLS):
+    """Bounded collect of an AFT (x-pattern, ln t, event, _n) cell
+    frame for the driver-solve fast path — ``None`` (fall back to the
+    distributed loop) when the collapse exceeds ``max_cells`` or any
+    key is null/non-finite (whose lattice semantics the numpy twin
+    does not reproduce)."""
+    import numpy as np
+
+    pdf = cells.limit(max_cells + 1).toPandas()
+    if len(pdf) > max_cells:
+        return None
+    for c in [f"_x{j}" for j in range(p)] + ["_y"]:
+        v = pdf[c]
+        if v.isnull().any() or not np.isfinite(
+            v.to_numpy(dtype=np.float64)
+        ).all():
+            return None
+    return pdf
+
+
+def _aft_driver_fit(cells, p, iters, terms):
+    """Shared driver-side Newton loop for the AFT family over
+    collected cells — numpy twin transliterated term-for-term from
+    the distributed folds in ``weibull_aft``/``loglogistic_aft``
+    (same per-cell expr·n·1e9 roundings, exact int64 sums, same ±1
+    step cap), bit-identical (pinned in tests). ``terms(z, dlt, xs,
+    sigma, tsum, q)`` fills (g, hess) for one iteration."""
+    import numpy as np
+
+    w = cells["_n"].to_numpy().astype(np.float64)
+    yv = cells["_y"].to_numpy().astype(np.float64)
+    dlt = cells["_d"].to_numpy().astype(np.float64)
+    xs = [1.0] + [
+        cells[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
+    ]
+    q = p + 2
+    sy = np.rint(yv * w * 1e9).astype(np.int64).sum()
+    nn = int(cells["_n"].to_numpy().astype(np.int64).sum())
+    theta = [round(sy / 1e9 / nn, 9)] + [0.0] * p + [0.0]
+
+    def tsum(expr):
+        return np.rint(expr * w * 1e9).astype(np.int64).sum() / 1e9
+
+    info = None
+    for _ in range(iters):
+        sigma = float(np.exp(theta[-1]))
+        eta = np.zeros(len(yv)) + theta[0]
+        for j in range(p):
+            eta = eta + theta[j + 1] * xs[j + 1]
+        z = (yv - eta) / sigma
+        g, hess = terms(z, dlt, xs, sigma, tsum, q)
+        info = -hess
+        step = np.clip(np.linalg.solve(info, g), -1.0, 1.0)
+        theta = [round(t + s, 9) for t, s in zip(theta, step)]
+    beta = theta[:-1]
+    sigma = round(float(np.exp(theta[-1])), 9)
+    return beta, sigma, info
+
+
 def weibull_aft(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -9145,6 +9393,38 @@ def weibull_aft(
         F.col(event_col).cast("long").alias("_d"),
     ).agg(F.count(F.lit(1)).alias("_n"))
     cells = cells.localCheckpoint(eager=False)
+
+    # r10 driver-solve fast path (driverfit.py): bounded cells — the
+    # whole Newton loop runs on the driver; numpy twin of the fold
+    # below, bit-identical (pinned in tests).
+    _pdfc = _aft_collect(cells, p)
+    if _pdfc is not None:
+
+        def _terms(z, dlt, xs, sigma, tsum, q):
+            wv = np.exp(np.minimum(z, 15.0))
+            g = np.zeros(q)
+            hess = np.zeros((q, q))
+            for j in range(p + 1):
+                g[j] = tsum((wv - dlt) * xs[j] / sigma)
+            g[q - 1] = tsum((wv - dlt) * z - dlt)
+            for j in range(p + 1):
+                for k in range(j, p + 1):
+                    hess[j, k] = hess[k, j] = tsum(
+                        -wv * xs[j] * xs[k] / (sigma * sigma)
+                    )
+            for j in range(p + 1):
+                hess[j, q - 1] = hess[q - 1, j] = tsum(
+                    -xs[j] * (wv * z + wv - dlt) / sigma
+                )
+            hess[q - 1, q - 1] = tsum(-wv * z * z - (wv - dlt) * z)
+            return g, hess
+
+        beta, sigma, info = _aft_driver_fit(_pdfc, p, iters, _terms)
+        if return_se:
+            cov = np.linalg.inv(info)
+            se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(q)]
+            return beta, sigma, se
+        return beta, sigma
 
     nf = F.col("_n").cast("double")
     r0 = cells.agg(
@@ -9512,6 +9792,40 @@ def loglogistic_aft(
         F.col(event_col).cast("long").alias("_d"),
     ).agg(F.count(F.lit(1)).alias("_n"))
     cells = cells.localCheckpoint(eager=False)
+
+    # r10 driver-solve fast path (driverfit.py; the weibull_aft
+    # pattern): bit-identical numpy twin of the fold below.
+    _pdfc = _aft_collect(cells, p)
+    if _pdfc is not None:
+
+        def _terms(z, dlt, xs, sigma, tsum, q):
+            zc = np.minimum(np.maximum(z, -30.0), 30.0)
+            s = 1.0 / (1.0 + np.exp(-zc))
+            gz = dlt - s * (1.0 + dlt)
+            gzp = -s * (1.0 - s) * (1.0 + dlt)
+            g = np.zeros(q)
+            hess = np.zeros((q, q))
+            for j in range(p + 1):
+                g[j] = tsum(-gz * xs[j] / sigma)
+            g[q - 1] = tsum(-z * gz - dlt)
+            for j in range(p + 1):
+                for k in range(j, p + 1):
+                    hess[j, k] = hess[k, j] = tsum(
+                        gzp * xs[j] * xs[k] / (sigma * sigma)
+                    )
+            for j in range(p + 1):
+                hess[j, q - 1] = hess[q - 1, j] = tsum(
+                    xs[j] * (z * gzp + gz) / sigma
+                )
+            hess[q - 1, q - 1] = tsum(z * z * gzp + z * gz)
+            return g, hess
+
+        beta, sigma, info = _aft_driver_fit(_pdfc, p, iters, _terms)
+        if return_se:
+            cov = np.linalg.inv(info)
+            se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(q)]
+            return beta, sigma, se
+        return beta, sigma
 
     nf = F.col("_n").cast("double")
     r0 = cells.agg(

@@ -1,0 +1,119 @@
+"""Driver-solve fast path (r10, operators/driverfit.py): the bounded-
+cell driver Newton loops must be BIT-IDENTICAL to the distributed
+folds they replace — same nano-lattice roundings, same exact long
+sums, same float op order. Each test runs the same fit through both
+paths (the distributed one forced by disabling the bounded collect)
+and asserts exact equality of every returned number."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import cancer_survival_etl_spark.operators.stats as st
+import cancer_survival_etl_spark.operators.survival as sv
+
+
+def _cox_cohort(spark):
+    # ties (1-dp durations), two features, a 3-level stratifier
+    return spark.range(6000).select(
+        ((F.col("id") % 7) / 7.0).alias("x1"),
+        ((F.col("id") * 3 % 5) / 5.0).alias("x2"),
+        (F.col("id") % 3).cast("string").alias("st"),
+        F.greatest(
+            F.round(
+                -F.log((F.col("id") % 997 + 1) / 998.0)
+                / F.exp(
+                    0.8 * ((F.col("id") % 7) / 7.0)
+                    - 0.4 * ((F.col("id") * 3 % 5) / 5.0)
+                ),
+                1,
+            ),
+            F.lit(0.1),
+        ).alias("duration"),
+        (F.col("id") % 4 > 0).cast("int").alias("event"),
+    )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"ties": "breslow"},
+        {"ties": "efron"},
+        {"ties": "breslow", "strata_cols": ["st"]},
+        {"ties": "efron", "strata_cols": ["st"]},
+    ],
+)
+def test_cox_driver_path_bit_equal(spark, kw):
+    d = _cox_cohort(spark)
+    fast = sv.cox_ph(
+        d, ["x1", "x2"], iters=4, return_se=True, **kw
+    )
+    slow = sv.cox_ph(
+        d,
+        ["x1", "x2"],
+        iters=4,
+        return_se=True,
+        max_driver_cells=0,
+        **kw,
+    )
+    assert fast == slow
+
+
+def test_glm_driver_paths_bit_equal(spark, monkeypatch):
+    d = spark.range(8000).select(
+        ((F.col("id") % 8) / 8.0).alias("x"),
+        F.greatest(
+            F.round(F.exp(1.0 + 0.5 * ((F.col("id") % 8) / 8.0)), 0)
+            + (F.col("id") % 3 - 1),
+            F.lit(0.0),
+        ).alias("y"),
+        F.log((F.col("id") % 7 + 1) / 3.0).alias("lny"),
+        (F.col("id") % 5 < 2).cast("int").alias("yb"),
+    )
+    fast_p = st.glm_poisson(d, ["x"], "y", iters=5, return_se=True)
+    fast_o = st.glm_poisson(d, ["x"], "y", offset_col="lny", iters=5)
+    fast_l = st.glm_logistic(d, ["x"], "yb", iters=5, return_se=True)
+
+    orig = st._fit_cells
+    monkeypatch.setattr(
+        st,
+        "_fit_cells",
+        lambda df, cols, max_cells=65536: orig(df, cols)[:2] + (None,),
+    )
+    assert st.glm_poisson(d, ["x"], "y", iters=5, return_se=True) == fast_p
+    assert (
+        st.glm_poisson(d, ["x"], "y", offset_col="lny", iters=5) == fast_o
+    )
+    assert (
+        st.glm_logistic(d, ["x"], "yb", iters=5, return_se=True) == fast_l
+    )
+
+
+def test_aft_driver_paths_bit_equal(spark, monkeypatch):
+    d = spark.range(6000).select(
+        (F.col("id") % 2).cast("double").alias("x"),
+        F.greatest(
+            F.round(
+                F.exp(1.5 - 0.6 * (F.col("id") % 2))
+                * F.pow(
+                    -F.log((F.col("id") % 997 + 1) / 998.0), F.lit(0.7)
+                ),
+                2,
+            ),
+            F.lit(0.01),
+        ).alias("tt"),
+    ).select(
+        "x",
+        F.least(F.col("tt"), F.lit(15.0)).alias("duration"),
+        (F.col("tt") < 15).cast("int").alias("event"),
+    )
+    fast_w = sv.weibull_aft(d, ["x"], iters=6, return_se=True)
+    fast_l = sv.loglogistic_aft(d, ["x"], iters=6, return_se=True)
+    monkeypatch.setattr(
+        sv, "_aft_collect", lambda cells, p, max_cells=0: None
+    )
+    assert sv.weibull_aft(d, ["x"], iters=6, return_se=True) == fast_w
+    assert (
+        sv.loglogistic_aft(d, ["x"], iters=6, return_se=True) == fast_l
+    )
