@@ -3139,6 +3139,414 @@ def _fg_censoring_base(
     )
 
 
+def _fg_driver_collect(
+    df,
+    feats,
+    duration_col,
+    cause_col,
+    strata,
+    cluster_col=None,
+    max_cells: int = MAX_DRIVER_CELLS,
+):
+    """Bounded collect of (strata..., x-pattern, duration, cause
+    [, cluster]) cells for the Fine-Gray driver twins — ``None`` when
+    unbounded or any numeric key is null/non-finite."""
+    import numpy as np
+
+    proj = df.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(strata)],
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feats)
+        ],
+        F.col(duration_col).cast("double").alias("_t"),
+        F.col(cause_col).cast("long").alias("_cs"),
+        *([F.col(cluster_col).alias("_cl")] if cluster_col else []),
+    )
+    cells = proj.groupBy(*proj.columns).agg(
+        F.count(F.lit(1)).alias("_w")
+    )
+    pdf = cells.limit(max_cells + 1).toPandas()
+    if len(pdf) > max_cells:
+        return None
+    for c in [f"_x{j}" for j in range(len(feats))] + ["_t"]:
+        v = pdf[c]
+        if v.isnull().any() or not np.isfinite(
+            v.to_numpy(dtype=np.float64)
+        ).all():
+            return None
+    if pdf["_cs"].isnull().any():
+        return None
+    return pdf
+
+
+def _fg_driver_arrays(cells, p, n_strat):
+    """Sorted arrays + segmentation + the censoring-KM micro-lattice
+    lnG(t−) per cell — the ``_fg_censoring_base`` twin. Returns
+    (w, cs, t, xs, lngl, gstarts, cell_group, by_group, suffix,
+    prefix)."""
+    import numpy as np
+
+    w = cells["_w"].to_numpy().astype(np.int64)
+    cs = cells["_cs"].to_numpy().astype(np.int64)
+    t = cells["_t"].to_numpy().astype(np.float64)
+    xs = [
+        cells[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
+    ]
+    if n_strat:
+        scode = (
+            cells.groupby(
+                [f"_g{i}" for i in range(n_strat)],
+                sort=True,
+                dropna=False,
+            )
+            .ngroup()
+            .to_numpy()
+        )
+    else:
+        scode = np.zeros(len(cells), dtype=np.int64)
+    order = np.lexsort((t, scode))
+    w, cs, t, scode = w[order], cs[order], t[order], scode[order]
+    xs = [x[order] for x in xs]
+
+    new_g = np.ones(len(t), dtype=bool)
+    if len(t) > 1:
+        new_g[1:] = (t[1:] != t[:-1]) | (scode[1:] != scode[:-1])
+    gstarts = np.flatnonzero(new_g)
+    cell_group = np.cumsum(new_g) - 1
+    g_s = scode[gstarts]
+    new_s = np.ones(len(gstarts), dtype=bool)
+    if len(gstarts) > 1:
+        new_s[1:] = g_s[1:] != g_s[:-1]
+    sstarts = np.flatnonzero(new_s)
+    seg_len = np.diff(np.append(sstarts, len(gstarts)))
+
+    def by_group(v):
+        return np.add.reduceat(v, gstarts)
+
+    def prefix(gv):
+        # per-stratum EXCLUSIVE prefix, exact int64
+        pre = np.cumsum(gv)
+        pre = np.concatenate(([np.int64(0)], pre[:-1]))
+        return pre - np.repeat(pre[sstarts], seg_len)
+
+    def suffix(gv):
+        tot = np.repeat(np.add.reduceat(gv, sstarts), seg_len)
+        return tot - prefix(gv)
+
+    # censoring KM on the micro log-lattice (the _fg_censoring_base
+    # twin): c/n from the removal prefix, term = round(ln(1-c/n)*1e6),
+    # lnG(t-) = per-stratum exclusive prefix of the terms
+    c_g = by_group(w * (cs == 0))
+    rm_g = by_group(w)
+    n_at = suffix(rm_g)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.log(
+            1.0 - c_g.astype(np.float64) / n_at.astype(np.float64)
+        )
+    cterm = np.where(
+        (c_g > 0) & (c_g < n_at),
+        np.rint(
+            np.where((c_g > 0) & (c_g < n_at), raw, 0.0) * 1e6
+        ).astype(np.int64),
+        np.int64(0),
+    )
+    lng_g = prefix(cterm)
+    lngl = lng_g[cell_group]
+    return (
+        w,
+        cs,
+        t,
+        xs,
+        lngl,
+        gstarts,
+        cell_group,
+        by_group,
+        suffix,
+        prefix,
+        order,
+    )
+
+
+def _fg_driver_moments(w, cs, xs, lngl, beta, p, by_group):
+    """One iteration's per-(stratum, duration) moment cells at β —
+    transliterated from the fine_gray fold (per-subject nano
+    roundings × cell count, exact int64 sums)."""
+    import numpy as np
+
+    nano = 1e9
+    is_ev = (cs == 1).astype(np.int64)
+    is_cmp = (cs == 2).astype(np.int64)
+    xb = np.zeros(len(cs))
+    for j in range(p):
+        xb = xb + beta[j] * xs[j]
+    r = np.exp(xb)
+    rw = r * np.exp((-lngl) / 1e6)
+    m = {
+        "d": by_group(w * is_ev),
+        "a0": by_group(np.rint(r * nano).astype(np.int64) * w),
+        "c0": by_group(
+            is_cmp * np.rint(rw * nano).astype(np.int64) * w
+        ),
+    }
+    for j in range(p):
+        m[f"s{j}"] = by_group(
+            is_ev * np.rint(xs[j] * nano).astype(np.int64) * w
+        )
+        m[f"a1_{j}"] = by_group(
+            np.rint(r * xs[j] * nano).astype(np.int64) * w
+        )
+        m[f"c1_{j}"] = by_group(
+            is_cmp * np.rint(rw * xs[j] * nano).astype(np.int64) * w
+        )
+    for j in range(p):
+        for k in range(j, p):
+            m[f"a2_{j}_{k}"] = by_group(
+                np.rint(r * xs[j] * xs[k] * nano).astype(np.int64) * w
+            )
+            m[f"c2_{j}_{k}"] = by_group(
+                is_cmp
+                * np.rint(rw * xs[j] * xs[k] * nano).astype(np.int64)
+                * w
+            )
+    return m
+
+
+def _fg_driver_fit(cells, p, n_strat, iters):
+    """numpy twin of the ``fine_gray`` Newton loop over collected
+    cells — bit-identical to the distributed fold (pinned in tests).
+    Returns (beta, info)."""
+    import numpy as np
+
+    (
+        w,
+        cs,
+        t,
+        xs,
+        lngl,
+        gstarts,
+        cell_group,
+        by_group,
+        suffix,
+        prefix,
+        _order,
+    ) = _fg_driver_arrays(cells, p, n_strat)
+    lng_g = lngl[gstarts]
+    gleft = np.exp(lng_g / 1e6)
+    nano = 1e9
+    beta = [0.0] * p
+    info = None
+    for _ in range(iters):
+        m = _fg_driver_moments(w, cs, xs, lngl, beta, p, by_group)
+
+        def eff(a, c):
+            return suffix(m[a]).astype(np.float64) + gleft * prefix(
+                m[c]
+            ).astype(np.float64)
+
+        s0 = eff("a0", "c0")
+        d_g = m["d"]
+        ev = d_g > 0
+        dt = d_g.astype(np.float64)
+        gsum = np.zeros(p)
+        isum = np.zeros((p, p))
+        for j in range(p):
+            term = m[f"s{j}"].astype(np.float64) / nano - dt * (
+                eff(f"a1_{j}", f"c1_{j}") / s0
+            )
+            gsum[j] = (
+                np.rint(term[ev] * nano).astype(np.int64).sum() / 1e9
+            )
+        for j in range(p):
+            for k in range(j, p):
+                term = dt * (
+                    eff(f"a2_{j}_{k}", f"c2_{j}_{k}") / s0
+                    - (eff(f"a1_{j}", f"c1_{j}") / s0)
+                    * (eff(f"a1_{k}", f"c1_{k}") / s0)
+                )
+                isum[j, k] = isum[k, j] = (
+                    np.rint(term[ev] * nano).astype(np.int64).sum()
+                    / 1e9
+                )
+        info = isum
+        step = np.linalg.solve(info, gsum)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    return beta, info
+
+
+def _fg_robust_driver(cells, p, iters, has_cluster):
+    """numpy twin of the whole ``fine_gray_robust`` pipeline over ONE
+    collected (x-pattern, duration, cause[, cluster]) cell frame: the
+    Newton fit, the at-β̂ information, the per-time A/Ã/B/B̃ score
+    curves and the per-cell (clustered) score-residual meat fold —
+    every rounding and float op transliterated from the distributed
+    passes (pinned in tests). Returns (beta, se_model, se_robust)."""
+    import numpy as np
+
+    (
+        w,
+        cs,
+        t,
+        xs,
+        lngl,
+        gstarts,
+        cell_group,
+        by_group,
+        suffix,
+        prefix,
+        order,
+    ) = _fg_driver_arrays(cells, p, 0)
+    lng_g = lngl[gstarts]
+    gleft = np.exp(lng_g / 1e6)
+    nano = 1e9
+
+    # ---- Newton fit (the fine_gray loop at this granularity —
+    # group sums are additive over the finer cluster-split cells)
+    beta = [0.0] * p
+    for _ in range(iters):
+        m = _fg_driver_moments(w, cs, xs, lngl, beta, p, by_group)
+
+        def eff(a, c, m=m):
+            return suffix(m[a]).astype(np.float64) + gleft * prefix(
+                m[c]
+            ).astype(np.float64)
+
+        s0 = eff("a0", "c0")
+        d_g = m["d"]
+        ev = d_g > 0
+        dt = d_g.astype(np.float64)
+        gsum = np.zeros(p)
+        isum = np.zeros((p, p))
+        for j in range(p):
+            term = m[f"s{j}"].astype(np.float64) / nano - dt * (
+                eff(f"a1_{j}", f"c1_{j}") / s0
+            )
+            gsum[j] = (
+                np.rint(term[ev] * nano).astype(np.int64).sum() / 1e9
+            )
+        for j in range(p):
+            for k in range(j, p):
+                term = dt * (
+                    eff(f"a2_{j}_{k}", f"c2_{j}_{k}") / s0
+                    - (eff(f"a1_{j}", f"c1_{j}") / s0)
+                    * (eff(f"a1_{k}", f"c1_{k}") / s0)
+                )
+                isum[j, k] = isum[k, j] = (
+                    np.rint(term[ev] * nano).astype(np.int64).sum()
+                    / 1e9
+                )
+        step = np.linalg.solve(isum, gsum)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+
+    # ---- moments and information AT the final β
+    m = _fg_driver_moments(w, cs, xs, lngl, beta, p, by_group)
+
+    def eff(a, c):
+        return suffix(m[a]).astype(np.float64) + gleft * prefix(
+            m[c]
+        ).astype(np.float64)
+
+    s0 = eff("a0", "c0")
+    d_g = m["d"]
+    ev = d_g > 0
+    dt = d_g.astype(np.float64)
+    info = np.zeros((p, p))
+    for j in range(p):
+        for k in range(j, p):
+            term = dt * (
+                eff(f"a2_{j}_{k}", f"c2_{j}_{k}") / s0
+                - (eff(f"a1_{j}", f"c1_{j}") / s0)
+                * (eff(f"a1_{k}", f"c1_{k}") / s0)
+            )
+            info[j, k] = info[k, j] = (
+                np.rint(term[ev] * nano).astype(np.int64).sum() / 1e9
+            )
+
+    # ---- per-time increments on the nano lattice + prefix/tails
+    da = np.rint(dt * nano / s0 * nano).astype(np.int64)
+    dat = np.rint(gleft * dt * nano / s0 * nano).astype(np.int64)
+    e1s = [eff(f"a1_{j}", f"c1_{j}") for j in range(p)]
+    db = [
+        np.rint(dt * e1s[j] * nano / (s0 * s0) * nano).astype(np.int64)
+        for j in range(p)
+    ]
+    dbt = [
+        np.rint(
+            gleft * dt * e1s[j] * nano / (s0 * s0) * nano
+        ).astype(np.int64)
+        for j in range(p)
+    ]
+    xb_g = [e1s[j] / s0 for j in range(p)]
+
+    def excl(v):
+        pre = np.cumsum(v)
+        return np.concatenate(([np.int64(0)], pre[:-1]))
+
+    A_g = (excl(da) + da) / nano
+    At_g = (dat.sum() - (excl(dat) + dat)) / nano
+    B_g = [(excl(db[j]) + db[j]) / nano for j in range(p)]
+    Bt_g = [
+        (dbt[j].sum() - (excl(dbt[j]) + dbt[j])) / nano
+        for j in range(p)
+    ]
+
+    # ---- per-cell score residuals at β̂
+    is_ev_d = (cs == 1).astype(np.float64)
+    is_cmp_d = (cs == 2).astype(np.float64)
+    xbv = np.zeros(len(cs))
+    for j in range(p):
+        xbv = xbv + beta[j] * xs[j]
+    r = np.exp(xbv)
+    rwj = r * np.exp((-lngl) / 1e6)
+    cg = cell_group
+    u = []
+    for j in range(p):
+        u.append(
+            is_ev_d * (xs[j] - xb_g[j][cg])
+            - r * (xs[j] * A_g[cg] - B_g[j][cg])
+            - is_cmp_d * rwj * (xs[j] * At_g[cg] - Bt_g[j][cg])
+        )
+
+    meat = np.zeros((p, p))
+    if has_cluster:
+        cl = cells["_cl"].iloc[order]
+        codes = cl.to_frame().groupby("_cl", dropna=False).ngroup()
+        codes = codes.to_numpy()
+        ncl = int(codes.max()) + 1 if len(codes) else 0
+        uc = []
+        for j in range(p):
+            acc = np.zeros(ncl, dtype=np.int64)
+            np.add.at(
+                acc, codes, w * np.rint(u[j] * nano).astype(np.int64)
+            )
+            uc.append(acc)
+        for j in range(p):
+            for k in range(j, p):
+                term = (uc[j] / nano) * (uc[k] / nano)
+                meat[j, k] = meat[k, j] = (
+                    np.rint(term * nano).astype(np.int64).sum() / 1e9
+                )
+    else:
+        for j in range(p):
+            for k in range(j, p):
+                meat[j, k] = meat[k, j] = (
+                    (
+                        w
+                        * np.rint(u[j] * u[k] * nano).astype(np.int64)
+                    ).sum()
+                    / 1e9
+                )
+
+    bread = np.linalg.inv(info)
+    cov_r = bread @ meat @ bread
+    se_model = [round(float(np.sqrt(bread[j, j])), 9) for j in range(p)]
+    se_robust = [
+        round(float(np.sqrt(max(cov_r[j, j], 0.0))), 9)
+        for j in range(p)
+    ]
+    return beta, se_model, se_robust
+
+
 def fine_gray(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -3220,6 +3628,23 @@ def fine_gray(
     is_ev = (cause == 1).cast("long")
     is_cen = (cause == 0).cast("long")
     is_cmp = (cause == 2).cast("long")
+
+    # r10 driver-solve fast path (driverfit.py): bounded (strata,
+    # x-pattern, duration, cause) cells — censoring-KM lnG twin + the
+    # whole Newton loop on the driver; bit-identical to the
+    # distributed fold below (pinned in tests).
+    _pdfc = _fg_driver_collect(
+        df, feats, duration_col, cause_col, strata
+    )
+    if _pdfc is not None:
+        beta, info = _fg_driver_fit(_pdfc, p, len(strata), iters)
+        if return_se:
+            cov = np.linalg.inv(info)
+            se = [
+                round(float(np.sqrt(cov[j, j])), 9) for j in range(p)
+            ]
+            return beta, se
+        return beta
 
     # ---- censoring KM G(t-) on the micro log-lattice (beta-free:
     # computed once, reused every iteration; per stratum when
@@ -3427,6 +3852,19 @@ def fine_gray_robust(
             + ([cluster_col] if cluster_col else [])
         )
     ).localCheckpoint(eager=False)
+
+    # r10 driver-solve fast path (driverfit.py): ONE bounded cell
+    # collect powers the fit, the at-β̂ information, the score curves
+    # and the clustered meat fold — bit-identical to the distributed
+    # passes below (pinned in tests).
+    _pdfc = _fg_driver_collect(
+        df, feats, duration_col, cause_col, [], cluster_col=cluster_col
+    )
+    if _pdfc is not None:
+        return _fg_robust_driver(
+            _pdfc, p, iters, cluster_col is not None
+        )
+
     beta, _ = fine_gray(
         df, feats, duration_col, cause_col, iters=iters, return_se=True
     )

@@ -90,6 +90,56 @@ def test_glm_driver_paths_bit_equal(spark, monkeypatch):
     )
 
 
+def _fg_cohort(spark):
+    return spark.range(5000).select(
+        ((F.col("id") % 6) / 6.0).alias("x1"),
+        (F.col("id") % 2).cast("string").alias("st"),
+        (F.col("id") % 40).cast("string").alias("cl"),
+        F.greatest(
+            F.round(
+                -F.log((F.col("id") % 991 + 1) / 992.0)
+                / F.exp(0.7 * ((F.col("id") % 6) / 6.0)),
+                1,
+            ),
+            F.lit(0.1),
+        ).alias("tt"),
+        (F.col("id") % 10).alias("m"),
+    ).select(
+        "x1",
+        "st",
+        "cl",
+        F.least(F.col("tt"), F.lit(3.0)).alias("duration"),
+        F.when(F.col("tt") >= 3.0, 0)
+        .otherwise(F.when(F.col("m") < 3, 2).otherwise(1))
+        .alias("cause"),
+    )
+
+
+def test_fine_gray_driver_paths_bit_equal(spark, monkeypatch):
+    d = _fg_cohort(spark)
+    fast_u = sv.fine_gray(d, ["x1"], iters=4, return_se=True)
+    fast_s = sv.fine_gray(
+        d, ["x1"], iters=4, return_se=True, strata_cols=["st"]
+    )
+    fast_r = sv.fine_gray_robust(d, ["x1"], cluster_col="cl", iters=4)
+    fast_r0 = sv.fine_gray_robust(d, ["x1"], iters=4)
+    monkeypatch.setattr(
+        sv, "_fg_driver_collect", lambda *a, **k: None
+    )
+    assert sv.fine_gray(d, ["x1"], iters=4, return_se=True) == fast_u
+    assert (
+        sv.fine_gray(
+            d, ["x1"], iters=4, return_se=True, strata_cols=["st"]
+        )
+        == fast_s
+    )
+    assert (
+        sv.fine_gray_robust(d, ["x1"], cluster_col="cl", iters=4)
+        == fast_r
+    )
+    assert sv.fine_gray_robust(d, ["x1"], iters=4) == fast_r0
+
+
 def test_aft_driver_paths_bit_equal(spark, monkeypatch):
     d = spark.range(6000).select(
         (F.col("id") % 2).cast("double").alias("x"),
