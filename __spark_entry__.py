@@ -10622,8 +10622,13 @@ def q_survival_ph_test(spark, sf_dir):
         (t_cross <= 3.0).cast("int").alias("event"),
     ).localCheckpoint(eager=False)
 
-    out = []
-    for label, frame in (("proportional", prop), ("crossing", cross)):
+    # r10: the two plants are independent — overlap their fit and
+    # diagnostic jobs in driver threads (guide §2.6); order is
+    # preserved by pool.map.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(arg):
+        label, frame = arg
         # 3 NR iterations: the diagnostic needs a reasonable beta-hat,
         # not a converged one (the residual trend is what's tested)
         beta = cox_ph(frame, ["x"], iters=3)
@@ -10631,7 +10636,14 @@ def q_survival_ph_test(spark, sf_dir):
         n_times = (
             frame.filter("event = 1").select("duration").distinct().count()
         )
-        out.append((label, n_times, abs(z.z_stat) > 2.5))
+        return (label, n_times, abs(z.z_stat) > 2.5)
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        out = list(
+            _pool.map(
+                _one, (("proportional", prop), ("crossing", cross))
+            )
+        )
     return spark.createDataFrame(
         out, "plant string, n_event_times long, ph_violated boolean"
     )
@@ -16838,12 +16850,20 @@ def q_stats_gee(spark, sf_dir):
     cohort = d.select(
         F.col("o_custkey").alias("cl"), x.alias("x"), y.alias("y")
     ).localCheckpoint(eager=False)
-    beta, alpha, se = gee_logistic_exchangeable(
-        cohort, "cl", ["x"], "y", iters=8, return_se=True
-    )
-    _, se_naive = glm_logistic(
-        cohort, ["x"], "y", iters=8, return_se=True
-    )
+    # r10: the GEE fit and the naive logistic are independent reads of
+    # the same pinned cohort — overlap them in driver threads (§2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fut_gee = _pool.submit(
+            gee_logistic_exchangeable,
+            cohort, "cl", ["x"], "y", iters=8, return_se=True,
+        )
+        _fut_glm = _pool.submit(
+            glm_logistic, cohort, ["x"], "y", iters=8, return_se=True
+        )
+        beta, alpha, se = _fut_gee.result()
+        _, se_naive = _fut_glm.result()
     ok_alpha = alpha > 0.05
     ok_sandwich = se[0] > se_naive[0]
     return (

@@ -9325,6 +9325,97 @@ def shared_gamma_frailty(
         F.count(F.lit(1)).alias("_n"),
     )
     cells = cells.localCheckpoint(eager=False)
+
+    # r10 driver-solve fast path (driverfit.py): bounded (cluster,
+    # duration) cells — the weighted-Breslow curve, the cluster H
+    # folds, the θ-grid marginal likelihood and the EM weight updates
+    # all run on the driver; bit-identical to the distributed EM
+    # below (pinned in tests).
+    import math
+
+    import numpy as np
+
+    _pdfc = cells.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if (
+        len(_pdfc) <= MAX_DRIVER_CELLS
+        and not _pdfc["_t"].isnull().any()
+    ):
+        tn = _pdfc["_t"].to_numpy().astype(np.int64)
+        dn = _pdfc["_d"].to_numpy().astype(np.int64)
+        nn = _pdfc["_n"].to_numpy().astype(np.int64)
+        codes = (
+            _pdfc.groupby("_cl", dropna=False).ngroup().to_numpy()
+        )
+        ncl = int(codes.max()) + 1 if len(codes) else 0
+        order = np.argsort(tn, kind="stable")
+        ts, ns, cds = tn[order], nn[order], codes[order]
+        ds = dn[order]
+        new_g = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_g[1:] = ts[1:] != ts[:-1]
+        gstarts = np.flatnonzero(new_g)
+        cg = np.cumsum(new_g) - 1
+        dcl = np.zeros(ncl, dtype=np.int64)
+        np.add.at(dcl, codes, dn)
+        dt_g = np.add.reduceat(ds, gstarts)
+        dmax = int(dcl.max()) if ncl else 0
+        theta = None
+        ll_best = None
+        w_cl = np.ones(ncl)
+        for _ in range(iters):
+            rmw_g = np.add.reduceat(
+                np.rint(ns * w_cl[cds] * 1e6).astype(np.int64),
+                gstarts,
+            )
+            pre = np.cumsum(rmw_g)
+            pre = np.concatenate(([np.int64(0)], pre[:-1]))
+            atrisk = (rmw_g.sum() - pre) / 1e6
+            inc = np.where(
+                dt_g > 0,
+                np.rint(dt_g / atrisk * 1e6).astype(np.int64),
+                np.int64(0),
+            )
+            pre_i = np.cumsum(inc)
+            pre_i = np.concatenate(([np.int64(0)], pre_i[:-1]))
+            l0m = pre_i + inc
+            hm = np.zeros(ncl, dtype=np.int64)
+            np.add.at(hm, cds, ns * l0m[cg])
+            h = hm / 1e6
+            lls = []
+            for th in grid:
+                inv = 1.0 / th
+                logs = np.log(
+                    inv + np.arange(dmax, dtype=np.float64)
+                )
+                cum = np.concatenate(([0.0], np.cumsum(logs)))
+                lg = np.where(dcl > 0, cum[dcl], 0.0)
+                term = (
+                    lg
+                    - (inv + dcl) * np.log(1.0 + th * h)
+                    + dcl * float(math.log(th))
+                )
+                lls.append(
+                    int(np.rint(term * 1e9).astype(np.int64).sum())
+                )
+            best = max(
+                range(len(grid)), key=lambda gi: (lls[gi], -gi)
+            )
+            theta = grid[best]
+            ll_best = lls[best] / 1e9
+            inv = 1.0 / theta
+            w_cl = (inv + dcl) / (inv + hm / 1e6)
+        return cells.agg(
+            F.sum("_n").alias("n_subjects"),
+            F.countDistinct("_cl").alias("n_clusters"),
+            F.sum("_d").alias("n_events"),
+        ).select(
+            "n_subjects",
+            "n_clusters",
+            "n_events",
+            F.round(F.lit(theta), 6).alias("theta"),
+            F.round(F.lit(ll_best), 6).alias("loglik_marginal"),
+        )
+
     cl_d = cells.groupBy("_cl").agg(F.sum("_d").alias("_D"))
     wf = cl_d.select("_cl", F.lit(1.0).alias("_w"))
     nano = F.lit(1000000000.0)
@@ -10499,6 +10590,133 @@ def cox_ph_counting(
             F.lit("cox_ph_counting: episodes need start < stop")
         ).cast("double"),
     ).otherwise(sp)
+
+    # r10 driver-solve fast path (driverfit.py): bounded (x-pattern,
+    # start, stop, event) episode cells — the merged entered(<t) −
+    # exited(<t) axis and the whole Newton loop run on the driver.
+    # Bit-identical to the distributed loop below (pinned in tests).
+    _proj = df.select(
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feats)
+        ],
+        st.alias("_st"),
+        sp.alias("_sp"),
+        F.col(event_col).cast("long").alias("_d"),
+    )
+    _pdfc = collect_cells(_proj, list(_proj.columns))
+    if _pdfc is not None:
+        _ok = True
+        for c in [f"_x{j}" for j in range(p)] + ["_st", "_sp"]:
+            v = _pdfc[c]
+            if v.isnull().any() or not np.isfinite(
+                v.to_numpy(dtype=np.float64)
+            ).all():
+                _ok = False
+                break
+        if _ok:
+            if (
+                _pdfc["_sp"].to_numpy() <= _pdfc["_st"].to_numpy()
+            ).any():
+                raise ValueError(
+                    "cox_ph_counting: episodes need start < stop"
+                )
+            wv = _pdfc["_w"].to_numpy().astype(np.int64)
+            dv = _pdfc["_d"].to_numpy().astype(np.int64)
+            stv = _pdfc["_st"].to_numpy().astype(np.float64)
+            spv = _pdfc["_sp"].to_numpy().astype(np.float64)
+            xv = [
+                _pdfc[f"_x{j}"].to_numpy().astype(np.float64)
+                for j in range(p)
+            ]
+            tax = np.unique(np.concatenate([stv, spv]))
+            si = np.searchsorted(tax, stv)
+            xi = np.searchsorted(tax, spv)
+            nt = len(tax)
+
+            def scatter(idx, vals):
+                a = np.zeros(nt, dtype=np.int64)
+                np.add.at(a, idx, vals)
+                return a
+
+            def excl(a):
+                pr = np.cumsum(a)
+                return np.concatenate(([np.int64(0)], pr[:-1]))
+
+            d_t = scatter(xi, wv * dv)
+            evm = d_t > 0
+            dtf = d_t.astype(np.float64)
+            s_t = [
+                scatter(
+                    xi,
+                    wv * dv * np.rint(xv[j] * 1e9).astype(np.int64),
+                ).astype(np.float64)
+                for j in range(p)
+            ]
+            info = None
+            for _ in range(iters):
+                xb = np.zeros(len(wv))
+                for j in range(p):
+                    xb = xb + beta[j] * xv[j]
+                r = np.exp(xb)
+
+                def mom(vcell):
+                    # vcell: per-cell rounded lattice value × count —
+                    # the product order inside matches the fold below
+                    v = vcell * wv
+                    return (
+                        excl(scatter(si, v)) - excl(scatter(xi, v))
+                    ).astype(np.float64)
+
+                s0 = mom(np.rint(r * 1e9).astype(np.int64))
+                s1 = [
+                    mom(np.rint(r * xv[j] * 1e9).astype(np.int64))
+                    for j in range(p)
+                ]
+                s2 = {
+                    (j, k): mom(
+                        np.rint(r * xv[j] * xv[k] * 1e9).astype(
+                            np.int64
+                        )
+                    )
+                    for j in range(p)
+                    for k in range(j, p)
+                }
+                gsum = np.zeros(p)
+                isum = np.zeros((p, p))
+                # axis points with nobody at risk (s0 = 0) are never
+                # event rows; the mask drops them before rounding
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for j in range(p):
+                        term = s_t[j] / 1e9 - dtf * s1[j] / s0
+                        gsum[j] = (
+                            np.rint(term[evm] * 1e9)
+                            .astype(np.int64)
+                            .sum()
+                            / 1e9
+                        )
+                    for j in range(p):
+                        for k in range(j, p):
+                            term = dtf * (
+                                s2[(j, k)] / s0
+                                - (s1[j] / s0) * (s1[k] / s0)
+                            )
+                            isum[j, k] = isum[k, j] = (
+                                np.rint(term[evm] * 1e9)
+                                .astype(np.int64)
+                                .sum()
+                                / 1e9
+                            )
+                info = isum
+                step = np.linalg.solve(info, gsum)
+                beta = [round(b + s, 9) for b, s in zip(beta, step)]
+            if return_se:
+                cov = np.linalg.inv(info)
+                return beta, [
+                    round(float(np.sqrt(cov[j, j])), 9)
+                    for j in range(p)
+                ]
+            return beta
 
     # r10: pin the narrow episode projection once — each Newton
     # iteration collapses it TWICE (entry + exit cells) and would

@@ -140,6 +140,53 @@ def test_fine_gray_driver_paths_bit_equal(spark, monkeypatch):
     assert sv.fine_gray_robust(d, ["x1"], iters=4) == fast_r0
 
 
+def test_cox_counting_driver_path_bit_equal(spark, monkeypatch):
+    d = spark.range(6000).select(
+        ((F.col("id") % 6) / 6.0).alias("x1"),
+        F.round((F.col("id") % 30) / 10.0, 1).alias("start"),
+        (
+            F.greatest(
+                F.round(
+                    -F.log((F.col("id") % 991 + 1) / 992.0)
+                    / F.exp(0.5 * ((F.col("id") % 6) / 6.0)),
+                    1,
+                )
+                + F.lit(0.1),
+                F.lit(0.2),
+            )
+        ).alias("gap"),
+    ).select(
+        "x1",
+        "start",
+        (F.col("start") + F.col("gap")).alias("stop"),
+        (F.col("gap") < 2.0).cast("int").alias("event"),
+    )
+    fast = sv.cox_ph_counting(d, ["x1"], iters=4, return_se=True)
+    monkeypatch.setattr(sv, "collect_cells", lambda *a, **k: None)
+    assert (
+        sv.cox_ph_counting(d, ["x1"], iters=4, return_se=True) == fast
+    )
+
+
+def test_frailty_driver_path_bit_equal(spark, monkeypatch):
+    d = spark.range(6000).select(
+        (F.col("id") % 150).cast("string").alias("cl"),
+        F.greatest(
+            F.round(
+                -F.log((F.col("id") % 991 + 1) / 992.0)
+                * (1.0 + ((F.col("id") % 150) % 5) / 5.0)
+                * 10,
+                0,
+            ).cast("long"),
+            F.lit(1),
+        ).alias("duration"),
+        (F.col("id") % 4 > 0).cast("int").alias("event"),
+    )
+    fast = sv.shared_gamma_frailty(d, "cl", iters=3).collect()
+    monkeypatch.setattr(sv, "MAX_DRIVER_CELLS", 0)
+    assert sv.shared_gamma_frailty(d, "cl", iters=3).collect() == fast
+
+
 def test_aft_driver_paths_bit_equal(spark, monkeypatch):
     d = spark.range(6000).select(
         (F.col("id") % 2).cast("double").alias("x"),
