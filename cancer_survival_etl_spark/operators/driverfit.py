@@ -25,7 +25,7 @@ probe pass.
 
 Scale posture (SCALE.md round 10): the ONE data-sized pass is the
 map-side-combined cell collapse; the collect is bounded by
-``max_cells`` (default 2^18 rows ≈ tens of MB at typical widths, far
+``max_cells`` (default 2^19 rows ≈ a few tens of MB at typical widths, far
 under spark.driver.maxResultSize), exactly the discipline the
 absorbing_chain / level-discovery collects already follow.
 """
@@ -35,10 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# 2^18: covers every registry cohort whose duration axis is rounded to
-# publication precision while bounding the driver transfer to tens of
-# MB; continuous-time cohorts beyond it use the distributed loop.
-MAX_DRIVER_CELLS = 262144
+# 2^19: covers every registry cohort whose duration axis is rounded to
+# publication precision — and the near-continuous bench cohorts (e.g.
+# the two-episode counting-process cohort, ~300k cells at sf0.1) —
+# while bounding the driver transfer to a few tens of MB (2^19 rows ×
+# ~6 numeric columns × 8 B ≈ 25 MB, far under the 1 GB
+# spark.driver.maxResultSize). Cohorts beyond it (truly continuous
+# covariates at production scale) use the distributed loop.
+MAX_DRIVER_CELLS = 524288
 
 
 def collect_cells(
