@@ -45,6 +45,39 @@ from pyspark.sql import functions as F
 MAX_DRIVER_CELLS = 524288
 
 
+def round_half_up(x):
+    """numpy twin of Spark's ``F.round(expr, 0)`` — HALF_UP, i.e. ties
+    round away from zero. ``np.rint`` rounds half-to-even, which
+    diverges from the distributed fold on exact half-lattice points
+    (dyadic inputs like k/1024 scaled by 1e9 = 2^9·5^9 land exactly on
+    .5), so every driver twin must use this instead to keep the
+    driver == distributed bit-equality contract."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
+def cells_clean(pdf, float_cols=(), notnull_cols=()):
+    """True when every ``float_cols`` entry is non-null and finite and
+    every ``notnull_cols`` entry is non-null — the guard a driver twin
+    needs before trusting ``.astype(int64)`` lattice arithmetic (NaN
+    becomes INT64_MIN garbage) and numpy group segmentation (each NaN
+    duration is its own lexsort group where Spark keeps ONE null
+    group). Callers fall back to the distributed fold on failure."""
+    import numpy as np
+
+    for c in float_cols:
+        v = pdf[c]
+        if v.isnull().any() or not np.isfinite(
+            v.to_numpy(dtype=np.float64)
+        ).all():
+            return False
+    for c in notnull_cols:
+        if pdf[c].isnull().any():
+            return False
+    return True
+
+
 def collect_cells(
     df: DataFrame,
     key_cols,

@@ -22,6 +22,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .driverfit import MAX_DRIVER_CELLS
+
+
+def _cc_driver_labels(epdf):
+    """Min-label union-find over a collected edge list — the driver
+    twin of the propagation/pointer-doubling loop. Pure integer/string
+    label arithmetic (component = min reachable id), so the labels are
+    IDENTICAL to the distributed fixpoint by definition — no float
+    anywhere. Returns {node: component} for every edge endpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(epdf["u"].tolist(), epdf["v"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    best: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in best or x < best[r]:
+            best[r] = x
+    return {x: best[find(x)] for x in parent}
+
 
 def connected_components(
     edges: DataFrame,
@@ -53,6 +87,50 @@ def connected_components(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
+
+    # r11 driver-solve fast path (driverfit.py discipline, VERDICT r10
+    # item 5): the pair list is CANDIDATE-PAIR-sized (post-banding /
+    # post-verify), not corpus-sized — when it is bounded, collect it
+    # once and run min-label union-find on the driver instead of
+    # O(log diameter) join+probe rounds (each a fixed-latency Spark
+    # job). Labels are exact integer/string minima, identical to the
+    # distributed fixpoint by definition (pinned in tests). Singleton
+    # vertices from `nodes` stay DISTRIBUTED (one anti-join projection
+    # — corpus-sized data never crosses the driver); unbounded or
+    # null-carrying edge lists fall through to the unchanged loop.
+    _epdf = e.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if (
+        len(_epdf) <= MAX_DRIVER_CELLS
+        and not _epdf["u"].isnull().any()
+        and not _epdf["v"].isnull().any()
+    ):
+        from pyspark.sql.types import StructField, StructType
+
+        lab = _cc_driver_labels(_epdf)
+        utype = e.schema["u"].dataType
+        small = edges.sparkSession.createDataFrame(
+            list(lab.items()),
+            StructType(
+                [
+                    StructField("node", utype),
+                    StructField("component", utype),
+                ]
+            ),
+        )
+        if nodes is not None:
+            rest = (
+                nodes.select(F.col(src).alias("node"))
+                .distinct()
+                .join(
+                    F.broadcast(small.select("node")),
+                    "node",
+                    "left_anti",
+                )
+                .select("node", F.col("node").alias("component"))
+            )
+            return small.unionByName(rest)
+        return small
+
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     vertex = sym.select("u")
@@ -345,6 +423,61 @@ def k_core(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
+
+    # r11 driver-solve fast path: bounded edge list -> the whole peel
+    # loop (pure integer degree counting, same round/stop semantics)
+    # runs on the driver; one collect instead of a count probe + two
+    # semi-joins per round. Bit-identical by integer arithmetic
+    # (pinned in tests); unbounded/null edge lists use the loop below.
+    _epdf = e.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if (
+        len(_epdf) <= MAX_DRIVER_CELLS
+        and not _epdf["u"].isnull().any()
+        and not _epdf["v"].isnull().any()
+    ):
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        uu = _epdf["u"].tolist()
+        vv = _epdf["v"].tolist()
+        prev_n = None
+        for _ in range(int(max_rounds)):
+            deg: dict = {}
+            for x in uu:
+                deg[x] = deg.get(x, 0) + 1
+            for x in vv:
+                deg[x] = deg.get(x, 0) + 1
+            keep = {x for x, dn in deg.items() if dn >= k}
+            if len(keep) == prev_n:
+                break
+            prev_n = len(keep)
+            kept = [
+                (a, b)
+                for a, b in zip(uu, vv)
+                if a in keep and b in keep
+            ]
+            uu = [a for a, _ in kept]
+            vv = [b for _, b in kept]
+        deg = {}
+        for x in uu:
+            deg[x] = deg.get(x, 0) + 1
+        for x in vv:
+            deg[x] = deg.get(x, 0) + 1
+        out = [(x, dn) for x, dn in deg.items() if dn >= k]
+        utype = e.schema["u"].dataType
+        return edges.sparkSession.createDataFrame(
+            out,
+            StructType(
+                [
+                    StructField("node", utype),
+                    StructField("core_degree", LongType()),
+                ]
+            ),
+        )
+
     prev_n = None
     for _ in range(int(max_rounds)):
         deg = (

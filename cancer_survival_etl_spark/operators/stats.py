@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .driverfit import MAX_DRIVER_CELLS, cells_clean, round_half_up
+
 
 def _cents(col: Column) -> Column:
     return F.round(col * 100).cast("long")
@@ -2460,13 +2462,13 @@ def glm_poisson(
             info = np.zeros((p + 1, p + 1))
             for j in range(p + 1):
                 g[j] = (
-                    np.rint((yn - mu) * xn[j] * 1e9).astype(np.int64)
+                    round_half_up((yn - mu) * xn[j] * 1e9).astype(np.int64)
                     * wn
                 ).sum() / 1e9
             for j in range(p + 1):
                 for k in range(j, p + 1):
                     info[j, k] = info[k, j] = (
-                        np.rint(mu * xn[j] * xn[k] * 1e9).astype(
+                        round_half_up(mu * xn[j] * xn[k] * 1e9).astype(
                             np.int64
                         )
                         * wn
@@ -2572,13 +2574,13 @@ def glm_logistic(
             info = np.zeros((p + 1, p + 1))
             for j in range(p + 1):
                 g[j] = (
-                    np.rint((yn - prob) * xn[j] * 1e9).astype(np.int64)
+                    round_half_up((yn - prob) * xn[j] * 1e9).astype(np.int64)
                     * wn
                 ).sum() / 1e9
             for j in range(p + 1):
                 for k in range(j, p + 1):
                     info[j, k] = info[k, j] = (
-                        np.rint(wgt * xn[j] * xn[k] * 1e9).astype(
+                        round_half_up(wgt * xn[j] * xn[k] * 1e9).astype(
                             np.int64
                         )
                         * wn
@@ -3751,6 +3753,145 @@ def gee_logistic_exchangeable(
     src, cw, _pdfc = _fit_cells(
         df, list(dict.fromkeys([cluster_col] + feats + [y_col]))
     )
+
+    # r11 driver-solve fast path (driverfit.py): bounded collected
+    # cells -> the whole Fisher/alpha loop runs on the driver, numpy
+    # twin transliterated term-for-term from the distributed fold
+    # below (same per-cell nano roundings, exact int64 cluster sums,
+    # same float op order in the cluster-level terms and the alpha
+    # moment) — bit-identical, pinned in tests/test_driverfit.py.
+    if _pdfc is not None:
+        import pandas as pd
+
+        wn = _pdfc["_w"].to_numpy().astype(np.int64)
+        yn = _pdfc[y_col].to_numpy().astype(np.float64)
+        xn = [np.ones(len(wn))] + [
+            _pdfc[c].to_numpy().astype(np.float64) for c in feats
+        ]
+        codes, _uniq = pd.factorize(
+            _pdfc[cluster_col], use_na_sentinel=False
+        )
+        ncl = int(codes.max()) + 1 if len(codes) else 0
+        n_tot = int(wn.sum())
+
+        def by_cl(v):
+            # exact per-cluster int64 sums (Spark's long groupBy sums)
+            acc = np.zeros(ncl, dtype=np.int64)
+            np.add.at(acc, codes, v)
+            return acc
+
+        m_cl = by_cl(wn)
+        m_f = m_cl.astype(np.float64)
+        npairs = int((m_cl * (m_cl - 1) // 2).sum())
+        beta = [0.0] * p
+        alpha = 0.0
+        a_mat = None
+        b_mat = None
+        for _ in range(iters):
+            eta = np.zeros(len(wn)) + beta[0]
+            for j, _c in enumerate(feats):
+                eta = eta + beta[j + 1] * xn[j + 1]
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            wq = mu * (1.0 - mu)
+            sq = np.sqrt(wq)
+            r = (yn - mu) / sq
+            sr = by_cl(
+                round_half_up(r * 1e9).astype(np.int64) * wn
+            )
+            r2 = by_cl(
+                round_half_up(r * r * 1e9).astype(np.int64) * wn
+            )
+            sx = [
+                by_cl(
+                    round_half_up(sq * xn[j] * 1e9).astype(np.int64)
+                    * wn
+                )
+                for j in range(p)
+            ]
+            sxr = [
+                by_cl(
+                    round_half_up(sq * r * xn[j] * 1e9).astype(
+                        np.int64
+                    )
+                    * wn
+                )
+                for j in range(p)
+            ]
+            wxx = {
+                (j, k): by_cl(
+                    round_half_up(wq * xn[j] * xn[k] * 1e9).astype(
+                        np.int64
+                    )
+                    * wn
+                )
+                for j in range(p)
+                for k in range(j, p)
+            }
+            # alpha moment fold
+            srd = sr / 1e9
+            pair_nano = int(
+                round_half_up(
+                    (srd * srd - r2 / 1e9) / 2.0 * 1e9
+                )
+                .astype(np.int64)
+                .sum()
+            )
+            r2_tot = int(r2.sum())
+            phi = (r2_tot / 1e9) / (n_tot - p)
+            denom = npairs - p
+            alpha = round(
+                ((pair_nano / 1e9) / denom) / phi
+                if denom > 0
+                else 0.0,
+                9,
+            )
+            alpha = min(max(alpha, 0.0), 0.95)
+            # beta fold with alpha scalar
+            fac = alpha / (1.0 - alpha + alpha * m_f)
+            one_m_a = 1.0 - alpha
+            gexprs = [
+                (sxr[j] / 1e9 - fac * (sx[j] / 1e9) * srd) / one_m_a
+                for j in range(p)
+            ]
+            gvec = np.array(
+                [
+                    round_half_up(gexprs[j] * 1e9)
+                    .astype(np.int64)
+                    .sum()
+                    / 1e9
+                    for j in range(p)
+                ]
+            )
+            a_mat = np.zeros((p, p))
+            b_mat = np.zeros((p, p))
+            for j in range(p):
+                for k in range(j, p):
+                    a_jk = (
+                        wxx[(j, k)] / 1e9
+                        - fac * (sx[j] / 1e9) * (sx[k] / 1e9)
+                    ) / one_m_a
+                    a_mat[j, k] = a_mat[k, j] = (
+                        round_half_up(a_jk * 1e9)
+                        .astype(np.int64)
+                        .sum()
+                        / 1e9
+                    )
+                    b_mat[j, k] = b_mat[k, j] = (
+                        round_half_up(gexprs[j] * gexprs[k] * 1e9)
+                        .astype(np.int64)
+                        .sum()
+                        / 1e9
+                    )
+            step = np.linalg.solve(a_mat, gvec)
+            beta = [round(b + st, 9) for b, st in zip(beta, step)]
+        if return_se:
+            ainv = np.linalg.inv(a_mat)
+            cov = ainv @ b_mat @ ainv
+            return beta, alpha, [
+                round(float(np.sqrt(cov[j, j])), 9) for j in range(p)
+            ]
+        return beta, alpha
+
     n_tot = src.agg(F.sum(cw)).collect()[0][0]
     beta = [0.0] * p
     alpha = 0.0
@@ -3964,6 +4105,138 @@ def meta_analysis_dl(
     )
 
 
+def _ordmn_collect(cells, p, max_cells: int = MAX_DRIVER_CELLS):
+    """Bounded collect of the (x-pattern, level, count) cell frame
+    shared by ``ordinal_logistic`` / ``multinomial_logistic`` —
+    ``None`` when unbounded or any key is null/non-finite (the
+    distributed when-chains null-skip such cells; the numpy twin
+    would mis-group them)."""
+    pdf = cells.limit(max_cells + 1).toPandas()
+    if len(pdf) > max_cells:
+        return None
+    if not cells_clean(
+        pdf, [f"_x{j}" for j in range(p)], ["_y"]
+    ):
+        return None
+    return pdf
+
+
+def _sorted_levels(pdf):
+    """Distinct ``_y`` values with per-level total counts in Spark
+    ``orderBy`` order. Python ``sorted`` equals Spark's ordering here:
+    numerics trivially, strings because UTF-8 byte order (Spark's
+    string sort) preserves code-point order (a designed property of
+    UTF-8), booleans False < True."""
+    agg = {}
+    for v, n in zip(pdf["_y"].tolist(), pdf["_n"].tolist()):
+        agg[v] = agg.get(v, 0) + int(n)
+    levels = sorted(agg)
+    return levels, [agg[v] for v in levels]
+
+
+def _ordinal_driver_fit(pdf, feats, iters, return_se, max_levels):
+    """numpy twin of the ``ordinal_logistic`` Newton loop over
+    collected cells — transliterated term-for-term from the
+    distributed fold (same pick/when semantics, same nano roundings,
+    exact int64 sums, same float op order), so every cutpoint, slope
+    and SE is bit-identical (pinned in tests/test_driverfit.py)."""
+    import math
+
+    import numpy as np
+
+    p = len(feats)
+    levels, counts = _sorted_levels(pdf)
+    if len(levels) > max_levels:
+        raise ValueError(
+            f"ordinal_logistic: {len(levels)} levels exceeds "
+            f"max_levels={max_levels}"
+        )
+    if len(levels) < 2:
+        raise ValueError("ordinal_logistic: need >= 2 outcome levels")
+    jj = len(levels)
+    total = sum(counts)
+    cum = 0
+    alphas = []
+    for m in counts[:-1]:
+        cum += m
+        pr = cum / total
+        alphas.append(round(math.log(pr / (1.0 - pr)), 9))
+    theta = alphas + [0.0] * p
+    q = len(theta)
+
+    nn = pdf["_n"].to_numpy().astype(np.int64)
+    nf = nn.astype(np.float64)
+    xv = [
+        pdf[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
+    ]
+    lvl_pos = {v: i for i, v in enumerate(levels, start=1)}
+    li = np.array([lvl_pos[v] for v in pdf["_y"].tolist()])
+    C = len(nn)
+    rows = np.arange(C)
+
+    info = None
+    for _ in range(iters):
+        eta = np.zeros(C)
+        for m in range(p):
+            eta = eta + theta[jj - 1 + m] * xv[m]
+        gam = np.zeros((jj + 1, C))
+        for j in range(1, jj):
+            gam[j] = 1.0 / (1.0 + np.exp(-(theta[j - 1] - eta)))
+        gam[jj] = 1.0
+        phi = np.zeros((jj + 1, C))
+        for j in range(1, jj):
+            phi[j] = gam[j] * (1.0 - gam[j])
+        dphi = np.zeros((jj + 1, C))
+        for j in range(1, jj):
+            dphi[j] = phi[j] * (1.0 - 2 * gam[j])
+        gy = gam[li, rows]
+        gym1 = gam[li - 1, rows]
+        phy = phi[li, rows]
+        phym1 = phi[li - 1, rows]
+        dphy = dphi[li, rows]
+        dphym1 = dphi[li - 1, rows]
+        py = gy - gym1
+
+        ty, tym1 = [], []
+        for c in range(1, jj):
+            ty.append((li == c).astype(np.float64))
+            tym1.append((li == c + 1).astype(np.float64))
+        for m in range(p):
+            ty.append(-xv[m])
+            tym1.append(-xv[m])
+        u = [phy * ty[k] - phym1 * tym1[k] for k in range(q)]
+
+        g = np.array(
+            [
+                round_half_up(u[k] / py * nf * 1e9)
+                .astype(np.int64)
+                .sum()
+                / 1e9
+                for k in range(q)
+            ]
+        )
+        hess = np.zeros((q, q))
+        for k in range(q):
+            for l in range(k, q):
+                d2 = dphy * ty[k] * ty[l] - dphym1 * tym1[k] * tym1[l]
+                h = d2 / py - u[k] * u[l] / (py * py)
+                hess[k, l] = hess[l, k] = (
+                    round_half_up(h * nf * 1e9).astype(np.int64).sum()
+                    / 1e9
+                )
+        info = -hess
+        step = np.clip(np.linalg.solve(info, g), -1.0, 1.0)
+        theta = [round(t + s, 9) for t, s in zip(theta, step)]
+
+    alphas = theta[: jj - 1]
+    betas = theta[jj - 1:]
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [round(float(np.sqrt(cov[k, k])), 9) for k in range(q)]
+        return levels, alphas, betas, se
+    return levels, alphas, betas
+
+
 def ordinal_logistic(
     df: DataFrame,
     feature_cols,
@@ -4018,6 +4291,19 @@ def ordinal_logistic(
         F.col(y_col).alias("_y"),
     ).agg(F.count(F.lit(1)).alias("_n"))
     cells = cells.localCheckpoint(eager=False)
+
+    # r11 driver-solve fast path (driverfit.py): bounded collected
+    # (x-pattern, level) cells -> levels/marginals AND the whole
+    # Newton loop run on the driver (numpy twin of the fold below,
+    # same nano roundings / float op order, exact int64 sums) —
+    # bit-identical, pinned in tests/test_driverfit.py. UTF-8 byte
+    # order (Spark's string orderBy) equals code-point order, so the
+    # driver-sorted levels match the distributed orderBy exactly.
+    _pdfc = _ordmn_collect(cells, p)
+    if _pdfc is not None:
+        return _ordinal_driver_fit(
+            _pdfc, feats, iters, return_se, max_levels
+        )
 
     marg = (
         cells.groupBy("_y").agg(F.sum("_n").alias("_m"))
@@ -4607,6 +4893,111 @@ def psm_att(
     )
 
 
+def _multinomial_driver_fit(pdf, feats, iters, return_se, max_levels):
+    """numpy twin of the ``multinomial_logistic`` Newton loop over
+    collected cells — transliterated term-for-term from the
+    distributed fold (same softmax op order, same nano roundings,
+    exact int64 sums), bit-identical (pinned in
+    tests/test_driverfit.py)."""
+    import numpy as np
+
+    p = len(feats)
+    levels, _counts = _sorted_levels(pdf)
+    if len(levels) > max_levels:
+        raise ValueError(
+            f"multinomial_logistic: {len(levels)} levels exceeds "
+            f"max_levels={max_levels}"
+        )
+    if len(levels) < 2:
+        raise ValueError(
+            "multinomial_logistic: need >= 2 outcome levels"
+        )
+    jj = len(levels)
+    nb = jj - 1
+    q = nb * (p + 1)
+    theta = [0.0] * q
+
+    nn = pdf["_n"].to_numpy().astype(np.int64)
+    nf = nn.astype(np.float64)
+    C = len(nn)
+    xv = [np.ones(C)] + [
+        pdf[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
+    ]
+    yvals = pdf["_y"].tolist()
+
+    info = None
+    for _ in range(iters):
+        etas = []
+        for j in range(nb):
+            e = np.zeros(C) + theta[j * (p + 1)]
+            for m in range(p):
+                e = e + theta[j * (p + 1) + 1 + m] * xv[m + 1]
+            etas.append(e)
+        denom = 1.0
+        for e in etas:
+            denom = denom + np.exp(e)
+        probs = [np.exp(e) / denom for e in etas]
+        g = []
+        for j in range(nb):
+            ind = np.array(
+                [1.0 if v == levels[j] else 0.0 for v in yvals]
+            )
+            for m in range(p + 1):
+                g.append(
+                    round_half_up(
+                        (ind - probs[j]) * xv[m] * nf * 1e9
+                    )
+                    .astype(np.int64)
+                    .sum()
+                    / 1e9
+                )
+        g = np.array(g)
+        info = np.zeros((q, q))
+        for j in range(nb):
+            for m in range(p + 1):
+                a_ix = j * (p + 1) + m
+                for k in range(j, nb):
+                    for l in range(p + 1):
+                        if k == j and l < m:
+                            continue
+                        b_ix = k * (p + 1) + l
+                        pp = (
+                            probs[j] * (1.0 - probs[j])
+                            if j == k
+                            else -probs[j] * probs[k]
+                        )
+                        v = (
+                            round_half_up(
+                                pp * xv[m] * xv[l] * nf * 1e9
+                            )
+                            .astype(np.int64)
+                            .sum()
+                            / 1e9
+                        )
+                        info[a_ix, b_ix] = info[b_ix, a_ix] = v
+        step = np.clip(np.linalg.solve(info, g), -2.0, 2.0)
+        theta = [round(t + s, 9) for t, s in zip(theta, step)]
+
+    betas = [
+        theta[j * (p + 1):(j + 1) * (p + 1)] for j in range(nb)
+    ]
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [
+            [
+                round(
+                    float(np.sqrt(cov[j * (p + 1) + m,
+                                      j * (p + 1) + m])),
+                    9,
+                )
+                for m in range(p + 1)
+            ]
+            for j in range(nb)
+        ]
+        return levels, betas, se
+    return levels, betas
+
+
 def multinomial_logistic(
     df: DataFrame,
     feature_cols,
@@ -4658,6 +5049,17 @@ def multinomial_logistic(
         F.col(y_col).alias("_y"),
     ).agg(F.count(F.lit(1)).alias("_n"))
     cells = cells.localCheckpoint(eager=False)
+
+    # r11 driver-solve fast path (driverfit.py): bounded collected
+    # (x-pattern, level) cells -> levels AND the whole Newton loop run
+    # on the driver (numpy twin of the fold below) — bit-identical,
+    # pinned in tests/test_driverfit.py.
+    _pdfc = _ordmn_collect(cells, p)
+    if _pdfc is not None:
+        return _multinomial_driver_fit(
+            _pdfc, feats, iters, return_se, max_levels
+        )
+
     marg = (
         cells.groupBy("_y").agg(F.sum("_n").alias("_m"))
         .orderBy("_y")
@@ -5597,6 +5999,125 @@ def mi_rubin_glm(
     )
 
 
+def _exact_percentile(vals, freq, tau):
+    """numpy twin of Spark's ``percentile(col, tau, freq)`` aggregate
+    (exact Percentile, NOT approx): sorted value/frequency pairs,
+    position = τ·(N−1), and the two-key interpolation
+    (higher−pos)·lowerKey + (pos−lower)·higherKey — transliterated
+    from Percentile.getPercentile so the driver value is
+    bit-identical."""
+    import numpy as np
+
+    order = np.argsort(vals, kind="stable")
+    v = vals[order]
+    f = freq[order]
+    total = int(f.sum())
+    position = tau * (total - 1)
+    lower = int(np.floor(position))
+    higher = int(np.ceil(position))
+    cum = np.cumsum(f)
+    lower_ix = int(np.searchsorted(cum, lower + 1, side="left"))
+    higher_ix = int(np.searchsorted(cum, higher + 1, side="left"))
+    lower_key = float(v[lower_ix])
+    higher_key = float(v[higher_ix])
+    if lower == higher or lower_key == higher_key:
+        return lower_key
+    return (higher - position) * lower_key + (
+        position - lower
+    ) * higher_key
+
+
+def _quantile_driver_fit(df, pdf, feats, y_col, tau, iters, eps):
+    """numpy twin of the ``quantile_regression`` MM loop over
+    collected (x, y) cells — same micro roundings, exact int64 sums,
+    same float op order as the distributed fold (pinned in
+    tests/test_driverfit.py)."""
+    import math
+
+    import numpy as np
+
+    p = len(feats)
+    wn = pdf["_w"].to_numpy().astype(np.int64)
+    yv = pdf[y_col].to_numpy().astype(np.float64)
+    xv = [np.ones(len(wn))] + [
+        pdf[c].to_numpy().astype(np.float64) for c in feats
+    ]
+    n_rows = int(wn.sum())
+    if n_rows == 0:
+        raise ValueError("quantile_regression: empty input")
+    svec = np.array(
+        [
+            (
+                round_half_up(xv[j] * 1e6).astype(np.int64) * wn
+            ).sum()
+            / 1e6
+            for j in range(p + 1)
+        ]
+    )
+    q_null = _exact_percentile(yv, wn, tau)
+
+    def rho(resid):
+        return resid * (tau - (resid < 0).astype(np.float64))
+
+    beta = [0.0] * (p + 1)
+    for _ in range(iters):
+        eta = np.zeros(len(wn)) + beta[0]
+        for j in range(p):
+            eta = eta + beta[j + 1] * xv[j + 1]
+        d = np.abs(yv - eta) + float(eps)
+        b = np.array(
+            [
+                (
+                    round_half_up(xv[j] * yv / d * 1e6).astype(
+                        np.int64
+                    )
+                    * wn
+                ).sum()
+                / 1e6
+                for j in range(p + 1)
+            ]
+        ) + (2.0 * tau - 1.0) * svec
+        A = np.zeros((p + 1, p + 1))
+        for j in range(p + 1):
+            for k in range(j, p + 1):
+                A[j, k] = A[k, j] = (
+                    round_half_up(xv[j] * xv[k] / d * 1e6).astype(
+                        np.int64
+                    )
+                    * wn
+                ).sum() / 1e6
+        beta = [round(float(v), 9) for v in np.linalg.solve(A, b)]
+
+    eta = np.zeros(len(wn)) + beta[0]
+    for j in range(p):
+        eta = eta + beta[j + 1] * xv[j + 1]
+    obj = float(
+        (
+            round_half_up(rho(yv - eta) * 1e6).astype(np.int64) * wn
+        ).sum()
+        / 1e6
+    )
+    null_obj = float(
+        (
+            round_half_up(rho(yv - q_null) * 1e6).astype(np.int64)
+            * wn
+        ).sum()
+        / 1e6
+    )
+    pr2 = round(1.0 - obj / null_obj, 9) if null_obj > 0 else None
+    if pr2 is not None and math.isnan(pr2):
+        pr2 = None
+    terms = ["intercept"] + feats
+    return df.sparkSession.createDataFrame(
+        [
+            (t, beta[j], tau, pr2, n_rows)
+            for j, t in enumerate(terms)
+        ],
+        "term string, estimate double, tau double, pseudo_r2 double, "
+        "n_rows long",
+    )
+
+
 def quantile_regression(
     df: DataFrame,
     feature_cols,
@@ -5651,13 +6172,31 @@ def quantile_regression(
     y = F.col(y_col).cast("double")
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
 
-    base = df.agg(
-        F.count(F.lit(1)).alias("_n"),
+    # r11: collapse identical (x, y) rows to weighted cells once (the
+    # _fit_cells GLM-family pattern) — every per-row micro-lattice term
+    # below is a pure function of (x, y), so Σ_rows round = Σ_cells
+    # w·round, and percentile(y, τ, w) with the frequency argument
+    # accumulates the identical counts map as the per-row form.
+    src, cw, _pdfc = _fit_cells(df, list(dict.fromkeys(feats + [y_col])))
+
+    # driver-solve fast path (driverfit.py): bounded collected cells ->
+    # the base moments, the exact percentile, the whole MM loop and the
+    # loss fold run on the driver — numpy twin transliterated from the
+    # fold below, bit-identical (pinned in tests/test_driverfit.py).
+    if _pdfc is not None:
+        return _quantile_driver_fit(
+            df, _pdfc, feats, y_col, tau, iters, eps
+        )
+
+    base = src.agg(
+        F.sum(cw).alias("_n"),
         *[
-            F.sum(F.round(xs[j] * micro, 0).cast("long")).alias(f"s{j}")
+            F.sum(F.round(xs[j] * micro, 0).cast("long") * cw).alias(
+                f"s{j}"
+            )
             for j in range(p + 1)
         ],
-        F.expr(f"percentile({y_col}, {tau!r})").alias("_q"),
+        F.percentile(F.col(y_col), F.lit(tau), cw).alias("_q"),
     ).collect()[0]
     n_rows = int(base["_n"])
     if n_rows == 0:
@@ -5678,7 +6217,7 @@ def quantile_regression(
         d = F.abs(y - eta) + F.lit(float(eps))
         aggs = [
             F.sum(
-                F.round(xs[j] * y / d * micro, 0).cast("long")
+                F.round(xs[j] * y / d * micro, 0).cast("long") * cw
             ).alias(f"b{j}")
             for j in range(p + 1)
         ]
@@ -5689,9 +6228,10 @@ def quantile_regression(
                         F.round(xs[j] * xs[k] / d * micro, 0).cast(
                             "long"
                         )
+                        * cw
                     ).alias(f"a{j}_{k}")
                 )
-        row = df.agg(*aggs).collect()[0]
+        row = src.agg(*aggs).collect()[0]
         A = np.zeros((p + 1, p + 1))
         for j in range(p + 1):
             for k in range(j, p + 1):
@@ -5704,10 +6244,12 @@ def quantile_regression(
     eta = F.lit(beta[0])
     for j, c in enumerate(feats):
         eta = eta + F.lit(beta[j + 1]) * F.col(c).cast("double")
-    loss = df.agg(
-        F.sum(F.round(rho(y - eta) * micro, 0).cast("long")).alias("_o"),
+    loss = src.agg(
         F.sum(
-            F.round(rho(y - F.lit(q_null)) * micro, 0).cast("long")
+            F.round(rho(y - eta) * micro, 0).cast("long") * cw
+        ).alias("_o"),
+        F.sum(
+            F.round(rho(y - F.lit(q_null)) * micro, 0).cast("long") * cw
         ).alias("_0"),
     ).collect()[0]
     obj, null_obj = loss["_o"] / 1e6, loss["_0"] / 1e6

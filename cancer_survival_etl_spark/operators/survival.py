@@ -38,7 +38,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .driverfit import MAX_DRIVER_CELLS, collect_cells
+from .driverfit import (
+    MAX_DRIVER_CELLS,
+    cells_clean,
+    collect_cells,
+    round_half_up,
+)
 from .windows import global_prefix_sum, grouped_prefix_sum
 
 
@@ -2330,19 +2335,19 @@ def _cox_driver_fit(cells, p, n_strat, iters, ties):
         for j in range(p):
             xb = xb + beta[j] * xs[j]
         r = np.exp(xb)
-        a0 = np.rint(r * nano).astype(np.int64) * w
+        a0 = round_half_up(r * nano).astype(np.int64) * w
         a1 = [
-            np.rint(r * xs[j] * nano).astype(np.int64) * w
+            round_half_up(r * xs[j] * nano).astype(np.int64) * w
             for j in range(p)
         ]
         a2 = {
-            (j, k): np.rint(r * xs[j] * xs[k] * nano).astype(np.int64)
+            (j, k): round_half_up(r * xs[j] * xs[k] * nano).astype(np.int64)
             * w
             for j in range(p)
             for k in range(j, p)
         }
         s_ = [
-            d * np.rint(xs[j] * nano).astype(np.int64) * w
+            d * round_half_up(xs[j] * nano).astype(np.int64) * w
             for j in range(p)
         ]
         d_g = by_group(d * w)
@@ -2376,7 +2381,7 @@ def _cox_driver_fit(cells, p, n_strat, iters, ties):
             for j in range(p):
                 term = s_g[j][rowg] / nano / dt - shr1[j] / s0l
                 gsum[j] = (
-                    np.rint(term * nano).astype(np.int64).sum() / 1e9
+                    round_half_up(term * nano).astype(np.int64).sum() / 1e9
                 )
             for j in range(p):
                 for k in range(j, p):
@@ -2385,7 +2390,7 @@ def _cox_driver_fit(cells, p, n_strat, iters, ties):
                         shr1[k] / s0l
                     )
                     isum[j, k] = isum[k, j] = (
-                        np.rint(term * nano).astype(np.int64).sum()
+                        round_half_up(term * nano).astype(np.int64).sum()
                         / 1e9
                     )
         else:
@@ -2393,7 +2398,7 @@ def _cox_driver_fit(cells, p, n_strat, iters, ties):
             for j in range(p):
                 term = s_g[j] / nano - dt * (s1[j] / s0)
                 gsum[j] = (
-                    np.rint(term[ev] * nano).astype(np.int64).sum()
+                    round_half_up(term[ev] * nano).astype(np.int64).sum()
                     / 1e9
                 )
             for j in range(p):
@@ -2402,7 +2407,7 @@ def _cox_driver_fit(cells, p, n_strat, iters, ties):
                         s2[(j, k)] / s0 - (s1[j] / s0) * (s1[k] / s0)
                     )
                     isum[j, k] = isum[k, j] = (
-                        np.rint(term[ev] * nano).astype(np.int64).sum()
+                        round_half_up(term[ev] * nano).astype(np.int64).sum()
                         / 1e9
                     )
         info = isum
@@ -2510,6 +2515,12 @@ def cox_ph(
             F.col(event_col).cast("long").alias("_d"),
         )
         pdf = collect_cells(proj, list(proj.columns), max_driver_cells)
+        if pdf is not None and not cells_clean(
+            pdf, [f"_x{j}" for j in range(p)] + ["_t"], ["_d"]
+        ):
+            # null/NaN features, durations or events: the distributed
+            # fold null-skips where the numpy twin would garbage-cast
+            pdf = None
         if pdf is not None:
             beta, info = _cox_driver_fit(
                 pdf, p, len(_strata), iters, ties
@@ -3246,7 +3257,7 @@ def _fg_driver_arrays(cells, p, n_strat):
         )
     cterm = np.where(
         (c_g > 0) & (c_g < n_at),
-        np.rint(
+        round_half_up(
             np.where((c_g > 0) & (c_g < n_at), raw, 0.0) * 1e6
         ).astype(np.int64),
         np.int64(0),
@@ -3284,29 +3295,29 @@ def _fg_driver_moments(w, cs, xs, lngl, beta, p, by_group):
     rw = r * np.exp((-lngl) / 1e6)
     m = {
         "d": by_group(w * is_ev),
-        "a0": by_group(np.rint(r * nano).astype(np.int64) * w),
+        "a0": by_group(round_half_up(r * nano).astype(np.int64) * w),
         "c0": by_group(
-            is_cmp * np.rint(rw * nano).astype(np.int64) * w
+            is_cmp * round_half_up(rw * nano).astype(np.int64) * w
         ),
     }
     for j in range(p):
         m[f"s{j}"] = by_group(
-            is_ev * np.rint(xs[j] * nano).astype(np.int64) * w
+            is_ev * round_half_up(xs[j] * nano).astype(np.int64) * w
         )
         m[f"a1_{j}"] = by_group(
-            np.rint(r * xs[j] * nano).astype(np.int64) * w
+            round_half_up(r * xs[j] * nano).astype(np.int64) * w
         )
         m[f"c1_{j}"] = by_group(
-            is_cmp * np.rint(rw * xs[j] * nano).astype(np.int64) * w
+            is_cmp * round_half_up(rw * xs[j] * nano).astype(np.int64) * w
         )
     for j in range(p):
         for k in range(j, p):
             m[f"a2_{j}_{k}"] = by_group(
-                np.rint(r * xs[j] * xs[k] * nano).astype(np.int64) * w
+                round_half_up(r * xs[j] * xs[k] * nano).astype(np.int64) * w
             )
             m[f"c2_{j}_{k}"] = by_group(
                 is_cmp
-                * np.rint(rw * xs[j] * xs[k] * nano).astype(np.int64)
+                * round_half_up(rw * xs[j] * xs[k] * nano).astype(np.int64)
                 * w
             )
     return m
@@ -3355,7 +3366,7 @@ def _fg_driver_fit(cells, p, n_strat, iters):
                 eff(f"a1_{j}", f"c1_{j}") / s0
             )
             gsum[j] = (
-                np.rint(term[ev] * nano).astype(np.int64).sum() / 1e9
+                round_half_up(term[ev] * nano).astype(np.int64).sum() / 1e9
             )
         for j in range(p):
             for k in range(j, p):
@@ -3365,7 +3376,7 @@ def _fg_driver_fit(cells, p, n_strat, iters):
                     * (eff(f"a1_{k}", f"c1_{k}") / s0)
                 )
                 isum[j, k] = isum[k, j] = (
-                    np.rint(term[ev] * nano).astype(np.int64).sum()
+                    round_half_up(term[ev] * nano).astype(np.int64).sum()
                     / 1e9
                 )
         info = isum
@@ -3422,7 +3433,7 @@ def _fg_robust_driver(cells, p, iters, has_cluster):
                 eff(f"a1_{j}", f"c1_{j}") / s0
             )
             gsum[j] = (
-                np.rint(term[ev] * nano).astype(np.int64).sum() / 1e9
+                round_half_up(term[ev] * nano).astype(np.int64).sum() / 1e9
             )
         for j in range(p):
             for k in range(j, p):
@@ -3432,7 +3443,7 @@ def _fg_robust_driver(cells, p, iters, has_cluster):
                     * (eff(f"a1_{k}", f"c1_{k}") / s0)
                 )
                 isum[j, k] = isum[k, j] = (
-                    np.rint(term[ev] * nano).astype(np.int64).sum()
+                    round_half_up(term[ev] * nano).astype(np.int64).sum()
                     / 1e9
                 )
         step = np.linalg.solve(isum, gsum)
@@ -3459,19 +3470,19 @@ def _fg_robust_driver(cells, p, iters, has_cluster):
                 * (eff(f"a1_{k}", f"c1_{k}") / s0)
             )
             info[j, k] = info[k, j] = (
-                np.rint(term[ev] * nano).astype(np.int64).sum() / 1e9
+                round_half_up(term[ev] * nano).astype(np.int64).sum() / 1e9
             )
 
     # ---- per-time increments on the nano lattice + prefix/tails
-    da = np.rint(dt * nano / s0 * nano).astype(np.int64)
-    dat = np.rint(gleft * dt * nano / s0 * nano).astype(np.int64)
+    da = round_half_up(dt * nano / s0 * nano).astype(np.int64)
+    dat = round_half_up(gleft * dt * nano / s0 * nano).astype(np.int64)
     e1s = [eff(f"a1_{j}", f"c1_{j}") for j in range(p)]
     db = [
-        np.rint(dt * e1s[j] * nano / (s0 * s0) * nano).astype(np.int64)
+        round_half_up(dt * e1s[j] * nano / (s0 * s0) * nano).astype(np.int64)
         for j in range(p)
     ]
     dbt = [
-        np.rint(
+        round_half_up(
             gleft * dt * e1s[j] * nano / (s0 * s0) * nano
         ).astype(np.int64)
         for j in range(p)
@@ -3517,14 +3528,14 @@ def _fg_robust_driver(cells, p, iters, has_cluster):
         for j in range(p):
             acc = np.zeros(ncl, dtype=np.int64)
             np.add.at(
-                acc, codes, w * np.rint(u[j] * nano).astype(np.int64)
+                acc, codes, w * round_half_up(u[j] * nano).astype(np.int64)
             )
             uc.append(acc)
         for j in range(p):
             for k in range(j, p):
                 term = (uc[j] / nano) * (uc[k] / nano)
                 meat[j, k] = meat[k, j] = (
-                    np.rint(term * nano).astype(np.int64).sum() / 1e9
+                    round_half_up(term * nano).astype(np.int64).sum() / 1e9
                 )
     else:
         for j in range(p):
@@ -3532,7 +3543,7 @@ def _fg_robust_driver(cells, p, iters, has_cluster):
                 meat[j, k] = meat[k, j] = (
                     (
                         w
-                        * np.rint(u[j] * u[k] * nano).astype(np.int64)
+                        * round_half_up(u[j] * u[k] * nano).astype(np.int64)
                     ).sum()
                     / 1e9
                 )
@@ -4643,6 +4654,170 @@ def rmst_from_curve(
     )
 
 
+def _gray_collect(
+    df,
+    group_col,
+    duration_col,
+    cause_col,
+    strata,
+    max_cells: int = MAX_DRIVER_CELLS,
+):
+    """Bounded collect of (strata..., duration, group, cause) count
+    cells for the Gray-test driver twins. Returns (pdf, gvals) or
+    (None, None) when unbounded, any key is null/NaN (the distributed
+    groupBy/orderBy null semantics differ from numpy's), or the
+    collected frame cannot reproduce Spark's group ordering. The
+    per-duration longs the distributed groupBy produces (d1, d, cen,
+    m1, m, rm1, rm) are pure integer counts of these cells, so
+    deriving them on the driver is exact."""
+    import numpy as np
+
+    proj = df.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(strata)],
+        F.col(duration_col).alias("_t"),
+        F.col(group_col).alias("_grp"),
+        F.col(cause_col).cast("long").alias("_cs"),
+    )
+    cells = proj.groupBy(*proj.columns).agg(
+        F.count(F.lit(1)).alias("_w")
+    )
+    pdf = cells.limit(max_cells + 1).toPandas()
+    if len(pdf) > max_cells:
+        return None, None
+    for c in ["_t", "_grp", "_cs"]:
+        v = pdf[c]
+        if v.isnull().any():
+            return None, None
+        if v.dtype.kind == "f" and not np.isfinite(v.to_numpy()).all():
+            return None, None
+    # Spark orderBy == Python sorted here: numerics trivially, strings
+    # because UTF-8 byte order preserves code-point order
+    gvals = sorted(set(pdf["_grp"].tolist()))
+    return pdf, gvals
+
+
+def _gray_driver_sums(pdf, g1, n_strat):
+    """numpy twin of the gray_test / gray_test_stratified cell
+    pipeline (three chained [grouped_]prefix_sum passes + the final
+    score fold) — same micro/nano roundings, exact int64 prefix sums,
+    same float op order, so every returned long is bit-identical to
+    the distributed fold (pinned in tests). Returns (n_strata, n1, n,
+    events_1, e_sum, u_sum, i_sum) as Python ints."""
+    import numpy as np
+
+    w = pdf["_w"].to_numpy().astype(np.int64)
+    cs = pdf["_cs"].to_numpy().astype(np.int64)
+    grp1 = np.array(
+        [1 if v == g1 else 0 for v in pdf["_grp"].tolist()],
+        dtype=np.int64,
+    )
+    t = pdf["_t"].to_numpy()
+    if n_strat:
+        scode = (
+            pdf.groupby(
+                [f"_g{i}" for i in range(n_strat)],
+                sort=True,
+                dropna=False,
+            )
+            .ngroup()
+            .to_numpy()
+        )
+    else:
+        scode = np.zeros(len(pdf), dtype=np.int64)
+    order = np.lexsort((t, scode))
+    w, cs, grp1, t, scode = (
+        w[order], cs[order], grp1[order], t[order], scode[order]
+    )
+    # collapse to per-(stratum, duration) rows
+    new_g = np.ones(len(t), dtype=bool)
+    if len(t) > 1:
+        new_g[1:] = (t[1:] != t[:-1]) | (scode[1:] != scode[:-1])
+    gstarts = np.flatnonzero(new_g)
+    seg_s = scode[gstarts]
+
+    def cell(v):
+        return np.add.reduceat(v, gstarts) if len(v) else v
+
+    is_ev = (cs == 1).astype(np.int64)
+    is_cen = (cs == 0).astype(np.int64)
+    is_cmp = (cs == 2).astype(np.int64)
+    d1 = cell(is_ev * grp1 * w)
+    d = cell(is_ev * w)
+    cen = cell(is_cen * w)
+    m1 = cell(is_cmp * grp1 * w)
+    m = cell(is_cmp * w)
+    rm1 = cell(grp1 * w)
+    rm = cell(w)
+
+    # per-stratum segmentation over the collapsed rows
+    new_s = np.ones(len(gstarts), dtype=bool)
+    if len(gstarts) > 1:
+        new_s[1:] = seg_s[1:] != seg_s[:-1]
+    sstarts = np.flatnonzero(new_s)
+    seg_len = np.diff(np.append(sstarts, len(gstarts)))
+
+    def expref(v):
+        # per-stratum EXCLUSIVE prefix, exact int64 (the
+        # grouped_prefix_sum twin)
+        pre = np.cumsum(v)
+        pre = np.concatenate(([np.int64(0)], pre[:-1]))
+        return pre - np.repeat(pre[sstarts], seg_len)
+
+    def stot(v):
+        # per-stratum total, broadcast back (totals_alias twin)
+        return np.repeat(np.add.reduceat(v, sstarts), seg_len)
+
+    rm1_before = expref(rm1)
+    rm_before = expref(rm)
+    n1_tot = stot(rm1)
+    n_tot = stot(rm)
+    n_at = n_tot - rm_before
+    cond = (cen > 0) & (cen < n_at)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        safe = np.where(cond, 1.0 - cen / n_at, 1.0)
+    g_term = np.where(
+        cond,
+        round_half_up(np.log(safe) * 1e6).astype(np.int64),
+        np.int64(0),
+    )
+    lng_left = expref(g_term)
+    ginv = np.exp(-lng_left / 1e6)
+    c0 = round_half_up(m * ginv * 1e9).astype(np.int64)
+    c1 = round_half_up(m1 * ginv * 1e9).astype(np.int64)
+    c0_before = expref(c0)
+    c1_before = expref(c1)
+    gleft = np.exp(lng_left / 1e6)
+    s0 = (n_tot - rm_before) + gleft * (c0_before / 1e9)
+    s1 = (n1_tot - rm1_before) + gleft * (c1_before / 1e9)
+    ratio = s1 / s0
+    ev = d > 0
+    u_term = np.where(
+        ev, round_half_up((d1 - d * ratio) * 1e9).astype(np.int64), 0
+    )
+    e_term = np.where(
+        ev, round_half_up(d * ratio * 1e9).astype(np.int64), 0
+    )
+    i_term = np.where(
+        ev,
+        round_half_up(d * ratio * (1.0 - ratio) * 1e9).astype(
+            np.int64
+        ),
+        0,
+    )
+    n_strata = len(sstarts)
+    n1_sum = int(np.add.reduceat(rm1, sstarts).sum())
+    n_sum = int(np.add.reduceat(rm, sstarts).sum())
+    return (
+        n_strata,
+        n1_sum,
+        n_sum,
+        int(d1.sum()),
+        int(e_term.sum()),
+        int(u_term.sum()),
+        int(i_term.sum()),
+    )
+
+
 def gray_test(
     df: DataFrame,
     group_col: str,
@@ -4690,6 +4865,43 @@ def gray_test(
     Returns one row: n_subjects_1/2, events_1 (observed cause-1
     events in group 1), expected_1, score, information, chi_square.
     """
+    # r11 driver-solve fast path (driverfit.py discipline): ONE bounded
+    # cell collect replaces the distinct-groups job, the three chained
+    # prefix passes and the final fold — numpy twin, bit-identical
+    # (pinned in tests/test_driverfit.py); unbounded/null cohorts fall
+    # through to the unchanged distributed pipeline below.
+    _pdfc, _gvals = _gray_collect(
+        df, group_col, duration_col, cause_col, []
+    )
+    if _pdfc is not None:
+        if len(_gvals) != 2:
+            raise ValueError(
+                f"gray_test needs exactly 2 groups, got {_gvals}"
+            )
+        _, _n1, _n, _ev1, _e, _u, _i = _gray_driver_sums(
+            _pdfc, _gvals[0], 0
+        )
+        _nano = F.lit(1000000000.0)
+        hdr = df.sparkSession.createDataFrame(
+            [(_n1, _n, _ev1, _e, _u, _i)],
+            "_n1 long, _n long, events_1 long, _el long, _ul long, "
+            "_il long",
+        )
+        return hdr.select(
+            F.col("_n1").alias("n_subjects_1"),
+            (F.col("_n") - F.col("_n1")).alias("n_subjects_2"),
+            "events_1",
+            F.round(F.col("_el") / _nano, 6).alias("expected_1"),
+            F.round(F.col("_ul") / _nano, 6).alias("score"),
+            F.round(F.col("_il") / _nano, 6).alias("information"),
+            F.round(
+                (F.col("_ul") / _nano)
+                * (F.col("_ul") / _nano)
+                / (F.col("_il") / _nano),
+                6,
+            ).alias("chi_square"),
+        )
+
     gvals = [
         r[0]
         for r in df.select(group_col).distinct().orderBy(group_col).collect()
@@ -6825,6 +7037,227 @@ def ipw_adjusted_km(
     )
 
 
+def _aipw_driver_contrast(
+    df,
+    pdfc,
+    feats,
+    pfeats,
+    beta,
+    ts,
+    bound,
+    censoring,
+    min_g,
+    augment,
+):
+    """numpy twin of the ``aipw_survival_contrast`` cell pipeline
+    (saturated outcome model, optional per-(arm, x) reverse-KM IPCW
+    G, AIPW/Hajek combine) over the collected (arm, x-pattern,
+    duration) cells — same micro/nano roundings, exact int64 sums,
+    same float op order as the distributed fold; the final doubles
+    (divisions, 6-dp rounds) are handed back to Spark as the
+    IDENTICAL expressions over the exact longs, so the returned rows
+    are bit-identical (pinned in tests/test_driverfit.py). Returns
+    ``None`` (caller falls back to the distributed pipeline) on
+    null/NaN keys or when a pattern violates positivity — the
+    distributed path carries the in-plan raise."""
+    import numpy as np
+
+    allfeats = feats + [c for c in pfeats if c not in feats]
+    for c in ["_a", "_dur", "_n", "_nev"] + allfeats:
+        v = pdfc[c]
+        if v.isnull().any():
+            return None
+        if v.dtype.kind == "f" and not np.isfinite(
+            v.to_numpy()
+        ).all():
+            return None
+    apat = pdfc.groupby(allfeats, sort=False).ngroup().to_numpy()
+    npat_all = int(apat.max()) + 1 if len(apat) else 0
+    # outcome model m̂ and the positivity check group by the OUTCOME
+    # covariates only (pfeats may add propensity-only columns)
+    pat = pdfc.groupby(feats, sort=False).ngroup().to_numpy()
+    npat = int(pat.max()) + 1 if len(pat) else 0
+    if npat_all > bound:
+        raise ValueError(
+            "aipw_survival_contrast: more than "
+            f"{bound} distinct covariate patterns — the saturated "
+            "outcome model needs discrete covariates; bin first or "
+            "raise max_x_patterns explicitly"
+        )
+    av = pdfc["_a"].to_numpy().astype(np.int64)
+    dur = pdfc["_dur"].to_numpy().astype(np.int64)
+    nn = pdfc["_n"].to_numpy().astype(np.int64)
+    nev = pdfc["_nev"].to_numpy().astype(np.int64)
+    a1 = av == 1
+
+    def by(codes, size, v):
+        acc = np.zeros(size, dtype=np.int64)
+        np.add.at(acc, codes, v)
+        return acc
+
+    g_curves = None
+    if censoring == "ipcw":
+        # per-(arm, feats) reverse-KM censoring survival at each
+        # duration present for that key — grouped_prefix_sum twin
+        kcode = pdfc.groupby(
+            ["_a"] + feats, sort=False
+        ).ngroup().to_numpy()
+        nk = int(kcode.max()) + 1 if len(kcode) else 0
+        order = np.lexsort((dur, kcode))
+        ks, ds = kcode[order], dur[order]
+        cn_r = nn[order]
+        dcl_r = (nn - nev)[order]
+        new_c = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            new_c[1:] = (ks[1:] != ks[:-1]) | (ds[1:] != ds[:-1])
+        cst = np.flatnonzero(new_c)
+        cell_k = ks[cst]
+        cell_d = ds[cst]
+        cn = np.add.reduceat(cn_r, cst)
+        dcl = np.add.reduceat(dcl_r, cst)
+        new_k = np.ones(len(cst), dtype=bool)
+        if len(cst) > 1:
+            new_k[1:] = cell_k[1:] != cell_k[:-1]
+        kst = np.flatnonzero(new_k)
+        klen = np.diff(np.append(kst, len(cst)))
+
+        def kpref(v):
+            pre = np.cumsum(v)
+            pre = np.concatenate(([np.int64(0)], pre[:-1]))
+            return pre - np.repeat(pre[kst], klen)
+
+        ntot = np.repeat(np.add.reduceat(cn, kst), klen)
+        rm0 = kpref(cn)
+        y_at = (ntot - rm0).astype(np.float64)
+        dc = dcl.astype(np.float64)
+        cond = (dc > 0) & (dc < y_at)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            safe = np.where(cond, 1.0 - dc / y_at, 1.0)
+        lt = np.where(
+            cond,
+            round_half_up(np.log(safe) * 1e6).astype(np.int64),
+            np.int64(0),
+        )
+        gz = ((dc > 0) & (dc == y_at)).astype(np.int64)
+        lt_in = kpref(lt) + lt
+        gz_in = kpref(gz) + gz
+        gv = np.where(gz_in > 0, 0.0, np.exp(lt_in / 1e6))
+        # G read at horizon t: value at the max duration <= t,
+        # clipped below at min_g; missing -> None (coalesce to 1.0)
+        g_curves = (kcode, cell_k, cell_d, gv, kst, klen, nk)
+
+    # outcome-model pattern cells don't depend on t beyond the gt
+    # indicator; fold per t below
+    rows = []
+    nano = 1e9
+    z = np.zeros(len(nn)) + beta[0]
+    for j, c in enumerate(pfeats):
+        z = z + beta[j + 1] * pdfc[c].to_numpy().astype(np.float64)
+    p1 = 1.0 / (1.0 + np.exp(-z))
+    p1 = np.minimum(np.maximum(p1, 0.01), 0.99)
+    p0 = 1.0 - p1
+    i1 = a1.astype(np.float64)
+    i0 = (~a1).astype(np.float64)
+    n_tot = int(nn.sum())
+    for t in ts:
+        gt = dur > t
+        n1 = by(pat, npat, np.where(a1, nn, 0))
+        gt1 = by(pat, npat, np.where(a1 & gt, nn, 0))
+        n0 = by(pat, npat, np.where(~a1, nn, 0))
+        gt0 = by(pat, npat, np.where((~a1) & gt, nn, 0))
+        if ((n1 == 0) | (n0 == 0)).any():
+            return None  # distributed path carries the raise
+        m1 = gt1 / n1
+        m0 = gt0 / n0
+        if censoring == "ipcw":
+            kcode, cell_k, cell_d, gv, kst, klen, nk = g_curves
+            # per key, G at max duration <= t (None when no such row)
+            g_at = np.full(nk, np.nan)
+            ok = cell_d <= t
+            if ok.any():
+                # last True within each key segment
+                idx = np.flatnonzero(ok)
+                seg = cell_k[idx]
+                # take the max cell_d per key among ok rows; cell_d is
+                # sorted within key, so the LAST ok row per key wins
+                last = {}
+                for i_, k_ in zip(idx, seg):
+                    last[k_] = i_
+                for k_, i_ in last.items():
+                    g_at[k_] = max(gv[i_], min_g)
+            # censoring-correct the outcome model per (feats, t):
+            # G1/G0 come from the (arm, feats) key of each pattern
+            g1pat = np.full(npat, np.nan)
+            g0pat = np.full(npat, np.nan)
+            for i_ in range(len(nn)):
+                gval = g_at[kcode[i_]]
+                if not np.isnan(gval):
+                    if a1[i_]:
+                        g1pat[pat[i_]] = gval
+                    else:
+                        g0pat[pat[i_]] = gval
+            m1 = np.minimum(
+                m1 / np.where(np.isnan(g1pat), 1.0, g1pat), 1.0
+            )
+            m0 = np.minimum(
+                m0 / np.where(np.isnan(g0pat), 1.0, g0pat), 1.0
+            )
+            y = gt.astype(np.float64)
+            gcell = g_at[kcode]
+            y = y / np.where(np.isnan(gcell), 1.0, gcell)
+        else:
+            y = gt.astype(np.float64)
+        m1c = m1[pat]
+        m0c = m0[pat]
+        if augment:
+            t1 = m1c + i1 * (y - m1c) / p1
+            t0 = m0c + i0 * (y - m0c) / p0
+            den1 = n_tot
+            den0 = n_tot
+        else:
+            t1 = i1 * y / p1
+            t0 = i0 * y / p0
+            den1 = int(
+                (
+                    round_half_up(i1 / p1 * nano).astype(np.int64)
+                    * nn
+                ).sum()
+            )
+            den0 = int(
+                (
+                    round_half_up(i0 / p0 * nano).astype(np.int64)
+                    * nn
+                ).sum()
+            )
+        num1 = int(
+            (round_half_up(t1 * nano).astype(np.int64) * nn).sum()
+        )
+        num0 = int(
+            (round_half_up(t0 * nano).astype(np.int64) * nn).sum()
+        )
+        rows.append((int(t), n_tot, num1, num0, den1, den0))
+
+    nano_c = F.lit(1000000000.0)
+    hdr = df.sparkSession.createDataFrame(
+        rows,
+        "t long, n long, _num1 long, _num0 long, _den1 long, "
+        "_den0 long",
+    )
+    if augment:
+        s1 = F.col("_num1") / nano_c / F.col("_den1")
+        s0 = F.col("_num0") / nano_c / F.col("_den0")
+    else:
+        s1 = F.col("_num1") / nano_c / (F.col("_den1") / nano_c)
+        s0 = F.col("_num0") / nano_c / (F.col("_den0") / nano_c)
+    return hdr.select(
+        F.col("t").alias("time"),
+        "n",
+        F.round(s1, 6).alias("s1"),
+        F.round(s0, 6).alias("s0"),
+        F.round(s1 - s0, 6).alias("diff"),
+    )
+
+
 def aipw_survival_contrast(
     df: DataFrame,
     arm_col: str,
@@ -6945,6 +7378,27 @@ def aipw_survival_contrast(
         .localCheckpoint(eager=False)
     )
     bound = int(max_x_patterns)
+    # r11 driver-solve fast path (driverfit.py): the bounded collect
+    # doubles as the pattern probe; the saturated model, the IPCW G
+    # curves and the AIPW combine all run on the driver — bit-identical
+    # (pinned in tests/test_driverfit.py); unbounded/null cohorts and
+    # positivity violations use the distributed pipeline below.
+    _pdfc = cells.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if len(_pdfc) <= MAX_DRIVER_CELLS:
+        _res = _aipw_driver_contrast(
+            df,
+            _pdfc,
+            feats,
+            pfeats,
+            beta,
+            ts,
+            bound,
+            censoring,
+            float(min_g),
+            augment,
+        )
+        if _res is not None:
+            return _res
     npat = cells.select(*allfeats).distinct().limit(bound + 1).count()
     if npat > bound:
         raise ValueError(
@@ -9339,6 +9793,12 @@ def shared_gamma_frailty(
     if (
         len(_pdfc) <= MAX_DRIVER_CELLS
         and not _pdfc["_t"].isnull().any()
+        # null clusters: the distributed EM's inner joins on _cl drop
+        # those cells and countDistinct excludes null, while pandas
+        # ngroup(dropna=False) would keep a null-cluster group; null
+        # _d would NaN-cast to int64 garbage in the twin
+        and not _pdfc["_cl"].isnull().any()
+        and not _pdfc["_d"].isnull().any()
     ):
         tn = _pdfc["_t"].to_numpy().astype(np.int64)
         dn = _pdfc["_d"].to_numpy().astype(np.int64)
@@ -9364,7 +9824,7 @@ def shared_gamma_frailty(
         w_cl = np.ones(ncl)
         for _ in range(iters):
             rmw_g = np.add.reduceat(
-                np.rint(ns * w_cl[cds] * 1e6).astype(np.int64),
+                round_half_up(ns * w_cl[cds] * 1e6).astype(np.int64),
                 gstarts,
             )
             pre = np.cumsum(rmw_g)
@@ -9372,7 +9832,7 @@ def shared_gamma_frailty(
             atrisk = (rmw_g.sum() - pre) / 1e6
             inc = np.where(
                 dt_g > 0,
-                np.rint(dt_g / atrisk * 1e6).astype(np.int64),
+                round_half_up(dt_g / atrisk * 1e6).astype(np.int64),
                 np.int64(0),
             )
             pre_i = np.cumsum(inc)
@@ -9395,7 +9855,7 @@ def shared_gamma_frailty(
                     + dcl * float(math.log(th))
                 )
                 lls.append(
-                    int(np.rint(term * 1e9).astype(np.int64).sum())
+                    int(round_half_up(term * 1e9).astype(np.int64).sum())
                 )
             best = max(
                 range(len(grid)), key=lambda gi: (lls[gi], -gi)
@@ -9826,12 +10286,12 @@ def _aft_driver_fit(cells, p, iters, terms):
         cells[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
     ]
     q = p + 2
-    sy = np.rint(yv * w * 1e9).astype(np.int64).sum()
+    sy = round_half_up(yv * w * 1e9).astype(np.int64).sum()
     nn = int(cells["_n"].to_numpy().astype(np.int64).sum())
     theta = [round(sy / 1e9 / nn, 9)] + [0.0] * p + [0.0]
 
     def tsum(expr):
-        return np.rint(expr * w * 1e9).astype(np.int64).sum() / 1e9
+        return round_half_up(expr * w * 1e9).astype(np.int64).sum() / 1e9
 
     info = None
     for _ in range(iters):
@@ -10606,14 +11066,13 @@ def cox_ph_counting(
     )
     _pdfc = collect_cells(_proj, list(_proj.columns))
     if _pdfc is not None:
-        _ok = True
-        for c in [f"_x{j}" for j in range(p)] + ["_st", "_sp"]:
-            v = _pdfc[c]
-            if v.isnull().any() or not np.isfinite(
-                v.to_numpy(dtype=np.float64)
-            ).all():
-                _ok = False
-                break
+        # _d included: a null event would NaN-cast to int64 garbage in
+        # the twin where the distributed long sums null-skip
+        _ok = cells_clean(
+            _pdfc,
+            [f"_x{j}" for j in range(p)] + ["_st", "_sp"],
+            ["_d"],
+        )
         if _ok:
             if (
                 _pdfc["_sp"].to_numpy() <= _pdfc["_st"].to_numpy()
@@ -10649,7 +11108,7 @@ def cox_ph_counting(
             s_t = [
                 scatter(
                     xi,
-                    wv * dv * np.rint(xv[j] * 1e9).astype(np.int64),
+                    wv * dv * round_half_up(xv[j] * 1e9).astype(np.int64),
                 ).astype(np.float64)
                 for j in range(p)
             ]
@@ -10668,14 +11127,14 @@ def cox_ph_counting(
                         excl(scatter(si, v)) - excl(scatter(xi, v))
                     ).astype(np.float64)
 
-                s0 = mom(np.rint(r * 1e9).astype(np.int64))
+                s0 = mom(round_half_up(r * 1e9).astype(np.int64))
                 s1 = [
-                    mom(np.rint(r * xv[j] * 1e9).astype(np.int64))
+                    mom(round_half_up(r * xv[j] * 1e9).astype(np.int64))
                     for j in range(p)
                 ]
                 s2 = {
                     (j, k): mom(
-                        np.rint(r * xv[j] * xv[k] * 1e9).astype(
+                        round_half_up(r * xv[j] * xv[k] * 1e9).astype(
                             np.int64
                         )
                     )
@@ -10690,7 +11149,7 @@ def cox_ph_counting(
                     for j in range(p):
                         term = s_t[j] / 1e9 - dtf * s1[j] / s0
                         gsum[j] = (
-                            np.rint(term[evm] * 1e9)
+                            round_half_up(term[evm] * 1e9)
                             .astype(np.int64)
                             .sum()
                             / 1e9
@@ -10702,7 +11161,7 @@ def cox_ph_counting(
                                 - (s1[j] / s0) * (s1[k] / s0)
                             )
                             isum[j, k] = isum[k, j] = (
-                                np.rint(term[evm] * 1e9)
+                                round_half_up(term[evm] * 1e9)
                                 .astype(np.int64)
                                 .sum()
                                 / 1e9
@@ -10878,6 +11337,43 @@ def gray_test_stratified(
             "gray_test_stratified: strata_cols must be non-empty "
             "(use gray_test)"
         )
+    # r11 driver-solve fast path — the gray_test twin with per-stratum
+    # segmentation (see _gray_driver_sums); bit-identical, pinned in
+    # tests/test_driverfit.py.
+    _pdfc, _gvals = _gray_collect(
+        df, group_col, duration_col, cause_col, strata
+    )
+    if _pdfc is not None:
+        if len(_gvals) != 2:
+            raise ValueError(
+                "gray_test_stratified needs exactly 2 groups, "
+                f"got {_gvals}"
+            )
+        _ns, _n1, _n, _ev1, _e, _u, _i = _gray_driver_sums(
+            _pdfc, _gvals[0], len(strata)
+        )
+        _nano = F.lit(1000000000.0)
+        hdr = df.sparkSession.createDataFrame(
+            [(_ns, _n1, _n, _ev1, _e, _u, _i)],
+            "_ns long, _n1 long, _n long, events_1 long, _el long, "
+            "_ul long, _il long",
+        )
+        return hdr.select(
+            F.col("_ns").alias("n_strata"),
+            F.col("_n1").alias("n_subjects_1"),
+            (F.col("_n") - F.col("_n1")).alias("n_subjects_2"),
+            "events_1",
+            F.round(F.col("_el") / _nano, 6).alias("expected_1"),
+            F.round(F.col("_ul") / _nano, 6).alias("score"),
+            F.round(F.col("_il") / _nano, 6).alias("information"),
+            F.round(
+                (F.col("_ul") / _nano)
+                * (F.col("_ul") / _nano)
+                / (F.col("_il") / _nano),
+                6,
+            ).alias("chi_square"),
+        )
+
     gvals = [
         r[0]
         for r in df.select(group_col).distinct().orderBy(group_col)

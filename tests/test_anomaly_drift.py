@@ -8,6 +8,9 @@ import statistics
 import pytest
 from pyspark.sql import functions as F
 
+from cancer_survival_etl_spark.operators.driverfit import (
+    round_half_up as _rhu,
+)
 from cancer_survival_etl_spark.operators.stats import psi_drift
 from cancer_survival_etl_spark.operators.timeseries import anomaly_mad
 
@@ -982,13 +985,13 @@ def test_glm_poisson_recovers_planted_rates(spark):
     for _ in range(8):
         mu = np.exp(O + X @ b)
         g = np.array([
-            np.sum(np.rint((Y - mu) * X[:, j] * 1e9)) / 1e9
+            np.sum(_rhu((Y - mu) * X[:, j] * 1e9)) / 1e9
             for j in range(2)
         ])
         I = np.zeros((2, 2))
         for j in range(2):
             for k in range(2):
-                I[j, k] = np.sum(np.rint(mu * X[:, j] * X[:, k] * 1e9)) / 1e9
+                I[j, k] = np.sum(_rhu(mu * X[:, j] * X[:, k] * 1e9)) / 1e9
         b = np.round(b + np.linalg.solve(I, g), 9)
     assert list(b) == beta
     # without the offset the intercept must absorb mean exposure

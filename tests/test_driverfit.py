@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+import cancer_survival_etl_spark.operators.graph as gr
 import cancer_survival_etl_spark.operators.stats as st
 import cancer_survival_etl_spark.operators.survival as sv
 
@@ -185,6 +186,279 @@ def test_frailty_driver_path_bit_equal(spark, monkeypatch):
     fast = sv.shared_gamma_frailty(d, "cl", iters=3).collect()
     monkeypatch.setattr(sv, "MAX_DRIVER_CELLS", 0)
     assert sv.shared_gamma_frailty(d, "cl", iters=3).collect() == fast
+
+
+def test_cc_kcore_driver_paths_bit_equal(spark, monkeypatch):
+    # chains, a clique, isolated singletons from the nodes frame
+    edges = spark.range(400).select(
+        F.col("id").alias("id_a"),
+        F.when(F.col("id") % 7 == 0, F.col("id") + 13)
+        .otherwise(F.col("id") + 1)
+        .alias("id_b"),
+    )
+    nodes = spark.range(500).select(F.col("id").alias("id_a"))
+    fast = sorted(
+        tuple(r)
+        for r in gr.connected_components(
+            edges, nodes=nodes
+        ).collect()
+    )
+    fast_k = sorted(
+        tuple(r) for r in gr.k_core(edges, 3).collect()
+    )
+    monkeypatch.setattr(gr, "MAX_DRIVER_CELLS", 0)
+    slow = sorted(
+        tuple(r)
+        for r in gr.connected_components(
+            edges, nodes=nodes
+        ).collect()
+    )
+    slow_k = sorted(
+        tuple(r) for r in gr.k_core(edges, 3).collect()
+    )
+    assert fast == slow
+    assert fast_k == slow_k
+
+
+def test_gee_driver_path_bit_equal(spark, monkeypatch):
+    d = spark.range(5000).select(
+        (F.col("id") % 120).alias("cl"),
+        ((F.col("id") % 5) / 5.0).alias("x"),
+        (
+            (F.col("id") * 7 % 1000) / 1000.0
+            < 1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.lit(-0.5)
+                        + 1.1 * ((F.col("id") % 5) / 5.0)
+                        + ((F.col("id") % 120) % 7 - 3.0) / 2.0
+                    )
+                )
+            )
+        ).cast("int").alias("y"),
+    )
+    fast = st.gee_logistic_exchangeable(
+        d, "cl", ["x"], "y", iters=4, return_se=True
+    )
+    orig = st._fit_cells
+    monkeypatch.setattr(
+        st,
+        "_fit_cells",
+        lambda df, cols, max_cells=65536: orig(df, cols)[:2] + (None,),
+    )
+    assert (
+        st.gee_logistic_exchangeable(
+            d, "cl", ["x"], "y", iters=4, return_se=True
+        )
+        == fast
+    )
+
+
+def test_ordinal_multinomial_driver_paths_bit_equal(
+    spark, monkeypatch
+):
+    d = spark.range(4000).select(
+        ((F.col("id") % 4) / 4.0).alias("x"),
+        F.when(F.col("id") % 7 < 2, F.lit("s1"))
+        .when(F.col("id") % 7 < 5, F.lit("s2"))
+        .otherwise(F.lit("s3"))
+        .alias("y"),
+    )
+    fast_o = st.ordinal_logistic(d, ["x"], "y", iters=4, return_se=True)
+    fast_m = st.multinomial_logistic(
+        d, ["x"], "y", iters=4, return_se=True
+    )
+    monkeypatch.setattr(st, "_ordmn_collect", lambda *a, **k: None)
+    assert (
+        st.ordinal_logistic(d, ["x"], "y", iters=4, return_se=True)
+        == fast_o
+    )
+    assert (
+        st.multinomial_logistic(d, ["x"], "y", iters=4, return_se=True)
+        == fast_m
+    )
+
+
+def test_quantile_driver_path_bit_equal(spark, monkeypatch):
+    d = spark.range(4000).select(
+        ((F.col("id") % 50) / 50.0 * 4.0).alias("x"),
+        F.round(
+            2.0
+            + 3.0 * ((F.col("id") % 50) / 50.0 * 4.0)
+            + ((F.col("id") * 13 % 997) / 997.0 - 0.5)
+            * (1.0 + 2.0 * ((F.col("id") % 50) / 50.0 * 4.0)),
+            6,
+        ).alias("y"),
+    )
+    fast = [
+        tuple(r)
+        for r in st.quantile_regression(
+            d, ["x"], "y", 0.7, iters=6
+        ).collect()
+    ]
+    orig = st._fit_cells
+    monkeypatch.setattr(
+        st,
+        "_fit_cells",
+        lambda df, cols, max_cells=65536: orig(df, cols)[:2] + (None,),
+    )
+    slow = [
+        tuple(r)
+        for r in st.quantile_regression(
+            d, ["x"], "y", 0.7, iters=6
+        ).collect()
+    ]
+    assert fast == slow
+
+
+def test_gray_driver_paths_bit_equal(spark, monkeypatch):
+    d = spark.range(5000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("H")).otherwise(F.lit("L"))
+        .alias("strat"),
+        F.when(F.col("id") % 3 == 0, F.lit("A")).otherwise(F.lit("B"))
+        .alias("grp"),
+        (
+            F.floor(
+                -F.log((F.col("id") % 991 + 1) / 992.0) * 8
+            )
+            + 1
+        ).cast("double").alias("duration"),
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .when(F.col("id") % 5 < 3, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("cause"),
+    )
+    fast_u = sv.gray_test(d, "grp").collect()
+    fast_s = sv.gray_test_stratified(d, "grp", ["strat"]).collect()
+    monkeypatch.setattr(
+        sv, "_gray_collect", lambda *a, **k: (None, None)
+    )
+    assert sv.gray_test(d, "grp").collect() == fast_u
+    assert (
+        sv.gray_test_stratified(d, "grp", ["strat"]).collect()
+        == fast_s
+    )
+
+
+def test_aipw_driver_paths_bit_equal(spark, monkeypatch):
+    d = spark.range(4000).select(
+        ((F.col("id") % 2)).cast("double").alias("x"),
+        (F.col("id") % 3 == 0).cast("int").alias("arm"),
+        F.least(
+            F.floor(
+                -F.log((F.col("id") % 997 + 1) / 998.0)
+                * (10 + 5 * (F.col("id") % 2))
+            )
+            + 1,
+            F.lit(30),
+        ).cast("long").alias("duration"),
+    ).select(
+        "x",
+        "arm",
+        "duration",
+        (F.col("duration") < 30).cast("int").alias("event"),
+    )
+    fast_a = sv.aipw_survival_contrast(d, "arm", ["x"], [5, 15]).collect()
+    fast_h = sv.aipw_survival_contrast(
+        d, "arm", ["x"], [5, 15], augment=False
+    ).collect()
+    fast_i = sv.aipw_survival_contrast(
+        d, "arm", ["x"], [5, 15], censoring="ipcw"
+    ).collect()
+    monkeypatch.setattr(
+        sv, "_aipw_driver_contrast", lambda *a, **k: None
+    )
+    assert (
+        sv.aipw_survival_contrast(d, "arm", ["x"], [5, 15]).collect()
+        == fast_a
+    )
+    assert (
+        sv.aipw_survival_contrast(
+            d, "arm", ["x"], [5, 15], augment=False
+        ).collect()
+        == fast_h
+    )
+    assert (
+        sv.aipw_survival_contrast(
+            d, "arm", ["x"], [5, 15], censoring="ipcw"
+        ).collect()
+        == fast_i
+    )
+
+
+def test_cox_driver_path_half_lattice_ties(spark):
+    # ADVICE r10: features k/1024 put x*1e9 exactly on half-lattice
+    # points (1e9 = 2^9·5^9), where np.rint (half-even) diverges from
+    # Spark's F.round (HALF_UP). The twin must round half-up.
+    d = spark.range(4000).select(
+        ((F.col("id") % 9) / 1024.0).alias("x1"),
+        F.greatest(
+            F.round(
+                -F.log((F.col("id") % 997 + 1) / 998.0)
+                / F.exp(200.0 * ((F.col("id") % 9) / 1024.0)),
+                1,
+            ),
+            F.lit(0.1),
+        ).alias("duration"),
+        (F.col("id") % 4 > 0).cast("int").alias("event"),
+    )
+    fast = sv.cox_ph(d, ["x1"], iters=4, return_se=True)
+    slow = sv.cox_ph(
+        d, ["x1"], iters=4, return_se=True, max_driver_cells=0
+    )
+    assert fast == slow
+
+
+def test_null_screens_force_distributed_fallback(spark):
+    # nulls in features/duration/event must force the distributed
+    # fold (which null-skips) — the numpy twin would garbage-cast
+    # NaN to INT64_MIN and split NaN durations into per-row groups
+    d = spark.range(3000).select(
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise((F.col("id") % 7) / 7.0)
+        .alias("x1"),
+        F.when(F.col("id") % 23 == 0, None)
+        .otherwise(
+            F.greatest(
+                F.round(
+                    -F.log((F.col("id") % 997 + 1) / 998.0), 1
+                ),
+                F.lit(0.1),
+            )
+        )
+        .alias("duration"),
+        F.when(F.col("id") % 31 == 0, None)
+        .otherwise((F.col("id") % 4 > 0).cast("int"))
+        .alias("event"),
+    )
+    fast = sv.cox_ph(d, ["x1"], iters=3, return_se=True)
+    slow = sv.cox_ph(
+        d, ["x1"], iters=3, return_se=True, max_driver_cells=0
+    )
+    assert fast == slow
+
+
+def test_frailty_null_cluster_forces_fallback(spark, monkeypatch):
+    # null cluster ids: the distributed EM's inner joins drop those
+    # cells and countDistinct excludes null — the driver twin must
+    # not keep a null-cluster group
+    d = spark.range(3000).select(
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise((F.col("id") % 80).cast("string"))
+        .alias("cl"),
+        F.greatest(
+            F.round(
+                -F.log((F.col("id") % 991 + 1) / 992.0) * 10, 0
+            ).cast("long"),
+            F.lit(1),
+        ).alias("duration"),
+        (F.col("id") % 4 > 0).cast("int").alias("event"),
+    )
+    fast = sv.shared_gamma_frailty(d, "cl", iters=2).collect()
+    monkeypatch.setattr(sv, "MAX_DRIVER_CELLS", 0)
+    assert sv.shared_gamma_frailty(d, "cl", iters=2).collect() == fast
 
 
 def test_aft_driver_paths_bit_equal(spark, monkeypatch):
