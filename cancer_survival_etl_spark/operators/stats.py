@@ -6177,7 +6177,15 @@ def quantile_regression(
     # below is a pure function of (x, y), so Σ_rows round = Σ_cells
     # w·round, and percentile(y, τ, w) with the frequency argument
     # accumulates the identical counts map as the per-row form.
-    src, cw, _pdfc = _fit_cells(df, list(dict.fromkeys(feats + [y_col])))
+    # MAX_DRIVER_CELLS (not the GLM family's 65536-pattern cap): a
+    # near-continuous y makes (x, y) cells approach the row count, and
+    # the MM twin is a flat per-cell fold — the transfer-size guard is
+    # the right bound here
+    src, cw, _pdfc = _fit_cells(
+        df,
+        list(dict.fromkeys(feats + [y_col])),
+        max_cells=MAX_DRIVER_CELLS,
+    )
 
     # driver-solve fast path (driverfit.py): bounded collected cells ->
     # the base moments, the exact percentile, the whole MM loop and the

@@ -59,6 +59,157 @@ def _pico(x: Column) -> Column:
     return F.round(x * F.lit(1000000000000.0), 0).cast("long")
 
 
+def _km_driver_prefixes(pdfc, g, duration_col):
+    """Shared numpy core of the km_curve / km_curve_weighted driver
+    twins: sort collected per-(group, duration) cells and return the
+    sort order plus exact int64 per-group exclusive-prefix / total
+    helpers (the grouped_prefix_sum / totals_alias twins)."""
+    import numpy as np
+
+    if g:
+        gcode = (
+            pdfc.groupby(list(g), sort=False, dropna=False)
+            .ngroup()
+            .to_numpy()
+        )
+    else:
+        gcode = np.zeros(len(pdfc), dtype=np.int64)
+    dur = pdfc[duration_col].to_numpy()
+    order = np.lexsort((dur, gcode))
+    gs = gcode[order]
+    new_g = np.ones(len(gs), dtype=bool)
+    if len(gs) > 1:
+        new_g[1:] = gs[1:] != gs[:-1]
+    gstarts = np.flatnonzero(new_g)
+    glen = np.diff(np.append(gstarts, len(gs)))
+
+    def expref(v):
+        pre = np.cumsum(v)
+        pre = np.concatenate(([np.int64(0)], pre[:-1]))
+        return pre - np.repeat(pre[gstarts], glen)
+
+    def gtot(v):
+        return np.repeat(np.add.reduceat(v, gstarts), glen)
+
+    return order, expref, gtot
+
+
+def _km_driver_curve(df, g, duration_col, event_col):
+    """km_curve driver twin: ONE bounded cell collect (the same
+    groupBy the distributed path runs, so the collected counts are
+    Spark's own longs), exact int64 prefixes + micro/pico lattice
+    terms in numpy, and the float tail (exp / 6-dp rounds / zero-pin)
+    handed back to Spark as the IDENTICAL expressions over identical
+    longs — bit-identical rows (pinned in tests/test_driverfit.py).
+    Returns None (caller falls back) when unbounded or any key/count
+    is null/NaN."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = F.col(event_col).cast("long")
+    probe = df.groupBy(*g, duration_col).agg(
+        F.sum(ev).alias("n_event"),
+        F.sum(F.lit(1) - ev).alias("n_censored"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    pdfc = probe.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if len(pdfc) > MAX_DRIVER_CELLS:
+        return None
+    for c in list(g) + [duration_col, "n_event", "n_censored"]:
+        v = pdfc[c]
+        if v.isnull().any():
+            return None
+        if v.dtype.kind == "f" and not np.isfinite(v.to_numpy()).all():
+            return None
+    order, expref, gtot = _km_driver_prefixes(pdfc, g, duration_col)
+    pdfc = pdfc.iloc[order].reset_index(drop=True)
+    d = pdfc["n_event"].to_numpy().astype(np.int64)
+    cen = pdfc["n_censored"].to_numpy().astype(np.int64)
+    cnt = pdfc["_cnt"].to_numpy().astype(np.int64)
+    rm = d + cen
+    n_subj = gtot(cnt)
+    n_risk = n_subj - expref(rm)
+    evc = (d > 0) & (d < n_risk)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(n_risk > 0, d / n_risk, 0.0)
+    lt = np.where(
+        evc,
+        round_half_up(np.log(1.0 - np.where(evc, frac, 0.0)) * 1e6)
+        .astype(np.int64),
+        np.int64(0),
+    )
+    na = np.where(
+        d > 0,
+        round_half_up(np.where(n_risk > 0, frac, 0.0) * 1e6).astype(
+            np.int64
+        ),
+        np.int64(0),
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gwf = np.where(
+            evc, d / (n_risk * (n_risk - d)), 0.0
+        )
+    gw = np.where(
+        evc, round_half_up(gwf * 1e12).astype(np.int64), np.int64(0)
+    )
+    dall = ((d > 0) & (d == n_risk)).astype(np.int64)
+    lt_in = expref(lt) + lt
+    na_in = expref(na) + na
+    gw_in = expref(gw) + gw
+    dall_in = expref(dall) + dall
+
+    gfields = [
+        f for f in probe.schema.fields
+        if f.name in list(g) + [duration_col]
+    ]
+    schema = StructType(
+        gfields
+        + [
+            StructField("n_risk", LongType()),
+            StructField("n_event", LongType()),
+            StructField("n_censored", LongType()),
+            StructField("_lt", LongType()),
+            StructField("_na", LongType()),
+            StructField("_gw", LongType()),
+            StructField("_dall", LongType()),
+        ]
+    )
+    out_pdf = pdfc[list(g) + [duration_col]].copy()
+    out_pdf["n_risk"] = n_risk
+    out_pdf["n_event"] = d
+    out_pdf["n_censored"] = cen
+    out_pdf["_lt"] = lt_in
+    out_pdf["_na"] = na_in
+    out_pdf["_gw"] = gw_in
+    out_pdf["_dall"] = dall_in
+    hdr = df.sparkSession.createDataFrame(out_pdf, schema)
+    s_raw = F.exp(F.col("_lt") / F.lit(1000000.0))
+    return hdr.select(
+        *g,
+        duration_col,
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.when(F.col("_dall") > 0, F.lit(0.0))
+        .otherwise(F.round(s_raw, 6))
+        .alias("survival"),
+        F.round(F.col("_na") / F.lit(1000000.0), 6).alias(
+            "cum_hazard"
+        ),
+        F.when(
+            F.col("_dall") > 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                s_raw * F.sqrt(F.col("_gw") / F.lit(1000000000000.0)),
+                6,
+            )
+        )
+        .alias("se_greenwood"),
+    )
+
+
 def km_curve(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -89,6 +240,13 @@ def km_curve(
     the two aggregates.
     """
     g = list(group_cols)
+    # r11 driver-solve fast path: bounded per-(group, duration) cells
+    # -> the two grouped prefix passes run on the driver; bit-identical
+    # (pinned in tests/test_driverfit.py), distributed fallback below.
+    _res = _km_driver_curve(df, g, duration_col, event_col)
+    if _res is not None:
+        return _res
+
     ev = F.col(event_col).cast("long")
     cells = df.groupBy(*g, duration_col).agg(
         F.sum(ev).alias("n_event"),
@@ -6890,6 +7048,107 @@ def prevalence_counting(
     )
 
 
+def _km_weighted_driver_curve(
+    df, g, duration_col, event_col, weight_col
+):
+    """km_curve_weighted driver twin — the _km_driver_curve shape on
+    the micro-lattice weight sums (the probe aggregate carries the
+    same in-plan weights-must-be-positive guard, so the raise fires
+    identically during the bounded collect). Bit-identical rows
+    (pinned in tests/test_driverfit.py); None -> distributed."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = F.col(event_col).cast("long")
+    w_ok = F.when(
+        F.col(weight_col).cast("double") <= 0,
+        F.raise_error(
+            F.lit("km_curve_weighted: weights must be > 0")
+        ).cast("double"),
+    ).otherwise(F.col(weight_col).cast("double"))
+    wm = _micro(w_ok)
+    probe = df.groupBy(*g, duration_col).agg(
+        F.sum(F.when(ev == 1, wm).otherwise(F.lit(0))).alias("_dw"),
+        F.sum(wm).alias("_rw"),
+        F.sum(ev).alias("n_event"),
+        F.sum(F.lit(1) - ev).alias("n_censored"),
+    )
+    pdfc = probe.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if len(pdfc) > MAX_DRIVER_CELLS:
+        return None
+    for c in list(g) + [
+        duration_col, "_dw", "_rw", "n_event", "n_censored"
+    ]:
+        v = pdfc[c]
+        if v.isnull().any():
+            return None
+        if v.dtype.kind == "f" and not np.isfinite(v.to_numpy()).all():
+            return None
+    order, expref, gtot = _km_driver_prefixes(pdfc, g, duration_col)
+    pdfc = pdfc.iloc[order].reset_index(drop=True)
+    dwl = pdfc["_dw"].to_numpy().astype(np.int64)
+    rwl = pdfc["_rw"].to_numpy().astype(np.int64)
+    wtot = gtot(rwl)
+    rwb = expref(rwl)
+    dw = dwl / 1e6
+    yw = (wtot - rwb) / 1e6
+    evc = (dw > 0) & (dw < yw)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(yw > 0, dw / yw, 0.0)
+    lt = np.where(
+        evc,
+        round_half_up(np.log(1.0 - np.where(evc, frac, 0.0)) * 1e6)
+        .astype(np.int64),
+        np.int64(0),
+    )
+    dall = ((dw > 0) & (dw == yw)).astype(np.int64)
+    lt_in = expref(lt) + lt
+    dall_in = expref(dall) + dall
+
+    gfields = [
+        f for f in probe.schema.fields
+        if f.name in list(g) + [duration_col]
+    ]
+    schema = StructType(
+        gfields
+        + [
+            StructField("_dw", LongType()),
+            StructField("_rwb", LongType()),
+            StructField("_wtot", LongType()),
+            StructField("n_event", LongType()),
+            StructField("n_censored", LongType()),
+            StructField("_lt", LongType()),
+            StructField("_dall", LongType()),
+        ]
+    )
+    out_pdf = pdfc[list(g) + [duration_col]].copy()
+    out_pdf["_dw"] = dwl
+    out_pdf["_rwb"] = rwb
+    out_pdf["_wtot"] = wtot
+    out_pdf["n_event"] = pdfc["n_event"].to_numpy().astype(np.int64)
+    out_pdf["n_censored"] = (
+        pdfc["n_censored"].to_numpy().astype(np.int64)
+    )
+    out_pdf["_lt"] = lt_in
+    out_pdf["_dall"] = dall_in
+    hdr = df.sparkSession.createDataFrame(out_pdf, schema)
+    micro6 = F.lit(1000000.0)
+    dw_c = F.col("_dw") / micro6
+    yw_c = (F.col("_wtot") - F.col("_rwb")) / micro6
+    return hdr.select(
+        *g,
+        duration_col,
+        F.round(yw_c, 6).alias("w_risk"),
+        F.round(dw_c, 6).alias("w_event"),
+        "n_event",
+        "n_censored",
+        F.when(F.col("_dall") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("_lt") / micro6), 6))
+        .alias("survival"),
+    )
+
+
 def km_curve_weighted(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -6923,6 +7182,13 @@ def km_curve_weighted(
     n_censored, survival (6 dp).
     """
     g = list(group_cols)
+    # r11 driver-solve fast path (see _km_weighted_driver_curve)
+    _res = _km_weighted_driver_curve(
+        df, g, duration_col, event_col, weight_col
+    )
+    if _res is not None:
+        return _res
+
     ev = F.col(event_col).cast("long")
     w_ok = F.when(
         F.col(weight_col).cast("double") <= 0,

@@ -342,6 +342,43 @@ def test_gray_driver_paths_bit_equal(spark, monkeypatch):
     )
 
 
+def test_km_driver_paths_bit_equal(spark, monkeypatch):
+    d = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (
+            F.floor(-F.log((F.col("id") % 991 + 1) / 992.0) * 12) + 1
+        ).cast("long").alias("duration"),
+        (F.col("id") % 4 > 0).cast("int").alias("event"),
+        (1.0 + (F.col("id") % 7) / 7.0).alias("w"),
+    )
+    fast = sorted(
+        tuple(r)
+        for r in sv.km_curve(d, ["grp"], "duration", "event").collect()
+    )
+    fast_w = sorted(
+        tuple(r)
+        for r in sv.km_curve_weighted(
+            d, ["grp"], "duration", "event", "w"
+        ).collect()
+    )
+    monkeypatch.setattr(sv, "_km_driver_curve", lambda *a, **k: None)
+    monkeypatch.setattr(
+        sv, "_km_weighted_driver_curve", lambda *a, **k: None
+    )
+    slow = sorted(
+        tuple(r)
+        for r in sv.km_curve(d, ["grp"], "duration", "event").collect()
+    )
+    slow_w = sorted(
+        tuple(r)
+        for r in sv.km_curve_weighted(
+            d, ["grp"], "duration", "event", "w"
+        ).collect()
+    )
+    assert fast == slow
+    assert fast_w == slow_w
+
+
 def test_aipw_driver_paths_bit_equal(spark, monkeypatch):
     d = spark.range(4000).select(
         ((F.col("id") % 2)).cast("double").alias("x"),

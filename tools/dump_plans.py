@@ -1,4 +1,4 @@
-"""Dump per-query formatted plans to plans/r10/<query>_<tag>.txt.
+"""Dump per-query formatted plans to plans/<round>/<query>_<tag>.txt (round from $SPARK_GRAFT_PLANS_ROUND, default r11).
 
 Usage: python tools/dump_plans.py <before|after> [sf_dir] query...
 
@@ -31,7 +31,7 @@ def main() -> None:
     else:
         sf_dir, names = "/root/testdata/sf0.001", rest
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("dump_plans")
     qs = entrymod.queries()
