@@ -86,28 +86,83 @@ def logistic_train(
     executors. Features should be standardized-ish (same order of
     magnitude) for a fixed lr to behave.
 
-    Determinism: float partial sums are partition-order-dependent in
-    the last ulp, so each gradient component is ROUNDED to 9 dp before
-    the update — the update lattice absorbs the ulp noise and the
-    learned weights are bit-identical at any partitioning (pinned in
-    tests at 1 vs 64 partitions, and against a numpy reference
-    implementing the same rounding).
+    Determinism (r11, the glm_* exact-lattice contract): each per-row
+    gradient term is rounded onto the 1e-9 nano lattice and summed as
+    an exact long, so the component sums — and therefore the learned
+    weights — are BIT-IDENTICAL under any partitioning (exactly, not
+    just absorbed by the 9-dp update rounding as the pre-r11 raw
+    double fold relied on; pinned in tests at 1 vs 64 partitions and
+    against a numpy reference implementing the same lattice).
+
+    r11 driver-solve fast path (operators/driverfit.py): rows collapse
+    to (x-pattern, label) cells in ONE map-side-combined aggregate;
+    when bounded, the whole GD loop runs on the driver over the
+    collected cells — Σ_rows round(term·1e9) = Σ_cells w·round(
+    term·1e9) makes it bit-identical to the distributed fold (pinned
+    in tests/test_driverfit.py). Unbounded cohorts run the unchanged
+    distributed fold over the collapsed cells (or the raw projection
+    when the collapse itself is unbounded).
     """
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.driverfit import (
+        cells_clean,
+        collect_cells,
+        round_half_up,
+    )
+
     feats = list(feature_cols)
     w = [0.0] * (len(feats) + 1)
+    proj = df.select(
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in enumerate(feats)],
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    pdfc = collect_cells(proj, list(proj.columns))
+    if pdfc is not None and cells_clean(
+        pdfc, [f"_x{j}" for j in range(len(feats))] + ["_y"]
+    ):
+        wv = pdfc["_w"].to_numpy().astype(np.int64)
+        n = int(wv.sum())
+        xv = [
+            pdfc[f"_x{j}"].to_numpy().astype(np.float64)
+            for j in range(len(feats))
+        ]
+        yv = pdfc["_y"].to_numpy().astype(np.float64)
+        for _ in range(iters):
+            z = np.full(len(wv), w[0])
+            for j in range(len(feats)):
+                z = z + w[j + 1] * xv[j]
+            resid = 1.0 / (1.0 + np.exp(-z)) - yv
+            gl = [round_half_up(resid * 1e9).astype(np.int64)] + [
+                round_half_up(resid * xv[j] * 1e9).astype(np.int64)
+                for j in range(len(feats))
+            ]
+            grads = [
+                round(float((g * wv).sum()) / 1e9 / n, 9) for g in gl
+            ]
+            w = [wj - lr * (gj + l2 * wj) for wj, gj in zip(w, grads)]
+        return [round(wj, 9) for wj in w]
+
     n = df.count()
     y = F.col(label_col).cast("double")
+    nano = F.lit(1000000000.0)
     for _ in range(iters):
         z = F.lit(w[0])
         for j, c in enumerate(feats):
             z = z + F.lit(w[j + 1]) * F.col(c).cast("double")
         resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y
-        aggs = [F.sum(resid).alias("g0")] + [
-            F.sum(resid * F.col(c).cast("double")).alias(f"g{j + 1}")
+        aggs = [
+            F.sum(F.round(resid * nano, 0).cast("long")).alias("g0")
+        ] + [
+            F.sum(
+                F.round(resid * F.col(c).cast("double") * nano, 0).cast(
+                    "long"
+                )
+            ).alias(f"g{j + 1}")
             for j, c in enumerate(feats)
         ]
         row = df.agg(*aggs).collect()[0]
-        grads = [round(row[f"g{j}"] / n, 9) for j in range(len(w))]
+        grads = [round(row[f"g{j}"] / 1e9 / n, 9) for j in range(len(w))]
         w = [
             wj - lr * (gj + l2 * wj)
             for wj, gj in zip(w, grads)
@@ -139,15 +194,57 @@ def quantile_train(
 
     Each iteration is ONE distributed aggregate, the same fused-JVM
     shape as ``logistic_train``: grad_j = Σ x_j·(σ((z−y)/h) − τ) / n;
-    the driver holds only d+1 scalars. Gradient components are
-    rounded to 9 dp before the update, so the learned weights are
-    bit-identical at any partitioning (same determinism contract,
-    pinned in tests).
+    the driver holds only d+1 scalars. Determinism and the driver-
+    solve fast path follow ``logistic_train`` exactly (r11): per-row
+    terms are rounded onto the 1e-9 nano lattice and summed as exact
+    longs — bit-identical weights under any partitioning — and a
+    bounded (x-pattern, y) cell collapse runs the whole annealed loop
+    on the driver (pinned in tests/test_driverfit.py).
     """
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.driverfit import (
+        cells_clean,
+        collect_cells,
+        round_half_up,
+    )
+
     feats = list(feature_cols)
     w = [0.0] * (len(feats) + 1)
+    proj = df.select(
+        *[F.col(c).cast("double").alias(f"_x{j}") for j, c in enumerate(feats)],
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    pdfc = collect_cells(proj, list(proj.columns))
+    if pdfc is not None and cells_clean(
+        pdfc, [f"_x{j}" for j in range(len(feats))] + ["_y"]
+    ):
+        wv = pdfc["_w"].to_numpy().astype(np.int64)
+        n = int(wv.sum())
+        xv = [
+            pdfc[f"_x{j}"].to_numpy().astype(np.float64)
+            for j in range(len(feats))
+        ]
+        yv = pdfc["_y"].to_numpy().astype(np.float64)
+        for t in range(iters):
+            h = max(h0 / (t + 1.0), 1e-3)
+            z = np.full(len(wv), w[0])
+            for j in range(len(feats)):
+                z = z + w[j + 1] * xv[j]
+            s = 1.0 / (1.0 + np.exp(-(z - yv) / h)) - float(tau)
+            gl = [round_half_up(s * 1e9).astype(np.int64)] + [
+                round_half_up(s * xv[j] * 1e9).astype(np.int64)
+                for j in range(len(feats))
+            ]
+            grads = [
+                round(float((g * wv).sum()) / 1e9 / n, 9) for g in gl
+            ]
+            w = [round(wj - lr * gj, 9) for wj, gj in zip(w, grads)]
+        return [round(wj, 9) for wj in w]
+
     n = df.count()
     y = F.col(y_col).cast("double")
+    nano = F.lit(1000000000.0)
     for t in range(iters):
         h = max(h0 / (t + 1.0), 1e-3)
         z = F.lit(w[0])
@@ -157,11 +254,17 @@ def quantile_train(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-(z - y) / F.lit(h)))
             - F.lit(float(tau))
         )
-        aggs = [F.sum(s).alias("g0")] + [
-            F.sum(s * F.col(c).cast("double")).alias(f"g{j + 1}")
+        aggs = [
+            F.sum(F.round(s * nano, 0).cast("long")).alias("g0")
+        ] + [
+            F.sum(
+                F.round(s * F.col(c).cast("double") * nano, 0).cast(
+                    "long"
+                )
+            ).alias(f"g{j + 1}")
             for j, c in enumerate(feats)
         ]
         row = df.agg(*aggs).collect()[0]
-        grads = [round(row[f"g{j}"] / n, 9) for j in range(len(w))]
+        grads = [round(row[f"g{j}"] / 1e9 / n, 9) for j in range(len(w))]
         w = [round(wj - lr * gj, 9) for wj, gj in zip(w, grads)]
     return [round(wj, 9) for wj in w]

@@ -5400,6 +5400,162 @@ def aalen_johansen_illness_death(
     )
 
 
+def _cox_td_driver_fit(pdfc, p, iters, ties, return_se):
+    """numpy twin of the ``cox_ph_time_dependent`` Newton loop over
+    collected (x-pattern, start, stop, event) episode cells —
+    transliterated term-for-term from the distributed fold (same
+    per-episode nano roundings scaled by the cell count, same exact
+    long scatter/suffix sums on the merged start/stop axis, same
+    float op order and paren placement in the gradient/information
+    terms, Breslow and Efron), so β̂ and the SEs are bit-identical to
+    the distributed loop (pinned in tests/test_driverfit.py)."""
+    import numpy as np
+
+    wv = pdfc["_w"].to_numpy().astype(np.int64)
+    dv = pdfc["_d"].to_numpy().astype(np.int64)
+    stv = pdfc["_st"].to_numpy().astype(np.float64)
+    spv = pdfc["_sp"].to_numpy().astype(np.float64)
+    if (stv >= spv).any():
+        raise ValueError(
+            "cox_ph_time_dependent: episode with start >= stop"
+        )
+    xv = [
+        pdfc[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
+    ]
+    tax = np.unique(np.concatenate([stv, spv]))
+    si = np.searchsorted(tax, stv)
+    xi = np.searchsorted(tax, spv)
+    nt = len(tax)
+
+    def scatter(idx, vals):
+        a = np.zeros(nt, dtype=np.int64)
+        np.add.at(a, idx, vals)
+        return a
+
+    def sfx(a):
+        # inclusive suffix sum: Σ_{t' >= t} (the (tot − pre) twin)
+        return np.cumsum(a[::-1])[::-1]
+
+    nano = 1e9
+    d_t = scatter(xi, wv * dv)
+    evm = d_t > 0
+    s_t = [
+        scatter(
+            xi, wv * dv * round_half_up(xv[j] * nano).astype(np.int64)
+        )
+        for j in range(p)
+    ]
+    beta = [0.0] * p
+    info = None
+    for _ in range(iters):
+        xb = np.zeros(len(wv))
+        for j in range(p):
+            xb = xb + beta[j] * xv[j]
+        r = np.exp(xb)
+        r0 = round_half_up(r * nano).astype(np.int64)
+        r1 = [
+            round_half_up(r * xv[j] * nano).astype(np.int64)
+            for j in range(p)
+        ]
+        r2 = {
+            (j, k): round_half_up(r * xv[j] * xv[k] * nano).astype(
+                np.int64
+            )
+            for j in range(p)
+            for k in range(j, p)
+        }
+
+        def risk(vcell):
+            # at risk at t: stop >= t minus start >= t (exact longs)
+            v = vcell * wv
+            return (sfx(scatter(xi, v)) - sfx(scatter(si, v))).astype(
+                np.float64
+            )
+
+        s0 = risk(r0)
+        s1 = [risk(r1[j]) for j in range(p)]
+        s2 = {jk: risk(v) for jk, v in r2.items()}
+        gsum = np.zeros(p)
+        isum = np.zeros((p, p))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if ties == "efron":
+                e0 = scatter(xi, wv * dv * r0).astype(np.float64)
+                e1 = [
+                    scatter(xi, wv * dv * r1[j]).astype(np.float64)
+                    for j in range(p)
+                ]
+                e2 = {
+                    jk: scatter(xi, wv * dv * v).astype(np.float64)
+                    for jk, v in r2.items()
+                }
+                idx = np.flatnonzero(evm)
+                reps = d_t[idx]
+                rowg = np.repeat(idx, reps)
+                el = (
+                    np.concatenate(
+                        [np.arange(k, dtype=np.int64) for k in reps]
+                    )
+                    if len(reps)
+                    else np.zeros(0, dtype=np.int64)
+                )
+                dt = d_t[rowg].astype(np.float64)
+                frac = el.astype(np.float64) / dt
+                s0l = s0[rowg] - frac * e0[rowg]
+                shr1 = [
+                    s1[j][rowg] - frac * e1[j][rowg] for j in range(p)
+                ]
+                for j in range(p):
+                    term = s_t[j][rowg] / nano / dt - shr1[j] / s0l
+                    gsum[j] = (
+                        round_half_up(term * nano)
+                        .astype(np.int64)
+                        .sum()
+                        / 1e9
+                    )
+                for j in range(p):
+                    for k in range(j, p):
+                        s2l = s2[(j, k)][rowg] - frac * e2[(j, k)][rowg]
+                        term = s2l / s0l - (shr1[j] / s0l) * (
+                            shr1[k] / s0l
+                        )
+                        isum[j, k] = isum[k, j] = (
+                            round_half_up(term * nano)
+                            .astype(np.int64)
+                            .sum()
+                            / 1e9
+                        )
+            else:
+                dtf = d_t.astype(np.float64)
+                for j in range(p):
+                    term = s_t[j] / nano - dtf * (s1[j] / s0)
+                    gsum[j] = (
+                        round_half_up(term[evm] * nano)
+                        .astype(np.int64)
+                        .sum()
+                        / 1e9
+                    )
+                for j in range(p):
+                    for k in range(j, p):
+                        term = dtf * (
+                            s2[(j, k)] / s0
+                            - (s1[j] / s0) * (s1[k] / s0)
+                        )
+                        isum[j, k] = isum[k, j] = (
+                            round_half_up(term[evm] * nano)
+                            .astype(np.int64)
+                            .sum()
+                            / 1e9
+                        )
+        info = isum
+        step = np.linalg.solve(info, gsum)
+        beta = [round(b + s, 9) for b, s in zip(beta, step)]
+    if return_se:
+        cov = np.linalg.inv(info)
+        se = [round(float(np.sqrt(cov[j, j])), 9) for j in range(p)]
+        return beta, se
+    return beta
+
+
 def cox_ph_time_dependent(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -5458,6 +5614,32 @@ def cox_ph_time_dependent(
     p = len(feats)
     beta = [0.0] * p
     nano = F.lit(1000000000.0)
+
+    # r11 driver-solve fast path (driverfit.py; the cox_ph_counting
+    # discipline on this fold's own suffix-difference lattice):
+    # episodes collapse to (x-pattern, start, stop, event) cells —
+    # bounded for grid-valued registry times — and the merged
+    # start/stop axis plus the whole Newton loop run on the driver,
+    # bit-identical to the distributed loop below (pinned in
+    # tests/test_driverfit.py, Breslow + Efron + SE). start >= stop
+    # raises the same named error the in-plan guard carries; null/NaN
+    # cells fall back to the distributed fold's null-skip semantics.
+    _proj = df.select(
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feats)
+        ],
+        F.col(start_col).cast("double").alias("_st"),
+        F.col(stop_col).cast("double").alias("_sp"),
+        F.col(event_col).cast("long").alias("_d"),
+    )
+    _pdfc = collect_cells(_proj, list(_proj.columns))
+    if _pdfc is not None and cells_clean(
+        _pdfc,
+        [f"_x{j}" for j in range(p)] + ["_st", "_sp"],
+        ["_d"],
+    ):
+        return _cox_td_driver_fit(_pdfc, p, iters, ties, return_se)
 
     # the guard lives inside _tm so Catalyst's column pruning can
     # never drop it: every episode's stop time evaluates the check
@@ -6318,26 +6500,100 @@ def turnbull_km(
     memb = memb.localCheckpoint(eager=False)
 
     micro6 = F.lit(1000000.0)
-    # EM on unnormalized micro-lattice masses, init 1.0 per support.
-    # Each iteration adds a fixed 3-op layer over the checkpointed
-    # membership table, so short EM runs keep pure lineage; long runs
-    # truncate every 4th iteration (the mass frame is lattice-sized).
-    m = supports.select(*g, "_q", F.lit(1000000).alias("_m"))
-    for it in range(iters):
-        j = memb.join(m, [*g, "_q"])
-        denom = j.groupBy(*g, "_L", "_Rk").agg(F.sum("_m").alias("_den"))
-        j = j.join(denom, [*g, "_L", "_Rk"])
-        m = j.groupBy(*g, "_q").agg(
-            F.sum(
-                F.round(
-                    F.col("_w") * F.col("_m") / F.col("_den")
-                    * micro6,
-                    0,
-                ).cast("long")
-            ).alias("_m")
-        )
-        if (it + 1) % 4 == 0 and it + 1 < iters:
-            m = m.localCheckpoint(eager=False)
+    # r11 driver-solve of the EM loop (driverfit.py discipline): the
+    # membership table is LATTICE-sized (cells × contained supports,
+    # bounded by the visit grid), yet each distributed EM iteration
+    # paid 3 fixed-latency job layers (join + two hash aggregates)
+    # over it. When memb is bounded, collect it ONCE and run the EM in
+    # numpy on the identical micro lattice — the same long*long
+    # product, long→double division, HALF_UP rounding and exact long
+    # scatter-sums, and the support set derived from memb's distinct
+    # (group, _q) keys exactly as the inner join keeps it — so the
+    # final masses are bit-identical longs and the UNCHANGED
+    # distributed tail below (final E-step, curve lattice) produces
+    # bit-identical rows (pinned in tests/test_driverfit.py). The
+    # collect also fires the two in-plan guards (bad interval / no
+    # containing support) at the same "at execution" point. Null or
+    # NaN group keys fall back: Spark's join/groupBy null-key
+    # semantics differ from positional numpy indexing.
+    m = None
+    if MAX_DRIVER_CELLS > 0:
+        import numpy as np
+
+        _mp = memb.limit(MAX_DRIVER_CELLS + 1).toPandas()
+        _ok = len(_mp) <= MAX_DRIVER_CELLS
+        if _ok:
+            for _c in [*g, "_L", "_Rk", "_w", "_q"]:
+                v = _mp[_c]
+                if v.isnull().any() or (
+                    v.dtype.kind == "f"
+                    and np.isnan(v.to_numpy(dtype=np.float64)).any()
+                ):
+                    _ok = False
+                    break
+        if _ok:
+            cell_idx = (
+                _mp.groupby([*g, "_L", "_Rk"], sort=False).ngroup().to_numpy()
+            )
+            sup_key = _mp.groupby([*g, "_q"], sort=False)
+            sup_idx = sup_key.ngroup().to_numpy()
+            n_cell = int(cell_idx.max()) + 1
+            n_sup = int(sup_idx.max()) + 1
+            wv = _mp["_w"].to_numpy().astype(np.int64)
+            mv = np.full(n_sup, 1000000, dtype=np.int64)
+            for _ in range(iters):
+                den = np.zeros(n_cell, dtype=np.int64)
+                np.add.at(den, cell_idx, mv[sup_idx])
+                with np.errstate(over="ignore"):
+                    wm = wv * mv[sup_idx]
+                val = round_half_up(
+                    wm.astype(np.float64)
+                    / den[cell_idx].astype(np.float64)
+                    * 1e6
+                ).astype(np.int64)
+                new_m = np.zeros(n_sup, dtype=np.int64)
+                np.add.at(new_m, sup_idx, val)
+                mv = new_m
+            # ngroup(sort=False) numbers supports in first-appearance
+            # order, which is exactly drop_duplicates' row order — so
+            # row i of the distinct key frame is support i
+            out_pdf = (
+                _mp[[*g, "_q"]].drop_duplicates().reset_index(drop=True)
+            )
+            out_pdf["_m"] = mv
+            mfields = [
+                f for f in memb.schema.fields if f.name in [*g, "_q"]
+            ]
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            m = df.sparkSession.createDataFrame(
+                out_pdf,
+                StructType(mfields + [StructField("_m", LongType())]),
+            )
+    if m is None:
+        # EM on unnormalized micro-lattice masses, init 1.0 per
+        # support. Each iteration adds a fixed 3-op layer over the
+        # checkpointed membership table, so short EM runs keep pure
+        # lineage; long runs truncate every 4th iteration (the mass
+        # frame is lattice-sized).
+        m = supports.select(*g, "_q", F.lit(1000000).alias("_m"))
+        for it in range(iters):
+            j = memb.join(m, [*g, "_q"])
+            denom = j.groupBy(*g, "_L", "_Rk").agg(
+                F.sum("_m").alias("_den")
+            )
+            j = j.join(denom, [*g, "_L", "_Rk"])
+            m = j.groupBy(*g, "_q").agg(
+                F.sum(
+                    F.round(
+                        F.col("_w") * F.col("_m") / F.col("_den")
+                        * micro6,
+                        0,
+                    ).cast("long")
+                ).alias("_m")
+            )
+            if (it + 1) % 4 == 0 and it + 1 < iters:
+                m = m.localCheckpoint(eager=False)
 
     # final E-step: expected events per support from FINITE intervals
     # only (right-censored subjects are at-risk, never imputed)

@@ -525,3 +525,104 @@ def test_aft_driver_paths_bit_equal(spark, monkeypatch):
     assert (
         sv.loglogistic_aft(d, ["x"], iters=6, return_se=True) == fast_l
     )
+
+
+def _td_episodes(spark):
+    # two features, half-unit grid times, episode split at a
+    # subject-specific switch time -> both pre/post episodes and ties
+    base = spark.range(5000).select(
+        ((F.col("id") % 6) / 6.0).alias("x1"),
+        ((F.col("id") * 5 % 7) / 7.0).alias("x2"),
+        F.greatest(
+            F.round(
+                -F.log((F.col("id") % 983 + 1) / 984.0)
+                / F.exp(0.6 * ((F.col("id") % 6) / 6.0))
+                * 2,
+                0,
+            ),
+            F.lit(1.0),
+        ).alias("d_i"),
+        (F.lit(4) + (F.col("id") % 9)).cast("double").alias("s_i"),
+        (F.col("id") % 5 > 0).cast("int").alias("event"),
+    )
+    pre = base.filter(F.col("d_i") <= F.col("s_i")).select(
+        "x1", "x2",
+        F.lit(0.0).alias("start"), F.col("d_i").alias("stop"), "event",
+    )
+    a = base.filter(F.col("d_i") > F.col("s_i")).select(
+        "x1", "x2",
+        F.lit(0.0).alias("start"), F.col("s_i").alias("stop"),
+        F.lit(0).alias("event"),
+    )
+    b = base.filter(F.col("d_i") > F.col("s_i")).select(
+        "x1", "x2",
+        F.col("s_i").alias("start"), F.col("d_i").alias("stop"), "event",
+    )
+    return pre.unionAll(a).unionAll(b)
+
+
+@pytest.mark.parametrize("ties", ["breslow", "efron"])
+def test_cox_td_driver_path_bit_equal(spark, monkeypatch, ties):
+    d = _td_episodes(spark)
+    fast = sv.cox_ph_time_dependent(
+        d, ["x1", "x2"], iters=4, ties=ties, return_se=True
+    )
+    monkeypatch.setattr(sv, "collect_cells", lambda *a, **k: None)
+    slow = sv.cox_ph_time_dependent(
+        d, ["x1", "x2"], iters=4, ties=ties, return_se=True
+    )
+    assert fast == slow, (ties, fast, slow)
+
+
+def test_turnbull_driver_em_bit_equal(spark, monkeypatch):
+    # mixed exact / interval / right-censored observations, two groups
+    iv = spark.range(800).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.col("id").alias("k"),
+    ).select(
+        "grp",
+        F.when(
+            F.col("k") % 3 == 0,
+            (F.col("k") % 7).cast("double"),
+        ).otherwise(((F.col("k") % 5) * 2).cast("double")).alias("left"),
+        F.when(F.col("k") % 11 == 0, F.lit(None).cast("double"))
+        .when(
+            F.col("k") % 3 == 0,
+            (F.col("k") % 7 + 1).cast("double"),
+        )
+        .otherwise(((F.col("k") % 5) * 2 + 2).cast("double"))
+        .alias("right"),
+    )
+    fast = sv.turnbull_km(iv, ["grp"], iters=7).collect()
+    monkeypatch.setattr(sv, "MAX_DRIVER_CELLS", 0)
+    slow = sv.turnbull_km(iv, ["grp"], iters=7).collect()
+    key = lambda r: (r.grp, r.q_lo)
+    assert sorted(fast, key=key) == sorted(slow, key=key)
+
+
+def test_trainer_driver_paths_bit_equal(spark, monkeypatch):
+    import cancer_survival_etl_spark.llm.inference as inf
+
+    df = spark.range(3000).select(
+        ((F.col("id") % 100) / 100.0).alias("x1"),
+        ((F.col("id") * 61 % 100) / 100.0).alias("x2"),
+        ((F.col("id") % 100 + F.col("id") * 61 % 100) / 100.0 > 1.0)
+        .cast("int")
+        .alias("y"),
+        (
+            1.0
+            + 2.0 * ((F.col("id") % 100) / 100.0)
+            - F.log((F.col("id") % 997 + 1) / 998.0)
+        ).alias("yq"),
+    )
+    fast_l = inf.logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=12)
+    fast_q = inf.quantile_train(df, ["x1"], "yq", tau=0.9, lr=4.0, iters=12)
+    import cancer_survival_etl_spark.operators.driverfit as dfit
+
+    # the trainers import collect_cells at call time, so patching the
+    # driverfit module attribute forces their distributed fallback
+    monkeypatch.setattr(dfit, "collect_cells", lambda *a, **k: None)
+    slow_l = inf.logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=12)
+    slow_q = inf.quantile_train(df, ["x1"], "yq", tau=0.9, lr=4.0, iters=12)
+    assert fast_l == slow_l
+    assert fast_q == slow_q

@@ -1087,14 +1087,20 @@ def test_logistic_train_matches_numpy_and_partitioning(spark):
     w = logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=30)
     X = np.array([[r[0], r[1]] for r in rows])
     Y = np.array([r[2] for r in rows])
+
+    def lat(v):
+        # the r11 exact nano-lattice fold: HALF_UP like Spark F.round
+        return np.copysign(np.floor(np.abs(v * 1e9) + 0.5), v).sum() / 1e9
+
     wr = np.zeros(3)
     for _ in range(30):
         z = wr[0] + X @ wr[1:]
         resid = 1 / (1 + np.exp(-z)) - Y
         g = np.round(
             np.array(
-                [resid.sum(), (resid * X[:, 0]).sum(), (resid * X[:, 1]).sum()]
-            ) / 1000,
+                [lat(resid), lat(resid * X[:, 0]), lat(resid * X[:, 1])]
+            )
+            / 1000,
             9,
         )
         wr = wr - g
@@ -2033,17 +2039,22 @@ def test_quantile_train_recovers_planted_quantile_line(spark):
     w32 = quantile_train(df.repartition(32), ["x"], "y", 0.9, 4.0, 15)
     assert w1 == w32
     # numpy mirror of the same smoothed schedule reproduces the
-    # weights exactly (the 9-dp gradient lattice absorbs sum order)
+    # weights exactly (r11: the exact nano-lattice fold — per-row
+    # HALF_UP rounds summed as longs, like Spark's F.round)
     X = np.array([r[0] for r in rows])
     Y = np.array([r[1] for r in rows])
+
+    def lat(v):
+        return np.copysign(np.floor(np.abs(v * 1e9) + 0.5), v).sum() / 1e9
+
     wv = [0.0, 0.0]
     n = len(rows)
     for t in range(15):
         h = max(2.0 / (t + 1.0), 1e-3)
         z = wv[0] + wv[1] * X
         s = 1.0 / (1.0 + np.exp(-(z - Y) / h)) - 0.9
-        g0 = round(float(np.sum(s)) / n, 9)
-        g1 = round(float(np.sum(s * X)) / n, 9)
+        g0 = round(lat(s) / n, 9)
+        g1 = round(lat(s * X) / n, 9)
         wv = [round(wv[0] - 4.0 * g0, 9), round(wv[1] - 4.0 * g1, 9)]
     assert w1 == [round(wv[0], 9), round(wv[1], 9)]
 
