@@ -153,6 +153,109 @@ def cohens_kappa(
     )
 
 
+def _gram_count_pass(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    ns,
+    ov_names,
+    tot_names,
+    ref_count: bool = False,
+    lens: bool = False,
+) -> DataFrame:
+    """Shared Arrow pass of ``rouge_n``/``bleu_n`` (r11, guide §4.2):
+    ONE ``mapInPandas`` over the Spark-tokenized (id, cand_tokens,
+    ref_tokens) projection computes, per pair row, the clipped n-gram
+    overlap and candidate totals for every ``n`` (exact longs), plus
+    optionally the reference gram total and the token lengths — the
+    quantities the former 2·len(ns) explode→groupBy→full-join passes
+    shuffled the whole gram table for. Tokenization semantics are
+    UNCHANGED (the identical ``split(trim(col), '\\s+')`` Catalyst
+    expression produces the arrays; empty text still yields the ['']
+    single empty token, NULL text a NULL array ≡ no grams and NULL
+    length)."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    def toks(col):
+        return F.split(F.trim(F.col(col)), r"\s+")
+
+    src = pairs.select(
+        F.col(id_col), toks(cand_col).alias("_ct"), toks(ref_col).alias("_rt")
+    )
+    fields = [src.schema.fields[0]]
+    if lens:
+        fields += [
+            StructField("cand_len", IntegerType()),
+            StructField("ref_len", IntegerType()),
+        ]
+    for i in range(len(ns)):
+        fields += [
+            StructField(ov_names[i], LongType()),
+            StructField(tot_names[i], LongType()),
+        ]
+    if ref_count:
+        fields.append(StructField("n_ref", LongType()))
+    schema = StructType(fields)
+    ns_ = [int(v) for v in ns]
+
+    id_field = src.schema.fields[0].name
+
+    def count_batches(it):
+        def grams(tl, n):
+            if tl is None or len(tl) < n:
+                return Counter()
+            if n == 1:
+                return Counter(tl)
+            return Counter(
+                tuple(tl[i : i + n]) for i in range(len(tl) - n + 1)
+            )
+
+        for pdf in it:
+            out = {id_field: pdf.iloc[:, 0]}
+            cl = [
+                None if t is None else list(t) for t in pdf.iloc[:, 1]
+            ]
+            rl = [
+                None if t is None else list(t) for t in pdf.iloc[:, 2]
+            ]
+            if lens:
+                out["cand_len"] = pd.array(
+                    [None if t is None else len(t) for t in cl],
+                    dtype="Int32",
+                )
+                out["ref_len"] = pd.array(
+                    [None if t is None else len(t) for t in rl],
+                    dtype="Int32",
+                )
+            refs = []
+            for i, n in enumerate(ns_):
+                ovs, tots = [], []
+                for ct, rt in zip(cl, rl):
+                    cg = grams(ct, n)
+                    rg = grams(rt, n)
+                    ovs.append(
+                        sum(
+                            min(c, rg[g])
+                            for g, c in cg.items()
+                            if g in rg
+                        )
+                    )
+                    tots.append(sum(cg.values()))
+                    if ref_count and i == 0:
+                        refs.append(sum(rg.values()))
+                out[ov_names[i]] = pd.array(ovs, dtype="int64")
+                out[tot_names[i]] = pd.array(tots, dtype="int64")
+            if ref_count:
+                out["n_ref"] = pd.array(refs, dtype="int64")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(count_batches, schema)
+
+
 def rouge_n(
     pairs: DataFrame,
     cand_col: str = "candidate",
@@ -166,50 +269,24 @@ def rouge_n(
     definition, not set intersection).
 
     Token n-grams from whitespace tokenization; counts are exact
-    integers via an explode → per-(pair, gram) min(cand_count,
-    ref_count) → sum. Returns (pair_id, n_overlap, n_cand, n_ref,
-    rouge_p, rouge_r, rouge_f1) — ratios rounded to 6, NULL when a
-    side has no n-grams. Scale: ~doc_tokens rows per doc after
-    explode, grouped twice on (pair, gram) then (pair) — both
-    map-side combinable."""
+    integers. Returns (pair_id, n_overlap, n_cand, n_ref, rouge_p,
+    rouge_r, rouge_f1) — ratios rounded to 6, NULL when a side has no
+    n-grams; a pair with no n-grams on EITHER side emits no row (the
+    historical full-join shape). ``id_col`` identifies one row per
+    pair (every caller's contract).
 
-    def grams(col):
-        toks = F.split(F.trim(F.col(col)), r"\s+")
-        # sequence(0, -1) DESCENDS in Spark — an n-gram-less doc needs
-        # an explicit empty, not a reversed range
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(toks, (i + j + 1).cast("int"))
-                        for j in range(n)
-                    ],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    c = pairs.select(
-        F.col(id_col), F.explode(grams(cand_col)).alias("_g")
-    ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_cc"))
-    r = pairs.select(
-        F.col(id_col), F.explode(grams(ref_col)).alias("_g")
-    ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_rc"))
-    per = (
-        c.join(r, [id_col, "_g"], "full")
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.least(
-                    F.coalesce("_cc", F.lit(0)), F.coalesce("_rc", F.lit(0))
-                )
-            ).alias("n_overlap"),
-            F.sum(F.coalesce("_cc", F.lit(0))).alias("n_cand"),
-            F.sum(F.coalesce("_rc", F.lit(0))).alias("n_ref"),
-        )
-    )
+    r11 shape (guide §4.2): the metric is PER-PAIR ROW-LOCAL, so the
+    clipped counts come from ONE Arrow ``mapInPandas`` pass over the
+    Spark-tokenized arrays — no explode, no (pair, gram) shuffles, no
+    full join, no re-derivation of the upstream pair plan per side.
+    Tokens are still produced by the identical Spark ``split(trim())``
+    expression (Java regex semantics preserved); Python only counts
+    grams into exact longs, and the ratio tail below is the same
+    expression as before — bit-identical rows (oracle-pinned)."""
+    per = _gram_count_pass(
+        pairs, cand_col, ref_col, id_col, [n],
+        ov_names=["n_overlap"], tot_names=["n_cand"], ref_count=True,
+    ).filter((F.col("n_cand") > 0) | (F.col("n_ref") > 0))
     p = F.col("n_overlap") / F.col("n_cand")
     rr = F.col("n_overlap") / F.col("n_ref")
     return per.select(
@@ -246,52 +323,23 @@ def bleu_n(
     Counts are the same clipped integers as ``rouge_n``; lengths are
     token counts. The only floats are exp/log in one mirrored final
     expression, rounded to 6. Returns (pair_id, cand_len, ref_len,
-    p1..p{max_n}, bleu)."""
+    p1..p{max_n}, bleu). ``id_col`` identifies one row per pair.
 
-    def grams(col, n):
-        toks = F.split(F.trim(F.col(col)), r"\s+")
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(toks, (i + j + 1).cast("int"))
-                        for j in range(n)
-                    ],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    lens = pairs.select(
-        F.col(id_col),
-        F.size(F.split(F.trim(F.col(cand_col)), r"\s+")).alias("cand_len"),
-        F.size(F.split(F.trim(F.col(ref_col)), r"\s+")).alias("ref_len"),
+    r11 shape (guide §4.2): all max_n clipped-precision numerators and
+    denominators plus both lengths come from the ONE shared Arrow pass
+    (``_gram_count_pass``) instead of 2·max_n explode→groupBy→full-join
+    passes plus a lens scan, each re-deriving the upstream pair plan;
+    the precision/BP/geomean tail below is the unchanged expression
+    over the identical exact longs — bit-identical rows."""
+    ns = list(range(1, max_n + 1))
+    out = _gram_count_pass(
+        pairs, cand_col, ref_col, id_col, ns,
+        ov_names=[f"_ov{n}" for n in ns],
+        tot_names=[f"_tot{n}" for n in ns],
+        lens=True,
     )
-    out = lens
     pcols = []
-    for n in range(1, max_n + 1):
-        c = pairs.select(
-            F.col(id_col), F.explode(grams(cand_col, n)).alias("_g")
-        ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_cc"))
-        r = pairs.select(
-            F.col(id_col), F.explode(grams(ref_col, n)).alias("_g")
-        ).groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_rc"))
-        per = (
-            c.join(r, [id_col, "_g"], "full")
-            .groupBy(id_col)
-            .agg(
-                F.sum(
-                    F.least(
-                        F.coalesce("_cc", F.lit(0)),
-                        F.coalesce("_rc", F.lit(0)),
-                    )
-                ).alias(f"_ov{n}"),
-                F.sum(F.coalesce("_cc", F.lit(0))).alias(f"_tot{n}"),
-            )
-        )
-        out = out.join(per, id_col, "left")
+    for n in ns:
         pcols.append(
             F.when(
                 F.coalesce(F.col(f"_tot{n}"), F.lit(0)) > 0,
