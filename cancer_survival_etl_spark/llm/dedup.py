@@ -597,6 +597,13 @@ def simhash_near_dups(
     """
     n_chunks = max_hamming + 1
     chunk_bits = (bits + n_chunks - 1) // n_chunks
+    # r11 (guide §2.4/§5): the chunk stack below unions n_chunks
+    # projections of sigs and self-joins the stack — without a pin the
+    # whole fingerprint plan (explode + 32-way vote aggregate + its
+    # upstream corpus) is re-derived once per chunk per side. Lazy
+    # localCheckpoint: the first action materializes the narrow
+    # (id, fingerprint) frame once; every chunk projection reads it.
+    sigs = sigs.localCheckpoint(eager=False)
     fp = F.col(fingerprint_col)
     chunked = sigs.select(
         F.col(id_col),

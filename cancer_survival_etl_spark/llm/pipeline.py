@@ -74,6 +74,15 @@ def curate_corpus(
             & (F.col("top_token_frac") <= max_top_token_frac)
         )
         .select(*d.columns)
+        # r11 (guide §5): the surviving corpus feeds FOUR consumers
+        # (SimHash pair mining, the canonical join, decontamination
+        # grams, the final split) — without a pin each re-derives the
+        # exact-dedup join + the regex-heavy quality/repetition
+        # expressions. Lazy localCheckpoint: the near-dup collect
+        # materializes it once, every later stage reads the pinned
+        # blocks. Fault-tolerance trade documented in SCALE.md (the
+        # engine-wide localCheckpoint posture).
+        .localCheckpoint(eager=False)
     )
     stages.append(("quality_filter", d))
 

@@ -373,6 +373,55 @@ def triangle_count(
         # the pinned blocks (r10 — the eager form was one extra job)
         .localCheckpoint(eager=False)
     )
+    # r11 driver-solve fast path (driverfit.py discipline, the
+    # connected_components/k_core pattern): the canonical edge list is
+    # candidate-pair-sized — when bounded, collect it once and count
+    # wedges/triangles in exact integer arithmetic on the driver
+    # (n_wedges = Σ_y in(y)·out(y) is the same canonical-orientation
+    # join count; triangles via out-neighbor set intersections), so
+    # the single returned row is bit-identical to the three-count
+    # aggregate below (pinned in tests/test_driverfit.py). Unbounded
+    # edge lists fall through to the unchanged distributed joins.
+    _ep = e.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if (
+        len(_ep) <= MAX_DRIVER_CELLS
+        and not _ep["a"].isnull().any()
+        and not _ep["b"].isnull().any()
+    ):
+        av = _ep["a"].tolist()
+        bv = _ep["b"].tolist()
+        n_edges = len(av)
+        outdeg: dict = {}
+        indeg: dict = {}
+        adj: dict = {}
+        for a, b in zip(av, bv):
+            outdeg[a] = outdeg.get(a, 0) + 1
+            indeg[b] = indeg.get(b, 0) + 1
+            adj.setdefault(a, set()).add(b)
+        n_wedges = sum(
+            cnt * outdeg.get(y, 0) for y, cnt in indeg.items()
+        )
+        n_tri = 0
+        empty: set = set()
+        for a, b in zip(av, bv):
+            na = adj.get(a, empty)
+            nb = adj.get(b, empty)
+            if len(nb) < len(na):
+                na, nb = nb, na
+            n_tri += sum(1 for z in na if z in nb)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return edges.sparkSession.createDataFrame(
+            [(n_edges, int(n_wedges), int(n_tri))],
+            StructType(
+                [
+                    StructField("n_edges", LongType(), False),
+                    StructField("n_wedges", LongType(), False),
+                    StructField("n_triangles", LongType(), False),
+                ]
+            ),
+        )
+
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = ab.join(bc, "y").select("x", "y", "z")

@@ -626,3 +626,15 @@ def test_trainer_driver_paths_bit_equal(spark, monkeypatch):
     slow_q = inf.quantile_train(df, ["x1"], "yq", tau=0.9, lr=4.0, iters=12)
     assert fast_l == slow_l
     assert fast_q == slow_q
+
+
+def test_triangle_driver_path_bit_equal(spark, monkeypatch):
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 1) % 23) for i in range(160)]
+        + [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4)],
+        "id_a long, id_b long",
+    ).filter("id_a != id_b")
+    fast = gr.triangle_count(edges).collect()
+    monkeypatch.setattr(gr, "MAX_DRIVER_CELLS", 0)
+    slow = gr.triangle_count(edges).collect()
+    assert fast == slow
