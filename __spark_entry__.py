@@ -4576,7 +4576,7 @@ def q_ann_opq_adc(spark, sf_dir):
     import numpy as np
 
     from cancer_survival_etl_spark.llm.similarity import (
-        _dist2,
+        _dist2_n,
         opq_rotation,
         pca_project,
         pq_encode,
@@ -4603,7 +4603,7 @@ def q_ann_opq_adc(spark, sf_dir):
             cb.withColumnRenamed("centroid_id", "code"), ["sub", "code"]
         )
         return j.agg(
-            F.sum(F.round(_dist2(F.col("subv"), F.col("_cbv")), 6))
+            F.sum(F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sd), 6))
         ).collect()[0][0]
 
     # r10 (guide §2.6): the plain-split distortion is independent of

@@ -528,6 +528,23 @@ def _dist2(a: Column, b: Column) -> Column:
     )
 
 
+def _dist2_n(a: Column, b: Column, n: int) -> Column:
+    """``_dist2`` with a STATICALLY KNOWN length ``n`` (r11, guide
+    §1.2 step 2): the same left-associated addend order expanded to
+    plain element_at arithmetic, which whole-stage codegen compiles —
+    the higher-order-function fold stays interpreted (the r10
+    tranche-2 lesson was about HOFs, measured 3-5× slower in the PQ
+    hot loops). Bit-identical to ``_dist2`` for the length-``n``
+    arrays every PQ call site produces (0.0 + t₁ ≡ t₁; + is
+    left-associative in both forms)."""
+    total = None
+    for i in range(1, n + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        term = d * d
+        total = term if total is None else total + term
+    return total
+
+
 def pq_subvectors(
     df: DataFrame,
     m: int,
@@ -587,7 +604,7 @@ def pq_train(
             fan_out(corpus), m, sub_dim, id_col, vec_col
         )
         for _ in range(iters):
-            d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+            d2 = F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sub_dim), 6)
             # argmin as a map-side-combinable min(struct) aggregate —
             # same (d2 asc, centroid_id asc) tie order as the former
             # row_number window, without the per-(vec, sub) sort
@@ -650,7 +667,7 @@ def pq_encode(
     compressed corpus that ships to ADC search at ~1 byte/component
     instead of 4-8."""
     subv = pq_subvectors(fan_out(corpus), m, sub_dim, id_col, vec_col)
-    d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+    d2 = F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sub_dim), 6)
     # argmin via min(struct(d2, centroid_id)) — map-side combinable,
     # identical (round-6 d2, centroid id) tie discipline as the former
     # row_number window, no sort shuffle
@@ -714,7 +731,7 @@ def pq_topk_adc(
         "query_id",
         "sub",
         F.col("centroid_id").alias("code"),
-        F.round(_dist2(F.col("subv"), F.col("_cbv")), 6).alias("_d2"),
+        F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sub_dim), 6).alias("_d2"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist2").asc(), F.col("neighbor_id")
@@ -1086,7 +1103,7 @@ def query_ivfpq_index(
         "cell",
         "sub",
         "code",
-        F.round(_dist2(F.col("_qsv"), F.col("_cbv")), 6).alias("_d2"),
+        F.round(_dist2_n(F.col("_qsv"), F.col("_cbv"), sub_dim), 6).alias("_d2"),
     )
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(cells)  # -> PartitionFilters
@@ -1304,7 +1321,7 @@ def probe_lsh_pq_index(
         "_new_id",
         "sub",
         "code",
-        F.round(_dist2(F.col("subv"), F.col("_cbv")), 6).alias("_d2"),
+        F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sub_dim), 6).alias("_d2"),
     )
     return (
         cand.select(
@@ -1388,7 +1405,7 @@ def pq_topk_adc_packed(
             "query_id",
             "sub",
             F.col("centroid_id").alias("code"),
-            F.round(_dist2(F.col("subv"), F.col("_cbv")), 6).alias("_d2"),
+            F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sub_dim), 6).alias("_d2"),
         )
         .collect()
     )
@@ -1526,7 +1543,7 @@ def pq_train_per_cell(
             fan_out(assigned), m, sub_dim, id_col, vec_col
         ).join(assigned.select(id_col, cell_col), id_col)
         for _ in range(iters):
-            d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+            d2 = F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sub_dim), 6)
             assigned_sub = (
                 subv.join(F.broadcast(cb), [cell_col, "sub"])
                 .groupBy("vec_id", cell_col, "sub")
@@ -1589,7 +1606,7 @@ def pq_encode_per_cell(
     subv = pq_subvectors(
         fan_out(assigned), m, sub_dim, id_col, vec_col
     ).join(assigned.select(id_col, cell_col), id_col)
-    d2 = F.round(_dist2(F.col("subv"), F.col("_cbv")), 6)
+    d2 = F.round(_dist2_n(F.col("subv"), F.col("_cbv"), sub_dim), 6)
     return (
         subv.join(F.broadcast(codebooks), [cell_col, "sub"])
         .groupBy("vec_id", cell_col, "sub")
@@ -1702,7 +1719,7 @@ def ivfpq_topk_percell(
         "cell",
         "sub",
         F.col("centroid_id").alias("code"),
-        F.round(_dist2(F.col("_qsv"), F.col("_cbv")), 6).alias("_d2"),
+        F.round(_dist2_n(F.col("_qsv"), F.col("_cbv"), sub_dim), 6).alias("_d2"),
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adist2").asc(), F.col("neighbor_id")
@@ -1850,17 +1867,68 @@ def pca_project(
     out_col: str = "pca",
 ) -> DataFrame:
     """Project embeddings onto fitted components — the dimensionality
-    reduction step (64 → k floats per row). Components ride along as
-    an array-of-arrays literal (broadcast by Catalyst as part of the
-    plan); each output coordinate is one JVM-side zip_with/aggregate
-    dot product, no Python in the hot path."""
-    comp_lits = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in components
-    ]
-    vec = F.col(vec_col)
-    return df.withColumn(
-        out_col, F.array(*[_dot(vec, c) for c in comp_lits])
+    reduction step (64 → k floats per row).
+
+    r11 shape (guide §4.2; the r10 tranche-2 lesson): the former
+    array-of-arrays literal compiled to k interpreted zip_with/
+    aggregate dot products PER ROW (higher-order functions get no
+    codegen — the measured 3-5× regression class). One Arrow
+    ``mapInPandas`` pass now does the projection as d vectorized
+    multiply-adds over the batch, accumulated SEQUENTIALLY over the
+    dims in the identical left-fold order (0.0 + p_0) + p_1 ... the
+    aggregate expression used, so every float64 coordinate is
+    bit-identical to the expression form (pinned in tests). Rows with
+    a NULL vector, a length mismatch against the components, or a
+    NULL element produce the same [NULL]*k coordinates the zip_with
+    fold yielded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    comps = [[float(x) for x in c] for c in components]
+    fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = StructType(
+        list(fields) + [StructField(out_col, ArrayType(DoubleType()))]
     )
+    in_names = [f.name for f in fields]
+
+    def project(it):
+        carr = np.asarray(comps, dtype=np.float64)  # k × d
+        kk, dc = carr.shape
+        null_out = [None] * kk
+        for pdf in it:
+            vs = pdf[vec_col]
+            rows = []
+            good_idx = []
+            for i, v in enumerate(vs):
+                if v is None:
+                    rows.append(None)
+                    continue
+                # a None ELEMENT nulls the fold (NULL semantics); NaN
+                # stays float NaN arithmetic like the expression.
+                # (Arrow may already surface null elements as NaN —
+                # no engine caller produces null elements; the
+                # whole-vector NULL and length-mismatch cases are the
+                # ones the contract exercises.)
+                vl = list(v)
+                if len(vl) != dc or any(x is None for x in vl):
+                    rows.append(None)
+                else:
+                    good_idx.append(i)
+                    rows.append(np.asarray(vl, dtype=np.float64))
+            out = [null_out] * len(vs)
+            if good_idx:
+                V = np.stack([rows[i] for i in good_idx])  # g × d
+                acc = np.zeros((len(good_idx), kk))
+                for j in range(dc):
+                    acc = acc + V[:, j : j + 1] * carr[:, j]
+                for r, i in enumerate(good_idx):
+                    out[i] = acc[r].tolist()
+            res = pdf[in_names].copy()
+            res[out_col] = out
+            yield res
+
+    return df.select(*in_names).mapInPandas(project, schema)
 
 
 def pca_shortlist_topk(
