@@ -129,6 +129,122 @@ def _solve_step(
     return moments.mapInPandas(solve, schema)
 
 
+def _als_driver_train(ratings: DataFrame, k: int, iters: int, reg: float):
+    """numpy twin of the ALS loop over the collected ratings frame —
+    see the call site in ``als_train`` for the bit-equality argument.
+    Returns (user_factors_df, item_factors_df, history) or ``None``
+    (unbounded / null keys or ratings → distributed fallback)."""
+    import hashlib
+
+    import numpy as np
+
+    from cancer_survival_etl_spark.operators.driverfit import (
+        MAX_DRIVER_CELLS,
+        round_half_up,
+    )
+
+    if MAX_DRIVER_CELLS <= 0:
+        return None
+    pdf = ratings.limit(MAX_DRIVER_CELLS + 1).toPandas()
+    if len(pdf) > MAX_DRIVER_CELLS or len(pdf) == 0:
+        return None
+    for c in ("_u", "_i", "_r"):
+        v = pdf[c]
+        if v.isnull().any():
+            return None
+        if v.dtype.kind == "f" and not np.isfinite(v.to_numpy()).all():
+            return None
+
+    rv = pdf["_r"].to_numpy().astype(np.float64)
+
+    def entity(col, salt):
+        # first-appearance codes + the _init_factors md5 lattice
+        codes, keys = pdf[col].factorize()
+        fac = np.empty((len(keys), k))
+        for e, key in enumerate(keys):
+            ks = str(key)
+            for d in range(k):
+                h = int(
+                    hashlib.md5(
+                        f"{salt}:{ks}:{d}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                fac[e, d] = (h % 2001 - 1000) / 10000.0
+        return codes, keys, fac
+
+    ui, ukeys, _ = entity("_u", "als-user")
+    ii, ikeys, ifac = entity("_i", "als-item")
+    n_u, n_i = len(ukeys), len(ikeys)
+    tri = [(a, b) for a in range(k) for b in range(a, k)]
+
+    def solve_half(idx, n_ent, fixed_fac, fixed_idx):
+        # per-rating lattice rounds -> exact int64 entity moments
+        ff = fixed_fac[fixed_idx]  # n_ratings × k
+        cnt = np.zeros(n_ent, dtype=np.int64)
+        np.add.at(cnt, idx, 1)
+        A = np.zeros((n_ent, k, k))
+        B = np.zeros((n_ent, k))
+        for a in range(k):
+            ba = np.zeros(n_ent, dtype=np.int64)
+            np.add.at(
+                ba, idx,
+                round_half_up(rv * ff[:, a] * _NANO).astype(np.int64),
+            )
+            B[:, a] = ba / _NANO
+            for b in range(a, k):
+                aab = np.zeros(n_ent, dtype=np.int64)
+                np.add.at(
+                    aab, idx,
+                    round_half_up(ff[:, a] * ff[:, b] * _NANO).astype(
+                        np.int64
+                    ),
+                )
+                A[:, a, b] = A[:, b, a] = aab / _NANO
+        A += reg * cnt.astype(np.float64)[:, None, None] * np.eye(k)
+        return np.round(np.linalg.solve(A, B[:, :, None])[:, :, 0], 9)
+
+    history = []
+    ufac = None
+    for _ in range(iters):
+        ufac = solve_half(ui, n_u, ifac, ii)
+        ifac = solve_half(ii, n_i, ufac, ui)
+        pred = np.zeros(len(rv))
+        for d in range(k):
+            pred = pred + ufac[ui, d] * ifac[ii, d]
+        err2 = round_half_up((rv - pred) * (rv - pred) * _NANO).astype(
+            np.int64
+        )
+        history.append(
+            round((int(err2.sum()) / _NANO / len(rv)) ** 0.5, 6)
+        )
+
+    spark = ratings.sparkSession
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def frame(keys, fac, key_name, key_field):
+        import pandas as pd
+
+        out = pd.DataFrame({key_name: keys})
+        for d in range(k):
+            out[f"f{d}"] = fac[:, d]
+        schema = StructType(
+            [key_field]
+            + [StructField(f"f{d}", DoubleType()) for d in range(k)]
+        )
+        return spark.createDataFrame(out, schema)
+
+    uf = frame(
+        ukeys, ufac, "_u",
+        StructField("_u", ratings.schema["_u"].dataType),
+    )
+    itf = frame(
+        ikeys, ifac, "_i",
+        StructField("_i", ratings.schema["_i"].dataType),
+    )
+    return uf, itf, history
+
+
 def als_train(
     ratings: DataFrame,
     user_col: str,
@@ -153,6 +269,27 @@ def als_train(
         F.col(item_col).alias("_i"),
         F.col(rating_col).cast("double").alias("_r"),
     ).localCheckpoint(eager=False)
+
+    # r11 driver-solve fast path (operators/driverfit.py discipline):
+    # the ratings frame is interaction-sized; when bounded, collect it
+    # once and run the whole alternating loop in numpy on the
+    # identical nano lattice — per-rating HALF_UP rounds scatter-added
+    # as exact int64 moments, the same batched np.linalg.solve /
+    # np.round(·, 9) the mapInPandas kernel runs, the same md5 factor
+    # init strings, the same RMSE lattice — so factors and history are
+    # bit-identical to the distributed loop below (pinned in
+    # tests/test_driverfit.py). Each distributed iteration otherwise
+    # pays ~4 fixed-latency jobs (two join+aggregate half-steps, their
+    # checkpoints, the RMSE pass).
+    _res = _als_driver_train(ratings, k, iters, reg)
+    if _res is not None:
+        u_f, i_f, history = _res
+        return (
+            u_f.withColumnRenamed("_u", user_col),
+            i_f.withColumnRenamed("_i", item_col),
+            history,
+        )
+
     items = _init_factors(ratings, "_i", k, "als-item")
     users = None
     history = []

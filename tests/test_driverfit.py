@@ -638,3 +638,34 @@ def test_triangle_driver_path_bit_equal(spark, monkeypatch):
     monkeypatch.setattr(gr, "MAX_DRIVER_CELLS", 0)
     slow = gr.triangle_count(edges).collect()
     assert fast == slow
+
+
+def test_als_driver_path_bit_equal(spark, monkeypatch):
+    import cancer_survival_etl_spark.llm.factorization as fz
+
+    ratings = spark.range(2500).select(
+        (F.col("id") % 60).alias("u"),
+        (F.col("id") * 7 % 25).cast("string").alias("i"),
+        F.round(
+            2.0
+            + ((F.col("id") % 60) % 7) / 7.0
+            * ((F.col("id") * 7 % 25) % 5) / 5.0,
+            4,
+        ).alias("r"),
+    ).distinct()
+    fu, fi, fh = fz.als_train(ratings, "u", "i", "r", k=3, iters=3,
+                              reg=0.001)
+    fast = (
+        sorted(tuple(r) for r in fu.collect()),
+        sorted(tuple(r) for r in fi.collect()),
+        fh,
+    )
+    monkeypatch.setattr(fz, "_als_driver_train", lambda *a, **k: None)
+    su, si, sh = fz.als_train(ratings, "u", "i", "r", k=3, iters=3,
+                              reg=0.001)
+    slow = (
+        sorted(tuple(r) for r in su.collect()),
+        sorted(tuple(r) for r in si.collect()),
+        sh,
+    )
+    assert fast == slow
