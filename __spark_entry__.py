@@ -20500,30 +20500,50 @@ def q_survival_aipw_contrast(spark, sf_dir):
         pts = [r for r in rows if r[0] == a and r[1] <= tt]
         return max(pts, key=lambda r: r[1])[2] if pts else 1.0
 
-    crude = [
-        (r.arm, r.duration, r.survival)
-        for r in km_curve(cohort, ["arm"], "duration",
-                          "event").collect()
-    ]
+    # r11 (guide §2.6): the four estimators are independent reads of
+    # the one pinned cohort — overlap their collects in driver threads
+    # so each fit's bounded-collect jobs back-fill the others' tails;
+    # results are dict/list-materialized per future, order-pinned.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _f_crude = _pool.submit(
+            lambda: [
+                (r.arm, r.duration, r.survival)
+                for r in km_curve(
+                    cohort, ["arm"], "duration", "event"
+                ).collect()
+            ]
+        )
+        _f_aipw = _pool.submit(
+            lambda: {
+                r.time: r
+                for r in aipw_survival_contrast(
+                    cohort, "arm", ["x"], [15]
+                ).collect()
+            }
+        )
+        _f_red = _pool.submit(
+            lambda: {
+                r.time: r
+                for r in aipw_survival_contrast(
+                    cohort, "arm", ["x"], [15], augment=False
+                ).collect()
+            }
+        )
+        _f_ipw = _pool.submit(
+            lambda: [
+                (r.arm, r.duration, r.survival)
+                for r in ipw_adjusted_km(
+                    cohort, "arm", ["x"], "duration", "event",
+                ).collect()
+            ]
+        )
+        crude = _f_crude.result()
+        aipw = _f_aipw.result()
+        red = _f_red.result()
+        ipw = _f_ipw.result()
     gap_crude = abs(s_at(crude, 1, 15) - s_at(crude, 0, 15))
-    aipw = {
-        r.time: r
-        for r in aipw_survival_contrast(
-            cohort, "arm", ["x"], [15]
-        ).collect()
-    }
-    red = {
-        r.time: r
-        for r in aipw_survival_contrast(
-            cohort, "arm", ["x"], [15], augment=False
-        ).collect()
-    }
-    ipw = [
-        (r.arm, r.duration, r.survival)
-        for r in ipw_adjusted_km(
-            cohort, "arm", ["x"], "duration", "event",
-        ).collect()
-    ]
     pin = max(
         abs(red[15].s1 - s_at(ipw, 1, 15)),
         abs(red[15].s0 - s_at(ipw, 0, 15)),
@@ -22857,11 +22877,19 @@ def q_stats_quantile_reg(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)
     )
+    # r11: both τ fits read the SAME (x, y) cells — collapse/collect
+    # once (the _srcw contract) instead of twice
+    from cancer_survival_etl_spark.operators.driverfit import (
+        MAX_DRIVER_CELLS,
+    )
+    from cancer_survival_etl_spark.operators.stats import _fit_cells
+
+    srcw = _fit_cells(cohort, ["x", "y"], max_cells=MAX_DRIVER_CELLS)
     fits = {
         tau: {
             r["term"]: r
             for r in quantile_regression(
-                cohort, ["x"], "y", tau, iters=10
+                cohort, ["x"], "y", tau, iters=10, _srcw=srcw
             ).collect()
         }
         for tau in (0.5, 0.9)

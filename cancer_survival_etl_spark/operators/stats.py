@@ -6125,6 +6125,7 @@ def quantile_regression(
     tau: float = 0.5,
     iters: int = 15,
     eps: float = 1e-3,
+    _srcw=None,
 ) -> DataFrame:
     """Distributed QUANTILE regression (Koenker-Bassett check loss) by
     the Hunter-Lange MM algorithm — the conditional-quantile story the
@@ -6180,12 +6181,17 @@ def quantile_regression(
     # MAX_DRIVER_CELLS (not the GLM family's 65536-pattern cap): a
     # near-continuous y makes (x, y) cells approach the row count, and
     # the MM twin is a flat per-cell fold — the transfer-size guard is
-    # the right bound here
-    src, cw, _pdfc = _fit_cells(
-        df,
-        list(dict.fromkeys(feats + [y_col])),
-        max_cells=MAX_DRIVER_CELLS,
-    )
+    # the right bound here. ``_srcw`` (r11, the glm_poisson pattern)
+    # lets a caller fitting SEVERAL τ over the same cohort collapse
+    # and collect the identical cells once.
+    if _srcw is not None:
+        src, cw, _pdfc = _srcw
+    else:
+        src, cw, _pdfc = _fit_cells(
+            df,
+            list(dict.fromkeys(feats + [y_col])),
+            max_cells=MAX_DRIVER_CELLS,
+        )
 
     # driver-solve fast path (driverfit.py): bounded collected cells ->
     # the base moments, the exact percentile, the whole MM loop and the
