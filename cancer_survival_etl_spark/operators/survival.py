@@ -6554,21 +6554,189 @@ def turnbull_km(
                 new_m = np.zeros(n_sup, dtype=np.int64)
                 np.add.at(new_m, sup_idx, val)
                 mv = new_m
-            # ngroup(sort=False) numbers supports in first-appearance
-            # order, which is exactly drop_duplicates' row order — so
-            # row i of the distinct key frame is support i
-            out_pdf = (
-                _mp[[*g, "_q"]].drop_duplicates().reset_index(drop=True)
+            # r11 full curve twin: with the masses in hand, the final
+            # E-step, the censored-cell lattice, both grouped prefix
+            # passes and every at-risk/log-term long are the SAME
+            # exact-lattice arithmetic over the already-collected memb
+            # rows — run them here and hand the float tail back to
+            # Spark as the identical expressions over identical longs
+            # (the _km_driver_curve pattern), skipping the ~8
+            # fixed-latency jobs of the distributed tail. Bit-equal
+            # rows pinned in tests/test_driverfit.py.
+            den = np.zeros(n_cell, dtype=np.int64)
+            np.add.at(den, cell_idx, mv[sup_idx])
+            with np.errstate(over="ignore"):
+                wm = wv * mv[sup_idx]
+            alpha = round_half_up(
+                wm.astype(np.float64)
+                / den[cell_idx].astype(np.float64)
+                * 1e6
+            ).astype(np.int64)
+            rk = _mp["_Rk"].to_numpy(dtype=np.float64)
+            dsup = np.zeros(n_sup, dtype=np.int64)
+            fin = rk != np.inf
+            np.add.at(dsup, sup_idx[fin], alpha[fin])
+            # support metadata: first memb row of each support (the
+            # ngroup(sort=False) / drop_duplicates order identity)
+            sup_first = (
+                _mp.reset_index()
+                .groupby([*g, "_q"], sort=False)["index"]
+                .first()
+                .to_numpy()
             )
-            out_pdf["_m"] = mv
-            mfields = [
-                f for f in memb.schema.fields if f.name in [*g, "_q"]
-            ]
-            from pyspark.sql.types import LongType, StructField, StructType
+            sup_pk = _mp["_pk"].to_numpy(dtype=np.float64)[sup_first]
+            sup_q = _mp["_q"].to_numpy(dtype=np.float64)[sup_first]
+            # group codes shared between support and censored rows
+            if g:
+                gcode_all = _mp.groupby(list(g), sort=False).ngroup()
+                sgrp = gcode_all.to_numpy()[sup_first]
+            else:
+                sgrp = np.zeros(n_sup, dtype=np.int64)
+            # per-group total mass (all supports, incl. the ∞ tail)
+            n_grp = int(sgrp.max()) + 1 if n_sup else 0
+            mtot = np.zeros(n_grp, dtype=np.int64)
+            np.add.at(mtot, sgrp, mv)
+            # censored cells: one row per distinct cell with _Rk = ∞
+            cell_first = (
+                _mp.reset_index()
+                .groupby([*g, "_L", "_Rk"], sort=False)["index"]
+                .first()
+                .to_numpy()
+            )
+            c_rk = rk[cell_first]
+            cen_mask = c_rk == np.inf
+            cen_rows = cell_first[cen_mask]
+            cen_t = _mp["_L"].to_numpy(dtype=np.float64)[cen_rows]
+            cen_w = wv[cen_rows]
+            cen_g = (
+                gcode_all.to_numpy()[cen_rows]
+                if g
+                else np.zeros(len(cen_rows), dtype=np.int64)
+            )
+            # curve lattice = finite supports + censored cells,
+            # ordered per group by (t, support-before-censor)
+            fs = np.flatnonzero(sup_pk != np.inf)
+            lat_g = np.concatenate([sgrp[fs], cen_g])
+            lat_t = np.concatenate([sup_pk[fs], cen_t])
+            lat_sup = np.concatenate(
+                [
+                    np.ones(len(fs), dtype=np.int64),
+                    np.zeros(len(cen_rows), dtype=np.int64),
+                ]
+            )
+            lat_d = np.concatenate(
+                [dsup[fs], np.zeros(len(cen_rows), dtype=np.int64)]
+            )
+            lat_cen = np.concatenate(
+                [np.zeros(len(fs), dtype=np.int64), cen_w]
+            )
+            lat_sidx = np.concatenate(
+                [fs, np.full(len(cen_rows), -1, dtype=np.int64)]
+            )
+            order = np.lexsort((1 - lat_sup, lat_t, lat_g))
+            lat_g, lat_t, lat_sup, lat_d, lat_cen, lat_sidx = (
+                a[order]
+                for a in (
+                    lat_g, lat_t, lat_sup, lat_d, lat_cen, lat_sidx
+                )
+            )
+            newg = np.ones(len(lat_g), dtype=bool)
+            if len(lat_g) > 1:
+                newg[1:] = lat_g[1:] != lat_g[:-1]
+            gstarts = np.flatnonzero(newg)
+            glen = np.diff(np.append(gstarts, len(lat_g)))
 
-            m = df.sparkSession.createDataFrame(
-                out_pdf,
-                StructType(mfields + [StructField("_m", LongType())]),
+            def expref(v):
+                pre = np.cumsum(v)
+                pre = np.concatenate(([np.int64(0)], pre[:-1]))
+                return pre - np.repeat(pre[gstarts], glen)
+
+            def gtot(v):
+                return np.repeat(np.add.reduceat(v, gstarts), glen)
+
+            db = expref(lat_d)
+            cenb = expref(lat_cen)
+            ysn = gtot(lat_d) - db
+            yc = gtot(lat_cen) - cenb
+            d_dbl = lat_d / 1e6
+            y_dbl = ysn / 1e6 + yc
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lt = np.where(
+                    (d_dbl > 0) & (d_dbl < y_dbl),
+                    round_half_up(
+                        np.log(
+                            1.0
+                            - np.where(
+                                (d_dbl > 0) & (d_dbl < y_dbl),
+                                d_dbl,
+                                0.0,
+                            )
+                            / np.where(y_dbl > 0, y_dbl, 1.0)
+                        )
+                        * 1e6
+                    ).astype(np.int64),
+                    np.int64(0),
+                )
+            dall = (
+                (d_dbl > 0) & (d_dbl == y_dbl)
+            ).astype(np.int64)
+            lt_in = expref(lt) + lt
+            dall_in = expref(dall) + dall
+
+            keep = lat_sup == 1
+            sidx = lat_sidx[keep]
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            hdr = _mp.iloc[sup_first[sidx]][list(g)].reset_index(
+                drop=True
+            )
+            hdr["_q"] = sup_q[sidx]
+            hdr["_t"] = sup_pk[sidx]
+            hdr["_m"] = mv[sidx]
+            hdr["_mtot"] = mtot[lat_g[keep]]
+            hdr["_d"] = lat_d[keep]
+            hdr["_ysn"] = ysn[keep]
+            hdr["_yc"] = yc[keep]
+            hdr["_lt"] = lt_in[keep]
+            hdr["_dall"] = dall_in[keep]
+            gfields = [
+                f for f in memb.schema.fields if f.name in list(g)
+            ]
+            schema = StructType(
+                gfields
+                + [
+                    StructField("_q", DoubleType()),
+                    StructField("_t", DoubleType()),
+                ]
+                + [
+                    StructField(c, LongType())
+                    for c in (
+                        "_m", "_mtot", "_d", "_ysn", "_yc", "_lt",
+                        "_dall",
+                    )
+                ]
+            )
+            hframe = df.sparkSession.createDataFrame(hdr, schema)
+            micro6 = F.lit(1000000.0)
+            return hframe.select(
+                *g,
+                F.col("_q").alias("q_lo"),
+                F.col("_t").alias("time"),
+                F.round(F.col("_m") / F.col("_mtot"), 6).alias("mass"),
+                F.round(F.col("_d") / micro6, 6).alias("n_event_exp"),
+                F.round(
+                    F.col("_ysn") / micro6 + F.col("_yc"), 6
+                ).alias("n_risk_exp"),
+                F.when(F.col("_dall") > 0, F.lit(0.0))
+                .otherwise(
+                    F.round(F.exp(F.col("_lt") / micro6), 6)
+                )
+                .alias("survival"),
             )
     if m is None:
         # EM on unnormalized micro-lattice masses, init 1.0 per

@@ -53,14 +53,29 @@ def test_oracle_column_alignment_full_surface(spark):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs = entrymod.queries()
-    bad = []
-    for name, sql in entrymod.oracle_sql().items():
-        duck_cols = sorted(
-            con.sql(f"SELECT * FROM ({sql}) q LIMIT 0").columns
-        )
-        spark_cols = sorted(qs[name](spark, sf).columns)
-        if duck_cols != spark_cols:
-            bad.append((name, spark_cols, duck_cols))
+    # DuckDB planning first (the connection is not thread-safe, and
+    # LIMIT 0 planning is cheap); the Spark side is the slow half —
+    # many query fns run their bounded fit collects at CONSTRUCTION,
+    # so building all 360+ serially paid each one's job latency
+    # end-to-end. Spark job submission is thread-safe: overlap the
+    # constructions in a small driver pool (guide §2.6) — ~6× less
+    # wall-clock for this test, identical assertions.
+    duck = {
+        name: sorted(con.sql(f"SELECT * FROM ({sql}) q LIMIT 0").columns)
+        for name, sql in entrymod.oracle_sql().items()
+    }
+    from concurrent.futures import ThreadPoolExecutor
+
+    def spark_cols(name):
+        return name, sorted(qs[name](spark, sf).columns)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        got = dict(pool.map(spark_cols, duck))
+    bad = [
+        (name, got[name], duck_cols)
+        for name, duck_cols in duck.items()
+        if got[name] != duck_cols
+    ]
     assert not bad, bad
 
 
