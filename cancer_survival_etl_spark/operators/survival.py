@@ -8308,14 +8308,40 @@ def ipcw_km(
     dur = F.col(duration_col).cast("long")
     ev = F.col(event_col).cast("int")
 
-    # reverse KM per stratum: censorings are the events
-    g_curve = km_curve(
-        df.select(*s, dur.alias("_dur"), (1 - ev).alias("_cev")),
-        s,
-        "_dur",
-        "_cev",
-    ).select(*s, F.col("_dur").alias("_gt"), F.col("survival").alias("_g"))
-    g_curve = g_curve.localCheckpoint(eager=False)
+    # r11 (guide §2.6): the reverse KM, the pooled KM and the subject
+    # count are independent — their bounded collects (the km_curve
+    # driver twins fire at construction) overlap in driver threads
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_g():
+        return km_curve(
+            df.select(*s, dur.alias("_dur"), (1 - ev).alias("_cev")),
+            s,
+            "_dur",
+            "_cev",
+        ).select(
+            *s, F.col("_dur").alias("_gt"), F.col("survival").alias("_g")
+        ).localCheckpoint(eager=False)
+
+    def _build_pool():
+        return km_curve(
+            df.select(
+                F.lit(1).alias("_g1"), dur.alias("_dur"), ev.alias("_ev")
+            ),
+            ["_g1"],
+            "_dur",
+            "_ev",
+        ).select(
+            F.col("_dur").alias("_kt"), F.col("survival").alias("_ks")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as _pool_ex:
+        _f_g = _pool_ex.submit(_build_g)
+        _f_km = _pool_ex.submit(_build_pool)
+        _f_n = _pool_ex.submit(df.count)
+        g_curve = _f_g.result()
+        km_pool = _f_km.result()
+        n_tot = _f_n.result()
 
     # event cells per (strata, duration)
     cells = (
@@ -8353,7 +8379,6 @@ def ipcw_km(
         "_dur", (F.col("_d") * _micro(w)).alias("_wm")
     ).localCheckpoint(eager=False)
 
-    n_tot = df.count()
     tdf = spark.createDataFrame([(t,) for t in ts], "t long")
     ipcw = (
         best.crossJoin(F.broadcast(tdf))
@@ -8361,15 +8386,7 @@ def ipcw_km(
         .groupBy("t")
         .agg(F.sum("_wm").alias("_wsum"))
     )
-    # plain pooled KM read at the same horizons, for the comparison
-    km_pool = km_curve(
-        df.select(
-            F.lit(1).alias("_g1"), dur.alias("_dur"), ev.alias("_ev")
-        ),
-        ["_g1"],
-        "_dur",
-        "_ev",
-    ).select(F.col("_dur").alias("_kt"), F.col("survival").alias("_ks"))
+    # plain pooled KM (built above, overlapped) read at the horizons
     plain = (
         km_pool.crossJoin(F.broadcast(tdf))
         .filter(F.col("_kt") <= F.col("t"))
