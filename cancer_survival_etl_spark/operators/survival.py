@@ -6521,7 +6521,7 @@ def turnbull_km(
         import numpy as np
 
         _mp = memb.limit(MAX_DRIVER_CELLS + 1).toPandas()
-        _ok = len(_mp) <= MAX_DRIVER_CELLS
+        _ok = 0 < len(_mp) <= MAX_DRIVER_CELLS
         if _ok:
             for _c in [*g, "_L", "_Rk", "_w", "_q"]:
                 v = _mp[_c]

@@ -530,7 +530,7 @@ def test_aft_driver_paths_bit_equal(spark, monkeypatch):
 def _td_episodes(spark):
     # two features, half-unit grid times, episode split at a
     # subject-specific switch time -> both pre/post episodes and ties
-    base = spark.range(5000).select(
+    base = spark.range(3000).select(
         ((F.col("id") % 6) / 6.0).alias("x1"),
         ((F.col("id") * 5 % 7) / 7.0).alias("x2"),
         F.greatest(
@@ -593,9 +593,9 @@ def test_turnbull_driver_em_bit_equal(spark, monkeypatch):
         .otherwise(((F.col("k") % 5) * 2 + 2).cast("double"))
         .alias("right"),
     )
-    fast = sv.turnbull_km(iv, ["grp"], iters=7).collect()
+    fast = sv.turnbull_km(iv, ["grp"], iters=5).collect()
     monkeypatch.setattr(sv, "MAX_DRIVER_CELLS", 0)
-    slow = sv.turnbull_km(iv, ["grp"], iters=7).collect()
+    slow = sv.turnbull_km(iv, ["grp"], iters=5).collect()
     key = lambda r: (r.grp, r.q_lo)
     assert sorted(fast, key=key) == sorted(slow, key=key)
 
@@ -615,15 +615,15 @@ def test_trainer_driver_paths_bit_equal(spark, monkeypatch):
             - F.log((F.col("id") % 997 + 1) / 998.0)
         ).alias("yq"),
     )
-    fast_l = inf.logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=12)
-    fast_q = inf.quantile_train(df, ["x1"], "yq", tau=0.9, lr=4.0, iters=12)
+    fast_l = inf.logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=8)
+    fast_q = inf.quantile_train(df, ["x1"], "yq", tau=0.9, lr=4.0, iters=8)
     import cancer_survival_etl_spark.operators.driverfit as dfit
 
     # the trainers import collect_cells at call time, so patching the
     # driverfit module attribute forces their distributed fallback
     monkeypatch.setattr(dfit, "collect_cells", lambda *a, **k: None)
-    slow_l = inf.logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=12)
-    slow_q = inf.quantile_train(df, ["x1"], "yq", tau=0.9, lr=4.0, iters=12)
+    slow_l = inf.logistic_train(df, ["x1", "x2"], "y", lr=1.0, iters=8)
+    slow_q = inf.quantile_train(df, ["x1"], "yq", tau=0.9, lr=4.0, iters=8)
     assert fast_l == slow_l
     assert fast_q == slow_q
 
@@ -643,7 +643,7 @@ def test_triangle_driver_path_bit_equal(spark, monkeypatch):
 def test_als_driver_path_bit_equal(spark, monkeypatch):
     import cancer_survival_etl_spark.llm.factorization as fz
 
-    ratings = spark.range(2500).select(
+    ratings = spark.range(1600).select(
         (F.col("id") % 60).alias("u"),
         (F.col("id") * 7 % 25).cast("string").alias("i"),
         F.round(
