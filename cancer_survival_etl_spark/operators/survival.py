@@ -2978,6 +2978,189 @@ def cox_ph_diagnostics(
     )
 
 
+def _cox_robust_driver(pdfc, p, n_strat, beta, has_cluster):
+    """numpy twin of the ``cox_ph_robust`` sandwich passes over
+    collected (strata..., x-pattern, duration, event[, cluster])
+    cells — the same nano-lattice risk cells, suffix sums, curve
+    increments/cumulatives, per-cell score residuals and meat folds
+    as the distributed passes, term-for-term (float op order and
+    paren placement preserved), so (se_model, se_robust) are
+    bit-identical (pinned in tests/test_driverfit.py)."""
+    import numpy as np
+
+    nano = 1e9
+    w = pdfc["_w"].to_numpy().astype(np.int64)
+    d = pdfc["_d"].to_numpy().astype(np.int64)
+    t = pdfc["_t"].to_numpy().astype(np.float64)
+    xs = [
+        pdfc[f"_x{j}"].to_numpy().astype(np.float64) for j in range(p)
+    ]
+    if n_strat:
+        gcode = (
+            pdfc.groupby(
+                [f"_g{i}" for i in range(n_strat)], sort=False,
+                dropna=False,
+            )
+            .ngroup()
+            .to_numpy()
+        )
+    else:
+        gcode = np.zeros(len(w), dtype=np.int64)
+    # per-(stratum, duration) axis
+    axis_key = np.lexsort((t, gcode))
+    ag = gcode[axis_key]
+    at = t[axis_key]
+    new_pt = np.ones(len(ag), dtype=bool)
+    if len(ag) > 1:
+        new_pt[1:] = (ag[1:] != ag[:-1]) | (at[1:] != at[:-1])
+    pt_of_sorted = np.cumsum(new_pt) - 1
+    pt_idx = np.empty(len(w), dtype=np.int64)
+    pt_idx[axis_key] = pt_of_sorted
+    npt = int(pt_of_sorted[-1]) + 1 if len(ag) else 0
+    pt_g = ag[new_pt]
+    gstarts = np.flatnonzero(
+        np.concatenate(([True], pt_g[1:] != pt_g[:-1]))
+        if npt
+        else np.zeros(0, dtype=bool)
+    )
+    glen = np.diff(np.append(gstarts, npt))
+
+    def scatter(vals):
+        a = np.zeros(npt, dtype=np.int64)
+        np.add.at(a, pt_idx, vals)
+        return a
+
+    def suffix(a):
+        tot = np.repeat(np.add.reduceat(a, gstarts), glen)
+        pre = np.cumsum(a)
+        pre = pre - np.repeat(
+            np.concatenate(([np.int64(0)], np.cumsum(a)[gstarts[1:] - 1]))
+            if len(gstarts) > 1
+            else np.zeros(1, dtype=np.int64),
+            glen,
+        )
+        # exclusive within-group prefix
+        exc = pre - a
+        return tot - exc
+
+    xb = np.zeros(len(w))
+    for j in range(p):
+        xb = xb + beta[j] * xs[j]
+    r = np.exp(xb)
+    d_t = scatter(w * d)
+    a0 = scatter(w * round_half_up(r * nano).astype(np.int64))
+    a1 = [
+        scatter(w * round_half_up(r * xs[j] * nano).astype(np.int64))
+        for j in range(p)
+    ]
+    a2 = {
+        (j, k): scatter(
+            w * round_half_up(r * xs[j] * xs[k] * nano).astype(np.int64)
+        )
+        for j in range(p)
+        for k in range(j, p)
+    }
+    s0 = suffix(a0)
+    s1 = [suffix(a1[j]) for j in range(p)]
+    s2 = {jk: suffix(v) for jk, v in a2.items()}
+    evm = d_t > 0
+    dtf = d_t.astype(np.float64)
+    s0f = s0.astype(np.float64)
+    info = np.zeros((p, p))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for j in range(p):
+            for k in range(j, p):
+                term = dtf * (
+                    s2[(j, k)] / s0
+                    - (s1[j] / s0) * (s1[k] / s0)
+                )
+                info[j, k] = info[k, j] = (
+                    round_half_up(term[evm] * nano)
+                    .astype(np.int64)
+                    .sum()
+                    / 1e9
+                )
+        xbar = [s1[j] / s0 for j in range(p)]
+        dh = round_half_up(dtf * nano / s0f * nano).astype(np.int64)
+        dg = [
+            round_half_up(
+                dtf * s1[j].astype(np.float64) * nano / (s0f * s0f)
+                * nano
+            ).astype(np.int64)
+            for j in range(p)
+        ]
+
+    def incl(a):
+        pre = np.cumsum(a)
+        off = np.repeat(
+            np.concatenate(
+                ([np.int64(0)], pre[gstarts[1:] - 1])
+            )
+            if len(gstarts) > 1
+            else np.zeros(1, dtype=np.int64),
+            glen,
+        )
+        return pre - off
+
+    H0 = incl(dh) / nano
+    Gj = [incl(v) / nano for v in dg]
+
+    # per-cell score residuals at the cell's own axis point
+    ci = pt_idx
+    evd = d.astype(np.float64)
+    meat = np.zeros((p, p))
+    u = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for j in range(p):
+            u.append(
+                evd * (xs[j] - xbar[j][ci])
+                - r * (xs[j] * H0[ci] - Gj[j][ci])
+            )
+        if has_cluster:
+            clcode, _ = pdfc["_cl"].factorize()
+            ncl = int(clcode.max()) + 1 if len(clcode) else 0
+            uc = []
+            for j in range(p):
+                a = np.zeros(ncl, dtype=np.int64)
+                np.add.at(
+                    a, clcode,
+                    w * round_half_up(u[j] * nano).astype(np.int64),
+                )
+                uc.append(a)
+            for j in range(p):
+                for k in range(j, p):
+                    term = (uc[j] / nano) * (uc[k] / nano)
+                    meat[j, k] = meat[k, j] = (
+                        round_half_up(term * nano)
+                        .astype(np.int64)
+                        .sum()
+                        / 1e9
+                    )
+        else:
+            for j in range(p):
+                for k in range(j, p):
+                    term = u[j] * u[k]
+                    meat[j, k] = meat[k, j] = (
+                        (
+                            w
+                            * round_half_up(term * nano).astype(
+                                np.int64
+                            )
+                        ).sum()
+                        / 1e9
+                    )
+    bread = np.linalg.inv(info)
+    cov_r = bread @ meat @ bread
+    se_model = [
+        round(float(np.sqrt(bread[j, j])), 9) for j in range(p)
+    ]
+    se_robust = [
+        round(float(np.sqrt(max(cov_r[j, j], 0.0))), 9)
+        for j in range(p)
+    ]
+    return se_model, se_robust
+
+
 def cox_ph_robust(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -3058,6 +3241,46 @@ def cox_ph_robust(
         df, feats, duration_col, event_col, iters=iters,
         ties="breslow", strata_cols=strata or None,
     )
+
+    # r11 driver-solve fast path (driverfit.py): the sandwich needs
+    # only (strata, x-pattern, duration, event[, cluster]) cells —
+    # when bounded, ALL the passes below (risk cells, suffix sums,
+    # curve increments/cumulatives, score residuals, meat fold) run
+    # in numpy on the identical lattice, bit-identical to the
+    # distributed passes (pinned in tests/test_driverfit.py). Null
+    # strata/cluster keys fall back (Spark's null-key join/group
+    # semantics differ from positional indexing).
+    _proj = df.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(strata)],
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feats)
+        ],
+        F.col(duration_col).cast("double").alias("_t"),
+        F.col(event_col).cast("long").alias("_d"),
+        *(
+            [F.col(cluster_col).alias("_cl")]
+            if cluster_col
+            else []
+        ),
+    )
+    _pdfc = collect_cells(_proj, list(_proj.columns))
+    if (
+        _pdfc is not None
+        and len(_pdfc) > 0
+        and cells_clean(
+            _pdfc,
+            [f"_x{j}" for j in range(p)] + ["_t"],
+            ["_d"]
+            + [f"_g{i}" for i in range(len(strata))]
+            + (["_cl"] if cluster_col else []),
+        )
+    ):
+        se_model, se_robust = _cox_robust_driver(
+            _pdfc, p, len(strata), beta, cluster_col is not None
+        )
+        return beta, se_model, se_robust
+
     nano = F.lit(1000000000.0)
 
     xb = F.lit(0.0)

@@ -669,3 +669,18 @@ def test_als_driver_path_bit_equal(spark, monkeypatch):
         sh,
     )
     assert fast == slow
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"cluster_col": "cl"},
+    {"strata_cols": ["st"]},
+])
+def test_cox_robust_driver_path_bit_equal(spark, monkeypatch, kw):
+    d = _cox_cohort(spark).withColumn(
+        "cl", (F.col("x1") * 70).cast("long").cast("string")
+    )
+    fast = sv.cox_ph_robust(d, ["x1", "x2"], iters=4, **kw)
+    monkeypatch.setattr(sv, "collect_cells", lambda *a, **k: None)
+    slow = sv.cox_ph_robust(d, ["x1", "x2"], iters=4, **kw)
+    assert fast == slow, (kw, fast, slow)
